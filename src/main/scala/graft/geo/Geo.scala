@@ -1,0 +1,169 @@
+package graft.geo
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Planar geometry over WKT — replaces the reference's BigQuery
+  * GEOGRAPHY surface (`ST_CONTAINS`, `ST_COVERS`, `ST_GEOGPOINT`,
+  * `ST_GEOGFROMTEXT`, `ST_CENTROID`, `ST_X`, `ST_Y`; all usage in
+  * bq_queries/geo_queries.py).
+  *
+  * Implementation: ray-casting point-in-polygon on lon/lat degrees
+  * (adequate for municipal-scale zones that avoid the antimeridian,
+  * matching the reference's own data envelope). WKT polygons are parsed
+  * once driver-side and shipped to executors inside the UDF closure /
+  * broadcast join — never re-parsed per row.
+  */
+object Geo {
+
+  /** A parsed polygon: outer ring (lon,lat) plus precomputed bounding
+    * box for a cheap reject test before the ray cast.
+    */
+  final case class Polygon(xs: Array[Double], ys: Array[Double]) {
+    val minX: Double = xs.min; val maxX: Double = xs.max
+    val minY: Double = ys.min; val maxY: Double = ys.max
+
+    def contains(x: Double, y: Double): Boolean = {
+      if (x < minX || x > maxX || y < minY || y > maxY) return false
+      var inside = false
+      var i = 0
+      var j = xs.length - 1
+      while (i < xs.length) {
+        if (((ys(i) > y) != (ys(j) > y)) &&
+            (x < (xs(j) - xs(i)) * (y - ys(i)) / (ys(j) - ys(i)) + xs(i)))
+          inside = !inside
+        j = i; i += 1
+      }
+      inside
+    }
+
+    /** Area-weighted centroid of the outer ring (shoelace formula) —
+      * ST_CENTROID parity for the parcel-centroid join
+      * (geo_queries.py:111-120).
+      */
+    def centroid: (Double, Double) = {
+      var a = 0.0; var cx = 0.0; var cy = 0.0
+      var i = 0; var j = xs.length - 1
+      while (i < xs.length) {
+        val cross = xs(j) * ys(i) - xs(i) * ys(j)
+        a += cross
+        cx += (xs(j) + xs(i)) * cross
+        cy += (ys(j) + ys(i)) * cross
+        j = i; i += 1
+      }
+      a *= 0.5
+      if (a == 0.0) (xs.sum / xs.length, ys.sum / ys.length)
+      else (cx / (6 * a), cy / (6 * a))
+    }
+  }
+
+  /** Parse `POLYGON((x y, x y, ...))` / `MULTIPOLYGON(((...)))` WKT —
+    * outer rings only (the reference's zone tables are simple polygons;
+    * holes are not present in its data).
+    */
+  def parseWkt(wkt: String): Seq[Polygon] = {
+    if (wkt == null) return Seq.empty
+    val ringRe = "\\(([^()]+)\\)".r
+    ringRe.findAllMatchIn(wkt).map { m =>
+      val pts = m.group(1).split(",").map(_.trim.split("\\s+"))
+        .filter(_.length >= 2)
+        .map(p => (p(0).toDouble, p(1).toDouble))
+      Polygon(pts.map(_._1), pts.map(_._2))
+    }.toSeq match {
+      // MULTIPOLYGON: every ring is an outer ring of its part; POLYGON:
+      // first ring outer, rest holes (ignored — see note above).
+      case head +: _ if wkt.trim.toUpperCase.startsWith("POLYGON") => Seq(head)
+      case rings => rings
+    }
+  }
+
+  /** `ST_CONTAINS(geogFromText(wkt), ST_GEOGPOINT(long, lat))` as a
+    * column expression. Polygon parsed per call site (driver-side),
+    * closure-captured — use for a single fixed polygon (the city-limits
+    * test, geo_queries.py:123-154).
+    */
+  def stContainsWkt(wkt: String, longCol: Column, latCol: Column): Column = {
+    val polys = parseWkt(wkt)
+    val f = udf((x: java.lang.Double, y: java.lang.Double) =>
+      if (x == null || y == null) false
+      else polys.exists(_.contains(x, y)))
+    f(longCol, latCol)
+  }
+
+  /** City-limits classification (build_city_limits_query,
+    * geo_queries.py:123-154 / transform_enrich_requests.py:4-35): points
+    * outside Pittsburgh OR inside the Mt Oliver enclave get
+    * `address_type = 'Outside of City'`.
+    */
+  def cityLimits(df: DataFrame, cityWkt: String, enclaveWkt: String,
+                 latCol: String = "lat", longCol: String = "long"): DataFrame = {
+    val inCity    = stContainsWkt(cityWkt, col(longCol), col(latCol))
+    val inEnclave = stContainsWkt(enclaveWkt, col(longCol), col(latCol))
+    df.withColumn("address_type",
+      when(!inCity || inEnclave, lit("Outside of City")).otherwise(col("address_type")))
+  }
+
+  /** One reverse-geocode zone join: left-join `points` against a small
+    * zone table (zoneName, wkt, startDate, endDate) picking the zone
+    * whose polygon contains the point AND whose validity window covers
+    * the event time — build_revgeo_time_bound_query
+    * (geo_queries.py:35-108), one of the 8 zone families.
+    *
+    * Scale design: zones are collected driver-side (they are tiny —
+    * tens of polygons) and shipped in a UDF closure ≙ broadcast
+    * spatial join; the fact table is never shuffled. Bounding-box
+    * reject runs before any ray cast.
+    */
+  def revGeoZone(
+      points: DataFrame, zones: Seq[(String, String, Long, Option[Long])],
+      outCol: String,
+      latCol: String = "lat", longCol: String = "long",
+      eventUnixCol: String = "create_date_unix"): DataFrame = {
+    val parsed: Seq[(String, Seq[Polygon], Long, Long)] = zones.map {
+      case (name, wkt, start, end) =>
+        (name, parseWkt(wkt), start, end.getOrElse(Long.MaxValue))
+    }
+    val f = udf((x: java.lang.Double, y: java.lang.Double, t: java.lang.Long) => {
+      if (x == null || y == null) null
+      else {
+        val tt = if (t == null) Long.MaxValue else t.longValue()
+        parsed.collectFirst {
+          case (name, polys, s, e) if s <= tt && tt <= e && polys.exists(_.contains(x, y)) => name
+        }.orNull
+      }
+    })
+    points.withColumn(outCol, f(col(longCol), col(latCol), col(eventUnixCol)))
+  }
+
+  /** Full 8-zone-family enrichment (geo_queries.py:35-108): apply
+    * `revGeoZone` per zone family — neighborhoods, council districts,
+    * wards, fire/police/DPW zones.
+    */
+  def revGeoTimeBound(
+      points: DataFrame,
+      zoneFamilies: Map[String, Seq[(String, String, Long, Option[Long])]],
+      latCol: String = "lat", longCol: String = "long",
+      eventUnixCol: String = "create_date_unix"): DataFrame =
+    zoneFamilies.foldLeft(points) { case (df, (family, zones)) =>
+      revGeoZone(df, zones, family, latCol, longCol, eventUnixCol)
+    }
+
+  /** Parcel-centroid join (geo_queries.py:111-120): broadcast-join a
+    * parcel→WKT table, emit `ST_Y/ST_X(ST_CENTROID(geometry))`.
+    */
+  def parcelCentroidJoin(
+      df: DataFrame, parcels: DataFrame, parcKey: String,
+      parcelsKey: String = "zone", wktCol: String = "geometry"): DataFrame = {
+    val cen = udf((wkt: String) => {
+      val polys = parseWkt(wkt)
+      if (polys.isEmpty) null else { val (cx, cy) = polys.head.centroid; Array(cx, cy) }
+    })
+    val lk = broadcast(parcels.select(
+      col(parcelsKey).as("__pk"),
+      cen(col(wktCol)).as("__cen")))
+    df.join(lk, col(parcKey) === col("__pk"), "left")
+      .withColumn("longitude", col("__cen").getItem(0))
+      .withColumn("latitude", col("__cen").getItem(1))
+      .drop("__pk", "__cen")
+  }
+}

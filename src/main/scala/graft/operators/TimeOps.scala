@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Time standardisation operators.
+  *
+  * The reference emits, for every source time field `X`, a triple
+  * `X_UTC` (string), `X_EST` (string), `X_UNIX` (epoch seconds) —
+  * StandardizeTimes (dataflow_utils.py:619-660) and
+  * GetDateStringsFromUnix (dataflow_utils.py:398-412).
+  */
+object TimeOps {
+
+  val UtcFmt = "yyyy-MM-dd HH:mm:ss"
+  val EstZone = "America/New_York"
+
+  /** GetDateStringsFromUnix (dataflow_utils.py:398-412 /
+    * unix_to_date_strings :884-894): unix seconds → `_utc` and `_est`
+    * formatted strings. Pure expressions, codegen'd.
+    */
+  def dateStringsFromUnix(df: DataFrame, field: String): DataFrame = {
+    val ts = timestamp_seconds(col(field).cast(LongType))
+    df.withColumn(s"${field}_utc", date_format(ts, UtcFmt))
+      .withColumn(s"${field}_est",
+        date_format(convert_timezone(lit("UTC"), lit(EstZone), ts), UtcFmt))
+  }
+
+  /** Formats accepted by the reference's fuzzy `dateutil.parser.parse`
+    * for the inputs its tests exercise (tests/test_dataflow_utils.py:
+    * 334-410). Tried in order by `fuzzyToTimestamp`.
+    */
+  val FuzzyFormats: Seq[String] = Seq(
+    "yyyy-MM-dd HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy/MM/dd HH:mm:ss",
+    "MM/dd/yyyy HH:mm:ss",
+    "MM-dd-yyyy HH:mm:ss",
+    "MMM dd yyyy HH:mm:ss",
+    "MMM dd, yyyy HH:mm:ss",
+    "dd MMM yyyy HH:mm:ss",
+    "yyyy-MM-dd HH:mm",
+    "MM/dd/yyyy HH:mm",
+    "yyyy-MM-dd",
+    "MM/dd/yyyy",
+    "MMM dd yyyy",
+    "MMM dd, yyyy"
+  )
+
+  /** Fuzzy-parse a datetime string: any embedded timezone suffix is
+    * DISCARDED and the declared `tz` wins — the tested contract of
+    * StandardizeTimes (declared tz overrides string tz,
+    * tests/test_dataflow_utils.py:334-356). Returns a UTC timestamp.
+    *
+    * Implemented as a coalesce over `to_timestamp` attempts (all
+    * codegen'd) after stripping a trailing zone token.
+    */
+  def fuzzyToTimestamp(c: Column, tz: String): Column = {
+    // strip trailing " UTC" / " EST" / "+05:00" / "Z" style zone tokens
+    val stripped = regexp_replace(
+      trim(c.cast(StringType)),
+      "(\\s*(?:Z|[+-]\\d{2}:?\\d{2}|[A-Za-z]{2,5}/?[A-Za-z_]*))?$", "")
+    val attempts = FuzzyFormats.map(f => try_to_timestamp(trim(stripped), lit(f)))
+    val local    = coalesce(attempts: _*)
+    // interpret the naive local time in the declared zone → UTC instant
+    to_utc_timestamp(local, tz)
+  }
+
+  /** StandardizeTimes (dataflow_utils.py:619-660): for each (field, tz)
+    * emit `field_UTC`, `field_EST` strings and `field_UNIX` epoch
+    * seconds; unparseable → all three NULL.
+    */
+  def standardizeTimes(df: DataFrame, specs: Seq[(String, String)]): DataFrame =
+    specs.foldLeft(df) { case (d, (f, tz)) =>
+      val utcTs = fuzzyToTimestamp(col(f), tz)
+      d.withColumn(s"${f}_UTC", date_format(utcTs, UtcFmt))
+        .withColumn(s"${f}_EST",
+          date_format(convert_timezone(lit("UTC"), lit(EstZone), utcTs), UtcFmt))
+        .withColumn(s"${f}_UNIX", unix_timestamp(utcTs))
+    }
+
+  /** IdentifyActivePermits (computronix_gis_street_closures_dataflow.py:
+    * 66-79): `active` flag when now ∈ [from_unix, to_unix].
+    */
+  def identifyActive(df: DataFrame, fromUnix: String, toUnix: String): DataFrame =
+    df.withColumn("active",
+      unix_timestamp(current_timestamp()).between(col(fromUnix), col(toUnix)))
+}

@@ -1,0 +1,98 @@
+package graft.tables
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Master/incremental table semantics.
+  *
+  * The reference maintains `all_*` master tables in BigQuery and merges
+  * each run's `incoming_*` staging table into them with INSERT/UPDATE/
+  * DELETE SQL (bq_queries/qscend/integrate_new_requests.py,
+  * general_queries.py). Spark has no in-place mutation, so every
+  * mutation becomes a deterministic join-and-rewrite producing a new
+  * snapshot — idempotent under batch re-runs, and shuffle-efficient at
+  * scale (one shuffle per merge on the master key).
+  */
+object MasterTables {
+
+  /** build_insert_new_records_query (general_queries.py:87-98): append
+    * only never-seen keys (NOT IN → left_anti).
+    */
+  def insertNewRecords(master: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    master.unionByName(incoming.join(master.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+
+  /** Correlated UPDATE ... FROM (integrate_new_requests.py:109-121,
+    * general_queries.py:132-142): overwrite `updateCols` on matching
+    * keys from `updates`, keep old values elsewhere.
+    */
+  def syncUpdate(master: DataFrame, updates: DataFrame, keys: Seq[String], updateCols: Seq[String]): DataFrame = {
+    val u = updates
+      .select((keys.map(col) ++ updateCols.map(c => col(c).as(s"__u_$c"))): _*)
+      .dropDuplicates(keys)
+    val joined = master.join(u, keys, "left")
+    val merged = updateCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, coalesce(col(s"__u_$c"), col(c)))
+    }
+    merged.drop(updateCols.map(c => s"__u_$c"): _*)
+  }
+
+  /** delete_old_insert_new (integrate_new_requests.py:84-106): snapshot
+    * upsert — drop master rows whose key re-arrives, append the incoming
+    * version.
+    */
+  def deleteOldInsertNew(master: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    master.join(incoming.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(incoming)
+
+  /** DELETE matching keys (remove_false_parents step,
+    * qalert_airflow.py:156-190).
+    */
+  def deleteMatching(master: DataFrame, toDelete: DataFrame, keys: Seq[String]): DataFrame =
+    master.join(toDelete.select(keys.map(col): _*).distinct(), keys, "left_anti")
+
+  /** update_time_balances_table pattern (general_queries.py:172-184 and
+    * twins): append-only history — UNION ALL guarded by NOT IN on the
+    * full row key.
+    */
+  def appendOnlyHistory(history: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    history.unionByName(incoming.join(history.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+
+  /** update_linked_tix_info (integrate_new_requests.py:200-232): child
+    * aggregation — per parent, ARRAY_AGG(STRUCT(child cols)) appended to
+    * the master's existing array, count recomputed as ARRAY_LENGTH + 1.
+    *
+    * `childCols` become the struct fields; the master must carry
+    * `child_tickets: array<struct>` and `num_requests: long`.
+    */
+  def integrateChildren(
+      master: DataFrame, children: DataFrame,
+      parentKey: String, childParentKey: String,
+      childCols: Seq[String]): DataFrame = {
+    val agg = children
+      .groupBy(col(childParentKey).as(parentKey))
+      .agg(collect_list(struct(childCols.map(col): _*)).as("__new_children"))
+    master.join(agg, Seq(parentKey), "left")
+      .withColumn("child_tickets",
+        when(col("__new_children").isNotNull,
+          concat(coalesce(col("child_tickets"), array()), col("__new_children")))
+          .otherwise(col("child_tickets")))
+      .withColumn("num_requests", size(coalesce(col("child_tickets"), array())) + 1)
+      .drop("__new_children")
+  }
+
+  /** perform_data_quality_check (general_queries.py:4-28 +
+    * airflow_utils.py:354-391): distinct-values snapshot of watched
+    * fields, diffed against the previous snapshot — new values surface.
+    */
+  def dataQualitySnapshot(df: DataFrame, fields: Seq[String]): DataFrame =
+    df.select(fields.map(col): _*).distinct()
+
+  def dataQualityDiff(current: DataFrame, previous: DataFrame): DataFrame =
+    current.exceptAll(previous.distinct()).distinct()
+
+  /** document_missed_requests (transform_enrich_requests.py:88-94):
+    * UNION DISTINCT recovered rows into the missed-records ledger.
+    */
+  def unionDistinct(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
+}
