@@ -1,0 +1,252 @@
+package graft.dedup
+
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication suite for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design notes (the whole point of these implementations):
+  *  - exact dedup = one hash-shuffle on a 16-byte digest, never on the
+  *    document body;
+  *  - MinHash signatures are computed with higher-order functions
+  *    (codegen'd, no shuffle, no UDF); only the banded signature —
+  *    `bands × 8` bytes per doc — is shuffled, never shingle sets;
+  *  - candidate verification joins docs only within LSH buckets, so the
+  *    quadratic blow-up is bounded by bucket size, not corpus size.
+  */
+object NearDup {
+
+  // ------------------------------------------------------------------
+  // Exact dedup (hash-groupBy)
+  // ------------------------------------------------------------------
+
+  /** Group by content digest, keep the lowest id per group. Returns the
+    * kept rows with `dup_count`. Only (digest, id) shuffles.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = df.withColumn("__digest", md5(col(textCol)))
+    val keepers = keyed.groupBy("__digest")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+    keyed.drop("dup_count").join(keepers, Seq("__digest", idCol)).drop("__digest")
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH
+  // ------------------------------------------------------------------
+
+  /** MinHash signature of a shingle array: perm i's value is
+    * min over shingles of hash64(shingle, i). The shingle array is
+    * let-bound so it is evaluated once per row, not once per
+    * permutation (ExprOps.bind — CollapseProject would otherwise
+    * inline an upstream shingle expression into all 64 lambda bodies).
+    */
+  def minhashSignature(shingles: Column, numPerms: Int): Column =
+    graft.expressions.ExprOps.bind(shingles) { sh =>
+      transform(sequence(lit(0), lit(numPerms - 1)),
+        i => array_min(transform(sh, s => xxhash64(s, i))))
+    }
+
+  /** Banded LSH key rows: one row per (band, bandHash) per doc.
+    * numPerms must be divisible by bands; r = numPerms/bands rows per
+    * band. Docs sharing any band hash are candidates.
+    */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String,
+               bands: Int, numPerms: Int): DataFrame = {
+    val r = numPerms / bands
+    require(bands * r == numPerms, s"bands=$bands must divide numPerms=$numPerms")
+    df.select(col(idCol), posexplode(
+        graft.expressions.ExprOps.bind(col(sigCol)) { sig =>
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(slice(sig, b * r + 1, lit(r)), b))
+        }))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+  }
+
+  /** Candidate pairs (a < b) from shared LSH buckets, deduplicated
+    * across bands. The only shuffle keys are (band, band_hash).
+    */
+  def lshCandidatePairs(bandRows: DataFrame, idCol: String): DataFrame = {
+    val l = bandRows.select(col("band"), col("band_hash"), col(idCol).as("id_a"))
+    val r = bandRows.select(col("band"), col("band_hash"), col(idCol).as("id_b"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: shingle → signature → bands →
+    * candidate pairs → exact Jaccard verification on the candidates
+    * only. Returns (id_a, id_b, jaccard) for pairs ≥ threshold.
+    */
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numPerms: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val shingled = df.select(col(idCol),
+      TextOps.wordShingles(col(textCol), shingleLen).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    // The repartition is a materialization barrier, not a placement
+    // choice: without it CollapseProject inlines the signature
+    // expression into each of the `bands` slice references and
+    // recomputes the full 64-perm MinHash per band (measured 30×
+    // slowdown). Shuffling (id, 64×8B sig) is the cheap, scale-honest
+    // index-build step.
+    val sigOnly = shingled
+      .select(col(idCol), minhashSignature(col("__sh"), numPerms).as("__sig"))
+      .repartition(col(idCol))
+    val cands = lshCandidatePairs(lshBands(sigOnly, idCol, "__sig", bands, numPerms), idCol)
+    val a = shingled.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
+    val b = shingled.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact Jaccard similarity of two string arrays — native
+    * single-pass expression (graft.expressions.JaccardSim).
+    */
+  def jaccard(a: Column, b: Column): Column =
+    graft.expressions.SimilarityExpressions.jaccard_sim(a, b)
+
+  /** Brute-force n-gram Jaccard pairs over a (small or pre-blocked)
+    * corpus: all (a < b) pairs with word-n-gram Jaccard ≥ threshold.
+    * The quadratic baseline used to validate the LSH path; at scale use
+    * `minhashLshPairs`.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol), TextOps.wordShingles(col(textCol), n).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val a = sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
+    val b = sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** 64-bit SimHash over word tokens: bit b of the output is 1 iff the
+    * sum over tokens of ±1 (per bit b of each token's xxhash64) is
+    * positive. Procedural bit loop → Scala UDF (still a pure,
+    * shuffle-free map; ~64×|tokens| ops per doc).
+    */
+  private def simhash64(tokens: Seq[String]): Long = {
+    if (tokens == null || tokens.isEmpty) return 0L
+    val counts = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(t).toLong << 32 |
+        (scala.util.hashing.MurmurHash3.stringHash(t.reverse).toLong & 0xffffffffL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+  val simhashUdf = udf((toks: Seq[String]) => simhash64(toks))
+
+  def withSimhash(df: DataFrame, textCol: String, outCol: String = "simhash"): DataFrame =
+    df.withColumn(outCol, simhashUdf(TextOps.tokens(col(textCol))))
+
+  /** Hamming distance between two 64-bit signatures (bit_count of xor). */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on the four 16-bit quarters of the
+    * signature (any pair within Hamming distance ≤ 3 of a 64-bit hash
+    * shares at least one identical quarter — pigeonhole), verify with
+    * bit_count. Shuffles only (quarter, id, simhash).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val s2 = withSimhash(df.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol), col("simhash"))
+    val blocked = s2.select(col(idCol), col("simhash"), posexplode(
+      array((0 until 4).map(q =>
+        shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnsRenamed(Map("pos" -> "q", "col" -> "qkey"))
+    val l = blocked.select(col("q"), col("qkey"),
+      col(idCol).as("id_a"), col("simhash").as("sim_a"))
+    val r = blocked.select(col("q"), col("qkey"),
+      col(idCol).as("id_b"), col("simhash").as("sim_b"))
+    l.join(r, Seq("q", "qkey"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", hammingDist(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .distinct()
+  }
+
+  // ------------------------------------------------------------------
+  // Embedding-cosine near-dup
+  // ------------------------------------------------------------------
+
+  /** Cosine similarity of two float/double array columns, computed in
+    * double — native codegen'd expression (graft.expressions.CosineSim):
+    * one fused primitive loop per pair instead of three interpreted
+    * higher-order-function passes.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.SimilarityExpressions.cosine_sim(a, b)
+
+  /** Exact embedding near-dup pairs above a cosine threshold — the
+    * quadratic baseline. At scale, block first (`lshCosinePairs`).
+    */
+  def cosineDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("__va"), col("__vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Random-hyperplane LSH blocking for cosine near-dup: `nBits`-bit
+    * signature from fixed-seed pseudo-random hyperplanes, block on the
+    * signature, verify exact cosine within blocks. Misses across-block
+    * pairs by design (tunable via nBits); the scale path.
+    */
+  def lshCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, nBits: Int = 8, seed: Long = 42L): DataFrame = {
+    val sig = cosineLshSignature(col(vecCol), nBits, seed)
+    val tagged = df.select(col(idCol), col(vecCol), sig.as("__bucket"))
+    val a = tagged.select(col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = tagged.select(col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, "__bucket").filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("__va"), col("__vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .distinct()
+  }
+
+  /** Signed-random-projection signature: bit j = sign(v · h_j) where
+    * h_j components are deterministic pseudo-random ±1 derived from
+    * xxhash64(dim, j, seed) — no stored model, same hyperplanes on
+    * every executor, pure expressions.
+    */
+  def cosineLshSignature(vec: Column, nBits: Int, seed: Long): Column = {
+    // unrolled at plan-build time: nBits is a Scala constant, so each
+    // hyperplane's dot product is an independent codegen'd expression
+    val bitCols = (0 until nBits).map { j =>
+      val signed = zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
+        when(xxhash64(i, lit(j), lit(seed)) % 2 === 0, x.cast(DoubleType))
+          .otherwise(-x.cast(DoubleType)))
+      val dot = aggregate(signed, lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+}

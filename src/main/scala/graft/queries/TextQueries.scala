@@ -1,0 +1,199 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.NearDup
+import graft.similarity.Ann
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operator coverage: deduplication (exact,
+  * MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine), similarity
+  * search, and text analysis over the `documents` and `embeddings`
+  * tables. Oracle twins are DuckDB SQL (list comprehensions +
+  * list_cosine_similarity); the hash-signature ops (SimHash, cosine
+  * LSH) are not SQL-expressible and get rows-only checks.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopList = TextOps.EnStopwords.map(s => s"'$s'").mkString(", ")
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup: hash-groupBy keep-min-id with duplicate count
+    "q21_doc_exact_dedup" -> ((s, d) => {
+      NearDup.exactDedup(Tables.documents(s, d), "doc_id", "text")
+        .select("doc_id", "dup_count")
+    }),
+
+    // quality scoring: length/punct/stopword signal bundle
+    "q22_text_quality" -> ((s, d) => {
+      TextOps.qualitySignals(Tables.documents(s, d))
+        .select("doc_id", "n_tokens", "mean_token_len", "alpha_ratio",
+          "punct_ratio", "stopword_ratio")
+    }),
+
+    // token counting: whitespace + BPE-ish regex segmentation
+    "q23_token_counts" -> ((s, d) => {
+      val doc = Tables.documents(s, d)
+      doc.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_ws_tokens"),
+        TextOps.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))
+    }),
+
+    // language ID: stopword-hit fraction per language, argmax
+    "q24_lang_id" -> ((s, d) => {
+      TextOps.langId(Tables.documents(s, d))
+        .select("doc_id", "score_de", "score_en", "score_es", "score_fr",
+          "score_zh", "lang_pred")
+    }),
+
+    // document fingerprint: normalised md5 (oracle) — rolling-hash and
+    // xxhash64 variants live in TextOps for the production path
+    "q25_doc_fingerprint" -> ((s, d) => {
+      Tables.documents(s, d).select(col("doc_id"),
+        TextOps.fingerprintMd5(col("text")).as("fp_md5"))
+    }),
+
+    // n-gram Jaccard near-dup pairs — quadratic baseline, exact
+    "q26_ngram_jaccard_pairs" -> ((s, d) => {
+      NearDup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.5)
+    }),
+
+    // MinHash+LSH near-dup pairs: banded signatures → candidates →
+    // exact-Jaccard verify. With 32 bands × 2 rows the miss probability
+    // at J ≥ 0.8 is (1-J²)³² < 1e-13, so the oracle is the exact
+    // brute-force answer.
+    "q27_minhash_lsh_pairs" -> ((s, d) => {
+      NearDup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleLen = 3, numPerms = 64, bands = 32, threshold = 0.8)
+    }),
+
+    // SimHash near-dup pairs (quarter-blocked) — custom 64-bit
+    // signature, rows-only check; subset property vs q26 is asserted in
+    // the ScalaTest suite
+    "q28_simhash_pairs" -> ((s, d) => {
+      NearDup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3)
+    }),
+
+    // brute-force cosine top-k over the embedding column
+    "q29_knn_cosine" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.bruteForceTopK(
+        emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10)
+    }),
+
+    // embedding-cosine near-dup pairs above a threshold — exact
+    "q30_cosine_dup_pairs" -> ((s, d) => {
+      NearDup.cosineDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.4)
+    })
+  )
+
+  private val jaccardOracle: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) s
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') toks FROM documents)
+       |  WHERE len(toks) >= 3
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+       |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+       |FROM sh a, sh b
+       |WHERE a.doc_id < b.doc_id
+       |  AND len(list_intersect(a.s, b.s))::DOUBLE /
+       |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= THRESH""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q21_doc_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q22_text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') toks,
+         |    length(text) nc
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+         |  round(CASE WHEN len(toks) > 0 AND length(trim(text)) > 0
+         |    THEN (nc - (len(toks) - 1))::DOUBLE / len(toks) ELSE 0 END, 4) AS mean_token_len,
+         |  round(CASE WHEN nc > 0
+         |    THEN (nc - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / nc
+         |    ELSE 0 END, 4) AS alpha_ratio,
+         |  round(CASE WHEN nc > 0
+         |    THEN length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))::DOUBLE / nc
+         |    ELSE 0 END, 4) AS punct_ratio,
+         |  round(CASE WHEN len(toks) > 0 AND length(trim(text)) > 0
+         |    THEN len(list_filter(toks, t -> list_contains([$stopList], lower(t))))::DOUBLE / len(toks)
+         |    ELSE 0 END, 4) AS stopword_ratio
+         |FROM t""".stripMargin,
+
+    "q23_token_counts" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish_tokens
+        |FROM documents""".stripMargin,
+
+    "q24_lang_id" -> {
+      val langLists = TextOps.LangStopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
+        val lst = ws.map(w => s"'$w'").mkString(", ")
+        s"round(CASE WHEN len(toks) > 0 AND length(trim(text)) > 0 THEN len(list_filter(toks, t -> list_contains([$lst], t)))::DOUBLE / len(toks) ELSE 0 END, 6) AS score_$l"
+      }.mkString(",\n  ")
+      s"""WITH t AS (
+         |  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') toks
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id,
+         |  $langLists
+         |  FROM t
+         |), u AS (
+         |  SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+         |    unnest(['de','en','es','fr','zh']) AS lang,
+         |    unnest([score_de, score_en, score_es, score_fr, score_zh]) AS sc
+         |  FROM s
+         |)
+         |SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+         |  lang AS lang_pred
+         |FROM u
+         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, lang DESC) = 1""".stripMargin
+    },
+
+    "q25_doc_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp_md5
+        |FROM documents""".stripMargin,
+
+    "q26_ngram_jaccard_pairs" -> jaccardOracle.replace("THRESH", "0.5"),
+    "q27_minhash_lsh_pairs"   -> jaccardOracle.replace("THRESH", "0.8"),
+
+    "q29_knn_cosine" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] qv
+        |  FROM embeddings WHERE vec_id < 5
+        |), s AS (
+        |  SELECT query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(qv, c.embedding::DOUBLE[]), 4) AS score
+        |  FROM q, embeddings c
+        |  WHERE c.vec_id != query_id
+        |)
+        |SELECT query_id, rank, neighbor_id, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id ASC) AS rank FROM s)
+        |WHERE rank <= 10""".stripMargin,
+
+    "q30_cosine_dup_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin
+  )
+}

@@ -1,0 +1,132 @@
+package graft.similarity
+
+import graft.dedup.NearDup
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query
+  * set against the corpus, one corpus scan, per-query top-k via window
+  * rank. Scale path: LSH-bucketed search (multi-probe over hyperplane
+  * signatures) and a coarse-quantizer IVF variant — both bound the
+  * scanned fraction of the corpus instead of reading all of it.
+  */
+object Ann {
+
+  /** Brute-force cosine top-k: every query vector against the whole
+    * corpus. Queries are broadcast (they are few); the corpus is
+    * scanned once, never shuffled until the final per-query top-k
+    * (which shuffles only (query_id, corpus_id, score) triples).
+    *
+    * Deterministic: rank on (rounded score desc, corpus id asc).
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("__qv")))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(NearDup.cosine(col("__qv"), col("__cv")), 4))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** LSH-bucketed ANN: corpus and queries get an `nBits` hyperplane
+    * signature; each query probes its own bucket plus all buckets at
+    * Hamming distance ≤ `probeHamming` (multi-probe widens recall).
+    * Only the probed buckets are scanned — with balanced buckets the
+    * scan cost drops by ~2^nBits / probes.
+    */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nBits: Int = 8, probeHamming: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    val cSig = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"),
+      NearDup.cosineLshSignature(col(cVec), nBits, seed).as("__bucket"))
+    // enumerate probe buckets: signature XOR every mask with ≤ probeHamming bits
+    val masks: Seq[Long] = {
+      val single = (0 until nBits).map(1L << _)
+      val base   = Seq(0L)
+      probeHamming match {
+        case 0 => base
+        case 1 => base ++ single
+        case _ => base ++ single ++ (for {
+          i <- 0 until nBits; j <- (i + 1) until nBits
+        } yield (1L << i) | (1L << j))
+      }
+    }
+    val qSig = broadcast(queries
+      .select(col(qId).as("query_id"), col(qVec).as("__qv"),
+        NearDup.cosineLshSignature(col(qVec), nBits, seed).as("__qsig"))
+      .withColumn("__bucket",
+        explode(array(masks.map(m => col("__qsig").bitwiseXOR(lit(m))): _*))))
+    val scored = qSig.join(cSig, "__bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(NearDup.cosine(col("__qv"), col("__cv")), 4))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.select("query_id", "neighbor_id", "score").distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** IVF-style coarse quantizer: `nCells` centroids picked
+    * deterministically (the corpus vectors whose id hash is smallest —
+    * a seeded reservoir standing in for k-means; exchangeable with a
+    * trained codebook), corpus assigned to nearest centroid, queries
+    * probe the `nProbe` nearest cells. Centroids are broadcast; the
+    * corpus shuffles once on cell id at index-build time, queries touch
+    * only probed cells.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = corpus
+      .select(col(cId).as("cent_id"), col(cVec).as("cent_vec"),
+        xxhash64(col(cId)).as("__h"))
+      .orderBy("__h").limit(nCells)
+      .withColumn("cell", monotonically_increasing_id())
+      .select(col("cell"), col("cent_vec"))
+    val centArr = broadcast(cents)
+
+    // assign corpus rows to their single nearest cell
+    val wc = Window.partitionBy("__rid").orderBy(col("__dist").desc, col("cell").asc)
+    val assigned = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
+      .withColumn("__rid", col("neighbor_id"))
+      .crossJoin(centArr)
+      .withColumn("__dist", NearDup.cosine(col("__cv"), col("cent_vec")))
+      .withColumn("__rn", row_number().over(wc))
+      .filter(col("__rn") === 1)
+      .select("cell", "neighbor_id", "__cv")
+
+    // queries probe their nProbe nearest cells
+    val wq = Window.partitionBy("query_id").orderBy(col("__dist").desc, col("cell").asc)
+    val probes = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+      .crossJoin(centArr)
+      .withColumn("__dist", NearDup.cosine(col("__qv"), col("cent_vec")))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nProbe)
+      .select("query_id", "__qv", "cell"))
+
+    val scored = probes.join(assigned, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(NearDup.cosine(col("__qv"), col("__cv")), 4))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.select("query_id", "neighbor_id", "score").distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+}

@@ -1,0 +1,148 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, language ID, quality scoring, fingerprinting,
+  * shingling. All pure Catalyst expressions (higher-order functions on
+  * split arrays) — codegen'd, shuffle-free, linear at 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace tokens. `split` on \s+ after trim; empty string → empty
+    * array (Spark's split("") yields [""], guard it).
+    */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast(ArrayType(StringType)))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword-count estimate: word-piece regex — runs of
+    * letters, runs of digits, single non-space punctuation —
+    * approximating a byte-pair tokenizer's segmentation for budgeting
+    * purposes. Match-counting (RE2-compatible, no lookaround) so the
+    * same pattern runs in any engine.
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeishPattern), lit(0)))
+
+  /** Quality-scoring signal bundle: char length, token count, mean
+    * token length, alpha ratio, punctuation ratio, uppercase ratio,
+    * stopword ratio — the usual pretraining-corpus filters.
+    */
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be", "this")
+
+  def qualitySignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val c    = col(textCol)
+    val toks = tokens(c)
+    val nTok = size(toks)
+    val nChr = length(c)
+    df.withColumn("n_chars_m", nChr)
+      .withColumn("n_tokens", nTok)
+      .withColumn("mean_token_len",
+        round(when(nTok > 0, (nChr - (nTok - 1)).cast(DoubleType) / nTok).otherwise(0.0), 4))
+      .withColumn("alpha_ratio",
+        round(when(nChr > 0,
+          (nChr - length(regexp_replace(c, "[A-Za-z]", ""))).cast(DoubleType) / nChr)
+          .otherwise(0.0), 4))
+      .withColumn("punct_ratio",
+        round(when(nChr > 0,
+          length(regexp_replace(c, "[^.,;:!?'\"()-]", "")).cast(DoubleType) / nChr)
+          .otherwise(0.0), 4))
+      .withColumn("stopword_ratio",
+        round(when(nTok > 0,
+          size(filter(toks, t => lower(t).isin(EnStopwords: _*))).cast(DoubleType) / nTok)
+          .otherwise(0.0), 4))
+  }
+
+  /** Language-ID by stopword-hit scoring: per language, the fraction of
+    * tokens found in that language's top-stopword list; predict argmax
+    * with deterministic tie-break on language code. An n-gram heuristic
+    * in the classic vein — cheap, streaming-friendly, no model file.
+    */
+  val LangStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "los", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "les", "des", "du", "que"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  /** Adds `lang_scores` (per-language hit fraction) and `lang_pred`. */
+  def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks  = tokens(lower(col(textCol)))
+    val nTok  = size(toks)
+    val langs = LangStopwords.keys.toSeq.sorted
+    val scored = langs.foldLeft(df) { (d, lang) =>
+      d.withColumn(s"score_$lang",
+        round(when(nTok > 0,
+          size(filter(toks, t => t.isin(LangStopwords(lang): _*))).cast(DoubleType) / nTok)
+          .otherwise(0.0), 6))
+    }
+    // argmax via max-struct comparison; ties break to the
+    // alphabetically-last language code (deterministic)
+    val best = langs.map(l => struct(col(s"score_$l").as("score"), lit(l).as("lang")))
+    scored.withColumn("lang_pred",
+      greatest(best: _*).getField("lang"))
+  }
+
+  /** Content fingerprint: normalise (lowercase, collapse non-alnum runs
+    * to single spaces, trim) then hash. `md5` variant is oracle-friendly;
+    * `xxhash64` variant is the cheap 64-bit production path.
+    */
+  def normalizeForFingerprint(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  def fingerprintMd5(c: Column): Column = md5(normalizeForFingerprint(c))
+  def fingerprint64(c: Column): Column  = xxhash64(normalizeForFingerprint(c))
+
+  /** Polynomial rolling hash (Rabin-Karp style, base 257 mod 2^61-1)
+    * over the normalised text — the classic streaming document
+    * fingerprint. Pure Scala UDF (procedural loop).
+    */
+  private val RollBase = 257L
+  private val RollMod  = (1L << 61) - 1
+  def rollingHash(s: String): Long = {
+    if (s == null) return 0L
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      // (h * base + c) mod p with 128-bit intermediate via Math.multiplyHigh
+      val hi  = Math.multiplyHigh(h, RollBase)
+      val lo  = h * RollBase
+      // fold 2^64 ≡ 8 (mod 2^61-1): contribution of hi is hi * 8
+      val folded = ((lo & RollMod) + ((lo >>> 61) + (hi << 3)) + s.charAt(i).toLong)
+      h = (folded & RollMod) + (folded >>> 61)
+      if (h >= RollMod) h -= RollMod
+      i += 1
+    }
+    h
+  }
+  val rollingHashUdf = udf((s: String) => rollingHash(s))
+
+  /** Word n-gram shingles (distinct), the MinHash/Jaccard unit.
+    * The token array is let-bound (ExprOps.bind) so the split is
+    * evaluated once per row, not once per shingle.
+    */
+  def wordShingles(c: Column, n: Int): Column =
+    graft.expressions.ExprOps.bind(tokens(c)) { toks =>
+      when(size(toks) < n, array().cast(ArrayType(StringType)))
+        .otherwise(array_distinct(transform(
+          sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " "))))
+    }
+
+  /** Character n-gram shingles (distinct) over normalised text. */
+  def charShingles(c: Column, n: Int): Column =
+    graft.expressions.ExprOps.bind(normalizeForFingerprint(c)) { s =>
+      when(length(s) < n, array().cast(ArrayType(StringType)))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), length(s) - n + 1),
+          i => s.substr(i, lit(n)))))
+    }
+}
