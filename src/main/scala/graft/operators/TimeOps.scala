@@ -29,7 +29,8 @@ object TimeOps {
 
   /** Formats accepted by the reference's fuzzy `dateutil.parser.parse`
     * for the inputs its tests exercise (tests/test_dataflow_utils.py:
-    * 334-410). Tried in order by `fuzzyToTimestamp`.
+    * 334-410). Tried in order by `fuzzyToTimestamp` after zone-token
+    * stripping.
     */
   val FuzzyFormats: Seq[String] = Seq(
     "yyyy-MM-dd HH:mm:ss",
@@ -40,6 +41,8 @@ object TimeOps {
     "MMM dd yyyy HH:mm:ss",
     "MMM dd, yyyy HH:mm:ss",
     "dd MMM yyyy HH:mm:ss",
+    "MMMM d HH:mm:ss yyyy",
+    "MMM d HH:mm:ss yyyy",
     "yyyy-MM-dd HH:mm",
     "MM/dd/yyyy HH:mm",
     "yyyy-MM-dd",
@@ -48,35 +51,54 @@ object TimeOps {
     "MMM dd, yyyy"
   )
 
-  /** Fuzzy-parse a datetime string: any embedded timezone suffix is
-    * DISCARDED and the declared `tz` wins — the tested contract of
-    * StandardizeTimes (declared tz overrides string tz,
+  /** Fuzzy-parse a datetime string: any embedded timezone (named token
+    * or numeric offset) is DISCARDED and the declared `tz` wins — the
+    * tested contract of StandardizeTimes (dataflow_utils.py:638-640
+    * `parse_dt.replace(tzinfo=None)` then localize;
     * tests/test_dataflow_utils.py:334-356). Returns a UTC timestamp.
     *
-    * Implemented as a coalesce over `to_timestamp` attempts (all
-    * codegen'd) after stripping a trailing zone token.
+    * Implemented as a coalesce over `try_to_timestamp` attempts (all
+    * codegen'd) after stripping zone tokens and leading weekday names.
     */
   def fuzzyToTimestamp(c: Column, tz: String): Column = {
-    // strip trailing " UTC" / " EST" / "+05:00" / "Z" style zone tokens
-    val stripped = regexp_replace(
-      trim(c.cast(StringType)),
-      "(\\s*(?:Z|[+-]\\d{2}:?\\d{2}|[A-Za-z]{2,5}/?[A-Za-z_]*))?$", "")
-    val attempts = FuzzyFormats.map(f => try_to_timestamp(trim(stripped), lit(f)))
-    val local    = coalesce(attempts: _*)
+    val noOffset  = regexp_replace(trim(c.cast(StringType)),
+      "\\s*(?:Z|[+-]\\d{2}:?\\d{2})\\s*$", "")
+    val noZone    = regexp_replace(noOffset,
+      "\\s+(?:UTC|GMT|EST|EDT|CST|CDT|MST|MDT|PST|PDT)\\b", "")
+    val noWeekday = regexp_replace(noZone,
+      "^(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun)[a-z]*,?\\s+", "")
+    val cleaned   = trim(noWeekday)
+    val attempts  = FuzzyFormats.map(f => try_to_timestamp(cleaned, lit(f)))
+    val local     = coalesce(attempts: _*)
     // interpret the naive local time in the declared zone → UTC instant
     to_utc_timestamp(local, tz)
   }
 
+  /** Render a UTC instant as the reference's `%m/%d/%Y %H:%M:%S%z`
+    * string in zone `zone`: shift the instant, format the wall time,
+    * append the computed `+HHMM` offset.
+    */
+  private def strftimeWithOffset(utcTs: Column, zone: String): Column = {
+    val shifted   = convert_timezone(lit("UTC"), lit(zone), utcTs)
+    val offsetSec = unix_timestamp(shifted) - unix_timestamp(utcTs)
+    val absSec    = abs(offsetSec)
+    val offsetStr = concat(
+      when(offsetSec < 0, lit("-")).otherwise(lit("+")),
+      lpad((absSec / 3600).cast(IntegerType).cast(StringType), 2, "0"),
+      lpad(((absSec % 3600) / 60).cast(IntegerType).cast(StringType), 2, "0"))
+    concat(date_format(shifted, "MM/dd/yyyy HH:mm:ss"), offsetStr)
+  }
+
   /** StandardizeTimes (dataflow_utils.py:619-660): for each (field, tz)
-    * emit `field_UTC`, `field_EST` strings and `field_UNIX` epoch
-    * seconds; unparseable → all three NULL.
+    * emit `field_UTC` / `field_EST` strings in the reference's
+    * `%m/%d/%Y %H:%M:%S%z` format and `field_UNIX` epoch seconds;
+    * NULL/empty/unparseable input → all three NULL.
     */
   def standardizeTimes(df: DataFrame, specs: Seq[(String, String)]): DataFrame =
     specs.foldLeft(df) { case (d, (f, tz)) =>
       val utcTs = fuzzyToTimestamp(col(f), tz)
-      d.withColumn(s"${f}_UTC", date_format(utcTs, UtcFmt))
-        .withColumn(s"${f}_EST",
-          date_format(convert_timezone(lit("UTC"), lit(EstZone), utcTs), UtcFmt))
+      d.withColumn(s"${f}_UTC", strftimeWithOffset(utcTs, "UTC"))
+        .withColumn(s"${f}_EST", strftimeWithOffset(utcTs, "US/Eastern"))
         .withColumn(s"${f}_UNIX", unix_timestamp(utcTs))
     }
 

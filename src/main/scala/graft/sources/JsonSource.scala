@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** ndjson reading with the reference's dirty-JSON repair semantics.
+  *
+  * The reference repairs malformed API payloads in two places:
+  * `json_linter` (gcs_utils.py:949-974 — concatenated `}{` objects on
+  * one line are split) and Beam's `JsonCoder.decode`
+  * (dataflow_utils.py:41-75 — `}{` splitting, `":,"` → `": null,"`,
+  * stray `\'` / `\"` escape removal).
+  *
+  * Spark-first shape: a distributed repair pass over `spark.read.text`
+  * (pure column expressions — explode the `}{` splits, regex-fix the
+  * null and escape defects), then `from_json` with the declared schema.
+  * Rows that still fail to parse land in a quarantine DataFrame (the
+  * reference's `slag_metal` bucket, gcs_utils.py:209-246).
+  */
+object JsonSource {
+
+  /** Repair one raw line into 0..N candidate JSON object strings. */
+  private def repairedObjects(line: Column): Column = {
+    // `}{`-concatenation split: "{a:1}{b:2}" → ["{a:1}", "{b:2}"]
+    val objects = when(line.contains("}{"),
+      transform(split(line, "\\}\\{"), (part, i) =>
+        concat(
+          when(i =!= 0, lit("{")).otherwise(lit("")),
+          part,
+          when(i =!= size(split(line, "\\}\\{")) - 1, lit("}")).otherwise(lit("")))))
+      .otherwise(array(line))
+    // ":," → ": null," and stray escaped quotes (JsonCoder rules)
+    transform(objects, o =>
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(o, ":\\s*,", ": null,"),
+          "\\\\'", "'"),
+        ":\\s*\\}", ": null}"))
+  }
+
+  /** Read ndjson with repair; returns (parsed, quarantine).
+    * Quarantined rows keep the raw line for the dead-letter sink.
+    */
+  def readRepaired(spark: SparkSession, path: String, schema: StructType): (DataFrame, DataFrame) = {
+    val raw = spark.read.text(path).filter(length(trim(col("value"))) > 0)
+    val candidates = raw.select(
+      col("value").as("__raw"),
+      explode(repairedObjects(col("value"))).as("__obj"))
+    // from_json yields a NULL struct for a still-malformed object —
+    // that's the quarantine signal
+    val parsed = candidates.withColumn("__parsed", from_json(col("__obj"), schema))
+    val ok  = parsed.filter(col("__parsed").isNotNull).select(col("__parsed.*"))
+    val bad = parsed.filter(col("__parsed").isNull).select(col("__raw").as("raw_line"))
+    (ok, bad)
+  }
+}

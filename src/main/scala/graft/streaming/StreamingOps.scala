@@ -1,0 +1,133 @@
+package graft.streaming
+
+import graft.tables.MasterTables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming / incremental semantics (SURVEY §2.12).
+  *
+  * The reference is scheduled micro-batch (hourly/daily Airflow DAGs)
+  * with a watermark file and master-table merges; there is no true
+  * stream. This module provides both:
+  *  - the batch-incremental path (`foreachBatchMerge`) that reproduces
+  *    the reference's staged upsert inside a Structured Streaming
+  *    `foreachBatch`, and
+  *  - true Structured Streaming operators (tumbling/sliding windowed
+  *    aggregation with event-time watermarks, stateful sessionization
+  *    via flatMapGroupsWithState) for the capabilities a Spark-native
+  *    engine adds beyond the reference.
+  */
+object StreamingOps {
+
+  /** File-source stream over a directory of the reference's
+    * time-bucketed ndjson/parquet drops. Checkpointed offsets replace
+    * `successful_run_log/log.json`.
+    */
+  def fileStream(spark: SparkSession, path: String, schema: StructType,
+                 format: String = "json"): DataFrame =
+    spark.readStream.schema(schema).format(format).load(path)
+
+  /** Tumbling-window aggregation with an event-time watermark:
+    * count + sum per (window, key). The streaming twin of the
+    * reference's hourly batch rollups.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     valueCol: String, windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(keyCol),
+        col("n"), col("total_value"))
+
+  /** Sliding-window variant. */
+  def slidingCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    windowLen: String, slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col(keyCol), col("n"))
+
+  // ------------------------------------------------------------------
+  // Stateful sessionization (flatMapGroupsWithState)
+  // ------------------------------------------------------------------
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class SessionState(start: Long, lastSeen: Long, n: Int)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Int)
+
+  /** Gap-based sessionization: a session closes after `gapMs` of
+    * user inactivity (processing-time timeout for the streaming case).
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[SessionState]) =>
+          // batch-mode friendly: process the group's events in time order,
+          // emitting a session whenever the gap is exceeded
+          val sorted = evs.toSeq.sortBy(_.ts.getTime)
+          var sessions = List.empty[Session]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastSeen <= gapMs =>
+                cur = Some(s.copy(lastSeen = t, n = s.n + 1))
+              case Some(s) =>
+                sessions ::= Session(uid, new java.sql.Timestamp(s.start),
+                  new java.sql.Timestamp(s.lastSeen), s.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          // close the trailing session in batch mode
+          cur.foreach { s =>
+            sessions ::= Session(uid, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.lastSeen), s.n)
+          }
+          state.update(cur.get)
+          sessions.reverseIterator
+      }
+  }
+
+  /** The reference's staged upsert, streaming-ified: each micro-batch
+    * runs the master-table merge inside `foreachBatch`, mirroring how
+    * each hourly DAG run merges `incoming_*` into `all_*`
+    * (qalert_airflow.py:113-217).
+    */
+  def foreachBatchMerge(
+      incoming: DataFrame, masterPath: String, keys: Seq[String],
+      checkpoint: String, trigger: Trigger = Trigger.AvailableNow()) = {
+    val spark = incoming.sparkSession
+    incoming.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fs   = new java.io.File(masterPath)
+        val base = if (fs.exists() && fs.listFiles().nonEmpty)
+          spark.read.parquet(masterPath)
+        else batch.limit(0)
+        val merged = MasterTables.deleteOldInsertNew(base, batch, keys)
+        // write-new-then-swap keeps the master readable on failure
+        val tmp = masterPath + ".next"
+        merged.write.mode("overwrite").parquet(tmp)
+        val cur = new java.io.File(masterPath)
+        if (cur.exists()) {
+          val old = new java.io.File(masterPath + ".old")
+          if (old.exists()) old.delete()
+          cur.renameTo(old)
+        }
+        new java.io.File(tmp).renameTo(new java.io.File(masterPath))
+        ()
+      }
+  }
+}

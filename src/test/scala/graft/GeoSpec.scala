@@ -1,0 +1,80 @@
+package graft
+
+import graft.geo.Geo
+import org.apache.spark.sql.functions._
+
+class GeoSpec extends SparkSpec {
+  import spark.implicits._
+
+  val unitSquare = "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))"
+  val triangle   = "POLYGON((20 20, 30 20, 25 30, 20 20))"
+
+  test("parseWkt + contains: basic ray casting") {
+    val p = Geo.parseWkt(unitSquare).head
+    assert(p.contains(5, 5))
+    assert(!p.contains(15, 5))
+    assert(!p.contains(-1, -1))
+    val t = Geo.parseWkt(triangle).head
+    assert(t.contains(25, 22))
+    assert(!t.contains(20.0, 29.0))
+  }
+
+  test("parseWkt: MULTIPOLYGON outer rings") {
+    val polys = Geo.parseWkt(
+      "MULTIPOLYGON(((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 6 5, 6 6, 5 6, 5 5)))")
+    assert(polys.length === 2)
+    assert(polys.exists(_.contains(0.5, 0.5)))
+    assert(polys.exists(_.contains(5.5, 5.5)))
+  }
+
+  test("centroid: unit square centroid is its middle") {
+    val (cx, cy) = Geo.parseWkt(unitSquare).head.centroid
+    assert(math.abs(cx - 5.0) < 1e-9 && math.abs(cy - 5.0) < 1e-9)
+  }
+
+  test("cityLimits: outside city or inside enclave => 'Outside of City' (geo_queries.py:123-154)") {
+    val df = Seq(
+      (1L, 5.0, 5.0, "Precise"),     // inside city
+      (2L, 15.0, 5.0, "Precise"),    // outside city
+      (3L, 2.0, 2.0, "Precise")      // inside enclave (Mt-Oliver analog)
+    ).toDF("id", "long", "lat", "address_type")
+      .withColumnRenamed("long", "lng")
+    val out = Geo.cityLimits(
+      df.withColumnRenamed("lng", "long"),
+      cityWkt = unitSquare,
+      enclaveWkt = "POLYGON((1 1, 3 1, 3 3, 1 3, 1 1))",
+      latCol = "lat", longCol = "long")
+    val m = out.select("id", "address_type").as[(Long, String)].collect().toMap
+    assert(m(1L) === "Precise")
+    assert(m(2L) === "Outside of City")
+    assert(m(3L) === "Outside of City")
+  }
+
+  test("revGeoZone: time-bounded zone assignment (geo_queries.py:35-108)") {
+    val zones = Seq(
+      ("oldtown", unitSquare, 0L, Some(1000L)),   // valid until t=1000
+      ("newtown", unitSquare, 1001L, None))       // valid after
+    val pts = Seq(
+      (1L, 5.0, 5.0, 500L),    // in polygon, old era -> oldtown
+      (2L, 5.0, 5.0, 2000L),   // in polygon, new era -> newtown
+      (3L, 50.0, 50.0, 500L)   // outside both
+    ).toDF("id", "long", "lat", "create_date_unix")
+    val out = Geo.revGeoZone(pts, zones, outCol = "hood",
+      latCol = "lat", longCol = "long")
+    val m = out.select("id", "hood").as[(Long, String)].collect().toMap
+    assert(m(1L) === "oldtown")
+    assert(m(2L) === "newtown")
+    assert(m.get(3L).flatMap(Option(_)).isEmpty)
+  }
+
+  test("parcelCentroidJoin: broadcast centroid lookup (geo_queries.py:111-120)") {
+    val parcels = Seq(("0001X00001000101", unitSquare)).toDF("zone", "geometry")
+    val df = Seq(("0001X00001000101", "a"), ("9999Z99999999999", "b"))
+      .toDF("parc_num", "payload")
+    val out = Geo.parcelCentroidJoin(df, parcels, "parc_num")
+    val rows = out.orderBy("payload").collect()
+    assert(rows(0).getAs[Double]("longitude") === 5.0)
+    assert(rows(0).getAs[Double]("latitude") === 5.0)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("longitude")))
+  }
+}

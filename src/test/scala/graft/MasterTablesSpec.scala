@@ -1,0 +1,74 @@
+package graft
+
+import graft.tables.MasterTables
+import org.apache.spark.sql.functions._
+
+class MasterTablesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("insertNewRecords: anti-join append (general_queries.py:87-98)") {
+    val master   = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val incoming = Seq((2L, "B"), (3L, "c")).toDF("id", "v")
+    val out = MasterTables.insertNewRecords(master, incoming, Seq("id"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out === Seq((1L, "a"), (2L, "b"), (3L, "c")), "existing key keeps old row")
+  }
+
+  test("syncUpdate: correlated UPDATE ... FROM (integrate_new_requests.py:109-121)") {
+    val master  = Seq((1L, "open", "x"), (2L, "open", "y")).toDF("id", "status", "other")
+    val updates = Seq((2L, "closed"), (3L, "ignored")).toDF("id", "status")
+    val out = MasterTables.syncUpdate(master, updates, Seq("id"), Seq("status"))
+      .orderBy("id").as[(Long, String, String)].collect().toSeq
+    assert(out === Seq((1L, "open", "x"), (2L, "closed", "y")),
+      "only matching keys updated; non-update columns untouched; unknown keys ignored")
+  }
+
+  test("deleteOldInsertNew: snapshot upsert (integrate_new_requests.py:84-106)") {
+    val master   = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val incoming = Seq((2L, "B2"), (4L, "d")).toDF("id", "v")
+    val out = MasterTables.deleteOldInsertNew(master, incoming, Seq("id"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out === Seq((1L, "a"), (2L, "B2"), (4L, "d")))
+  }
+
+  test("appendOnlyHistory: UNION ALL with NOT-IN guard (general_queries.py:172-184)") {
+    val hist = Seq((1L, 100L, 10.0), (1L, 200L, 12.0)).toDF("emp", "ts", "balance")
+    val inc  = Seq((1L, 200L, 99.0), (1L, 300L, 14.0)).toDF("emp", "ts", "balance")
+    val out = MasterTables.appendOnlyHistory(hist, inc, Seq("emp", "ts"))
+      .orderBy("ts").as[(Long, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 100L, 10.0), (1L, 200L, 12.0), (1L, 300L, 14.0)),
+      "re-arriving (emp,ts) keeps original history row")
+  }
+
+  test("integrateChildren: ARRAY_AGG append + count (integrate_new_requests.py:200-232)") {
+    val childType = "array<struct<cid:string,comment:string>>"
+    val master = Seq((10L, 2L), (20L, 1L)).toDF("id", "num_requests")
+      .withColumn("child_tickets",
+        when(col("id") === 10L,
+          array(struct(lit("c1").as("cid"), lit("old").as("comment"))))
+          .otherwise(array().cast(childType)))
+    val children = Seq(("c2", "new", 10L), ("c3", "new2", 10L))
+      .toDF("cid", "comment", "parent_id")
+    val out = MasterTables.integrateChildren(master, children,
+      parentKey = "id", childParentKey = "parent_id",
+      childCols = Seq("cid", "comment"))
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getAs[Seq[_]]("child_tickets").length === 3, "2 new appended to 1 old")
+    assert(rows(0).getAs[Long]("num_requests") === 4L, "ARRAY_LENGTH + 1")
+    assert(rows(1).getAs[Seq[_]]("child_tickets").length === 0, "no new children")
+    assert(rows(1).getAs[Long]("num_requests") === 1L)
+  }
+
+  test("dataQualityDiff: new distinct values surface (general_queries.py:4-28)") {
+    val prev = Seq("pothole", "graffiti").toDF("type")
+    val cur  = Seq("pothole", "graffiti", "snow", "snow").toDF("type")
+    val out = MasterTables.dataQualityDiff(
+      MasterTables.dataQualitySnapshot(cur, Seq("type")), prev)
+    assert(out.as[String].collect().toSeq === Seq("snow"))
+  }
+
+  test("unionDistinct (transform_enrich_requests.py:88-94)") {
+    val a = Seq(1, 2).toDF("x"); val b = Seq(2, 3).toDF("x")
+    assert(MasterTables.unionDistinct(a, b).orderBy("x").as[Int].collect().toSeq === Seq(1, 2, 3))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.dedup.NearDup
+import graft.expressions.SimilarityExpressions._
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+class NearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine_sim expression: known values, float arrays") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 1.0f), Array(1.0f, 0.0f), 1.0 / math.sqrt(2)),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), -1.0),
+      (Array(0.0f, 0.0f), Array(1.0f, 0.0f), 0.0) // zero norm => 0.0
+    ).toDF("a", "b", "expected")
+    val rows = df.select(cosine_sim(col("a"), col("b")).as("c"), col("expected")).collect()
+    rows.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("jaccard_sim expression: set semantics incl duplicates") {
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d"), 0.5),
+      (Seq("a", "a", "b"), Seq("a", "b", "b"), 1.0), // distinct-element sets
+      (Seq("a"), Seq("b"), 0.0)
+    ).toDF("a", "b", "expected")
+    val rows = df.select(jaccard_sim(col("a"), col("b")).as("j"), col("expected")).collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("exactDedup keeps min id per content group with dup_count") {
+    val df = Seq((1L, "same"), (5L, "same"), (3L, "same"), (2L, "unique"))
+      .toDF("doc_id", "text")
+    val out = NearDup.exactDedup(df, "doc_id", "text")
+      .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 3L, 2L -> 1L))
+  }
+
+  test("minhashLshPairs finds the high-jaccard pairs the brute force finds (sf0.001)") {
+    val docs  = Tables.documents(spark, sf("sf0.001"))
+    val brute = NearDup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = NearDup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 32, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh === brute, s"lsh=$lsh brute=$brute")
+    assert(brute.nonEmpty, "test data should contain planted near-dups")
+  }
+
+  test("simhashPairs: near-identical docs collide, disjoint docs do not") {
+    val base = "the quick brown fox jumps over the lazy dog again and again in the park"
+    val df = Seq(
+      (1L, base),
+      (2L, base + " extra"),                       // tiny edit
+      (3L, "completely different words about spark catalyst optimizer internals here")
+    ).toDF("doc_id", "text")
+    val pairs = NearDup.simhashPairs(df, "doc_id", "text", maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("wordShingles: distinct n-grams, short text => empty") {
+    val df = Seq("a b c d", "a b", "").toDF("t")
+    val out = df.select(TextOps.wordShingles(col("t"), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(out(0) === Seq("a b c", "b c d"))
+    assert(out(1) === Seq.empty)
+    assert(out(2) === Seq.empty)
+  }
+
+  test("lshCosinePairs is a subset of exact pairs and finds near-identical vectors") {
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))
+    } :+ (100L, Array.tabulate(8)(j => math.sin(0 * 8 + j).toFloat * 1.001f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val exact = NearDup.cosineDupPairs(df, "vec_id", "embedding", 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = NearDup.lshCosinePairs(df, "vec_id", "embedding", 0.999, nBits = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((0L, 100L)), "scaled copy of v0 lands in same bucket")
+  }
+}

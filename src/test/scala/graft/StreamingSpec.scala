@@ -1,0 +1,81 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowedCounts: streaming tumbling-window agg over events parquet (memory sink)") {
+    val schema = Tables.events(spark, sf("sf0.001")).schema
+    // file-stream sources need a directory: stage the events parquet
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf("sf0.001") + "/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val stream = spark.readStream.schema(
+      org.apache.spark.sql.types.StructType(schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f)))
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = StreamingOps.windowedCounts(stream, "ts", "event_type", "value",
+      windowLen = "1 hour", watermark = "2 hours")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("win_out")
+    val batch = Tables.events(spark, sf("sf0.001"))
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(out.count() === batch.count(), "streaming windows == batch hourly groups")
+    val totalStream = out.agg(sum("n")).head().getLong(0)
+    assert(totalStream === Tables.events(spark, sf("sf0.001")).count())
+  }
+
+  test("sessionize: gap-based sessions (flatMapGroupsWithState)") {
+    def ev(u: Long, t: Long, tp: String = "click") =
+      Event(u, new java.sql.Timestamp(t), tp)
+    val events = Seq(
+      ev(1, 0L), ev(1, 60000L), ev(1, 120000L),       // session A: 3 events
+      ev(1, 10000000L), ev(1, 10060000L),             // session B: 2 events
+      ev(2, 500L)                                     // session C: 1 event
+    ).toDS()
+    val sessions = StreamingOps.sessionize(events, gapMs = 30 * 60 * 1000)
+      .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+    assert(sessions.length === 3)
+    assert(sessions(0).n_events === 3 && sessions(0).user_id === 1L)
+    assert(sessions(1).n_events === 2)
+    assert(sessions(2).n_events === 1 && sessions(2).user_id === 2L)
+  }
+
+  test("foreachBatchMerge: streaming upsert into a parquet master") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_merge").toFile
+    val src = new java.io.File(dir, "in"); src.mkdirs()
+    val master = new java.io.File(dir, "master").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").json(src.getPath + "/batch1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).json(src.getPath + "/*")
+    val q = StreamingOps.foreachBatchMerge(stream, master, Seq("id"), ckpt).start()
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(master).count() === 2)
+
+    // second drop updates id=2, adds id=3; new query instance resumes
+    // from the checkpoint and only processes the new file
+    Seq((2L, "B2"), (3L, "c")).toDF("id", "v")
+      .write.mode("overwrite").json(src.getPath + "/batch2")
+    val stream2 = spark.readStream.schema(schema).json(src.getPath + "/*")
+    val q2 = StreamingOps.foreachBatchMerge(stream2, master, Seq("id"), ckpt).start()
+    q2.awaitTermination(60000)
+    val rows = spark.read.parquet(master).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(rows === Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+  }
+}
