@@ -17,8 +17,8 @@ object SparkEntry {
     queries("q01_agg_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ TextQueries.queries
+    RelationalQueries.queries ++ TextQueries.queries ++ ExtendedQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ TextQueries.oracle
+    RelationalQueries.oracle ++ TextQueries.oracle ++ ExtendedQueries.oracle
 }

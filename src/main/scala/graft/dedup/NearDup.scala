@@ -85,9 +85,12 @@ object NearDup {
       df: DataFrame, idCol: String, textCol: String,
       shingleLen: Int = 3, numPerms: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
-    val shingled = df.select(col(idCol),
-      TextOps.wordShingles(col(textCol), shingleLen).as("__sh"))
-      .filter(size(col("__sh")) > 0)
+    // filter on token count (cheap split) rather than on the shingle
+    // array — pushing `size(shingles) > 0` below the projection would
+    // rebuild the full shingle expression once more per row
+    val shingled = df
+      .filter(size(TextOps.tokens(col(textCol))) >= shingleLen)
+      .select(col(idCol), TextOps.wordShingles(col(textCol), shingleLen).as("__sh"))
     // The repartition is a materialization barrier, not a placement
     // choice: without it CollapseProject inlines the signature
     // expression into each of the `bands` slice references and
@@ -120,8 +123,9 @@ object NearDup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol), TextOps.wordShingles(col(textCol), n).as("__sh"))
-      .filter(size(col("__sh")) > 0)
+    val sh = df
+      .filter(size(TextOps.tokens(col(textCol))) >= n)
+      .select(col(idCol), TextOps.wordShingles(col(textCol), n).as("__sh"))
     val a = sh.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
     val b = sh.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))

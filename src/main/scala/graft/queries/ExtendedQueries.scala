@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Second wave of operator coverage: 1→N unnesting, nested-field
+  * extraction, SQL sessionization, multi-branch UNION ALL reports,
+  * regex scalar surface, HAVING-style aggregate filters.
+  */
+object ExtendedQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // §2.3 1→N unnesting (unnest_domi_street_seg, gcs_utils.py:597-662):
+    // explode tokens with positional counters, then top-50 tokens
+    "q31_explode_tokens" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")))
+        .withColumnsRenamed(Map("pos" -> "token_idx", "col" -> "token"))
+      toks.groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(50)
+    }),
+
+    // §2.3 ExtractField nested-path extraction (dataflow_utils.py:
+    // 326-341): JSON-path pull from the props payload
+    "q32_json_extract" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("prop_k"))
+        .groupBy(col("prop_k"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // sessionization in pure SQL: lag + gap-flag + running sum — the
+    // batch twin of StreamingOps.sessionize (30-minute gap)
+    "q33_sessionize_sql" -> ((s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val e = Tables.events(s, d)
+        .withColumn("prev_ts", lag("ts", 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      e.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"),
+          round(avg("n_events"), 4).as("avg_session_events"),
+          max("n_events").as("max_session_events"))
+    }),
+
+    // §2.6/§2.9 EEO-4 report shape (ceridian_admin.py:5-57): UNION ALL
+    // branches with CASE bucketing, grouped counts
+    "q34_union_all_report" -> ((s, d) => {
+      def band(c: String) =
+        when(col(c) < 0, "negative").when(col(c) < 5000, "low").otherwise("high")
+      val cust = Tables.customer(s, d)
+        .select(lit("customer").as("entity"), band("c_acctbal").as("band"))
+      val supp = Tables.supplier(s, d)
+        .select(lit("supplier").as("entity"), band("s_acctbal").as("band"))
+      cust.unionByName(supp).groupBy("entity", "band").agg(count(lit(1)).as("n"))
+    }),
+
+    // §2.10 regex scalar surface: extract, global replace, position
+    "q35_regex_ops" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        instr(col("p_name"), "red").as("red_pos"),
+        translate(col("p_brand"), "#", "-").as("brand_dashed"))
+    }),
+
+    // HAVING-style aggregate filter + countDistinct
+    "q36_having_filter" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_items"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          round(sum(col("l_extendedprice")), 2).as("total"))
+        .filter(col("n_items") > 100)
+    }),
+
+    // §2.7 running aggregate over an explicit frame (rowsBetween) —
+    // cumulative revenue per supplier ordered by ship date
+    "q37_running_total" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .filter(col("l_suppkey") <= 10)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(sum(col("l_extendedprice")).over(w), 2).as("running_revenue"))
+    }),
+
+    // grouped quantiles via percentile_cont — distribution reporting
+    "q38_percentiles" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)"), 4).as("p50"),
+          round(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY value)"), 4).as("p90"),
+          round(min("value"), 4).as("vmin"),
+          round(max("value"), 4).as("vmax"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q31_explode_tokens" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
+
+    "q32_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+        |  count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q33_sessionize_sql" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM lagged
+        |), sessions AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |), per_session AS (
+        |  SELECT user_id, session_id, count(*) AS n_events
+        |  FROM sessions GROUP BY 1, 2
+        |)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  round(avg(n_events), 4) AS avg_session_events,
+        |  max(n_events) AS max_session_events
+        |FROM per_session GROUP BY 1""".stripMargin,
+
+    "q34_union_all_report" ->
+      """SELECT entity, band, count(*) AS n FROM (
+        |  SELECT 'customer' AS entity,
+        |    CASE WHEN c_acctbal < 0 THEN 'negative'
+        |         WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS band
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier' AS entity,
+        |    CASE WHEN s_acctbal < 0 THEN 'negative'
+        |         WHEN s_acctbal < 5000 THEN 'low' ELSE 'high' END AS band
+        |  FROM supplier)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q35_regex_ops" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  strpos(p_name, 'red') AS red_pos,
+        |  replace(p_brand, '#', '-') AS brand_dashed
+        |FROM part""".stripMargin,
+
+    "q36_having_filter" ->
+      """SELECT l_suppkey, count(*) AS n_items,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem GROUP BY 1 HAVING count(*) > 100""".stripMargin,
+
+    "q37_running_total" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
+        |FROM lineitem WHERE l_suppkey <= 10""".stripMargin,
+
+    "q38_percentiles" ->
+      """SELECT event_type,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4) AS p50,
+        |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 4) AS p90,
+        |  round(min(value), 4) AS vmin,
+        |  round(max(value), 4) AS vmax
+        |FROM events GROUP BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,30 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Dump formatted physical plans for plan review (args: query names,
+  * default = a representative set).
+  */
+object ExplainDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "q01_agg_pricing_summary", "q02_join_chain_customer_geo",
+      "q03_topk_semijoin", "q06_dedup_keep_latest", "q27_minhash_lsh_pairs",
+      "q29_knn_cosine")
+    names.foreach { n =>
+      println(s"\n########## $n ##########")
+      println(SparkEntry.queries(n)(spark, d).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
