@@ -129,4 +129,51 @@ object Ann {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "score")
   }
+
+  /** IVF with a TRAINED coarse quantizer: k-means (seeded,
+    * deterministic) over the corpus embeddings builds the codebook;
+    * the corpus is assigned to its nearest centroid once (one shuffle
+    * at index-build time), queries probe the `nProbe` nearest cells.
+    * At 100 TB the model trains on a sample and the assignment is a
+    * broadcast-centroid map pass.
+    */
+  def ivfKmeansTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val corpusFeat = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"),
+      array_to_vector(col(cVec).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+      .fit(corpusFeat.select("features"))
+    val assigned = model.transform(corpusFeat)
+      .select(col("prediction").as("cell"), col("neighbor_id"), col("__cv"))
+
+    // query-side probing: distance to every centroid (broadcast via
+    // literal arrays), keep the nProbe nearest cells
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq
+    val centDf = broadcast(
+      queries.sparkSession.createDataFrame(centroids).toDF("cell", "cent_vec"))
+    val wq = Window.partitionBy("query_id").orderBy(col("__sim").desc, col("cell").asc)
+    val probes = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
+      .crossJoin(centDf)
+      .withColumn("__sim", NearDup.cosine(col("__qv"), col("cent_vec")))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nProbe)
+      .select("query_id", "__qv", "cell"))
+
+    val scored = probes.join(assigned, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(NearDup.cosine(col("__qv"), col("__cv")), 4))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.select("query_id", "neighbor_id", "score").distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
 }

@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sink surface (SURVEY §2.2): schema-validated columnar writes,
+  * partitioned managed tables, CSV/ndjson exports, quarantine.
+  */
+object Sinks {
+
+  /** Schema-validated columnar stage write (WriteToAvro parity — the
+    * reference validates each stage output against the feed's .avsc
+    * before writing Avro; here `conformToSchema` is the validation and
+    * parquet the stage format, per the SURVEY §1.1 design mapping:
+    * Avro's role between stages is a schema'd batch hand-off, which
+    * parquet serves with columnar pruning as a bonus. spark-avro is
+    * not on this deployment's classpath.)
+    */
+  def writeStage(df: DataFrame, path: String,
+                 schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+    val out = schema.fold(df)(SchemaRegistry.conformToSchema(df, _))
+    out.write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Partitioned managed-table write (create_partitioned_bq_table /
+    * pandas_utils.py:83-106: DAY or MONTH partitioning on a date
+    * column, truncate or append).
+    */
+  def writePartitioned(df: DataFrame, path: String, dateCol: String,
+                       granularity: String = "month",
+                       append: Boolean = false): Unit = {
+    val part = granularity match {
+      case "day"   => date_format(col(dateCol), "yyyy-MM-dd")
+      case "month" => date_format(date_trunc("month", col(dateCol)), "yyyy-MM")
+      case g       => throw new IllegalArgumentException(s"granularity $g")
+    }
+    df.withColumn("__part", part)
+      .write.mode(if (append) SaveMode.Append else SaveMode.Overwrite)
+      .partitionBy("__part").parquet(path)
+  }
+
+  /** CSV export with header — BQ→GCS export parity
+    * (qalert_airflow.py:231-237, general_queries.py:151-162). The
+    * reference exports a single file; `singleFile` coalesces (only for
+    * export-sized results — never coalesce(1) a big table).
+    */
+  def writeCsv(df: DataFrame, path: String, delimiter: String = ",",
+               singleFile: Boolean = true): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("delimiter", delimiter)
+      .csv(path)
+  }
+
+  /** ndjson write (json_to_gcs, gcs_utils.py:570-594). */
+  def writeNdjson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Quarantine sink for malformed payloads (`slag_metal` bucket,
+    * gcs_utils.py:209-246): raw lines + load metadata.
+    */
+  def writeQuarantine(bad: DataFrame, path: String, feedName: String): Unit =
+    bad.withColumn("feed", lit(feedName))
+      .withColumn("quarantined_at", current_timestamp())
+      .write.mode(SaveMode.Append).json(path)
+
+  /** Bucketed master-table write: repeated hourly merges join on the
+    * master key every run — bucketing by that key lets the sort-merge
+    * join skip the master-side exchange entirely (SCALE.md). Requires
+    * a saveAsTable catalog target.
+    */
+  def writeBucketedMaster(df: DataFrame, table: String, keyCol: String,
+                          buckets: Int = 64): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keyCol).sortBy(keyCol)
+      .format("parquet").saveAsTable(table)
+}

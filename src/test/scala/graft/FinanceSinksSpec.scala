@@ -1,0 +1,77 @@
+package graft
+
+import graft.pipelines.FinancePipeline
+import graft.similarity.Ann
+import graft.sources.Sinks
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class FinanceSinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("finance cleanup: crosswalk + title case + address strip + billing-city null") {
+    val extracted = Seq(
+      ("0001X00001000101", "2024-01-15", "0 MAIN ST", "PGH, PA", "ALLENTOWN SLOPES"),
+      ("0002Y00002000202", "2024-02-20", "45 OAK AVE", ", ", "DOWNTOWN"))
+      .toDF("PIN", "MODIFY_DATE", "ADDRESS", "BILLING_CITY", "NEIGHBORHOOD")
+    val out = FinancePipeline.cleanup(extracted).orderBy("parc_num").collect()
+    assert(out(0).getAs[String]("address") === "MAIN ST", "leading '0 ' stripped")
+    assert(out(0).getAs[String]("neighborhood") === "Allentown", "crosswalk + title")
+    assert(out(1).isNullAt(out(1).fieldIndex("billing_city")), "', ' => NULL")
+    assert(out(1).getAs[String]("neighborhood") === "Central Business District")
+  }
+
+  test("finance enrich + publish: centroid join, month partitions, csv export") {
+    val parcels = Seq(("0001X00001000101", "POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))"))
+      .toDF("zone", "geometry")
+    val zones = Map("neighborhood_geo" -> Seq(
+      ("central", "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))", 0L, None: Option[Long])))
+    val df = Seq(
+      ("0001X00001000101", java.sql.Timestamp.valueOf("2024-01-15 00:00:00"), "MAIN ST", "Allentown", 1700000000L),
+      ("0002Y00002000202", java.sql.Timestamp.valueOf("2024-02-20 00:00:00"), "OAK AVE", "Shadyside", 1700000000L))
+      .toDF("parc_num", "modify_date", "address", "neighborhood", "mod_unix")
+    val enriched = FinancePipeline.enrich(df, parcels, zones, "mod_unix")
+    val rows = enriched.orderBy("parc_num").collect()
+    assert(rows(0).getAs[Double]("latitude") === 1.0)
+    assert(rows(0).getAs[String]("neighborhood_name") === "central", "geo zone wins")
+    assert(rows(1).isNullAt(rows(1).fieldIndex("latitude")), "unknown parcel => null coords")
+    assert(rows(1).getAs[String]("neighborhood_name") === "Shadyside", "fallback to extracted")
+
+    val dir = Files.createTempDirectory("fin").toFile
+    FinancePipeline.publish(enriched, s"$dir/table", s"$dir/csv",
+      Seq("parc_num", "address", "neighborhood_name"))
+    val parts = new java.io.File(s"$dir/table").listFiles().map(_.getName).filter(_.startsWith("__part="))
+    assert(parts.toSet === Set("__part=2024-01", "__part=2024-02"))
+    val csv = spark.read.option("header", "true").csv(s"$dir/csv")
+    assert(csv.columns.toSeq === Seq("parc_num", "address", "neighborhood_name"))
+    assert(csv.count() === 2)
+  }
+
+  test("writeStage round-trips with schema validation") {
+    val dir = Files.createTempDirectory("stage").toFile
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    val declared = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType)))
+    Sinks.writeStage(df, s"$dir/out", Some(declared))
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.orderBy("id").as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b")))
+    // schema validation rejects a frame missing a declared column
+    intercept[IllegalArgumentException] {
+      Sinks.writeStage(df.drop("name"), s"$dir/out2", Some(declared))
+    }
+  }
+
+  test("ivfKmeansTopK: trained quantizer recall vs brute force on sf0.001") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val queries = emb.filter(col("vec_id") < 3)
+    val brute = Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfKmeansTopK(queries, emb, "vec_id", "embedding", "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // approximate: require >= 40% overlap with exact top-5 at 4/8 probing
+    val overlap = ivf.intersect(brute).size.toDouble / brute.size
+    assert(overlap >= 0.4, s"recall too low: $overlap (ivf=$ivf brute=$brute)")
+  }
+}
