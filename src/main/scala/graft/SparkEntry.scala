@@ -17,8 +17,10 @@ object SparkEntry {
     queries("q01_agg_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ TextQueries.queries ++ ExtendedQueries.queries
+    RelationalQueries.queries ++ TextQueries.queries ++
+      ExtendedQueries.queries ++ ParityQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ TextQueries.oracle ++ ExtendedQueries.oracle
+    RelationalQueries.oracle ++ TextQueries.oracle ++
+      ExtendedQueries.oracle ++ ParityQueries.oracle
 }

@@ -61,6 +61,18 @@ object FinanceDemo {
     println("=== nested extraction ===")
     extractedNested.select("id", "status", "PERMITTYPE", "PARCEL").show(false)
 
+    // --- twilio pandas-layer cleanup + incremental window
+    val rawConvs = Seq(
+      ("c1", "2024-01-01", "Inbound", "Yes", 4125551234L),
+      ("c2", "", "Outbound", "No", 4125555678L))
+      .toDF("conversation_id", "date", "kind", "abandoned", "phone")
+    println("=== twilio transform ===")
+    graft.pipelines.TwilioPipeline.transform(rawConvs).show(false)
+    val log = Files.createTempDirectory("tw").resolve("log.json").toString
+    println("first window:  " + graft.pipelines.TwilioPipeline.runWindow(log, 1000L))
+    graft.state.Watermark.recordSuccess(log, 1000L, 2L)
+    println("second window: " + graft.pipelines.TwilioPipeline.runWindow(log, 2000L))
+
     spark.stop()
   }
 }
