@@ -1,0 +1,87 @@
+package graft
+
+import graft.tables.ScaleJoins
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Plan-shape regression guards: the performance properties SCALE.md
+  * claims (pushdown, pruning, broadcasts, bucket-exchange elision) are
+  * asserted against the actual physical plans so a refactor can't
+  * silently regress them.
+  */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.01"))
+      .queryExecution.explainString(SimpleMode)
+
+  test("q01: filter pushed to parquet scan, schema pruned") {
+    val p = SparkEntry.queries("q01_agg_pricing_summary")(spark, sf("sf0.01"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "shipdate predicate must reach the scan")
+    assert(!p.contains("l_orderkey"), "unreferenced columns must not be read")
+  }
+
+  test("q02: dimension joins are broadcast") {
+    val p = plan("q02_join_chain_customer_geo")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "no sort-merge for tiny dims")
+  }
+
+  test("q04/q05: anti and semi joins planned as such") {
+    assert(plan("q04_antijoin_new_records").contains("LeftAnti"))
+    assert(plan("q05_semijoin_open_orders").contains("LeftSemi"))
+  }
+
+  test("q01/q13: aggregates are partial (map-side combine) before exchange") {
+    Seq("q01_agg_pricing_summary", "q13_date_ops_monthly").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, sf("sf0.01"))
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("partial_"), s"$q must partial-aggregate before the shuffle")
+    }
+  }
+
+  test("q29 ANN: query side broadcast, corpus never shuffled before scoring") {
+    val p = plan("q29_knn_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("bucketed master merge elides the master-side exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val tag = System.nanoTime()
+      val master = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+      graft.sources.Sinks.writeBucketedMaster(master, s"master_a_$tag", "id", buckets = 8)
+
+      val incoming = Seq((5L, "new5"), (2000L, "new2000")).toDF("id", "v")
+      val masterRead = spark.table(s"master_a_$tag")
+      val merged = graft.tables.MasterTables.deleteOldInsertNew(masterRead, incoming, Seq("id"))
+      val p = merged.queryExecution.explainString(SimpleMode)
+      // the anti-join must read the master from its buckets with NO
+      // exchange on that branch: the bucketed FileScan appears before
+      // any Exchange in the plan text (the master is the join's first
+      // child; incoming-side exchanges come after)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+      assert(p.indexOf("Bucketed: true") < p.indexOf("Exchange hashpartitioning"),
+        s"master branch must not re-shuffle:\n$p")
+
+      ScaleJoins.mergeIntoBucketedMaster(spark, s"master_a_$tag", s"master_b_$tag",
+        incoming, "id", buckets = 8)
+      val after = spark.table(s"master_b_$tag")
+      assert(after.count() === 1001)
+      assert(after.filter($"id" === 5L).select("v").as[String].head() === "new5")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("saltedJoin: correct results under replication") {
+    val big = (1 to 1000).map(i => (if (i % 2 == 0) "hot" else s"k$i", i)).toDF("key", "v")
+    val small = Seq(("hot", "H"), ("k1", "A")).toDF("key", "tag")
+    val out = ScaleJoins.saltedJoin(big, small, "key", salt = 8)
+    assert(out.count() === 501, "500 hot + 1 k1")
+    assert(out.filter($"key" === "hot").count() === 500)
+  }
+}
