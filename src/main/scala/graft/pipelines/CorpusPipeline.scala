@@ -1,0 +1,113 @@
+package graft.pipelines
+
+import graft.dedup.NearDup
+import graft.text.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation pipeline: the composition a 100 TB
+  * pretraining-data run actually executes — quality gating, language
+  * selection, exact dedup, near-dup clustering, token budgeting.
+  * Every stage is one of the engine's tested operators; this driver
+  * fixes the order and the bookkeeping.
+  */
+object CorpusPipeline {
+
+  final case class QualityGates(
+      minTokens: Int = 20,
+      maxTokens: Int = 100000,
+      minAlphaRatio: Double = 0.5,
+      maxPunctRatio: Double = 0.2,
+      minStopwordRatio: Double = 0.01)
+
+  /** Stage 1 — quality gating over the signal bundle. Adds the
+    * signals; keeps rows passing every gate. */
+  def qualityFilter(docs: DataFrame, g: QualityGates = QualityGates()): DataFrame =
+    TextOps.qualitySignals(docs)
+      .filter(col("n_tokens").between(g.minTokens, g.maxTokens)
+        && col("alpha_ratio") >= g.minAlphaRatio
+        && col("punct_ratio") <= g.maxPunctRatio
+        && col("stopword_ratio") >= g.minStopwordRatio)
+
+  /** Stage 2 — language selection on the predicted language. */
+  def langFilter(docs: DataFrame, keep: Seq[String]): DataFrame =
+    TextOps.langId(docs).filter(col("lang_pred").isin(keep: _*))
+
+  /** Stage 3 — exact dedup by content digest (keep lowest id). */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    NearDup.exactDedup(docs, idCol, textCol)
+
+  /** Stage 4 — near-dup removal: MinHash-LSH pairs → connected
+    * "keep the minimum id per duplicate cluster" via iterative label
+    * propagation over the pair graph (near-dup clusters are tiny —
+    * a handful of iterations converges; each iteration is one
+    * self-join on the current labels).
+    */
+  def nearDupDrop(docs: DataFrame, idCol: String, textCol: String,
+                  threshold: Double = 0.8, maxIter: Int = 5): DataFrame = {
+    val pairs = NearDup.minhashLshPairs(docs, idCol, textCol, threshold = threshold)
+      .select(col("id_a"), col("id_b"))
+    // undirected edges both ways
+    val edges = pairs.unionByName(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).distinct().cache()
+    // label propagation: label(x) = min(label(x), min label of neighbors)
+    var labels = docs.select(col(idCol).as("node"), col(idCol).as("label"))
+    var i = 0
+    while (i < maxIter) {
+      val prop = edges.join(labels, edges("id_b") === labels("node"))
+        .groupBy(col("id_a").as("node"))
+        .agg(min("label").as("nbr_label"))
+      labels = labels.join(prop, Seq("node"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      i += 1
+    }
+    val keepers = labels.filter(col("node") === col("label")).select(col("node").as(idCol))
+    docs.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  /** Stage 5 — token budgeting: running token total in a deterministic
+    * document order (by id), cut at `budget` tokens.
+    *
+    * A single global-order window would serialize on one partition; at
+    * scale the cumulative sum is computed two-level: per-id-bucket
+    * totals → tiny bucket-offset table (broadcast) → within-bucket
+    * windows partitioned by bucket. Wall-clock is bounded by the
+    * largest bucket, not the corpus.
+    */
+  def tokenBudget(docs: DataFrame, idCol: String, textCol: String,
+                  budget: Long, bucketSize: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toked = docs
+      .withColumn("__n_tok", TextOps.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__b", floor(col(idCol) / bucketSize))
+    val wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toked.groupBy("__b").agg(sum("__n_tok").as("__bt"))
+      .withColumn("__off", coalesce(sum("__bt").over(wb), lit(0L)))
+      .select("__b", "__off")
+    val wi = Window.partitionBy("__b").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toked.join(broadcast(offsets), "__b")
+      .withColumn("__cum", col("__off") + sum("__n_tok").over(wi))
+      .filter(col("__cum") <= budget)
+      .drop("__n_tok", "__b", "__cum")
+  }
+
+  /** Full curation run; returns (curated, report). */
+  def curate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+             langs: Seq[String] = Seq("en"),
+             gates: QualityGates = QualityGates(),
+             nearDupThreshold: Double = 0.8,
+             tokenBudgetOpt: Option[Long] = None): (DataFrame, Map[String, Long]) = {
+    val n0 = docs.count()
+    val q  = qualityFilter(docs, gates);       val n1 = q.count()
+    val l  = langFilter(q.select(docs.columns.map(col): _*), langs); val n2 = l.count()
+    val e  = exactDedup(l.select(docs.columns.map(col): _*), idCol, textCol)
+    val n3 = e.count()
+    val nd = nearDupDrop(e.select(docs.columns.map(col): _*), idCol, textCol, nearDupThreshold)
+    val n4 = nd.count()
+    val out = tokenBudgetOpt.fold(nd)(b => tokenBudget(nd, idCol, textCol, b))
+    val n5 = out.count()
+    (out, Map("input" -> n0, "after_quality" -> n1, "after_lang" -> n2,
+      "after_exact_dedup" -> n3, "after_near_dedup" -> n4, "final" -> n5))
+  }
+}

@@ -32,11 +32,14 @@ object Ann {
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", round(NearDup.cosine(col("__qv"), col("__cv")), 4))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score")
+    // bounded-heap top-k aggregate: partial aggregation keeps ≤ k rows
+    // per query per map partition, so the shuffle carries k × #queries
+    // rows — the window-rank idiom would shuffle every scored row
+    scored.groupBy("query_id")
+      .agg(graft.expressions.TopKAgg.topK(k)(col("neighbor_id"), col("score")).as("__topk"))
+      .select(col("query_id"), posexplode(col("__topk")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("score"))
   }
 
   /** LSH-bucketed ANN: corpus and queries get an `nBits` hyperplane

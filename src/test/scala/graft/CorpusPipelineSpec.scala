@@ -1,0 +1,52 @@
+package graft
+
+import graft.pipelines.CorpusPipeline
+import org.apache.spark.sql.functions._
+
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("curate on sf0.001 documents: stages shrink monotonically, near-dups dropped") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val (out, report) = CorpusPipeline.curate(
+      docs, langs = Seq("en", "zh"),
+      gates = CorpusPipeline.QualityGates(
+        minTokens = 5, minAlphaRatio = 0.3, maxPunctRatio = 0.5, minStopwordRatio = 0.0))
+    assert(report("input") > 0)
+    assert(report("after_quality") <= report("input"))
+    assert(report("after_lang") <= report("after_quality"))
+    assert(report("after_exact_dedup") <= report("after_lang"))
+    assert(report("after_near_dedup") <= report("after_exact_dedup"))
+    assert(report("final") === report("after_near_dedup"))
+    assert(out.count() === report("final"))
+
+    // no near-dup pair should survive among the keepers
+    val residual = graft.dedup.NearDup.minhashLshPairs(out, "doc_id", "text", threshold = 0.8)
+    assert(residual.count() === 0, "curated corpus must contain no near-dup pair")
+  }
+
+  test("nearDupDrop keeps exactly one doc per duplicate cluster (min id)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),   // near-dup of 1
+      (7L, "alpha beta gamma delta epsilon zeta eta theta"),  // exact dup of 1
+      (9L, "completely different text with many unique words here now")
+    ).toDF("doc_id", "text")
+    val kept = CorpusPipeline.nearDupDrop(docs, "doc_id", "text", threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 9L), s"got $kept")
+  }
+
+  test("tokenBudget: two-level cumulative cut matches a naive global cumsum") {
+    val docs = (1L to 300L).map(i => (i, ("w " * ((i % 7).toInt + 1)).trim)).toDF("doc_id", "text")
+    val out = CorpusPipeline.tokenBudget(docs, "doc_id", "text", budget = 200, bucketSize = 50)
+      .select("doc_id").as[Long].collect().toSet
+    // naive reference
+    var cum = 0L
+    val expect = (1L to 300L).flatMap { i =>
+      cum += i % 7 + 1
+      if (cum <= 200) Some(i) else None
+    }.toSet
+    assert(out === expect)
+  }
+}
