@@ -52,6 +52,29 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col(keyCol), col("n"))
 
+  /** Streaming dedup with bounded state: duplicates arriving within
+    * the watermark window are dropped, state for old keys is evicted —
+    * the streaming twin of the training-data exact-dedup and the
+    * reference's SELECT DISTINCT staging.
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                     watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Watermarked stream-stream inner join on a key within a time
+    * bound — the streaming form of the reference's staged enrichment
+    * joins.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String,
+                       watermark: String, within: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"$key = r_$key AND $rightTs BETWEEN $leftTs - INTERVAL $within AND $leftTs + INTERVAL $within"))
+  }
+
   // ------------------------------------------------------------------
   // Stateful sessionization (flatMapGroupsWithState)
   // ------------------------------------------------------------------

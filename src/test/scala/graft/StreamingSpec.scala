@@ -51,6 +51,53 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(2).n_events === 1 && sessions(2).user_id === 2L)
   }
 
+  test("streamingDedup drops watermark-window duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("sdedup").toFile
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    Seq((1L, "2024-01-01 00:00:00"), (1L, "2024-01-01 00:00:30"),
+      (2L, "2024-01-01 00:01:00"), (2L, "2024-01-01 00:01:10"),
+      (3L, "2024-01-01 00:02:00"))
+      .toDF("id", "ts_s")
+      .selectExpr("id", "cast(ts_s as timestamp) as ts")
+      .write.json(dir.getPath + "/in")
+    val stream = spark.readStream.schema(schema).json(dir.getPath + "/in")
+    val deduped = StreamingOps.streamingDedup(stream, Seq("id"), "ts", "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("sdedup_out").select("id").distinct().count() === 3)
+    assert(spark.table("sdedup_out").count() === 3, "one row per key within watermark")
+  }
+
+  test("streamStreamJoin: watermarked interval join matches batch equivalent") {
+    val dir = java.nio.file.Files.createTempDirectory("ssjoin").toFile
+    val reqSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lts", org.apache.spark.sql.types.TimestampType)))
+    val ackSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("r_k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("rts", org.apache.spark.sql.types.TimestampType)))
+    Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-01-01 01:00:00"))
+      .toDF("k", "ts_s").selectExpr("k", "cast(ts_s as timestamp) as lts")
+      .write.json(dir.getPath + "/req")
+    Seq((1L, "2024-01-01 00:03:00"), (2L, "2024-01-01 03:00:00"))
+      .toDF("r_k", "ts_s").selectExpr("r_k", "cast(ts_s as timestamp) as rts")
+      .write.json(dir.getPath + "/ack")
+    val l = spark.readStream.schema(reqSchema).json(dir.getPath + "/req")
+    val r = spark.readStream.schema(ackSchema).json(dir.getPath + "/ack")
+    val joined = StreamingOps.streamStreamJoin(l, r, "k", "lts", "rts",
+      watermark = "1 hour", within = "10 MINUTES")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("ssjoin_out").select("k").as[Long].collect().toSeq
+    assert(out === Seq(1L), "only the within-10-minutes pair joins")
+  }
+
   test("foreachBatchMerge: streaming upsert into a parquet master") {
     val dir = java.nio.file.Files.createTempDirectory("stream_merge").toFile
     val src = new java.io.File(dir, "in"); src.mkdirs()
