@@ -37,16 +37,24 @@ object NearDup {
   // MinHash + LSH
   // ------------------------------------------------------------------
 
-  /** MinHash signature of a shingle array: perm i's value is
-    * min over shingles of hash64(shingle, i). The shingle array is
-    * let-bound so it is evaluated once per row, not once per
-    * permutation (ExprOps.bind — CollapseProject would otherwise
-    * inline an upstream shingle expression into all 64 lambda bodies).
+  /** MinHash signature of a shingle array via the Carter-Wegman
+    * two-hash scheme: each shingle is hashed exactly TWICE
+    * (h1 = xxhash64(s, 0), h2 = xxhash64(s, 1)) and permutation i's
+    * hash is h1 + i·h2 — O(len + k) per shingle instead of k string
+    * hashes. The shingle array and the (h1, h2) pair array are
+    * let-bound (ExprOps.bind) so each is evaluated once per row.
     */
   def minhashSignature(shingles: Column, numPerms: Int): Column =
     graft.expressions.ExprOps.bind(shingles) { sh =>
-      transform(sequence(lit(0), lit(numPerms - 1)),
-        i => array_min(transform(sh, s => xxhash64(s, i))))
+      graft.expressions.ExprOps.bind(
+        // 31-bit hashes keep h1 + i·h2 < 2^39 — no ANSI long overflow
+        transform(sh, s => struct(
+          shiftrightunsigned(xxhash64(s, lit(0)), 33).as("h1"),
+          shiftrightunsigned(xxhash64(s, lit(1)), 33).as("h2")))) { hs =>
+        transform(sequence(lit(0), lit(numPerms - 1)),
+          i => array_min(transform(hs,
+            h => h.getField("h1") + i * h.getField("h2"))))
+      }
     }
 
   /** Banded LSH key rows: one row per (band, bandHash) per doc.

@@ -38,27 +38,28 @@ object TextOps {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "was", "at", "by", "be", "this")
 
+  /** All five signals derive from ONE fused character pass
+    * (graft.expressions.TextStats) instead of five regex/split scans
+    * per row.
+    */
   def qualitySignals(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val c    = col(textCol)
-    val toks = tokens(c)
-    val nTok = size(toks)
-    val nChr = length(c)
-    df.withColumn("n_chars_m", nChr)
+    val st   = graft.expressions.TextStats.text_stats(col(textCol), Seq(EnStopwords))
+    val out  = df.withColumn("__st", st)
+    val nChr = col("__st.n_chars")
+    val nTok = col("__st.n_tokens")
+    out
+      .withColumn("n_chars_m", nChr)
       .withColumn("n_tokens", nTok)
       .withColumn("mean_token_len",
         round(when(nTok > 0, (nChr - (nTok - 1)).cast(DoubleType) / nTok).otherwise(0.0), 4))
       .withColumn("alpha_ratio",
-        round(when(nChr > 0,
-          (nChr - length(regexp_replace(c, "[A-Za-z]", ""))).cast(DoubleType) / nChr)
-          .otherwise(0.0), 4))
+        round(when(nChr > 0, col("__st.n_alpha").cast(DoubleType) / nChr).otherwise(0.0), 4))
       .withColumn("punct_ratio",
-        round(when(nChr > 0,
-          length(regexp_replace(c, "[^.,;:!?'\"()-]", "")).cast(DoubleType) / nChr)
-          .otherwise(0.0), 4))
+        round(when(nChr > 0, col("__st.n_punct").cast(DoubleType) / nChr).otherwise(0.0), 4))
       .withColumn("stopword_ratio",
         round(when(nTok > 0,
-          size(filter(toks, t => lower(t).isin(EnStopwords: _*))).cast(DoubleType) / nTok)
-          .otherwise(0.0), 4))
+          col("__st.hits").getItem(0).cast(DoubleType) / nTok).otherwise(0.0), 4))
+      .drop("__st")
   }
 
   /** Language-ID by stopword-hit scoring: per language, the fraction of
@@ -73,22 +74,25 @@ object TextOps {
     "fr" -> Seq("le", "la", "de", "et", "un", "est", "les", "des", "du", "que"),
     "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
 
-  /** Adds `lang_scores` (per-language hit fraction) and `lang_pred`. */
+  /** Adds per-language `score_*` columns and `lang_pred` — all 5
+    * languages scored in the same single TextStats pass.
+    */
   def langId(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks  = tokens(lower(col(textCol)))
-    val nTok  = size(toks)
     val langs = LangStopwords.keys.toSeq.sorted
-    val scored = langs.foldLeft(df) { (d, lang) =>
+    val st = graft.expressions.TextStats.text_stats(
+      col(textCol), langs.map(LangStopwords))
+    val out  = df.withColumn("__st", st)
+    val nTok = col("__st.n_tokens")
+    val scored = langs.zipWithIndex.foldLeft(out) { case (d, (lang, i)) =>
       d.withColumn(s"score_$lang",
         round(when(nTok > 0,
-          size(filter(toks, t => t.isin(LangStopwords(lang): _*))).cast(DoubleType) / nTok)
-          .otherwise(0.0), 6))
+          col("__st.hits").getItem(i).cast(DoubleType) / nTok).otherwise(0.0), 6))
     }
     // argmax via max-struct comparison; ties break to the
     // alphabetically-last language code (deterministic)
     val best = langs.map(l => struct(col(s"score_$l").as("score"), lit(l).as("lang")))
-    scored.withColumn("lang_pred",
-      greatest(best: _*).getField("lang"))
+    scored.withColumn("lang_pred", greatest(best: _*).getField("lang"))
+      .drop("__st")
   }
 
   /** Content fingerprint: normalise (lowercase, collapse non-alnum runs
