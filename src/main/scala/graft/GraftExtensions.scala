@@ -1,0 +1,71 @@
+package graft
+
+import graft.expressions.{CosineSim, JaccardSim, TextStats}
+import graft.functions.RefFunctions
+import graft.text.TextOps
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration: installs graft's custom expressions and
+  * parity functions into the session's function registry so plain
+  * `spark.sql(...)` (and any SQL-authoring user of the engine) can
+  * call them:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  *
+  * Functions:
+  *  - cosine_sim(a, b)       — codegen'd fused cosine (CosineSim)
+  *  - jaccard_sim(a, b)      — single-pass set Jaccard (JaccardSim)
+  *  - graft_text_stats(s)    — fused text statistics struct (English
+  *                             stopword set)
+  *  - standardize_parcel(s)  — county parcel normalizer
+  *  - reformat_phone(s)      — NANP phone formatter
+  *  - redact_pii(s)          — regex PII redaction w/ place protection
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two numeric arrays"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("jaccard_sim"),
+      info("jaccard_sim", "jaccard_sim(a, b) - Jaccard similarity of two string arrays"),
+      (args: Seq[Expression]) => JaccardSim(args(0), args(1))))
+    e.injectFunction((FunctionIdentifier("graft_text_stats"),
+      info("graft_text_stats", "graft_text_stats(s) - single-pass text statistics"),
+      (args: Seq[Expression]) => TextStats(args.head, Seq(TextOps.EnStopwords))))
+  }
+}
+
+object GraftExtensions {
+
+  /** Install on a LIVE session (builder extensions only apply to new
+    * sessions): registers the expression functions through the
+    * session's function registry plus the Scala UDFs. Idempotent.
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim",
+      (args: Seq[Expression]) => CosineSim(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("jaccard_sim",
+      (args: Seq[Expression]) => JaccardSim(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_text_stats",
+      (args: Seq[Expression]) => TextStats(args.head, Seq(TextOps.EnStopwords)), "scala_udf")
+    registerUdfs(spark)
+  }
+
+  /** Scala-UDF registrations that need a live session (procedural
+    * parity functions). Idempotent.
+    */
+  def registerUdfs(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("standardize_parcel", RefFunctions.standardizeParcelNum _)
+    spark.udf.register("reformat_phone", RefFunctions.reformatPhone _)
+    spark.udf.register("redact_pii",
+      (s: String) => RefFunctions.redactPii(s, retainLocation = true))
+    spark.udf.register("rolling_hash", TextOps.rollingHash _)
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-surface test: a session built with GraftExtensions can call
+  * the engine's functions from plain SQL.
+  */
+class GraftExtensionsSpec extends SparkSpec {
+
+  // live-session install: builder .withExtensions only applies to a
+  // session created fresh, and the suite JVM shares one session
+  GraftExtensions.install(spark)
+
+  test("cosine_sim / jaccard_sim callable from SQL") {
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |       jaccard_sim(array('a','b'), array('b','c')) AS j""".stripMargin).head()
+    assert(r.getDouble(0) === 1.0)
+    assert(math.abs(r.getDouble(1) - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("graft_text_stats returns the fused counter struct") {
+    val r = spark.sql(
+      "SELECT graft_text_stats('the quick brown fox, it jumps!') AS st").head()
+    val st = r.getStruct(0)
+    assert(st.getAs[Long]("n_tokens") === 6L)
+    assert(st.getAs[Long]("n_punct") === 2L)
+    assert(st.getAs[Seq[Long]]("hits").head === 2L, "'the' and 'it' hit the stopword set")
+  }
+
+  test("parity UDFs callable from SQL") {
+    val r = spark.sql(
+      """SELECT standardize_parcel('1-X-1-1-1') AS parc,
+        |       reformat_phone('412-636-8126') AS phone,
+        |       redact_pii('John Doe was here') AS red""".stripMargin).head()
+    assert(r.getString(0) === "0001X00001000101")
+    assert(r.getString(1) === "+1 (412) 636-8126")
+    assert(r.getString(2) === "[PERSON_NAME] was here")
+  }
+}
