@@ -95,19 +95,21 @@ object NearDup {
       threshold: Double = 0.7): DataFrame = {
     // filter on token count (cheap split) rather than on the shingle
     // array — pushing `size(shingles) > 0` below the projection would
-    // rebuild the full shingle expression once more per row
+    // rebuild the full shingle expression once more per row.
+    //
+    // The repartition serves two purposes: (a) a materialization
+    // barrier so CollapseProject cannot inline the shingle/signature
+    // expressions into downstream multi-reference projections
+    // (measured 30× slowdown without it), and (b) an exchange shared
+    // by all three consumers (banding + both verify branches) —
+    // Spark's ReuseExchange computes the shingle projection ONCE and
+    // serves the other consumers from the shuffle files.
     val shingled = df
       .filter(size(TextOps.tokens(col(textCol))) >= shingleLen)
       .select(col(idCol), TextOps.wordShingles(col(textCol), shingleLen).as("__sh"))
-    // The repartition is a materialization barrier, not a placement
-    // choice: without it CollapseProject inlines the signature
-    // expression into each of the `bands` slice references and
-    // recomputes the full 64-perm MinHash per band (measured 30×
-    // slowdown). Shuffling (id, 64×8B sig) is the cheap, scale-honest
-    // index-build step.
+      .repartition(col(idCol))
     val sigOnly = shingled
       .select(col(idCol), minhashSignature(col("__sh"), numPerms).as("__sig"))
-      .repartition(col(idCol))
     val cands = lshCandidatePairs(lshBands(sigOnly, idCol, "__sig", bands, numPerms), idCol)
     val a = shingled.select(col(idCol).as("id_a"), col("__sh").as("__sh_a"))
     val b = shingled.select(col(idCol).as("id_b"), col("__sh").as("__sh_b"))
