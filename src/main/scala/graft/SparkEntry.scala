@@ -18,9 +18,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++
-      ExtendedQueries.queries ++ ParityQueries.queries
+      ExtendedQueries.queries ++ ParityQueries.queries ++
+      UdfParityQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++
-      ExtendedQueries.oracle ++ ParityQueries.oracle
+      ExtendedQueries.oracle ++ ParityQueries.oracle ++
+      UdfParityQueries.oracle
 }

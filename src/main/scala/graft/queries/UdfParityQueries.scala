@@ -1,0 +1,131 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.RefFunctions
+import graft.geo.Geo
+import graft.operators.TimeOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fourth wave: the procedural/geo operators exposed to the oracle
+  * gate — phone normalization and the time-standardization battery
+  * over literal VALUES (the reference's own golden inputs), and a
+  * reverse-geocode query whose rectangular zones make point-in-polygon
+  * SQL-expressible (bbox predicates) for the oracle while the engine
+  * runs its general ray-cast path. Parcel normalization is not
+  * SQL-expressible (loops) → rows-only check.
+  */
+object UdfParityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val phoneInputs = Seq(
+    "+1(412)-6368126", "+1-4126368126", "14126368126", "412-636-8126",
+    "412,636,8126", "412.636/8126", "412+636+8126",
+    "+44 7911 123456", "+44(791)-1123456", "447911123456")
+
+  private val timeInputs = Seq(
+    "2023-06-15 10:30:00", "2023-06-15T10:30:00", "06/15/2023 10:30:00",
+    "2023/06/15 10:30:00", "2023-06-15", "garbage", "")
+
+  private val parcelInputs = Seq(
+    "1-X-1-1-1", "0001-X-00001-0001-01", "1234X12345123412",
+    "0123-A-00045", "123", "12@4X12345123412", "0000A00000000000")
+
+  val queries: Map[String, Q] = Map(
+    // §2.3 ReformatPhoneNumbers over the reference's golden inputs
+    "q44_phone_normalize" -> ((s, _) => {
+      import s.implicits._
+      phoneInputs.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("rid", "raw")
+        .select(col("rid"), RefFunctions.reformatPhoneUdf(col("raw")).as("phone"))
+    }),
+
+    // §2.3 StandardizeTimes UNIX parity for naive-UTC inputs
+    "q45_time_standardize" -> ((s, _) => {
+      import s.implicits._
+      val df = timeInputs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("rid", "raw")
+      TimeOps.standardizeTimes(df, Seq(("raw", "UTC")))
+        .select(col("rid"), col("raw_UNIX").as("unix_ts"))
+    }),
+
+    // §2.11 parcel normalizer — procedural; rows-only check
+    "q46_parcel_normalize" -> ((s, _) => {
+      import s.implicits._
+      parcelInputs.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("rid", "raw")
+        .select(col("rid"), RefFunctions.standardizeParcelNumUdf(col("raw")).as("parc"))
+    }),
+
+    // §2.5 time-bounded reverse geocode: points derived from events,
+    // rectangular zone polygons (engine runs the general ray-cast;
+    // the oracle uses bbox predicates — equivalent for rectangles)
+    "q47_revgeo_zones" -> ((s, d) => {
+      // +0.5 / +0.001 offsets keep every point strictly inside a
+      // rectangle — on-edge behavior differs between the engine's
+      // ray cast and the oracle's inclusive bbox predicates
+      val pts = Tables.events(s, d).select(
+        col("event_id"),
+        ((col("user_id") % 10).cast(DoubleType) + 0.5).as("lat"),
+        (pmod(col("value").cast("decimal(10,2)") * 100, lit(1000)).cast(DoubleType) / 100.0 + 0.001).as("long"),
+        unix_timestamp(col("ts")).as("create_date_unix"))
+      val zones = Seq(
+        ("west_old", "POLYGON((0 0, 5 0, 5 10, 0 10, 0 0))", 0L, Some(1705000000L)),
+        ("west_new", "POLYGON((0 0, 5 0, 5 10, 0 10, 0 0))", 1705000001L, None),
+        ("east", "POLYGON((5 0, 10 0, 10 10, 5 10, 5 0))", 0L, None))
+      Geo.revGeoZone(pts, zones, outCol = "zone",
+        latCol = "lat", longCol = "long", eventUnixCol = "create_date_unix")
+        .groupBy("zone").agg(count(lit(1)).as("n"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q44_phone_normalize" -> {
+      val values = phoneInputs.zipWithIndex
+        .map { case (p, i) => s"($i, '${p.replace("'", "''")}')" }.mkString(", ")
+      s"""WITH t(rid, raw) AS (VALUES $values),
+         |d AS (SELECT rid, regexp_replace(raw, '[^0-9]', '', 'g') AS digits FROM t)
+         |SELECT rid,
+         |  CASE WHEN length(digits) < 10 THEN NULL
+         |       ELSE (CASE WHEN length(digits) > 10
+         |                  THEN '+' || substr(digits, 1, length(digits) - 10)
+         |                  ELSE '+1' END)
+         |            || ' (' || substr(digits, length(digits) - 9, 3) || ') '
+         |            || substr(digits, length(digits) - 6, 3) || '-'
+         |            || substr(digits, length(digits) - 3, 4)
+         |  END AS phone
+         |FROM d""".stripMargin
+    },
+
+    "q45_time_standardize" -> {
+      val values = timeInputs.zipWithIndex
+        .map { case (t, i) => s"($i, '$t')" }.mkString(", ")
+      s"""WITH t(rid, raw) AS (VALUES $values)
+         |SELECT rid,
+         |  epoch(coalesce(
+         |    try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
+         |    try_strptime(raw, '%Y-%m-%dT%H:%M:%S'),
+         |    try_strptime(raw, '%m/%d/%Y %H:%M:%S'),
+         |    try_strptime(raw, '%Y/%m/%d %H:%M:%S'),
+         |    try_strptime(raw, '%Y-%m-%d')))::BIGINT AS unix_ts
+         |FROM t""".stripMargin
+    },
+
+    "q47_revgeo_zones" ->
+      """WITH pts AS (
+        |  SELECT event_id,
+        |    CAST(user_id % 10 AS DOUBLE) + 0.5 AS lat,
+        |    CAST((CAST(value AS DECIMAL(10,2)) * 100) % 1000 AS DOUBLE) / 100.0 + 0.001 AS long,
+        |    epoch(ts)::BIGINT AS t
+        |  FROM events
+        |)
+        |SELECT CASE
+        |  WHEN long >= 0 AND long <= 5 AND lat >= 0 AND lat <= 10 AND t <= 1705000000 THEN 'west_old'
+        |  WHEN long >= 0 AND long <= 5 AND lat >= 0 AND lat <= 10 AND t >= 1705000001 THEN 'west_new'
+        |  WHEN long >= 5 AND long <= 10 AND lat >= 0 AND lat <= 10 THEN 'east'
+        |END AS zone, count(*) AS n
+        |FROM pts GROUP BY 1""".stripMargin
+  )
+}
