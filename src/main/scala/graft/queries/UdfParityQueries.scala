@@ -59,6 +59,13 @@ object UdfParityQueries {
         .select(col("rid"), RefFunctions.standardizeParcelNumUdf(col("raw")).as("parc"))
     }),
 
+    // deterministic hash-based train/val/test assignment — stable under
+    // re-runs and repartitioning, unlike df.sample
+    "q48_train_val_split" -> ((s, d) => {
+      graft.operators.SplitOps.assignSplit(Tables.documents(s, d), "doc_id")
+        .select(col("doc_id"), col("split"))
+    }),
+
     // §2.5 time-bounded reverse geocode: points derived from events,
     // rectangular zone polygons (engine runs the general ray-cast;
     // the oracle uses bbox predicates — equivalent for rectangles)
@@ -112,6 +119,16 @@ object UdfParityQueries {
          |    try_strptime(raw, '%Y-%m-%d')))::BIGINT AS unix_ts
          |FROM t""".stripMargin
     },
+
+    "q48_train_val_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 0.8 THEN 'train'
+        |       WHEN b < 0.9 THEN 'val'
+        |       WHEN b < 1.0 THEN 'test'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0 AS b
+        |  FROM documents)""".stripMargin,
 
     "q47_revgeo_zones" ->
       """WITH pts AS (

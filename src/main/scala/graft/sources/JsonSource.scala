@@ -47,11 +47,20 @@ object JsonSource {
     val candidates = raw.select(
       col("value").as("__raw"),
       explode(repairedObjects(col("value"))).as("__obj"))
-    // from_json yields a NULL struct for a still-malformed object —
-    // that's the quarantine signal
-    val parsed = candidates.withColumn("__parsed", from_json(col("__obj"), schema))
-    val ok  = parsed.filter(col("__parsed").isNotNull).select(col("__parsed.*"))
-    val bad = parsed.filter(col("__parsed").isNull).select(col("__raw").as("raw_line"))
+    // quarantine detection via the corrupt-record column: Spark 4's
+    // from_json yields an all-null row (not a NULL struct) for
+    // malformed input, so a declared _corrupt field is the reliable
+    // signal — it is non-null exactly for unparseable objects
+    val corrupt   = "__corrupt"
+    val augmented = schema.add(corrupt, org.apache.spark.sql.types.StringType)
+    val opts      = new java.util.HashMap[String, String]()
+    opts.put("columnNameOfCorruptRecord", corrupt)
+    val parsed = candidates.withColumn("__parsed",
+      from_json(col("__obj"), augmented, opts))
+    val ok = parsed.filter(col(s"__parsed.$corrupt").isNull)
+      .select(col("__parsed.*")).drop(corrupt)
+    val bad = parsed.filter(col(s"__parsed.$corrupt").isNotNull)
+      .select(col("__raw").as("raw_line"))
     (ok, bad)
   }
 }

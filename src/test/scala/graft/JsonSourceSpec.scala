@@ -1,0 +1,65 @@
+package graft
+
+import graft.sources.JsonSource
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Dirty-JSON repair rules (SURVEY §7.3 hard part #5; JsonCoder
+  * dataflow_utils.py:41-75 + json_linter gcs_utils.py:949-974).
+  */
+class JsonSourceSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("a", LongType), StructField("b", StringType)))
+
+  private def read(lines: String*): (Seq[(Option[Long], Option[String])], Long) = {
+    val dir = Files.createTempDirectory("jsrc").toFile
+    val f = new java.io.File(dir, "in.json")
+    Files.write(f.toPath, lines.mkString("\n").getBytes)
+    val (ok, bad) = JsonSource.readRepaired(spark, f.getPath, schema)
+    val rows = ok.collect().map(r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        Option(r.getAs[String]("b")))).toSeq
+    (rows, bad.count())
+  }
+
+  test("clean lines pass through") {
+    val (rows, bad) = read("""{"a": 1, "b": "x"}""")
+    assert(rows === Seq((Some(1L), Some("x"))) && bad === 0)
+  }
+
+  test("concatenated }{ objects split into N rows (json_linter)") {
+    val (rows, bad) = read("""{"a": 1, "b": "x"}{"a": 2, "b": "y"}{"a": 3, "b": "z"}""")
+    assert(rows.toSet === Set((Some(1L), Some("x")), (Some(2L), Some("y")), (Some(3L), Some("z"))))
+    assert(bad === 0)
+  }
+
+  test("':,' null hole repaired (JsonCoder rule)") {
+    val (rows, bad) = read("""{"a":, "b": "x"}""")
+    assert(rows === Seq((None, Some("x"))) && bad === 0)
+  }
+
+  test("trailing ':}' null hole repaired") {
+    val (rows, bad) = read("""{"a": 7, "b":}""")
+    assert(rows === Seq((Some(7L), None)) && bad === 0)
+  }
+
+  test("stray escaped single quote removed") {
+    val (rows, bad) = read("""{"a": 1, "b": "it\'s"}""")
+    assert(rows === Seq((Some(1L), Some("it's"))) && bad === 0)
+  }
+
+  test("unrepairable lines land in quarantine, good lines survive") {
+    val (rows, bad) = read(
+      """{"a": 1, "b": "ok"}""",
+      """this is not json at all""",
+      """{"a": 3, "b": "fine"}""")
+    assert(rows.toSet === Set((Some(1L), Some("ok")), (Some(3L), Some("fine"))))
+    assert(bad === 1)
+  }
+
+  test("empty lines skipped silently") {
+    val (rows, bad) = read("""{"a": 1, "b": "x"}""", "", "   ")
+    assert(rows.length === 1 && bad === 0)
+  }
+}
