@@ -38,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_text_stats"),
       info("graft_text_stats", "graft_text_stats(s) - single-pass text statistics"),
       (args: Seq[Expression]) => TextStats(args.head, Seq(TextOps.EnStopwords))))
+    e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
   }
 }
 
