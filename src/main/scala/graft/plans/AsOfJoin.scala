@@ -165,7 +165,17 @@ object AsOfJoin {
     val spark = leftDf.sparkSession
     install(spark)
     val lPlan = DatasetBridge.planOf(leftDf)
-    val rPlan = DatasetBridge.planOf(rightDf)
+    // self-join safety: both sides may share lineage (identical
+    // attribute ids); re-alias the right side to fresh ids — custom
+    // nodes are not covered by DeduplicateRelations
+    val rightFresh = rightDf.select(
+      rightDf.columns.map(c => rightDf(c).as(c)).toIndexedSeq: _*)
+    val rPlan = {
+      val p = DatasetBridge.planOf(rightFresh)
+      if (p.outputSet.intersect(lPlan.outputSet).isEmpty) p
+      else DatasetBridge.planOf(rightFresh.select(
+        rightFresh.columns.map(c => rightFresh(c).as(c)).toIndexedSeq: _*))
+    }
     def resolve(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(

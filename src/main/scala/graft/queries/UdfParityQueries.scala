@@ -59,6 +59,22 @@ object UdfParityQueries {
         .select(col("rid"), RefFunctions.standardizeParcelNumUdf(col("raw")).as("parc"))
     }),
 
+    // the custom as-of planner operator (plans.AsOfJoin) checked
+    // against DuckDB's NATIVE ASOF JOIN: per (user, probe instant),
+    // the latest event at-or-before the probe
+    "q49_asof_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val probes = e.select(col("user_id")).distinct()
+        .crossJoin(s.createDataFrame(Seq(
+          Tuple1(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")),
+          Tuple1(java.sql.Timestamp.valueOf("2024-01-25 00:00:00")))).toDF("p"))
+        .select(col("user_id"), unix_micros(col("p")).as("probe_us"))
+      val updates = e.select(col("user_id"), unix_micros(col("ts")).as("et"),
+        col("event_id"))
+      graft.plans.AsOfJoin.asofJoin(probes, updates, Seq("user_id"), "probe_us", "et")
+        .select("user_id", "probe_us", "event_id")
+    }),
+
     // deterministic hash-based train/val/test assignment — stable under
     // re-runs and repartitioning, unlike df.sample
     "q48_train_val_split" -> ((s, d) => {
@@ -119,6 +135,16 @@ object UdfParityQueries {
          |    try_strptime(raw, '%Y-%m-%d')))::BIGINT AS unix_ts
          |FROM t""".stripMargin
     },
+
+    "q49_asof_join" ->
+      """WITH probes AS (
+        |  SELECT DISTINCT user_id, p FROM events,
+        |    (VALUES (TIMESTAMP '2024-01-15 00:00:00'),
+        |            (TIMESTAMP '2024-01-25 00:00:00')) t(p)
+        |)
+        |SELECT probes.user_id, epoch_us(p) AS probe_us, e.event_id
+        |FROM probes ASOF LEFT JOIN events e
+        |  ON probes.user_id = e.user_id AND e.ts <= probes.p""".stripMargin,
 
     "q48_train_val_split" ->
       """SELECT doc_id,
