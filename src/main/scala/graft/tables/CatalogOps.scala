@@ -37,6 +37,20 @@ object CatalogOps {
                        shards: Int): org.apache.spark.sql.DataFrame =
     df.repartitionByRange(shards, org.apache.spark.sql.functions.col(timeCol))
 
+  /** Bulk per-table CSV export of a whole dataset (the reference's
+    * shell loop over `bq ls` + `bq extract`,
+    * export_timebound_geo_tables_wprdc.sh:6-13): iterate the catalog,
+    * export each matching table. Returns the exported table names.
+    */
+  def exportAllTables(spark: SparkSession, namePrefix: String, outDir: String): Seq[String] = {
+    val tables = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith(namePrefix)).toSeq
+    tables.foreach { t =>
+      graft.sources.Sinks.writeCsv(spark.table(t), s"$outDir/$t")
+    }
+    tables
+  }
+
   /** Schema-on-read autodetect (qalert_airflow.py:104 autodetect=True /
     * gen_schema_from_df gcs_utils.py:378-400): infer a StructType from
     * sample data.

@@ -34,6 +34,18 @@ class CatalogOpsSpec extends SparkSpec {
     assert(CatalogOps.splitByTimeRange(df, "ts", 4).rdd.getNumPartitions === 4)
   }
 
+  test("exportAllTables: catalog loop + per-table CSV (bulk export)") {
+    val tag = "exp_" + System.nanoTime()
+    Seq((1, "a")).toDF("id", "v").write.saveAsTable(s"${tag}_t1")
+    Seq((2, "b")).toDF("id", "v").write.saveAsTable(s"${tag}_t2")
+    val out = Files.createTempDirectory("bulk").toFile
+    val exported = CatalogOps.exportAllTables(spark, tag, out.getPath)
+    assert(exported.toSet === Set(s"${tag}_t1", s"${tag}_t2"))
+    val back = spark.read.option("header", "true").csv(s"$out/${tag}_t1")
+    assert(back.count() === 1)
+    CatalogOps.dropTablesMatching(spark, tag)
+  }
+
   test("inferSchema autodetects from ndjson") {
     val dir = Files.createTempDirectory("infer").toFile
     val f = new java.io.File(dir, "x.json")
