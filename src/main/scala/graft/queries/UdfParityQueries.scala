@@ -59,6 +59,13 @@ object UdfParityQueries {
         .select(col("rid"), RefFunctions.standardizeParcelNumUdf(col("raw")).as("parc"))
     }),
 
+    // Gopher-style repetition quality signals: type-token ratio and
+    // top-bigram share
+    "q50_repetition_signals" -> ((s, d) => {
+      graft.text.TextOps.repetitionSignals(Tables.documents(s, d))
+        .select("doc_id", "distinct_token_ratio", "top_bigram_frac")
+    }),
+
     // the custom as-of planner operator (plans.AsOfJoin) checked
     // against DuckDB's NATIVE ASOF JOIN: per (user, probe instant),
     // the latest event at-or-before the probe
@@ -135,6 +142,33 @@ object UdfParityQueries {
          |    try_strptime(raw, '%Y-%m-%d')))::BIGINT AS unix_ts
          |FROM t""".stripMargin
     },
+
+    "q50_repetition_signals" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks,
+        |    length(trim(text)) nt
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN nt = 0 OR len(toks) < 2 THEN []
+        |         ELSE [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+        |    END AS bigrams,
+        |    CASE WHEN nt = 0 THEN 0 ELSE len(toks) END AS n_toks,
+        |    CASE WHEN nt = 0 THEN 0 ELSE len(list_distinct(toks)) END AS n_distinct
+        |  FROM t
+        |), exploded AS (
+        |  SELECT doc_id, unnest(bigrams) AS b FROM bg
+        |), counted AS (
+        |  SELECT doc_id, b, count(*) AS cnt FROM exploded GROUP BY doc_id, b
+        |), top AS (
+        |  SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS total
+        |  FROM counted GROUP BY doc_id
+        |)
+        |SELECT bg.doc_id,
+        |  round(CASE WHEN n_toks > 0 THEN n_distinct::DOUBLE / n_toks ELSE 0 END, 4)
+        |    AS distinct_token_ratio,
+        |  round(coalesce(top.top_cnt::DOUBLE / top.total, 0), 4) AS top_bigram_frac
+        |FROM bg LEFT JOIN top USING (doc_id)""".stripMargin,
 
     "q49_asof_join" ->
       """WITH probes AS (

@@ -129,6 +129,42 @@ object TextOps {
   }
   val rollingHashUdf = udf((s: String) => rollingHash(s))
 
+  /** Repetition quality signals (the Gopher-rule family):
+    * `distinct_token_ratio` (type-token ratio) and `top_bigram_frac`
+    * (share of all word bigrams taken by the most frequent one —
+    * high values mark boilerplate/degenerate text).
+    */
+  def repetitionSignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    import graft.expressions.ExprOps.bind
+    val ttr = bind(tokens(col(textCol))) { toks =>
+      when(size(toks) > 0,
+        size(array_distinct(toks)).cast(DoubleType) / size(toks)).otherwise(0.0)
+    }
+    // per-doc O(distinct² ) over its own bigrams — bounded by document
+    // length, independent of corpus size; bg is a lambda slot so the
+    // bigram array is built once per row
+    val topFrac = bind(wordNgrams(col(textCol), 2)) { bg =>
+      when(size(bg) > 0,
+        aggregate(array_distinct(bg), lit(0L),
+          (best, x) => greatest(best,
+            size(filter(bg, y => y === x)).cast(LongType)))
+          .cast(DoubleType) / size(bg))
+        .otherwise(0.0)
+    }
+    df.withColumn("distinct_token_ratio", round(ttr, 4))
+      .withColumn("top_bigram_frac", round(topFrac, 4))
+  }
+
+  /** Word n-grams WITH duplicates (ordered) — the repetition-signal
+    * unit; `wordShingles` gives the distinct variant.
+    */
+  def wordNgrams(c: Column, n: Int): Column =
+    graft.expressions.ExprOps.bind(tokens(c)) { toks =>
+      when(size(toks) < n, array().cast(ArrayType(StringType)))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    }
+
   /** Word n-gram shingles (distinct), the MinHash/Jaccard unit.
     * The token array is let-bound (ExprOps.bind) so the split is
     * evaluated once per row, not once per shingle.
