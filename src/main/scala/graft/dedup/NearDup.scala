@@ -37,24 +37,22 @@ object NearDup {
   // MinHash + LSH
   // ------------------------------------------------------------------
 
-  /** MinHash signature of a shingle array via the Carter-Wegman
-    * two-hash scheme: each shingle is hashed exactly TWICE
-    * (h1 = xxhash64(s, 0), h2 = xxhash64(s, 1)) and permutation i's
-    * hash is h1 + i·h2 — O(len + k) per shingle instead of k string
-    * hashes. The shingle array and the (h1, h2) pair array are
-    * let-bound (ExprOps.bind) so each is evaluated once per row.
+  /** MinHash signature of a shingle array: permutation i's value is
+    * min over shingles of xxhash64(shingle, seed = i) — k INDEPENDENT
+    * hash functions. The shingle array is let-bound (ExprOps.bind) so
+    * it is evaluated once per row, not once per permutation.
+    *
+    * Deliberately NOT the Carter-Wegman h1 + i·h2 two-hash scheme: its
+    * permutations are pairwise correlated, and banded-LSH miss
+    * probability stops factorizing as (1-J^r)^b — measured 3 of 256
+    * true J ≥ 0.8 pairs missed at sf0.1 (the sf0.01 gate passed by
+    * luck). Independent per-perm hashing restores the guarantee at k×
+    * the hashing cost, which `bind` keeps linear in document length.
     */
   def minhashSignature(shingles: Column, numPerms: Int): Column =
     graft.expressions.ExprOps.bind(shingles) { sh =>
-      graft.expressions.ExprOps.bind(
-        // 31-bit hashes keep h1 + i·h2 < 2^39 — no ANSI long overflow
-        transform(sh, s => struct(
-          shiftrightunsigned(xxhash64(s, lit(0)), 33).as("h1"),
-          shiftrightunsigned(xxhash64(s, lit(1)), 33).as("h2")))) { hs =>
-        transform(sequence(lit(0), lit(numPerms - 1)),
-          i => array_min(transform(hs,
-            h => h.getField("h1") + i * h.getField("h2"))))
-      }
+      transform(sequence(lit(0), lit(numPerms - 1)),
+        i => array_min(transform(sh, s => xxhash64(s, i))))
     }
 
   /** Banded LSH key rows: one row per (band, bandHash) per doc.
