@@ -18,16 +18,20 @@ object CorpusPipeline {
       maxTokens: Int = 100000,
       minAlphaRatio: Double = 0.5,
       maxPunctRatio: Double = 0.2,
-      minStopwordRatio: Double = 0.01)
+      minStopwordRatio: Double = 0.01,
+      maxTopBigramFrac: Double = 0.3,
+      minDistinctTokenRatio: Double = 0.1)
 
-  /** Stage 1 — quality gating over the signal bundle. Adds the
-    * signals; keeps rows passing every gate. */
+  /** Stage 1 — quality gating over the signal bundle + repetition
+    * signals (Gopher-rule family). Keeps rows passing every gate. */
   def qualityFilter(docs: DataFrame, g: QualityGates = QualityGates()): DataFrame =
-    TextOps.qualitySignals(docs)
+    TextOps.repetitionSignals(TextOps.qualitySignals(docs))
       .filter(col("n_tokens").between(g.minTokens, g.maxTokens)
         && col("alpha_ratio") >= g.minAlphaRatio
         && col("punct_ratio") <= g.maxPunctRatio
-        && col("stopword_ratio") >= g.minStopwordRatio)
+        && col("stopword_ratio") >= g.minStopwordRatio
+        && col("top_bigram_frac") <= g.maxTopBigramFrac
+        && col("distinct_token_ratio") >= g.minDistinctTokenRatio)
 
   /** Stage 2 — language selection on the predicted language. */
   def langFilter(docs: DataFrame, keep: Seq[String]): DataFrame =
