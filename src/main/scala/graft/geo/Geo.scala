@@ -99,8 +99,13 @@ object Geo {
                  latCol: String = "lat", longCol: String = "long"): DataFrame = {
     val inCity    = stContainsWkt(cityWkt, col(longCol), col(latCol))
     val inEnclave = stContainsWkt(enclaveWkt, col(longCol), col(latCol))
+    // the reference's UPDATE has WHERE lat/long IS NOT NULL
+    // (geo_queries.py:152-154): null-coordinate rows keep their
+    // existing address_type rather than being classified outside
+    val hasCoords = col(latCol).isNotNull && col(longCol).isNotNull
     df.withColumn("address_type",
-      when(!inCity || inEnclave, lit("Outside of City")).otherwise(col("address_type")))
+      when(hasCoords && (!inCity || inEnclave), lit("Outside of City"))
+        .otherwise(col("address_type")))
   }
 
   /** One reverse-geocode zone join: left-join `points` against a small

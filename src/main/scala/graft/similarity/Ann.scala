@@ -55,18 +55,14 @@ object Ann {
       seed: Long = 42L): DataFrame = {
     val cSig = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"),
       NearDup.cosineLshSignature(col(cVec), nBits, seed).as("__bucket"))
-    // enumerate probe buckets: signature XOR every mask with ≤ probeHamming bits
-    val masks: Seq[Long] = {
-      val single = (0 until nBits).map(1L << _)
-      val base   = Seq(0L)
-      probeHamming match {
-        case 0 => base
-        case 1 => base ++ single
-        case _ => base ++ single ++ (for {
-          i <- 0 until nBits; j <- (i + 1) until nBits
-        } yield (1L << i) | (1L << j))
+    // enumerate probe buckets: signature XOR every mask with ≤ probeHamming
+    // bits — all C(nBits, d) combinations for each d, so recall matches
+    // the documented "all buckets at Hamming distance ≤ probeHamming"
+    // at any probe depth (not just ≤ 2)
+    val masks: Seq[Long] =
+      (0 to math.min(probeHamming, nBits)).flatMap { d =>
+        (0 until nBits).combinations(d).map(_.foldLeft(0L)((m, i) => m | (1L << i)))
       }
-    }
     val qSig = broadcast(queries
       .select(col(qId).as("query_id"), col(qVec).as("__qv"),
         NearDup.cosineLshSignature(col(qVec), nBits, seed).as("__qsig"))

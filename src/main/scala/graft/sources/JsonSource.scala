@@ -41,12 +41,16 @@ object JsonSource {
 
   /** Read ndjson with repair; returns (parsed, quarantine).
     * Quarantined rows keep the raw line for the dead-letter sink.
+    *
+    * Repair is parse-gated, matching the reference's order
+    * (JsonCoder.decode tries `json.loads` FIRST and only lints lines
+    * that throw, dataflow_utils.py:47-73): a valid row whose string
+    * values happen to contain `":,"` or `\'` must pass through
+    * untouched. Only lines whose first parse fails get the repair
+    * pass and a second parse; rows still failing are quarantined.
     */
   def readRepaired(spark: SparkSession, path: String, schema: StructType): (DataFrame, DataFrame) = {
     val raw = spark.read.text(path).filter(length(trim(col("value"))) > 0)
-    val candidates = raw.select(
-      col("value").as("__raw"),
-      explode(repairedObjects(col("value"))).as("__obj"))
     // quarantine detection via the corrupt-record column: Spark 4's
     // from_json yields an all-null row (not a NULL struct) for
     // malformed input, so a declared _corrupt field is the reliable
@@ -55,12 +59,27 @@ object JsonSource {
     val augmented = schema.add(corrupt, org.apache.spark.sql.types.StringType)
     val opts      = new java.util.HashMap[String, String]()
     opts.put("columnNameOfCorruptRecord", corrupt)
-    val parsed = candidates.withColumn("__parsed",
-      from_json(col("__obj"), augmented, opts))
-    val ok = parsed.filter(col(s"__parsed.$corrupt").isNull)
+    // Jackson (from_json) accepts trailing data after the first object,
+    // where the reference's json.loads raises "Extra data" — so a
+    // concatenated "}{"-line would wrongly pass the first parse and lose
+    // its tail. Detect multi-object lines structurally: with every JSON
+    // string literal stripped, `}` adjacent to `{` (over whitespace)
+    // cannot occur in a single valid value — while a "}{" INSIDE a
+    // quoted string (valid row) is stripped first and never triggers.
+    val multiObject =
+      regexp_replace(col("value"), "\"([^\"\\\\]|\\\\.)*\"", "\"\"").rlike("\\}\\s*\\{")
+    val firstPass = raw.withColumn("__parsed", from_json(col("value"), augmented, opts))
+    val okDirect = firstPass.filter(col(s"__parsed.$corrupt").isNull && !multiObject)
       .select(col("__parsed.*")).drop(corrupt)
-    val bad = parsed.filter(col(s"__parsed.$corrupt").isNotNull)
-      .select(col("__raw").as("raw_line"))
-    (ok, bad)
+    val needRepair = firstPass.filter(col(s"__parsed.$corrupt").isNotNull || multiObject)
+      .select(col("value").as("__raw"))
+    val reparsed = needRepair
+      .select(col("__raw"), explode(repairedObjects(col("__raw"))).as("__obj"))
+      .withColumn("__parsed", from_json(col("__obj"), augmented, opts))
+    val okRepaired = reparsed.filter(col(s"__parsed.$corrupt").isNull)
+      .select(col("__parsed.*")).drop(corrupt)
+    val bad = reparsed.filter(col(s"__parsed.$corrupt").isNotNull)
+      .select(col("__raw").as("raw_line")).distinct()
+    (okDirect.unionByName(okRepaired), bad)
   }
 }

@@ -84,40 +84,86 @@ object StreamingOps {
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
                            session_end: java.sql.Timestamp, n_events: Int)
 
-  /** Gap-based sessionization: a session closes after `gapMs` of
-    * user inactivity (processing-time timeout for the streaming case).
+  /** Fold this group's events (time-ordered) into the running session
+    * state, returning (closed sessions oldest-first, trailing open
+    * session).
+    */
+  private def foldSessions(uid: Long, evs: Iterator[Event], prior: Option[SessionState],
+                           gapMs: Long): (List[Session], Option[SessionState]) = {
+    val sorted = evs.toSeq.sortBy(_.ts.getTime)
+    var sessions = List.empty[Session]
+    var cur = prior
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s.lastSeen <= gapMs =>
+          cur = Some(s.copy(lastSeen = t, n = s.n + 1))
+        case Some(s) =>
+          sessions ::= Session(uid, new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.lastSeen), s.n)
+          cur = Some(SessionState(t, t, 1))
+        case None =>
+          cur = Some(SessionState(t, t, 1))
+      }
+    }
+    (sessions.reverse, cur)
+  }
+
+  /** Gap-based sessionization for BATCH execution only: each group is
+    * seen exactly once, so the trailing (still-open) session is closed
+    * and emitted at end of group. Under a real stream this would
+    * re-emit the open session every micro-batch — use
+    * `sessionizeStreaming` there.
     */
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
+    require(!events.isStreaming,
+      "sessionize is batch-only (re-emits the open trailing session); use sessionizeStreaming for streams")
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (uid, evs, state: GroupState[SessionState]) =>
-          // batch-mode friendly: process the group's events in time order,
-          // emitting a session whenever the gap is exceeded
-          val sorted = evs.toSeq.sortBy(_.ts.getTime)
-          var sessions = List.empty[Session]
-          var cur = state.getOption
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.lastSeen <= gapMs =>
-                cur = Some(s.copy(lastSeen = t, n = s.n + 1))
-              case Some(s) =>
-                sessions ::= Session(uid, new java.sql.Timestamp(s.start),
-                  new java.sql.Timestamp(s.lastSeen), s.n)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
-            }
-          }
-          // close the trailing session in batch mode
-          cur.foreach { s =>
-            sessions ::= Session(uid, new java.sql.Timestamp(s.start),
+          val (closed, cur) = foldSessions(uid, evs, state.getOption, gapMs)
+          // batch mode: close the trailing session — the group will not
+          // be revisited
+          val trailing = cur.map { s =>
+            Session(uid, new java.sql.Timestamp(s.start),
               new java.sql.Timestamp(s.lastSeen), s.n)
           }
-          state.update(cur.get)
-          sessions.reverseIterator
+          cur.foreach(state.update)
+          (closed ++ trailing).iterator
+      }
+  }
+
+  /** Streaming-correct sessionization: only gap-closed sessions are
+    * emitted as data arrives; the in-progress session stays in state
+    * and is flushed exactly once by an event-time timeout after the
+    * watermark passes `lastSeen + gapMs`. Requires `events` to carry a
+    * watermark on `ts` (set `watermarkDelay` accordingly upstream).
+    */
+  def sessionizeStreaming(events: Dataset[Event], gapMs: Long,
+                          watermarkDelay: String): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, _, state: GroupState[SessionState]) if state.hasTimedOut =>
+          // watermark passed lastSeen + gap: the open session is final
+          val out = state.getOption.map { s =>
+            Session(uid, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.lastSeen), s.n)
+          }
+          state.remove()
+          out.iterator
+        case (uid, evs, state: GroupState[SessionState]) =>
+          val (closed, cur) = foldSessions(uid, evs, state.getOption, gapMs)
+          cur.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastSeen + gapMs)
+          }
+          closed.iterator
       }
   }
 

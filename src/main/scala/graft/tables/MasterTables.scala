@@ -24,16 +24,23 @@ object MasterTables {
   /** Correlated UPDATE ... FROM (integrate_new_requests.py:109-121,
     * general_queries.py:132-142): overwrite `updateCols` on matching
     * keys from `updates`, keep old values elsewhere.
+    *
+    * The reference's SET is unconditional: a matched row takes the
+    * update value even when it is NULL (a re-opened ticket's closed
+    * date reverts to NULL). A `__matched` marker distinguishes
+    * "matched with NULL value" from "no match" — coalesce alone
+    * cannot.
     */
   def syncUpdate(master: DataFrame, updates: DataFrame, keys: Seq[String], updateCols: Seq[String]): DataFrame = {
     val u = updates
       .select((keys.map(col) ++ updateCols.map(c => col(c).as(s"__u_$c"))): _*)
       .dropDuplicates(keys)
+      .withColumn("__matched", lit(true))
     val joined = master.join(u, keys, "left")
     val merged = updateCols.foldLeft(joined) { (d, c) =>
-      d.withColumn(c, coalesce(col(s"__u_$c"), col(c)))
+      d.withColumn(c, when(col("__matched"), col(s"__u_$c")).otherwise(col(c)))
     }
-    merged.drop(updateCols.map(c => s"__u_$c"): _*)
+    merged.drop(updateCols.map(c => s"__u_$c") :+ "__matched": _*)
   }
 
   /** delete_old_insert_new (integrate_new_requests.py:84-106): snapshot

@@ -74,4 +74,21 @@ class FinanceSinksSpec extends SparkSpec {
     val overlap = ivf.intersect(brute).size.toDouble / brute.size
     assert(overlap >= 0.4, s"recall too low: $overlap (ivf=$ivf brute=$brute)")
   }
+
+  test("lshTopK: probeHamming=3 enumerates all C(nBits,d) masks and beats d=0 recall") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val queries = emb.filter(col("vec_id") < 3)
+    val brute = Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallAt(d: Int): Double = {
+      val got = Ann.lshTopK(queries, emb, "vec_id", "embedding", "vec_id", "embedding", 5,
+        nBits = 8, probeHamming = d)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    val r0 = recallAt(0)
+    val r3 = recallAt(3)   // 1 + 8 + 28 + 56 = 93 of 256 buckets probed
+    assert(r3 >= r0, s"deeper probing must not lose recall (d0=$r0 d3=$r3)")
+    assert(r3 >= 0.5, s"Hamming-3 probing recall too low: $r3")
+  }
 }

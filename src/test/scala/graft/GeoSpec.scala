@@ -50,6 +50,21 @@ class GeoSpec extends SparkSpec {
     assert(m(3L) === "Outside of City")
   }
 
+  test("cityLimits: NULL coordinates keep existing address_type (WHERE lat IS NOT NULL, geo_queries.py:152-154)") {
+    val df = Seq(
+      (1L, Option(15.0), Option(5.0), "Missing"),
+      (2L, Option.empty[Double], Option.empty[Double], "Missing"),
+      (3L, Option(5.0), Option.empty[Double], "Precise")
+    ).toDF("id", "long", "lat", "address_type")
+    val out = Geo.cityLimits(df, cityWkt = unitSquare,
+      enclaveWkt = "POLYGON((1 1, 3 1, 3 3, 1 3, 1 1))",
+      latCol = "lat", longCol = "long")
+    val m = out.select("id", "address_type").as[(Long, String)].collect().toMap
+    assert(m(1L) === "Outside of City", "non-null coords still classified")
+    assert(m(2L) === "Missing", "both-null untouched")
+    assert(m(3L) === "Precise", "one-null untouched")
+  }
+
   test("revGeoZone: time-bounded zone assignment (geo_queries.py:35-108)") {
     val zones = Seq(
       ("oldtown", unitSquare, 0L, Some(1000L)),   // valid until t=1000

@@ -34,6 +34,21 @@ class JsonSourceSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("valid rows containing repair-trigger text in string values pass untouched (parse-gated repair)") {
+    // json.loads succeeds on these, so the reference never lints them
+    // (dataflow_utils.py:47-73) — the ':,'/'\'' repair regexes must not
+    // mutate string VALUES of rows that already parse
+    val (rows, bad) = read(
+      """{"a": 1, "b": "tricky :, inside"}""",
+      """{"a": 2, "b": "ends with :}"}""",
+      """{"a": 3, "b": "brace pair }{ in string"}""")
+    assert(rows.toSet === Set(
+      (Some(1L), Some("tricky :, inside")),
+      (Some(2L), Some("ends with :}")),
+      (Some(3L), Some("brace pair }{ in string"))))
+    assert(bad === 0)
+  }
+
   test("':,' null hole repaired (JsonCoder rule)") {
     val (rows, bad) = read("""{"a":, "b": "x"}""")
     assert(rows === Seq((None, Some("x"))) && bad === 0)

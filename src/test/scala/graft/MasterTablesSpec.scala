@@ -23,6 +23,17 @@ class MasterTablesSpec extends SparkSpec {
       "only matching keys updated; non-update columns untouched; unknown keys ignored")
   }
 
+  test("syncUpdate: matched row takes an incoming NULL (unconditional SET, integrate_new_requests.py:190-196)") {
+    // a re-opened ticket arrives with closed_date = NULL: the master's
+    // stale closed date must be cleared, not kept via coalesce
+    val master  = Seq((1L, Option("2024-01-01")), (2L, Option("2024-02-02"))).toDF("id", "closed_date")
+    val updates = Seq((2L, Option.empty[String])).toDF("id", "closed_date")
+    val out = MasterTables.syncUpdate(master, updates, Seq("id"), Seq("closed_date"))
+      .orderBy("id").as[(Long, Option[String])].collect().toSeq
+    assert(out === Seq((1L, Some("2024-01-01")), (2L, None)),
+      "matched key with NULL update overwrites; unmatched keeps old value")
+  }
+
   test("deleteOldInsertNew: snapshot upsert (integrate_new_requests.py:84-106)") {
     val master   = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val incoming = Seq((2L, "B2"), (4L, "d")).toDF("id", "v")

@@ -51,6 +51,33 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(2).n_events === 1 && sessions(2).user_id === 2L)
   }
 
+  test("sessionizeStreaming: open session held in state, flushed once by event-time timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val in = MemoryStream[Event]
+    val q = StreamingOps.sessionizeStreaming(in.toDS(), gapMs = 60000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_stream").outputMode("append").start()
+    try {
+      // start above t=0: the initial watermark is 0 and stateful ops drop
+      // rows at-or-below it
+      in.addData(Event(1, t(10000), "click"), Event(1, t(30000), "click"))
+      q.processAllAvailable()
+      assert(spark.table("sess_stream").count() === 0,
+        "in-progress session must NOT be emitted while the watermark can still admit events")
+      // unrelated user far in the future advances the watermark past
+      // lastSeen + gap; the next batch fires user 1's timeout
+      in.addData(Event(2, t(1000000L), "click"))
+      q.processAllAvailable()
+      in.addData(Event(2, t(2000000L), "click"))
+      q.processAllAvailable()
+      val u1 = spark.table("sess_stream").as[StreamingOps.Session]
+        .collect().filter(_.user_id == 1L)
+      assert(u1.length === 1, "timed-out session emitted exactly once")
+      assert(u1.head.n_events === 2 && u1.head.session_end.getTime === 30000L)
+    } finally q.stop()
+  }
+
   test("streamingDedup drops watermark-window duplicates") {
     val dir = java.nio.file.Files.createTempDirectory("sdedup").toFile
     val schema = org.apache.spark.sql.types.StructType(Seq(
