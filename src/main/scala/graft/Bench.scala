@@ -14,9 +14,10 @@ object Bench {
 
   /** Quadratic-by-design baselines excluded from the headline set —
     * each has a sub-quadratic scale path that IS measured
-    * (q26 brute-force n-gram Jaccard → q27 MinHash-LSH).
+    * (q26 brute-force n-gram Jaccard → q27 MinHash-LSH;
+    * q30 brute-force cosine pairs → q51 banded cosine LSH).
     */
-  private val exclude = Set("q26_ngram_jaccard_pairs")
+  private val exclude = Set("q26_ngram_jaccard_pairs", "q30_cosine_dup_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -244,6 +244,39 @@ object NearDup {
       .distinct()
   }
 
+  /** OR-amplified banded cosine LSH — the scale path for embedding
+    * near-dup. `bands` independent signatures of `bitsPerBand` sign
+    * bits each; a pair is a candidate if ANY band matches, then exact
+    * cosine verifies inside the candidate set. Miss probability for a
+    * pair at angle θ is (1 - (1-θ/π)^r)^B — tune (B, r) to the
+    * corpus's similarity structure: clustered near-dup corpora (the
+    * 100 TB case) need few wide bands; the near-uniform synthetic test
+    * data needs many narrow ones to reach full recall at the
+    * threshold. Only (bandKey, id) rows shuffle for candidate
+    * generation — never vectors.
+    */
+  def lshCosinePairsBanded(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      bands: Int = 64, bitsPerBand: Int = 6, seed: Long = 42L): DataFrame = {
+    // materialization barrier shared by the banding and both verify
+    // branches (same CollapseProject/ReuseExchange reasoning as
+    // minhashLshPairs above)
+    val tagged = df.select(col(idCol), col(vecCol)).repartition(col(idCol))
+    val bandRows = tagged.select(col(idCol),
+      explode(graft.expressions.SimilarityExpressions
+        .hyperplane_bands(col(vecCol), bands, bitsPerBand, seed)).as("__band"))
+    val l = bandRows.select(col("__band"), col(idCol).as("id_a"))
+    val r = bandRows.select(col("__band"), col(idCol).as("id_b"))
+    val cands = l.join(r, "__band").filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val a = tagged.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = tagged.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .withColumn("cos", cosine(col("__va"), col("__vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Signed-random-projection signature: bit j = sign(v · h_j) where
     * h_j components are deterministic pseudo-random ±1 derived from
     * xxhash64(dim, j, seed) — no stored model, same hyperplanes on

@@ -130,10 +130,117 @@ case class JaccardSim(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** Banded random-hyperplane signatures for cosine LSH (OR-amplified
+  * blocking): `bands` bands of `bitsPerBand` sign bits each, one
+  * element per band with the band index packed into the high bits —
+  * `(b << 48) | bits` — so a single explode+join on the element is a
+  * complete (band, bucket) key. Hyperplane components are
+  * deterministic ±1 from a splitmix64 mix of (plane, dim, seed): no
+  * stored model, identical planes on every executor.
+  *
+  * One fused primitive loop computes all `bands × bitsPerBand` dot
+  * products per row; the equivalent HOF formulation builds that many
+  * interpreted `aggregate` lambdas (measured ruinous at ≥64 planes).
+  */
+case class HyperplaneBands(child: Expression, bands: Int, bitsPerBand: Int, seed: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bands > 0 && bitsPerBand > 0 && bitsPerBand <= 32,
+    s"need 1..32 bits per band, got $bitsPerBand")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_bands expects array<float|double>, got $other")
+    }
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bits = 0L
+      var j = 0
+      while (j < bitsPerBand) {
+        val plane = b * bitsPerBand + j
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          val x: Double = if (elemIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+          dot += (if (HyperplaneBands.sign(plane, i, seed)) x else -x)
+          i += 1
+        }
+        if (dot > 0) bits |= (1L << j)
+        j += 1
+      }
+      out(b) = (b.toLong << 48) | bits
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val b = ctx.freshName("b"); val j = ctx.freshName("j")
+      val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
+      val bits = ctx.freshName("bits"); val z = ctx.freshName("z")
+      s"""
+         |int $n = $v.numElements();
+         |long[] $out = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $bits = 0L;
+         |  for (int $j = 0; $j < $bitsPerBand; $j++) {
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      long $z = ${seed}L ^ (($b * $bitsPerBand + $j) * -7046029254386353131L) ^ ($i * -4417276706812531889L);
+         |      $z = ($z ^ ($z >>> 30)) * -4658895280553007687L;
+         |      $z = ($z ^ ($z >>> 27)) * -7723592293110705685L;
+         |      $z ^= ($z >>> 31);
+         |      $dot += ((($z & 1L) == 0L) ? 1.0 : -1.0) * (double) $v.$get($i);
+         |    }
+         |    if ($dot > 0) $bits |= (1L << $j);
+         |  }
+         |  $out[$b] = ((long) $b << 48) | $bits;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneBands = copy(child = c)
+}
+
+object HyperplaneBands {
+  /** splitmix64 of (plane, dim, seed) → deterministic sign bit.
+    * Mirrors the constants inlined in doGenCode.
+    */
+  def sign(plane: Int, dim: Int, seed: Long): Boolean = {
+    var z = seed ^ (plane * -7046029254386353131L) ^ (dim * -4417276706812531889L)
+    z = (z ^ (z >>> 30)) * -4658895280553007687L
+    z = (z ^ (z >>> 27)) * -7723592293110705685L
+    z ^= (z >>> 31)
+    (z & 1L) == 0L
+  }
+}
+
 object SimilarityExpressions {
   /** Column wrappers. */
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.toColumn(CosineSim(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
   def jaccard_sim(a: Column, b: Column): Column =
     ColumnBridge.toColumn(JaccardSim(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
+  def hyperplane_bands(vec: Column, bands: Int, bitsPerBand: Int, seed: Long): Column =
+    ColumnBridge.toColumn(HyperplaneBands(ColumnBridge.toExpression(vec), bands, bitsPerBand, seed))
 }

@@ -91,6 +91,45 @@ object TextQueries {
     "q30_cosine_dup_pairs" -> ((s, d) => {
       NearDup.cosineDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.4)
+    }),
+
+    // the SCALE path for embedding near-dup: OR-amplified banded
+    // hyperplane LSH + in-bucket exact verification. The oracle is the
+    // exact quadratic SQL — a green row asserts recall 1.0 AND zero
+    // false positives at these parameters on this corpus (the banding
+    // is deterministic, fixed-seed). Cross-scale-probed at
+    // sf0.001/0.01/0.1 (tools.LshTune): full recall at B=64 already;
+    // B=96 is margin.
+    "q51_lsh_cosine_pairs" -> ((s, d) => {
+      NearDup.lshCosinePairsBanded(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.45, bands = 96, bitsPerBand = 6)
+    }),
+
+    // the SCALE path for ANN: trained-IVF recall@10 against the
+    // brute-force oracle, emitted as a checkable scalar row. KMeans is
+    // seeded and deterministic; bounds probed cross-scale
+    // (tools.IvfTune: min per-query recall 0.40, mean 0.79-0.82 at
+    // nProbe=8/16 cells on sf0.001/0.01/0.1).
+    "q52_ivf_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 20)
+      val brute = Ann.bruteForceTopK(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      val ivf = Ann.ivfKmeansTopK(queries, emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10,
+        nCells = 16, nProbe = 8)
+      val hits = brute.select("query_id", "neighbor_id")
+        .join(ivf.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      brute.groupBy("query_id").agg(count(lit(1)).as("k"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("hits"), lit(0L)) / col("k")).as("recall"))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          sum(when(col("recall") >= 0.3, 1L).otherwise(0L)).as("queries_recall_ge_30pct"),
+          when(avg(col("recall")) >= 0.6, 1L).otherwise(0L).as("mean_recall_ge_60pct"))
     })
   )
 
@@ -174,6 +213,21 @@ object TextQueries {
     "q26_ngram_jaccard_pairs" -> jaccardOracle.replace("THRESH", "0.5"),
     "q27_minhash_lsh_pairs"   -> jaccardOracle.replace("THRESH", "0.8"),
 
+    // SimHash is not SQL-expressible (MurmurHash3 token hashes), but it
+    // IS fully deterministic — the oracle pins the hand-audited result
+    // on the driver's correctness SF (sf0.01 documents table). The
+    // quarter-blocking property (subset-of-q26 / completeness ≤ 3 bits)
+    // is additionally asserted in NearDupSpec.
+    "q28_simhash_pairs" ->
+      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        |  CAST(hamming AS INTEGER) AS hamming
+        |FROM (VALUES
+        |  (8,245,0),(31,383,3),(45,413,3),(58,293,1),(61,185,0),(70,447,3),
+        |  (72,377,0),(91,463,3),(98,290,1),(107,387,1),(120,332,2),(152,178,1),
+        |  (166,323,1),(167,424,3),(221,444,2),(267,413,2),(285,301,1),
+        |  (326,457,3),(393,420,0),(435,486,2),(458,462,2)
+        |) t(id_a, id_b, hamming)""".stripMargin,
+
     "q29_knn_cosine" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] qv
@@ -194,6 +248,22 @@ object TextQueries {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
-        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin
+        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
+
+    // exact quadratic SQL as the oracle for the LSH scale path: equality
+    // proves recall 1.0 + soundness of the blocked implementation
+    "q51_lsh_cosine_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""".stripMargin,
+
+    // the recall bounds are computed Spark-side vs Spark's own brute
+    // force; the oracle pins the asserted outcome as a literal row
+    "q52_ivf_recall" ->
+      """SELECT CAST(20 AS BIGINT) AS n_queries,
+        |  CAST(20 AS BIGINT) AS queries_recall_ge_30pct,
+        |  CAST(1 AS BIGINT) AS mean_recall_ge_60pct""".stripMargin
   )
 }

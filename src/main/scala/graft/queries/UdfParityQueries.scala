@@ -112,6 +112,20 @@ object UdfParityQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the parcel normalizer runs on a literal fixture, so the oracle is
+    // the hand-computed golden output (same goldens as
+    // RefFunctionsSpec, dataflow_utils.py:1357-1360 spec examples)
+    "q46_parcel_normalize" ->
+      """SELECT CAST(rid AS BIGINT) AS rid, parc FROM (VALUES
+        |  (0, '0001X00001000101'),
+        |  (1, '0001X00001000101'),
+        |  (2, '1234X12345123412'),
+        |  (3, '0123A00045000000'),
+        |  (4, 'invalid input'),
+        |  (5, 'invalid input'),
+        |  (6, 'invalid input')
+        |) t(rid, parc)""".stripMargin,
+
     "q44_phone_normalize" -> {
       val values = phoneInputs.zipWithIndex
         .map { case (p, i) => s"($i, '${p.replace("'", "''")}')" }.mkString(", ")
