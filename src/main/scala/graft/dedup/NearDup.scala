@@ -24,7 +24,11 @@ object NearDup {
   // ------------------------------------------------------------------
 
   /** Group by content digest, keep the lowest id per group. Returns the
-    * kept rows with `dup_count`. Only (digest, id) shuffles.
+    * kept rows with `dup_count`. The keeper-selection aggregation
+    * shuffles only (digest, id); the join-back that returns the kept
+    * rows shuffles the full rows (body included) once — inherent to
+    * returning them. Callers that only need ids should semi-join
+    * against `keepers` themselves and skip that body shuffle.
     */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val keyed = df.withColumn("__digest", md5(col(textCol)))

@@ -41,30 +41,62 @@ object CorpusPipeline {
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     NearDup.exactDedup(docs, idCol, textCol)
 
-  /** Stage 4 — near-dup removal: MinHash-LSH pairs → connected
-    * "keep the minimum id per duplicate cluster" via iterative label
-    * propagation over the pair graph (near-dup clusters are tiny —
-    * a handful of iterations converges; each iteration is one
-    * self-join on the current labels).
+  /** Minimum-id connected components over an undirected pair list,
+    * iterated to FIXPOINT: each round does (a) a neighbor-min
+    * propagation and (b) a pointer-jumping shortcut
+    * (label(x) := label(label(x))), so convergence is O(log diameter)
+    * rounds — a chain of 10^6 duplicates resolves in ~20 rounds, not
+    * 10^6. Every round localCheckpoints the label frame (truncating
+    * lineage — mandatory for iterative Spark) and counts changed
+    * labels; the loop exits when nothing changed. `maxIter` is a
+    * runaway backstop, logged loudly if hit.
+    *
+    * `nodes`: one column `node`; `pairs`: columns `id_a`, `id_b`.
+    * Returns (node, label) with label = min id of the component.
     */
-  def nearDupDrop(docs: DataFrame, idCol: String, textCol: String,
-                  threshold: Double = 0.8, maxIter: Int = 5): DataFrame = {
-    val pairs = NearDup.minhashLshPairs(docs, idCol, textCol, threshold = threshold)
-      .select(col("id_a"), col("id_b"))
+  def minLabelComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // undirected edges both ways
-    val edges = pairs.unionByName(
+    val edges = pairs.select(col("id_a"), col("id_b")).unionByName(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).distinct().cache()
-    // label propagation: label(x) = min(label(x), min label of neighbors)
-    var labels = docs.select(col(idCol).as("node"), col(idCol).as("label"))
+    var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
+    var changed = 1L
     var i = 0
-    while (i < maxIter) {
+    while (changed > 0 && i < maxIter) {
       val prop = edges.join(labels, edges("id_b") === labels("node"))
         .groupBy(col("id_a").as("node"))
         .agg(min("label").as("nbr_label"))
-      labels = labels.join(prop, Seq("node"), "left")
-        .select(col("node"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      val stepped = labels.join(prop, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer jumping: follow my label's own label (labels are always
+      // node ids, so the self-join is total)
+      val l1 = stepped.as("l1"); val l2 = stepped.as("l2")
+      val jumped = l1.join(l2, col("l1.label") === col("l2.node"))
+        .select(col("l1.node").as("node"),
+          least(col("l1.label"), col("l2.label")).as("label"))
+        .localCheckpoint()
+      // labels only ever decrease, so "changed" = any strict decrease
+      changed = jumped
+        .join(labels.withColumnRenamed("label", "old_label"), "node")
+        .filter(col("label") < col("old_label")).count()
+      labels = jumped
       i += 1
     }
+    if (changed > 0)
+      org.apache.log4j.Logger.getLogger(getClass)
+        .warn(s"minLabelComponents hit maxIter=$maxIter before fixpoint; labels may under-merge")
+    edges.unpersist()
+    labels
+  }
+
+  /** Stage 4 — near-dup removal: MinHash-LSH pairs → connected
+    * components → keep the minimum id per duplicate cluster.
+    */
+  def nearDupDrop(docs: DataFrame, idCol: String, textCol: String,
+                  threshold: Double = 0.8, maxIter: Int = 50): DataFrame = {
+    val pairs = NearDup.minhashLshPairs(docs, idCol, textCol, threshold = threshold)
+      .select(col("id_a"), col("id_b"))
+    val labels = minLabelComponents(docs.select(col(idCol).as("node")), pairs, maxIter)
     val keepers = labels.filter(col("node") === col("label")).select(col("node").as(idCol))
     docs.join(keepers, Seq(idCol), "left_semi")
   }

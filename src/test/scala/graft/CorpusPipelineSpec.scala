@@ -37,6 +37,25 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(kept === Set(1L, 9L), s"got $kept")
   }
 
+  test("minLabelComponents: chain of 12 converges to one representative (fixpoint, not fixed-iteration)") {
+    // a 12-hop duplicate chain needs 11 one-hop propagations; the old
+    // maxIter=5 under-merged it. Pointer jumping should converge it in
+    // O(log n) rounds well under the backstop.
+    val nodes = (1L to 12L).toDF("node")
+    val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = CorpusPipeline.minLabelComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet === Set(1L), s"all nodes must label to 1, got $labels")
+  }
+
+  test("minLabelComponents: disjoint components keep distinct min labels") {
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("node")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = CorpusPipeline.minLabelComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("tokenBudget: two-level cumulative cut matches a naive global cumsum") {
     val docs = (1L to 300L).map(i => (i, ("w " * ((i % 7).toInt + 1)).trim)).toDF("doc_id", "text")
     val out = CorpusPipeline.tokenBudget(docs, "doc_id", "text", budget = 200, bucketSize = 50)
