@@ -19,10 +19,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++
       ExtendedQueries.queries ++ ParityQueries.queries ++
-      UdfParityQueries.queries
+      UdfParityQueries.queries ++ PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++
       ExtendedQueries.oracle ++ ParityQueries.oracle ++
-      UdfParityQueries.oracle
+      UdfParityQueries.oracle ++ PipelineQueries.oracle
 }

@@ -37,6 +37,7 @@ object TimeOps {
     "yyyy-MM-dd'T'HH:mm:ss",
     "yyyy/MM/dd HH:mm:ss",
     "MM/dd/yyyy HH:mm:ss",
+    "MM/dd/yyyy hh:mm:ss a", // cherwell's %I:%M:%S %p (cherwell_incidents_dataflow.py:76)
     "MM-dd-yyyy HH:mm:ss",
     "MMM dd yyyy HH:mm:ss",
     "MMM dd, yyyy HH:mm:ss",

@@ -1,0 +1,88 @@
+package graft.pipelines
+
+import graft.functions.RefFunctions
+import graft.operators.{ColumnOps, NestedOps, TimeOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Computronix PLI permits (WPRDC export) driver
+  * (computronix_pli_permits_wprdc_dataflow.py:24-104): the OData
+  * export nests `base → JOBPARCELXREF[0] → PARCEL →
+  * PARCELPARCELOWNERXREF[0] → PARCELOWNER`; the two xref levels are
+  * flattened into the row (missing level → NULL fields, the
+  * reference's IndexError branch), names are swapped to snake_case,
+  * string fields upper-cased, `issue_date` gets the UTC/EST/UNIX
+  * triple, and the parcel number is standardized to the county
+  * 16-char format.
+  *
+  * Spark shape: pure nested-access column expressions — a single
+  * narrow projection, no explode (xrefs are take-first by contract),
+  * no shuffle.
+  */
+object ComputronixPliPipeline {
+
+  /** computronix_pli_permits_wprdc_dataflow.py:81-86. */
+  val nameSwaps: Seq[(String, String)] = Seq(
+    "EXTERNALFILENUM" -> "ext_file_num", "ISSUEDATE" -> "issue_date",
+    "OWNERNAME" -> "owner_name", "ALLCONTRACTORSNAME" -> "contractor_name",
+    "TOTALPROJECTVALUE" -> "total_proj_val",
+    "TYPEOFWORKDESCRIPTION" -> "type_work",
+    "COMMERCIALORRESIDENTIAL" -> "commercial_or_residential",
+    "WORKDESCRIPTION" -> "work_desc",
+    "FORMATTEDPARCELNUMBER" -> "parc_num",
+    "ADDRESSABLEOBJEFORMATTEDADDRES" -> "obj_address")
+
+  /** computronix_pli_permits_wprdc_dataflow.py:88-90 — `permit_type`
+    * arrives lower-cased from the loader
+    * (computronix_pli_permits_wprdc_gcs.py:70).
+    */
+  val upperFields: Seq[String] = Seq(
+    "ext_file_num", "permit_type", "owner_name", "contractor_name",
+    "type_work", "commercial_or_residential", "work_desc", "parc_num",
+    "obj_address")
+
+  /** Raw OData export shape (computronix_pli_permits_wprdc_gcs.py:28-40). */
+  val rawSchema: StructType = {
+    val parcelOwner = StructType(Seq(StructField("OWNERNAME", StringType)))
+    val ownerXref   = ArrayType(StructType(Seq(StructField("PARCELOWNER", parcelOwner))))
+    val parcel = StructType(Seq(
+      StructField("FORMATTEDPARCELNUMBER", StringType),
+      StructField("ADDRESSABLEOBJEFORMATTEDADDRES", StringType),
+      StructField("PARCELPARCELOWNERXREF", ownerXref)))
+    val jobXref = ArrayType(StructType(Seq(StructField("PARCEL", parcel))))
+    StructType(Seq(
+      StructField("EXTERNALFILENUM", StringType),
+      StructField("permit_type", StringType),
+      StructField("ISSUEDATE", StringType),
+      StructField("ALLCONTRACTORSNAME", StringType),
+      StructField("TYPEOFWORKDESCRIPTION", StringType),
+      StructField("COMMERCIALORRESIDENTIAL", StringType),
+      StructField("WORKDESCRIPTION", StringType),
+      StructField("TOTALPROJECTVALUE", DoubleType),
+      StructField("JOBPARCELXREF", jobXref)))
+  }
+
+  /** Two-level xref flatten → rename → upper-case → time triple →
+    * parcel standardization.
+    */
+  def transform(raw: DataFrame): DataFrame = {
+    val unnested = NestedOps.unNestXref(raw,
+      xref1 = "JOBPARCELXREF", table1 = "PARCEL",
+      fields1 = Seq("FORMATTEDPARCELNUMBER", "ADDRESSABLEOBJEFORMATTEDADDRES"),
+      xref2 = "PARCELPARCELOWNERXREF", table2 = "PARCELOWNER",
+      fields2 = Seq("OWNERNAME"))
+      .drop("JOBPARCELXREF")
+    val renamed = ColumnOps.renameFields(unnested, nameSwaps)
+    val uppered = upperFields.foldLeft(renamed)(
+      (d, f) => ColumnOps.convertStringCase(d, f, "upper"))
+    val timed = TimeOps.standardizeTimes(uppered, Seq("issue_date" -> "US/Eastern"))
+    timed.withColumn("parc_num", RefFunctions.standardizeParcelNumUdf(col("parc_num")))
+  }
+
+  /** End-to-end batch; returns (permits, quarantine). */
+  def runBatch(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val (raw, quarantine) = graft.sources.JsonSource.readRepaired(spark, path, rawSchema)
+    (transform(raw), quarantine)
+  }
+}
