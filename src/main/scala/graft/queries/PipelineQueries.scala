@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipelines.{CherwellPipeline, ComputronixPliPipeline}
+import graft.pipelines.{CherwellPipeline, ComputronixPliPipeline, EmployeeAdminPipeline}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -71,6 +71,85 @@ object PipelineQueries {
       |"PARCELPARCELOWNERXREF": []}}]}""")
     .map(_.stripMargin.replace("\n", " "))
 
+  // ------------------------------------------------------------------
+  // q55-q57 — employee-admin report family (ceridian_admin.py +
+  // intime_admin.py) over literal rosters; the DuckDB oracle is the
+  // reference SQL itself over the same VALUES
+  // ------------------------------------------------------------------
+
+  /** (employee_num, display_name, job_title, dept_desc, base_salary,
+    * ethnicity, gender, status). base_salary < 0 encodes NULL (keeps
+    * the tuple encoder simple).
+    */
+  private val employeeRows: Seq[(Long, String, String, String, Double, String, String, String)] = Seq(
+    (1L, "Ann Lee", "Engineer", "DPW", 50000.0, "White", "M", "Active"),
+    (2L, "Bo Chen", "Engineer", "DPW", 71000.0, "Black", "F", "Active"),
+    (3L, "Cy Diaz", "Clerk", "Finance", 17000.0, "Asian", "F", "Active"),
+    (4L, "Di Epps", "Analyst", "Finance", 30000.0, "White", "F", "Active"),
+    (5L, "Ed Furr", "Community Liaison", "Office of the Mayor", 45000.0, "White", "M", "Active"),
+    (6L, "Fay Gold", "Community Liaison", "DPW", 33000.0, "Black", "F", "Active"),
+    (7L, "Gus Hart", "Engineer", "Historical", 60000.0, "White", "M", "Terminated"),
+    (8L, "Ivy Jain", "Clerk", "Non-Employee Benefits", 18000.0, "Asian", "F", "Active"),
+    (9L, "Kim Lund", "Clerk", "Finance", -1.0, "White", "M", "Active"),
+    // duplicate employee_num 3: second position row (distinct-count vs
+    // row-count divergence for the pct table)
+    (3L, "Cy Diaz", "Clerk", "Finance", 17500.0, "Asian", "F", "Active"))
+
+  private def employeesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    employeeRows.toDF("employee_num", "display_name", "job_title", "dept_desc",
+        "__sal", "ethnicity", "gender", "status")
+      .withColumn("base_salary", when(col("__sal") < 0, lit(null)).otherwise(col("__sal")))
+      .drop("__sal")
+  }
+
+  private val employeeValuesSql: String = employeeRows.map { r =>
+    val sal = if (r._5 < 0) "NULL" else r._5.toString
+    s"(${r._1}, '${r._2}', '${r._3}', '${r._4}', $sal, '${r._6}', '${r._7}', '${r._8}')"
+  }.mkString(", ")
+
+  private val salaryCaseSql: String =
+    """CASE
+      |  WHEN base_salary <= 15999.89 THEN '$0.1 - $15.9'
+      |  WHEN base_salary BETWEEN 16000.00 AND 19999.99 THEN '$16.0 - $19.9'
+      |  WHEN base_salary BETWEEN 20000.00 AND 24999.99 THEN '$20.0 - $24.9'
+      |  WHEN base_salary BETWEEN 25000.00 AND 32999.99 THEN '$25.0 - $32.9'
+      |  WHEN base_salary BETWEEN 33000.00 AND 42999.99 THEN '$33.0 - $42.9'
+      |  WHEN base_salary BETWEEN 43000.00 AND 54999.99 THEN '$43.0 - $54.9'
+      |  WHEN base_salary BETWEEN 55000.00 AND 69999.99 THEN '$55.0 - $69.9'
+      |  WHEN base_salary >= 70000.00 THEN '$70.0 PLUS'
+      |  ELSE 'Unknown Range'
+      |END""".stripMargin
+
+  /** (assignment_id, parent_assignment_id [0 = NULL], employee_id,
+    * permanent_rank, activity_name, start, end, unit, sub_assignment).
+    */
+  private val assignmentRows: Seq[(Long, Long, Long, String, String, String, String, String, Boolean)] = Seq(
+    (101L, 0L, 11L, "Sergeant", "Acting Lieutenant",
+      "2024-01-01 08:00:00", "2024-01-01 16:00:00", "Zone 1", false),
+    (102L, 0L, 12L, "Officer", "Patrol",
+      "2024-01-01 08:00:00", "2024-01-01 16:00:00", "Zone 2", false),
+    (103L, 102L, 12L, "Officer", "Acting Sergeant",
+      "2024-01-01 08:00:00", "2024-01-01 16:00:00", "Zone 2", true),
+    (104L, 0L, 11L, "Sergeant", "Desk Officer",
+      "2024-01-01 17:00:00", "2024-01-01 20:00:00", "Zone 1", false))
+
+  private def assignmentsDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    assignmentRows.toDF("assignment_id", "__parent", "employee_id",
+        "permanent_rank", "activity_name", "__start", "__end", "unit", "sub_assignment")
+      .withColumn("parent_assignment_id",
+        when(col("__parent") === 0L, lit(null)).otherwise(col("__parent")))
+      .withColumn("scheduled_start_time", col("__start").cast("timestamp"))
+      .withColumn("scheduled_end_time", col("__end").cast("timestamp"))
+      .drop("__parent", "__start", "__end")
+  }
+
+  private val assignmentValuesSql: String = assignmentRows.map { r =>
+    val parent = if (r._2 == 0L) "NULL" else r._2.toString
+    s"(${r._1}, $parent, ${r._3}, '${r._4}', '${r._5}', TIMESTAMP '${r._6}', TIMESTAMP '${r._7}', '${r._8}', ${r._9})"
+  }.mkString(", ")
+
   val queries: Map[String, Q] = Map(
     // the full cherwell composition; booleans cast to INT for the
     // oracle hash (nullable booleans hash unreliably across engines)
@@ -95,6 +174,36 @@ object PipelineQueries {
           col("parc_num"), col("obj_address"), col("total_proj_val"),
           col("commercial_or_residential"),
           col("issue_date_UNIX").as("issue_unix"))
+    }),
+
+    // EEO-4 over the persona roster: right-outer function lookup +
+    // Community-Liaison split + salary banding + grouped counts
+    "q55_eeo4_report" -> ((s, _) => {
+      import s.implicits._
+      val jobDetails = Seq(
+        ("Engineer", "Professionals"), ("Clerk", "Administrative Support"),
+        ("Laborer", "Skilled Craft")).toDF("job_title", "job_function")
+      EmployeeAdminPipeline.eeo4Report(jobDetails, employeesDf(s))
+    }),
+
+    // pct-of-total demographics + hardcoded overall-city baselines
+    "q56_pct_table" -> ((s, _) => {
+      EmployeeAdminPipeline.percentageTable(employeesDf(s), "gender",
+        Seq(("F", 0.52), ("M", 0.48)))
+        .select(col("gender"), round(col("percentage"), 6).as("percentage"), col("type"))
+    }),
+
+    // InTime acting-rank assignment resolution (double left join +
+    // sub-assignment self-join + CASE chain + as-of window)
+    "q57_current_assignments" -> ((s, _) => {
+      import s.implicits._
+      val employeeData = Seq(
+        (11L, "Jane Sgt", "Station 1"), (12L, "Bob Off", "Station 2"),
+        (13L, "Idle Ida", "Station 3")).toDF("employee_id", "display_name", "unit")
+      EmployeeAdminPipeline.currentAssignments(employeeData, assignmentsDf(s),
+        asOf = "2024-01-01 12:00:00")
+        .select("ceridian_id", "display_name", "permanent_rank", "current_rank",
+          "current_activity", "sub_activity", "permanent_unit", "current_unit")
     }))
 
   val oracle: Map[String, String] = Map(
