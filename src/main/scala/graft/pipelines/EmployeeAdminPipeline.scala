@@ -184,15 +184,17 @@ object EmployeeAdminPipeline {
   def currentAssignments(employeeData: DataFrame, assignments: DataFrame,
                          asOf: String): DataFrame = {
     val a = assignments.alias("a")
+    // the parent-id key is renamed so it can't collide with `a`'s own
+    // parent_assignment_id column in the join condition
     val sub = assignments.filter(col("sub_assignment") === true)
       .select(col("assignment_id").as("sub_assignment_id"),
-        col("parent_assignment_id"),
+        col("parent_assignment_id").as("__sub_parent"),
         col("activity_name").as("sub_activity"),
         col("scheduled_start_time").as("sub_activity_start_time"),
         col("scheduled_end_time").as("sub_activity_end_time"))
     val joined = employeeData.alias("e")
       .join(a, col("e.employee_id") === col("a.employee_id"), "left")
-      .join(broadcast(sub), col("a.assignment_id") === col("parent_assignment_id"), "left")
+      .join(broadcast(sub), col("a.assignment_id") === col("__sub_parent"), "left")
     val currentRank =
       when(col("a.activity_name").like("Acting%"), col("a.activity_name"))
         .when(col("a.activity_name") === "Desk Officer", col("a.activity_name"))

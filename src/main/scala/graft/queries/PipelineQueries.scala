@@ -235,5 +235,77 @@ object PipelineQueries {
         |  ('DC2022-00007', 'MECHANICAL', NULL, '0123A00045000000',
         |   '9 OAK AVE', 800.5, 'RESIDENTIAL', 1626321600)
         |) t(ext_file_num, permit_type, owner_name, parc_num, obj_address,
-        |    total_proj_val, commercial_or_residential, issue_unix)""".stripMargin)
+        |    total_proj_val, commercial_or_residential, issue_unix)""".stripMargin,
+
+    // the reference's EEO-4 SQL (ceridian_admin.py:5-57) translated to
+    // DuckDB over the same VALUES roster
+    "q55_eeo4_report" ->
+      s"""WITH employees AS (SELECT * FROM (VALUES $employeeValuesSql)
+         |  t(employee_num, display_name, job_title, dept_desc, base_salary, ethnicity, gender, status)),
+         |job_details AS (SELECT * FROM (VALUES
+         |  ('Engineer', 'Professionals'), ('Clerk', 'Administrative Support'),
+         |  ('Laborer', 'Skilled Craft')) t(job_title, job_function)),
+         |general AS (
+         |  SELECT j.job_function, e.base_salary, e.ethnicity, e.gender
+         |  FROM job_details j RIGHT JOIN (
+         |    SELECT job_title, base_salary, ethnicity, gender FROM employees
+         |    WHERE dept_desc NOT IN ('Non-Employee Benefits', 'Historical')
+         |      AND job_title <> 'Community Liaison') e USING (job_title)),
+         |unioned AS (
+         |  SELECT job_function, $salaryCaseSql AS salary_range, ethnicity, gender FROM general
+         |  UNION ALL
+         |  SELECT 'Officials and Administrators', $salaryCaseSql, ethnicity, gender FROM employees
+         |  WHERE job_title = 'Community Liaison' AND dept_desc = 'Office of the Mayor'
+         |  UNION ALL
+         |  SELECT 'Professionals', $salaryCaseSql, ethnicity, gender FROM employees
+         |  WHERE job_title = 'Community Liaison' AND dept_desc <> 'Office of the Mayor')
+         |SELECT job_function, salary_range, ethnicity, gender, COUNT(*) AS counts
+         |FROM unioned GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // pct-of-total demographics (ceridian_admin.py:60-79)
+    "q56_pct_table" ->
+      s"""WITH employees AS (SELECT * FROM (VALUES $employeeValuesSql)
+         |  t(employee_num, display_name, job_title, dept_desc, base_salary, ethnicity, gender, status)),
+         |grouped AS (
+         |  SELECT gender, COUNT(DISTINCT employee_num) AS cnt, COUNT(*) AS nrows
+         |  FROM employees WHERE status = 'Active' GROUP BY gender),
+         |city AS (
+         |  SELECT gender, CAST(cnt AS DOUBLE) / SUM(nrows) OVER () AS percentage,
+         |    'City Employee' AS type FROM grouped)
+         |SELECT gender, ROUND(percentage, 6) AS percentage, type FROM city
+         |UNION ALL
+         |SELECT * FROM (VALUES ('F', CAST(0.52 AS DOUBLE), 'Overall City'),
+         |  ('M', CAST(0.48 AS DOUBLE), 'Overall City')) t(gender, percentage, type)""".stripMargin,
+
+    // InTime acting-rank resolution (intime_admin.py:4-31)
+    "q57_current_assignments" ->
+      s"""WITH employee_data AS (SELECT * FROM (VALUES
+         |  (11, 'Jane Sgt', 'Station 1'), (12, 'Bob Off', 'Station 2'),
+         |  (13, 'Idle Ida', 'Station 3')) t(employee_id, display_name, unit)),
+         |assignments AS (SELECT * FROM (VALUES $assignmentValuesSql)
+         |  t(assignment_id, parent_assignment_id, employee_id, permanent_rank,
+         |    activity_name, scheduled_start_time, scheduled_end_time, unit, sub_assignment)),
+         |sub AS (
+         |  SELECT assignment_id AS sub_assignment_id, parent_assignment_id AS sub_parent,
+         |    activity_name AS sub_activity
+         |  FROM assignments WHERE sub_assignment),
+         |joined AS (
+         |  SELECT e.employee_id, e.display_name, e.unit AS permanent_unit,
+         |    a.permanent_rank, a.activity_name, a.unit AS current_unit,
+         |    a.scheduled_start_time, a.scheduled_end_time, s.sub_activity
+         |  FROM employee_data e
+         |  LEFT JOIN assignments a ON e.employee_id = a.employee_id
+         |  LEFT JOIN sub s ON a.assignment_id = s.sub_parent)
+         |SELECT CAST(employee_id AS BIGINT) AS ceridian_id, display_name, permanent_rank,
+         |  CASE WHEN activity_name LIKE 'Acting%' THEN activity_name
+         |       WHEN activity_name = 'Desk Officer' THEN activity_name
+         |       WHEN COALESCE(activity_name, '') <> sub_activity
+         |         AND sub_activity LIKE 'Acting%' THEN sub_activity
+         |       ELSE permanent_rank END AS current_rank,
+         |  activity_name AS current_activity, sub_activity,
+         |  permanent_unit, current_unit
+         |FROM joined
+         |WHERE (activity_name IS NOT NULL OR sub_activity IS NOT NULL)
+         |  AND TIMESTAMP '2024-01-01 12:00:00'
+         |    BETWEEN scheduled_start_time AND scheduled_end_time""".stripMargin)
 }
