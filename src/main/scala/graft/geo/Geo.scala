@@ -171,4 +171,38 @@ object Geo {
       .withColumn("latitude", col("__cen").getItem(1))
       .drop("__pk", "__cen")
   }
+
+  /** WKT producer twin of ConvertGeography for plain coordinate
+    * columns (the `ST_GEOGPOINT(long, lat)` pattern across the
+    * reference's geo SQL): formats at a fixed decimal precision so the
+    * text is engine-independent. NULL if either coordinate is NULL.
+    */
+  def wktPoint(lng: Column, lat: Column, decimals: Int = 6): Column = {
+    val fmt = s"%.${decimals}f"
+    when(lng.isNull || lat.isNull, lit(null))
+      .otherwise(concat(lit("POINT("), format_string(fmt, lng), lit(" "),
+        format_string(fmt, lat), lit(")")))
+  }
+
+  /** ConvertGeography (dataflow_utils.py:266-297): turn the
+    * reference's "[{lat: Y1, lng: X1}, {lat: Y2, lng: X2}]"
+    * coordinate-list strings into WKT bodies — each pair reversed to
+    * "X Y", comma-joined, wrapped in the requested geography type
+    * (POLYGON gets double parens). Expression-only (regexp_extract_all
+    * + transform + array_join, all codegen-friendly); the numeric text
+    * is passed through verbatim, never parsed to float. Empty/NULL
+    * input → NULL, matching the reference's falsy check.
+    */
+  def convertGeography(c: Column, geoType: String = ""): Column = {
+    val pairs = regexp_extract_all(c, lit("\\{[^}]*\\}"), lit(0))
+    val rev = transform(pairs, p => concat(
+      regexp_extract(p, "lng: ([^,}]+)", 1), lit(" "),
+      regexp_extract(p, "lat: ([^,}]+)", 1)))
+    val body = array_join(rev, ", ")
+    val wrapped =
+      if (geoType.isEmpty) body
+      else if (geoType.contains("POLYGON")) concat(lit(s"$geoType(("), body, lit("))"))
+      else concat(lit(s"$geoType("), body, lit(")"))
+    when(c.isNull || length(c) === 0, lit(null)).otherwise(wrapped)
+  }
 }

@@ -185,6 +185,30 @@ object ColumnOps {
       .drop("__ck", "__cv")
   }
 
+  /** GetValsFromExternalFile untracked-value report
+    * (dataflow_utils.py:476-477): the distinct source values absent
+    * from the crosswalk, with occurrence counts. The reference prints
+    * these per record for ops to chase; as a frame they feed a
+    * quarantine/report sink instead, and the count is one broadcast
+    * anti-join + one shuffle of only the unmatched distinct keys.
+    */
+  def crosswalkUnmatched(
+      df: DataFrame, field: String, lookup: DataFrame,
+      keyCol: String): DataFrame =
+    df.select(col(field).cast(StringType).as("untracked_value"))
+      .where(col("untracked_value").isNotNull && col("untracked_value") =!= "")
+      .join(broadcast(lookup.select(col(keyCol).cast(StringType).as("untracked_value"))),
+        Seq("untracked_value"), "left_anti")
+      .groupBy("untracked_value").agg(count(lit(1)).as("n_occurrences"))
+
+  /** Literal-map variant of [[crosswalkUnmatched]]. */
+  def crosswalkMapUnmatched(
+      df: DataFrame, field: String, mapping: Map[String, String]): DataFrame =
+    df.select(col(field).cast(StringType).as("untracked_value"))
+      .where(col("untracked_value").isNotNull && col("untracked_value") =!= ""
+        && !col("untracked_value").isin(mapping.keys.toSeq: _*))
+      .groupBy("untracked_value").agg(count(lit(1)).as("n_occurrences"))
+
   /** set_col_b_based_on_col_a_val (pandas_utils.py:183-190). */
   def setColBBasedOnColA(
       df: DataFrame, colA: String, matchVal: String, colB: String,

@@ -108,6 +108,26 @@ object UdfParityQueries {
       Geo.revGeoZone(pts, zones, outCol = "zone",
         latCol = "lat", longCol = "long", eventUnixCol = "create_date_unix")
         .groupBy("zone").agg(count(lit(1)).as("n"))
+    }),
+
+    // §2.3 ConvertGeography (dataflow_utils.py:266-297) + the WKT
+    // point producer: the engine builds the reference's
+    // "[{lat: Y, lng: X}, ...]" string per customer, then must parse
+    // it back out into WKT; the oracle constructs the expected WKT
+    // directly from the same arithmetic, so any parse defect mismatches
+    "q58_convert_geography" -> ((s, d) => {
+      val c = s.read.parquet(s"$d/customer.parquet")
+      val lat1 = (col("c_custkey") % 100).cast(DoubleType) / 100.0 + 40.0
+      val lng1 = floor(col("c_acctbal")) / 10000.0 - 80.0
+      val raw2 = format_string("[{lat: %.4f, lng: %.4f}, {lat: %.4f, lng: %.4f}]",
+        lat1, lng1, lat1 + 0.01, lng1 + 0.01)
+      val raw1 = format_string("[{lat: %.4f, lng: %.4f}]", lat1, lng1)
+      c.select(
+        col("c_custkey"),
+        Geo.convertGeography(raw2, "LINESTRING").as("line_wkt"),
+        Geo.convertGeography(raw2, "POLYGON").as("poly_wkt"),
+        Geo.convertGeography(raw1, "POINT").as("pt_parsed_wkt"),
+        Geo.wktPoint(lng1, lat1, decimals = 4).as("point_wkt"))
     })
   )
 
@@ -217,6 +237,25 @@ object UdfParityQueries {
         |  WHEN long >= 0 AND long <= 5 AND lat >= 0 AND lat <= 10 AND t >= 1705000001 THEN 'west_new'
         |  WHEN long >= 5 AND long <= 10 AND lat >= 0 AND lat <= 10 THEN 'east'
         |END AS zone, count(*) AS n
-        |FROM pts GROUP BY 1""".stripMargin
+        |FROM pts GROUP BY 1""".stripMargin,
+
+    "q58_convert_geography" ->
+      """WITH base AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 100 AS DOUBLE) / 100.0 + 40.0 AS lat1,
+        |    floor(c_acctbal) / 10000.0 - 80.0 AS lng1
+        |  FROM customer
+        |), f AS (
+        |  SELECT c_custkey,
+        |    printf('%.4f', lng1) AS x1, printf('%.4f', lat1) AS y1,
+        |    printf('%.4f', lng1 + 0.01) AS x2, printf('%.4f', lat1 + 0.01) AS y2
+        |  FROM base
+        |)
+        |SELECT c_custkey,
+        |  'LINESTRING(' || x1 || ' ' || y1 || ', ' || x2 || ' ' || y2 || ')' AS line_wkt,
+        |  'POLYGON((' || x1 || ' ' || y1 || ', ' || x2 || ' ' || y2 || '))' AS poly_wkt,
+        |  'POINT(' || x1 || ' ' || y1 || ')' AS pt_parsed_wkt,
+        |  'POINT(' || x1 || ' ' || y1 || ')' AS point_wkt
+        |FROM f""".stripMargin
   )
 }

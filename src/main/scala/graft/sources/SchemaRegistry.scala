@@ -30,6 +30,53 @@ object SchemaRegistry {
   def flatSchema(fields: (String, DataType)*): StructType =
     StructType(fields.map { case (n, t) => StructField(n, t, nullable = true) })
 
+  /** Parse a flat Avro `.avsc` record schema (the reference's external
+    * schema artifacts: `get_schema` dataflow_utils.py:836-841,
+    * `conv_avsc_to_bq_schema` gcs_utils.py:249-268) into a
+    * `StructType`. Union types drop `"null"` and take the first
+    * remaining branch; the BQ-oriented widenings from the reference
+    * apply (`integer`→int64, `float`→float64). Unknown/logical types
+    * degrade to string, matching the reference's pandas-load behavior.
+    */
+  def avscToStructType(avscJson: String): StructType = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val root = JsonMethods.parse(avscJson)
+    val fields = root \ "fields" match {
+      case JArray(fs) => fs
+      case _ => throw new IllegalArgumentException("avsc has no fields array")
+    }
+    StructType(fields.map { f =>
+      val name = f \ "name" match {
+        case JString(s) => s
+        case _ => throw new IllegalArgumentException(s"avsc field without name: $f")
+      }
+      val branches = f \ "type" match {
+        case JString(t) => Seq(t)
+        case JArray(ts) => ts.collect { case JString(t) => t }
+        case _ => Nil
+      }
+      val tpe = branches.filterNot(_ == "null").headOption.getOrElse("string")
+      StructField(name, avroTypeToSpark(tpe), nullable = true)
+    })
+  }
+
+  /** Load + parse an `.avsc` file from the local filesystem. */
+  def loadAvsc(path: String): StructType =
+    avscToStructType(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
+
+  private def avroTypeToSpark(t: String): DataType = t match {
+    case "string" => StringType
+    case "int" | "integer" => LongType // reference widens to int64
+    case "long" => LongType
+    case "float" | "double" => DoubleType // reference widens to float64
+    case "boolean" => BooleanType
+    case "bytes" => BinaryType
+    case _ => StringType
+  }
+
   /** Schema-enforced ndjson read (with dirty-JSON repair). */
   def readFeed(spark: SparkSession, feed: Feed, path: String): (DataFrame, DataFrame) =
     JsonSource.readRepaired(spark, path, feed.schema)

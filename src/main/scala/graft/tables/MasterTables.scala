@@ -75,13 +75,22 @@ object MasterTables {
       master: DataFrame, children: DataFrame,
       parentKey: String, childParentKey: String,
       childCols: Seq[String]): DataFrame = {
+    // childCols.head is the child's id: a re-arriving child replaces
+    // its previous struct instead of appending a duplicate, so
+    // re-running the same batch is a no-op (the reference's re-run
+    // semantics, SURVEY §7 hard part 2)
+    val childId = childCols.head
     val agg = children
       .groupBy(col(childParentKey).as(parentKey))
       .agg(collect_list(struct(childCols.map(col): _*)).as("__new_children"))
     master.join(agg, Seq(parentKey), "left")
       .withColumn("child_tickets",
         when(col("__new_children").isNotNull,
-          concat(coalesce(col("child_tickets"), array()), col("__new_children")))
+          concat(
+            filter(coalesce(col("child_tickets"), array()),
+              c => !array_contains(
+                transform(col("__new_children"), n => n(childId)), c(childId))),
+            col("__new_children")))
           .otherwise(col("child_tickets")))
       .withColumn("num_requests", size(coalesce(col("child_tickets"), array())) + 1)
       .drop("__new_children")

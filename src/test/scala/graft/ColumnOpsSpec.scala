@@ -100,6 +100,19 @@ class ColumnOpsSpec extends SparkSpec {
       Seq("Mount Oliver", "Shadyside", "Unknownville"))
   }
 
+  test("crosswalkUnmatched surfaces untracked values with counts (:476-477)") {
+    val df = Seq("Mt. Oliver", "Unknownville", "Unknownville", "Lostburg", "", null)
+      .toDF("hood")
+    val lookup = Seq(("Mt. Oliver", "Mount Oliver")).toDF("k", "v")
+    val joined = ColumnOps.crosswalkUnmatched(df, "hood", lookup, "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(joined === Map("Unknownville" -> 2L, "Lostburg" -> 1L))
+    val mapped = ColumnOps.crosswalkMapUnmatched(df, "hood",
+      Map("Mt. Oliver" -> "Mount Oliver"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mapped === Map("Unknownville" -> 2L, "Lostburg" -> 1L))
+  }
+
   test("convertStringCase variants (:300-323)") {
     val df = Seq("hello world").toDF("s")
     assert(ColumnOps.convertStringCase(df, "s", "upper").head().getString(0) === "HELLO WORLD")

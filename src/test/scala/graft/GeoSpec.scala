@@ -82,6 +82,35 @@ class GeoSpec extends SparkSpec {
     assert(m.get(3L).flatMap(Option(_)).isEmpty)
   }
 
+  test("convertGeography builds WKT from coord-list strings (dataflow_utils.py:266-297)") {
+    val df = Seq(
+      (1L, "[{lat: 40.44, lng: -79.99}]"),
+      (2L, "[{lat: 40.44, lng: -79.99}, {lat: 40.45, lng: -79.98}]"),
+      (3L, ""),
+      (4L, null: String))
+      .toDF("id", "geo")
+    val out = df.select(col("id"),
+        Geo.convertGeography(col("geo"), "POINT").as("pt"),
+        Geo.convertGeography(col("geo"), "POLYGON").as("poly"),
+        Geo.convertGeography(col("geo")).as("bare"))
+      .as[(Long, Option[String], Option[String], Option[String])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L)._1 === Some("POINT(-79.99 40.44)"))
+    assert(out(2L)._2 === Some("POLYGON((-79.99 40.44, -79.98 40.45))"))
+    assert(out(2L)._3 === Some("-79.99 40.44, -79.98 40.45"))
+    assert(out(3L)._1 === None) // falsy input → None, as the reference
+    assert(out(4L)._1 === None)
+  }
+
+  test("wktPoint formats at fixed precision, NULL-safe") {
+    val df = Seq((1L, Some(-79.5), Some(40.25)), (2L, None, Some(40.0)))
+      .toDF("id", "lng", "lat")
+    val out = df.select(col("id"), Geo.wktPoint(col("lng"), col("lat"), 2).as("w"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L) === Some("POINT(-79.50 40.25)"))
+    assert(out(2L) === None)
+  }
+
   test("parcelCentroidJoin: broadcast centroid lookup (geo_queries.py:111-120)") {
     val parcels = Seq(("0001X00001000101", unitSquare)).toDF("zone", "geometry")
     val df = Seq(("0001X00001000101", "a"), ("9999Z99999999999", "b"))

@@ -77,4 +77,31 @@ class JsonSourceSpec extends SparkSpec {
     val (rows, bad) = read("""{"a": 1, "b": "x"}""", "", "   ")
     assert(rows.length === 1 && bad === 0)
   }
+
+  test("avscToStructType parses reference-shaped avsc files (gcs_utils.py:249-268)") {
+    val avsc =
+      """{"name": "qalert_requests", "type": "record", "fields": [
+        |  {"name": "id", "type": ["null", "long"]},
+        |  {"name": "status", "type": ["null", "string"]},
+        |  {"name": "priority", "type": ["null", "integer"]},
+        |  {"name": "lat", "type": ["null", "float"]},
+        |  {"name": "flag", "type": "boolean"},
+        |  {"name": "payload", "type": ["null", "bytes"]},
+        |  {"name": "created", "type": ["null", "timestamp"]}
+        |]}""".stripMargin
+    val st = graft.sources.SchemaRegistry.avscToStructType(avsc)
+    assert(st.fields.map(f => f.name -> f.dataType).toSeq === Seq(
+      "id" -> LongType, "status" -> StringType,
+      "priority" -> LongType, // reference widens integer→int64
+      "lat" -> DoubleType,    // reference widens float→float64
+      "flag" -> BooleanType, "payload" -> BinaryType,
+      "created" -> StringType)) // unknown/logical degrades to string
+    assert(st.fields.forall(_.nullable))
+
+    // file loader round-trip
+    val dir = Files.createTempDirectory("avsc").toFile
+    val f = new java.io.File(dir, "feed.avsc")
+    Files.write(f.toPath, avsc.getBytes)
+    assert(graft.sources.SchemaRegistry.loadAvsc(f.getPath) === st)
+  }
 }

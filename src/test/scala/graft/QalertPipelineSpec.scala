@@ -122,6 +122,33 @@ class QalertPipelineSpec extends SparkSpec {
     assert(export2.filter(col("id") === "8").count() === 1)
   }
 
+  test("integrate is idempotent: re-running the same batch leaves masters unchanged") {
+    val dir = Files.createTempDirectory("qalert3").toFile
+    val lines = Seq(
+      j(1, 0, 0, "123", "Main St", 2.0, 2.0, "parent one"),
+      j(2, 0, 1, "456", "Oak Ave", 7.0, 7.0, "closed parent"),
+      j(3, 1, 0, "123", "Main St", 2.0, 2.0, "child of 1"),
+      j(4, 1, 0, "124", "Main St", 2.0, 2.0, "second child of 1"))
+    val f = new java.io.File(dir, "b.json")
+    Files.write(f.toPath, lines.mkString("\n").getBytes)
+
+    val (raw, _) = graft.sources.JsonSource.readRepaired(spark, f.getPath, QalertPipeline.rawSchema)
+    val shaped = QalertPipeline.enrich(
+      QalertPipeline.formatDedupe(QalertPipeline.transform(raw)), cityWkt, enclaveWkt, zones)
+    val m1 = QalertPipeline.integrate(QalertPipeline.emptyMasters(spark, shaped), shaped)
+    val m2 = QalertPipeline.integrate(m1, shaped) // re-run, same batch
+
+    // child arrays must not grow on the re-run
+    val p1 = m2.allLinked.filter(col("id") === "1").head()
+    assert(p1.getAs[Seq[_]]("child_tickets").length === 2)
+    assert(p1.getAs[Long]("num_requests") === 3L)
+    // whole master frames unchanged (unordered compare, both ways)
+    assert(m2.allLinked.exceptAll(m1.allLinked).count() === 0)
+    assert(m1.allLinked.exceptAll(m2.allLinked).count() === 0)
+    assert(m2.currentStatus.exceptAll(m1.currentStatus).count() === 0)
+    assert(m1.currentStatus.exceptAll(m2.currentStatus).count() === 0)
+  }
+
   test("private request types filtered from export (drop_pii row filter)") {
     val dir = Files.createTempDirectory("qalert2").toFile
     val lines = Seq(
