@@ -37,11 +37,12 @@ object NestedOps {
     * `additionalNestedField`) from it as a string. Used 29× by
     * cherwell_incidents_dataflow.py:39-74.
     */
-  def extractFromStructList(
-      df: DataFrame, sourceField: String,
-      searchKey: String, searchValue: String,
-      nestedField: String, newFieldName: String,
-      additionalNestedField: String = ""): DataFrame = {
+  /** The column expression behind `extractFromStructList`, usable
+    * directly so many extracts can share one projection.
+    */
+  def structListExtractExpr(
+      sourceField: String, searchKey: String, searchValue: String,
+      nestedField: String, additionalNestedField: String = ""): Column = {
     val arr = col(sourceField)
     val matched = filter(arr, x => x.getField(searchKey) === searchValue)
     val fallback = filter(arr, x =>
@@ -51,7 +52,29 @@ object NestedOps {
     val v0 = chosen.getField(nestedField)
     val v  = if (additionalNestedField.nonEmpty) v0.getField(additionalNestedField) else v0
     val s  = v.cast(StringType)
-    df.withColumn(newFieldName, when(s === "", lit(null)).otherwise(s))
+    when(s === "", lit(null)).otherwise(s)
+  }
+
+  def extractFromStructList(
+      df: DataFrame, sourceField: String,
+      searchKey: String, searchValue: String,
+      nestedField: String, newFieldName: String,
+      additionalNestedField: String = ""): DataFrame =
+    df.withColumn(newFieldName, structListExtractExpr(
+      sourceField, searchKey, searchValue, nestedField, additionalNestedField))
+
+  /** Batch form of `extractFromStructList`: all pulls in ONE appended
+    * projection. Cherwell does 29 of these over the same array — as a
+    * fold of withColumn calls that is 29 full-plan re-analyses
+    * (seconds of pure planning); as one select it is one.
+    */
+  def extractAllFromStructList(
+      df: DataFrame, sourceField: String, searchKey: String,
+      valueField: String, specs: Seq[(String, String)]): DataFrame = {
+    val outs = specs.map { case (searchValue, out) =>
+      structListExtractExpr(sourceField, searchKey, searchValue, valueField).as(out)
+    }
+    df.select(col("*") +: outs: _*)
   }
 
   /** Field-absence search variant: first element where `absentField`

@@ -96,17 +96,25 @@ object TimeOps {
     * NULL/empty/unparseable input → all three NULL.
     */
   def standardizeTimes(df: DataFrame, specs: Seq[(String, String)]): DataFrame = {
-    // one appended projection for all columns: N withColumn calls cost
-    // O(N) full-plan re-analyses (the dominant cost of wide transforms
-    // like cherwell's 7-column triple — measured seconds of pure
-    // planning on a 4-row fixture), a single select costs one
-    val triples = specs.flatMap { case (f, tz) =>
-      val utcTs = fuzzyToTimestamp(col(f), tz)
+    // two projections, not one: the fuzzy parse (3 regexes + 17
+    // try_to_timestamp attempts) is materialised as `__ts_f` in the
+    // first, and the three outputs read the parsed attribute in the
+    // second. Inlining the parse into each triple output would copy
+    // the ~20-node tree ~7× per field — 7× the per-row parse compute
+    // and seconds of pure optimizer time on cherwell's 7-field plan.
+    // CollapseProject will not re-inline: the producer is non-cheap
+    // and referenced more than once. (Also a single select per stage:
+    // N withColumn calls cost O(N) full-plan re-analyses.)
+    val tsCols = specs.map { case (f, tz) => fuzzyToTimestamp(col(f), tz).as(s"__ts_$f") }
+    val parsed = df.select(col("*") +: tsCols: _*)
+    val triples = specs.flatMap { case (f, _) =>
+      val utcTs = col(s"__ts_$f")
       Seq(strftimeWithOffset(utcTs, "UTC").as(s"${f}_UTC"),
         strftimeWithOffset(utcTs, "US/Eastern").as(s"${f}_EST"),
         unix_timestamp(utcTs).as(s"${f}_UNIX"))
     }
-    df.select(col("*") +: triples: _*)
+    parsed.select(col("*") +: triples: _*)
+      .drop(specs.map { case (f, _) => s"__ts_$f" }: _*)
   }
 
   /** IdentifyActivePermits (computronix_gis_street_closures_dataflow.py:

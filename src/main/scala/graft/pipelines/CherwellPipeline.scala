@@ -67,9 +67,8 @@ object CherwellPipeline {
     * vocabulary.
     */
   def transform(raw: DataFrame): DataFrame = {
-    val extracted = fieldSpecs.foldLeft(raw) { case (d, (search, out)) =>
-      NestedOps.extractFromStructList(d, "fields", "name", search, "value", out)
-    }.drop("fields")
+    val extracted = NestedOps.extractAllFromStructList(
+      raw, "fields", "name", "value", fieldSpecs).drop("fields")
     ColumnOps.changeTypes(TimeOps.standardizeTimes(extracted, timeSpecs), typeSpecs)
   }
 

@@ -118,14 +118,15 @@ object TextQueries {
       val ivf = Ann.ivfKmeansTopK(queries, emb,
         "vec_id", "embedding", "vec_id", "embedding", k = 10,
         nCells = 16, nProbe = 8)
-      val hits = brute.select("query_id", "neighbor_id")
-        .join(ivf.select("query_id", "neighbor_id"),
-          Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("hits"))
-      brute.groupBy("query_id").agg(count(lit(1)).as("k"))
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          (coalesce(col("hits"), lit(0L)) / col("k")).as("recall"))
+      // one pass over brute: flag each true neighbor as hit/miss via a
+      // left join against the IVF result, then aggregate — scanning
+      // brute twice (hits + per-query k) would recompute the whole
+      // brute-force subtree
+      brute.select("query_id", "neighbor_id")
+        .join(ivf.select("query_id", "neighbor_id").withColumn("__hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg((sum(coalesce(col("__hit"), lit(0L))) / count(lit(1))).as("recall"))
         .agg(
           count(lit(1)).as("n_queries"),
           sum(when(col("recall") >= 0.3, 1L).otherwise(0L)).as("queries_recall_ge_30pct"),

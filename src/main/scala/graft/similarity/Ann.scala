@@ -145,7 +145,12 @@ object Ann {
 
     val corpusFeat = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"),
       array_to_vector(col(cVec).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+    // random init + few iterations: a coarse quantizer only has to
+    // partition space roughly — k-means|| init plus 10 Lloyd rounds
+    // costs ~20 scheduled jobs for centroids that probe-recall can't
+    // tell apart (recall bounds re-probed per SF via tools.IvfTune)
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
+      .setInitMode("random")
       .fit(corpusFeat.select("features"))
     val assigned = model.transform(corpusFeat)
       .select(col("prediction").as("cell"), col("neighbor_id"), col("__cv"))
@@ -168,11 +173,14 @@ object Ann {
     val scored = probes.join(assigned, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", round(NearDup.cosine(col("__qv"), col("__cv")), 4))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.select("query_id", "neighbor_id", "score").distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score")
+    // (query, neighbor) pairs are already unique — each corpus row
+    // lives in exactly one cell and a query's probe cells are distinct
+    // — so no dedup pass; the bounded-heap aggregate keeps the shuffle
+    // at ≤ k rows per query instead of every scored row
+    scored.groupBy("query_id")
+      .agg(graft.expressions.TopKAgg.topK(k)(col("neighbor_id"), col("score")).as("__topk"))
+      .select(col("query_id"), posexplode(col("__topk")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("score"))
   }
 }

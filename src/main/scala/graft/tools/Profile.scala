@@ -1,0 +1,35 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Time individual SparkEntry queries (min of N runs) at an SF dir —
+  * the Bench methodology on a named subset, for perf iteration.
+  * Usage: runMain graft.tools.Profile q52_ivf_recall [q53_...]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
+    catch { case _: Throwable => () }
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    for (name <- names) {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val a = once(); val b = once()
+      println(f"[profile] $name min=${math.min(a, b)}%.2f s (runs $a%.2f / $b%.2f)")
+    }
+    spark.stop()
+  }
+}
