@@ -19,10 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextQueries.queries ++
       ExtendedQueries.queries ++ ParityQueries.queries ++
-      UdfParityQueries.queries ++ PipelineQueries.queries
+      UdfParityQueries.queries ++ PipelineQueries.queries ++
+      FeedQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++
       ExtendedQueries.oracle ++ ParityQueries.oracle ++
-      UdfParityQueries.oracle ++ PipelineQueries.oracle
+      UdfParityQueries.oracle ++ PipelineQueries.oracle ++
+      FeedQueries.oracle
 }

@@ -127,14 +127,18 @@ object ColumnOps {
   def stripStrings(df: DataFrame, fields: Seq[String]): DataFrame =
     fields.foldLeft(df)((d, f) => d.withColumn(f, trim(col(f))))
 
-  /** StripBeforeDelim (dataflow_utils.py:663-685): split on delimiter,
-    * keep side `keep` (0 = before, 1 = after) — e.g. ISO timestamp → date
-    * by splitting at 'T'.
+  /** StripBeforeDelim (dataflow_utils.py:663-685): `value.split(delim)
+    * [keep]` — keep==0 is everything before the first delimiter;
+    * keep==1 is the SECOND split element (not the last), and a value
+    * with no delimiter raises IndexError in the reference, which nulls
+    * the field. NULL/empty input passes through unchanged (the `if
+    * datum[...]` guard).
     */
   def stripBeforeDelim(df: DataFrame, field: String, delim: String, keep: Int): DataFrame = {
-    val out =
-      if (keep == 0) substring_index(col(field), delim, 1)
-      else substring_index(col(field), delim, -1)
+    val c     = col(field)
+    val parts = split(c, java.util.regex.Pattern.quote(delim))
+    val out   = when(c.isNull || c === "", c)
+      .otherwise(try_element_at(parts, lit(keep + 1)))
     df.withColumn(field, out)
   }
 
@@ -171,6 +175,21 @@ object ColumnOps {
   def crosswalkMap(df: DataFrame, field: String, mapping: Map[String, String]): DataFrame = {
     val m = typedlit(mapping)
     df.withColumn(field, coalesce(element_at(m, col(field).cast(StringType)), col(field)))
+  }
+
+  /** GetValsFromExternalFile with a distinct update field
+    * (dataflow_utils.py:451-479, e.g. timebank `time_bank`→`code` at
+    * ceridian_accruals_dataflow.py:36): `updateField` receives the
+    * mapped value when the source is tracked, else the source value
+    * passes through (the reference defaults the missing update field
+    * to the source before mapping).
+    */
+  def crosswalkMapTo(
+      df: DataFrame, sourceField: String, updateField: String,
+      mapping: Map[String, String]): DataFrame = {
+    val m = typedlit(mapping)
+    val s = col(sourceField).cast(StringType)
+    df.withColumn(updateField, coalesce(try_element_at(m, s), s))
   }
 
   /** Crosswalk via broadcast lookup table (same semantics at scale — a

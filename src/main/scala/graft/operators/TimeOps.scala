@@ -79,23 +79,37 @@ object TimeOps {
     * string in zone `zone`: shift the instant, format the wall time,
     * append the computed `+HHMM` offset.
     */
-  private def strftimeWithOffset(utcTs: Column, zone: String): Column = {
-    val shifted   = convert_timezone(lit("UTC"), lit(zone), utcTs)
-    val offsetSec = unix_timestamp(shifted) - unix_timestamp(utcTs)
-    val absSec    = abs(offsetSec)
-    val offsetStr = concat(
-      when(offsetSec < 0, lit("-")).otherwise(lit("+")),
-      lpad((absSec / 3600).cast(IntegerType).cast(StringType), 2, "0"),
-      lpad(((absSec % 3600) / 60).cast(IntegerType).cast(StringType), 2, "0"))
-    concat(date_format(shifted, "MM/dd/yyyy HH:mm:ss"), offsetStr)
+  private def strftimeWithOffset(
+      utcTs: Column, zone: String,
+      tFormat: String = "%m/%d/%Y %H:%M:%S%z"): Column = {
+    val shifted      = convert_timezone(lit("UTC"), lit(zone), utcTs)
+    val appendOffset = tFormat.endsWith("%z")
+    val sparkPattern = (if (appendOffset) tFormat.stripSuffix("%z") else tFormat)
+      .replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
+      .replace("%H", "HH").replace("%M", "mm").replace("%S", "ss")
+    val wall = date_format(shifted, sparkPattern)
+    if (!appendOffset) wall
+    else {
+      val offsetSec = unix_timestamp(shifted) - unix_timestamp(utcTs)
+      val absSec    = abs(offsetSec)
+      val offsetStr = concat(
+        when(offsetSec < 0, lit("-")).otherwise(lit("+")),
+        lpad((absSec / 3600).cast(IntegerType).cast(StringType), 2, "0"),
+        lpad(((absSec % 3600) / 60).cast(IntegerType).cast(StringType), 2, "0"))
+      concat(wall, offsetStr)
+    }
   }
 
   /** StandardizeTimes (dataflow_utils.py:619-660): for each (field, tz)
     * emit `field_UTC` / `field_EST` strings in the reference's
     * `%m/%d/%Y %H:%M:%S%z` format and `field_UNIX` epoch seconds;
-    * NULL/empty/unparseable input → all three NULL.
+    * NULL/empty/unparseable input → all three NULL. `tFormat` is the
+    * reference's strftime output format override (e.g. `%m/%d/%Y`
+    * date-only strings at ceridian_timekeeping_dataflow.py:52).
     */
-  def standardizeTimes(df: DataFrame, specs: Seq[(String, String)]): DataFrame = {
+  def standardizeTimes(
+      df: DataFrame, specs: Seq[(String, String)],
+      tFormat: String = "%m/%d/%Y %H:%M:%S%z"): DataFrame = {
     // two projections, not one: the fuzzy parse (3 regexes + 17
     // try_to_timestamp attempts) is materialised as `__ts_f` in the
     // first, and the three outputs read the parsed attribute in the
@@ -109,8 +123,8 @@ object TimeOps {
     val parsed = df.select(col("*") +: tsCols: _*)
     val triples = specs.flatMap { case (f, _) =>
       val utcTs = col(s"__ts_$f")
-      Seq(strftimeWithOffset(utcTs, "UTC").as(s"${f}_UTC"),
-        strftimeWithOffset(utcTs, "US/Eastern").as(s"${f}_EST"),
+      Seq(strftimeWithOffset(utcTs, "UTC", tFormat).as(s"${f}_UTC"),
+        strftimeWithOffset(utcTs, "US/Eastern", tFormat).as(s"${f}_EST"),
         unix_timestamp(utcTs).as(s"${f}_UNIX"))
     }
     parsed.select(col("*") +: triples: _*)
