@@ -242,4 +242,67 @@ object FeedPipelines {
       Seq("employee_id" -> RStr, "balance" -> RFloat))
     prependCharacters(d0, "employee_id", 6, "0", numericOnly = true)
   }
+
+  // ------------------------------------------------------------------
+  // cartegraph tasks (cartegraph_tasks_dataflow.py:35-66; the bridges /
+  // facilities / playground-equipment feeds are the same chain with
+  // different field tables)
+  // ------------------------------------------------------------------
+
+  def cartegraphTasks(raw: DataFrame): DataFrame = {
+    val d0 = graft.operators.NestedOps.extractField(
+      graft.operators.NestedOps.extractField(
+        raw, "CgShape", "Center", "lat", "Lat"),
+      "CgShape", "Center", "long", "Lng")
+    val d1 = columnsCamelToSnake(d0, strip = Some("Field"))
+    val d2 = renameFields(d1, Seq(
+      "oid" -> "id", "start_date_actual" -> "actual_start_date",
+      "stop_date_actual" -> "actual_stop_date",
+      "labor_cost_actual" -> "labor_cost",
+      "equipment_cost_actual" -> "equipment_cost",
+      "material_cost_actual" -> "material_cost",
+      "labor_hours_actual" -> "labor_hours",
+      "cg_asset_id" -> "asset_id", "cg_asset_type" -> "asset_type",
+      "notes" -> "task_notes"))
+    // post-snake the shape column is cg_shape: the reference's drop of
+    // 'CgShape' is a no-op and the struct survives
+    val d3 = filterFields(d2, Seq("CgShape"))
+    val d4 = TimeOps.standardizeTimes(d3, Seq(
+      "entry_date" -> "US/Eastern", "actual_start_date" -> "US/Eastern",
+      "actual_stop_date" -> "US/Eastern"), tFormat = "%Y-%m-%d %H:%M:%S%z")
+    changeTypes(d4, Seq(
+      "id" -> RStr, "labor_cost" -> RFloat, "equipment_cost" -> RFloat,
+      "material_cost" -> RFloat, "labor_hours" -> RFloat,
+      "request_issue" -> RNullStr, "request_department" -> RNullStr,
+      "request_location" -> RNullStr, "asset_id" -> RNullStr,
+      "task_description" -> RNullStr, "task_notes" -> RNullStr,
+      "actual_start_date_UNIX" -> RPosInt,
+      "actual_stop_date_UNIX" -> RPosInt, "entry_date_UNIX" -> RPosInt))
+  }
+
+  // ------------------------------------------------------------------
+  // qalert submitters (qalert_submitters_dataflow.py:38-70)
+  // ------------------------------------------------------------------
+
+  def qalertSubmitters(raw: DataFrame): DataFrame = {
+    val d0 = filterFields(raw, Seq("id", "submitter", "firstName",
+      "lastName", "address", "address2", "city", "state", "zip", "email",
+      "phone", "twitterScreenName", "lastRequest", "lastModified",
+      "totalClosed", "totalRequests", "text"), exclude = false)
+    val d1 = renameFields(d0, Seq(
+      "id" -> "request_id", "submitter" -> "submitter_id",
+      "firstName" -> "first_name", "lastName" -> "last_name",
+      "address2" -> "address_2", "twitterScreenName" -> "twitter_name",
+      "lastRequest" -> "last_request_date",
+      "lastModified" -> "last_modified_date",
+      "totalClosed" -> "curr_total_requests_closed",
+      "totalRequests" -> "curr_total_requests_made",
+      "text" -> "satisfaction_level"))
+    changeTypes(d1, Seq(
+      "request_id" -> RStr, "submitter_id" -> RStr,
+      "first_name" -> RNullStr, "last_name" -> RNullStr,
+      "address" -> RNullStr, "address_2" -> RNullStr, "city" -> RNullStr,
+      "state" -> RNullStr, "zip" -> RNullStr, "email" -> RNullStr,
+      "phone" -> RNullStr, "twitter_name" -> RNullStr))
+  }
 }

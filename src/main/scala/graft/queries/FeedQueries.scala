@@ -183,6 +183,49 @@ object FeedQueries {
 
   private val accrualCodeMapping = Map("Vacation" -> "VAC", "Sick" -> "SICK")
 
+  // ------------------------------------------------------------------
+  // q66 — cartegraph tasks (cartegraph_tasks_dataflow.py:35-66)
+  // ------------------------------------------------------------------
+
+  private val cartegraphFixture: Seq[String] = Seq(
+    """{"Oid": 3001, "EntryDateField": "2023-05-01 10:00:00",
+      |"StartDateActualField": "2023-05-01 11:00:00", "StopDateActualField": "",
+      |"LaborCostActualField": "120.5", "EquipmentCostActualField": "10",
+      |"MaterialCostActualField": "junk", "LaborHoursActualField": "4.0",
+      |"CgAssetIdField": "BR-7", "CgAssetTypeField": "Bridge",
+      |"NotesField": "fixed", "RequestIssueField": "pothole",
+      |"RequestDepartmentField": "DPW", "RequestLocationField": "",
+      |"TaskDescriptionField": "patch",
+      |"CgShape": {"Center": {"Lat": 40.44, "Lng": -79.99}}}""",
+    """{"Oid": 3002, "EntryDateField": null,
+      |"StartDateActualField": "1960-01-01 00:00:00", "StopDateActualField": null,
+      |"LaborCostActualField": null, "EquipmentCostActualField": "",
+      |"MaterialCostActualField": "5.5", "LaborHoursActualField": null,
+      |"CgAssetIdField": "", "CgAssetTypeField": "Playground",
+      |"NotesField": null, "RequestIssueField": null,
+      |"RequestDepartmentField": "Parks", "RequestLocationField": "Park X",
+      |"TaskDescriptionField": "",
+      |"CgShape": null}""")
+    .map(_.stripMargin.replace("\n", " "))
+
+  // ------------------------------------------------------------------
+  // q67 — qalert submitters (qalert_submitters_dataflow.py:38-70)
+  // ------------------------------------------------------------------
+
+  private val submittersFixture: Seq[String] = Seq(
+    """{"id": 1111, "submitter": 501, "firstName": "Pat", "lastName": "Kim",
+      |"address": "1 Elm St", "address2": "", "city": "Pittsburgh",
+      |"state": "PA", "zip": 15222, "email": "p@x.org", "phone": "4125551234",
+      |"twitterScreenName": "", "lastRequest": "2024-01-02",
+      |"lastModified": "2024-01-03", "totalClosed": 4, "totalRequests": 5,
+      |"text": "Very Satisfied", "dropMe": "x"}""",
+    """{"id": 1112, "submitter": null, "firstName": "", "lastName": null,
+      |"address": null, "address2": null, "city": "", "state": null,
+      |"zip": null, "email": "", "phone": null, "twitterScreenName": "tw_user",
+      |"lastRequest": null, "lastModified": null, "totalClosed": 0,
+      |"totalRequests": 1, "text": null}""")
+    .map(_.stripMargin.replace("\n", " "))
+
   private def readFixture(s: SparkSession, lines: Seq[String]): DataFrame = {
     import s.implicits._
     s.read.json(lines.toDS())
@@ -235,7 +278,32 @@ object FeedQueries {
 
     "q65_ceridian_accruals" -> ((s, _) =>
       FeedPipelines.ceridianAccruals(readFixture(s, accrualsFixture), accrualCodeMapping)
-        .select(col("employee_id"), col("time_bank"), col("code"), col("balance"))))
+        .select(col("employee_id"), col("time_bank"), col("code"), col("balance"))),
+
+    "q66_cartegraph_tasks" -> ((s, _) =>
+      FeedPipelines.cartegraphTasks(readFixture(s, cartegraphFixture))
+        .select(col("id"), col("asset_id"), col("asset_type"),
+          col("task_description"), col("task_notes"), col("request_issue"),
+          col("request_department"), col("request_location"),
+          col("lat"), col("long").as("lng"),
+          col("labor_cost"), col("equipment_cost"), col("material_cost"),
+          col("labor_hours"),
+          col("entry_date_UNIX").as("entry_unix"),
+          col("entry_date_UTC").as("entry_utc"),
+          col("entry_date_EST").as("entry_est"),
+          col("actual_start_date_UNIX").as("start_unix"),
+          col("actual_start_date_UTC").as("start_utc"),
+          col("actual_start_date_EST").as("start_est"),
+          col("actual_stop_date_UNIX").as("stop_unix"))),
+
+    "q67_qalert_submitters" -> ((s, _) =>
+      FeedPipelines.qalertSubmitters(readFixture(s, submittersFixture))
+        .select(col("request_id"), col("submitter_id"), col("first_name"),
+          col("last_name"), col("address"), col("address_2"), col("city"),
+          col("state"), col("zip"), col("email"), col("phone"),
+          col("twitter_name"), col("last_request_date"),
+          col("curr_total_requests_closed"), col("curr_total_requests_made"),
+          col("satisfaction_level"))))
 
   val oracle: Map[String, String] = Map(
     "q59_ceridian_employees" ->
@@ -323,5 +391,50 @@ object FeedQueries {
         |  ('77', 'Vacation', 'VAC', 40.5),
         |  ('78', 'Comp Time', 'Comp Time', NULL),
         |  ('79', NULL, NULL, 0.0)
-        |) t(employee_id, time_bank, code, balance)""".stripMargin)
+        |) t(employee_id, time_bank, code, balance)""".stripMargin,
+
+    "q66_cartegraph_tasks" ->
+      """SELECT id, asset_id, asset_type, task_description, task_notes,
+        |  request_issue, request_department, request_location, lat, lng,
+        |  CAST(labor_cost AS DOUBLE) AS labor_cost,
+        |  CAST(equipment_cost AS DOUBLE) AS equipment_cost,
+        |  CAST(material_cost AS DOUBLE) AS material_cost,
+        |  CAST(labor_hours AS DOUBLE) AS labor_hours,
+        |  CAST(entry_unix AS INTEGER) AS entry_unix, entry_utc, entry_est,
+        |  CAST(start_unix AS INTEGER) AS start_unix, start_utc, start_est,
+        |  CAST(stop_unix AS INTEGER) AS stop_unix
+        |FROM (VALUES
+        |  ('3001', 'BR-7', 'Bridge', 'patch', 'fixed', 'pothole', 'DPW', NULL,
+        |   '40.44', '-79.99', 120.5, 10.0, NULL, 4.0,
+        |   1682949600, '2023-05-01 14:00:00+0000', '2023-05-01 10:00:00-0400',
+        |   1682953200, '2023-05-01 15:00:00+0000', '2023-05-01 11:00:00-0400',
+        |   NULL),
+        |  ('3002', NULL, 'Playground', NULL, NULL, NULL, 'Parks', 'Park X',
+        |   NULL, NULL, NULL, NULL, 5.5, NULL,
+        |   NULL, NULL, NULL,
+        |   NULL, '1960-01-01 05:00:00+0000', '1960-01-01 00:00:00-0500',
+        |   NULL)
+        |) t(id, asset_id, asset_type, task_description, task_notes,
+        |    request_issue, request_department, request_location, lat, lng,
+        |    labor_cost, equipment_cost, material_cost, labor_hours,
+        |    entry_unix, entry_utc, entry_est, start_unix, start_utc, start_est,
+        |    stop_unix)""".stripMargin,
+
+    "q67_qalert_submitters" ->
+      """SELECT request_id, submitter_id, first_name, last_name, address,
+        |  address_2, city, state, zip, email, phone, twitter_name,
+        |  last_request_date,
+        |  CAST(curr_total_requests_closed AS BIGINT) AS curr_total_requests_closed,
+        |  CAST(curr_total_requests_made AS BIGINT) AS curr_total_requests_made,
+        |  satisfaction_level
+        |FROM (VALUES
+        |  ('1111', '501', 'Pat', 'Kim', '1 Elm St', NULL, 'Pittsburgh', 'PA',
+        |   '15222', 'p@x.org', '4125551234', NULL, '2024-01-02', 4, 5,
+        |   'Very Satisfied'),
+        |  ('1112', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |   'tw_user', NULL, 0, 1, NULL)
+        |) t(request_id, submitter_id, first_name, last_name, address, address_2,
+        |    city, state, zip, email, phone, twitter_name, last_request_date,
+        |    curr_total_requests_closed, curr_total_requests_made,
+        |    satisfaction_level)""".stripMargin)
 }
