@@ -20,11 +20,11 @@ object SparkEntry {
     RelationalQueries.queries ++ TextQueries.queries ++
       ExtendedQueries.queries ++ ParityQueries.queries ++
       UdfParityQueries.queries ++ PipelineQueries.queries ++
-      FeedQueries.queries
+      FeedQueries.queries ++ MasterUpkeepQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++
       ExtendedQueries.oracle ++ ParityQueries.oracle ++
       UdfParityQueries.oracle ++ PipelineQueries.oracle ++
-      FeedQueries.oracle
+      FeedQueries.oracle ++ MasterUpkeepQueries.oracle
 }

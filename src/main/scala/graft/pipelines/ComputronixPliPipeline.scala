@@ -81,6 +81,59 @@ object ComputronixPliPipeline {
   }
 
   /** End-to-end batch; returns (permits, quarantine). */
+  /** combine_incoming_existing_recs
+    * (bq_queries/cx_pli/condemned_dead_end_properties.py:5-47):
+    * error-recovery merge of the full-snapshot condemned/dead-end
+    * extract — distinct incoming rows of interest, plus any previously
+    * ingested parcels absent from the snapshot (a partial API result
+    * can only ever be missing data). The incoming filter reproduces
+    * the reference's AND/OR precedence exactly: `(parc_num IS NOT NULL
+    * AND condemned) OR dead_end` — a NULL-parcel dead-end row passes
+    * the CTE and is dropped by the final `parc_num IS NOT NULL`.
+    * One anti-join shuffle on parc_num + two distincts; no snapshot
+    * row is read twice.
+    */
+  def combineCondemnedDeadEnd(incoming: DataFrame, existing: DataFrame): DataFrame = {
+    val ofInterest =
+      (col("parc_num").isNotNull && col("insp_type_desc") === "Condemned Property") ||
+        col("insp_type_desc") === "Dead End Property"
+    val newT = incoming.where(ofInterest).distinct()
+    val missing = existing
+      .join(newT.select("parc_num").where(col("parc_num").isNotNull).distinct(),
+        Seq("parc_num"), "left_anti")
+      .distinct()
+    newT.where(col("parc_num").isNotNull)
+      .unionByName(missing.where(col("parc_num").isNotNull))
+      .distinct()
+  }
+
+  /** create_pli_exp_active_tables (condemned_dead_end_properties.py:
+    * 50-63): per-type active snapshots.
+    */
+  def activeByType(cde: DataFrame, inspType: String): DataFrame =
+    cde.where(col("insp_type_desc") === inspType && col("insp_status") === "Active")
+
+  /** push_gis_latest_updates (condemned_dead_end_properties.py:66-85):
+    * keep each parcel's latest record (grouped-max join on
+    * create_date_UNIX), filter to Active, and assign a global
+    * `parc_unique_id` ordered by create date. The grouped max is one
+    * shuffle on parc_num; the global row_number runs on the
+    * one-row-per-parcel survivor set (ties broken by parc_num for
+    * determinism — the reference leaves them nondeterministic).
+    */
+  def latestUpdateActive(cde: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxVals = cde.groupBy("parc_num")
+      .agg(max("create_date_UNIX").as("__max_date"))
+    val latest = cde.join(maxVals,
+        cde("parc_num") === maxVals("parc_num") &&
+          cde("create_date_UNIX") === maxVals("__max_date"))
+      .drop(maxVals("parc_num")).drop("__max_date")
+      .where(col("insp_status") === "Active")
+    latest.withColumn("parc_unique_id",
+      row_number().over(Window.orderBy(col("create_date_UNIX"), col("parc_num"))))
+  }
+
   def runBatch(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
     val (raw, quarantine) = graft.sources.JsonSource.readRepaired(spark, path, rawSchema)
     (transform(raw), quarantine)

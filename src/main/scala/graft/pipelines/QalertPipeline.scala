@@ -217,6 +217,59 @@ object QalertPipeline {
     (next, dropPiiForExport(next.allLinked, privateTypes), quarantine)
   }
 
+  /** Submitter-field column order shared by the 311_utilizers ledger
+    * (qscend/submitter_admin.py:4-24).
+    */
+  private val utilizerCols = Seq("request_id", "create_date_est",
+    "request_type_name", "complaint_address", "submitter_id", "first_name",
+    "last_name", "email", "phone", "address", "address_2", "city", "state",
+    "zip", "neighborhood_name", "twitter_name", "last_request_date",
+    "last_modified_date", "curr_total_requests_made",
+    "curr_total_requests_closed", "satisfaction_level", "origin")
+
+  /** join_submitter_to_request (qscend/submitter_admin.py:4-24):
+    * enrich the latest submitters with their ticket's create
+    * date/type/address (LEFT OUTER on request id), append only the
+    * (request_id, submitter_id) pairs not already in the ledger, and
+    * union the legacy summaries snapshot. The pair-key guard is a
+    * left_anti on the two columns (no CONCAT collision risk, same
+    * semantics for non-NULL keys); only the new batch shuffles.
+    */
+  def utilizersAppend(
+      latestSubmitters: DataFrame, tickets: DataFrame,
+      utilizers: DataFrame, summaries: DataFrame): DataFrame = {
+    val enriched = latestSubmitters.join(
+      tickets.select(col("id").as("request_id"), col("create_date_est"),
+        col("request_type_name"),
+        col("pii_google_formatted_address").as("complaint_address"),
+        col("neighborhood_name")),
+      Seq("request_id"), "left")
+    val fresh = enriched
+      .join(utilizers.select("request_id", "submitter_id"),
+        Seq("request_id", "submitter_id"), "left_anti")
+      .select(utilizerCols.map(col): _*)
+    fresh.unionByName(summaries.select(utilizerCols.map(col): _*))
+  }
+
+  /** update_submitter_table (qscend/submitter_admin.py:26-40): roll the
+    * latest submitters up to one row per identity with MAX totals, and
+    * retain existing ledger identities absent from the batch (NOT IN →
+    * left_anti; the reference's submitter ids are non-NULL). One
+    * shuffle each side on submitter identity.
+    */
+  def submitterRollup(latest: DataFrame, existing: DataFrame): DataFrame = {
+    val identity = Seq("submitter_id", "first_name", "last_name", "email",
+      "phone", "address", "address_2", "city", "state", "zip", "twitter_name")
+    val rolled = latest.groupBy(identity.map(col): _*)
+      .agg(max("curr_total_requests_made").as("total_requests_made"),
+        max("curr_total_requests_closed").as("total_requests_closed"))
+    val retained = existing
+      .join(latest.select("submitter_id").distinct(), Seq("submitter_id"), "left_anti")
+      .select((identity ++ Seq("total_requests_made", "total_requests_closed")).map(col): _*)
+      .distinct()
+    rolled.unionByName(retained)
+  }
+
   /** Empty master tables with the full integrated schema (first run). */
   def emptyMasters(spark: SparkSession, like: DataFrame): Masters = {
     val linked = like
