@@ -80,11 +80,16 @@ object ExtendedQueries {
 
     // HAVING-style aggregate filter + countDistinct
     "q36_having_filter" -> ((s, d) => {
+      // two-level aggregate instead of countDistinct: the single-agg
+      // form plans an Expand that doubles every shuffled row; this
+      // shuffles once on (suppkey, orderkey) with map-side combine,
+      // then once on the order-level partials
       Tables.lineitem(s, d)
+        .groupBy("l_suppkey", "l_orderkey")
+        .agg(count(lit(1)).as("__n"), sum(col("l_extendedprice")).as("__p"))
         .groupBy("l_suppkey")
-        .agg(count(lit(1)).as("n_items"),
-          countDistinct(col("l_orderkey")).as("n_orders"),
-          round(sum(col("l_extendedprice")), 2).as("total"))
+        .agg(sum("__n").as("n_items"), count(lit(1)).as("n_orders"),
+          round(sum("__p"), 2).as("total"))
         .filter(col("n_items") > 100)
     }),
 

@@ -51,11 +51,18 @@ object RelationalQueries {
     "q03_topk_semijoin" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val p  = Tables.part(s, d)
-      val joined = li.join(p, li("l_partkey") === p("p_partkey"))
-      val top10 = joined.groupBy("p_type").agg(count(lit(1)).as("type_cnt"))
+      // top-10 types from a per-partkey pre-aggregate: only
+      // (partkey, cnt) shuffles for the ranking branch — the full
+      // lineitem⋈part join runs once, for the final grouped count
+      val perPart = li.groupBy(col("l_partkey").as("p_partkey"))
+        .agg(count(lit(1)).as("__cnt"))
+      val top10 = perPart.join(p.select("p_partkey", "p_type"), "p_partkey")
+        .groupBy("p_type").agg(sum("__cnt").as("type_cnt"))
         .orderBy(col("type_cnt").desc, col("p_type").asc)
         .limit(10)
-      joined.join(broadcast(top10.select("p_type")), Seq("p_type"))
+      li.join(p.select("p_partkey", "p_type"),
+          li("l_partkey") === col("p_partkey"))
+        .join(broadcast(top10.select("p_type")), Seq("p_type"))
         .groupBy("p_type", "l_returnflag")
         .agg(count(lit(1)).as("n_items"))
     }),
