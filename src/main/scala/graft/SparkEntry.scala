@@ -20,11 +20,13 @@ object SparkEntry {
     RelationalQueries.queries ++ TextQueries.queries ++
       ExtendedQueries.queries ++ ParityQueries.queries ++
       UdfParityQueries.queries ++ PipelineQueries.queries ++
-      FeedQueries.queries ++ MasterUpkeepQueries.queries
+      FeedQueries.queries ++ MasterUpkeepQueries.queries ++
+      CorpusQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++
       ExtendedQueries.oracle ++ ParityQueries.oracle ++
       UdfParityQueries.oracle ++ PipelineQueries.oracle ++
-      FeedQueries.oracle ++ MasterUpkeepQueries.oracle
+      FeedQueries.oracle ++ MasterUpkeepQueries.oracle ++
+      CorpusQueries.oracle
 }

@@ -129,6 +129,62 @@ object CorpusPipeline {
   }
 
   /** Full curation run; returns (curated, report). */
+  /** CCNet/Dolma-style boilerplate-line removal: drop every line that
+    * occurs in more than `maxDocs` distinct documents corpus-wide
+    * (cookie banners, nav chrome, license footers), keeping line order
+    * within each surviving document.
+    *
+    * 100 TB shape: lines shuffle once as 64-bit hashes for the
+    * frequency count (map-side combined); the over-threshold set is
+    * tiny by construction (only corpus-wide boilerplate crosses it),
+    * so the removal join broadcasts it and the only full-data shuffle
+    * is the per-document reassembly. Returns the input columns with
+    * `textCol` rewritten (possibly to the empty string).
+    */
+  def dropBoilerplateLines(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDocs: Int): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val bad = lines.select(col(idCol), xxhash64(col("__line")).as("__lh"))
+      .distinct()
+      .groupBy("__lh").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxDocs)
+      .select("__lh")
+    val kept = lines
+      .join(broadcast(bad), xxhash64(col("__line")) === bad("__lh"), "left_anti")
+    val rebuilt = kept.groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line")), "\n").as("__clean"))
+    docs.join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__clean"), lit("")))
+      .drop("__clean")
+  }
+
+  /** Benchmark decontamination: count, per document, the distinct word
+    * n-grams it shares with a benchmark/eval set — documents with any
+    * overlap are flagged for exclusion (the standard n-gram
+    * decontamination rule for pretraining corpora).
+    *
+    * 100 TB shape: the benchmark gram set is small (eval suites are
+    * MBs) and broadcasts; the corpus side explodes to distinct grams
+    * and filters against the broadcast — no corpus shuffle at all
+    * except the tiny per-doc count aggregate.
+    */
+  def decontaminate(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 3): DataFrame = {
+    val docGrams = docs.select(col(idCol),
+      explode(TextOps.wordShingles(col(textCol), n)).as("__g"))
+    val benchGrams = benchmark
+      .select(explode(TextOps.wordShingles(col(benchTextCol), n)).as("__g"))
+      .distinct()
+    docGrams.join(broadcast(benchGrams), Seq("__g"), "left_semi")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_contaminated_grams"))
+  }
+
   def curate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
              langs: Seq[String] = Seq("en"),
              gates: QualityGates = QualityGates(),

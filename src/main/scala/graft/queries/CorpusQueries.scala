@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.Tables
+import graft.pipelines.CorpusPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-gated corpus-curation extensions beyond the near-dup suite:
+  * boilerplate-line removal (CCNet/Dolma rule) and benchmark n-gram
+  * decontamination.
+  */
+object CorpusQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Line-dedup fixture: 'subscribe now' appears in 5 of 6 docs
+    * (> maxDocs=2 → boilerplate); 'alpha beta' in exactly 2 (kept).
+    */
+  private val lineDocs: Seq[(Long, String)] = Seq(
+    (1L, "alpha beta\nsubscribe now\nunique one"),
+    (2L, "gamma delta\nsubscribe now\nunique two"),
+    (3L, "epsilon zeta\nsubscribe now"),
+    (4L, "subscribe now\nunique four\nalpha beta"),
+    (5L, "solo content only"),
+    (6L, "subscribe now"))
+
+  /** Benchmark texts assembled from corpus-vocabulary trigrams so the
+    * decontamination join has hits on the synthetic documents table.
+    */
+  private val benchTexts: Seq[String] =
+    Seq("key agg row scan", "batch window spark order")
+
+  val queries: Map[String, Q] = Map(
+    "q72_line_dedup" -> ((s, _) => {
+      import s.implicits._
+      CorpusPipeline.dropBoilerplateLines(
+          lineDocs.toDF("doc_id", "text"), "doc_id", "text", maxDocs = 2)
+        .select(col("doc_id"), col("text").as("clean_text"))
+    }),
+
+    "q73_decontaminate" -> ((s, d) => {
+      import s.implicits._
+      CorpusPipeline.decontaminate(
+        Tables.documents(s, d), "doc_id", "text",
+        benchTexts.toDF("btext"), "btext", n = 3)
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q72_line_dedup" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, clean_text
+        |FROM (VALUES
+        |  (1, 'alpha beta' || chr(10) || 'unique one'),
+        |  (2, 'gamma delta' || chr(10) || 'unique two'),
+        |  (3, 'epsilon zeta'),
+        |  (4, 'unique four' || chr(10) || 'alpha beta'),
+        |  (5, 'solo content only'),
+        |  (6, '')
+        |) t(doc_id, clean_text)""".stripMargin,
+
+    "q73_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+        |  FROM documents WHERE length(trim(text)) > 0
+        |),
+        |dg AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |      unnest([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) g
+        |    FROM toks WHERE len(toks) >= 3)
+        |),
+        |bg AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest([array_to_string(bt[i:i+2], ' ') for i in range(1, len(bt)-1)]) g
+        |    FROM (SELECT regexp_split_to_array(trim(btext), '\s+') bt
+        |          FROM (VALUES ('key agg row scan'), ('batch window spark order')) v(btext))
+        |    WHERE len(bt) >= 3)
+        |)
+        |SELECT doc_id, count(*) AS n_contaminated_grams
+        |FROM dg JOIN bg USING (g)
+        |GROUP BY doc_id""".stripMargin)
+}

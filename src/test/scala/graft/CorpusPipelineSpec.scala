@@ -68,4 +68,32 @@ class CorpusPipelineSpec extends SparkSpec {
     }.toSet
     assert(out === expect)
   }
+
+  test("dropBoilerplateLines: corpus-frequent lines removed, order kept, " +
+    "all-boilerplate doc -> empty string") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b\nboiler\nkeep one"), (2L, "boiler\nc d"),
+      (3L, "boiler"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = graft.pipelines.CorpusPipeline
+      .dropBoilerplateLines(docs, "doc_id", "text", maxDocs = 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq(
+      (1L, "a b\nkeep one"), (2L, "c d"), (3L, ""), (4L, "solo")))
+  }
+
+  test("decontaminate: shared-trigram counts; clean docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"), // 2 grams shared with bench
+      (2L, "totally different words here"),
+      (3L, "quick brown fox"))           // 1 gram shared
+      .toDF("doc_id", "text")
+    val bench = Seq("the quick brown fox").toDF("btext")
+    val out = graft.pipelines.CorpusPipeline
+      .decontaminate(docs, "doc_id", "text", bench, "btext", n = 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 2L), (3L, 1L)))
+  }
 }
