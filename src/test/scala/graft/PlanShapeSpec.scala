@@ -77,6 +77,24 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q36: two-level aggregate plans without an Expand node") {
+    val p = plan("q36_having_filter")
+    assert(!p.contains("Expand"),
+      "countDistinct-style Expand would double every shuffled row")
+  }
+
+  test("q73 decontaminate: benchmark gram side broadcast, corpus side " +
+    "semi-joined without its own exchange") {
+    val p = plan("q73_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), "bench grams must broadcast")
+  }
+
+  test("q72 line dedup: over-threshold line set broadcast for the anti-join") {
+    val p = plan("q72_line_dedup")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
   test("saltedJoin: correct results under replication") {
     val big = (1 to 1000).map(i => (if (i % 2 == 0) "hot" else s"k$i", i)).toDF("key", "v")
     val small = Seq(("hot", "H"), ("k1", "A")).toDF("key", "tag")
