@@ -92,6 +92,17 @@ object MasterUpkeepQueries {
       |    last_modified_date, curr_total_requests_made,
       |    curr_total_requests_closed, satisfaction_level, origin)""".stripMargin
 
+  private val stagingUpdSql =
+    """(VALUES
+      |  (1, 'a', 10), (2, 'b', 20), (3, NULL, 30), (5, 'e', 50)
+      |) t(id, name, qty)""".stripMargin
+
+  private val stagingSrcSql =
+    """(VALUES
+      |  (1, 'a', 10), (2, 'bX', 20), (2, 'bX', 20), (3, '', 30), (4, 'd', 40),
+      |  (5, 'e', 55)
+      |) t(src_id, name, qty)""".stripMargin
+
   private def fromValues(s: SparkSession, valuesSql: String): DataFrame =
     s.sql(s"SELECT * FROM $valuesSql")
 
@@ -133,7 +144,14 @@ object MasterUpkeepQueries {
           col("last_request_date"), col("last_modified_date"),
           col("curr_total_requests_made").cast("int").as("curr_total_requests_made"),
           col("curr_total_requests_closed").cast("int").as("curr_total_requests_closed"),
-          col("satisfaction_level"), col("origin"))))
+          col("satisfaction_level"), col("origin"))),
+
+    "q74_changed_staging" -> ((s, _) =>
+      graft.tables.MasterTables.changedRecordsStaging(
+          fromValues(s, stagingUpdSql), fromValues(s, stagingSrcSql),
+          "id", "src_id", Seq("name", "qty"), dedup = true)
+        .select(col("id").cast("int").as("id"), col("name"),
+          col("qty").cast("int").as("qty"))))
 
   // ------------------------------------------------------------------
   // oracles — the reference SQL shapes themselves, over the same VALUES
@@ -213,5 +231,19 @@ object MasterUpkeepQueries {
          |  CAST(curr_total_requests_made AS INTEGER),
          |  CAST(curr_total_requests_closed AS INTEGER),
          |  satisfaction_level, origin
-         |FROM $summariesSql""".stripMargin)
+         |FROM $summariesSql""".stripMargin,
+
+    // general_queries.py:101-129 verbatim: INNER JOIN on the id, source
+    // values selected, IFNULL-compare change filter, DISTINCT (the
+    // is_deduped=True form). NULL-vs-empty compares equal (id 3); an
+    // unchanged row (id 1) and an unmatched source row (id 4) drop out.
+    "q74_changed_staging" ->
+      s"""SELECT DISTINCT CAST(id AS INTEGER) AS id, src.name,
+         |  CAST(src.qty AS INTEGER) AS qty
+         |FROM (SELECT * FROM $stagingUpdSql) upd
+         |INNER JOIN (SELECT DISTINCT src_id, name, qty
+         |            FROM (SELECT * FROM $stagingSrcSql)) src
+         |  ON upd.id = src.src_id
+         |WHERE IFNULL(CAST(upd.name AS VARCHAR), '') != IFNULL(CAST(src.name AS VARCHAR), '')
+         |   OR IFNULL(CAST(upd.qty AS VARCHAR), '') != IFNULL(CAST(src.qty AS VARCHAR), '')""".stripMargin)
 }

@@ -43,6 +43,31 @@ object MasterTables {
     merged.drop(updateCols.map(c => s"__u_$c") :+ "__matched": _*)
   }
 
+  /** build_sync_staging_table_query (general_queries.py:101-129):
+    * change-detection staging — for each update-table row joined to
+    * the source of truth on its id, emit (id, source field values)
+    * when ANY tracked field differs under the reference's
+    * `IFNULL(x, '') != IFNULL(y, '')` rule (so NULL and empty string
+    * compare equal — reproduced via string-cast + coalesce). One
+    * equi-join shuffle; at scale the source side should be the
+    * bucketed master so only the update batch exchanges.
+    */
+  def changedRecordsStaging(
+      upd: DataFrame, src: DataFrame, updId: String, joinId: String,
+      fields: Seq[String], dedup: Boolean = false): DataFrame = {
+    val srcSel0 = src.select(col(joinId) +:
+      fields.map(f => col(f).as(s"__src_$f")): _*)
+    val srcSel = if (dedup) srcSel0.distinct() else srcSel0
+    val joined = upd.join(srcSel, upd(updId) === srcSel(joinId))
+    val differs = fields.map { f =>
+      coalesce(upd(f).cast("string"), lit("")) =!=
+        coalesce(col(s"__src_$f").cast("string"), lit(""))
+    }.reduce(_ || _)
+    val out = joined.filter(differs)
+      .select(upd(updId) +: fields.map(f => col(s"__src_$f").as(f)): _*)
+    if (dedup) out.distinct() else out
+  }
+
   /** delete_old_insert_new (integrate_new_requests.py:84-106): snapshot
     * upsert — drop master rows whose key re-arrives, append the incoming
     * version.
