@@ -185,21 +185,36 @@ object CorpusPipeline {
       .agg(count(lit(1)).as("n_contaminated_grams"))
   }
 
+  /** Full curation: optional boilerplate-line removal → quality gates →
+    * language filter → exact dedup → near-dup clustering → optional
+    * benchmark decontamination → optional token budget. Stage counts
+    * are returned for the curation report.
+    */
   def curate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
              langs: Seq[String] = Seq("en"),
              gates: QualityGates = QualityGates(),
              nearDupThreshold: Double = 0.8,
-             tokenBudgetOpt: Option[Long] = None): (DataFrame, Map[String, Long]) = {
+             tokenBudgetOpt: Option[Long] = None,
+             boilerplateMaxDocs: Option[Int] = None,
+             benchmarkOpt: Option[(DataFrame, String, Int)] = None): (DataFrame, Map[String, Long]) = {
     val n0 = docs.count()
-    val q  = qualityFilter(docs, gates);       val n1 = q.count()
-    val l  = langFilter(q.select(docs.columns.map(col): _*), langs); val n2 = l.count()
-    val e  = exactDedup(l.select(docs.columns.map(col): _*), idCol, textCol)
+    val bp = boilerplateMaxDocs.fold(docs)(k =>
+      dropBoilerplateLines(docs, idCol, textCol, k))
+    val q  = qualityFilter(bp, gates);         val n1 = q.count()
+    val l  = langFilter(q.select(bp.columns.map(col): _*), langs); val n2 = l.count()
+    val e  = exactDedup(l.select(bp.columns.map(col): _*), idCol, textCol)
     val n3 = e.count()
-    val nd = nearDupDrop(e.select(docs.columns.map(col): _*), idCol, textCol, nearDupThreshold)
+    val nd = nearDupDrop(e.select(bp.columns.map(col): _*), idCol, textCol, nearDupThreshold)
     val n4 = nd.count()
-    val out = tokenBudgetOpt.fold(nd)(b => tokenBudget(nd, idCol, textCol, b))
-    val n5 = out.count()
+    val dc = benchmarkOpt.fold(nd) { case (bench, benchCol, n) =>
+      nd.join(decontaminate(nd, idCol, textCol, bench, benchCol, n)
+        .select(col(idCol)), Seq(idCol), "left_anti")
+    }
+    val n5 = dc.count()
+    val out = tokenBudgetOpt.fold(dc)(b => tokenBudget(dc, idCol, textCol, b))
+    val n6 = out.count()
     (out, Map("input" -> n0, "after_quality" -> n1, "after_lang" -> n2,
-      "after_exact_dedup" -> n3, "after_near_dedup" -> n4, "final" -> n5))
+      "after_exact_dedup" -> n3, "after_near_dedup" -> n4,
+      "after_decontamination" -> n5, "final" -> n6))
   }
 }

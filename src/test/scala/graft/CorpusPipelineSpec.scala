@@ -69,6 +69,28 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out === expect)
   }
 
+  test("curate with boilerplate removal + decontamination stages wired in") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "a completely different document with enough words to pass the gates"),
+      (3L, "this one shares the quick brown fox phrase so it is contaminated"))
+      .toDF("doc_id", "text")
+    val bench = Seq("the quick brown fox").toDF("btext")
+    val (out, report) = CorpusPipeline.curate(
+      docs, langs = Seq("en"),
+      gates = CorpusPipeline.QualityGates(
+        minTokens = 5, minAlphaRatio = 0.3, maxPunctRatio = 0.5,
+        minStopwordRatio = 0.0),
+      boilerplateMaxDocs = Some(5),
+      benchmarkOpt = Some((bench, "btext", 4)))
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(1L) && !kept.contains(3L),
+      "docs sharing a benchmark 4-gram must be dropped")
+    assert(kept.contains(2L))
+    assert(report("after_decontamination") < report("after_near_dedup"))
+  }
+
   test("dropBoilerplateLines: corpus-frequent lines removed, order kept, " +
     "all-boilerplate doc -> empty string") {
     import spark.implicits._
