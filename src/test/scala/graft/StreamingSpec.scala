@@ -152,4 +152,35 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq
     assert(rows === Seq((1L, "a"), (2L, "B2"), (3L, "c")))
   }
+
+  test("streaming feed ingestion: chargepoint transform chain runs " +
+    "unchanged on a file stream, merged into the sessions master") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_feed").toFile
+    val src = new java.io.File(dir, "in"); src.mkdirs()
+    val master = new java.io.File(dir, "master").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+
+    val lines = Seq(
+      """{"sessionId": 555, "stationName": "S1", "portNumber": 2,
+        |"postalCode": 15222, "Energy": "6.25", "recordNumber": 1,
+        |"startTime": "2023-05-01 10:00:00", "endTime": "2023-05-01T11:30:00"}"""
+        .stripMargin.replace("\n", " "))
+    java.nio.file.Files.write(
+      new java.io.File(src, "b1.json").toPath,
+      lines.mkString("\n").getBytes)
+
+    val schema = spark.read.json(lines.toDS()).schema
+    val stream = spark.readStream.schema(schema).json(src.getPath)
+    // the batch transform is pure projections, so it applies to the
+    // streaming frame verbatim — the point of the expressions-first rule
+    val transformed = graft.pipelines.FeedPipelines.chargepoint(stream)
+    val q = StreamingOps.foreachBatchMerge(
+      transformed, master, Seq("session_id"), ckpt).start()
+    q.awaitTermination(60000)
+
+    val got = spark.read.parquet(master)
+      .select("session_id", "zip", "energy_kwh", "start_time_UNIX")
+      .as[(String, String, Double, Long)].collect().toSeq
+    assert(got === Seq(("555", "15222", 6.25, 1682935200L)))
+  }
 }
