@@ -102,6 +102,36 @@ object Multimodal {
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** Resize plumbing: per-partition batched transform producing a
+    * target-geometry payload plus the output dimensions. The stub
+    * kernel deterministically subsamples the source bytes to
+    * `w*h*3` (what a nearest-neighbor downscale's buffer size would
+    * be); a real codec slots into the same partition loop. NULL or
+    * undecodable input → NULL payload with NULL dims (rows are kept,
+    * matching the quarantine-not-drop convention).
+    */
+  def resizeImages(df: DataFrame, idCol: String, binCol: String,
+                   w: Int, h: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("resized", BinaryType),
+      StructField("out_w", IntegerType),
+      StructField("out_h", IntegerType)))
+    val target = w * h * 3
+    df.select(col(idCol), col(binCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          if (bytes == null || bytes.isEmpty) Row(r.get(0), null, null, null)
+          else {
+            val out = Array.tabulate[Byte](target)(i =>
+              bytes((i.toLong * bytes.length / target).toInt))
+            Row(r.get(0), out, w, h)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Frame-sampling plumbing for video-like payloads: split a binary
     * column into fixed-size chunk rows (`posexplode` of a computed
     * chunk array) — the partition/row-explosion shape a real

@@ -57,4 +57,21 @@ class MultimodalSpec extends SparkSpec {
       "id", "video", 10, 2)
     assert(empty.count() === 0)
   }
+
+  test("resizeImages: target-geometry payload, deterministic, NULL kept") {
+    val img = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
+    val df = Seq((1L, img), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "image")
+    val out = Multimodal.resizeImages(df, "id", "image", w = 4, h = 4)
+      .orderBy("id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Array[Byte]]("resized").length === 4 * 4 * 3)
+    assert(r1.getInt(2) === 4 && r1.getInt(3) === 4)
+    // deterministic: same input -> same bytes
+    val again = Multimodal.resizeImages(df, "id", "image", 4, 4)
+      .orderBy("id").collect()(0).getAs[Array[Byte]]("resized")
+    assert(java.util.Arrays.equals(r1.getAs[Array[Byte]]("resized"), again))
+    // NULL payload: row kept, NULL fields
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+  }
 }
