@@ -153,6 +153,60 @@ object Geo {
       revGeoZone(df, zones, family, latCol, longCol, eventUnixCol)
     }
 
+  /** Distributed grid-bucketed spatial join — the scale path for when
+    * the polygon table does NOT fit a broadcast (national-scale parcel
+    * or zone tables, millions of polygons). Each polygon explodes to
+    * the grid cells its bounding box covers; each point keys to its
+    * cell; the equi-join on the packed cell key bounds exact
+    * verification to co-located geometry. The shuffle keys are 64-bit
+    * cell ids — a point is never compared against a polygon outside
+    * its cell, so cost is corpus + polygon-cell fan-out, not their
+    * product. Boundary ties resolve to the lexicographically smallest
+    * zone name for determinism (zones within a reference family are
+    * disjoint). Semantics match [[revGeoZone]] (validity window,
+    * NULL-coordinate rows left NULL).
+    *
+    * `cellDeg` trades fan-out for candidate density: cells should be
+    * on the order of a typical polygon's extent (0.01° ≈ 1 km for the
+    * municipal families).
+    */
+  def gridRevGeoZone(
+      points: DataFrame, zones: DataFrame, outCol: String, idCol: String,
+      zoneNameCol: String = "zone", wktCol: String = "wkt",
+      startCol: String = "start_unix", endCol: String = "end_unix",
+      latCol: String = "lat", longCol: String = "long",
+      eventUnixCol: String = "create_date_unix",
+      cellDeg: Double = 0.01): DataFrame = {
+    def pack(cx: Long, cy: Long): Long = (cx << 32) | (cy & 0xffffffffL)
+    val cellsOf = udf((wkt: String) =>
+      parseWkt(wkt).flatMap { p =>
+        val x0 = math.floor(p.minX / cellDeg).toLong
+        val x1 = math.floor(p.maxX / cellDeg).toLong
+        val y0 = math.floor(p.minY / cellDeg).toLong
+        val y1 = math.floor(p.maxY / cellDeg).toLong
+        for (cx <- x0 to x1; cy <- y0 to y1) yield pack(cx, cy)
+      }.distinct.toArray)
+    val containsF = udf((wkt: String, x: java.lang.Double, y: java.lang.Double) =>
+      x != null && y != null && parseWkt(wkt).exists(_.contains(x, y)))
+
+    val zoneCells = zones.select(col(zoneNameCol).as("__zn"), col(wktCol).as("__wkt"),
+        col(startCol).as("__zs"),
+        coalesce(col(endCol), lit(Long.MaxValue)).as("__ze"),
+        explode(cellsOf(col(wktCol))).as("__cell"))
+    val cx = floor(col(longCol) / cellDeg).cast("long")
+    val cy = floor(col(latCol) / cellDeg).cast("long")
+    val keyed = points.select(col(idCol), col(latCol), col(longCol),
+        col(eventUnixCol),
+        (shiftleft(cx, 32).bitwiseOR(cy.bitwiseAND(lit(0xffffffffL)))).as("__cell"))
+      .where(col(latCol).isNotNull && col(longCol).isNotNull)
+    val tt = coalesce(col(eventUnixCol), lit(Long.MaxValue))
+    val matched = keyed.join(zoneCells, "__cell")
+      .where(col("__zs") <= tt && tt <= col("__ze")
+        && containsF(col("__wkt"), col(longCol), col(latCol)))
+      .groupBy(idCol).agg(min(col("__zn")).as(outCol))
+    points.join(matched, Seq(idCol), "left")
+  }
+
   /** Parcel-centroid join (geo_queries.py:111-120): broadcast-join a
     * parcel→WKT table, emit `ST_Y/ST_X(ST_CENTROID(geometry))`.
     */

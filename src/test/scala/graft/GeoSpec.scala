@@ -121,4 +121,36 @@ class GeoSpec extends SparkSpec {
     assert(rows(0).getAs[Double]("latitude") === 5.0)
     assert(rows(1).isNullAt(rows(1).fieldIndex("longitude")))
   }
+
+  test("gridRevGeoZone: distributed grid path matches the broadcast path, " +
+    "incl. cross-cell polygons, time windows, null coords") {
+    // polygons spanning many 0.01-degree cells, negative coords, a
+    // second era for the time-window predicate
+    val zones = Seq(
+      ("alpha", "POLYGON((-0.05 -0.05, 0.05 -0.05, 0.05 0.05, -0.05 0.05, -0.05 -0.05))", 0L, Some(1000L)),
+      ("beta",  "POLYGON((-0.05 -0.05, 0.05 -0.05, 0.05 0.05, -0.05 0.05, -0.05 -0.05))", 1001L, None),
+      ("gamma", "POLYGON((0.10 0.10, 0.30 0.10, 0.30 0.30, 0.10 0.30, 0.10 0.10))", 0L, None))
+    val pts = Seq(
+      (1L, java.lang.Double.valueOf(0.0), java.lang.Double.valueOf(0.0), java.lang.Long.valueOf(500L)),
+      (2L, java.lang.Double.valueOf(0.0), java.lang.Double.valueOf(0.0), java.lang.Long.valueOf(2000L)),
+      (3L, java.lang.Double.valueOf(0.2), java.lang.Double.valueOf(0.2), java.lang.Long.valueOf(1L)),
+      (4L, java.lang.Double.valueOf(0.9), java.lang.Double.valueOf(0.9), java.lang.Long.valueOf(1L)),
+      (5L, null.asInstanceOf[java.lang.Double], java.lang.Double.valueOf(0.0), java.lang.Long.valueOf(1L)),
+      (6L, java.lang.Double.valueOf(-0.049), java.lang.Double.valueOf(0.049), java.lang.Long.valueOf(999L))
+    ).toDF("id", "long", "lat", "create_date_unix")
+    val zonesDf = zones
+      .map { case (n, w, s0, e) => (n, w, s0, e.map(Long.box).orNull) }
+      .toDF("zone", "wkt", "start_unix", "end_unix")
+      .withColumn("end_unix", col("end_unix").cast("long"))
+    val grid = Geo.gridRevGeoZone(pts, zonesDf, outCol = "hood", idCol = "id",
+      latCol = "lat", longCol = "long")
+      .select("id", "hood").as[(Long, Option[String])].collect().toMap
+    val bcast = Geo.revGeoZone(pts, zones, outCol = "hood",
+      latCol = "lat", longCol = "long")
+      .select("id", "hood").as[(Long, Option[String])].collect().toMap
+    assert(grid === bcast)
+    assert(grid(1L) === Some("alpha") && grid(2L) === Some("beta"))
+    assert(grid(3L) === Some("gamma") && grid(4L).isEmpty && grid(5L).isEmpty)
+    assert(grid(6L) === Some("alpha"))
+  }
 }
