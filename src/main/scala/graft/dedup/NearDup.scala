@@ -147,6 +147,84 @@ object NearDup {
   }
 
   // ------------------------------------------------------------------
+  // Incremental MinHash (batch vs stored-signature corpus)
+  // ------------------------------------------------------------------
+
+  /** (id, signature) frame for persisting alongside a corpus — the
+    * state the incremental path reads instead of re-shingling 100 TB.
+    */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numPerms: Int = 64): DataFrame =
+    df.filter(size(TextOps.tokens(col(textCol))) >= shingleLen)
+      .select(col(idCol),
+        minhashSignature(TextOps.wordShingles(col(textCol), shingleLen), numPerms)
+          .as("__sig"))
+
+  /** Jaccard estimate from two MinHash signatures: the fraction of
+    * agreeing permutations (unbiased estimator, stderr ≈
+    * 1/sqrt(numPerms)).
+    */
+  def sigJaccardEst(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), v => v)).cast("double") / size(a)
+
+  /** Incremental near-dup admission: keep the incoming rows that are
+    * near-dups of NEITHER the existing corpus NOR a kept earlier row
+    * of the same batch. The corpus participates ONLY through its
+    * stored (id, signature) frame — its text is never read, shingled,
+    * or shuffled; this is the daily-increment shape for a 100 TB
+    * corpus where re-running full LSH per batch is impossible.
+    * Verification uses the signature-agreement Jaccard estimate
+    * (stderr ≈ 1/√numPerms), the standard incremental trade-off.
+    *
+    * Returns (admitted incoming rows, their signatures to append to
+    * the corpus state).
+    */
+  def incrementalDedup(
+      corpusSigs: DataFrame, incoming: DataFrame, idCol: String,
+      textCol: String, shingleLen: Int = 3, numPerms: Int = 64,
+      bands: Int = 16, threshold: Double = 0.7): (DataFrame, DataFrame) = {
+    val inSigs = minhashSignatures(incoming, idCol, textCol, shingleLen, numPerms)
+      .repartition(col(idCol))
+    val inBands = lshBands(inSigs, idCol, "__sig", bands, numPerms)
+    val corpusBands = lshBands(corpusSigs, idCol, "__sig", bands, numPerms)
+
+    // batch vs corpus: any estimated match disqualifies the batch row
+    val vsCorpus = inBands.select(col("band"), col("band_hash"), col(idCol).as("id_new"))
+      .join(corpusBands.select(col("band"), col("band_hash"), col(idCol).as("id_old")),
+        Seq("band", "band_hash"))
+      .select("id_new", "id_old").distinct()
+      .join(inSigs.select(col(idCol).as("id_new"), col("__sig").as("__sig_new")), "id_new")
+      .join(corpusSigs.select(col(idCol).as("id_old"), col("__sig").as("__sig_old")), "id_old")
+      .filter(sigJaccardEst(col("__sig_new"), col("__sig_old")) >= threshold)
+      .select(col("id_new").as(idCol)).distinct()
+    val survivors = inSigs.join(vsCorpus, Seq(idCol), "left_anti")
+
+    // batch-internal: min-id keeper per near-dup cluster (fixpoint CC)
+    val selfCands = lshCandidatePairs(
+      lshBands(survivors, idCol, "__sig", bands, numPerms), idCol)
+    val selfPairs = selfCands
+      .join(survivors.select(col(idCol).as("id_a"), col("__sig").as("__sa")), "id_a")
+      .join(survivors.select(col(idCol).as("id_b"), col("__sig").as("__sb")), "id_b")
+      .filter(sigJaccardEst(col("__sa"), col("__sb")) >= threshold)
+      .select("id_a", "id_b")
+    val labels = graft.pipelines.CorpusPipeline.minLabelComponents(
+      survivors.select(col(idCol).as("node")), selfPairs)
+    val keepIds = survivors.select(col(idCol))
+      .join(labels.filter(col("node") =!= col("label"))
+          .select(col("node").as(idCol)),
+        Seq(idCol), "left_anti")
+
+    // sub-shingle-length rows carry no signature and cannot be
+    // near-dups — admitted unconditionally (parity with the full path)
+    val shortRows = incoming.filter(size(TextOps.tokens(col(textCol))) < shingleLen)
+    val admitted = incoming.join(keepIds, Seq(idCol), "left_semi")
+      .unionByName(shortRows)
+    val newSigs = inSigs.join(keepIds, Seq(idCol), "left_semi")
+    (admitted, newSigs)
+  }
+
+  // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------
 

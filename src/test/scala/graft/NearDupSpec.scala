@@ -82,4 +82,35 @@ class NearDupSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
     assert(lsh.contains((0L, 100L)), "scaled copy of v0 lands in same bucket")
   }
+
+  test("incrementalDedup: batch admitted iff no near-dup in corpus or " +
+    "earlier kept batch row; corpus text never needed") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely different established document with many other words"))
+      .toDF("doc_id", "text")
+    val corpusSigs = NearDup.minhashSignatures(corpus, "doc_id", "text")
+    val incoming = Seq(
+      (10L, base + " lambda"),                         // near-dup of corpus 1 -> dropped
+      (11L, "a genuinely novel incoming text nothing like the others one"),
+      (12L, "a genuinely novel incoming text nothing like the others two"), // near-dup of 11 -> dropped
+      (13L, "short"),                                  // sub-shingle-length -> admitted
+      (14L, "yet another fully distinct new document about spark plans"))
+      .toDF("doc_id", "text")
+    val (admitted, newSigs) = NearDup.incrementalDedup(
+      corpusSigs, incoming, "doc_id", "text", threshold = 0.7)
+    val ids = admitted.select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(11L, 13L, 14L))
+    // appended signatures cover exactly the admitted signature-bearing rows
+    assert(newSigs.select("doc_id").as[Long].collect().toSet === Set(11L, 14L))
+    // idempotent admission: re-offering the batch against the grown
+    // state admits nothing (13 has no signature and would re-admit --
+    // production keys short rows by exact digest; exclude it here)
+    val grown = corpusSigs.unionByName(newSigs)
+    val (again, _) = NearDup.incrementalDedup(
+      grown, incoming.filter($"doc_id" =!= 13L), "doc_id", "text", threshold = 0.7)
+    assert(again.count() === 0)
+  }
 }
