@@ -128,7 +128,40 @@ object CorpusPipeline {
       .drop("__n_tok", "__b", "__cum")
   }
 
-  /** Full curation run; returns (curated, report). */
+  /** Per-group token budget: within each group (language, domain,
+    * source), keep documents in id order until the group's budget is
+    * reached — the proportional-mix control a multilingual pretraining
+    * run needs. One window per group partition (scale-safe: the sort
+    * is within-partition after the hash on groupCol, no global order).
+    */
+  def tokenBudgetByGroup(
+      docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budgetPerGroup: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budgets = typedlit(budgetPerGroup)
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("__n_tok", TextOps.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__cum", sum("__n_tok").over(w))
+      .filter(col("__cum") <=
+        coalesce(try_element_at(budgets, col(groupCol).cast("string")), lit(0L)))
+      .drop("__n_tok", "__cum")
+  }
+
+  /** Corpus-level PII scrub: the reference's redaction rules
+    * (RefFunctions.redactPii golden-tested against
+    * tests/test_dataflow_utils.py:285-295) applied to the text column
+    * of every surviving document — a pure row map.
+    */
+  def redactCorpusPii(
+      docs: DataFrame, textCol: String,
+      retainLocation: Boolean = true): DataFrame = {
+    val f = if (retainLocation) graft.functions.RefFunctions.redactPiiUdf
+    else graft.functions.RefFunctions.redactPiiNoPlacesUdf
+    docs.withColumn(textCol, f(col(textCol)))
+  }
+
   /** CCNet/Dolma-style boilerplate-line removal: drop every line that
     * occurs in more than `maxDocs` distinct documents corpus-wide
     * (cookie banners, nav chrome, license footers), keeping line order

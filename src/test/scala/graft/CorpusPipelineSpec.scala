@@ -118,4 +118,30 @@ class CorpusPipelineSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq === Seq((1L, 2L), (3L, 1L)))
   }
+
+  test("tokenBudgetByGroup: per-group budgets honored independently, " +
+    "unknown group -> zero budget") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "one two three four five"),  // 5 tok, cum 5
+      (2L, "en", "six seven eight"),          // 3 tok, cum 8
+      (3L, "en", "nine ten"),                 // cum 10 > 8 -> out
+      (4L, "de", "eins zwei"),                // cum 2
+      (5L, "fr", "un deux"))                  // unknown group -> out
+      .toDF("doc_id", "lang", "text")
+    val out = graft.pipelines.CorpusPipeline.tokenBudgetByGroup(
+      docs, "doc_id", "text", "lang", Map("en" -> 8L, "de" -> 100L))
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 4L))
+  }
+
+  test("redactCorpusPii scrubs emails/phones/names in the text column") {
+    import spark.implicits._
+    val docs = Seq((1L, "contact Joe Smith at joe@x.com or 412-555-1234"))
+      .toDF("doc_id", "text")
+    val got = graft.pipelines.CorpusPipeline.redactCorpusPii(docs, "text")
+      .select("text").as[String].head()
+    assert(got.contains("[EMAIL_ADDRESS]") && got.contains("[PHONE_NUMBER]"))
+    assert(!got.contains("joe@x.com") && !got.contains("412-555-1234"))
+    assert(got.contains("[PERSON_NAME]") && !got.contains("Joe Smith"))
+  }
 }
