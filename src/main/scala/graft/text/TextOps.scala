@@ -185,4 +185,28 @@ object TextOps {
           sequence(lit(1), length(s) - n + 1),
           i => s.substr(i, lit(n)))))
     }
+
+  /** Deflate compression ratio of the UTF-8 text (compressed bytes /
+    * raw bytes) — the classic corpus-quality signal (RefinedWeb/Dolma
+    * family): boilerplate and degenerate repetition compress far below
+    * natural text. Procedural per-row kernel → UDF (pure map, no
+    * shuffle interaction). NULL/empty → NULL.
+    */
+  val compressionRatioUdf = udf((s: String) => {
+    if (s == null || s.isEmpty) null
+    else {
+      val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](64)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      d.end()
+      java.lang.Double.valueOf(total.toDouble / raw.length)
+    }
+  })
+
+  def compressionRatio(df: DataFrame, textCol: String = "text",
+                       outCol: String = "compression_ratio"): DataFrame =
+    df.withColumn(outCol, compressionRatioUdf(col(textCol)))
 }

@@ -144,4 +144,21 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(!got.contains("joe@x.com") && !got.contains("412-555-1234"))
     assert(got.contains("[PERSON_NAME]") && !got.contains("Joe Smith"))
   }
+
+  test("compressionRatio: repetitive text compresses far below varied text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam " * 200),
+      (2L, (1 to 200).map(i => s"w$i").mkString(" ")),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val m = graft.text.TextOps.compressionRatio(docs)
+      .select("doc_id", "compression_ratio")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val spam = m(1L).get.asInstanceOf[Double]
+    val varied = m(2L).get.asInstanceOf[Double]
+    assert(spam < 0.1 && varied > spam * 3,
+      s"spam=$spam varied=$varied")
+    assert(m(3L).isEmpty, "empty text -> NULL")
+  }
 }
