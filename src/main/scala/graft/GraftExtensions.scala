@@ -68,5 +68,20 @@ object GraftExtensions {
     spark.udf.register("redact_pii",
       (s: String) => RefFunctions.redactPii(s, retainLocation = true))
     spark.udf.register("rolling_hash", TextOps.rollingHash _)
+    spark.udf.register("compression_ratio", (s: String) =>
+      if (s == null || s.isEmpty) null
+      else {
+        val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](64)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        d.end()
+        java.lang.Double.valueOf(total.toDouble / raw.length)
+      })
+    spark.udf.register("wkt_point", (lng: java.lang.Double, lat: java.lang.Double) =>
+      if (lng == null || lat == null) null
+      else f"POINT(${lng.doubleValue()}%.6f ${lat.doubleValue()}%.6f)")
   }
 }

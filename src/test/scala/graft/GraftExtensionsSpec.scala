@@ -37,4 +37,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getString(1) === "+1 (412) 636-8126")
     assert(r.getString(2) === "[PERSON_NAME] was here")
   }
+
+  test("compression_ratio and wkt_point SQL functions registered") {
+    graft.GraftExtensions.install(spark)
+    val r = spark.sql(
+      "SELECT compression_ratio('spam spam spam spam spam spam spam spam') AS cr, " +
+      "wkt_point(-79.9959, 40.4406) AS pt, wkt_point(NULL, 1.0) AS np").head()
+    assert(r.getDouble(0) > 0 && r.getDouble(0) < 1.0)
+    assert(r.getString(1) === "POINT(-79.995900 40.440600)")
+    assert(r.isNullAt(2))
+  }
 }
