@@ -163,21 +163,33 @@ case class HyperplaneBands(child: Expression, bands: Int, bitsPerBand: Int, seed
     case _                       => false
   }
 
+  // deterministic per (plane, dim, seed) — materialised once per task
+  // instead of one splitmix per (plane, dim) per ROW (bands × bits ×
+  // dim hashes/row was the kernel's dominant cost at 64×6 bands)
+  @transient private var signTable: Array[Array[Boolean]] = _
+
+  private def ensureTable(n: Int): Unit =
+    if (signTable == null || signTable(0).length < n) {
+      signTable = Array.tabulate(bands * bitsPerBand)(p =>
+        Array.tabulate(n)(i => HyperplaneBands.sign(p, i, seed)))
+    }
+
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    ensureTable(n)
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
       var bits = 0L
       var j = 0
       while (j < bitsPerBand) {
-        val plane = b * bitsPerBand + j
+        val signs = signTable(b * bitsPerBand + j)
         var dot = 0.0
         var i = 0
         while (i < n) {
           val x: Double = if (elemIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
-          dot += (if (HyperplaneBands.sign(plane, i, seed)) x else -x)
+          dot += (if (signs(i)) x else -x)
           i += 1
         }
         if (dot > 0) bits |= (1L << j)
@@ -191,24 +203,42 @@ case class HyperplaneBands(child: Expression, bands: Int, bitsPerBand: Int, seed
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val get = if (elemIsFloat) "getFloat" else "getDouble"
+    // sign table as operator state: built on first row (and regrown if
+    // a longer vector appears), then the hot loop is a plain
+    // multiply-accumulate over a boolean[] — no hashing per row
+    val table = ctx.addMutableState("boolean[][]", "hpbSigns", v => s"$v = null;")
+    val build = ctx.addNewFunction("buildHpbSigns",
+      s"""
+         |private boolean[][] buildHpbSigns(int n) {
+         |  boolean[][] t = new boolean[${bands * bitsPerBand}][n];
+         |  for (int p = 0; p < ${bands * bitsPerBand}; p++) {
+         |    for (int i = 0; i < n; i++) {
+         |      long z = ${seed}L ^ (p * -7046029254386353131L) ^ (i * -4417276706812531889L);
+         |      z = (z ^ (z >>> 30)) * -4658895280553007687L;
+         |      z = (z ^ (z >>> 27)) * -7723592293110705685L;
+         |      z ^= (z >>> 31);
+         |      t[p][i] = (z & 1L) == 0L;
+         |    }
+         |  }
+         |  return t;
+         |}
+         |""".stripMargin)
     nullSafeCodeGen(ctx, ev, v => {
       val n = ctx.freshName("n"); val out = ctx.freshName("out")
       val b = ctx.freshName("b"); val j = ctx.freshName("j")
       val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
-      val bits = ctx.freshName("bits"); val z = ctx.freshName("z")
+      val bits = ctx.freshName("bits"); val signs = ctx.freshName("signs")
       s"""
          |int $n = $v.numElements();
+         |if ($table == null || ($n > 0 && $table[0].length < $n)) $table = $build($n);
          |long[] $out = new long[$bands];
          |for (int $b = 0; $b < $bands; $b++) {
          |  long $bits = 0L;
          |  for (int $j = 0; $j < $bitsPerBand; $j++) {
+         |    boolean[] $signs = $table[$b * $bitsPerBand + $j];
          |    double $dot = 0.0;
          |    for (int $i = 0; $i < $n; $i++) {
-         |      long $z = ${seed}L ^ (($b * $bitsPerBand + $j) * -7046029254386353131L) ^ ($i * -4417276706812531889L);
-         |      $z = ($z ^ ($z >>> 30)) * -4658895280553007687L;
-         |      $z = ($z ^ ($z >>> 27)) * -7723592293110705685L;
-         |      $z ^= ($z >>> 31);
-         |      $dot += ((($z & 1L) == 0L) ? 1.0 : -1.0) * (double) $v.$get($i);
+         |      $dot += ($signs[$i] ? 1.0 : -1.0) * (double) $v.$get($i);
          |    }
          |    if ($dot > 0) $bits |= (1L << $j);
          |  }
