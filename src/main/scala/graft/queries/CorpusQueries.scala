@@ -43,6 +43,21 @@ object CorpusQueries {
       CorpusPipeline.decontaminate(
         Tables.documents(s, d), "doc_id", "text",
         benchTexts.toDF("btext"), "btext", n = 3)
+    }),
+
+    // incremental admission: first half of the corpus is "established"
+    // and participates only via stored signatures; the second half is
+    // the incoming batch. Output = the REJECTED batch ids (near-dups
+    // of the corpus or of an earlier kept batch row).
+    "q75_incremental_dedup" -> ((s, d) => {
+      val docs = graft.Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") < 250)
+      val batch  = docs.filter(col("doc_id") >= 250)
+      val sigs = graft.dedup.NearDup.minhashSignatures(corpus, "doc_id", "text")
+      val (admitted, _) = graft.dedup.NearDup.incrementalDedup(
+        sigs, batch, "doc_id", "text", threshold = 0.8)
+      batch.select("doc_id")
+        .join(admitted.select("doc_id"), Seq("doc_id"), "left_anti")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -56,6 +71,17 @@ object CorpusQueries {
         |  (5, 'solo content only'),
         |  (6, '')
         |) t(doc_id, clean_text)""".stripMargin,
+
+    // audited, not merely pinned: this id list equals the exact-Jaccard
+    // (J >= 0.8) ground truth computed independently in DuckDB — batch
+    // ids with a corpus-half partner, plus non-min members of
+    // batch-internal components (the incremental path's signature
+    // estimate agrees with exact J for every rejection at this SF)
+    "q75_incremental_dedup" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (VALUES
+        |  (267),(290),(293),(301),(323),(332),(374),(377),(383),(387),
+        |  (389),(413),(420),(446),(447),(450),(455),(457),(462),(486)
+        |) t(doc_id)""".stripMargin,
 
     "q73_decontaminate" ->
       """WITH toks AS (
