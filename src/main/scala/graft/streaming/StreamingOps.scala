@@ -199,4 +199,36 @@ object StreamingOps {
         ()
       }
   }
+
+  /** Streaming corpus admission: each micro-batch is near-dup-checked
+    * against the persisted signature state (NEVER the corpus text) via
+    * `NearDup.incrementalDedup`; admitted rows append to `outPath` and
+    * their signatures append to `sigPath`, so later batches see every
+    * earlier admission. The per-batch cost is batch-sized — the
+    * growing corpus contributes only its band keys.
+    */
+  def incrementalDedupStream(
+      incoming: DataFrame, idCol: String, textCol: String,
+      sigPath: String, outPath: String, checkpoint: String,
+      threshold: Double = 0.7,
+      trigger: Trigger = Trigger.AvailableNow()) = {
+    incoming.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val dir = new java.io.File(sigPath)
+        val sigs =
+          if (dir.exists() && dir.listFiles() != null && dir.listFiles().nonEmpty)
+            spark.read.parquet(sigPath)
+          else graft.dedup.NearDup.minhashSignatures(
+            batch.limit(0), idCol, textCol)
+        val (admitted, newSigs) = graft.dedup.NearDup.incrementalDedup(
+          sigs, batch, idCol, textCol, threshold = threshold)
+        admitted.write.mode("append").parquet(outPath)
+        newSigs.write.mode("append").parquet(sigPath)
+        ()
+      }
+  }
 }

@@ -183,4 +183,36 @@ class StreamingSpec extends SparkSpec {
       .as[(String, String, Double, Long)].collect().toSeq
     assert(got === Seq(("555", "15222", 6.25, 1682935200L)))
   }
+
+  test("incrementalDedupStream: later micro-batches are deduped against " +
+    "all earlier admissions via the signature state") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_dedup").toFile
+    val src = new java.io.File(dir, "in"); src.mkdirs()
+    val sigP = new java.io.File(dir, "sigs").getPath
+    val outP = new java.io.File(dir, "out").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    Seq((1L, base), (2L, "wholly different first era document with unique words"))
+      .toDF("doc_id", "text").write.mode("overwrite").json(src.getPath + "/b1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).json(src.getPath + "/*")
+      val q = StreamingOps.incrementalDedupStream(
+        stream, "doc_id", "text", sigP, outP, ckpt, threshold = 0.7).start()
+      q.awaitTermination(60000)
+    }
+    run()
+    assert(spark.read.parquet(outP).count() === 2)
+
+    // second drop: a near-dup of batch-1 doc 1, and a novel doc
+    Seq((10L, base + " lambda"), (11L, "entirely novel second era content right here"))
+      .toDF("doc_id", "text").write.mode("overwrite").json(src.getPath + "/b2")
+    run()
+    val ids = spark.read.parquet(outP).select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 2L, 11L), s"near-dup 10 must be rejected, got $ids")
+    assert(spark.read.parquet(sigP).count() === 3)
+  }
 }
