@@ -186,8 +186,13 @@ object NearDup {
       bands: Int = 16, threshold: Double = 0.7): (DataFrame, DataFrame) = {
     val inSigs = minhashSignatures(incoming, idCol, textCol, shingleLen, numPerms)
       .repartition(col(idCol))
+    // one exchange for the corpus state too: it is consumed by the band
+    // join AND the verify join — without the barrier each reference
+    // re-evaluates the upstream (a re-read in production, a full
+    // re-shingle when the caller builds signatures inline)
+    val corpSigs = corpusSigs.repartition(col(idCol))
     val inBands = lshBands(inSigs, idCol, "__sig", bands, numPerms)
-    val corpusBands = lshBands(corpusSigs, idCol, "__sig", bands, numPerms)
+    val corpusBands = lshBands(corpSigs, idCol, "__sig", bands, numPerms)
 
     // batch vs corpus: any estimated match disqualifies the batch row
     val vsCorpus = inBands.select(col("band"), col("band_hash"), col(idCol).as("id_new"))
@@ -195,10 +200,14 @@ object NearDup {
         Seq("band", "band_hash"))
       .select("id_new", "id_old").distinct()
       .join(inSigs.select(col(idCol).as("id_new"), col("__sig").as("__sig_new")), "id_new")
-      .join(corpusSigs.select(col(idCol).as("id_old"), col("__sig").as("__sig_old")), "id_old")
+      .join(corpSigs.select(col(idCol).as("id_old"), col("__sig").as("__sig_old")), "id_old")
       .filter(sigJaccardEst(col("__sig_new"), col("__sig_old")) >= threshold)
       .select(col("id_new").as(idCol)).distinct()
+    // barrier: survivors feeds four consumers (self-band, two verify
+    // joins, admission anti-join) — without its own exchange each one
+    // re-runs the corpus-candidate subtree above
     val survivors = inSigs.join(vsCorpus, Seq(idCol), "left_anti")
+      .repartition(col(idCol))
 
     // batch-internal: min-id keeper per near-dup cluster (fixpoint CC)
     val selfCands = lshCandidatePairs(
@@ -208,8 +217,14 @@ object NearDup {
       .join(survivors.select(col(idCol).as("id_b"), col("__sig").as("__sb")), "id_b")
       .filter(sigJaccardEst(col("__sa"), col("__sb")) >= threshold)
       .select("id_a", "id_b")
+      .repartition(col("id_a")) // reused by pairNodes (×2) and the CC loop
+    // iterate components only over nodes that occur in a dup pair —
+    // the fixpoint loop's per-round overhead then scales with the
+    // (small) clustered subset, not the whole batch
+    val pairNodes = selfPairs.select(col("id_a").as("node"))
+      .unionByName(selfPairs.select(col("id_b").as("node"))).distinct()
     val labels = graft.pipelines.CorpusPipeline.minLabelComponents(
-      survivors.select(col(idCol).as("node")), selfPairs)
+      pairNodes, selfPairs)
     val keepIds = survivors.select(col(idCol))
       .join(labels.filter(col("node") =!= col("label"))
           .select(col("node").as(idCol)),

@@ -54,10 +54,42 @@ object CorpusPipeline {
     * `nodes`: one column `node`; `pairs`: columns `id_a`, `id_b`.
     * Returns (node, label) with label = min id of the component.
     */
-  def minLabelComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def minLabelComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 50,
+                         smallEdgeLimit: Long = 100000L): DataFrame = {
     // undirected edges both ways
     val edges = pairs.select(col("id_a"), col("id_b")).unionByName(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).distinct().cache()
+    // size-gated strategy switch (the CC analogue of a broadcast join):
+    // below the limit the iterative loop is pure scheduling overhead —
+    // each round is ~3 jobs — so run exact union-find driver-side and
+    // broadcast the (node -> min-id) mapping. The distributed fixpoint
+    // below remains the path for edge sets that don't fit one machine.
+    val eCount = edges.count()
+    if (eCount <= smallEdgeLimit) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .collect().foreach { row =>
+          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (ra != rb) { // smaller root wins => root IS the min id
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+      val mapping = parent.keys.map(n => (n, find(n))).toSeq
+      edges.unpersist()
+      val s = nodes.sparkSession
+      import s.implicits._
+      return nodes.join(
+          broadcast(mapping.toDF("node", "__cc_label")), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__cc_label"), col("node")).as("label"))
+    }
     var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
     var changed = 1L
     var i = 0

@@ -43,9 +43,14 @@ class CorpusPipelineSpec extends SparkSpec {
     // O(log n) rounds well under the backstop.
     val nodes = (1L to 12L).toDF("node")
     val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = CorpusPipeline.minLabelComponents(nodes, pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels.values.toSet === Set(1L), s"all nodes must label to 1, got $labels")
+    // both strategies: driver union-find (small gate) and the
+    // distributed fixpoint loop (gate forced off)
+    for (gate <- Seq(100000L, 0L)) {
+      val labels = CorpusPipeline.minLabelComponents(nodes, pairs, smallEdgeLimit = gate)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels.values.toSet === Set(1L),
+        s"all nodes must label to 1 (gate=$gate), got $labels")
+    }
   }
 
   test("minLabelComponents: disjoint components keep distinct min labels") {
