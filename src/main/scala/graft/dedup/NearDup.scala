@@ -54,10 +54,11 @@ object NearDup {
     * the hashing cost, which `bind` keeps linear in document length.
     */
   def minhashSignature(shingles: Column, numPerms: Int): Column =
-    graft.expressions.ExprOps.bind(shingles) { sh =>
-      transform(sequence(lit(0), lit(numPerms - 1)),
-        i => array_min(transform(sh, s => xxhash64(s, i))))
-    }
+    // codegen'd expression, bit-identical to the HOF formulation
+    //   bind(sh)(transform(sequence(0, k-1), i => array_min(transform(sh, s => xxhash64(s, i)))))
+    // (asserted by SketchSpec) at 1 string-hash + k int-mixes per
+    // element instead of k interpreted passes re-hashing the string
+    graft.expressions.SimilarityExpressions.minhash_sig(shingles, numPerms)
 
   /** Banded LSH key rows: one row per (band, bandHash) per doc.
     * numPerms must be divisible by bands; r = numPerms/bands rows per
@@ -184,13 +185,23 @@ object NearDup {
       corpusSigs: DataFrame, incoming: DataFrame, idCol: String,
       textCol: String, shingleLen: Int = 3, numPerms: Int = 64,
       bands: Int = 16, threshold: Double = 0.7): (DataFrame, DataFrame) = {
+    // Materialization strategy: the admission decision tree is consumed
+    // by MULTIPLE Spark jobs — the CC gate count, the admitted-rows
+    // write, and the signature-state append — and repartition barriers
+    // only share exchanges WITHIN one job, so without explicit
+    // materialization every downstream action re-runs the whole
+    // sig→band→verify subtree (measured 3× recompute = 14 s instead of
+    // ~4 s at sf0.1). The intermediates are batch-sized signature
+    // frames (KBs–MBs per million-doc batch: id + numPerms longs), so
+    // each stage is localCheckpointed once — lineage truncation, the
+    // same pattern the CC fixpoint already uses.
     val inSigs = minhashSignatures(incoming, idCol, textCol, shingleLen, numPerms)
-      .repartition(col(idCol))
-    // one exchange for the corpus state too: it is consumed by the band
-    // join AND the verify join — without the barrier each reference
-    // re-evaluates the upstream (a re-read in production, a full
-    // re-shingle when the caller builds signatures inline)
-    val corpSigs = corpusSigs.repartition(col(idCol))
+      .localCheckpoint()
+    // corpus state: consumed by the band join AND the verify join; in
+    // production it is a parquet-backed (id, signature) frame — the
+    // checkpoint pins it so neither consumer re-reads (or, when a
+    // caller builds it inline, re-shingles) the corpus
+    val corpSigs = corpusSigs.localCheckpoint()
     val inBands = lshBands(inSigs, idCol, "__sig", bands, numPerms)
     val corpusBands = lshBands(corpSigs, idCol, "__sig", bands, numPerms)
 
@@ -203,11 +214,10 @@ object NearDup {
       .join(corpSigs.select(col(idCol).as("id_old"), col("__sig").as("__sig_old")), "id_old")
       .filter(sigJaccardEst(col("__sig_new"), col("__sig_old")) >= threshold)
       .select(col("id_new").as(idCol)).distinct()
-    // barrier: survivors feeds four consumers (self-band, two verify
-    // joins, admission anti-join) — without its own exchange each one
-    // re-runs the corpus-candidate subtree above
+    // survivors feeds four consumers (self-band, two verify joins,
+    // admission anti-join) across several jobs
     val survivors = inSigs.join(vsCorpus, Seq(idCol), "left_anti")
-      .repartition(col(idCol))
+      .localCheckpoint()
 
     // batch-internal: min-id keeper per near-dup cluster (fixpoint CC)
     val selfCands = lshCandidatePairs(
@@ -217,7 +227,7 @@ object NearDup {
       .join(survivors.select(col(idCol).as("id_b"), col("__sig").as("__sb")), "id_b")
       .filter(sigJaccardEst(col("__sa"), col("__sb")) >= threshold)
       .select("id_a", "id_b")
-      .repartition(col("id_a")) // reused by pairNodes (×2) and the CC loop
+      .localCheckpoint() // reused by pairNodes (×2), the CC gate count, and the CC loop
     // iterate components only over nodes that occur in a dup pair —
     // the fixpoint loop's per-round overhead then scales with the
     // (small) clustered subset, not the whole batch
@@ -230,9 +240,13 @@ object NearDup {
           .select(col("node").as(idCol)),
         Seq(idCol), "left_anti")
 
-    // sub-shingle-length rows carry no signature and cannot be
-    // near-dups — admitted unconditionally (parity with the full path)
-    val shortRows = incoming.filter(size(TextOps.tokens(col(textCol))) < shingleLen)
+    // rows that carry no signature cannot be near-dups — admitted
+    // unconditionally (parity with the full path, which keeps them as
+    // pairless nodes). coalesce catches NULL text: tokens(NULL) is
+    // NULL, and a bare `size(...) < n` filter evaluates to NULL there,
+    // silently dropping the row from BOTH branches.
+    val shortRows = incoming.filter(
+      coalesce(size(TextOps.tokens(col(textCol))), lit(0)) < shingleLen)
     val admitted = incoming.join(keepIds, Seq(idCol), "left_semi")
       .unionByName(shortRows)
     val newSigs = inSigs.join(keepIds, Seq(idCol), "left_semi")

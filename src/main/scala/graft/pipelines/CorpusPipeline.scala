@@ -64,31 +64,36 @@ object CorpusPipeline {
     // each round is ~3 jobs — so run exact union-find driver-side and
     // broadcast the (node -> min-id) mapping. The distributed fixpoint
     // below remains the path for edge sets that don't fit one machine.
+    // Min-label semantics need an ORDERING on the id type, and it must
+    // match the distributed path's `least`/`min`: integral ids compare
+    // numerically, strings lexicographically; any other id type (or an
+    // ANSI-unsafe cast) falls through to the distributed fixpoint
+    // rather than guessing.
     val eCount = edges.count()
     if (eCount <= smallEdgeLimit) {
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
-        .collect().foreach { row =>
-          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
-          if (ra != rb) { // smaller root wins => root IS the min id
-            if (ra < rb) parent(rb) = ra else parent(ra) = rb
-          }
-        }
-      val mapping = parent.keys.map(n => (n, find(n))).toSeq
-      edges.unpersist()
       val s = nodes.sparkSession
       import s.implicits._
-      return nodes.join(
-          broadcast(mapping.toDF("node", "__cc_label")), Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("__cc_label"), col("node")).as("label"))
+      import org.apache.spark.sql.types._
+      val mappingDf = edges.schema("id_a").dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(driverUnionFind(
+            edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
+              .collect().map(r => (r.getLong(0), r.getLong(1))))
+            .toDF("node", "__cc_label"))
+        case StringType =>
+          Some(driverUnionFind(
+            edges.collect().map(r => (r.getString(0), r.getString(1))))
+            .toDF("node", "__cc_label"))
+        case _ => None
+      }
+      mappingDf match {
+        case Some(mapping) =>
+          edges.unpersist()
+          return nodes.join(broadcast(mapping), Seq("node"), "left")
+            .select(col("node"),
+              coalesce(col("__cc_label"), col("node")).as("label"))
+        case None => () // unsupported id type: distributed path below
+      }
     }
     var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
     var changed = 1L
@@ -119,6 +124,29 @@ object CorpusPipeline {
         .warn(s"minLabelComponents hit maxIter=$maxIter before fixpoint; labels may under-merge")
     edges.unpersist()
     labels
+  }
+
+  /** Driver-side union-find with path compression; smaller root wins,
+    * so every root IS the minimum of its component under `ord`.
+    * Returns node -> component-min for every node seen in an edge.
+    */
+  private def driverUnionFind[T](edgeList: Array[(T, T)])(
+      implicit ord: Ordering[T]): Seq[(T, T)] = {
+    val parent = scala.collection.mutable.Map.empty[T, T]
+    def find(x: T): T = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edgeList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.map(n => (n, find(n))).toSeq
   }
 
   /** Stage 4 — near-dup removal: MinHash-LSH pairs → connected

@@ -30,6 +30,26 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("MinHashSig expression is bit-identical to the HOF formulation on real docs") {
+    // the pinned q75 oracle and any persisted signature state depend on
+    // the exact hash values — the codegen expression must reproduce
+    // transform(sequence(0,k-1), i => array_min(transform(sh, s => xxhash64(s,i))))
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val sh = graft.text.TextOps.wordShingles(col("text"), 3)
+    val both = docs
+      .filter(size(graft.text.TextOps.tokens(col("text"))) >= 3)
+      .select(
+        graft.expressions.SimilarityExpressions.minhash_sig(sh, 64).as("fast"),
+        graft.expressions.ExprOps.bind(sh) { s =>
+          transform(sequence(lit(0), lit(63)), i => array_min(transform(s, x => xxhash64(x, i))))
+        }.as("hof"))
+    assert(both.count() > 0)
+    assert(both.filter(not(col("fast") === col("hof"))).count() === 0)
+    // interpreted eval path (e.g. inside non-codegen contexts) agrees too
+    val row = both.head()
+    assert(row.getSeq[Long](0) === row.getSeq[Long](1))
+  }
+
   test("approx_count_distinct tracks exact distinct count within 5% on orders") {
     val o = Tables.orders(spark, sf("sf0.01"))
     val r = o.agg(
