@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   *
   * Implementation: ray-casting point-in-polygon on lon/lat degrees
   * (adequate for municipal-scale zones that avoid the antimeridian,
-  * matching the reference's own data envelope). WKT polygons are parsed
-  * once driver-side and shipped to executors inside the UDF closure /
-  * broadcast join — never re-parsed per row.
+  * matching the reference's own data envelope), even-odd across rings
+  * so POLYGON holes and MULTIPOLYGON parts both work. WKT is parsed
+  * once per polygon — driver-side (UDF closure / broadcast) on the
+  * small-zone paths, once per zone ROW on the grid scale path — and
+  * never re-parsed per candidate row.
   */
 object Geo {
 
@@ -57,9 +59,14 @@ object Geo {
     }
   }
 
-  /** Parse `POLYGON((x y, x y, ...))` / `MULTIPOLYGON(((...)))` WKT —
-    * outer rings only (the reference's zone tables are simple polygons;
-    * holes are not present in its data).
+  /** Parse `POLYGON((x y, x y, ...))` / `MULTIPOLYGON(((...)))` WKT
+    * into ALL rings — outer rings and holes alike. Containment combines
+    * them with the even-odd rule ([[ringsContain]]), so a POLYGON hole
+    * and a MULTIPOLYGON part need no structural distinction: a point
+    * inside an odd number of rings is inside the shape. This matches
+    * BigQuery `ST_CONTAINS` on donut zones (geo_queries.py:35-108);
+    * the reference's own zone tables are hole-free, so hole handling
+    * is latent there but correct here.
     */
   def parseWkt(wkt: String): Seq[Polygon] = {
     if (wkt == null) return Seq.empty
@@ -69,12 +76,17 @@ object Geo {
         .filter(_.length >= 2)
         .map(p => (p(0).toDouble, p(1).toDouble))
       Polygon(pts.map(_._1), pts.map(_._2))
-    }.toSeq match {
-      // MULTIPOLYGON: every ring is an outer ring of its part; POLYGON:
-      // first ring outer, rest holes (ignored — see note above).
-      case head +: _ if wkt.trim.toUpperCase.startsWith("POLYGON") => Seq(head)
-      case rings => rings
-    }
+    }.toSeq
+  }
+
+  /** Even-odd containment across a shape's rings: inside iff an odd
+    * number of rings contain the point (outer ring yes + hole yes = 2
+    * = outside the donut).
+    */
+  def ringsContain(rings: Seq[Polygon], x: Double, y: Double): Boolean = {
+    var cnt = 0
+    rings.foreach(r => if (r.contains(x, y)) cnt += 1)
+    (cnt & 1) == 1
   }
 
   /** `ST_CONTAINS(geogFromText(wkt), ST_GEOGPOINT(long, lat))` as a
@@ -86,7 +98,7 @@ object Geo {
     val polys = parseWkt(wkt)
     val f = udf((x: java.lang.Double, y: java.lang.Double) =>
       if (x == null || y == null) false
-      else polys.exists(_.contains(x, y)))
+      else ringsContain(polys, x, y))
     f(longCol, latCol)
   }
 
@@ -133,7 +145,7 @@ object Geo {
       else {
         val tt = if (t == null) Long.MaxValue else t.longValue()
         parsed.collectFirst {
-          case (name, polys, s, e) if s <= tt && tt <= e && polys.exists(_.contains(x, y)) => name
+          case (name, polys, s, e) if s <= tt && tt <= e && ringsContain(polys, x, y) => name
         }.orNull
       }
     })
@@ -170,6 +182,17 @@ object Geo {
     * on the order of a typical polygon's extent (0.01° ≈ 1 km for the
     * municipal families).
     */
+  /** Pre-parsed ring row carried through the grid join in place of WKT
+    * text: coordinates plus the bounding box for the cheap reject test.
+    * Parsing happens once per ZONE row; candidate verification is the
+    * codegen'd [[graft.expressions.RingsContain]] expression over this
+    * struct — no per-candidate-row regex parse (the old `(wkt, x, y)`
+    * UDF re-parsed per joined row, and the parse dominates the ray cast
+    * at national scale).
+    */
+  final case class RingRow(xs: Array[Double], ys: Array[Double],
+      minx: Double, maxx: Double, miny: Double, maxy: Double)
+
   def gridRevGeoZone(
       points: DataFrame, zones: DataFrame, outCol: String, idCol: String,
       zoneNameCol: String = "zone", wktCol: String = "wkt",
@@ -186,10 +209,11 @@ object Geo {
         val y1 = math.floor(p.maxY / cellDeg).toLong
         for (cx <- x0 to x1; cy <- y0 to y1) yield pack(cx, cy)
       }.distinct.toArray)
-    val containsF = udf((wkt: String, x: java.lang.Double, y: java.lang.Double) =>
-      x != null && y != null && parseWkt(wkt).exists(_.contains(x, y)))
+    val ringsOf = udf((wkt: String) =>
+      parseWkt(wkt).map(p => RingRow(p.xs, p.ys, p.minX, p.maxX, p.minY, p.maxY)))
 
-    val zoneCells = zones.select(col(zoneNameCol).as("__zn"), col(wktCol).as("__wkt"),
+    val zoneCells = zones.select(col(zoneNameCol).as("__zn"),
+        ringsOf(col(wktCol)).as("__rings"),
         col(startCol).as("__zs"),
         coalesce(col(endCol), lit(Long.MaxValue)).as("__ze"),
         explode(cellsOf(col(wktCol))).as("__cell"))
@@ -202,7 +226,8 @@ object Geo {
     val tt = coalesce(col(eventUnixCol), lit(Long.MaxValue))
     val matched = keyed.join(zoneCells, "__cell")
       .where(col("__zs") <= tt && tt <= col("__ze")
-        && containsF(col("__wkt"), col(longCol), col(latCol)))
+        && graft.expressions.GeoExpressions.rings_contain(
+          col("__rings"), col(longCol).cast("double"), col(latCol).cast("double")))
       .groupBy(idCol).agg(min(col("__zn")).as(outCol))
     points.join(matched, Seq(idCol), "left")
   }

@@ -61,6 +61,20 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("minLabelComponents: string doc ids work on both strategies (lexicographic min)") {
+    // the driver union-find used to cast ids to long — an ANSI cast
+    // error for string ids, and only on edge sets under the small gate
+    val nodes = Seq("doc-a", "doc-b", "doc-c", "doc-x", "doc-y", "lone").toDF("node")
+    val pairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c"), ("doc-y", "doc-x"))
+      .toDF("id_a", "id_b")
+    for (gate <- Seq(100000L, 0L)) {
+      val labels = CorpusPipeline.minLabelComponents(nodes, pairs, smallEdgeLimit = gate)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(labels === Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a",
+        "doc-x" -> "doc-x", "doc-y" -> "doc-x", "lone" -> "lone"), s"gate=$gate: $labels")
+    }
+  }
+
   test("tokenBudget: two-level cumulative cut matches a naive global cumsum") {
     val docs = (1L to 300L).map(i => (i, ("w " * ((i % 7).toInt + 1)).trim)).toDF("doc_id", "text")
     val out = CorpusPipeline.tokenBudget(docs, "doc_id", "text", budget = 200, bucketSize = 50)

@@ -27,6 +27,31 @@ class GeoSpec extends SparkSpec {
     assert(polys.exists(_.contains(5.5, 5.5)))
   }
 
+  val donut = "POLYGON((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))"
+
+  test("polygon holes: even-odd containment excludes the hole (ST_CONTAINS parity)") {
+    val rings = Geo.parseWkt(donut)
+    assert(rings.length === 2, "hole ring must be parsed, not dropped")
+    assert(Geo.ringsContain(rings, 1.0, 1.0), "annulus point is inside")
+    assert(!Geo.ringsContain(rings, 5.0, 5.0), "hole interior is OUTSIDE the donut")
+    assert(!Geo.ringsContain(rings, 11.0, 5.0), "beyond the outer ring")
+    // MULTIPOLYGON with a holed part plus a solid part
+    val mp = Geo.parseWkt(
+      "MULTIPOLYGON(((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3)), ((20 20, 22 20, 22 22, 20 22, 20 20)))")
+    assert(mp.length === 3)
+    assert(Geo.ringsContain(mp, 1.0, 1.0))
+    assert(!Geo.ringsContain(mp, 5.0, 5.0))
+    assert(Geo.ringsContain(mp, 21.0, 21.0))
+  }
+
+  test("stContainsWkt honors holes in the column expression path") {
+    val df = Seq((1L, 1.0, 1.0), (2L, 5.0, 5.0)).toDF("id", "long", "lat")
+    val out = df.select(col("id"),
+        Geo.stContainsWkt(donut, col("long"), col("lat")).as("in"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(out(1L) && !out(2L))
+  }
+
   test("centroid: unit square centroid is its middle") {
     val (cx, cy) = Geo.parseWkt(unitSquare).head.centroid
     assert(math.abs(cx - 5.0) < 1e-9 && math.abs(cy - 5.0) < 1e-9)
@@ -123,20 +148,24 @@ class GeoSpec extends SparkSpec {
   }
 
   test("gridRevGeoZone: distributed grid path matches the broadcast path, " +
-    "incl. cross-cell polygons, time windows, null coords") {
+    "incl. cross-cell polygons, time windows, null coords, holes") {
     // polygons spanning many 0.01-degree cells, negative coords, a
-    // second era for the time-window predicate
+    // second era for the time-window predicate, and a donut zone whose
+    // hole must NOT classify (even-odd in the grid verify expression)
     val zones = Seq(
       ("alpha", "POLYGON((-0.05 -0.05, 0.05 -0.05, 0.05 0.05, -0.05 0.05, -0.05 -0.05))", 0L, Some(1000L)),
       ("beta",  "POLYGON((-0.05 -0.05, 0.05 -0.05, 0.05 0.05, -0.05 0.05, -0.05 -0.05))", 1001L, None),
-      ("gamma", "POLYGON((0.10 0.10, 0.30 0.10, 0.30 0.30, 0.10 0.30, 0.10 0.10))", 0L, None))
+      ("gamma", "POLYGON((0.10 0.10, 0.30 0.10, 0.30 0.30, 0.10 0.30, 0.10 0.10))", 0L, None),
+      ("ring",  "POLYGON((0.50 0.50, 0.70 0.50, 0.70 0.70, 0.50 0.70, 0.50 0.50), (0.55 0.55, 0.65 0.55, 0.65 0.65, 0.55 0.65, 0.55 0.55))", 0L, None))
     val pts = Seq(
       (1L, java.lang.Double.valueOf(0.0), java.lang.Double.valueOf(0.0), java.lang.Long.valueOf(500L)),
       (2L, java.lang.Double.valueOf(0.0), java.lang.Double.valueOf(0.0), java.lang.Long.valueOf(2000L)),
       (3L, java.lang.Double.valueOf(0.2), java.lang.Double.valueOf(0.2), java.lang.Long.valueOf(1L)),
       (4L, java.lang.Double.valueOf(0.9), java.lang.Double.valueOf(0.9), java.lang.Long.valueOf(1L)),
       (5L, null.asInstanceOf[java.lang.Double], java.lang.Double.valueOf(0.0), java.lang.Long.valueOf(1L)),
-      (6L, java.lang.Double.valueOf(-0.049), java.lang.Double.valueOf(0.049), java.lang.Long.valueOf(999L))
+      (6L, java.lang.Double.valueOf(-0.049), java.lang.Double.valueOf(0.049), java.lang.Long.valueOf(999L)),
+      (7L, java.lang.Double.valueOf(0.52), java.lang.Double.valueOf(0.52), java.lang.Long.valueOf(1L)),  // annulus -> ring
+      (8L, java.lang.Double.valueOf(0.60), java.lang.Double.valueOf(0.60), java.lang.Long.valueOf(1L))   // hole -> no zone
     ).toDF("id", "long", "lat", "create_date_unix")
     val zonesDf = zones
       .map { case (n, w, s0, e) => (n, w, s0, e.map(Long.box).orNull) }
@@ -152,5 +181,7 @@ class GeoSpec extends SparkSpec {
     assert(grid(1L) === Some("alpha") && grid(2L) === Some("beta"))
     assert(grid(3L) === Some("gamma") && grid(4L).isEmpty && grid(5L).isEmpty)
     assert(grid(6L) === Some("alpha"))
+    assert(grid(7L) === Some("ring"), "annulus point classifies to the donut zone")
+    assert(grid(8L).isEmpty, "hole interior must not classify")
   }
 }

@@ -97,20 +97,21 @@ class NearDupSpec extends SparkSpec {
       (11L, "a genuinely novel incoming text nothing like the others one"),
       (12L, "a genuinely novel incoming text nothing like the others two"), // near-dup of 11 -> dropped
       (13L, "short"),                                  // sub-shingle-length -> admitted
-      (14L, "yet another fully distinct new document about spark plans"))
+      (14L, "yet another fully distinct new document about spark plans"),
+      (15L, null.asInstanceOf[String]))                // NULL text -> admitted, never vanishes
       .toDF("doc_id", "text")
     val (admitted, newSigs) = NearDup.incrementalDedup(
       corpusSigs, incoming, "doc_id", "text", threshold = 0.7)
     val ids = admitted.select("doc_id").as[Long].collect().toSet
-    assert(ids === Set(11L, 13L, 14L))
+    assert(ids === Set(11L, 13L, 14L, 15L))
     // appended signatures cover exactly the admitted signature-bearing rows
     assert(newSigs.select("doc_id").as[Long].collect().toSet === Set(11L, 14L))
     // idempotent admission: re-offering the batch against the grown
-    // state admits nothing (13 has no signature and would re-admit --
-    // production keys short rows by exact digest; exclude it here)
+    // state admits nothing (13/15 have no signature and would re-admit
+    // -- production keys short rows by exact digest; exclude them here)
     val grown = corpusSigs.unionByName(newSigs)
     val (again, _) = NearDup.incrementalDedup(
-      grown, incoming.filter($"doc_id" =!= 13L), "doc_id", "text", threshold = 0.7)
+      grown, incoming.filter(!$"doc_id".isin(13L, 15L)), "doc_id", "text", threshold = 0.7)
     assert(again.count() === 0)
   }
 }
