@@ -49,7 +49,20 @@ object TimeOps {
     "yyyy-MM-dd",
     "MM/dd/yyyy",
     "MMM dd yyyy",
-    "MMM dd, yyyy"
+    "MMM dd, yyyy",
+    // appended (round 6) to close dateutil format-family gaps — order
+    // matters: these sit LAST so any string the earlier formats parsed
+    // keeps its meaning (pinned q45 oracle). Parity table lives in
+    // TimeOpsSpec "fuzzyToTimestamp: dateutil format-family parity".
+    "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd HH:mm:ss.SSS",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd'T'HH:mm:ss.SSS",
+    "yyyyMMdd'T'HHmmss",
+    "yyyyMMdd",
+    "dd MMM yyyy",
+    "MMMM dd, yyyy",
+    "MMMM dd yyyy"
   )
 
   /** Fuzzy-parse a datetime string: any embedded timezone (named token

@@ -222,30 +222,44 @@ object CorpusPipeline {
     docs.withColumn(textCol, f(col(textCol)))
   }
 
-  /** CCNet/Dolma-style boilerplate-line removal: drop every line that
-    * occurs in more than `maxDocs` distinct documents corpus-wide
-    * (cookie banners, nav chrome, license footers), keeping line order
-    * within each surviving document.
+  /** CCNet/Dolma-style boilerplate-line removal: drop every NON-BLANK
+    * line that occurs in more than `maxDocs` distinct documents
+    * corpus-wide (cookie banners, nav chrome, license footers), keeping
+    * line order within each surviving document. Blank/whitespace-only
+    * lines are never candidates — they occur everywhere and stripping
+    * them would collapse paragraph structure corpus-wide (CCNet/Dolma
+    * likewise count non-empty lines only).
     *
-    * 100 TB shape: lines shuffle once as 64-bit hashes for the
-    * frequency count (map-side combined); the over-threshold set is
-    * tiny by construction (only corpus-wide boilerplate crosses it),
-    * so the removal join broadcasts it and the only full-data shuffle
-    * is the per-document reassembly. Returns the input columns with
-    * `textCol` rewritten (possibly to the empty string).
+    * 100 TB shape: ONE exploded scan, persisted (memory-then-disk,
+    * lineage kept so executor loss recomputes), feeds both the
+    * frequency count and the rebuild — a repartition barrier alone
+    * cannot share it, because per-branch column pruning makes the two
+    * exchange subtrees non-identical and ReuseExchange never fires.
+    * The frequency shuffle keys on (64-bit hash, line) so the count is
+    * exact per line TEXT, and the removal anti-join verifies the text,
+    * not just the hash — a rare line colliding with boilerplate
+    * survives. The over-threshold side carries no broadcast hint: AQE
+    * sees its runtime size and picks broadcast when it is small
+    * (normal) or a shuffle join when an aggressive `maxDocs` makes it
+    * large — the driver is never the bottleneck. Returns the input
+    * columns with `textCol` rewritten (possibly to the empty string).
     */
   def dropBoilerplateLines(
       docs: DataFrame, idCol: String, textCol: String,
       maxDocs: Int): DataFrame = {
     val lines = docs.select(col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
-    val bad = lines.select(col(idCol), xxhash64(col("__line")).as("__lh"))
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bad = lines
+      .filter(trim(col("__line")) =!= "")
+      .select(col(idCol), xxhash64(col("__line")).as("__lh"), col("__line").as("__bad_line"))
       .distinct()
-      .groupBy("__lh").agg(count(lit(1)).as("__n"))
+      .groupBy("__lh", "__bad_line").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxDocs)
-      .select("__lh")
-    val kept = lines
-      .join(broadcast(bad), xxhash64(col("__line")) === bad("__lh"), "left_anti")
+      .select("__lh", "__bad_line")
+    val kept = lines.join(bad,
+      xxhash64(col("__line")) === bad("__lh") &&
+        col("__line") === bad("__bad_line"), "left_anti")
     val rebuilt = kept.groupBy(idCol)
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),

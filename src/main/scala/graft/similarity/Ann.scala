@@ -36,7 +36,8 @@ object Ann {
     // per query per map partition, so the shuffle carries k × #queries
     // rows — the window-rank idiom would shuffle every scored row
     scored.groupBy("query_id")
-      .agg(graft.expressions.TopKAgg.topK(k)(col("neighbor_id"), col("score")).as("__topk"))
+      .agg(graft.expressions.TopKAgg.topKFor(corpus.schema(cId).dataType, k)(
+        col("neighbor_id"), col("score")).as("__topk"))
       .select(col("query_id"), posexplode(col("__topk")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("neighbor_id"), col("col.score").as("score"))
@@ -83,50 +84,61 @@ object Ann {
     * deterministically (the corpus vectors whose id hash is smallest —
     * a seeded reservoir standing in for k-means; exchangeable with a
     * trained codebook), corpus assigned to nearest centroid, queries
-    * probe the `nProbe` nearest cells. Centroids are broadcast; the
-    * corpus shuffles once on cell id at index-build time, queries touch
-    * only probed cells.
+    * probe the `nProbe` nearest cells.
+    *
+    * The codebook is collected to the driver (nCells rows) and inlined
+    * as an array literal, so cell assignment is a pure map-side argmax
+    * expression — NO corpus exchange at index build. The earlier form
+    * (crossJoin×nCells + row_number window over a per-row partition)
+    * shuffled the whole corpus nCells times over; at 100 TB that window
+    * was the index-build bottleneck. Argmax = `array_max` over
+    * `struct(similarity, -cell)`: struct ordering gives max similarity
+    * first, then the LOWEST cell on ties — exactly the old window's
+    * `orderBy(dist desc, cell asc)` contract (NaN sorts greatest in
+    * both, so degenerate zero-vectors keep their old cell too).
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       qId: String, qVec: String, cId: String, cVec: String,
       k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = corpus
+    // one TakeOrdered pass picks the codebook; nCells rows → driver
+    val cents: Seq[(Long, Seq[Float])] = corpus
       .select(col(cId).as("cent_id"), col(cVec).as("cent_vec"),
         xxhash64(col(cId)).as("__h"))
       .orderBy("__h").limit(nCells)
-      .withColumn("cell", monotonically_increasing_id())
-      .select(col("cell"), col("cent_vec"))
-    val centArr = broadcast(cents)
+      .select(col("cent_vec"))
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](0)) }.toSeq
+    val centLit = typedlit(cents) // array<struct<_1: cell, _2: vec>>
 
-    // assign corpus rows to their single nearest cell
-    val wc = Window.partitionBy("__rid").orderBy(col("__dist").desc, col("cell").asc)
+    // assign corpus rows to their single nearest cell — map-side only
+    val cellOf = (v: Column) => -array_max(transform(centLit, c =>
+      struct(NearDup.cosine(v, c.getField("_2")).as("d"),
+        (-c.getField("_1")).as("negcell")))).getField("negcell")
     val assigned = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
-      .withColumn("__rid", col("neighbor_id"))
-      .crossJoin(centArr)
-      .withColumn("__dist", NearDup.cosine(col("__cv"), col("cent_vec")))
-      .withColumn("__rn", row_number().over(wc))
-      .filter(col("__rn") === 1)
-      .select("cell", "neighbor_id", "__cv")
+      .withColumn("cell", cellOf(col("__cv")))
 
-    // queries probe their nProbe nearest cells
-    val wq = Window.partitionBy("query_id").orderBy(col("__dist").desc, col("cell").asc)
+    // queries probe their nProbe nearest cells: sort (sim desc, cell
+    // asc) via an ascending struct sort on (-sim, cell), slice, explode
+    val probeCells = (v: Column) => slice(array_sort(transform(centLit, c =>
+      struct((-NearDup.cosine(v, c.getField("_2"))).as("negd"),
+        c.getField("_1").as("cell")))), 1, nProbe)
     val probes = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("__qv"))
-      .crossJoin(centArr)
-      .withColumn("__dist", NearDup.cosine(col("__qv"), col("cent_vec")))
-      .withColumn("__rn", row_number().over(wq))
-      .filter(col("__rn") <= nProbe)
+      .withColumn("cell", explode(probeCells(col("__qv")).getField("cell")))
       .select("query_id", "__qv", "cell"))
 
+    // (query, neighbor) pairs are unique (one cell per corpus row,
+    // distinct probe cells), so no dedup pass; bounded-heap top-k keeps
+    // the only shuffle at ≤ k rows per query
     val scored = probes.join(assigned, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", round(NearDup.cosine(col("__qv"), col("__cv")), 4))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.select("query_id", "neighbor_id", "score").distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score")
+    scored.groupBy("query_id")
+      .agg(graft.expressions.TopKAgg.topKFor(corpus.schema(cId).dataType, k)(
+        col("neighbor_id"), col("score")).as("__topk"))
+      .select(col("query_id"), posexplode(col("__topk")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("score"))
   }
 
   /** IVF with a TRAINED coarse quantizer: k-means (seeded,
@@ -178,7 +190,8 @@ object Ann {
     // — so no dedup pass; the bounded-heap aggregate keeps the shuffle
     // at ≤ k rows per query instead of every scored row
     scored.groupBy("query_id")
-      .agg(graft.expressions.TopKAgg.topK(k)(col("neighbor_id"), col("score")).as("__topk"))
+      .agg(graft.expressions.TopKAgg.topKFor(corpus.schema(cId).dataType, k)(
+        col("neighbor_id"), col("score")).as("__topk"))
       .select(col("query_id"), posexplode(col("__topk")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("neighbor_id"), col("col.score").as("score"))

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.tables.MasterTables
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
@@ -171,6 +172,15 @@ object StreamingOps {
     * runs the master-table merge inside `foreachBatch`, mirroring how
     * each hourly DAG run merges `incoming_*` into `all_*`
     * (qalert_airflow.py:113-217).
+    *
+    * All path checks and the write-new-then-swap go through the Hadoop
+    * `FileSystem` resolved from the master path, so the same code runs
+    * against HDFS/S3A, not only the local FS. A retried micro-batch
+    * re-runs `deleteOldInsertNew` with the same rows against the same
+    * keys — the merge is idempotent, so no batch marker is needed here.
+    * (On stores without atomic rename — S3 — the swap is
+    * last-writer-wins rather than atomic; the `.old` copy still makes
+    * the previous master recoverable.)
     */
   def foreachBatchMerge(
       incoming: DataFrame, masterPath: String, keys: Seq[String],
@@ -181,31 +191,75 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val fs   = new java.io.File(masterPath)
-        val base = if (fs.exists() && fs.listFiles().nonEmpty)
+        val master = new HPath(masterPath)
+        val fs     = master.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val base = if (fs.exists(master) && fs.listStatus(master).nonEmpty)
           spark.read.parquet(masterPath)
         else batch.limit(0)
         val merged = MasterTables.deleteOldInsertNew(base, batch, keys)
         // write-new-then-swap keeps the master readable on failure
-        val tmp = masterPath + ".next"
-        merged.write.mode("overwrite").parquet(tmp)
-        val cur = new java.io.File(masterPath)
-        if (cur.exists()) {
-          val old = new java.io.File(masterPath + ".old")
-          if (old.exists()) old.delete()
-          cur.renameTo(old)
+        val tmp = new HPath(masterPath + ".next")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(master)) {
+          val old = new HPath(masterPath + ".old")
+          if (fs.exists(old)) fs.delete(old, true)
+          fs.rename(master, old)
         }
-        new java.io.File(tmp).renameTo(new java.io.File(masterPath))
+        fs.rename(tmp, master)
         ()
       }
   }
 
-  /** Streaming corpus admission: each micro-batch is near-dup-checked
+  /** One micro-batch of streaming corpus admission, exposed for direct
+    * testing and batch-mode replay. The batch is near-dup-checked
     * against the persisted signature state (NEVER the corpus text) via
-    * `NearDup.incrementalDedup`; admitted rows append to `outPath` and
-    * their signatures append to `sigPath`, so later batches see every
-    * earlier admission. The per-batch cost is batch-sized — the
-    * growing corpus contributes only its band keys.
+    * `NearDup.incrementalDedup`; admitted rows and their signatures
+    * land in per-batch partitions `outPath/batch=<id>` and
+    * `sigPath/batch=<id>`.
+    *
+    * Idempotent per `batchId`: both writes are `overwrite` of the
+    * batch's own partition, a fully-committed batch (both `_SUCCESS`
+    * markers present) is skipped outright, and a half-written retry
+    * excludes its own partial `batch=<id>` signatures from the corpus
+    * state before re-deciding — so a crash between the two writes can
+    * neither double-admit nor leak signatures for rows that were never
+    * admitted. All existence checks go through the Hadoop `FileSystem`
+    * of the path (HDFS/S3-safe), with a read-and-catch fallback for a
+    * state dir that exists but holds no readable footers yet.
+    */
+  def dedupBatch(batch: DataFrame, batchId: Long, idCol: String, textCol: String,
+                 sigPath: String, outPath: String, threshold: Double): Unit = {
+    val spark  = batch.sparkSession
+    val hconf  = spark.sparkContext.hadoopConfiguration
+    val sigDir = new HPath(new HPath(sigPath), s"batch=$batchId")
+    val outDir = new HPath(new HPath(outPath), s"batch=$batchId")
+    val sigFs  = sigDir.getFileSystem(hconf)
+    val outFs  = outDir.getFileSystem(hconf)
+    val committed = sigFs.exists(new HPath(sigDir, "_SUCCESS")) &&
+      outFs.exists(new HPath(outDir, "_SUCCESS"))
+    if (!committed) {
+      val empty = graft.dedup.NearDup.minhashSignatures(batch.limit(0), idCol, textCol)
+      val sigs =
+        try {
+          val all = spark.read.parquet(sigPath)
+          // `batch` is the partition-discovery column; a retry must not
+          // see its own half-written signatures as "the corpus"
+          if (all.columns.contains("batch"))
+            all.filter(col("batch") =!= batchId).drop("batch")
+          else all
+        } catch { case _: org.apache.spark.sql.AnalysisException => empty }
+      val (admitted, newSigs) = graft.dedup.NearDup.incrementalDedup(
+        sigs, batch, idCol, textCol, threshold = threshold)
+      admitted.write.mode("overwrite").parquet(outDir.toString)
+      newSigs.write.mode("overwrite").parquet(sigDir.toString)
+    }
+  }
+
+  /** Streaming corpus admission: each micro-batch runs [[dedupBatch]],
+    * so later batches see every earlier admission through the signature
+    * partitions. The per-batch cost is batch-sized — the growing corpus
+    * contributes only its band keys. Readers of `outPath`/`sigPath` see
+    * an extra `batch` partition column (drop it if unwanted).
     */
   def incrementalDedupStream(
       incoming: DataFrame, idCol: String, textCol: String,
@@ -216,19 +270,8 @@ object StreamingOps {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val dir = new java.io.File(sigPath)
-        val sigs =
-          if (dir.exists() && dir.listFiles() != null && dir.listFiles().nonEmpty)
-            spark.read.parquet(sigPath)
-          else graft.dedup.NearDup.minhashSignatures(
-            batch.limit(0), idCol, textCol)
-        val (admitted, newSigs) = graft.dedup.NearDup.incrementalDedup(
-          sigs, batch, idCol, textCol, threshold = threshold)
-        admitted.write.mode("append").parquet(outPath)
-        newSigs.write.mode("append").parquet(sigPath)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupBatch(batch, batchId, idCol, textCol, sigPath, outPath, threshold)
       }
   }
 }

@@ -124,6 +124,22 @@ class CorpusPipelineSpec extends SparkSpec {
       (1L, "a b\nkeep one"), (2L, "c d"), (3L, ""), (4L, "solo")))
   }
 
+  test("dropBoilerplateLines: blank separators survive even when corpus-" +
+    "frequent, and both consumers read the persisted exploded scan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a\n\nboiler"), (2L, "b\n\nboiler"), (3L, "c\n\nboiler"))
+      .toDF("doc_id", "text")
+    val out = graft.pipelines.CorpusPipeline
+      .dropBoilerplateLines(docs, "doc_id", "text", maxDocs = 2)
+    val got = out.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "a\n"), (2L, "b\n"), (3L, "c\n")),
+      "boilerplate dropped, paragraph breaks kept")
+    val plan = out.queryExecution.executedPlan.toString()
+    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+      s"frequency count and rebuild must share the cached exploded scan:\n$plan")
+  }
+
   test("decontaminate: shared-trigram counts; clean docs absent") {
     import spark.implicits._
     val docs = Seq(

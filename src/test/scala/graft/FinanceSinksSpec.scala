@@ -75,6 +75,38 @@ class FinanceSinksSpec extends SparkSpec {
     assert(overlap >= 0.4, s"recall too low: $overlap (ivf=$ivf brute=$brute)")
   }
 
+  test("ivfTopK: map-side cell assignment — recall holds and the only " +
+    "shuffle is the final top-k aggregate (no corpus exchange at index build)") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val queries = emb.filter(col("vec_id") < 3)
+    val brute = Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(queries, emb, "vec_id", "embedding", "vec_id", "embedding", 5,
+      nCells = 8, nProbe = 4)
+    val got = ivf.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val overlap = got.intersect(brute).size.toDouble / brute.size
+    assert(overlap >= 0.4, s"recall too low: $overlap (ivf=$got brute=$brute)")
+    // index build must be a map pass: the one shuffle in the whole plan
+    // is the bounded-heap top-k aggregate (plus broadcast exchanges)
+    val shuffles = ivf.queryExecution.executedPlan.toString()
+      .linesIterator.count(l => l.contains("Exchange hashpartitioning")
+        || l.contains("Exchange rangepartitioning"))
+    assert(shuffles <= 1, s"expected only the top-k aggregate shuffle, got $shuffles")
+  }
+
+  test("bruteForceTopK: string corpus ids rank with lexicographic tie-break") {
+    val emb = Seq(
+      ("q", Seq(1.0f, 0.0f)),
+      ("a", Seq(1.0f, 0.1f)), ("b", Seq(1.0f, 0.1f)),   // tied scores
+      ("c", Seq(0.9f, 0.5f)), ("d", Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.bruteForceTopK(
+      emb.filter(col("vec_id") === "q"), emb, "vec_id", "embedding", "vec_id", "embedding", 3)
+      .select("rank", "neighbor_id").as[(Int, String)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._2) === Seq("a", "b", "c"),
+      s"score desc then id asc expected, got $out")
+  }
+
   test("lshTopK: probeHamming=3 enumerates all C(nBits,d) masks and beats d=0 recall") {
     val emb = Tables.embeddings(spark, sf("sf0.001"))
     val queries = emb.filter(col("vec_id") < 3)

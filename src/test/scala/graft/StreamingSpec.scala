@@ -215,4 +215,34 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Set(1L, 2L, 11L), s"near-dup 10 must be rejected, got $ids")
     assert(spark.read.parquet(sigP).count() === 3)
   }
+
+  test("dedupBatch: a retried batch id is idempotent, and a half-committed " +
+    "retry does not self-reject against its own partial signatures") {
+    val dir = java.nio.file.Files.createTempDirectory("dedup_batch").toFile
+    val sigP = new java.io.File(dir, "sigs").getPath
+    val outP = new java.io.File(dir, "out").getPath
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    val b0 = Seq((1L, base), (2L, "wholly different first era document with unique words"))
+      .toDF("doc_id", "text")
+    StreamingOps.dedupBatch(b0, 0L, "doc_id", "text", sigP, outP, 0.7)
+    // full retry of a committed batch (e.g. checkpoint lost the commit):
+    // skipped outright — no duplicate admissions, no duplicate signatures
+    StreamingOps.dedupBatch(b0, 0L, "doc_id", "text", sigP, outP, 0.7)
+    assert(spark.read.parquet(outP).count() === 2)
+    assert(spark.read.parquet(sigP).count() === 2)
+
+    // half-committed batch 1: signatures persisted, output write lost.
+    // The retry must NOT treat its own batch=1 signatures as corpus
+    // state (doc 10 would reject itself); it must re-decide and admit.
+    val b1 = Seq((10L, "entirely novel second era content right here"))
+      .toDF("doc_id", "text")
+    val (_, sigs1) = graft.dedup.NearDup.incrementalDedup(
+      spark.read.parquet(sigP).drop("batch"), b1, "doc_id", "text", threshold = 0.7)
+    sigs1.write.mode("overwrite").parquet(sigP + "/batch=1")
+    StreamingOps.dedupBatch(b1, 1L, "doc_id", "text", sigP, outP, 0.7)
+    val ids = spark.read.parquet(outP).select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 2L, 10L), s"half-committed retry must admit doc 10, got $ids")
+    assert(spark.read.parquet(sigP).count() === 3)
+  }
 }
