@@ -110,6 +110,23 @@ object UdfParityQueries {
         .groupBy("zone").agg(count(lit(1)).as("n"))
     }),
 
+    // q47 variant with a HOLED zone: even-odd ring containment must
+    // exclude the hole (ST_CONTAINS parity, geo_queries.py:53-107) —
+    // points in the hole classify to NO zone, not the donut
+    "q76_holed_zones" -> ((s, d) => {
+      val pts = Tables.events(s, d).select(
+        col("event_id"),
+        ((col("user_id") % 10).cast(DoubleType) + 0.5).as("lat"),
+        (pmod(col("value").cast("decimal(10,2)") * 100, lit(1000)).cast(DoubleType) / 100.0 + 0.001).as("long"),
+        unix_timestamp(col("ts")).as("create_date_unix"))
+      val zones = Seq(
+        ("donut", "POLYGON((0 0, 6 0, 6 10, 0 10, 0 0), (2 2, 4 2, 4 8, 2 8, 2 2))", 0L, None),
+        ("east",  "POLYGON((6 0, 10 0, 10 10, 6 10, 6 0))", 0L, None))
+      Geo.revGeoZone(pts, zones, outCol = "zone",
+        latCol = "lat", longCol = "long", eventUnixCol = "create_date_unix")
+        .groupBy("zone").agg(count(lit(1)).as("n"))
+    }),
+
     // §2.3 ConvertGeography (dataflow_utils.py:266-297) + the WKT
     // point producer: the engine builds the reference's
     // "[{lat: Y, lng: X}, ...]" string per customer, then must parse
@@ -236,6 +253,23 @@ object UdfParityQueries {
         |  WHEN long >= 0 AND long <= 5 AND lat >= 0 AND lat <= 10 AND t <= 1705000000 THEN 'west_old'
         |  WHEN long >= 0 AND long <= 5 AND lat >= 0 AND lat <= 10 AND t >= 1705000001 THEN 'west_new'
         |  WHEN long >= 5 AND long <= 10 AND lat >= 0 AND lat <= 10 THEN 'east'
+        |END AS zone, count(*) AS n
+        |FROM pts GROUP BY 1""".stripMargin,
+
+    // hole semantics stated directly in the oracle: inside the outer
+    // rectangle but NOT inside the hole rectangle => donut; inside the
+    // hole => NULL (no zone)
+    "q76_holed_zones" ->
+      """WITH pts AS (
+        |  SELECT event_id,
+        |    CAST(user_id % 10 AS DOUBLE) + 0.5 AS lat,
+        |    CAST((CAST(value AS DECIMAL(10,2)) * 100) % 1000 AS DOUBLE) / 100.0 + 0.001 AS long
+        |  FROM events
+        |)
+        |SELECT CASE
+        |  WHEN long >= 0 AND long <= 6 AND lat >= 0 AND lat <= 10
+        |       AND NOT (long > 2 AND long < 4 AND lat > 2 AND lat < 8) THEN 'donut'
+        |  WHEN long >= 6 AND long <= 10 AND lat >= 0 AND lat <= 10 THEN 'east'
         |END AS zone, count(*) AS n
         |FROM pts GROUP BY 1""".stripMargin,
 
