@@ -186,22 +186,27 @@ object NearDup {
       textCol: String, shingleLen: Int = 3, numPerms: Int = 64,
       bands: Int = 16, threshold: Double = 0.7): (DataFrame, DataFrame) = {
     // Materialization strategy: the admission decision tree is consumed
-    // by MULTIPLE Spark jobs — the CC gate count, the admitted-rows
-    // write, and the signature-state append — and repartition barriers
-    // only share exchanges WITHIN one job, so without explicit
+    // by MULTIPLE Spark jobs — the CC gate, the admitted-rows write,
+    // and the signature-state append — and repartition barriers only
+    // share exchanges WITHIN one job, so without explicit
     // materialization every downstream action re-runs the whole
     // sig→band→verify subtree (measured 3× recompute = 14 s instead of
-    // ~4 s at sf0.1). The intermediates are batch-sized signature
-    // frames (KBs–MBs per million-doc batch: id + numPerms longs), so
-    // each stage is localCheckpointed once — lineage truncation, the
-    // same pattern the CC fixpoint already uses.
+    // ~4 s at sf0.1). The stages are LAZILY persisted (memory-then-
+    // disk), not localCheckpointed: an eager checkpoint per stage costs
+    // one scheduled job each — ~6 sequential job rounds of pure
+    // scheduling before any answer — while persist folds all of them
+    // into the first action (the CC gate) and later actions read the
+    // cache. Lineage is kept, so executor loss recomputes instead of
+    // failing the query. The intermediates are batch-sized signature
+    // frames (KBs–MBs per million-doc batch: id + numPerms longs).
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val inSigs = minhashSignatures(incoming, idCol, textCol, shingleLen, numPerms)
-      .localCheckpoint()
+      .persist(lvl)
     // corpus state: consumed by the band join AND the verify join; in
     // production it is a parquet-backed (id, signature) frame — the
-    // checkpoint pins it so neither consumer re-reads (or, when a
+    // persist pins it so neither consumer re-reads (or, when a
     // caller builds it inline, re-shingles) the corpus
-    val corpSigs = corpusSigs.localCheckpoint()
+    val corpSigs = corpusSigs.persist(lvl)
     val inBands = lshBands(inSigs, idCol, "__sig", bands, numPerms)
     val corpusBands = lshBands(corpSigs, idCol, "__sig", bands, numPerms)
 
@@ -217,7 +222,7 @@ object NearDup {
     // survivors feeds four consumers (self-band, two verify joins,
     // admission anti-join) across several jobs
     val survivors = inSigs.join(vsCorpus, Seq(idCol), "left_anti")
-      .localCheckpoint()
+      .persist(lvl)
 
     // batch-internal: min-id keeper per near-dup cluster (fixpoint CC)
     val selfCands = lshCandidatePairs(
@@ -227,7 +232,7 @@ object NearDup {
       .join(survivors.select(col(idCol).as("id_b"), col("__sig").as("__sb")), "id_b")
       .filter(sigJaccardEst(col("__sa"), col("__sb")) >= threshold)
       .select("id_a", "id_b")
-      .localCheckpoint() // reused by pairNodes (×2), the CC gate count, and the CC loop
+      .persist(lvl) // reused by pairNodes (×2), the CC gate, and the CC loop
     // iterate components only over nodes that occur in a dup pair —
     // the fixpoint loop's per-round overhead then scales with the
     // (small) clustered subset, not the whole batch

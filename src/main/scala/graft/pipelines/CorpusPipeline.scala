@@ -69,20 +69,23 @@ object CorpusPipeline {
     // numerically, strings lexicographically; any other id type (or an
     // ANSI-unsafe cast) falls through to the distributed fixpoint
     // rather than guessing.
-    val eCount = edges.count()
-    if (eCount <= smallEdgeLimit) {
+    // ONE action gates AND fetches: take(limit+1) replaces the former
+    // count-then-collect pair — a small edge set is already on the
+    // driver when the gate passes, and an over-limit set costs one
+    // bounded (limit+1 row) pull before the distributed path runs.
+    val sample = edges.limit(math.min(smallEdgeLimit + 1, Int.MaxValue.toLong).toInt).collect()
+    if (sample.length <= smallEdgeLimit) {
       val s = nodes.sparkSession
       import s.implicits._
       import org.apache.spark.sql.types._
       val mappingDf = edges.schema("id_a").dataType match {
         case ByteType | ShortType | IntegerType | LongType =>
           Some(driverUnionFind(
-            edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
-              .collect().map(r => (r.getLong(0), r.getLong(1))))
+            sample.map(r => (asLong(r.get(0)), asLong(r.get(1)))))
             .toDF("node", "__cc_label"))
         case StringType =>
           Some(driverUnionFind(
-            edges.collect().map(r => (r.getString(0), r.getString(1))))
+            sample.map(r => (r.getString(0), r.getString(1))))
             .toDF("node", "__cc_label"))
         case _ => None
       }
@@ -124,6 +127,18 @@ object CorpusPipeline {
         .warn(s"minLabelComponents hit maxIter=$maxIter before fixpoint; labels may under-merge")
     edges.unpersist()
     labels
+  }
+
+  /** Widen any integral id to Long for the driver union-find (the
+    * former DataFrame-side cast, moved row-side so the gate sample is
+    * reused instead of re-collected).
+    */
+  private def asLong(v: Any): Long = v match {
+    case b: java.lang.Byte    => b.longValue()
+    case s: java.lang.Short   => s.longValue()
+    case i: java.lang.Integer => i.longValue()
+    case l: java.lang.Long    => l.longValue()
+    case other => throw new IllegalArgumentException(s"non-integral id: $other")
   }
 
   /** Driver-side union-find with path compression; smaller root wins,
