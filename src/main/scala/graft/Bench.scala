@@ -38,9 +38,11 @@ object Bench {
     try SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
 
-    // two timed executions per query, report the min: the first run
-    // absorbs per-query codegen + page-cache effects that local-mode
-    // measurement noise would otherwise attribute to the plan
+    // three timed executions per query, report the min: the first run
+    // absorbs per-query codegen + page-cache effects, and the third
+    // guards against multi-second CPU-steal windows on virtualized
+    // hosts (observed: a 0.5 s query reading 36 s across two
+    // consecutive runs) that min-of-two cannot ride out
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
@@ -50,7 +52,8 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = names.map(name => name -> math.min(runOnce(name), runOnce(name)))
+    val results = names.map(name =>
+      name -> Seq(runOnce(name), runOnce(name), runOnce(name)).min)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
