@@ -248,10 +248,21 @@ object StreamingOps {
             all.filter(col("batch") =!= batchId).drop("batch")
           else all
         } catch { case _: org.apache.spark.sql.AnalysisException => empty }
-      val (admitted, newSigs) = graft.dedup.NearDup.incrementalDedup(
-        sigs, batch, idCol, textCol, threshold = threshold)
-      admitted.write.mode("overwrite").parquet(outDir.toString)
-      newSigs.write.mode("overwrite").parquet(sigDir.toString)
+      // the admission pipeline persists its intermediates; on a
+      // long-running stream those caches are dead weight once this
+      // batch's writes land, so release exactly the entries this
+      // batch created (and no pre-existing user caches)
+      val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      try {
+        val (admitted, newSigs) = graft.dedup.NearDup.incrementalDedup(
+          sigs, batch, idCol, textCol, threshold = threshold)
+        admitted.write.mode("overwrite").parquet(outDir.toString)
+        newSigs.write.mode("overwrite").parquet(sigDir.toString)
+      } finally {
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => cachedBefore.contains(id) }
+          .values.foreach(_.unpersist(blocking = false))
+      }
     }
   }
 
