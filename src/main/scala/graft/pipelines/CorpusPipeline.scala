@@ -319,22 +319,38 @@ object CorpusPipeline {
              tokenBudgetOpt: Option[Long] = None,
              boilerplateMaxDocs: Option[Int] = None,
              benchmarkOpt: Option[(DataFrame, String, Int)] = None): (DataFrame, Map[String, Long]) = {
+    // Per-stage counts are part of the contract (the curation report),
+    // but a bare count() per stage re-runs every earlier stage — an
+    // O(stages²) pipeline at 100 TB. Each stage is persisted before
+    // its count (so the count materializes from the PREVIOUS stage's
+    // cache, one stage of new work), and the previous stage is
+    // released as soon as its successor is materialized. The returned
+    // frame stays cached for the caller's write.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def staged(df: DataFrame, prev: Option[DataFrame]): (DataFrame, Long) = {
+      val p = df.persist(lvl)
+      val n = p.count()
+      prev.foreach(_.unpersist(blocking = false))
+      (p, n)
+    }
     val n0 = docs.count()
     val bp = boilerplateMaxDocs.fold(docs)(k =>
       dropBoilerplateLines(docs, idCol, textCol, k))
-    val q  = qualityFilter(bp, gates);         val n1 = q.count()
-    val l  = langFilter(q.select(bp.columns.map(col): _*), langs); val n2 = l.count()
-    val e  = exactDedup(l.select(bp.columns.map(col): _*), idCol, textCol)
-    val n3 = e.count()
-    val nd = nearDupDrop(e.select(bp.columns.map(col): _*), idCol, textCol, nearDupThreshold)
-    val n4 = nd.count()
-    val dc = benchmarkOpt.fold(nd) { case (bench, benchCol, n) =>
-      nd.join(decontaminate(nd, idCol, textCol, bench, benchCol, n)
-        .select(col(idCol)), Seq(idCol), "left_anti")
+    val (q, n1)  = staged(qualityFilter(bp, gates), None)
+    val (l, n2)  = staged(langFilter(q.select(bp.columns.map(col): _*), langs), Some(q))
+    val (e, n3)  = staged(exactDedup(l.select(bp.columns.map(col): _*), idCol, textCol), Some(l))
+    val (nd, n4) = staged(
+      nearDupDrop(e.select(bp.columns.map(col): _*), idCol, textCol, nearDupThreshold), Some(e))
+    val (dc, n5) = benchmarkOpt match {
+      case Some((bench, benchCol, n)) =>
+        staged(nd.join(decontaminate(nd, idCol, textCol, bench, benchCol, n)
+          .select(col(idCol)), Seq(idCol), "left_anti"), Some(nd))
+      case None => (nd, n4) // no stage ran: same frame, same count
     }
-    val n5 = dc.count()
-    val out = tokenBudgetOpt.fold(dc)(b => tokenBudget(dc, idCol, textCol, b))
-    val n6 = out.count()
+    val (out, n6) = tokenBudgetOpt match {
+      case Some(b) => staged(tokenBudget(dc, idCol, textCol, b), Some(dc))
+      case None    => (dc, n5)
+    }
     (out, Map("input" -> n0, "after_quality" -> n1, "after_lang" -> n2,
       "after_exact_dedup" -> n3, "after_near_dedup" -> n4,
       "after_decontamination" -> n5, "final" -> n6))
