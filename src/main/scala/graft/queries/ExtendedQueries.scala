@@ -15,6 +15,18 @@ object ExtendedQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // skew-mitigated join: the salted form must be EXACTLY the plain
+    // join (the oracle is the plain SQL join) — salting is a physical
+    // re-shape, never a semantic one
+    "q77_salted_join" -> ((s, d) => {
+      val orders = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val dim = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      graft.operators.SkewOps.saltedJoin(orders, dim, Seq("o_custkey"), saltFactor = 8)
+        .select("o_orderkey", "o_custkey", "c_nationkey")
+    }),
+
     // §2.3 1→N unnesting (unnest_domi_street_seg, gcs_utils.py:597-662):
     // explode tokens with positional counters, then top-50 tokens
     "q31_explode_tokens" -> ((s, d) => {
@@ -117,6 +129,10 @@ object ExtendedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "q77_salted_join" ->
+      """SELECT o_orderkey, o_custkey, c_nationkey
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
     "q31_explode_tokens" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
