@@ -25,17 +25,32 @@ object Sinks {
   /** Partitioned managed-table write (create_partitioned_bq_table /
     * pandas_utils.py:83-106: DAY or MONTH partitioning on a date
     * column, truncate or append).
+    *
+    * Small-files control: without a partition-aligned shuffle, EVERY
+    * writing task emits a file into every partition directory it holds
+    * rows for — tasks × partitions files (at 1000 executors × daily
+    * partitions, millions of KB-sized parquet files). The write is
+    * preceded by `repartition(__part, salt)` so each partition value
+    * gets at most `filesPerPartition` writing tasks → that many files;
+    * `maxRecordsPerFile` (> 0) additionally caps rows per file so a
+    * hot partition still splits into scannable units.
     */
   def writePartitioned(df: DataFrame, path: String, dateCol: String,
                        granularity: String = "month",
-                       append: Boolean = false): Unit = {
+                       append: Boolean = false,
+                       filesPerPartition: Int = 1,
+                       maxRecordsPerFile: Long = 0L): Unit = {
+    require(filesPerPartition > 0, s"filesPerPartition: $filesPerPartition")
     val part = granularity match {
       case "day"   => date_format(col(dateCol), "yyyy-MM-dd")
       case "month" => date_format(date_trunc("month", col(dateCol)), "yyyy-MM")
       case g       => throw new IllegalArgumentException(s"granularity $g")
     }
+    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPartition))
     df.withColumn("__part", part)
+      .repartition(col("__part"), salt)
       .write.mode(if (append) SaveMode.Append else SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("__part").parquet(path)
   }
 

@@ -47,6 +47,34 @@ class FinanceSinksSpec extends SparkSpec {
     assert(csv.count() === 2)
   }
 
+  test("writePartitioned: small-files control — filesPerPartition bounds " +
+    "parquet files per partition directory") {
+    val dir = Files.createTempDirectory("partfiles").toFile
+    val df = (1 to 2000).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-0${i % 2 + 1}%d-15 00:00:00"))
+    }.toDF("id", "d")
+    def filesIn(p: String): Map[String, Int] =
+      new java.io.File(p).listFiles().filter(_.getName.startsWith("__part="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    // the unaligned shape this sink exists to prevent: every writing
+    // task emits a file into every partition dir it touches
+    df.withColumn("__part", date_format(date_trunc("month", col("d")), "yyyy-MM"))
+      .repartition(8)
+      .write.mode("overwrite").partitionBy("__part").parquet(s"$dir/naive")
+    assert(filesIn(s"$dir/naive").values.forall(_ > 1),
+      s"naive write should fan out: ${filesIn(s"$dir/naive")}")
+    Sinks.writePartitioned(df, s"$dir/one", "d")
+    assert(filesIn(s"$dir/one") === Map("__part=2024-01" -> 1, "__part=2024-02" -> 1),
+      "default: exactly one file per partition")
+    // filesPerPartition is an UPPER bound — AQE may coalesce the salted
+    // shuffle below it on small data, never above it
+    Sinks.writePartitioned(df, s"$dir/four", "d", filesPerPartition = 4)
+    val four = filesIn(s"$dir/four")
+    assert(four.keySet === Set("__part=2024-01", "__part=2024-02"))
+    assert(four.values.forall(n => n >= 1 && n <= 4), s"salted fan-out bounded: $four")
+    assert(spark.read.parquet(s"$dir/four").count() === 2000)
+  }
+
   test("writeStage round-trips with schema validation") {
     val dir = Files.createTempDirectory("stage").toFile
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
