@@ -3,25 +3,14 @@ package graft.tables
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Join-shape utilities for the 100 TB paths (SCALE.md): skew salting
-  * and the bucketed-master merge pattern.
+/** Join-shape utilities for the 100 TB paths (SCALE.md): the
+  * bucketed-master merge pattern. (Skew salting lives in
+  * `operators.SkewOps.saltedJoin` — an earlier variant here salted on
+  * `monotonically_increasing_id()`, which is not stable across task
+  * retries; the consolidated form hashes row content instead and
+  * validates the join type.)
   */
 object ScaleJoins {
-
-  /** Salted join for skewed keys: replicate the small side `salt`
-    * ways, scatter the big side's hot keys uniformly across the
-    * replicas. Use when AQE's skew-join split isn't enough (e.g. one
-    * key is >50% of the table). Costs `salt`× the small side — keep
-    * the small side genuinely small or pre-filter to the hot keys.
-    */
-  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 salt: Int, joinType: String = "inner"): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
-    val saltedSmall = small
-      .withColumn("__salt", explode(array((0 until salt).map(lit): _*)))
-    saltedBig.join(saltedSmall, Seq(key, "__salt"), joinType).drop("__salt")
-  }
 
   /** Merge an incoming batch into a BUCKETED master table: when the
     * master was written with `Sinks.writeBucketedMaster` (bucketed +

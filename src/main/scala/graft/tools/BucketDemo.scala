@@ -15,9 +15,9 @@ object BucketDemo {
     graft.tables.ScaleJoins.mergeIntoBucketedMaster(spark, t + "_a", t + "_b", incoming, "id", 16)
     println("rows after merge: " + spark.table(t + "_b").count())
     println("id=5 -> " + spark.table(t + "_b").filter($"id" === 5).select("v").as[String].head())
-    println("salted join: " + graft.tables.ScaleJoins.saltedJoin(
+    println("salted join: " + graft.operators.SkewOps.saltedJoin(
       (1 to 10000).map(i => ("hot", i)).toDF("key", "v"),
-      Seq(("hot", "H")).toDF("key", "tag"), "key", 8).count() + " rows")
+      Seq(("hot", "H")).toDF("key", "tag"), Seq("key"), 8).count() + " rows")
     spark.stop()
   }
 }

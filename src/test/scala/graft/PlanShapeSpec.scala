@@ -98,7 +98,7 @@ class PlanShapeSpec extends SparkSpec {
   test("saltedJoin: correct results under replication") {
     val big = (1 to 1000).map(i => (if (i % 2 == 0) "hot" else s"k$i", i)).toDF("key", "v")
     val small = Seq(("hot", "H"), ("k1", "A")).toDF("key", "tag")
-    val out = ScaleJoins.saltedJoin(big, small, "key", salt = 8)
+    val out = graft.operators.SkewOps.saltedJoin(big, small, Seq("key"), saltFactor = 8)
     assert(out.count() === 501, "500 hot + 1 k1")
     assert(out.filter($"key" === "hot").count() === 500)
   }
