@@ -72,12 +72,18 @@ object Ann {
     val scored = qSig.join(cSig, "__bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", round(NearDup.cosine(col("__qv"), col("__cv")), 4))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id").asc)
+    // multi-probe can surface the same (query, neighbor) pair from
+    // several buckets — dedup before ranking so a duplicate can't
+    // occupy two of the k slots; then the bounded-heap aggregate keeps
+    // the final shuffle at ≤ k rows per query (the window-rank idiom
+    // would shuffle AND sort every scored row)
     scored.select("query_id", "neighbor_id", "score").distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score")
+      .groupBy("query_id")
+      .agg(graft.expressions.TopKAgg.topKFor(corpus.schema(cId).dataType, k)(
+        col("neighbor_id"), col("score")).as("__topk"))
+      .select(col("query_id"), posexplode(col("__topk")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("score"))
   }
 
   /** IVF-style coarse quantizer: `nCells` centroids picked
