@@ -61,11 +61,19 @@ object SchemaRegistry {
     })
   }
 
-  /** Load + parse an `.avsc` file from the local filesystem. */
-  def loadAvsc(path: String): StructType =
-    avscToStructType(new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-      java.nio.charset.StandardCharsets.UTF_8))
+  /** Load + parse an `.avsc` file through the Hadoop `FileSystem` of
+    * the path — schema files live beside the data on shared storage
+    * (HDFS/object store) in production, not on a local disk.
+    */
+  def loadAvsc(path: String): StructType = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val p  = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(conf).open(p)
+    try avscToStructType(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+    finally in.close()
+  }
 
   private def avroTypeToSpark(t: String): DataType = t match {
     case "string" => StringType

@@ -1,7 +1,7 @@
 package graft.state
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 /** Incremental-ingest watermark state.
   *
@@ -13,7 +13,12 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * window — at-least-once with downstream dedup.
   *
   * Batch-incremental Spark analog: a tiny JSON state file read at job
-  * start, atomically replaced (write-temp + move) at job end.
+  * start and replaced at job end through the Hadoop `FileSystem` of
+  * the path — the production watermark lives on shared storage
+  * (HDFS/object store), not an executor-local disk. Replacement is
+  * write-temp → current-to-`.old` → temp-to-current; a crash between
+  * the renames leaves `.old`, which the reader falls back to, so the
+  * previous watermark is never lost (the reference's own contract).
   */
 object Watermark {
 
@@ -23,34 +28,57 @@ object Watermark {
   private val CurrentRe = "\"current_run\"\\s*:\\s*(\\d+)".r
   private val CountRe   = "\"records_retrieved\"\\s*:\\s*(\\d+)".r
 
+  private def fsFor(path: String): FileSystem = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    new HPath(path).getFileSystem(conf)
+  }
+
+  private def readAll(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
   /** Read the last successful run's watermark; `default` (e.g. the
     * backfill epoch) when no log exists — the reference's
-    * `find_backfill_date` fallback (airflow_utils.py:250-308).
+    * `find_backfill_date` fallback (airflow_utils.py:250-308). Falls
+    * back to the `.old` snapshot if a crashed replace left no current
+    * file.
     */
   def lastSuccessfulRun(path: String, default: Long = 0L): RunLog = {
-    val p = Paths.get(path)
-    if (!Files.exists(p)) RunLog(default, default, 0L)
-    else {
-      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-      RunLog(
-        SinceRe.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(default),
-        CurrentRe.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(default),
-        CountRe.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L))
+    val fs = fsFor(path)
+    Seq(new HPath(path), new HPath(path + ".old")).find(fs.exists) match {
+      case None => RunLog(default, default, 0L)
+      case Some(p) =>
+        val s = readAll(fs, p)
+        RunLog(
+          SinceRe.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(default),
+          CurrentRe.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(default),
+          CountRe.findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L))
     }
   }
 
   /** Record a successful run: the next run's `since` is this run's
-    * `current_run`. Atomic replace so a crash mid-write cannot corrupt
-    * the watermark.
+    * `current_run`. Write-temp + two renames; the previous watermark
+    * survives any single crash point (as current or as `.old`).
     */
   def recordSuccess(path: String, currentRun: Long, recordsRetrieved: Long): Unit = {
     val prev = lastSuccessfulRun(path)
     val json =
       s"""{"since": ${prev.currentRun}, "current_run": $currentRun, "records_retrieved": $recordsRetrieved}"""
-    val p   = Paths.get(path)
-    Option(p.getParent).foreach(Files.createDirectories(_))
-    val tmp = Paths.get(path + ".tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val fs  = fsFor(path)
+    val p   = new HPath(path)
+    val tmp = new HPath(path + ".tmp")
+    val old = new HPath(path + ".old")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) {
+      if (fs.exists(old)) fs.delete(old, false)
+      fs.rename(p, old)
+    }
+    fs.rename(tmp, p)
   }
 }
