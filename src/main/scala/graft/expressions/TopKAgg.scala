@@ -1,9 +1,12 @@
 package graft.expressions
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types._
+
+import scala.reflect.runtime.universe.TypeTag
 
 /** Bounded-heap top-k aggregate.
   *
@@ -15,13 +18,33 @@ import org.apache.spark.sql.types.{DataType, StringType}
   * k × #groups rows instead of #corpus rows.
   *
   * Ordering: score DESC, id ASC (deterministic tie-break, matching
-  * the engine's ANN contract). Ids may be integral (`topK`) or string
-  * (`topKString`) — `topKFor` dispatches on the id column's DataType so
-  * the output struct keeps the caller's id type.
+  * the engine's ANN contract). `topKFor` dispatches on the id
+  * column's DataType so the output struct keeps the caller's exact id
+  * type; string ids tie-break in UTF-8 BYTE order — the ordering
+  * Spark's own sort gives strings — not UTF-16 `String.compareTo`
+  * (they differ for supplementary-plane code points).
   */
 object TopKAgg {
 
   final case class Scored[T](id: T, score: Double)
+
+  /** Unsigned-byte lexicographic UTF-8 comparison = Spark's
+    * UTF8String.compareTo = code-point order.
+    */
+  private val utf8Ordering: Ordering[String] = new Ordering[String] {
+    override def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
 
   /** Min-heap entry ordering: the WORST element (lowest score, then
     * highest id) sits at the head for O(log k) eviction.
@@ -58,32 +81,34 @@ object TopKAgg {
     override def outputEncoder: Encoder[Seq[Scored[T]]] = out
   }
 
+  private def make[T: TypeTag](k: Int, ord: Ordering[T])(id: Column, score: Column): Column = {
+    val agg = new TopK[T](k)(ord, ExpressionEncoder[Seq[Scored[T]]]())
+    udaf(agg, ExpressionEncoder[Scored[T]]()).apply(id, score)
+  }
+
   /** Untyped-column form usable in `df.groupBy(...).agg(topK(k)(id,
     * score))`; returns an array of (id, score) structs, best first.
     * Integral (long) ids — the historical default.
     */
-  def topK(k: Int)(id: Column, score: Column): Column = {
-    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    val agg = new TopK[Long](k)(implicitly, ExpressionEncoder[Seq[Scored[Long]]]())
-    udaf(agg, ExpressionEncoder[Scored[Long]]()).apply(id, score)
-  }
+  def topK(k: Int)(id: Column, score: Column): Column =
+    make[Long](k, Ordering.Long)(id, score)
 
-  /** String-id twin: same ordering contract with lexicographic
-    * tie-break (the ordering the window-rank form gives string ids).
-    */
-  def topKString(k: Int)(id: Column, score: Column): Column = {
-    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    val agg = new TopK[String](k)(implicitly, ExpressionEncoder[Seq[Scored[String]]]())
-    udaf(agg, ExpressionEncoder[Scored[String]]()).apply(id, score)
-  }
-
-  /** Dispatch on the id column's type so callers keep their id type in
-    * the output struct (string ids were silently unsupported before).
+  /** Dispatch on the id column's type: the output struct keeps the
+    * caller's id type exactly (no silent int→bigint widening). Exotic
+    * id types (decimal, date, binary…) are rejected — use a
+    * window-rank there.
     */
   def topKFor(idType: DataType, k: Int)(id: Column, score: Column): Column =
     idType match {
-      case StringType => topKString(k)(id, score)
-      case _          => topK(k)(id, score)
+      case ByteType    => make[Byte](k, Ordering.Byte)(id, score)
+      case ShortType   => make[Short](k, Ordering.Short)(id, score)
+      case IntegerType => make[Int](k, Ordering.Int)(id, score)
+      case LongType    => make[Long](k, Ordering.Long)(id, score)
+      case FloatType   => make[Float](k, Ordering.Float.TotalOrdering)(id, score)
+      case DoubleType  => make[Double](k, Ordering.Double.TotalOrdering)(id, score)
+      case StringType  => make[String](k, utf8Ordering)(id, score)
+      case other => throw new IllegalArgumentException(
+        s"topKFor: unsupported id type $other — use a window-rank form for exotic id types")
     }
 
   /** Explode a top-k result column into (rank, id, score) rows. */

@@ -261,7 +261,18 @@ object CorpusPipeline {
     */
   def dropBoilerplateLines(
       docs: DataFrame, idCol: String, textCol: String,
-      maxDocs: Int): DataFrame = {
+      maxDocs: Int): DataFrame =
+    dropBoilerplateLinesManaged(docs, idCol, textCol, maxDocs)._1
+
+  /** [[dropBoilerplateLines]] plus the persisted exploded-lines frame,
+    * so pipeline compositions can release that cache (one row per LINE
+    * of the corpus — the largest cache in the pipeline) as soon as the
+    * result is materialized, instead of pinning it for the application
+    * lifetime. `curate` does exactly that after its first stage count.
+    */
+  def dropBoilerplateLinesManaged(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDocs: Int): (DataFrame, DataFrame) = {
     val lines = docs.select(col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -279,9 +290,9 @@ object CorpusPipeline {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
           x => x.getField("__line")), "\n").as("__clean"))
-    docs.join(rebuilt, Seq(idCol), "left")
+    (docs.join(rebuilt, Seq(idCol), "left")
       .withColumn(textCol, coalesce(col("__clean"), lit("")))
-      .drop("__clean")
+      .drop("__clean"), lines)
   }
 
   /** Benchmark decontamination: count, per document, the distinct word
@@ -334,9 +345,16 @@ object CorpusPipeline {
       (p, n)
     }
     val n0 = docs.count()
-    val bp = boilerplateMaxDocs.fold(docs)(k =>
-      dropBoilerplateLines(docs, idCol, textCol, k))
+    val (bp, bpCache) = boilerplateMaxDocs match {
+      case Some(k) =>
+        val (r, c) = dropBoilerplateLinesManaged(docs, idCol, textCol, k)
+        (r, Some(c))
+      case None => (docs, None)
+    }
     val (q, n1)  = staged(qualityFilter(bp, gates), None)
+    // q is materialized: the exploded-lines cache (bigger than the
+    // corpus) is dead weight from here on
+    bpCache.foreach(_.unpersist(blocking = false))
     val (l, n2)  = staged(langFilter(q.select(bp.columns.map(col): _*), langs), Some(q))
     val (e, n3)  = staged(exactDedup(l.select(bp.columns.map(col): _*), idCol, textCol), Some(l))
     val (nd, n4) = staged(

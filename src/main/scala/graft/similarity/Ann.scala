@@ -100,8 +100,13 @@ object Ann {
     * was the index-build bottleneck. Argmax = `array_max` over
     * `struct(similarity, -cell)`: struct ordering gives max similarity
     * first, then the LOWEST cell on ties — exactly the old window's
-    * `orderBy(dist desc, cell asc)` contract (NaN sorts greatest in
-    * both, so degenerate zero-vectors keep their old cell too).
+    * `orderBy(dist desc, cell asc)` contract on the ASSIGNMENT side
+    * (NaN sorts greatest in both, so degenerate zero-vectors keep
+    * their old cell too). Probe-side NaN ordering deliberately
+    * differs: a centroid with NaN similarity (zero/degenerate vector)
+    * ranks LAST among probe candidates rather than first — probing a
+    * meaningless cell ahead of real ones was an artifact of the old
+    * descending sort, not a contract.
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,

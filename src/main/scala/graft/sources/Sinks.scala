@@ -34,6 +34,11 @@ object Sinks {
     * gets at most `filesPerPartition` writing tasks → that many files;
     * `maxRecordsPerFile` (> 0) additionally caps rows per file so a
     * hot partition still splits into scannable units.
+    *
+    * The default (1) serializes each partition's write through one
+    * task — right for the reference's feed-sized tables. For large
+    * fact tables raise `filesPerPartition` toward the per-partition
+    * write parallelism you want; the file-count bound scales with it.
     */
   def writePartitioned(df: DataFrame, path: String, dateCol: String,
                        granularity: String = "month",

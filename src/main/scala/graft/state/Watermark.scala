@@ -75,10 +75,18 @@ object Watermark {
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    // Hadoop rename/delete signal failure by RETURNING false; an
+    // unchecked false here would silently drop the watermark update
+    // (java.nio Files.move threw at the same point) — fail loudly so
+    // the run is not recorded successful without its watermark
+    def mustRename(src: HPath, dst: HPath): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"watermark rename $src -> $dst failed")
     if (fs.exists(p)) {
-      if (fs.exists(old)) fs.delete(old, false)
-      fs.rename(p, old)
+      if (fs.exists(old) && !fs.delete(old, false))
+        throw new java.io.IOException(s"watermark delete $old failed")
+      mustRename(p, old)
     }
-    fs.rename(tmp, p)
+    mustRename(tmp, p)
   }
 }

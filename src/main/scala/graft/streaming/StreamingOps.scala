@@ -193,6 +193,14 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val master = new HPath(masterPath)
         val fs     = master.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // Hadoop rename returns false instead of throwing (and renames
+        // INTO an existing destination dir rather than replacing it) —
+        // every step must be checked so a failed swap fails the BATCH
+        // (foreachBatch retries it) instead of committing the
+        // checkpoint over a half-rotated master
+        def mustRename(src: HPath, dst: HPath): Unit =
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(s"rename $src -> $dst failed")
         val base = if (fs.exists(master) && fs.listStatus(master).nonEmpty)
           spark.read.parquet(masterPath)
         else batch.limit(0)
@@ -202,10 +210,11 @@ object StreamingOps {
         merged.write.mode("overwrite").parquet(tmp.toString)
         if (fs.exists(master)) {
           val old = new HPath(masterPath + ".old")
-          if (fs.exists(old)) fs.delete(old, true)
-          fs.rename(master, old)
+          if (fs.exists(old) && !fs.delete(old, true))
+            throw new java.io.IOException(s"delete $old failed")
+          mustRename(master, old)
         }
-        fs.rename(tmp, master)
+        mustRename(tmp, master)
         ()
       }
   }
@@ -226,9 +235,17 @@ object StreamingOps {
     * admitted. All existence checks go through the Hadoop `FileSystem`
     * of the path (HDFS/S3-safe), with a read-and-catch fallback for a
     * state dir that exists but holds no readable footers yet.
+    *
+    * Cache hygiene: by default the batch releases every cache entry
+    * registered during its run (the admission pipeline's persisted
+    * intermediates — dead weight once the writes land). The snapshot
+    * diff cannot attribute entries to creators, so if OTHER queries
+    * persist frames on the same SparkContext concurrently, set
+    * `cleanupCaches = false` and let LRU eviction manage them.
     */
   def dedupBatch(batch: DataFrame, batchId: Long, idCol: String, textCol: String,
-                 sigPath: String, outPath: String, threshold: Double): Unit = {
+                 sigPath: String, outPath: String, threshold: Double,
+                 cleanupCaches: Boolean = true): Unit = {
     val spark  = batch.sparkSession
     val hconf  = spark.sparkContext.hadoopConfiguration
     val sigDir = new HPath(new HPath(sigPath), s"batch=$batchId")
@@ -258,7 +275,7 @@ object StreamingOps {
           sigs, batch, idCol, textCol, threshold = threshold)
         admitted.write.mode("overwrite").parquet(outDir.toString)
         newSigs.write.mode("overwrite").parquet(sigDir.toString)
-      } finally {
+      } finally if (cleanupCaches) {
         spark.sparkContext.getPersistentRDDs
           .filterNot { case (id, _) => cachedBefore.contains(id) }
           .values.foreach(_.unpersist(blocking = false))

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * admission cost is BATCH-sized, with the growing corpus signature
   * state contributing only its band keys to the probe join.
   *
-  * The corpus signature state is grown 1×–8× by replicating the
+  * The corpus signature state is grown 1×–64× by replicating the
   * corpus half of `documents` with per-replica token suffixes (replicas
   * share no shingles, so the admission decisions for the fixed batch
   * are identical at every scale — only the state size varies). The
@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
 object IncrementalProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val reps  = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 4, 8)
+    val reps  = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 8, 32, 64)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
