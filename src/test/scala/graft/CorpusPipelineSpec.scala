@@ -61,6 +61,27 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("minLabelComponents: driver union-find and distributed fixpoint agree " +
+    "on randomized graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val nNodes = 60 + trial * 20
+      val nodes = (1L to nNodes.toLong).toDF("node")
+      val pairs = Seq.fill(nNodes)(
+        (rnd.nextInt(nNodes).toLong + 1L, rnd.nextInt(nNodes).toLong + 1L))
+        .filter { case (a, b) => a != b }
+        .toDF("id_a", "id_b")
+      def labels(gate: Long) = CorpusPipeline
+        .minLabelComponents(nodes, pairs, smallEdgeLimit = gate)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val small = labels(1000000L)   // driver union-find path
+      val dist  = labels(0L)         // distributed fixpoint path
+      assert(small === dist, s"trial $trial: strategy outputs diverge")
+      // every label is the component minimum: a label never exceeds its node
+      assert(small.forall { case (n, l) => l <= n }, s"trial $trial: non-min label")
+    }
+  }
+
   test("minLabelComponents: string doc ids work on both strategies (lexicographic min)") {
     // the driver union-find used to cast ids to long — an ANSI cast
     // error for string ids, and only on edge sets under the small gate
