@@ -179,12 +179,35 @@ object NearDup {
     * (stderr ≈ 1/√numPerms), the standard incremental trade-off.
     *
     * Returns (admitted incoming rows, their signatures to append to
-    * the corpus state).
+    * the corpus state). This overload pins four batch-sized persisted
+    * intermediates for the lifetime of the SparkContext — repeated
+    * batch invocations (a daily-increment driver, a probe loop) should
+    * use [[incrementalDedupManaged]] and release them once the outputs
+    * are materialized, as the streaming `dedupBatch` does.
     */
   def incrementalDedup(
       corpusSigs: DataFrame, incoming: DataFrame, idCol: String,
       textCol: String, shingleLen: Int = 3, numPerms: Int = 64,
       bands: Int = 16, threshold: Double = 0.7): (DataFrame, DataFrame) = {
+    val (admitted, newSigs, _) = incrementalDedupManaged(
+      corpusSigs, incoming, idCol, textCol, shingleLen, numPerms, bands, threshold)
+    (admitted, newSigs)
+  }
+
+  /** [[incrementalDedup]] plus a release handle that unpersists the
+    * four cached intermediates (batch signatures, corpus signatures,
+    * survivors, self-pair list) at the Dataset level — removing their
+    * CacheManager entries, not just the backing RDD blocks, so a
+    * long-running stream or batch loop does not accumulate
+    * InMemoryRelations on the driver. Call it only AFTER the admitted /
+    * newSigs outputs are materialized (written or checkpointed):
+    * releasing earlier forces the next action to recompute the whole
+    * sig→band→verify subtree.
+    */
+  def incrementalDedupManaged(
+      corpusSigs: DataFrame, incoming: DataFrame, idCol: String,
+      textCol: String, shingleLen: Int = 3, numPerms: Int = 64,
+      bands: Int = 16, threshold: Double = 0.7): (DataFrame, DataFrame, () => Unit) = {
     // Materialization strategy: the admission decision tree is consumed
     // by MULTIPLE Spark jobs — the CC gate, the admitted-rows write,
     // and the signature-state append — and repartition barriers only
@@ -255,7 +278,8 @@ object NearDup {
     val admitted = incoming.join(keepIds, Seq(idCol), "left_semi")
       .unionByName(shortRows)
     val newSigs = inSigs.join(keepIds, Seq(idCol), "left_semi")
-    (admitted, newSigs)
+    val caches = Seq(inSigs, corpSigs, survivors, selfPairs)
+    (admitted, newSigs, () => caches.foreach(_.unpersist(blocking = false)))
   }
 
   // ------------------------------------------------------------------

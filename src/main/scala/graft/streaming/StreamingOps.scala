@@ -178,6 +178,9 @@ object StreamingOps {
     * against HDFS/S3A, not only the local FS. A retried micro-batch
     * re-runs `deleteOldInsertNew` with the same rows against the same
     * keys — the merge is idempotent, so no batch marker is needed here.
+    * If a crash lands between the two rotation renames (master moved to
+    * `.old`, `.next` not yet promoted), the retry merges against `.old`
+    * instead of an empty base, so no history is lost.
     * (On stores without atomic rename — S3 — the swap is
     * last-writer-wins rather than atomic; the `.old` copy still makes
     * the previous master recoverable.)
@@ -201,15 +204,25 @@ object StreamingOps {
         def mustRename(src: HPath, dst: HPath): Unit =
           if (!fs.rename(src, dst))
             throw new java.io.IOException(s"rename $src -> $dst failed")
-        val base = if (fs.exists(master) && fs.listStatus(master).nonEmpty)
-          spark.read.parquet(masterPath)
-        else batch.limit(0)
+        def nonEmptyDir(p: HPath) = fs.exists(p) && fs.listStatus(p).nonEmpty
+        // A crash between rename(master -> .old) and rename(.next ->
+        // master) leaves no master at all. The retry must NOT treat that
+        // as "first batch ever" (an empty base would commit a master
+        // holding only the current batch, silently dropping all history):
+        // `.old` is exactly the pre-rotation master, and the merge is
+        // deterministic, so re-merging the same batch against `.old`
+        // reproduces the lost result. Only when neither master nor `.old`
+        // exists is this genuinely the first batch.
+        val old  = new HPath(masterPath + ".old")
+        val base =
+          if (nonEmptyDir(master)) spark.read.parquet(masterPath)
+          else if (nonEmptyDir(old)) spark.read.parquet(old.toString)
+          else batch.limit(0)
         val merged = MasterTables.deleteOldInsertNew(base, batch, keys)
         // write-new-then-swap keeps the master readable on failure
         val tmp = new HPath(masterPath + ".next")
         merged.write.mode("overwrite").parquet(tmp.toString)
         if (fs.exists(master)) {
-          val old = new HPath(masterPath + ".old")
           if (fs.exists(old) && !fs.delete(old, true))
             throw new java.io.IOException(s"delete $old failed")
           mustRename(master, old)
@@ -236,12 +249,15 @@ object StreamingOps {
     * of the path (HDFS/S3-safe), with a read-and-catch fallback for a
     * state dir that exists but holds no readable footers yet.
     *
-    * Cache hygiene: by default the batch releases every cache entry
-    * registered during its run (the admission pipeline's persisted
-    * intermediates — dead weight once the writes land). The snapshot
-    * diff cannot attribute entries to creators, so if OTHER queries
-    * persist frames on the same SparkContext concurrently, set
-    * `cleanupCaches = false` and let LRU eviction manage them.
+    * Cache hygiene: by default the batch releases the admission
+    * pipeline's persisted intermediates (dead weight once the writes
+    * land) at the DATASET level via the handle
+    * `incrementalDedupManaged` returns — removing the CacheManager
+    * entries too, so a long-running stream does not accumulate
+    * InMemoryRelations on the driver. The release targets exactly the
+    * frames this batch created; caches owned by other queries on the
+    * same SparkContext are untouched. `cleanupCaches = false` opts out
+    * (e.g. to inspect the intermediates after a test run).
     */
   def dedupBatch(batch: DataFrame, batchId: Long, idCol: String, textCol: String,
                  sigPath: String, outPath: String, threshold: Double,
@@ -265,21 +281,12 @@ object StreamingOps {
             all.filter(col("batch") =!= batchId).drop("batch")
           else all
         } catch { case _: org.apache.spark.sql.AnalysisException => empty }
-      // the admission pipeline persists its intermediates; on a
-      // long-running stream those caches are dead weight once this
-      // batch's writes land, so release exactly the entries this
-      // batch created (and no pre-existing user caches)
-      val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      val (admitted, newSigs, release) = graft.dedup.NearDup.incrementalDedupManaged(
+        sigs, batch, idCol, textCol, threshold = threshold)
       try {
-        val (admitted, newSigs) = graft.dedup.NearDup.incrementalDedup(
-          sigs, batch, idCol, textCol, threshold = threshold)
         admitted.write.mode("overwrite").parquet(outDir.toString)
         newSigs.write.mode("overwrite").parquet(sigDir.toString)
-      } finally if (cleanupCaches) {
-        spark.sparkContext.getPersistentRDDs
-          .filterNot { case (id, _) => cachedBefore.contains(id) }
-          .values.foreach(_.unpersist(blocking = false))
-      }
+      } finally if (cleanupCaches) release()
     }
   }
 

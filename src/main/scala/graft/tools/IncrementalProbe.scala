@@ -42,11 +42,14 @@ object IncrementalProbe {
       }.reduce(_ unionByName _)
       val sigs  = NearDup.minhashSignatures(grown, "doc_id", "text").localCheckpoint()
       val nSigs = sigs.count()
-      // warm + timed run, bench-shape (noop sink)
+      // warm + timed run, bench-shape (noop sink); managed form so each
+      // run's cached intermediates are released — a leak here would
+      // distort the very scaling curve being measured
       def run(): Unit = {
-        val (admitted, _) = NearDup.incrementalDedup(
+        val (admitted, _, release) = NearDup.incrementalDedupManaged(
           sigs, batch, "doc_id", "text", threshold = 0.8)
-        admitted.write.mode("overwrite").format("noop").save()
+        try admitted.write.mode("overwrite").format("noop").save()
+        finally release()
       }
       run()
       val t0 = System.nanoTime(); run()

@@ -153,6 +153,45 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Seq((1L, "a"), (2L, "B2"), (3L, "c")))
   }
 
+  test("foreachBatchMerge: a crash between the rotation renames (master " +
+    "moved to .old, .next not promoted) does not lose history on retry") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_merge_crash").toFile
+    val src = new java.io.File(dir, "in"); src.mkdirs()
+    val master = new java.io.File(dir, "master").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").json(src.getPath + "/batch1")
+    val q = StreamingOps.foreachBatchMerge(
+      spark.readStream.schema(schema).json(src.getPath + "/*"),
+      master, Seq("id"), ckpt).start()
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(master).count() === 2)
+
+    // simulate the crash window: the master was renamed to .old but the
+    // merged .next never got promoted — no master dir exists at all
+    val fs = new org.apache.hadoop.fs.Path(master)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(master),
+      new org.apache.hadoop.fs.Path(master + ".old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(master)))
+
+    // the "retried" batch must merge against .old, not an empty base
+    Seq((2L, "B2"), (3L, "c")).toDF("id", "v")
+      .write.mode("overwrite").json(src.getPath + "/batch2")
+    val q2 = StreamingOps.foreachBatchMerge(
+      spark.readStream.schema(schema).json(src.getPath + "/*"),
+      master, Seq("id"), ckpt).start()
+    q2.awaitTermination(60000)
+    val rows = spark.read.parquet(master).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(rows === Seq((1L, "a"), (2L, "B2"), (3L, "c")),
+      "id=1 from the pre-crash master must survive via the .old fallback")
+  }
+
   test("streaming feed ingestion: chargepoint transform chain runs " +
     "unchanged on a file stream, merged into the sessions master") {
     val dir = java.nio.file.Files.createTempDirectory("stream_feed").toFile
