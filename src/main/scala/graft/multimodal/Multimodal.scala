@@ -14,21 +14,109 @@ import org.apache.spark.sql.types._
   * decoding library invoked per batch inside the partition, schema
   * declared up front.
   *
-  * The decode kernels themselves are STUBBED with a deterministic fake
-  * (this container ships no image/audio codecs); everything around
-  * them — schema, batching, partitioning, null/corrupt handling, the
-  * UDF signatures — is real and tested. Swapping in a real codec means
-  * replacing `FakeCodec` only.
+  * Decode is REAL and JDK-native (`java.desktop` module, no external
+  * dependency): `javax.imageio.ImageIO` for JPEG/PNG/BMP/GIF header
+  * probe + pixel decode, `javax.sound.sampled` for WAV. The one
+  * remaining stand-in is `FakeCodec.features` — the ENCODER forward
+  * pass (a neural image/audio model is genuinely not available in
+  * this container); its batching/schema plumbing is the real contract.
   */
 object Multimodal {
 
   final case class ImageMeta(format: String, width: Int, height: Int,
                              n_bytes: Long, content_hash: Long)
 
-  /** Deterministic stand-in for an image/audio codec: "decodes"
-    * header-like fields from the first bytes and derives stable
-    * pseudo-features from a rolling hash. Replace with a real codec
-    * binding in production.
+  final case class AudioMeta(format: String, sample_rate: Double,
+                             channels: Int, n_frames: Long,
+                             n_bytes: Long, content_hash: Long)
+
+  /** JDK-native codec kernels. All probes/decodes are total: corrupt
+    * or unrecognized bytes yield None, never an exception — the
+    * quarantine-not-drop convention of the sources layer.
+    */
+  object JdkCodec {
+    import java.io.ByteArrayInputStream
+    import javax.imageio.ImageIO
+
+    // never spill decode scratch to temp files on executors
+    ImageIO.setUseCache(false)
+
+    /** Header-only probe: (format, width, height) read from the image
+      * header by the matching ImageIO reader WITHOUT decoding pixel
+      * data — the cheap path for metadata extraction over billions of
+      * images. None if no installed reader recognizes the bytes or the
+      * header is corrupt.
+      */
+    def probeImage(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+      if (bytes == null || bytes.length == 0) return None
+      try {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              Some((r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0)))
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => None }
+    }
+
+    /** Full pixel decode. None for unrecognized/corrupt payloads. */
+    def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+      if (bytes == null || bytes.length == 0) return None
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    }
+
+    /** Nearest-neighbor resample to (w, h), emitted as a packed RGB24
+      * buffer (w*h*3 bytes, row-major). Hand-rolled rather than
+      * Graphics2D so the output is bit-deterministic across JVMs and
+      * rendering pipelines — a requirement for content-hash dedup of
+      * the resized corpus.
+      */
+    def resizeRgb(img: java.awt.image.BufferedImage, w: Int, h: Int): Array[Byte] = {
+      val out = new Array[Byte](w * h * 3)
+      var y = 0; var i = 0
+      while (y < h) {
+        val sy = (y.toLong * img.getHeight / h).toInt
+        var x = 0
+        while (x < w) {
+          val sx  = (x.toLong * img.getWidth / w).toInt
+          val rgb = img.getRGB(sx, sy)
+          out(i) = ((rgb >> 16) & 0xFF).toByte
+          out(i + 1) = ((rgb >> 8) & 0xFF).toByte
+          out(i + 2) = (rgb & 0xFF).toByte
+          i += 3; x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** WAV (and any other javax.sound-supported container) header
+      * probe: (format, sampleRate, channels, frameCount). None for
+      * non-audio payloads.
+      */
+    def probeAudio(bytes: Array[Byte]): Option[(String, Double, Int, Long)] = {
+      if (bytes == null || bytes.length == 0) return None
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new ByteArrayInputStream(bytes))
+        val f = aff.getFormat
+        Some((aff.getType.getExtension.toLowerCase,
+          f.getSampleRate.toDouble, f.getChannels, aff.getFrameLength.toLong))
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /** Magic-byte sniff + the documented encoder stand-in. `sniffFormat`
+    * labels payloads ImageIO/javax.sound cannot parse (corrupt file
+    * with a recognizable prefix → its claimed format; anything else →
+    * "raw"); `features` stands in for a neural encoder forward pass.
     */
   object FakeCodec {
     def sniffFormat(bytes: Array[Byte]): String =
@@ -37,16 +125,6 @@ object Multimodal {
       else if (bytes(0) == 0x89.toByte && bytes(1) == 'P'.toByte) "png"
       else if (bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte) "wav"
       else "raw"
-
-    def dims(bytes: Array[Byte]): (Int, Int) = {
-      if (bytes == null || bytes.length < 8) (0, 0)
-      else {
-        // deterministic pseudo-dimensions from the byte prefix
-        val w = 64 + (math.abs(java.util.Arrays.hashCode(bytes.take(4))) % 1984)
-        val h = 64 + (math.abs(java.util.Arrays.hashCode(bytes.slice(4, 8))) % 1984)
-        (w, h)
-      }
-    }
 
     /** Deterministic d-dim feature vector — stands in for an encoder
       * forward pass over the decoded media.
@@ -68,13 +146,33 @@ object Multimodal {
     }
   }
 
-  /** Attach the metadata struct to a binary column. Pure expressions
-    * where possible (size, hash), stubbed codec for format/dims.
+  /** Attach the metadata struct to a binary column. Format and
+    * dimensions come from a REAL header-only ImageIO probe (no pixel
+    * decode); payloads no installed reader can parse fall back to the
+    * magic-byte sniff with (0, 0) dims, so corrupt rows are labeled,
+    * not dropped.
     */
   def withImageMeta(df: DataFrame, binCol: String, out: String = "meta"): DataFrame = {
     val sniff = udf((b: Array[Byte]) => {
-      val (w, h) = FakeCodec.dims(b)
-      ImageMeta(FakeCodec.sniffFormat(b), w, h,
+      val (fmt, w, h) = JdkCodec.probeImage(b)
+        .getOrElse((FakeCodec.sniffFormat(b), 0, 0))
+      ImageMeta(fmt, w, h,
+        if (b == null) 0L else b.length.toLong,
+        if (b == null) 0L else java.util.Arrays.hashCode(b).toLong)
+    })
+    df.withColumn(out, sniff(col(binCol)))
+  }
+
+  /** Audio twin of [[withImageMeta]]: sample rate / channels / frame
+    * count from a real `javax.sound.sampled` header probe (WAV, AIFF,
+    * AU with the stock JDK). Non-audio payloads → format from the
+    * magic-byte sniff, zeroed audio fields.
+    */
+  def withAudioMeta(df: DataFrame, binCol: String, out: String = "meta"): DataFrame = {
+    val sniff = udf((b: Array[Byte]) => {
+      val (fmt, rate, ch, frames) = JdkCodec.probeAudio(b)
+        .getOrElse((if (b == null || b.isEmpty) "unknown" else "raw", 0.0, 0, 0L))
+      AudioMeta(fmt, rate, ch, frames,
         if (b == null) 0L else b.length.toLong,
         if (b == null) 0L else java.util.Arrays.hashCode(b).toLong)
     })
@@ -102,13 +200,12 @@ object Multimodal {
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
-  /** Resize plumbing: per-partition batched transform producing a
-    * target-geometry payload plus the output dimensions. The stub
-    * kernel deterministically subsamples the source bytes to
-    * `w*h*3` (what a nearest-neighbor downscale's buffer size would
-    * be); a real codec slots into the same partition loop. NULL or
+  /** Real image resize as a per-partition batched transform: ImageIO
+    * pixel decode → deterministic nearest-neighbor resample → packed
+    * RGB24 payload (`w*h*3` bytes) plus the output dimensions. NULL or
     * undecodable input → NULL payload with NULL dims (rows are kept,
-    * matching the quarantine-not-drop convention).
+    * matching the quarantine-not-drop convention — a downstream mask
+    * on `resized IS NULL` routes them to quarantine).
     */
   def resizeImages(df: DataFrame, idCol: String, binCol: String,
                    w: Int, h: Int): DataFrame = {
@@ -117,16 +214,15 @@ object Multimodal {
       StructField("resized", BinaryType),
       StructField("out_w", IntegerType),
       StructField("out_h", IntegerType)))
-    val target = w * h * 3
     df.select(col(idCol), col(binCol))
       .mapPartitions { rows =>
+        // per-partition loop: ImageIO reader instances are pooled by
+        // the JDK per thread; nothing else to initialise per partition
         rows.map { r =>
           val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-          if (bytes == null || bytes.isEmpty) Row(r.get(0), null, null, null)
-          else {
-            val out = Array.tabulate[Byte](target)(i =>
-              bytes((i.toLong * bytes.length / target).toInt))
-            Row(r.get(0), out, w, h)
+          JdkCodec.decodeImage(bytes) match {
+            case Some(img) => Row(r.get(0), JdkCodec.resizeRgb(img, w, h), w, h)
+            case None      => Row(r.get(0), null, null, null)
           }
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))

@@ -6,32 +6,109 @@ import org.apache.spark.sql.functions._
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  private def jpegish(n: Int, seed: Int): Array[Byte] = {
+  /** Real 1x1 RGBA PNG (hand-verified header: IHDR width=1 height=1,
+    * bit depth 8, color type 6) — an EMBEDDED byte literal, not
+    * something encoded by the same library that decodes it.
+    */
+  private val onePxPng: Array[Byte] = java.util.Base64.getDecoder.decode(
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8" +
+      "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==")
+
+  /** Real JPEG bytes at known dims, produced by the JDK encoder for a
+    * synthetic gradient (decode path under test is shared with PNG; the
+    * embedded literal above guards against encode/decode circularity).
+    */
+  private def realJpeg(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 40 % 256) << 16 | (y * 60 % 256) << 8 | 128)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    bos.toByteArray
+  }
+
+  /** Real PNG with exact known pixels (PNG is lossless, so decoded
+    * pixels match `rgb` exactly — unlike JPEG).
+    */
+  private def realPng(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Minimal valid WAV: hand-built 44-byte RIFF/WAVE header + PCM16
+    * mono 8 kHz payload with `frames` samples.
+    */
+  private def realWav(frames: Int): Array[Byte] = {
+    val dataSize = frames * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataSize); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)          // PCM, mono
+    bb.putInt(8000); bb.putInt(16000)       // sample rate, byte rate
+    bb.putShort(2); bb.putShort(16)         // block align, bits/sample
+    bb.put("data".getBytes); bb.putInt(dataSize)
+    for (i <- 0 until frames) bb.putShort((i * 1000).toShort)
+    bb.array()
+  }
+
+  private def corruptJpegish(n: Int, seed: Int): Array[Byte] = {
     val b = new Array[Byte](n)
-    val r = new scala.util.Random(seed)
-    r.nextBytes(b)
+    new scala.util.Random(seed).nextBytes(b)
     b(0) = 0xFF.toByte; b(1) = 0xD8.toByte
     b
   }
 
-  test("withImageMeta: format sniff + size + stable hash") {
+  test("withImageMeta: real ImageIO header probe — embedded 1x1 PNG and " +
+    "generated JPEG get true dims; corrupt payload falls back to sniff") {
+    val jpeg = realJpeg(7, 5)
     val df = Seq(
-      (1L, jpegish(1000, 1)),
-      (2L, Array[Byte](0x89.toByte, 'P'.toByte, 1, 2, 3, 4, 5, 6)),
-      (3L, null.asInstanceOf[Array[Byte]])
+      (1L, onePxPng),
+      (2L, jpeg),
+      (3L, corruptJpegish(1000, 1)),
+      (4L, null.asInstanceOf[Array[Byte]])
     ).toDF("id", "img")
     val out = Multimodal.withImageMeta(df, "img").select("id", "meta.*")
       .orderBy("id").collect()
-    assert(out(0).getAs[String]("format") === "jpeg")
-    assert(out(0).getAs[Long]("n_bytes") === 1000L)
-    assert(out(0).getAs[Int]("width") >= 64)
-    assert(out(1).getAs[String]("format") === "png")
+    assert(out(0).getAs[String]("format") === "png")
+    assert(out(0).getAs[Int]("width") === 1)
+    assert(out(0).getAs[Int]("height") === 1)
+    assert(out(0).getAs[Long]("n_bytes") === onePxPng.length.toLong)
+    assert(out(1).getAs[String]("format") === "jpeg")
+    assert(out(1).getAs[Int]("width") === 7)
+    assert(out(1).getAs[Int]("height") === 5)
+    // corrupt: no reader can parse it -> sniffed label, zero dims
+    assert(out(2).getAs[String]("format") === "jpeg")
+    assert(out(2).getAs[Int]("width") === 0)
+    assert(out(3).getAs[String]("format") === "unknown")
+    assert(out(3).getAs[Long]("n_bytes") === 0L)
+  }
+
+  test("withAudioMeta: real javax.sound probe of a hand-built WAV; " +
+    "non-audio payload labeled raw with zeroed fields") {
+    val df = Seq(
+      (1L, realWav(16)),
+      (2L, corruptJpegish(100, 2)),
+      (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "audio")
+    val out = Multimodal.withAudioMeta(df, "audio").select("id", "meta.*")
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("format") === "wav")
+    assert(out(0).getAs[Double]("sample_rate") === 8000.0)
+    assert(out(0).getAs[Int]("channels") === 1)
+    assert(out(0).getAs[Long]("n_frames") === 16L)
+    assert(out(1).getAs[String]("format") === "raw")
+    assert(out(1).getAs[Long]("n_frames") === 0L)
     assert(out(2).getAs[String]("format") === "unknown")
-    assert(out(2).getAs[Long]("n_bytes") === 0L)
   }
 
   test("extractFeatures: partition-batched, deterministic, declared schema") {
-    val df = Seq((1L, jpegish(500, 7)), (2L, jpegish(500, 8))).toDF("id", "img")
+    val df = Seq((1L, realJpeg(7, 5)), (2L, realJpeg(9, 3))).toDF("id", "img")
       .repartition(2)
     val feats = Multimodal.extractFeatures(df, "id", "img", dim = 16)
     assert(feats.schema.fieldNames.toSeq === Seq("id", "features"))
@@ -58,20 +135,31 @@ class MultimodalSpec extends SparkSpec {
     assert(empty.count() === 0)
   }
 
-  test("resizeImages: target-geometry payload, deterministic, NULL kept") {
-    val img = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
-    val df = Seq((1L, img), (2L, null.asInstanceOf[Array[Byte]]))
-      .toDF("id", "image")
-    val out = Multimodal.resizeImages(df, "id", "image", w = 4, h = 4)
+  test("resizeImages: real decode + nearest-neighbor resample with exact " +
+    "pixel values; corrupt or NULL payloads kept as NULL rows") {
+    // lossless source: 4x2 PNG, left half red, right half blue
+    val png = realPng(4, 2, (x, _) => if (x < 2) 0xFF0000 else 0x0000FF)
+    val df = Seq(
+      (1L, png),
+      (2L, corruptJpegish(1000, 3)),
+      (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "image")
+    val out = Multimodal.resizeImages(df, "id", "image", w = 2, h = 1)
       .orderBy("id").collect()
     val r1 = out(0)
-    assert(r1.getAs[Array[Byte]]("resized").length === 4 * 4 * 3)
-    assert(r1.getInt(2) === 4 && r1.getInt(3) === 4)
-    // deterministic: same input -> same bytes
-    val again = Multimodal.resizeImages(df, "id", "image", 4, 4)
+    val px = r1.getAs[Array[Byte]]("resized")
+    assert(px.length === 2 * 1 * 3)
+    assert(r1.getInt(2) === 2 && r1.getInt(3) === 1)
+    // nearest-neighbor at (0,0) samples source (0,0)=red, (1,0) samples
+    // source (2,0)=blue — exact, PNG being lossless
+    assert((px(0) & 0xFF, px(1) & 0xFF, px(2) & 0xFF) === ((255, 0, 0)))
+    assert((px(3) & 0xFF, px(4) & 0xFF, px(5) & 0xFF) === ((0, 0, 255)))
+    // deterministic across runs
+    val again = Multimodal.resizeImages(df, "id", "image", 2, 1)
       .orderBy("id").collect()(0).getAs[Array[Byte]]("resized")
-    assert(java.util.Arrays.equals(r1.getAs[Array[Byte]]("resized"), again))
-    // NULL payload: row kept, NULL fields
+    assert(java.util.Arrays.equals(px, again))
+    // corrupt and NULL payloads: rows kept, NULL fields
     assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
   }
 }
