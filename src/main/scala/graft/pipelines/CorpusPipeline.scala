@@ -55,10 +55,24 @@ object CorpusPipeline {
     * Returns (node, label) with label = min id of the component.
     */
   def minLabelComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 50,
-                         smallEdgeLimit: Long = 100000L): DataFrame = {
-    // undirected edges both ways
+                         smallEdgeLimit: Long = 100000L): DataFrame =
+    minLabelComponentsWithRounds(nodes, pairs, maxIter, smallEdgeLimit)._1
+
+  /** [[minLabelComponents]] plus the number of distributed fixpoint
+    * rounds executed (0 when the size gate routed to the driver-side
+    * union-find) — the observable the CC scaling probe tables.
+    */
+  def minLabelComponentsWithRounds(
+      nodes: DataFrame, pairs: DataFrame, maxIter: Int = 50,
+      smallEdgeLimit: Long = 100000L): (DataFrame, Int) = {
+    // undirected edges both ways, hash-partitioned on the propagation
+    // join key: the cached InMemoryRelation then reports
+    // hashpartitioning(id_b) and the per-round join reuses it with NO
+    // edges-side exchange — the edge set is the loop's largest frame
+    // and it never changes across rounds
     val edges = pairs.select(col("id_a"), col("id_b")).unionByName(
-      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).distinct().cache()
+        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))).distinct()
+      .repartition(col("id_b")).cache()
     // size-gated strategy switch (the CC analogue of a broadcast join):
     // below the limit the iterative loop is pure scheduling overhead —
     // each round is ~3 jobs — so run exact union-find driver-side and
@@ -92,9 +106,9 @@ object CorpusPipeline {
       mappingDf match {
         case Some(mapping) =>
           edges.unpersist()
-          return nodes.join(broadcast(mapping), Seq("node"), "left")
+          return (nodes.join(broadcast(mapping), Seq("node"), "left")
             .select(col("node"),
-              coalesce(col("__cc_label"), col("node")).as("label"))
+              coalesce(col("__cc_label"), col("node")).as("label")), 0)
         case None => () // unsupported id type: distributed path below
       }
     }
@@ -105,28 +119,29 @@ object CorpusPipeline {
       val prop = edges.join(labels, edges("id_b") === labels("node"))
         .groupBy(col("id_a").as("node"))
         .agg(min("label").as("nbr_label"))
+      // the round-start label rides along as old_label so the changed
+      // check reads the freshly checkpointed frame alone — no extra
+      // join against the previous labels per round
       val stepped = labels.join(prop, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // pointer jumping: follow my label's own label (labels are always
       // node ids, so the self-join is total)
       val l1 = stepped.as("l1"); val l2 = stepped.as("l2")
       val jumped = l1.join(l2, col("l1.label") === col("l2.node"))
-        .select(col("l1.node").as("node"),
+        .select(col("l1.node").as("node"), col("l1.old_label").as("old_label"),
           least(col("l1.label"), col("l2.label")).as("label"))
         .localCheckpoint()
       // labels only ever decrease, so "changed" = any strict decrease
-      changed = jumped
-        .join(labels.withColumnRenamed("label", "old_label"), "node")
-        .filter(col("label") < col("old_label")).count()
-      labels = jumped
+      changed = jumped.filter(col("label") < col("old_label")).count()
+      labels = jumped.select("node", "label")
       i += 1
     }
     if (changed > 0)
       org.apache.log4j.Logger.getLogger(getClass)
         .warn(s"minLabelComponents hit maxIter=$maxIter before fixpoint; labels may under-merge")
     edges.unpersist()
-    labels
+    (labels, i)
   }
 
   /** Widen any integral id to Long for the driver union-find (the
