@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
   * once per polygon — driver-side (UDF closure / broadcast) on the
   * small-zone paths, once per zone ROW on the grid scale path — and
   * never re-parsed per candidate row.
+  *
+  * == Planar vs spheroidal error bound ==
+  * BigQuery GEOGRAPHY edges are geodesics; this module's edges are
+  * straight lines in lon/lat space (equirectangular). For an edge of
+  * longitude span Δλ at latitude φ, the maximum separation between
+  * the geodesic and the planar segment is
+  * `R · sin φ · cos φ · Δλ² / 8` (Δλ in radians, R ≈ 6 371 km) — the
+  * great-circle chord's latitude bulge. At the reference's envelope
+  * (Pittsburgh, φ ≈ 40.4°, zone edges ≤ 0.05° ≈ 4 km) that is
+  * ≤ ~0.3 m, and ~0.02 m for typical 1 km edges: only points within
+  * that sliver of a boundary can classify differently from BigQuery
+  * ST_CONTAINS. The approximation degrades quadratically with edge
+  * length and is UNDEFINED for rings crossing the ±180° meridian or
+  * touching a pole (a planar ray cast silently misclassifies there) —
+  * those inputs are rejected by [[requireGeoDomain]] on every
+  * geographic path rather than answered wrong.
   */
 object Geo {
 
@@ -79,6 +95,35 @@ object Geo {
     }.toSeq
   }
 
+  /** Reject rings the planar model cannot answer correctly (see the
+    * module doc's error-bound section): coordinates outside the
+    * lon/lat domain, rings spanning more than 180° of longitude (the
+    * signature of an antimeridian-crossing polygon naively parsed as
+    * planar — no real municipal zone is wider than a hemisphere), and
+    * rings touching a pole. Split such shapes at ±180° upstream; a
+    * loud error here beats a silent misclassification. Returns the
+    * input for call-site chaining.
+    */
+  def requireGeoDomain(polys: Seq[Polygon], context: String): Seq[Polygon] = {
+    polys.foreach { p =>
+      require(p.minX >= -180.0 && p.maxX <= 180.0 && p.minY >= -90.0 && p.maxY <= 90.0,
+        s"$context: ring bbox [${p.minX},${p.minY}]..[${p.maxX},${p.maxY}] outside the lon/lat domain")
+      require(p.maxX - p.minX <= 180.0,
+        f"$context: ring spans ${p.maxX - p.minX}%.1f deg of longitude - antimeridian-crossing " +
+          "polygons are not representable in the planar model; split at +/-180 first")
+      require(p.minY > -90.0 && p.maxY < 90.0,
+        s"$context: ring touches a pole - planar ray cast is undefined there")
+    }
+    polys
+  }
+
+  /** [[parseWkt]] + [[requireGeoDomain]] — the parse every
+    * GEOGRAPHIC consumer (containment, reverse geocode, centroid)
+    * goes through.
+    */
+  def parseGeoWkt(wkt: String, context: String): Seq[Polygon] =
+    requireGeoDomain(parseWkt(wkt), context)
+
   /** Even-odd containment across a shape's rings: inside iff an odd
     * number of rings contain the point (outer ring yes + hole yes = 2
     * = outside the donut).
@@ -95,7 +140,7 @@ object Geo {
     * test, geo_queries.py:123-154).
     */
   def stContainsWkt(wkt: String, longCol: Column, latCol: Column): Column = {
-    val polys = parseWkt(wkt)
+    val polys = parseGeoWkt(wkt, "stContainsWkt")
     val f = udf((x: java.lang.Double, y: java.lang.Double) =>
       if (x == null || y == null) false
       else ringsContain(polys, x, y))
@@ -138,7 +183,7 @@ object Geo {
       eventUnixCol: String = "create_date_unix"): DataFrame = {
     val parsed: Seq[(String, Seq[Polygon], Long, Long)] = zones.map {
       case (name, wkt, start, end) =>
-        (name, parseWkt(wkt), start, end.getOrElse(Long.MaxValue))
+        (name, parseGeoWkt(wkt, s"revGeoZone($name)"), start, end.getOrElse(Long.MaxValue))
     }
     val f = udf((x: java.lang.Double, y: java.lang.Double, t: java.lang.Long) => {
       if (x == null || y == null) null
@@ -202,7 +247,7 @@ object Geo {
       cellDeg: Double = 0.01): DataFrame = {
     def pack(cx: Long, cy: Long): Long = (cx << 32) | (cy & 0xffffffffL)
     val cellsOf = udf((wkt: String) =>
-      parseWkt(wkt).flatMap { p =>
+      parseGeoWkt(wkt, "gridRevGeoZone").flatMap { p =>
         val x0 = math.floor(p.minX / cellDeg).toLong
         val x1 = math.floor(p.maxX / cellDeg).toLong
         val y0 = math.floor(p.minY / cellDeg).toLong
@@ -210,7 +255,8 @@ object Geo {
         for (cx <- x0 to x1; cy <- y0 to y1) yield pack(cx, cy)
       }.distinct.toArray)
     val ringsOf = udf((wkt: String) =>
-      parseWkt(wkt).map(p => RingRow(p.xs, p.ys, p.minX, p.maxX, p.minY, p.maxY)))
+      parseGeoWkt(wkt, "gridRevGeoZone").map(p =>
+        RingRow(p.xs, p.ys, p.minX, p.maxX, p.minY, p.maxY)))
 
     val zoneCells = zones.select(col(zoneNameCol).as("__zn"),
         ringsOf(col(wktCol)).as("__rings"),
@@ -239,7 +285,7 @@ object Geo {
       df: DataFrame, parcels: DataFrame, parcKey: String,
       parcelsKey: String = "zone", wktCol: String = "geometry"): DataFrame = {
     val cen = udf((wkt: String) => {
-      val polys = parseWkt(wkt)
+      val polys = parseGeoWkt(wkt, "parcelCentroidJoin")
       if (polys.isEmpty) null else { val (cx, cy) = polys.head.centroid; Array(cx, cy) }
     })
     val lk = broadcast(parcels.select(

@@ -184,4 +184,39 @@ class GeoSpec extends SparkSpec {
     assert(grid(7L) === Some("ring"), "annulus point classifies to the donut zone")
     assert(grid(8L).isEmpty, "hole interior must not classify")
   }
+
+  test("requireGeoDomain: antimeridian-crossing, pole-touching, and " +
+    "out-of-domain rings are rejected loudly, never misclassified") {
+    val anti = "POLYGON((179 0, -179 0, -179 1, 179 1, 179 0))"
+    val pole = "POLYGON((0 89, 1 89, 1 90, 0 90, 0 89))"
+    val bad  = "POLYGON((190 0, 191 0, 191 1, 190 1, 190 0))"
+    val e1 = intercept[IllegalArgumentException](
+      Geo.stContainsWkt(anti, col("long"), col("lat")))
+    assert(e1.getMessage.contains("antimeridian"))
+    val e2 = intercept[IllegalArgumentException](
+      Geo.stContainsWkt(pole, col("long"), col("lat")))
+    assert(e2.getMessage.contains("pole"))
+    val e3 = intercept[IllegalArgumentException](
+      Geo.stContainsWkt(bad, col("long"), col("lat")))
+    assert(e3.getMessage.contains("lon/lat domain"))
+    intercept[IllegalArgumentException](
+      Geo.revGeoZone(Seq((1L, 0.0, 0.0, 1L)).toDF("id", "long", "lat", "create_date_unix"),
+        Seq(("z", anti, 0L, None)), outCol = "zone"))
+    // the grid path parses zone WKT executor-side: the same rejection
+    // surfaces as the task failure's cause on the first action
+    val pts = Seq((1L, 179.5, 0.5, 1L)).toDF("id", "long", "lat", "create_date_unix")
+    val zonesDf = Seq(("z", anti, 0L, null.asInstanceOf[java.lang.Long]))
+      .toDF("zone", "wkt", "start_unix", "end_unix")
+      .withColumn("end_unix", col("end_unix").cast("long"))
+    val eg = intercept[Exception](
+      Geo.gridRevGeoZone(pts, zonesDf, outCol = "zone", idCol = "id").collect())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(eg).exists(c =>
+      c.getMessage != null && c.getMessage.contains("antimeridian")))
+    // a normal municipal zone (the reference's envelope) passes untouched
+    Geo.stContainsWkt(
+      "POLYGON((-80.1 40.3, -79.8 40.3, -79.8 40.6, -80.1 40.6, -80.1 40.3))",
+      col("long"), col("lat"))
+  }
 }
