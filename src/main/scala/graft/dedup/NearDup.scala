@@ -30,8 +30,23 @@ object NearDup {
     * returning them. Callers that only need ids should semi-join
     * against `keepers` themselves and skip that body shuffle.
     */
-  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keyed = df.withColumn("__digest", md5(col(textCol)))
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactDedupBy(df, idCol, md5(col(textCol)))
+
+  /** Fuzzy-exact dedup: the digest is taken over the NORMALIZED text
+    * (lowercase, punctuation stripped, whitespace collapsed —
+    * [[TextOps.normalizeText]]), so documents differing only in case /
+    * punctuation / spacing collapse to one. Same single digest-key
+    * shuffle as [[exactDedup]].
+    */
+  def exactDedupNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactDedupBy(df, idCol, md5(TextOps.normalizeText(col(textCol))))
+
+  /** Shared kernel: group by an arbitrary digest expression, keep the
+    * lowest id per group with `dup_count`.
+    */
+  def exactDedupBy(df: DataFrame, idCol: String, digest: Column): DataFrame = {
+    val keyed = df.withColumn("__digest", digest)
     val keepers = keyed.groupBy("__digest")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
     keyed.drop("dup_count").join(keepers, Seq("__digest", idCol)).drop("__digest")

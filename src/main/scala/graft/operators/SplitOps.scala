@@ -24,6 +24,52 @@ object SplitOps {
   def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
     df.filter(hashBucket(col(keyCol)) < (fraction * 4294967296.0).toLong)
 
+  /** Deterministic stratified (per-group) sampling — the data-MIXING
+    * primitive: each group keeps its own fraction, membership is a pure
+    * function of (key, salt), so a re-run, a repartition, or a second
+    * engine reproduces the sample row-for-row. Map-only: the rate map
+    * is a literal, no shuffle, no driver round-trip. Groups absent
+    * from `rates` are dropped (rate 0). `salt` decorrelates this
+    * sample from other hash-keyed decisions on the same key (e.g. the
+    * train/val split).
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, groupCol: String,
+                       rates: Map[String, Double],
+                       salt: String = "mix"): DataFrame = {
+    val r = coalesce(
+      try_element_at(typedlit(rates), col(groupCol).cast(StringType)), lit(0.0))
+    val b = hashBucket(concat(col(keyCol).cast(StringType), lit("|" + salt)))
+      .cast(DoubleType) / 4294967296.0
+    df.filter(b < r)
+  }
+
+  /** Temperature-weighted source mixing (the multilingual-pretraining
+    * rebalance rule): target share of group g ∝ (n_g / N)^T, realized
+    * by downsampling only (largest feasible mix, no upsampling).
+    * T = 1 keeps everything (natural mix); T = 0 equalizes groups to
+    * the smallest group's size; 0 < T < 1 flattens in between. The
+    * per-group counts are a #groups-sized aggregate collected to the
+    * driver (languages/sources are dozens at 100 TB, not millions);
+    * sampling itself is [[stratifiedSample]] — map-only.
+    */
+  def temperatureMix(df: DataFrame, keyCol: String, groupCol: String,
+                     temperature: Double, salt: String = "mix"): DataFrame = {
+    require(temperature >= 0.0 && temperature <= 1.0,
+      s"temperature must be in [0,1], got $temperature")
+    val counts = df.groupBy(col(groupCol).cast(StringType).as("__g"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    val w = counts.map { case (g, ng) => g -> math.pow(ng / n, temperature) }
+    val wSum = w.values.sum
+    // the largest total consistent with every group's rate <= 1
+    val feasibleTotal = counts.map { case (g, ng) => ng / (w(g) / wSum) }.min
+    val rates = counts.map { case (g, ng) =>
+      g -> math.min(1.0, feasibleTotal * (w(g) / wSum) / ng)
+    }
+    stratifiedSample(df, keyCol, groupCol, rates, salt)
+  }
+
   /** Assign train/val/test (or any named splits) by hash percentile.
     * `splits` are (name, weight) — weights normalised internally.
     */

@@ -218,6 +218,36 @@ object CorpusPipeline {
       .drop("__n_tok", "__b", "__cum")
   }
 
+  /** Sequence packing, concat-then-chunk style: documents are laid out
+    * in deterministic id order into one virtual token stream and
+    * chunked into fixed `packLen` training sequences; each document
+    * reports the pack its FIRST token lands in and its offset there
+    * (documents may straddle pack boundaries, as GPT-style packing
+    * does). The global token offset uses the same two-level cumulative
+    * sum as [[tokenBudget]] — per-bucket totals, broadcast offset
+    * table, within-bucket windows — so no global-order window
+    * serializes the corpus at scale.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    packLen: Long, bucketSize: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(packLen > 0, s"packLen must be positive, got $packLen")
+    val toked = docs
+      .withColumn("__n_tok", TextOps.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__b", floor(col(idCol) / bucketSize))
+    val wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toked.groupBy("__b").agg(sum("__n_tok").as("__bt"))
+      .withColumn("__off", coalesce(sum("__bt").over(wb), lit(0L)))
+      .select("__b", "__off")
+    val wi = Window.partitionBy("__b").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toked.join(broadcast(offsets), "__b")
+      .withColumn("__start", col("__off") + sum("__n_tok").over(wi) - col("__n_tok"))
+      .select(col(idCol), col("__n_tok").as("n_tokens"),
+        floor(col("__start") / packLen).as("pack_id"),
+        (col("__start") % packLen).as("pack_offset"))
+  }
+
   /** Per-group token budget: within each group (language, domain,
     * source), keep documents in id order until the group's budget is
     * reached — the proportional-mix control a multilingual pretraining

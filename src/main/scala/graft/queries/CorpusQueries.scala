@@ -73,7 +73,30 @@ object CorpusQueries {
         .localCheckpoint()
       release()
       out
-    }))
+    }),
+
+    // deterministic per-source sampling (data mixing): membership is a
+    // pure function of (doc_id, salt), reproducible in any engine
+    "q78_stratified_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("src", concat(lit("src"), (col("doc_id") % 3).cast("string")))
+      graft.operators.SplitOps.stratifiedSample(docs, "doc_id", "src",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1))
+        .select("doc_id", "src")
+    }),
+
+    // concat-then-chunk sequence packing: global token offset via the
+    // two-level cumulative sum, chunked into 2048-token packs
+    "q79_sequence_packing" -> ((s, d) =>
+      CorpusPipeline.packSequences(Tables.documents(s, d), "doc_id", "text",
+        packLen = 2048L)),
+
+    // fuzzy-exact dedup: digest over case/punctuation/whitespace-
+    // normalized text, min id kept per group
+    "q80_normalized_dedup" -> ((s, d) =>
+      graft.dedup.NearDup.exactDedupNormalized(
+          Tables.documents(s, d), "doc_id", "text")
+        .select("doc_id", "dup_count")))
 
   val oracle: Map[String, String] = Map(
     "q72_line_dedup" ->
@@ -97,6 +120,40 @@ object CorpusQueries {
         |  (267),(290),(293),(301),(323),(332),(374),(377),(383),(387),
         |  (389),(413),(420),(446),(447),(450),(455),(457),(462),(486)
         |) t(doc_id)""".stripMargin,
+
+    // same md5-prefix bucket as the engine's SplitOps.hashBucket —
+    // membership must be REPRODUCIBLE cross-engine, that's the point
+    "q78_stratified_sample" ->
+      """SELECT doc_id, 'src' || CAST(doc_id % 3 AS VARCHAR) AS src
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, 8))::UBIGINT
+        |        / 4294967296.0
+        |  < CASE doc_id % 3 WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 ELSE 0.1 END""".stripMargin,
+
+    "q79_sequence_packing" ->
+      """WITH toked AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents
+        |), cum AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+        |  FROM toked
+        |)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(strt // 2048 AS BIGINT) AS pack_id,
+        |  CAST(strt % 2048 AS BIGINT) AS pack_offset
+        |FROM cum""".stripMargin,
+
+    "q80_normalized_dedup" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+        |FROM (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text),
+        |          '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS norm
+        |      FROM documents)
+        |GROUP BY norm""".stripMargin,
 
     "q73_decontaminate" ->
       """WITH toks AS (

@@ -20,6 +20,17 @@ object TextOps {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Dedup-key normalization: lowercase, strip everything that is not
+    * a letter / digit / whitespace (Unicode classes, RE2-compatible),
+    * collapse whitespace runs, trim. Two documents differing only in
+    * case, punctuation, or spacing normalize to the same key — the
+    * standard "fuzzy-exact" dedup preprocessing. Pure codegen'd
+    * expressions, portable semantics (same regexes run in DuckDB).
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[^\\p{L}\\p{N}\\s]", ""), "\\s+", " "))
+
   /** BPE-ish subword-count estimate: word-piece regex — runs of
     * letters, runs of digits, single non-space punctuation —
     * approximating a byte-pair tokenizer's segmentation for budgeting

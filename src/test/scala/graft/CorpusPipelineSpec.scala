@@ -131,6 +131,29 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(report("after_decontamination") < report("after_near_dedup"))
   }
 
+  test("packSequences: concat-then-chunk pack assignment matches a naive " +
+    "global cumsum, documents straddle pack boundaries correctly") {
+    import org.apache.spark.sql.functions._
+    // deterministic token counts: doc i has i+1 tokens
+    val docs = (0 until 50)
+      .map(i => (i.toLong, (0 to i).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = CorpusPipeline.packSequences(docs, "doc_id", "text",
+        packLen = 16, bucketSize = 7)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    var start = 0L
+    packed.zipWithIndex.foreach { case ((id, nTok, packId, off), i) =>
+      assert(id === i.toLong)
+      assert(nTok === i + 1L)
+      assert(packId === start / 16, s"doc $i pack")
+      assert(off === start % 16, s"doc $i offset")
+      start += nTok
+    }
+    // bucket boundaries must not reset offsets: doc 7 starts at 1+2+...+7=28
+    assert(packed(7)._3 === 28L / 16 && packed(7)._4 === 28L % 16)
+  }
+
   test("dropBoilerplateLines: corpus-frequent lines removed, order kept, " +
     "all-boilerplate doc -> empty string") {
     import spark.implicits._

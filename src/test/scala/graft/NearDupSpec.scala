@@ -38,6 +38,21 @@ class NearDupSpec extends SparkSpec {
     assert(out === Map(1L -> 3L, 2L -> 1L))
   }
 
+  test("exactDedupNormalized: case/punctuation/whitespace variants " +
+    "collapse; genuinely different text survives") {
+    val df = Seq(
+      (1L, "Hello, World!"),
+      (4L, "hello   world"),
+      (7L, "HELLO WORLD."),
+      (2L, "hello there world"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = NearDup.exactDedupNormalized(df, "doc_id", "text")
+      .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+    // plain exactDedup would NOT merge the variants
+    assert(NearDup.exactDedup(df, "doc_id", "text").count() === 5)
+  }
+
   test("minhashLshPairs finds the high-jaccard pairs the brute force finds (sf0.001)") {
     val docs  = Tables.documents(spark, sf("sf0.001"))
     val brute = NearDup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)

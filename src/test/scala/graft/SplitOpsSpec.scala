@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.SplitOps
+import org.apache.spark.sql.functions._
+
+class SplitOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    spark.range(n.toLong).select(col("id").as("doc_id"),
+      concat(lit("src"), (col("id") % 3).cast("string")).as("src"))
+
+  test("stratifiedSample: deterministic, per-group rates honored, " +
+    "missing group dropped, repartition-invariant") {
+    val df = docs(3000)
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5)
+    val kept = SplitOps.stratifiedSample(df, "doc_id", "src", rates)
+    val byGroup = kept.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(byGroup("src0") === 1000L, "rate 1.0 keeps every row")
+    assert(byGroup("src1") > 350 && byGroup("src1") < 650,
+      s"rate 0.5 keeps ~half, got ${byGroup("src1")}")
+    assert(!byGroup.contains("src2"), "group absent from rates is dropped")
+    // pure function of the key: same ids regardless of partitioning
+    val again = SplitOps.stratifiedSample(df.repartition(7), "doc_id", "src", rates)
+      .select("doc_id").as[Long].collect().sorted
+    assert(again.toSeq === kept.select("doc_id").as[Long].collect().sorted.toSeq)
+    // salt decorrelates: a different salt selects a different subset
+    val salted = SplitOps.stratifiedSample(df, "doc_id", "src", rates, salt = "other")
+      .select("doc_id").as[Long].collect().sorted
+    assert(salted.toSeq !== again.toSeq)
+  }
+
+  test("temperatureMix: T=1 keeps the natural mix untouched; T=0 " +
+    "equalizes groups to the smallest; T=0.5 flattens in between") {
+    // skewed sources: 1200 / 600 / 200
+    val df = spark.range(2000).select(col("id").as("doc_id"),
+      when(col("id") < 1200, "big").when(col("id") < 1800, "mid")
+        .otherwise("small").as("src"))
+    val t1 = SplitOps.temperatureMix(df, "doc_id", "src", temperature = 1.0)
+    assert(t1.count() === 2000L, "T=1 is the identity mix (no downsampling)")
+
+    val t0 = SplitOps.temperatureMix(df, "doc_id", "src", temperature = 0.0)
+    val c0 = t0.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(c0("small") === 200L, "smallest group fully kept")
+    // hash sampling is Bernoulli per row: expected 200 each, allow slack
+    assert(c0("big") > 140 && c0("big") < 260, s"big equalized, got ${c0("big")}")
+    assert(c0("mid") > 140 && c0("mid") < 260, s"mid equalized, got ${c0("mid")}")
+
+    val t5 = SplitOps.temperatureMix(df, "doc_id", "src", temperature = 0.5)
+    val c5 = t5.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(c5("small") === 200L, "largest feasible mix keeps the smallest group whole")
+    // flattened but still ordered: big > mid > small shares shrink toward sqrt
+    assert(c5("big") > c5("mid") && c5("mid") > c5("small"))
+    assert(c5("big") < 1200L, "big is downsampled at T=0.5")
+  }
+}
