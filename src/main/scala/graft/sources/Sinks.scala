@@ -72,7 +72,13 @@ object Sinks {
       .csv(path)
   }
 
-  /** ndjson write (json_to_gcs, gcs_utils.py:570-594). */
+  /** ndjson write (json_to_gcs, gcs_utils.py:570-594). The reference
+    * additionally retries the write through its JSON LINTER — needed
+    * there because hand-assembled Python strings can be malformed;
+    * Spark's JSON writer serializes from typed rows, so every emitted
+    * line is well-formed by construction and the lint-retry loop has
+    * nothing to catch. Deliberately omitted, not overlooked.
+    */
   def writeNdjson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 

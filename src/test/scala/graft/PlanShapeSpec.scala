@@ -90,9 +90,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "bench grams must broadcast")
   }
 
-  test("q72 line dedup: over-threshold line set broadcast for the anti-join") {
-    val p = plan("q72_line_dedup")
+  test("dropBoilerplateLines: over-threshold line set broadcast for the " +
+    "anti-join (the q72 query itself returns a checkpointed result, so " +
+    "the shape is asserted on the operator)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a\nb"), (2L, "a\nc"), (3L, "a\nd")).toDF("doc_id", "text")
+    val (cleaned, linesCache) = graft.pipelines.CorpusPipeline
+      .dropBoilerplateLinesManaged(docs, "doc_id", "text", maxDocs = 2)
+    val p = cleaned.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    linesCache.unpersist(blocking = false)
   }
 
   test("saltedJoin: correct results under replication") {
