@@ -64,8 +64,13 @@ object SplitOps {
     val wSum = w.values.sum
     // the largest total consistent with every group's rate <= 1
     val feasibleTotal = counts.map { case (g, ng) => ng / (w(g) / wSum) }.min
+    // rates rounded to 6 decimals: membership is then a function of
+    // exact decimals, so an independent engine recomputing the rates
+    // (its libm pow may differ in the last ulp) reproduces the mix
+    // row-for-row
     val rates = counts.map { case (g, ng) =>
-      g -> math.min(1.0, feasibleTotal * (w(g) / wSum) / ng)
+      g -> BigDecimal(math.min(1.0, feasibleTotal * (w(g) / wSum) / ng))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
     stratifiedSample(df, keyCol, groupCol, rates, salt)
   }

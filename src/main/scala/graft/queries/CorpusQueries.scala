@@ -96,7 +96,23 @@ object CorpusQueries {
     "q80_normalized_dedup" -> ((s, d) =>
       graft.dedup.NearDup.exactDedupNormalized(
           Tables.documents(s, d), "doc_id", "text")
-        .select("doc_id", "dup_count")))
+        .select("doc_id", "dup_count")),
+
+    // temperature mixing on the REAL skewed language column — the
+    // oracle recomputes counts -> weights -> rates -> membership
+    // independently, proving the whole mix is engine-reproducible
+    "q81_temperature_mix" -> ((s, d) =>
+      graft.operators.SplitOps.temperatureMix(
+          Tables.documents(s, d), "doc_id", "lang", temperature = 0.5)
+        .select("doc_id", "lang")),
+
+    // per-language token budgets on the real lang column (the
+    // proportional-mix control); zh absent from the map -> dropped
+    "q82_lang_token_budget" -> ((s, d) =>
+      CorpusPipeline.tokenBudgetByGroup(
+          Tables.documents(s, d), "doc_id", "text", "lang",
+          Map("en" -> 2000L, "es" -> 1500L, "de" -> 1000L, "fr" -> 500L))
+        .select("doc_id", "lang")))
 
   val oracle: Map[String, String] = Map(
     "q72_line_dedup" ->
@@ -154,6 +170,42 @@ object CorpusQueries {
         |          '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS norm
         |      FROM documents)
         |GROUP BY norm""".stripMargin,
+
+    // full independent recomputation of the temperature mix: counts ->
+    // (n/N)^T weights -> feasible downsample-only rates (rounded to 6
+    // decimals, matching the engine's cross-engine-reproducibility
+    // contract) -> salted md5 membership
+    "q81_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang
+        |), tot AS (SELECT sum(n) AS nn FROM counts),
+        |w AS (SELECT lang, n, pow(n / (SELECT nn FROM tot), 0.5) AS wt FROM counts),
+        |ws AS (SELECT sum(wt) AS sw FROM w),
+        |feas AS (SELECT min(n / (wt / (SELECT sw FROM ws))) AS c FROM w),
+        |rates AS (
+        |  SELECT lang,
+        |    round(least(1.0, (SELECT c FROM feas) * (wt / (SELECT sw FROM ws)) / n), 6) AS r
+        |  FROM w)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN rates USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix'), 1, 8))::UBIGINT
+        |        / 4294967296.0 < r""".stripMargin,
+
+    "q82_lang_token_budget" ->
+      """WITH toked AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+        |  FROM documents
+        |), cum AS (
+        |  SELECT doc_id, lang,
+        |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM toked
+        |)
+        |SELECT doc_id, lang FROM cum
+        |WHERE c <= CASE lang WHEN 'en' THEN 2000 WHEN 'es' THEN 1500
+        |                     WHEN 'de' THEN 1000 WHEN 'fr' THEN 500 ELSE 0 END""".stripMargin,
 
     "q73_decontaminate" ->
       """WITH toks AS (
