@@ -19,11 +19,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - jaccard_sim(a, b)      — single-pass set Jaccard (JaccardSim)
   *  - graft_text_stats(s)    — fused text statistics struct (English
   *                             stopword set)
+  *  - normalize_text(s)      — dedup-key normalization (lowercase,
+  *                             punctuation stripped, whitespace
+  *                             collapsed), same tree as the column API
+  *  - hash_bucket(k)         — uniform [0, 2^32) md5 bucket, the
+  *                             deterministic-sampling primitive
   *  - standardize_parcel(s)  — county parcel normalizer
   *  - reformat_phone(s)      — NANP phone formatter
   *  - redact_pii(s)          — regex PII redaction w/ place protection
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.{hashBucketBuilder, normalizeTextBuilder}
 
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
@@ -38,11 +44,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_text_stats"),
       info("graft_text_stats", "graft_text_stats(s) - single-pass text statistics"),
       (args: Seq[Expression]) => TextStats(args.head, Seq(TextOps.EnStopwords))))
+    e.injectFunction((FunctionIdentifier("normalize_text"),
+      info("normalize_text", "normalize_text(s) - lowercase, strip punctuation, collapse whitespace"),
+      normalizeTextBuilder))
+    e.injectFunction((FunctionIdentifier("hash_bucket"),
+      info("hash_bucket", "hash_bucket(k) - uniform [0, 2^32) md5 bucket of the key"),
+      hashBucketBuilder))
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
   }
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Lower, Md5, RegExpReplace, StringTrim, Substring}
+  import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
+
+  /** Catalyst twins of `TextOps.normalizeText` / `SplitOps.hashBucket`
+    * (the column-API trees arrive at the function registry as
+    * unresolved column nodes, which the SQL path cannot evaluate, so
+    * the trees are built from expression classes directly).
+    * GraftExtensionsSpec asserts SQL and DataFrame results agree.
+    */
+  private[graft] val normalizeTextBuilder: Seq[Expression] => Expression = args =>
+    StringTrim(RegExpReplace(
+      RegExpReplace(Lower(args.head), Literal("[^\\p{L}\\p{N}\\s]"), Literal("")),
+      Literal("\\s+"), Literal(" ")))
+  private[graft] val hashBucketBuilder: Seq[Expression] => Expression = args =>
+    Cast(Conv(Substring(Md5(Cast(Cast(args.head, StringType), BinaryType)),
+      Literal(1), Literal(8)), Literal(16), Literal(10)), LongType)
 
   /** Install on a LIVE session (builder extensions only apply to new
     * sessions): registers the expression functions through the
@@ -56,6 +84,8 @@ object GraftExtensions {
       (args: Seq[Expression]) => JaccardSim(args(0), args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_text_stats",
       (args: Seq[Expression]) => TextStats(args.head, Seq(TextOps.EnStopwords)), "scala_udf")
+    reg.createOrReplaceTempFunction("normalize_text", normalizeTextBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("hash_bucket", hashBucketBuilder, "scala_udf")
     registerUdfs(spark)
   }
 

@@ -28,6 +28,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(st.getAs[Seq[Long]]("hits").head === 2L, "'the' and 'it' hit the stopword set")
   }
 
+  test("normalize_text / hash_bucket reuse the column-API trees from SQL") {
+    val r = spark.sql(
+      "SELECT normalize_text('  Hello,   WORLD!! ') AS n, hash_bucket('42') AS b").head()
+    assert(r.getString(0) === "hello world")
+    // same value the DataFrame-side primitive produces
+    import spark.implicits._
+    val expected = Seq("42").toDF("k")
+      .select(graft.operators.SplitOps.hashBucket(org.apache.spark.sql.functions.col("k")))
+      .head().getLong(0)
+    assert(r.getLong(1) === expected)
+    assert(r.getLong(1) >= 0L && r.getLong(1) < 4294967296L)
+  }
+
   test("parity UDFs callable from SQL") {
     val r = spark.sql(
       """SELECT standardize_parcel('1-X-1-1-1') AS parc,
