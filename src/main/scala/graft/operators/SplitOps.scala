@@ -54,25 +54,49 @@ object SplitOps {
     */
   def temperatureMix(df: DataFrame, keyCol: String, groupCol: String,
                      temperature: Double, salt: String = "mix"): DataFrame = {
-    require(temperature >= 0.0 && temperature <= 1.0,
-      s"temperature must be in [0,1], got $temperature")
     val counts = df.groupBy(col(groupCol).cast(StringType).as("__g"))
       .agg(count(lit(1)).as("__n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    stratifiedSample(df, keyCol, groupCol,
+      temperatureRates(counts, temperature), salt)
+  }
+
+  /** [[temperatureMix]] weighted by TOKENS instead of documents — what
+    * a pretraining run actually budgets: the kept-token share of group
+    * g targets (tok_g / total)^T, realized as a per-document keep rate
+    * (groups of long documents get proportionally lower doc rates).
+    */
+  def temperatureMixByTokens(df: DataFrame, keyCol: String, groupCol: String,
+                             textCol: String, temperature: Double,
+                             salt: String = "mix"): DataFrame = {
+    val counts = df.groupBy(col(groupCol).cast(StringType).as("__g"))
+      .agg(sum(graft.text.TextOps.tokenCount(col(textCol)).cast("long")).as("__n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    stratifiedSample(df, keyCol, groupCol,
+      temperatureRates(counts, temperature), salt)
+  }
+
+  /** Shared temperature-to-rates math over any per-group mass (docs or
+    * tokens): target share ∝ (mass_g / total)^T, scaled to the largest
+    * total consistent with every rate <= 1 (downsample only). Rates
+    * are rounded to 6 decimals: membership is then a function of exact
+    * decimals, so an independent engine recomputing the rates (its
+    * libm pow may differ in the last ulp) reproduces the mix
+    * row-for-row.
+    */
+  private def temperatureRates(counts: Map[String, Long],
+                               temperature: Double): Map[String, Double] = {
+    require(temperature >= 0.0 && temperature <= 1.0,
+      s"temperature must be in [0,1], got $temperature")
     val n = counts.values.sum.toDouble
     val w = counts.map { case (g, ng) => g -> math.pow(ng / n, temperature) }
     val wSum = w.values.sum
-    // the largest total consistent with every group's rate <= 1
     val feasibleTotal = counts.map { case (g, ng) => ng / (w(g) / wSum) }.min
-    // rates rounded to 6 decimals: membership is then a function of
-    // exact decimals, so an independent engine recomputing the rates
-    // (its libm pow may differ in the last ulp) reproduces the mix
-    // row-for-row
-    val rates = counts.map { case (g, ng) =>
+    counts.map { case (g, ng) =>
       g -> BigDecimal(math.min(1.0, feasibleTotal * (w(g) / wSum) / ng))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
-    stratifiedSample(df, keyCol, groupCol, rates, salt)
   }
 
   /** Assign train/val/test (or any named splits) by hash percentile.

@@ -53,4 +53,22 @@ class SplitOpsSpec extends SparkSpec {
     assert(c5("big") > c5("mid") && c5("mid") > c5("small"))
     assert(c5("big") < 1200L, "big is downsampled at T=0.5")
   }
+
+  test("temperatureMixByTokens: equal doc counts but skewed token mass — " +
+    "T=0 equalizes TOKEN totals via lower doc rates for the long-doc group") {
+    // group A: 100 docs x 10 tokens (1000 tokens); B: 100 docs x 1 token
+    val df = spark.range(200).select(col("id").as("doc_id"),
+      when(col("id") < 100, "A").otherwise("B").as("src"),
+      when(col("id") < 100, lit((1 to 10).map(i => s"t$i").mkString(" ")))
+        .otherwise(lit("solo")).as("text"))
+    val out = SplitOps.temperatureMixByTokens(df, "doc_id", "src", "text",
+      temperature = 0.0)
+    val kept = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    // feasible total = 200 tokens at equal shares: B (100 tokens) fully
+    // kept, A targets 100/1000 tokens => doc rate 0.1 (Bernoulli slack)
+    assert(kept("B") === 100L, "short-doc group fully kept")
+    assert(kept("A") >= 3 && kept("A") <= 20, s"long-doc group ~10 docs, got ${kept("A")}")
+    // doc-count mixing would have kept both groups whole (equal counts)
+    assert(SplitOps.temperatureMix(df, "doc_id", "src", 0.0).count() === 200L)
+  }
 }
