@@ -43,10 +43,14 @@ object NearDup {
     exactDedupBy(df, idCol, md5(TextOps.normalizeText(col(textCol))))
 
   /** Shared kernel: group by an arbitrary digest expression, keep the
-    * lowest id per group with `dup_count`.
+    * lowest id per group with `dup_count`. A NULL digest (NULL text)
+    * is mapped to a sentinel key so those rows form one group like any
+    * other (SQL GROUP BY semantics) instead of silently vanishing in
+    * the null-unsafe join-back — quarantine-not-drop.
     */
   def exactDedupBy(df: DataFrame, idCol: String, digest: Column): DataFrame = {
-    val keyed = df.withColumn("__digest", digest)
+    // the sentinel cannot collide: md5 hex is always 32 chars
+    val keyed = df.withColumn("__digest", coalesce(digest, lit("NULL")))
     val keepers = keyed.groupBy("__digest")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
     keyed.drop("dup_count").join(keepers, Seq("__digest", idCol)).drop("__digest")
@@ -210,14 +214,15 @@ object NearDup {
   }
 
   /** [[incrementalDedup]] plus a release handle that unpersists the
-    * four cached intermediates (batch signatures, corpus signatures,
-    * survivors, self-pair list) at the Dataset level — removing their
-    * CacheManager entries, not just the backing RDD blocks, so a
-    * long-running stream or batch loop does not accumulate
-    * InMemoryRelations on the driver. Call it only AFTER the admitted /
-    * newSigs outputs are materialized (written or checkpointed):
-    * releasing earlier forces the next action to recompute the whole
-    * sig→band→verify subtree.
+    * cached intermediates this call CREATED (batch signatures,
+    * survivors, self-pair list, and the corpus signatures unless the
+    * caller had already persisted them — a caller-owned cache is never
+    * clobbered) at the Dataset level — removing their CacheManager
+    * entries, not just the backing RDD blocks, so a long-running
+    * stream or batch loop does not accumulate InMemoryRelations on
+    * the driver. Call it only AFTER the admitted / newSigs outputs are
+    * materialized (written or checkpointed): releasing earlier forces
+    * the next action to recompute the whole sig→band→verify subtree.
     */
   def incrementalDedupManaged(
       corpusSigs: DataFrame, incoming: DataFrame, idCol: String,
@@ -243,8 +248,13 @@ object NearDup {
     // corpus state: consumed by the band join AND the verify join; in
     // production it is a parquet-backed (id, signature) frame — the
     // persist pins it so neither consumer re-reads (or, when a
-    // caller builds it inline, re-shingles) the corpus
-    val corpSigs = corpusSigs.persist(lvl)
+    // caller builds it inline, re-shingles) the corpus. If the CALLER
+    // already persisted it (a daily-increment driver reusing one
+    // corpus cache across batches), it is left alone and the release
+    // handle must not clobber it — release only what this call created
+    val corpusAlreadyCached =
+      corpusSigs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val corpSigs = if (corpusAlreadyCached) corpusSigs else corpusSigs.persist(lvl)
     val inBands = lshBands(inSigs, idCol, "__sig", bands, numPerms)
     val corpusBands = lshBands(corpSigs, idCol, "__sig", bands, numPerms)
 
@@ -293,7 +303,8 @@ object NearDup {
     val admitted = incoming.join(keepIds, Seq(idCol), "left_semi")
       .unionByName(shortRows)
     val newSigs = inSigs.join(keepIds, Seq(idCol), "left_semi")
-    val caches = Seq(inSigs, corpSigs, survivors, selfPairs)
+    val caches = (if (corpusAlreadyCached) Seq.empty else Seq(corpSigs)) ++
+      Seq(inSigs, survivors, selfPairs)
     (admitted, newSigs, () => caches.foreach(_.unpersist(blocking = false)))
   }
 
@@ -412,7 +423,8 @@ object NearDup {
     */
   def lshCosinePairsBanded(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      bands: Int = 64, bitsPerBand: Int = 6, seed: Long = 42L): DataFrame = {
+      bands: Int = 64, bitsPerBand: Int = 6, seed: Long = 42L,
+      dedupBeforeVerify: Boolean = true): DataFrame = {
     // materialization barrier shared by the banding and both verify
     // branches (same CollapseProject/ReuseExchange reasoning as
     // minhashLshPairs above)
@@ -422,22 +434,30 @@ object NearDup {
         .hyperplane_bands(col(vecCol), bands, bitsPerBand, seed)).as("__band"))
     val l = bandRows.select(col("__band"), col(idCol).as("id_a"))
     val r = bandRows.select(col("__band"), col(idCol).as("id_b"))
-    // verify FIRST, distinct the survivors: deduplicating the full
-    // candidate multiset up front costs a shuffle+hash-aggregate of
-    // every collision row, while a pair colliding in k bands merely
-    // pays k map-side cosines (expected k ≈ 1+B·p^(r+?) ~ 1.5 for
-    // non-dup collisions at these band widths) and the distinct then
-    // touches only above-threshold pairs — measured 3.4 s → 2.3 s at
-    // sf0.1/96 bands with identical output (tools.CosineLshProbe)
-    val cands = l.join(r, "__band").filter(col("id_a") < col("id_b"))
+    // Where to deduplicate candidates is a CORPUS-SHAPE knob (both
+    // orders produce identical pair sets — A/B'd in
+    // tools.CosineLshProbe):
+    //  - dedupBeforeVerify = true (default, scale-safe): distinct the
+    //    candidate multiset before fetching vectors. On a dup-DENSE
+    //    corpus a duplicate cluster collides in nearly every band, so
+    //    deduping first caps verify work at one cosine per pair
+    //    instead of up to `bands` per pair.
+    //  - dedupBeforeVerify = false: skip the full-multiset
+    //    shuffle+hash-aggregate and distinct only above-threshold
+    //    survivors. Wins when collisions are mostly non-duplicates
+    //    (expected extra cosines ~1.5× per colliding pair): measured
+    //    3.4 s → 2.3 s at sf0.1/96 bands on the near-uniform
+    //    synthetic embeddings.
+    val raw = l.join(r, "__band").filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
+    val cands = if (dedupBeforeVerify) raw.distinct() else raw
     val a = tagged.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
     val b = tagged.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
-    cands.join(a, "id_a").join(b, "id_b")
+    val verified = cands.join(a, "id_a").join(b, "id_b")
       .withColumn("cos", cosine(col("__va"), col("__vb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
-      .distinct()
+    if (dedupBeforeVerify) verified else verified.distinct()
   }
 
   /** Signed-random-projection signature: bit j = sign(v · h_j) where

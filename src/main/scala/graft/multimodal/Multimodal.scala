@@ -107,8 +107,12 @@ object Multimodal {
         val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
           new ByteArrayInputStream(bytes))
         val f = aff.getFormat
+        // getFrameLength is NOT_SPECIFIED (-1) for containers whose
+        // header carries no frame count — clamp so duration math
+        // downstream never goes negative
         Some((aff.getType.getExtension.toLowerCase,
-          f.getSampleRate.toDouble, f.getChannels, aff.getFrameLength.toLong))
+          f.getSampleRate.toDouble, f.getChannels,
+          math.max(0L, aff.getFrameLength.toLong)))
       } catch { case _: Exception => None }
     }
   }
@@ -171,7 +175,7 @@ object Multimodal {
   def withAudioMeta(df: DataFrame, binCol: String, out: String = "meta"): DataFrame = {
     val sniff = udf((b: Array[Byte]) => {
       val (fmt, rate, ch, frames) = JdkCodec.probeAudio(b)
-        .getOrElse((if (b == null || b.isEmpty) "unknown" else "raw", 0.0, 0, 0L))
+        .getOrElse((FakeCodec.sniffFormat(b), 0.0, 0, 0L))
       AudioMeta(fmt, rate, ch, frames,
         if (b == null) 0L else b.length.toLong,
         if (b == null) 0L else java.util.Arrays.hashCode(b).toLong)

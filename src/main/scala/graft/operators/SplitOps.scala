@@ -50,11 +50,14 @@ object SplitOps {
     * the smallest group's size; 0 < T < 1 flattens in between. The
     * per-group counts are a #groups-sized aggregate collected to the
     * driver (languages/sources are dozens at 100 TB, not millions);
-    * sampling itself is [[stratifiedSample]] — map-only.
+    * sampling itself is [[stratifiedSample]] — map-only. Rows with a
+    * NULL group have no defined mix share and are excluded — fill or
+    * filter them upstream.
     */
   def temperatureMix(df: DataFrame, keyCol: String, groupCol: String,
                      temperature: Double, salt: String = "mix"): DataFrame = {
-    val counts = df.groupBy(col(groupCol).cast(StringType).as("__g"))
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast(StringType).as("__g"))
       .agg(count(lit(1)).as("__n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     stratifiedSample(df, keyCol, groupCol,
@@ -69,8 +72,13 @@ object SplitOps {
   def temperatureMixByTokens(df: DataFrame, keyCol: String, groupCol: String,
                              textCol: String, temperature: Double,
                              salt: String = "mix"): DataFrame = {
-    val counts = df.groupBy(col(groupCol).cast(StringType).as("__g"))
-      .agg(sum(graft.text.TextOps.tokenCount(col(textCol)).cast("long")).as("__n"))
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast(StringType).as("__g"))
+      // all-NULL-text group: sum is NULL -> 0 mass (dropped by the
+      // zero-mass guard in temperatureRates, like any empty group)
+      .agg(coalesce(
+        sum(graft.text.TextOps.tokenCount(col(textCol)).cast("long")), lit(0L))
+        .as("__n"))
       .collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     stratifiedSample(df, keyCol, groupCol,
@@ -89,11 +97,16 @@ object SplitOps {
                                temperature: Double): Map[String, Double] = {
     require(temperature >= 0.0 && temperature <= 1.0,
       s"temperature must be in [0,1], got $temperature")
-    val n = counts.values.sum.toDouble
-    val w = counts.map { case (g, ng) => g -> math.pow(ng / n, temperature) }
+    // zero-mass groups contribute nothing to the mix and would poison
+    // the math (pow(0,0)=1 drags feasibleTotal to 0); an empty input
+    // yields an empty rate map -> everything rate-0 (nothing to keep)
+    val live = counts.filter(_._2 > 0L)
+    if (live.isEmpty) return Map.empty
+    val n = live.values.sum.toDouble
+    val w = live.map { case (g, ng) => g -> math.pow(ng / n, temperature) }
     val wSum = w.values.sum
-    val feasibleTotal = counts.map { case (g, ng) => ng / (w(g) / wSum) }.min
-    counts.map { case (g, ng) =>
+    val feasibleTotal = live.map { case (g, ng) => ng / (w(g) / wSum) }.min
+    live.map { case (g, ng) =>
       g -> BigDecimal(math.min(1.0, feasibleTotal * (w(g) / wSum) / ng))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }

@@ -102,7 +102,9 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).getAs[Double]("sample_rate") === 8000.0)
     assert(out(0).getAs[Int]("channels") === 1)
     assert(out(0).getAs[Long]("n_frames") === 16L)
-    assert(out(1).getAs[String]("format") === "raw")
+    // unparseable payload keeps its claimed-format signal via the
+    // magic-byte sniff (this one has a JPEG prefix), like the image twin
+    assert(out(1).getAs[String]("format") === "jpeg")
     assert(out(1).getAs[Long]("n_frames") === 0L)
     assert(out(2).getAs[String]("format") === "unknown")
   }

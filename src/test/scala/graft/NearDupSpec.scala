@@ -53,6 +53,15 @@ class NearDupSpec extends SparkSpec {
     assert(NearDup.exactDedup(df, "doc_id", "text").count() === 5)
   }
 
+  test("exactDedup: NULL-text rows form one group (SQL GROUP BY " +
+    "semantics), never silently dropped") {
+    val df = Seq((5L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "x")).toDF("doc_id", "text")
+    val out = NearDup.exactDedup(df, "doc_id", "text")
+      .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(out === Map(2L -> 2L, 3L -> 1L))
+  }
+
   test("minhashLshPairs finds the high-jaccard pairs the brute force finds (sf0.001)") {
     val docs  = Tables.documents(spark, sf("sf0.001"))
     val brute = NearDup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)

@@ -71,4 +71,24 @@ class SplitOpsSpec extends SparkSpec {
     // doc-count mixing would have kept both groups whole (equal counts)
     assert(SplitOps.temperatureMix(df, "doc_id", "src", 0.0).count() === 200L)
   }
+
+  test("temperatureMix edge cases: NULL groups excluded without crashing, " +
+    "empty input yields empty output, all-NULL-text group drops cleanly") {
+    val withNulls = spark.range(100).select(col("id").as("doc_id"),
+      when(col("id") < 50, "a").otherwise(lit(null)).as("src"))
+    val kept = SplitOps.temperatureMix(withNulls, "doc_id", "src", 1.0)
+    assert(kept.count() === 50L, "NULL-group rows excluded, 'a' fully kept")
+
+    val empty = spark.range(0).select(col("id").as("doc_id"), lit("a").as("src"))
+    assert(SplitOps.temperatureMix(empty, "doc_id", "src", 0.5).count() === 0L)
+
+    // one group has only NULL text: zero token mass, dropped; the
+    // other keeps everything at T=1
+    val txt = spark.range(20).select(col("id").as("doc_id"),
+      when(col("id") < 10, "live").otherwise("dead").as("src"),
+      when(col("id") < 10, "some words here").otherwise(lit(null)).as("text"))
+    val mixed = SplitOps.temperatureMixByTokens(txt, "doc_id", "src", "text", 1.0)
+    val bySrc = mixed.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc === Map("live" -> 10L))
+  }
 }
