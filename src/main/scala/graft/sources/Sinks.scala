@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
 
-  /** Schema-validated columnar stage write (WriteToAvro parity — the
-    * reference validates each stage output against the feed's .avsc
-    * before writing Avro; here `conformToSchema` is the validation and
-    * parquet the stage format, per the SURVEY §1.1 design mapping:
-    * Avro's role between stages is a schema'd batch hand-off, which
-    * parquet serves with columnar pruning as a bonus. spark-avro is
-    * not on this deployment's classpath.)
+  /** Schema-validated columnar stage write. The reference validates
+    * each stage output against the feed's .avsc before writing Avro;
+    * here `conformToSchema` is the validation, and parquet is the
+    * DEFAULT stage format per the SURVEY §1.1 design mapping (Avro's
+    * role between stages is a schema'd batch hand-off, which parquet
+    * serves with columnar pruning as a bonus). When genuine `.avro`
+    * container files are required — an external consumer of the
+    * reference's drops — use [[AvroSink.writeAvro]], the faithful
+    * WriteToAvro: real Avro object-container files via avro-core/
+    * avro-mapred (no spark-avro needed), same schema validation.
     */
   def writeStage(df: DataFrame, path: String,
                  schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
