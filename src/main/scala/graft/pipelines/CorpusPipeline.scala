@@ -248,6 +248,35 @@ object CorpusPipeline {
         (col("__start") % packLen).as("pack_offset"))
   }
 
+  /** Overlapping document chunking — the context-window prep step for
+    * training/retrieval: chunk i covers whitespace tokens
+    * [i·stride, i·stride + chunkTokens) with stride =
+    * chunkTokens − overlap; a document of n tokens yields
+    * ceil((n − overlap) / stride) chunks (min 1 for any non-empty
+    * doc; empty/NULL docs yield no rows). Pure codegen'd expressions:
+    * the token array is let-bound (ExprOps.bind) and sliced per
+    * chunk — no UDF, no shuffle, linear at 100 TB.
+    *
+    * Returns (idCol, chunk_id, chunk_text).
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunkTokens=$chunkTokens")
+    val stride = chunkTokens - overlap
+    val chunks = graft.expressions.ExprOps.bind(TextOps.tokens(col(textCol))) { toks =>
+      val n = size(toks)
+      val nChunks = greatest(lit(1L),
+        ceil((n - lit(overlap)).cast("double") / stride).cast("long"))
+      when(coalesce(n, lit(0)) <= 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0L), nChunks - 1), i =>
+          array_join(slice(toks, (i * stride + 1).cast("int"), lit(chunkTokens)), " ")))
+    }
+    docs.select(col(idCol), posexplode(chunks))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        col("col").as("chunk_text"))
+  }
+
   /** Per-group token budget: within each group (language, domain,
     * source), keep documents in id order until the group's budget is
     * reached — the proportional-mix control a multilingual pretraining

@@ -112,7 +112,12 @@ object CorpusQueries {
       CorpusPipeline.tokenBudgetByGroup(
           Tables.documents(s, d), "doc_id", "text", "lang",
           Map("en" -> 2000L, "es" -> 1500L, "de" -> 1000L, "fr" -> 500L))
-        .select("doc_id", "lang")))
+        .select("doc_id", "lang")),
+
+    // overlapping context-window chunking, pure expressions
+    "q83_doc_chunking" -> ((s, d) =>
+      CorpusPipeline.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = 16, overlap = 3)))
 
   val oracle: Map[String, String] = Map(
     "q72_line_dedup" ->
@@ -206,6 +211,21 @@ object CorpusQueries {
         |SELECT doc_id, lang FROM cum
         |WHERE c <= CASE lang WHEN 'en' THEN 2000 WHEN 'es' THEN 1500
         |                     WHEN 'de' THEN 1000 WHEN 'fr' THEN 500 ELSE 0 END""".stripMargin,
+
+    // stride 13 = 16 - 3; DuckDB list slicing is 1-based inclusive,
+    // matching Spark's slice(start, length) window exactly
+    "q83_doc_chunking" ->
+      """WITH toked AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  array_to_string(toks[(i*13+1):(i*13+16)], ' ') AS chunk_text
+        |FROM (
+        |  SELECT doc_id, toks,
+        |    unnest(range(greatest(1,
+        |      CAST(ceil((len(toks) - 3) / 13.0) AS BIGINT)))) AS i
+        |  FROM toked)""".stripMargin,
 
     "q73_decontaminate" ->
       """WITH toks AS (

@@ -154,6 +154,27 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(packed(7)._3 === 28L / 16 && packed(7)._4 === 28L % 16)
   }
 
+  test("chunkDocuments: overlapping windows, short docs get one chunk, " +
+    "empty/NULL docs yield no rows") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // < chunk size
+      (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = CorpusPipeline.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 4, overlap = 1) // stride 3
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, String)].collect()
+    // doc 1: ceil((10-1)/3) = 3 chunks at offsets 0,3,6
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._3).toSeq === Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(d1.map(_._2).toSeq === Seq(0L, 1L, 2L))
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq === Seq("a b"))
+    assert(!out.exists(r => r._1 == 3L || r._1 == 4L))
+  }
+
   test("dropBoilerplateLines: corpus-frequent lines removed, order kept, " +
     "all-boilerplate doc -> empty string") {
     import spark.implicits._
