@@ -272,9 +272,11 @@ object CorpusPipeline {
         .otherwise(transform(sequence(lit(0L), nChunks - 1), i =>
           array_join(slice(toks, (i * stride + 1).cast("int"), lit(chunkTokens)), " ")))
     }
-    docs.select(col(idCol), posexplode(chunks))
-      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
-        col("col").as("chunk_text"))
+    // aliased explode outputs: posexplode's default names (pos, col)
+    // would collide with an id column of the same name
+    docs.select(col(idCol), posexplode(chunks).as(Seq("__pos", "__chunk")))
+      .select(col(idCol), col("__pos").cast("long").as("chunk_id"),
+        col("__chunk").as("chunk_text"))
   }
 
   /** Per-group token budget: within each group (language, domain,

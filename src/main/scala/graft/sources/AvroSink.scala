@@ -46,8 +46,11 @@ object AvroSink {
       case BinaryType                        => "\"bytes\""
       case TimestampType => "{\"type\":\"long\",\"logicalType\":\"timestamp-micros\"}"
       case DateType      => "{\"type\":\"int\",\"logicalType\":\"date\"}"
-      case _: DecimalType => "\"string\"" // reference degrades exotic types to string
-      case _              => "\"string\""
+      case _: DecimalType => "\"string\"" // reference degrades decimals to string
+      case other => throw new IllegalArgumentException(
+        s"unsupported type for the flat Avro envelope: $other — flatten/serialize " +
+          "(to_json, array_join, ...) before the Avro stage; silent toString " +
+          "encoding would write engine-runtime garbage")
     }
     require(AvroName.matches(recordName), s"invalid Avro record name: $recordName")
     schema.fields.foreach(f => require(AvroName.matches(f.name),
@@ -70,13 +73,23 @@ object AvroSink {
       case FloatType   => java.lang.Float.valueOf(v.asInstanceOf[Number].floatValue())
       case BooleanType => java.lang.Boolean.valueOf(v.asInstanceOf[Boolean])
       case BinaryType  => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
-      case TimestampType =>
-        val ts = v.asInstanceOf[java.sql.Timestamp]
-        java.lang.Long.valueOf(ts.getTime * 1000L + (ts.getNanos / 1000) % 1000)
-      case DateType =>
-        java.lang.Integer.valueOf(v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+      case TimestampType => v match {
+        // both external representations, so the write works regardless
+        // of spark.sql.datetime.java8API.enabled
+        case ts: java.sql.Timestamp =>
+          java.lang.Long.valueOf(ts.getTime * 1000L + (ts.getNanos / 1000) % 1000)
+        case i: java.time.Instant =>
+          java.lang.Long.valueOf(i.getEpochSecond * 1000000L + i.getNano / 1000)
+        case other => throw new IllegalArgumentException(s"not a timestamp: $other")
+      }
+      case DateType => v match {
+        case d: java.sql.Date       => java.lang.Integer.valueOf(d.toLocalDate.toEpochDay.toInt)
+        case ld: java.time.LocalDate => java.lang.Integer.valueOf(ld.toEpochDay.toInt)
+        case other => throw new IllegalArgumentException(s"not a date: $other")
+      }
       case _: DecimalType => v.toString
-      case _ => v.toString
+      case other => throw new IllegalArgumentException(
+        s"unsupported type for the flat Avro envelope: $other")
     }
   }
 
@@ -94,11 +107,17 @@ object AvroSink {
     val hconf = spark.sparkContext.hadoopConfiguration
     val p  = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(hconf)
-    if (fs.exists(p) && !fs.delete(p, true))
-      throw new java.io.IOException(s"could not overwrite $path")
     val job = Job.getInstance(hconf)
     AvroJob.setOutputKeySchema(job, new Schema.Parser().parse(avsc))
     val fields = sparkSchema.fields
+    // write-new-then-swap: the job lands in a temp sibling first, so a
+    // mid-job failure leaves any previous output at `path` intact (the
+    // Hadoop commit protocol gives task-level atomicity only — a naive
+    // delete-then-write loses the old data on job failure)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, p.getName + ".inprogress")
+    if (fs.exists(tmp) && !fs.delete(tmp, true))
+      throw new java.io.IOException(s"could not clear $tmp")
     out.rdd.mapPartitions { rows =>
       // Schema objects are not serializable: re-parse once per task
       val taskSchema = new Schema.Parser().parse(avsc)
@@ -111,9 +130,13 @@ object AvroSink {
         }
         (new AvroKey[GenericRecord](rec), NullWritable.get())
       }
-    }.saveAsNewAPIHadoopFile(path,
+    }.saveAsNewAPIHadoopFile(tmp.toString,
       classOf[AvroKey[GenericRecord]], classOf[NullWritable],
       classOf[AvroKeyOutputFormat[GenericRecord]], job.getConfiguration)
+    if (fs.exists(p) && !fs.delete(p, true))
+      throw new java.io.IOException(s"could not overwrite $path")
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"rename $tmp -> $p failed")
   }
 
   /** Reverse mapping for [[readAvro]]: the flat envelope back to Spark
@@ -121,9 +144,15 @@ object AvroSink {
     * their Spark types).
     */
   private def avroToSpark(s: Schema): DataType = {
-    val t = if (s.getType == Schema.Type.UNION)
-      s.getTypes.stream.filter(_.getType != Schema.Type.NULL).findFirst.orElseThrow()
-    else s
+    val t = if (s.getType == Schema.Type.UNION) {
+      val nonNull = s.getTypes.stream
+        .filter(_.getType != Schema.Type.NULL).toArray(new Array[Schema](_))
+      // the flat envelope is ["null", T]; a wider union has no single
+      // Spark type — mistyping it silently would transpose values
+      require(nonNull.length == 1,
+        s"unsupported multi-branch union $s — only [null, T] unions are flat")
+      nonNull.head
+    } else s
     t.getType match {
       case Schema.Type.STRING  => StringType
       case Schema.Type.LONG =>
@@ -141,9 +170,13 @@ object AvroSink {
   }
 
   /** Read Avro container files written by [[writeAvro]] (or any flat
-    * Avro drop). The schema comes from the first file's header
-    * (driver-side, one open); records are converted to Rows map-side
-    * within the read stage.
+    * `["null", T]`-union Avro drop). The schema comes from the first
+    * file's header (driver-side, one open); records are read BY FIELD
+    * NAME, so part files sharing field names in a different order
+    * still land in the right columns (a field absent from some file
+    * reads as null). Records are converted to Rows map-side within
+    * the read stage; timestamps/dates honor
+    * `spark.sql.datetime.java8API.enabled`.
     */
   def readAvro(spark: SparkSession, path: String): DataFrame = {
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -164,6 +197,8 @@ object AvroSink {
     val structType = StructType(sparkFields.toArray(Array.empty[Schema.Field]).map(f =>
       StructField(f.name, avroToSpark(f.schema), nullable = true)))
     val fieldTypes = structType.fields.map(_.dataType)
+    val fieldNames = structType.fields.map(_.name)
+    val java8 = spark.conf.get("spark.sql.datetime.java8API.enabled", "false") == "true"
     val rows = spark.sparkContext.newAPIHadoopFile(
         path + "/*.avro",
         classOf[AvroKeyInputFormat[GenericRecord]],
@@ -171,7 +206,11 @@ object AvroSink {
       .mapPartitions(_.map { case (k, _) =>
         val rec = k.datum()
         Row.fromSeq(fieldTypes.indices.map { i =>
-          (rec.get(i), fieldTypes(i)) match {
+          // name-based lookup: robust to part files whose fields share
+          // names but not positions; an absent field reads as null
+          val v = if (rec.getSchema.getField(fieldNames(i)) == null) null
+            else rec.get(fieldNames(i))
+          (v, fieldTypes(i)) match {
             case (null, _) => null
             case (v, StringType)  => v.toString
             case (v, BinaryType)  =>
@@ -179,12 +218,18 @@ object AvroSink {
               val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
             case (v, TimestampType) =>
               val micros = v.asInstanceOf[java.lang.Long].longValue()
-              val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000L))
-              ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
-              ts
+              if (java8)
+                java.time.Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+                  Math.floorMod(micros, 1000000L) * 1000L)
+              else {
+                val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000L))
+                ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+                ts
+              }
             case (v, DateType) =>
-              java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
-                v.asInstanceOf[java.lang.Integer].longValue()))
+              val ld = java.time.LocalDate.ofEpochDay(
+                v.asInstanceOf[java.lang.Integer].longValue())
+              if (java8) ld else java.sql.Date.valueOf(ld)
             case (v, _) => v
           }
         })

@@ -61,6 +61,32 @@ class AvroSinkSpec extends SparkSpec {
     assert(e.getMessage.contains("name"))
   }
 
+  test("writeAvro rejects complex-typed columns loudly instead of " +
+    "toString-encoding them") {
+    val dir = java.nio.file.Files.createTempDirectory("avro_complex").toFile.getPath
+    val df = Seq((1L, Seq("a", "b"))).toDF("id", "arr")
+    val e = intercept[IllegalArgumentException](AvroSink.writeAvro(df, s"$dir/out"))
+    assert(e.getMessage.contains("flat Avro envelope"))
+  }
+
+  test("a failed overwrite job leaves the previous output intact " +
+    "(write-new-then-swap)") {
+    val dir = java.nio.file.Files.createTempDirectory("avro_swap").toFile.getPath
+    val good = Seq((1L, "keep"), (2L, "me")).toDF("id", "v")
+    AvroSink.writeAvro(good, s"$dir/out")
+    val boom = org.apache.spark.sql.functions.udf(
+      (x: Long) => { if (x >= 0) throw new RuntimeException("boom"); x })
+    intercept[Exception] {
+      AvroSink.writeAvro(
+        good.withColumn("id", boom(org.apache.spark.sql.functions.col("id"))),
+        s"$dir/out")
+    }
+    val back = AvroSink.readAvro(spark, s"$dir/out")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(back === Seq((1L, "keep"), (2L, "me")),
+      "mid-job failure must not destroy the previous output")
+  }
+
   test("structToAvsc emits the reference's flat nullable envelope and " +
     "rejects invalid Avro names") {
     val avsc = AvroSink.structToAvsc(
