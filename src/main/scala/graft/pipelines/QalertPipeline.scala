@@ -90,7 +90,14 @@ object QalertPipeline {
       .withColumn("closed_date_est",
         when(col("status_name") === "closed", col("last_action_unix_est")))
       .drop("closeDate")
-      .withColumn("child_ticket", col("parent_ticket_id") =!= "0")
+      // DetectChildTicketStatus (qalert_requests_dataflow.py:57-62) is
+      // `parent == "0" ? False : True` in Python, where a missing/None
+      // parent is != "0" — so a NULL parent_ticket_id is a CHILD. A
+      // bare =!= would leave it NULL, and the row would satisfy
+      // NEITHER integrate() branch and silently vanish from the
+      // linked-requests master
+      .withColumn("child_ticket",
+        coalesce(col("parent_ticket_id") =!= "0", lit(true)))
     // FormatAndClassifyAddress (+ anonymization twins)
     val classified = AddressOps.formatAndClassifyAddress(statused,
       streetNum = "pii_street_num", streetName = "street",
@@ -114,6 +121,13 @@ object QalertPipeline {
 
   /** Stages 5-6 — city-limits reclassification + 8-family time-bounded
     * reverse geocode (geo_queries.py:123-154, :35-108).
+    *
+    * Parity note: missing-coordinate tickets reach this stage with
+    * lat/long 0.0 (FormatAndClassifyAddress coerces None → 0.0,
+    * dataflow_utils.py:437-443), so against a real city polygon they
+    * classify 'Outside of City' — exactly what the reference's UPDATE
+    * does, since its `WHERE lat IS NOT NULL` guard never sees a NULL
+    * after that same coercion.
     */
   def enrich(df: DataFrame, cityWkt: String, enclaveWkt: String,
              zoneFamilies: Map[String, Seq[(String, String, Long, Option[Long])]]): DataFrame = {
@@ -139,11 +153,11 @@ object QalertPipeline {
     val parents  = enriched.filter(!col("child_ticket"))
     val children = enriched.filter(col("child_ticket"))
 
-    // 8: previously-parent tickets that now arrive as children
-    val falseParents = masters.allLinked
-      .join(children.select(col("id")), Seq("id"), "left_semi")
+    // 8: previously-parent tickets that now arrive as children — one
+    // anti-join against the children's ids (a semi-join intermediate
+    // would re-scan the master's key set for no semantic difference)
     val cleaned = MasterTables.deleteMatching(masters.allLinked,
-      falseParents, Seq("id"))
+      children.select(col("id")), Seq("id"))
 
     // 7: new parents, initialised with an empty child array
     val newParents = parents
@@ -187,11 +201,18 @@ object QalertPipeline {
 
   /** Stage 12 — scrubbed export (drop_pii,
     * transform_enrich_requests.py:97-117): safe columns only, children
-    * rendered as a JSON string, private request types filtered out.
+    * rendered as a JSON string with null-id entries filtered (the
+    * reference's `WHERE child_id IS NOT NULL` inside the ARRAY
+    * subquery; its `SELECT AS STRUCT *` passes child_comments AND
+    * child_notes through, reproduced here), private request types
+    * filtered out with SQL `NOT IN` semantics — a NULL
+    * request_type_name is excluded, exactly as `NOT IN` evaluates to
+    * NULL in BigQuery (a coalesce-to-'' would export those rows).
     */
   def dropPiiForExport(master: DataFrame, privateTypes: Seq[String]): DataFrame =
     master
-      .filter(!coalesce(col("request_type_name"), lit("")).isin(privateTypes: _*))
+      .filter(col("request_type_name").isNotNull &&
+        !col("request_type_name").isin(privateTypes: _*))
       .select(
         col("id"), col("parent_ticket_id"), col("child_ticket"),
         col("status_name"), col("request_type_name"),
@@ -200,7 +221,8 @@ object QalertPipeline {
         col("address_type"), col("anon_input_address"),
         col("anon_lat"), col("anon_long"), col("anon_comments"),
         col("num_requests"),
-        to_json(col("child_tickets")).as("child_tickets_json"))
+        to_json(filter(col("child_tickets"), c => c("child_id").isNotNull))
+          .as("child_tickets_json"))
 
   /** One full batch run: raw ndjson path → transformed/enriched batch +
     * new master state + scrubbed export.
@@ -212,9 +234,22 @@ object QalertPipeline {
       zoneFamilies: Map[String, Seq[(String, String, Long, Option[Long])]],
       privateTypes: Seq[String] = Seq("Private Violation")): (Masters, DataFrame, DataFrame) = {
     val (raw, quarantine) = graft.sources.JsonSource.readRepaired(spark, rawPath, rawSchema)
+    // enriched feeds four-plus lineage branches inside integrate()
+    // (parents, children twice, the current-status upsert): persist so
+    // the JSON repair-parse, PII redaction, and revgeo run once per
+    // batch, not once per branch. The returned masters are eagerly
+    // localCheckpointed — truncating lineage so chaining hourly
+    // runBatch calls keeps O(1) plans instead of growing the DAG per
+    // run (iterative-Spark rule) — after which the batch cache is
+    // released.
     val enriched = enrich(formatDedupe(transform(raw)), cityWkt, enclaveWkt, zoneFamilies)
-    val next     = integrate(masters, enriched)
-    (next, dropPiiForExport(next.allLinked, privateTypes), quarantine)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val next0 = integrate(masters, enriched)
+      val next = Masters(next0.allLinked.localCheckpoint(),
+        next0.currentStatus.localCheckpoint())
+      (next, dropPiiForExport(next.allLinked, privateTypes), quarantine)
+    } finally enriched.unpersist(blocking = false)
   }
 
   /** Submitter-field column order shared by the 311_utilizers ledger
@@ -229,11 +264,15 @@ object QalertPipeline {
 
   /** join_submitter_to_request (qscend/submitter_admin.py:4-24):
     * enrich the latest submitters with their ticket's create
-    * date/type/address (LEFT OUTER on request id), append only the
+    * date/type/address (LEFT OUTER on request id), keep only the
     * (request_id, submitter_id) pairs not already in the ledger, and
-    * union the legacy summaries snapshot. The pair-key guard is a
-    * left_anti on the two columns (no CONCAT collision risk, same
-    * semantics for non-NULL keys); only the new batch shuffles.
+    * union the legacy summaries snapshot. The returned frame is the
+    * REPLACEMENT table content (the reference is CREATE OR REPLACE of
+    * 311_utilizers with exactly these two UNION ALL branches — not an
+    * append of a delta); callers overwrite the ledger with it. The
+    * pair-key guard is a left_anti on the two columns (no CONCAT
+    * collision risk, same semantics for non-NULL keys); only the new
+    * batch shuffles.
     */
   def utilizersAppend(
       latestSubmitters: DataFrame, tickets: DataFrame,

@@ -26,7 +26,11 @@ object Watermark {
 
   private val SinceRe   = "\"since\"\\s*:\\s*(\\d+)".r
   private val CurrentRe = "\"current_run\"\\s*:\\s*(\\d+)".r
-  private val CountRe   = "\"records_retrieved\"\\s*:\\s*(\\d+)".r
+  // the reference's per-feed loaders each name the count after their
+  // noun ("requests_retrieved" qalert_gcs.py:97, etc.); accept any
+  // *_retrieved key so pointing at a migrated production log does not
+  // silently read the count as 0, and write the generic form
+  private val CountRe   = "\"[A-Za-z_]*retrieved\"\\s*:\\s*(\\d+)".r
 
   private def fsFor(path: String): FileSystem = {
     val conf = org.apache.spark.sql.SparkSession.getActiveSession

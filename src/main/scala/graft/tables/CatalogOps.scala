@@ -22,7 +22,11 @@ object CatalogOps {
     * catalog iteration. Returns the dropped table names.
     */
   def dropTablesMatching(spark: SparkSession, namePrefix: String): Seq[String] = {
+    // listTables includes session temp VIEWS; DROP TABLE on one throws
+    // (WRONG_COMMAND_FOR_OBJECT_TYPE) mid-loop — only real tables match
+    // the reference's dataset-scoped drop anyway
     val victims = spark.catalog.listTables().collect()
+      .filterNot(_.isTemporary)
       .map(_.name).filter(_.startsWith(namePrefix)).toSeq
     victims.foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     victims
@@ -44,6 +48,7 @@ object CatalogOps {
     */
   def exportAllTables(spark: SparkSession, namePrefix: String, outDir: String): Seq[String] = {
     val tables = spark.catalog.listTables().collect()
+      .filterNot(_.isTemporary) // bq ls lists dataset tables, not session views
       .map(_.name).filter(_.startsWith(namePrefix)).toSeq
     tables.foreach { t =>
       graft.sources.Sinks.writeCsv(spark.table(t), s"$outDir/$t")

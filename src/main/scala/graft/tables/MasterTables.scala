@@ -112,9 +112,14 @@ object MasterTables {
       .withColumn("child_tickets",
         when(col("__new_children").isNotNull,
           concat(
+            // null-safe membership: array_contains is NULL (not false)
+            // for a NULL child id, and a bare `!NULL` predicate would
+            // silently DROP that existing struct from the array — keep
+            // any element not provably replaced by this batch
             filter(coalesce(col("child_tickets"), array()),
-              c => !array_contains(
-                transform(col("__new_children"), n => n(childId)), c(childId))),
+              c => !coalesce(array_contains(
+                transform(col("__new_children"), n => n(childId)), c(childId)),
+                lit(false))),
             col("__new_children")))
           .otherwise(col("child_tickets")))
       .withColumn("num_requests", size(coalesce(col("child_tickets"), array())) + 1)

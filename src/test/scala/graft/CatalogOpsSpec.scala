@@ -21,11 +21,16 @@ class CatalogOpsSpec extends SparkSpec {
     Seq((1, "a")).toDF("id", "v").write.saveAsTable(s"${tag}_one")
     Seq((2, "b")).toDF("id", "v").write.saveAsTable(s"${tag}_two")
     Seq((3, "c")).toDF("id", "v").write.saveAsTable(s"keep_$tag")
+    // a matching temp VIEW must be ignored, not DROP TABLE'd (throws
+    // on Spark 4) — listTables includes session views
+    Seq((4, "d")).toDF("id", "v").createOrReplaceTempView(s"${tag}_view")
     val dropped = CatalogOps.dropTablesMatching(spark, tag)
     assert(dropped.toSet === Set(s"${tag}_one", s"${tag}_two"))
     val remaining = spark.catalog.listTables().collect().map(_.name).toSet
     assert(!remaining.contains(s"${tag}_one"))
     assert(remaining.contains(s"keep_$tag"))
+    assert(remaining.contains(s"${tag}_view"), "temp view untouched")
+    spark.catalog.dropTempView(s"${tag}_view")
     CatalogOps.dropTablesMatching(spark, s"keep_$tag")
   }
 

@@ -34,6 +34,23 @@ class MasterTablesSpec extends SparkSpec {
       "matched key with NULL update overwrites; unmatched keeps old value")
   }
 
+  test("integrateChildren: an existing child struct with NULL child_id " +
+    "survives new arrivals (null-safe replace filter)") {
+    import org.apache.spark.sql.functions._
+    val master = Seq(("p1", 2L)).toDF("id", "num_requests")
+      .withColumn("child_tickets", expr(
+        "array(struct(cast(null as string) as child_id, 'c' as child_comments, 'n' as child_notes))"))
+    val children = Seq(("p1", "k9", "cc", "nn"))
+      .toDF("parent_ticket_id", "child_id", "child_comments", "child_notes")
+    val out = MasterTables.integrateChildren(master, children,
+      parentKey = "id", childParentKey = "parent_ticket_id",
+      childCols = Seq("child_id", "child_comments", "child_notes"))
+    val row = out.head()
+    val kids = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("child_tickets"))
+    assert(kids.length === 2, "null-id struct kept alongside the new child")
+    assert(kids.map(_.getAs[String]("child_comments")).toSet === Set("c", "cc"))
+  }
+
   test("deleteOldInsertNew: snapshot upsert (integrate_new_requests.py:84-106)") {
     val master   = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val incoming = Seq((2L, "B2"), (4L, "d")).toDF("id", "v")

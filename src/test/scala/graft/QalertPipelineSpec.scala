@@ -164,4 +164,52 @@ class QalertPipelineSpec extends SparkSpec {
     assert(export.count() === 1)
     assert(export.head().getAs[String]("id") === "1")
   }
+
+  test("NULL parent_ticket_id is a child (reference parity: Python " +
+    "`parent != \"0\"` is True for None) — the row reaches the " +
+    "current-status master instead of vanishing from both branches") {
+    val dir = Files.createTempDirectory("qalert3").toFile
+    // id=7 has NO master key at all -> parent_ticket_id NULL
+    val noMaster =
+      """{"id": 7, "status": 0, "typeId": 1, "typeName": "Pothole", """ +
+        """"addDateUnix": 1600000000, "lastActionUnix": 1600001000, """ +
+        """"streetNum": "1", "streetName": "A St", "cityName": "Pgh", """ +
+        """"latitude": 2.0, "longitude": 2.0, "comments": "x", "privateNotes": "y"}"""
+    val f = new java.io.File(dir, "b.json")
+    Files.write(f.toPath, (Seq(j(1, 0, 0, "1", "A St", 2.0, 2.0, "ok")) :+ noMaster)
+      .mkString("\n").getBytes)
+    val (raw, _) = graft.sources.JsonSource.readRepaired(spark, f.getPath, QalertPipeline.rawSchema)
+    val shaped = QalertPipeline.enrich(
+      QalertPipeline.formatDedupe(QalertPipeline.transform(raw)), cityWkt, enclaveWkt, zones)
+    assert(shaped.filter(col("id") === "7").head().getAs[Boolean]("child_ticket") === true)
+    val m = QalertPipeline.integrate(QalertPipeline.emptyMasters(spark, shaped), shaped)
+    // parent-less child: absent from all_linked (reference's IN guard),
+    // present in the current-status snapshot — the two masters agree
+    assert(m.currentStatus.filter(col("id") === "7").count() === 1)
+    assert(m.allLinked.filter(col("id") === "7").count() === 0)
+  }
+
+  test("export JSON drops null-id child structs (reference's WHERE " +
+    "child_id IS NOT NULL) and NOT IN excludes NULL request types") {
+    import spark.implicits._
+    val master = Seq(
+      ("1", "0", false, "open", "Pothole", 1L, "u", "e", 2L, null.asInstanceOf[java.lang.Long],
+        "Precise", "a", 1.0, 1.0, "c", 2L,
+        Seq(("c1", "cc", "cn"), (null, "xx", "yy"))),
+      ("2", "0", false, "open", null, 1L, "u", "e", 2L, null.asInstanceOf[java.lang.Long],
+        "Precise", "a", 1.0, 1.0, "c", 1L, Seq.empty[(String, String, String)]))
+      .toDF("id", "parent_ticket_id", "child_ticket", "status_name", "request_type_name",
+        "create_date_unix", "create_date_unix_utc", "create_date_unix_est",
+        "last_action_unix", "closed_date_unix", "address_type", "anon_input_address",
+        "anon_lat", "anon_long", "anon_comments", "num_requests", "kids")
+      .withColumn("child_tickets", expr(
+        "transform(kids, k -> struct(k._1 as child_id, k._2 as child_comments, k._3 as child_notes))"))
+      .drop("kids")
+    val out = QalertPipeline.dropPiiForExport(master, Seq("Private Violation"))
+    val rows = out.collect()
+    assert(rows.length === 1, "NULL request_type_name excluded like SQL NOT IN")
+    val json = rows(0).getAs[String]("child_tickets_json")
+    assert(json.contains("c1") && !json.contains("yy"),
+      "null-id child struct filtered from the export JSON")
+  }
 }
