@@ -137,7 +137,15 @@ object RefFunctions {
     */
   def redactPii(input: String, retainLocation: Boolean): String = {
     var s = if (input == null || input.isEmpty) "No comment" else input
-    if (retainLocation) s = snakeCasePlaceNames(s)
+    if (retainLocation) {
+      s = snakeCasePlaceNames(s)
+      // "Dr" is both a place identifier (Drive) and an honorific; the
+      // place join after a LOWERCASE word ("spoke with_Dr Jones") can
+      // only be the honorific (a street name before "Dr" is
+      // capitalized — "Oak_Dr"), and leaving it joined would break the
+      // honorific/name regexes below and LEAK the surname
+      s = s.replaceAll("(?<=[a-z])_(Dr\\.?\\s+[A-Z])", " $1")
+    }
     s = EmailRe.replaceAllIn(s, "[EMAIL_ADDRESS]")
     s = PhoneRe.replaceAllIn(s, "[PHONE_NUMBER]")
     s = HonorificRe.replaceAllIn(s, "[PERSON_NAME]")
@@ -162,10 +170,13 @@ object RefFunctions {
     * (123 @ 100 → "1XX").
     */
   def anonymizeBlock(address: String, accuracy: Int): String = {
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
     if (address == null) return null
     val blockNum = address.takeWhile(_.isDigit)
     if (blockNum.isEmpty) return address
-    val floored  = (blockNum.toLong / accuracy) * accuracy
+    // BigInt: a pasted id longer than 19 digits would overflow toLong
+    // and fail the task — dirty input must degrade, not crash
+    val floored  = (BigInt(blockNum) / accuracy) * accuracy
     val numZeros = accuracy.toString.count(_ == '0')
     val fs       = floored.toString
     val keep     = math.max(fs.length - numZeros, 0)

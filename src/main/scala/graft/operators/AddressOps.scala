@@ -37,8 +37,11 @@ object AddressOps {
     val sName  = col(streetName).cast(StringType)
     val sCross = coalesce(col(crossStreet).cast(StringType), lit(""))
     val sCity  = coalesce(col(city).cast(StringType), lit(""))
-    val latC   = coalesce(col(lat).cast(DoubleType), lit(0.0))
-    val longC  = coalesce(col(long).cast(DoubleType), lit(0.0))
+    // try_cast: under ANSI mode (Spark 4 default) a malformed string
+    // coordinate would otherwise throw instead of degrading to
+    // 0.0/'Missing' — same rule as ColumnOps.changeTypes
+    val latC   = coalesce(col(lat).try_cast(DoubleType), lit(0.0))
+    val longC  = coalesce(col(long).try_cast(DoubleType), lit(0.0))
 
     val hasName   = sName.isNotNull && sName =!= ""
     val numericNo = sNum.rlike("^[0-9]+$")

@@ -99,13 +99,15 @@ object NestedOps {
                  fields1: Seq[String],
                  xref2: String = "", table2: String = "",
                  fields2: Seq[String] = Nil): DataFrame = {
+    // one withColumns projection per level: a per-field withColumn
+    // fold re-analyzes the whole plan and inlines a fresh copy of the
+    // xref extraction subtree once per field
     val inner1 = try_element_at(col(xref1), lit(1)).getField(table1)
-    val step1 = fields1.foldLeft(df)((d, f) =>
-      d.withColumn(f, inner1.getField(f)))
+    val step1 = df.withColumns(fields1.map(f => f -> inner1.getField(f)).toMap)
     if (xref2.isEmpty) step1
     else {
       val inner2 = try_element_at(inner1.getField(xref2), lit(1)).getField(table2)
-      fields2.foldLeft(step1)((d, f) => d.withColumn(f, inner2.getField(f)))
+      step1.withColumns(fields2.map(f => f -> inner2.getField(f)).toMap)
     }
   }
 

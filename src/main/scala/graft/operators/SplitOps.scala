@@ -124,6 +124,10 @@ object SplitOps {
     val assignment = splits.zip(bounds).foldRight(lit(splits.last._1): Column) {
       case (((name, _), hi), acc) => when(b < hi, lit(name)).otherwise(acc)
     }
-    df.withColumn(outCol, assignment)
+    // a NULL key has no defined bucket: every `b < hi` is NULL and the
+    // fold's base would silently dump the row in the LAST split —
+    // assign NULL instead (hashSample/stratifiedSample drop such rows)
+    df.withColumn(outCol,
+      when(col(keyCol).isNull, lit(null).cast(StringType)).otherwise(assignment))
   }
 }

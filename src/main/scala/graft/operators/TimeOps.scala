@@ -22,9 +22,15 @@ object TimeOps {
     */
   def dateStringsFromUnix(df: DataFrame, field: String): DataFrame = {
     val ts = timestamp_seconds(col(field).cast(LongType))
-    df.withColumn(s"${field}_utc", date_format(ts, UtcFmt))
-      .withColumn(s"${field}_est",
-        date_format(convert_timezone(lit("UTC"), lit(EstZone), ts), UtcFmt))
+    // date_format renders in the SESSION time zone; routing through
+    // convert_timezone(current_timezone(), target, ts) pins the wall
+    // time to the named zone, so _utc is UTC and _est is EST under ANY
+    // session zone (not only the UTC the bench/verify mains happen to
+    // set)
+    def wallIn(zone: String) =
+      convert_timezone(expr("current_timezone()"), lit(zone), ts)
+    df.withColumn(s"${field}_utc", date_format(wallIn("UTC"), UtcFmt))
+      .withColumn(s"${field}_est", date_format(wallIn(EstZone), UtcFmt))
   }
 
   /** Formats accepted by the reference's fuzzy `dateutil.parser.parse`

@@ -20,24 +20,60 @@ import org.apache.spark.sql.types.StructType
   */
 object JsonSource {
 
-  /** Repair one raw line into 0..N candidate JSON object strings. */
-  private def repairedObjects(line: Column): Column = {
-    // `}{`-concatenation split: "{a:1}{b:2}" → ["{a:1}", "{b:2}"]
-    val objects = when(line.contains("}{"),
-      transform(split(line, "\\}\\{"), (part, i) =>
-        concat(
-          when(i =!= 0, lit("{")).otherwise(lit("")),
-          part,
-          when(i =!= size(split(line, "\\}\\{")) - 1, lit("}")).otherwise(lit("")))))
-      .otherwise(array(line))
-    // ":," → ": null," and stray escaped quotes (JsonCoder rules)
-    transform(objects, o =>
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(o, ":\\s*,", ": null,"),
-          "\\\\'", "'"),
-        ":\\s*\\}", ": null}"))
+  /** Split a line into its top-level JSON objects with a brace/string
+    * scanner: depth tracked OUTSIDE string literals (escape-aware), so
+    * `}{` inside a quoted value never splits, and any run of
+    * whitespace between concatenated objects is handled (the naive
+    * literal-"}{" split lost every object after the first on "} {"
+    * lines, and corrupted lines whose only defect was elsewhere).
+    * A line with no complete top-level object (unbalanced braces or an
+    * unterminated string) comes back whole and fails the re-parse into
+    * quarantine.
+    */
+  private[sources] def splitTopLevelObjects(line: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; var esc = false; var start = -1
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => if (depth > 0) inStr = true
+        case '{' => if (depth == 0) start = i; depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0 && start >= 0) { out += line.substring(start, i + 1); start = -1 }
+          if (depth < 0) depth = 0
+        case _ => ()
+      }
+      i += 1
+    }
+    if (out.isEmpty) Seq(line) else out.toSeq
   }
+
+  /** The JsonCoder repair rules per object: ":," / ":}" → null values,
+    * then the stray-escape fixes in the reference's order — `\'`
+    * always, `\"` only when no `\'` was present (JsonCoder.decode's
+    * elif, dataflow_utils.py:60-73).
+    */
+  private[sources] def repairObject(o: String): String = {
+    val f = o.replaceAll(":\\s*,", ": null,").replaceAll(":\\s*\\}", ": null}")
+    if (f.contains("\\'")) f.replace("\\'", "'")
+    else if (f.contains("\\\"")) f.replace("\\\"", "\"")
+    else f
+  }
+
+  /** Repair one raw line into 0..N candidate JSON object strings.
+    * A procedural scanner UDF is the right tool here (stateful
+    * character scan); it runs ONLY on lines whose first parse failed —
+    * the hot path stays pure expressions.
+    */
+  private val repairUdf = udf((line: String) =>
+    if (line == null) Array.empty[String]
+    else splitTopLevelObjects(line).map(repairObject).toArray)
 
   /** Read ndjson with repair; returns (parsed, quarantine).
     * Quarantined rows keep the raw line for the dead-letter sink.
@@ -74,7 +110,7 @@ object JsonSource {
     val needRepair = firstPass.filter(col(s"__parsed.$corrupt").isNotNull || multiObject)
       .select(col("value").as("__raw"))
     val reparsed = needRepair
-      .select(col("__raw"), explode(repairedObjects(col("__raw"))).as("__obj"))
+      .select(col("__raw"), explode(repairUdf(col("__raw"))).as("__obj"))
       .withColumn("__parsed", from_json(col("__obj"), augmented, opts))
     val okRepaired = reparsed.filter(col(s"__parsed.$corrupt").isNull)
       .select(col("__parsed.*")).drop(corrupt)

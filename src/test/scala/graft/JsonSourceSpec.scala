@@ -49,6 +49,26 @@ class JsonSourceSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("concatenated objects separated by whitespace split too, and a " +
+    "}{ inside a string literal never splits a repairable line") {
+    // '} {' — the literal-}{-only split lost every object after the first
+    val (rows, bad) = read("""{"a": 1, "b": "x"}  {"a": 2, "b": "y"}""")
+    assert(rows.toSet === Set((Some(1L), Some("x")), (Some(2L), Some("y"))))
+    assert(bad === 0)
+    // the line only fails parse for the ':,' hole; the '}{' inside the
+    // quoted value must not derail the repair
+    val (rows2, bad2) = read("""{"a": 4, "extra":, "b": "pair }{ here"}""")
+    assert(rows2 === Seq((Some(4L), Some("pair }{ here"))))
+    assert(bad2 === 0)
+  }
+
+  test("stray escaped double quotes outside a string repaired " +
+    "(JsonCoder elif, dataflow_utils.py:66-73)") {
+    val (rows, bad) = read("""{"a": 5, "b": \"x\"}""")
+    assert(rows === Seq((Some(5L), Some("x"))))
+    assert(bad === 0)
+  }
+
   test("':,' null hole repaired (JsonCoder rule)") {
     val (rows, bad) = read("""{"a":, "b": "x"}""")
     assert(rows === Seq((None, Some("x"))) && bad === 0)

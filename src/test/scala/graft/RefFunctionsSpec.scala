@@ -87,4 +87,19 @@ class RefFunctionsSpec extends SparkSpec {
   test("snakeCasePlaceNames joins place identifiers") {
     assert(snakeCasePlaceNames("Moore Park is nice") === "Moore_Park is nice")
   }
+
+  test("redactPii: honorific Dr after a lowercase word is a PERSON even " +
+    "under place protection; street Dr after a capitalized name stays a place") {
+    val person = redactPii("Spoke with Dr Jones today", retainLocation = true)
+    assert(person.contains("[PERSON_NAME]") && !person.contains("Jones"), person)
+    val street = redactPii("pothole on Oak Dr near the school", retainLocation = true)
+    assert(street.contains("Oak_Dr"), street)
+  }
+
+  test("anonymizeBlock: a >19-digit pasted id masks instead of " +
+    "overflowing; accuracy must be positive") {
+    val out = anonymizeBlock("99999999999999999999 Main St", 100)
+    assert(out.endsWith(" Main St") && out.contains("X"), out)
+    intercept[IllegalArgumentException](anonymizeBlock("5 Main St", 0))
+  }
 }

@@ -35,6 +35,17 @@ class SkewOpsSpec extends SparkSpec {
     assert(joined.count() === fact.join(dim, Seq("k")).count())
   }
 
+  test("saltedJoin works when the skewed side carries a MapType column " +
+    "(unhashable for xxhash64 - excluded from the salt)") {
+    import org.apache.spark.sql.functions._
+    val facts = Seq(("hot", 1), ("hot", 2), ("k3", 3)).toDF("key", "v")
+      .withColumn("props", map(lit("a"), col("v")))
+    val dim = Seq(("hot", "H"), ("k3", "C")).toDF("key", "tag")
+    val out = SkewOps.saltedJoin(facts, dim, Seq("key"), saltFactor = 4)
+    assert(out.count() === 3)
+    assert(out.columns.contains("props"))
+  }
+
   test("unsupported join types and degenerate salt factors are rejected") {
     intercept[IllegalArgumentException] {
       SkewOps.saltedJoin(fact, dim, Seq("k"), joinType = "full")

@@ -91,4 +91,12 @@ class SplitOpsSpec extends SparkSpec {
     val bySrc = mixed.groupBy("src").count().as[(String, Long)].collect().toMap
     assert(bySrc === Map("live" -> 10L))
   }
+
+  test("assignSplit: NULL keys get a NULL split, never silently the last bucket") {
+    val df = Seq(Some("k1"), Some("k2"), None).toDF("key")
+    val out = SplitOps.assignSplit(df, "key").collect()
+    val nullRow = out.find(_.isNullAt(0)).get
+    assert(nullRow.isNullAt(1), "null key -> null split")
+    assert(out.filterNot(_.isNullAt(0)).forall(!_.isNullAt(1)))
+  }
 }

@@ -104,4 +104,19 @@ class TimeOpsSpec extends SparkSpec {
     assert(out.getAs[String]("w_EST").endsWith("-0500"), "winter = EST")
     assert(out.getAs[String]("s_EST").endsWith("-0400"), "summer = EDT")
   }
+
+  test("dateStringsFromUnix: _utc and _est are zone-pinned, not " +
+    "session-zone-dependent") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val out = TimeOps.dateStringsFromUnix(
+        Seq(0L).toDF("t"), "t").select("t_utc", "t_est").head()
+      assert(out.getString(0) === "1970-01-01 00:00:00",
+        "_utc must render UTC wall time under any session zone")
+      assert(out.getString(1) === "1969-12-31 19:00:00",
+        "_est must render America/New_York wall time")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }
