@@ -69,12 +69,9 @@ case class AsOfJoinExec(
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(Nil, (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
 
-  private def timeToLong(e: Expression, row: InternalRow): Long = e.dataType match {
-    case TimestampType | LongType =>
-      val v = e.eval(row)
-      if (v == null) Long.MinValue else v.asInstanceOf[Long]
-    case dt => throw new IllegalArgumentException(s"as-of time must be timestamp/long, got $dt")
-  }
+  require(Seq(leftTime.dataType, rightTime.dataType).forall(
+    dt => dt == TimestampType || dt == LongType),
+    s"as-of time must be timestamp/long, got ${leftTime.dataType}/${rightTime.dataType}")
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output; val rOut = right.output
@@ -94,15 +91,24 @@ case class AsOfJoinExec(
         (scala.collection.mutable.ArrayBuffer[Long],
           scala.collection.mutable.ArrayBuffer[InternalRow])]()
       rIter.foreach { row =>
-        val key = rKeyProj(row).copy()
-        var slot = index.get(key)
-        if (slot == null) {
-          slot = (new scala.collection.mutable.ArrayBuffer[Long](),
-            new scala.collection.mutable.ArrayBuffer[InternalRow]())
-          index.put(key, slot)
+        val key = rKeyProj(row)
+        // SQL join semantics: a NULL key never equals anything, and a
+        // NULL right time satisfies no `rt <= lt` predicate — such
+        // rows are unmatchable and must not enter the index (a NULL
+        // time mapped to -infinity would act as a universal fallback
+        // match, silently wrong)
+        val tv = boundRTime.eval(row)
+        if (!key.anyNull && tv != null) {
+          val k = key.copy()
+          var slot = index.get(k)
+          if (slot == null) {
+            slot = (new scala.collection.mutable.ArrayBuffer[Long](),
+              new scala.collection.mutable.ArrayBuffer[InternalRow]())
+            index.put(k, slot)
+          }
+          slot._1 += tv.asInstanceOf[Long]
+          slot._2 += row.copy()
         }
-        slot._1 += timeToLong(boundRTime, row)
-        slot._2 += row.copy()
       }
 
       val nullRight = new GenericInternalRow(rOut.size)
@@ -116,19 +122,26 @@ case class AsOfJoinExec(
         lOut ++ rOut.map(_.withNullability(true)))
 
       lIter.map { lRow =>
-        val slot = index.get(lKeyProj(lRow))
+        val lKey = lKeyProj(lRow)
+        // NULL left key or NULL left time: no row qualifies (SQL
+        // comparison semantics) — left-outer NULL fill
+        val slot = if (lKey.anyNull) null else index.get(lKey)
         val rMatch: InternalRow =
           if (slot == null) nullRight
           else {
-            val t = timeToLong(boundLTime, lRow)
-            // binary search: last index with times(i) <= t
-            val times = slot._1
-            var lo = 0; var hi = times.length - 1; var ans = -1
-            while (lo <= hi) {
-              val mid = (lo + hi) >>> 1
-              if (times(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+            val tv = boundLTime.eval(lRow)
+            if (tv == null) nullRight
+            else {
+              val t = tv.asInstanceOf[Long]
+              // binary search: last index with times(i) <= t
+              val times = slot._1
+              var lo = 0; var hi = times.length - 1; var ans = -1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (times(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+              }
+              if (ans < 0) nullRight else slot._2(ans)
             }
-            if (ans < 0) nullRight else slot._2(ans)
           }
         outProj(joined(lRow, rMatch))
       }
@@ -170,16 +183,26 @@ object AsOfJoin {
     // nodes are not covered by DeduplicateRelations
     val rightFresh = rightDf.select(
       rightDf.columns.map(c => rightDf(c).as(c)).toIndexedSeq: _*)
-    val rPlan = {
-      val p = DatasetBridge.planOf(rightFresh)
-      if (p.outputSet.intersect(lPlan.outputSet).isEmpty) p
-      else DatasetBridge.planOf(rightFresh.select(
-        rightFresh.columns.map(c => rightFresh(c).as(c)).toIndexedSeq: _*))
-    }
+    // the aliased select mints fresh exprIds for every column, so one
+    // pass suffices — but a shared id with the left side would produce
+    // silently-wrong binding, so verify rather than assume
+    val rPlan = DatasetBridge.planOf(rightFresh)
+    require(rPlan.outputSet.intersect(lPlan.outputSet).isEmpty,
+      "as-of join sides share attribute ids after re-aliasing")
     def resolve(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name).mkString(",")}"))
+    // cross-side type agreement: mismatched key types hash-partition
+    // differently (equal values land in different zipped partitions)
+    // and a timestamp/long time mismatch compares micros to raw longs
+    keys.foreach { kcol =>
+      val (lt, rt) = (resolve(lPlan, kcol).dataType, resolve(rPlan, kcol).dataType)
+      require(lt == rt, s"as-of key '$kcol' type mismatch: $lt vs $rt")
+    }
+    require(resolve(lPlan, leftTimeCol).dataType == resolve(rPlan, rightTimeCol).dataType,
+      s"as-of time type mismatch: ${resolve(lPlan, leftTimeCol).dataType} vs " +
+        s"${resolve(rPlan, rightTimeCol).dataType}")
     val node = AsOfJoinPlan(lPlan, rPlan,
       keys.map(resolve(lPlan, _)), keys.map(resolve(rPlan, _)),
       resolve(lPlan, leftTimeCol), resolve(rPlan, rightTimeCol))

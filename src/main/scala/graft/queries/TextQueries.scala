@@ -166,7 +166,8 @@ object TextQueries {
          |SELECT doc_id,
          |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
          |  round(CASE WHEN len(toks) > 0 AND length(trim(text)) > 0
-         |    THEN (nc - (len(toks) - 1))::DOUBLE / len(toks) ELSE 0 END, 4) AS mean_token_len,
+         |    THEN length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE / len(toks)
+         |    ELSE 0 END, 4) AS mean_token_len,
          |  round(CASE WHEN nc > 0
          |    THEN (nc - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / nc
          |    ELSE 0 END, 4) AS alpha_ratio,
@@ -204,7 +205,7 @@ object TextQueries {
          |  FROM s
          |)
          |SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
-         |  lang AS lang_pred
+         |  CASE WHEN sc = 0 THEN 'und' ELSE lang END AS lang_pred
          |FROM u
          |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, lang DESC) = 1""".stripMargin
     },

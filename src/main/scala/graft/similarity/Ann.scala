@@ -16,6 +16,21 @@ import org.apache.spark.sql.types._
   */
 object Ann {
 
+  /** Shared top-k finalization: bounded-heap aggregate per query
+    * (partial aggregation keeps <= k rows per query per map partition)
+    * exploded to (query_id, rank, neighbor_id, score) rows.
+    */
+  private def finishTopK(scored: DataFrame,
+                         idType: org.apache.spark.sql.types.DataType,
+                         k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.expressions.TopKAgg.topKFor(idType, k)(
+        col("neighbor_id"), col("score")).as("__topk"))
+      .select(col("query_id"), posexplode(col("__topk")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("neighbor_id"), col("col.score").as("score"))
+
+
   /** Brute-force cosine top-k: every query vector against the whole
     * corpus. Queries are broadcast (they are few); the corpus is
     * scanned once, never shuffled until the final per-query top-k
@@ -32,15 +47,9 @@ object Ann {
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", round(NearDup.cosine(col("__qv"), col("__cv")), 4))
-    // bounded-heap top-k aggregate: partial aggregation keeps ≤ k rows
-    // per query per map partition, so the shuffle carries k × #queries
-    // rows — the window-rank idiom would shuffle every scored row
-    scored.groupBy("query_id")
-      .agg(graft.expressions.TopKAgg.topKFor(corpus.schema(cId).dataType, k)(
-        col("neighbor_id"), col("score")).as("__topk"))
-      .select(col("query_id"), posexplode(col("__topk")))
-      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("neighbor_id"), col("col.score").as("score"))
+    // the shuffle carries k x #queries rows — the window-rank idiom
+    // would shuffle every scored row
+    finishTopK(scored, corpus.schema(cId).dataType, k)
   }
 
   /** LSH-bucketed ANN: corpus and queries get an `nBits` hyperplane
@@ -74,16 +83,14 @@ object Ann {
       .withColumn("score", round(NearDup.cosine(col("__qv"), col("__cv")), 4))
     // multi-probe can surface the same (query, neighbor) pair from
     // several buckets — dedup before ranking so a duplicate can't
-    // occupy two of the k slots; then the bounded-heap aggregate keeps
-    // the final shuffle at ≤ k rows per query (the window-rank idiom
-    // would shuffle AND sort every scored row)
-    scored.select("query_id", "neighbor_id", "score").distinct()
-      .groupBy("query_id")
-      .agg(graft.expressions.TopKAgg.topKFor(corpus.schema(cId).dataType, k)(
-        col("neighbor_id"), col("score")).as("__topk"))
-      .select(col("query_id"), posexplode(col("__topk")))
-      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("neighbor_id"), col("col.score").as("score"))
+    // occupy two of the k slots. HONEST COST NOTE: this distinct
+    // shuffles the (partially map-side-deduped) candidate multiset, so
+    // the <= k-rows-per-query bound holds only for the aggregate AFTER
+    // it; the IVF paths avoid the extra pass structurally (one cell
+    // per corpus row). Folding id-dedup into TopKAgg's merge would
+    // remove it — candidate scores for equal pairs are identical.
+    finishTopK(scored.select("query_id", "neighbor_id", "score").distinct(),
+      corpus.schema(cId).dataType, k)
   }
 
   /** IVF-style coarse quantizer: `nCells` centroids picked
@@ -100,13 +107,11 @@ object Ann {
     * was the index-build bottleneck. Argmax = `array_max` over
     * `struct(similarity, -cell)`: struct ordering gives max similarity
     * first, then the LOWEST cell on ties — exactly the old window's
-    * `orderBy(dist desc, cell asc)` contract on the ASSIGNMENT side
-    * (NaN sorts greatest in both, so degenerate zero-vectors keep
-    * their old cell too). Probe-side NaN ordering deliberately
-    * differs: a centroid with NaN similarity (zero/degenerate vector)
-    * ranks LAST among probe candidates rather than first — probing a
-    * meaningless cell ahead of real ones was an artifact of the old
-    * descending sort, not a contract.
+    * `orderBy(dist desc, cell asc)` contract on the ASSIGNMENT side.
+    * (CosineSim returns 0.0 — never NaN — for zero/degenerate
+    * vectors, so no NaN-ordering contract exists on either side;
+    * degenerate vectors simply score 0 against every centroid and
+    * land in the lowest-numbered cell.)
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
@@ -140,16 +145,11 @@ object Ann {
 
     // (query, neighbor) pairs are unique (one cell per corpus row,
     // distinct probe cells), so no dedup pass; bounded-heap top-k keeps
-    // the only shuffle at ≤ k rows per query
+    // the only shuffle at <= k rows per query
     val scored = probes.join(assigned, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", round(NearDup.cosine(col("__qv"), col("__cv")), 4))
-    scored.groupBy("query_id")
-      .agg(graft.expressions.TopKAgg.topKFor(corpus.schema(cId).dataType, k)(
-        col("neighbor_id"), col("score")).as("__topk"))
-      .select(col("query_id"), posexplode(col("__topk")))
-      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("neighbor_id"), col("col.score").as("score"))
+    finishTopK(scored, corpus.schema(cId).dataType, k)
   }
 
   /** IVF with a TRAINED coarse quantizer: k-means (seeded,
@@ -199,12 +199,7 @@ object Ann {
     // (query, neighbor) pairs are already unique — each corpus row
     // lives in exactly one cell and a query's probe cells are distinct
     // — so no dedup pass; the bounded-heap aggregate keeps the shuffle
-    // at ≤ k rows per query instead of every scored row
-    scored.groupBy("query_id")
-      .agg(graft.expressions.TopKAgg.topKFor(corpus.schema(cId).dataType, k)(
-        col("neighbor_id"), col("score")).as("__topk"))
-      .select(col("query_id"), posexplode(col("__topk")))
-      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("col.id").as("neighbor_id"), col("col.score").as("score"))
+    // at <= k rows per query instead of every scored row
+    finishTopK(scored, corpus.schema(cId).dataType, k)
   }
 }

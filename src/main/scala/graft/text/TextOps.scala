@@ -11,12 +11,18 @@ import org.apache.spark.sql.types._
   */
 object TextOps {
 
-  /** Whitespace tokens. `split` on \s+ after trim; empty string → empty
-    * array (Spark's split("") yields [""], guard it).
+  /** Whitespace tokens: split on \s+ after stripping EDGE whitespace
+    * with the full \s class — Spark's `trim` strips spaces only, so a
+    * leading tab/newline would otherwise emit a spurious empty first
+    * token (corrupting counts, shingles, and every ratio built on
+    * them). Empty/whitespace-only input → empty array (split("")
+    * yields [""], guard it).
     */
-  def tokens(c: Column): Column =
-    when(length(trim(c)) === 0, array().cast(ArrayType(StringType)))
-      .otherwise(split(trim(c), "\\s+"))
+  def tokens(c: Column): Column = {
+    val stripped = regexp_replace(c, "^\\s+|\\s+$", "")
+    when(length(stripped) === 0, array().cast(ArrayType(StringType)))
+      .otherwise(split(stripped, "\\s+"))
+  }
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
@@ -61,8 +67,14 @@ object TextOps {
     out
       .withColumn("n_chars_m", nChr)
       .withColumn("n_tokens", nTok)
+      // true mean token length: total non-whitespace chars / tokens
+      // (the old n_chars - (n_tokens - 1) form assumed exactly one
+      // separator char between tokens and none at the edges,
+      // overestimating on any other spacing)
       .withColumn("mean_token_len",
-        round(when(nTok > 0, (nChr - (nTok - 1)).cast(DoubleType) / nTok).otherwise(0.0), 4))
+        round(when(nTok > 0,
+          length(regexp_replace(col(textCol), "\\s", "")).cast(DoubleType) / nTok)
+          .otherwise(0.0), 4))
       .withColumn("alpha_ratio",
         round(when(nChr > 0, col("__st.n_alpha").cast(DoubleType) / nChr).otherwise(0.0), 4))
       .withColumn("punct_ratio",
@@ -100,9 +112,14 @@ object TextOps {
           col("__st.hits").getItem(i).cast(DoubleType) / nTok).otherwise(0.0), 6))
     }
     // argmax via max-struct comparison; ties break to the
-    // alphabetically-last language code (deterministic)
+    // alphabetically-last language code (deterministic). Zero hits in
+    // EVERY language is not a prediction — 'und' (undetermined), not
+    // whatever code sorts last
     val best = langs.map(l => struct(col(s"score_$l").as("score"), lit(l).as("lang")))
-    scored.withColumn("lang_pred", greatest(best: _*).getField("lang"))
+    val top  = greatest(best: _*)
+    scored.withColumn("lang_pred",
+        when(top.getField("score") === 0.0, lit("und"))
+          .otherwise(top.getField("lang")))
       .drop("__st")
   }
 

@@ -26,6 +26,35 @@ class AsOfJoinSpec extends SparkSpec {
       ("t4", None, None)))             // key 3 absent
   }
 
+  test("asofJoin SQL semantics: NULL times and NULL keys never match, " +
+    "cross-side type mismatches are rejected up front") {
+    val trades = Seq(
+      (Some(1L), Some(100L), "t1"),
+      (Some(1L), None, "t_null_time"),
+      (None, Some(100L), "t_null_key")).toDF("k", "lt", "trade")
+    val quotes = Seq(
+      (Some(1L), None, 9.9),        // NULL right time: unmatchable
+      (Some(1L), Some(90L), 1.0),
+      (None, Some(50L), 8.8))       // NULL right key: unmatchable
+      .toDF("k", "rt", "px")
+    val out = AsOfJoin.asofJoin(trades, quotes, Seq("k"), "lt", "rt")
+      .select("trade", "px").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out("t1") === Some(1.0), "the NULL-time quote must NOT win as -infinity")
+    assert(out("t_null_time") === None, "NULL left time matches nothing")
+    assert(out("t_null_key") === None, "NULL left key matches nothing")
+    // type mismatches: long vs timestamp time, int vs long key
+    val tsQuotes = quotes.withColumn("rt", timestamp_seconds(col("rt")))
+    val e1 = intercept[IllegalArgumentException](
+      AsOfJoin.asofJoin(trades, tsQuotes, Seq("k"), "lt", "rt"))
+    assert(e1.getMessage.contains("time type mismatch"))
+    val intKeyTrades = trades.withColumn("k", col("k").cast("int"))
+    val e2 = intercept[IllegalArgumentException](
+      AsOfJoin.asofJoin(intKeyTrades, quotes, Seq("k"), "lt", "rt"))
+    assert(e2.getMessage.contains("type mismatch"))
+  }
+
   test("asofJoin matches the window-based equivalent on events at sf0.001") {
     val e = Tables.events(spark, sf("sf0.001"))
     // left: one probe per user at a fixed instant; right: that user's events
