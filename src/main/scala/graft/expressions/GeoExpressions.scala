@@ -32,9 +32,14 @@ case class RingsContain(first: Expression, second: Expression, third: Expression
   override def dataType: DataType = BooleanType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // validate element types fully: the evaluator walks unsafe data
+    // with 8-byte double strides, so a float/int-typed producer would
+    // read garbage coordinates instead of failing analysis
     val ringsOk = first.dataType match {
       case ArrayType(s: StructType, _) if s.length == 6 &&
-        s(0).dataType.isInstanceOf[ArrayType] && s(1).dataType.isInstanceOf[ArrayType] => true
+        s(0).dataType == ArrayType(DoubleType, false) &&
+        s(1).dataType == ArrayType(DoubleType, false) &&
+        (2 to 5).forall(i => s(i).dataType == DoubleType) => true
       case _ => false
     }
     val numOk = second.dataType == DoubleType && third.dataType == DoubleType

@@ -20,12 +20,15 @@ import org.apache.spark.sql.types._
 
 /** Cosine similarity of two numeric arrays (float or double elements),
   * computed in double: dot / (sqrt(na) * sqrt(nb)); 0.0 when either
-  * norm is zero; NULL if either side is NULL.
+  * norm is zero; NULL if either side is NULL OR the lengths differ
+  * (a truncated prefix cosine would be confidently wrong for
+  * mixed-dimension corruption — the zip_with/aggregate composition
+  * this replaces also nulls on mismatch).
   */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullable: Boolean = true // mismatched lengths yield NULL
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
@@ -47,7 +50,8 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     val lf = elemIsFloat(left); val rf = elemIsFloat(right)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -69,15 +73,19 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $a.$lGet($i);
-         |  double $y = (double) $b.$rGet($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = (double) $a.$lGet($i);
+         |    double $y = (double) $b.$rGet($i);
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  ${ev.value} = ($na > 0 && $nb > 0)
+         |    ? $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)) : 0.0;
          |}
-         |${ev.value} = ($na > 0 && $nb > 0)
-         |  ? $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)) : 0.0;
          |""".stripMargin
     })
   }
@@ -96,7 +104,7 @@ case class JaccardSim(left: Expression, right: Expression) extends BinaryExpress
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullable: Boolean = true // two empty sets yield NULL (0/0)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     (left.dataType, right.dataType) match {
@@ -123,7 +131,9 @@ case class JaccardSim(left: Expression, right: Expression) extends BinaryExpress
       i += 1
     }
     val union = setA.size + setB.size - inter
-    if (union > 0) inter.toDouble / union else 0.0
+    // 0/0: two empty sets have no defined similarity — NULL, matching
+    // size(array_intersect)/size(array_union)'s division semantics
+    if (union > 0) inter.toDouble / union else null
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSim =
@@ -177,6 +187,7 @@ case class HyperplaneBands(child: Expression, bands: Int, bitsPerBand: Int, seed
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
+    val isFloat = elemIsFloat // hoisted: not one dataType match per element
     ensureTable(n)
     val out = new Array[Long](bands)
     var b = 0
@@ -188,7 +199,7 @@ case class HyperplaneBands(child: Expression, bands: Int, bitsPerBand: Int, seed
         var dot = 0.0
         var i = 0
         while (i < n) {
-          val x: Double = if (elemIsFloat) v.getFloat(i).toDouble else v.getDouble(i)
+          val x: Double = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
           dot += (if (signs(i)) x else -x)
           i += 1
         }
@@ -303,7 +314,11 @@ case class MinHashSig(child: Expression, numPerms: Int)
     val mins = Array.fill(numPerms)(Long.MaxValue)
     var e = 0
     while (e < n) {
-      val h1 = XXH64.hashUTF8String(arr.getUTF8String(e), 42L)
+      // null element: two-arg xxhash64(s, i) skips a null child, so
+      // its per-perm value is hashInt(i, seed) — mirror that instead
+      // of NPEing inside hashUTF8String
+      val u = arr.getUTF8String(e)
+      val h1 = if (u == null) 42L else XXH64.hashUTF8String(u, 42L)
       var i = 0
       while (i < numPerms) {
         val h = XXH64.hashInt(i, h1)
@@ -330,7 +345,8 @@ case class MinHashSig(child: Expression, numPerms: Int)
          |  long[] $mins = new long[$numPerms];
          |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |  for (int $e = 0; $e < $n; $e++) {
-         |    long $h1 = $xxh.hashUTF8String($v.getUTF8String($e), 42L);
+         |    org.apache.spark.unsafe.types.UTF8String ${e}_s = $v.getUTF8String($e);
+         |    long $h1 = (${e}_s == null) ? 42L : $xxh.hashUTF8String(${e}_s, 42L);
          |    for (int $i = 0; $i < $numPerms; $i++) {
          |      long $h = $xxh.hashInt($i, $h1);
          |      if ($h < $mins[$i]) $mins[$i] = $h;

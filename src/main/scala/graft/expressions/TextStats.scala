@@ -57,15 +57,20 @@ case class TextStats(child: Expression, stopwordSets: Seq[Seq[String]])
       while (j < sets.length) { if (sets(j).contains(lower)) hits(j) += 1; j += 1 }
       tok.setLength(0)
     }
+    // n_chars counts CODE POINTS (a surrogate pair is one char), like
+    // Spark's length() and the DuckDB oracle — counting UTF-16 units
+    // would inflate the denominator of every ratio on emoji/CJK-ext
+    var chars = 0L
     while (i < n) {
       val c = s.charAt(i)
+      if (!Character.isLowSurrogate(c)) chars += 1
       if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) alpha += 1
       if (PunctChars.indexOf(c) >= 0) punct += 1
       if (isWs(c)) closeToken() else tok.append(c)
       i += 1
     }
     closeToken()
-    InternalRow(n.toLong, tokens, alpha, punct, new GenericArrayData(hits))
+    InternalRow(chars, tokens, alpha, punct, new GenericArrayData(hits))
   }
 
   override protected def withNewChildInternal(c: Expression): TextStats = copy(child = c)

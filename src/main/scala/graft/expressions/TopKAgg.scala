@@ -32,18 +32,12 @@ object TopKAgg {
     * UTF8String.compareTo = code-point order.
     */
   private val utf8Ordering: Ordering[String] = new Ordering[String] {
-    override def compare(a: String, b: String): Int = {
-      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val n = math.min(x.length, y.length)
-      var i = 0
-      while (i < n) {
-        val c = (x(i) & 0xff) - (y(i) & 0xff)
-        if (c != 0) return c
-        i += 1
-      }
-      x.length - y.length
-    }
+    // delegate to the exact implementation being imitated instead of
+    // re-rolling byte comparison (and allocating two byte[] copies per
+    // comparison in the heap's hot path)
+    override def compare(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
   }
 
   /** Min-heap entry ordering: the WORST element (lowest score, then
@@ -59,6 +53,7 @@ object TopKAgg {
 
   final class TopK[T: Ordering](k: Int)(implicit out: Encoder[Seq[Scored[T]]])
       extends Aggregator[Scored[T], scala.collection.mutable.PriorityQueue[Scored[T]], Seq[Scored[T]]] {
+    require(k >= 1, s"top-k needs k >= 1, got $k") // k<=0 would NoSuchElement in push
     type Heap = scala.collection.mutable.PriorityQueue[Scored[T]]
 
     private val wf = worstFirst[T]

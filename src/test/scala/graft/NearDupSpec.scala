@@ -30,6 +30,22 @@ class NearDupSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("expression edge semantics: length-mismatched cosine is NULL " +
+    "(not a prefix estimate), empty-vs-empty jaccard is NULL (0/0), " +
+    "a NULL shingle doesn't crash minhash_sig") {
+    val cos = Seq((Array(1.0f, 1000.0f), Array(1.0f)))
+      .toDF("a", "b").select(cosine_sim(col("a"), col("b"))).head()
+    assert(cos.isNullAt(0), "prefix cosine of mismatched dims would be confidently wrong")
+    val jac = Seq((Seq.empty[String], Seq.empty[String]))
+      .toDF("a", "b").select(jaccard_sim(col("a"), col("b"))).head()
+    assert(jac.isNullAt(0), "0/0 has no defined similarity")
+    val sig = Seq(Seq(Some("a"), None, Some("b")))
+      .toDF("sh").select(minhash_sig(col("sh"), 8)).head()
+    assert(sig.getSeq[Long](0).length === 8, "null element tolerated like xxhash64")
+    intercept[IllegalArgumentException](
+      new graft.expressions.TopKAgg.TopK[Long](0))
+  }
+
   test("exactDedup keeps min id per content group with dup_count") {
     val df = Seq((1L, "same"), (5L, "same"), (3L, "same"), (2L, "unique"))
       .toDF("doc_id", "text")
