@@ -80,7 +80,6 @@ object ComputronixPliPipeline {
     timed.withColumn("parc_num", RefFunctions.standardizeParcelNumUdf(col("parc_num")))
   }
 
-  /** End-to-end batch; returns (permits, quarantine). */
   /** combine_incoming_existing_recs
     * (bq_queries/cx_pli/condemned_dead_end_properties.py:5-47):
     * error-recovery merge of the full-snapshot condemned/dead-end
@@ -90,14 +89,17 @@ object ComputronixPliPipeline {
     * the reference's AND/OR precedence exactly: `(parc_num IS NOT NULL
     * AND condemned) OR dead_end` — a NULL-parcel dead-end row passes
     * the CTE and is dropped by the final `parc_num IS NOT NULL`.
-    * One anti-join shuffle on parc_num + two distincts; no snapshot
-    * row is read twice.
+    * One anti-join shuffle on parc_num + the distincts; the filtered
+    * snapshot subtree feeds both the output union and the anti-join
+    * build side, so it is persisted for the duration of the merge
+    * rather than evaluated twice.
     */
   def combineCondemnedDeadEnd(incoming: DataFrame, existing: DataFrame): DataFrame = {
     val ofInterest =
       (col("parc_num").isNotNull && col("insp_type_desc") === "Condemned Property") ||
         col("insp_type_desc") === "Dead End Property"
     val newT = incoming.where(ofInterest).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val missing = existing
       .join(newT.select("parc_num").where(col("parc_num").isNotNull).distinct(),
         Seq("parc_num"), "left_anti")
@@ -134,6 +136,7 @@ object ComputronixPliPipeline {
       row_number().over(Window.orderBy(col("create_date_UNIX"), col("parc_num"))))
   }
 
+  /** End-to-end batch; returns (permits, quarantine). */
   def runBatch(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
     val (raw, quarantine) = graft.sources.JsonSource.readRepaired(spark, path, rawSchema)
     (transform(raw), quarantine)

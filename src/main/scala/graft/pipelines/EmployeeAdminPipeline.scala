@@ -95,10 +95,9 @@ object EmployeeAdminPipeline {
     val c = ceridian.filter(col("retrieval_date") === ceridianDate)
       .withColumnRenamed("balance", "ceridian_balance")
     val i = intime.filter(col("retrieval_date") === intimeDate)
-      .select(col("employee_id"), col("time_bank"),
-        col("code").as("__icode"), col("balance").as("intime_balance"))
-    val joined = c.join(i, Seq("employee_id", "time_bank"))
-      .filter(col("code") === col("__icode"))
+      .select(col("employee_id"), col("time_bank"), col("code"),
+        col("balance").as("intime_balance"))
+    val joined = c.join(i, Seq("employee_id", "time_bank", "code"))
     val codeFiltered =
       if (codes.isEmpty) joined
       else joined.filter(col("code").isin(codes: _*))
@@ -209,6 +208,10 @@ object EmployeeAdminPipeline {
       col("sub_assignment_id"), col("sub_activity"),
       col("sub_activity_start_time"), col("sub_activity_end_time"),
       col("e.unit").as("permanent_unit"), col("a.unit").as("current_unit"))
+      // PARITY NOTE: the reference's WHERE checks only the PARENT
+      // assignment's window (intime_admin.py:29) — a sub-assignment
+      // whose own window has ended can still supply current_rank while
+      // the parent shift runs; reproduced faithfully, not an oversight
       .filter((col("current_activity").isNotNull || col("sub_activity").isNotNull)
         && lit(asOf).cast("timestamp")
           .between(col("scheduled_start_time"), col("scheduled_end_time")))

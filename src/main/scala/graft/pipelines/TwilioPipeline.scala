@@ -33,9 +33,14 @@ object TwilioPipeline {
   def transform(raw: DataFrame): DataFrame = {
     val kinded = ColumnOps.setColBBasedOnColA(raw, "abandoned", "Yes", "kind", "Abandoned")
     val phoned = kinded.withColumn("phone", col("phone").cast(StringType))
-    val nulled = phoned.columns.foldLeft(phoned)((d, c) =>
-      d.withColumn(c, when(trim(col(c).cast(StringType)) === "", lit(null))
-        .otherwise(col(c))))
+    // exact-match nulling per the reference's applymap (etl.py:160:
+    // `None if x == '' or x == 'nan' else x`) — NO trim, so a
+    // whitespace-only value survives; one projection, not a
+    // per-column withColumn fold
+    val nulled = phoned.select(phoned.columns.map { c =>
+      val s = col(c).cast(StringType)
+      when(s === "" || s === "nan", lit(null)).otherwise(col(c)).as(c)
+    }: _*)
     ColumnOps.renameFields(nulled, FinalCols)
       .select(FinalCols.map { case (_, n) => col(n) }: _*)
   }
