@@ -87,11 +87,15 @@ object Geo {
   def parseWkt(wkt: String): Seq[Polygon] = {
     if (wkt == null) return Seq.empty
     val ringRe = "\\(([^()]+)\\)".r
-    ringRe.findAllMatchIn(wkt).map { m =>
+    ringRe.findAllMatchIn(wkt).flatMap { m =>
       val pts = m.group(1).split(",").map(_.trim.split("\\s+"))
         .filter(_.length >= 2)
         .map(p => (p(0).toDouble, p(1).toDouble))
-      Polygon(pts.map(_._1), pts.map(_._2))
+      // a degenerate ring (< 3 points — e.g. malformed coordinate
+      // text) encloses no area: drop it rather than crash Polygon's
+      // bbox min on an empty array
+      if (pts.length < 3) None
+      else Some(Polygon(pts.map(_._1), pts.map(_._2)))
     }.toSeq
   }
 
@@ -238,6 +242,12 @@ object Geo {
   final case class RingRow(xs: Array[Double], ys: Array[Double],
       minx: Double, maxx: Double, miny: Double, maxy: Double)
 
+  /** One parsed payload per zone ROW: cells and rings both derive
+    * from a single parse+domain-check (two separate UDFs would double
+    * the regex parse on the path built for millions of polygons).
+    */
+  private case class ZoneParse(cells: Array[Long], rings: Seq[RingRow])
+
   def gridRevGeoZone(
       points: DataFrame, zones: DataFrame, outCol: String, idCol: String,
       zoneNameCol: String = "zone", wktCol: String = "wkt",
@@ -246,23 +256,25 @@ object Geo {
       eventUnixCol: String = "create_date_unix",
       cellDeg: Double = 0.01): DataFrame = {
     def pack(cx: Long, cy: Long): Long = (cx << 32) | (cy & 0xffffffffL)
-    val cellsOf = udf((wkt: String) =>
-      parseGeoWkt(wkt, "gridRevGeoZone").flatMap { p =>
+    val parseZone = udf((wkt: String) => {
+      val polys = parseGeoWkt(wkt, "gridRevGeoZone")
+      val cells = polys.flatMap { p =>
         val x0 = math.floor(p.minX / cellDeg).toLong
         val x1 = math.floor(p.maxX / cellDeg).toLong
         val y0 = math.floor(p.minY / cellDeg).toLong
         val y1 = math.floor(p.maxY / cellDeg).toLong
         for (cx <- x0 to x1; cy <- y0 to y1) yield pack(cx, cy)
-      }.distinct.toArray)
-    val ringsOf = udf((wkt: String) =>
-      parseGeoWkt(wkt, "gridRevGeoZone").map(p =>
-        RingRow(p.xs, p.ys, p.minX, p.maxX, p.minY, p.maxY)))
+      }.distinct.toArray
+      ZoneParse(cells, polys.map(p => RingRow(p.xs, p.ys, p.minX, p.maxX, p.minY, p.maxY)))
+    })
 
-    val zoneCells = zones.select(col(zoneNameCol).as("__zn"),
-        ringsOf(col(wktCol)).as("__rings"),
+    val zoneCells = zones
+      .select(col(zoneNameCol).as("__zn"),
+        parseZone(col(wktCol)).as("__z"),
         col(startCol).as("__zs"),
-        coalesce(col(endCol), lit(Long.MaxValue)).as("__ze"),
-        explode(cellsOf(col(wktCol))).as("__cell"))
+        coalesce(col(endCol), lit(Long.MaxValue)).as("__ze"))
+      .select(col("__zn"), col("__z.rings").as("__rings"),
+        col("__zs"), col("__ze"), explode(col("__z.cells")).as("__cell"))
     val cx = floor(col(longCol) / cellDeg).cast("long")
     val cy = floor(col(latCol) / cellDeg).cast("long")
     val keyed = points.select(col(idCol), col(latCol), col(longCol),
@@ -286,7 +298,8 @@ object Geo {
       parcelsKey: String = "zone", wktCol: String = "geometry"): DataFrame = {
     val cen = udf((wkt: String) => {
       val polys = parseGeoWkt(wkt, "parcelCentroidJoin")
-      if (polys.isEmpty) null else { val (cx, cy) = polys.head.centroid; Array(cx, cy) }
+      if (polys.isEmpty) null
+      else { val (cx, cy) = multiRingCentroid(polys); Array(cx, cy) }
     })
     val lk = broadcast(parcels.select(
       col(parcelsKey).as("__pk"),
@@ -295,6 +308,30 @@ object Geo {
       .withColumn("longitude", col("__cen").getItem(0))
       .withColumn("latitude", col("__cen").getItem(1))
       .drop("__pk", "__cen")
+  }
+
+  /** Area-weighted centroid across ALL rings (MULTIPOLYGON parts sum;
+    * an opposite-wound hole's signed area subtracts — standard WKT
+    * winding). A head-ring-only centroid would silently misplace every
+    * multi-part parcel. Degenerate total area → plain vertex mean.
+    */
+  private[geo] def multiRingCentroid(polys: Seq[Polygon]): (Double, Double) = {
+    var a = 0.0; var cx = 0.0; var cy = 0.0
+    polys.foreach { p =>
+      var i = 0; var j = p.xs.length - 1
+      while (i < p.xs.length) {
+        val cross = p.xs(j) * p.ys(i) - p.xs(i) * p.ys(j)
+        a += cross
+        cx += (p.xs(j) + p.xs(i)) * cross
+        cy += (p.ys(j) + p.ys(i)) * cross
+        j = i; i += 1
+      }
+    }
+    a *= 0.5
+    if (a == 0.0) {
+      val n = polys.map(_.xs.length).sum
+      (polys.flatMap(_.xs).sum / n, polys.flatMap(_.ys).sum / n)
+    } else (cx / (6 * a), cy / (6 * a))
   }
 
   /** WKT producer twin of ConvertGeography for plain coordinate

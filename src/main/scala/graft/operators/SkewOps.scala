@@ -43,19 +43,27 @@ object SkewOps {
     // hash expressions reject MapType (anywhere in the tree): salt
     // from the hashable columns only — the salt just needs per-row
     // spread, not full row identity; keys are always hashable
-    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
-      case _: org.apache.spark.sql.types.MapType => false
-      case st: org.apache.spark.sql.types.StructType => st.fields.forall(f => hashable(f.dataType))
-      case at: org.apache.spark.sql.types.ArrayType => hashable(at.elementType)
-      case _ => true
-    }
-    val hashCols = skewed.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
-    val saltSrc  = if (hashCols.isEmpty) keys.map(col) else hashCols.toSeq
+    val hashCols = hashableColumns(skewed)
+    val saltSrc  = if (hashCols.isEmpty) keys.map(col) else hashCols
     val saltExpr: Column = pmod(
       xxhash64(saltSrc: _*), lit(saltFactor)).cast("int")
     val s = skewed.withColumn("__salt", saltExpr)
     val d = dim.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     s.join(d, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Columns whose type xxhash64 accepts (MapType anywhere in the
+    * tree is rejected by hash expressions) — shared by every salted
+    * shuffle in the engine.
+    */
+  def hashableColumns(df: DataFrame): Seq[Column] = {
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case st: org.apache.spark.sql.types.StructType => st.fields.forall(f => hashable(f.dataType))
+      case at: org.apache.spark.sql.types.ArrayType => hashable(at.elementType)
+      case _ => true
+    }
+    df.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name)).toSeq
   }
 }

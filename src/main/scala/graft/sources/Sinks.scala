@@ -54,13 +54,30 @@ object Sinks {
       case "month" => date_format(date_trunc("month", col(dateCol)), "yyyy-MM")
       case g       => throw new IllegalArgumentException(s"granularity $g")
     }
-    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPartition))
-    df.withColumn("__part", part)
-      .repartition(col("__part"), salt)
+    // salt over hashable columns only (hash expressions reject
+    // MapType anywhere in the tree); the salt needs per-row spread,
+    // not full row identity
+    val saltCols = graft.operators.SkewOps.hashableColumns(df)
+    val salt = pmod(xxhash64(saltCols: _*), lit(filesPerPartition))
+    df.withColumn(PartCol, part)
+      .repartition(col(PartCol), salt)
       .write.mode(if (append) SaveMode.Append else SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy("__part").parquet(path)
+      .partitionBy(PartCol).parquet(path)
   }
+
+  /** Partition-discovery column written by [[writePartitioned]] — the
+    * stored layout carries it; [[readPartitioned]] strips it.
+    */
+  val PartCol = "__part"
+
+  /** Read a [[writePartitioned]] table back WITHOUT the synthetic
+    * partition column (readers of the managed table should see the
+    * original schema; filter on `__part` BEFORE this drop when
+    * partition-pruning manually).
+    */
+  def readPartitioned(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop(PartCol)
 
   /** CSV export with header — BQ→GCS export parity
     * (qalert_airflow.py:231-237, general_queries.py:151-162). The

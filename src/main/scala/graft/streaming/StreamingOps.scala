@@ -65,14 +65,18 @@ object StreamingOps {
 
   /** Watermarked stream-stream inner join on a key within a time
     * bound — the streaming form of the reference's staged enrichment
-    * joins.
+    * joins. The right side's key column is renamed `r_<key>`
+    * internally (stream-stream joins need distinct column names); a
+    * right frame already carrying `r_<key>` is used as-is.
     */
   def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
                        leftTs: String, rightTs: String,
                        watermark: String, within: String): DataFrame = {
     import org.apache.spark.sql.functions.expr
+    val r = if (right.columns.contains(key))
+      right.withColumnRenamed(key, s"r_$key") else right
     left.withWatermark(leftTs, watermark)
-      .join(right.withWatermark(rightTs, watermark),
+      .join(r.withWatermark(rightTs, watermark),
         expr(s"$key = r_$key AND $rightTs BETWEEN $leftTs - INTERVAL $within AND $leftTs + INTERVAL $within"))
   }
 
@@ -97,8 +101,13 @@ object StreamingOps {
     sorted.foreach { e =>
       val t = e.ts.getTime
       cur match {
+        // min/max: a LATE event from an earlier micro-batch (within the
+        // watermark) must extend the session backward, not drag
+        // lastSeen backward — a regressed lastSeen would later close an
+        // inverted session and split a continuous one
         case Some(s) if t - s.lastSeen <= gapMs =>
-          cur = Some(s.copy(lastSeen = t, n = s.n + 1))
+          cur = Some(s.copy(start = math.min(s.start, t),
+            lastSeen = math.max(s.lastSeen, t), n = s.n + 1))
         case Some(s) =>
           sessions ::= Session(uid, new java.sql.Timestamp(s.start),
             new java.sql.Timestamp(s.lastSeen), s.n)

@@ -87,7 +87,7 @@ object MasterTables {
     * full row key.
     */
   def appendOnlyHistory(history: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
-    history.unionByName(incoming.join(history.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+    insertNewRecords(history, incoming, keys) // same merge rule, one implementation
 
   /** update_linked_tix_info (integrate_new_requests.py:200-232): child
     * aggregation — per parent, ARRAY_AGG(STRUCT(child cols)) appended to
@@ -122,7 +122,8 @@ object MasterTables {
                 lit(false))),
             col("__new_children")))
           .otherwise(col("child_tickets")))
-      .withColumn("num_requests", size(coalesce(col("child_tickets"), array())) + 1)
+      .withColumn("num_requests",
+        (size(coalesce(col("child_tickets"), array())) + 1).cast("long"))
       .drop("__new_children")
   }
 
@@ -134,7 +135,9 @@ object MasterTables {
     df.select(fields.map(col): _*).distinct()
 
   def dataQualityDiff(current: DataFrame, previous: DataFrame): DataFrame =
-    current.exceptAll(previous.distinct()).distinct()
+    // set semantics: exceptAll would leak a duplicated current value
+    // that already exists once in previous as a false "new value"
+    current.except(previous)
 
   /** document_missed_requests (transform_enrich_requests.py:88-94):
     * UNION DISTINCT recovered rows into the missed-records ledger.

@@ -185,6 +185,21 @@ class GeoSpec extends SparkSpec {
     assert(grid(8L).isEmpty, "hole interior must not classify")
   }
 
+  test("multiRingCentroid: MULTIPOLYGON parts area-weight (head-only " +
+    "would misplace every multi-part parcel); degenerate rings dropped") {
+    import spark.implicits._
+    // two unit-area squares at (0..1) and (10..11): centroid x = 5.5
+    val multi = "MULTIPOLYGON(((0 0,1 0,1 1,0 1,0 0)),((10 0,11 0,11 1,10 1,10 0)))"
+    val out = Geo.parcelCentroidJoin(
+      Seq("p1").toDF("parc"), Seq(("p1", multi)).toDF("zone", "geometry"),
+      parcKey = "parc").head()
+    assert(math.abs(out.getAs[Double]("longitude") - 5.5) < 1e-9)
+    assert(math.abs(out.getAs[Double]("latitude") - 0.5) < 1e-9)
+    // malformed ring text: degenerate rings drop instead of crashing
+    assert(Geo.parseWkt("POLYGON((garbage))") === Seq.empty)
+    assert(Geo.parseWkt("POLYGON((1,2,3))") === Seq.empty)
+  }
+
   test("requireGeoDomain: antimeridian-crossing, pole-touching, and " +
     "out-of-domain rings are rejected loudly, never misclassified") {
     val anti = "POLYGON((179 0, -179 0, -179 1, 179 1, 179 0))"
