@@ -18,13 +18,16 @@ object ColumnOps {
     * pairs; an absent old column yields a NULL new column (the reference
     * warns + emits None).
     */
-  def renameFields(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
-    val present = df.columns.toSet
+  def renameFields(df: DataFrame, pairs: Seq[(String, String)]): DataFrame =
+    // membership is checked against the CURRENT step's columns, so a
+    // chained rename (a->b, b->c) sees the intermediate name — a
+    // snapshot of the original columns would emit a NULL column
+    // instead (the reference DoFn mutates the record dict
+    // sequentially, so chains work there)
     pairs.foldLeft(df) { case (d, (oldName, newName)) =>
-      if (present.contains(oldName)) d.withColumnRenamed(oldName, newName)
+      if (d.columns.contains(oldName)) d.withColumnRenamed(oldName, newName)
       else d.withColumn(newName, lit(null).cast(StringType))
     }
-  }
 
   /** camel_to_snake_case (dataflow_utils.py:844-848). Pure name mapping,
     * zero execution cost (driver-side projection).
@@ -149,8 +152,12 @@ object ColumnOps {
   def prependCharacters(
       df: DataFrame, field: String, length: Int, pad: String,
       numericOnly: Boolean = false): DataFrame = {
-    val c      = col(field).cast(StringType)
-    val padded = lpad(c, length, pad)
+    val c = col(field).cast(StringType)
+    // lpad TRUNCATES values longer than `length`; the reference's
+    // rjust-style padding leaves them intact (a 7-digit id through a
+    // pad-to-6 must not silently lose its last digit)
+    val padded = when(org.apache.spark.sql.functions.length(c) >= length, c)
+      .otherwise(lpad(c, length, pad))
     val out =
       if (numericOnly) when(c.rlike("^[0-9]+$"), padded).otherwise(c)
       else padded
@@ -166,7 +173,11 @@ object ColumnOps {
 
   /** ReplaceChar pattern (intime_assignments_dataflow.py:23-39). */
   def replaceChar(df: DataFrame, field: String, from: String, to: String): DataFrame =
-    df.withColumn(field, regexp_replace(col(field), java.util.regex.Pattern.quote(from), to))
+    // quote BOTH sides: an unquoted replacement treats '$'/'\\' as
+    // group references (runtime 'Illegal group reference')
+    df.withColumn(field, regexp_replace(col(field),
+      java.util.regex.Pattern.quote(from),
+      java.util.regex.Matcher.quoteReplacement(to)))
 
   /** GetValsFromExternalFile (dataflow_utils.py:451-479): crosswalk a
     * field through a small lookup map; untracked values pass through
@@ -198,7 +209,10 @@ object ColumnOps {
   def crosswalkJoin(
       df: DataFrame, field: String, lookup: DataFrame,
       keyCol: String, valCol: String): DataFrame = {
-    val lk = broadcast(lookup.select(col(keyCol).as("__ck"), col(valCol).as("__cv")))
+    // dedup the crosswalk on its key: a dirty lookup with a repeated
+    // key would otherwise DUPLICATE every matching input row
+    val lk = broadcast(lookup.select(col(keyCol).as("__ck"), col(valCol).as("__cv"))
+      .dropDuplicates("__ck"))
     df.join(lk, col(field) === col("__ck"), "left")
       .withColumn(field, coalesce(col("__cv"), col(field)))
       .drop("__ck", "__cv")

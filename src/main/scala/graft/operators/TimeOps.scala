@@ -101,7 +101,11 @@ object TimeOps {
   private def strftimeWithOffset(
       utcTs: Column, zone: String,
       tFormat: String = "%m/%d/%Y %H:%M:%S%z"): Column = {
-    val shifted      = convert_timezone(lit("UTC"), lit(zone), utcTs)
+    // source = current session zone (not a hardcoded "UTC"): the
+    // implicit TIMESTAMP->NTZ cast renders in the session zone, so the
+    // conversion is only correct when the declared source matches it —
+    // same rule as dateStringsFromUnix
+    val shifted      = convert_timezone(expr("current_timezone()"), lit(zone), utcTs)
     val appendOffset = tFormat.endsWith("%z")
     val sparkPattern = (if (appendOffset) tFormat.stripSuffix("%z") else tFormat)
       .replace("%Y", "yyyy").replace("%m", "MM").replace("%d", "dd")
@@ -109,7 +113,11 @@ object TimeOps {
     val wall = date_format(shifted, sparkPattern)
     if (!appendOffset) wall
     else {
-      val offsetSec = unix_timestamp(shifted) - unix_timestamp(utcTs)
+      // both sides as session-interpreted NTZ wall times, so the
+      // session offset cancels and the difference is the ZONE's offset
+      // under any session zone
+      val offsetSec = unix_timestamp(shifted) -
+        unix_timestamp(convert_timezone(expr("current_timezone()"), lit("UTC"), utcTs))
       val absSec    = abs(offsetSec)
       val offsetStr = concat(
         when(offsetSec < 0, lit("-")).otherwise(lit("+")),
@@ -143,7 +151,7 @@ object TimeOps {
     val triples = specs.flatMap { case (f, _) =>
       val utcTs = col(s"__ts_$f")
       Seq(strftimeWithOffset(utcTs, "UTC", tFormat).as(s"${f}_UTC"),
-        strftimeWithOffset(utcTs, "US/Eastern", tFormat).as(s"${f}_EST"),
+        strftimeWithOffset(utcTs, EstZone, tFormat).as(s"${f}_EST"),
         unix_timestamp(utcTs).as(s"${f}_UNIX"))
     }
     parsed.select(col("*") +: triples: _*)
