@@ -394,10 +394,79 @@ object CorpusPipeline {
       .agg(count(lit(1)).as("n_contaminated_grams"))
   }
 
+  /** The exploded (id, hash, span) frame behind the duplicate-span
+    * family: every overlapping `w`-token window of the case-folded
+    * text, with its 64-bit hash as the scale-path aggregation key.
+    */
+  private def spanFrame(docs: DataFrame, idCol: String, textCol: String,
+                        w: Int): DataFrame =
+    docs.select(col(idCol), TextOps.tokens(lower(col(textCol))).as("__t"))
+      .filter(size(col("__t")) >= w)
+      .select(col(idCol), explode(transform(
+          sequence(lit(1), size(col("__t")) - (w - 1)),
+          i => concat_ws(" ", slice(col("__t"), i, lit(w))))).as("span"))
+      .withColumn("__h", xxhash64(col("span")))
+
+  /** Cross-document duplicated token spans — the exact-substring
+    * duplication signal of "Deduplicating Training Data Makes
+    * Language Models Better" (Lee et al., 2022), realized Spark-first
+    * as overlapping w-token windows instead of a suffix array: every
+    * case-folded `windowTokens`-token window occurring in at least
+    * `minDocs` distinct documents, with its document frequency and
+    * total occurrence count. Returns (span, n_docs, n_occurrences).
+    *
+    * Scale shape: the explode is a map-side expansion (~one row per
+    * token); the aggregate groups on the 8-byte xxhash64 of the span
+    * — map-side partial aggregation applies, and the shuffle carries
+    * (hash, id, one span sample via min) rather than every window
+    * string. A spurious hash merge needs ~2^32 distinct spans
+    * (64-bit birthday bound) — acceptable for a dedup/reporting
+    * signal at any realistic corpus size.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     windowTokens: Int = 8, minDocs: Long = 2): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    spanFrame(docs, idCol, textCol, windowTokens)
+      .groupBy(col("__h"))
+      .agg(min(col("span")).as("span"),
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+      .select("span", "n_docs", "n_occurrences")
+  }
+
+  /** Per-document duplicated-window fraction — the removal signal the
+    * span table feeds: for each document with at least one full
+    * window, the count of its windows whose span also occurs in
+    * ≥ `minDocs` distinct documents, and that count as a fraction of
+    * the document's windows. Documents shorter than `windowTokens`
+    * tokens have no windows and yield no row.
+    *
+    * The span frame is evaluated twice (dup-set aggregate + per-doc
+    * rollup); both passes are map-explode + one 8-byte-key shuffle.
+    * A driver at scale that also wants the span table should persist
+    * `duplicateSpans` output and reuse it rather than re-deriving.
+    */
+  def duplicateSpanFraction(docs: DataFrame, idCol: String, textCol: String,
+                            windowTokens: Int = 8, minDocs: Long = 2): DataFrame = {
+    val sp = spanFrame(docs, idCol, textCol, windowTokens)
+    val dupHashes = sp.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"), lit(1).as("__dup"))
+    sp.join(dupHashes, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__dup"), lit(0))).cast("long").as("n_dup_windows"))
+      .withColumn("dup_fraction",
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+  }
+
   /** Full curation: optional boilerplate-line removal → quality gates →
     * language filter → exact dedup → near-dup clustering → optional
-    * benchmark decontamination → optional token budget. Stage counts
-    * are returned for the curation report.
+    * duplicated-span gate → optional benchmark decontamination →
+    * optional token budget. Stage counts are returned for the
+    * curation report.
     */
   def curate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
              langs: Seq[String] = Seq("en"),
@@ -405,7 +474,8 @@ object CorpusPipeline {
              nearDupThreshold: Double = 0.8,
              tokenBudgetOpt: Option[Long] = None,
              boilerplateMaxDocs: Option[Int] = None,
-             benchmarkOpt: Option[(DataFrame, String, Int)] = None): (DataFrame, Map[String, Long]) = {
+             benchmarkOpt: Option[(DataFrame, String, Int)] = None,
+             dupSpanOpt: Option[(Int, Double)] = None): (DataFrame, Map[String, Long]) = {
     // Per-stage counts are part of the contract (the curation report),
     // but a bare count() per stage re-runs every earlier stage — an
     // O(stages²) pipeline at 100 TB. Each stage is persisted before
@@ -435,11 +505,23 @@ object CorpusPipeline {
     val (e, n3)  = staged(exactDedup(l.select(bp.columns.map(col): _*), idCol, textCol), Some(l))
     val (nd, n4) = staged(
       nearDupDrop(e.select(bp.columns.map(col): _*), idCol, textCol, nearDupThreshold), Some(e))
+    // optional exact-substring gate (Lee et al. 2022): drop documents
+    // whose duplicated-window share exceeds the cap — catches partial
+    // copies that survive whole-document MinHash (e.g. a long doc
+    // embedding a verbatim paragraph of another)
+    val (ds, n4b) = dupSpanOpt match {
+      case Some((w, maxFrac)) =>
+        staged(nd.join(
+          duplicateSpanFraction(nd, idCol, textCol, w)
+            .filter(col("dup_fraction") > maxFrac)
+            .select(col(idCol)), Seq(idCol), "left_anti"), Some(nd))
+      case None => (nd, n4)
+    }
     val (dc, n5) = benchmarkOpt match {
       case Some((bench, benchCol, n)) =>
-        staged(nd.join(decontaminate(nd, idCol, textCol, bench, benchCol, n)
-          .select(col(idCol)), Seq(idCol), "left_anti"), Some(nd))
-      case None => (nd, n4) // no stage ran: same frame, same count
+        staged(ds.join(decontaminate(ds, idCol, textCol, bench, benchCol, n)
+          .select(col(idCol)), Seq(idCol), "left_anti"), Some(ds))
+      case None => (ds, n4b) // no stage ran: same frame, same count
     }
     val (out, n6) = tokenBudgetOpt match {
       case Some(b) => staged(tokenBudget(dc, idCol, textCol, b), Some(dc))
@@ -447,6 +529,7 @@ object CorpusPipeline {
     }
     (out, Map("input" -> n0, "after_quality" -> n1, "after_lang" -> n2,
       "after_exact_dedup" -> n3, "after_near_dedup" -> n4,
-      "after_decontamination" -> n5, "final" -> n6))
+      "after_dup_span" -> n4b, "after_decontamination" -> n5,
+      "final" -> n6))
   }
 }

@@ -117,7 +117,18 @@ object CorpusQueries {
     // overlapping context-window chunking, pure expressions
     "q83_doc_chunking" -> ((s, d) =>
       CorpusPipeline.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
-        chunkTokens = 16, overlap = 3)))
+        chunkTokens = 16, overlap = 3)),
+
+    // exact-substring duplication (Lee et al. 2022 signal): 8-token
+    // windows shared by >= 2 documents, hash-keyed aggregation
+    "q84_dup_spans" -> ((s, d) =>
+      CorpusPipeline.duplicateSpans(Tables.documents(s, d), "doc_id", "text",
+        windowTokens = 8, minDocs = 2)),
+
+    // the per-document removal signal the span table feeds
+    "q85_dup_span_fraction" -> ((s, d) =>
+      CorpusPipeline.duplicateSpanFraction(Tables.documents(s, d), "doc_id",
+        "text", windowTokens = 8, minDocs = 2)))
 
   val oracle: Map[String, String] = Map(
     "q72_line_dedup" ->
@@ -247,5 +258,38 @@ object CorpusQueries {
         |)
         |SELECT doc_id, count(*) AS n_contaminated_grams
         |FROM dg JOIN bg USING (g)
-        |GROUP BY doc_id""".stripMargin)
+        |GROUP BY doc_id""".stripMargin,
+
+    "q84_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), spans AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(t[i:i+7], ' ') for i in range(1, len(t)-6)]) AS span
+        |  FROM toks WHERE len(t) >= 8
+        |)
+        |SELECT span, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_occurrences
+        |FROM spans GROUP BY span
+        |HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+
+    "q85_dup_span_fraction" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), spans AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(t[i:i+7], ' ') for i in range(1, len(t)-6)]) AS span
+        |  FROM toks WHERE len(t) >= 8
+        |), dups AS (
+        |  SELECT span FROM spans GROUP BY span
+        |  HAVING count(DISTINCT doc_id) >= 2
+        |)
+        |SELECT doc_id, count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN span IN (SELECT span FROM dups)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+        |  round(sum(CASE WHEN span IN (SELECT span FROM dups)
+        |            THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_fraction
+        |FROM spans GROUP BY doc_id""".stripMargin)
 }

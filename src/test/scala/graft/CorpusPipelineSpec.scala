@@ -261,4 +261,61 @@ class CorpusPipelineSpec extends SparkSpec {
       s"spam=$spam varied=$varied")
     assert(m(3L).isEmpty, "empty text -> NULL")
   }
+
+  test("duplicateSpans: cross-doc windows found, case-folded, short docs excluded") {
+    import spark.implicits._
+    // docs 1 and 2 share the 4-token window "a b c d" (doc 2 upper-case);
+    // doc 1 repeats it internally (n_occurrences 2 + 1 = 3);
+    // doc 3 has 4 tokens but no shared window; doc 4 is too short
+    val docs = Seq(
+      (1L, "a b c d x a b c d"),
+      (2L, "A B C D y"),
+      (3L, "p q r s"),
+      (4L, "a b c")).toDF("doc_id", "text")
+    val rows = CorpusPipeline.duplicateSpans(docs, "doc_id", "text",
+        windowTokens = 4, minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq(("a b c d", 2L, 3L)), s"got ${rows.toSeq}")
+  }
+
+  test("curate dup-span gate drops a partial copy that survives near-dup") {
+    import spark.implicits._
+    // P = a 20-token paragraph embedded verbatim in docs 1 and 2.
+    // Doc 1 is long (60 tokens): dup-window share 13/53 ≈ 0.25.
+    // Doc 2 is mostly P (24 tokens): share 13/17 ≈ 0.76.
+    // Their whole-document Jaccard is far below 0.8, so near-dup
+    // keeps both — only the span gate catches the partial copy.
+    val p = (1 to 20).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, ((1 to 20).map(i => s"a$i") ++ Seq(p) ++
+        (21 to 40).map(i => s"a$i")).mkString(" ")),
+      (2L, s"b1 b2 $p b3 b4"),
+      (3L, (1 to 30).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val gates = CorpusPipeline.QualityGates(minTokens = 1, minAlphaRatio = 0.0,
+      maxPunctRatio = 1.0, minStopwordRatio = 0.0, maxTopBigramFrac = 1.0,
+      minDistinctTokenRatio = 0.0)
+    val (out, report) = CorpusPipeline.curate(docs, langs = Seq("und"),
+      gates = gates, dupSpanOpt = Some((8, 0.5)))
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(report("after_near_dedup") === 3L, "near-dup must keep all three")
+    assert(report("after_dup_span") === 2L)
+    assert(kept === Set(1L, 3L), s"got $kept")
+  }
+
+  test("duplicateSpanFraction: per-doc dup window share, windowless docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d x"),   // windows: "a b c d", "b c d x" -> 1 of 2 dup
+      (2L, "a b c d"),     // 1 window, dup -> fraction 1.0
+      (3L, "p q r s t"),   // 2 windows, none dup -> 0.0
+      (4L, "a b")).toDF("doc_id", "text")
+    val out = CorpusPipeline.duplicateSpanFraction(docs, "doc_id", "text",
+        windowTokens = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out(1L) === ((2L, 1L, 0.5)))
+    assert(out(2L) === ((1L, 1L, 1.0)))
+    assert(out(3L) === ((2L, 0L, 0.0)))
+    assert(!out.contains(4L), "doc shorter than the window has no row")
+  }
 }

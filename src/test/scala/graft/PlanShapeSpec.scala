@@ -83,6 +83,16 @@ class PlanShapeSpec extends SparkSpec {
       "countDistinct-style Expand would double every shuffled row")
   }
 
+  test("q84 dup spans: aggregation keyed on the 64-bit hash with " +
+    "map-side combine, not the span string") {
+    val p = SparkEntry.queries("q84_dup_spans")(spark, sf("sf0.01"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("partial_"),
+      "span counts must partial-aggregate before the shuffle")
+    assert(p.contains("hashpartitioning(__h"),
+      "the exchange must partition on the 8-byte hash key, not the span text")
+  }
+
   test("q73 decontaminate: benchmark gram side broadcast, corpus side " +
     "semi-joined without its own exchange") {
     val p = plan("q73_decontaminate")
