@@ -44,16 +44,21 @@ object NearDup {
 
   /** Shared kernel: group by an arbitrary digest expression, keep the
     * lowest id per group with `dup_count`. A NULL digest (NULL text)
-    * is mapped to a sentinel key so those rows form one group like any
-    * other (SQL GROUP BY semantics) instead of silently vanishing in
-    * the null-unsafe join-back — quarantine-not-drop.
+    * forms one group like any other (SQL GROUP BY semantics) instead
+    * of silently vanishing in the null-unsafe join-back —
+    * quarantine-not-drop. NULL-ness is carried as a separate boolean
+    * key column rather than a string sentinel: the digest is an
+    * ARBITRARY caller expression, so no sentinel string is
+    * collision-free.
     */
   def exactDedupBy(df: DataFrame, idCol: String, digest: Column): DataFrame = {
-    // the sentinel cannot collide: md5 hex is always 32 chars
-    val keyed = df.withColumn("__digest", coalesce(digest, lit("NULL")))
-    val keepers = keyed.groupBy("__digest")
+    val keyed = df.withColumn("__digest", coalesce(digest, lit("")))
+      .withColumn("__dignull", digest.isNull)
+    val keepers = keyed.groupBy("__dignull", "__digest")
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
-    keyed.drop("dup_count").join(keepers, Seq("__digest", idCol)).drop("__digest")
+    keyed.drop("dup_count")
+      .join(keepers, Seq("__dignull", "__digest", idCol))
+      .drop("__dignull", "__digest")
   }
 
   // ------------------------------------------------------------------

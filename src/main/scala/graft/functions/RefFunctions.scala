@@ -140,11 +140,14 @@ object RefFunctions {
     if (retainLocation) {
       s = snakeCasePlaceNames(s)
       // "Dr" is both a place identifier (Drive) and an honorific; the
-      // place join after a LOWERCASE word ("spoke with_Dr Jones") can
-      // only be the honorific (a street name before "Dr" is
-      // capitalized — "Oak_Dr"), and leaving it joined would break the
-      // honorific/name regexes below and LEAK the surname
-      s = s.replaceAll("(?<=[a-z])_(Dr\\.?\\s+[A-Z])", " $1")
+      // place join after a lowercase-INITIAL word ("spoke with_Dr
+      // Jones") can only be the honorific — a street name before "Dr"
+      // is capitalized ("Oak_Dr") — and leaving it joined would break
+      // the honorific/name regexes below and LEAK the surname. The
+      // test must be the preceding word's FIRST letter: its last
+      // letter is lowercase for street names too ("Oak"), which would
+      // un-join "Oak_Dr North_Ave" and redact the street as a person
+      s = s.replaceAll("\\b([a-z][A-Za-z]*)_(Dr\\.?\\s+[A-Z])", "$1 $2")
     }
     s = EmailRe.replaceAllIn(s, "[EMAIL_ADDRESS]")
     s = PhoneRe.replaceAllIn(s, "[PHONE_NUMBER]")

@@ -113,9 +113,14 @@ object TimeOps {
     val wall = date_format(shifted, sparkPattern)
     if (!appendOffset) wall
     else {
-      // both sides as session-interpreted NTZ wall times, so the
-      // session offset cancels and the difference is the ZONE's offset
-      // under any session zone
+      // unix_timestamp on a TIMESTAMP_NTZ interprets the wall time as
+      // UTC (probed empirically: identical offsets under UTC, NY,
+      // Sydney, Kathmandu session zones across DST edges), so the
+      // difference of the two NTZ wall times is pure wall arithmetic =
+      // the ZONE's offset, session-independent. Do NOT "simplify" to
+      // timestamp_diff: it casts NTZ->TIMESTAMP through the session
+      // zone and is off by an hour when a session DST gap swallows
+      // the zone's wall time
       val offsetSec = unix_timestamp(shifted) -
         unix_timestamp(convert_timezone(expr("current_timezone()"), lit("UTC"), utcTs))
       val absSec    = abs(offsetSec)

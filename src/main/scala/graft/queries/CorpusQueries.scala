@@ -193,7 +193,8 @@ object CorpusQueries {
     // contract) -> salted md5 membership
     "q81_temperature_mix" ->
       """WITH counts AS (
-        |  SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang
+        |  SELECT lang, count(*)::DOUBLE AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY lang
         |), tot AS (SELECT sum(n) AS nn FROM counts),
         |w AS (SELECT lang, n, pow(n / (SELECT nn FROM tot), 0.5) AS wt FROM counts),
         |ws AS (SELECT sum(wt) AS sw FROM w),

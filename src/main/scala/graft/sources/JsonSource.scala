@@ -51,6 +51,11 @@ object JsonSource {
       }
       i += 1
     }
+    // an incomplete trailing object (crash-truncated line, unterminated
+    // string) must come back as the failing fragment, not vanish: its
+    // re-parse failure is what routes the loss into quarantine —
+    // dropping it here would silently lose the record
+    if (start >= 0) out += line.substring(start)
     if (out.isEmpty) Seq(line) else out.toSeq
   }
 

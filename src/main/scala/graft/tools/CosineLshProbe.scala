@@ -25,24 +25,11 @@ object CosineLshProbe {
     val (idCol, vecCol, threshold, bands, bits, seed) =
       ("vec_id", "embedding", 0.45, 96, 6, 42L)
 
-    def pipeline(distinctFirst: Boolean): DataFrame = {
-      val tagged = df.select(col(idCol), col(vecCol)).repartition(col(idCol))
-      val bandRows = tagged.select(col(idCol),
-        explode(graft.expressions.SimilarityExpressions
-          .hyperplane_bands(col(vecCol), bands, bits, seed)).as("__band"))
-      val l = bandRows.select(col("__band"), col(idCol).as("id_a"))
-      val r = bandRows.select(col("__band"), col(idCol).as("id_b"))
-      val raw = l.join(r, "__band").filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-      val cands = if (distinctFirst) raw.distinct() else raw
-      val a = tagged.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
-      val b = tagged.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
-      val verified = cands.join(a, "id_a").join(b, "id_b")
-        .withColumn("cos", NearDup.cosine(col("__va"), col("__vb")))
-        .filter(col("cos") >= threshold)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
-      if (distinctFirst) verified else verified.distinct()
-    }
+    // the probe must exercise the REAL operator — an inline copy would
+    // keep validating a snapshot after the operator changes
+    def pipeline(distinctFirst: Boolean): DataFrame =
+      NearDup.lshCosinePairsBanded(df, idCol, vecCol, threshold,
+        bands, bits, seed, dedupBeforeVerify = distinctFirst)
 
     def time(name: String, f: => Unit): Double = {
       val t0 = System.nanoTime(); f

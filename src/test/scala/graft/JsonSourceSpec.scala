@@ -93,6 +93,13 @@ class JsonSourceSpec extends SparkSpec {
     assert(bad === 1)
   }
 
+  test("crash-truncated trailing object quarantines the line instead of " +
+    "silently vanishing; complete leading objects still recovered") {
+    val (rows, bad) = read("""{"a": 1, "b": "x"}{"a": 2""")
+    assert(rows === Seq((Some(1L), Some("x"))), rows.toString)
+    assert(bad === 1, "the truncated fragment must route the line to quarantine")
+  }
+
   test("empty lines skipped silently") {
     val (rows, bad) = read("""{"a": 1, "b": "x"}""", "", "   ")
     assert(rows.length === 1 && bad === 0)

@@ -78,6 +78,17 @@ class NearDupSpec extends SparkSpec {
     assert(out === Map(2L -> 2L, 3L -> 1L))
   }
 
+  test("exactDedupBy: NULL digests never merge with a digest whose VALUE " +
+    "is any sentinel-like string (arbitrary digest expressions)") {
+    val df = Seq((1L, "NULL"), (2L, null.asInstanceOf[String]), (3L, "NULL"))
+      .toDF("doc_id", "text")
+    // digest = the raw column: a legitimate value "NULL" must not
+    // collapse into the NULL-digest group
+    val out = NearDup.exactDedupBy(df, "doc_id", col("text"))
+      .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("minhashLshPairs finds the high-jaccard pairs the brute force finds (sf0.001)") {
     val docs  = Tables.documents(spark, sf("sf0.001"))
     val brute = NearDup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)

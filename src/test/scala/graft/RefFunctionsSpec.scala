@@ -94,6 +94,12 @@ class RefFunctionsSpec extends SparkSpec {
     assert(person.contains("[PERSON_NAME]") && !person.contains("Jones"), person)
     val street = redactPii("pothole on Oak Dr near the school", retainLocation = true)
     assert(street.contains("Oak_Dr"), street)
+    // a street Dr followed by a CAPITALIZED word (cross street) must
+    // also stay a place — the un-join test is the preceding word's
+    // first letter, not its last
+    val cross = redactPii("pothole on Oak Dr North Ave", retainLocation = true)
+    assert(cross.contains("Oak_Dr") && cross.contains("North_Ave"), cross)
+    assert(!cross.contains("[PERSON_NAME]"), cross)
   }
 
   test("anonymizeBlock: a >19-digit pasted id masks instead of " +
