@@ -394,6 +394,46 @@ object CorpusPipeline {
       .agg(count(lit(1)).as("n_contaminated_grams"))
   }
 
+  /** Scale variant of [[decontaminate]] for reference gram sets too
+    * large to broadcast as join rows (decontaminating against another
+    * CORPUS, not a benchmark suite): a Bloom filter built over the
+    * reference grams replaces the broadcast hash join — the bit array
+    * is ~1.8 GB per 10^9 grams at 0.1% fpp versus tens of GB of gram
+    * strings, and the probe side stays a pure map (no shuffle at all
+    * until the tiny per-doc count aggregate).
+    *
+    * Contract: NO false negatives — every truly contaminated document
+    * is flagged with at least its true gram count; false positives
+    * inflate counts at the fpp rate, so the output is a conservative
+    * kill list. The count column is named `n_candidate_grams` (not
+    * `n_contaminated_grams`) to keep the exact and approximate
+    * contracts distinct. Spark's Bloom hashes are fixed-seed, so the
+    * output is deterministic for a given (data, fpp).
+    */
+  def decontaminateBloom(
+      docs: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String, n: Int = 3,
+      fpp: Double = 0.001): DataFrame = {
+    val refGrams = reference
+      .select(explode(TextOps.wordShingles(col(refTextCol), n)).as("__g"))
+      .distinct()
+    // expectedNumItems needs a count first; both jobs scan the (already
+    // distinct-aggregated) gram frame once. The sizing is floored at
+    // 100k items (~0.5 MB at fpp 1e-3): Spark's BloomFilterImpl uses
+    // two-hash double hashing, whose observed fp rate collapses to
+    // ~1% on degenerate tiny bit arrays (probed: 4 items at requested
+    // fpp 1e-6 -> 128 bits -> 0.75% observed) — the floor keeps the
+    // filter out of that regime at negligible memory cost
+    val nGrams = math.max(refGrams.count(), 100000L)
+    val bf  = refGrams.stat.bloomFilter("__g", nGrams, fpp)
+    val bfB = docs.sparkSession.sparkContext.broadcast(bf)
+    val hit = udf((g: String) => g != null && bfB.value.mightContainString(g))
+    docs.select(col(idCol), explode(TextOps.wordShingles(col(textCol), n)).as("__g"))
+      .filter(hit(col("__g")))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_candidate_grams"))
+  }
+
   /** The exploded (id, hash, span) frame behind the duplicate-span
     * family: every overlapping `w`-token window of the case-folded
     * text, with its 64-bit hash as the scale-path aggregation key.

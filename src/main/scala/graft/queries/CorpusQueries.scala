@@ -128,7 +128,20 @@ object CorpusQueries {
     // the per-document removal signal the span table feeds
     "q85_dup_span_fraction" -> ((s, d) =>
       CorpusPipeline.duplicateSpanFraction(Tables.documents(s, d), "doc_id",
-        "text", windowTokens = 8, minDocs = 2)))
+        "text", windowTokens = 8, minDocs = 2)),
+
+    // Bloom-filter decontamination (the no-broadcast scale path).
+    // Oracle = the exact gram join: Spark's Bloom hashes are fixed-
+    // seed, so the output is deterministic, and at fpp 1e-6 over this
+    // corpus's gram volume the expected false-positive count is ~0 —
+    // verified equal to exact at both sf0.001 (spec) and sf0.01
+    // (this oracle)
+    "q86_bloom_decontaminate" -> ((s, d) => {
+      import s.implicits._
+      CorpusPipeline.decontaminateBloom(
+        Tables.documents(s, d), "doc_id", "text",
+        benchTexts.toDF("btext"), "btext", n = 3, fpp = 1e-6)
+    }))
 
   val oracle: Map[String, String] = Map(
     "q72_line_dedup" ->
@@ -258,6 +271,31 @@ object CorpusQueries {
         |    WHERE len(bt) >= 3)
         |)
         |SELECT doc_id, count(*) AS n_contaminated_grams
+        |FROM dg JOIN bg USING (g)
+        |GROUP BY doc_id""".stripMargin,
+
+    // identical to the q73 oracle except the column name: the Bloom
+    // path's candidate count equals the exact count when no false
+    // positive fires (see the q86 builder comment)
+    "q86_bloom_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+        |  FROM documents WHERE length(trim(text)) > 0
+        |),
+        |dg AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |      unnest([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) g
+        |    FROM toks WHERE len(toks) >= 3)
+        |),
+        |bg AS (
+        |  SELECT DISTINCT g FROM (
+        |    SELECT unnest([array_to_string(bt[i:i+2], ' ') for i in range(1, len(bt)-1)]) g
+        |    FROM (SELECT regexp_split_to_array(trim(btext), '\s+') bt
+        |          FROM (VALUES ('key agg row scan'), ('batch window spark order')) v(btext))
+        |    WHERE len(bt) >= 3)
+        |)
+        |SELECT doc_id, count(*) AS n_candidate_grams
         |FROM dg JOIN bg USING (g)
         |GROUP BY doc_id""".stripMargin,
 

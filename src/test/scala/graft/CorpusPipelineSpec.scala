@@ -278,6 +278,25 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(rows.toSeq === Seq(("a b c d", 2L, 3L)), s"got ${rows.toSeq}")
   }
 
+  test("decontaminateBloom: no false negatives vs exact decontaminate; " +
+    "counts match at negligible fpp") {
+    import spark.implicits._
+    val docs  = Tables.documents(spark, sf("sf0.001"))
+    val bench = Seq("key agg row scan", "batch window spark order").toDF("btext")
+    val exact = CorpusPipeline.decontaminate(docs, "doc_id", "text",
+        bench, "btext", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = CorpusPipeline.decontaminateBloom(docs, "doc_id", "text",
+        bench, "btext", n = 3, fpp = 1e-6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every exactly-contaminated doc present with at least its true count
+    exact.foreach { case (id, c) =>
+      assert(bloom.contains(id) && bloom(id) >= c, s"doc $id lost: $c vs ${bloom.get(id)}")
+    }
+    // at fpp 1e-6 over this gram volume, expected false positives ~0
+    assert(bloom === exact, "bloom should equal exact at negligible fpp")
+  }
+
   test("curate dup-span gate drops a partial copy that survives near-dup") {
     import spark.implicits._
     // P = a 20-token paragraph embedded verbatim in docs 1 and 2.
