@@ -2,7 +2,7 @@ package graft.pipelines
 
 import graft.dedup.NearDup
 import graft.text.TextOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Training-corpus curation pipeline: the composition a 100 TB
@@ -189,6 +189,37 @@ object CorpusPipeline {
     val labels = minLabelComponents(docs.select(col(idCol).as("node")), pairs, maxIter)
     val keepers = labels.filter(col("node") === col("label")).select(col("node").as(idCol))
     docs.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  /** [[nearDupDrop]] with quality-aware cluster resolution: per
+    * near-dup cluster keep the row MAXIMIZING `score` (ties broken by
+    * lowest id — fully deterministic) instead of the lowest id. This
+    * is the production rule: resolving by id throws away the cleanest
+    * copy whenever a higher-quality duplicate happens to carry a
+    * higher id. Scale shape: labels are computed only over nodes that
+    * occur in a dup pair, the argmax is one window over the (small)
+    * clustered subset partitioned by cluster label, and unclustered
+    * documents never enter any shuffle — they pass through an
+    * anti-join against the (tiny) clustered-id set.
+    */
+  def nearDupDropBest(docs: DataFrame, idCol: String, textCol: String,
+                      score: Column, threshold: Double = 0.8,
+                      maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = NearDup.minhashLshPairs(docs, idCol, textCol, threshold = threshold)
+      .select(col("id_a"), col("id_b"))
+    val pairNodes = pairs.select(col("id_a").as("node"))
+      .unionByName(pairs.select(col("id_b").as("node"))).distinct()
+    val labels = minLabelComponents(pairNodes, pairs, maxIter)
+      .withColumnRenamed("node", idCol)
+    val scored = docs.select(col(idCol), score.as("__score"))
+      .join(labels, Seq(idCol))
+    val w = Window.partitionBy("label")
+      .orderBy(col("__score").desc, col(idCol))
+    val bestIds = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).select(col(idCol))
+    docs.join(labels.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(docs.join(bestIds, Seq(idCol), "left_semi"))
   }
 
   /** Stage 5 — token budgeting: running token total in a deterministic

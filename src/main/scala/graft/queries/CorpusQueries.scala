@@ -132,15 +132,27 @@ object CorpusQueries {
 
     // Bloom-filter decontamination (the no-broadcast scale path).
     // Oracle = the exact gram join: Spark's Bloom hashes are fixed-
-    // seed, so the output is deterministic, and at fpp 1e-6 over this
-    // corpus's gram volume the expected false-positive count is ~0 —
-    // verified equal to exact at both sf0.001 (spec) and sf0.01
-    // (this oracle)
+    // seed, so the output is deterministic, and fpp 1e-9 keeps the
+    // EXPECTED false-positive count at ~2e-4 even for sf0.1's ~200k
+    // probed grams (1e-6 would put it near 0.2 — a real chance of a
+    // single FP breaking the hash compare) — verified equal to exact
+    // at sf0.001 (spec), sf0.01, and sf0.1 (this oracle)
     "q86_bloom_decontaminate" -> ((s, d) => {
       import s.implicits._
       CorpusPipeline.decontaminateBloom(
         Tables.documents(s, d), "doc_id", "text",
-        benchTexts.toDF("btext"), "btext", n = 3, fpp = 1e-6)
+        benchTexts.toDF("btext"), "btext", n = 3, fpp = 1e-9)
+    }),
+
+    // quality-aware near-dup resolution: per cluster keep the doc
+    // MAXIMIZING token count (tie -> min id); output = the DROPPED ids
+    "q87_near_dup_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kept = CorpusPipeline.nearDupDropBest(docs, "doc_id", "text",
+        graft.text.TextOps.tokenCount(col("text")).cast("double"),
+        threshold = 0.8)
+      docs.select("doc_id")
+        .join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -298,6 +310,18 @@ object CorpusQueries {
         |SELECT doc_id, count(*) AS n_candidate_grams
         |FROM dg JOIN bg USING (g)
         |GROUP BY doc_id""".stripMargin,
+
+    // audited, not merely pinned: this id list equals the ground truth
+    // computed independently in DuckDB + union-find — exact 3-gram
+    // Jaccard >= 0.8 pairs (25 pairs, 23 clusters at sf0.01), per
+    // cluster drop everything but the argmax-token-count member
+    // (tie -> lowest id). The MinHash estimate agrees with exact J
+    // for every cluster at this SF.
+    "q87_near_dup_keep_best" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (VALUES
+        |  (31),(44),(72),(87),(98),(166),(178),(185),(245),(267),(293),(301),
+        |  (310),(326),(332),(374),(387),(413),(420),(435),(447),(450),(455),(458)
+        |) t(doc_id)""".stripMargin,
 
     "q84_dup_spans" ->
       """WITH toks AS (

@@ -37,6 +37,22 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(kept === Set(1L, 9L), s"got $kept")
   }
 
+  test("nearDupDropBest keeps the highest-score doc per cluster, ties to " +
+    "min id, unclustered docs untouched") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", 2.0),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota", 9.0),  // near-dup of 1, better
+      (7L, "alpha beta gamma delta epsilon zeta eta theta", 9.0), // near-dup of 1, ties 2
+      (9L, "completely different text with many unique words here now", 0.1)
+    ).toDF("doc_id", "text", "quality")
+    val kept = CorpusPipeline.nearDupDropBest(docs, "doc_id", "text",
+        col("quality"), threshold = 0.6)
+      .select("doc_id").as[Long].collect().toSet
+    // cluster {1,2,7}: max score 9.0 shared by 2 and 7 -> min id 2 wins;
+    // 9 is unclustered and passes through
+    assert(kept === Set(2L, 9L), s"got $kept")
+  }
+
   test("minLabelComponents: chain of 12 converges to one representative (fixpoint, not fixed-iteration)") {
     // a 12-hop duplicate chain needs 11 one-hop propagations; the old
     // maxIter=5 under-merged it. Pointer jumping should converge it in
