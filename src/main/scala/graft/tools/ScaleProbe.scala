@@ -38,6 +38,14 @@ object ScaleProbe {
         shingleLen = 3, numPerms = 64, bands = 32, threshold = 0.8).count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[scaleprobe] reps=$n%d docs=$nDocs%d pairs=$pairs%d time=$sec%.2f s")
+      // dup-span path (q84): per-replica token suffixes keep spans from
+      // crossing replicas, so dup spans scale exactly N× while a
+      // healthy run shows ~linear time (hash-keyed agg, no quadratic)
+      val t1 = System.nanoTime()
+      val spans = graft.pipelines.CorpusPipeline.duplicateSpans(
+        corpus, "doc_id", "text", windowTokens = 8, minDocs = 2).count()
+      val sec1 = (System.nanoTime() - t1) / 1e9
+      println(f"[scaleprobe] reps=$n%d dup_spans=$spans%d span_time=$sec1%.2f s")
     }
     spark.stop()
   }
