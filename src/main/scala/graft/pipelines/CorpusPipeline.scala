@@ -184,11 +184,29 @@ object CorpusPipeline {
     */
   def nearDupDrop(docs: DataFrame, idCol: String, textCol: String,
                   threshold: Double = 0.8, maxIter: Int = 50): DataFrame = {
+    val labels = nearDupLabels(docs, idCol, textCol, threshold, maxIter)
+    val keepers = labels.filter(col("node") === col("label"))
+      .select(col("node").as(idCol))
+    docs.join(labels.select(col("node").as(idCol)), Seq(idCol), "left_anti")
+      .unionByName(docs.join(keepers, Seq(idCol), "left_semi"))
+  }
+
+  /** Shared kernel of the near-dup drop family: (node, label = min id
+    * of cluster) over ONLY the documents that occur in a near-dup
+    * pair at `threshold` — unclustered documents never enter the
+    * component computation (they pass through the callers' anti-join
+    * against this small frame). The pair list is materialized ONCE
+    * (localCheckpoint): it feeds the CC size gate, the node set, and
+    * every branch of the caller's final plan, and without the barrier
+    * each of those actions re-runs the full MinHash-LSH pipeline.
+    */
+  private def nearDupLabels(docs: DataFrame, idCol: String, textCol: String,
+                            threshold: Double, maxIter: Int): DataFrame = {
     val pairs = NearDup.minhashLshPairs(docs, idCol, textCol, threshold = threshold)
-      .select(col("id_a"), col("id_b"))
-    val labels = minLabelComponents(docs.select(col(idCol).as("node")), pairs, maxIter)
-    val keepers = labels.filter(col("node") === col("label")).select(col("node").as(idCol))
-    docs.join(keepers, Seq(idCol), "left_semi")
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val pairNodes = pairs.select(col("id_a").as("node"))
+      .unionByName(pairs.select(col("id_b").as("node"))).distinct()
+    minLabelComponents(pairNodes, pairs, maxIter)
   }
 
   /** [[nearDupDrop]] with quality-aware cluster resolution: per
@@ -206,11 +224,7 @@ object CorpusPipeline {
                       score: Column, threshold: Double = 0.8,
                       maxIter: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = NearDup.minhashLshPairs(docs, idCol, textCol, threshold = threshold)
-      .select(col("id_a"), col("id_b"))
-    val pairNodes = pairs.select(col("id_a").as("node"))
-      .unionByName(pairs.select(col("id_b").as("node"))).distinct()
-    val labels = minLabelComponents(pairNodes, pairs, maxIter)
+    val labels = nearDupLabels(docs, idCol, textCol, threshold, maxIter)
       .withColumnRenamed("node", idCol)
     val scored = docs.select(col(idCol), score.as("__score"))
       .join(labels, Seq(idCol))
@@ -444,25 +458,46 @@ object CorpusPipeline {
   def decontaminateBloom(
       docs: DataFrame, idCol: String, textCol: String,
       reference: DataFrame, refTextCol: String, n: Int = 3,
-      fpp: Double = 0.001): DataFrame = {
+      fpp: Double = 0.001): DataFrame =
+    decontaminateBloomManaged(docs, idCol, textCol, reference, refTextCol,
+      n, fpp)._1
+
+  /** [[decontaminateBloom]] plus a release handle that destroys the
+    * broadcast bit array once the output is materialized — the same
+    * idiom as [[graft.dedup.NearDup.incrementalDedupManaged]].
+    * Repeated invocations on one SparkContext (a bench loop, a batch
+    * driver) MUST use this form: each call broadcasts a fresh filter
+    * (gigabytes at the 10^9-gram scale this path exists for) that is
+    * otherwise pinned until the ContextCleaner happens to run.
+    */
+  def decontaminateBloomManaged(
+      docs: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String, n: Int = 3,
+      fpp: Double = 0.001): (DataFrame, () => Unit) = {
+    // persisted across the two build actions (count for sizing +
+    // bloomFilter aggregate) — without it the explode+distinct shuffle
+    // of the reference corpus runs twice
     val refGrams = reference
       .select(explode(TextOps.wordShingles(col(refTextCol), n)).as("__g"))
       .distinct()
-    // expectedNumItems needs a count first; both jobs scan the (already
-    // distinct-aggregated) gram frame once. The sizing is floored at
-    // 100k items (~0.5 MB at fpp 1e-3): Spark's BloomFilterImpl uses
-    // two-hash double hashing, whose observed fp rate collapses to
-    // ~1% on degenerate tiny bit arrays (probed: 4 items at requested
-    // fpp 1e-6 -> 128 bits -> 0.75% observed) — the floor keeps the
-    // filter out of that regime at negligible memory cost
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The sizing is floored at 100k items (~0.5 MB at fpp 1e-3):
+    // Spark's BloomFilterImpl uses two-hash double hashing, whose
+    // observed fp rate collapses to ~1% on degenerate tiny bit arrays
+    // (probed: 4 items at requested fpp 1e-6 -> 128 bits -> 0.75%
+    // observed) — the floor keeps the filter out of that regime at
+    // negligible memory cost
     val nGrams = math.max(refGrams.count(), 100000L)
     val bf  = refGrams.stat.bloomFilter("__g", nGrams, fpp)
+    refGrams.unpersist(blocking = false)
     val bfB = docs.sparkSession.sparkContext.broadcast(bf)
     val hit = udf((g: String) => g != null && bfB.value.mightContainString(g))
-    docs.select(col(idCol), explode(TextOps.wordShingles(col(textCol), n)).as("__g"))
+    val out = docs
+      .select(col(idCol), explode(TextOps.wordShingles(col(textCol), n)).as("__g"))
       .filter(hit(col("__g")))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_candidate_grams"))
+    (out, () => bfB.destroy())
   }
 
   /** The exploded (id, hash, span) frame behind the duplicate-span

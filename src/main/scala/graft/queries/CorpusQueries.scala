@@ -139,9 +139,14 @@ object CorpusQueries {
     // at sf0.001 (spec), sf0.01, and sf0.1 (this oracle)
     "q86_bloom_decontaminate" -> ((s, d) => {
       import s.implicits._
-      CorpusPipeline.decontaminateBloom(
+      // managed form + eager materialization so each invocation
+      // releases its broadcast bit array (bench runs this 3x)
+      val (out, release) = CorpusPipeline.decontaminateBloomManaged(
         Tables.documents(s, d), "doc_id", "text",
         benchTexts.toDF("btext"), "btext", n = 3, fpp = 1e-9)
+      val materialized = out.localCheckpoint()
+      release()
+      materialized
     }),
 
     // quality-aware near-dup resolution: per cluster keep the doc
