@@ -554,18 +554,40 @@ object CorpusPipeline {
     * `duplicateSpans` output and reuse it rather than re-deriving.
     */
   def duplicateSpanFraction(docs: DataFrame, idCol: String, textCol: String,
-                            windowTokens: Int = 8, minDocs: Long = 2): DataFrame = {
-    val sp = spanFrame(docs, idCol, textCol, windowTokens)
+                            windowTokens: Int = 8, minDocs: Long = 2): DataFrame =
+    duplicateSpanFractionBuild(docs, idCol, textCol, windowTokens, minDocs,
+      persistSpans = false)._1
+
+  /** [[duplicateSpanFraction]] with the span frame persisted across
+    * its two consumers (dup-set aggregate + per-doc rollup) and a
+    * release handle — the explode otherwise runs twice per action.
+    * Call release only after the output is materialized.
+    */
+  def duplicateSpanFractionManaged(
+      docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8, minDocs: Long = 2): (DataFrame, () => Unit) =
+    duplicateSpanFractionBuild(docs, idCol, textCol, windowTokens, minDocs,
+      persistSpans = true)
+
+  private def duplicateSpanFractionBuild(
+      docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, minDocs: Long,
+      persistSpans: Boolean): (DataFrame, () => Unit) = {
+    val raw = spanFrame(docs, idCol, textCol, windowTokens)
+    val sp = if (persistSpans)
+      raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else raw
     val dupHashes = sp.groupBy(col("__h"))
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select(col("__h"), lit(1).as("__dup"))
-    sp.join(dupHashes, Seq("__h"), "left")
+    val out = sp.join(dupHashes, Seq("__h"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_windows"),
         sum(coalesce(col("__dup"), lit(0))).cast("long").as("n_dup_windows"))
       .withColumn("dup_fraction",
         round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+    (out, () => if (persistSpans) sp.unpersist(blocking = false))
   }
 
   /** Full curation: optional boilerplate-line removal → quality gates →
@@ -617,10 +639,13 @@ object CorpusPipeline {
     // embedding a verbatim paragraph of another)
     val (ds, n4b) = dupSpanOpt match {
       case Some((w, maxFrac)) =>
-        staged(nd.join(
-          duplicateSpanFraction(nd, idCol, textCol, w)
-            .filter(col("dup_fraction") > maxFrac)
+        val (frac, releaseSpans) =
+          duplicateSpanFractionManaged(nd, idCol, textCol, w)
+        val r = staged(nd.join(
+          frac.filter(col("dup_fraction") > maxFrac)
             .select(col(idCol)), Seq(idCol), "left_anti"), Some(nd))
+        releaseSpans() // the staged persist+count materialized the stage
+        r
       case None => (nd, n4)
     }
     val (dc, n5) = benchmarkOpt match {

@@ -125,10 +125,17 @@ object CorpusQueries {
       CorpusPipeline.duplicateSpans(Tables.documents(s, d), "doc_id", "text",
         windowTokens = 8, minDocs = 2)),
 
-    // the per-document removal signal the span table feeds
-    "q85_dup_span_fraction" -> ((s, d) =>
-      CorpusPipeline.duplicateSpanFraction(Tables.documents(s, d), "doc_id",
-        "text", windowTokens = 8, minDocs = 2)),
+    // the per-document removal signal the span table feeds; managed
+    // form + eager materialization so the shared span frame is
+    // exploded once and released per invocation
+    "q85_dup_span_fraction" -> ((s, d) => {
+      val (out, release) = CorpusPipeline.duplicateSpanFractionManaged(
+        Tables.documents(s, d), "doc_id", "text",
+        windowTokens = 8, minDocs = 2)
+      val materialized = out.localCheckpoint()
+      release()
+      materialized
+    }),
 
     // Bloom-filter decontamination (the no-broadcast scale path).
     // Oracle = the exact gram join: Spark's Bloom hashes are fixed-
