@@ -337,6 +337,37 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(kept === Set(1L, 3L), s"got $kept")
   }
 
+  test("dup-span family invariants on a randomized corpus: fraction in " +
+    "[0,1], occurrence/doc-count bounds, and the cross-operator identity " +
+    "sum(n_dup_windows) == sum(n_occurrences over dup spans)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e") // tiny vocab forces collisions
+    val docs = (1L to 60L).map(i =>
+      (i, Seq.fill(4 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val w = 4
+    val spans = CorpusPipeline.duplicateSpans(docs, "doc_id", "text",
+        windowTokens = w, minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val fracs = CorpusPipeline.duplicateSpanFraction(docs, "doc_id", "text",
+        windowTokens = w, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(spans.nonEmpty, "tiny vocab must generate cross-doc duplicates")
+    spans.foreach { case (s, nd, no) =>
+      assert(nd >= 2 && no >= nd, s"span '$s': n_docs=$nd n_occ=$no")
+      assert(s.split(" ").length === w, s"span '$s' must be exactly $w tokens")
+    }
+    fracs.foreach { case (id, nw, ndw, f) =>
+      assert(nw > 0 && ndw >= 0 && ndw <= nw, s"doc $id: $ndw/$nw")
+      assert(f >= 0.0 && f <= 1.0, s"doc $id fraction $f")
+    }
+    // every window of a dup span is counted exactly once in some doc's
+    // n_dup_windows — the two operators must agree on the total
+    assert(fracs.map(_._3).sum === spans.map(_._3).sum,
+      "sum of per-doc dup windows must equal total dup-span occurrences")
+  }
+
   test("duplicateSpanFraction: per-doc dup window share, windowless docs absent") {
     import spark.implicits._
     val docs = Seq(
