@@ -17,17 +17,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
-  /** The driver-generated events table stores `ts` as parquet
-    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects; read it
-    * as nano-count long (legacy conf) and convert to a microsecond
-    * TimestampType column.
+  /** The events table's `ts` physical type has varied across driver
+    * testdata generations — parquet TIMESTAMP(NANOS) (unreadable by
+    * Spark's vectorized reader: loaded as nano-count long via the
+    * legacy conf), TIMESTAMP(MICROS) without UTC adjustment (loaded as
+    * TIMESTAMP_NTZ), or a plain instant. Normalize all three to a
+    * microsecond TimestampType column so every downstream query and
+    * spec sees one shape; the session timezone is UTC everywhere
+    * (Bench/Verify/specs), so the NTZ wall clock and the instant agree.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // integer `div` keeps full 64-bit precision (a double division would
-    // round at the 2^53 mantissa limit for nano-scale epochs)
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(load(s, d, "events"))
+  }
+
+  /** Normalize an events frame's `ts` to TimestampType regardless of
+    * which physical form it was read in. Works on batch and streaming
+    * frames alike (schema-only dispatch, no action).
+    */
+  def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      // integer `div` keeps full 64-bit precision (a double division
+      // would round at the 2^53 mantissa limit for nano-scale epochs)
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -9,17 +9,18 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
   test("windowedCounts: streaming tumbling-window agg over events parquet (memory sink)") {
-    val schema = Tables.events(spark, sf("sf0.001")).schema
     // file-stream sources need a directory: stage the events parquet
     val dir = java.nio.file.Files.createTempDirectory("events_stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(sf("sf0.001") + "/events.parquet"),
       dir.resolve("part-0.parquet"))
-    val stream = spark.readStream.schema(
-      org.apache.spark.sql.types.StructType(schema.map(f =>
-        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType) else f)))
-      .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // read the ON-DISK schema (ts as stored: nanos-long or NTZ —
+    // Tables.events sets the nanos conf as a side effect), stream with
+    // it, then apply the same ts normalization the batch loader uses
+    Tables.events(spark, sf("sf0.001"))
+    val rawSchema = spark.read.parquet(dir.toString).schema
+    val stream = Tables.normalizeTs(
+      spark.readStream.schema(rawSchema).parquet(dir.toString))
     val agg = StreamingOps.windowedCounts(stream, "ts", "event_type", "value",
       windowLen = "1 hour", watermark = "2 hours")
     val q = agg.writeStream.outputMode("complete")
