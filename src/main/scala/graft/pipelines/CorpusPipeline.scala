@@ -236,6 +236,49 @@ object CorpusPipeline {
       .unionByName(docs.join(bestIds, Seq(idCol), "left_semi"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): rows whose EMBEDDINGS are near-identical
+    * (cosine >= threshold) cluster together and all but the minimum-id
+    * representative are dropped — the embedding-space twin of
+    * [[nearDupDrop]], catching paraphrases and re-encodings that share
+    * no n-grams. Returns the dropped→keeper mapping `(idCol, kept_id)`
+    * — the auditable artifact; [[semanticDedupDrop]] applies it.
+    *
+    * Scale shape: candidate pairs come from the banded hyperplane LSH
+    * path (only (bandKey, id) rows shuffle — vectors never do until
+    * in-bucket verification), the pair list is materialized once
+    * (localCheckpoint) because it feeds the CC size gate, the node set,
+    * and the join branches, and the component computation runs over
+    * ONLY rows that occur in a pair. Band parameters default to the
+    * q51-proven full-recall setting for this embedding distribution;
+    * tune (bands, bitsPerBand) to the corpus's similarity structure as
+    * documented on [[graft.dedup.NearDup.lshCosinePairsBanded]].
+    */
+  def semanticDedupLabels(embs: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, bands: Int = 96,
+                          bitsPerBand: Int = 6, maxIter: Int = 50): DataFrame = {
+    val pairs = NearDup.lshCosinePairsBanded(embs, idCol, vecCol, threshold,
+        bands, bitsPerBand, dedupBeforeVerify = false)
+      .select(col("id_a"), col("id_b")).localCheckpoint()
+    val nodes = pairs.select(col("id_a").as("node"))
+      .unionByName(pairs.select(col("id_b").as("node"))).distinct()
+    minLabelComponents(nodes, pairs, maxIter)
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as(idCol), col("label").as("kept_id"))
+  }
+
+  /** Apply [[semanticDedupLabels]]: the input minus dropped rows.
+    * Unclustered rows pass through via one anti-join against the
+    * (tiny) dropped-id set — they never shuffle.
+    */
+  def semanticDedupDrop(embs: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, bands: Int = 96,
+                        bitsPerBand: Int = 6, maxIter: Int = 50): DataFrame =
+    embs.join(
+      semanticDedupLabels(embs, idCol, vecCol, threshold, bands, bitsPerBand, maxIter)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Stage 5 — token budgeting: running token total in a deterministic
     * document order (by id), cut at `budget` tokens.
     *

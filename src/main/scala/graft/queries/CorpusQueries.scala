@@ -165,6 +165,17 @@ object CorpusQueries {
         threshold = 0.8)
       docs.select("doc_id")
         .join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    }),
+
+    // SemDeDup: embedding-space near-dup clusters (cosine >= 0.45 via
+    // the full-recall banded hyperplane LSH — q51 proves pair-set
+    // equality with the exact quadratic at these parameters), keep the
+    // min id per cluster. Output = dropped -> keeper mapping; oracle
+    // recomputes it independently with quadratic cosine + recursive-CTE
+    // reachability (true min-label components, not pinned).
+    "q88_semantic_dedup" -> ((s, d) => {
+      CorpusPipeline.semanticDedupLabels(Tables.embeddings(s, d),
+        "vec_id", "embedding", threshold = 0.45)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -366,5 +377,27 @@ object CorpusQueries {
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
         |  round(sum(CASE WHEN span IN (SELECT span FROM dups)
         |            THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_fraction
-        |FROM spans GROUP BY doc_id""".stripMargin)
+        |FROM spans GROUP BY doc_id""".stripMargin,
+
+    // independent ground truth: exact quadratic cosine pairs, then
+    // min-label components via recursive reachability (each node's
+    // component minimum = min over every reachable ancestor)
+    "q88_semantic_dedup" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION ALL
+        |  SELECT id_b AS u, id_a AS v FROM pairs
+        |), reach(node, anc) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.anc
+        |)
+        |SELECT node AS vec_id, min(anc) AS kept_id
+        |FROM reach GROUP BY node
+        |HAVING min(anc) < node""".stripMargin)
 }

@@ -384,4 +384,31 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out(3L) === ((2L, 0L, 0.0)))
     assert(!out.contains(4L), "doc shorter than the window has no row")
   }
+
+  test("semanticDedup: LSH-blocked clusters == exact quadratic ground truth; " +
+    "keepers are cluster minima") {
+    val embs = Tables.embeddings(spark, sf("sf0.001"))
+    val labels = CorpusPipeline.semanticDedupLabels(
+      embs, "vec_id", "embedding", threshold = 0.45)
+    // ground truth: exact quadratic cosine pairs -> min-label components
+    val exactPairs = graft.dedup.NearDup.cosineDupPairs(
+      embs, "vec_id", "embedding", threshold = 0.45).select("id_a", "id_b")
+    val nodes = exactPairs.select(col("id_a").as("node"))
+      .unionByName(exactPairs.select(col("id_b").as("node"))).distinct()
+    val truth = CorpusPipeline.minLabelComponents(nodes, exactPairs)
+      .filter(col("node") =!= col("label"))
+      .select(col("node").as("vec_id"), col("label").as("kept_id"))
+    assert(labels.count() > 0, "fixture must contain at least one semantic dup")
+    assert(labels.exceptAll(truth).count() === 0 &&
+      truth.exceptAll(labels).count() === 0,
+      "blocked path must equal exact ground truth at full-recall parameters")
+    // applying the mapping keeps everything except the dropped ids
+    val kept = CorpusPipeline.semanticDedupDrop(
+      embs, "vec_id", "embedding", threshold = 0.45)
+    assert(kept.count() === embs.count() - labels.count())
+    // a dropped row's keeper must itself be kept (labels point at roots)
+    val danglingKeepers = labels.select(col("kept_id").as("vec_id"))
+      .distinct().join(kept, Seq("vec_id"), "left_anti")
+    assert(danglingKeepers.count() === 0, "every keeper survives the drop")
+  }
 }
