@@ -29,6 +29,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE may right-size CACHED plan output too (default false):
+      // without this every cached intermediate materializes at the
+      // static shuffle partition count — q75's KB-sized admission
+      // frames each cost 32-64 near-empty task launches per consumer
+      // stage, which amplified occasional JIT-cold windows into
+      // 15-40 s outliers (tools.Q75Probe round-7 table, SCALE.md)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -11,6 +11,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // AQE may right-size CACHED plan output too: without this every
+      // cached intermediate materializes at the static shuffle
+      // partition count and downstream stages pay near-empty tasks
+      // (measured: q75's 32-partition KB-frames cost 32-64 task
+      // launches per stage and amplified JIT-cold windows 10-40x)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

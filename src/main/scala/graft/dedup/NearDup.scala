@@ -239,17 +239,23 @@ object NearDup {
     // share exchanges WITHIN one job, so without explicit
     // materialization every downstream action re-runs the whole
     // sig→band→verify subtree (measured 3× recompute = 14 s instead of
-    // ~4 s at sf0.1). The stages are LAZILY persisted (memory-then-
-    // disk), not localCheckpointed: an eager checkpoint per stage costs
-    // one scheduled job each — ~6 sequential job rounds of pure
-    // scheduling before any answer — while persist folds all of them
-    // into the first action (the CC gate) and later actions read the
-    // cache. Lineage is kept, so executor loss recomputes instead of
-    // failing the query. The intermediates are batch-sized signature
-    // frames (KBs–MBs per million-doc batch: id + numPerms longs).
+    // ~4 s at sf0.1). Each stage is EAGERLY persisted (memory-then-
+    // disk, materialized by a count before anything consumes it):
+    // round 6 tried lazy persists folded into the first action, and
+    // the resulting plan was wildly nondeterministic under the bench —
+    // the CC gate's incremental `limit(n+1)` execution plus broadcast
+    // subtrees racing over the not-yet-cached frames re-ran the
+    // sig→band→verify pipeline a variable number of times, measured
+    // 4 s to 31 s for the SAME query in the SAME fresh JVM
+    // (tools.Q75Probe, round 7). The four counts are one small job
+    // each over a batch-sized cached frame — deterministic and cheap —
+    // and lineage is kept (unlike localCheckpoint), so executor loss
+    // recomputes instead of failing the query. The intermediates are
+    // batch-sized signature frames (KBs–MBs per million-doc batch: id
+    // + numPerms longs).
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val inSigs = minhashSignatures(incoming, idCol, textCol, shingleLen, numPerms)
-      .persist(lvl)
+    def eager(df: DataFrame): DataFrame = { val p = df.persist(lvl); p.count(); p }
+    val inSigs = eager(minhashSignatures(incoming, idCol, textCol, shingleLen, numPerms))
     // corpus state: consumed by the band join AND the verify join; in
     // production it is a parquet-backed (id, signature) frame — the
     // persist pins it so neither consumer re-reads (or, when a
@@ -259,7 +265,7 @@ object NearDup {
     // handle must not clobber it — release only what this call created
     val corpusAlreadyCached =
       corpusSigs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
-    val corpSigs = if (corpusAlreadyCached) corpusSigs else corpusSigs.persist(lvl)
+    val corpSigs = if (corpusAlreadyCached) corpusSigs else eager(corpusSigs)
     val inBands = lshBands(inSigs, idCol, "__sig", bands, numPerms)
     val corpusBands = lshBands(corpSigs, idCol, "__sig", bands, numPerms)
 
@@ -274,18 +280,16 @@ object NearDup {
       .select(col("id_new").as(idCol)).distinct()
     // survivors feeds four consumers (self-band, two verify joins,
     // admission anti-join) across several jobs
-    val survivors = inSigs.join(vsCorpus, Seq(idCol), "left_anti")
-      .persist(lvl)
+    val survivors = eager(inSigs.join(vsCorpus, Seq(idCol), "left_anti"))
 
     // batch-internal: min-id keeper per near-dup cluster (fixpoint CC)
     val selfCands = lshCandidatePairs(
       lshBands(survivors, idCol, "__sig", bands, numPerms), idCol)
-    val selfPairs = selfCands
+    val selfPairs = eager(selfCands
       .join(survivors.select(col(idCol).as("id_a"), col("__sig").as("__sa")), "id_a")
       .join(survivors.select(col(idCol).as("id_b"), col("__sig").as("__sb")), "id_b")
       .filter(sigJaccardEst(col("__sa"), col("__sb")) >= threshold)
-      .select("id_a", "id_b")
-      .persist(lvl) // reused by pairNodes (×2), the CC gate, and the CC loop
+      .select("id_a", "id_b")) // reused by pairNodes (×2), the CC gate, and the CC loop
     // iterate components only over nodes that occur in a dup pair —
     // the fixpoint loop's per-round overhead then scales with the
     // (small) clustered subset, not the whole batch

@@ -38,4 +38,46 @@ object DedupOps {
     */
   def dropDuplicatesOn(df: DataFrame, keys: Seq[String]): DataFrame =
     df.dropDuplicates(keys)
+
+  /** Global sequential surrogate id in `(orderCol, tieBreaks…)` order
+    * WITHOUT a single-partition window (the naive
+    * `row_number() OVER (ORDER BY …)` moves the whole table to one
+    * task — the reference can afford it on municipal-sized tables,
+    * 100 TB cannot).
+    *
+    * Two-level, same shape as the token-budget cumsum: rows bucket on
+    * the monotone prefix `floor(orderCol / bucketWidth)` (bucket order
+    * = orderCol order, ties stay within one bucket), per-bucket counts
+    * roll into cumulative offsets over the TINY bucket table (the only
+    * unpartitioned window, #buckets rows), and each row's id is its
+    * within-bucket row_number plus the bucket offset. Two shuffles on
+    * `__b` + one broadcast; wall-clock bounded by the hottest bucket —
+    * pick `bucketWidth` so one bucket's rows fit a task comfortably
+    * (e.g. one day of unix seconds for daily-arriving feeds).
+    *
+    * `orderCol` must be integral (unix time, epoch days, a numeric
+    * key). NULL `orderCol` rows sort first (SQL NULLS FIRST) via a
+    * dedicated minimum bucket. Output ids are 1-based, dense, LongType.
+    */
+  def globalSurrogateId(df: DataFrame, orderCol: String, tieBreaks: Seq[String],
+                        outCol: String, bucketWidth: Long = 86400L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth: $bucketWidth")
+    // integer `div` keeps full 64-bit precision (double division would
+    // round past 2^53) and truncating division is monotone
+    // non-decreasing, which is all bucketing needs
+    val bucket = coalesce(
+      expr(s"`$orderCol` div ${bucketWidth}L").cast("long"),
+      lit(Long.MinValue))
+    val withB = df.withColumn("__b", bucket)
+    val offsets = withB.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum("__n").over(Window.orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val w = Window.partitionBy("__b")
+      .orderBy(col(orderCol).asc_nulls_first +: tieBreaks.map(col(_).asc): _*)
+    withB.join(broadcast(offsets), Seq("__b"))
+      .withColumn(outCol, row_number().over(w).cast("long") + col("__off"))
+      .drop("__b", "__off")
+  }
 }

@@ -118,13 +118,15 @@ object ComputronixPliPipeline {
   /** push_gis_latest_updates (condemned_dead_end_properties.py:66-85):
     * keep each parcel's latest record (grouped-max join on
     * create_date_UNIX), filter to Active, and assign a global
-    * `parc_unique_id` ordered by create date. The grouped max is one
-    * shuffle on parc_num; the global row_number runs on the
-    * one-row-per-parcel survivor set (ties broken by parc_num for
-    * determinism — the reference leaves them nondeterministic).
+    * `parc_unique_id` ordered by create date (ties broken by parc_num
+    * for determinism — the reference leaves them nondeterministic).
+    * The grouped max is one shuffle on parc_num; the surrogate id uses
+    * the two-level bucketed form ([[graft.operators.DedupOps
+    * .globalSurrogateId]], day-wide unix buckets) instead of a
+    * single-partition global window, so the same code survives a
+    * survivor set that does NOT fit one task.
     */
   def latestUpdateActive(cde: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val maxVals = cde.groupBy("parc_num")
       .agg(max("create_date_UNIX").as("__max_date"))
     val latest = cde.join(maxVals,
@@ -132,8 +134,8 @@ object ComputronixPliPipeline {
           cde("create_date_UNIX") === maxVals("__max_date"))
       .drop(maxVals("parc_num")).drop("__max_date")
       .where(col("insp_status") === "Active")
-    latest.withColumn("parc_unique_id",
-      row_number().over(Window.orderBy(col("create_date_UNIX"), col("parc_num"))))
+    graft.operators.DedupOps.globalSurrogateId(
+      latest, "create_date_UNIX", Seq("parc_num"), "parc_unique_id")
   }
 
   /** End-to-end batch; returns (permits, quarantine). */

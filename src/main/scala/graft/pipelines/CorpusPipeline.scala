@@ -635,9 +635,15 @@ object CorpusPipeline {
 
   /** Full curation: optional boilerplate-line removal → quality gates →
     * language filter → exact dedup → near-dup clustering → optional
-    * duplicated-span gate → optional benchmark decontamination →
-    * optional token budget. Stage counts are returned for the
-    * curation report.
+    * embedding-space semantic dedup → optional duplicated-span gate →
+    * optional benchmark decontamination → optional token budget. Stage
+    * counts are returned for the curation report.
+    *
+    * `semanticOpt = (embeddings, embIdCol, vecCol, threshold)` runs
+    * [[semanticDedupLabels]] over the embeddings of the documents
+    * STILL ALIVE after near-dup (ids must share the document id
+    * domain) — restricting first means a doc can never be dropped in
+    * favor of a keeper that an earlier stage already removed.
     */
   def curate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
              langs: Seq[String] = Seq("en"),
@@ -646,7 +652,9 @@ object CorpusPipeline {
              tokenBudgetOpt: Option[Long] = None,
              boilerplateMaxDocs: Option[Int] = None,
              benchmarkOpt: Option[(DataFrame, String, Int)] = None,
-             dupSpanOpt: Option[(Int, Double)] = None): (DataFrame, Map[String, Long]) = {
+             dupSpanOpt: Option[(Int, Double)] = None,
+             semanticOpt: Option[(DataFrame, String, String, Double)] = None)
+      : (DataFrame, Map[String, Long]) = {
     // Per-stage counts are part of the contract (the curation report),
     // but a bare count() per stage re-runs every earlier stage — an
     // O(stages²) pipeline at 100 TB. Each stage is persisted before
@@ -676,6 +684,18 @@ object CorpusPipeline {
     val (e, n3)  = staged(exactDedup(l.select(bp.columns.map(col): _*), idCol, textCol), Some(l))
     val (nd, n4) = staged(
       nearDupDrop(e.select(bp.columns.map(col): _*), idCol, textCol, nearDupThreshold), Some(e))
+    // optional embedding-space semantic dedup (SemDeDup): clusters are
+    // computed over the embeddings of SURVIVING docs only, so every
+    // dropped doc's keeper is itself still in the corpus
+    val (sd, n4a) = semanticOpt match {
+      case Some((embs, embIdCol, vecCol, thr)) =>
+        val alive = embs.join(nd.select(col(idCol).as(embIdCol)),
+          Seq(embIdCol), "left_semi")
+        val dropped = semanticDedupLabels(alive, embIdCol, vecCol, thr)
+          .select(col(embIdCol).as(idCol))
+        staged(nd.join(dropped, Seq(idCol), "left_anti"), Some(nd))
+      case None => (nd, n4)
+    }
     // optional exact-substring gate (Lee et al. 2022): drop documents
     // whose duplicated-window share exceeds the cap — catches partial
     // copies that survive whole-document MinHash (e.g. a long doc
@@ -683,13 +703,13 @@ object CorpusPipeline {
     val (ds, n4b) = dupSpanOpt match {
       case Some((w, maxFrac)) =>
         val (frac, releaseSpans) =
-          duplicateSpanFractionManaged(nd, idCol, textCol, w)
-        val r = staged(nd.join(
+          duplicateSpanFractionManaged(sd, idCol, textCol, w)
+        val r = staged(sd.join(
           frac.filter(col("dup_fraction") > maxFrac)
-            .select(col(idCol)), Seq(idCol), "left_anti"), Some(nd))
+            .select(col(idCol)), Seq(idCol), "left_anti"), Some(sd))
         releaseSpans() // the staged persist+count materialized the stage
         r
-      case None => (nd, n4)
+      case None => (sd, n4a)
     }
     val (dc, n5) = benchmarkOpt match {
       case Some((bench, benchCol, n)) =>
@@ -703,7 +723,7 @@ object CorpusPipeline {
     }
     (out, Map("input" -> n0, "after_quality" -> n1, "after_lang" -> n2,
       "after_exact_dedup" -> n3, "after_near_dedup" -> n4,
-      "after_dup_span" -> n4b, "after_decontamination" -> n5,
-      "final" -> n6))
+      "after_semantic_dedup" -> n4a, "after_dup_span" -> n4b,
+      "after_decontamination" -> n5, "final" -> n6))
   }
 }

@@ -14,6 +14,17 @@ object Q75Probe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // static conf: generated-class cache size (default 100). The
+      // probe A/Bs it because codegen-cache eviction recompiles
+      // classes JIT-cold — the suspected q75 variance mechanism.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_CODEGEN_CACHE", "100"))
+      // let AQE coalesce CACHED plan output: without this every cached
+      // KB-sized admission frame materializes at the static 32
+      // shuffle partitions and each downstream stage pays 32-64
+      // near-empty tasks
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_CACHED_AQE", "true"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -21,23 +32,73 @@ object Q75Probe {
       val t0 = System.nanoTime(); val r = f
       println(f"[q75] $name ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
+    // steal detector: a daemon thread sleeping 50 ms per tick; if the
+    // host starves the JVM, observed tick intervals stretch far past
+    // the nominal sleep and `stallMs` accumulates the excess
+    val stallMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ticker = new Thread(() => {
+      var prev = System.nanoTime()
+      while (true) {
+        Thread.sleep(50)
+        val now = System.nanoTime()
+        val excess = (now - prev) / 1000000L - 50L
+        if (excess > 20) stallMs.addAndGet(excess)
+        prev = now
+      }
+    })
+    ticker.setDaemon(true); ticker.start()
+    // job-level profiler: wall vs summed executor task time — a slow
+    // job with small task time is scheduler/driver-side; huge task
+    // time is CPU inside tasks
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) taskMs.addAndGet(e.taskMetrics.executorRunTime)
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val s = e.stageInfo
+        val run = Option(s.taskMetrics).map(_.executorRunTime).getOrElse(0L) / 1e3
+        if (run > 2.0)
+          println(f"[q75]   stage ${s.stageId} taskTime $run%.1f s tasks ${s.numTasks} ${s.name.take(80)}")
+      }
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobStart.put(e.jobId, (System.nanoTime(), taskMs.get()))
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val st = jobStart.remove(e.jobId)
+        if (st != null) {
+          val wall = (System.nanoTime() - st._1) / 1e9
+          val task = (taskMs.get() - st._2) / 1e3
+          if (wall > 1.0)
+            println(f"[q75]   job ${e.jobId} wall $wall%.2f s taskTime $task%.2f s")
+        }
+      }
+    })
+    def ts[A](name: String)(f: => A): A = {
+      val s0 = stallMs.get(); val t0 = System.nanoTime(); val r = f
+      println(f"[q75] $name ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+        f"(host stall ${(stallMs.get() - s0) / 1000.0}%.2f s)"); r
+    }
     // bench-shape (mirrors the q75 query incl. its per-run cache
     // release, so run 2 honestly re-executes instead of reading run
     // 1's leaked caches)
-    def q75run(): Unit = {
+    def q75run(tag: String): Unit = {
       val docs = Tables.documents(spark, d)
       val corpus = docs.filter(col("doc_id") < 250)
       val batch = docs.filter(col("doc_id") >= 250)
-      val sigs = NearDup.minhashSignatures(corpus, "doc_id", "text")
-      val (admitted, _, release) = NearDup.incrementalDedupManaged(
-        sigs, batch, "doc_id", "text", threshold = 0.8)
-      try batch.select("doc_id")
+      val sigs = ts(s"$tag corpus sigs build")(
+        NearDup.minhashSignatures(corpus, "doc_id", "text"))
+      val (admitted, _, release) = ts(s"$tag manage (eager stages)")(
+        NearDup.incrementalDedupManaged(
+          sigs, batch, "doc_id", "text", threshold = 0.8))
+      try ts(s"$tag final write")(batch.select("doc_id")
         .join(admitted.select("doc_id"), Seq("doc_id"), "left_anti")
-        .write.mode("overwrite").format("noop").save()
-      finally release()
+        .write.mode("overwrite").format("noop").save())
+      finally ts(s"$tag release")(release())
     }
-    t("bench run 1")(q75run())
-    t("bench run 2")(q75run())
+    ts("bench run 1")(q75run("r1"))
+    ts("bench run 2")(q75run("r2"))
+    ts("bench run 3")(q75run("r3"))
 
     // stage splits mirroring the checkpointed incrementalDedup body
     val docs = Tables.documents(spark, d)

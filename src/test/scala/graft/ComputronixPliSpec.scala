@@ -54,4 +54,30 @@ class ComputronixPliSpec extends SparkSpec {
     assert(r2.getAs[String]("obj_address") === null)
     assert(r2.isNullAt(r2.fieldIndex("issue_date_UNIX")), "unparseable date")
   }
+
+  test("globalSurrogateId == naive global row_number: bucket boundaries, " +
+    "ties, negatives, NULLs-first") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // orderCol values straddle bucket edges (bucketWidth=10), repeat
+    // (tie-break on k2), go negative (truncating-div bucket), and
+    // include NULL (must sort first)
+    val rows = Seq[(java.lang.Long, String)](
+      (25L, "b"), (25L, "a"), (9L, "z"), (10L, "m"), (11L, "m"),
+      (-3L, "n"), (-13L, "n"), (0L, "q"), (null, "x"), (null, "w"),
+      (19L, "k"), (20L, "k"), (21L, "k"))
+      .toDF("ord", "k2")
+    val got = graft.operators.DedupOps
+      .globalSurrogateId(rows, "ord", Seq("k2"), "sid", bucketWidth = 10L)
+      .select("ord", "k2", "sid")
+    val want = rows.withColumn("sid",
+      row_number().over(Window.orderBy(col("ord").asc_nulls_first, col("k2").asc))
+        .cast("long"))
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+      "two-level surrogate must reproduce the single-window numbering exactly")
+    // dense 1..N
+    val ids = got.select("sid").as[Long].collect().sorted
+    assert(ids === (1L to rows.count()).toArray)
+  }
 }

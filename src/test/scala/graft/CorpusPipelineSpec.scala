@@ -411,4 +411,26 @@ class CorpusPipelineSpec extends SparkSpec {
       .distinct().join(kept, Seq("vec_id"), "left_anti")
     assert(danglingKeepers.count() === 0, "every keeper survives the drop")
   }
+
+  test("curate semantic stage: embedding dups of surviving docs dropped, " +
+    "no over-threshold pair remains among survivors with embeddings") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val embs = Tables.embeddings(spark, sf("sf0.001"))
+    val (out, report) = CorpusPipeline.curate(
+      docs, langs = Seq("en", "zh"),
+      gates = CorpusPipeline.QualityGates(
+        minTokens = 5, minAlphaRatio = 0.3, maxPunctRatio = 0.5, minStopwordRatio = 0.0),
+      semanticOpt = Some((embs, "vec_id", "embedding", 0.45)))
+    assert(report("after_semantic_dedup") <= report("after_near_dedup"))
+    assert(out.count() === report("final"))
+    // survivors' embeddings contain no over-threshold pair: if two
+    // survivors were cosine-dups they'd share a component and only one
+    // could have been kept
+    val aliveEmbs = embs.join(
+      out.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    assert(aliveEmbs.count() > 0, "id domains must overlap or the stage is vacuous")
+    val residual = graft.dedup.NearDup.cosineDupPairs(
+      aliveEmbs, "vec_id", "embedding", threshold = 0.45)
+    assert(residual.count() === 0, "no semantic dup pair among survivors")
+  }
 }
