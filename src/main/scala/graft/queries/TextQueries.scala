@@ -134,6 +134,19 @@ object TextQueries {
           count(lit(1)).as("n_queries"),
           sum(when(col("recall") >= 0.3, 1L).otherwise(0L)).as("queries_recall_ge_30pct"),
           when(avg(col("recall")) >= 0.6, 1L).otherwise(0L).as("mean_recall_ge_60pct"))
+    }),
+
+    // symmetric int8 scalar quantization (4× ANN scan-bandwidth cut):
+    // codes are bit-exact cross-engine because both sides evaluate the
+    // SAME double formula floor(x / scale * 127 + 0.5)
+    "q89_quantize_int8" -> ((s, d) => {
+      // the array is flattened to CSV for the oracle hash (same
+      // convention as the TO_JSON_STRING child-array export): the
+      // driver compare sorts rows by every column, and raw arrays are
+      // unhashable there
+      Ann.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          concat_ws(",", col("qvec")).as("qvec_csv"))
     })
   )
 
@@ -269,6 +282,18 @@ object TextQueries {
     "q52_ivf_recall" ->
       """SELECT CAST(20 AS BIGINT) AS n_queries,
         |  CAST(20 AS BIGINT) AS queries_recall_ge_30pct,
-        |  CAST(1 AS BIGINT) AS mean_recall_ge_60pct""".stripMargin
+        |  CAST(1 AS BIGINT) AS mean_recall_ge_60pct""".stripMargin,
+
+    // genuine independent recomputation: identical IEEE-double formula
+    // => identical int8 codes in any engine
+    "q89_quantize_int8" ->
+      """SELECT vec_id, round(scale, 6) AS scale,
+        |  array_to_string(list_transform(embedding::DOUBLE[],
+        |    x -> CASE WHEN scale = 0 THEN 0
+        |              ELSE CAST(floor(x / scale * 127 + 0.5) AS INTEGER) END), ',') AS qvec_csv
+        |FROM (
+        |  SELECT vec_id, embedding,
+        |    list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') AS scale
+        |  FROM embeddings)""".stripMargin
   )
 }

@@ -202,4 +202,33 @@ object Ann {
     // at <= k rows per query instead of every scored row
     finishTopK(scored, corpus.schema(cId).dataType, k)
   }
+
+  /** Symmetric int8 scalar quantization of an embedding column: per
+    * vector, scale = max |x_i| and q_i = floor(x_i / scale * 127 +
+    * 0.5) — a 4× storage/scan-bandwidth cut for ANN candidate
+    * generation (rerank on the float vectors as usual). Map-only pure
+    * expressions (codegen'd, no UDF, no shuffle); the scale is
+    * let-bound so the max-abs pass runs once per vector, not once per
+    * element. A zero vector quantizes to zeros, not NULLs/NaNs.
+    *
+    * All arithmetic is double with the SAME operation order as the
+    * documented SQL form (`x / scale * 127`), so any engine computing
+    * that formula over IEEE doubles reproduces the codes bit-exactly —
+    * asserted cross-engine by the q89 oracle.
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val asDouble = transform(col(vecCol), x => x.cast(DoubleType))
+    val out = graft.expressions.ExprOps.bind(asDouble) { v =>
+      graft.expressions.ExprOps.bind(array_max(transform(v, x => abs(x)))) { scale =>
+        struct(
+          scale.as("scale"),
+          transform(v, x =>
+            when(scale === 0d, lit(0))
+              .otherwise(floor(x / scale * 127d + 0.5d).cast(IntegerType)))
+            .as("qvec"))
+      }
+    }
+    df.select(col(idCol), out.getField("scale").as("scale"),
+      out.getField("qvec").as("qvec"))
+  }
 }

@@ -151,4 +151,33 @@ class FinanceSinksSpec extends SparkSpec {
     assert(r3 >= r0, s"deeper probing must not lose recall (d0=$r0 d3=$r3)")
     assert(r3 >= 0.5, s"Hamming-3 probing recall too low: $r3")
   }
+
+  test("quantizeInt8: codes in [-127,127], dequantization error <= scale/254 " +
+    "per element, zero vector -> zeros, map-only plan") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+      .unionByName(Seq((99999L, Array.fill(8)(0f), 0))
+        .toDF("vec_id", "embedding", "label"))
+    val q = Ann.quantizeInt8(emb, "vec_id", "embedding")
+    val joined = q.join(emb, "vec_id")
+      .select(col("vec_id"), col("scale"), col("qvec"), col("embedding"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val scale = r.getDouble(1)
+      val codes = r.getSeq[Int](2)
+      val orig  = r.getSeq[Float](3)
+      assert(codes.forall(c => c >= -127 && c <= 127),
+        s"vec ${r.getLong(0)}: code out of range")
+      if (scale == 0d) assert(codes.forall(_ == 0), "zero vector must quantize to zeros")
+      else codes.zip(orig).foreach { case (c, x) =>
+        // floor(t + 0.5) rounds to nearest: |x - c*scale/127| <= scale/254
+        assert(math.abs(x.toDouble - c * scale / 127d) <= scale / 254d + 1e-12,
+          s"vec ${r.getLong(0)}: dequantization error beyond half a step")
+      }
+    }
+    // pure row map: no exchange anywhere in the plan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quantization must not shuffle:\n$plan")
+  }
 }
