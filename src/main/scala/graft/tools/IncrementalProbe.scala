@@ -25,6 +25,7 @@ object IncrementalProbe {
     val reps  = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 8, 32, 64)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

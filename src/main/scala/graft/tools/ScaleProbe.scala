@@ -21,6 +21,7 @@ object ScaleProbe {
     val reps  = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 2, 4)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
