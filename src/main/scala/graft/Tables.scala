@@ -33,16 +33,21 @@ object Tables {
 
   /** Normalize an events frame's `ts` to TimestampType regardless of
     * which physical form it was read in. Works on batch and streaming
-    * frames alike (schema-only dispatch, no action).
+    * frames alike (schema-only dispatch, no action). Every branch is
+    * SESSION-TIMEZONE-INDEPENDENT: the NTZ wall clock is pinned to UTC
+    * explicitly (a bare cast would interpret it in the session zone,
+    * silently shifting every instant in a session that forgot to set
+    * spark.sql.session.timeZone=UTC), and the nanos-long branch is
+    * epoch-based to begin with.
     */
   def normalizeTs(raw: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr}
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     raw.schema("ts").dataType match {
       // integer `div` keeps full 64-bit precision (a double division
       // would round at the 2^53 mantissa limit for nano-scale epochs)
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType => raw.withColumn("ts", expr("to_utc_timestamp(ts, 'UTC')"))
       case _                => raw
     }
   }

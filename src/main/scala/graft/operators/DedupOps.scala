@@ -58,26 +58,29 @@ object DedupOps {
     * `orderCol` must be integral (unix time, epoch days, a numeric
     * key). NULL `orderCol` rows sort first (SQL NULLS FIRST) via a
     * dedicated minimum bucket. Output ids are 1-based, dense, LongType.
+    *
+    * The input is consumed TWICE (bucket-count aggregation + the final
+    * join) — callers whose input is an expensive unpersisted lineage
+    * should materialize it first (persist/localCheckpoint), as the PLI
+    * latest-update feed does.
     */
   def globalSurrogateId(df: DataFrame, orderCol: String, tieBreaks: Seq[String],
                         outCol: String, bucketWidth: Long = 86400L): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth: $bucketWidth")
     // integer `div` keeps full 64-bit precision (double division would
     // round past 2^53) and truncating division is monotone
-    // non-decreasing, which is all bucketing needs
+    // non-decreasing, which is all bucketing needs; NULL orderCol rows
+    // get a dedicated minimum bucket (SQL NULLS FIRST)
     val bucket = coalesce(
       expr(s"`$orderCol` div ${bucketWidth}L").cast("long"),
       lit(Long.MinValue))
-    val withB = df.withColumn("__b", bucket)
-    val offsets = withB.groupBy("__b").agg(count(lit(1)).as("__n"))
-      .withColumn("__off", coalesce(
-        sum("__n").over(Window.orderBy("__b")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__b"), col("__off"))
-    val w = Window.partitionBy("__b")
-      .orderBy(col(orderCol).asc_nulls_first +: tieBreaks.map(col(_).asc): _*)
-    withB.join(broadcast(offsets), Seq("__b"))
-      .withColumn(outCol, row_number().over(w).cast("long") + col("__off"))
-      .drop("__b", "__off")
+    val (bucketed, wi) = TwoLevelCumsum.withOffsets(
+      df, bucket, lit(1L),
+      col(orderCol).asc_nulls_first +: tieBreaks.map(col(_).asc))
+    // sum-of-ones instead of row_number: same numbering, and a single
+    // bucket holding more than 2^31 rows cannot overflow it
+    bucketed
+      .withColumn(outCol, col("__off") + sum("__w").over(wi))
+      .drop("__b", "__w", "__off")
   }
 }

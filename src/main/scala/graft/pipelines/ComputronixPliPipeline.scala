@@ -129,11 +129,15 @@ object ComputronixPliPipeline {
   def latestUpdateActive(cde: DataFrame): DataFrame = {
     val maxVals = cde.groupBy("parc_num")
       .agg(max("create_date_UNIX").as("__max_date"))
+    // materialized once: the surrogate-id scaffold consumes its input
+    // twice (bucket-count aggregation + the final join), and without
+    // the barrier the grouped-max join above would execute twice
     val latest = cde.join(maxVals,
         cde("parc_num") === maxVals("parc_num") &&
           cde("create_date_UNIX") === maxVals("__max_date"))
       .drop(maxVals("parc_num")).drop("__max_date")
       .where(col("insp_status") === "Active")
+      .localCheckpoint()
     graft.operators.DedupOps.globalSurrogateId(
       latest, "create_date_UNIX", Seq("parc_num"), "parc_unique_id")
   }

@@ -290,20 +290,14 @@ object CorpusPipeline {
     */
   def tokenBudget(docs: DataFrame, idCol: String, textCol: String,
                   budget: Long, bucketSize: Long = 100000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toked = docs
       .withColumn("__n_tok", TextOps.tokenCount(col(textCol)).cast("long"))
-      .withColumn("__b", floor(col(idCol) / bucketSize))
-    val wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = toked.groupBy("__b").agg(sum("__n_tok").as("__bt"))
-      .withColumn("__off", coalesce(sum("__bt").over(wb), lit(0L)))
-      .select("__b", "__off")
-    val wi = Window.partitionBy("__b").orderBy(idCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    toked.join(broadcast(offsets), "__b")
-      .withColumn("__cum", col("__off") + sum("__n_tok").over(wi))
+    val (bucketed, wi) = graft.operators.TwoLevelCumsum.withOffsets(
+      toked, expr(s"`$idCol` div ${bucketSize}L"), col("__n_tok"), Seq(col(idCol)))
+    bucketed
+      .withColumn("__cum", col("__off") + sum("__w").over(wi))
       .filter(col("__cum") <= budget)
-      .drop("__n_tok", "__b", "__cum")
+      .drop("__n_tok", "__b", "__w", "__off", "__cum")
   }
 
   /** Sequence packing, concat-then-chunk style: documents are laid out
@@ -318,21 +312,15 @@ object CorpusPipeline {
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     packLen: Long, bucketSize: Long = 100000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(packLen > 0, s"packLen must be positive, got $packLen")
     val toked = docs
       .withColumn("__n_tok", TextOps.tokenCount(col(textCol)).cast("long"))
-      .withColumn("__b", floor(col(idCol) / bucketSize))
-    val wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = toked.groupBy("__b").agg(sum("__n_tok").as("__bt"))
-      .withColumn("__off", coalesce(sum("__bt").over(wb), lit(0L)))
-      .select("__b", "__off")
-    val wi = Window.partitionBy("__b").orderBy(idCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    toked.join(broadcast(offsets), "__b")
-      .withColumn("__start", col("__off") + sum("__n_tok").over(wi) - col("__n_tok"))
+    val (bucketed, wi) = graft.operators.TwoLevelCumsum.withOffsets(
+      toked, expr(s"`$idCol` div ${bucketSize}L"), col("__n_tok"), Seq(col(idCol)))
+    bucketed
+      .withColumn("__start", col("__off") + sum("__w").over(wi) - col("__n_tok"))
       .select(col(idCol), col("__n_tok").as("n_tokens"),
-        floor(col("__start") / packLen).as("pack_id"),
+        expr(s"__start div ${packLen}L").as("pack_id"),
         (col("__start") % packLen).as("pack_offset"))
   }
 
@@ -633,17 +621,27 @@ object CorpusPipeline {
     (out, () => if (persistSpans) sp.unpersist(blocking = false))
   }
 
+  /** Semantic-dedup stage config for [[curate]]. The LSH band
+    * parameters are part of the config because they are a corpus-shape
+    * knob (see [[graft.dedup.NearDup.lshCosinePairsBanded]]): the
+    * defaults are the q51-proven full-recall setting for near-uniform
+    * embeddings; clustered near-dup corpora want fewer, wider bands.
+    */
+  final case class SemanticDedup(embs: DataFrame, embIdCol: String,
+                                 vecCol: String, threshold: Double,
+                                 bands: Int = 96, bitsPerBand: Int = 6)
+
   /** Full curation: optional boilerplate-line removal → quality gates →
     * language filter → exact dedup → near-dup clustering → optional
     * embedding-space semantic dedup → optional duplicated-span gate →
     * optional benchmark decontamination → optional token budget. Stage
     * counts are returned for the curation report.
     *
-    * `semanticOpt = (embeddings, embIdCol, vecCol, threshold)` runs
-    * [[semanticDedupLabels]] over the embeddings of the documents
-    * STILL ALIVE after near-dup (ids must share the document id
-    * domain) — restricting first means a doc can never be dropped in
-    * favor of a keeper that an earlier stage already removed.
+    * `semanticOpt` runs [[semanticDedupLabels]] over the embeddings of
+    * the documents STILL ALIVE after near-dup (ids must share the
+    * document id domain) — restricting first means a doc can never be
+    * dropped in favor of a keeper that an earlier stage already
+    * removed.
     */
   def curate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
              langs: Seq[String] = Seq("en"),
@@ -653,7 +651,7 @@ object CorpusPipeline {
              boilerplateMaxDocs: Option[Int] = None,
              benchmarkOpt: Option[(DataFrame, String, Int)] = None,
              dupSpanOpt: Option[(Int, Double)] = None,
-             semanticOpt: Option[(DataFrame, String, String, Double)] = None)
+             semanticOpt: Option[SemanticDedup] = None)
       : (DataFrame, Map[String, Long]) = {
     // Per-stage counts are part of the contract (the curation report),
     // but a bare count() per stage re-runs every earlier stage — an
@@ -688,11 +686,12 @@ object CorpusPipeline {
     // computed over the embeddings of SURVIVING docs only, so every
     // dropped doc's keeper is itself still in the corpus
     val (sd, n4a) = semanticOpt match {
-      case Some((embs, embIdCol, vecCol, thr)) =>
-        val alive = embs.join(nd.select(col(idCol).as(embIdCol)),
-          Seq(embIdCol), "left_semi")
-        val dropped = semanticDedupLabels(alive, embIdCol, vecCol, thr)
-          .select(col(embIdCol).as(idCol))
+      case Some(cfg) =>
+        val alive = cfg.embs.join(nd.select(col(idCol).as(cfg.embIdCol)),
+          Seq(cfg.embIdCol), "left_semi")
+        val dropped = semanticDedupLabels(alive, cfg.embIdCol, cfg.vecCol,
+            cfg.threshold, cfg.bands, cfg.bitsPerBand)
+          .select(col(cfg.embIdCol).as(idCol))
         staged(nd.join(dropped, Seq(idCol), "left_anti"), Some(nd))
       case None => (nd, n4)
     }

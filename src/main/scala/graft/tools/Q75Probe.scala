@@ -49,7 +49,12 @@ object Q75Probe {
     ticker.setDaemon(true); ticker.start()
     // job-level profiler: wall vs summed executor task time — a slow
     // job with small task time is scheduler/driver-side; huge task
-    // time is CPU inside tasks
+    // time is CPU inside tasks. CAVEAT: taskMs is one global counter,
+    // so when jobs overlap (broadcast-exchange builds run on separate
+    // threads alongside the main action) a job's printed delta also
+    // absorbs the overlap's task time — treat job lines as "CPU burned
+    // somewhere in this window", and use the per-STAGE lines below
+    // (attribution-exact) to pin the burner
     val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()

@@ -420,7 +420,7 @@ class CorpusPipelineSpec extends SparkSpec {
       docs, langs = Seq("en", "zh"),
       gates = CorpusPipeline.QualityGates(
         minTokens = 5, minAlphaRatio = 0.3, maxPunctRatio = 0.5, minStopwordRatio = 0.0),
-      semanticOpt = Some((embs, "vec_id", "embedding", 0.45)))
+      semanticOpt = Some(CorpusPipeline.SemanticDedup(embs, "vec_id", "embedding", 0.45)))
     assert(report("after_semantic_dedup") <= report("after_near_dedup"))
     assert(out.count() === report("final"))
     // survivors' embeddings contain no over-threshold pair: if two
