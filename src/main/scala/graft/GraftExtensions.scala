@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{CosineSim, JaccardSim, TextStats}
+import graft.expressions.{CosineSim, JaccardSim, NfcNormalize, TextStats}
 import graft.functions.RefFunctions
 import graft.text.TextOps
 import org.apache.spark.sql.SparkSessionExtensions
@@ -47,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("normalize_text"),
       info("normalize_text", "normalize_text(s) - lowercase, strip punctuation, collapse whitespace"),
       normalizeTextBuilder))
+    e.injectFunction((FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(s) - canonical Unicode NFC normalization"),
+      (args: Seq[Expression]) => NfcNormalize(args.head)))
     e.injectFunction((FunctionIdentifier("hash_bucket"),
       info("hash_bucket", "hash_bucket(k) - uniform [0, 2^32) md5 bucket of the key"),
       hashBucketBuilder))
@@ -85,6 +88,8 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_text_stats",
       (args: Seq[Expression]) => TextStats(args.head, Seq(TextOps.EnStopwords)), "scala_udf")
     reg.createOrReplaceTempFunction("normalize_text", normalizeTextBuilder, "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      (args: Seq[Expression]) => NfcNormalize(args.head), "scala_udf")
     reg.createOrReplaceTempFunction("hash_bucket", hashBucketBuilder, "scala_udf")
     registerUdfs(spark)
   }

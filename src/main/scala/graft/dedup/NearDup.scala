@@ -42,6 +42,18 @@ object NearDup {
   def exactDedupNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame =
     exactDedupBy(df, idCol, md5(TextOps.normalizeText(col(textCol))))
 
+  /** Unicode-canonical exact dedup: the digest is taken over the NFC
+    * normalization of the text, so strings that render identically but
+    * differ in code-point sequence (precomposed é vs e + combining
+    * acute — common across scraped sources and OCR) collapse to one.
+    * Same single digest-key shuffle; the normalizer is a codegen'd
+    * expression with an ASCII fast path ([[graft.expressions
+    * .TextExpressions]]).
+    */
+  def exactDedupNfc(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactDedupBy(df, idCol,
+      md5(graft.expressions.TextExpressions.nfc_normalize(col(textCol))))
+
   /** Shared kernel: group by an arbitrary digest expression, keep the
     * lowest id per group with `dup_count`. A NULL digest (NULL text)
     * forms one group like any other (SQL GROUP BY semantics) instead

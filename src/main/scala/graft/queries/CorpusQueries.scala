@@ -30,6 +30,17 @@ object CorpusQueries {
   private val benchTexts: Seq[String] =
     Seq("key agg row scan", "batch window spark order")
 
+  /** NFC fixture: ids 1/2 and 4/5 are the precomposed vs
+    * combining-mark spellings of the same rendered text; 3 is plain
+    * ASCII and must NOT merge with them.
+    */
+  private val nfcDocs: Seq[(Long, String)] = Seq(
+    (1L, "café menu"),        // precomposed é (U+00E9)
+    (2L, "café menu"),       // e + combining acute (U+0301)
+    (3L, "cafe menu"),             // plain ASCII
+    (4L, "naïve approach"),   // precomposed ï (U+00EF)
+    (5L, "naïve approach"))  // i + combining diaeresis (U+0308)
+
   val queries: Map[String, Q] = Map(
     "q72_line_dedup" -> ((s, _) => {
       import s.implicits._
@@ -176,6 +187,19 @@ object CorpusQueries {
     "q88_semantic_dedup" -> ((s, d) => {
       CorpusPipeline.semanticDedupLabels(Tables.embeddings(s, d),
         "vec_id", "embedding", threshold = 0.45)
+    }),
+
+    // Unicode-canonical dedup: precomposed vs combining-mark spellings
+    // of the same rendered text collapse under the NFC digest. The
+    // oracle recomputes with DuckDB's ICU nfc_normalize — a JDK-vs-ICU
+    // UAX#15 agreement check, not a pinned literal.
+    "q90_nfc_dedup" -> ((s, _) => {
+      import s.implicits._
+      graft.dedup.NearDup.exactDedupNfc(
+          nfcDocs.toDF("doc_id", "text"), "doc_id", "text")
+        .select(col("doc_id"),
+          graft.expressions.TextExpressions.nfc_normalize(col("text")).as("norm"),
+          col("dup_count"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -399,5 +423,21 @@ object CorpusQueries {
         |)
         |SELECT node AS vec_id, min(anc) AS kept_id
         |FROM reach GROUP BY node
-        |HAVING min(anc) < node""".stripMargin)
+        |HAVING min(anc) < node""".stripMargin,
+
+    // ICU recomputation of the JDK-normalized result (UAX#15 is an
+    // exact spec — both must agree byte-for-byte)
+    "q90_nfc_dedup" ->
+      """WITH docs(doc_id, text) AS (VALUES
+        |  (1, 'caf' || chr(233) || ' menu'),
+        |  (2, 'cafe' || chr(769) || ' menu'),
+        |  (3, 'cafe menu'),
+        |  (4, 'na' || chr(239) || 've approach'),
+        |  (5, 'nai' || chr(776) || 've approach')
+        |), normed AS (
+        |  SELECT doc_id, nfc_normalize(text) AS norm FROM docs
+        |)
+        |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, norm,
+        |  count(*) AS dup_count
+        |FROM normed GROUP BY norm""".stripMargin)
 }

@@ -41,6 +41,13 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getLong(1) >= 0L && r.getLong(1) < 4294967296L)
   }
 
+  test("nfc_normalize composes combining marks from SQL") {
+    // 'cafe' + U+0301 combining acute must compose to the U+00E9 form
+    val r = spark.sql(
+      "SELECT nfc_normalize(concat('cafe', '́', ' menu')) AS n").head()
+    assert(r.getString(0) === "café menu")
+  }
+
   test("parity UDFs callable from SQL") {
     val r = spark.sql(
       """SELECT standardize_parcel('1-X-1-1-1') AS parc,

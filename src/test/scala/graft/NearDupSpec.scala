@@ -165,4 +165,24 @@ class NearDupSpec extends SparkSpec {
       grown, incoming.filter(!$"doc_id".isin(13L, 15L)), "doc_id", "text", threshold = 0.7)
     assert(again.count() === 0)
   }
+
+  test("exactDedupNfc: precomposed and combining-mark spellings collapse, " +
+    "ASCII lookalike stays distinct, NULL survives") {
+    val docs = Seq(
+      (1L, "café menu"),          // precomposed é
+      (2L, "café menu"),         // e + combining acute: same NFC
+      (3L, "cafe menu"),               // ASCII — different text
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val kept = NearDup.exactDedupNfc(docs, "doc_id", "text")
+      .select("doc_id", "dup_count").as[(Long, Long)].collect().toMap
+    assert(kept === Map(1L -> 2L, 3L -> 1L, 4L -> 1L),
+      "composed/decomposed must merge under the min id; ASCII and NULL stay")
+    // the normalizer itself: decomposed -> composed bytes, ASCII untouched
+    val norm = docs.select(
+      graft.expressions.TextExpressions.nfc_normalize($"text").as("n"))
+      .as[String].collect()
+    assert(norm(0) === "café menu" && norm(1) === "café menu")
+    assert(norm(2) === "cafe menu" && norm(3) === null)
+  }
 }
