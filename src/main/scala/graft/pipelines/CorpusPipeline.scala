@@ -65,6 +65,30 @@ object CorpusPipeline {
   def minLabelComponentsWithRounds(
       nodes: DataFrame, pairs: DataFrame, maxIter: Int = 50,
       smallEdgeLimit: Long = 100000L): (DataFrame, Int) = {
+    // The fixpoint hand-partitions its cache on purpose, so AQE must
+    // not re-plan cached output INSIDE this operator: with
+    // canChangeCachedPlanOutputPartitioning=true (the engine-wide
+    // session default, right for one-shot KB-sized caches) AQE
+    // coalesces the cached edge list by BYTES, and a row-heavy but
+    // byte-light edge set serializes every round's join — measured 2×
+    // on the 262k-edge long-chain CcProbe graph (19 rounds). Scoped
+    // save/restore: the loop's checkpoints and convergence counts all
+    // execute inside this method, so the toggle covers every action
+    // that touches the edges cache.
+    val sess = nodes.sparkSession
+    val AqeCachedKey = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    val prevAqeCached = sess.conf.getOption(AqeCachedKey)
+    sess.conf.set(AqeCachedKey, "false")
+    try minLabelComponentsBody(nodes, pairs, maxIter, smallEdgeLimit)
+    finally prevAqeCached match {
+      case Some(v) => sess.conf.set(AqeCachedKey, v)
+      case None    => sess.conf.unset(AqeCachedKey)
+    }
+  }
+
+  private def minLabelComponentsBody(
+      nodes: DataFrame, pairs: DataFrame, maxIter: Int,
+      smallEdgeLimit: Long): (DataFrame, Int) = {
     // undirected edges both ways, hash-partitioned on the propagation
     // join key: the cached InMemoryRelation then reports
     // hashpartitioning(id_b) and the per-round join reuses it with NO
