@@ -29,7 +29,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - redact_pii(s)          — regex PII redaction w/ place protection
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  import GraftExtensions.{hashBucketBuilder, normalizeTextBuilder}
+  import GraftExtensions.{expectArgs, hashBucketBuilder, normalizeTextBuilder}
 
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
@@ -37,19 +37,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two numeric arrays"),
-      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+      expectArgs("cosine_sim", 2)(args => CosineSim(args(0), args(1)))))
     e.injectFunction((FunctionIdentifier("jaccard_sim"),
       info("jaccard_sim", "jaccard_sim(a, b) - Jaccard similarity of two string arrays"),
-      (args: Seq[Expression]) => JaccardSim(args(0), args(1))))
+      expectArgs("jaccard_sim", 2)(args => JaccardSim(args(0), args(1)))))
     e.injectFunction((FunctionIdentifier("graft_text_stats"),
       info("graft_text_stats", "graft_text_stats(s) - single-pass text statistics"),
-      (args: Seq[Expression]) => TextStats(args.head, Seq(TextOps.EnStopwords))))
+      expectArgs("graft_text_stats", 1)(args =>
+        TextStats(args.head, Seq(TextOps.EnStopwords)))))
     e.injectFunction((FunctionIdentifier("normalize_text"),
       info("normalize_text", "normalize_text(s) - lowercase, strip punctuation, collapse whitespace"),
       normalizeTextBuilder))
     e.injectFunction((FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(s) - canonical Unicode NFC normalization"),
-      (args: Seq[Expression]) => NfcNormalize(args.head)))
+      expectArgs("nfc_normalize", 1)(args => NfcNormalize(args.head))))
     e.injectFunction((FunctionIdentifier("hash_bucket"),
       info("hash_bucket", "hash_bucket(k) - uniform [0, 2^32) md5 bucket of the key"),
       hashBucketBuilder))
@@ -61,19 +62,38 @@ object GraftExtensions {
   import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Lower, Md5, RegExpReplace, StringTrim, Substring}
   import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
 
+  /** Arity guard for function builders: a wrong-arity SQL call gets a
+    * proper AnalysisException (Spark's own WRONG_NUM_ARGS error class)
+    * instead of the builder's NoSuchElementException / silent
+    * truncation to the first argument (ADVICE r7).
+    */
+  private[graft] def expectArgs(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args =>
+      if (args.size == n) build(args)
+      else throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> n.toString,
+          "actualNum" -> args.size.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+
   /** Catalyst twins of `TextOps.normalizeText` / `SplitOps.hashBucket`
     * (the column-API trees arrive at the function registry as
     * unresolved column nodes, which the SQL path cannot evaluate, so
     * the trees are built from expression classes directly).
     * GraftExtensionsSpec asserts SQL and DataFrame results agree.
     */
-  private[graft] val normalizeTextBuilder: Seq[Expression] => Expression = args =>
-    StringTrim(RegExpReplace(
-      RegExpReplace(Lower(args.head), Literal("[^\\p{L}\\p{N}\\s]"), Literal("")),
-      Literal("\\s+"), Literal(" ")))
-  private[graft] val hashBucketBuilder: Seq[Expression] => Expression = args =>
-    Cast(Conv(Substring(Md5(Cast(Cast(args.head, StringType), BinaryType)),
-      Literal(1), Literal(8)), Literal(16), Literal(10)), LongType)
+  private[graft] val normalizeTextBuilder: Seq[Expression] => Expression =
+    expectArgs("normalize_text", 1)(args =>
+      StringTrim(RegExpReplace(
+        RegExpReplace(Lower(args.head), Literal("[^\\p{L}\\p{N}\\s]"), Literal("")),
+        Literal("\\s+"), Literal(" "))))
+  private[graft] val hashBucketBuilder: Seq[Expression] => Expression =
+    expectArgs("hash_bucket", 1)(args =>
+      Cast(Conv(Substring(Md5(Cast(Cast(args.head, StringType), BinaryType)),
+        Literal(1), Literal(8)), Literal(16), Literal(10)), LongType))
 
   /** Install on a LIVE session (builder extensions only apply to new
     * sessions): registers the expression functions through the
@@ -82,14 +102,15 @@ object GraftExtensions {
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim",
-      (args: Seq[Expression]) => CosineSim(args(0), args(1)), "scala_udf")
+      expectArgs("cosine_sim", 2)(args => CosineSim(args(0), args(1))), "scala_udf")
     reg.createOrReplaceTempFunction("jaccard_sim",
-      (args: Seq[Expression]) => JaccardSim(args(0), args(1)), "scala_udf")
+      expectArgs("jaccard_sim", 2)(args => JaccardSim(args(0), args(1))), "scala_udf")
     reg.createOrReplaceTempFunction("graft_text_stats",
-      (args: Seq[Expression]) => TextStats(args.head, Seq(TextOps.EnStopwords)), "scala_udf")
+      expectArgs("graft_text_stats", 1)(args =>
+        TextStats(args.head, Seq(TextOps.EnStopwords))), "scala_udf")
     reg.createOrReplaceTempFunction("normalize_text", normalizeTextBuilder, "scala_udf")
     reg.createOrReplaceTempFunction("nfc_normalize",
-      (args: Seq[Expression]) => NfcNormalize(args.head), "scala_udf")
+      expectArgs("nfc_normalize", 1)(args => NfcNormalize(args.head)), "scala_udf")
     reg.createOrReplaceTempFunction("hash_bucket", hashBucketBuilder, "scala_udf")
     registerUdfs(spark)
   }

@@ -35,10 +35,16 @@ object Tables {
     * which physical form it was read in. Works on batch and streaming
     * frames alike (schema-only dispatch, no action). Every branch is
     * SESSION-TIMEZONE-INDEPENDENT: the NTZ wall clock is pinned to UTC
-    * explicitly (a bare cast would interpret it in the session zone,
-    * silently shifting every instant in a session that forgot to set
-    * spark.sql.session.timeZone=UTC), and the nanos-long branch is
-    * epoch-based to begin with.
+    * via pure NTZ wall-clock arithmetic — micros between the NTZ epoch
+    * literal and the value, re-materialized with `timestamp_micros` —
+    * which never consults the session zone. The earlier
+    * `to_utc_timestamp(ts, 'UTC')` form did NOT do this: NTZ input is
+    * first implicitly cast to TimestampType IN THE SESSION ZONE (the
+    * function's inputTypes are TimestampType-only) and
+    * `to_utc_timestamp(x, 'UTC')` is then an identity on the instant,
+    * so a session at Asia/Tokyo silently shifted every instant by 9 h
+    * (verified empirically; TimeOpsSpec pins the fix under a non-UTC
+    * session zone). The nanos-long branch is epoch-based to begin with.
     */
   def normalizeTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.expr
@@ -47,7 +53,8 @@ object Tables {
       // integer `div` keeps full 64-bit precision (a double division
       // would round at the 2^53 mantissa limit for nano-scale epochs)
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => raw.withColumn("ts", expr("to_utc_timestamp(ts, 'UTC')"))
+      case TimestampNTZType => raw.withColumn("ts", expr(
+        "timestamp_micros(timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts))"))
       case _                => raw
     }
   }

@@ -61,6 +61,15 @@ object CorpusPipeline {
   /** [[minLabelComponents]] plus the number of distributed fixpoint
     * rounds executed (0 when the size gate routed to the driver-side
     * union-find) — the observable the CC scaling probe tables.
+    *
+    * CONCURRENCY CONTRACT: the AQE cached-plan toggle below mutates a
+    * SESSION-global conf with save/restore, so this operator assumes no
+    * OTHER query runs on the same SparkSession while a CC fixpoint is
+    * in flight — a concurrent query would silently lose cached-plan
+    * AQE for its duration, and interleaved CC calls could restore a
+    * stale value. Callers that need CC concurrently with streaming or
+    * parallel actions should run it on `spark.newSession()` (shared
+    * SparkContext and cache, isolated conf).
     */
   def minLabelComponentsWithRounds(
       nodes: DataFrame, pairs: DataFrame, maxIter: Int = 50,

@@ -184,6 +184,11 @@ object CorpusQueries {
     // min id per cluster. Output = dropped -> keeper mapping; oracle
     // recomputes it independently with quadratic cosine + recursive-CTE
     // reachability (true min-label components, not pinned).
+    // KNOWN SENSITIVITY (ADVICE r7): full LSH recall at (96, 6) is
+    // empirical for the CURRENT embeddings distribution; if the driver
+    // ever regenerates embeddings.parquet (as it does events.parquet),
+    // a recall miss here is a parameter-tuning signal (re-run
+    // tools.CosineLshProbe), not a code bug.
     "q88_semantic_dedup" -> ((s, d) => {
       CorpusPipeline.semanticDedupLabels(Tables.embeddings(s, d),
         "vec_id", "embedding", threshold = 0.45)

@@ -58,6 +58,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getString(2) === "[PERSON_NAME] was here")
   }
 
+  test("wrong-arity calls raise a proper analysis error, not a " +
+    "builder NoSuchElementException / silent arg truncation (ADVICE r7)") {
+    graft.GraftExtensions.install(spark)
+    for (bad <- Seq(
+        "SELECT nfc_normalize()",
+        "SELECT nfc_normalize('a', 'b')",
+        "SELECT cosine_sim(array(1.0))",
+        "SELECT hash_bucket()")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(bad))
+      assert(e.getMessage.toLowerCase.contains("requires"),
+        s"expected a WRONG_NUM_ARGS analysis error for: $bad, got: ${e.getMessage}")
+    }
+  }
+
   test("compression_ratio and wkt_point SQL functions registered") {
     graft.GraftExtensions.install(spark)
     val r = spark.sql(

@@ -119,4 +119,20 @@ class TimeOpsSpec extends SparkSpec {
         "_est must render America/New_York wall time")
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
+
+  test("normalizeTs: NTZ branch pins the wall clock to UTC under any " +
+    "session zone (ADVICE r7: to_utc_timestamp(ntz,'UTC') was an " +
+    "identity on the session-zone cast)") {
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      for (zone <- Seq("UTC", "Asia/Tokyo", "America/Los_Angeles")) {
+        spark.conf.set("spark.sql.session.timeZone", zone)
+        val ntz = spark.sql("SELECT TIMESTAMP_NTZ'2024-01-01 12:00:00' AS ts")
+        val micros = graft.Tables.normalizeTs(ntz)
+          .selectExpr("unix_micros(ts)").head().getLong(0)
+        assert(micros === 1704110400000000L,
+          s"session zone $zone must not shift the NTZ wall clock")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }
