@@ -27,14 +27,50 @@ object TwoLevelCumsum {
     * and drops `__b`/`__off` when done.
     */
   def withOffsets(df: DataFrame, bucket: Column, weight: Column,
-                  orderCols: Seq[Column]): (DataFrame, WindowSpec) = {
+                  orderCols: Seq[Column]): (DataFrame, WindowSpec) =
+    withGroupedOffsets(df, Seq.empty, bucket, weight, orderCols)
+
+  /** The grouped form: an INDEPENDENT running total per distinct value
+    * of `groupCols` (per-language token budgets, per-source packing),
+    * still without any corpus-sized window partition. Each offset is
+    * now "sum of `weight` over earlier buckets OF THE SAME GROUP": the
+    * per-(group, bucket) totals table gets its cumulative offsets from
+    * a window partitioned by group over that tiny aggregate (#groups ×
+    * #buckets rows, each group's bucket list in one partition), and
+    * the data-side window partitions by (group, bucket) — so a group
+    * holding 90% of a 100 TB corpus still fans out across all of its
+    * id-buckets instead of serializing through one task (the r7
+    * hot-partition finding on tokenBudgetByGroup).
+    *
+    * NULL group values are legal and form their own group: the offset
+    * join is built with null-safe equality (`<=>`) on the group
+    * columns — a plain equi-join would silently drop every NULL-group
+    * row at the inner join.
+    */
+  def withGroupedOffsets(df: DataFrame, groupCols: Seq[String], bucket: Column,
+                         weight: Column, orderCols: Seq[Column]): (DataFrame, WindowSpec) = {
     val withB = df.withColumn("__b", bucket).withColumn("__w", weight)
-    val wb = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = withB.groupBy("__b").agg(sum("__w").as("__bt"))
-      .withColumn("__off", coalesce(sum("__bt").over(wb), lit(0L)))
-      .select("__b", "__off")
-    val wi = Window.partitionBy("__b").orderBy(orderCols: _*)
+    val offWin = (if (groupCols.isEmpty) Window.orderBy("__b")
+                  else Window.partitionBy(groupCols.map(col): _*).orderBy("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withB.groupBy(("__b" +: groupCols).map(col): _*)
+      .agg(sum("__w").as("__bt"))
+      .withColumn("__off", coalesce(sum("__bt").over(offWin), lit(0L)))
+    // the offset side's join keys are renamed so the join condition can
+    // name both sides without exprId ambiguity (offsets derives from
+    // withB), then dropped after the join
+    val offFlat = offsets.select(
+      (col("__b").as("__ob") +:
+        groupCols.zipWithIndex.map { case (g, i) => col(g).as(s"__g$i") }) :+
+        col("__off"): _*)
+    val cond = ((col("__b") === col("__ob")) +:
+      groupCols.zipWithIndex.map { case (g, i) => col(g) <=> col(s"__g$i") })
+      .reduce(_ && _)
+    val joined = withB.join(broadcast(offFlat), cond)
+      .drop("__ob" +: groupCols.indices.map(i => s"__g$i"): _*)
+    val wi = Window.partitionBy((groupCols :+ "__b").map(col): _*)
+      .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    (withB.join(broadcast(offsets), Seq("__b")), wi)
+    (joined, wi)
   }
 }

@@ -391,22 +391,34 @@ object CorpusPipeline {
   /** Per-group token budget: within each group (language, domain,
     * source), keep documents in id order until the group's budget is
     * reached — the proportional-mix control a multilingual pretraining
-    * run needs. One window per group partition (scale-safe: the sort
-    * is within-partition after the hash on groupCol, no global order).
+    * run needs.
+    *
+    * Scale shape (r7 verdict fix): the per-group running total uses
+    * the same two-level cumulative sum as [[tokenBudget]], applied per
+    * (group, id-bucket) — per-(group, bucket) totals roll into a tiny
+    * broadcast offset table and the data-side window partitions by
+    * (group, bucket). The earlier `Window.partitionBy(groupCol)` form
+    * serialized EVERY document of a group through one task's sort —
+    * groups here are languages/sources, so at 100 TB the "en" group is
+    * most of the corpus in a single partition. Now wall-clock is
+    * bounded by the hottest (group, bucket) cell (≤ bucketSize ids),
+    * regardless of group skew.
     */
   def tokenBudgetByGroup(
       docs: DataFrame, idCol: String, textCol: String,
-      groupCol: String, budgetPerGroup: Map[String, Long]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      groupCol: String, budgetPerGroup: Map[String, Long],
+      bucketSize: Long = 100000L): DataFrame = {
     val budgets = typedlit(budgetPerGroup)
-    val w = Window.partitionBy(groupCol).orderBy(idCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    val toked = docs
       .withColumn("__n_tok", TextOps.tokenCount(col(textCol)).cast("long"))
-      .withColumn("__cum", sum("__n_tok").over(w))
+    val (bucketed, wi) = graft.operators.TwoLevelCumsum.withGroupedOffsets(
+      toked, Seq(groupCol), expr(s"`$idCol` div ${bucketSize}L"),
+      col("__n_tok"), Seq(col(idCol)))
+    bucketed
+      .withColumn("__cum", col("__off") + sum("__w").over(wi))
       .filter(col("__cum") <=
         coalesce(try_element_at(budgets, col(groupCol).cast("string")), lit(0L)))
-      .drop("__n_tok", "__cum")
+      .drop("__n_tok", "__b", "__w", "__off", "__cum")
   }
 
   /** Corpus-level PII scrub: the reference's redaction rules

@@ -250,6 +250,53 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 4L))
   }
 
+  test("tokenBudgetByGroup: two-level grouped cumsum == naive per-group " +
+    "window on a skewed corpus (one group = 90% of rows), incl. NULL group") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // 900 'en' docs, 80 'de', 20 NULL-group — ids interleaved so group
+    // runs cross bucket boundaries (bucketSize=37 below)
+    val docs = (1L to 1000L).map { i =>
+      val g = if (i % 10 == 1) "de" else if (i % 50 == 2) null else "en"
+      (i, g, ("w " * ((i % 5).toInt + 1)).trim)
+    }.toDF("doc_id", "lang", "text")
+    val budgets = Map("en" -> 1300L, "de" -> 90L)
+    val got = graft.pipelines.CorpusPipeline.tokenBudgetByGroup(
+        docs, "doc_id", "text", "lang", budgets, bucketSize = 37L)
+      .select("doc_id").as[Long].collect().toSet
+    // naive single-window-per-group reference (the pre-r8 plan shape)
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expect = docs
+      .withColumn("__n", graft.text.TextOps.tokenCount(col("text")).cast("long"))
+      .withColumn("__c", sum("__n").over(w))
+      .filter(col("__c") <= coalesce(
+        try_element_at(typedlit(budgets), col("lang")), lit(0L)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === expect,
+      "grouped two-level cumsum must reproduce the naive window exactly")
+    assert(got.nonEmpty && got.size < 1000, "cut must be non-trivial")
+  }
+
+  test("tokenBudgetByGroup plan: no data-side window partitioned by the " +
+    "group alone — every id-ordered window carries the bucket key") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val docs = Seq((1L, "en", "a b"), (2L, "de", "c")).toDF("doc_id", "lang", "text")
+    val out = graft.pipelines.CorpusPipeline.tokenBudgetByGroup(
+      docs, "doc_id", "text", "lang", Map("en" -> 10L))
+    val wins = out.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      val orderRefs = w.orderSpec.flatMap(_.child.references.map(_.name))
+      if (orderRefs.contains("doc_id")) {
+        val partRefs = w.partitionSpec.flatMap(_.references.map(_.name))
+        assert(partRefs.contains("__b"),
+          s"id-ordered window must partition by (group, __b), got $partRefs — " +
+            "a group-only partition serializes the whole group through one task")
+      }
+    }
+  }
+
   test("redactCorpusPii scrubs emails/phones/names in the text column") {
     import spark.implicits._
     val docs = Seq((1L, "contact Joe Smith at joe@x.com or 412-555-1234"))
