@@ -576,18 +576,21 @@ object CorpusPipeline {
     (out, () => bfB.destroy())
   }
 
-  /** The exploded (id, hash, span) frame behind the duplicate-span
-    * family: every overlapping `w`-token window of the case-folded
-    * text, with its 64-bit hash as the scale-path aggregation key.
+  /** The exploded (id, start, hash, span) frame behind the
+    * duplicate-span family: every overlapping `w`-token window of the
+    * case-folded text with its 1-based start token position and its
+    * 64-bit hash as the scale-path aggregation key.
     */
   private def spanFrame(docs: DataFrame, idCol: String, textCol: String,
                         w: Int): DataFrame =
     docs.select(col(idCol), TextOps.tokens(lower(col(textCol))).as("__t"))
       .filter(size(col("__t")) >= w)
-      .select(col(idCol), explode(transform(
+      .select(col(idCol), posexplode(transform(
           sequence(lit(1), size(col("__t")) - (w - 1)),
-          i => concat_ws(" ", slice(col("__t"), i, lit(w))))).as("span"))
-      .withColumn("__h", xxhash64(col("span")))
+          i => concat_ws(" ", slice(col("__t"), i, lit(w)))))
+        .as(Seq("__pos0", "span")))
+      .select(col(idCol), (col("__pos0") + 1).as("__s"), col("span"),
+        xxhash64(col("span")).as("__h"))
 
   /** Cross-document duplicated token spans — the exact-substring
     * duplication signal of "Deduplicating Training Data Makes
@@ -664,6 +667,61 @@ object CorpusPipeline {
       .withColumn("dup_fraction",
         round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
     (out, () => if (persistSpans) sp.unpersist(blocking = false))
+  }
+
+  /** Exact-substring span REMOVAL — the surgery step of "Deduplicating
+    * Training Data Makes Language Models Better" (Lee et al., 2022),
+    * not just its signal (q84/q85): every `windowTokens`-token window
+    * whose case-folded span occurs in ≥ `minDocs` distinct documents
+    * marks its token positions as duplicated; overlapping/adjacent
+    * duplicated windows therefore merge into MAXIMAL spans (the union
+    * of their covered positions), and the output text is the document
+    * with those spans excised. Matching is case-folded, excision is on
+    * the ORIGINAL tokens, so surviving text keeps its case.
+    *
+    * Returns one row per input document:
+    * (idCol, clean_text, n_tokens, n_removed_tokens). A fully
+    * duplicated document yields clean_text = '' (kept for the caller
+    * to drop or quarantine — not silently removed). The rebuilt text
+    * is whitespace-normalized (single spaces): token surgery cannot
+    * preserve the original inter-token whitespace.
+    *
+    * Scale shape: dup-hash aggregation keys on the 8-byte xxhash64
+    * (map-side partial agg); covered positions are the dup windows
+    * exploded ×w and distinct'd on (id, pos) — output-proportional,
+    * never corpus²; the rebuild groups by document id, so the largest
+    * sort is one document's tokens. No global structure anywhere.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           windowTokens: Int = 8, minDocs: Long = 2): DataFrame = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    val sp = spanFrame(docs, idCol, textCol, windowTokens)
+    val dupHashes = sp.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"))
+    val dupStarts = sp.join(dupHashes, Seq("__h"), "left_semi")
+      .select(col(idCol), col("__s"))
+    val covered = dupStarts
+      .select(col(idCol),
+        explode(sequence(col("__s"), col("__s") + lit(windowTokens - 1))).as("__p"))
+      .distinct()
+    val toks = docs
+      .select(col(idCol), posexplode(TextOps.tokens(col(textCol))).as(Seq("__p0", "__tok")))
+      .select(col(idCol), (col("__p0") + 1).as("__p"), col("__tok"))
+    val rebuilt = toks.join(covered, Seq(idCol, "__p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nk"),
+        array_join(transform(array_sort(collect_list(struct(col("__p"), col("__tok")))),
+          s => s.getField("__tok")), " ").as("__clean"))
+    docs
+      .select(col(idCol),
+        coalesce(TextOps.tokenCount(col(textCol)), lit(0)).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__clean"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__nk"), lit(0L))).as("n_removed_tokens"))
   }
 
   /** Semantic-dedup stage config for [[curate]]. The LSH band

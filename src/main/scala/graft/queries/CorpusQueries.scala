@@ -194,6 +194,14 @@ object CorpusQueries {
         "vec_id", "embedding", threshold = 0.45)
     }),
 
+    // exact-substring span REMOVAL (Lee et al. 2022 surgery): maximal
+    // duplicated spans (merged overlapping 8-token dup windows) excised
+    // from the text; oracle recomputes the covered-position union and
+    // the rebuilt text independently
+    "q91_dup_span_removal" -> ((s, d) =>
+      CorpusPipeline.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
+        windowTokens = 8, minDocs = 2)),
+
     // Unicode-canonical dedup: precomposed vs combining-mark spellings
     // of the same rendered text collapse under the NFC digest. The
     // oracle recomputes with DuckDB's ICU nfc_normalize — a JDK-vs-ICU
@@ -407,6 +415,47 @@ object CorpusQueries {
         |  round(sum(CASE WHEN span IN (SELECT span FROM dups)
         |            THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_fraction
         |FROM spans GROUP BY doc_id""".stripMargin,
+
+    // independent recomputation of the span surgery: dup spans by
+    // string (the engine keys on xxhash64 — 64-bit birthday bound),
+    // covered positions as the union of exploded dup-window ranges,
+    // text rebuilt from the surviving original-case tokens in order
+    "q91_dup_span_removal" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS lt
+        |  FROM documents
+        |), spans AS (
+        |  SELECT doc_id, CAST(u.strt AS INTEGER) AS strt, u.span FROM (
+        |    SELECT doc_id,
+        |      unnest([{'strt': i, 'span': array_to_string(lt[i:i+7], ' ')}
+        |              for i in range(1, len(lt)-6)]) AS u
+        |    FROM toks WHERE len(lt) >= 8)
+        |), dups AS (
+        |  SELECT span FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+        |), covered AS (
+        |  SELECT DISTINCT doc_id, strt + j AS p FROM (
+        |    SELECT doc_id, strt, unnest(range(0, 8)) AS j
+        |    FROM spans WHERE span IN (SELECT span FROM dups))
+        |), toklist AS (
+        |  SELECT doc_id, unnest(t) AS tok,
+        |    CAST(unnest(range(1, len(t)+1)) AS INTEGER) AS p
+        |  FROM toks
+        |), kept AS (
+        |  SELECT k.doc_id, k.p, k.tok FROM toklist k
+        |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+        |                    WHERE c.doc_id = k.doc_id AND c.p = k.p)
+        |), rebuilt AS (
+        |  SELECT doc_id, count(*) AS nk, string_agg(tok, ' ' ORDER BY p) AS clean
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, COALESCE(r.clean, '') AS clean_text,
+        |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.t) - COALESCE(r.nk, 0) AS BIGINT) AS n_removed_tokens
+        |FROM toks t LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
 
     // independent ground truth: exact quadratic cosine pairs, then
     // min-label components via recursive reachability (each node's

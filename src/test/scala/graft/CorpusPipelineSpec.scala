@@ -432,6 +432,35 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(!out.contains(4L), "doc shorter than the window has no row")
   }
 
+  test("removeDuplicateSpans: overlapping dup windows merge into maximal " +
+    "spans; case-folded match, original-case excision, full-dup -> empty") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two d1 d2 d3 d4 three"),  // dup region d1..d4 mid-doc
+      (2L, "d1 d2 d3 d4 extra2"),         // same region at doc start
+      (3L, "z1 z2 z3"),                   // exact dup of doc 4
+      (4L, "z1 z2 z3"),
+      (5L, "a b"),                        // shorter than the window
+      (6L, "  c1   c2 "),                 // whitespace normalization only
+      (7L, "D1 D2 D3 tail7a Tail7b"))     // case-folded match, case kept
+      .toDF("doc_id", "text")
+    val out = CorpusPipeline.removeDuplicateSpans(docs, "doc_id", "text",
+        windowTokens = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc1: windows "d1 d2 d3" (start 3) + "d2 d3 d4" (start 4) are both
+    // duplicated -> covered positions {3,4,5,6} merge into ONE maximal span
+    assert(out(1L) === (("one two three", 7L, 4L)))
+    assert(out(2L) === (("extra2", 5L, 4L)))
+    assert(out(3L) === (("", 3L, 3L)), "fully duplicated doc -> empty text")
+    assert(out(4L) === (("", 3L, 3L)))
+    assert(out(5L) === (("a b", 2L, 0L)), "windowless doc passes through")
+    assert(out(6L) === (("c1 c2", 2L, 0L)), "rebuild is whitespace-normalized")
+    assert(out(7L) === (("tail7a Tail7b", 5L, 3L)),
+      "match is case-folded but surviving tokens keep their case")
+    assert(out.size === 7, "every input doc yields exactly one row")
+  }
+
   test("semanticDedup: LSH-blocked clusters == exact quadratic ground truth; " +
     "keepers are cluster minima") {
     val embs = Tables.embeddings(spark, sf("sf0.001"))
