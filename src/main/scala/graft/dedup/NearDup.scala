@@ -363,30 +363,56 @@ object NearDup {
   /** Hamming distance between two 64-bit signatures (bit_count of xor). */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on the four 16-bit quarters of the
-    * signature (any pair within Hamming distance ≤ 3 of a 64-bit hash
-    * shares at least one identical quarter — pigeonhole), verify with
-    * bit_count. Shuffles only (quarter, id, simhash).
+  /** Near-dup pairs of any 64-bit signature column (SimHash, image
+    * dHash, …): block on `maxHamming + 1` disjoint bit ranges of the
+    * signature — a pair within Hamming distance ≤ maxHamming differs
+    * in at most maxHamming blocks, so it MUST share at least one
+    * identical block (pigeonhole) and the blocked join has full
+    * recall — then verify with bit_count. The default maxHamming = 3
+    * gives the classic four 16-bit quarters. Shuffles only
+    * (block, key, id, signature). SCALE NOTE: larger maxHamming means
+    * narrower blocks (64/(h+1) bits) whose keys collide more — at
+    * corpus scale keep maxHamming small or pre-partition; the narrow
+    * blocks are fine for validation-sized inputs.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val s2 = withSimhash(df.select(col(idCol), col(textCol)), textCol)
-      .select(col(idCol), col("simhash"))
-    val blocked = s2.select(col(idCol), col("simhash"), posexplode(
-      array((0 until 4).map(q =>
-        shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xffffL))): _*)))
+  def hammingPairs64(sigs: DataFrame, idCol: String, sigCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"need 0 <= maxHamming < 64, got $maxHamming")
+    val nBlocks = maxHamming + 1
+    val base = 64 / nBlocks
+    val rem = 64 % nBlocks
+    // first `rem` blocks get base+1 bits; offsets partition [0, 64)
+    val widths = Seq.tabulate(nBlocks)(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val s2 = sigs.select(col(idCol), col(sigCol).as("__sig64"))
+    val blocked = s2.select(col(idCol), col("__sig64"), posexplode(
+      array((0 until nBlocks).map { q =>
+        val mask = if (widths(q) == 64) -1L else (1L << widths(q)) - 1
+        shiftright(col("__sig64"), offsets(q)).bitwiseAND(lit(mask))
+      }: _*)))
       .withColumnsRenamed(Map("pos" -> "q", "col" -> "qkey"))
     val l = blocked.select(col("q"), col("qkey"),
-      col(idCol).as("id_a"), col("simhash").as("sim_a"))
+      col(idCol).as("id_a"), col("__sig64").as("__sa"))
     val r = blocked.select(col("q"), col("qkey"),
-      col(idCol).as("id_b"), col("simhash").as("sim_b"))
+      col(idCol).as("id_b"), col("__sig64").as("__sb"))
     l.join(r, Seq("q", "qkey"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", hammingDist(col("sim_a"), col("sim_b")))
+      .withColumn("hamming", hammingDist(col("__sa"), col("__sb")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .distinct()
   }
+
+  /** SimHash near-dup pairs — [[hammingPairs64]] over [[withSimhash]]
+    * signatures.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs64(
+      withSimhash(df.select(col(idCol), col(textCol)), textCol)
+        .select(col(idCol), col("simhash")),
+      idCol, "simhash", maxHamming)
 
   // ------------------------------------------------------------------
   // Embedding-cosine near-dup

@@ -97,6 +97,37 @@ object Multimodal {
       out
     }
 
+    /** 64-bit difference hash (dHash) — the public-knowledge perceptual
+      * image signature: downsample to a 9×8 grayscale grid with the
+      * deterministic nearest-neighbor resample, then bit (y·8 + x) is
+      * set iff luminance(x, y) > luminance(x+1, y). Robust to
+      * re-encoding, mild JPEG artifacts, and small local edits (the
+      * 9×8 pooling absorbs them), which is exactly the near-dup
+      * equivalence class wanted for scraped image corpora. All-integer
+      * arithmetic over the bit-deterministic [[resizeRgb]] buffer, so
+      * the hash is bit-exact across JVMs/platforms (spec pins a
+      * literal). Luminance = (299·R + 587·G + 114·B) — the integer
+      * ITU-R BT.601 weighting.
+      */
+    def dHash64(img: java.awt.image.BufferedImage): Long = {
+      val px = resizeRgb(img, 9, 8) // 9*8*3 bytes, row-major RGB
+      def lum(x: Int, y: Int): Int = {
+        val i = (y * 9 + x) * 3
+        299 * (px(i) & 0xFF) + 587 * (px(i + 1) & 0xFF) + 114 * (px(i + 2) & 0xFF)
+      }
+      var bits = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (lum(x, y) > lum(x + 1, y)) bits |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      bits
+    }
+
     /** WAV (and any other javax.sound-supported container) header
       * probe: (format, sampleRate, channels, frameCount). None for
       * non-audio payloads.
@@ -182,6 +213,33 @@ object Multimodal {
     })
     df.withColumn(out, sniff(col(binCol)))
   }
+
+  /** Attach the 64-bit perceptual dHash of a binary image column
+    * ([[JdkCodec.dHash64]]). Undecodable or NULL payloads get a NULL
+    * hash — kept, not dropped, per the quarantine convention; the
+    * near-dup path below excludes them explicitly.
+    */
+  def withImageDHash(df: DataFrame, binCol: String,
+                     out: String = "dhash"): DataFrame = {
+    val h = udf((b: Array[Byte]) => JdkCodec.decodeImage(b).map(JdkCodec.dHash64))
+    df.withColumn(out, h(col(binCol)))
+  }
+
+  /** Image near-dup pairs — REAL perceptual dedup end-to-end: decode →
+    * dHash → the same quarter-pigeonhole Hamming blocking the SimHash
+    * text path uses ([[graft.dedup.NearDup.hammingPairs64]]; full
+    * recall for maxHamming ≤ 3). Returns (id_a, id_b, hamming).
+    * Re-encoded / mildly edited copies of an image collapse; distinct
+    * images survive. Scale shape: one decode pass (map-only), then
+    * only (quarter, id, hash) rows shuffle — pixels never do.
+    */
+  def imageDupPairs(df: DataFrame, idCol: String, binCol: String,
+                    maxHamming: Int = 3): DataFrame =
+    graft.dedup.NearDup.hammingPairs64(
+      withImageDHash(df.select(col(idCol), col(binCol)), binCol)
+        .filter(col("dhash").isNotNull)
+        .select(col(idCol), col("dhash")),
+      idCol, "dhash", maxHamming)
 
   /** Partition-batched feature extraction — the mapInPandas-shaped
     * path: iterate the partition's rows, run the (stub) encoder per

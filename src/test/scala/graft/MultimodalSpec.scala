@@ -137,6 +137,50 @@ class MultimodalSpec extends SparkSpec {
     assert(empty.count() === 0)
   }
 
+  /** Deterministic textured pattern (non-monotone luminance — a smooth
+    * gradient would dHash to 0 and prove nothing).
+    */
+  private def tex(x: Int, y: Int): Int = {
+    val v = (x * x * 31 + y * y * 17 + x * y * 7) % 256
+    v << 16 | ((v * 3) % 256) << 8 | ((x * 13 + y * 29) % 256)
+  }
+
+  test("dHash64: bit-exact pinned literal over a lossless PNG — " +
+    "all-integer pipeline, same hash on any JVM/platform") {
+    val h = Multimodal.JdkCodec.dHash64(
+      Multimodal.JdkCodec.decodeImage(realPng(64, 64, tex)).get)
+    assert(h === 0x4a6aaaac674a3356L,
+      f"dHash must be deterministic, got 0x$h%016x")
+  }
+
+  test("imageDupPairs: re-encoded and locally-edited copies collapse " +
+    "(Hamming <= 3), distinct images survive, undecodable/NULL excluded") {
+    val baseImg = Multimodal.JdkCodec.decodeImage(realPng(64, 64, tex)).get
+    val jpegCopy = { // same pixels through the lossy JPEG encoder
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(baseImg, "jpeg", bos); bos.toByteArray
+    }
+    val edited = realPng(64, 64, (x, y) => // small white block painted over
+      if (x >= 34 && x < 38 && y >= 31 && y < 35) 0xFFFFFF else tex(x, y))
+    val inverted = realPng(64, 64, (x, y) => tex(63 - x, y))
+    val df = Seq(
+      (1L, realPng(64, 64, tex)),
+      (2L, jpegCopy),
+      (3L, edited),
+      (4L, inverted),
+      (5L, corruptJpegish(500, 7)),
+      (6L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "img")
+    val pairs = Multimodal.imageDupPairs(df, "id", "img", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "JPEG re-encode must collapse with its source")
+    assert(pairs.contains((1L, 3L)), "small local edit must collapse")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "a structurally different image must NOT pair with anything")
+    assert(!pairs.exists(p => p._1 >= 5L || p._2 >= 5L),
+      "undecodable/NULL payloads are excluded from pairing, not crashed on")
+  }
+
   test("resizeImages: real decode + nearest-neighbor resample with exact " +
     "pixel values; corrupt or NULL payloads kept as NULL rows") {
     // lossless source: 4x2 PNG, left half red, right half blue
