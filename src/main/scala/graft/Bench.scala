@@ -66,7 +66,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // defend against the driver's 2000-char stdout-tail truncation
+    // (BENCH_r6/r7 lost per-query history for a third of the set): the
+    // full per-query line is ALSO appended to a committed jsonl, one
+    // line per run with a wall-clock stamp for cross-round comparison
+    try {
+      val stamp = java.time.Instant.now().toString
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_full.jsonl"),
+        s"""{"at":"$stamp",${line.drop(1)}""" + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Throwable => () } // best-effort: never fail the bench
     spark.stop()
   }
 }

@@ -312,6 +312,135 @@ object CorpusPipeline {
         .select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** [[incrementalSemanticDedupManaged]] without the release handle —
+    * one-shot callers; batch loops should use the managed form. */
+  def incrementalSemanticDedup(
+      corpusState: DataFrame, incoming: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, bands: Int = 96,
+      bitsPerBand: Int = 6, seed: Long = 42L, maxIter: Int = 50,
+      dedupBeforeVerify: Boolean = true): (DataFrame, DataFrame) = {
+    val (admitted, newState, _) = incrementalSemanticDedupManaged(
+      corpusState, incoming, idCol, vecCol, threshold, bands, bitsPerBand,
+      seed, maxIter, dedupBeforeVerify)
+    (admitted, newState)
+  }
+
+  /** Incremental SemDeDup admission — the embedding-space twin of
+    * [[graft.dedup.NearDup.incrementalDedupManaged]]: an incoming batch
+    * is admitted against an established corpus that participates ONLY
+    * through stored int8-quantized embedding state
+    * ([[graft.similarity.Ann.quantizeInt8]] output `(idCol, scale,
+    * qvec)`) — 4× smaller than the fp32 vectors, never re-encoded, and
+    * the only thing the 100 TB daily-increment driver has to persist
+    * between batches. A batch row is rejected when (a) its cosine
+    * against any corpus row reaches `threshold`, or (b) it is a
+    * non-minimum-id member of a batch-internal near-dup component among
+    * the corpus-survivors. Returns (admitted incoming rows, the
+    * admitted rows' quantized state to append, release handle).
+    *
+    * Cosine is SCALE-INVARIANT, so similarity is verified directly on
+    * the int8 code arrays — the per-vector `scale` never participates
+    * in admission (it is carried in the state for downstream
+    * dequantization/rerank consumers), and because BOTH sides band and
+    * verify on the same quantized representation the decision is a pure
+    * function of the stored state: no fp32-vs-int8 asymmetry at the
+    * threshold, and any engine recomputing the q89 quantization formula
+    * reproduces the admission exactly (the q92 oracle does).
+    *
+    * Scale shape mirrors the MinHash incremental path: candidates come
+    * from banded hyperplane LSH over the codes — only (bandKey, id)
+    * pairs shuffle, codes are fetched per surviving candidate;
+    * the corpus contributes O(|state|), not O(corpus text/fp32); each
+    * admission stage is EAGERLY persisted because the tree feeds
+    * multiple jobs (see incrementalDedupManaged's materialization
+    * comment — same measured rationale), and the release handle
+    * unpersists only what this call created, never a caller-owned
+    * corpus-state cache. Rows with a NULL/empty embedding cannot be
+    * near-dups — admitted unconditionally, excluded from the new state
+    * (parity with the MinHash path's short-row rule). Recall is the
+    * (bands, bitsPerBand) OR-amplification envelope documented on
+    * [[graft.dedup.NearDup.lshCosinePairsBanded]].
+    */
+  def incrementalSemanticDedupManaged(
+      corpusState: DataFrame, incoming: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, bands: Int = 96,
+      bitsPerBand: Int = 6, seed: Long = 42L, maxIter: Int = 50,
+      dedupBeforeVerify: Boolean = true): (DataFrame, DataFrame, () => Unit) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def eager(df: DataFrame): DataFrame = { val p = df.persist(lvl); p.count(); p }
+    // int8 codes → double for the banding/cosine expressions (both
+    // require array<float|double>); integer-valued doubles make the
+    // dot products exact, so the threshold compare is engine-portable
+    def qd(c: Column): Column =
+      transform(c, x => x.cast(org.apache.spark.sql.types.DoubleType))
+    def banded(state: DataFrame): DataFrame = state.select(col(idCol),
+      explode(graft.expressions.SimilarityExpressions.hyperplane_bands(
+        qd(col("qvec")), bands, bitsPerBand, seed)).as("__band"))
+
+    // quantize the batch once; empty/NULL vectors carry no direction
+    // and are routed around the admission tree entirely
+    val batchState = eager(
+      graft.similarity.Ann.quantizeInt8(incoming, idCol, vecCol)
+        .filter(col("qvec").isNotNull && size(col("qvec")) > 0))
+    val corpusAlreadyCached =
+      corpusState.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val corpState = if (corpusAlreadyCached) corpusState else eager(corpusState)
+
+    // batch vs corpus: any band collision that verifies disqualifies.
+    // `dedupBeforeVerify` is the same corpus-shape knob as
+    // lshCosinePairsBanded's (identical output either way): true
+    // dedups the candidate multiset before fetching codes — scale-safe
+    // on dup-DENSE corpora where a duplicate cluster collides in
+    // nearly every band; false skips the full-multiset
+    // shuffle+hash-aggregate and distincts only the (id-level) result
+    // — wins when collisions are mostly non-duplicates, and this
+    // stage needs no pair-level distinct at all then, because only
+    // "matched ANY corpus row" survives.
+    val rawCands = banded(batchState).select(col("__band"), col(idCol).as("id_new"))
+      .join(banded(corpState).select(col("__band"), col(idCol).as("id_old")), "__band")
+      .select("id_new", "id_old")
+    val cands = if (dedupBeforeVerify) rawCands.distinct() else rawCands
+    val vsCorpus = cands
+      .join(batchState.select(col(idCol).as("id_new"), col("qvec").as("__qn")), "id_new")
+      .join(corpState.select(col(idCol).as("id_old"), col("qvec").as("__qo")), "id_old")
+      .filter(NearDup.cosine(qd(col("__qn")), qd(col("__qo"))) >= threshold)
+      .select(col("id_new").as(idCol)).distinct()
+    // survivors feeds the self-banding, both verify joins, and the
+    // admission anti-join across several jobs
+    val survivors = eager(batchState.join(vsCorpus, Seq(idCol), "left_anti"))
+
+    // batch-internal: min-id keeper per near-dup component (the pair
+    // list feeds CC, so HERE the post-verify distinct is required when
+    // the multiset was not deduped pre-verify)
+    val sb = banded(survivors)
+    val rawSelf = sb.select(col("__band"), col(idCol).as("id_a"))
+      .join(sb.select(col("__band"), col(idCol).as("id_b")), "__band")
+      .filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+    val selfCands = if (dedupBeforeVerify) rawSelf.distinct() else rawSelf
+    val verifiedSelf = selfCands
+      .join(survivors.select(col(idCol).as("id_a"), col("qvec").as("__qa")), "id_a")
+      .join(survivors.select(col(idCol).as("id_b"), col("qvec").as("__qb")), "id_b")
+      .filter(NearDup.cosine(qd(col("__qa")), qd(col("__qb"))) >= threshold)
+      .select("id_a", "id_b")
+    val selfPairs = eager(
+      if (dedupBeforeVerify) verifiedSelf else verifiedSelf.distinct())
+    val pairNodes = selfPairs.select(col("id_a").as("node"))
+      .unionByName(selfPairs.select(col("id_b").as("node"))).distinct()
+    val labels = minLabelComponents(pairNodes, selfPairs, maxIter)
+    val keepIds = survivors.select(col(idCol))
+      .join(labels.filter(col("node") =!= col("label"))
+          .select(col("node").as(idCol)),
+        Seq(idCol), "left_anti")
+
+    val noVec = incoming.filter(col(vecCol).isNull || size(col(vecCol)) === 0)
+    val admitted = incoming.join(keepIds, Seq(idCol), "left_semi")
+      .unionByName(noVec)
+    val newState = batchState.join(keepIds, Seq(idCol), "left_semi")
+    val caches = (if (corpusAlreadyCached) Seq.empty else Seq(corpState)) ++
+      Seq(batchState, survivors, selfPairs)
+    (admitted, newState, () => caches.foreach(_.unpersist(blocking = false)))
+  }
+
   /** Stage 5 — token budgeting: running token total in a deterministic
     * document order (by id), cut at `budget` tokens.
     *

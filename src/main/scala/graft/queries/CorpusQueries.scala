@@ -202,6 +202,38 @@ object CorpusQueries {
       CorpusPipeline.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
         windowTokens = 8, minDocs = 2)),
 
+    // incremental SemDeDup admission: even vec_ids are the established
+    // corpus participating ONLY via stored int8-quantized state (q89's
+    // formula — the 4× state the 100 TB increment driver persists);
+    // odd vec_ids are the incoming batch. Output = REJECTED batch ids
+    // (cosine-match with the corpus, or non-min member of a
+    // batch-internal component). The oracle recomputes the WHOLE
+    // admission independently: quantize → quadratic cosine vs corpus →
+    // quadratic cosine among survivors → recursive-CTE min-label
+    // components. Nearest pair sits 5.4e-05 from the 0.45 threshold at
+    // sf0.01 — far outside cross-engine double-rounding reach. Same
+    // (96, 6) recall sensitivity note as q88 applies.
+    "q92_incremental_semantic" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      val corpus = embs.filter(col("vec_id") % 2 === 0)
+      val batch  = embs.filter(col("vec_id") % 2 === 1)
+      val state = graft.similarity.Ann.quantizeInt8(corpus, "vec_id", "embedding")
+      // dedupBeforeVerify keeps its default (true) here: unlike q51,
+      // where skipping the pair-multiset distinct won, the incremental
+      // path fetches codes through TWO joins per candidate row, so the
+      // multiset distinct pays for itself — measured 5.3 s vs 10.7 s
+      // at sf0.1 (tools.Q92Probe A/B)
+      val (admitted, _, release) = CorpusPipeline.incrementalSemanticDedupManaged(
+        state, batch, "vec_id", "embedding", threshold = 0.45)
+      // materialize the (tiny) rejected-id answer eagerly, then release
+      // the admission pipeline's cached intermediates (bench min-of-3)
+      val out = batch.select("vec_id")
+        .join(admitted.select("vec_id"), Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+      release()
+      out
+    }),
+
     // Unicode-canonical dedup: precomposed vs combining-mark spellings
     // of the same rendered text collapse under the NFC digest. The
     // oracle recomputes with DuckDB's ICU nfc_normalize — a JDK-vs-ICU
@@ -478,6 +510,44 @@ object CorpusQueries {
         |SELECT node AS vec_id, min(anc) AS kept_id
         |FROM reach GROUP BY node
         |HAVING min(anc) < node""".stripMargin,
+
+    // full independent recomputation of the incremental admission over
+    // the SAME quantized representation the engine stores (q89's
+    // bit-exact cross-engine formula): corpus-match rejections plus
+    // recursive-reachability min-label rejections among survivors
+    "q92_incremental_semantic" ->
+      """WITH RECURSIVE q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CASE WHEN s = 0 THEN 0.0
+        |                ELSE CAST(CAST(floor(x / s * 127 + 0.5) AS INTEGER) AS DOUBLE) END) AS qv
+        |  FROM (SELECT vec_id, embedding,
+        |          list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') AS s
+        |        FROM embeddings)
+        |), corpus AS (SELECT * FROM q WHERE vec_id % 2 = 0),
+        |batch AS (SELECT * FROM q WHERE vec_id % 2 = 1),
+        |rejc AS (
+        |  SELECT DISTINCT b.vec_id FROM batch b, corpus c
+        |  WHERE list_cosine_similarity(b.qv, c.qv) >= 0.45
+        |), surv AS (
+        |  SELECT * FROM batch WHERE vec_id NOT IN (SELECT vec_id FROM rejc)
+        |), pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM surv a, surv b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_cosine_similarity(a.qv, b.qv) >= 0.45
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(node, anc) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.anc
+        |), rejs AS (
+        |  SELECT node AS vec_id FROM reach GROUP BY node HAVING min(anc) < node
+        |)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id FROM rejc
+        |UNION
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id FROM rejs""".stripMargin,
 
     // ICU recomputation of the JDK-normalized result (UAX#15 is an
     // exact spec — both must agree byte-for-byte)

@@ -509,4 +509,85 @@ class CorpusPipelineSpec extends SparkSpec {
       aliveEmbs, "vec_id", "embedding", threshold = 0.45)
     assert(residual.count() === 0, "no semantic dup pair among survivors")
   }
+
+  test("incrementalSemanticDedup: audited vs an exact quadratic ground truth " +
+    "on sf0.001 embeddings (quantize -> cosine vs corpus -> union-find)") {
+    val embs = Tables.embeddings(spark, sf("sf0.001"))
+    val corpus = embs.filter(col("vec_id") % 2 === 0)
+    val batch  = embs.filter(col("vec_id") % 2 === 1)
+    val state = graft.similarity.Ann.quantizeInt8(corpus, "vec_id", "embedding")
+    val (admitted, newState, release) =
+      CorpusPipeline.incrementalSemanticDedupManaged(
+        state, batch, "vec_id", "embedding", threshold = 0.45)
+    val admittedIds = admitted.select("vec_id").as[Long].collect().toSet
+    val stateIds = newState.select("vec_id").as[Long].collect().toSet
+    release()
+
+    // independent ground truth in plain Scala: same IEEE quantization
+    // formula, exact quadratic cosine (no LSH), union-find min-label
+    val all = embs.select("vec_id", "embedding").collect().map { r =>
+      r.getLong(0) -> r.getSeq[Any](1).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue
+      }.toArray
+    }
+    def quant(v: Array[Double]): Array[Double] = {
+      val s = v.map(math.abs).max
+      if (s == 0) v.map(_ => 0.0) else v.map(x => math.floor(x / s * 127 + 0.5))
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na > 0 && nb > 0) dot / (math.sqrt(na) * math.sqrt(nb)) else 0.0
+    }
+    val q = all.map { case (id, v) => id -> quant(v) }.toMap
+    val corpusIds = q.keys.filter(_ % 2 == 0).toSeq.sorted
+    val batchIds = q.keys.filter(_ % 2 == 1).toSeq.sorted
+    val rejCorpus = batchIds.filter(b =>
+      corpusIds.exists(c => cos(q(b), q(c)) >= 0.45)).toSet
+    val surv = batchIds.filterNot(rejCorpus)
+    val parent = scala.collection.mutable.Map(surv.map(x => x -> x): _*)
+    def find(x: Long): Long = {
+      if (parent(x) != x) parent(x) = find(parent(x)); parent(x)
+    }
+    for {
+      i <- surv.indices; j <- i + 1 until surv.length
+      if cos(q(surv(i)), q(surv(j))) >= 0.45
+    } {
+      val (ra, rb) = (find(surv(i)), find(surv(j)))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val rejSelf = surv.filter(x => find(x) != x).toSet
+    val expected = batchIds.toSet -- rejCorpus -- rejSelf
+    assert(rejCorpus.nonEmpty || rejSelf.nonEmpty,
+      "fixture must exercise at least one rejection path")
+    assert(admittedIds === expected)
+    // every admitted row here has a real vector -> state mirrors admission
+    assert(stateIds === expected)
+  }
+
+  test("incrementalSemanticDedup: NULL/empty vectors admitted unconditionally, " +
+    "excluded from state; caller-owned corpus cache survives release") {
+    val corpus = Seq((0L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val state = graft.similarity.Ann.quantizeInt8(corpus, "vec_id", "embedding").persist()
+    state.count()
+    val batch = Seq(
+      (1L, Array(1.0f, 0.01f)),  // cosine ~0.99997 vs corpus 0 -> rejected
+      (3L, Array(-1.0f, 1.0f)),  // no corpus match -> survivor, min of its pair
+      (5L, Array(-0.99f, 1.0f)), // batch-internal near-dup of 3 -> rejected
+      (7L, Array.empty[Float]),  // no direction -> admitted unconditionally
+      (9L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val (admitted, newState, release) =
+      CorpusPipeline.incrementalSemanticDedupManaged(
+        state, batch, "vec_id", "embedding", threshold = 0.9)
+    assert(admitted.select("vec_id").as[Long].collect().toSet === Set(3L, 7L, 9L))
+    assert(newState.select("vec_id").as[Long].collect().toSet === Set(3L))
+    release()
+    assert(state.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE,
+      "release must not clobber a caller-owned corpus-state cache")
+    state.unpersist()
+  }
 }
