@@ -16,10 +16,14 @@ import org.apache.spark.sql.types._
   *
   * Decode is REAL and JDK-native (`java.desktop` module, no external
   * dependency): `javax.imageio.ImageIO` for JPEG/PNG/BMP/GIF header
-  * probe + pixel decode, `javax.sound.sampled` for WAV. The one
-  * remaining stand-in is `FakeCodec.features` — the ENCODER forward
-  * pass (a neural image/audio model is genuinely not available in
-  * this container); its batching/schema plumbing is the real contract.
+  * probe + pixel decode, `javax.sound.sampled` for WAV header probe +
+  * PCM decode. Perceptual near-dup is REAL end-to-end for both
+  * modalities: images via the 64-bit dHash, audio via the 64-bit
+  * Haitsma–Kalker band-energy fingerprint, each feeding the shared
+  * pigeonhole Hamming blocking. The one remaining stand-in is
+  * `FakeCodec.features` — a NEURAL encoder forward pass (embedding
+  * extraction; such a model is genuinely not available in this
+  * container); its batching/schema plumbing is the real contract.
   */
 object Multimodal {
 
@@ -126,6 +130,96 @@ object Multimodal {
         y += 1
       }
       bits
+    }
+
+    /** Full PCM decode to mono double samples in [-1, 1]: the JDK's
+      * own conversion chain normalizes any supported encoding (8/16
+      * bit, signed/unsigned, either endianness) to 16-bit signed
+      * little-endian, then channels are mixed by average. None for
+      * non-audio/corrupt payloads or an empty data section.
+      */
+    def decodeAudio(bytes: Array[Byte]): Option[(Array[Double], Float)] = {
+      if (bytes == null || bytes.length == 0) return None
+      try {
+        val in0 = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(bytes))
+        try {
+          val f0 = in0.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            f0.getSampleRate, 16, f0.getChannels, f0.getChannels * 2,
+            f0.getSampleRate, false)
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in0)
+          val raw = in.readAllBytes()
+          val ch = math.max(1, f0.getChannels)
+          val n = raw.length / (2 * ch)
+          if (n == 0) return None
+          val out = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            var acc = 0.0; var c = 0
+            while (c < ch) {
+              val off = (i * ch + c) * 2
+              acc += ((raw(off) & 0xFF) | (raw(off + 1) << 8)).toShort / 32768.0
+              c += 1
+            }
+            out(i) = acc / ch; i += 1
+          }
+          Some((out, f0.getSampleRate))
+        } finally in0.close()
+      } catch { case _: Exception => None }
+    }
+
+    /** 64-bit audio fingerprint — the public-knowledge band-energy
+      * signature (Haitsma & Kalker 2002, "A Highly Robust Audio
+      * Fingerprinting System", simplified to one 64-bit block): the
+      * signal splits into 9 equal time frames, each frame's energy is
+      * measured in 9 frequency bands, and bit (f·8 + b) is the sign of
+      * the time-and-band SECOND difference
+      * `(E[f+1][b] − E[f+1][b+1]) − (E[f][b] − E[f][b+1])` — invariant
+      * to global amplitude scaling (every energy scales by c²), which
+      * is exactly the volume-normalized-re-encode equivalence class
+      * wanted for scraped audio corpora. Band energies come from
+      * Goertzel recurrences at 9 normalized frequencies over a
+      * ≤1024-sample decimation of each frame (2 multiply-adds per
+      * sample per band, ONE `StrictMath.cos` per band — StrictMath, so
+      * the fingerprint is bit-exact across JVMs/platforms; spec pins a
+      * literal). None for signals shorter than 2 samples per frame.
+      */
+    def aHash64(samples: Array[Double]): Option[Long] = {
+      val frames = 9; val bands = 9
+      if (samples == null || samples.length < frames * 2) return None
+      val e = Array.ofDim[Double](frames, bands)
+      var f = 0
+      while (f < frames) {
+        val start = (f.toLong * samples.length / frames).toInt
+        val end = ((f + 1).toLong * samples.length / frames).toInt
+        val stride = math.max(1, (end - start) / 1024)
+        var b = 0
+        while (b < bands) {
+          val c = 2.0 * StrictMath.cos(StrictMath.PI * (b + 1) / (bands + 1))
+          var s1 = 0.0; var s2 = 0.0; var idx = start
+          while (idx < end) {
+            val s0 = samples(idx) + c * s1 - s2
+            s2 = s1; s1 = s0; idx += stride
+          }
+          e(f)(b) = s1 * s1 + s2 * s2 - c * s1 * s2
+          b += 1
+        }
+        f += 1
+      }
+      var bits = 0L
+      f = 0
+      while (f < 8) {
+        var b = 0
+        while (b < 8) {
+          val d = (e(f + 1)(b) - e(f + 1)(b + 1)) - (e(f)(b) - e(f)(b + 1))
+          if (d > 0) bits |= 1L << (f * 8 + b)
+          b += 1
+        }
+        f += 1
+      }
+      Some(bits)
     }
 
     /** WAV (and any other javax.sound-supported container) header
@@ -240,6 +334,42 @@ object Multimodal {
         .filter(col("dhash").isNotNull)
         .select(col(idCol), col("dhash")),
       idCol, "dhash", maxHamming)
+
+  /** Attach the 64-bit audio fingerprint of a binary audio column
+    * ([[JdkCodec.aHash64]] over [[JdkCodec.decodeAudio]]). Undecodable,
+    * NULL, or too-short payloads get a NULL fingerprint — kept, not
+    * dropped; the near-dup path below excludes them explicitly.
+    */
+  def withAudioFingerprint(df: DataFrame, binCol: String,
+                           out: String = "afp"): DataFrame = {
+    val h = udf((b: Array[Byte]) =>
+      JdkCodec.decodeAudio(b).flatMap { case (s, _) => JdkCodec.aHash64(s) })
+    df.withColumn(out, h(col(binCol)))
+  }
+
+  /** Audio near-dup pairs — REAL perceptual dedup end-to-end, the
+    * audio twin of [[imageDupPairs]]: decode → band-energy fingerprint
+    * → the same pigeonhole Hamming blocking
+    * ([[graft.dedup.NearDup.hammingPairs64]]; full recall at ANY
+    * maxHamming — the blocking splits into maxHamming+1 ranges).
+    * Volume-scaled / bit-depth-re-encoded copies of a clip collapse;
+    * spectrally different clips survive. The default threshold is
+    * wider than the image path's because a single 64-bit H-K block
+    * tolerates re-encode BER ~0.15 (Haitsma & Kalker match at BER
+    * 0.35 over 8192 bits): measured in the spec, an 8-bit re-encode
+    * lands at Hamming 9 and unrelated clips at 31–32, so 12 sits in
+    * the gap. More blocks = shorter block keys = more candidate
+    * collisions at scale — tune down for corpora where only exact
+    * re-encodes matter. Scale shape: one decode pass (map-only), then
+    * only (block, id, hash) rows shuffle — PCM never does.
+    */
+  def audioDupPairs(df: DataFrame, idCol: String, binCol: String,
+                    maxHamming: Int = 12): DataFrame =
+    graft.dedup.NearDup.hammingPairs64(
+      withAudioFingerprint(df.select(col(idCol), col(binCol)), binCol)
+        .filter(col("afp").isNotNull)
+        .select(col(idCol), col("afp")),
+      idCol, "afp", maxHamming)
 
   /** Partition-batched feature extraction — the mapInPandas-shaped
     * path: iterate the partition's rows, run the (stub) encoder per

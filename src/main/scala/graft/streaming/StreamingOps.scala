@@ -318,4 +318,77 @@ object StreamingOps {
         dedupBatch(batch, batchId, idCol, textCol, sigPath, outPath, threshold)
       }
   }
+
+  /** One micro-batch of streaming SEMANTIC corpus admission — the
+    * embedding twin of [[dedupBatch]]: the batch is cosine-checked
+    * against the persisted int8-quantized state (NEVER the corpus
+    * fp32 vectors) via
+    * [[graft.pipelines.CorpusPipeline.incrementalSemanticDedupManaged]];
+    * admitted rows land in `outPath/batch=<id>` and their quantized
+    * state in `statePath/batch=<id>`.
+    *
+    * Same idempotency protocol as [[dedupBatch]], and for the same
+    * crash windows: both writes overwrite the batch's own partition, a
+    * fully-committed batch (both `_SUCCESS` markers) is skipped, and a
+    * half-written retry excludes its own partial `batch=<id>` state
+    * from the corpus before re-deciding — a crash between the writes
+    * can neither double-admit nor leak state for rows never admitted.
+    * Same cache hygiene: the admission pipeline's intermediates are
+    * released at the Dataset level once the writes land.
+    */
+  def semanticDedupBatch(batch: DataFrame, batchId: Long, idCol: String,
+                         vecCol: String, statePath: String, outPath: String,
+                         threshold: Double, bands: Int = 96,
+                         bitsPerBand: Int = 6,
+                         cleanupCaches: Boolean = true): Unit = {
+    val spark    = batch.sparkSession
+    val hconf    = spark.sparkContext.hadoopConfiguration
+    val stateDir = new HPath(new HPath(statePath), s"batch=$batchId")
+    val outDir   = new HPath(new HPath(outPath), s"batch=$batchId")
+    val stateFs  = stateDir.getFileSystem(hconf)
+    val outFs    = outDir.getFileSystem(hconf)
+    val committed = stateFs.exists(new HPath(stateDir, "_SUCCESS")) &&
+      outFs.exists(new HPath(outDir, "_SUCCESS"))
+    if (!committed) {
+      val empty = graft.similarity.Ann.quantizeInt8(batch.limit(0), idCol, vecCol)
+      val state =
+        try {
+          val all = spark.read.parquet(statePath)
+          if (all.columns.contains("batch"))
+            all.filter(col("batch") =!= batchId).drop("batch")
+          else all
+        } catch { case _: org.apache.spark.sql.AnalysisException => empty }
+      val (admitted, newState, release) =
+        graft.pipelines.CorpusPipeline.incrementalSemanticDedupManaged(
+          state, batch, idCol, vecCol, threshold, bands, bitsPerBand)
+      try {
+        admitted.write.mode("overwrite").parquet(outDir.toString)
+        newState.write.mode("overwrite").parquet(stateDir.toString)
+      } finally if (cleanupCaches) release()
+    }
+  }
+
+  /** Streaming semantic corpus admission: each micro-batch runs
+    * [[semanticDedupBatch]], so later batches see every earlier
+    * admission through the int8 state partitions. Per-batch cost is
+    * batch-sized at selective band parameters — the growing corpus
+    * contributes only its band keys and (for verified candidates) its
+    * code rows; the SemIncProbe table in SCALE.md prices the
+    * parameterization. Readers of `outPath`/`statePath` see an extra
+    * `batch` partition column (drop it if unwanted).
+    */
+  def incrementalSemanticDedupStream(
+      incoming: DataFrame, idCol: String, vecCol: String,
+      statePath: String, outPath: String, checkpoint: String,
+      threshold: Double = 0.85, bands: Int = 96, bitsPerBand: Int = 6,
+      trigger: Trigger = Trigger.AvailableNow()) = {
+    incoming.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        semanticDedupBatch(batch, batchId, idCol, vecCol, statePath, outPath,
+          threshold, bands, bitsPerBand)
+      }
+  }
 }

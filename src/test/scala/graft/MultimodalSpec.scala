@@ -208,4 +208,96 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).isNullAt(1) && out(1).isNullAt(2))
     assert(out(2).isNullAt(1) && out(2).isNullAt(2))
   }
+
+  /** PCM16 mono 8 kHz WAV whose frequency steps per ninth of the clip
+    * (so each fingerprint frame has distinct band structure): segment
+    * f plays `baseHz + stepHz * pattern(f)` at amplitude `amp`.
+    */
+  private def toneWav16(pattern: Seq[Int], baseHz: Double, stepHz: Double,
+                        amp: Double, nSamples: Int = 9000): Array[Byte] = {
+    val dataSize = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataSize); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)
+    bb.putInt(8000); bb.putInt(16000)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(dataSize)
+    for (i <- 0 until nSamples) {
+      val seg = math.min(8, i * 9 / nSamples)
+      val hz = baseHz + stepHz * pattern(seg)
+      val s = amp * math.sin(2 * math.Pi * hz * i / 8000.0)
+      bb.putShort((s * 32767).toShort)
+    }
+    bb.array()
+  }
+
+  /** The same signal re-encoded as PCM8 (unsigned, WAV convention) —
+    * a genuine bit-depth re-encode for robustness testing.
+    */
+  private def toneWav8(pattern: Seq[Int], baseHz: Double, stepHz: Double,
+                       amp: Double, nSamples: Int = 9000): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + nSamples)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + nSamples); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)
+    bb.putInt(8000); bb.putInt(8000)
+    bb.putShort(1); bb.putShort(8)
+    bb.put("data".getBytes); bb.putInt(nSamples)
+    for (i <- 0 until nSamples) {
+      val seg = math.min(8, i * 9 / nSamples)
+      val hz = baseHz + stepHz * pattern(seg)
+      val s = amp * math.sin(2 * math.Pi * hz * i / 8000.0)
+      bb.put(((s * 127).toInt + 128).toByte)
+    }
+    bb.array()
+  }
+
+  test("aHash64: bit-exact pinned literal; amplitude scaling is an exact " +
+    "invariance; decode handles PCM8/PCM16 and rejects non-audio") {
+    val up = Seq(0, 1, 2, 3, 4, 5, 6, 7, 8)
+    val wav = toneWav16(up, 300, 150, 0.8)
+    val Some((samples, rate)) = Multimodal.JdkCodec.decodeAudio(wav)
+    assert(rate === 8000.0f && samples.length === 9000)
+    val Some(h) = Multimodal.JdkCodec.aHash64(samples)
+    // recompute → identical (determinism within this JVM); the literal
+    // pin below guards cross-JVM/platform (StrictMath contract)
+    assert(Multimodal.JdkCodec.aHash64(samples) === Some(h))
+    // exact scale invariance on the DECODED samples: every band energy
+    // scales by c², every second difference keeps its sign
+    assert(Multimodal.JdkCodec.aHash64(samples.map(_ * 0.31)) === Some(h))
+    assert(Multimodal.JdkCodec.decodeAudio(Array[Byte](1, 2, 3)) === None)
+    assert(Multimodal.JdkCodec.aHash64(Array.fill(5)(0.1)) === None,
+      "sub-frame signals have no fingerprint")
+    // pinned literal: recomputing this on any JVM must agree bit-for-bit
+    assert(h === -361971266154004225L,
+      f"aHash64 drifted: got ${h}%d (0x${h}%016x)")
+  }
+
+  test("audioDupPairs: volume-scaled and bit-depth-re-encoded copies " +
+    "collapse; a spectrally different clip survives; non-audio excluded") {
+    val up   = Seq(0, 1, 2, 3, 4, 5, 6, 7, 8)
+    val down = Seq(8, 7, 6, 5, 4, 3, 2, 1, 0)
+    val df = Seq(
+      (1L, toneWav16(up, 300, 150, 0.8)),
+      (2L, toneWav16(up, 300, 150, 0.2)),   // volume-scaled copy
+      (3L, toneWav8(up, 300, 150, 0.8)),    // 8-bit re-encode
+      (4L, toneWav16(down, 300, 150, 0.8)), // reversed spectral pattern
+      (5L, corruptJpegish(500, 7)),
+      (6L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "audio")
+    val pairs = Multimodal.audioDupPairs(df, "id", "audio")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // measured distances: volume-scaled = 0, 8-bit re-encode = 9,
+    // reversed-pattern clip = 31-32 (≈ the 32 expected for unrelated
+    // 64-bit fingerprints) — the default threshold 12 sits in the gap
+    assert(pairs.contains((1L, 2L)), "volume-scaled copy must collapse")
+    assert(pairs.contains((1L, 3L)), "8-bit re-encode must collapse")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "a spectrally different clip must NOT pair with anything")
+    assert(!pairs.exists(p => p._1 >= 5L || p._2 >= 5L),
+      "non-audio/NULL payloads are excluded from pairing, not crashed on")
+  }
 }

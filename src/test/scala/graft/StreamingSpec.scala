@@ -285,4 +285,66 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Set(1L, 2L, 10L), s"half-committed retry must admit doc 10, got $ids")
     assert(spark.read.parquet(sigP).count() === 3)
   }
+
+  test("incrementalSemanticDedupStream: later micro-batches are cosine-deduped " +
+    "against all earlier admissions via the int8 state") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_semdedup").toFile
+    val src = new java.io.File(dir, "in"); src.mkdirs()
+    val stP  = new java.io.File(dir, "state").getPath
+    val outP = new java.io.File(dir, "out").getPath
+    val ckpt = new java.io.File(dir, "ckpt").getPath
+
+    Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").json(src.getPath + "/b1")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).json(src.getPath + "/*")
+      val q = StreamingOps.incrementalSemanticDedupStream(
+        stream, "vec_id", "embedding", stP, outP, ckpt, threshold = 0.85).start()
+      q.awaitTermination(60000)
+    }
+    run()
+    assert(spark.read.parquet(outP).count() === 2)
+
+    // second drop: a cosine near-dup of batch-1 vec 1 (cos ~0.995),
+    // and a novel direction (max cos vs state ~0.71 < 0.85)
+    Seq((10L, Array(0.995f, 0.1f)), (11L, Array(-0.7f, 0.7f)))
+      .toDF("vec_id", "embedding").write.mode("overwrite").json(src.getPath + "/b2")
+    run()
+    val ids = spark.read.parquet(outP).select("vec_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 2L, 11L), s"cosine near-dup 10 must be rejected, got $ids")
+    assert(spark.read.parquet(stP).count() === 3)
+    // the persisted state is the quantized representation, not fp32
+    assert(spark.read.parquet(stP).columns.toSet === Set("vec_id", "scale", "qvec", "batch"))
+  }
+
+  test("semanticDedupBatch: a retried batch id is idempotent, and a " +
+    "half-committed retry does not self-reject against its own partial state") {
+    val dir = java.nio.file.Files.createTempDirectory("sem_dedup_batch").toFile
+    val stP  = new java.io.File(dir, "state").getPath
+    val outP = new java.io.File(dir, "out").getPath
+
+    val b0 = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    StreamingOps.semanticDedupBatch(b0, 0L, "vec_id", "embedding", stP, outP, 0.85)
+    // full retry of a committed batch: skipped outright
+    StreamingOps.semanticDedupBatch(b0, 0L, "vec_id", "embedding", stP, outP, 0.85)
+    assert(spark.read.parquet(outP).count() === 2)
+    assert(spark.read.parquet(stP).count() === 2)
+
+    // half-committed batch 1: state persisted, output write lost. The
+    // retry must NOT treat its own batch=1 state as corpus (vec 10
+    // would cosine-reject itself); it must re-decide and admit.
+    val b1 = Seq((10L, Array(-0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val (_, state1) = graft.pipelines.CorpusPipeline.incrementalSemanticDedup(
+      spark.read.parquet(stP).drop("batch"), b1, "vec_id", "embedding", 0.85)
+    state1.write.mode("overwrite").parquet(stP + "/batch=1")
+    StreamingOps.semanticDedupBatch(b1, 1L, "vec_id", "embedding", stP, outP, 0.85)
+    val ids = spark.read.parquet(outP).select("vec_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 2L, 10L), s"half-committed retry must admit vec 10, got $ids")
+    assert(spark.read.parquet(stP).count() === 3)
+  }
 }
