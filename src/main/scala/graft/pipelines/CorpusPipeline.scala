@@ -644,6 +644,36 @@ object CorpusPipeline {
       .agg(count(lit(1)).as("n_contaminated_grams"))
   }
 
+  /** SEMANTIC member of the decontamination family (exact-gram join →
+    * Bloom → this): flags corpus rows whose EMBEDDING reaches
+    * `threshold` cosine against ANY benchmark row — paraphrased or
+    * re-worded eval leakage that shares no n-grams, the failure mode
+    * gram decontamination cannot see. Returns
+    * (idCol, n_matches, max_cos).
+    *
+    * 100 TB shape mirrors [[decontaminate]]: eval suites are small
+    * (thousands of rows), so the benchmark VECTORS broadcast and each
+    * corpus row scans them inside a map (BroadcastNestedLoopJoin —
+    * |bench| fused-loop cosines per row, no corpus shuffle); only the
+    * tiny flagged match set shuffles into the per-id aggregate. For a
+    * benchmark too big to broadcast, band both sides with
+    * [[graft.dedup.NearDup.lshCosinePairsBanded]]'s machinery instead
+    * — the same knob documented for the dedup paths.
+    */
+  def semanticDecontaminate(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, benchVecCol: String,
+      threshold: Double): DataFrame = {
+    val b = broadcast(bench.select(col(benchVecCol).as("__bvec")))
+    corpus.select(col(idCol), col(vecCol).as("__cvec"))
+      .crossJoin(b)
+      .withColumn("__cos", NearDup.cosine(col("__cvec"), col("__bvec")))
+      .filter(col("__cos") >= threshold)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_matches"),
+        round(max(col("__cos")), 6).as("max_cos"))
+  }
+
   /** Scale variant of [[decontaminate]] for reference gram sets too
     * large to broadcast as join rows (decontaminating against another
     * CORPUS, not a benchmark suite): a Bloom filter built over the
@@ -864,16 +894,23 @@ object CorpusPipeline {
                                  bands: Int = 96, bitsPerBand: Int = 6)
 
   /** Full curation: optional boilerplate-line removal → quality gates →
-    * language filter → exact dedup → near-dup clustering → optional
-    * embedding-space semantic dedup → optional duplicated-span gate →
-    * optional benchmark decontamination → optional token budget. Stage
-    * counts are returned for the curation report.
+    * language filter → optional LM-perplexity gate → exact dedup →
+    * near-dup clustering → optional embedding-space semantic dedup →
+    * optional duplicated-span gate → optional benchmark
+    * decontamination → optional token budget. Stage counts are
+    * returned for the curation report.
     *
     * `semanticOpt` runs [[semanticDedupLabels]] over the embeddings of
     * the documents STILL ALIVE after near-dup (ids must share the
     * document id domain) — restricting first means a doc can never be
     * dropped in favor of a keeper that an earlier stage already
     * removed.
+    *
+    * `lmOpt = (referenceCorpus, maxPpl)` is the CCNet placement
+    * (Wenzek et al. 2020 score after language id): a bigram LM trains
+    * on the reference corpus's `textCol` and documents whose
+    * perplexity exceeds `maxPpl` drop. Documents with no bigrams are
+    * NOT dropped here — the length gates own that call.
     */
   def curate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
              langs: Seq[String] = Seq("en"),
@@ -883,7 +920,8 @@ object CorpusPipeline {
              boilerplateMaxDocs: Option[Int] = None,
              benchmarkOpt: Option[(DataFrame, String, Int)] = None,
              dupSpanOpt: Option[(Int, Double)] = None,
-             semanticOpt: Option[SemanticDedup] = None)
+             semanticOpt: Option[SemanticDedup] = None,
+             lmOpt: Option[(DataFrame, Double)] = None)
       : (DataFrame, Map[String, Long]) = {
     // Per-stage counts are part of the contract (the curation report),
     // but a bare count() per stage re-runs every earlier stage — an
@@ -911,7 +949,20 @@ object CorpusPipeline {
     // corpus) is dead weight from here on
     bpCache.foreach(_.unpersist(blocking = false))
     val (l, n2)  = staged(langFilter(q.select(bp.columns.map(col): _*), langs), Some(q))
-    val (e, n3)  = staged(exactDedup(l.select(bp.columns.map(col): _*), idCol, textCol), Some(l))
+    // optional LM-perplexity gate (CCNet): train on the reference
+    // corpus, drop alive docs scoring above the cap. Bigram-less docs
+    // pass (they are un-scorable; the length gates own them).
+    val (lmStage, n2a) = lmOpt match {
+      case Some((ref, maxPpl)) =>
+        val model = graft.text.NgramLm.trainBigramLm(ref, textCol)
+        val flagged = graft.text.NgramLm.scorePerplexity(
+            l.select(bp.columns.map(col): _*), idCol, textCol, model)
+          .filter(col("ppl") > maxPpl).select(col(idCol))
+        staged(l.join(flagged, Seq(idCol), "left_anti"), Some(l))
+      case None => (l, n2)
+    }
+    val (e, n3)  = staged(
+      exactDedup(lmStage.select(bp.columns.map(col): _*), idCol, textCol), Some(lmStage))
     val (nd, n4) = staged(
       nearDupDrop(e.select(bp.columns.map(col): _*), idCol, textCol, nearDupThreshold), Some(e))
     // optional embedding-space semantic dedup (SemDeDup): clusters are
@@ -953,6 +1004,7 @@ object CorpusPipeline {
       case None    => (dc, n5)
     }
     (out, Map("input" -> n0, "after_quality" -> n1, "after_lang" -> n2,
+      "after_lm" -> n2a,
       "after_exact_dedup" -> n3, "after_near_dedup" -> n4,
       "after_semantic_dedup" -> n4a, "after_dup_span" -> n4b,
       "after_decontamination" -> n5, "final" -> n6))

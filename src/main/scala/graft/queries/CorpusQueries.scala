@@ -234,6 +234,31 @@ object CorpusQueries {
       out
     }),
 
+    // semantic decontamination: every ~97th embedding stands in for a
+    // benchmark/eval suite; corpus rows within 0.3 cosine of ANY bench
+    // row are flagged (paraphrase-leakage detection that gram overlap
+    // cannot see). Nearest value to the threshold is 4e-4 away at all
+    // three SFs — far outside cross-engine double-rounding reach.
+    "q94_semantic_decontaminate" -> ((s, d) => {
+      val embs = Tables.embeddings(s, d)
+      CorpusPipeline.semanticDecontaminate(
+        embs.filter(col("vec_id") % 97 =!= 0), "vec_id", "embedding",
+        embs.filter(col("vec_id") % 97 === 0), "embedding",
+        threshold = 0.3)
+    }),
+
+    // CCNet-style LM quality scoring: an interpolated bigram LM
+    // trained on the corpus itself (CCNet trains on a reference
+    // corpus; self-scoring exercises the identical machinery), each
+    // doc scored by bigram perplexity. The oracle recomputes the WHOLE
+    // model + scoring independently: counts -> interpolated
+    // probabilities -> per-doc mean NLL -> perplexity.
+    "q93_lm_perplexity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lm = graft.text.NgramLm.trainBigramLm(docs, "text")
+      graft.text.NgramLm.scorePerplexity(docs, "doc_id", "text", lm)
+    }),
+
     // Unicode-canonical dedup: precomposed vs combining-mark spellings
     // of the same rendered text collapse under the NFC digest. The
     // oracle recomputes with DuckDB's ICU nfc_normalize — a JDK-vs-ICU
@@ -548,6 +573,56 @@ object CorpusQueries {
         |SELECT CAST(vec_id AS BIGINT) AS vec_id FROM rejc
         |UNION
         |SELECT CAST(vec_id AS BIGINT) AS vec_id FROM rejs""".stripMargin,
+
+    "q94_semantic_decontaminate" ->
+      """WITH bench AS (
+        |  SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id % 97 = 0
+        |), corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |  WHERE vec_id % 97 <> 0
+        |)
+        |SELECT c.vec_id, count(*) AS n_matches,
+        |  round(max(list_cosine_similarity(c.e, b.e)), 6) AS max_cos
+        |FROM corpus c, bench b
+        |WHERE list_cosine_similarity(c.e, b.e) >= 0.3
+        |GROUP BY c.vec_id""".stripMargin,
+
+    // full independent recomputation of the bigram LM and the scoring:
+    // the engine keys model joins on xxhash64 (8-byte, birthday-bound
+    // argument as q84), the oracle joins on the gram strings — same
+    // result absent a 64-bit collision
+    "q93_lm_perplexity" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(nt, ' ') AS t
+        |  FROM norm WHERE length(nt) > 0
+        |), uni AS (
+        |  SELECT w, count(*)::DOUBLE AS c
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+        |), nv AS (SELECT sum(c) AS n, count(*) AS v FROM uni),
+        |bi AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE len(t) >= 2)
+        |), bic AS (
+        |  SELECT w1, w2, count(*)::DOUBLE AS c12 FROM bi GROUP BY w1, w2
+        |), score AS (
+        |  SELECT b.doc_id,
+        |    -ln(0.9 * coalesce(c.c12 / u1.c, 0.0)
+        |        + 0.1 * (coalesce(u2.c, 0.0) + 1)
+        |            / ((SELECT n FROM nv) + (SELECT v FROM nv))) AS nll
+        |  FROM bi b
+        |  LEFT JOIN bic c ON c.w1 = b.w1 AND c.w2 = b.w2
+        |  LEFT JOIN uni u1 ON u1.w = b.w1
+        |  LEFT JOIN uni u2 ON u2.w = b.w2
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(nll), 6) AS avg_nll, round(exp(avg(nll)), 4) AS ppl
+        |FROM score GROUP BY doc_id""".stripMargin,
 
     // ICU recomputation of the JDK-normalized result (UAX#15 is an
     // exact spec — both must agree byte-for-byte)

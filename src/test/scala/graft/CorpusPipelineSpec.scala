@@ -566,6 +566,41 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(stateIds === expected)
   }
 
+  test("semanticDecontaminate: flags == independent quadratic recompute on " +
+    "sf0.001; bench side broadcast (no corpus shuffle before the match)") {
+    val embs = Tables.embeddings(spark, sf("sf0.001"))
+    val corpus = embs.filter(col("vec_id") % 97 =!= 0)
+    val bench  = embs.filter(col("vec_id") % 97 === 0)
+    val out = CorpusPipeline.semanticDecontaminate(
+      corpus, "vec_id", "embedding", bench, "embedding", threshold = 0.3)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    // independent ground truth in plain Scala
+    def vec(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getSeq[Any](1).map {
+        case f: java.lang.Float => f.toDouble
+        case d: java.lang.Double => d.doubleValue
+      }.toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na > 0 && nb > 0) dot / (math.sqrt(na) * math.sqrt(nb)) else 0.0
+    }
+    val bvecs = bench.select("vec_id", "embedding").collect().map(vec)
+    val expected = corpus.select("vec_id", "embedding").collect().map { r =>
+      r.getLong(0) -> bvecs.count(b => cos(vec(r), b) >= 0.3).toLong
+    }.filter(_._2 > 0).toMap
+    assert(expected.nonEmpty, "fixture must flag at least one row")
+    assert(got === expected)
+
+    // plan: the benchmark side is a broadcast nested-loop scan — the
+    // corpus must not shuffle before matching
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast NL join, got:\n$plan")
+  }
+
   test("incrementalSemanticDedup: NULL/empty vectors admitted unconditionally, " +
     "excluded from state; caller-owned corpus cache survives release") {
     val corpus = Seq((0L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))

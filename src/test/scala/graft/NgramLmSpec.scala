@@ -1,0 +1,118 @@
+package graft
+
+import graft.text.NgramLm
+import org.apache.spark.sql.functions._
+
+class NgramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ref corpus: doc1 = "a b a b a" (5 tokens), doc2 = "c c c" (3).
+  // N = 8 tokens, V = 3 words; c(a)=3 c(b)=2 c(c)=3;
+  // bigram counts: (a,b)=2 (b,a)=2 (c,c)=2.
+  private val ref = Seq((1L, "a b a b a"), (2L, "c c c"))
+
+  test("trainBigramLm + scorePerplexity reproduce hand-computed " +
+    "interpolated-bigram probabilities") {
+    val docs = ref.toDF("doc_id", "text")
+    val lm = NgramLm.trainBigramLm(docs, "text")
+    val out = NgramLm.scorePerplexity(docs, "doc_id", "text", lm)
+      .orderBy("doc_id").collect()
+
+    // independent arithmetic (plain Scala, same formula):
+    // doc1 bigrams [ab, ba, ab, ba]:
+    //   p(ab) = 0.9*(2/3) + 0.1*((2+1)/11)   (w2 = b, c(b)=2)
+    //   p(ba) = 0.9*(2/2) + 0.1*((3+1)/11)   (w2 = a, c(a)=3)
+    // doc2 bigrams [cc, cc]: p(cc) = 0.9*(2/3) + 0.1*((3+1)/11)
+    val pAb = 0.9 * (2.0 / 3.0) + 0.1 * (3.0 / 11.0)
+    val pBa = 0.9 * 1.0 + 0.1 * (4.0 / 11.0)
+    val pCc = 0.9 * (2.0 / 3.0) + 0.1 * (4.0 / 11.0)
+    val nll1 = (2 * -math.log(pAb) + 2 * -math.log(pBa)) / 4.0
+    val nll2 = -math.log(pCc)
+
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("n_bigrams") === 4L)
+    assert(out(0).getAs[Double]("avg_nll") ===
+      BigDecimal(nll1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(0).getAs[Double]("ppl") ===
+      BigDecimal(math.exp(nll1)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(1).getAs[Long]("n_bigrams") === 2L)
+    assert(out(1).getAs[Double]("avg_nll") ===
+      BigDecimal(nll2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("OOV scoring: a fully-unseen doc gets exactly the add-one floor; " +
+    "sub-2-token docs excluded; punctuation-insensitive normalization") {
+    val lm = NgramLm.trainBigramLm(ref.toDF("doc_id", "text"), "text")
+    val target = Seq(
+      (10L, "z z"),            // OOV bigram AND OOV unigram
+      (11L, "solo"),           // 1 token -> no bigrams -> excluded
+      (12L, ""),               // empty -> excluded
+      (13L, "A, b! a?? b -- a") // normalizes to "a b a b a" = doc1
+    ).toDF("doc_id", "text")
+    val out = NgramLm.scorePerplexity(target, "doc_id", "text", lm)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(10L, 13L))
+    // p = 0.9*0 + 0.1*(0+1)/(8+3) = 1/110 exactly -> ppl = 110
+    assert(out(0).getAs[Double]("ppl") === 110.0)
+    // punctuation-stripped twin of training doc1 scores identically
+    val fluent = out(1).getAs[Double]("ppl")
+    val base = NgramLm.scorePerplexity(
+        ref.toDF("doc_id", "text"), "doc_id", "text", lm)
+      .filter(col("doc_id") === 1L).head().getAs[Double]("ppl")
+    assert(fluent === base)
+    // and far more fluent than the OOV doc
+    assert(fluent < out(0).getAs[Double]("ppl") / 10)
+  }
+
+  test("curate lmOpt: the gibberish doc scoring above the ppl cap drops " +
+    "at the LM stage; fluent docs survive to dedup") {
+    // 20 identical fluent docs + 1 stopword-laced gibberish doc (the
+    // 'the' glue keeps it past lang-id and the stopword gate, so the
+    // LM stage is the ONLY gate that can catch it)
+    val fluent = "the quick brown fox jumps over the lazy dog again and again"
+    val gibberish = "the zq the xv the qq the kj the zz the pw"
+    val docs = ((1L to 20L).map(i => (i, fluent)) :+ (99L, gibberish))
+      .toDF("doc_id", "text")
+    val lm = NgramLm.trainBigramLm(docs, "text")
+    val ppls = NgramLm.scorePerplexity(docs, "doc_id", "text", lm)
+      .select("doc_id", "ppl").as[(Long, Double)].collect().toMap
+    assert(ppls(99L) > ppls(1L) * 2, s"fixture must separate: $ppls")
+    val cap = (ppls(1L) + ppls(99L)) / 2
+
+    val (out, report) = graft.pipelines.CorpusPipeline.curate(
+      docs, langs = Seq("en"),
+      gates = graft.pipelines.CorpusPipeline.QualityGates(
+        minTokens = 5, minAlphaRatio = 0.3, maxPunctRatio = 0.5,
+        minStopwordRatio = 0.0),
+      lmOpt = Some((docs, cap)))
+    assert(report("after_lm") === report("after_lang") - 1,
+      s"exactly the gibberish doc drops at the LM stage: $report")
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(99L))
+    assert(ids.contains(1L))
+  }
+
+  test("corpus-scale sanity on sf0.001 documents: every scored doc has " +
+    ">= 1 bigram, nll positive, and docs of repeated common bigrams " +
+    "score lower than the corpus median") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val lm = NgramLm.trainBigramLm(docs, "text")
+    val out = NgramLm.scorePerplexity(docs, "doc_id", "text", lm).cache()
+    val n = out.count()
+    assert(n > 0)
+    assert(out.filter(col("n_bigrams") < 1 || col("avg_nll") <= 0).count() === 0)
+    // the most duplicated text in the corpus (near-dup cluster members
+    // share bigrams trained multiple times) must sit below the median:
+    // perplexity REWARDS text the model has seen often — the CCNet
+    // head-bucket behavior
+    val med = out.stat.approxQuantile("ppl", Array(0.5), 0.0).head
+    val dupIds = graft.dedup.NearDup.minhashLshPairs(
+        docs, "doc_id", "text", threshold = 0.8)
+      .select(col("id_a").as("doc_id")).distinct()
+    val dupPpls = out.join(dupIds, "doc_id").select("ppl").as[Double].collect()
+    assert(dupPpls.nonEmpty)
+    assert(dupPpls.count(_ < med) * 2 >= dupPpls.length,
+      s"duplicated docs should mostly score below median ppl $med")
+    out.unpersist()
+  }
+}
