@@ -87,6 +87,18 @@ object TextQueries {
         "vec_id", "embedding", "vec_id", "embedding", k = 10)
     }),
 
+    // two-stage ANN: int8 candidate scan (4x bandwidth cut) + fp32
+    // rerank. The oracle is the EXACT brute-force top-k (identical SQL
+    // to q29) — passing proves the rerank recovers the exact answer,
+    // i.e. the true top-10 always survives the 40-candidate stage at
+    // this quantization error
+    "q95_knn_int8_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.bruteForceTopKInt8(
+        emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10)
+    }),
+
     // embedding-cosine near-dup pairs above a threshold — exact
     "q30_cosine_dup_pairs" -> ((s, d) => {
       NearDup.cosineDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -247,6 +259,23 @@ object TextQueries {
         |) t(id_a, id_b, hamming)""".stripMargin,
 
     "q29_knn_cosine" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] qv
+        |  FROM embeddings WHERE vec_id < 5
+        |), s AS (
+        |  SELECT query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(qv, c.embedding::DOUBLE[]), 4) AS score
+        |  FROM q, embeddings c
+        |  WHERE c.vec_id != query_id
+        |)
+        |SELECT query_id, rank, neighbor_id, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id ASC) AS rank FROM s)
+        |WHERE rank <= 10""".stripMargin,
+
+    // same oracle as q29 on purpose: the int8+rerank path must recover
+    // the exact brute-force answer
+    "q95_knn_int8_rerank" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] qv
         |  FROM embeddings WHERE vec_id < 5

@@ -52,6 +52,42 @@ object Ann {
     finishTopK(scored, corpus.schema(cId).dataType, k)
   }
 
+  /** Two-stage ANN: int8 candidate scan + fp32 rerank — the scan-side
+    * consumer [[quantizeInt8]] was built for. Stage 1 scans the 4×
+    * smaller code arrays (cosine is SCALE-INVARIANT, so codes score
+    * directly against the fp32 query — the per-vector scale never
+    * loads) and keeps `k·oversample` candidates per query through the
+    * bounded-heap aggregate; stage 2 fetches fp32 vectors for ONLY
+    * those candidates and reranks exactly. The output matches
+    * [[bruteForceTopK]] whenever the true top-k survives the candidate
+    * stage — the safety margin is the quantization error (≲1e-3
+    * cosine at d=64) versus the score gap at rank k·oversample, and
+    * the q95 oracle asserts EXACT equality with the exact top-k.
+    * At 100 TB the corpus pass reads codes instead of vectors (4× scan
+    * bandwidth), and the rerank join touches only
+    * |queries|·k·oversample rows.
+    */
+  def bruteForceTopKInt8(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, oversample: Int = 4): DataFrame = {
+    val state = quantizeInt8(corpus, cId, cVec)
+    val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("__qv")))
+    val codes = state.select(col(cId).as("neighbor_id"),
+      transform(col("qvec"), x => x.cast(DoubleType)).as("__cv8"))
+    val cand = q.crossJoin(codes)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", NearDup.cosine(col("__qv"), col("__cv8")))
+    val candidates = finishTopK(cand, corpus.schema(cId).dataType, k * oversample)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = candidates
+      .join(corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv")),
+        "neighbor_id")
+      .join(q, "query_id")
+      .withColumn("score", round(NearDup.cosine(col("__qv"), col("__cv")), 4))
+    finishTopK(rescored, corpus.schema(cId).dataType, k)
+  }
+
   /** LSH-bucketed ANN: corpus and queries get an `nBits` hyperplane
     * signature; each query probes its own bucket plus all buckets at
     * Hamming distance ≤ `probeHamming` (multi-probe widens recall).

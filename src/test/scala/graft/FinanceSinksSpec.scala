@@ -152,6 +152,22 @@ class FinanceSinksSpec extends SparkSpec {
     assert(r3 >= 0.5, s"Hamming-3 probing recall too low: $r3")
   }
 
+  test("bruteForceTopKInt8: the int8 candidate scan + fp32 rerank returns " +
+    "EXACTLY the exact brute-force top-k at sf0.001 and sf0.1") {
+    import spark.implicits._
+    for (sfDir <- Seq("sf0.001", "sf0.1")) {
+      val emb = Tables.embeddings(spark, sf(sfDir))
+      val queries = emb.filter(col("vec_id") < 5)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val exact = rows(Ann.bruteForceTopK(
+        queries, emb, "vec_id", "embedding", "vec_id", "embedding", 10))
+      val got = rows(Ann.bruteForceTopKInt8(
+        queries, emb, "vec_id", "embedding", "vec_id", "embedding", 10))
+      assert(got === exact, s"int8+rerank must recover the exact answer at $sfDir")
+    }
+  }
+
   test("quantizeInt8: codes in [-127,127], dequantization error <= scale/254 " +
     "per element, zero vector -> zeros, map-only plan") {
     import spark.implicits._
