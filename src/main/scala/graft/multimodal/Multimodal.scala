@@ -335,6 +335,22 @@ object Multimodal {
         .select(col(idCol), col("dhash")),
       idCol, "dhash", maxHamming)
 
+  /** Image dedup end-to-end: [[imageDupPairs]] clusters → keep each
+    * cluster's minimum id → undecodable/unique rows pass through
+    * untouched (quarantine-not-drop: a NULL-hash row is unknowable,
+    * not a duplicate).
+    */
+  def imageDupDrop(df: DataFrame, idCol: String, binCol: String,
+                   maxHamming: Int = 3): DataFrame =
+    graft.pipelines.CorpusPipeline.dropByPairs(
+      df, idCol, imageDupPairs(df, idCol, binCol, maxHamming))
+
+  /** Audio twin of [[imageDupDrop]] over [[audioDupPairs]]. */
+  def audioDupDrop(df: DataFrame, idCol: String, binCol: String,
+                   maxHamming: Int = 12): DataFrame =
+    graft.pipelines.CorpusPipeline.dropByPairs(
+      df, idCol, audioDupPairs(df, idCol, binCol, maxHamming))
+
   /** Attach the 64-bit audio fingerprint of a binary audio column
     * ([[JdkCodec.aHash64]] over [[JdkCodec.decodeAudio]]). Undecodable,
     * NULL, or too-short payloads get a NULL fingerprint — kept, not

@@ -224,6 +224,30 @@ object CorpusPipeline {
       .unionByName(docs.join(keepers, Seq(idCol), "left_semi"))
   }
 
+  /** Generic cluster-and-drop over an arbitrary duplicate PAIR list
+    * `(id_a, id_b)`: min-label components over the paired rows ONLY,
+    * keep each component's minimum id, pass unclustered rows through
+    * untouched (they never enter the component computation). This is
+    * the shared tail of every near-dup family — the text paths inline
+    * it; the perceptual media paths
+    * ([[graft.multimodal.Multimodal.imageDupDrop]] /
+    * [[graft.multimodal.Multimodal.audioDupDrop]]) compose their pair
+    * generators with it. The pair list is materialized once
+    * (localCheckpoint) because it feeds the CC size gate, the node
+    * set, and both output branches.
+    */
+  def dropByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+                  maxIter: Int = 50): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val nodes = p.select(col("id_a").as("node"))
+      .unionByName(p.select(col("id_b").as("node"))).distinct()
+    val labels = minLabelComponents(nodes, p, maxIter)
+    val keepers = labels.filter(col("node") === col("label"))
+      .select(col("node").as(idCol))
+    df.join(labels.select(col("node").as(idCol)), Seq(idCol), "left_anti")
+      .unionByName(df.join(keepers, Seq(idCol), "left_semi"))
+  }
+
   /** Shared kernel of the near-dup drop family: (node, label = min id
     * of cluster) over ONLY the documents that occur in a near-dup
     * pair at `threshold` — unclustered documents never enter the

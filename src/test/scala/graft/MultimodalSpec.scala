@@ -179,6 +179,12 @@ class MultimodalSpec extends SparkSpec {
       "a structurally different image must NOT pair with anything")
     assert(!pairs.exists(p => p._1 >= 5L || p._2 >= 5L),
       "undecodable/NULL payloads are excluded from pairing, not crashed on")
+
+    // end-to-end drop: cluster {1,2,3} keeps min id 1; the distinct
+    // image and the undecodable/NULL rows pass through untouched
+    val kept = Multimodal.imageDupDrop(df, "id", "img", maxHamming = 3)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 5L, 6L), s"got $kept")
   }
 
   test("resizeImages: real decode + nearest-neighbor resample with exact " +
@@ -299,5 +305,11 @@ class MultimodalSpec extends SparkSpec {
       "a spectrally different clip must NOT pair with anything")
     assert(!pairs.exists(p => p._1 >= 5L || p._2 >= 5L),
       "non-audio/NULL payloads are excluded from pairing, not crashed on")
+
+    // end-to-end drop: cluster {1,2,3} keeps min id 1; the distinct
+    // clip and the non-audio/NULL rows pass through untouched
+    val kept = Multimodal.audioDupDrop(df, "id", "audio")
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 5L, 6L), s"got $kept")
   }
 }

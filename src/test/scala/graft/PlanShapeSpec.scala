@@ -112,6 +112,28 @@ class PlanShapeSpec extends SparkSpec {
     linesCache.unpersist(blocking = false)
   }
 
+  test("q93 LM scoring: per-doc aggregate is partial, no window anywhere, " +
+    "model joins are hash joins on the 8-byte gram key") {
+    val p = SparkEntry.queries("q93_lm_perplexity")(spark, sf("sf0.01"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("partial_"), "per-doc NLL aggregate must map-side combine")
+    assert(!p.contains("Window"), "LM scoring must not plan any window")
+    assert(!p.contains("CartesianProduct"), "model joins must be keyed, never cartesian")
+  }
+
+  test("q95 int8 ANN: query side broadcast in BOTH stages, no sort-merge " +
+    "join before the bounded-heap aggregates") {
+    val p = plan("q95_knn_int8_rerank")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), "rerank join must stay broadcast at this scale")
+  }
+
+  test("q94 semantic decontamination: bench vectors broadcast, corpus " +
+    "not exchanged before the match filter") {
+    val p = plan("q94_semantic_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("saltedJoin: correct results under replication") {
     val big = (1 to 1000).map(i => (if (i % 2 == 0) "hot" else s"k$i", i)).toDF("key", "v")
     val small = Seq(("hot", "H"), ("k1", "A")).toDF("key", "tag")
