@@ -87,6 +87,13 @@ object TextQueries {
         "vec_id", "embedding", "vec_id", "embedding", k = 10)
     }),
 
+    // per-doc top-5 TF-IDF keywords; deterministic rank on (raw score
+    // desc, term asc); the oracle recomputes tf, df, N, and the
+    // smoothed idf independently
+    "q96_tfidf_top_terms" -> ((s, d) =>
+      graft.text.TextOps.tfidfTopTerms(Tables.documents(s, d),
+        "doc_id", "text", k = 5)),
+
     // two-stage ANN: int8 candidate scan (4x bandwidth cut) + fp32
     // rerank. The oracle is the EXACT brute-force top-k (identical SQL
     // to q29) — passing proves the rerank recovers the exact answer,
@@ -272,6 +279,29 @@ object TextQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY score DESC, neighbor_id ASC) AS rank FROM s)
         |WHERE rank <= 10""".stripMargin,
+
+    "q96_tfidf_top_terms" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(nt, ' ')) AS term
+        |  FROM norm WHERE length(nt) > 0
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), n AS (SELECT count(DISTINCT doc_id) AS n FROM tf)
+        |SELECT doc_id, rank, term, round(s, 6) AS score FROM (
+        |  SELECT tf.doc_id, tf.term,
+        |    tf.tf * (ln(((SELECT n FROM n) + 1.0) / (df.df + 1.0)) + 1) AS s,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * (ln(((SELECT n FROM n) + 1.0) / (df.df + 1.0)) + 1) DESC,
+        |               tf.term ASC) AS rank
+        |  FROM tf JOIN df USING (term))
+        |WHERE rank <= 5""".stripMargin,
 
     // same oracle as q29 on purpose: the int8+rerank path must recover
     // the exact brute-force answer

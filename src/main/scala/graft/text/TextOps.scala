@@ -237,4 +237,38 @@ object TextOps {
   def compressionRatio(df: DataFrame, textCol: String = "text",
                        outCol: String = "compression_ratio"): DataFrame =
     df.withColumn(outCol, compressionRatioUdf(col(textCol)))
+
+  /** Per-document top-k TF-IDF terms — the classic keyword/relevance
+    * signal over the normalized token stream. tf = in-document term
+    * count; idf = ln((N+1)/(df+1)) + 1 (the sklearn smoothing: no
+    * zero or negative weights, every division is of exact integer
+    * counts so the score is engine-portable); rank is deterministic
+    * on (raw score desc, term asc), score reported rounded to 6.
+    *
+    * Scale shape: one explode (~1 row/token), two count aggregations
+    * keyed on the term, one join keyed on the term, and a per-doc
+    * window over that document's DISTINCT terms only — the window
+    * partition is bounded by a single document's vocabulary, never a
+    * corpus-wide key. One O(1) scalar action fetches N (document
+    * count), the NgramLm precedent.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val norm = normalizeText(col(textCol))
+    val tok = docs
+      .select(col(idCol), explode(split(norm, " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = tok.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = tf.select(idCol).distinct().count()
+    val idf = log((lit(n) + 1).cast("double") / (col("df") + 1).cast("double")) + 1
+    val scored = tf.join(df, "term")
+      .withColumn("__score", col("tf").cast("double") * idf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"),
+        round(col("__score"), 6).as("score"))
+  }
 }

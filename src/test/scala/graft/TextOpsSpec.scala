@@ -41,4 +41,27 @@ class TextOpsSpec extends SparkSpec {
     assert(out(1L) === "und" && out(2L) === "und")
     assert(out(3L) === "en")
   }
+
+  test("tfidfTopTerms: hand-computed sklearn-smoothed scores; equal scores " +
+    "tie-break on term asc; punctuation normalized away") {
+    // N = 3; df: apple 1, banana 2, cherry 2, date 1
+    // idf(df=1) = ln(4/2)+1, idf(df=2) = ln(4/3)+1
+    val docs = Seq(
+      (1L, "Apple banana, apple!"),
+      (2L, "banana cherry"),
+      (3L, "cherry date date date")).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 5)
+      .orderBy("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val idf1 = math.log(4.0 / 2.0) + 1
+    val idf2 = math.log(4.0 / 3.0) + 1
+    assert(out.toSeq === Seq(
+      (1L, 1, "apple", r6(2 * idf1)),
+      (1L, 2, "banana", r6(idf2)),
+      (2L, 1, "banana", r6(idf2)), // tied with cherry -> term asc wins
+      (2L, 2, "cherry", r6(idf2)),
+      (3L, 1, "date", r6(3 * idf1)),
+      (3L, 2, "cherry", r6(idf2))))
+  }
 }
