@@ -43,6 +43,37 @@ object SplitOps {
     df.filter(b < r)
   }
 
+  /** Deterministic EXACT-k per-group sample — eval/holdout-set
+    * construction: each group keeps the k rows with the largest
+    * salted key hash (a uniform random order that is a pure function
+    * of (key, salt), reproducible on any cluster layout or engine).
+    * Unlike the rate-based [[stratifiedSample]], output size is
+    * exactly min(k, |group|) per group. Returns
+    * (groupCol, sample_rank, keyCol).
+    *
+    * Scale shape: the naive idiom — `row_number().over(partitionBy
+    * (group).orderBy(hash))` — serializes every row of a group
+    * through one task's sort, the hot-partition shape
+    * `tokenBudgetByGroup` shed this round. This uses the bounded-heap
+    * aggregate instead: partial aggregation reduces every map
+    * partition to ≤ k rows per group BEFORE the shuffle, so the
+    * exchange carries k × #groups rows regardless of group skew.
+    * Ties in the 32-bit hash break on key ASC (TopKAgg's contract),
+    * identically in any engine.
+    */
+  def sampleKPerGroup(df: DataFrame, keyCol: String, groupCol: String, k: Int,
+                      salt: String = "holdout"): DataFrame = {
+    val score = hashBucket(concat(col(keyCol).cast(StringType), lit("|" + salt)))
+      .cast(DoubleType)
+    df.select(col(groupCol), col(keyCol), score.as("__score"))
+      .groupBy(groupCol)
+      .agg(graft.expressions.TopKAgg.topKFor(df.schema(keyCol).dataType, k)(
+        col(keyCol), col("__score")).as("__topk"))
+      .select(col(groupCol), posexplode(col("__topk")))
+      .select(col(groupCol), (col("pos") + 1).cast("int").as("sample_rank"),
+        col("col.id").as(keyCol))
+  }
+
   /** Temperature-weighted source mixing (the multilingual-pretraining
     * rebalance rule): target share of group g ∝ (n_g / N)^T, realized
     * by downsampling only (largest feasible mix, no upsampling).

@@ -234,6 +234,13 @@ object CorpusQueries {
       out
     }),
 
+    // exact-k per-group holdout sample: 25 docs per language by salted
+    // md5 order — deterministic cross-engine, bounded-heap aggregation
+    // (k rows per group per map partition shuffle, no per-group window)
+    "q97_sample_k_per_group" -> ((s, d) =>
+      graft.operators.SplitOps.sampleKPerGroup(
+        Tables.documents(s, d), "doc_id", "lang", k = 25)),
+
     // semantic decontamination: every ~97th embedding stands in for a
     // benchmark/eval suite; corpus rows within 0.3 cosine of ANY bench
     // row are flagged (paraphrase-leakage detection that gram overlap
@@ -573,6 +580,17 @@ object CorpusQueries {
         |SELECT CAST(vec_id AS BIGINT) AS vec_id FROM rejc
         |UNION
         |SELECT CAST(vec_id AS BIGINT) AS vec_id FROM rejs""".stripMargin,
+
+    // same salted-md5 order recomputed independently; rank ties (32-bit
+    // hash collisions) break on doc_id ASC in both engines
+    "q97_sample_k_per_group" ->
+      """SELECT lang, CAST(rank AS INTEGER) AS sample_rank, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|holdout'), 1, 8))::UBIGINT DESC,
+        |               doc_id ASC) AS rank
+        |  FROM documents)
+        |WHERE rank <= 25""".stripMargin,
 
     "q94_semantic_decontaminate" ->
       """WITH bench AS (

@@ -99,4 +99,31 @@ class SplitOpsSpec extends SparkSpec {
     assert(nullRow.isNullAt(1), "null key -> null split")
     assert(out.filterNot(_.isNullAt(0)).forall(!_.isNullAt(1)))
   }
+
+  test("sampleKPerGroup: exactly min(k, |group|) rows per group, equals the " +
+    "naive per-group hash-order window, invariant under repartition") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val out = SplitOps.sampleKPerGroup(docs, "doc_id", "lang", k = 7)
+    val sizes = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val groupSizes = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(sizes.keySet === groupSizes.keySet)
+    sizes.foreach { case (g, n) =>
+      assert(n === math.min(7L, groupSizes(g)), s"group $g: got $n")
+    }
+    // equivalence to the naive window (correct but hot-partitioned)
+    val naive = docs.select(col("lang"), col("doc_id"),
+        SplitOps.hashBucket(concat(col("doc_id").cast("string"), lit("|holdout")))
+          .as("__h"))
+      .withColumn("sample_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("__h").desc, col("doc_id").asc)))
+      .filter(col("sample_rank") <= 7)
+      .select("lang", "sample_rank", "doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (Option(r.getString(0)), r.getInt(1), r.getLong(2))).toSet
+    assert(rows(out) === rows(naive))
+    // pure function of (key, salt): any partitioning gives the same sample
+    assert(rows(SplitOps.sampleKPerGroup(
+      docs.repartition(17), "doc_id", "lang", k = 7)) === rows(out))
+  }
 }
