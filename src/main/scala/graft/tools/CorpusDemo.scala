@@ -16,13 +16,20 @@ object CorpusDemo {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val embs = Tables.embeddings(spark, "/root/testdata/sf0.01")
     val (out, report) = CorpusPipeline.curate(
       docs, langs = Seq("en"),
       gates = CorpusPipeline.QualityGates(
         minTokens = 10, minAlphaRatio = 0.3, maxPunctRatio = 0.5, minStopwordRatio = 0.0),
-      tokenBudgetOpt = Some(20000L))
-    Seq("input", "after_quality", "after_lang", "after_exact_dedup",
-      "after_near_dedup", "final").foreach(k => println(f"$k%-20s ${report(k)}"))
+      tokenBudgetOpt = Some(20000L),
+      // round-8 stages: CCNet LM gate (self-trained reference) +
+      // embedding-space semantic dedup
+      lmOpt = Some((docs, 10000.0)),
+      semanticOpt = Some(CorpusPipeline.SemanticDedup(
+        embs, "vec_id", "embedding", 0.45)))
+    Seq("input", "after_quality", "after_lang", "after_lm",
+      "after_exact_dedup", "after_near_dedup", "after_semantic_dedup",
+      "final").foreach(k => println(f"$k%-22s ${report(k)}"))
     println("sample keeper ids: " +
       out.select("doc_id").limit(5).collect().map(_.getLong(0)).mkString(", "))
     spark.stop()
