@@ -74,6 +74,30 @@ object SplitOps {
         col("col.id").as(keyCol))
   }
 
+  /** Deterministic global SHUFFLE position — the training-order
+    * primitive: every row gets a dense 1-based position equal to the
+    * rank of the salted md5 hash of its key (ties broken by key), a
+    * pure function of (key, salt) that any engine or cluster layout
+    * reproduces exactly. Changing `salt` yields an independent
+    * reshuffle (epoch 2, ablation order, …) with no data movement
+    * beyond the rank computation itself.
+    *
+    * Scale shape: reuses [[graft.operators.DedupOps.globalSurrogateId]]
+    * — the hash range splits into 64 uniform buckets (the hash is
+    * uniform, so the buckets are balanced), per-bucket totals roll
+    * into a broadcast offset table, and the within-bucket windows
+    * sort only their own bucket. No single-partition global window.
+    */
+  def shufflePositions(df: DataFrame, keyCol: String,
+                       salt: String = "shuffle",
+                       outCol: String = "shuffle_pos"): DataFrame = {
+    val hashed = df.withColumn("__sh",
+      hashBucket(concat(col(keyCol).cast(StringType), lit("|" + salt))))
+    graft.operators.DedupOps.globalSurrogateId(
+        hashed, "__sh", Seq(keyCol), outCol, bucketWidth = 1L << 26)
+      .drop("__sh")
+  }
+
   /** Temperature-weighted source mixing (the multilingual-pretraining
     * rebalance rule): target share of group g ∝ (n_g / N)^T, realized
     * by downsampling only (largest feasible mix, no upsampling).

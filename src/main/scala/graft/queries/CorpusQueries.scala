@@ -234,6 +234,13 @@ object CorpusQueries {
       out
     }),
 
+    // deterministic global training-order shuffle: dense 1-based rank
+    // of the salted md5 hash, engine-reproducible, no global window
+    "q98_shuffle_positions" -> ((s, d) =>
+      graft.operators.SplitOps.shufflePositions(
+          Tables.documents(s, d), "doc_id")
+        .select("doc_id", "shuffle_pos")),
+
     // exact-k per-group holdout sample: 25 docs per language by salted
     // md5 order — deterministic cross-engine, bounded-heap aggregation
     // (k rows per group per map partition shuffle, no per-group window)
@@ -580,6 +587,14 @@ object CorpusQueries {
         |SELECT CAST(vec_id AS BIGINT) AS vec_id FROM rejc
         |UNION
         |SELECT CAST(vec_id AS BIGINT) AS vec_id FROM rejs""".stripMargin,
+
+    // naive global row_number recomputation of the bucketed two-level
+    // rank; hash ties break on doc_id ASC in both engines
+    "q98_shuffle_positions" ->
+      """SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|shuffle'), 1, 8))::UBIGINT ASC,
+        |             doc_id ASC) AS BIGINT) AS shuffle_pos
+        |FROM documents""".stripMargin,
 
     // same salted-md5 order recomputed independently; rank ties (32-bit
     // hash collisions) break on doc_id ASC in both engines

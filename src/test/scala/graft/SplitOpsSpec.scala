@@ -126,4 +126,26 @@ class SplitOpsSpec extends SparkSpec {
     assert(rows(SplitOps.sampleKPerGroup(
       docs.repartition(17), "doc_id", "lang", k = 7)) === rows(out))
   }
+
+  test("shufflePositions: dense 1..N, equals the naive global hash-order " +
+    "window, different salt = independent order, repartition-invariant") {
+    val docs = Tables.documents(spark, sf("sf0.001")).select("doc_id")
+    def posMap(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().toMap
+    val out = posMap(SplitOps.shufflePositions(docs, "doc_id"))
+    val n = docs.count()
+    assert(out.values.toSeq.sorted === (1L to n).toSeq, "dense 1..N")
+    val naive = docs.select(col("doc_id"),
+        SplitOps.hashBucket(concat(col("doc_id").cast("string"), lit("|shuffle")))
+          .as("__h"))
+      .withColumn("shuffle_pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__h").asc, col("doc_id").asc)).cast("long"))
+    assert(out === posMap(naive))
+    assert(posMap(SplitOps.shufflePositions(
+      docs.repartition(13), "doc_id")) === out, "layout-invariant")
+    val epoch2 = posMap(SplitOps.shufflePositions(docs, "doc_id", salt = "epoch2"))
+    assert(epoch2 !== out, "a different salt must reshuffle")
+    assert(epoch2.values.toSeq.sorted === (1L to n).toSeq)
+  }
 }
