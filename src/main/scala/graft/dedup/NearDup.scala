@@ -215,19 +215,24 @@ object NearDup {
     * (stderr ≈ 1/√numPerms), the standard incremental trade-off.
     *
     * Returns (admitted incoming rows, their signatures to append to
-    * the corpus state). This overload pins four batch-sized persisted
-    * intermediates for the lifetime of the SparkContext — repeated
-    * batch invocations (a daily-increment driver, a probe loop) should
-    * use [[incrementalDedupManaged]] and release them once the outputs
-    * are materialized, as the streaming `dedupBatch` does.
+    * the corpus state) — EAGERLY materialized (localCheckpoint), with
+    * the admission pipeline's cached intermediates released before
+    * returning: a one-shot call leaves only the two output-sized
+    * checkpointed results, owned by the caller (review r8: the
+    * earlier form silently discarded the release handle and leaked
+    * four persisted intermediate frames per call).
+    * Callers that want lazy outputs and control over release timing
+    * use [[incrementalDedupManaged]], as the streaming `dedupBatch`
+    * does.
     */
   def incrementalDedup(
       corpusSigs: DataFrame, incoming: DataFrame, idCol: String,
       textCol: String, shingleLen: Int = 3, numPerms: Int = 64,
       bands: Int = 16, threshold: Double = 0.7): (DataFrame, DataFrame) = {
-    val (admitted, newSigs, _) = incrementalDedupManaged(
+    val (admitted, newSigs, release) = incrementalDedupManaged(
       corpusSigs, incoming, idCol, textCol, shingleLen, numPerms, bands, threshold)
-    (admitted, newSigs)
+    try (admitted.localCheckpoint(), newSigs.localCheckpoint())
+    finally release()
   }
 
   /** [[incrementalDedup]] plus a release handle that unpersists the

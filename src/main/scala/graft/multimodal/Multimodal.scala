@@ -149,8 +149,10 @@ object Multimodal {
             javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
             f0.getSampleRate, 16, f0.getChannels, f0.getChannels * 2,
             f0.getSampleRate, false)
+          // the conversion stream owns codec resources of its own —
+          // close BOTH streams (close is idempotent on the source)
           val in = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in0)
-          val raw = in.readAllBytes()
+          val raw = try in.readAllBytes() finally in.close()
           val ch = math.max(1, f0.getChannels)
           val n = raw.length / (2 * ch)
           if (n == 0) return None

@@ -60,12 +60,19 @@ object SplitOps {
     * exchange carries k × #groups rows regardless of group skew.
     * Ties in the 32-bit hash break on key ASC (TopKAgg's contract),
     * identically in any engine.
+    *
+    * Rows with a NULL key are EXCLUDED from the sample (not crashed
+    * on): a NULL key has no stable identity to hash, so deterministic
+    * membership is undefined for it — and the bounded-heap encoder
+    * rejects NULL ids outright (review r8). Fill or filter NULL keys
+    * upstream if they must be sampleable.
     */
   def sampleKPerGroup(df: DataFrame, keyCol: String, groupCol: String, k: Int,
                       salt: String = "holdout"): DataFrame = {
     val score = hashBucket(concat(col(keyCol).cast(StringType), lit("|" + salt)))
       .cast(DoubleType)
-    df.select(col(groupCol), col(keyCol), score.as("__score"))
+    df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol), col(keyCol), score.as("__score"))
       .groupBy(groupCol)
       .agg(graft.expressions.TopKAgg.topKFor(df.schema(keyCol).dataType, k)(
         col(keyCol), col("__score")).as("__topk"))

@@ -42,10 +42,14 @@ object TwoLevelCumsum {
     * id-buckets instead of serializing through one task (the r7
     * hot-partition finding on tokenBudgetByGroup).
     *
-    * NULL group values are legal and form their own group: the offset
-    * join is built with null-safe equality (`<=>`) on the group
-    * columns — a plain equi-join would silently drop every NULL-group
-    * row at the inner join.
+    * NULL group values are legal and form their own group, and a NULL
+    * bucket (a NULL order key, e.g. a NULL document id) is legal and
+    * forms its own FIRST bucket (matching SQL's default NULLS FIRST
+    * ordering): the offset join is built with null-safe equality
+    * (`<=>`) on the bucket AND the group columns — a plain equi-join
+    * would silently drop every NULL-keyed row at the inner join
+    * (review r8: the bucket key originally used `===` and NULL-id
+    * rows vanished from the grouped token budget).
     */
   def withGroupedOffsets(df: DataFrame, groupCols: Seq[String], bucket: Column,
                          weight: Column, orderCols: Seq[Column]): (DataFrame, WindowSpec) = {
@@ -63,7 +67,7 @@ object TwoLevelCumsum {
       (col("__b").as("__ob") +:
         groupCols.zipWithIndex.map { case (g, i) => col(g).as(s"__g$i") }) :+
         col("__off"): _*)
-    val cond = ((col("__b") === col("__ob")) +:
+    val cond = ((col("__b") <=> col("__ob")) +:
       groupCols.zipWithIndex.map { case (g, i) => col(g) <=> col(s"__g$i") })
       .reduce(_ && _)
     val joined = withB.join(broadcast(offFlat), cond)

@@ -213,16 +213,17 @@ object CorpusPipeline {
   }
 
   /** Stage 4 — near-dup removal: MinHash-LSH pairs → connected
-    * components → keep the minimum id per duplicate cluster.
+    * components → keep the minimum id per duplicate cluster. One call
+    * to the shared [[dropByPairs]] tail (review r8: this body, the
+    * generic tail, and the incremental admission each carried their
+    * own copy of the keeper kernel; only the incremental one keeps
+    * its inline form, for its eager-persist orchestration).
     */
   def nearDupDrop(docs: DataFrame, idCol: String, textCol: String,
-                  threshold: Double = 0.8, maxIter: Int = 50): DataFrame = {
-    val labels = nearDupLabels(docs, idCol, textCol, threshold, maxIter)
-    val keepers = labels.filter(col("node") === col("label"))
-      .select(col("node").as(idCol))
-    docs.join(labels.select(col("node").as(idCol)), Seq(idCol), "left_anti")
-      .unionByName(docs.join(keepers, Seq(idCol), "left_semi"))
-  }
+                  threshold: Double = 0.8, maxIter: Int = 50): DataFrame =
+    dropByPairs(docs, idCol,
+      NearDup.minhashLshPairs(docs, idCol, textCol, threshold = threshold),
+      maxIter)
 
   /** Generic cluster-and-drop over an arbitrary duplicate PAIR list
     * `(id_a, id_b)`: min-label components over the paired rows ONLY,
@@ -336,17 +337,26 @@ object CorpusPipeline {
         .select(col(idCol)),
       Seq(idCol), "left_anti")
 
-  /** [[incrementalSemanticDedupManaged]] without the release handle —
-    * one-shot callers; batch loops should use the managed form. */
+  /** One-shot form of [[incrementalSemanticDedupManaged]]: outputs are
+    * EAGERLY materialized (localCheckpoint) and the admission
+    * pipeline's cached intermediates are released before returning —
+    * only the two output-sized checkpointed results remain, owned by
+    * the caller (review r8: discarding the release handle leaked four
+    * persisted intermediate frames, including the per-call
+    * corpus-state cache, per invocation). Batch loops that want lazy
+    * outputs and release control use the managed form, as the
+    * streaming `semanticDedupBatch` does.
+    */
   def incrementalSemanticDedup(
       corpusState: DataFrame, incoming: DataFrame, idCol: String,
       vecCol: String, threshold: Double, bands: Int = 96,
       bitsPerBand: Int = 6, seed: Long = 42L, maxIter: Int = 50,
       dedupBeforeVerify: Boolean = true): (DataFrame, DataFrame) = {
-    val (admitted, newState, _) = incrementalSemanticDedupManaged(
+    val (admitted, newState, release) = incrementalSemanticDedupManaged(
       corpusState, incoming, idCol, vecCol, threshold, bands, bitsPerBand,
       seed, maxIter, dedupBeforeVerify)
-    (admitted, newState)
+    try (admitted.localCheckpoint(), newState.localCheckpoint())
+    finally release()
   }
 
   /** Incremental SemDeDup admission — the embedding-space twin of
@@ -556,6 +566,12 @@ object CorpusPipeline {
     * most of the corpus in a single partition. Now wall-clock is
     * bounded by the hottest (group, bucket) cell (≤ bucketSize ids),
     * regardless of group skew.
+    *
+    * Requires a NUMERIC id (the bucket is `id div bucketSize`). Rows
+    * with a NULL id form their own first bucket and budget-count
+    * before all others (NULLS FIRST, the same order the per-group
+    * window form gave them); the null-safe bucket join in
+    * TwoLevelCumsum is what keeps them (review r8).
     */
   def tokenBudgetByGroup(
       docs: DataFrame, idCol: String, textCol: String,

@@ -36,10 +36,16 @@ object NgramLm {
   /** A trained model: `bigrams` = (bg_hash, cond = c(w1,w2)/c(w1)),
     * `unigrams` = (w_hash, uni = (c(w)+1)/(N+V)), `oovUni` =
     * 1/(N+V) (the add-one mass for a word never seen in training),
-    * `lambda` = interpolation weight on the bigram term.
+    * `lambda` / `uniLambda` = interpolation weights on the bigram and
+    * unigram terms. `uniLambda` is carried EXPLICITLY rather than
+    * derived as `1.0 - lambda`: the IEEE result of 1.0 − 0.9 is two
+    * ulps from the literal 0.1 the documented formula (and the q93
+    * oracle) uses, and the cross-engine-reproducibility contract
+    * requires both engines to multiply by the same double
+    * (review r8).
     */
   final case class BigramLm(bigrams: DataFrame, unigrams: DataFrame,
-                            oovUni: Double, lambda: Double)
+                            oovUni: Double, lambda: Double, uniLambda: Double)
 
   /** Normalized word tokens (the q80 normalization: lowercase, strip
     * non-letter/number, collapse whitespace) — scoring must not be
@@ -67,7 +73,10 @@ object NgramLm {
     * carry one double per model row.
     */
   def trainBigramLm(ref: DataFrame, textCol: String,
-                    lambda: Double = 0.9): BigramLm = {
+                    lambda: Double = 0.9,
+                    uniLambda: Double = 0.1): BigramLm = {
+    require(math.abs(lambda + uniLambda - 1.0) < 1e-9,
+      s"interpolation weights must sum to 1: $lambda + $uniLambda")
     val toks = ref.select(explode(normTokens(col(textCol))).as("w"))
     val uniCounts = toks.groupBy("w").agg(count(lit(1)).as("c"))
     val nv = uniCounts.agg(sum("c").as("n"), count(lit(1)).as("v")).head()
@@ -81,7 +90,7 @@ object NgramLm {
       .join(uniCounts.withColumnsRenamed(Map("w" -> "w1", "c" -> "c1")), "w1")
       .select(xxhash64(col("w1"), col("w2")).as("bg_hash"),
         (col("c12").cast("double") / col("c1").cast("double")).as("cond"))
-    BigramLm(bigrams, unigrams, 1.0 / (n + v).toDouble, lambda)
+    BigramLm(bigrams, unigrams, 1.0 / (n + v).toDouble, lambda, uniLambda)
   }
 
   /** Score documents against a trained model: (idCol, n_bigrams,
@@ -96,7 +105,7 @@ object NgramLm {
       .select(col(idCol), xxhash64(col("w1"), col("w2")).as("bg_hash"),
         xxhash64(col("w2")).as("w_hash"))
     val p = lit(lm.lambda) * coalesce(col("cond"), lit(0.0)) +
-      lit(1.0 - lm.lambda) * coalesce(col("uni"), lit(lm.oovUni))
+      lit(lm.uniLambda) * coalesce(col("uni"), lit(lm.oovUni))
     rows
       .join(lm.bigrams, Seq("bg_hash"), "left")
       .join(lm.unigrams, Seq("w_hash"), "left")

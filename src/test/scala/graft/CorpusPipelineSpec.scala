@@ -250,6 +250,21 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 4L))
   }
 
+  test("tokenBudgetByGroup: NULL-id rows survive the bucket join and " +
+    "budget-count FIRST (r8 review: === on the bucket key dropped them)") {
+    import spark.implicits._
+    val docs = Seq(
+      (Some(1L), "en", "one two three"), // 3 tok, cum 5 after the NULL row
+      (None,     "en", "alpha beta"),    // 2 tok, NULLS FIRST -> cum 2
+      (Some(2L), "en", "x y z w"))       // 4 tok, cum 9 > 5 -> out
+      .toDF("doc_id", "lang", "text")
+    val out = graft.pipelines.CorpusPipeline.tokenBudgetByGroup(
+        docs, "doc_id", "text", "lang", Map("en" -> 5L))
+      .select("doc_id").collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    assert(out === Set(None, Some(1L)), s"got $out")
+  }
+
   test("tokenBudgetByGroup: two-level grouped cumsum == naive per-group " +
     "window on a skewed corpus (one group = 90% of rows), incl. NULL group") {
     import org.apache.spark.sql.expressions.Window

@@ -127,6 +127,15 @@ class SplitOpsSpec extends SparkSpec {
       docs.repartition(17), "doc_id", "lang", k = 7)) === rows(out))
   }
 
+  test("sampleKPerGroup: NULL keys are excluded from the sample, not " +
+    "crashed on (r8 review: the heap encoder rejects NULL ids)") {
+    val df = Seq((Some(1L), "g"), (Some(2L), "g"), (None, "g"))
+      .toDF("doc_id", "lang")
+    val out = SplitOps.sampleKPerGroup(df, "doc_id", "lang", k = 5)
+    assert(out.count() === 2)
+    assert(out.filter(col("doc_id").isNull).count() === 0)
+  }
+
   test("shufflePositions: dense 1..N, equals the naive global hash-order " +
     "window, different salt = independent order, repartition-invariant") {
     val docs = Tables.documents(spark, sf("sf0.001")).select("doc_id")
