@@ -47,6 +47,15 @@ object ScaleProbe {
         corpus, "doc_id", "text", windowTokens = 8, minDocs = 2).count()
       val sec1 = (System.nanoTime() - t1) / 1e9
       println(f"[scaleprobe] reps=$n%d dup_spans=$spans%d span_time=$sec1%.2f s")
+      // span REMOVAL path (q91): same replica structure — removed-token
+      // totals scale exactly N×, wall should stay ~linear (the covered
+      // set is output-proportional and all sorts are per-document)
+      val t2 = System.nanoTime()
+      val removed = graft.pipelines.CorpusPipeline.removeDuplicateSpans(
+          corpus, "doc_id", "text", windowTokens = 8, minDocs = 2)
+        .agg(sum("n_removed_tokens")).head().getLong(0)
+      val sec2 = (System.nanoTime() - t2) / 1e9
+      println(f"[scaleprobe] reps=$n%d removed_tokens=$removed%d removal_time=$sec2%.2f s")
     }
     spark.stop()
   }
