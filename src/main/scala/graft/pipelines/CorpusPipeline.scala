@@ -590,6 +590,84 @@ object CorpusPipeline {
       .drop("__n_tok", "__b", "__w", "__off", "__cum")
   }
 
+  /** CCNet head/middle/tail quality bucketing (Wenzek et al. 2020
+    * §4.4): documents are scored by LM perplexity and split per group
+    * (CCNet buckets per LANGUAGE) into the best-scoring `headFrac`,
+    * the next `middleFrac − headFrac`, and the rest — head data is
+    * what the paper's pretraining runs consume first. Bucket
+    * boundaries are VALUE thresholds, not rank splits: the cut ppl
+    * for fraction p is the smallest score whose cumulative doc count
+    * reaches ceil(n·p) (percentile_disc semantics), and every
+    * document compares against that threshold — so tied scores always
+    * land in the same bucket and any engine recomputing the rule from
+    * the (group, ppl) histogram reproduces the assignment exactly.
+    *
+    * 100 TB shape: scoring is [[graft.text.NgramLm.scorePerplexity]]
+    * (hash-keyed model joins, per-doc aggregate); the threshold pass
+    * runs on the (group, ppl) HISTOGRAM — one row per distinct
+    * rounded score, not per document — with its cumulative count
+    * built by the grouped two-level cumsum (integer-ppl buckets, tiny
+    * broadcast offset table), so no window ever partitions on a bare
+    * group key (the r7 tokenBudgetByGroup finding), and the final
+    * assignment is a broadcast join of the #groups-row threshold
+    * table. Documents with fewer than two normalized tokens carry no
+    * LM score and are excluded, as in q93.
+    *
+    * Returns (idCol, groupCol, ppl, bucket ∈ head|middle|tail). NULL
+    * group values form their own group (null-safe joins throughout).
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        groupCol: String, lm: graft.text.NgramLm.BigramLm,
+                        headFrac: Double = 1.0 / 3.0,
+                        middleFrac: Double = 2.0 / 3.0): DataFrame = {
+    val (out, release) =
+      perplexityBucketsManaged(docs, idCol, textCol, groupCol, lm, headFrac, middleFrac)
+    val materialized = out.localCheckpoint()
+    release()
+    materialized
+  }
+
+  /** [[perplexityBuckets]] plus a release handle for the persisted
+    * per-doc score frame (three consumers: histogram, totals, final
+    * assignment — without the cache the LM joins would run thrice).
+    */
+  def perplexityBucketsManaged(
+      docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, lm: graft.text.NgramLm.BigramLm,
+      headFrac: Double = 1.0 / 3.0,
+      middleFrac: Double = 2.0 / 3.0): (DataFrame, () => Unit) = {
+    require(0 < headFrac && headFrac < middleFrac && middleFrac <= 1.0,
+      s"need 0 < headFrac < middleFrac <= 1, got ($headFrac, $middleFrac)")
+    val scored = graft.text.NgramLm.scorePerplexity(docs, idCol, textCol, lm)
+      .join(docs.select(col(idCol), col(groupCol)), Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = scored.groupBy(col(groupCol), col("ppl"))
+      .agg(count(lit(1)).as("__c"))
+    // cumulative doc count per group in ppl order, two-level over
+    // integer-ppl buckets (ppl >= 1 always: it is exp of a mean of
+    // -ln(p), p <= 1) — the only unpartitioned window is the
+    // #groups × #buckets offset table inside withGroupedOffsets
+    val (bucketed, wi) = graft.operators.TwoLevelCumsum.withGroupedOffsets(
+      hist, Seq(groupCol), floor(col("ppl")).cast("long"),
+      col("__c"), Seq(col("ppl")))
+    val cum = bucketed.withColumn("__cum", col("__off") + sum("__w").over(wi))
+    val tot = hist.groupBy(col(groupCol)).agg(sum("__c").as("__n"))
+      .select(col(groupCol).as("__tg"), col("__n"))
+    val thr = cum.join(broadcast(tot), col(groupCol) <=> col("__tg"))
+      .groupBy(col(groupCol))
+      .agg(
+        min(when(col("__cum") >= ceil(col("__n") * lit(headFrac)), col("ppl"))).as("__t1"),
+        min(when(col("__cum") >= ceil(col("__n") * lit(middleFrac)), col("ppl"))).as("__t2"))
+      .select(col(groupCol).as("__bg"), col("__t1"), col("__t2"))
+    val out = scored.join(broadcast(thr), col(groupCol) <=> col("__bg"))
+      .withColumn("bucket",
+        when(col("ppl") <= col("__t1"), lit("head"))
+          .when(col("ppl") <= col("__t2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col(groupCol), col("ppl"), col("bucket"))
+    (out, () => { scored.unpersist(blocking = false); () })
+  }
+
   /** Corpus-level PII scrub: the reference's redaction rules
     * (RefFunctions.redactPii golden-tested against
     * tests/test_dataflow_utils.py:285-295) applied to the text column
@@ -659,6 +737,69 @@ object CorpusPipeline {
     (docs.join(rebuilt, Seq(idCol), "left")
       .withColumn(textCol, coalesce(col("__clean"), lit("")))
       .drop("__clean"), lines)
+  }
+
+  /** Paragraph-level exact dedup, C4/Dolma-style: every occurrence of
+    * a non-blank paragraph EXCEPT the globally first (minimum
+    * (doc id, position)) is removed, and each document's text is
+    * rebuilt from its surviving paragraphs in order. This is the
+    * within-and-across-document twin of [[dropBoilerplateLines]]:
+    * boilerplate removal drops a line from EVERY document once it is
+    * frequent enough, while paragraph dedup always KEEPS the first
+    * occurrence — the C4 rule ("we discarded all but one of any
+    * three-sentence span occurring more than once", Raffel et al.
+    * 2020 §2.2, applied here at paragraph granularity like Dolma's
+    * paragraph dedup). Blank/whitespace-only paragraphs are never
+    * candidates: they separate content everywhere and deduping them
+    * would collapse document structure corpus-wide.
+    *
+    * 100 TB shape: one exploded per-paragraph scan (persisted — it
+    * feeds both the first-occurrence aggregate and the keep join);
+    * the first-occurrence pass is a partial-aggregatable min over
+    * (64-bit hash, paragraph text) — deliberately NOT a row_number
+    * window over the paragraph key, whose partition would serialize
+    * every occurrence of a viral paragraph through one task; the keep
+    * decision verifies the TEXT, not just the hash, so a paragraph
+    * colliding with an earlier one survives (same collision contract
+    * as boilerplate removal).
+    *
+    * Returns the input columns with `textCol` rewritten (possibly to
+    * the empty string) plus `n_removed_paragraphs`.
+    */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    dedupParagraphsManaged(docs, idCol, textCol)._1
+
+  /** [[dedupParagraphs]] plus the persisted exploded-paragraphs frame
+    * for caller-controlled release (one row per paragraph of the
+    * corpus — the stage's largest cache).
+    */
+  def dedupParagraphsManaged(
+      docs: DataFrame, idCol: String, textCol: String): (DataFrame, DataFrame) = {
+    val paras = docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__para")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firsts = paras
+      .filter(trim(col("__para")) =!= "")
+      .groupBy(xxhash64(col("__para")).as("__ph"), col("__para").as("__ftext"))
+      .agg(min(struct(col(idCol).as("id"), col("__pos").as("pos"))).as("__first"))
+    val kept = paras.join(firsts,
+        xxhash64(col("__para")) === col("__ph") &&
+          col("__para") === col("__ftext"), "left")
+      .filter(col("__first").isNull ||  // blank paragraphs: always kept
+        struct(col(idCol).as("id"), col("__pos").as("pos")) === col("__first"))
+    val rebuilt = kept.groupBy(idCol)
+      .agg(array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
+            x => x.getField("__para")), "\n").as("__clean"),
+        count(lit(1)).as("__nk"))
+    val out = docs
+      .withColumn("__np", size(split(col(textCol), "\n")).cast("long"))
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn("n_removed_paragraphs",
+        col("__np") - coalesce(col("__nk"), lit(0L)))
+      .withColumn(textCol, coalesce(col("__clean"), lit("")))
+      .drop("__clean", "__nk", "__np")
+    (out, paras)
   }
 
   /** Benchmark decontamination: count, per document, the distinct word

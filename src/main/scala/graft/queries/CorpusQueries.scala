@@ -273,6 +273,44 @@ object CorpusQueries {
       graft.text.NgramLm.scorePerplexity(docs, "doc_id", "text", lm)
     }),
 
+    // paragraph-level exact dedup (C4/Dolma keep-first rule): every
+    // occurrence of a non-blank paragraph except the globally first
+    // (min (doc_id, pos)) is removed, docs rebuilt in order. Fixture
+    // exercises cross-doc dup, within-doc dup whose first lives in
+    // ANOTHER doc (both copies go), blank-paragraph immunity, and the
+    // fully-deduped doc -> empty string.
+    "q100_paragraph_dedup" -> ((s, _) => {
+      import s.implicits._
+      val docs = Seq(
+        (1L, "intro one\ncommon footer\nbody a"),
+        (2L, "intro two\ncommon footer\nbody b"),
+        (3L, "common footer\nunique three"),
+        (4L, "body a\nbody a"),
+        (5L, ""),
+        (6L, "   \nsolo")).toDF("doc_id", "text")
+      val (out, parasCache) = CorpusPipeline.dedupParagraphsManaged(
+        docs, "doc_id", "text")
+      val materialized = out
+        .select(col("doc_id"), col("text").as("clean_text"),
+          col("n_removed_paragraphs"))
+        .localCheckpoint()
+      parasCache.unpersist(blocking = false)
+      materialized
+    }),
+
+    // CCNet head/middle/tail quality buckets per language: value-
+    // threshold terciles of the q93 perplexity distribution
+    // (percentile_disc cut: smallest ppl whose cumulative doc count
+    // reaches ceil(n·p)), thresholds built from the (lang, ppl)
+    // HISTOGRAM via the grouped two-level cumsum and broadcast back.
+    // The oracle recomputes the WHOLE rule: LM -> ppl -> histogram ->
+    // cumulative counts -> thresholds -> bucket compare.
+    "q99_ppl_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lm = graft.text.NgramLm.trainBigramLm(docs, "text")
+      CorpusPipeline.perplexityBuckets(docs, "doc_id", "text", "lang", lm)
+    }),
+
     // Unicode-canonical dedup: precomposed vs combining-mark spellings
     // of the same rendered text collapse under the NFC digest. The
     // oracle recomputes with DuckDB's ICU nfc_normalize — a JDK-vs-ICU
@@ -656,6 +694,80 @@ object CorpusQueries {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(avg(nll), 6) AS avg_nll, round(exp(avg(nll)), 4) AS ppl
         |FROM score GROUP BY doc_id""".stripMargin,
+
+    // expected output derived by hand from the keep-first rule:
+    // 'common footer' first at (1,1); 'body a' first at (1,2) so BOTH
+    // doc-4 copies go; blanks immune; doc 5 stays empty with 0 removed
+    "q100_paragraph_dedup" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, clean_text,
+        |  CAST(n_removed AS BIGINT) AS n_removed_paragraphs
+        |FROM (VALUES
+        |  (1, 'intro one' || chr(10) || 'common footer' || chr(10) || 'body a', 0),
+        |  (2, 'intro two' || chr(10) || 'body b', 1),
+        |  (3, 'unique three', 1),
+        |  (4, '', 2),
+        |  (5, '', 0),
+        |  (6, '   ' || chr(10) || 'solo', 0)
+        |) t(doc_id, clean_text, n_removed)""".stripMargin,
+
+    // q93's LM recomputation extended with the bucket rule: histogram
+    // of rounded ppl per lang, running doc count in ppl order, tercile
+    // thresholds at ceil(n·1/3)/ceil(n·2/3) (percentile_disc), then a
+    // pure value compare — every step integer or fixed-order IEEE, so
+    // the assignment is engine-reproducible
+    "q99_ppl_buckets" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(nt, ' ') AS t
+        |  FROM norm WHERE length(nt) > 0
+        |), uni AS (
+        |  SELECT w, count(*)::DOUBLE AS c
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+        |), nv AS (SELECT sum(c) AS n, count(*) AS v FROM uni),
+        |bi AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE len(t) >= 2)
+        |), bic AS (
+        |  SELECT w1, w2, count(*)::DOUBLE AS c12 FROM bi GROUP BY w1, w2
+        |), score AS (
+        |  SELECT b.doc_id,
+        |    -ln(0.9 * coalesce(c.c12 / u1.c, 0.0)
+        |        + 0.1 * (coalesce(u2.c, 0.0) + 1)
+        |            / ((SELECT n FROM nv) + (SELECT v FROM nv))) AS nll
+        |  FROM bi b
+        |  LEFT JOIN bic c ON c.w1 = b.w1 AND c.w2 = b.w2
+        |  LEFT JOIN uni u1 ON u1.w = b.w1
+        |  LEFT JOIN uni u2 ON u2.w = b.w2
+        |), sc AS (
+        |  SELECT doc_id, round(exp(avg(nll)), 4) AS ppl
+        |  FROM score GROUP BY doc_id
+        |), scl AS (
+        |  SELECT sc.doc_id, d.lang, sc.ppl
+        |  FROM sc JOIN documents d USING (doc_id)
+        |), hist AS (
+        |  SELECT lang, ppl, count(*) AS c FROM scl GROUP BY lang, ppl
+        |), cum AS (
+        |  SELECT lang, ppl,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY ppl) AS cum
+        |  FROM hist
+        |), tot AS (
+        |  SELECT lang, sum(c) AS n FROM hist GROUP BY lang
+        |), thr AS (
+        |  SELECT c.lang,
+        |    min(CASE WHEN c.cum >= ceil(t.n * (1.0/3.0)) THEN c.ppl END) AS t1,
+        |    min(CASE WHEN c.cum >= ceil(t.n * (2.0/3.0)) THEN c.ppl END) AS t2
+        |  FROM cum c JOIN tot t ON c.lang IS NOT DISTINCT FROM t.lang
+        |  GROUP BY c.lang
+        |)
+        |SELECT s.doc_id, s.lang, s.ppl,
+        |  CASE WHEN s.ppl <= th.t1 THEN 'head'
+        |       WHEN s.ppl <= th.t2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM scl s JOIN thr th ON s.lang IS NOT DISTINCT FROM th.lang""".stripMargin,
 
     // ICU recomputation of the JDK-normalized result (UAX#15 is an
     // exact spec — both must agree byte-for-byte)

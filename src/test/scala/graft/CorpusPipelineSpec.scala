@@ -221,6 +221,90 @@ class CorpusPipelineSpec extends SparkSpec {
       s"frequency count and rebuild must share the cached exploded scan:\n$plan")
   }
 
+  test("dedupParagraphs: keep-first semantics — cross-doc dups removed, " +
+    "within-doc dup with an earlier foreign first loses BOTH copies, " +
+    "blanks immune, fully-deduped doc -> empty") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "intro one\ncommon footer\nbody a"),
+      (2L, "intro two\ncommon footer\nbody b"),
+      (3L, "common footer\nunique three"),
+      (4L, "body a\nbody a"),
+      (5L, ""),
+      (6L, "   \nsolo")).toDF("doc_id", "text")
+    val out = graft.pipelines.CorpusPipeline
+      .dedupParagraphs(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, "intro one\ncommon footer\nbody a", 0L),
+      (2L, "intro two\nbody b", 1L),
+      (3L, "unique three", 1L),
+      (4L, "", 2L),
+      (5L, "", 0L),
+      (6L, "   \nsolo", 0L)))
+  }
+
+  test("dedupParagraphs == naive row_number-per-paragraph window on a " +
+    "randomized corpus, and the operator's own plan is window-free") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // 120 docs of 1-5 paragraphs drawn from a 25-paragraph pool:
+    // heavy cross-doc and within-doc duplication, deterministic seed
+    val rnd = new scala.util.Random(7)
+    val pool = (0 until 25).map(i => s"para $i ${"w" * (i % 4)}")
+    val docs = (1L to 120L).map { i =>
+      val n = rnd.nextInt(5) + 1
+      (i, (0 until n).map(_ => pool(rnd.nextInt(25))).mkString("\n"))
+    }.toDF("doc_id", "text")
+    val got = graft.pipelines.CorpusPipeline
+      .dedupParagraphs(docs, "doc_id", "text")
+      .select("doc_id", "text", "n_removed_paragraphs")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // naive reference: row_number over each paragraph's occurrences
+    // (the hot-partition shape the operator deliberately avoids)
+    val paras = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "para")))
+    val rn = row_number().over(
+      Window.partitionBy("para").orderBy("doc_id", "pos"))
+    val keptNaive = paras
+      .withColumn("rn", when(trim(col("para")) === "", lit(1)).otherwise(rn))
+      .filter(col("rn") === 1)
+    val rebuiltNaive = keptNaive.groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          x => x.getField("para")), "\n").as("clean"),
+        count(lit(1)).as("nk"))
+    val expect = docs
+      .withColumn("np", size(split(col("text"), "\n")).cast("long"))
+      .join(rebuiltNaive, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("clean"), lit("")),
+        col("np") - coalesce(col("nk"), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === expect)
+    // the operator itself must not plan ANY window (min-struct
+    // aggregation instead of per-paragraph row_number)
+    val (out2, cache) = graft.pipelines.CorpusPipeline
+      .dedupParagraphsManaged(docs, "doc_id", "text")
+    val wins = out2.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.isEmpty, "paragraph dedup must be window-free")
+    cache.unpersist(blocking = false)
+  }
+
+  test("dedupParagraphs is idempotent: a second pass removes nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x\ny\nx"), (2L, "y\nz"), (3L, "x\nz\nw")).toDF("doc_id", "text")
+    val once = graft.pipelines.CorpusPipeline
+      .dedupParagraphs(docs, "doc_id", "text").select("doc_id", "text")
+    val twice = graft.pipelines.CorpusPipeline
+      .dedupParagraphs(once, "doc_id", "text")
+    assert(twice.filter(col("n_removed_paragraphs") =!= 0L).count() === 0)
+    assert(twice.select("doc_id", "text").collect().toSet ===
+      once.collect().toSet)
+  }
+
   test("decontaminate: shared-trigram counts; clean docs absent") {
     import spark.implicits._
     val docs = Seq(

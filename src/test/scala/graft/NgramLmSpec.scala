@@ -92,6 +92,110 @@ class NgramLmSpec extends SparkSpec {
     assert(ids.contains(1L))
   }
 
+  // independent driver-side recomputation of the CCNet bucket rule:
+  // per group, t_p = sorted-asc ppl at 1-indexed rank ceil(n*p)
+  // (percentile_disc), bucket by value compare
+  private def naiveBuckets(scored: Seq[(Long, Option[String], Double)],
+                           p1: Double = 1.0 / 3.0,
+                           p2: Double = 2.0 / 3.0): Map[Long, String] =
+    scored.groupBy(_._2).flatMap { case (_, rows) =>
+      val ppls = rows.map(_._3).sorted
+      val n = ppls.length
+      val t1 = ppls(math.ceil(n * p1).toInt - 1)
+      val t2 = ppls(math.ceil(n * p2).toInt - 1)
+      rows.map { case (id, _, p) =>
+        id -> (if (p <= t1) "head" else if (p <= t2) "middle" else "tail")
+      }
+    }
+
+  private def bucketRows(out: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    out.select("doc_id", "bucket").as[(Long, String)].collect().toMap
+
+  test("perplexityBuckets == driver-side percentile_disc rule on a skewed " +
+    "fixture (one group 90% of rows, NULL group, cross-bucket ppl runs)") {
+    // 200 docs: 180 'en', 14 'de', 6 NULL-lang; texts vary so ppl
+    // spreads over many distinct values and integer-ppl buckets
+    val words = Array("the", "quick", "brown", "fox", "jumps", "over",
+      "lazy", "dog", "river", "stone")
+    val docs = (1L to 200L).map { i =>
+      val g = if (i % 15 == 1) "de" else if (i % 37 == 2) null else "en"
+      val txt = (0 until (i % 7 + 3).toInt)
+        .map(j => words(((i * 7 + j * 3) % 10).toInt)).mkString(" ")
+      (i, g, txt)
+    }.toDF("doc_id", "lang", "text")
+    val lm = NgramLm.trainBigramLm(docs, "text")
+    val out = graft.pipelines.CorpusPipeline.perplexityBuckets(
+      docs, "doc_id", "text", "lang", lm)
+    val scored = NgramLm.scorePerplexity(docs, "doc_id", "text", lm)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "lang", "ppl")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2)))
+    assert(scored.exists(_._2.isEmpty), "fixture must include NULL-group docs")
+    assert(bucketRows(out) === naiveBuckets(scored.toIndexedSeq))
+    // buckets are value-ordered within every group
+    val byG = out.select("lang", "ppl", "bucket")
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(1), r.getString(2)))
+      .groupBy(_._1)
+    byG.values.foreach { rows =>
+      def pplsOf(b: String) = rows.filter(_._3 == b).map(_._2)
+      val (h, m, t) = (pplsOf("head"), pplsOf("middle"), pplsOf("tail"))
+      if (h.nonEmpty && m.nonEmpty) assert(h.max <= m.min)
+      if (m.nonEmpty && t.nonEmpty) assert(m.max <= t.min)
+    }
+  }
+
+  test("perplexityBuckets ties: identical docs share one ppl and therefore " +
+    "one bucket, even when a rank split would cut through them") {
+    // 4 identical docs + 2 distinct ones: n=6, rank terciles would cut
+    // 2|2|2 — splitting the four-way tie across buckets — but the
+    // VALUE threshold absorbs the whole tie run into one bucket.
+    // (With a self-trained LM the unique-word docs score LOWEST: every
+    // bigram and unigram is deterministic at count 1/1, while the
+    // twins' repeated 'the' spreads conditional mass — so the twins
+    // tie ABOVE the two singles and the tie run straddles the
+    // middle/tail rank boundary.)
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", "the quick brown fox jumps over the lazy dog"),
+      (3L, "en", "the quick brown fox jumps over the lazy dog"),
+      (4L, "en", "the quick brown fox jumps over the lazy dog"),
+      (5L, "en", "zq xv kj pw mm nn"),
+      (6L, "en", "aa bb cc dd ee ff gg")).toDF("doc_id", "lang", "text")
+    val lm = NgramLm.trainBigramLm(docs, "text")
+    val out = bucketRows(graft.pipelines.CorpusPipeline.perplexityBuckets(
+      docs, "doc_id", "text", "lang", lm))
+    val scored = NgramLm.scorePerplexity(docs, "doc_id", "text", lm)
+      .select("doc_id", "ppl").as[(Long, Double)].collect()
+      .map { case (id, p) => (id, Some("en"): Option[String], p) }
+    assert(out === naiveBuckets(scored.toIndexedSeq))
+    assert(Seq(1L, 2L, 3L, 4L).map(out).toSet.size === 1,
+      s"tied twins must land together: $out")
+    assert(!out.values.exists(_ == "tail"),
+      s"the value threshold absorbs the whole tie run — a rank split " +
+        s"would have forced two twins into tail: $out")
+  }
+
+  test("perplexityBuckets plan: the ppl-ordered histogram window carries " +
+    "the integer-ppl bucket key — no bare-group window anywhere") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val docs = Seq((1L, "en", "a b c"), (2L, "de", "d e f"))
+      .toDF("doc_id", "lang", "text")
+    val lm = NgramLm.trainBigramLm(docs, "text")
+    val (out, release) = graft.pipelines.CorpusPipeline.perplexityBucketsManaged(
+      docs, "doc_id", "text", "lang", lm)
+    val wins = out.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      val orderRefs = w.orderSpec.flatMap(_.child.references.map(_.name))
+      if (orderRefs.contains("ppl")) {
+        val partRefs = w.partitionSpec.flatMap(_.references.map(_.name))
+        assert(partRefs.contains("__b"),
+          s"ppl-ordered window must partition by (group, __b), got $partRefs")
+      }
+    }
+    release()
+  }
+
   test("corpus-scale sanity on sf0.001 documents: every scored doc has " +
     ">= 1 bigram, nll positive, and docs of repeated common bigrams " +
     "score lower than the corpus median") {
