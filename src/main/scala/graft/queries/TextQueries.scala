@@ -87,6 +87,14 @@ object TextQueries {
         "vec_id", "embedding", "vec_id", "embedding", k = 10)
     }),
 
+    // corpus-wide top-25 trigrams: count shuffles on the gram with
+    // map-side combine, top-k plans as TakeOrderedAndProject over the
+    // aggregated gram frame (no global sort); deterministic tie-break
+    // (count desc, gram asc) makes the selected set engine-portable
+    "q101_top_ngrams" -> ((s, d) =>
+      graft.text.TextOps.topNgrams(Tables.documents(s, d), "text",
+        n = 3, k = 25)),
+
     // per-doc top-5 TF-IDF keywords; deterministic rank on (raw score
     // desc, term asc); the oracle recomputes tf, df, N, and the
     // smoothed idf independently
@@ -279,6 +287,21 @@ object TextQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY score DESC, neighbor_id ASC) AS rank FROM s)
         |WHERE rank <= 10""".stripMargin,
+
+    // same lowercased-token trigrams with multiplicity; DuckDB's
+    // inclusive 1-based slice t[i:i+2] is the 3-token window
+    "q101_top_ngrams" ->
+      """WITH toks AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), grams AS (
+        |  SELECT unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS ngram
+        |  FROM toks WHERE len(t) >= 3
+        |)
+        |SELECT ngram, count(*) AS n_occurrences
+        |FROM grams GROUP BY ngram
+        |ORDER BY n_occurrences DESC, ngram ASC
+        |LIMIT 25""".stripMargin,
 
     "q96_tfidf_top_terms" ->
       """WITH norm AS (

@@ -193,6 +193,26 @@ object TextOps {
           i => array_join(slice(toks, i + 1, lit(n)), " ")))
     }
 
+  /** Corpus-wide most-frequent word n-grams — the vocabulary/phrase
+    * statistic every corpus report leads with, and the candidate list
+    * for boilerplate/contamination review. Tokens are lowercased so
+    * casing variants of a phrase count together; ties at the k-th
+    * slot break on the gram string ascending, so the selected set is
+    * deterministic in any engine.
+    *
+    * 100 TB shape: the occurrence explode is map-side; the count
+    * shuffles on the gram (partial map-side combine); the final
+    * top-k runs on the AGGREGATED per-gram frame and plans as
+    * TakeOrderedAndProject — per-partition bounded heaps merged at
+    * the driver, k rows materialized, never a global sort of the
+    * gram table (plan-asserted in the spec).
+    */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    docs.select(explode(wordNgrams(lower(col(textCol)), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram").asc)
+      .limit(k)
+
   /** Word n-gram shingles (distinct), the MinHash/Jaccard unit.
     * The token array is let-bound (ExprOps.bind) so the split is
     * evaluated once per row, not once per shingle.

@@ -64,4 +64,25 @@ class TextOpsSpec extends SparkSpec {
       (3L, 1, "date", r6(3 * idf1)),
       (3L, 2, "cherry", r6(idf2))))
   }
+
+  test("topNgrams: multiplicity counted, casing folds, k-th-slot ties " +
+    "break on gram asc, and the plan is TakeOrderedAndProject — " +
+    "no global sort of the gram table") {
+    // bigrams: 'a b' x3 (one via 'A B'), 'b a' x2, 'b c' x2,
+    // 'c a' x1, 'c d' x1 — k=3 cuts inside the 2-count tie, and
+    // 'b a' < 'b c' decides the last slot
+    val docs = Seq(
+      (1L, "a b a b c"),     // a b, b a, a b... wait recompute below
+      (2L, "A B c a"),
+      (3L, "b c d")).toDF("doc_id", "text")
+    val out = TextOps.topNgrams(docs, "text", n = 2, k = 3)
+    val got = out.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // doc1: a b, b a, a b, b c ; doc2: a b, b c, c a ; doc3: b c, c d
+    // counts: 'a b'=3, 'b c'=3, 'b a'=1, 'c a'=1, 'c d'=1
+    // k=3: top two at 3, then the 1-count tie breaks on 'b a'
+    assert(got === Seq(("a b", 3L), ("b c", 3L), ("b a", 1L)))
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject, got:\n$plan")
+  }
 }
