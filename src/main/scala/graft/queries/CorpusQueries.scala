@@ -273,6 +273,23 @@ object CorpusQueries {
       graft.text.NgramLm.scorePerplexity(docs, "doc_id", "text", lm)
     }),
 
+    // crawl-style URL canonicalization + dedup: casing/www/default-
+    // port/fragment/tracking-param/param-order/trailing-slash variants
+    // of the same page collapse to one canonical key; unparseable
+    // inputs group under NULL. Pure row map + one count aggregate.
+    "q102_url_dedup" -> ((s, _) => {
+      import s.implicits._
+      val docs = Seq(
+        (1L, "HTTP://WWW.Example.com:80/Path/?utm_source=x&b=2&a=1#frag"),
+        (2L, "http://example.com/Path?a=1&b=2"),
+        (3L, "https://Example.com:443/"),
+        (4L, "https://example.com"),
+        (5L, "http://example.com/Path/?a=1&b=2&utm_campaign=z"),
+        (6L, "not a url"),
+        (7L, "https://sub.example.com/p?gclid=123")).toDF("doc_id", "url")
+      graft.text.UrlOps.dedupByUrl(docs, "doc_id", "url")
+    }),
+
     // paragraph-level exact dedup (C4/Dolma keep-first rule): every
     // occurrence of a non-blank paragraph except the globally first
     // (min (doc_id, pos)) is removed, docs rebuilt in order. Fixture
@@ -694,6 +711,19 @@ object CorpusQueries {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(avg(nll), 6) AS avg_nll, round(exp(avg(nll)), 4) AS ppl
         |FROM score GROUP BY doc_id""".stripMargin,
+
+    // hand-derived canonical forms: docs 1/2/5 are the same page
+    // (case+www+port+slash+tracking+param-order variants), 3/4 the
+    // same root, 7 alone after its gclid strips, 6 unparseable
+    "q102_url_dedup" ->
+      """SELECT url_canon, CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(dup_count AS BIGINT) AS dup_count
+        |FROM (VALUES
+        |  ('http://example.com/Path?a=1&b=2', 1, 3),
+        |  ('https://example.com', 3, 2),
+        |  ('https://sub.example.com/p', 7, 1),
+        |  (CAST(NULL AS VARCHAR), 6, 1)
+        |) t(url_canon, doc_id, dup_count)""".stripMargin,
 
     // expected output derived by hand from the keep-first rule:
     // 'common footer' first at (1,1); 'body a' first at (1,2) so BOTH
