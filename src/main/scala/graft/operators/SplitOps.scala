@@ -147,6 +147,80 @@ object SplitOps {
       temperatureRates(counts, temperature), salt)
   }
 
+  /** Deterministic per-group sampling WITH REPETITION — rates may
+    * exceed 1: a row in group g with rate r is emitted floor(r) times
+    * plus one extra copy iff its salted hash falls below frac(r), so
+    * expected multiplicity is exactly r and the realized copy count
+    * is a pure function of (key, salt) — reproducible on any layout
+    * or engine, unlike sample-with-replacement. Output rows carry
+    * `copy_id` (0-based) so downstream shuffling/packing can treat
+    * copies as distinct examples. Groups absent from `rates` and
+    * NULL keys/groups are dropped (same contract as
+    * [[stratifiedSample]]).
+    *
+    * Map-only: the rate map is a literal, the copy fan-out is a
+    * per-row sequence explode — no shuffle, no driver round-trip.
+    */
+  def repeatSample(df: DataFrame, keyCol: String, groupCol: String,
+                   rates: Map[String, Double],
+                   salt: String = "mix"): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r.isFinite),
+      s"rates must be finite and >= 0: $rates")
+    val r = coalesce(
+      try_element_at(typedlit(rates), col(groupCol).cast(StringType)), lit(0.0))
+    val b = hashBucket(concat(col(keyCol).cast(StringType), lit("|" + salt)))
+      .cast(DoubleType) / 4294967296.0
+    val copies = (floor(r) + when(b < r - floor(r), 1).otherwise(0)).cast("int")
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("__copies", copies)
+      .withColumn("copy_id",
+        explode(when(col("__copies") > 0,
+            sequence(lit(0), col("__copies") - 1))
+          .otherwise(array().cast(ArrayType(IntegerType)))))
+      .drop("__copies")
+  }
+
+  /** [[temperatureMix]] WITH upsampling — the XLM-R/mT5 rebalance
+    * (Conneau et al. 2020 §3.1: sample languages by q_g ∝ (n_g/N)^T):
+    * the target TOTAL stays at N rows in expectation, so low-resource
+    * groups repeat (rate > 1, deterministic copies via
+    * [[repeatSample]]) while high-resource groups downsample — unlike
+    * the downsample-only [[temperatureMix]], which shrinks the corpus
+    * to stay feasible. T = 1 is an exact identity: every rate is
+    * 1.000000 and each row appears once with copy_id 0.
+    */
+  def temperatureMixUpsampled(df: DataFrame, keyCol: String, groupCol: String,
+                              temperature: Double,
+                              salt: String = "mix"): DataFrame = {
+    val counts = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast(StringType).as("__g"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    repeatSample(df, keyCol, groupCol,
+      temperatureRatesUpsampled(counts, temperature), salt)
+  }
+
+  /** Upsampling twin of [[temperatureRates]]: r_g = N·(w_g/Σw)/n_g
+    * with NO feasibility clamp — rates above 1 mean repetition. Same
+    * 6-decimal rounding contract (membership and copy counts become a
+    * function of exact decimals, portable across libm pow
+    * implementations).
+    */
+  private def temperatureRatesUpsampled(counts: Map[String, Long],
+                                        temperature: Double): Map[String, Double] = {
+    require(temperature >= 0.0 && temperature <= 1.0,
+      s"temperature must be in [0,1], got $temperature")
+    val live = counts.filter(_._2 > 0L)
+    if (live.isEmpty) return Map.empty
+    val n = live.values.sum.toDouble
+    val w = live.map { case (g, ng) => g -> math.pow(ng / n, temperature) }
+    val wSum = w.values.sum
+    live.map { case (g, ng) =>
+      g -> BigDecimal(n * (w(g) / wSum) / ng)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+
   /** Shared temperature-to-rates math over any per-group mass (docs or
     * tokens): target share ∝ (mass_g / total)^T, scaled to the largest
     * total consistent with every rate <= 1 (downsample only). Rates

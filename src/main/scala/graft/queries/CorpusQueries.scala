@@ -117,6 +117,16 @@ object CorpusQueries {
           Tables.documents(s, d), "doc_id", "lang", temperature = 0.5)
         .select("doc_id", "lang")),
 
+    // temperature mixing WITH upsampling (XLM-R rule): expected total
+    // stays at N, low-resource langs repeat with deterministic
+    // copy_id fan-out, high-resource langs downsample. The oracle
+    // recomputes counts -> (n/N)^T weights -> N-scaled rates ->
+    // floor+fractional-hash copy counts -> range explode.
+    "q103_upsample_mix" -> ((s, d) =>
+      graft.operators.SplitOps.temperatureMixUpsampled(
+          Tables.documents(s, d), "doc_id", "lang", temperature = 0.5)
+        .select("doc_id", "lang", "copy_id")),
+
     // per-language token budgets on the real lang column (the
     // proportional-mix control); zh absent from the map -> dropped
     "q82_lang_token_budget" -> ((s, d) =>
@@ -418,6 +428,31 @@ object CorpusQueries {
         |FROM documents d JOIN rates USING (lang)
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix'), 1, 8))::UBIGINT
         |        / 4294967296.0 < r""".stripMargin,
+
+    // full independent recomputation of the upsampled mix; rates are
+    // N·(w/Σw)/n with NO clamp, rounded to 6 decimals (the q81
+    // cross-engine contract); copies = floor(r) + (hash < frac(r));
+    // range(0, copies) drops rate-0 rows exactly like the explode
+    "q103_upsample_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*)::DOUBLE AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY lang
+        |), tot AS (SELECT sum(n) AS nn FROM counts),
+        |w AS (SELECT lang, n, pow(n / (SELECT nn FROM tot), 0.5) AS wt FROM counts),
+        |ws AS (SELECT sum(wt) AS sw FROM w),
+        |rates AS (
+        |  SELECT lang,
+        |    round((SELECT nn FROM tot) * (wt / (SELECT sw FROM ws)) / n, 6) AS r
+        |  FROM w),
+        |base AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(floor(r) AS BIGINT)
+        |      + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix'), 1, 8))::UBIGINT
+        |               / 4294967296.0 < r - floor(r) THEN 1 ELSE 0 END AS copies
+        |  FROM documents d JOIN rates USING (lang)
+        |)
+        |SELECT doc_id, lang, CAST(u AS INTEGER) AS copy_id
+        |FROM (SELECT doc_id, lang, unnest(range(0, copies)) AS u FROM base)""".stripMargin,
 
     "q82_lang_token_budget" ->
       """WITH toked AS (

@@ -157,4 +157,69 @@ class SplitOpsSpec extends SparkSpec {
     assert(epoch2 !== out, "a different salt must reshuffle")
     assert(epoch2.values.toSeq.sorted === (1L to n).toSeq)
   }
+
+  // independent recomputation of the repeatSample copy count: JDK md5
+  // of "<key>|<salt>", first 8 hex chars as a uint32 fraction
+  private def expectedCopies(key: Long, rate: Double, salt: String = "mix"): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$key|$salt".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val frac = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    math.floor(rate).toInt + (if (frac < rate - math.floor(rate)) 1 else 0)
+  }
+
+  test("repeatSample: copies == floor(rate) + fractional-hash extra " +
+    "(JDK-md5 recomputation), copy_id dense from 0, rate-0 and " +
+    "NULL-key rows dropped, layout-invariant") {
+    val docs = ((1L to 60L).map { i =>
+      (Some(i), if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c")
+    } :+ ((None: Option[Long]), "a"))
+      .toDF("doc_id", "grp")
+    val rates = Map("a" -> 2.5, "b" -> 0.4)
+    val out = SplitOps.repeatSample(docs, "doc_id", "grp", rates)
+      .select("doc_id", "grp", "copy_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val byDoc = out.groupBy(_._1)
+    // every emitted doc's copy_ids are exactly 0..copies-1, and the
+    // copy count matches the independent md5 recomputation
+    (1L to 60L).foreach { i =>
+      val g = if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"
+      val exp = rates.get(g).map(expectedCopies(i, _)).getOrElse(0)
+      val got = byDoc.getOrElse(i, Array.empty)
+      assert(got.length === exp, s"doc $i group $g")
+      assert(got.map(_._3).sorted.toSeq === (0 until exp).toSeq)
+    }
+    // group a must show BOTH 2-copy and 3-copy docs (frac 0.5)
+    val aCounts = (1L to 60L).filter(_ % 3 == 0)
+      .map(i => byDoc.getOrElse(i, Array.empty).length).toSet
+    assert(aCounts === Set(2, 3), s"got $aCounts")
+    // layout-invariance
+    val re = SplitOps.repeatSample(docs.repartition(7), "doc_id", "grp", rates)
+      .select("doc_id", "grp", "copy_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(re.sorted.toSeq === out.sorted.toSeq)
+  }
+
+  test("temperatureMixUpsampled: T=1 is an exact identity (every row " +
+    "once, copy_id 0); T=0.5 on a skewed mix upsamples the small " +
+    "group above 1x while the big group downsamples, expected total ~ N") {
+    val docs = (1L to 1000L).map { i =>
+      (i, if (i % 10 == 0) "small" else "big")  // 100 vs 900
+    }.toDF("doc_id", "lang")
+    val t1 = SplitOps.temperatureMixUpsampled(docs, "doc_id", "lang", 1.0)
+    assert(t1.count() === 1000L)
+    assert(t1.select("copy_id").distinct().collect().map(_.getInt(0)).toSeq === Seq(0))
+
+    val t05 = SplitOps.temperatureMixUpsampled(docs, "doc_id", "lang", 0.5)
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySmall = t05.count(_._2 == "small")
+    val byBig = t05.count(_._2 == "big")
+    // T=0.5 weights: w_small = sqrt(0.1), w_big = sqrt(0.9);
+    // r_small = 1000*(w_s/Σw)/100 = 2.5 -> every small doc >= 2 copies
+    assert(bySmall >= 200 && bySmall <= 300, s"small=$bySmall")
+    assert(byBig < 900, s"big must downsample, got $byBig")
+    // expected totals: small 250, big 750 at the exact 6-decimal rates
+    assert(math.abs(bySmall + byBig - 1000) < 60,
+      s"total should stay near N: ${bySmall + byBig}")
+  }
 }
