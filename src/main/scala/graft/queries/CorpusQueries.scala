@@ -283,6 +283,26 @@ object CorpusQueries {
       graft.text.NgramLm.scorePerplexity(docs, "doc_id", "text", lm)
     }),
 
+    // domain blocklist gate: host suffix-explode + semi-join against
+    // the list (subdomains of a blocked domain block too), matched
+    // ids anti-join back; userinfo spoofs and casing/ports cannot
+    // bypass, lookalike domains and hostless rows pass
+    "q105_domain_blocklist" -> ((s, _) => {
+      import s.implicits._
+      val docs = Seq(
+        (1L, "https://good.com/page"),
+        (2L, "https://evil.com/x"),
+        (3L, "http://a.b.evil.com/y"),
+        (4L, "https://notevil.com/z"),
+        (5L, "http://trusted.com@evil.com/spoof"),
+        (6L, "https://EVIL.com:8443/up"),
+        (7L, "plain text"),
+        (8L, "https://sub.ads.example/banner")).toDF("doc_id", "url")
+      val blocklist = Seq("evil.com", "ads.example").toDF("domain")
+      graft.text.UrlOps.filterBlockedDomains(docs, "doc_id", "url",
+        blocklist, "domain")
+    }),
+
     // crawl-style URL canonicalization + dedup: casing/www/default-
     // port/fragment/tracking-param/param-order/trailing-slash variants
     // of the same page collapse to one canonical key; unparseable
@@ -746,6 +766,16 @@ object CorpusQueries {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(avg(nll), 6) AS avg_nll, round(exp(avg(nll)), 4) AS ppl
         |FROM score GROUP BY doc_id""".stripMargin,
+
+    // survivors derived by hand: evil.com blocks 2 (exact), 3
+    // (subdomain), 5 (userinfo spoof), 6 (case+port); ads.example
+    // blocks 8; lookalike notevil.com and the hostless row pass
+    "q105_domain_blocklist" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, url FROM (VALUES
+        |  (1, 'https://good.com/page'),
+        |  (4, 'https://notevil.com/z'),
+        |  (7, 'plain text')
+        |) t(doc_id, url)""".stripMargin,
 
     // hand-derived canonical forms: docs 1/2/5 are the same page
     // (case+www+port+slash+tracking+param-order variants), 3/4 the

@@ -87,6 +87,14 @@ object TextQueries {
         "vec_id", "embedding", "vec_id", "embedding", k = 10)
     }),
 
+    // tokenizer-prep vocab sizing: smallest frequency-ranked vocab
+    // covering >= 90% of occurrences; pure integer cut rule
+    // (cum-above < ceil(total*9/10)) so the boundary is engine-exact
+    // even mid-tie-run
+    "q104_vocab_coverage" -> ((s, d) =>
+      graft.text.TextOps.vocabCoverage(Tables.documents(s, d), "text",
+        covNum = 9L, covDen = 10L)),
+
     // corpus-wide top-25 trigrams: count shuffles on the gram with
     // map-side combine, top-k plans as TakeOrderedAndProject over the
     // aggregated gram frame (no global sort); deterministic tie-break
@@ -287,6 +295,27 @@ object TextQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY score DESC, neighbor_id ASC) AS rank FROM s)
         |WHERE rank <= 10""".stripMargin,
+
+    // same (count desc, token asc) rank and the same integer ceil
+    // rule recomputed with a plain window over the vocab frame
+    "q104_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), tc AS (
+        |  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        |), tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM tc),
+        |cum AS (
+        |  SELECT tok, c,
+        |    sum(c) OVER (ORDER BY c DESC, tok ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM tc
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+        |  CAST(sum(c) AS BIGINT) AS covered_occurrences,
+        |  (SELECT t FROM tot) AS total_occurrences
+        |FROM cum
+        |WHERE cum - c < ((SELECT t FROM tot) * 9 + 9) // 10""".stripMargin,
 
     // same lowercased-token trigrams with multiplicity; DuckDB's
     // inclusive 1-based slice t[i:i+2] is the 3-token window

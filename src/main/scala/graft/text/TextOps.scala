@@ -213,6 +213,54 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("ngram").asc)
       .limit(k)
 
+  /** Tokenizer-prep vocabulary sizing: the smallest frequency-ranked
+    * vocabulary covering at least `covNum/covDen` of all token
+    * occurrences (the classic word-level vocab cutoff; the same
+    * cumulative-coverage curve drives BPE vocab-size choices).
+    * Returns one row: (vocab_size, covered_occurrences,
+    * total_occurrences). The rule is pure INTEGER arithmetic — a
+    * token is in-vocab iff the cumulative count of all
+    * strictly-higher-ranked tokens is below ceil(total·covNum/covDen)
+    * — so any engine reproduces the cut exactly (no double shares).
+    * Rank order is (count desc, token asc); the tie rule means a tie
+    * run at the boundary is cut mid-run deterministically.
+    *
+    * 100 TB shape: the occurrence explode aggregates to the VOCAB
+    * frame (one row per distinct token — millions, not the corpus);
+    * the global cumulative count over that frame uses the two-level
+    * cumsum with `63 − floor(log2(count))` buckets — monotone along
+    * the count-desc order, so per-bucket offsets broadcast and each
+    * window sorts one frequency decade. Zipf makes the count-1 bucket
+    * the largest, but it is VOCAB-bounded (a fraction of distinct
+    * tokens), never corpus-bounded. Total occurrences is one O(1)
+    * scalar action on the persisted vocab frame (the NgramLm N/V
+    * pattern).
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+                    covNum: Long, covDen: Long): DataFrame = {
+    require(covNum >= 0 && covDen > 0 && covNum <= covDen,
+      s"coverage must be a fraction in [0,1]: $covNum/$covDen")
+    val tokCounts = docs
+      .select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = tokCounts.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
+    val needed = (total * covNum + covDen - 1) / covDen // ceil, exact
+    val (bucketed, wi) = graft.operators.TwoLevelCumsum.withOffsets(
+      tokCounts, (lit(63L) - floor(log2(col("c"))).cast("long")),
+      col("c"), Seq(col("c").desc, col("tok").asc))
+    val out = bucketed
+      .withColumn("__cum", col("__off") + sum("__w").over(wi))
+      .agg(
+        count(when(col("__cum") - col("c") < needed, lit(1))).as("vocab_size"),
+        coalesce(sum(when(col("__cum") - col("c") < needed, col("c"))), lit(0L))
+          .as("covered_occurrences"),
+        lit(total).as("total_occurrences"))
+      .localCheckpoint()
+    tokCounts.unpersist(blocking = false)
+    out
+  }
+
   /** Word n-gram shingles (distinct), the MinHash/Jaccard unit.
     * The token array is let-bound (ExprOps.bind) so the split is
     * evaluated once per row, not once per shingle.

@@ -62,6 +62,60 @@ object UrlOps {
       }
     }
 
+  /** Lowercase host of a url (no port, no userinfo): the blocklist
+    * matching key. Userinfo is stripped BEFORE the host — the classic
+    * `http://trusted.com@evil.com/` spoof puts the real host after
+    * the `@`. No-scheme inputs → NULL.
+    */
+  def hostOf(url: Column): Column =
+    bind(trim(url)) { u =>
+      when(regexp_extract(u, schemeRe, 1) === "", lit(null).cast("string"))
+        .otherwise(regexp_replace(regexp_replace(
+          lower(regexp_extract(regexp_replace(u, schemeRe, ""), "^([^/?#]*)", 1)),
+          "^[^@]*@", ""), ":[0-9]*$", ""))
+    }
+
+  /** Every domain suffix of the url's host, most-specific first:
+    * `a.b.example.com` → [a.b.example.com, b.example.com,
+    * example.com, com]. Blocklist membership of ANY suffix blocks the
+    * url (registrable-domain entries block all subdomains). NULL host
+    * → empty array.
+    */
+  def domainSuffixes(url: Column): Column =
+    bind(hostOf(url)) { h =>
+      when(h.isNull, array().cast("array<string>"))
+        .otherwise(bind(split(h, "\\.")) { parts =>
+          transform(sequence(lit(0), size(parts) - 1),
+            i => array_join(slice(parts, i + 1, size(parts)), "."))
+        })
+    }
+
+  /** Domain blocklist filtering — the first gate of every crawl
+    * pipeline (spam/adult/malware domain lists): drop rows whose host
+    * IS a blocked domain or a subdomain of one. Rows whose url has no
+    * parseable host are KEPT (route them via [[canonicalizeUrl]]'s
+    * NULL bucket if they need review).
+    *
+    * 100 TB shape: each url explodes to its #labels domain suffixes
+    * (≤ ~6 rows, map-side) and semi-joins the blocklist on the suffix
+    * string; blocklists are thousands-to-millions of rows, so the
+    * join side carries no broadcast hint — AQE broadcasts the normal
+    * case and shuffle-joins a giant list; the matched-id set then
+    * anti-joins back. No per-row scan of the list (the literal-OR
+    * chain a small list invites is O(|list|) per row and unusable at
+    * a million entries).
+    */
+  def filterBlockedDomains(df: org.apache.spark.sql.DataFrame, idCol: String,
+                           urlCol: String,
+                           blocklist: org.apache.spark.sql.DataFrame,
+                           domainCol: String): org.apache.spark.sql.DataFrame = {
+    val hit = df.select(col(idCol), explode(domainSuffixes(col(urlCol))).as("__suf"))
+      .join(blocklist.select(lower(trim(col(domainCol))).as("__suf")).distinct(),
+        Seq("__suf"), "left_semi")
+      .select(idCol).distinct()
+    df.join(hit, Seq(idCol), "left_anti")
+  }
+
   /** Canonical-url exact dedup: one row per canonical url with the
     * minimum id (the keeper) and the occurrence count. Unparseable
     * urls (NULL canonical) group together for the caller to route.

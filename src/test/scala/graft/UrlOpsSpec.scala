@@ -53,6 +53,37 @@ class UrlOpsSpec extends SparkSpec {
     assert(canon(once) === once.map(Some(_)))
   }
 
+  test("hostOf and domainSuffixes: userinfo stripped before the host, " +
+    "port and case normalized, suffixes most-specific-first") {
+    val hosts = Seq(
+      "http://trusted.com@evil.com/x",
+      "https://A.B.Example.COM:8443/p",
+      "no scheme here")
+      .toDF("url").select(UrlOps.hostOf(col("url")).as("h"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(hosts === Seq(Some("evil.com"), Some("a.b.example.com"), None))
+    val sufs = Seq("https://a.b.example.com/x").toDF("url")
+      .select(UrlOps.domainSuffixes(col("url")).as("s"))
+      .head().getSeq[String](0)
+    assert(sufs === Seq("a.b.example.com", "b.example.com", "example.com", "com"))
+  }
+
+  test("filterBlockedDomains: exact + subdomain + spoof + case/port " +
+    "blocked; lookalikes and hostless rows kept") {
+    val docs = Seq(
+      (1L, "https://good.com/page"),
+      (2L, "https://evil.com/x"),
+      (3L, "http://a.b.evil.com/y"),
+      (4L, "https://notevil.com/z"),
+      (5L, "http://trusted.com@evil.com/spoof"),
+      (6L, "https://EVIL.com:8443/up"),
+      (7L, "plain text")).toDF("doc_id", "url")
+    val kept = UrlOps.filterBlockedDomains(docs, "doc_id", "url",
+        Seq("evil.com").toDF("domain"), "domain")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 7L))
+  }
+
   test("dedupByUrl: variants collapse to min id with counts; " +
     "unparseable urls share the NULL bucket") {
     val docs = Seq(
