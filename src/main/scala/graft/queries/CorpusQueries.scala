@@ -283,6 +283,23 @@ object CorpusQueries {
       graft.text.NgramLm.scorePerplexity(docs, "doc_id", "text", lm)
     }),
 
+    // cross-split leakage audit: near-dup pairs (MinHash+LSH, verified
+    // Jaccard >= 0.8) whose members landed in DIFFERENT train/val/test
+    // splits — the contamination a hash split cannot prevent (near-dups
+    // hash independently) and every eval pipeline must check for. The
+    // oracle recomputes pairs with exact quadratic Jaccard and the
+    // split assignment with the q48 md5 formula.
+    "q106_split_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val splits = graft.operators.SplitOps.assignSplit(docs, "doc_id")
+        .select(col("doc_id"), col("split"))
+      graft.dedup.NearDup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8)
+        .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+        .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select("id_a", "id_b", "jaccard", "split_a", "split_b")
+    }),
+
     // domain blocklist gate: host suffix-explode + semi-join against
     // the list (subdomains of a blocked domain block too), matched
     // ids anti-join back; userinfo spoofs and casing/ports cannot
@@ -766,6 +783,36 @@ object CorpusQueries {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(avg(nll), 6) AS avg_nll, round(exp(avg(nll)), 4) AS ppl
         |FROM score GROUP BY doc_id""".stripMargin,
+
+    // exact-Jaccard pairs (the q27-proven ground truth at 0.8) joined
+    // with the q48 split formula on both members
+    "q106_split_leakage" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents)
+        |  WHERE len(toks) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s))::DOUBLE /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |), spl AS (
+        |  SELECT doc_id,
+        |    CASE WHEN b < 0.8 THEN 'train'
+        |         WHEN b < 0.9 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0 AS b
+        |    FROM documents)
+        |)
+        |SELECT p.id_a, p.id_b, p.jaccard, sa.split AS split_a, sb.split AS split_b
+        |FROM pairs p
+        |JOIN spl sa ON sa.doc_id = p.id_a
+        |JOIN spl sb ON sb.doc_id = p.id_b
+        |WHERE sa.split <> sb.split""".stripMargin,
 
     // survivors derived by hand: evil.com blocks 2 (exact), 3
     // (subdomain), 5 (userinfo spoof), 6 (case+port); ads.example

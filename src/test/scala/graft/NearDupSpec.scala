@@ -185,4 +185,21 @@ class NearDupSpec extends SparkSpec {
     assert(norm(0) === "café menu" && norm(1) === "café menu")
     assert(norm(2) === "cafe menu" && norm(3) === null)
   }
+
+  test("cross-split leakage audit (q106 composition) == exact quadratic " +
+    "Jaccard pairs filtered to split-crossing, on sf0.001") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val splits = graft.operators.SplitOps.assignSplit(docs, "doc_id")
+      .select(col("doc_id"), col("split"))
+    def crossers(pairs: org.apache.spark.sql.DataFrame) = pairs
+      .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+      .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = crossers(NearDup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.8))
+    val exact = crossers(NearDup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.8))
+    assert(lsh === exact)
+    assert(lsh.nonEmpty, "fixture corpus must exhibit at least one leaked pair")
+  }
 }
