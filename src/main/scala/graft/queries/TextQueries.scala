@@ -87,6 +87,24 @@ object TextQueries {
         "vec_id", "embedding", "vec_id", "embedding", k = 10)
     }),
 
+    // Unicode-script routing signals on a mixed-script fixture; the
+    // oracle recomputes every count with RE2's script properties — a
+    // Java-regex-vs-RE2 script-membership agreement check, and the
+    // argmax tie rule is the same CASE chain in both engines
+    "q107_script_signals" -> ((s, _) => {
+      import s.implicits._
+      val docs = Seq(
+        (1L, "hello world 123"),
+        (2L, "привет мир"),
+        (3L, "你好世界"),
+        (4L, "مرحبا"),
+        (5L, "hello привет"),
+        (6L, "123 456"),
+        (7L, ""),
+        (8L, "hello你好")).toDF("doc_id", "text")
+      graft.text.TextOps.scriptSignals(docs, "doc_id", "text")
+    }),
+
     // tokenizer-prep vocab sizing: smallest frequency-ranked vocab
     // covering >= 90% of occurrences; pure integer cut rule
     // (cum-above < ceil(total*9/10)) so the boundary is engine-exact
@@ -295,6 +313,38 @@ object TextQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY score DESC, neighbor_id ASC) AS rank FROM s)
         |WHERE rank <= 10""".stripMargin,
+
+    // RE2 recomputation of the script counts (len of extract_all =
+    // codepoint match count) + the identical argmax CASE chain
+    "q107_script_signals" ->
+      """WITH docs(doc_id, text) AS (VALUES
+        |  (1, 'hello world 123'),
+        |  (2, 'привет мир'),
+        |  (3, '你好世界'),
+        |  (4, 'مرحبا'),
+        |  (5, 'hello привет'),
+        |  (6, '123 456'),
+        |  (7, ''),
+        |  (8, 'hello你好')
+        |), counts AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S')) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '\p{Latin}')) AS BIGINT) AS n_latin,
+        |    CAST(len(regexp_extract_all(text, '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+        |    CAST(len(regexp_extract_all(text, '\p{Han}')) AS BIGINT) AS n_han,
+        |    CAST(len(regexp_extract_all(text, '\p{Arabic}')) AS BIGINT) AS n_arabic,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+        |  FROM docs
+        |)
+        |SELECT *,
+        |  CASE WHEN n_latin = 0 AND n_cyrillic = 0 AND n_han = 0 AND n_arabic = 0
+        |         THEN 'none'
+        |       WHEN n_latin >= n_cyrillic AND n_latin >= n_han AND n_latin >= n_arabic
+        |         THEN 'latin'
+        |       WHEN n_cyrillic >= n_han AND n_cyrillic >= n_arabic THEN 'cyrillic'
+        |       WHEN n_han >= n_arabic THEN 'han'
+        |       ELSE 'arabic' END AS dominant_script
+        |FROM counts""".stripMargin,
 
     // same (count desc, token asc) rank and the same integer ceil
     // rule recomputed with a plain window over the vocab frame

@@ -213,6 +213,39 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("ngram").asc)
       .limit(k)
 
+  /** Unicode-script signals — the multilingual router that runs BEFORE
+    * any language model: per-document character counts for the major
+    * scripts plus digits, and a dominant-script label. Counts are
+    * regexp match counts over script properties (one match per
+    * character), so they are CODEPOINT counts regardless of the
+    * engine's string-length unit (Spark's length() counts UTF-16
+    * units; regexp_count does not). All-integer output + a
+    * deterministic argmax (ties break latin > cyrillic > han >
+    * arabic; all-zero → 'none') keeps the result engine-exact.
+    * Map-only, no shuffle.
+    */
+  def scriptSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = col(textCol)
+    def cnt(p: String) = coalesce(regexp_count(c, lit(p)), lit(0)).cast("long")
+    df.select(col(idCol),
+        cnt("\\S").as("n_chars"),
+        cnt("\\p{IsLatin}").as("n_latin"),
+        cnt("\\p{IsCyrillic}").as("n_cyrillic"),
+        cnt("\\p{IsHan}").as("n_han"),
+        cnt("\\p{IsArabic}").as("n_arabic"),
+        cnt("[0-9]").as("n_digit"))
+      .withColumn("dominant_script",
+        when(col("n_latin") === 0 && col("n_cyrillic") === 0 &&
+          col("n_han") === 0 && col("n_arabic") === 0, lit("none"))
+          .when(col("n_latin") >= col("n_cyrillic") &&
+            col("n_latin") >= col("n_han") &&
+            col("n_latin") >= col("n_arabic"), lit("latin"))
+          .when(col("n_cyrillic") >= col("n_han") &&
+            col("n_cyrillic") >= col("n_arabic"), lit("cyrillic"))
+          .when(col("n_han") >= col("n_arabic"), lit("han"))
+          .otherwise(lit("arabic")))
+  }
+
   /** Tokenizer-prep vocabulary sizing: the smallest frequency-ranked
     * vocabulary covering at least `covNum/covDen` of all token
     * occurrences (the classic word-level vocab cutoff; the same

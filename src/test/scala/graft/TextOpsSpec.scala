@@ -86,6 +86,25 @@ class TextOpsSpec extends SparkSpec {
       s"top-k must plan as TakeOrderedAndProject, got:\n$plan")
   }
 
+  test("scriptSignals: codepoint counts per script, digit/none routing, " +
+    "argmax ties break by the fixed priority order") {
+    val out = TextOps.scriptSignals(Seq(
+        (1L, "hello world 123"),
+        (2L, "hello привет"),   // cyr 6 > latin 5
+        (3L, "123 456"),        // digits only -> none
+        (4L, "ab пр"),          // latin 2 == cyr 2 -> priority latin
+        (5L, "你好 مرحبا"))      // arabic 5 > han 2
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getString(7))).toMap
+    assert(out(1L) === ((13L, 10L, 0L, 0L, 0L, 3L, "latin")))
+    assert(out(2L) === ((11L, 5L, 6L, 0L, 0L, 0L, "cyrillic")))
+    assert(out(3L) === ((6L, 0L, 0L, 0L, 0L, 6L, "none")))
+    assert(out(4L) === ((4L, 2L, 2L, 0L, 0L, 0L, "latin")))
+    assert(out(5L) === ((7L, 0L, 0L, 2L, 5L, 0L, "arabic")))
+  }
+
   test("vocabCoverage: integer ceil cut, tie run at the boundary cut by " +
     "token asc, full coverage keeps everything, empty corpus -> zeros") {
     // counts: a=5, b=3, c=3, d=1 -> total 12; coverage 1/2 -> needed 6
