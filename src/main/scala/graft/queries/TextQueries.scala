@@ -87,6 +87,16 @@ object TextQueries {
         "vec_id", "embedding", "vec_id", "embedding", k = 10)
     }),
 
+    // keyword-lexicon topic tagging over the real corpus: the
+    // inverted keyword->topic map is a literal in the explode
+    // projection (no join); per-(doc, topic) match counts
+    "q108_topic_tags" -> ((s, d) =>
+      graft.text.TextOps.tagTopics(Tables.documents(s, d), "doc_id", "text",
+        Map(
+          "db"     -> Seq("table", "row", "column", "join"),
+          "exec"   -> Seq("scan", "sort", "merge", "hash"),
+          "stream" -> Seq("stream", "batch", "window")))),
+
     // Unicode-script routing signals on a mixed-script fixture; the
     // oracle recomputes every count with RE2's script properties — a
     // Java-regex-vs-RE2 script-membership agreement check, and the
@@ -313,6 +323,21 @@ object TextQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY score DESC, neighbor_id ASC) AS rank FROM s)
         |WHERE rank <= 10""".stripMargin,
+
+    // the same lexicon as a VALUES table joined on the lowercased
+    // token — the join form of the engine's map-literal lookup
+    "q108_topic_tags" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), lex(tok, topic) AS (VALUES
+        |  ('table','db'), ('row','db'), ('column','db'), ('join','db'),
+        |  ('scan','exec'), ('sort','exec'), ('merge','exec'), ('hash','exec'),
+        |  ('stream','stream'), ('batch','stream'), ('window','stream')
+        |)
+        |SELECT doc_id, topic, count(*) AS n_matches
+        |FROM toks JOIN lex USING (tok)
+        |GROUP BY doc_id, topic""".stripMargin,
 
     // RE2 recomputation of the script counts (len of extract_all =
     // codepoint match count) + the identical argmax CASE chain

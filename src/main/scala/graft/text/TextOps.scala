@@ -213,6 +213,36 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("ngram").asc)
       .limit(k)
 
+  /** Keyword-lexicon topic tagging — the curation taxonomy pass
+    * (domain mixing needs per-topic masses; FlashText-style keyword
+    * taggers are the standard tool): each document reports, per
+    * topic, how many of its tokens match that topic's keyword list.
+    * Tokens are lowercased; keyword lists must be disjoint across
+    * topics (enforced) so a match is unambiguous. Returns the long
+    * format (idCol, topic, n_matches) — all-integer, engine-exact.
+    *
+    * 100 TB shape: the inverted keyword→topic map rides as a LITERAL
+    * in the token-explode projection — a map-only lookup, no join at
+    * all — and only matched tokens reach the per-(doc, topic) count.
+    * A million-entry lexicon outgrows a task-binary literal; at that
+    * size switch to the blocklist pattern (explode + AQE-chosen join,
+    * q105). Curation lexicons are hundreds of terms.
+    */
+  def tagTopics(df: DataFrame, idCol: String, textCol: String,
+                lexicon: Map[String, Seq[String]]): DataFrame = {
+    val inverted = lexicon.toSeq
+      .flatMap { case (t, kws) => kws.map(k => k.toLowerCase -> t) }
+    require(inverted.map(_._1).distinct.size == inverted.size,
+      "keyword lists must be disjoint across topics: " +
+        inverted.groupBy(_._1).filter(_._2.size > 1).keys.mkString(", "))
+    val m = typedlit(inverted.toMap)
+    df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("__tok"))
+      .withColumn("topic", try_element_at(m, col("__tok")))
+      .filter(col("topic").isNotNull)
+      .groupBy(col(idCol), col("topic"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Unicode-script signals — the multilingual router that runs BEFORE
     * any language model: per-document character counts for the major
     * scripts plus digits, and a dominant-script label. Counts are

@@ -86,6 +86,22 @@ class TextOpsSpec extends SparkSpec {
       s"top-k must plan as TakeOrderedAndProject, got:\n$plan")
   }
 
+  test("tagTopics: per-topic match counts with case folding; docs with " +
+    "no lexicon hits absent; overlapping keyword lists rejected") {
+    val lex = Map("fruit" -> Seq("Apple", "banana"), "veg" -> Seq("kale"))
+    val out = TextOps.tagTopics(Seq(
+        (1L, "apple APPLE kale plum"),
+        (2L, "banana"),
+        (3L, "plum pear")).toDF("doc_id", "text"), "doc_id", "text", lex)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out === Set((1L, "fruit", 2L), (1L, "veg", 1L), (2L, "fruit", 1L)))
+    val e = intercept[IllegalArgumentException] {
+      TextOps.tagTopics(Seq((1L, "x")).toDF("doc_id", "text"), "doc_id", "text",
+        Map("a" -> Seq("dup"), "b" -> Seq("DUP")))
+    }
+    assert(e.getMessage.contains("dup"))
+  }
+
   test("scriptSignals: codepoint counts per script, digit/none routing, " +
     "argmax ties break by the fixed priority order") {
     val out = TextOps.scriptSignals(Seq(
