@@ -27,6 +27,29 @@ object ExtendedQueries {
         .select("o_orderkey", "o_custkey", "c_nationkey")
     }),
 
+    // cohort retention matrix: users cohorted by first-event day,
+    // activity counted at each day offset — ONE shuffle keyed on the
+    // user (collect_set of active days partial-aggregates map-side,
+    // bounded by the calendar), then a map-side-combined final agg
+    "q110_cohort_retention" -> ((s, d) =>
+      graft.operators.AnalyticsOps.cohortRetention(Tables.events(s, d))),
+
+    // KMV distinct-count sketch per event type: the k smallest md5
+    // hashes via the bounded-heap TopKAgg (≤ k rows per group cross
+    // the final exchange), estimate by integer division so the
+    // reported value is engine-exact; exact_distinct rides along for
+    // error inspection
+    "q111_kmv_distinct" -> ((s, d) =>
+      graft.operators.SketchOps.kmvDistinct(Tables.events(s, d),
+        "event_type", "user_id", k = 64)),
+
+    // ordered conversion funnel view→click→purchase with
+    // earliest-completion semantics: each step joins the previous
+    // step's #users-row (user, ts) frame and min-aggregates
+    "q113_funnel" -> ((s, d) =>
+      graft.operators.AnalyticsOps.funnel(Tables.events(s, d),
+        Seq("view", "click", "purchase"))),
+
     // §2.3 1→N unnesting (unnest_domi_street_seg, gcs_utils.py:597-662):
     // explode tokens with positional counters, then top-50 tokens
     "q31_explode_tokens" -> ((s, d) => {
@@ -129,6 +152,66 @@ object ExtendedQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // independent recomputation: distinct (user, day) activity joined
+    // to per-user first-day, date subtraction = the day offset
+    "q110_cohort_retention" ->
+      """WITH fu AS (
+        |  SELECT user_id, min(ts::DATE) AS cohort_day FROM events GROUP BY 1
+        |), act AS (
+        |  SELECT DISTINCT user_id, ts::DATE AS d FROM events
+        |)
+        |SELECT cohort_day, CAST(d - cohort_day AS BIGINT) AS day_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM act JOIN fu USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // window-rank recomputation of the k smallest distinct hashes per
+    // group (full-hash lexicographic order = the engine's UTF-8 byte
+    // order on lowercase hex) and the same integer-division estimator
+    "q111_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cd
+        |  FROM h
+        |), agg AS (
+        |  SELECT event_type,
+        |    CAST(least(cd, 64) AS BIGINT) AS n_hashes,
+        |    max(CASE WHEN rn = 64 THEN h END) AS kth_hash
+        |  FROM r WHERE rn <= 64 GROUP BY event_type, cd
+        |), ex AS (
+        |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT agg.event_type, n_hashes, kth_hash,
+        |  CASE WHEN n_hashes < 64 THEN n_hashes
+        |       ELSE (63::BIGINT * (1::BIGINT << 52))
+        |            // greatest(('0x' || substr(kth_hash, 1, 13))::BIGINT, 1)
+        |       END AS est_distinct,
+        |  exact_distinct
+        |FROM agg JOIN ex USING (event_type)""".stripMargin,
+
+    // step-wise correlated recomputation: each stage's completion is
+    // the min event strictly after the previous stage's completion
+    "q113_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1
+        |)
+        |SELECT CAST(1 AS INTEGER) AS step_idx, 'view' AS step,
+        |  CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM s3""".stripMargin,
+
     "q77_salted_join" ->
       """SELECT o_orderkey, o_custkey, c_nationkey
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,

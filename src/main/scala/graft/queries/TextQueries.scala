@@ -87,6 +87,26 @@ object TextQueries {
         "vec_id", "embedding", "vec_id", "embedding", k = 10)
     }),
 
+    // Gopher-style composite quality-rule gate (Rae et al. 2021):
+    // seven auditable rules, every ratio decided by integer
+    // cross-multiplication so the boundary is engine-exact; annotates
+    // (pass + first-fail reason), never drops
+    "q109_gopher_rules" -> ((s, d) =>
+      TextOps.gopherRules(Tables.documents(s, d), "doc_id", "text",
+        minWords = 20, maxWords = 5000)
+        .select("doc_id", "n_words", "word_chars", "n_alpha_words",
+          "n_symbols", "n_lines", "n_bullet_lines", "n_ellipsis_lines",
+          "n_stopword_hits", "r_word_count", "r_mean_word_length",
+          "r_symbol_ratio", "r_bullet_lines", "r_ellipsis_lines",
+          "r_alpha_words", "r_stopword_hits", "pass", "reject_reason")),
+
+    // BM25 top-10 keyword search: tf saturation + dl/avgdl length
+    // normalization; the token explode is filtered to the query terms
+    // before any shuffle and the top-k plans as TakeOrderedAndProject
+    "q112_bm25_search" -> ((s, d) =>
+      TextOps.bm25Search(Tables.documents(s, d), "doc_id", "text",
+        queryTerms = Seq("table", "join", "stream"), k = 10)),
+
     // keyword-lexicon topic tagging over the real corpus: the
     // inverted keyword->topic map is a literal in the explode
     // projection (no join); per-(doc, topic) match counts
@@ -322,6 +342,98 @@ object TextQueries {
         |SELECT query_id, rank, neighbor_id, score FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY score DESC, neighbor_id ASC) AS rank FROM s)
+        |WHERE rank <= 10""".stripMargin,
+
+    // full independent recomputation of every signal and rule: RE2
+    // re-counts the tokens/lines/symbols, the integer
+    // cross-multiplication rules and the first-fail CASE chain are
+    // restated verbatim
+    "q109_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+        |         THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(
+        |           regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') END AS toks,
+        |    list_filter(string_split(text, chr(10)),
+        |      l -> length(regexp_replace(l, '^\s+|\s+$', '', 'g')) > 0) AS lns
+        |  FROM documents
+        |), sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS word_chars,
+        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '\p{L}'))) AS BIGINT) AS n_alpha_words,
+        |    CAST(len(regexp_extract_all(text, '#|…'))
+        |       + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_symbols,
+        |    CAST(len(lns) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lns, l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS n_bullet_lines,
+        |    CAST(len(list_filter(lns, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS BIGINT) AS n_ellipsis_lines,
+        |    CAST(len(list_filter(toks, t -> list_contains(
+        |      ['the','be','to','of','and','that','have','with'], lower(t)))) AS BIGINT) AS n_stopword_hits
+        |  FROM base
+        |), rules AS (
+        |  SELECT *,
+        |    (n_words >= 20 AND n_words <= 5000) AS r_word_count,
+        |    (n_words > 0 AND word_chars >= 3*n_words AND word_chars <= 10*n_words) AS r_mean_word_length,
+        |    (10*n_symbols <= n_words) AS r_symbol_ratio,
+        |    (10*n_bullet_lines <= 9*n_lines) AS r_bullet_lines,
+        |    (10*n_ellipsis_lines <= 3*n_lines) AS r_ellipsis_lines,
+        |    (5*n_alpha_words >= 4*n_words) AS r_alpha_words,
+        |    (n_stopword_hits >= 2) AS r_stopword_hits
+        |  FROM sig
+        |)
+        |SELECT doc_id, n_words, word_chars, n_alpha_words, n_symbols, n_lines,
+        |  n_bullet_lines, n_ellipsis_lines, n_stopword_hits,
+        |  r_word_count, r_mean_word_length, r_symbol_ratio, r_bullet_lines,
+        |  r_ellipsis_lines, r_alpha_words, r_stopword_hits,
+        |  (r_word_count AND r_mean_word_length AND r_symbol_ratio
+        |   AND r_bullet_lines AND r_ellipsis_lines AND r_alpha_words
+        |   AND r_stopword_hits) AS pass,
+        |  CASE WHEN NOT r_word_count THEN 'word_count'
+        |       WHEN NOT r_mean_word_length THEN 'mean_word_length'
+        |       WHEN NOT r_symbol_ratio THEN 'symbol_ratio'
+        |       WHEN NOT r_bullet_lines THEN 'bullet_lines'
+        |       WHEN NOT r_ellipsis_lines THEN 'ellipsis_lines'
+        |       WHEN NOT r_alpha_words THEN 'alpha_words'
+        |       WHEN NOT r_stopword_hits THEN 'stopword_hits'
+        |       ELSE NULL END AS reject_reason
+        |FROM rules""".stripMargin,
+
+    // full BM25 recomputation: same normalization, same idf/tf/length
+    // formulas with identical operator associativity (every float
+    // constant spelled as the same double-typed expression), same
+    // (score desc, id asc) rank, score rounded to 6
+    "q112_bm25_search" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(nt, ' ')) AS term
+        |  FROM norm WHERE length(nt) > 0
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+        |), st AS (
+        |  SELECT count(*) AS n, sum(dl)*1.0/count(*) AS avgdl FROM dl
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term IN ('table', 'join', 'stream') GROUP BY 1, 2
+        |), dfc AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.doc_id,
+        |    sum(ln(1 + ((SELECT n FROM st) - dfc.df + 0.5) / (dfc.df + 0.5))
+        |      * (tf.tf * (1.2::DOUBLE + 1))
+        |      / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE
+        |          + 0.75::DOUBLE * dl.dl / (SELECT avgdl FROM st)))) AS s
+        |  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id)
+        |  GROUP BY 1
+        |)
+        |SELECT doc_id, rank, round(s, 6) AS score FROM (
+        |  SELECT doc_id, s,
+        |    row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+        |  FROM scored)
         |WHERE rank <= 10""".stripMargin,
 
     // the same lexicon as a VALUES table joined on the lowercased

@@ -402,4 +402,132 @@ object TextOps {
       .select(col(idCol), col("rank"), col("term"),
         round(col("__score"), 6).as("score"))
   }
+
+  /** Gopher-style quality-rule gate (Rae et al. 2021 §A1.1, public):
+    * the composite repetition-free document filter every pretraining
+    * pipeline runs before dedup. Seven rules, each reported as its own
+    * boolean plus a `pass` conjunction and the FIRST failing rule name
+    * (fixed evaluation order) as `reject_reason` — filters must be
+    * auditable, so the gate annotates rather than drops.
+    *
+    * Every ratio rule is evaluated by integer cross-multiplication
+    * (`10*symbols <= words`, never `symbols/words <= 0.1`), so the
+    * boundary is exact in any engine — no float division anywhere.
+    * Line-level checks strip edges with the regex `\s` class (not
+    * `trim`, which is space-only in both Spark and DuckDB).
+    *
+    * Scale shape: one map-only projection over let-bound token/line
+    * arrays — codegen'd, shuffle-free, linear at 100 TB.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 20, maxWords: Int = 5000,
+                  stopwords: Seq[String] = GopherStopwords): DataFrame = {
+    val c = col(textCol)
+    val out = df
+      .withColumn("__toks", tokens(c))
+      .withColumn("__lines",
+        filter(split(c, "\n"),
+          l => length(regexp_replace(l, "^\\s+|\\s+$", "")) > 0))
+      .withColumn("n_words", size(col("__toks")).cast(LongType))
+      // total non-whitespace chars == sum of token lengths
+      .withColumn("word_chars",
+        length(regexp_replace(c, "\\s", "")).cast(LongType))
+      .withColumn("n_alpha_words",
+        size(filter(col("__toks"), t => t.rlike("\\p{L}"))).cast(LongType))
+      // Gopher's symbol list: '#', unicode ellipsis, '...'
+      .withColumn("n_symbols",
+        (coalesce(regexp_count(c, lit("#|…")), lit(0)) +
+          coalesce(regexp_count(c, lit("\\.\\.\\.")), lit(0))).cast(LongType))
+      .withColumn("n_lines", size(col("__lines")).cast(LongType))
+      .withColumn("n_bullet_lines",
+        size(filter(col("__lines"), l => l.rlike("^\\s*[-*•]"))).cast(LongType))
+      .withColumn("n_ellipsis_lines",
+        size(filter(col("__lines"),
+          l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast(LongType))
+      .withColumn("n_stopword_hits",
+        size(filter(col("__toks"),
+          t => lower(t).isin(stopwords: _*))).cast(LongType))
+    val rules: Seq[(String, Column)] = Seq(
+      "word_count" ->
+        (col("n_words") >= minWords && col("n_words") <= maxWords),
+      "mean_word_length" ->
+        (col("n_words") > 0 &&
+          col("word_chars") >= lit(3) * col("n_words") &&
+          col("word_chars") <= lit(10) * col("n_words")),
+      "symbol_ratio" -> (lit(10) * col("n_symbols") <= col("n_words")),
+      "bullet_lines" ->
+        (lit(10) * col("n_bullet_lines") <= lit(9) * col("n_lines")),
+      "ellipsis_lines" ->
+        (lit(10) * col("n_ellipsis_lines") <= lit(3) * col("n_lines")),
+      "alpha_words" ->
+        (lit(5) * col("n_alpha_words") >= lit(4) * col("n_words")),
+      "stopword_hits" -> (col("n_stopword_hits") >= 2))
+    val withRules = rules.foldLeft(out) { case (d, (name, cond)) =>
+      d.withColumn(s"r_$name", cond)
+    }
+    val reason = rules.reverse.foldLeft(lit(null).cast(StringType)) {
+      case (acc, (name, _)) => when(!col(s"r_$name"), lit(name)).otherwise(acc)
+    }
+    withRules
+      .withColumn("pass", rules.map(r => col(s"r_${r._1}")).reduce(_ && _))
+      .withColumn("reject_reason", reason)
+      .drop("__toks", "__lines")
+  }
+
+  /** BM25 keyword search (Robertson–Spärck Jones, public): top-k
+    * documents for a literal query-term set. idf = ln(1 + (N-df+0.5)
+    * /(df+0.5)); per-term tf saturation with the usual k1/b length
+    * normalization against avgdl. Rank is deterministic on
+    * (raw score desc, id asc); score reported rounded to 6 — the
+    * q93/q96 float-portability contract.
+    *
+    * Scale shape: the token explode is filtered to the query terms
+    * BEFORE any shuffle, so the tf aggregation carries only rows whose
+    * token is one of the handful of query terms; doc lengths are a
+    * partial-aggregatable count keyed on the id; N and avgdl are one
+    * O(1) two-scalar action (the NgramLm precedent); df is a
+    * #queryterms-row frame joined by broadcast. The final top-k is
+    * orderBy+limit = TakeOrderedAndProject (bounded per-partition
+    * heaps), never a global sort.
+    */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Search needs at least one query term")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val tok = docs
+      .select(col(idCol), explode(split(normalizeText(col(textCol)), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    // doc length in normalized tokens (all terms, pre-filter)
+    val dl = tok.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).first()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / math.max(n, 1L)
+    // tf restricted to query terms before the shuffle
+    val tf = tok.filter(col("term").isin(terms: _*))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5))
+    val scored = tf
+      .join(broadcast(dfc), "term")
+      .join(dl, idCol)
+      .withColumn("__contrib",
+        idf * (col("tf") * (lit(k1) + 1)) /
+          (col("tf") + lit(k1) *
+            (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy(idCol).agg(sum(col("__contrib")).as("__score"))
+    val top = scored
+      .orderBy(col("__score").desc, col(idCol).asc)
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__score").desc, col(idCol).asc)
+    // the rank window runs over the ALREADY-LIMITED k-row frame —
+    // single partition of k rows, not a global window over the corpus
+    top.withColumn("rank", row_number().over(w))
+      .select(col(idCol), col("rank"), round(col("__score"), 6).as("score"))
+  }
 }

@@ -58,4 +58,43 @@ class SketchSpec extends SparkSpec {
     val exact = r.getLong(0).toDouble
     assert(math.abs(exact - r.getLong(1)) / exact < 0.05, r.toString)
   }
+
+  test("kmvDistinct: below-k groups report exact counts with no kth hash") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("a", 3L), ("b", 7L))
+      .toDF("g", "v")
+    val out = graft.operators.SketchOps.kmvDistinct(df, "g", "v", k = 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.getString(2)), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("a") === ((3L, None, 3L, 3L)))
+    assert(out("b") === ((1L, None, 1L, 1L)))
+  }
+
+  test("kmvDistinct: kth hash is the k-th smallest md5, the integer " +
+    "estimator is deterministic across partitionings, error is sane") {
+    import spark.implicits._
+    val n = 500
+    val df = (1 to n).map(i => ("g", i.toLong)).toDF("g", "v")
+    val k = 64
+    def run(parts: Int) =
+      graft.operators.SketchOps.kmvDistinct(df.repartition(parts), "g", "v", k)
+        .head()
+    val a = run(1); val b = run(13)
+    assert(a === b, "sketch must be partitioning-invariant")
+    // recompute the k-th smallest hash independently
+    val hashes = (1 to n).map { i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }.sorted
+    assert(a.getLong(1) === k.toLong)
+    assert(a.getString(2) === hashes(k - 1))
+    val vk = java.lang.Long.parseLong(hashes(k - 1).take(13), 16)
+    val expectEst = ((k - 1).toLong << 52) / vk
+    assert(a.getLong(3) === expectEst)
+    assert(a.getLong(4) === n.toLong)
+    // KMV std error ~ 1/sqrt(k-2) ≈ 13%; 40% is a 3-sigma sanity band
+    assert(math.abs(expectEst.toDouble - n) / n < 0.4,
+      s"estimate $expectEst too far from $n")
+  }
 }

@@ -164,4 +164,80 @@ class TextOpsSpec extends SparkSpec {
     }
     assert(out.head().getLong(2) === 4L)
   }
+
+  test("gopherRules: each rule fails on its own fixture, first-fail " +
+    "reason follows the fixed order, edges trim with the \\s class") {
+    import spark.implicits._
+    val docs = Seq(
+      // passes all seven rules (leading/trailing whitespace ignored)
+      1L -> "  the cat sat with the dog  ",
+      // too few words
+      2L -> "hi there",
+      // mean word length < 3 (fails before its stopword miss)
+      3L -> "a b c d e",
+      // 5 symbols for 8 words (also alpha-poor, but symbol fires first)
+      4L -> "the tag # with # more ### stuff",
+      // every line is a bullet: 10*3 > 9*3
+      5L -> "- the firstitem\n- the seconditem\n- the thirditem",
+      // 2 of 3 lines end in an ellipsis: 10*2 > 3*3 (21 words keep
+      // the 2 ellipsis SYMBOLS under the symbol rule: 20 <= 21)
+      6L -> ("the cat sat on the mat now…\nthe dog ran off with the bone…\n" +
+        "the end was good for all fine"),
+      // 4 alpha words of 9: 5*4 < 4*9
+      7L -> "the num 111 222 333 444 555 with the",
+      // zero stopword hits
+      8L -> "cat dog bird fish goat lion",
+      // empty: word_count fails, n_lines is 0 (not a [""] artifact)
+      9L -> "").toDF("doc_id", "text")
+    val out = TextOps.gopherRules(docs, "doc_id", "text",
+      minWords = 3, maxWords = 30)
+      .select("doc_id", "pass", "reject_reason", "n_words", "n_lines",
+        "n_symbols", "n_bullet_lines", "n_ellipsis_lines")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), Option(r.getString(2)), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(out(1L) === ((true, None, 6L, 1L, 0L, 0L, 0L)))
+    assert(out(2L)._1 === false && out(2L)._2 === Some("word_count"))
+    assert(out(3L)._2 === Some("mean_word_length"))
+    assert(out(4L)._2 === Some("symbol_ratio") && out(4L)._5 === 5L)
+    assert(out(5L)._2 === Some("bullet_lines") && out(5L)._6 === 3L)
+    assert(out(6L)._2 === Some("ellipsis_lines") &&
+      out(6L)._3 === 21L && out(6L)._5 === 2L && out(6L)._7 === 2L)
+    assert(out(7L)._2 === Some("alpha_words"))
+    assert(out(8L)._2 === Some("stopword_hits"))
+    assert(out(9L)._2 === Some("word_count") && out(9L)._4 === 0L)
+  }
+
+  test("bm25Search: hand-computed scores, rare-term idf dominance, " +
+    "non-matching docs absent, top-k plans as TakeOrderedAndProject") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark table join"),
+      (2L, "table table table scan"),
+      (3L, "stream filter map"),
+      (4L, "other words here")).toDF("doc_id", "text")
+    val out = TextOps.bm25Search(docs, "doc_id", "text",
+      queryTerms = Seq("table", "stream"), k = 3)
+    // independent recomputation of the formula
+    val n = 4.0; val avgdl = (3 + 4 + 3 + 3).toDouble / 4
+    def idf(df: Int) = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def contrib(tf: Long, df: Int, dl: Long) =
+      idf(df) * (tf * (1.2 + 1)) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = Map(
+      1L -> r6(contrib(1, 2, 3)), // table, df=2
+      2L -> r6(contrib(3, 2, 4)),
+      3L -> r6(contrib(1, 1, 3))) // stream, df=1 — higher idf
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSet === Set(1L, 2L, 3L)) // doc 4 absent
+    rows.foreach { case (id, _, score) =>
+      assert(math.abs(score - expect(id)) < 1e-9, s"doc $id: $score vs ${expect(id)}")
+    }
+    // scores are non-increasing along the rank order
+    val byRank = rows.sortBy(_._2).map(_._3)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    // the global top-k must be bounded-heap, not a global sort
+    assert(out.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "bm25 top-k should plan as TakeOrderedAndProject")
+  }
 }
