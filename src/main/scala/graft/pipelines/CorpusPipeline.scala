@@ -825,6 +825,40 @@ object CorpusPipeline {
       .agg(count(lit(1)).as("n_contaminated_grams"))
   }
 
+  /** Graded member of the decontamination family: instead of
+    * [[decontaminate]]'s binary "has ≥1 benchmark gram" flag, report
+    * each document's CONTAMINATION FRACTION — the share of its n-gram
+    * OCCURRENCES (with multiplicity, Lee et al. 2022's containment
+    * convention) found in the benchmark gram set. A doc quoting one
+    * eval question verbatim scores high; a doc sharing one common
+    * phrase scores near zero — the number a kill-threshold policy
+    * actually wants. Emits every doc with ≥ n tokens: (idCol,
+    * total_grams, hit_grams, containment round 6 — a ratio of exact
+    * integer counts, engine-identical).
+    *
+    * 100 TB shape: bench grams broadcast (eval suites are small); the
+    * doc-gram explode is map-side and feeds a broadcast LEFT join +
+    * per-doc count aggregate with map-side combine — the only shuffle
+    * carries 2 longs per doc. Bench sets too big to broadcast switch
+    * to the [[decontaminateBloom]] bit-array, same as the binary path.
+    */
+  def containmentScore(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 3): DataFrame = {
+    val docGrams = docs.select(col(idCol),
+      explode(TextOps.wordNgrams(col(textCol), n)).as("__g"))
+    val benchGrams = benchmark
+      .select(explode(TextOps.wordShingles(col(benchTextCol), n)).as("__g"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    docGrams.join(broadcast(benchGrams), Seq("__g"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("total_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hit_grams"))
+      .withColumn("containment",
+        round(col("hit_grams").cast("double") / col("total_grams"), 6))
+  }
+
   /** SEMANTIC member of the decontamination family (exact-gram join →
     * Bloom → this): flags corpus rows whose EMBEDDING reaches
     * `threshold` cosine against ANY benchmark row — paraphrased or

@@ -64,6 +64,16 @@ object CorpusQueries {
         benchTexts.toDF("btext"), "btext", n = 3)
     }),
 
+    // graded decontamination: per-doc fraction of 3-gram OCCURRENCES
+    // found in the benchmark gram set (Lee et al. containment) — the
+    // number a kill-threshold policy thresholds on, vs q73's binary flag
+    "q115_containment_score" -> ((s, d) => {
+      import s.implicits._
+      CorpusPipeline.containmentScore(
+        Tables.documents(s, d), "doc_id", "text",
+        benchTexts.toDF("btext"), "btext", n = 3)
+    }),
+
     // incremental admission: first half of the corpus is "established"
     // and participates only via stored signatures; the second half is
     // the incoming batch. Output = the REJECTED batch ids (near-dups
@@ -542,6 +552,32 @@ object CorpusQueries {
         |)
         |SELECT doc_id, count(*) AS n_contaminated_grams
         |FROM dg JOIN bg USING (g)
+        |GROUP BY doc_id""".stripMargin,
+
+    // q73's gram machinery, but occurrences keep multiplicity and the
+    // LEFT join grades every doc: containment = hits/total, a ratio
+    // of exact integer counts
+    "q115_containment_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+        |  FROM documents WHERE length(trim(text)) > 0
+        |),
+        |dg AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) g
+        |  FROM toks WHERE len(toks) >= 3
+        |),
+        |bg AS (
+        |  SELECT DISTINCT g AS bgram FROM (
+        |    SELECT unnest([array_to_string(bt[i:i+2], ' ') for i in range(1, len(bt)-1)]) g
+        |    FROM (SELECT regexp_split_to_array(trim(btext), '\s+') bt
+        |          FROM (VALUES ('key agg row scan'), ('batch window spark order')) v(btext))
+        |    WHERE len(bt) >= 3)
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS total_grams,
+        |  CAST(count(bgram) AS BIGINT) AS hit_grams,
+        |  round(count(bgram) * 1.0 / count(*), 6) AS containment
+        |FROM dg LEFT JOIN bg ON dg.g = bg.bgram
         |GROUP BY doc_id""".stripMargin,
 
     // identical to the q73 oracle except the column name: the Bloom

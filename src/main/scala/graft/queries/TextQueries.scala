@@ -100,6 +100,16 @@ object TextQueries {
           "r_symbol_ratio", "r_bullet_lines", "r_ellipsis_lines",
           "r_alpha_words", "r_stopword_hits", "pass", "reject_reason")),
 
+    // Gopher within-doc repetition rules: duplicate n-gram occurrence
+    // fractions for n=2..4 with the paper's thresholds as exact
+    // integer cross-multiplications
+    "q114_repetition_rules" -> ((s, d) =>
+      TextOps.repetitionRules(Tables.documents(s, d), "doc_id", "text")
+        .select("doc_id", "total_2grams", "distinct_2grams", "dup_frac_2",
+          "total_3grams", "distinct_3grams", "dup_frac_3",
+          "total_4grams", "distinct_4grams", "dup_frac_4",
+          "r_dup_2grams", "r_dup_3grams", "r_dup_4grams", "rep_pass")),
+
     // BM25 top-10 keyword search: tf saturation + dl/avgdl length
     // normalization; the token explode is filtered to the query terms
     // before any shuffle and the top-k plans as TakeOrderedAndProject
@@ -398,6 +408,57 @@ object TextQueries {
         |       WHEN NOT r_stopword_hits THEN 'stopword_hits'
         |       ELSE NULL END AS reject_reason
         |FROM rules""".stripMargin,
+
+    // RE2 recomputation of every gram list (q101's inclusive-slice
+    // comprehension), the same integer-rational thresholds and the
+    // same exact-integer-ratio fractions
+    "q114_repetition_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(tk) >= 2
+        |      THEN [array_to_string(tk[i:i+1], ' ') for i in range(1, len(tk))]
+        |      ELSE []::VARCHAR[] END AS g2,
+        |    CASE WHEN len(tk) >= 3
+        |      THEN [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk)-1)]
+        |      ELSE []::VARCHAR[] END AS g3,
+        |    CASE WHEN len(tk) >= 4
+        |      THEN [array_to_string(tk[i:i+3], ' ') for i in range(1, len(tk)-2)]
+        |      ELSE []::VARCHAR[] END AS g4
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id,
+        |    CAST(len(g2) AS BIGINT) AS total_2grams,
+        |    CAST(len(list_distinct(g2)) AS BIGINT) AS distinct_2grams,
+        |    CAST(len(g3) AS BIGINT) AS total_3grams,
+        |    CAST(len(list_distinct(g3)) AS BIGINT) AS distinct_3grams,
+        |    CAST(len(g4) AS BIGINT) AS total_4grams,
+        |    CAST(len(list_distinct(g4)) AS BIGINT) AS distinct_4grams
+        |  FROM g
+        |)
+        |SELECT doc_id,
+        |  total_2grams, distinct_2grams,
+        |  CASE WHEN total_2grams > 0 THEN round(
+        |    (total_2grams - distinct_2grams) * 1.0 / total_2grams, 6)
+        |    ELSE 0.0 END AS dup_frac_2,
+        |  total_3grams, distinct_3grams,
+        |  CASE WHEN total_3grams > 0 THEN round(
+        |    (total_3grams - distinct_3grams) * 1.0 / total_3grams, 6)
+        |    ELSE 0.0 END AS dup_frac_3,
+        |  total_4grams, distinct_4grams,
+        |  CASE WHEN total_4grams > 0 THEN round(
+        |    (total_4grams - distinct_4grams) * 1.0 / total_4grams, 6)
+        |    ELSE 0.0 END AS dup_frac_4,
+        |  (5 * (total_2grams - distinct_2grams) <= total_2grams) AS r_dup_2grams,
+        |  (50 * (total_3grams - distinct_3grams) <= 9 * total_3grams) AS r_dup_3grams,
+        |  (25 * (total_4grams - distinct_4grams) <= 4 * total_4grams) AS r_dup_4grams,
+        |  ((5 * (total_2grams - distinct_2grams) <= total_2grams)
+        |   AND (50 * (total_3grams - distinct_3grams) <= 9 * total_3grams)
+        |   AND (25 * (total_4grams - distinct_4grams) <= 4 * total_4grams)) AS rep_pass
+        |FROM s""".stripMargin,
 
     // full BM25 recomputation: same normalization, same idf/tf/length
     // formulas with identical operator associativity (every float

@@ -477,6 +477,43 @@ object TextOps {
       .drop("__toks", "__lines")
   }
 
+  /** Gopher-style within-document repetition rules (Rae et al. 2021
+    * §A1.1, adapted from char-fraction to occurrence-fraction): for
+    * n ∈ {2, 3, 4}, the fraction of n-gram OCCURRENCES that are
+    * repeats of an earlier occurrence (1 − distinct/total). The three
+    * flags use the paper's 0.20 / 0.18 / 0.16 thresholds as exact
+    * rationals via integer cross-multiplication (`5·(t−d) ≤ t`,
+    * `50·(t−d) ≤ 9·t`, `25·(t−d) ≤ 4·t`), so the boundary is
+    * engine-exact; the reported fractions are ratios of exact integer
+    * counts (identical IEEE division in any engine, rounded to 6).
+    *
+    * Complements `repetitionSignals` (TTR + top-bigram share): that
+    * reports concentration on ONE phrase, this reports total
+    * duplication mass across all phrases. Scale shape: map-only
+    * let-bound array work per row, no shuffle.
+    */
+  def repetitionRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def stats(n: Int, d: DataFrame): DataFrame = d
+      .withColumn(s"__g$n", wordNgrams(col(textCol), n))
+      .withColumn(s"total_${n}grams", size(col(s"__g$n")).cast(LongType))
+      .withColumn(s"distinct_${n}grams",
+        size(array_distinct(col(s"__g$n"))).cast(LongType))
+      .withColumn(s"dup_frac_$n",
+        when(col(s"total_${n}grams") > 0,
+          round((col(s"total_${n}grams") - col(s"distinct_${n}grams"))
+            .cast(DoubleType) / col(s"total_${n}grams"), 6))
+          .otherwise(0.0))
+      .drop(s"__g$n")
+    val sig = Seq(2, 3, 4).foldLeft(df)((d, n) => stats(n, d))
+    def dup(n: Int) = col(s"total_${n}grams") - col(s"distinct_${n}grams")
+    sig
+      .withColumn("r_dup_2grams", lit(5) * dup(2) <= col("total_2grams"))
+      .withColumn("r_dup_3grams", lit(50) * dup(3) <= lit(9) * col("total_3grams"))
+      .withColumn("r_dup_4grams", lit(25) * dup(4) <= lit(4) * col("total_4grams"))
+      .withColumn("rep_pass",
+        col("r_dup_2grams") && col("r_dup_3grams") && col("r_dup_4grams"))
+  }
+
   /** BM25 keyword search (Robertson–Spärck Jones, public): top-k
     * documents for a literal query-term set. idf = ln(1 + (N-df+0.5)
     * /(df+0.5)); per-term tf saturation with the usual k1/b length

@@ -724,4 +724,29 @@ class CorpusPipelineSpec extends SparkSpec {
       "release must not clobber a caller-owned corpus-state cache")
     state.unpersist()
   }
+
+  test("containmentScore: verbatim quote scores 1.0, disjoint doc 0.0, " +
+    "multiplicity counts, short docs absent") {
+    import spark.implicits._
+    val bench = Seq("alpha beta gamma delta").toDF("btext")
+    val docs = Seq(
+      // all three of its 3-gram occurrences are benchmark grams
+      (1L, "alpha beta gamma delta epsilon"),
+      // no overlap at all
+      (2L, "one two three four"),
+      // the shared gram occurs TWICE — both occurrences count
+      (3L, "alpha beta gamma x alpha beta gamma"),
+      // shorter than n: no grams, absent from the output
+      (4L, "alpha beta")).toDF("doc_id", "text")
+    val out = CorpusPipeline.containmentScore(docs, "doc_id", "text",
+      bench, "btext", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: grams = (a b g), (b g d), (g d e) — first two hit
+    assert(out(1L) === ((3L, 2L, 0.666667)))
+    assert(out(2L) === ((2L, 0L, 0.0)))
+    // doc 3: 5 grams, the two "alpha beta gamma" occurrences hit
+    assert(out(3L) === ((5L, 2L, 0.4)))
+    assert(!out.contains(4L))
+  }
 }

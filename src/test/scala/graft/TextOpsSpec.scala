@@ -208,6 +208,35 @@ class TextOpsSpec extends SparkSpec {
     assert(out(9L)._2 === Some("word_count") && out(9L)._4 === 0L)
   }
 
+  test("repetitionRules: duplicate n-gram fractions hand-counted, " +
+    "thresholds decide by integer rationals, short/empty docs are zeros") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b a b a": 2-grams (a b)(b a)(a b)(b a) -> 4 total 2 distinct
+      // dup 0.5 > 0.2 FAIL; 3-grams (a b a)(b a b)(a b a) -> 3/2 dup
+      // 1/3 > 0.18 FAIL; 4-grams (a b a b)(b a b a) -> 2/2 dup 0 pass
+      (1L, "a b a b a"),
+      // all distinct everywhere
+      (2L, "one two three four five"),
+      // boundary: 5 2-grams, 1 duplicate -> dup = 0.2 exactly, 5*1 <= 5 PASS
+      (3L, "x y z w x y"),
+      (4L, "solo"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextOps.repetitionRules(docs, "doc_id", "text")
+      .select("doc_id", "total_2grams", "distinct_2grams", "dup_frac_2",
+        "r_dup_2grams", "r_dup_3grams", "r_dup_4grams", "rep_pass")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4),
+          r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))).toMap
+    assert(out(1L) === ((4L, 2L, 0.5, false, false, true, false)))
+    assert(out(2L) === ((4L, 4L, 0.0, true, true, true, true)))
+    // "x y z w x y": 2-grams (x y)(y z)(z w)(w x)(x y) = 5 total 4
+    // distinct — exactly at the 0.2 boundary, inclusive rule passes
+    assert(out(3L) === ((5L, 4L, 0.2, true, true, true, true)))
+    assert(out(4L) === ((0L, 0L, 0.0, true, true, true, true)))
+    assert(out(5L) === ((0L, 0L, 0.0, true, true, true, true)))
+  }
+
   test("bm25Search: hand-computed scores, rare-term idf dominance, " +
     "non-matching docs absent, top-k plans as TakeOrderedAndProject") {
     import spark.implicits._
