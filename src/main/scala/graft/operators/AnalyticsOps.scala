@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -82,5 +83,108 @@ object AnalyticsOps {
     prev.foreach(_.unpersist())
     import spark.implicits._
     rows.toDF("step_idx", "step", "n_users")
+  }
+
+  /** Gap-based sessionization WITHOUT an unbounded per-user window —
+    * the scale-safe twin of the classic gaps-and-islands query (q33):
+    * a new session starts when the gap since the user's previous event
+    * exceeds `gapSecs`. The naive form partitions a window by user, so
+    * one bot account with a billion events serializes through a single
+    * task; here every corpus-sized partition is keyed by (user, time
+    * bucket) instead:
+    *
+    *  1. events bucket on `floor(unix_micros(ts) / bucketSecs)`; all
+    *     within-bucket gap flags come from a window over (user,
+    *     bucket) — bounded by one user's events in one bucket (a day
+    *     by default), never their lifetime.
+    *  2. per-(user, bucket) summaries (first/last ts, local start
+    *     count) roll up with map-side combine; the ONLY per-user
+    *     window runs over this summary frame, which is CALENDAR-
+    *     bounded (≤ timespan/bucketSecs rows per user, ~3.7k for ten
+    *     years of daily buckets) regardless of event volume. It
+    *     decides whether each bucket's first event continues the
+    *     previous bucket's last session (empty buckets in between are
+    *     simply absent rows — the lag still compares real timestamps)
+    *     and assigns each bucket its session-count offset.
+    *  3. offsets join back on (user, bucket) — the same key the data
+    *     already shuffled on — and each event's 1-based `session_seq`
+    *     is its bucket offset plus the running start count within the
+    *     bucket (the two-level cumsum shape, per user).
+    *
+    * Ordering is total: (ts, idCol) breaks timestamp ties, so the
+    * result is layout-independent. Returns one row per session:
+    * (user, session_seq, n_events, first_ts_us, last_ts_us) with the
+    * bounds as epoch-microsecond BIGINTs (engine-portable — no
+    * timestamp-zone re-interpretation on the comparison path).
+    */
+  def sessionizeBucketed(events: DataFrame, gapSecs: Long,
+                         bucketSecs: Long = 86400L,
+                         userCol: String = "user_id", tsCol: String = "ts",
+                         idCol: String = "event_id"): DataFrame = {
+    require(gapSecs > 0 && bucketSecs > 0, "gap and bucket must be positive")
+    val gapUs = gapSecs * 1000000L
+    val e = events.select(
+      col(userCol).as("__u"), col(idCol).as("__id"),
+      unix_micros(col(tsCol)).as("__ts"))
+      .withColumn("__b", expr(s"__ts div ${bucketSecs * 1000000L}L"))
+    val wB = Window.partitionBy("__u", "__b").orderBy("__ts", "__id")
+    val flagged = e
+      .withColumn("__prev", lag("__ts", 1).over(wB))
+      .withColumn("__localStart",
+        when(col("__prev").isNotNull && col("__ts") - col("__prev") > gapUs, 1L)
+          .otherwise(0L))
+    // bucket summary: calendar-bounded per user, so this per-user
+    // window can never see a corpus-sized partition
+    val wU = Window.partitionBy("__u").orderBy("__b")
+    val buckets = flagged.groupBy("__u", "__b")
+      .agg(min("__ts").as("__first"), max("__ts").as("__last"),
+        sum("__localStart").as("__nLocal"))
+      .withColumn("__prevLast", lag("__last", 1).over(wU))
+      .withColumn("__bStart",
+        (col("__prevLast").isNull || col("__first") - col("__prevLast") > gapUs)
+          .cast(LongType))
+      .withColumn("__off", coalesce(
+        sum(col("__nLocal") + col("__bStart"))
+          .over(wU.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__u", "__b", "__bStart", "__off")
+    val seq = flagged.join(buckets, Seq("__u", "__b"))
+      .withColumn("__start",
+        when(col("__prev").isNull, col("__bStart")).otherwise(col("__localStart")))
+      .withColumn("session_seq", col("__off") +
+        sum("__start").over(wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    seq.groupBy(col("__u").as(userCol), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min("__ts").as("first_ts_us"), max("__ts").as("last_ts_us"))
+  }
+
+  /** Trailing calendar-window aggregates: per (group, day), the day's
+    * own event count / value sum plus the trailing `windowDays`-day
+    * totals — the moving-average family every event warehouse reports.
+    *
+    * Scale shape: raw events pre-aggregate to (group, day) with
+    * map-side combine FIRST, so the window runs over a frame bounded
+    * by #groups × #days — calendar-bounded however many events a day
+    * has. The window is a RANGE frame over the integer day number
+    * (days since epoch), so missing days genuinely age out of the
+    * trailing window instead of stretching it (a ROWS frame over
+    * present-days-only would silently widen across gaps).
+    */
+  def rollingDailyAgg(events: DataFrame, groupCol: String = "event_type",
+                      tsCol: String = "ts", valueCol: String = "value",
+                      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "window must span at least one day")
+    val daily = events
+      .select(col(groupCol).as("__g"), to_date(col(tsCol)).as("day"),
+        col(valueCol).as("__v"))
+      .groupBy("__g", "day")
+      .agg(count(lit(1)).as("n_events"), sum("__v").as("__vs"))
+      .withColumn("__dayN", datediff(col("day"), lit("1970-01-01").cast(DateType)))
+    val w = Window.partitionBy("__g").orderBy("__dayN")
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    daily.select(
+      col("__g").as(groupCol), col("day"), col("n_events"),
+      round(col("__vs"), 4).as("value_day"),
+      sum("n_events").over(w).as("n_trailing"),
+      round(sum("__vs").over(w), 4).as("value_trailing"))
   }
 }

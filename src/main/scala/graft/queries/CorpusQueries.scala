@@ -293,6 +293,29 @@ object CorpusQueries {
       graft.text.NgramLm.scorePerplexity(docs, "doc_id", "text", lm)
     }),
 
+    // fastText-style domain classifier as multinomial Naive Bayes:
+    // trained on the documents' source labels, scored back over the
+    // corpus (argmax label + log-score). Training is two aggregations;
+    // scoring one hash-keyed join + a per-doc argmax over #labels
+    // rows. The oracle retrains and rescores the WHOLE model
+    // independently on token strings.
+    "q118_nb_classify" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = graft.text.Classify.trainNaiveBayes(docs, "source", "text")
+      graft.text.Classify.scoreNaiveBayes(docs, "doc_id", "text", model)
+    }),
+
+    // DSIR importance weights (Xie et al. 2023): hashed uni+bigram
+    // bag-of-features log-likelihood ratio of a target model (the
+    // English slice) to the raw corpus model; the md5-prefix bucket
+    // keeps the features engine-portable. Downstream resampling
+    // consumes the weight column directly.
+    "q119_dsir_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.Classify.dsirWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text")
+    }),
+
     // cross-split leakage audit: near-dup pairs (MinHash+LSH, verified
     // Jaccard >= 0.8) whose members landed in DIFFERENT train/val/test
     // splits — the contamination a hash split cannot prevent (near-dups
@@ -787,6 +810,92 @@ object CorpusQueries {
     // the engine keys model joins on xxhash64 (8-byte, birthday-bound
     // argument as q84), the oracle joins on the gram strings — same
     // result absent a 64-bit collision
+    // full independent retrain + rescore on token strings: counts →
+    // smoothed log-probabilities → per-doc scores → (score DESC,
+    // label ASC) argmax. The ln(c+1) sparse identity mirrors the
+    // engine: absent (label, token) pairs contribute ln(1) = 0.
+    "q118_nb_classify" ->
+      """WITH norm AS (
+        |  SELECT doc_id, source,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, source, unnest(regexp_split_to_array(nt, ' ')) AS w
+        |  FROM norm WHERE length(nt) > 0
+        |), ndoc AS (
+        |  SELECT doc_id, CASE WHEN length(nt) = 0 THEN 0
+        |                      ELSE len(regexp_split_to_array(nt, ' ')) END AS n
+        |  FROM norm
+        |), pair AS (
+        |  SELECT source AS label, w, count(*)::DOUBLE AS c FROM toks GROUP BY 1, 2
+        |), vv AS (SELECT count(DISTINCT w) AS v FROM toks),
+        |cls AS (SELECT source AS label, count(*) AS nd FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |tl AS (SELECT label, sum(c) AS t FROM pair GROUP BY 1),
+        |classes AS (
+        |  SELECT cls.label,
+        |    ln(nd::DOUBLE) - ln((SELECT n FROM tot)::DOUBLE) AS log_prior,
+        |    ln(coalesce(t, 0)::DOUBLE + (SELECT v FROM vv)::DOUBLE) AS log_denom
+        |  FROM cls LEFT JOIN tl USING (label)
+        |), sparse AS (
+        |  SELECT t.doc_id, p.label, sum(ln(p.c + 1.0)) AS num
+        |  FROM toks t JOIN pair p ON p.w = t.w GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT nd.doc_id, c.label,
+        |    c.log_prior + coalesce(s.num, 0.0) - nd.n::DOUBLE * c.log_denom AS score,
+        |    nd.n
+        |  FROM ndoc nd CROSS JOIN classes c
+        |  LEFT JOIN sparse s ON s.doc_id = nd.doc_id AND s.label = c.label
+        |)
+        |SELECT doc_id, label AS pred_label, round(score, 6) AS score,
+        |  CAST(n AS BIGINT) AS n_tokens
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, label ASC) AS rn FROM dense)
+        |WHERE rn = 1""".stripMargin,
+
+    // feature rows (unigrams + space-joined bigrams) bucket with the
+    // q48 md5-prefix formula, both models recount independently, and
+    // the weight re-assembles from the same ln(c+1) sparse identity
+    "q119_dsir_weights" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lang,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents
+        |), toked AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(nt, ' ') AS t
+        |  FROM norm WHERE length(nt) > 0
+        |), feats AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT % 4096 AS BIGINT) AS b
+        |  FROM (
+        |    SELECT doc_id, lang, unnest(t) AS g FROM toked
+        |    UNION ALL
+        |    SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS g
+        |    FROM (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i
+        |          FROM toked WHERE len(t) >= 2)
+        |  )
+        |), raw_c AS (SELECT b, count(*)::DOUBLE AS cr FROM feats GROUP BY b),
+        |tgt_c AS (SELECT b, count(*)::DOUBLE AS ct FROM feats
+        |          WHERE lang = 'en' GROUP BY b),
+        |nr AS (SELECT count(*) AS n FROM feats),
+        |nt_ AS (SELECT count(*) AS n FROM feats WHERE lang = 'en'),
+        |scored AS (
+        |  SELECT f.doc_id, count(*) AS n_features,
+        |    sum(ln(coalesce(t.ct, 0) + 1.0) - ln(coalesce(r.cr, 0) + 1.0)) AS s
+        |  FROM feats f
+        |  LEFT JOIN tgt_c t USING (b)
+        |  LEFT JOIN raw_c r USING (b)
+        |  GROUP BY f.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_features, 0) AS BIGINT) AS n_features,
+        |  round(coalesce(s, 0.0) + coalesce(n_features, 0)::DOUBLE *
+        |    (ln((SELECT n FROM nr)::DOUBLE + 4096) -
+        |     ln((SELECT n FROM nt_)::DOUBLE + 4096)), 6) AS weight
+        |FROM documents d LEFT JOIN scored USING (doc_id)""".stripMargin,
+
     "q93_lm_perplexity" ->
       """WITH norm AS (
         |  SELECT doc_id,

@@ -50,6 +50,24 @@ object ExtendedQueries {
       graft.operators.AnalyticsOps.funnel(Tables.events(s, d),
         Seq("view", "click", "purchase"))),
 
+    // scale-safe sessionization: identical semantics to q33's classic
+    // per-user-window form (the oracle IS that form), but every
+    // corpus-sized partition keys on (user, day bucket) — the per-user
+    // window runs only over the calendar-bounded bucket summary, so a
+    // billion-event bot cannot serialize one task (hourly buckets here
+    // so sf0.01's ~2-day synthetic span actually exercises the
+    // cross-bucket session-continuation path)
+    "q116_sessionize_bucketed" -> ((s, d) =>
+      graft.operators.AnalyticsOps.sessionizeBucketed(Tables.events(s, d),
+        gapSecs = 1800L, bucketSecs = 3600L)),
+
+    // trailing 7-calendar-day totals per event type: raw events
+    // pre-aggregate to the calendar-bounded (type, day) frame before
+    // any window; RANGE over the integer day number so absent days
+    // age out instead of stretching the frame
+    "q117_rolling_daily" -> ((s, d) =>
+      graft.operators.AnalyticsOps.rollingDailyAgg(Tables.events(s, d))),
+
     // §2.3 1→N unnesting (unnest_domi_street_seg, gcs_utils.py:597-662):
     // explode tokens with positional counters, then top-50 tokens
     "q31_explode_tokens" -> ((s, d) => {
@@ -215,6 +233,47 @@ object ExtendedQueries {
     "q77_salted_join" ->
       """SELECT o_orderkey, o_custkey, c_nationkey
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    // the CLASSIC unbounded-per-user-window sessionization — passing
+    // proves the bucketed two-level rebuild is a pure physical
+    // re-shape of the textbook gaps-and-islands semantics
+    "q116_sessionize_bucketed" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1
+        |         ELSE 0 END AS s
+        |  FROM lagged
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  count(*) AS n_events,
+        |  min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // same pre-aggregate + RANGE-over-day-number recomputation; the
+    // integer day subtraction keeps the frame calendar-true
+    "q117_rolling_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type, ts::DATE AS day, count(*) AS n_events,
+        |    sum(value) AS vs
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, day, n_events, round(vs, 4) AS value_day,
+        |  CAST(sum(n_events) OVER w AS BIGINT) AS n_trailing,
+        |  round(sum(vs) OVER w, 4) AS value_trailing
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type
+        |  ORDER BY day - DATE '1970-01-01'
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q31_explode_tokens" ->
       """SELECT token, count(*) AS n FROM (

@@ -1,0 +1,193 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Counts-based text classification and importance weighting — the two
+  * model-driven curation steps big-corpus pipelines run that are pure
+  * aggregation under the hood, so they map onto Spark without any
+  * driver-side training loop:
+  *
+  *  - a multinomial Naive Bayes classifier (the public-knowledge
+  *    stand-in for the fastText-style quality/domain classifiers used
+  *    to filter web crawls — e.g. GPT-3's Wikipedia-vs-crawl filter):
+  *    TRAINING is one token-count aggregation per (label, token) plus
+  *    a #labels-row scalar frame; SCORING is one hash-keyed join and a
+  *    per-doc aggregate.
+  *  - DSIR importance weights (Xie et al. 2023, "Data Selection for
+  *    Language Models via Importance Resampling", arXiv:2302.03169):
+  *    documents are weighted by the log-likelihood ratio of a TARGET
+  *    bag-of-hashed-ngrams model to a RAW one, so resampling by weight
+  *    tilts a crawl toward the target distribution. Features are
+  *    hashed n-gram buckets exactly as in the paper.
+  *
+  * Cross-engine reproducibility (the q93 contract): every probability
+  * is a ratio of integer counts with a fixed operation order. Add-one
+  * smoothing makes absent (label, token) numerator terms contribute
+  * ln(0 + 1) = 0, so the sparse count join IS the full smoothed sum:
+  *   score(d, l) = lnPrior(l) + Σ_w ln(c(l,w) + 1) − n_d · ln(T_l + V)
+  * — the second term needs only the (label, token) pairs that exist,
+  * and the third is a per-label scalar. The same identity drives the
+  * DSIR weight:
+  *   w(d) = Σ_b [ln(c_t(b)+1) − ln(c_r(b)+1)] + n_d·[ln(N_r+B) − ln(N_t+B)].
+  *
+  * Scale shape: token rows travel keyed on xxhash64 (8-byte keys, the
+  * q84/q93 birthday-bound argument); per-label scalars broadcast as a
+  * #labels-row frame; the only windows partition by doc id over
+  * #labels rows (argmax) — nothing corpus-sized ever serializes
+  * through one partition, and nothing but #labels-row frames reaches
+  * the driver.
+  */
+object Classify {
+
+  /** Normalized word tokens — the q80 normalization (lowercase, strip
+    * non-letter/number, collapse whitespace), so classification is not
+    * punctuation-sensitive and the oracle can reproduce tokenization
+    * byte-for-byte.
+    */
+  private def normTokens(c: Column): Column = {
+    val norm = TextOps.normalizeText(c)
+    // NULL text folds to the empty token set (a NULL array would make
+    // size() report -1 and poison the n_tokens denominator term)
+    when(norm.isNull || length(norm) === 0, array().cast("array<string>"))
+      .otherwise(split(norm, " "))
+  }
+
+  /** A trained multinomial NB model:
+    *  - `classes`: one row per label — (label, log_prior = ln(docs_l) −
+    *    ln(docs_total), log_denom = ln(T_l + V)) where T_l is the
+    *    label's token-occurrence total and V the corpus-wide distinct
+    *    vocabulary size (the add-one denominator).
+    *  - `tokenLogs`: (w_hash, label, log_c1 = ln(c(l,w) + 1)) for the
+    *    OBSERVED pairs only — unseen pairs contribute ln(1) = 0 and
+    *    need no row.
+    */
+  final case class NbModel(classes: DataFrame, tokenLogs: DataFrame)
+
+  /** Train on labeled documents: one explode + two aggregations + one
+    * #labels-row action (the per-label scalars), nothing else on the
+    * driver.
+    */
+  def trainNaiveBayes(docs: DataFrame, labelCol: String,
+                      textCol: String): NbModel = {
+    val toks = docs.select(col(labelCol).as("label"),
+      explode(normTokens(col(textCol))).as("w"))
+    val pair = toks.groupBy("label", "w").agg(count(lit(1)).as("c"))
+    pair.persist()
+    val v = pair.select("w").distinct().count()
+    val docCounts = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("nd"))
+    val total = docs.count()
+    require(total > 0 && v > 0, "training corpus is empty")
+    val classes = pair.groupBy("label").agg(sum("c").as("tl"))
+      // a label whose docs all normalize to zero tokens still needs a
+      // class row (T_l = 0): right join keeps it, tl coalesces
+      .join(docCounts, Seq("label"), "right")
+      .select(col("label"),
+        (log(col("nd").cast("double")) - log(lit(total.toDouble))).as("log_prior"),
+        log(coalesce(col("tl"), lit(0L)).cast("double") + v.toDouble).as("log_denom"))
+      // model frames are MODEL-sized (#labels and #(label, token)
+      // observed pairs): the localCheckpoint barrier materializes both
+      // while `pair` is cached, releases the training cache here, and
+      // leaves the model resident for the scoring joins it exists for
+      .localCheckpoint(true)
+    val tokenLogs = pair.select(xxhash64(col("w")).as("w_hash"), col("label"),
+      log(col("c").cast("double") + 1.0).as("log_c1"))
+      .localCheckpoint(true)
+    pair.unpersist()
+    NbModel(classes, tokenLogs)
+  }
+
+  /** Score documents and pick the argmax label: (idCol, pred_label,
+    * score rounded to 6, n_tokens). Zero-token documents score on the
+    * prior alone (every token term vanishes), and the (score DESC,
+    * label ASC) tie-break makes the argmax deterministic — ties can
+    * only arise from IDENTICALLY-computed doubles (equal priors), so
+    * the rule is engine-portable.
+    */
+  def scoreNaiveBayes(docs: DataFrame, idCol: String, textCol: String,
+                      model: NbModel): DataFrame = {
+    val base = docs.select(col(idCol), normTokens(col(textCol)).as("__t"))
+      .select(col(idCol), size(col("__t")).as("n_tokens"), col("__t"))
+    val tokRows = base.select(col(idCol), explode(col("__t")).as("w"))
+      .select(col(idCol), xxhash64(col("w")).as("w_hash"))
+    val sparse = tokRows.join(model.tokenLogs, "w_hash")
+      .groupBy(col(idCol), col("label"))
+      .agg(sum("log_c1").as("__num"))
+    val dense = base.drop("__t")
+      .crossJoin(broadcast(model.classes))
+      .join(sparse, Seq(idCol, "label"), "left")
+      .withColumn("__score", col("log_prior") + coalesce(col("__num"), lit(0.0))
+        - col("n_tokens").cast("double") * col("log_denom"))
+    val w = Window.partitionBy(idCol).orderBy(col("__score").desc, col("label").asc)
+    dense.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("label").as("pred_label"),
+        round(col("__score"), 6).as("score"),
+        col("n_tokens").cast("long").as("n_tokens"))
+  }
+
+  /** DSIR importance weights: ln p_target(d) − ln p_raw(d) under
+    * add-one-smoothed bag-of-hashed-ngram models (unigrams + bigrams,
+    * the paper's feature set), divided by nothing — the raw
+    * log-ratio, which downstream resampling (the existing
+    * stratified/temperature/top-k samplers) consumes directly.
+    *
+    * The hash bucket is the engine-portable md5-prefix formula every
+    * split/sampling operator here uses (q48): an n-gram lands in
+    * bucket `md5_32(gram) mod buckets`, so DuckDB reproduces the
+    * features exactly — a xxhash64 bucket would be Spark-only.
+    *
+    * Returns (idCol, n_features, weight rounded to 6) for every
+    * corpus document, zero-feature docs included (their weight is
+    * 0.0 — both models assign them log-probability 0).
+    */
+  def dsirWeights(corpus: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def featureRows(df: DataFrame, extra: Seq[Column]): DataFrame = {
+      val t = df.select(extra :+ normTokens(col(textCol)).as("__t"): _*)
+      val unis = t.select(extra :+ explode(col("__t")).as("__g"): _*)
+      val bis = t.filter(size(col("__t")) >= 2)
+        .select(extra :+ explode(expr(
+          "transform(sequence(0, size(__t) - 2), i -> concat(__t[i], ' ', __t[i + 1]))"))
+          .as("__g"): _*)
+      unis.unionByName(bis)
+        .withColumn("__b",
+          graft.operators.SplitOps.hashBucket(col("__g")) % buckets)
+        .drop("__g")
+    }
+    def bucketCounts(rows: DataFrame): DataFrame =
+      rows.groupBy("__b").agg(count(lit(1)).as("c"))
+    val rawRows = featureRows(corpus, Seq(col(idCol)))
+    rawRows.persist()
+    val rawCounts = bucketCounts(rawRows.select("__b"))
+    val tgtCounts = bucketCounts(featureRows(target, Seq.empty))
+    val nr = rawRows.count()
+    val nt = tgtCounts.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
+    // per-doc constant: n_d · [ln(N_r + B) − ln(N_t + B)]
+    val perFeat = lit(math.log(nr.toDouble + buckets) - math.log(nt.toDouble + buckets))
+    val scored = rawRows
+      .join(tgtCounts.withColumnRenamed("c", "__ct"), Seq("__b"), "left")
+      .join(rawCounts.withColumnRenamed("c", "__cr"), Seq("__b"), "left")
+      .select(col(idCol),
+        (log(coalesce(col("__ct"), lit(0L)).cast("double") + 1.0)
+          - log(coalesce(col("__cr"), lit(0L)).cast("double") + 1.0)).as("__d"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_features"), sum("__d").as("__s"))
+    val out = corpus.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_features"), lit(0L)).as("n_features"),
+        round(coalesce(col("__s"), lit(0.0))
+          + coalesce(col("n_features"), lit(0L)).cast("double") * perFeat, 6)
+          .as("weight"))
+      // doc-sized result: the q88 localCheckpoint barrier materializes
+      // it while the feature frame is still cached, so the cache can be
+      // released HERE instead of leaking a handle to the caller
+      .localCheckpoint(true)
+    rawRows.unpersist()
+    out
+  }
+}

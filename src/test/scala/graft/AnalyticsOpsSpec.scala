@@ -76,4 +76,114 @@ class AnalyticsOpsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
     assert(out === Map(1 -> 1L, 2 -> 1L))
   }
+
+  /** The naive unbounded-per-user-window sessionization the bucketed
+    * rebuild must reproduce exactly.
+    */
+  private def naiveSessions(events: org.apache.spark.sql.DataFrame,
+                            gapSecs: Long): Map[(Long, Long), (Long, Long, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("__p", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("__s", when(col("__p").isNull ||
+        unix_micros(col("ts")) - col("__p") > gapSecs * 1000000L, 1L).otherwise(0L))
+      .withColumn("seq", sum("__s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "seq")
+      .agg(count(lit(1)).as("n"), min(unix_micros(col("ts"))).as("f"),
+        max(unix_micros(col("ts"))).as("l"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+  }
+
+  test("sessionizeBucketed: hand fixture — within-bucket splits, " +
+    "cross-bucket continuation, cross-bucket new session, boundary gap " +
+    "exactly equal to the threshold continues") {
+    // gap 30 min, hourly buckets
+    val events = Seq(
+      // u1: one session crossing the bucket boundary (gap 10 min),
+      // then a new one after 40 min, which itself splits in-bucket
+      (1L, 1L, ts("2024-01-01 08:50:00")),
+      (1L, 2L, ts("2024-01-01 09:00:00")), // 10 min gap, new bucket — continues
+      (1L, 3L, ts("2024-01-01 09:40:00")), // 40 min gap — new session
+      (1L, 4L, ts("2024-01-01 09:45:00")), // same session
+      (1L, 5L, ts("2024-01-01 11:45:00")), // 2 h gap (empty bucket 10) — new
+      // u2: boundary gap EXACTLY 30 min — strict > means it continues
+      (2L, 6L, ts("2024-01-01 08:45:00")),
+      (2L, 7L, ts("2024-01-01 09:15:00"))).toDF("user_id", "event_id", "ts")
+    val out = AnalyticsOps.sessionizeBucketed(events, gapSecs = 1800L,
+      bucketSecs = 3600L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    def us(s: String) = Timestamp.valueOf(s).getTime * 1000L
+    assert(out === Map(
+      (1L, 1L) -> ((2L, us("2024-01-01 08:50:00"), us("2024-01-01 09:00:00"))),
+      (1L, 2L) -> ((2L, us("2024-01-01 09:40:00"), us("2024-01-01 09:45:00"))),
+      (1L, 3L) -> ((1L, us("2024-01-01 11:45:00"), us("2024-01-01 11:45:00"))),
+      (2L, 1L) -> ((2L, us("2024-01-01 08:45:00"), us("2024-01-01 09:15:00")))))
+  }
+
+  test("sessionizeBucketed ≡ naive per-user window on a randomized " +
+    "skewed log (one user holds 90% of events), across bucket widths") {
+    val rnd = new scala.util.Random(2024)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val rows = (1 to 2000).map { i =>
+      val u = if (rnd.nextInt(10) < 9) 1L else 2L + rnd.nextInt(5)
+      // gaps cluster around the 15-min threshold so both sides occur
+      val t = new Timestamp(base + rnd.nextInt(3 * 86400) * 1000L)
+      (u, i.toLong, t)
+    }
+    val events = rows.toDF("user_id", "event_id", "ts").repartition(7)
+    val expected = naiveSessions(events, gapSecs = 900L)
+    for (bucketSecs <- Seq(3600L, 86400L)) {
+      val got = AnalyticsOps.sessionizeBucketed(events, gapSecs = 900L,
+        bucketSecs = bucketSecs)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      assert(got === expected, s"bucketSecs=$bucketSecs")
+    }
+  }
+
+  test("sessionizeBucketed plan: no window partitioned by the bare user " +
+    "— every event-sized window keys on (user, bucket)") {
+    val events = Seq((1L, 1L, ts("2024-01-01 08:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val plan = AnalyticsOps.sessionizeBucketed(events, 1800L, 3600L)
+      .queryExecution.optimizedPlan.toString
+    // the only partitionBy over the bare user is the bucket-summary
+    // window, whose input is the aggregated (user, bucket) frame —
+    // assert the event-row windows (those ordered by __ts, __id)
+    // always carry the bucket key
+    val windowLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    val eventWindows = windowLines.filter(_.contains("__id"))
+    assert(eventWindows.nonEmpty)
+    assert(eventWindows.forall(l => l.contains("__b")),
+      s"event-sized window without bucket key:\n${eventWindows.mkString("\n")}")
+  }
+
+  test("rollingDailyAgg: missing days age out of the RANGE frame " +
+    "instead of stretching it") {
+    val events = Seq(
+      ("a", ts("2024-01-01 10:00:00"), 1.0),
+      ("a", ts("2024-01-01 11:00:00"), 2.0),
+      ("a", ts("2024-01-05 10:00:00"), 10.0),
+      // Jan 10 is 9 days after Jan 1: the window must contain Jan 5
+      // (5 days back) but NOT Jan 1
+      ("a", ts("2024-01-10 10:00:00"), 100.0),
+      ("b", ts("2024-01-01 10:00:00"), 7.0)).toDF("event_type", "ts", "value")
+    val out = AnalyticsOps.rollingDailyAgg(events, windowDays = 7)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(out === Map(
+      ("a", "2024-01-01") -> ((2L, 3.0, 2L, 3.0)),
+      ("a", "2024-01-05") -> ((1L, 10.0, 3L, 13.0)),
+      ("a", "2024-01-10") -> ((1L, 100.0, 2L, 110.0)),
+      ("b", "2024-01-01") -> ((1L, 7.0, 1L, 7.0))))
+  }
 }

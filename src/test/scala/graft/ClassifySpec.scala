@@ -1,0 +1,124 @@
+package graft
+
+import graft.text.Classify
+import org.apache.spark.sql.functions._
+
+class ClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** JDK-side recomputation of the engine's md5 feature bucket. */
+  private def bucketOf(g: String, buckets: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % buckets
+  }
+
+  test("naive bayes: hand-computed scores on a two-label fixture, " +
+    "argmax picks the training label back") {
+    // label a trains on {x x y}, label b on {y z}
+    val docs = Seq(
+      (1L, "a", "x x y"),
+      (2L, "b", "y z")).toDF("doc_id", "label", "text")
+    val model = Classify.trainNaiveBayes(docs, "label", "text")
+    val out = Classify.scoreNaiveBayes(docs, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    // V = 3 (x, y, z); T_a = 3, T_b = 2; priors ln(1/2) each
+    // score(doc1, a) = ln(.5) + [2·ln(2+1) + ln(1+1)] − 3·ln(3+3)
+    val d1a = math.log(0.5) + 2 * math.log(3.0) + math.log(2.0) - 3 * math.log(6.0)
+    val d1b = math.log(0.5) + math.log(2.0) - 3 * math.log(5.0)
+    assert(d1a > d1b)
+    val (p1, s1, n1) = out(1L)
+    assert(p1 === "a" && n1 === 3L)
+    assert(math.abs(s1 - BigDecimal(d1a).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // doc2: score(b) = ln(.5) + ln(2) + ln(2) − 2·ln(5) ≈ −1.75
+    //       score(a) = ln(.5) + ln(2) − 2·ln(6) ≈ −3.58
+    assert(out(2L)._1 === "b")
+  }
+
+  test("naive bayes: zero-token doc scores on the prior alone; the " +
+    "(score DESC, label ASC) tie-break is deterministic under equal priors") {
+    val train = Seq(
+      (1L, "b", "x y"),
+      (2L, "a", "z w")).toDF("doc_id", "label", "text")
+    val model = Classify.trainNaiveBayes(train, "label", "text")
+    // '###' normalizes to zero tokens: every token term vanishes and
+    // both labels score exactly ln(1/2) — the tie falls to label 'a'
+    val score = Seq((9L, "###")).toDF("doc_id", "text")
+    val out = Classify.scoreNaiveBayes(score, "doc_id", "text", model).collect()
+    assert(out.length === 1)
+    assert(out(0).getString(1) === "a")
+    assert(out(0).getLong(3) === 0L)
+    assert(math.abs(out(0).getDouble(2) - BigDecimal(math.log(0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("naive bayes: a label whose docs normalize to zero tokens still " +
+    "gets a class row (T_l = 0) and never NaNs the scores") {
+    val train = Seq(
+      (1L, "real", "x y z"),
+      (2L, "ghost", "???")).toDF("doc_id", "label", "text")
+    val model = Classify.trainNaiveBayes(train, "label", "text")
+    assert(model.classes.count() === 2)
+    val out = Classify.scoreNaiveBayes(train, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.values.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
+  test("dsirWeights: target-typical docs weigh higher than off-target " +
+    "docs, and the weight matches an independent JDK recomputation") {
+    val buckets = 64
+    val docs = Seq(
+      (1L, "en", "alpha beta alpha beta"),
+      (2L, "en", "alpha beta gamma"),
+      (3L, "de", "zeta eta theta"),
+      (4L, "de", "alpha beta")).toDF("doc_id", "lang", "text")
+    val target = docs.filter(col("lang") === "en")
+    val out = Classify.dsirWeights(docs, target, "doc_id", "text", buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+
+    // independent recomputation: features = unigrams + bigrams
+    def feats(text: String): Seq[Long] = {
+      val t = text.split(" ").toSeq
+      val unis = t
+      val bis = t.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      (unis ++ bis).map(bucketOf(_, buckets))
+    }
+    val all = Map(1L -> "alpha beta alpha beta", 2L -> "alpha beta gamma",
+      3L -> "zeta eta theta", 4L -> "alpha beta")
+    val rawCount = all.values.flatMap(feats).groupBy(identity).view.mapValues(_.size).toMap
+    val tgtCount = Seq(all(1L), all(2L)).flatMap(feats).groupBy(identity).view.mapValues(_.size).toMap
+    val nr = rawCount.values.sum
+    val nt = tgtCount.values.sum
+    val expected = all.map { case (id, text) =>
+      val fs = feats(text)
+      val s = fs.map(b => math.log(tgtCount.getOrElse(b, 0) + 1.0) -
+        math.log(rawCount.getOrElse(b, 0) + 1.0)).sum
+      val w = s + fs.size * (math.log(nr.toDouble + buckets) - math.log(nt.toDouble + buckets))
+      id -> ((fs.size.toLong, BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    out.foreach { case (id, n, w) =>
+      val (en, ew) = expected(id)
+      assert(n === en, s"doc $id n_features")
+      assert(math.abs(w - ew) < 1e-6, s"doc $id weight: got $w want $ew")
+    }
+    // the English-vocabulary docs must out-weigh the pure-German one
+    val byId = out.map(r => r._1 -> r._3).toMap
+    assert(byId(1L) > byId(3L) && byId(2L) > byId(3L))
+    // doc 4 shares the target vocabulary — also above the off-target doc
+    assert(byId(4L) > byId(3L))
+  }
+
+  test("dsirWeights: every corpus doc gets a row; feature-free docs " +
+    "carry weight 0.0") {
+    val docs = Seq(
+      (1L, "en", "alpha beta"),
+      (2L, "de", "...")).toDF("doc_id", "lang", "text")
+    val out = Classify.dsirWeights(docs, docs.filter(col("lang") === "en"),
+      "doc_id", "text", 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    assert(out(2L) === ((0L, 0.0)))
+  }
+}
