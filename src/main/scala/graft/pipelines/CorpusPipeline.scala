@@ -249,6 +249,36 @@ object CorpusPipeline {
       .unionByName(df.join(keepers, Seq(idCol), "left_semi"))
   }
 
+  /** Dedup report card: the near-dup CLUSTER SIZE distribution — the
+    * first number a curation run publishes (how much of the corpus is
+    * duplicated, and whether the mass sits in pairs or in a few viral
+    * mega-clusters, which decides salting/blocking strategy for the
+    * next run). One row per cluster size: (cluster_size, n_clusters,
+    * n_docs), including the size-1 row for documents that appear in
+    * no duplicate pair (computed as total − clustered — a COUNT, not
+    * a join).
+    *
+    * Scale shape: identical to [[nearDupDrop]] up to the labels frame
+    * (banded LSH pairs → min-label components over paired rows only),
+    * then two count aggregations over the label frame — the sizes
+    * histogram is #distinct-sizes rows. Nothing new shuffles.
+    */
+  def nearDupClusterSizes(docs: DataFrame, idCol: String, textCol: String,
+                          threshold: Double = 0.8, maxIter: Int = 50): DataFrame = {
+    val labels = nearDupLabels(docs, idCol, textCol, threshold, maxIter)
+      .localCheckpoint()
+    val total = docs.select(col(idCol)).count()
+    val clustered = labels.count()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val singles = Seq(1L -> (total - clustered)).toDF("cluster_size", "n_clusters")
+      .filter(col("n_clusters") > 0)
+    labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .unionByName(singles)
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+  }
+
   /** Shared kernel of the near-dup drop family: (node, label = min id
     * of cluster) over ONLY the documents that occur in a near-dup
     * pair at `threshold` — unclustered documents never enter the

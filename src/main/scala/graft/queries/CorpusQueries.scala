@@ -293,6 +293,14 @@ object CorpusQueries {
       graft.text.NgramLm.scorePerplexity(docs, "doc_id", "text", lm)
     }),
 
+    // dedup report card: near-dup cluster-size histogram (MinHash+LSH
+    // pairs at 0.8 → min-label components → sizes), singleton row
+    // included as total − clustered. The oracle recomputes clusters
+    // from exact quadratic Jaccard + a recursive CTE.
+    "q122_cluster_sizes" -> ((s, d) =>
+      CorpusPipeline.nearDupClusterSizes(Tables.documents(s, d),
+        "doc_id", "text", threshold = 0.8)),
+
     // fastText-style domain classifier as multinomial Naive Bayes:
     // trained on the documents' source labels, scored back over the
     // corpus (argmax label + log-score). Training is two aggregations;
@@ -810,6 +818,42 @@ object CorpusQueries {
     // the engine keys model joins on xxhash64 (8-byte, birthday-bound
     // argument as q84), the oracle joins on the gram strings — same
     // result absent a 64-bit collision
+    // exact-Jaccard pairs at 0.8 (the q27-proven ground truth) →
+    // recursive-CTE min-label components → size histogram, with the
+    // singleton row as total − clustered
+    "q122_cluster_sizes" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents)
+        |  WHERE len(toks) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s))::DOUBLE /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(node, anc) AS (
+        |  SELECT DISTINCT u, u FROM edges
+        |  UNION
+        |  SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.anc
+        |), labels AS (
+        |  SELECT node, min(anc) AS label FROM reach GROUP BY node
+        |), sizes AS (
+        |  SELECT label, count(*) AS cluster_size FROM labels GROUP BY label
+        |), hist AS (
+        |  SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY cluster_size
+        |  UNION ALL
+        |  SELECT 1, (SELECT count(*) FROM documents) - (SELECT count(*) FROM labels)
+        |)
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |  CAST(n_clusters AS BIGINT) AS n_clusters,
+        |  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+        |FROM hist WHERE n_clusters > 0""".stripMargin,
+
     // full independent retrain + rescore on token strings: counts →
     // smoothed log-probabilities → per-doc scores → (score DESC,
     // label ASC) argmax. The ln(c+1) sparse identity mirrors the

@@ -87,6 +87,25 @@ object TextQueries {
         "vec_id", "embedding", "vec_id", "embedding", k = 10)
     }),
 
+    // hard-negative mining for contrastive training: per query the
+    // top-k corpus rows in the half-open cosine band [0.30, 0.45) —
+    // informative negatives below the q88 near-duplicate ceiling;
+    // band edges compare on the 4-decimal-rounded score (engine-exact)
+    "q120_hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Ann.hardNegatives(
+        emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 10, simFloor = 0.30, dupCeil = 0.45)
+    }),
+
+    // top-50 collocations by PMI with min bigram count 5: one token
+    // explode feeds both count frames; rank on the 6-decimal score so
+    // rank consistency IS output-value consistency
+    "q121_pmi_collocations" -> ((s, d) =>
+      TextOps.pmiCollocations(Tables.documents(s, d), "text", k = 50,
+        minCount = 5L)),
+
     // Gopher-style composite quality-rule gate (Rae et al. 2021):
     // seven auditable rules, every ratio decided by integer
     // cross-multiplication so the boundary is engine-exact; annotates
@@ -353,6 +372,54 @@ object TextQueries {
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY score DESC, neighbor_id ASC) AS rank FROM s)
         |WHERE rank <= 10""".stripMargin,
+
+    // q29's scan with the half-open band filter applied before the
+    // per-query rank — the mined negatives must match exactly
+    "q120_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] qv
+        |  FROM embeddings WHERE vec_id < 5
+        |), s AS (
+        |  SELECT query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(qv, c.embedding::DOUBLE[]), 4) AS score
+        |  FROM q, embeddings c
+        |  WHERE c.vec_id != query_id
+        |)
+        |SELECT query_id, rank, neighbor_id, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id ASC) AS rank
+        |  FROM s WHERE score >= 0.30 AND score < 0.45)
+        |WHERE rank <= 10""".stripMargin,
+
+    // full recount of both frames + the same rounded-PMI rank
+    "q121_pmi_collocations" ->
+      """WITH toked AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+        |  FROM documents
+        |), unis AS (
+        |  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toked) GROUP BY w
+        |), n1 AS (SELECT sum(c)::DOUBLE AS n FROM unis),
+        |bis AS (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c12
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i
+        |        FROM toked WHERE len(t) >= 2)
+        |  GROUP BY 1, 2
+        |), n12 AS (SELECT sum(c12)::DOUBLE AS n FROM bis),
+        |scored AS (
+        |  SELECT b.w1, b.w2, b.c12,
+        |    round(ln(b.c12::DOUBLE / (SELECT n FROM n12))
+        |      - ln(u1.c::DOUBLE / (SELECT n FROM n1))
+        |      - ln(u2.c::DOUBLE / (SELECT n FROM n1)), 6) AS pmi
+        |  FROM bis b
+        |  JOIN unis u1 ON u1.w = b.w1
+        |  JOIN unis u2 ON u2.w = b.w2
+        |  WHERE b.c12 >= 5
+        |)
+        |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, pmi FROM (
+        |  SELECT *, row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rn
+        |  FROM scored)
+        |WHERE rn <= 50""".stripMargin,
 
     // full independent recomputation of every signal and rule: RE2
     // re-counts the tokens/lines/symbols, the integer

@@ -129,6 +129,33 @@ object Ann {
       corpus.schema(cId).dataType, k)
   }
 
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-k corpus rows whose cosine lands in the HALF-OPEN band
+    * [simFloor, dupCeil) — similar enough to be informative negatives,
+    * below the near-duplicate ceiling that would make them false
+    * negatives (the standard pair-mining recipe behind dense-retriever
+    * and embedding-model training sets).
+    *
+    * Same scale shape as [[bruteForceTopK]]: queries broadcast, one
+    * corpus scan, band filter BEFORE the bounded-heap top-k — so the
+    * only shuffle carries ≤ k rows per query. Both band edges compare
+    * against the 4-decimal-rounded score, making the boundary
+    * engine-exact (the q94 threshold-margin contract).
+    */
+  def hardNegatives(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, simFloor: Double, dupCeil: Double): DataFrame = {
+    require(simFloor < dupCeil, "band must be non-empty: simFloor < dupCeil")
+    val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("__qv")))
+    val c = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(NearDup.cosine(col("__qv"), col("__cv")), 4))
+      .filter(col("score") >= simFloor && col("score") < dupCeil)
+    finishTopK(scored, corpus.schema(cId).dataType, k)
+  }
+
   /** IVF-style coarse quantizer: `nCells` centroids picked
     * deterministically (the corpus vectors whose id hash is smallest —
     * a seeded reservoir standing in for k-means; exchangeable with a

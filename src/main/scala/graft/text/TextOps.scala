@@ -213,6 +213,65 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("ngram").asc)
       .limit(k)
 
+  /** Top-k collocations by pointwise mutual information: word pairs
+    * that co-occur adjacently far more often than their unigram
+    * frequencies predict — multi-word expressions, named entities,
+    * templated boilerplate. PMI = ln p(w1 w2) − ln p(w1) − ln p(w2),
+    * with the bigram probability over total bigram occurrences and
+    * unigram probabilities over total token occurrences; `minCount`
+    * suppresses the classic PMI pathology where a hapax pair scores
+    * highest. Tokens are lowercased (the q101 convention).
+    *
+    * Scale shape: one token explode feeds both the unigram and bigram
+    * counts (both hash-keyed aggregations with map-side combine); the
+    * bigram frame joins the unigram counts twice, keyed on the word;
+    * the two totals are one O(1) scalar action each; and the top-k
+    * plans as TakeOrderedAndProject over the minCount-filtered bigram
+    * frame — per-partition bounded heaps, k rows to the driver, never
+    * a global sort. Rank is on the ROUNDED score with a (w1, w2)
+    * lexicographic tie-break — stricter than the q112 raw-score
+    * contract, because PMI has a real mathematical-tie hazard (the
+    * (c1, c2)-swapped pair computes the same value through a
+    * different operand order); ranking on the 6-decimal value the
+    * output already has to agree on makes rank consistency identical
+    * to output-value consistency.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String, k: Int,
+                      minCount: Long = 5L): DataFrame = {
+    val toked = docs.select(tokens(lower(col(textCol))).as("__t"))
+    toked.persist()
+    val unis = toked.select(explode(col("__t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    unis.persist()
+    val n1 = unis.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
+    val bis = toked.filter(size(col("__t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(__t) - 2), i -> struct(__t[i] AS w1, __t[i + 1] AS w2))"))
+        .as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    bis.persist()
+    val n12 = bis.agg(coalesce(sum("c12"), lit(0L))).head().getLong(0)
+    val out =
+      if (n1 == 0 || n12 == 0) {
+        val s = docs.sparkSession
+        import s.implicits._
+        Seq.empty[(String, String, Long, Double)].toDF("w1", "w2", "c12", "pmi")
+      } else bis.filter(col("c12") >= minCount)
+        .join(unis.select(col("w").as("w1"), col("c").as("__c1")), "w1")
+        .join(unis.select(col("w").as("w2"), col("c").as("__c2")), "w2")
+        .withColumn("pmi", round(
+          log(col("c12").cast("double") / n12.toDouble)
+            - log(col("__c1").cast("double") / n1.toDouble)
+            - log(col("__c2").cast("double") / n1.toDouble), 6))
+        .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+        .limit(k)
+        .select(col("w1"), col("w2"), col("c12"), col("pmi"))
+        .localCheckpoint(true)
+    toked.unpersist(); unis.unpersist(); bis.unpersist()
+    out
+  }
+
   /** Keyword-lexicon topic tagging — the curation taxonomy pass
     * (domain mixing needs per-topic masses; FlashText-style keyword
     * taggers are the standard tool): each document reports, per

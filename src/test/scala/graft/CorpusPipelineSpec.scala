@@ -749,4 +749,36 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out(3L) === ((5L, 2L, 0.4)))
     assert(!out.contains(4L))
   }
+
+  test("nearDupClusterSizes: histogram over min-label clusters with the " +
+    "singleton row computed as total minus clustered") {
+    val docs = Seq(
+      // cluster of 3 (identical text, Jaccard 1.0)
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      // cluster of 2
+      (4L, "one two three four five six seven"),
+      (5L, "one two three four five six seven"),
+      // two singletons (one of them too short to shingle at all)
+      (6L, "completely different content with many unique words here"),
+      (7L, "xy zw")).toDF("doc_id", "text")
+    val out = CorpusPipeline.nearDupClusterSizes(docs, "doc_id", "text",
+      threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      3L -> ((1L, 3L)),
+      2L -> ((1L, 2L)),
+      1L -> ((2L, 2L))))
+  }
+
+  test("nearDupClusterSizes: a corpus with no duplicate pairs reports " +
+    "one all-singleton row") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "one two three four")).toDF("doc_id", "text")
+    val out = CorpusPipeline.nearDupClusterSizes(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((1L, 2L, 2L)))
+  }
 }

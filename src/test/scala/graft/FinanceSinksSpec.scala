@@ -122,6 +122,43 @@ class FinanceSinksSpec extends SparkSpec {
     assert(shuffles <= 1, s"expected only the top-k aggregate shuffle, got $shuffles")
   }
 
+  test("hardNegatives: half-open band [floor, ceil) — near-dups above " +
+    "the ceiling and dissimilar rows below the floor are both excluded, " +
+    "and the result equals the band-filtered brute-force ranking") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),                 // the query
+      (1L, Seq(1.0f, 0.01f)),                // cos ~1.0 — near-dup, excluded
+      (2L, Seq(1.0f, 1.0f)),                 // cos ~0.7071 — in band
+      (3L, Seq(0.5f, 1.0f)),                 // cos ~0.4472 — in band
+      (4L, Seq(0.0f, 1.0f)),                 // cos 0 — below floor
+      (5L, Seq(-1.0f, 0.0f)))                // cos -1 — below floor
+      .toDF("vec_id", "embedding")
+    val out = Ann.hardNegatives(
+      emb.filter(col("vec_id") === 0L), emb,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 10, simFloor = 0.3, dupCeil = 0.9)
+      .select("rank", "neighbor_id", "score").as[(Int, Long, Double)]
+      .collect().toSeq.sortBy(_._1)
+    assert(out.map(_._2) === Seq(2L, 3L))
+    assert(out.forall { case (_, _, s) => s >= 0.3 && s < 0.9 })
+    // parity with the full sf0.001 corpus: band-filter the exact
+    // brute-force scores independently and compare sets
+    val ref = Tables.embeddings(spark, sf("sf0.001"))
+    val queries = ref.filter(col("vec_id") < 3)
+    val brute = Ann.bruteForceTopK(queries, ref, "vec_id", "embedding",
+      "vec_id", "embedding", k = 1000)
+      .filter(col("score") >= 0.30 && col("score") < 0.45)
+      .withColumn("r", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id").asc)))
+      .filter(col("r") <= 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val mined = Ann.hardNegatives(queries, ref, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5, simFloor = 0.30, dupCeil = 0.45)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(mined === brute)
+  }
+
   test("bruteForceTopK: string corpus ids rank with lexicographic tie-break") {
     val emb = Seq(
       ("q", Seq(1.0f, 0.0f)),

@@ -86,6 +86,35 @@ class TextOpsSpec extends SparkSpec {
       s"top-k must plan as TakeOrderedAndProject, got:\n$plan")
   }
 
+  test("pmiCollocations: hand-computed scores, minCount suppresses the " +
+    "hapax pathology, and mathematical ties rank lexicographically") {
+    // corpus: 'x y' always adjacent (PMI high); 'a b'/'b a' adjacent
+    // among frequent a/b (lower PMI, mathematically TIED with each
+    // other); 'q z' appears once (killed by minCount)
+    val docs = Seq(
+      (1L, "x y a b"),
+      (2L, "x y b a"),
+      (3L, "a b a q z a")).toDF("doc_id", "text")
+    // unigrams: x=2 y=2 a=5 b=3 q=1 z=1 → n1=14
+    // bigrams per doc: (x y, y a, a b), (x y, y b, b a),
+    //   (a b, b a, a q, q z, z a) → x y=2, a b=2, b a=2, five 1s → n12=11
+    val out = TextOps.pmiCollocations(docs, "text", k = 10, minCount = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    def pmi(c12: Long, c1: Long, c2: Long): Double =
+      BigDecimal(math.log(c12 / 11.0) - math.log(c1 / 14.0) - math.log(c2 / 14.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 'a b' (c1=5, c2=3) and 'b a' (c1=3, c2=5) compute the same value
+    // through a different operand order — the 6-decimal rank plus
+    // (w1, w2) tie-break must order them deterministically
+    assert(out === Seq(
+      ("x", "y", 2L, pmi(2, 2, 2)),
+      ("a", "b", 2L, pmi(2, 5, 3)),
+      ("b", "a", 2L, pmi(2, 3, 5))))
+    // hapax suppression: nothing below minCount appears
+    assert(out.forall(_._3 >= 2L))
+  }
+
   test("tagTopics: per-topic match counts with case folding; docs with " +
     "no lexicon hits absent; overlapping keyword lists rejected") {
     val lex = Map("fruit" -> Seq("Apple", "banana"), "veg" -> Seq("kale"))
