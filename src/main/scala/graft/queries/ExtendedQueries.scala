@@ -68,6 +68,30 @@ object ExtendedQueries {
     "q117_rolling_daily" -> ((s, d) =>
       graft.operators.AnalyticsOps.rollingDailyAgg(Tables.events(s, d))),
 
+    // §2.6-family subtotal report: ROLLUP over (nation, order year)
+    // with grouping_id disambiguating subtotal NULLs from data NULLs —
+    // one aggregation pass produces all three grouping levels
+    // (Spark plans an Expand, 3 rows per input: the price of subtotals
+    // in ANY engine, paid AFTER the join reduces to (name, yr, price))
+    // SQL form: the Dataset rollup() API trips Spark 4.1.2's
+    // DetectAmbiguousSelfJoin on any post-join frame (the rollup
+    // Expand duplicates attributes that still carry join-side dataset
+    // ids) — the SQL planner builds the identical Expand plan without
+    // the spurious check
+    "q124_rollup_report" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("q124_orders")
+      Tables.customer(s, d).createOrReplaceTempView("q124_customer")
+      Tables.nation(s, d).createOrReplaceTempView("q124_nation")
+      s.sql("""
+        SELECT n_name, year(o_orderdate) AS yr,
+          count(1) AS n_orders, round(sum(o_totalprice), 2) AS revenue,
+          grouping_id() AS gid
+        FROM q124_orders
+        JOIN q124_customer ON o_custkey = c_custkey
+        JOIN q124_nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP(n_name, year(o_orderdate))""")
+    }),
+
     // §2.3 1→N unnesting (unnest_domi_street_seg, gcs_utils.py:597-662):
     // explode tokens with positional counters, then top-50 tokens
     "q31_explode_tokens" -> ((s, d) => {
@@ -258,6 +282,18 @@ object ExtendedQueries {
         |  count(*) AS n_events,
         |  min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // same three grouping levels via GROUP BY ROLLUP; DuckDB's
+    // GROUPING(a, b) emits the identical MSB-first bitmask as Spark's
+    // grouping_id()
+    "q124_rollup_report" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue,
+        |  CAST(GROUPING(n_name, year(o_orderdate)) AS BIGINT) AS gid
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, year(o_orderdate))""".stripMargin,
 
     // same pre-aggregate + RANGE-over-day-number recomputation; the
     // integer day subtraction keeps the frame calendar-true

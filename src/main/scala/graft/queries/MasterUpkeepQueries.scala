@@ -19,6 +19,30 @@ object MasterUpkeepQueries {
   // fixtures (shared Spark/DuckDB SQL text)
   // ------------------------------------------------------------------
 
+  /** SCD2 dimension fixture: C1 carries a closed historical version
+    * (must pass through untouched), C4's NULL name meets a staged ''
+    * (the IFNULL rule says equal → unchanged).
+    */
+  private val scd2DimSql =
+    """(VALUES
+      |  ('C1', 'Ann', 'Oak',  '2024-01-01', CAST(NULL AS STRING), true),
+      |  ('C1', 'Ann', 'Elm',  '2023-06-01', '2024-01-01', false),
+      |  ('C2', 'Bob', 'Pine', '2024-01-01', CAST(NULL AS STRING), true),
+      |  ('C3', 'Cy',  'Ash',  '2024-01-01', CAST(NULL AS STRING), true),
+      |  ('C4', CAST(NULL AS STRING), 'Gum', '2024-01-01', CAST(NULL AS STRING), true)
+      |) t(cust_id, name, city, valid_from, valid_to, is_current)""".stripMargin
+
+  /** SCD2 staging snapshot: C1 unchanged, C2 changed (close + reopen),
+    * C4 NULL-vs-'' unchanged, C9 brand new; C3 absent (untouched).
+    */
+  private val scd2StagingSql =
+    """(VALUES
+      |  ('C1', 'Ann', 'Oak'),
+      |  ('C2', 'Bob', 'Birch'),
+      |  ('C4', '', 'Gum'),
+      |  ('C9', 'New', 'Fir')
+      |) t(cust_id, name, city)""".stripMargin
+
   private val cdeIncomingSql =
     """(VALUES
       |  ('P1', 'Condemned Property', 'Active', '1 A St', 100),
@@ -111,6 +135,16 @@ object MasterUpkeepQueries {
   // ------------------------------------------------------------------
 
   val queries: Map[String, Q] = Map(
+    // SCD Type 2 merge: history-preserving dimension upsert — close
+    // changed current versions at the batch timestamp, open new ones,
+    // insert brand-new keys, pass history and untouched keys through.
+    // No windows: one current-slice join + one anti-join + unions.
+    "q123_scd2_merge" -> ((s, _) =>
+      graft.tables.MasterTables.scd2Merge(
+        fromValues(s, scd2DimSql), fromValues(s, scd2StagingSql),
+        keys = Seq("cust_id"), attrs = Seq("name", "city"),
+        batchTs = lit("2024-06-01"))),
+
     "q68_cde_combine" -> ((s, _) =>
       ComputronixPliPipeline.combineCondemnedDeadEnd(
           fromValues(s, cdeIncomingSql), fromValues(s, cdeExistingSql))
@@ -158,6 +192,36 @@ object MasterUpkeepQueries {
   // ------------------------------------------------------------------
 
   val oracle: Map[String, String] = Map(
+    // independent SCD2 recomputation over the shared fixture: current
+    // slice LEFT-joined to staging, the IFNULL('') change rule, close
+    // + reopen + fresh-insert branches re-assembled with UNION ALL
+    "q123_scd2_merge" ->
+      s"""WITH dim AS (SELECT * FROM $scd2DimSql),
+         |stg AS (SELECT * FROM $scd2StagingSql),
+         |cur AS (SELECT * FROM dim WHERE is_current),
+         |hist AS (SELECT * FROM dim WHERE NOT is_current),
+         |j AS (
+         |  SELECT c.cust_id, c.name, c.city, c.valid_from, c.valid_to,
+         |    c.is_current, s.name AS s_name, s.city AS s_city,
+         |    s.cust_id IS NOT NULL AND (
+         |      coalesce(c.name, '') <> coalesce(s.name, '') OR
+         |      coalesce(c.city, '') <> coalesce(s.city, '')) AS chg
+         |  FROM cur c LEFT JOIN stg s USING (cust_id)
+         |)
+         |SELECT cust_id, name, city, valid_from, valid_to, is_current FROM hist
+         |UNION ALL
+         |SELECT cust_id, name, city, valid_from,
+         |  CASE WHEN chg THEN '2024-06-01' ELSE valid_to END,
+         |  CASE WHEN chg THEN false ELSE is_current END
+         |FROM j
+         |UNION ALL
+         |SELECT cust_id, s_name, s_city, '2024-06-01', NULL, true
+         |FROM j WHERE chg
+         |UNION ALL
+         |SELECT s.cust_id, s.name, s.city, '2024-06-01', NULL, true
+         |FROM stg s LEFT JOIN cur c USING (cust_id)
+         |WHERE c.cust_id IS NULL""".stripMargin,
+
     // condemned_dead_end_properties.py:5-47 verbatim (LIKE without
     // wildcards == equality)
     "q68_cde_combine" ->

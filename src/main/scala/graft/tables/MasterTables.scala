@@ -68,6 +68,67 @@ object MasterTables {
     if (dedup) out.distinct() else out
   }
 
+  /** Slowly-changing-dimension Type 2 merge — the history-preserving
+    * upsert the reference's master-table family stops short of (it
+    * keeps latest-only via delete_old_insert_new / append-only via
+    * appendOnlyHistory; SCD2 keeps EVERY version with validity
+    * intervals, the standard warehouse dimension shape). Given the
+    * current dimension (tracked attrs + `valid_from`/`valid_to`/
+    * `is_current`) and a staging snapshot of (key, attrs):
+    *
+    *  - a staged key absent from the dimension INSERTS an open version
+    *    (valid_from = batchTs, valid_to NULL, is_current true);
+    *  - a staged key whose current-version attrs DIFFER (under the
+    *    reference's IFNULL('') rule: NULL and '' compare equal) CLOSES
+    *    the current version (valid_to = batchTs, is_current false) and
+    *    inserts the new open version;
+    *  - unchanged keys, historical (already-closed) versions, and
+    *    un-staged keys pass through untouched.
+    *
+    * Staging must be one row per key (enforced — a double-staged key
+    * would create two simultaneous open versions).
+    *
+    * Scale shape: one equi-join of the dimension's CURRENT slice
+    * against staging keyed on the dimension key, one anti-join for the
+    * inserts, pure unions — no windows at all, so a billion-row
+    * dimension merges without any per-key serialization; at scale the
+    * dimension side should be the bucketed master so only the staging
+    * batch exchanges (the q74 argument).
+    */
+  def scd2Merge(dim: DataFrame, staging: DataFrame, keys: Seq[String],
+                attrs: Seq[String], batchTs: Column): DataFrame = {
+    require(attrs.nonEmpty, "SCD2 needs at least one tracked attribute")
+    val stg = staging.select(keys.map(col) ++ attrs.map(c => col(c).as(s"__s_$c")): _*)
+    val dupStaged = stg.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).count()
+    require(dupStaged == 0, "staging must carry one row per key")
+    val current = dim.filter(col("is_current"))
+    val historical = dim.filter(!col("is_current"))
+    val joined = current.join(stg.withColumn("__staged", lit(true)), keys, "left")
+    val differs = attrs.map { f =>
+      coalesce(col(f).cast("string"), lit("")) =!=
+        coalesce(col(s"__s_$f").cast("string"), lit(""))
+    }.reduce(_ || _)
+    val changed = col("__staged") && differs
+    // current versions: closed when a differing staged row arrived
+    val kept = joined
+      .withColumn("valid_to", when(changed, batchTs).otherwise(col("valid_to")))
+      .withColumn("is_current", when(changed, lit(false)).otherwise(col("is_current")))
+      .select(dim.columns.map(col): _*)
+    // new open versions: changed keys take the staged attrs…
+    val reopened = joined.filter(changed)
+      .select(keys.map(col) ++ attrs.map(f => col(s"__s_$f").as(f)): _*)
+    // …and brand-new keys insert directly
+    val fresh = stg.join(current.select(keys.map(col): _*), keys, "left_anti")
+      .select(keys.map(col) ++ attrs.map(f => col(s"__s_$f").as(f)): _*)
+    val opened = reopened.unionByName(fresh)
+      .withColumn("valid_from", batchTs)
+      .withColumn("valid_to", lit(null).cast(dim.schema("valid_to").dataType))
+      .withColumn("is_current", lit(true))
+      .select(dim.columns.map(col): _*)
+    historical.unionByName(kept).unionByName(opened)
+  }
+
   /** delete_old_insert_new (integrate_new_requests.py:84-106): snapshot
     * upsert — drop master rows whose key re-arrives, append the incoming
     * version.

@@ -99,4 +99,51 @@ class MasterTablesSpec extends SparkSpec {
     val a = Seq(1, 2).toDF("x"); val b = Seq(2, 3).toDF("x")
     assert(MasterTables.unionDistinct(a, b).orderBy("x").as[Int].collect().toSeq === Seq(1, 2, 3))
   }
+
+  test("scd2Merge: changed keys close + reopen, new keys insert open, " +
+    "unchanged / unstaged / historical rows pass through, NULL attr " +
+    "equals '' under the IFNULL rule") {
+    import org.apache.spark.sql.functions.lit
+    val dim = Seq(
+      ("C1", "Ann", "Oak", "2024-01-01", null.asInstanceOf[String], true),
+      ("C1", "Ann", "Elm", "2023-06-01", "2024-01-01", false), // history
+      ("C2", "Bob", "Pine", "2024-01-01", null.asInstanceOf[String], true),
+      ("C3", "Cy", "Ash", "2024-01-01", null.asInstanceOf[String], true),
+      ("C4", null.asInstanceOf[String], "Gum", "2024-01-01", null.asInstanceOf[String], true))
+      .toDF("cust_id", "name", "city", "valid_from", "valid_to", "is_current")
+    val staging = Seq(
+      ("C1", "Ann", "Oak"),    // unchanged
+      ("C2", "Bob", "Birch"),  // changed
+      ("C4", "", "Gum"),       // NULL vs '' — unchanged
+      ("C9", "New", "Fir"))    // brand new
+      .toDF("cust_id", "name", "city")
+    val out = MasterTables.scd2Merge(dim, staging, Seq("cust_id"),
+      Seq("name", "city"), lit("2024-06-01"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getBoolean(5))).toSet
+    assert(out === Set(
+      ("C1", "Ann", "Elm", "2023-06-01", "2024-01-01", false),   // history
+      ("C1", "Ann", "Oak", "2024-01-01", null, true),            // unchanged
+      ("C2", "Bob", "Pine", "2024-01-01", "2024-06-01", false),  // closed
+      ("C2", "Bob", "Birch", "2024-06-01", null, true),          // reopened
+      ("C3", "Cy", "Ash", "2024-01-01", null, true),             // unstaged
+      ("C4", null, "Gum", "2024-01-01", null, true),             // NULL == ''
+      ("C9", "New", "Fir", "2024-06-01", null, true)))           // fresh
+    // exactly one open version per key
+    val opens = out.toSeq.filter(_._6).groupBy(_._1).view.mapValues(_.size)
+    assert(opens.values.forall(_ == 1))
+  }
+
+  test("scd2Merge: a double-staged key is rejected — it would create " +
+    "two simultaneous open versions") {
+    import org.apache.spark.sql.functions.lit
+    val dim = Seq(("C1", "Ann", "2024-01-01", null.asInstanceOf[String], true))
+      .toDF("cust_id", "name", "valid_from", "valid_to", "is_current")
+    val staging = Seq(("C1", "A"), ("C1", "B")).toDF("cust_id", "name")
+    intercept[IllegalArgumentException] {
+      MasterTables.scd2Merge(dim, staging, Seq("cust_id"), Seq("name"),
+        lit("2024-06-01"))
+    }
+  }
 }
