@@ -169,6 +169,46 @@ object AnalyticsOps {
     * trailing window instead of stretching it (a ROWS frame over
     * present-days-only would silently widen across gaps).
     */
+  /** Trailing-window anomaly scores: per (group, day), the day's event
+    * count z-scored against the PRECEDING `windowDays` days (current
+    * day excluded — the baseline must not contain the observation).
+    * `z` is NULL when the baseline is empty or flat (zero variance):
+    * no honest score exists there, and NULL-not-zero keeps flat-series
+    * days from masquerading as perfectly normal.
+    *
+    * Engine-exactness: mean and variance come from the explicit
+    * sum/sum-of-squares form — sums of day-count INTEGERS over a ≤
+    * `windowDays`-row frame are exact in a double, so mean, variance
+    * (avg(n²) − avg(n)²), and z reproduce bit-for-bit in any engine;
+    * no Welford-vs-naive library divergence can enter. Same scale
+    * shape as [[rollingDailyAgg]]: calendar-bounded frame, RANGE
+    * window over the integer day number.
+    */
+  def dailyAnomalyScores(events: DataFrame, groupCol: String = "event_type",
+                         tsCol: String = "ts", windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 2, "baseline needs at least two days")
+    val daily = events
+      .select(col(groupCol).as("__g"), to_date(col(tsCol)).as("day"))
+      .groupBy("__g", "day")
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("__dayN", datediff(col("day"), lit("1970-01-01").cast(DateType)))
+    val w = Window.partitionBy("__g").orderBy("__dayN")
+      .rangeBetween(-windowDays.toLong, -1L)
+    val stats = daily
+      .withColumn("n_baseline_days", count(lit(1)).over(w))
+      .withColumn("__s1", sum(col("n_events")).over(w))
+      .withColumn("__s2", sum(col("n_events") * col("n_events")).over(w))
+    val mean = col("__s1").cast("double") / col("n_baseline_days").cast("double")
+    val variance = (col("__s2").cast("double") /
+      col("n_baseline_days").cast("double")) - mean * mean
+    stats.select(
+      col("__g").as(groupCol), col("day"), col("n_events"),
+      coalesce(col("n_baseline_days"), lit(0L)).as("n_baseline_days"),
+      round(when(col("n_baseline_days") > 0, mean), 6).as("baseline_mean"),
+      round(when(col("n_baseline_days") > 0 && variance > 0,
+        (col("n_events").cast("double") - mean) / sqrt(variance)), 6).as("z"))
+  }
+
   def rollingDailyAgg(events: DataFrame, groupCol: String = "event_type",
                       tsCol: String = "ts", valueCol: String = "value",
                       windowDays: Int = 7): DataFrame = {

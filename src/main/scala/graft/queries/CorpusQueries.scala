@@ -293,6 +293,26 @@ object CorpusQueries {
       graft.text.NgramLm.scorePerplexity(docs, "doc_id", "text", lm)
     }),
 
+    // corpus report card: per-language doc/token/char totals, distinct
+    // vocabulary (two-level aggregate — no countDistinct Expand), and
+    // the derived avg-tokens / type-token-ratio columns every corpus
+    // datasheet leads with
+    "q126_corpus_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val perTok = docs
+        .select(col("lang"), explode(graft.text.TextOps.tokens(lower(col("text")))).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("__c"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_distinct_tokens"), sum("__c").as("n_tokens"))
+      docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(length(col("text"))).as("n_chars"))
+        .join(perTok, "lang")
+        .withColumn("avg_doc_tokens",
+          round(col("n_tokens").cast("double") / col("n_docs").cast("double"), 4))
+        .withColumn("type_token_ratio",
+          round(col("n_distinct_tokens").cast("double") / col("n_tokens").cast("double"), 6))
+    }),
+
     // dedup report card: near-dup cluster-size histogram (MinHash+LSH
     // pairs at 0.8 → min-label components → sizes), singleton row
     // included as total − clustered. The oracle recomputes clusters
@@ -818,6 +838,26 @@ object CorpusQueries {
     // the engine keys model joins on xxhash64 (8-byte, birthday-bound
     // argument as q84), the oracle joins on the gram strings — same
     // result absent a 64-bit collision
+    // same totals recomputed from scratch; tokens via the engine's
+    // whitespace rule, vocabulary via DISTINCT
+    "q126_corpus_stats" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), tok_agg AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_tokens
+        |  FROM toks GROUP BY lang
+        |), doc_agg AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT lang, n_docs, n_chars, n_distinct_tokens, n_tokens,
+        |  round(n_tokens::DOUBLE / n_docs::DOUBLE, 4) AS avg_doc_tokens,
+        |  round(n_distinct_tokens::DOUBLE / n_tokens::DOUBLE, 6) AS type_token_ratio
+        |FROM doc_agg JOIN tok_agg USING (lang)""".stripMargin,
+
     // exact-Jaccard pairs at 0.8 (the q27-proven ground truth) →
     // recursive-CTE min-label components → size histogram, with the
     // singleton row as total − clustered

@@ -68,6 +68,24 @@ object ExtendedQueries {
     "q117_rolling_daily" -> ((s, d) =>
       graft.operators.AnalyticsOps.rollingDailyAgg(Tables.events(s, d))),
 
+    // crosstab via the pivot API: event counts by type × day-of-week,
+    // explicit pivot values so the plan is a single aggregation pass
+    // (no distinct-value pre-query); absent combinations fill 0
+    "q125_pivot_crosstab" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("dow", dayofweek(col("ts")))
+        .groupBy("event_type")
+        .pivot("dow", 1 to 7)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed((1 to 7).map(i => i.toString -> s"d$i").toMap)),
+
+    // per-day event-count anomaly vs the PRECEDING 7-day baseline:
+    // mean/variance from exact integer sums (no Welford divergence),
+    // z NULL on empty or flat baselines
+    "q127_daily_anomaly" -> ((s, d) =>
+      graft.operators.AnalyticsOps.dailyAnomalyScores(Tables.events(s, d))),
+
     // §2.6-family subtotal report: ROLLUP over (nation, order year)
     // with grouping_id disambiguating subtotal NULLs from data NULLs —
     // one aggregation pass produces all three grouping levels
@@ -282,6 +300,41 @@ object ExtendedQueries {
         |  count(*) AS n_events,
         |  min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // conditional-aggregation recomputation; Spark's dayofweek is
+    // 1=Sunday..7, DuckDB's is 0=Sunday..6 — the +1 aligns them
+    "q125_pivot_crosstab" ->
+      ("""SELECT event_type, """ +
+        (1 to 7).map(i =>
+          s"sum(CASE WHEN dayofweek(ts) + 1 = $i THEN 1 ELSE 0 END)::BIGINT AS d$i")
+          .mkString(", ") +
+        """ FROM events GROUP BY event_type"""),
+
+    // identical RANGE window over the preceding-days frame with the
+    // same exact-integer-sum mean/variance formula
+    "q127_daily_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, ts::DATE AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), st AS (
+        |  SELECT event_type, day, n_events,
+        |    count(*) OVER w AS nb,
+        |    sum(n_events) OVER w AS s1,
+        |    sum(n_events * n_events) OVER w AS s2
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY day - DATE '1970-01-01'
+        |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_type, day, n_events,
+        |  CAST(coalesce(nb, 0) AS BIGINT) AS n_baseline_days,
+        |  round(CASE WHEN nb > 0 THEN s1::DOUBLE / nb::DOUBLE END, 6) AS baseline_mean,
+        |  round(CASE WHEN nb > 0 AND
+        |      s2::DOUBLE / nb::DOUBLE - (s1::DOUBLE / nb::DOUBLE) * (s1::DOUBLE / nb::DOUBLE) > 0
+        |    THEN (n_events::DOUBLE - s1::DOUBLE / nb::DOUBLE)
+        |      / sqrt(s2::DOUBLE / nb::DOUBLE - (s1::DOUBLE / nb::DOUBLE) * (s1::DOUBLE / nb::DOUBLE))
+        |  END, 6) AS z
+        |FROM st""".stripMargin,
 
     // same three grouping levels via GROUP BY ROLLUP; DuckDB's
     // GROUPING(a, b) emits the identical MSB-first bitmask as Spark's

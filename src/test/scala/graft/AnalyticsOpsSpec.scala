@@ -165,6 +165,40 @@ class AnalyticsOpsSpec extends SparkSpec {
       s"event-sized window without bucket key:\n${eventWindows.mkString("\n")}")
   }
 
+  test("dailyAnomalyScores: hand-computed z from exact integer sums; " +
+    "NULL on the first day (empty baseline) and on flat baselines") {
+    val events =
+      // type a: counts 4, 4, 4, 10 on consecutive days — first day has
+      // no baseline, days 2-3 have FLAT baselines (z must be NULL, not
+      // 0 and not huge), day 4's baseline [4,4,4] is flat too
+      (1 to 4) ++ (1 to 4) ++ (1 to 4) ++ (1 to 10)
+    val rows =
+      events.take(4).map(i => ("a", ts("2024-01-01 10:00:00"))) ++
+        events.take(4).map(_ => ("a", ts("2024-01-02 10:00:00"))) ++
+        events.take(4).map(_ => ("a", ts("2024-01-03 10:00:00"))) ++
+        (1 to 10).map(_ => ("a", ts("2024-01-04 10:00:00"))) ++
+        // type b: 2 then 6 — baseline [2] has variance 0 → NULL;
+        // then 4 with baseline [2,6]: mean 4, var 4, z = 0
+        (1 to 2).map(_ => ("b", ts("2024-01-01 10:00:00"))) ++
+        (1 to 6).map(_ => ("b", ts("2024-01-02 10:00:00"))) ++
+        (1 to 4).map(_ => ("b", ts("2024-01-03 10:00:00")))
+    val out = AnalyticsOps.dailyAnomalyScores(rows.toDF("event_type", "ts"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out(("a", "2024-01-01")) === ((4L, 0L, None, None)))
+    assert(out(("a", "2024-01-02")) === ((4L, 1L, Some(4.0), None))) // flat
+    assert(out(("a", "2024-01-03")) === ((4L, 2L, Some(4.0), None))) // flat
+    assert(out(("a", "2024-01-04")) === ((10L, 3L, Some(4.0), None))) // flat baseline
+    assert(out(("b", "2024-01-01")) === ((2L, 0L, None, None)))
+    assert(out(("b", "2024-01-02")) === ((6L, 1L, Some(2.0), None))) // single-day flat
+    // baseline [2, 6]: mean 4, var = (4+36)/2 − 16 = 4, z = (4−4)/2 = 0
+    assert(out(("b", "2024-01-03")) === ((4L, 2L, Some(4.0), Some(0.0))))
+  }
+
   test("rollingDailyAgg: missing days age out of the RANGE frame " +
     "instead of stretching it") {
     val events = Seq(
