@@ -183,6 +183,40 @@ object NearDup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Similar-document search: the corpus rows most Jaccard-similar to
+    * ONE query text — the "find the near-dups of this document"
+    * lookup every curation investigation runs after the histogram
+    * (q122) says duplication exists. The query's shingle set rides as
+    * a LITERAL in a map-only scan projection (no join, no shuffle of
+    * corpus text); `minJaccard` prunes before the top-k, which plans
+    * as TakeOrderedAndProject — per-partition bounded heaps, k rows
+    * to the driver, never a global sort. Rank is on the 4-decimal
+    * score with an id tie-break (the q121 contract: rank consistency
+    * IS output-value consistency).
+    *
+    * For REPEATED lookups against a 100 TB corpus, prune the scan with
+    * the persisted [[minhashSignatures]]/[[lshBands]] state instead:
+    * band the query, semi-join its band keys against the stored band
+    * frame, and verify only the candidates — the exact shape
+    * [[incrementalDedup]] uses for batch admission.
+    */
+  def searchByText(df: DataFrame, idCol: String, textCol: String,
+                   queryText: String, k: Int, minJaccard: Double = 0.05,
+                   shingleLen: Int = 3): DataFrame = {
+    val qTokens = queryText.trim.split("\\s+").toSeq
+    require(qTokens.size >= shingleLen,
+      s"query must have at least $shingleLen tokens")
+    val qShingles = qTokens.sliding(shingleLen).map(_.mkString(" ")).toSeq.distinct
+    val qLit = typedlit(qShingles)
+    df.filter(size(TextOps.tokens(col(textCol))) >= shingleLen)
+      .select(col(idCol),
+        round(jaccard(TextOps.wordShingles(col(textCol), shingleLen), qLit), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy(col("jaccard").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   // ------------------------------------------------------------------
   // Incremental MinHash (batch vs stored-signature corpus)
   // ------------------------------------------------------------------

@@ -106,6 +106,21 @@ object TextQueries {
       TextOps.pmiCollocations(Tables.documents(s, d), "text", k = 50,
         minCount = 5L)),
 
+    // similar-document lookup for ONE query text: the query's shingle
+    // set rides as a literal in a map-only scan, floor-pruned before
+    // the TakeOrderedAndProject top-k
+    "q128_similar_docs" -> ((s, d) =>
+      graft.dedup.NearDup.searchByText(Tables.documents(s, d),
+        "doc_id", "text",
+        "key agg row scan slow fast table value part hash",
+        k = 20, minJaccard = 0.01)),
+
+    // per-doc n-gram novelty: fraction of a doc's distinct 3-grams
+    // seen in NO other document — the complement of containment;
+    // 8-byte hash keys, exact integer ratio
+    "q129_ngram_novelty" -> ((s, d) =>
+      TextOps.ngramNovelty(Tables.documents(s, d), "doc_id", "text")),
+
     // Gopher-style composite quality-rule gate (Rae et al. 2021):
     // seven auditable rules, every ratio decided by integer
     // cross-multiplication so the boundary is engine-exact; annotates
@@ -390,6 +405,45 @@ object TextQueries {
         |    ORDER BY score DESC, neighbor_id ASC) AS rank
         |  FROM s WHERE score >= 0.30 AND score < 0.45)
         |WHERE rank <= 10""".stripMargin,
+
+    // exact-Jaccard of every doc's shingle set against the same query
+    // literal, the same floor and rounded rank
+    "q128_similar_docs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents)
+        |  WHERE len(toks) >= 3
+        |), q AS (
+        |  SELECT list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) s
+        |  FROM (SELECT regexp_split_to_array(
+        |    'key agg row scan slow fast table value part hash', '\s+') t)
+        |), scored AS (
+        |  SELECT doc_id,
+        |    round(len(list_intersect(sh.s, q.s))::DOUBLE /
+        |      (len(sh.s) + len(q.s) - len(list_intersect(sh.s, q.s))), 4) AS jaccard
+        |  FROM sh, q
+        |)
+        |SELECT doc_id, jaccard FROM (
+        |  SELECT *, row_number() OVER (ORDER BY jaccard DESC, doc_id ASC) AS rn
+        |  FROM scored WHERE jaccard >= 0.01)
+        |WHERE rn <= 20""".stripMargin,
+
+    // df recomputed on gram STRINGS (the engine keys on xxhash64 —
+    // same result absent a 64-bit collision, the q84 argument)
+    "q129_ngram_novelty" ->
+      """WITH grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])) AS g
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents)
+        |  WHERE len(toks) >= 3
+        |), dfreq AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
+        |    AS novelty
+        |FROM grams JOIN dfreq USING (g)
+        |GROUP BY doc_id""".stripMargin,
 
     // full recount of both frames + the same rounded-PMI rank
     "q121_pmi_collocations" ->

@@ -395,6 +395,40 @@ object TextOps {
           i => array_join(slice(toks, i + 1, lit(n)), " "))))
     }
 
+  /** Per-document n-gram NOVELTY: the fraction of a document's
+    * distinct word n-grams that occur in NO other document — the
+    * complement of the containment/dup-span family (those measure how
+    * much of a doc is seen elsewhere; this measures how much is seen
+    * nowhere else), a standard memorization/diversity signal when
+    * assembling training mixes.
+    *
+    * Scale shape: one explode of the distinct shingle set per doc,
+    * aggregation and self-join keyed on xxhash64 of the gram (8-byte
+    * keys, the q84 birthday argument — grams are already distinct
+    * per doc, so `count(*)` IS the document frequency), then a per-doc
+    * integer aggregate. The fraction is a ratio of exact integer
+    * counts. Documents shorter than `n` tokens have no grams and are
+    * absent (novelty undefined), matching duplicateSpanFraction.
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val grams = docs
+      .filter(size(tokens(col(textCol))) >= n)
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("__g"))
+      .select(col(idCol), xxhash64(col("__g")).as("__h"))
+    grams.persist()
+    val dfreq = grams.groupBy("__h").agg(count(lit(1)).as("__df"))
+    val out = grams.join(dfreq, "__h")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique").cast("double") / col("n_grams").cast("double"), 6))
+      .localCheckpoint(true)
+    grams.unpersist()
+    out
+  }
+
   /** Character n-gram shingles (distinct) over normalised text. */
   def charShingles(c: Column, n: Int): Column =
     graft.expressions.ExprOps.bind(normalizeForFingerprint(c)) { s =>

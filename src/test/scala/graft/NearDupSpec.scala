@@ -202,4 +202,31 @@ class NearDupSpec extends SparkSpec {
     assert(lsh === exact)
     assert(lsh.nonEmpty, "fixture corpus must exhibit at least one leaked pair")
   }
+
+  test("searchByText: hand-computed Jaccard ranking, the floor prunes, " +
+    "short docs and short queries handled, plan is TakeOrderedAndProject") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a b c d e"),       // shingles {abc, bcd, cde}
+      (2L, "a b c x y"),       // {abc, bcx, cxy} — shares abc
+      (3L, "p q r s"),         // disjoint
+      (4L, "a b")              // too short to shingle — absent
+    ).toDF("doc_id", "text")
+    // query 'a b c d': shingles {abc, bcd}
+    val out = NearDup.searchByText(docs, "doc_id", "text", "a b c d",
+      k = 10, minJaccard = 0.01)
+    val got = out.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // doc1: |∩|=2, |∪|=3 → 0.6667 ; doc2: |∩|=1, |∪|=4 → 0.25
+    assert(got === Seq((1L, 0.6667), (2L, 0.25)))
+    // plan shape on a real scan (the toy LocalTableScan above folds
+    // the limit away because maxRows < k): bounded top-k, no global sort
+    val plan = NearDup.searchByText(Tables.documents(spark, sf("sf0.001")),
+      "doc_id", "text", "key agg row scan", k = 5)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"single-query search must plan as TakeOrderedAndProject:\n$plan")
+    intercept[IllegalArgumentException] {
+      NearDup.searchByText(docs, "doc_id", "text", "a b", k = 5)
+    }
+  }
 }

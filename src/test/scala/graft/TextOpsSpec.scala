@@ -115,6 +115,28 @@ class TextOpsSpec extends SparkSpec {
     assert(out.forall(_._3 >= 2L))
   }
 
+  test("ngramNovelty: unique-vs-shared gram fractions hand-counted; " +
+    "within-doc repeats collapse (distinct shingles); short docs absent") {
+    val docs = Seq(
+      // doc1: grams {abc, bcd} — abc shared with doc2, bcd unique
+      (1L, "a b c d"),
+      // doc2: 'a b c a b c' → distinct grams {abc, bca, cab} — abc
+      // shared, bca/cab unique (the repeat contributes nothing extra)
+      (2L, "a b c a b c"),
+      // doc3: fully disjoint {pqr}
+      (3L, "p q r"),
+      // doc4: too short — absent
+      (4L, "x y")).toDF("doc_id", "text")
+    val out = graft.text.TextOps.ngramNovelty(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      1L -> ((2L, 1L, 0.5)),
+      2L -> ((3L, 2L, 0.666667)),
+      3L -> ((1L, 1L, 1.0))))
+    assert(!out.contains(4L))
+  }
+
   test("tagTopics: per-topic match counts with case folding; docs with " +
     "no lexicon hits absent; overlapping keyword lists rejected") {
     val lex = Map("fruit" -> Seq("Apple", "banana"), "veg" -> Seq("kale"))
