@@ -293,6 +293,14 @@ object CorpusQueries {
       graft.text.NgramLm.scorePerplexity(docs, "doc_id", "text", lm)
     }),
 
+    // "Fightin' Words" (Monroe et al. 2008): per-language top-10
+    // distinctive terms by Dirichlet-prior z-scored log-odds vs the
+    // rest of the corpus — the principled answer to "which words
+    // characterize subcorpus X" (raw ratios overweight rare words)
+    "q130_distinctive_terms" -> ((s, d) =>
+      graft.text.Classify.distinctiveTerms(Tables.documents(s, d),
+        "lang", "text", k = 10)),
+
     // corpus report card: per-language doc/token/char totals, distinct
     // vocabulary (two-level aggregate — no countDistinct Expand), and
     // the derived avg-tokens / type-token-ratio columns every corpus
@@ -838,6 +846,42 @@ object CorpusQueries {
     // the engine keys model joins on xxhash64 (8-byte, birthday-bound
     // argument as q84), the oracle joins on the gram strings — same
     // result absent a 64-bit collision
+    // full re-derivation of the Monroe et al. statistic with the same
+    // operand order: counts → Dirichlet prior → log-odds delta →
+    // variance → rounded z → per-group rank
+    "q130_distinctive_terms" ->
+      """WITH norm AS (
+        |  SELECT lang, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents
+        |), toks AS (
+        |  SELECT lang AS grp, unnest(regexp_split_to_array(nt, ' ')) AS w
+        |  FROM norm WHERE length(nt) > 0
+        |), gw AS (
+        |  SELECT grp, w, count(*) AS ygw FROM toks GROUP BY 1, 2
+        |), wt AS (SELECT w, sum(ygw) AS yw FROM gw GROUP BY 1),
+        |gt AS (SELECT grp, sum(ygw) AS ng FROM gw GROUP BY 1),
+        |nn AS (SELECT sum(ygw)::DOUBLE AS n FROM gw),
+        |sc AS (
+        |  SELECT g.grp, g.w, g.ygw, wt.yw, gt.ng,
+        |    500.0 * wt.yw::DOUBLE / (SELECT n FROM nn) AS aw,
+        |    (wt.yw - g.ygw)::DOUBLE AS yrest,
+        |    (SELECT n FROM nn) - gt.ng::DOUBLE AS nrest
+        |  FROM gw g JOIN wt USING (w) JOIN gt USING (grp)
+        |), zz AS (
+        |  SELECT grp, w, ygw, yw,
+        |    round((ln((ygw::DOUBLE + aw)
+        |             / (ng::DOUBLE + 500.0 - ygw::DOUBLE - aw))
+        |         - ln((yrest + aw) / (nrest + 500.0 - yrest - aw)))
+        |      / sqrt(1.0 / (ygw::DOUBLE + aw) + 1.0 / (yrest + aw)), 6) AS z
+        |  FROM sc
+        |)
+        |SELECT grp AS lang, w AS term, CAST(ygw AS BIGINT) AS n_in_group,
+        |  CAST(yw AS BIGINT) AS n_corpus, z
+        |FROM (SELECT *, row_number() OVER (PARTITION BY grp
+        |        ORDER BY z DESC, w ASC) AS rn FROM zz)
+        |WHERE rn <= 10""".stripMargin,
+
     // same totals recomputed from scratch; tokens via the engine's
     // whitespace rule, vocabulary via DISTINCT
     "q126_corpus_stats" ->

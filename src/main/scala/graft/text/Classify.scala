@@ -128,6 +128,70 @@ object Classify {
         col("n_tokens").cast("long").as("n_tokens"))
   }
 
+  /** Group-distinctive terms — the "Fightin' Words" method (Monroe,
+    * Colaresi & Quinn 2008, "Fightin' Words: Lexical Feature Selection
+    * and Evaluation for Identifying the Content of Political
+    * Conflict"): for each (group, word), the z-scored log-odds ratio
+    * of the word's rate in the group vs the REST of the corpus, under
+    * an informative Dirichlet prior proportional to corpus-wide
+    * counts. The standard answer to "which words characterize
+    * subcorpus X" — raw frequency ratios overweight rare words; the
+    * prior and the variance term fix exactly that.
+    *
+    * With y_gw = count of w in group g, n_g = group token total,
+    * y_w / N the corpus-wide analogs, and prior a_w = a0·y_w/N:
+    *   d = ln[(y_gw + a_w) / (n_g + a0 − y_gw − a_w)]
+    *     − ln[(y'_w + a_w) / (n' + a0 − y'_w − a_w)]   (primes = rest)
+    *   z = d / sqrt(1/(y_gw + a_w) + 1/(y'_w + a_w))
+    * Every input is an integer count; the formula is fixed-order
+    * arithmetic on doubles, so scores reproduce cross-engine (the q93
+    * contract). Returns the top `k` words per group by (z rounded to
+    * 6) DESC with a word tie-break — the q121 rank rule.
+    *
+    * Scale shape: one token explode → one (group, word) count with
+    * map-side combine; corpus-wide word counts derive from it
+    * (#groups-fold smaller); group totals are a #groups-row broadcast;
+    * the rest-of-corpus counts are pure subtractions. The only window
+    * partitions by group over each group's OBSERVED vocabulary.
+    */
+  def distinctiveTerms(docs: DataFrame, groupCol: String, textCol: String,
+                       k: Int, priorMass: Double = 500.0): DataFrame = {
+    require(k > 0 && priorMass > 0, "k and priorMass must be positive")
+    val toks = docs.select(col(groupCol).as("group"),
+      explode(normTokens(col(textCol))).as("w"))
+    val gw = toks.groupBy("group", "w").agg(count(lit(1)).as("ygw"))
+    gw.persist()
+    val wTot = gw.groupBy("w").agg(sum("ygw").as("yw"))
+    val gTot = gw.groupBy("group").agg(sum("ygw").as("ng"))
+    val nTotal = gw.agg(coalesce(sum("ygw"), lit(0L))).head().getLong(0)
+    require(nTotal > 0, "corpus has no tokens")
+    val a0 = lit(priorMass)
+    val aw = a0 * col("yw").cast("double") / nTotal.toDouble
+    val scored = gw
+      .join(wTot, "w")
+      .join(broadcast(gTot), "group")
+      .withColumn("__aw", aw)
+      .withColumn("__yrest", (col("yw") - col("ygw")).cast("double"))
+      .withColumn("__nrest", lit(nTotal.toDouble) - col("ng").cast("double"))
+      .withColumn("__d",
+        log((col("ygw").cast("double") + col("__aw")) /
+          (col("ng").cast("double") + a0 - col("ygw").cast("double") - col("__aw")))
+          - log((col("__yrest") + col("__aw")) /
+            (col("__nrest") + a0 - col("__yrest") - col("__aw"))))
+      .withColumn("z", round(col("__d") /
+        sqrt(lit(1.0) / (col("ygw").cast("double") + col("__aw"))
+          + lit(1.0) / (col("__yrest") + col("__aw"))), 6))
+    val w = Window.partitionBy("group").orderBy(col("z").desc, col("w").asc)
+    val out = scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("group").as(groupCol), col("w").as("term"),
+        col("ygw").as("n_in_group"), col("yw").as("n_corpus"), col("z"))
+      .localCheckpoint(true)
+    gw.unpersist()
+    out
+  }
+
   /** DSIR importance weights: ln p_target(d) − ln p_raw(d) under
     * add-one-smoothed bag-of-hashed-ngram models (unigrams + bigrams,
     * the paper's feature set), divided by nothing — the raw

@@ -110,6 +110,40 @@ class ClassifySpec extends SparkSpec {
     assert(byId(4L) > byId(3L))
   }
 
+  test("distinctiveTerms: the group's signature word ranks first and " +
+    "the z matches an independent JDK recomputation of the Monroe " +
+    "et al. formula") {
+    val docs = Seq(
+      (1L, "a", "apple apple apple shared shared"),
+      (2L, "a", "apple shared"),
+      (3L, "b", "banana banana shared shared"),
+      (4L, "b", "banana shared")).toDF("doc_id", "label", "text")
+    val out = Classify.distinctiveTerms(docs, "label", "text", k = 3,
+      priorMass = 10.0)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val byGroup = out.groupBy(_._1).view.mapValues(_.sortBy(-_._5)).toMap
+    assert(byGroup("a").head._2 === "apple")
+    assert(byGroup("b").head._2 === "banana")
+
+    // independent recomputation for (a, apple): ygw=4, yw=4, ng=7,
+    // N=13, a0=10
+    val n = 13.0; val a0 = 10.0
+    val aw = a0 * 4.0 / n
+    val yrest = 0.0; val nrest = n - 7.0
+    val dlt = math.log((4.0 + aw) / (7.0 + a0 - 4.0 - aw)) -
+      math.log((yrest + aw) / (nrest + a0 - yrest - aw))
+    val z = dlt / math.sqrt(1.0 / (4.0 + aw) + 1.0 / (yrest + aw))
+    val expected = BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = out.find(r => r._1 == "a" && r._2 == "apple").get
+    assert(got._3 === 4L && got._4 === 4L)
+    assert(math.abs(got._5 - expected) < 1e-9, s"z ${got._5} want $expected")
+    // 'shared' appears everywhere at matched rates — |z| far below the
+    // signature words in both groups
+    val sharedZ = out.filter(_._2 == "shared").map(_._5)
+    assert(sharedZ.forall(s => math.abs(s) < byGroup("a").head._5))
+  }
+
   test("dsirWeights: every corpus doc gets a row; feature-free docs " +
     "carry weight 0.0") {
     val docs = Seq(
