@@ -329,6 +329,16 @@ object CorpusQueries {
       CorpusPipeline.nearDupClusterSizes(Tables.documents(s, d),
         "doc_id", "text", threshold = 0.8)),
 
+    // statistical language ID: the q118 Naive Bayes machinery over
+    // character trigrams WITH multiplicity (the classic lang-ID
+    // representation — no language-specific tokenizer needed),
+    // trained on the lang labels and scored back over the corpus
+    "q131_charngram_langid" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = graft.text.Classify.trainNaiveBayesChar(docs, "lang", "text")
+      graft.text.Classify.scoreNaiveBayesChar(docs, "doc_id", "text", model)
+    }),
+
     // fastText-style domain classifier as multinomial Naive Bayes:
     // trained on the documents' source labels, scored back over the
     // corpus (argmax label + log-score). Training is two aggregations;
@@ -937,6 +947,50 @@ object CorpusQueries {
         |  CAST(n_clusters AS BIGINT) AS n_clusters,
         |  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
         |FROM hist WHERE n_clusters > 0""".stripMargin,
+
+    // the q118 oracle pipeline with character-trigram features
+    // (DuckDB's codepoint slicing == Spark's UTF-16 substr on this
+    // BMP-only corpus; both engines see identical gram multisets)
+    "q131_charngram_langid" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lang,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents
+        |), feats AS (
+        |  SELECT doc_id, lang,
+        |    unnest([nt[i:i+2] for i in range(1, length(nt) - 1)]) AS w
+        |  FROM norm WHERE length(nt) >= 3
+        |), ndoc AS (
+        |  SELECT doc_id, CASE WHEN length(nt) >= 3
+        |                      THEN length(nt) - 2 ELSE 0 END AS n
+        |  FROM norm
+        |), pair AS (
+        |  SELECT lang AS label, w, count(*)::DOUBLE AS c FROM feats GROUP BY 1, 2
+        |), vv AS (SELECT count(DISTINCT w) AS v FROM feats),
+        |cls AS (SELECT lang AS label, count(*) AS nd FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |tl AS (SELECT label, sum(c) AS t FROM pair GROUP BY 1),
+        |classes AS (
+        |  SELECT cls.label,
+        |    ln(nd::DOUBLE) - ln((SELECT n FROM tot)::DOUBLE) AS log_prior,
+        |    ln(coalesce(t, 0)::DOUBLE + (SELECT v FROM vv)::DOUBLE) AS log_denom
+        |  FROM cls LEFT JOIN tl USING (label)
+        |), sparse AS (
+        |  SELECT f.doc_id, p.label, sum(ln(p.c + 1.0)) AS num
+        |  FROM feats f JOIN pair p ON p.w = f.w GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT nd.doc_id, c.label,
+        |    c.log_prior + coalesce(s.num, 0.0) - nd.n::DOUBLE * c.log_denom AS score,
+        |    nd.n
+        |  FROM ndoc nd CROSS JOIN classes c
+        |  LEFT JOIN sparse s ON s.doc_id = nd.doc_id AND s.label = c.label
+        |)
+        |SELECT doc_id, label AS pred_label, round(score, 6) AS score,
+        |  CAST(n AS BIGINT) AS n_tokens
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, label ASC) AS rn FROM dense)
+        |WHERE rn = 1""".stripMargin,
 
     // full independent retrain + rescore on token strings: counts →
     // smoothed log-probabilities → per-doc scores → (score DESC,

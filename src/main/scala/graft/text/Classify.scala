@@ -65,14 +65,42 @@ object Classify {
     */
   final case class NbModel(classes: DataFrame, tokenLogs: DataFrame)
 
+  /** Character n-grams WITH multiplicity over the q80-normalized text
+    * — the multinomial feature set for character-level classification
+    * (language ID's classic representation: word features need
+    * language-specific tokenizers, character n-grams don't). Unicode
+    * is preserved by the normalization; note Spark's `length`/`substr`
+    * count UTF-16 units while DuckDB counts codepoints — identical on
+    * BMP text (all CJK), divergent only on astral-plane characters.
+    */
+  private def charNgrams(c: Column, n: Int): Column = {
+    val norm = TextOps.normalizeText(c)
+    graft.expressions.ExprOps.bind(coalesce(norm, lit(""))) { s =>
+      when(length(s) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(s) - n + 1),
+          i => s.substr(i, lit(n))))
+    }
+  }
+
   /** Train on labeled documents: one explode + two aggregations + one
     * #labels-row action (the per-label scalars), nothing else on the
     * driver.
     */
   def trainNaiveBayes(docs: DataFrame, labelCol: String,
-                      textCol: String): NbModel = {
+                      textCol: String): NbModel =
+    trainNb(docs, labelCol, normTokens(col(textCol)))
+
+  /** Character-n-gram variant of [[trainNaiveBayes]] — the language-ID
+    * configuration. Same model shape, same scoring machinery.
+    */
+  def trainNaiveBayesChar(docs: DataFrame, labelCol: String,
+                          textCol: String, n: Int = 3): NbModel =
+    trainNb(docs, labelCol, charNgrams(col(textCol), n))
+
+  private def trainNb(docs: DataFrame, labelCol: String,
+                      features: Column): NbModel = {
     val toks = docs.select(col(labelCol).as("label"),
-      explode(normTokens(col(textCol))).as("w"))
+      explode(features).as("w"))
     val pair = toks.groupBy("label", "w").agg(count(lit(1)).as("c"))
     pair.persist()
     val v = pair.select("w").distinct().count()
@@ -107,8 +135,17 @@ object Classify {
     * the rule is engine-portable.
     */
   def scoreNaiveBayes(docs: DataFrame, idCol: String, textCol: String,
+                      model: NbModel): DataFrame =
+    scoreNb(docs, idCol, normTokens(col(textCol)), model)
+
+  /** Character-n-gram scorer pairing [[trainNaiveBayesChar]]. */
+  def scoreNaiveBayesChar(docs: DataFrame, idCol: String, textCol: String,
+                          model: NbModel, n: Int = 3): DataFrame =
+    scoreNb(docs, idCol, charNgrams(col(textCol), n), model)
+
+  private def scoreNb(docs: DataFrame, idCol: String, features: Column,
                       model: NbModel): DataFrame = {
-    val base = docs.select(col(idCol), normTokens(col(textCol)).as("__t"))
+    val base = docs.select(col(idCol), features.as("__t"))
       .select(col(idCol), size(col("__t")).as("n_tokens"), col("__t"))
     val tokRows = base.select(col(idCol), explode(col("__t")).as("w"))
       .select(col(idCol), xxhash64(col("w")).as("w_hash"))

@@ -110,6 +110,27 @@ class ClassifySpec extends SparkSpec {
     assert(byId(4L) > byId(3L))
   }
 
+  test("char-ngram naive bayes: trigrams carry multiplicity, scoring " +
+    "separates labels by character statistics, short docs score on the " +
+    "prior") {
+    val train = Seq(
+      (1L, "aa", "sss ssss sss"),   // trigram mass on 's' runs
+      (2L, "bb", "ttt tttt ttt")).toDF("doc_id", "label", "text")
+    val model = Classify.trainNaiveBayesChar(train, "label", "text")
+    // multiplicity: 'sss ssss sss' normalizes to itself; trigrams
+    // include 'sss' three+ times — tokenLogs must reflect counts > 1
+    val sssCount = model.tokenLogs.count()
+    assert(sssCount > 0)
+    val out = Classify.scoreNaiveBayesChar(
+      Seq((10L, "ss sss s"), (11L, "tt ttt t"), (12L, "x")).toDF("doc_id", "text"),
+      "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(out(10L)._1 === "aa")
+    assert(out(11L)._1 === "bb")
+    // 'x' has no trigrams: n_features 0, prior-only tie → label asc
+    assert(out(12L) === (("aa", 0L)))
+  }
+
   test("distinctiveTerms: the group's signature word ranks first and " +
     "the z matches an independent JDK recomputation of the Monroe " +
     "et al. formula") {
