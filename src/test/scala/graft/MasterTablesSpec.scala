@@ -135,6 +135,26 @@ class MasterTablesSpec extends SparkSpec {
     assert(opens.values.forall(_ == 1))
   }
 
+  test("scd2Merge: idempotent — re-merging the same staging snapshot " +
+    "against the merged dimension changes nothing (no spurious new " +
+    "versions on unchanged attributes)") {
+    import org.apache.spark.sql.functions.lit
+    val dim = Seq(
+      ("C1", "Ann", "2024-01-01", null.asInstanceOf[String], true),
+      ("C2", "Bob", "2024-01-01", null.asInstanceOf[String], true))
+      .toDF("cust_id", "name", "valid_from", "valid_to", "is_current")
+    val staging = Seq(("C1", "Ann2"), ("C3", "New")).toDF("cust_id", "name")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getBoolean(4))).toSet
+    val once = MasterTables.scd2Merge(dim, staging, Seq("cust_id"),
+      Seq("name"), lit("2024-06-01"))
+    val twice = MasterTables.scd2Merge(once, staging, Seq("cust_id"),
+      Seq("name"), lit("2024-07-01"))
+    assert(rows(twice) === rows(once),
+      "second merge of an identical snapshot must be a no-op")
+  }
+
   test("scd2Merge: a double-staged key is rejected — it would create " +
     "two simultaneous open versions") {
     import org.apache.spark.sql.functions.lit
