@@ -81,6 +81,43 @@ object SplitOps {
         col("col.id").as(keyCol))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement — the
+    * Efraimidis–Spirakis exponential-key method (Efraimidis &
+    * Spirakis 2006, "Weighted random sampling with a reservoir"):
+    * each row draws u = salted-md5 uniform in (0, 1] and keeps key
+    * u^(1/w); the k LARGEST keys are a weighted sample without
+    * replacement (inclusion ∝ weight, exactly the reservoir-A-ES
+    * semantics). Like every sampler here, membership is a pure
+    * function of (key, salt) — engines, layouts, and retries agree
+    * row-for-row, and a different salt is an independent redraw.
+    *
+    * Scale shape: the score is a map-only expression; the global
+    * top-k goes through the bounded-heap aggregate (≤ k rows per map
+    * partition reach the single final combine — the q97 shape, global
+    * instead of per-group). Rows with NULL keys or non-positive /
+    * NULL weights are excluded (a weight of 0 has zero inclusion
+    * probability; a NULL key has no stable identity to hash).
+    *
+    * Rank is on the raw double key (the q112 contract — both engines
+    * compute the identical pow of identical doubles) with the id
+    * tie-break; `es_key` is reported rounded to 6.
+    */
+  def weightedSampleK(df: DataFrame, keyCol: String, weightCol: String,
+                      k: Int, salt: String = "wsample"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (hashBucket(concat(col(keyCol).cast(StringType), lit("|" + salt)))
+      .cast(DoubleType) + 1.0) / 4294967296.0
+    val esKey = pow(u, lit(1.0) / col(weightCol).cast(DoubleType))
+    df.filter(col(keyCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .select(col(keyCol), esKey.as("__score"))
+      .agg(graft.expressions.TopKAgg.topKFor(df.schema(keyCol).dataType, k)(
+        col(keyCol), col("__score")).as("__topk"))
+      .select(posexplode(col("__topk")))
+      .select((col("pos") + 1).cast("int").as("sample_rank"),
+        col("col.id").as(keyCol), round(col("col.score"), 6).as("es_key"))
+  }
+
   /** Deterministic global SHUFFLE position — the training-order
     * primitive: every row gets a dense 1-based position equal to the
     * rank of the salted md5 hash of its key (ties broken by key), a

@@ -68,6 +68,36 @@ object ExtendedQueries {
     "q117_rolling_daily" -> ((s, d) =>
       graft.operators.AnalyticsOps.rollingDailyAgg(Tables.events(s, d))),
 
+    // Efraimidis–Spirakis weighted sampling without replacement:
+    // top-50 docs by u^(1/n_chars) with salted-md5 u — inclusion ∝
+    // length, membership a pure function of (key, salt); bounded-heap
+    // global top-k
+    "q132_weighted_sample" -> ((s, d) =>
+      graft.operators.SplitOps.weightedSampleK(
+        Tables.documents(s, d), "doc_id", "n_chars", k = 50)),
+
+    // point-in-interval join via bucket explode (the 1-D grid join):
+    // line items shipped within 30 days of a flagged order, no cross
+    // product — intervals explode to day-buckets, points equi-join
+    // their single bucket, the exact half-open predicate refines
+    "q133_interval_join" -> ((s, d) => {
+      val epoch = lit("1970-01-01").cast(DateType)
+      val intervals = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 499 === 0)
+        .select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), epoch).cast(LongType).as("start_day"))
+        .withColumn("end_day", col("start_day") + 30L)
+      val points = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          datediff(to_date(col("l_shipdate")), epoch).cast(LongType).as("ship_day"))
+      graft.tables.ScaleJoins.pointInIntervalJoin(
+        points, "ship_day", intervals, "start_day", "end_day",
+        bucketWidth = 32L)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
+
     // crosstab via the pivot API: event counts by type × day-of-week,
     // explicit pivot values so the plan is a single aggregation pass
     // (no distinct-value pre-query); absent combinations fill 0
@@ -300,6 +330,33 @@ object ExtendedQueries {
         |  count(*) AS n_events,
         |  min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // the same exponential keys recomputed from the md5 formula and
+    // ranked by a plain window
+    "q132_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|wsample'),
+        |           1, 8))::UBIGINT + 1) / 4294967296.0,
+        |        1.0 / n_chars) AS k
+        |  FROM documents WHERE n_chars > 0
+        |)
+        |SELECT CAST(rn AS INTEGER) AS sample_rank, doc_id,
+        |  round(k, 6) AS es_key
+        |FROM (SELECT *, row_number() OVER (ORDER BY k DESC, doc_id ASC) AS rn
+        |      FROM s)
+        |WHERE rn <= 50""".stripMargin,
+
+    // the plain SQL range join the bucketed explode must reproduce
+    "q133_interval_join" ->
+      """SELECT o.o_orderkey, count(*) AS n_lines,
+        |  round(sum(l.l_quantity), 2) AS sum_qty
+        |FROM orders o
+        |JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+        |WHERE o.o_orderkey % 499 = 0
+        |GROUP BY 1""".stripMargin,
 
     // conditional-aggregation recomputation; Spark's dayofweek is
     // 1=Sunday..7, DuckDB's is 0=Sunday..6 — the +1 aligns them

@@ -147,11 +147,18 @@ object Classify {
                       model: NbModel): DataFrame = {
     val base = docs.select(col(idCol), features.as("__t"))
       .select(col(idCol), size(col("__t")).as("n_tokens"), col("__t"))
+    // pre-aggregate to DISTINCT features per doc before the model
+    // join: the join fan-out is (#labels carrying the feature) per
+    // row, so collapsing within-doc repeats first divides the joined
+    // row count by the repetition factor (char n-grams repeat a lot);
+    // the per-occurrence sum Σ log_c1 becomes the sparse dot product
+    // Σ count·log_c1
     val tokRows = base.select(col(idCol), explode(col("__t")).as("w"))
-      .select(col(idCol), xxhash64(col("w")).as("w_hash"))
+      .groupBy(col(idCol), xxhash64(col("w")).as("w_hash"))
+      .agg(count(lit(1)).as("__n"))
     val sparse = tokRows.join(model.tokenLogs, "w_hash")
       .groupBy(col(idCol), col("label"))
-      .agg(sum("log_c1").as("__num"))
+      .agg(sum(col("__n").cast("double") * col("log_c1")).as("__num"))
     val dense = base.drop("__t")
       .crossJoin(broadcast(model.classes))
       .join(sparse, Seq(idCol, "label"), "left")

@@ -141,4 +141,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(out.count() === 501, "500 hot + 1 k1")
     assert(out.filter($"key" === "hot").count() === 500)
   }
+
+  test("pointInIntervalJoin: half-open boundaries, multi-bucket spans, " +
+    "empty intervals dropped, ≡ naive range join across bucket widths, " +
+    "no cartesian in the plan") {
+    import graft.tables.ScaleJoins
+    val points = Seq((1L, 5L), (2L, 10L), (3L, 19L), (4L, 20L), (5L, 100L))
+      .toDF("pid", "p")
+    val intervals = Seq((10L, 10L, 20L), (11L, 0L, 7L), (12L, 50L, 50L))
+      .toDF("iid", "s", "e")
+    val out = ScaleJoins.pointInIntervalJoin(points, "p", intervals, "s", "e",
+      bucketWidth = 8L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    // p=10 hits [10,20) (start inclusive); p=19 hits; p=20 does NOT
+    // (end exclusive); p=5 hits [0,7); empty [50,50) matches nothing
+    assert(out === Set((2L, 10L), (3L, 10L), (1L, 11L)))
+
+    // randomized equivalence to the naive range join, across widths
+    val rnd = new scala.util.Random(7)
+    val ps = (1 to 500).map(i => (i.toLong, rnd.nextInt(1000).toLong)).toDF("pid", "p")
+    val ivs = (1 to 80).map { i =>
+      val s = rnd.nextInt(950).toLong; (i.toLong, s, s + 1 + rnd.nextInt(80))
+    }.toDF("iid", "s", "e")
+    val naive = ps.crossJoin(ivs)
+      .filter($"p" >= $"s" && $"p" < $"e")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    for (w <- Seq(4L, 32L, 256L)) {
+      val got = ScaleJoins.pointInIntervalJoin(ps, "p", ivs, "s", "e", w)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      assert(got === naive, s"bucketWidth=$w")
+    }
+    val plan = ScaleJoins.pointInIntervalJoin(ps, "p", ivs, "s", "e", 32L)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"interval join must stay an equi-join on the bucket:\n$plan")
+
+    intercept[IllegalArgumentException] {
+      ScaleJoins.pointInIntervalJoin(points, "p",
+        intervals.withColumnRenamed("iid", "pid"), "s", "e", 8L)
+    }
+  }
 }

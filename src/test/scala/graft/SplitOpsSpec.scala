@@ -222,4 +222,38 @@ class SplitOpsSpec extends SparkSpec {
     assert(math.abs(bySmall + byBig - 1000) < 60,
       s"total should stay near N: ${bySmall + byBig}")
   }
+
+  test("weightedSampleK: keys match a JDK recomputation of u^(1/w), " +
+    "heavier rows dominate the sample, zero/NULL weights and NULL " +
+    "keys excluded, layout-invariant") {
+    def esKey(id: Long, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id|wsample".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = (java.lang.Long.parseLong(hex.substring(0, 8), 16) + 1.0) / 4294967296.0
+      math.pow(u, 1.0 / w)
+    }
+    // ids 1-50 weight 100, ids 51-100 weight 1; two invalid rows
+    val rows = (1L to 50L).map(i => (i, 100.0)) ++
+      (51L to 100L).map(i => (i, 1.0)) :+ (200L, 0.0)
+    val df = rows.toDF("id", "w")
+      .unionByName(spark.sql("SELECT CAST(NULL AS BIGINT) AS id, 5.0 AS w"))
+      .repartition(7)
+    val out = SplitOps.weightedSampleK(df, "id", "w", k = 20)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length === 20)
+    // exact agreement with the independent ranking
+    val expected = rows.filter(_._2 > 0)
+      .map { case (id, w) => (id, esKey(id, w)) }
+      .sortBy { case (id, k) => (-k, id) }.take(20)
+    assert(out.map(_._2).toSeq === expected.map(_._1))
+    out.zip(expected).foreach { case ((_, _, got), (_, k)) =>
+      assert(math.abs(got -
+        BigDecimal(k).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // weight-100 rows must dominate a k=20 sample of this mix
+    assert(out.count(_._2 <= 50L) >= 15,
+      s"heavy rows underrepresented: $out")
+    assert(!out.exists(_._2 === 200L), "zero-weight row must be excluded")
+  }
 }
