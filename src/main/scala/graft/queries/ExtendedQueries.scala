@@ -68,6 +68,47 @@ object ExtendedQueries {
     "q117_rolling_daily" -> ((s, d) =>
       graft.operators.AnalyticsOps.rollingDailyAgg(Tables.events(s, d))),
 
+    // grouped IQR outlier report (the Tukey fence rule, per group):
+    // quartiles via percentile_cont (the q38-proven surface), fences
+    // at 1.5·IQR, outliers counted per event type — the grouped twin
+    // of §2.3 FilterOutliers
+    "q134_iqr_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val fences = ev.groupBy("event_type").agg(
+        expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY value)").as("__q1"),
+        expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY value)").as("__q3"))
+        .withColumn("__lo", col("__q1") - (col("__q3") - col("__q1")) * 1.5)
+        .withColumn("__hi", col("__q3") + (col("__q3") - col("__q1")) * 1.5)
+      ev.join(broadcast(fences), "event_type")
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("value") < col("__lo") || col("value") > col("__hi"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          count(lit(1)).as("n_rows"),
+          round(first(col("__lo")), 4).as("fence_lo"),
+          round(first(col("__hi")), 4).as("fence_hi"))
+    }),
+
+    // funnel time-to-convert: per user completing view→click with
+    // earliest-completion semantics, the delay distribution — integer
+    // microsecond delays, percentile interpolation over them
+    "q135_time_to_convert" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("__vt"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("__ct"))
+        .join(v, "user_id")
+        .filter(col("__ct") > col("__vt"))
+        .groupBy("user_id").agg(min(col("__ct") - col("__vt")).as("__d"))
+      c.agg(
+        count(lit(1)).as("n_converted"),
+        round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY __d)") / 1e6, 4)
+          .as("p50_delay_s"),
+        round(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY __d)") / 1e6, 4)
+          .as("p90_delay_s"))
+    }),
+
     // Efraimidis–Spirakis weighted sampling without replacement:
     // top-50 docs by u^(1/n_chars) with salted-md5 u — inclusion ∝
     // length, membership a pure function of (key, salt); bounded-heap
@@ -330,6 +371,44 @@ object ExtendedQueries {
         |  count(*) AS n_events,
         |  min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // the same Tukey fences recomputed with DuckDB's percentile_cont
+    "q134_iqr_outliers" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |    percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+        |    percentile_cont(0.75) WITHIN GROUP (ORDER BY value) AS q3
+        |  FROM events GROUP BY 1
+        |), ff AS (
+        |  SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo,
+        |    q3 + (q3 - q1) * 1.5 AS hi
+        |  FROM f
+        |)
+        |SELECT e.event_type,
+        |  CAST(sum(CASE WHEN e.value < ff.lo OR e.value > ff.hi
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  count(*) AS n_rows,
+        |  round(min(ff.lo), 4) AS fence_lo, round(min(ff.hi), 4) AS fence_hi
+        |FROM events e JOIN ff USING (event_type)
+        |GROUP BY 1""".stripMargin,
+
+    // step-wise recomputation with the same strictly-after min rule
+    "q135_time_to_convert" ->
+      """WITH v AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS vt FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts) - v.vt) AS d
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.vt
+        |  GROUP BY 1
+        |)
+        |SELECT count(*) AS n_converted,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY d) / 1e6, 4)
+        |    AS p50_delay_s,
+        |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY d) / 1e6, 4)
+        |    AS p90_delay_s
+        |FROM c""".stripMargin,
 
     // the same exponential keys recomputed from the md5 formula and
     // ranked by a plain window
