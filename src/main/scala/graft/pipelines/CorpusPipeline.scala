@@ -1156,6 +1156,20 @@ object CorpusPipeline {
     * on the reference corpus's `textCol` and documents whose
     * perplexity exceeds `maxPpl` drop. Documents with no bigrams are
     * NOT dropped here — the length gates own that call.
+    *
+    * `classifierOpt = (labeledRef, labelCol, keepLabels)` is the
+    * GPT-3-style quality-classifier gate: a Naive Bayes model trains
+    * on the labeled reference (e.g. wiki vs crawl) and only documents
+    * whose argmax label lands in `keepLabels` survive. Runs right
+    * after the LM gate — both are model-score gates, and the cheap
+    * rule-based gates before them have already shrunk the corpus.
+    *
+    * `dsirOpt = (targetCorpus, topK)` is DSIR selection (Xie et al.
+    * 2023): importance weights against the target distribution, keep
+    * the `topK` highest-weighted survivors ((weight, id desc-asc)
+    * order — selection is deterministic). Runs LAST, after
+    * decontamination, replacing a uniform final sample; compose with
+    * `tokenBudgetOpt` for a token-capped selection.
     */
   def curate(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
              langs: Seq[String] = Seq("en"),
@@ -1166,7 +1180,9 @@ object CorpusPipeline {
              benchmarkOpt: Option[(DataFrame, String, Int)] = None,
              dupSpanOpt: Option[(Int, Double)] = None,
              semanticOpt: Option[SemanticDedup] = None,
-             lmOpt: Option[(DataFrame, Double)] = None)
+             lmOpt: Option[(DataFrame, Double)] = None,
+             classifierOpt: Option[(DataFrame, String, Set[String])] = None,
+             dsirOpt: Option[(DataFrame, Int)] = None)
       : (DataFrame, Map[String, Long]) = {
     // Per-stage counts are part of the contract (the curation report),
     // but a bare count() per stage re-runs every earlier stage — an
@@ -1206,8 +1222,21 @@ object CorpusPipeline {
         staged(l.join(flagged, Seq(idCol), "left_anti"), Some(l))
       case None => (l, n2)
     }
+    // optional NB quality-classifier gate (the GPT-3 wiki-vs-crawl
+    // filter shape): keep only docs predicted into keepLabels
+    val (clsStage, n2b) = classifierOpt match {
+      case Some((ref, labelCol, keepLabels)) =>
+        require(keepLabels.nonEmpty, "classifier gate needs keep labels")
+        val model = graft.text.Classify.trainNaiveBayes(ref, labelCol, textCol)
+        val kept = graft.text.Classify.scoreNaiveBayes(
+            lmStage.select(bp.columns.map(col): _*), idCol, textCol, model)
+          .filter(col("pred_label").isin(keepLabels.toSeq: _*))
+          .select(col(idCol))
+        staged(lmStage.join(kept, Seq(idCol), "left_semi"), Some(lmStage))
+      case None => (lmStage, n2a)
+    }
     val (e, n3)  = staged(
-      exactDedup(lmStage.select(bp.columns.map(col): _*), idCol, textCol), Some(lmStage))
+      exactDedup(clsStage.select(bp.columns.map(col): _*), idCol, textCol), Some(clsStage))
     val (nd, n4) = staged(
       nearDupDrop(e.select(bp.columns.map(col): _*), idCol, textCol, nearDupThreshold), Some(e))
     // optional embedding-space semantic dedup (SemDeDup): clusters are
@@ -1244,14 +1273,26 @@ object CorpusPipeline {
           .select(col(idCol)), Seq(idCol), "left_anti"), Some(ds))
       case None => (ds, n4b) // no stage ran: same frame, same count
     }
+    // optional DSIR selection: keep the topK highest importance
+    // weights among survivors ((weight DESC, id ASC) — deterministic)
+    val (dsirStage, n5a) = dsirOpt match {
+      case Some((target, topK)) =>
+        require(topK > 0, "DSIR selection needs a positive topK")
+        val kept = graft.text.Classify.dsirWeights(dc, target, idCol, textCol)
+          .orderBy(col("weight").desc, col(idCol).asc)
+          .limit(topK)
+          .select(col(idCol))
+        staged(dc.join(kept, Seq(idCol), "left_semi"), Some(dc))
+      case None => (dc, n5)
+    }
     val (out, n6) = tokenBudgetOpt match {
-      case Some(b) => staged(tokenBudget(dc, idCol, textCol, b), Some(dc))
-      case None    => (dc, n5)
+      case Some(b) => staged(tokenBudget(dsirStage, idCol, textCol, b), Some(dsirStage))
+      case None    => (dsirStage, n5a)
     }
     (out, Map("input" -> n0, "after_quality" -> n1, "after_lang" -> n2,
-      "after_lm" -> n2a,
+      "after_lm" -> n2a, "after_classifier" -> n2b,
       "after_exact_dedup" -> n3, "after_near_dedup" -> n4,
       "after_semantic_dedup" -> n4a, "after_dup_span" -> n4b,
-      "after_decontamination" -> n5, "final" -> n6))
+      "after_decontamination" -> n5, "after_dsir" -> n5a, "final" -> n6))
   }
 }

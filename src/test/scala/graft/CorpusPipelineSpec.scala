@@ -483,6 +483,43 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(kept === Set(1L, 3L), s"got $kept")
   }
 
+  test("curate classifier gate keeps only docs predicted into keepLabels; " +
+    "DSIR stage keeps the topK highest-weighted survivors") {
+    import spark.implicits._
+    // reference: 'good' docs speak apples, 'bad' docs speak spam
+    val ref = Seq(
+      (101L, "good", "apple orchard harvest apple cider season"),
+      (102L, "good", "fresh apple pie orchard recipe notes"),
+      (103L, "bad", "spam offer click spam winner prize"),
+      (104L, "bad", "click here spam free offer now")).toDF("doc_id", "label", "text")
+    val docs = Seq(
+      (1L, "apple orchard season notes today friends"),   // good-ish
+      (2L, "spam click prize offer winner banner today"), // bad-ish
+      (3L, "apple cider recipe harvest weekend morning"), // good-ish
+      (4L, "orchard pie fresh morning delivery route")    // good-ish
+    ).toDF("doc_id", "text")
+    val gates = CorpusPipeline.QualityGates(minTokens = 1, minAlphaRatio = 0.0,
+      maxPunctRatio = 1.0, minStopwordRatio = 0.0, maxTopBigramFrac = 1.0,
+      minDistinctTokenRatio = 0.0)
+    val (out, report) = CorpusPipeline.curate(docs, langs = Seq("und"),
+      gates = gates,
+      classifierOpt = Some((ref, "label", Set("good"))))
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(2L), s"spam-vocabulary doc must drop, kept=$kept")
+    assert(report("after_classifier") === kept.size.toLong)
+    assert(report("after_lm") === 4L)
+
+    // DSIR selection: target = apple-vocabulary docs; top-2 by weight
+    // must be apple-leaning survivors
+    val (out2, report2) = CorpusPipeline.curate(docs, langs = Seq("und"),
+      gates = gates,
+      dsirOpt = Some((ref.filter($"label" === "good").select("doc_id", "text"), 2)))
+    val kept2 = out2.select("doc_id").as[Long].collect().toSet
+    assert(report2("after_dsir") === 2L)
+    assert(kept2.subsetOf(Set(1L, 3L, 4L)),
+      s"top-2 DSIR picks must be target-leaning: $kept2")
+  }
+
   test("dup-span family invariants on a randomized corpus: fraction in " +
     "[0,1], occurrence/doc-count bounds, and the cross-operator identity " +
     "sum(n_dup_windows) == sum(n_occurrences over dup spans)") {
