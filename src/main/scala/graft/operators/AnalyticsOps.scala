@@ -157,6 +157,42 @@ object AnalyticsOps {
         min("__ts").as("first_ts_us"), max("__ts").as("last_ts_us"))
   }
 
+  /** Event-type transition matrix (the path/Markov analysis behind
+    * every "user flow" report): counts of consecutive (from → to)
+    * event-type pairs per user, ordered by (ts, id). Scale-safe the
+    * same way [[sessionizeBucketed]] is: within-bucket transitions
+    * come from a lag over (user, time bucket); the ONE cross-bucket
+    * transition per bucket boundary comes from the calendar-bounded
+    * per-user bucket summary (first/last event type per bucket via
+    * struct min/max — the id tie-break makes both total-order
+    * deterministic). No unbounded per-user partition anywhere.
+    */
+  def transitionCounts(events: DataFrame, userCol: String = "user_id",
+                       tsCol: String = "ts", idCol: String = "event_id",
+                       typeCol: String = "event_type",
+                       bucketSecs: Long = 86400L): DataFrame = {
+    require(bucketSecs > 0, "bucket must be positive")
+    val e = events.select(
+      col(userCol).as("__u"), col(idCol).as("__id"),
+      unix_micros(col(tsCol)).as("__ts"), col(typeCol).as("__t"))
+      .withColumn("__b", expr(s"__ts div ${bucketSecs * 1000000L}L"))
+    val wB = Window.partitionBy("__u", "__b").orderBy("__ts", "__id")
+    val within = e.withColumn("__p", lag("__t", 1).over(wB))
+      .filter(col("__p").isNotNull)
+      .select(col("__p").as("from_type"), col("__t").as("to_type"))
+    val wU = Window.partitionBy("__u").orderBy("__b")
+    val boundary = e.groupBy("__u", "__b")
+      .agg(min(struct(col("__ts"), col("__id"), col("__t"))).as("__first"),
+        max(struct(col("__ts"), col("__id"), col("__t"))).as("__last"))
+      .withColumn("__prevLastT", lag(col("__last.__t"), 1).over(wU))
+      .filter(col("__prevLastT").isNotNull)
+      .select(col("__prevLastT").as("from_type"),
+        col("__first.__t").as("to_type"))
+    within.unionByName(boundary)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
   /** Trailing calendar-window aggregates: per (group, day), the day's
     * own event count / value sum plus the trailing `windowDays`-day
     * totals — the moving-average family every event warehouse reports.

@@ -68,6 +68,28 @@ object ExtendedQueries {
     "q117_rolling_daily" -> ((s, d) =>
       graft.operators.AnalyticsOps.rollingDailyAgg(Tables.events(s, d))),
 
+    // event-type transition matrix: consecutive (from → to) pairs per
+    // user — within-bucket lags + ONE boundary pair per bucket from
+    // the calendar-bounded summary (the q116 discipline; hourly
+    // buckets so the synthetic span crosses boundaries)
+    "q136_transition_matrix" -> ((s, d) =>
+      graft.operators.AnalyticsOps.transitionCounts(Tables.events(s, d),
+        bucketSecs = 3600L)),
+
+    // unpivot (melt): the q125 crosstab folded back to long form via
+    // the stack expression — the inverse API surface
+    "q137_unpivot" -> ((s, d) => {
+      val wide = Tables.events(s, d)
+        .withColumn("dow", dayofweek(col("ts")))
+        .groupBy("event_type")
+        .pivot("dow", 1 to 7)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+      wide.select(col("event_type"), expr(
+        s"stack(7, ${(1 to 7).map(i => s"'d$i', `$i`").mkString(", ")}) AS (dow, n)"))
+        .filter(col("n") > 0)
+    }),
+
     // grouped IQR outlier report (the Tukey fence rule, per group):
     // quartiles via percentile_cont (the q38-proven surface), fences
     // at 1.5·IQR, outliers counted per event type — the grouped twin
@@ -371,6 +393,29 @@ object ExtendedQueries {
         |  count(*) AS n_events,
         |  min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // the classic single-window LAG recomputation the bucketed form
+    // must reproduce
+    "q136_transition_matrix" ->
+      """WITH lagged AS (
+        |  SELECT event_type AS t,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS p
+        |  FROM events
+        |)
+        |SELECT p AS from_type, t AS to_type, count(*) AS n_transitions
+        |FROM lagged WHERE p IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // the same long form via conditional-aggregate + UNION ALL
+    "q137_unpivot" ->
+      ("""WITH wide AS (SELECT event_type, """ +
+        (1 to 7).map(i =>
+          s"sum(CASE WHEN dayofweek(ts) + 1 = $i THEN 1 ELSE 0 END)::BIGINT AS d$i")
+          .mkString(", ") +
+        """ FROM events GROUP BY event_type) """ +
+        (1 to 7).map(i =>
+          s"SELECT event_type, 'd$i' AS dow, d$i AS n FROM wide WHERE d$i > 0")
+          .mkString(" UNION ALL ")),
 
     // the same Tukey fences recomputed with DuckDB's percentile_cont
     "q134_iqr_outliers" ->

@@ -165,6 +165,41 @@ class AnalyticsOpsSpec extends SparkSpec {
       s"event-sized window without bucket key:\n${eventWindows.mkString("\n")}")
   }
 
+  test("transitionCounts: hand fixture with a cross-bucket boundary " +
+    "pair, and ≡ the naive per-user lag on a skewed random log") {
+    // hourly buckets: u1's view→click crosses the 09:00 boundary
+    val events = Seq(
+      (1L, 1L, ts("2024-01-01 08:40:00"), "view"),
+      (1L, 2L, ts("2024-01-01 08:50:00"), "view"),
+      (1L, 3L, ts("2024-01-01 09:10:00"), "click"),
+      (2L, 4L, ts("2024-01-01 08:00:00"), "view"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = AnalyticsOps.transitionCounts(events, bucketSecs = 3600L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("view", "view") -> 1L, ("view", "click") -> 1L))
+
+    val rnd = new scala.util.Random(11)
+    val types = Vector("view", "click", "purchase", "refund")
+    val base = ts("2024-01-01 00:00:00").getTime
+    val big = (1 to 3000).map { i =>
+      val u = if (rnd.nextInt(10) < 9) 1L else 2L + rnd.nextInt(4)
+      (u, i.toLong, new Timestamp(base + rnd.nextInt(5 * 86400) * 1000L),
+        types(rnd.nextInt(types.size)))
+    }.toDF("user_id", "event_id", "ts", "event_type").repartition(5)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val naive = big.withColumn("p", lag("event_type", 1).over(w))
+      .filter(col("p").isNotNull)
+      .groupBy(col("p").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (bucketSecs <- Seq(3600L, 86400L)) {
+      val got = AnalyticsOps.transitionCounts(big, bucketSecs = bucketSecs)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got === naive, s"bucketSecs=$bucketSecs")
+    }
+  }
+
   test("dailyAnomalyScores: hand-computed z from exact integer sums; " +
     "NULL on the first day (empty baseline) and on flat baselines") {
     val events =
