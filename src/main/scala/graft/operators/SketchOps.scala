@@ -71,4 +71,52 @@ object SketchOps {
       .select(col("__g").as(groupCol), col("n_hashes"), col("kth_hash"),
         col("est_distinct"), col("exact_distinct"))
   }
+
+  /** Count-Min frequency sketch (Cormode & Muthukrishnan 2005, "An
+    * improved data stream summary: the count-min sketch and its
+    * applications"): `depth` independent hash rows of `width` counters
+    * each; an item's estimate is the MIN of its counters — an
+    * overestimate by at most εN with probability 1−δ (ε = e/width,
+    * δ = e^−depth). Like KMV, the state is a pure deterministic
+    * function of the input MULTISET: rows are md5 of "row:value"
+    * (the engine-portable q48 formula), counters are exact integer
+    * counts, merges are counter sums — so the sketch and every
+    * estimate reproduce bit-identically across engines, partitions,
+    * and retries.
+    *
+    * [[countMinBuild]] returns the counter table — ≤ depth × width
+    * rows however large the input (one map-side-combined aggregation,
+    * THE mergeable 100 TB state). [[countMinEstimate]] answers point
+    * queries with one broadcast-sized join + a min-aggregate.
+    */
+  def countMinBuild(df: DataFrame, valueCol: String,
+                    depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
+    require(width >= 16, s"width too small: $width")
+    val rows = (0 until depth).map { r =>
+      df.select(lit(r).as("sketch_row"),
+        (conv(substring(md5(concat(lit(s"$r:"), col(valueCol).cast(StringType))),
+          1, 8), 16, 10).cast(LongType) % width).as("bucket"))
+    }.reduce(_ unionByName _)
+    rows.groupBy("sketch_row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query `queries`' `valueCol` against a [[countMinBuild]]
+    * counter table: (value, est) where est = min over the depth rows
+    * of the value's counter (0 when a counter row is absent — the
+    * bucket was never touched). `depth`/`width` must match the build.
+    */
+  def countMinEstimate(counters: DataFrame, queries: DataFrame,
+                       valueCol: String, depth: Int = 4,
+                       width: Int = 1024): DataFrame = {
+    val probes = (0 until depth).map { r =>
+      queries.select(col(valueCol),
+        lit(r).as("sketch_row"),
+        (conv(substring(md5(concat(lit(s"$r:"), col(valueCol).cast(StringType))),
+          1, 8), 16, 10).cast(LongType) % width).as("bucket"))
+    }.reduce(_ unionByName _)
+    probes.join(counters, Seq("sketch_row", "bucket"), "left")
+      .groupBy(valueCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
 }

@@ -68,6 +68,22 @@ object ExtendedQueries {
     "q117_rolling_daily" -> ((s, d) =>
       graft.operators.AnalyticsOps.rollingDailyAgg(Tables.events(s, d))),
 
+    // Count-Min frequency sketch over corpus tokens: ≤ depth×width
+    // counter rows whatever the corpus size; point estimates = min of
+    // the item's counters (overestimate ≤ εN); est/exact side by side
+    "q138_countmin" -> ((s, d) => {
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(explode(graft.text.TextOps.tokens(col("text"))).as("w"))
+      val counters = graft.operators.SketchOps.countMinBuild(toks, "w")
+      val queries = Seq("table", "query", "value", "zzz_absent").toDF("w")
+      val est = graft.operators.SketchOps.countMinEstimate(counters, queries, "w")
+      val exact = toks.groupBy("w").agg(count(lit(1)).as("exact_count"))
+      est.join(exact, Seq("w"), "left")
+        .select(col("w").as("token"), col("est_count"),
+          coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+    }),
+
     // event-type transition matrix: consecutive (from → to) pairs per
     // user — within-bucket lags + ONE boundary pair per bucket from
     // the calendar-bounded summary (the q116 discipline; hourly
@@ -393,6 +409,36 @@ object ExtendedQueries {
         |  count(*) AS n_events,
         |  min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // counters and probes recomputed with the same "row:value" md5
+    // bucket formula; the min-of-counters estimate is integer-exact
+    "q138_countmin" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), rr(r) AS (VALUES (0), (1), (2), (3)),
+        |rows_ AS (
+        |  SELECT rr.r,
+        |    ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || toks.w),
+        |      1, 8))::UBIGINT % 1024 AS bucket
+        |  FROM toks, rr
+        |), counters AS (
+        |  SELECT r, bucket, count(*) AS cnt FROM rows_ GROUP BY 1, 2
+        |), q(w) AS (VALUES ('table'), ('query'), ('value'), ('zzz_absent')),
+        |probes AS (
+        |  SELECT q.w, rr.r,
+        |    ('0x' || substr(md5(CAST(rr.r AS VARCHAR) || ':' || q.w),
+        |      1, 8))::UBIGINT % 1024 AS bucket
+        |  FROM q, rr
+        |), est AS (
+        |  SELECT p.w, min(coalesce(c.cnt, 0)) AS est_count
+        |  FROM probes p
+        |  LEFT JOIN counters c ON c.r = p.r AND c.bucket = p.bucket
+        |  GROUP BY p.w
+        |), exact AS (SELECT w, count(*) AS c FROM toks GROUP BY w)
+        |SELECT est.w AS token, CAST(est_count AS BIGINT) AS est_count,
+        |  CAST(coalesce(exact.c, 0) AS BIGINT) AS exact_count
+        |FROM est LEFT JOIN exact ON exact.w = est.w""".stripMargin,
 
     // the classic single-window LAG recomputation the bucketed form
     // must reproduce

@@ -97,4 +97,35 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(expectEst.toDouble - n) / n < 0.4,
       s"estimate $expectEst too far from $n")
   }
+
+  test("countMin: estimates never undercount, exact on a collision-free " +
+    "fixture, absent items estimate 0, state bounded by depth × width, " +
+    "and merged counters equal a single build (mergeability)") {
+    import graft.operators.SketchOps
+    import spark.implicits._
+    val values = (1 to 50).flatMap(i => Seq.fill(i)(s"v$i"))
+    val df = values.toDF("v").repartition(7)
+    val counters = SketchOps.countMinBuild(df, "v", depth = 4, width = 1024)
+    assert(counters.count() <= 4L * 1024L)
+    val queries = (Seq(1, 7, 50).map(i => s"v$i") :+ "absent").toDF("v")
+    val est = SketchOps.countMinEstimate(counters, queries, "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // CM never undercounts; at 50 items in 1024 buckets collisions are
+    // absent with overwhelming probability for depth 4 (the min takes
+    // the cleanest row) — these are the exact counts
+    assert(est("v1") === 1L && est("v7") === 7L && est("v50") === 50L)
+    assert(est("absent") === 0L)
+
+    // mergeability: counters built on two halves, summed, == one build
+    val (h1, h2) = (values.take(600), values.drop(600))
+    val merged = SketchOps.countMinBuild(h1.toDF("v"), "v")
+      .unionByName(SketchOps.countMinBuild(h2.toDF("v"), "v"))
+      .groupBy("sketch_row", "bucket")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+    val single = counters.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val m = merged.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m === single)
+  }
 }
