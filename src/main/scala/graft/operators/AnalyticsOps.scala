@@ -59,8 +59,10 @@ object AnalyticsOps {
     */
   def funnel(events: DataFrame, steps: Seq[String],
              userCol: String = "user_id", tsCol: String = "ts",
-             typeCol: String = "event_type"): DataFrame = {
+             typeCol: String = "event_type",
+             maxGapSecs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxGapSecs.forall(_ > 0), "conversion window must be positive")
     val spark = events.sparkSession
     var prev: Option[DataFrame] = None
     val rows = steps.zipWithIndex.map { case (step, i) =>
@@ -70,8 +72,16 @@ object AnalyticsOps {
         case None =>
           hits.groupBy("__u").agg(min(col("__ts")).as("__t"))
         case Some(p) =>
+          // strictly after the previous completion, and — when a
+          // conversion window is set — within maxGapSecs of it (the
+          // "converted within 24 h" product metric)
+          val inWindow = maxGapSecs match {
+            case Some(g) => col("__ts") > col("__t") &&
+              unix_micros(col("__ts")) - unix_micros(col("__t")) <= g * 1000000L
+            case None => col("__ts") > col("__t")
+          }
           hits.join(p, "__u")
-            .filter(col("__ts") > col("__t"))
+            .filter(inWindow)
             .groupBy("__u").agg(min(col("__ts")).as("__t"))
       }
       reached.persist()

@@ -68,6 +68,14 @@ object ExtendedQueries {
     "q117_rolling_daily" -> ((s, d) =>
       graft.operators.AnalyticsOps.rollingDailyAgg(Tables.events(s, d))),
 
+    // windowed funnel: view→click→purchase where each step must land
+    // within 6 hours of the previous completion — the "converted
+    // within T" product metric (same earliest-completion machinery)
+    "q139_windowed_funnel" -> ((s, d) =>
+      graft.operators.AnalyticsOps.funnel(Tables.events(s, d),
+        Seq("view", "click", "purchase"),
+        maxGapSecs = Some(6L * 3600L))),
+
     // Count-Min frequency sketch over corpus tokens: ≤ depth×width
     // counter rows whatever the corpus size; point estimates = min of
     // the item's counters (overestimate ≤ εN); est/exact side by side
@@ -409,6 +417,27 @@ object ExtendedQueries {
         |  count(*) AS n_events,
         |  min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // q113's step-wise recomputation with the window bound added
+    "q139_windowed_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t
+        |    AND epoch_us(e.ts) - epoch_us(s1.t) <= 21600000000
+        |  GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |    AND epoch_us(e.ts) - epoch_us(s2.t) <= 21600000000
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(1 AS INTEGER) AS step_idx, 'view' AS step,
+        |  CAST(count(*) AS BIGINT) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM s3""".stripMargin,
 
     // counters and probes recomputed with the same "row:value" md5
     // bucket formula; the min-of-counters estimate is integer-exact

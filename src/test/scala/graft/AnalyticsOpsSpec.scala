@@ -64,6 +64,24 @@ class AnalyticsOpsSpec extends SparkSpec {
     )
   }
 
+  test("funnel with a conversion window: a step landing outside " +
+    "maxGapSecs does not advance; the boundary (exactly the gap) does") {
+    val events = Seq(
+      // u1 clicks 30 min after view — inside a 1-hour window
+      (1L, "view", ts("2024-01-01 08:00:00")),
+      (1L, "click", ts("2024-01-01 08:30:00")),
+      // u2 clicks 2 h after view — outside
+      (2L, "view", ts("2024-01-01 08:00:00")),
+      (2L, "click", ts("2024-01-01 10:00:00")),
+      // u3 clicks EXACTLY 1 h after view — inclusive boundary advances
+      (3L, "view", ts("2024-01-01 08:00:00")),
+      (3L, "click", ts("2024-01-01 09:00:00"))).toDF("user_id", "event_type", "ts")
+    val out = AnalyticsOps.funnel(events, Seq("view", "click"),
+      maxGapSecs = Some(3600L))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(out === Map(1 -> 3L, 2 -> 2L)) // u1 + u3 convert, u2 does not
+  }
+
   test("funnel: earliest-completion semantics pick the min qualifying " +
     "event at every stage") {
     // u1 has two views; the click sits between them — only the
