@@ -293,6 +293,17 @@ object CorpusQueries {
       graft.text.NgramLm.scorePerplexity(docs, "doc_id", "text", lm)
     }),
 
+    // SURGICAL decontamination: benchmark-matching 4-token windows
+    // merge into maximal spans and are excised from the text — the
+    // middle ground between q73's drop-flag and q115's score; docs
+    // survive minus the quotes
+    "q140_surgical_decontaminate" -> ((s, d) => {
+      import s.implicits._
+      CorpusPipeline.decontaminateSpans(Tables.documents(s, d),
+        "doc_id", "text", benchTexts.toDF("btext"), "btext",
+        windowTokens = 4)
+    }),
+
     // "Fightin' Words" (Monroe et al. 2008): per-language top-10
     // distinctive terms by Dirichlet-prior z-scored log-odds vs the
     // rest of the corpus — the principled answer to "which words
@@ -856,6 +867,49 @@ object CorpusQueries {
     // the engine keys model joins on xxhash64 (8-byte, birthday-bound
     // argument as q84), the oracle joins on the gram strings — same
     // result absent a 64-bit collision
+    // the q91 surgery recomputation with the dup set replaced by the
+    // benchmark's own case-folded 4-token windows
+    "q140_surgical_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS lt
+        |  FROM documents
+        |), bench(bt) AS (VALUES ('key agg row scan'), ('batch window spark order')),
+        |bspans AS (
+        |  SELECT DISTINCT array_to_string(blt[i:i+3], ' ') AS span FROM (
+        |    SELECT regexp_split_to_array(lower(trim(bt)), '\s+') AS blt,
+        |      unnest(range(1, len(regexp_split_to_array(lower(trim(bt)), '\s+')) - 2)) AS i
+        |    FROM bench)
+        |), spans AS (
+        |  SELECT doc_id, CAST(u.strt AS INTEGER) AS strt, u.span FROM (
+        |    SELECT doc_id,
+        |      unnest([{'strt': i, 'span': array_to_string(lt[i:i+3], ' ')}
+        |              for i in range(1, len(lt)-2)]) AS u
+        |    FROM toks WHERE len(lt) >= 4)
+        |), covered AS (
+        |  SELECT DISTINCT doc_id, strt + j AS p FROM (
+        |    SELECT doc_id, strt, unnest(range(0, 4)) AS j
+        |    FROM spans WHERE span IN (SELECT span FROM bspans))
+        |), toklist AS (
+        |  SELECT doc_id, unnest(t) AS tok,
+        |    CAST(unnest(range(1, len(t)+1)) AS INTEGER) AS p
+        |  FROM toks
+        |), kept AS (
+        |  SELECT k.doc_id, k.p, k.tok FROM toklist k
+        |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+        |                    WHERE c.doc_id = k.doc_id AND c.p = k.p)
+        |), rebuilt AS (
+        |  SELECT doc_id, count(*) AS nk, string_agg(tok, ' ' ORDER BY p) AS clean
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, COALESCE(r.clean, '') AS clean_text,
+        |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.t) - COALESCE(r.nk, 0) AS BIGINT) AS n_removed_tokens
+        |FROM toks t LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+
     // full re-derivation of the Monroe et al. statistic with the same
     // operand order: counts → Dirichlet prior → log-odds delta →
     // variance → rounded z → per-group rank

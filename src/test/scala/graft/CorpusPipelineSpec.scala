@@ -787,6 +787,28 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(!out.contains(4L))
   }
 
+  test("decontaminateSpans: benchmark quotes excise as maximal spans " +
+    "(overlap merge), case-folded match cuts original-case tokens, " +
+    "clean docs round-trip, fully-quoted docs empty not dropped") {
+    import spark.implicits._
+    val bench = Seq("alpha beta gamma delta epsilon").toDF("btext")
+    val docs = Seq(
+      // the 5-token bench item sits mid-text: its two overlapping
+      // 4-token windows merge into one 5-position span
+      (1L, "intro words Alpha Beta GAMMA delta epsilon outro tail"),
+      // no contamination — byte-identical round trip
+      (2L, "totally clean document here"),
+      // the doc IS the bench item — empty, not dropped
+      (3L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val out = CorpusPipeline.decontaminateSpans(docs, "doc_id", "text",
+      bench, "btext", windowTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("intro words outro tail", 9L, 5L)))
+    assert(out(2L) === (("totally clean document here", 4L, 0L)))
+    assert(out(3L) === (("", 5L, 5L)))
+  }
+
   test("nearDupClusterSizes: histogram over min-label clusters with the " +
     "singleton row computed as total minus clustered") {
     val docs = Seq(
