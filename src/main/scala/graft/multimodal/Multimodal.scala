@@ -132,6 +132,32 @@ object Multimodal {
       bits
     }
 
+    /** L1-normalized RGB color histogram — a REAL public-knowledge
+      * image descriptor (Swain & Ballard 1991, "Color Indexing"):
+      * pixels of the bit-deterministic 32×32 resample bin into
+      * `binsPerChannel`³ color cells (bin = channel·bins >> 8, pure
+      * integer), and the counts normalize by the fixed 1024-pixel
+      * total — so the embedding is a ratio of integers, bit-exact
+      * across JVMs/platforms. Robust to re-encoding and resizing
+      * (the resample pools), sensitive to palette — the complement
+      * of [[dHash64]]'s structure sensitivity, and a REAL vector for
+      * the cosine/ANN machinery (no FakeCodec on the image path).
+      */
+    def colorHistogram(img: java.awt.image.BufferedImage,
+                       binsPerChannel: Int = 8): Array[Float] = {
+      val px = resizeRgb(img, 32, 32)
+      val counts = new Array[Int](binsPerChannel * binsPerChannel * binsPerChannel)
+      var i = 0
+      while (i < px.length) {
+        val r = ((px(i) & 0xFF) * binsPerChannel) >> 8
+        val g = ((px(i + 1) & 0xFF) * binsPerChannel) >> 8
+        val b = ((px(i + 2) & 0xFF) * binsPerChannel) >> 8
+        counts((r * binsPerChannel + g) * binsPerChannel + b) += 1
+        i += 3
+      }
+      counts.map(c => c / 1024.0f)
+    }
+
     /** Full PCM decode to mono double samples in [-1, 1]: the JDK's
       * own conversion chain normalizes any supported encoding (8/16
       * bit, signed/unsigned, either endianness) to 16-bit signed
@@ -388,6 +414,23 @@ object Multimodal {
         .filter(col("afp").isNotNull)
         .select(col(idCol), col("afp")),
       idCol, "afp", maxHamming)
+
+  /** REAL image embeddings: the [[JdkCodec.colorHistogram]] descriptor
+    * as an `array<float>` column ready for the cosine/ANN operators
+    * ([[graft.similarity.Ann]], [[graft.dedup.NearDup.lshCosinePairsBanded]],
+    * `quantizeInt8`, the semantic-dedup family). NULL or undecodable
+    * payloads get a NULL embedding (quarantine-not-drop). With this,
+    * the image path is real END TO END — decode, perceptual hash,
+    * descriptor embedding, similarity search — and `FakeCodec`
+    * remains only as the documented stand-in for a NEURAL encoder.
+    */
+  def withImageEmbedding(df: DataFrame, binCol: String,
+                         binsPerChannel: Int = 8,
+                         outCol: String = "img_embedding"): DataFrame = {
+    val h = udf((b: Array[Byte]) =>
+      JdkCodec.decodeImage(b).map(JdkCodec.colorHistogram(_, binsPerChannel)))
+    df.withColumn(outCol, h(col(binCol)))
+  }
 
   /** Partition-batched feature extraction — the mapInPandas-shaped
     * path: iterate the partition's rows, run the (stub) encoder per

@@ -187,6 +187,53 @@ class MultimodalSpec extends SparkSpec {
     assert(kept === Set(1L, 4L, 5L, 6L), s"got $kept")
   }
 
+  test("colorHistogram: exact values on a solid image, L1 sums to 1, " +
+    "JPEG re-encode lands cosine-near its source while a different " +
+    "palette lands far — a REAL embedding through the cosine machinery") {
+    import graft.multimodal.Multimodal.JdkCodec
+    // solid mid-red: every pixel bins into one cell with mass 1.0
+    val solid = JdkCodec.decodeImage(realPng(16, 16, (_, _) => 0x800000)).get
+    val hSolid = JdkCodec.colorHistogram(solid)
+    assert(hSolid.sum === 1.0f)
+    assert(hSolid.count(_ > 0f) === 1)
+    assert(hSolid(((0x80 * 8) >> 8) * 64) === 1.0f) // (r=4, g=0, b=0) cell
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    // smooth gradient — the natural-image regime a color histogram is
+    // built for (JPEG preserves smooth palettes; the tex() noise
+    // fixture exists to stress dHash's STRUCTURE sensitivity instead)
+    def grad(x: Int, y: Int): Int = ((x << 2) << 16) | ((y << 2) << 8) | 0x40
+    val base = JdkCodec.colorHistogram(
+      JdkCodec.decodeImage(realPng(64, 64, grad)).get)
+    val jpegBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(
+        JdkCodec.decodeImage(realPng(64, 64, grad)).get, "jpeg", bos)
+      bos.toByteArray
+    }
+    val reenc = JdkCodec.colorHistogram(JdkCodec.decodeImage(jpegBytes).get)
+    val other = JdkCodec.colorHistogram(
+      JdkCodec.decodeImage(realPng(64, 64, (x, y) => 0x0000FF | (y << 8))).get)
+    assert(cos(base, reenc) > 0.8, s"re-encode cosine ${cos(base, reenc)}")
+    assert(cos(base, other) < 0.5, s"different palette cosine ${cos(base, other)}")
+
+    // the DataFrame surface: NULL/undecodable rows keep a NULL
+    // embedding; decodable rows carry the 512-dim descriptor
+    val df = Seq(
+      (1L, realPng(16, 16, (_, _) => 0x800000)),
+      (2L, corruptJpegish(300, 3)),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "img")
+    val out = Multimodal.withImageEmbedding(df, "img")
+      .select("id", "img_embedding")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L).isDefined && out(2L).isEmpty && out(3L).isEmpty)
+  }
+
   test("resizeImages: real decode + nearest-neighbor resample with exact " +
     "pixel values; corrupt or NULL payloads kept as NULL rows") {
     // lossless source: 4x2 PNG, left half red, right half blue
