@@ -214,8 +214,29 @@ object Multimodal {
       * the fingerprint is bit-exact across JVMs/platforms; spec pins a
       * literal). None for signals shorter than 2 samples per frame.
       */
-    def aHash64(samples: Array[Double]): Option[Long] = {
-      val frames = 9; val bands = 9
+    def aHash64(samples: Array[Double]): Option[Long] =
+      bandEnergies(samples, 9, 9).map { e =>
+        var bits = 0L
+        var f = 0
+        while (f < 8) {
+          var b = 0
+          while (b < 8) {
+            val d = (e(f + 1)(b) - e(f + 1)(b + 1)) - (e(f)(b) - e(f)(b + 1))
+            if (d > 0) bits |= 1L << (f * 8 + b)
+            b += 1
+          }
+          f += 1
+        }
+        bits
+      }
+
+    /** The time×frequency band-energy matrix behind [[aHash64]] —
+      * `frames` equal time slices × `bands` Goertzel energies each
+      * (StrictMath throughout, so the matrix is bit-exact across
+      * JVMs). None for signals shorter than 2 samples per frame.
+      */
+    def bandEnergies(samples: Array[Double], frames: Int,
+                     bands: Int): Option[Array[Array[Double]]] = {
       if (samples == null || samples.length < frames * 2) return None
       val e = Array.ofDim[Double](frames, bands)
       var f = 0
@@ -236,19 +257,24 @@ object Multimodal {
         }
         f += 1
       }
-      var bits = 0L
-      f = 0
-      while (f < 8) {
-        var b = 0
-        while (b < 8) {
-          val d = (e(f + 1)(b) - e(f + 1)(b + 1)) - (e(f)(b) - e(f)(b + 1))
-          if (d > 0) bits |= 1L << (f * 8 + b)
-          b += 1
-        }
-        f += 1
-      }
-      Some(bits)
+      Some(e)
     }
+
+    /** REAL audio embedding: the flattened [[bandEnergies]] matrix
+      * L2-normalized — a time×frequency energy descriptor for the
+      * cosine/ANN machinery. Global amplitude scaling multiplies every
+      * energy by c², so the NORMALIZED vector is exactly invariant to
+      * volume (the [[aHash64]] equivalence class, as a vector). A
+      * silent (all-zero-energy) signal yields the zero vector.
+      */
+    def audioEmbedding(samples: Array[Double], frames: Int = 8,
+                       bands: Int = 8): Option[Array[Float]] =
+      bandEnergies(samples, frames, bands).map { e =>
+        val flat = e.flatten
+        val norm = StrictMath.sqrt(flat.map(x => x * x).sum)
+        if (norm == 0.0) flat.map(_ => 0.0f)
+        else flat.map(x => (x / norm).toFloat)
+      }
 
     /** WAV (and any other javax.sound-supported container) header
       * probe: (format, sampleRate, channels, frameCount). None for
@@ -429,6 +455,19 @@ object Multimodal {
                          outCol: String = "img_embedding"): DataFrame = {
     val h = udf((b: Array[Byte]) =>
       JdkCodec.decodeImage(b).map(JdkCodec.colorHistogram(_, binsPerChannel)))
+    df.withColumn(outCol, h(col(binCol)))
+  }
+
+  /** REAL audio embeddings: [[JdkCodec.audioEmbedding]] (L2-normalized
+    * band-energy matrix, volume-invariant) as an `array<float>`
+    * column for the cosine/ANN operators — the audio twin of
+    * [[withImageEmbedding]]. NULL/undecodable payloads keep a NULL
+    * embedding.
+    */
+  def withAudioEmbedding(df: DataFrame, binCol: String,
+                         outCol: String = "audio_embedding"): DataFrame = {
+    val h = udf((b: Array[Byte]) =>
+      JdkCodec.decodeAudio(b).flatMap { case (s, _) => JdkCodec.audioEmbedding(s) })
     df.withColumn(outCol, h(col(binCol)))
   }
 

@@ -329,6 +329,28 @@ class MultimodalSpec extends SparkSpec {
       f"aHash64 drifted: got ${h}%d (0x${h}%016x)")
   }
 
+  test("audioEmbedding: volume scaling is an EXACT invariance of the " +
+    "normalized band-energy vector; distinct tone patterns land far; " +
+    "aHash64 refactor preserves its pinned literal") {
+    import graft.multimodal.Multimodal.JdkCodec
+    val (a, _) = JdkCodec.decodeAudio(
+      toneWav16(Seq(0, 1, 2, 3, 4, 5, 6, 7, 8), 400.0, 150.0, amp = 0.6)).get
+    val loud = a.map(_ * 0.5)
+    val ea = JdkCodec.audioEmbedding(a).get
+    val eLoud = JdkCodec.audioEmbedding(loud).get
+    // energies scale by c² uniformly → normalized vectors identical
+    assert(ea.zip(eLoud).forall { case (x, y) => math.abs(x - y) < 1e-6 })
+    assert(math.abs(ea.map(x => x.toDouble * x).sum - 1.0) < 1e-6)
+    val (b, _) = JdkCodec.decodeAudio(
+      toneWav16(Seq(8, 7, 6, 5, 4, 3, 2, 1, 0), 2600.0, -300.0, amp = 0.6)).get
+    val eb = JdkCodec.audioEmbedding(b).get
+    val cos = ea.zip(eb).map { case (x, y) => x.toDouble * y }.sum
+    assert(cos < 0.9, s"distinct patterns too close: $cos")
+    // silence → exact zero vector, not NaN
+    val silent = JdkCodec.audioEmbedding(Array.fill(1024)(0.0)).get
+    assert(silent.forall(_ === 0.0f))
+  }
+
   test("audioDupPairs: volume-scaled and bit-depth-re-encoded copies " +
     "collapse; a spectrally different clip survives; non-audio excluded") {
     val up   = Seq(0, 1, 2, 3, 4, 5, 6, 7, 8)
