@@ -20,10 +20,16 @@ import org.apache.spark.sql.types._
   * PCM decode. Perceptual near-dup is REAL end-to-end for both
   * modalities: images via the 64-bit dHash, audio via the 64-bit
   * Haitsma–Kalker band-energy fingerprint, each feeding the shared
-  * pigeonhole Hamming blocking. The one remaining stand-in is
-  * `FakeCodec.features` — a NEURAL encoder forward pass (embedding
-  * extraction; such a model is genuinely not available in this
-  * container); its batching/schema plumbing is the real contract.
+  * pigeonhole Hamming blocking. EMBEDDINGS are real too: images get
+  * the Swain–Ballard color-histogram descriptor
+  * ([[Multimodal.withImageEmbedding]]) and audio the L2-normalized
+  * band-energy matrix ([[Multimodal.withAudioEmbedding]]), both
+  * `array<float>` columns the cosine/ANN/quantize/semantic-dedup
+  * operators consume directly. The one remaining stand-in is
+  * `FakeCodec.features` — a NEURAL encoder forward pass (such a model
+  * is genuinely not available in this container); its
+  * batching/schema plumbing is the real contract, and every shipped
+  * operator now runs on the real descriptors instead.
   */
 object Multimodal {
 
