@@ -68,6 +68,36 @@ object ExtendedQueries {
     "q117_rolling_daily" -> ((s, d) =>
       graft.operators.AnalyticsOps.rollingDailyAgg(Tables.events(s, d))),
 
+    // array-function surface: per-doc stopword intersections /
+    // differences, sorted so ordering conventions can't diverge
+    // across engines
+    "q141_array_ops" -> ((s, d) => {
+      val stop = typedlit(graft.text.TextOps.EnStopwords.toSeq.sorted)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_sort(array_distinct(graft.text.TextOps.tokens(lower(col("text")))))
+            .as("__toks"))
+        .select(col("doc_id"),
+          size(col("__toks")).cast(LongType).as("n_distinct_tokens"),
+          // space-joined string, not a raw array: array-column
+          // comparison semantics differ across readers, strings don't
+          concat_ws(" ", array_sort(array_intersect(col("__toks"), stop)))
+            .as("stop_hits"),
+          size(array_except(col("__toks"), stop)).cast(LongType)
+            .as("n_content_tokens"))
+    }),
+
+    // set-operator surface: nations with customers INTERSECT nations
+    // with suppliers, and the anti side via EXCEPT
+    "q142_set_ops" -> ((s, d) => {
+      val custNations = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val suppNations = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      custNations.intersect(suppNations)
+        .withColumn("side", lit("both"))
+        .unionByName(custNations.distinct().except(suppNations)
+          .withColumn("side", lit("customers_only")))
+    }),
+
     // windowed funnel: view→click→purchase where each step must land
     // within 6 hours of the previous completion — the "converted
     // within T" product metric (same earliest-completion machinery)
@@ -417,6 +447,39 @@ object ExtendedQueries {
         |  count(*) AS n_events,
         |  min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // same list algebra with list_sort pinning the order both sides
+    "q141_array_ops" -> {
+      val stopSql = graft.text.TextOps.EnStopwords.toSeq.sorted
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         |         ELSE list_sort(list_distinct(
+         |           regexp_split_to_array(trim(lower(text)), '\\s+'))) END AS toks
+         |  FROM documents
+         |)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_distinct_tokens,
+         |  coalesce(array_to_string(
+         |      list_sort(list_intersect(toks, [$stopSql])), ' '), '')
+         |    AS stop_hits,
+         |  CAST(len(list_filter(toks,
+         |    x -> NOT list_contains([$stopSql], x))) AS BIGINT)
+         |    AS n_content_tokens
+         |FROM t""".stripMargin
+    },
+
+    // the same DISTINCT set operators
+    "q142_set_ops" ->
+      """SELECT nationkey, 'both' AS side FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT
+        |  SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'customers_only' FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT
+        |  SELECT s_nationkey FROM supplier)""".stripMargin,
 
     // q113's step-wise recomputation with the window bound added
     "q139_windowed_funnel" ->

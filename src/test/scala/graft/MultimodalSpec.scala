@@ -351,6 +351,32 @@ class MultimodalSpec extends SparkSpec {
     assert(silent.forall(_ === 0.0f))
   }
 
+  test("end-to-end image retrieval: withImageEmbedding → Ann.bruteForceTopK " +
+    "ranks the JPEG re-encode of the query image first") {
+    import graft.similarity.Ann
+    def grad(x: Int, y: Int): Int = ((x << 2) << 16) | ((y << 2) << 8) | 0x40
+    val baseBytes = realPng(64, 64, grad)
+    val jpegBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(
+        Multimodal.JdkCodec.decodeImage(baseBytes).get, "jpeg", bos)
+      bos.toByteArray
+    }
+    val others = (0 until 6).map { k =>
+      (10L + k, realPng(64, 64, (x, y) => (k * 40) << 16 | 0x20 << 8 | (y << 2)))
+    }
+    val corpus = Multimodal.withImageEmbedding(
+      (Seq((1L, baseBytes), (2L, jpegBytes)) ++ others).toDF("id", "img"), "img")
+      .filter(col("img_embedding").isNotNull)
+      .select(col("id"), col("img_embedding"))
+    val query = corpus.filter(col("id") === 1L)
+    val top = Ann.bruteForceTopK(query, corpus, "id", "img_embedding",
+      "id", "img_embedding", k = 3)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(top.head === 2L,
+      s"the re-encoded copy must be the nearest neighbor, got ${top.toSeq}")
+  }
+
   test("audioDupPairs: volume-scaled and bit-depth-re-encoded copies " +
     "collapse; a spectrally different clip survives; non-audio excluded") {
     val up   = Seq(0, 1, 2, 3, 4, 5, 6, 7, 8)
