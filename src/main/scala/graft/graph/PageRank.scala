@@ -1,0 +1,87 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank (Brin & Page 1998) as a fixed-iteration dataframe power
+  * method — the link-graph quality signal crawl curation uses to
+  * prioritize fetch frontiers and weight domains (alongside the
+  * near-dup connected components this engine already ships). A FIXED
+  * iteration count (not a convergence test) keeps the result a pure
+  * deterministic function of the edge list, so an independent engine
+  * unrolling the same `iterations` reproduces every rank (the q143
+  * oracle does exactly that).
+  *
+  * Semantics: directed edges, duplicate edges collapse (a link counts
+  * once), nodes = src ∪ dst, uniform initial rank 1/N, damping d, and
+  * DANGLING nodes (no out-edges) redistribute their mass uniformly:
+  *   r'(v) = (1−d)/N + d·( Σ_{u→v} r(u)/outdeg(u) + dangling/N ).
+  * Σ r stays exactly 1 in exact arithmetic — a drift check any caller
+  * can run.
+  *
+  * Scale shape: per iteration, ONE join of the rank frame against the
+  * edge list keyed on the source (both sides hash-partitioned — at
+  * 100 TB pre-partition both on the node key and the join elides its
+  * exchange), one map-side-combined sum per destination, and one
+  * O(#dangling-partials) scalar action for the dangling mass. The
+  * driver holds a loop counter and one double per iteration — never
+  * node data (the CC-fixpoint discipline). Each iteration's rank
+  * frame is persisted and the previous one released, so the lineage
+  * stays O(1) deep instead of O(iterations).
+  */
+object PageRank {
+
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && iterations <= 100, "1 <= iterations <= 100")
+    require(damping > 0 && damping < 1, "damping in (0, 1)")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull)
+      .distinct()
+      .persist(lvl)
+    val nodes = e.select(col("__s").as("node"))
+      .unionByName(e.select(col("__d").as("node")))
+      .distinct().persist(lvl)
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val outDeg = e.groupBy(col("__s").as("node"))
+      .agg(count(lit(1)).as("__deg")).persist(lvl)
+
+    // each iteration CUTS ITS LINEAGE with an eager localCheckpoint:
+    // the rank frame is referenced twice per round (dangling branch +
+    // contribution branch), so a persist-only loop doubles the LOGICAL
+    // plan every iteration — 2^k tree nodes by round k, and Spark's
+    // plan stringification alone OOMs the driver around k=10 (found
+    // the hard way in PageRankSpec). A LogicalRDD barrier keeps the
+    // plan O(1) deep at O(#nodes) storage per round.
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val withDeg = ranks.join(outDeg, Seq("node"), "left")
+      // the dangling mass rides as a BROADCAST 1-row frame instead of
+      // a driver scalar — one materializing job per iteration, not two
+      val dang = withDeg.filter(col("__deg").isNull)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
+      val contrib = withDeg.filter(col("__deg").isNotNull)
+        .select(col("node").as("__s"), (col("rank") / col("__deg")).as("__c"))
+        .join(e, "__s")
+        .groupBy(col("__d").as("node"))
+        .agg(sum("__c").as("__in"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("__in"), lit(0.0))
+              + col("__dm") / lit(n.toDouble)))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    val out = ranks
+      .select(col("node"), round(col("rank") * 1000000.0, 4).as("rank_ppm"))
+      .localCheckpoint(true)
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    outDeg.unpersist(blocking = false)
+    out
+  }
+}

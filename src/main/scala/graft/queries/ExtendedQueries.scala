@@ -68,6 +68,20 @@ object ExtendedQueries {
     "q117_rolling_daily" -> ((s, d) =>
       graft.operators.AnalyticsOps.rollingDailyAgg(Tables.events(s, d))),
 
+    // PageRank over the order→part bipartite link graph, 5 fixed
+    // power iterations with dangling redistribution — parts (dst-only
+    // nodes) are all dangling, so the redistribution path carries
+    // real mass; fixed iterations make the result a pure function of
+    // the edge list
+    "q143_pagerank" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 7 === 0)
+        .select(
+          concat(lit("o"), col("l_orderkey").cast(StringType)).as("src"),
+          concat(lit("p"), col("l_partkey").cast(StringType)).as("dst"))
+      graft.graph.PageRank.pageRank(edges, "src", "dst", iterations = 5)
+    }),
+
     // array-function surface: per-doc stopword intersections /
     // differences, sorted so ordering conventions can't diverge
     // across engines
@@ -447,6 +461,43 @@ object ExtendedQueries {
         |  count(*) AS n_events,
         |  min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // the same 5 power iterations UNROLLED as chained MATERIALIZED
+    // CTEs (each r_i is referenced twice — inlined CTEs would
+    // re-evaluate exponentially; a recursive CTE cannot carry the
+    // per-iteration dangling scalar), identical operand order
+    "q143_pagerank" -> {
+      val head =
+        """WITH edges AS MATERIALIZED (
+          |  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+          |    'p' || CAST(l_partkey AS VARCHAR) AS dst
+          |  FROM lineitem WHERE l_orderkey % 7 = 0
+          |), nodes AS MATERIALIZED (
+          |  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+          |), nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+          |deg AS MATERIALIZED (SELECT src AS node, count(*)::DOUBLE AS deg
+          |        FROM edges GROUP BY 1),
+          |r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)""".stripMargin
+      val iters = (1 to 5).map { i =>
+        s""", dang$i AS MATERIALIZED (
+           |  SELECT coalesce(sum(r.rank), 0.0) AS m FROM r${i - 1} r
+           |  WHERE NOT EXISTS (SELECT 1 FROM deg d WHERE d.node = r.node)
+           |), r$i AS MATERIALIZED (
+           |  SELECT n.node,
+           |    (1.0 - 0.85) / (SELECT n FROM nn)
+           |      + 0.85 * (coalesce(c.s, 0.0)
+           |                + (SELECT m FROM dang$i) / (SELECT n FROM nn)) AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r.rank / d.deg) AS s
+           |    FROM r${i - 1} r
+           |    JOIN deg d USING (node)
+           |    JOIN edges e ON e.src = r.node
+           |    GROUP BY e.dst) c USING (node)
+           |)""".stripMargin
+      }.mkString
+      head + iters +
+        "\nSELECT node, round(rank * 1000000.0, 4) AS rank_ppm FROM r5"
+    },
 
     // same list algebra with list_sort pinning the order both sides
     "q141_array_ops" -> {

@@ -1,0 +1,62 @@
+package graft
+
+import graft.graph.PageRank
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent driver-side power iteration with the same fixed
+    * semantics (dedup edges, dangling redistribution, fixed rounds).
+    */
+  private def reference(edges: Seq[(String, String)], iterations: Int,
+                        d: Double = 0.85): Map[String, Double] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val out = e.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iterations) {
+      val dangling = nodes.filterNot(out.contains).map(r).sum
+      val in = e.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / out(s) }.sum).toMap
+      r = nodes.map(v => v ->
+        ((1.0 - d) / n + d * (in.getOrElse(v, 0.0) + dangling / n))).toMap
+    }
+    r
+  }
+
+  test("pageRank: matches an independent power iteration on a hand " +
+    "graph with dangling nodes and duplicate edges; ranks sum to 1; " +
+    "the hub out-ranks leaves") {
+    // a <-> b, both feed c; c is dangling; the duplicate a->c edge
+    // must count once
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), ("a", "c"), ("a", "c"), ("b", "c"))
+      .toDF("src", "dst")
+    val got = PageRank.pageRank(edges, "src", "dst", iterations = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = reference(
+      Seq(("a", "b"), ("b", "a"), ("a", "c"), ("a", "c"), ("b", "c")), 10)
+    assert(got.keySet === want.keySet)
+    got.foreach { case (node, ppm) =>
+      val expected = BigDecimal(want(node) * 1000000.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(ppm - expected) < 1e-3, s"$node: $ppm vs $expected")
+    }
+    assert(math.abs(got.values.sum / 1000000.0 - 1.0) < 1e-9,
+      "ranks must sum to 1")
+    // c receives from both a and b — highest rank
+    assert(got("c") > got("a") && got("c") > got("b"))
+  }
+
+  test("pageRank: a pure sink graph (every node dangling after one " +
+    "hop) stays uniform-summable and never NaNs") {
+    val edges = Seq(("x", "y")).toDF("src", "dst")
+    val got = PageRank.pageRank(edges, "src", "dst", iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.size === 2)
+    assert(got.values.forall(v => !v.isNaN && v > 0))
+    assert(math.abs(got.values.sum / 1000000.0 - 1.0) < 1e-9)
+    assert(got("y") > got("x"), "the sink must accumulate rank")
+  }
+}
