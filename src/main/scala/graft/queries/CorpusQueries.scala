@@ -293,6 +293,19 @@ object CorpusQueries {
       graft.text.NgramLm.scorePerplexity(docs, "doc_id", "text", lm)
     }),
 
+    // triangle count of the near-dup graph — the clique-density
+    // report distinguishing chain-shaped dup clusters (transcription
+    // chains) from true duplicate cliques; standard 3-way ordered
+    // self-join on the (id_a < id_b) pair list
+    "q144_dup_triangles" -> ((s, d) => {
+      import s.implicits._
+      val pairs = graft.dedup.NearDup.minhashLshPairs(
+          Tables.documents(s, d), "doc_id", "text", threshold = 0.8)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      Seq((pairs.count(), graft.graph.GraphOps.triangleCount(pairs)))
+        .toDF("n_edges", "n_triangles")
+    }),
+
     // SURGICAL decontamination: benchmark-matching 4-token windows
     // merge into maximal spans and are excised from the text — the
     // middle ground between q73's drop-flag and q115's score; docs
@@ -867,6 +880,27 @@ object CorpusQueries {
     // the engine keys model joins on xxhash64 (8-byte, birthday-bound
     // argument as q84), the oracle joins on the gram strings — same
     // result absent a 64-bit collision
+    // exact-Jaccard pairs (the q27-proven ground truth at 0.8) + the
+    // same ordered 3-way self-join
+    "q144_dup_triangles" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents)
+        |  WHERE len(toks) >= 3
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s))::DOUBLE /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+        |)
+        |SELECT (SELECT count(*) FROM pairs) AS n_edges,
+        |  (SELECT count(*) FROM pairs ab
+        |     JOIN pairs bc ON bc.id_a = ab.id_b
+        |     JOIN pairs ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b)
+        |    AS n_triangles""".stripMargin,
+
     // the q91 surgery recomputation with the dup set replaced by the
     // benchmark's own case-folded 4-token windows
     "q140_surgical_decontaminate" ->

@@ -49,6 +49,21 @@ class PageRankSpec extends SparkSpec {
     assert(got("c") > got("a") && got("c") > got("b"))
   }
 
+  test("triangleCount: hand graph — one clique triangle, chains count " +
+    "zero, duplicate and reversed edges collapse, self-loops ignored") {
+    // clique {1,2,3} = 1 triangle; chain 3-4-5 adds none; the (2,1)
+    // reversal and the duplicate (1,3) must not double-count; (6,6)
+    // self-loop is ignored
+    val pairs = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (6L, 6L)).toDF("id_a", "id_b")
+    assert(graft.graph.GraphOps.triangleCount(pairs) === 1L)
+    // two triangles sharing an edge
+    val two = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    assert(graft.graph.GraphOps.triangleCount(two) === 2L)
+  }
+
   test("pageRank: a pure sink graph (every node dangling after one " +
     "hop) stays uniform-summable and never NaNs") {
     val edges = Seq(("x", "y")).toDF("src", "dst")
