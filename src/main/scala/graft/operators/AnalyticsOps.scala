@@ -203,6 +203,42 @@ object AnalyticsOps {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Per-group activity TREND: the least-squares slope of daily event
+    * counts over the day number — the "is this metric growing"
+    * statistic behind every dashboard trend arrow. All four OLS
+    * moments (Σx, Σy, Σxy, Σx²) are sums of INTEGERS over the
+    * calendar-bounded daily frame — exact in a double far beyond any
+    * realistic calendar — so
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    * is one exact-integer-operand division: bit-identical across
+    * engines, partitionings, and retries (the q127 argument,
+    * stronger: not even the sums can round here). Groups observed on
+    * a single day have no slope (NULL — the denominator is zero).
+    * `slope_per_day` is events/day per day; `n_days` and the mean
+    * daily count ride along for the report.
+    */
+  def dailyTrendSlopes(events: DataFrame, groupCol: String = "event_type",
+                       tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .select(col(groupCol).as("__g"), to_date(col(tsCol)).as("__day"))
+      .groupBy("__g", "__day")
+      .agg(count(lit(1)).as("__y"))
+      .withColumn("__x", datediff(col("__day"), lit("1970-01-01").cast(DateType))
+        .cast(LongType))
+    daily.groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .withColumn("__den", col("n_days") * col("__sxx") - col("__sx") * col("__sx"))
+      .select(col(groupCol), col("n_days"),
+        round(col("__sy").cast("double") / col("n_days").cast("double"), 6)
+          .as("mean_daily"),
+        round(when(col("__den") =!= 0,
+          (col("n_days") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+            / col("__den").cast("double")), 6).as("slope_per_day"))
+  }
+
   /** Trailing calendar-window aggregates: per (group, day), the day's
     * own event count / value sum plus the trailing `windowDays`-day
     * totals — the moving-average family every event warehouse reports.

@@ -68,6 +68,13 @@ object ExtendedQueries {
     "q117_rolling_daily" -> ((s, d) =>
       graft.operators.AnalyticsOps.rollingDailyAgg(Tables.events(s, d))),
 
+    // per-type activity trend: least-squares slope of daily counts
+    // over the day number — every OLS moment is an exact integer sum,
+    // so the slope is ONE division of exact operands (bit-identical
+    // in any engine)
+    "q145_trend_slopes" -> ((s, d) =>
+      graft.operators.AnalyticsOps.dailyTrendSlopes(Tables.events(s, d))),
+
     // PageRank over the order→part bipartite link graph, 5 fixed
     // power iterations with dangling redistribution — parts (dst-only
     // nodes) are all dangling, so the redistribution path carries
@@ -461,6 +468,25 @@ object ExtendedQueries {
         |  count(*) AS n_events,
         |  min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // the same integer moments and the same single division
+    "q145_trend_slopes" ->
+      """WITH daily AS (
+        |  SELECT event_type, ts::DATE AS day, count(*) AS y,
+        |    CAST(ts::DATE - DATE '1970-01-01' AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, ts::DATE
+        |), m AS (
+        |  SELECT event_type, count(*) AS n_days,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM daily GROUP BY 1
+        |)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        |  round(sy::DOUBLE / n_days::DOUBLE, 6) AS mean_daily,
+        |  round(CASE WHEN n_days * sxx - sx * sx <> 0 THEN
+        |    (n_days * sxy - sx * sy)::DOUBLE
+        |      / (n_days * sxx - sx * sx)::DOUBLE END, 6) AS slope_per_day
+        |FROM m""".stripMargin,
 
     // the same 5 power iterations UNROLLED as chained MATERIALIZED
     // CTEs (each r_i is referenced twice — inlined CTEs would

@@ -252,6 +252,26 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out(("b", "2024-01-03")) === ((4L, 2L, Some(4.0), Some(0.0))))
   }
 
+  test("dailyTrendSlopes: hand-computed slope on a linear ramp, zero " +
+    "slope on a flat series, NULL on a single observed day") {
+    // type a: counts 2, 4, 6 on consecutive days → slope exactly 2
+    // type b: 5, 5 → slope 0 ; type c: one day → NULL
+    val rows =
+      (1 to 2).map(_ => ("a", ts("2024-01-01 10:00:00"))) ++
+        (1 to 4).map(_ => ("a", ts("2024-01-02 10:00:00"))) ++
+        (1 to 6).map(_ => ("a", ts("2024-01-03 10:00:00"))) ++
+        (1 to 5).map(_ => ("b", ts("2024-01-01 10:00:00"))) ++
+        (1 to 5).map(_ => ("b", ts("2024-01-02 10:00:00"))) ++
+        (1 to 3).map(_ => ("c", ts("2024-01-01 10:00:00")))
+    val out = AnalyticsOps.dailyTrendSlopes(rows.toDF("event_type", "ts"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out("a") === ((3L, 4.0, Some(2.0))))
+    assert(out("b") === ((2L, 5.0, Some(0.0))))
+    assert(out("c") === ((1L, 3.0, None)))
+  }
+
   test("rollingDailyAgg: missing days age out of the RANGE frame " +
     "instead of stretching it") {
     val events = Seq(
