@@ -239,6 +239,53 @@ object AnalyticsOps {
             / col("__den").cast("double")), 6).as("slope_per_day"))
   }
 
+  /** Pairwise Pearson correlation of the groups' DAILY COUNT series —
+    * "which metrics move together". Days where a group has no events
+    * count as 0 (the series are aligned on the union calendar, built
+    * by crossing the #groups-row group list with the #days-row
+    * calendar — both tiny). Like [[dailyTrendSlopes]], every moment
+    * (Σx, Σy, Σxy, Σx², Σy²) is an exact integer sum, so
+    *   r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²))
+    * is deterministic double arithmetic over exact operands. Pairs
+    * where either series is constant have no correlation (NULL).
+    * Output: one row per unordered pair (group_a < group_b).
+    */
+  def dailyCountCorrelation(events: DataFrame,
+                            groupCol: String = "event_type",
+                            tsCol: String = "ts"): DataFrame = {
+    val daily = events
+      .select(col(groupCol).as("__g"), to_date(col(tsCol)).as("__day"))
+      .groupBy("__g", "__day")
+      .agg(count(lit(1)).as("__n"))
+    daily.persist()
+    val groups = daily.select("__g").distinct()
+    val days = daily.select("__day").distinct()
+    // dense (group, day) grid — #groups × #days rows, zeros filled
+    val dense = groups.crossJoin(days)
+      .join(daily, Seq("__g", "__day"), "left")
+      .select(col("__g"), col("__day"), coalesce(col("__n"), lit(0L)).as("__n"))
+    val a = dense.select(col("__g").as("group_a"), col("__day"), col("__n").as("__x"))
+    val b = dense.select(col("__g").as("group_b"), col("__day"), col("__n").as("__y"))
+    val out = a.join(b, "__day")
+      .filter(col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b")
+      .agg(count(lit(1)).as("n_days"),
+        sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .withColumn("__vx", col("n_days") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__vy", col("n_days") * col("__syy") - col("__sy") * col("__sy"))
+      .select(col("group_a"), col("group_b"), col("n_days"),
+        round(when(col("__vx") > 0 && col("__vy") > 0,
+          (col("n_days") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+            / sqrt(col("__vx").cast("double") * col("__vy").cast("double"))), 6)
+          .as("pearson_r"))
+      .localCheckpoint(true)
+    daily.unpersist()
+    out
+  }
+
   /** Trailing calendar-window aggregates: per (group, day), the day's
     * own event count / value sum plus the trailing `windowDays`-day
     * totals — the moving-average family every event warehouse reports.

@@ -68,6 +68,51 @@ object ExtendedQueries {
     "q117_rolling_daily" -> ((s, d) =>
       graft.operators.AnalyticsOps.rollingDailyAgg(Tables.events(s, d))),
 
+    // pairwise Pearson correlation of daily-count series (zeros on
+    // absent days via the dense group×calendar grid); exact integer
+    // moments, one deterministic double expression per pair
+    "q146_count_correlation" -> ((s, d) =>
+      graft.operators.AnalyticsOps.dailyCountCorrelation(Tables.events(s, d))),
+
+    // churn report: users active in the first observed week with NO
+    // activity afterwards — one anti-join between two user sets
+    "q147_churned_users" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("__ts"))
+      val bounds = e.agg(min("__ts").as("__t0")).head()
+      val cut = bounds.getLong(0) + 7L * 86400L * 1000000L
+      val week1 = e.filter(col("__ts") < cut).select("user_id").distinct()
+      val later = e.filter(col("__ts") >= cut).select("user_id").distinct()
+      val churned = week1.join(later, Seq("user_id"), "left_anti")
+      churned.agg(count(lit(1)).as("n_churned"))
+        .crossJoin(week1.agg(count(lit(1)).as("n_week1")))
+        .select(col("n_week1"), col("n_churned"))
+    }),
+
+    // chi-square independence of event_type × day-of-week: observed
+    // integer counts, expected = row·col/total as exact-operand
+    // double arithmetic, the statistic rounded to 4
+    "q148_chi_square" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type").as("__r"), dayofweek(col("ts")).as("__c"))
+      val obs = ev.groupBy("__r", "__c").agg(count(lit(1)).as("__o"))
+      obs.persist()
+      val rowT = obs.groupBy("__r").agg(sum("__o").as("__rt"))
+      val colT = obs.groupBy("__c").agg(sum("__o").as("__ct"))
+      val total = obs.agg(sum("__o")).head().getLong(0)
+      val out = obs.join(rowT, "__r").join(colT, "__c")
+        .withColumn("__e",
+          col("__rt").cast("double") * col("__ct").cast("double") / total.toDouble)
+        .agg(round(sum(
+          (col("__o").cast("double") - col("__e")) *
+            (col("__o").cast("double") - col("__e")) / col("__e")), 4)
+          .as("chi_square"),
+          count(lit(1)).as("n_cells"))
+        .localCheckpoint(true)
+      obs.unpersist()
+      out
+    }),
+
     // per-type activity trend: least-squares slope of daily counts
     // over the day number — every OLS moment is an exact integer sum,
     // so the slope is ONE division of exact operands (bit-identical
@@ -468,6 +513,66 @@ object ExtendedQueries {
         |  count(*) AS n_events,
         |  min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // same dense grid, same exact moments, same expression shape
+    "q146_count_correlation" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, ts::DATE AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT gg.g, dd.day, coalesce(daily.n, 0) AS n
+        |  FROM (SELECT DISTINCT g FROM daily) gg
+        |  CROSS JOIN (SELECT DISTINCT day FROM daily) dd
+        |  LEFT JOIN daily ON daily.g = gg.g AND daily.day = dd.day
+        |), m AS (
+        |  SELECT a.g AS group_a, b.g AS group_b, count(*) AS n_days,
+        |    sum(a.n) AS sx, sum(b.n) AS sy,
+        |    sum(a.n * b.n) AS sxy,
+        |    sum(a.n * a.n) AS sxx, sum(b.n * b.n) AS syy
+        |  FROM dense a JOIN dense b ON a.day = b.day AND a.g < b.g
+        |  GROUP BY 1, 2
+        |)
+        |SELECT group_a, group_b, CAST(n_days AS BIGINT) AS n_days,
+        |  round(CASE WHEN n_days * sxx - sx * sx > 0
+        |              AND n_days * syy - sy * sy > 0 THEN
+        |    (n_days * sxy - sx * sy)::DOUBLE
+        |      / sqrt((n_days * sxx - sx * sx)::DOUBLE
+        |             * (n_days * syy - sy * sy)::DOUBLE) END, 6) AS pearson_r
+        |FROM m""".stripMargin,
+
+    // same first-week/after split via the global min timestamp
+    "q147_churned_users" ->
+      """WITH cut AS (
+        |  SELECT min(epoch_us(ts)) + 604800000000 AS c FROM events
+        |), w1 AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE epoch_us(ts) < (SELECT c FROM cut)
+        |), later AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE epoch_us(ts) >= (SELECT c FROM cut)
+        |)
+        |SELECT (SELECT count(*) FROM w1) AS n_week1,
+        |  (SELECT count(*) FROM w1
+        |   WHERE user_id NOT IN (SELECT user_id FROM later)) AS n_churned""".stripMargin,
+
+    // same observed/expected arithmetic; Spark dayofweek = DuckDB + 1
+    // cancels out because the category labels never leave the query
+    "q148_chi_square" ->
+      """WITH obs AS (
+        |  SELECT event_type AS r, dayofweek(ts) AS c, count(*) AS o
+        |  FROM events GROUP BY 1, 2
+        |), rt AS (SELECT r, sum(o) AS t FROM obs GROUP BY 1),
+        |ct AS (SELECT c, sum(o) AS t FROM obs GROUP BY 1),
+        |tot AS (SELECT sum(o)::DOUBLE AS t FROM obs)
+        |SELECT
+        |  round(sum((obs.o::DOUBLE - e) * (obs.o::DOUBLE - e) / e), 4)
+        |    AS chi_square,
+        |  count(*) AS n_cells
+        |FROM (
+        |  SELECT obs.o, rt.t::DOUBLE * ct.t::DOUBLE / (SELECT t FROM tot) AS e,
+        |    obs.r, obs.c
+        |  FROM obs JOIN rt USING (r) JOIN ct USING (c)
+        |) obs""".stripMargin,
 
     // the same integer moments and the same single division
     "q145_trend_slopes" ->

@@ -272,6 +272,33 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out("c") === ((1L, 3.0, None)))
   }
 
+  test("dailyCountCorrelation: perfectly co-moving series correlate at " +
+    "exactly 1, anti-moving at -1, constant series report NULL, and " +
+    "absent days fill as zeros in the dense grid") {
+    // over 3 days: a = 1,2,3 ; b = 2,4,6 (r=1) ; c = 3,2,1 (r=-1 vs a)
+    // d = 2,2 and ABSENT on day 3 → series 2,2,0 (not constant!)
+    // e = 1,1,1 → constant → NULL against everything
+    def rep(t: String, day: String, k: Int) =
+      (1 to k).map(_ => (t, ts(s"2024-01-0$day 10:00:00")))
+    val rows = rep("a", "1", 1) ++ rep("a", "2", 2) ++ rep("a", "3", 3) ++
+      rep("b", "1", 2) ++ rep("b", "2", 4) ++ rep("b", "3", 6) ++
+      rep("c", "1", 3) ++ rep("c", "2", 2) ++ rep("c", "3", 1) ++
+      rep("d", "1", 2) ++ rep("d", "2", 2) ++
+      rep("e", "1", 1) ++ rep("e", "2", 1) ++ rep("e", "3", 1)
+    val out = AnalyticsOps.dailyCountCorrelation(rows.toDF("event_type", "ts"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(("a", "b")) === ((3L, Some(1.0))))
+    assert(out(("a", "c")) === ((3L, Some(-1.0))))
+    // d's zero-filled day 3 makes it non-constant: 2,2,0 vs 1,2,3 has
+    // r = -0.866025 (hand: n=3 sx=6 sy=4 sxy=6 sxx=14 syy=8)
+    assert(out(("a", "d"))._2.isDefined)
+    assert(math.abs(out(("a", "d"))._2.get - (-0.866025)) < 1e-6)
+    // constant e: NULL against every partner
+    assert(out(("a", "e"))._2.isEmpty && out(("b", "e"))._2.isEmpty)
+    assert(out.size === 10, "all unordered pairs present")
+  }
+
   test("rollingDailyAgg: missing days age out of the RANGE frame " +
     "instead of stretching it") {
     val events = Seq(
