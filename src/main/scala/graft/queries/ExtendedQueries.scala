@@ -68,6 +68,23 @@ object ExtendedQueries {
     "q117_rolling_daily" -> ((s, d) =>
       graft.operators.AnalyticsOps.rollingDailyAgg(Tables.events(s, d))),
 
+    // fuzzy record linkage: SymSpell deletion-neighborhood blocking +
+    // exact levenshtein verify — COMPLETE for distance ≤ 1 by
+    // construction, proven here against the quadratic oracle over the
+    // real customer-name column (names vs their deterministic typo'd
+    // variants: drop the 3rd char of every 7th name)
+    "q149_fuzzy_join" -> ((s, d) => {
+      val clean = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"))
+      val messy = Tables.customer(s, d)
+        .filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("m_key"),
+          concat(substring(col("c_name"), 1, 2), expr("substring(c_name, 4)"))
+            .as("m_name"))
+      graft.operators.FuzzyJoin.editDistanceJoin(clean, "c_name", messy, "m_name")
+        .select("c_custkey", "c_name", "m_key", "m_name", "edit_distance")
+    }),
+
     // pairwise Pearson correlation of daily-count series (zeros on
     // absent days via the dense group×calendar grid); exact integer
     // moments, one deterministic double expression per pair
@@ -513,6 +530,19 @@ object ExtendedQueries {
         |  count(*) AS n_events,
         |  min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // the QUADRATIC ground truth the blocked join must reproduce
+    // exactly — any missed distance-≤1 pair fails the hash compare
+    "q149_fuzzy_join" ->
+      """WITH messy AS (
+        |  SELECT c_custkey AS m_key,
+        |    substring(c_name, 1, 2) || substring(c_name, 4) AS m_name
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |)
+        |SELECT c.c_custkey, c.c_name, m.m_key, m.m_name,
+        |  CAST(levenshtein(c.c_name, m.m_name) AS INTEGER) AS edit_distance
+        |FROM customer c, messy m
+        |WHERE levenshtein(c.c_name, m.m_name) <= 1""".stripMargin,
 
     // same dense grid, same exact moments, same expression shape
     "q146_count_correlation" ->
