@@ -57,6 +57,24 @@ object SkewOps {
     * tree is rejected by hash expressions) — shared by every salted
     * shuffle in the engine.
     */
+  /** Skew DIAGNOSTIC: the log2 histogram of per-key row counts — the
+    * number that tells you whether a join/aggregation key needs
+    * salting BEFORE the 100 TB run melts a task (pair with
+    * [[saltedJoin]]). One row per occupied power-of-two bucket:
+    * (bucket = ⌊log2(rows_for_key)⌋, n_keys, n_rows). The bucket is
+    * computed as `length(bin(n)) − 1` — pure INTEGER arithmetic on
+    * the binary string, so the boundary is engine-exact (a float
+    * log2 could round 2^k−ulp either way). NULL keys count as a key.
+    *
+    * Scale shape: one map-side-combined count per key, then a
+    * #keys-bounded aggregation onto ≤ 64 bucket rows.
+    */
+  def keyHistogram(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("bucket", (length(bin(col("__n"))) - 1).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_keys"), sum("__n").as("n_rows"))
+
   def hashableColumns(df: DataFrame): Seq[Column] = {
     def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case _: org.apache.spark.sql.types.MapType => false

@@ -68,6 +68,26 @@ object ExtendedQueries {
     "q117_rolling_daily" -> ((s, d) =>
       graft.operators.AnalyticsOps.rollingDailyAgg(Tables.events(s, d))),
 
+    // skew diagnostic: log2 histogram of rows-per-customer in orders —
+    // integer bucket via binary-string length, engine-exact boundary
+    "q151_skew_histogram" -> ((s, d) =>
+      graft.operators.SkewOps.keyHistogram(Tables.orders(s, d), "o_custkey")),
+
+    // phonetic blocking: soundex-code equality joins spelling variants
+    // an edit-distance bound misses (Robert/Rupert are distance 3 but
+    // phonetically identical) — the classic record-linkage companion
+    // to q149; soundex codes per American Soundex (Knuth TAOCP v3)
+    "q150_soundex_join" -> ((s, _) => {
+      import s.implicits._
+      val canonical = Seq((1L, "Robert"), (2L, "Smith"), (3L, "Ashcraft"),
+        (4L, "Tymczak"), (5L, "Pfister")).toDF("cid", "cname")
+      val variants = Seq((11L, "Rupert"), (12L, "Smyth"), (13L, "Ashcroft"),
+        (14L, "Jackson"), (15L, "Honeyman")).toDF("vid", "vname")
+      canonical.withColumn("code", soundex(col("cname")))
+        .join(variants.withColumn("code", soundex(col("vname"))), "code")
+        .select("cid", "cname", "vid", "vname", "code")
+    }),
+
     // fuzzy record linkage: SymSpell deletion-neighborhood blocking +
     // exact levenshtein verify — COMPLETE for distance ≤ 1 by
     // construction, proven here against the quadratic oracle over the
@@ -530,6 +550,27 @@ object ExtendedQueries {
         |  count(*) AS n_events,
         |  min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // the same binary-length bucket rule
+    "q151_skew_histogram" ->
+      """WITH c AS (
+        |  SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1
+        |)
+        |SELECT CAST(length(bin(n)) - 1 AS INTEGER) AS bucket,
+        |  count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // hand-derived matches under American Soundex: R163 Robert~Rupert,
+    // S530 Smith~Smyth, A261 Ashcraft~Ashcroft; Tymczak (T522),
+    // Jackson (J250), Pfister (P236), Honeyman (H555) match nothing
+    "q150_soundex_join" ->
+      """SELECT CAST(cid AS BIGINT) AS cid, cname,
+        |  CAST(vid AS BIGINT) AS vid, vname, code
+        |FROM (VALUES
+        |  (1, 'Robert', 11, 'Rupert', 'R163'),
+        |  (2, 'Smith', 12, 'Smyth', 'S530'),
+        |  (3, 'Ashcraft', 13, 'Ashcroft', 'A261')
+        |) t(cid, cname, vid, vname, code)""".stripMargin,
 
     // the QUADRATIC ground truth the blocked join must reproduce
     // exactly — any missed distance-≤1 pair fails the hash compare
