@@ -68,6 +68,15 @@ object ExtendedQueries {
     "q117_rolling_daily" -> ((s, d) =>
       graft.operators.AnalyticsOps.rollingDailyAgg(Tables.events(s, d))),
 
+    // CUBE: all four grouping levels of (type, day-of-week) in one
+    // aggregation pass — the Dataset API is safe here (no join feeds
+    // the cube, unlike q124's rollup)
+    "q152_cube_report" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("dow", dayofweek(col("ts")))
+        .cube("event_type", "dow")
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))),
+
     // skew diagnostic: log2 histogram of rows-per-customer in orders —
     // integer bucket via binary-string length, engine-exact boundary
     "q151_skew_histogram" -> ((s, d) =>
@@ -550,6 +559,15 @@ object ExtendedQueries {
         |  count(*) AS n_events,
         |  min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // all four levels via GROUP BY CUBE, the +1 dayofweek alignment
+    "q152_cube_report" ->
+      """SELECT event_type,
+        |  CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+        |  count(*) AS n,
+        |  CAST(GROUPING(event_type, dayofweek(ts) + 1) AS BIGINT) AS gid
+        |FROM events
+        |GROUP BY CUBE(event_type, dayofweek(ts) + 1)""".stripMargin,
 
     // the same binary-length bucket rule
     "q151_skew_histogram" ->
