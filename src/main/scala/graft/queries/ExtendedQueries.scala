@@ -68,6 +68,36 @@ object ExtendedQueries {
     "q117_rolling_daily" -> ((s, d) =>
       graft.operators.AnalyticsOps.rollingDailyAgg(Tables.events(s, d))),
 
+    // RFM segmentation: per-user recency/frequency/monetary scored
+    // into terciles by percentile_cont value thresholds (the q134
+    // boundary contract: identical threshold doubles both engines),
+    // concatenated into the classic 3-digit segment label
+    "q153_rfm_segments" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val maxTs = e.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val per = e.groupBy("user_id").agg(
+        expr(s"(${maxTs}L - max(unix_micros(ts))) div 86400000000L")
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        round(sum("value"), 4).as("monetary"))
+      val th = per.agg(
+        expr("percentile_cont(0.3333) WITHIN GROUP (ORDER BY recency_days)").as("r1"),
+        expr("percentile_cont(0.6667) WITHIN GROUP (ORDER BY recency_days)").as("r2"),
+        expr("percentile_cont(0.3333) WITHIN GROUP (ORDER BY frequency)").as("f1"),
+        expr("percentile_cont(0.6667) WITHIN GROUP (ORDER BY frequency)").as("f2"),
+        expr("percentile_cont(0.3333) WITHIN GROUP (ORDER BY monetary)").as("m1"),
+        expr("percentile_cont(0.6667) WITHIN GROUP (ORDER BY monetary)").as("m2"))
+      def band(v: org.apache.spark.sql.Column, t1: org.apache.spark.sql.Column, t2: org.apache.spark.sql.Column) =
+        when(v <= t1, 1).when(v <= t2, 2).otherwise(3)
+      per.crossJoin(broadcast(th))
+        .withColumn("r_score", band(col("recency_days"), col("r1"), col("r2")))
+        .withColumn("f_score", band(col("frequency"), col("f1"), col("f2")))
+        .withColumn("m_score", band(col("monetary"), col("m1"), col("m2")))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+          concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+    }),
+
     // CUBE: all four grouping levels of (type, day-of-week) in one
     // aggregation pass — the Dataset API is safe here (no join feeds
     // the cube, unlike q124's rollup)
@@ -559,6 +589,41 @@ object ExtendedQueries {
         |  count(*) AS n_events,
         |  min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // same aggregates, thresholds, and band comparisons
+    "q153_rfm_segments" ->
+      """WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+        |per AS (
+        |  SELECT user_id,
+        |    ((SELECT m FROM mx) - max(epoch_us(ts))) // 86400000000 AS recency_days,
+        |    count(*) AS frequency,
+        |    round(sum(value), 4) AS monetary
+        |  FROM events GROUP BY 1
+        |), th AS (
+        |  SELECT
+        |    percentile_cont(0.3333) WITHIN GROUP (ORDER BY recency_days) AS r1,
+        |    percentile_cont(0.6667) WITHIN GROUP (ORDER BY recency_days) AS r2,
+        |    percentile_cont(0.3333) WITHIN GROUP (ORDER BY frequency) AS f1,
+        |    percentile_cont(0.6667) WITHIN GROUP (ORDER BY frequency) AS f2,
+        |    percentile_cont(0.3333) WITHIN GROUP (ORDER BY monetary) AS m1,
+        |    percentile_cont(0.6667) WITHIN GROUP (ORDER BY monetary) AS m2
+        |  FROM per
+        |)
+        |SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+        |  frequency, monetary,
+        |  CAST(CASE WHEN recency_days <= r1 THEN 1
+        |            WHEN recency_days <= r2 THEN 2 ELSE 3 END AS INTEGER) AS r_score,
+        |  CAST(CASE WHEN frequency <= f1 THEN 1
+        |            WHEN frequency <= f2 THEN 2 ELSE 3 END AS INTEGER) AS f_score,
+        |  CAST(CASE WHEN monetary <= m1 THEN 1
+        |            WHEN monetary <= m2 THEN 2 ELSE 3 END AS INTEGER) AS m_score,
+        |  CAST(CASE WHEN recency_days <= r1 THEN 1
+        |            WHEN recency_days <= r2 THEN 2 ELSE 3 END AS VARCHAR) ||
+        |  CAST(CASE WHEN frequency <= f1 THEN 1
+        |            WHEN frequency <= f2 THEN 2 ELSE 3 END AS VARCHAR) ||
+        |  CAST(CASE WHEN monetary <= m1 THEN 1
+        |            WHEN monetary <= m2 THEN 2 ELSE 3 END AS VARCHAR) AS segment
+        |FROM per, th""".stripMargin,
 
     // all four levels via GROUP BY CUBE, the +1 dayofweek alignment
     "q152_cube_report" ->
