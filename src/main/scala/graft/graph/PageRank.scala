@@ -8,9 +8,15 @@ import org.apache.spark.sql.functions._
   * prioritize fetch frontiers and weight domains (alongside the
   * near-dup connected components this engine already ships). A FIXED
   * iteration count (not a convergence test) keeps the result a pure
-  * deterministic function of the edge list, so an independent engine
-  * unrolling the same `iterations` reproduces every rank (the q143
-  * oracle does exactly that).
+  * function of the edge list UP TO floating reassociation: the
+  * per-destination contribution sums are unordered double additions,
+  * so two runs agree to ~1e-12 relative (not bitwise) and the
+  * 4-decimal ppm rounding absorbs that for ordinary degree
+  * distributions — a node with millions of in-edges can in principle
+  * accumulate enough low-bit drift to flip a rounded digit, the same
+  * caveat every float-summing aggregate here carries (unlike the
+  * exact-integer statistics family, which has none). The q143 oracle
+  * unrolls the identical iterations and matches at the shipped scale.
   *
   * Semantics: directed edges, duplicate edges collapse (a link counts
   * once), nodes = src ∪ dst, uniform initial rank 1/N, damping d, and
@@ -48,14 +54,23 @@ object PageRank {
     val outDeg = e.groupBy(col("__s").as("node"))
       .agg(count(lit(1)).as("__deg")).persist(lvl)
 
-    // each iteration CUTS ITS LINEAGE with an eager localCheckpoint:
-    // the rank frame is referenced twice per round (dangling branch +
-    // contribution branch), so a persist-only loop doubles the LOGICAL
-    // plan every iteration — 2^k tree nodes by round k, and Spark's
-    // plan stringification alone OOMs the driver around k=10 (found
-    // the hard way in PageRankSpec). A LogicalRDD barrier keeps the
-    // plan O(1) deep at O(#nodes) storage per round.
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    // each iteration CUTS ITS LINEAGE with an explicit LogicalRDD
+    // barrier: the rank frame is referenced twice per round (dangling
+    // branch + contribution branch), so a lineage-preserving loop
+    // doubles the LOGICAL plan every iteration — 2^k tree nodes by
+    // round k, and Spark's plan stringification alone OOMs the driver
+    // around k=10 (found the hard way in PageRankSpec). The
+    // persist+count+createDataFrame form (instead of localCheckpoint)
+    // keeps an unpersist HANDLE, so the previous round's O(#nodes)
+    // cache is released deterministically rather than waiting on
+    // driver GC + ContextCleaner — at iterations=100 a leak would
+    // stack 100 node-sized block sets on the executors.
+    val spark = edges.sparkSession
+    def barrier(df: DataFrame): (DataFrame, DataFrame) = {
+      val p = df.persist(lvl); p.count()
+      (spark.createDataFrame(p.rdd, p.schema), p)
+    }
+    var (ranks, ranksCache) = barrier(nodes.withColumn("rank", lit(1.0 / n)))
     for (_ <- 1 to iterations) {
       val withDeg = ranks.join(outDeg, Seq("node"), "left")
       // the dangling mass rides as a BROADCAST 1-row frame instead of
@@ -67,18 +82,20 @@ object PageRank {
         .join(e, "__s")
         .groupBy(col("__d").as("node"))
         .agg(sum("__c").as("__in"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      val (next, nextCache) = barrier(nodes.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("__in"), lit(0.0))
               + col("__dm") / lit(n.toDouble)))
-            .as("rank"))
-        .localCheckpoint(true)
+            .as("rank")))
+      ranksCache.unpersist(blocking = false)
+      ranks = next; ranksCache = nextCache
     }
     val out = ranks
       .select(col("node"), round(col("rank") * 1000000.0, 4).as("rank_ppm"))
       .localCheckpoint(true)
+    ranksCache.unpersist(blocking = false)
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     outDeg.unpersist(blocking = false)

@@ -42,9 +42,17 @@ object AnalyticsOps {
 
   /** Ordered conversion funnel: `steps` is the required event-type
     * sequence; a user reaches step i+1 only with an event of that type
-    * STRICTLY AFTER their step-i completion time (earliest-completion
-    * semantics: each step's completion is the min qualifying
-    * timestamp, which maximizes the users who can reach later steps).
+    * STRICTLY AFTER their step-i completion time. Semantics are
+    * EARLIEST-COMPLETION ANCHORED: each step's completion is the min
+    * qualifying timestamp. Without a window this maximizes the users
+    * who can reach later steps; WITH `maxGapSecs` it is the standard
+    * first-touch product-analytics convention — the window measures
+    * from the EARLIEST completion of the previous step, so a user
+    * whose only in-window path runs through a LATER occurrence of
+    * that step does not count (A@10:00, A@15:00, B@15:30 with a 1 h
+    * window: anchored at 10:00, no conversion). Sequence-scan
+    * semantics that try every anchor are a different, stateful
+    * operator. The q139 oracle implements this same anchored rule.
     * Returns one row per step: (step_idx 1-based, step, n_users).
     *
     * Scale shape: per step, one filter on the event type (pushed to
@@ -225,11 +233,18 @@ object AnalyticsOps {
       .agg(count(lit(1)).as("__y"))
       .withColumn("__x", datediff(col("__day"), lit("1970-01-01").cast(DateType))
         .cast(LongType))
+    // moments accumulate in Decimal(38,0) — still EXACT integers, but
+    // immune to the silent Long wrap the raw form hits around 3.4e7
+    // mean daily events (x is days-since-epoch ~2e4, so n·Σxy crosses
+    // 2^63 well inside this engine's advertised scale); DuckDB's
+    // BIGINT sums widen to HUGEINT, the same exact envelope
+    val dec = DecimalType(38, 0)
     daily.groupBy(col("__g").as(groupCol))
       .agg(count(lit(1)).as("n_days"),
-        sum("__x").as("__sx"), sum("__y").as("__sy"),
-        sum(col("__x") * col("__y")).as("__sxy"),
-        sum(col("__x") * col("__x")).as("__sxx"))
+        sum(col("__x").cast(dec)).as("__sx"), sum(col("__y").cast(dec)).as("__sy"),
+        // cast BEFORE the product — same wrap hazard as the correlation
+        sum(col("__x").cast(dec) * col("__y").cast(dec)).as("__sxy"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"))
       .withColumn("__den", col("n_days") * col("__sxx") - col("__sx") * col("__sx"))
       .select(col(groupCol), col("n_days"),
         round(col("__sy").cast("double") / col("n_days").cast("double"), 6)
@@ -266,14 +281,19 @@ object AnalyticsOps {
       .select(col("__g"), col("__day"), coalesce(col("__n"), lit(0L)).as("__n"))
     val a = dense.select(col("__g").as("group_a"), col("__day"), col("__n").as("__x"))
     val b = dense.select(col("__g").as("group_b"), col("__day"), col("__n").as("__y"))
+    // Decimal(38,0) moments: a single 3e9-event group-day would wrap
+    // Σy² in a Long — the decimal form stays exact (DuckDB widens to
+    // HUGEINT, the same envelope)
+    val dec = DecimalType(38, 0)
     val out = a.join(b, "__day")
       .filter(col("group_a") < col("group_b"))
       .groupBy("group_a", "group_b")
       .agg(count(lit(1)).as("n_days"),
-        sum("__x").as("__sx"), sum("__y").as("__sy"),
-        sum(col("__x") * col("__y")).as("__sxy"),
-        sum(col("__x") * col("__x")).as("__sxx"),
-        sum(col("__y") * col("__y")).as("__syy"))
+        sum(col("__x").cast(dec)).as("__sx"), sum(col("__y").cast(dec)).as("__sy"),
+        // cast BEFORE the product: y·y alone wraps a Long at y ≥ 3.04e9
+        sum(col("__x").cast(dec) * col("__y").cast(dec)).as("__sxy"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"),
+        sum(col("__y").cast(dec) * col("__y").cast(dec)).as("__syy"))
       .withColumn("__vx", col("n_days") * col("__sxx") - col("__sx") * col("__sx"))
       .withColumn("__vy", col("n_days") * col("__syy") - col("__sy") * col("__sy"))
       .select(col("group_a"), col("group_b"), col("n_days"),
@@ -286,18 +306,6 @@ object AnalyticsOps {
     out
   }
 
-  /** Trailing calendar-window aggregates: per (group, day), the day's
-    * own event count / value sum plus the trailing `windowDays`-day
-    * totals — the moving-average family every event warehouse reports.
-    *
-    * Scale shape: raw events pre-aggregate to (group, day) with
-    * map-side combine FIRST, so the window runs over a frame bounded
-    * by #groups × #days — calendar-bounded however many events a day
-    * has. The window is a RANGE frame over the integer day number
-    * (days since epoch), so missing days genuinely age out of the
-    * trailing window instead of stretching it (a ROWS frame over
-    * present-days-only would silently widen across gaps).
-    */
   /** Trailing-window anomaly scores: per (group, day), the day's event
     * count z-scored against the PRECEDING `windowDays` days (current
     * day excluded — the baseline must not contain the observation).
@@ -338,6 +346,18 @@ object AnalyticsOps {
         (col("n_events").cast("double") - mean) / sqrt(variance)), 6).as("z"))
   }
 
+  /** Trailing calendar-window aggregates: per (group, day), the day's
+    * own event count / value sum plus the trailing `windowDays`-day
+    * totals — the moving-average family every event warehouse reports.
+    *
+    * Scale shape: raw events pre-aggregate to (group, day) with
+    * map-side combine FIRST, so the window runs over a frame bounded
+    * by #groups × #days — calendar-bounded however many events a day
+    * has. The window is a RANGE frame over the integer day number
+    * (days since epoch), so missing days genuinely age out of the
+    * trailing window instead of stretching it (a ROWS frame over
+    * present-days-only would silently widen across gaps).
+    */
   def rollingDailyAgg(events: DataFrame, groupCol: String = "event_type",
                       tsCol: String = "ts", valueCol: String = "value",
                       windowDays: Int = 7): DataFrame = {

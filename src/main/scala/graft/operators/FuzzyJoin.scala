@@ -43,20 +43,26 @@ object FuzzyJoin {
   /** Join rows of `left` and `right` whose string keys are within
     * Levenshtein distance 1 (equality included, reported distance 0).
     * Column sets must be disjoint; emits every column of both sides
-    * plus `edit_distance`.
+    * plus `edit_distance`. Row MULTIPLICITY is preserved: candidate
+    * dedup happens on the DISTINCT VALUE pairs (several shared
+    * deletion keys per true pair), never on full rows — duplicate
+    * input rows each produce their own linkage row, and non-set-safe
+    * column types (maps) pass through untouched.
     */
   def editDistanceJoin(left: DataFrame, leftCol: String,
                        right: DataFrame, rightCol: String): DataFrame = {
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty, s"column collision across sides: $overlap")
-    val l = left.filter(col(leftCol).isNotNull)
-      .withColumn("__k", explode(delNeighborhood(col(leftCol))))
-    val r = right.filter(col(rightCol).isNotNull)
-      .withColumn("__k", explode(delNeighborhood(col(rightCol))))
-    l.join(r, "__k")
-      .drop("__k")
-      .distinct() // several shared deletion keys per true pair
-      .withColumn("edit_distance", levenshtein(col(leftCol), col(rightCol)))
+    val lv = left.select(col(leftCol).as("__lv")).filter(col("__lv").isNotNull)
+      .distinct().withColumn("__k", explode(delNeighborhood(col("__lv"))))
+    val rv = right.select(col(rightCol).as("__rv")).filter(col("__rv").isNotNull)
+      .distinct().withColumn("__k", explode(delNeighborhood(col("__rv"))))
+    val cand = lv.join(rv, "__k")
+      .select("__lv", "__rv").distinct()
+      .withColumn("edit_distance", levenshtein(col("__lv"), col("__rv")))
       .filter(col("edit_distance") <= 1)
+    left.join(cand, col(leftCol) === col("__lv"))
+      .join(right, col(rightCol) === col("__rv"))
+      .drop("__lv", "__rv")
   }
 }

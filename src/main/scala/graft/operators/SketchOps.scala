@@ -42,9 +42,14 @@ object SketchOps {
     * fixed-width lowercase hex.
     */
   def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
-                  k: Int = 64): DataFrame = {
+                  k: Int = 64, includeExact: Boolean = true): DataFrame = {
     require(k >= 2 && k <= 2048, s"kmvDistinct needs 2 <= k <= 2048, got $k")
+    // NULL values are excluded BEFORE hashing: md5(NULL) is NULL and
+    // would crash the bounded-heap encoder (non-nullable score field),
+    // and count_distinct in the exact branch excludes NULL anyway —
+    // filtering keeps the two branches counting the same set
     val hashed = df
+      .filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("__g"),
         md5(col(valueCol).cast(StringType)).as("__h"))
       .distinct()
@@ -64,12 +69,20 @@ object SketchOps {
       .withColumn("est_distinct",
         when(col("n_hashes") < k, col("n_hashes"))
           .otherwise(expr(s"${(k - 1).toLong << PrefixBits}L div __vk")))
-    val exact = df
-      .groupBy(col(groupCol).as("__g"))
-      .agg(count_distinct(col(valueCol)).as("exact_distinct"))
-    mins.join(exact, "__g")
-      .select(col("__g").as(groupCol), col("n_hashes"), col("kth_hash"),
-        col("est_distinct"), col("exact_distinct"))
+    // the exact branch exists for error INSPECTION — at 100 TB it is
+    // the expensive thing the sketch replaces, and merely dropping the
+    // column downstream cannot prune the aggregate out of the plan, so
+    // callers must opt out here
+    if (includeExact) {
+      val exact = df
+        .groupBy(col(groupCol).as("__g"))
+        .agg(count_distinct(col(valueCol)).as("exact_distinct"))
+      mins.join(exact, "__g")
+        .select(col("__g").as(groupCol), col("n_hashes"), col("kth_hash"),
+          col("est_distinct"), col("exact_distinct"))
+    } else
+      mins.select(col("__g").as(groupCol), col("n_hashes"), col("kth_hash"),
+        col("est_distinct"))
   }
 
   /** Count-Min frequency sketch (Cormode & Muthukrishnan 2005, "An
@@ -93,12 +106,17 @@ object SketchOps {
                     depth: Int = 4, width: Int = 1024): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
     require(width >= 16, s"width too small: $width")
-    val rows = (0 until depth).map { r =>
-      df.select(lit(r).as("sketch_row"),
-        (conv(substring(md5(concat(lit(s"$r:"), col(valueCol).cast(StringType))),
-          1, 8), 16, 10).cast(LongType) % width).as("bucket"))
-    }.reduce(_ unionByName _)
-    rows.groupBy("sketch_row", "bucket").agg(count(lit(1)).as("cnt"))
+    // ONE scan: each input row explodes to its depth sketch rows (the
+    // earlier union-of-projections form re-read the source per depth —
+    // 4× I/O at the scale the sketch exists for); the hashed string is
+    // unchanged ("r:value"), so existing sketches/oracles agree
+    df.select(explode(expr(s"sequence(0, ${depth - 1})")).as("sketch_row"),
+        col(valueCol).cast(StringType).as("__v"))
+      .select(col("sketch_row"),
+        (conv(substring(md5(concat(col("sketch_row").cast(StringType),
+          lit(":"), col("__v"))), 1, 8), 16, 10).cast(LongType) % width)
+          .as("bucket"))
+      .groupBy("sketch_row", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
   /** Point-query `queries`' `valueCol` against a [[countMinBuild]]

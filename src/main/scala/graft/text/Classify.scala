@@ -74,6 +74,7 @@ object Classify {
     * BMP text (all CJK), divergent only on astral-plane characters.
     */
   private def charNgrams(c: Column, n: Int): Column = {
+    require(n >= 1, s"char n-gram length must be >= 1, got $n")
     val norm = TextOps.normalizeText(c)
     graft.expressions.ExprOps.bind(coalesce(norm, lit(""))) { s =>
       when(length(s) < n, array().cast("array<string>"))

@@ -44,6 +44,16 @@ class FuzzyJoinSpec extends SparkSpec {
     }
   }
 
+  test("editDistanceJoin: duplicate input rows keep their multiplicity " +
+    "(candidate dedup is value-level, never row-level)") {
+    val left = Seq((1L, "smith"), (2L, "smith")).toDF("lid", "lname")
+    val right = Seq((11L, "smyth")).toDF("rid", "rname")
+    val out = FuzzyJoin.editDistanceJoin(left, "lname", right, "rname")
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 11L), (2L, 11L)),
+      "both identical left rows must produce their own linkage row")
+  }
+
   test("editDistanceJoin completeness: equals the quadratic levenshtein " +
     "join on a randomized corpus of near-identical strings") {
     val rnd = new scala.util.Random(5)

@@ -98,6 +98,25 @@ class SketchSpec extends SparkSpec {
       s"estimate $expectEst too far from $n")
   }
 
+  test("kmvDistinct: NULL values are excluded (no encoder crash) and " +
+    "both branches count the same set; includeExact=false drops the " +
+    "exact aggregate from the output") {
+    import graft.operators.SketchOps
+    import spark.implicits._
+    val df = Seq(("a", "x"), ("a", "y"), ("a", null), ("b", null))
+      .toDF("g", "v")
+    val out = SketchOps.kmvDistinct(df, "g", "v", k = 8)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4))))
+      .toMap
+    // group a: 2 non-null distinct values, both branches agree;
+    // group b carries ONLY NULLs — no observable values, so the group
+    // is absent from the sketch output entirely (not a zero row)
+    assert(out("a") === ((2L, 2L, 2L)))
+    assert(!out.contains("b"))
+    val slim = SketchOps.kmvDistinct(df, "g", "v", k = 8, includeExact = false)
+    assert(!slim.columns.contains("exact_distinct"))
+  }
+
   test("countMin: estimates never undercount, exact on a collision-free " +
     "fixture, absent items estimate 0, state bounded by depth × width, " +
     "and merged counters equal a single build (mergeability)") {
