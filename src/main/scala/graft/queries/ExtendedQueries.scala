@@ -68,6 +68,30 @@ object ExtendedQueries {
     "q117_rolling_daily" -> ((s, d) =>
       graft.operators.AnalyticsOps.rollingDailyAgg(Tables.events(s, d))),
 
+    // audience overlap matrix: Jaccard of the distinct-user sets of
+    // every event-type pair — |A∩B| from one user-keyed self-join of
+    // the deduped (type, user) frame, set sizes broadcast back, the
+    // ratio an exact integer quotient rounded to 6
+    "q154_audience_overlap" -> ((s, d) => {
+      val tu = Tables.events(s, d)
+        .select(col("event_type").as("t"), col("user_id").as("u"))
+        .distinct()
+      val sizes = tu.groupBy("t").agg(count(lit(1)).as("n"))
+      val inter = tu.select(col("t").as("type_a"), col("u"))
+        .join(tu.select(col("t").as("type_b"), col("u")), "u")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_both"))
+      inter
+        .join(broadcast(sizes.select(col("t").as("type_a"), col("n").as("__na"))), "type_a")
+        .join(broadcast(sizes.select(col("t").as("type_b"), col("n").as("__nb"))), "type_b")
+        .select(col("type_a"), col("type_b"), col("n_both"),
+          (col("__na") + col("__nb") - col("n_both")).as("n_union"),
+          round(col("n_both").cast("double") /
+            (col("__na") + col("__nb") - col("n_both")).cast("double"), 6)
+            .as("jaccard"))
+    }),
+
     // RFM segmentation: per-user recency/frequency/monetary scored
     // into terciles by percentile_cont value thresholds (the q134
     // boundary contract: identical threshold doubles both engines),
@@ -589,6 +613,23 @@ object ExtendedQueries {
         |  count(*) AS n_events,
         |  min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // same deduped self-join and exact integer ratio
+    "q154_audience_overlap" ->
+      """WITH tu AS (
+        |  SELECT DISTINCT event_type AS t, user_id AS u FROM events
+        |), sizes AS (SELECT t, count(*) AS n FROM tu GROUP BY 1),
+        |inter AS (
+        |  SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_both
+        |  FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+        |  GROUP BY 1, 2
+        |)
+        |SELECT type_a, type_b, n_both,
+        |  CAST(sa.n + sb.n - n_both AS BIGINT) AS n_union,
+        |  round(n_both::DOUBLE / (sa.n + sb.n - n_both)::DOUBLE, 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.t = type_a
+        |JOIN sizes sb ON sb.t = type_b""".stripMargin,
 
     // same aggregates, thresholds, and band comparisons
     "q153_rfm_segments" ->
