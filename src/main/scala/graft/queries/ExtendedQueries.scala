@@ -68,6 +68,30 @@ object ExtendedQueries {
     "q117_rolling_daily" -> ((s, d) =>
       graft.operators.AnalyticsOps.rollingDailyAgg(Tables.events(s, d))),
 
+    // market-basket analysis: top part pairs by co-occurrence within
+    // orders, with support counts and lift = N·n_ab/(n_a·n_b) — the
+    // association-rule core (Apriori's pair step); the self-join fans
+    // out per order by basket size (bounded), never by catalog size
+    "q155_basket_pairs" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val nOrders = li.select("o").distinct().count()
+      val pairs = li.select(col("o"), col("p").as("pa"))
+        .join(li.select(col("o"), col("p").as("pb")), "o")
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("n_both"))
+      val totals = li.groupBy(col("p")).agg(count(lit(1)).as("n"))
+      pairs
+        .join(totals.select(col("p").as("pa"), col("n").as("__n_a")), "pa")
+        .join(totals.select(col("p").as("pb"), col("n").as("__n_b")), "pb")
+        .select(col("pa"), col("pb"), col("n_both"),
+          round(col("n_both").cast("double") * nOrders.toDouble /
+            (col("__n_a") * col("__n_b")).cast("double"), 6).as("lift"))
+        .orderBy(col("n_both").desc, col("pa").asc, col("pb").asc)
+        .limit(20)
+    }),
+
     // audience overlap matrix: Jaccard of the distinct-user sets of
     // every event-type pair — |A∩B| from one user-keyed self-join of
     // the deduped (type, user) frame, set sizes broadcast back, the
@@ -613,6 +637,26 @@ object ExtendedQueries {
         |  count(*) AS n_events,
         |  min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // same pair counts, totals, lift formula, and (count desc, pair
+    // asc) top-20 cut
+    "q155_basket_pairs" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |), no AS (SELECT count(DISTINCT o)::DOUBLE AS n FROM li),
+        |pairs AS (
+        |  SELECT a.p AS pa, b.p AS pb, count(*) AS n_both
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2
+        |), tot AS (SELECT p, count(*) AS n FROM li GROUP BY 1)
+        |SELECT pa, pb, n_both,
+        |  round(n_both::DOUBLE * (SELECT n FROM no)
+        |    / (ta.n * tb.n)::DOUBLE, 6) AS lift
+        |FROM (SELECT *, row_number() OVER (ORDER BY n_both DESC, pa ASC, pb ASC)
+        |        AS rn FROM pairs) pairs
+        |JOIN tot ta ON ta.p = pairs.pa
+        |JOIN tot tb ON tb.p = pairs.pb
+        |WHERE rn <= 20""".stripMargin,
 
     // same deduped self-join and exact integer ratio
     "q154_audience_overlap" ->
