@@ -102,9 +102,15 @@ object Classify {
                       features: Column): NbModel = {
     val toks = docs.select(col(labelCol).as("label"),
       explode(features).as("w"))
-    val pair = toks.groupBy("label", "w").agg(count(lit(1)).as("c"))
+    // aggregate on the 8-byte xxhash64 of the feature, not the feature
+    // string — the shuffle carries fixed-width keys (the q84/q93
+    // birthday-bound argument), and scoring joins on the same hash
+    // anyway; V (distinct hashes) equals distinct features absent a
+    // 64-bit collision
+    val pair = toks.groupBy(col("label"), xxhash64(col("w")).as("w_hash"))
+      .agg(count(lit(1)).as("c"))
     pair.persist()
-    val v = pair.select("w").distinct().count()
+    val v = pair.select("w_hash").distinct().count()
     val docCounts = docs.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("nd"))
     val total = docs.count()
@@ -121,7 +127,7 @@ object Classify {
       // while `pair` is cached, releases the training cache here, and
       // leaves the model resident for the scoring joins it exists for
       .localCheckpoint(true)
-    val tokenLogs = pair.select(xxhash64(col("w")).as("w_hash"), col("label"),
+    val tokenLogs = pair.select(col("w_hash"), col("label"),
       log(col("c").cast("double") + 1.0).as("log_c1"))
       .localCheckpoint(true)
     pair.unpersist()
