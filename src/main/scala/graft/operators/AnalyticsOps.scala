@@ -334,7 +334,8 @@ object AnalyticsOps {
     val stats = daily
       .withColumn("n_baseline_days", count(lit(1)).over(w))
       .withColumn("__s1", sum(col("n_events")).over(w))
-      .withColumn("__s2", sum(col("n_events") * col("n_events")).over(w))
+      .withColumn("__s2", sum(col("n_events").cast(DecimalType(38, 0)) *
+        col("n_events").cast(DecimalType(38, 0))).over(w))
     val mean = col("__s1").cast("double") / col("n_baseline_days").cast("double")
     val variance = (col("__s2").cast("double") /
       col("n_baseline_days").cast("double")) - mean * mean

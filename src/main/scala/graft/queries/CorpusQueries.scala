@@ -1050,8 +1050,8 @@ object CorpusQueries {
         |    unnest([nt[i:i+2] for i in range(1, length(nt) - 1)]) AS w
         |  FROM norm WHERE length(nt) >= 3
         |), ndoc AS (
-        |  SELECT doc_id, CASE WHEN length(nt) >= 3
-        |                      THEN length(nt) - 2 ELSE 0 END AS n
+        |  SELECT doc_id, CASE WHEN nt IS NULL OR length(nt) < 3 THEN 0
+        |                      ELSE length(nt) - 2 END AS n
         |  FROM norm
         |), pair AS (
         |  SELECT lang AS label, w, count(*)::DOUBLE AS c FROM feats GROUP BY 1, 2
@@ -1094,7 +1094,7 @@ object CorpusQueries {
         |  SELECT doc_id, source, unnest(regexp_split_to_array(nt, ' ')) AS w
         |  FROM norm WHERE length(nt) > 0
         |), ndoc AS (
-        |  SELECT doc_id, CASE WHEN length(nt) = 0 THEN 0
+        |  SELECT doc_id, CASE WHEN nt IS NULL OR length(nt) = 0 THEN 0
         |                      ELSE len(regexp_split_to_array(nt, ' ')) END AS n
         |  FROM norm
         |), pair AS (

@@ -87,7 +87,7 @@ object ExtendedQueries {
         .join(totals.select(col("p").as("pb"), col("n").as("__n_b")), "pb")
         .select(col("pa"), col("pb"), col("n_both"),
           round(col("n_both").cast("double") * nOrders.toDouble /
-            (col("__n_a") * col("__n_b")).cast("double"), 6).as("lift"))
+            (col("__n_a").cast("double") * col("__n_b").cast("double")), 6).as("lift"))
         .orderBy(col("n_both").desc, col("pa").asc, col("pb").asc)
         .limit(20)
     }),

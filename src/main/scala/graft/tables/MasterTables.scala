@@ -102,8 +102,11 @@ object MasterTables {
     val dupStaged = stg.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).limit(1).count()
     require(dupStaged == 0, "staging must carry one row per key")
-    val current = dim.filter(col("is_current"))
-    val historical = dim.filter(!col("is_current"))
+    // NULL is_current means "not the open version": such rows must pass
+    // through with the historical slice, not silently vanish (filter(c)
+    // and filter(!c) BOTH exclude NULL).
+    val current = dim.filter(coalesce(col("is_current"), lit(false)))
+    val historical = dim.filter(!coalesce(col("is_current"), lit(false)))
     val joined = current.join(stg.withColumn("__staged", lit(true)), keys, "left")
     val differs = attrs.map { f =>
       coalesce(col(f).cast("string"), lit("")) =!=

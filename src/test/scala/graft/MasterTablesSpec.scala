@@ -155,6 +155,30 @@ class MasterTablesSpec extends SparkSpec {
       "second merge of an identical snapshot must be a no-op")
   }
 
+  test("scd2Merge: a NULL is_current row passes through with the " +
+    "historical slice instead of silently vanishing (filter(c) and " +
+    "filter(!c) both exclude NULL)") {
+    import org.apache.spark.sql.functions.lit
+    val dim = Seq(
+      ("C1", "Ann", "2024-01-01", null.asInstanceOf[String], Some(true)),
+      // legacy row with unknown currency — must survive the merge
+      ("C1", "A0", "2020-01-01", "2021-01-01", None),
+      ("C2", "Bob", "2024-01-01", null.asInstanceOf[String], Some(true)))
+      .toDF("cust_id", "name", "valid_from", "valid_to", "is_current")
+    val staging = Seq(("C1", "Ann2")).toDF("cust_id", "name")
+    val out = MasterTables.scd2Merge(dim, staging, Seq("cust_id"),
+      Seq("name"), lit("2024-06-01"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getBoolean(4)))).toSet
+    assert(out === Set(
+      ("C1", "A0", "2020-01-01", "2021-01-01", None),          // preserved
+      ("C1", "Ann", "2024-01-01", "2024-06-01", Some(false)),  // closed
+      ("C1", "Ann2", "2024-06-01", null, Some(true)),          // reopened
+      ("C2", "Bob", "2024-01-01", null, Some(true))))          // unstaged
+  }
+
   test("scd2Merge: a double-staged key is rejected — it would create " +
     "two simultaneous open versions") {
     import org.apache.spark.sql.functions.lit

@@ -64,6 +64,44 @@ class PageRankSpec extends SparkSpec {
     assert(graft.graph.GraphOps.triangleCount(two) === 2L)
   }
 
+  test("triangleCount: degree-ordered orientation — a star's hub " +
+    "orients ALL edges inward, so wedge rows stay O(edges) not " +
+    "O(hub-degree²)") {
+    // 1 hub (id 0, the SMALLEST id — the id-ordered variant would give
+    // it out-degree 10⁴ and ~5·10⁷ wedges), 10⁴ spokes
+    val n = 10000
+    val star = (1 to n).map(i => (0L, i.toLong)).toDF("id_a", "id_b")
+    val oriented = graft.graph.GraphOps.orientEdges(star)
+    // every spoke has degree 1 < hub degree 10⁴ → all edges spoke→hub
+    val outDeg = oriented.groupBy("s").count()
+    assert(outDeg.agg(org.apache.spark.sql.functions.max("count"))
+      .head.getLong(0) === 1L, "star edges must orient toward the hub")
+    assert(graft.graph.GraphOps.triangleCount(star) === 0L)
+  }
+
+  test("triangleCount: degree-ordered form matches a driver-side brute " +
+    "force on a deterministic pseudo-random graph (degree ties broken " +
+    "by id)") {
+    // seeded-random edge list: collisions, ties, duplicate edges
+    val rnd = new scala.util.Random(42)
+    val edges = (0 until 120).map { _ =>
+      val x = rnd.nextInt(18).toLong
+      val y = rnd.nextInt(18).toLong
+      (math.min(x, y), math.max(x, y))
+    }.filter { case (a, b) => a != b }
+    val want = {
+      val es = edges.distinct.toSet
+      val vs = es.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+      (for {
+        a <- vs; b <- vs if a < b; c <- vs if b < c
+        if es((a, b)) && es((b, c)) && es((a, c))
+      } yield 1).size.toLong
+    }
+    assert(want > 0, "fixture must actually contain triangles")
+    assert(graft.graph.GraphOps.triangleCount(
+      edges.toDF("id_a", "id_b")) === want)
+  }
+
   test("pageRank: a pure sink graph (every node dangling after one " +
     "hop) stays uniform-summable and never NaNs") {
     val edges = Seq(("x", "y")).toDF("src", "dst")
