@@ -66,8 +66,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // n_runs documents the min-of-N protocol in the recorded artifact
+    // itself (per-query numbers are each the min of three timed
+    // executions) so a reader needn't consult this source to know the
+    // noise envelope the number carries
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_runs":3,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // defend against the driver's 2000-char stdout-tail truncation
     // (BENCH_r6/r7 lost per-query history for a third of the set): the

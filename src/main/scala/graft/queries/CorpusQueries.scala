@@ -359,7 +359,12 @@ object CorpusQueries {
     // trained on the lang labels and scored back over the corpus
     "q131_charngram_langid" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val model = graft.text.Classify.trainNaiveBayesChar(docs, "lang", "text")
+      // minPairCount=3 floors the near-hapax gram tail out of the model
+      // frame (the scoring join's build side) — T_l and V stay
+      // pre-floor so retained grams score identically (oracle mirrors
+      // the floor in its sparse join)
+      val model = graft.text.Classify.trainNaiveBayesChar(docs, "lang", "text",
+        minPairCount = 3)
       graft.text.Classify.scoreNaiveBayesChar(docs, "doc_id", "text", model)
     }),
 
@@ -1065,8 +1070,11 @@ object CorpusQueries {
         |    ln(coalesce(t, 0)::DOUBLE + (SELECT v FROM vv)::DOUBLE) AS log_denom
         |  FROM cls LEFT JOIN tl USING (label)
         |), sparse AS (
+        |  -- min-df floor mirrors the engine's minPairCount=3: pairs
+        |  -- below the floor are unseen (their ln(c+1) term drops to 0)
         |  SELECT f.doc_id, p.label, sum(ln(p.c + 1.0)) AS num
-        |  FROM feats f JOIN pair p ON p.w = f.w GROUP BY 1, 2
+        |  FROM feats f JOIN pair p ON p.w = f.w
+        |  WHERE p.c >= 3 GROUP BY 1, 2
         |), dense AS (
         |  SELECT nd.doc_id, c.label,
         |    c.log_prior + coalesce(s.num, 0.0) - nd.n::DOUBLE * c.log_denom AS score,

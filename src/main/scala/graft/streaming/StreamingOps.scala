@@ -177,6 +177,65 @@ object StreamingOps {
       }
   }
 
+  final case class TransState(lastTs: Long, lastType: String)
+  final case class Transition(user_id: Long, from_type: String,
+                              to_type: String, ts: java.sql.Timestamp)
+
+  /** Streaming twin of [[graft.operators.AnalyticsOps.transitionCounts]]:
+    * one row per consecutive (from → to) event-type transition per
+    * user, emitted incrementally. State per user is ONE (lastTs,
+    * lastType) pair — flat in stream length, the same
+    * signature-only-state discipline as the incremental dedup paths.
+    * Aggregation to the (from_type, to_type, n) matrix is left to the
+    * consumer (a downstream streaming agg or the batch report) so this
+    * stage stays Append-mode composable.
+    *
+    * Within a micro-batch events sort by (ts, event_type) — the
+    * deterministic tie-break. Across batches the per-user state only
+    * moves FORWARD in event time: an event at-or-before the user's
+    * recorded lastTs is a same-instant duplicate or a cross-batch
+    * straggler whose true predecessor was already consumed; emitting a
+    * transition from the NEWER state would fabricate an order the
+    * event stream never had, so such events are dropped (counted
+    * nowhere) rather than mis-attributed. With the watermark upstream
+    * of this operator the drop window is bounded by `watermarkDelay`,
+    * and in-order delivery reproduces the batch matrix exactly (the
+    * StreamingSpec cross-check).
+    */
+  def transitionsStreaming(events: Dataset[Event],
+                           watermarkDelay: String): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay)
+      else events
+    src
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[TransState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+          var prev = state.getOption
+          val out = sorted.flatMap { e =>
+            val t = e.ts.getTime
+            prev match {
+              case Some(p) if t <= p.lastTs && !(t == p.lastTs && e.event_type == p.lastType) =>
+                // strictly-late straggler: its true position in the
+                // user's sequence is already consumed — drop, never
+                // fabricate a backward transition
+                None
+              case Some(p) =>
+                prev = Some(TransState(t, e.event_type))
+                Some(Transition(uid, p.lastType, e.event_type, e.ts))
+              case None =>
+                prev = Some(TransState(t, e.event_type))
+                None
+            }
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** The reference's staged upsert, streaming-ified: each micro-batch
     * runs the master-table merge inside `foreachBatch`, mirroring how
     * each hourly DAG run merges `incoming_*` into `all_*`
@@ -390,5 +449,67 @@ object StreamingOps {
         semanticDedupBatch(batch, batchId, idCol, vecCol, statePath, outPath,
           threshold, bands, bitsPerBand)
       }
+  }
+
+  /** State COMPACTION for the incremental admission paths: drop the
+    * state rows of documents that were later REMOVED by curation, so a
+    * near-dup of a removed document is once again admissible and the
+    * state store stops growing monotonically. Works on both stores —
+    * the MinHash signature state ([[dedupBatch]]'s `sigPath`) and the
+    * int8 semantic code state ([[semanticDedupBatch]]'s `statePath`)
+    * — because both are parquet directories keyed by `idCol` with a
+    * `batch=<id>` partition layout, which compaction PRESERVES (the
+    * retry-exclusion filter in both batch runners keys on that
+    * column).
+    *
+    * Admission is a pure function of the stored state (the q75/q92
+    * audits), so after compaction the system behaves exactly as if
+    * the removed documents had never been admitted — the
+    * StreamingSpec cross-check. Months of daily increments then hold
+    * state proportional to the LIVE corpus, not the all-time admitted
+    * set.
+    *
+    * Write-new-then-swap with the [[foreachBatchMerge]] crash
+    * discipline: the state stays readable throughout, a crash between
+    * the rotation renames leaves `.old` as the recoverable
+    * pre-compaction state, and every rename is checked. After the
+    * swap each surviving `batch=<id>` partition gets its `_SUCCESS`
+    * marker re-created so the batch runners' committed-batch check
+    * still holds for already-processed batch ids. No-op (state left
+    * byte-identical) when the store does not exist yet.
+    */
+  def compactState(spark: SparkSession, statePath: String,
+                   removedIds: DataFrame, idCol: String): Unit = {
+    val master = new HPath(statePath)
+    val fs = master.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nonEmptyDir(p: HPath) = fs.exists(p) && fs.listStatus(p).nonEmpty
+    def mustRename(src: HPath, dst: HPath): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"rename $src -> $dst failed")
+    val old = new HPath(statePath + ".old")
+    val base =
+      if (nonEmptyDir(master)) spark.read.parquet(statePath)
+      else if (nonEmptyDir(old)) spark.read.parquet(old.toString)
+      else return
+    val kept = base.join(removedIds.select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+    val partitioned = base.columns.contains("batch")
+    val tmp = new HPath(statePath + ".next")
+    val w = kept.write.mode("overwrite")
+    (if (partitioned) w.partitionBy("batch") else w).parquet(tmp.toString)
+    if (fs.exists(master)) {
+      if (fs.exists(old) && !fs.delete(old, true))
+        throw new java.io.IOException(s"delete $old failed")
+      mustRename(master, old)
+    }
+    mustRename(tmp, master)
+    if (partitioned) {
+      // partitionBy leaves one top-level _SUCCESS; the batch runners
+      // check per-partition markers, so restore them for the batches
+      // that still hold rows
+      fs.listStatus(master).filter(_.isDirectory)
+        .filter(_.getPath.getName.startsWith("batch="))
+        .foreach(s => fs.create(new HPath(s.getPath, "_SUCCESS"), true).close())
+    }
   }
 }

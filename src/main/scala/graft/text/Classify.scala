@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
 /** Counts-based text classification and importance weighting — the two
   * model-driven curation steps big-corpus pipelines run that are pure
@@ -86,20 +87,35 @@ object Classify {
   /** Train on labeled documents: one explode + two aggregations + one
     * #labels-row action (the per-label scalars), nothing else on the
     * driver.
+    *
+    * `minPairCount` is a min-df model floor: (label, feature) pairs
+    * observed fewer than that many times are DROPPED from `tokenLogs`
+    * (scoring then treats them as unseen — the add-one identity makes
+    * that exact: their term falls from ln(c+1) to ln(1) = 0, every
+    * retained pair scores unchanged). The per-label totals T_l and the
+    * vocabulary size V are computed BEFORE the floor, so `log_denom`
+    * is untouched and floored models stay score-comparable to full
+    * ones on retained features. Character-n-gram models are heavy-
+    * tailed (half the observed grams are near-hapax), so a floor of
+    * 2–3 shrinks the model frame — the scoring join's build side —
+    * severalfold while moving scores only by dropped ~ln(2) terms that
+    * carry no discriminative mass.
     */
   def trainNaiveBayes(docs: DataFrame, labelCol: String,
-                      textCol: String): NbModel =
-    trainNb(docs, labelCol, normTokens(col(textCol)))
+                      textCol: String, minPairCount: Int = 1): NbModel =
+    trainNb(docs, labelCol, normTokens(col(textCol)), minPairCount)
 
   /** Character-n-gram variant of [[trainNaiveBayes]] — the language-ID
     * configuration. Same model shape, same scoring machinery.
     */
   def trainNaiveBayesChar(docs: DataFrame, labelCol: String,
-                          textCol: String, n: Int = 3): NbModel =
-    trainNb(docs, labelCol, charNgrams(col(textCol), n))
+                          textCol: String, n: Int = 3,
+                          minPairCount: Int = 1): NbModel =
+    trainNb(docs, labelCol, charNgrams(col(textCol), n), minPairCount)
 
   private def trainNb(docs: DataFrame, labelCol: String,
-                      features: Column): NbModel = {
+                      features: Column, minPairCount: Int = 1): NbModel = {
+    require(minPairCount >= 1, "minPairCount must be >= 1")
     val toks = docs.select(col(labelCol).as("label"),
       explode(features).as("w"))
     // aggregate on the 8-byte xxhash64 of the feature, not the feature
@@ -127,7 +143,9 @@ object Classify {
       // while `pair` is cached, releases the training cache here, and
       // leaves the model resident for the scoring joins it exists for
       .localCheckpoint(true)
-    val tokenLogs = pair.select(col("w_hash"), col("label"),
+    val floored =
+      if (minPairCount > 1) pair.filter(col("c") >= minPairCount) else pair
+    val tokenLogs = floored.select(col("w_hash"), col("label"),
       log(col("c").cast("double") + 1.0).as("log_c1"))
       .localCheckpoint(true)
     pair.unpersist()
@@ -202,11 +220,56 @@ object Classify {
     * Scale shape: one token explode → one (group, word) count with
     * map-side combine; corpus-wide word counts derive from it
     * (#groups-fold smaller); group totals are a #groups-row broadcast;
-    * the rest-of-corpus counts are pure subtractions. The only window
-    * partitions by group over each group's OBSERVED vocabulary.
+    * the rest-of-corpus counts are pure subtractions. The per-group
+    * top-k runs on the bounded-heap [[graft.expressions.TopKAgg]] —
+    * partial aggregation reduces every map partition to ≤ k rows per
+    * group BEFORE the shuffle, so a web-scale group's observed
+    * vocabulary (Heaps-law 10⁸–10⁹ distinct tokens for an "en" slice
+    * of a 100 TB corpus) never serializes through one task the way a
+    * `Window.partitionBy(group)` rank would. The count columns ride
+    * back via a broadcast join of the k×#groups winner list against
+    * the scored frame — one map-side pass, no extra shuffle.
     */
   def distinctiveTerms(docs: DataFrame, groupCol: String, textCol: String,
-                       k: Int, priorMass: Double = 500.0): DataFrame = {
+                       k: Int, priorMass: Double = 500.0): DataFrame =
+    distinctiveTermsImpl(docs, groupCol, textCol, k, priorMass, heap = true)
+
+  /** Un-materialized form of the heap variant: returns the result
+    * frame BEFORE the localCheckpoint barrier plus the cache handles
+    * the caller must release. Exposed so PlanShapeSpec can assert the
+    * actual physical plan (the public method's checkpoint collapses it
+    * to a LogicalRDD scan, which would make a "no Window" assertion
+    * vacuous).
+    */
+  private[graft] def distinctiveTermsBuild(
+      docs: DataFrame, groupCol: String, textCol: String,
+      k: Int, priorMass: Double = 500.0): (DataFrame, Seq[DataFrame]) =
+    distinctiveTermsBuildImpl(docs, groupCol, textCol, k, priorMass, heap = true)
+
+  /** Window-rank reference form of [[distinctiveTerms]] — kept ONLY as
+    * the spec's equivalence oracle (ClassifySpec skew fixture); its
+    * per-group window serializes a group's whole vocabulary through one
+    * task, which is exactly what the heap form exists to avoid. Not
+    * wired to any query.
+    */
+  private[graft] def distinctiveTermsWindowed(
+      docs: DataFrame, groupCol: String, textCol: String,
+      k: Int, priorMass: Double = 500.0): DataFrame =
+    distinctiveTermsImpl(docs, groupCol, textCol, k, priorMass, heap = false)
+
+  private def distinctiveTermsImpl(docs: DataFrame, groupCol: String,
+                                   textCol: String, k: Int,
+                                   priorMass: Double, heap: Boolean): DataFrame = {
+    val (built, caches) =
+      distinctiveTermsBuildImpl(docs, groupCol, textCol, k, priorMass, heap)
+    val out = built.localCheckpoint(true)
+    caches.foreach(_.unpersist())
+    out
+  }
+
+  private def distinctiveTermsBuildImpl(
+      docs: DataFrame, groupCol: String, textCol: String, k: Int,
+      priorMass: Double, heap: Boolean): (DataFrame, Seq[DataFrame]) = {
     require(k > 0 && priorMass > 0, "k and priorMass must be positive")
     val toks = docs.select(col(groupCol).as("group"),
       explode(normTokens(col(textCol))).as("w"))
@@ -232,15 +295,28 @@ object Classify {
       .withColumn("z", round(col("__d") /
         sqrt(lit(1.0) / (col("ygw").cast("double") + col("__aw"))
           + lit(1.0) / (col("__yrest") + col("__aw"))), 6))
-    val w = Window.partitionBy("group").orderBy(col("z").desc, col("w").asc)
-    val out = scored
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
+    val (ranked, caches) =
+      if (heap) {
+        // (z DESC, w ASC-by-UTF8) is TopKAgg's exact ordering, and
+        // (group, w) is unique in `scored`, so the heap winners are
+        // row-identical to the window rank. scored is consumed twice
+        // (heap pass + count-recovery join) — persist it, not just gw.
+        scored.persist()
+        val winners = scored.groupBy("group")
+          .agg(graft.expressions.TopKAgg.topKFor(StringType, k)(
+            col("w"), col("z")).as("__top"))
+          .select(col("group"), explode(col("__top")).as("__e"))
+          .select(col("group"), col("__e.id").as("w"))
+        (scored.join(broadcast(winners), Seq("group", "w")), Seq(gw, scored))
+      } else {
+        val w = Window.partitionBy("group").orderBy(col("z").desc, col("w").asc)
+        (scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k),
+          Seq(gw))
+      }
+    val out = ranked
       .select(col("group").as(groupCol), col("w").as("term"),
         col("ygw").as("n_in_group"), col("yw").as("n_corpus"), col("z"))
-      .localCheckpoint(true)
-    gw.unpersist()
-    out
+    (out, caches)
   }
 
   /** DSIR importance weights: ln p_target(d) − ln p_raw(d) under

@@ -131,6 +131,38 @@ class ClassifySpec extends SparkSpec {
     assert(out(12L) === (("aa", 0L)))
   }
 
+  test("min-df model floor: near-hapax pairs drop from tokenLogs, " +
+    "T_l/V stay pre-floor (log_denom unchanged), retained pairs score " +
+    "identically, and label separation is preserved") {
+    // 'commonword' repeats (survives any floor ≤ 3); each doc also
+    // carries a hapax that a floor of 2 must drop
+    val train = Seq(
+      (1L, "aa", "alpha alpha alpha rarex"),
+      (2L, "aa", "alpha alpha rarey"),
+      (3L, "bb", "bravo bravo bravo rarez"),
+      (4L, "bb", "bravo bravo rarew")).toDF("doc_id", "label", "text")
+    val full = Classify.trainNaiveBayes(train, "label", "text")
+    val floored = Classify.trainNaiveBayes(train, "label", "text",
+      minPairCount = 2)
+    // the floor actually removed the hapax rows…
+    assert(floored.tokenLogs.count() < full.tokenLogs.count())
+    // …but the class scalars are bit-identical (T_l, V pre-floor)
+    def cls(m: Classify.NbModel) = m.classes.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(cls(floored) === cls(full))
+    // retained (label, token) pairs carry the same log(c+1)
+    val fullLogs = full.tokenLogs.collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+    floored.tokenLogs.collect().foreach { r =>
+      assert(fullLogs((r.getLong(0), r.getString(1))) === r.getDouble(2))
+    }
+    // label separation preserved: the signature words still classify
+    val test = Seq((10L, "alpha alpha"), (11L, "bravo")).toDF("doc_id", "text")
+    val preds = Classify.scoreNaiveBayes(test, "doc_id", "text", floored)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds === Map(10L -> "aa", 11L -> "bb"))
+  }
+
   test("distinctiveTerms: the group's signature word ranks first and " +
     "the z matches an independent JDK recomputation of the Monroe " +
     "et al. formula") {
@@ -163,6 +195,36 @@ class ClassifySpec extends SparkSpec {
     // signature words in both groups
     val sharedZ = out.filter(_._2 == "shared").map(_._5)
     assert(sharedZ.forall(s => math.abs(s) < byGroup("a").head._5))
+  }
+
+  test("distinctiveTerms: bounded-heap form ≡ window-rank form on a " +
+    "skewed fixture where one group holds ~90% of the vocabulary " +
+    "(ties, k larger than a small group's vocab, single-word group)") {
+    // group "big": 180 distinct words (w000..w179, frequencies varying
+    // so z ties occur among same-count words); "small": 19 words;
+    // "tiny": 1 word — k=25 exceeds both small groups' vocabularies
+    val bigDocs = (0 until 180).grouped(12).zipWithIndex.map {
+      case (ws, i) =>
+        (i.toLong, "big",
+          ws.map(w => (f"w$w%03d " * (1 + w % 3)).trim).mkString(" "))
+    }.toSeq
+    val smallDocs = Seq(
+      (1000L, "small", (0 until 19).map(w => f"s$w%02d").mkString(" ")),
+      (1001L, "small", "s00 s01 s02"),
+      (1002L, "tiny", "lone lone lone"))
+    val docs = (bigDocs ++ smallDocs).toDF("doc_id", "label", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val heap = rows(Classify.distinctiveTerms(docs, "label", "text",
+      k = 25, priorMass = 50.0))
+    val win = rows(Classify.distinctiveTermsWindowed(docs, "label", "text",
+      k = 25, priorMass = 50.0))
+    assert(heap === win)
+    // the skew actually exists: big contributes 25 rows (capped), the
+    // small groups all of theirs
+    val perGroup = heap.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perGroup === Map("big" -> 25, "small" -> 19, "tiny" -> 1))
   }
 
   test("dsirWeights: every corpus doc gets a row; feature-free docs " +

@@ -121,6 +121,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "model joins must be keyed, never cartesian")
   }
 
+  test("q130 distinctive terms: no window over the vocab-sized scored " +
+    "frame — top-k is the bounded-heap aggregate, count recovery is a " +
+    "broadcast join (asserted on the pre-checkpoint plan)") {
+    val docs = Seq((1L, "a", "x y z"), (2L, "b", "x q")).toDF("doc_id", "label", "text")
+    val (built, caches) = graft.text.Classify
+      .distinctiveTermsBuild(docs, "label", "text", k = 2)
+    try {
+      val p = built.queryExecution.explainString(SimpleMode)
+      assert(!p.contains("Window"),
+        "per-group top-k must run on TopKAgg, not a vocab-sized window rank")
+      assert(p.contains("BroadcastHashJoin"),
+        "winner-list count recovery must be a broadcast join")
+    } finally caches.foreach(_.unpersist(blocking = false))
+  }
+
   test("q95 int8 ANN: query side broadcast in BOTH stages, no sort-merge " +
     "join before the bounded-heap aggregates") {
     val p = plan("q95_knn_int8_rerank")

@@ -79,6 +79,83 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStreaming ≡ sessionizeBucketed: the streaming and " +
+    "batch-bucketed forms produce the same session set on a fixture " +
+    "spanning micro-batches, bucket boundaries, and both gap shapes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // user 1: events straddling a 1-hour bucket boundary with gaps
+    // below AND above 10 min; user 2: one lone event; user 3: steady
+    // drip that never gaps (one long session across three buckets)
+    val evs = Seq(
+      Event(1, t(100), "a"), Event(1, t(400), "b"),          // s1
+      Event(1, t(3500), "c"), Event(1, t(3700), "a"),        // s2 (straddles 3600)
+      Event(1, t(8000), "b"),                                // s3
+      Event(2, t(500), "a"),                                 // lone
+      Event(3, t(3000), "a"), Event(3, t(3550), "b"),
+      Event(3, t(4100), "c"), Event(3, t(4650), "a"))        // one session
+    val in = MemoryStream[Event]
+    val q = StreamingOps.sessionizeStreaming(in.toDS(), gapMs = 600000L,
+      watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_twin").outputMode("append").start()
+    try {
+      // deliver in three event-time-ordered micro-batches, then a
+      // far-future event to advance the watermark past every timeout
+      val sorted = evs.sortBy(_.ts.getTime)
+      sorted.grouped(4).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      in.addData(Event(99, t(10000000), "x")); q.processAllAvailable()
+      in.addData(Event(99, t(20000000), "x")); q.processAllAvailable()
+      val stream = spark.table("sess_twin").as[StreamingOps.Session].collect()
+        .filter(_.user_id != 99L)
+        .map(s => (s.user_id, s.session_start.getTime * 1000L,
+          s.session_end.getTime * 1000L, s.n_events.toLong)).toSet
+      // batch rows: (user, session_seq, n_events, first_ts_us, last_ts_us)
+      val batchSet = graft.operators.AnalyticsOps.sessionizeBucketed(
+        evs.toDF("user_id", "ts", "event_type")
+          .withColumn("event_id", col("ts").cast("long")),
+        gapSecs = 600L, bucketSecs = 3600L, userCol = "user_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(2))).toSet
+      assert(stream === batchSet,
+        s"stream $stream\nbatch $batchSet")
+      assert(stream.count(_._1 == 1L) === 3, "user 1 has three sessions")
+    } finally q.stop()
+  }
+
+  test("transitionsStreaming ≡ transitionCounts: the per-user transition " +
+    "rows aggregated over micro-batches match the batch matrix, and a " +
+    "strictly-late straggler is dropped, never emitted backward") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val evs = Seq(
+      Event(1, t(100), "a"), Event(1, t(200), "b"), Event(1, t(3900), "a"),
+      Event(1, t(4000), "c"),                       // crosses hour bucket
+      Event(2, t(150), "b"), Event(2, t(250), "b"), // self-transition
+      Event(3, t(500), "c"))                        // lone: no transitions
+    val in = MemoryStream[Event]
+    val q = StreamingOps.transitionsStreaming(in.toDS(), "0 seconds")
+      .writeStream.format("memory").queryName("trans_twin").outputMode("append").start()
+    try {
+      val sorted = evs.sortBy(_.ts.getTime)
+      sorted.grouped(3).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      // straggler BEFORE user 1's consumed history: must vanish
+      in.addData(Event(1, t(50), "z")); q.processAllAvailable()
+      val stream = spark.table("trans_twin")
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("n_transitions"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      val batch = graft.operators.AnalyticsOps.transitionCounts(
+        evs.toDF("user_id", "ts", "event_type")
+          .withColumn("event_id", col("ts").cast("long")),
+        userCol = "user_id", bucketSecs = 3600L)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(stream === batch, s"stream $stream\nbatch $batch")
+      assert(!stream.exists(e => e._1 == "z" || e._2 == "z"),
+        "dropped straggler must not fabricate transitions")
+    } finally q.stop()
+  }
+
   test("streamingDedup drops watermark-window duplicates") {
     val dir = java.nio.file.Files.createTempDirectory("sdedup").toFile
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -254,6 +331,64 @@ class StreamingSpec extends SparkSpec {
     val ids = spark.read.parquet(outP).select("doc_id").as[Long].collect().toSet
     assert(ids === Set(1L, 2L, 11L), s"near-dup 10 must be rejected, got $ids")
     assert(spark.read.parquet(sigP).count() === 3)
+  }
+
+  test("compactState: admit → curate-drop → compact → re-admit behaves " +
+    "identically to never-admitted, for BOTH the MinHash signature " +
+    "state and the int8 semantic state; surviving batch partitions " +
+    "keep their _SUCCESS markers") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toFile
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "wholly different document about relational database engines"
+
+    // ---- MinHash path ----
+    val sigP = new java.io.File(dir, "sigs").getPath
+    val outP = new java.io.File(dir, "out").getPath
+    StreamingOps.dedupBatch(
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"),
+      batchId = 0L, "doc_id", "text", sigP, outP, threshold = 0.7)
+    assert(spark.read.parquet(sigP).count() === 2)
+    // without compaction, a near-dup of doc 2 is rejected
+    StreamingOps.dedupBatch(
+      Seq((10L, other + " extra")).toDF("doc_id", "text"),
+      batchId = 1L, "doc_id", "text", sigP, outP, threshold = 0.7)
+    assert(!spark.read.parquet(outP).select("doc_id").as[Long]
+      .collect().contains(10L), "pre-compaction near-dup must be rejected")
+    // curation drops doc 2 → compact → the same near-dup is admissible
+    StreamingOps.compactState(spark, sigP,
+      Seq(2L).toDF("doc_id"), "doc_id")
+    val sigsAfter = spark.read.parquet(sigP)
+    assert(sigsAfter.select("doc_id").as[Long].collect().toSet === Set(1L),
+      "doc 2's signature retired (doc 10 was never admitted, holds no state)")
+    assert(new java.io.File(sigP, "batch=0/_SUCCESS").exists(),
+      "surviving batch partition must keep its committed marker")
+    StreamingOps.dedupBatch(
+      Seq((11L, other + " extra")).toDF("doc_id", "text"),
+      batchId = 2L, "doc_id", "text", sigP, outP, threshold = 0.7)
+    assert(spark.read.parquet(outP).select("doc_id").as[Long]
+      .collect().contains(11L),
+      "post-compaction the dropped doc's near-dup admits — as if never admitted")
+
+    // ---- semantic path ----
+    def vec(x: Double, y: Double) = Array.tabulate(8)(i =>
+      if (i == 0) x.toFloat else if (i == 1) y.toFloat else 0.0f)
+    val stP = new java.io.File(dir, "sem_state").getPath
+    val soP = new java.io.File(dir, "sem_out").getPath
+    StreamingOps.semanticDedupBatch(
+      Seq((1L, vec(1.0, 0.0)), (2L, vec(0.0, 1.0))).toDF("doc_id", "vec"),
+      batchId = 0L, "doc_id", "vec", stP, soP, threshold = 0.9)
+    StreamingOps.semanticDedupBatch(
+      Seq((10L, vec(0.01, 1.0))).toDF("doc_id", "vec"),
+      batchId = 1L, "doc_id", "vec", stP, soP, threshold = 0.9)
+    assert(!spark.read.parquet(soP).select("doc_id").as[Long]
+      .collect().contains(10L), "cosine near-dup of doc 2 must be rejected")
+    StreamingOps.compactState(spark, stP, Seq(2L).toDF("doc_id"), "doc_id")
+    StreamingOps.semanticDedupBatch(
+      Seq((11L, vec(0.01, 1.0))).toDF("doc_id", "vec"),
+      batchId = 2L, "doc_id", "vec", stP, soP, threshold = 0.9)
+    assert(spark.read.parquet(soP).select("doc_id").as[Long]
+      .collect().contains(11L),
+      "post-compaction the semantic near-dup admits — as if never admitted")
   }
 
   test("dedupBatch: a retried batch id is idempotent, and a half-committed " +
