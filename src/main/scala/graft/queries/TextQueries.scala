@@ -274,8 +274,98 @@ object TextQueries {
       Ann.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
         .select(col("vec_id"), round(col("scale"), 6).as("scale"),
           concat_ws(",", col("qvec")).as("qvec_csv"))
+    }),
+
+    // learned-merges BPE tokenizer training (Sennrich 2016): the merge
+    // table IS the model — rank order and pair counts must match an
+    // engine-independent recomputation exactly (DuckDB oracle unrolls
+    // the identical iterations as a MATERIALIZED-CTE chain)
+    "q156_bpe_merges" -> ((s, d) => {
+      graft.text.Bpe.train(Tables.documents(s, d), "text", BpeNumMerges)
+        .merges.select("rank", "a", "b", "n_pairs")
+    }),
+
+    // per-document token counts under the trained model — the
+    // budgeting-grade replacement for the q23 regex estimate
+    "q157_bpe_token_counts" -> ((s, d) => {
+      val docs  = Tables.documents(s, d)
+      val model = graft.text.Bpe.train(docs, "text", BpeNumMerges)
+      graft.text.Bpe.tokenCounts(docs, "doc_id", "text", model)
     })
   )
+
+  /** Merge count for the q156/q157 oracle pair: deep enough that the
+    * merge table contains multi-char symbols merging with each other
+    * (not just char+char), small enough that the unrolled oracle and
+    * the 2-jobs-per-iteration training loop stay cheap at bench time.
+    */
+  private val BpeNumMerges = 20
+
+  /** Unrolled BPE-training CTE chain for the DuckDB oracle: w0 is the
+    * word histogram with each word's characters bracket-wrapped in
+    * U+001F; each level i derives pair counts (p_i), the argmax merge
+    * (m_i — count DESC, then (a, b) ASC, the engine's exact
+    * tie-break), and the rewritten histogram (w_i) via the same
+    * boundary-bracketed `replace` the engine executes. MATERIALIZED is
+    * load-bearing: w_i and m_i are each consumed more than once, and
+    * DuckDB's default CTE inlining would double the tree per level —
+    * 2^20 subplans by the last merge.
+    */
+  private def bpeCtes(n: Int): String = {
+    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    val parts = Seq.newBuilder[String]
+    parts += s"""w0 AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+       |    array_to_string(list_transform(string_split(word, ''),
+       |      c -> chr(31)||c||chr(31)), '') AS wrapped
+       |  FROM (SELECT unnest(regexp_extract_all(text, '$pat')) AS word
+       |        FROM documents)
+       |  WHERE NOT contains(word, chr(31))
+       |  GROUP BY word)""".stripMargin
+    for (i <- 1 to n) {
+      parts += s"""p$i AS MATERIALIZED (
+         |  SELECT s.syms[u.i] AS a, s.syms[u.i+1] AS b,
+         |    CAST(sum(s.cnt) AS BIGINT) AS n_pairs
+         |  FROM (SELECT cnt,
+         |          string_split(trim(wrapped, chr(31)), chr(31)||chr(31)) AS syms
+         |        FROM w${i - 1}) s,
+         |    unnest(generate_series(1, len(s.syms)-1)) AS u(i)
+         |  GROUP BY 1, 2)""".stripMargin
+      parts += s"""m$i AS MATERIALIZED (
+         |  SELECT a, b, n_pairs FROM p$i ORDER BY n_pairs DESC, a, b LIMIT 1)""".stripMargin
+      parts += s"""w$i AS MATERIALIZED (
+         |  SELECT word, cnt,
+         |    CASE WHEN (SELECT count(*) FROM m$i) = 0 THEN wrapped
+         |         ELSE replace(wrapped,
+         |           chr(31)||(SELECT a FROM m$i)||chr(31)||chr(31)||(SELECT b FROM m$i)||chr(31),
+         |           chr(31)||(SELECT a FROM m$i)||(SELECT b FROM m$i)||chr(31)) END AS wrapped
+         |  FROM w${i - 1})""".stripMargin
+    }
+    "WITH " + parts.result().mkString(",\n")
+  }
+
+  private def bpeMergesOracle(n: Int): String =
+    bpeCtes(n) + "\n" + (1 to n)
+      .map(i => s"SELECT CAST($i AS INTEGER) AS rank, a, b, n_pairs FROM m$i")
+      .mkString("\nUNION ALL ")
+
+  private def bpeCountsOracle(n: Int): String = {
+    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    bpeCtes(n) + s""",
+       |vocab AS MATERIALIZED (
+       |  SELECT word,
+       |    len(string_split(trim(wrapped, chr(31)), chr(31)||chr(31))) AS nt
+       |  FROM w$n),
+       |occ AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '$pat')) AS word
+       |  FROM documents),
+       |perdoc AS (
+       |  SELECT o.doc_id,
+       |    sum(CASE WHEN v.word IS NULL THEN length(o.word) ELSE v.nt END) AS t
+       |  FROM occ o LEFT JOIN vocab v ON o.word = v.word GROUP BY o.doc_id)
+       |SELECT d.doc_id, CAST(coalesce(p.t, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+  }
 
   private val jaccardOracle: String =
     s"""WITH sh AS (
@@ -774,6 +864,10 @@ object TextQueries {
         |FROM (
         |  SELECT vec_id, embedding,
         |    list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') AS scale
-        |  FROM embeddings)""".stripMargin
+        |  FROM embeddings)""".stripMargin,
+
+    "q156_bpe_merges" -> bpeMergesOracle(BpeNumMerges),
+
+    "q157_bpe_token_counts" -> bpeCountsOracle(BpeNumMerges)
   )
 }
