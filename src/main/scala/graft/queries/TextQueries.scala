@@ -291,13 +291,38 @@ object TextQueries {
       val docs  = Tables.documents(s, d)
       val model = graft.text.Bpe.train(docs, "text", BpeNumMerges)
       graft.text.Bpe.tokenCounts(docs, "doc_id", "text", model)
+    }),
+
+    // deterministic int8 k-means: assignments must match the oracle's
+    // replay of the SAME Lloyd iterations row-for-row — possible only
+    // because every step is exact integer / floor-double arithmetic
+    "q158_kmeans_clusters" -> ((s, d) =>
+      graft.similarity.KmeansInt8.fitAssignFloat(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        k = KmK, iters = KmIters)),
+
+    // cluster-balanced sampling: at most N vectors per semantic
+    // cluster by salted-hash order — the diversity cap a curation
+    // pipeline applies before expensive per-doc processing
+    "q159_cluster_balanced_sample" -> ((s, d) => {
+      val assigned = graft.similarity.KmeansInt8.fitAssignFloat(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        k = KmK, iters = KmIters)
+      graft.operators.SplitOps.sampleKPerGroup(
+        assigned, "vec_id", "cell", k = KmSampleK)
     })
   )
+
+  private val KmK = 8
+  private val KmIters = 3
+  private val KmSampleK = 30
+  /** embeddings fixture dimensionality (all SFs). */
+  private val KmDims = 64
 
   /** Merge count for the q156/q157 oracle pair: deep enough that the
     * merge table contains multi-char symbols merging with each other
     * (not just char+char), small enough that the unrolled oracle and
-    * the 2-jobs-per-iteration training loop stay cheap at bench time.
+    * the one-job-per-merge training loop stay cheap at bench time.
     */
   private val BpeNumMerges = 20
 
@@ -348,6 +373,64 @@ object TextQueries {
     bpeCtes(n) + "\n" + (1 to n)
       .map(i => s"SELECT CAST($i AS INTEGER) AS rank, a, b, n_pairs FROM m$i")
       .mkString("\nUNION ALL ")
+
+  /** Unrolled int8-k-means CTE chain: q = the q89 quantization, c0 =
+    * md5-order seeds, then per iteration an assignment (integer
+    * squared distance, argmin tie on lower cell) and a centroid
+    * update (floor of the exact per-dim mean; empty cells keep the
+    * previous centroid via the LEFT JOIN coalesce). MATERIALIZED for
+    * the same inlining reason as the BPE chain.
+    */
+  private def kmeansCtes(k: Int, iters: Int, dims: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += s"""q AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CASE WHEN scale = 0 THEN 0
+       |                ELSE CAST(floor(x / scale * 127 + 0.5) AS BIGINT) END) AS qv
+       |  FROM (SELECT vec_id, embedding,
+       |          list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') AS scale
+       |        FROM embeddings))""".stripMargin
+    parts += s"""c0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+       |         qv AS cent
+       |  FROM (SELECT vec_id, qv FROM q
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k))""".stripMargin
+    for (i <- 1 to iters + 1) {
+      parts += s"""a$i AS MATERIALIZED (
+         |  SELECT vec_id, cell, dist FROM (
+         |    SELECT t.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM (SELECT q.vec_id, c.cell,
+         |            list_sum(list_transform(generate_series(1, $dims),
+         |              i -> (q.qv[i]-c.cent[i])*(q.qv[i]-c.cent[i]))) AS dist
+         |          FROM q, c${i - 1} c) t) WHERE rn = 1)""".stripMargin
+      if (i <= iters)
+        parts += s"""c$i AS MATERIALIZED (
+           |  SELECT p.cell, coalesce(n.cent, p.cent) AS cent
+           |  FROM c${i - 1} p LEFT JOIN (
+           |    SELECT cell, list(CAST(floor(s::DOUBLE / n) AS BIGINT) ORDER BY i) AS cent
+           |    FROM (SELECT a.cell, u.i, sum(q.qv[u.i]) AS s, count(*) AS n
+           |          FROM a$i a JOIN q USING (vec_id), unnest(generate_series(1, $dims)) u(i)
+           |          GROUP BY a.cell, u.i)
+           |    GROUP BY cell) n ON p.cell = n.cell)""".stripMargin
+    }
+    "WITH " + parts.result().mkString(",\n")
+  }
+
+  private def kmeansOracle(k: Int, iters: Int, dims: Int): String =
+    kmeansCtes(k, iters, dims) + s"""
+       |SELECT vec_id, CAST(cell AS INTEGER) AS cell, CAST(dist AS BIGINT) AS dist
+       |FROM a${iters + 1}""".stripMargin
+
+  private def kmeansSampleOracle(k: Int, iters: Int, dims: Int, n: Int): String =
+    kmeansCtes(k, iters, dims) + s"""
+       |SELECT CAST(cell AS INTEGER) AS cell, CAST(rank AS INTEGER) AS sample_rank, vec_id FROM (
+       |  SELECT cell, vec_id,
+       |    row_number() OVER (PARTITION BY cell
+       |      ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '|holdout'), 1, 8))::UBIGINT DESC,
+       |               vec_id ASC) AS rank
+       |  FROM a${iters + 1})
+       |WHERE rank <= $n""".stripMargin
 
   private def bpeCountsOracle(n: Int): String = {
     val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -868,6 +951,11 @@ object TextQueries {
 
     "q156_bpe_merges" -> bpeMergesOracle(BpeNumMerges),
 
-    "q157_bpe_token_counts" -> bpeCountsOracle(BpeNumMerges)
+    "q157_bpe_token_counts" -> bpeCountsOracle(BpeNumMerges),
+
+    "q158_kmeans_clusters" -> kmeansOracle(KmK, KmIters, KmDims),
+
+    "q159_cluster_balanced_sample" ->
+      kmeansSampleOracle(KmK, KmIters, KmDims, KmSampleK)
   )
 }

@@ -1,0 +1,111 @@
+package graft
+
+import graft.similarity.KmeansInt8
+import org.apache.spark.sql.functions._
+
+class KmeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent in-JVM Lloyd reference with the engine's exact
+    * contract: md5-order seeding, integer squared distance, lower-cell
+    * tie-break, floor(Σ/n) centroid update, empty cells keep the
+    * previous centroid.
+    */
+  private def refKmeans(points: Map[Long, Array[Long]], k: Int, iters: Int)
+      : Map[Long, (Int, Long)] = {
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val seeds = points.keys.toSeq.sortBy(id => (md5hex(id.toString), id)).take(k)
+    var cents: IndexedSeq[Array[Long]] = seeds.map(points(_).clone()).toIndexedSeq
+    def assign(): Map[Long, (Int, Long)] = points.map { case (id, v) =>
+      val scored = cents.zipWithIndex.map { case (c, j) =>
+        (v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, j)
+      }
+      val best = scored.min
+      id -> ((best._2, best._1))
+    }
+    for (_ <- 1 to iters) {
+      val a = assign()
+      val next = cents.map(_.clone()).toArray
+      a.groupBy(_._2._1).foreach { case (cell, members) =>
+        val vs = members.keys.map(points(_)).toSeq
+        val d = vs.head.length
+        next(cell) = Array.tabulate(d) { j =>
+          math.floor(vs.map(_(j)).sum.toDouble / vs.size).toLong
+        }
+      }
+      cents = next.toIndexedSeq
+    }
+    assign()
+  }
+
+  private def codesDf(points: Map[Long, Array[Long]]) =
+    points.toSeq.map { case (id, v) => (id, v.map(_.toInt).toSeq) }
+      .toDF("id", "qv")
+
+  test("fit+assign equals the independent reference on a seeded random " +
+    "fixture (assignments AND distances)") {
+    val rnd = new scala.util.Random(7)
+    val points = (1L to 120L).map { id =>
+      id -> Array.fill(8)((rnd.nextInt(255) - 127).toLong)
+    }.toMap
+    val model = KmeansInt8.fit(codesDf(points), "id", "qv", k = 5, iters = 3)
+    val got = KmeansInt8.assign(codesDf(points), "id", "qv", model)
+      .as[(Long, Int, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got === refKmeans(points, 5, 3))
+  }
+
+  test("well-separated blobs: members co-cluster and blobs separate") {
+    // blob A around +100, blob B around -100 in every dim
+    val points = ((1L to 20L).map(id => id -> Array.fill(4)(100L + id % 3)) ++
+      (21L to 40L).map(id => id -> Array.fill(4)(-100L - id % 3))).toMap
+    val model = KmeansInt8.fit(codesDf(points), "id", "qv", k = 2, iters = 4)
+    val got = KmeansInt8.assign(codesDf(points), "id", "qv", model)
+      .as[(Long, Int, Long)].collect().map(t => t._1 -> t._2).toMap
+    val cellsA = (1L to 20L).map(got).toSet
+    val cellsB = (21L to 40L).map(got).toSet
+    assert(cellsA.size === 1 && cellsB.size === 1 && cellsA != cellsB)
+  }
+
+  test("argmin tie-break picks the lower cell id") {
+    // with iters = 0 the model is exactly the md5-ordered seeds; a
+    // probe equidistant to both seeds must land in cell 0
+    val seedsOnly = Map(1L -> Array(0L, 0L), 2L -> Array(4L, 0L))
+    val model = KmeansInt8.fit(codesDf(seedsOnly), "id", "qv", k = 2, iters = 0)
+    // seeds sorted by (md5("1"), md5("2")) — find which is cell 0
+    val probe = Seq((99L, Seq(2, 0))).toDF("id", "qv") // dist 4 to both
+    val cell = KmeansInt8.assign(probe, "id", "qv", model)
+      .select("cell").as[Int].head()
+    assert(cell === 0)
+  }
+
+  test("empty cell keeps its previous centroid") {
+    // k = 3 over 3 distinct points, two of them identical-adjacent so
+    // one centroid ends up memberless after the first update
+    val points = Map(
+      1L -> Array(0L, 0L), 2L -> Array(1L, 0L), 3L -> Array(100L, 100L))
+    val model0 = KmeansInt8.fit(codesDf(points), "id", "qv", k = 3, iters = 0)
+    val model1 = KmeansInt8.fit(codesDf(points), "id", "qv", k = 3, iters = 1)
+    // every cell still has a centroid of the right dimensionality
+    assert(model1.centroids.size === 3)
+    assert(model1.centroids.forall(_.length === 2))
+    // any cell whose assignment was empty in iteration 1 is unchanged
+    val assigned0 = KmeansInt8.assign(codesDf(points), "id", "qv", model0)
+      .select("cell").as[Int].collect().toSet
+    (0 until 3).filterNot(assigned0).foreach { emptyCell =>
+      assert(model1.centroids(emptyCell).toSeq === model0.centroids(emptyCell).toSeq)
+    }
+  }
+
+  test("assign is map-only: no exchange in the assignment plan") {
+    val points = (1L to 50L).map(id => id -> Array.fill(4)(id % 7)).toMap
+    val model = KmeansInt8.fit(codesDf(points), "id", "qv", k = 3, iters = 1)
+    val plan = KmeansInt8.assign(codesDf(points), "id", "qv", model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"assignment must be a map-only pass against broadcast literals:\n$plan")
+  }
+}
