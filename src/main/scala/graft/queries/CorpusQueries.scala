@@ -362,10 +362,13 @@ object CorpusQueries {
       // minPairCount=3 floors the near-hapax gram tail out of the model
       // frame (the scoring join's build side) — T_l and V stay
       // pre-floor so retained grams score identically (oracle mirrors
-      // the floor in its sparse join)
-      val model = graft.text.Classify.trainNaiveBayesChar(docs, "lang", "text",
+      // the floor in its sparse join). The fused path shares ONE
+      // persisted gram frame between training and scoring (the
+      // explode+hash corpus pass is the dominant cost and the
+      // separate-stage form pays it twice; ClassifySpec proves fused ≡
+      // unfused)
+      graft.text.Classify.trainScoreSelfChar(docs, "lang", "doc_id", "text",
         minPairCount = 3)
-      graft.text.Classify.scoreNaiveBayesChar(docs, "doc_id", "text", model)
     }),
 
     // fastText-style domain classifier as multinomial Naive Bayes:

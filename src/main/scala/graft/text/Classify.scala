@@ -197,6 +197,82 @@ object Classify {
         col("n_tokens").cast("long").as("n_tokens"))
   }
 
+  /** Fused self-train-and-score for the SELF-SUPERVISED configuration
+    * (language-ID bootstrapping, quality-gating a corpus on its own
+    * labels — the q131 shape): semantically identical to
+    * [[trainNaiveBayesChar]] followed by [[scoreNaiveBayesChar]] on
+    * the same documents, but the char-n-gram explode + hash — the
+    * corpus-sized cost that dominates both stages — runs ONCE into a
+    * persisted (id, label, w_hash) frame shared by the training
+    * aggregation and the scoring join (measured: the separate-stage
+    * form pays the explode twice, ~2× the corpus-pass cost of this).
+    * The per-doc token total is recovered as Σ within-doc counts from
+    * the (id, w_hash) pre-aggregate — equal by construction to the
+    * gram-array size the unfused scorer uses — and zero-gram
+    * documents (empty/NULL text) re-enter via a left join to score on
+    * the prior alone, exactly as in [[scoreNb]]. The cache is
+    * released before returning; the result is checkpoint-backed so it
+    * does not recompute through the released cache.
+    */
+  def trainScoreSelfChar(docs: DataFrame, labelCol: String, idCol: String,
+                         textCol: String, n: Int = 3,
+                         minPairCount: Int = 1): DataFrame = {
+    require(minPairCount >= 1, "minPairCount must be >= 1")
+    val g = docs
+      .select(col(idCol), col(labelCol).as("label"),
+        explode(charNgrams(col(textCol), n)).as("w"))
+      .select(col(idCol), col("label"), xxhash64(col("w")).as("w_hash"))
+      .persist()
+
+    // ---- training (the trainNb aggregation, reading the shared frame)
+    val pair = g.groupBy(col("label"), col("w_hash"))
+      .agg(count(lit(1)).as("c"))
+    pair.persist()
+    val v = pair.select("w_hash").distinct().count()
+    val docCounts = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("nd"))
+    val total = docs.count()
+    require(total > 0 && v > 0, "training corpus is empty")
+    val classes = pair.groupBy("label").agg(sum("c").as("tl"))
+      .join(docCounts, Seq("label"), "right")
+      .select(col("label"),
+        (log(col("nd").cast("double")) - log(lit(total.toDouble))).as("log_prior"),
+        log(coalesce(col("tl"), lit(0L)).cast("double") + v.toDouble).as("log_denom"))
+      .localCheckpoint(true)
+    val floored =
+      if (minPairCount > 1) pair.filter(col("c") >= minPairCount) else pair
+    val tokenLogs = floored.select(col("w_hash"), col("label"),
+      log(col("c").cast("double") + 1.0).as("log_c1"))
+      .localCheckpoint(true)
+    pair.unpersist(blocking = false)
+
+    // ---- scoring (the scoreNb pipeline, reading the shared frame)
+    val tokRows = g.groupBy(col(idCol), col("w_hash"))
+      .agg(count(lit(1)).as("__n"))
+    tokRows.persist()
+    val perDoc = tokRows.groupBy(col(idCol)).agg(sum("__n").as("__nt"))
+    val base = docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__nt"), lit(0L)).as("n_tokens"))
+    val sparse = tokRows.join(tokenLogs, "w_hash")
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("__n").cast("double") * col("log_c1")).as("__num"))
+    val dense = base
+      .crossJoin(broadcast(classes))
+      .join(sparse, Seq(idCol, "label"), "left")
+      .withColumn("__score", col("log_prior") + coalesce(col("__num"), lit(0.0))
+        - col("n_tokens").cast("double") * col("log_denom"))
+    val w = Window.partitionBy(idCol).orderBy(col("__score").desc, col("label").asc)
+    val out = dense.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("label").as("pred_label"),
+        round(col("__score"), 6).as("score"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .localCheckpoint(true)
+    tokRows.unpersist(blocking = false)
+    g.unpersist(blocking = false)
+    out
+  }
+
   /** Group-distinctive terms — the "Fightin' Words" method (Monroe,
     * Colaresi & Quinn 2008, "Fightin' Words: Lexical Feature Selection
     * and Evaluation for Identifying the Content of Political

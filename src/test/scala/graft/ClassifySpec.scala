@@ -227,6 +227,31 @@ class ClassifySpec extends SparkSpec {
     assert(perGroup === Map("big" -> 25, "small" -> 19, "tiny" -> 1))
   }
 
+  test("trainScoreSelfChar: fused path ≡ separate train+score on a " +
+    "fixture with empty, NULL, and sub-n-gram docs, floored and not") {
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog repeatedly"),
+      (2L, "en", "another english sentence with the usual small words"),
+      (3L, "de", "der schnelle braune fuchs springt immer wieder"),
+      (4L, "de", "noch ein deutscher satz mit den ueblichen woertern"),
+      (5L, "en", ""),                          // zero grams -> prior only
+      (6L, "de", null.asInstanceOf[String]),   // NULL text -> prior only
+      (7L, "en", "ab"))                        // shorter than n=3
+      .toDF("doc_id", "lang", "text")
+    for (floor <- Seq(1, 2)) {
+      val model = Classify.trainNaiveBayesChar(docs, "lang", "text",
+        minPairCount = floor)
+      val want = Classify.scoreNaiveBayesChar(docs, "doc_id", "text", model)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getDouble(2), r.getLong(3)))).toMap
+      val got = Classify.trainScoreSelfChar(docs, "lang", "doc_id", "text",
+        minPairCount = floor)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getDouble(2), r.getLong(3)))).toMap
+      assert(got === want, s"floor=$floor")
+    }
+  }
+
   test("dsirWeights: every corpus doc gets a row; feature-free docs " +
     "carry weight 0.0") {
     val docs = Seq(
