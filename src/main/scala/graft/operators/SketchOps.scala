@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.expressions.TopKAgg
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -136,5 +137,95 @@ object SketchOps {
     probes.join(counters, Seq("sketch_row", "bucket"), "left")
       .groupBy(valueCol)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
+
+  /** HDR-histogram-style deterministic quantile sketch (the
+    * log-linear bucketing popularized by Gil Tene's HdrHistogram):
+    * non-negative long values map to a bucket index that is EXACT
+    * below 2^p and keeps the top p significand bits above it, so the
+    * relative quantile error is bounded by 2^(1−p) while the state is
+    * ≤ ~64·2^p counter rows whatever the input. Like KMV and
+    * Count-Min, the sketch is a pure deterministic function of the
+    * input MULTISET — counters merge by sum, and build/estimate
+    * reproduce bit-identically across engines, partitionings, and
+    * retries (t-digest/GK sketches are merge-order-dependent, which
+    * is why they cannot sit behind this engine's oracle gate).
+    *
+    * Index (v ≥ 0, e = bitlen(v)−1):
+    *   v < 2^p          → v                         (exact region)
+    *   otherwise        → (e−p+1)·2^p + (v div 2^(e−p) − 2^p)
+    * The index is monotone in v, so bucket order IS value order and a
+    * cumulative count walk answers rank queries. All arithmetic is
+    * integer (binary string length, integer division by an exact
+    * power of two) — the q151 discipline.
+    *
+    * Scale shape: ONE map-side-combined (group, bucket) aggregation;
+    * the shuffle carries ≤ #groups·64·2^p counter rows. NULL and
+    * negative values are excluded (a latency/size histogram has
+    * neither; callers offset signed domains first).
+    */
+  def hdrBuild(df: DataFrame, groupCol: String, valueCol: String,
+               p: Int = 5): DataFrame = {
+    require(p >= 1 && p <= 12, s"hdrBuild needs 1 <= p <= 12, got $p")
+    val twoP = 1L << p
+    val base = df
+      .filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .select(col(groupCol).as("__g"), col(valueCol).cast(LongType).as("__v"))
+      .withColumn("__e", (length(bin(col("__v"))) - 1).cast(LongType))
+      .withColumn("__p2",
+        pow(lit(2.0), (col("__e") - p).cast(DoubleType)).cast(LongType))
+    base
+      .withColumn("bucket",
+        when(col("__v") < twoP, col("__v"))
+          .otherwise((col("__e") - p + 1) * twoP +
+            (expr("__v div __p2") - twoP)))
+      .groupBy(col("__g").as(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Lower bound of a bucket's value range — the deterministic value
+    * every rank inside the bucket reports. Inverse of the index map.
+    */
+  def hdrBucketLo(bucket: Column, p: Int): Column = {
+    val twoP = 1L << p
+    val block = bucket.cast(LongType).divide(lit(twoP)).cast(LongType)
+    val off = pmod(bucket.cast(LongType), lit(twoP))
+    // e = block + p − 1; lo = (2^p + off) · 2^(e−p)
+    when(bucket < twoP, bucket.cast(LongType))
+      .otherwise((lit(twoP) + off) *
+        pow(lit(2.0), (block - 1).cast(DoubleType)).cast(LongType))
+  }
+
+  /** Answer quantiles from a [[hdrBuild]] counter table: for each
+    * group and each q, the lower bound of the bucket holding rank
+    * ceil(q·N) (1-based; q in (0, 1]) — the conservative
+    * "at least ceil(q·N) observations are ≤ this bucket" convention.
+    * The rank product q·N is evaluated in DOUBLE with a fixed
+    * operation order (the q93 contract; oracles must cast their q
+    * literals to DOUBLE — DuckDB parses bare decimals as DECIMAL and
+    * would round differently at exact-integer boundaries).
+    *
+    * The per-group cumulative walk is a window over the COUNTER rows
+    * — bounded at ~64·2^p by construction, never data-sized, so the
+    * per-group partition is safe at any corpus scale.
+    */
+  def hdrQuantiles(sketch: DataFrame, groupCol: String,
+                   qs: Seq[Double], p: Int = 5): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), "q in (0, 1]")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(groupCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(groupCol)
+    val cum = sketch
+      .withColumn("__cum", sum("cnt").over(w))
+      .withColumn("__n", sum("cnt").over(wn))
+    val qDf = broadcast(qs.toDF("q"))
+    cum.crossJoin(qDf)
+      .filter(col("__cum") >= ceil(col("q") * col("__n").cast(DoubleType)))
+      .groupBy(col(groupCol), col("q"))
+      .agg(min("bucket").as("__b"))
+      .select(col(groupCol), col("q"),
+        hdrBucketLo(col("__b"), p).as("est_lo"))
   }
 }

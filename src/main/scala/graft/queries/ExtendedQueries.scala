@@ -43,6 +43,21 @@ object ExtendedQueries {
       graft.operators.SketchOps.kmvDistinct(Tables.events(s, d),
         "event_type", "user_id", k = 64)),
 
+    // HDR-histogram quantile sketch per event type: log-linear integer
+    // bucketing (exact below 2^5, top-5-significand-bits above),
+    // bounded counter state, rank answered by a cumulative walk over
+    // the ≤ ~64·2^5 counter rows — the mergeable, engine-exact
+    // quantile complement to KMV (distincts) and Count-Min (counts)
+    "q160_hdr_quantiles" -> ((s, d) => {
+      val vals = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("value") * 1000).cast("long").as("v_milli"))
+      val sk = graft.operators.SketchOps.hdrBuild(vals, "event_type",
+        "v_milli", p = 5)
+      graft.operators.SketchOps.hdrQuantiles(sk, "event_type",
+        Seq(0.5, 0.9, 0.99), p = 5)
+    }),
+
     // ordered conversion funnel view→click→purchase with
     // earliest-completion semantics: each step joins the previous
     // step's #users-row (user, ts) frame and min-aggregates
@@ -561,6 +576,40 @@ object ExtendedQueries {
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM act JOIN fu USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    // the same log-linear bucket index, cumulative walk, and bucket
+    // lower-bound inversion; q literals cast to DOUBLE so the rank
+    // product matches Spark's IEEE arithmetic (DuckDB parses bare
+    // decimals as DECIMAL)
+    "q160_hdr_quantiles" ->
+      """WITH vals AS (
+        |  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND value >= 0
+        |), idx AS (
+        |  SELECT event_type,
+        |    CASE WHEN v < 32 THEN v
+        |         ELSE (length(bin(v)) - 5) * 32
+        |              + (v // CAST(pow(2, length(bin(v)) - 6) AS BIGINT) - 32)
+        |    END AS bucket
+        |  FROM vals
+        |), sk AS (
+        |  SELECT event_type, bucket, count(*) AS cnt FROM idx GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, bucket,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS c,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM sk
+        |), qs AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q),
+        |pick AS (
+        |  SELECT event_type, q, min(bucket) AS b
+        |  FROM cum, qs WHERE c >= ceil(q * CAST(n AS DOUBLE))
+        |  GROUP BY 1, 2
+        |)
+        |SELECT event_type, q,
+        |  CAST(CASE WHEN b < 32 THEN b
+        |            ELSE (32 + b % 32) * CAST(pow(2, b // 32 - 1) AS BIGINT)
+        |       END AS BIGINT) AS est_lo
+        |FROM pick""".stripMargin,
 
     // window-rank recomputation of the k smallest distinct hashes per
     // group (full-hash lexicographic order = the engine's UTF-8 byte

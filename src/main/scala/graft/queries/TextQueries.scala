@@ -301,6 +301,16 @@ object TextQueries {
         Tables.embeddings(s, d), "vec_id", "embedding",
         k = KmK, iters = KmIters)),
 
+    // tokenizer-eval report: fertility (BPE tokens per word) and
+    // chars-per-token by language under the trained merges — the
+    // numbers that expose multilingual budgeting distortion before
+    // token-count-keyed sampling bakes it in
+    "q161_bpe_fertility" -> ((s, d) => {
+      val docs  = Tables.documents(s, d)
+      val model = graft.text.Bpe.train(docs, "text", BpeNumMerges)
+      graft.text.Bpe.fertilityByGroup(docs, "lang", "text", model)
+    }),
+
     // cluster-balanced sampling: at most N vectors per semantic
     // cluster by salted-hash order — the diversity cap a curation
     // pipeline applies before expensive per-doc processing
@@ -448,6 +458,28 @@ object TextQueries {
        |  FROM occ o LEFT JOIN vocab v ON o.word = v.word GROUP BY o.doc_id)
        |SELECT d.doc_id, CAST(coalesce(p.t, 0) AS BIGINT) AS n_bpe_tokens
        |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+  }
+
+  private def bpeFertilityOracle(n: Int): String = {
+    val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    bpeCtes(n) + s""",
+       |vocab AS MATERIALIZED (
+       |  SELECT word,
+       |    len(string_split(trim(wrapped, chr(31)), chr(31)||chr(31))) AS nt
+       |  FROM w$n),
+       |occ AS (
+       |  SELECT lang, unnest(regexp_extract_all(text, '$pat')) AS word
+       |  FROM documents),
+       |agg AS (
+       |  SELECT o.lang,
+       |    CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(CASE WHEN v.word IS NULL THEN length(o.word) ELSE v.nt END) AS BIGINT) AS n_bpe_tokens,
+       |    CAST(sum(length(o.word)) AS BIGINT) AS n_chars
+       |  FROM occ o LEFT JOIN vocab v ON o.word = v.word GROUP BY o.lang)
+       |SELECT lang, n_words, n_bpe_tokens,
+       |  round(CAST(n_bpe_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 4) AS fertility,
+       |  round(CAST(n_chars AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE), 4) AS chars_per_token
+       |FROM agg""".stripMargin
   }
 
   private val jaccardOracle: String =
@@ -952,6 +984,8 @@ object TextQueries {
     "q156_bpe_merges" -> bpeMergesOracle(BpeNumMerges),
 
     "q157_bpe_token_counts" -> bpeCountsOracle(BpeNumMerges),
+
+    "q161_bpe_fertility" -> bpeFertilityOracle(BpeNumMerges),
 
     "q158_kmeans_clusters" -> kmeansOracle(KmK, KmIters, KmDims),
 

@@ -235,4 +235,43 @@ object Bpe {
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
+
+  /** Tokenizer-evaluation report per group (typically language):
+    * FERTILITY (BPE tokens per word) and compression (characters per
+    * BPE token) — the standard metrics for how well a learned
+    * vocabulary fits each slice of the corpus (a tokenizer trained on
+    * English text shows elevated fertility on other languages, the
+    * classic multilingual-budgeting distortion these numbers expose
+    * BEFORE token-count-keyed sampling bakes it in).
+    *
+    * Scale shape: one explode + (group, word) pre-aggregate (the
+    * word-histogram pass sliced by group), one word-keyed join
+    * against the vocab frame, one #groups-row aggregate. Ratios are
+    * single double divisions of exact integer sums, rounded to 4.
+    */
+  def fertilityByGroup(corpus: DataFrame, groupCol: String,
+                       textCol: String, model: BpeModel): DataFrame = {
+    val occ = corpus
+      .select(col(groupCol), explode(
+        regexp_extract_all(col(textCol), lit(TextOps.BpeishPattern), lit(0)))
+        .as("word"))
+      .groupBy(col(groupCol), col("word"))
+      .agg(count(lit(1)).as("__occ"))
+    occ
+      .join(model.vocabSegs.select(col("word"), col("n_tokens")),
+        Seq("word"), "left")
+      .withColumn("__nt",
+        coalesce(col("n_tokens"), length(col("word"))).cast(LongType))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("__occ")).as("n_words"),
+        sum(col("__occ") * col("__nt")).as("n_bpe_tokens"),
+        sum(col("__occ") * length(col("word")).cast(LongType)).as("__chars"))
+      .select(col(groupCol),
+        col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast(DoubleType) /
+          col("n_words").cast(DoubleType), 4).as("fertility"),
+        round(col("__chars").cast(DoubleType) /
+          col("n_bpe_tokens").cast(DoubleType), 4).as("chars_per_token"))
+  }
 }

@@ -123,6 +123,23 @@ class BpeSpec extends SparkSpec {
     assert(weird.toSeq === Seq(3)) // atomic fallback: char length
   }
 
+  test("fertilityByGroup: hand-computed tokens-per-word and " +
+    "chars-per-token; groups differ when the vocabulary fits unequally") {
+    val docs = Seq(("en", "ab ab cd"), ("de", "cd cd")).toDF("lang", "text")
+    // corpus-wide pair counts: (c,d)=3 beats (a,b)=2 — the single
+    // merge learns (c,d), fitting "de" perfectly and "en" poorly
+    val model = Bpe.train(docs, "text", 1)
+    val out = Bpe.fertilityByGroup(docs, "lang", "text", model)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    // en: ab,ab,cd -> 2+2+1 = 5 tokens over 3 words; 6 chars
+    assert(out("en") === ((3L, 5L, 1.6667, 1.2)))
+    // de: cd,cd -> 1+1 = 2 tokens over 2 words (fertility 1.0): the
+    // group the vocabulary was effectively trained FOR — the
+    // multilingual distortion signal is the en/de fertility gap
+    assert(out("de") === ((2L, 2L, 1.0, 2.0)))
+  }
+
   test("tokenCounts: per-doc totals match a hand count, NULL/empty text " +
     "counts zero, unseen words fall back to merge replay") {
     val train = corpusOf(Seq("ab ab ab cd"))

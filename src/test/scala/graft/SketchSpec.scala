@@ -147,4 +147,55 @@ class SketchSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(m === single)
   }
+
+  test("hdr quantile sketch: bucket index monotone, exact region " +
+    "exact, relative error bounded, counters merge by sum") {
+    import graft.operators.SketchOps
+    import spark.implicits._
+    val p = 5
+    val rnd = new scala.util.Random(11)
+    // heavy-tailed values spanning exact and log-linear regions
+    val values = (1 to 2000).map(_ =>
+      math.floor(math.exp(rnd.nextDouble() * 14)).toLong)
+    val df = values.map(("g", _)).toDF("g", "v")
+
+    // bucket index is monotone in v (bucket order IS value order)
+    val sorted = values.sorted
+    val bucketed = SketchOps.hdrBuild(
+      sorted.zipWithIndex.map { case (v, i) => (i, v) }.toDF("g", "v"),
+      "g", "v", p)
+    // rebuild per-value buckets via a 1-group-per-value frame
+    val perVal = bucketed.orderBy("g").select("bucket").as[Long].collect()
+    assert(perVal.zip(perVal.tail).forall { case (a, b) => a <= b },
+      "bucket index must be monotone in the value")
+
+    // exact region: all values < 2^p report themselves
+    val small = (0L until 32L).map(("s", _)).toDF("g", "v")
+    val smallQ = SketchOps.hdrQuantiles(
+      SketchOps.hdrBuild(small, "g", "v", p), "g", Seq(0.5), p)
+      .select("est_lo").as[Long].head()
+    assert(smallQ === 15L) // rank ceil(0.5·32)=16 → value 15 (0-based run)
+
+    // relative error vs the exact quantile
+    val sk = SketchOps.hdrBuild(df, "g", "v", p)
+    val qs = Seq(0.5, 0.9, 0.99)
+    val est = SketchOps.hdrQuantiles(sk, "g", qs, p)
+      .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    qs.foreach { q =>
+      val exact = sorted(math.ceil(q * sorted.size).toInt - 1)
+      val lo = est(q)
+      assert(lo <= exact, s"q=$q: lower bound $lo must not exceed exact $exact")
+      assert(exact <= lo + math.max(lo >> (p - 1), 1L),
+        s"q=$q: exact $exact outside bucket [$lo, ${lo + math.max(lo >> (p - 1), 1L)}]")
+    }
+
+    // merge: two halves' counters summed == one build
+    val (h1, h2) = values.splitAt(1000)
+    val merged = SketchOps.hdrBuild(h1.map(("g", _)).toDF("g", "v"), "g", "v", p)
+      .unionByName(SketchOps.hdrBuild(h2.map(("g", _)).toDF("g", "v"), "g", "v", p))
+      .groupBy("g", "bucket").agg(sum("cnt").as("cnt"))
+    val mm = merged.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val ss = sk.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(mm === ss)
+  }
 }
