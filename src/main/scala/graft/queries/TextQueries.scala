@@ -293,6 +293,14 @@ object TextQueries {
       graft.text.Bpe.tokenCounts(docs, "doc_id", "text", model)
     }),
 
+    // exact phrase search over the positional inverted index — the
+    // repeated-term phrase stresses the overlap contract (each
+    // occurrence counts, including overlapping ones, which regex
+    // non-overlapping scans get wrong)
+    "q162_phrase_search" -> ((s, d) =>
+      graft.text.Search.phraseCount(Tables.documents(s, d),
+        "doc_id", "text", Seq("batch", "batch"))),
+
     // deterministic int8 k-means: assignments must match the oracle's
     // replay of the SAME Lloyd iterations row-for-row — possible only
     // because every step is exact integer / floor-double arithmetic
@@ -986,6 +994,20 @@ object TextQueries {
     "q157_bpe_token_counts" -> bpeCountsOracle(BpeNumMerges),
 
     "q161_bpe_fertility" -> bpeFertilityOracle(BpeNumMerges),
+
+    // explicit position walk (overlap-correct where a regex scan is
+    // not); the tokens convention matches the q26 oracle
+    "q162_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        |), m AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(generate_series(1, len(t) - 1),
+        |      i -> CASE WHEN t[i] = 'batch' AND t[i+1] = 'batch' THEN 1 ELSE 0 END)) AS n
+        |  FROM toks WHERE len(t) >= 2
+        |)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_matches FROM m WHERE n > 0""".stripMargin,
 
     "q158_kmeans_clusters" -> kmeansOracle(KmK, KmIters, KmDims),
 
