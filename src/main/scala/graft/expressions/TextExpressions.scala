@@ -59,3 +59,125 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }
+
+/** Fused normalize → char-n-gram → xxhash64 in ONE pass over the
+  * string — the hot-path form of
+  * `transform(sequence(...), i -> substr(normalizeText(s), i, n))`
+  * followed by `xxhash64(gram)`: that chain runs two regex engines,
+  * allocates every n-char gram as a UTF8String, and hashes it;
+  * this expression emits the IDENTICAL hash values (XXH64 seed 42
+  * over each gram's UTF-8 bytes — bit-equal to `xxhash64(gram)` by
+  * construction, which CharNgramHashesSpec asserts elementwise
+  * against the composed chain) with zero per-gram allocation on the
+  * all-ASCII fast path.
+  *
+  * Normalization contract (= [[graft.text.TextOps.normalizeText]]):
+  * lowercase, drop every char outside \p{L}\p{N}\s, collapse \s+
+  * runs to one space, trim spaces. The ASCII fast path streams that
+  * in one byte scan; non-ASCII strings replicate the chain with the
+  * SAME JDK primitives Spark itself uses (String.toLowerCase, the
+  * same java.util.regex patterns), then window by CODE POINTS as
+  * Spark's substr does. Interpreted eval (CodegenFallback) — the
+  * fused pass replaces two regex engines and the per-gram
+  * allocation, which dominate (the TextStats precedent).
+  *
+  * NULL in → NULL out (the explode consumer drops either form).
+  */
+case class CharNgramHashes(child: Expression, n: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(n >= 1 && n <= 32, s"char n-gram length out of range: $n")
+
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"char_ngram_hashes expects string, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val hashes: Array[Long] =
+      if (u.isFullAscii) CharNgramHashes.asciiHashes(u.getBytes, n)
+      else CharNgramHashes.unicodeHashes(u.toString, n)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(hashes)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramHashes =
+    copy(child = newChild)
+}
+
+object CharNgramHashes {
+  private val Seed = 42L
+  private val StripPattern = java.util.regex.Pattern.compile("[^\\p{L}\\p{N}\\s]")
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  def column(c: Column, n: Int): Column =
+    ColumnBridge.toColumn(CharNgramHashes(ColumnBridge.toExpression(c), n))
+
+  private def isAsciiWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** One streaming byte pass: lowercase, keep [a-z0-9], fold \s runs
+    * to a single interior space, trim edges — then hash each n-byte
+    * window in place (ASCII bytes ARE the gram's UTF-8 bytes).
+    */
+  private[expressions] def asciiHashes(bytes: Array[Byte], n: Int): Array[Long] = {
+    val buf = new Array[Byte](bytes.length)
+    var len = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < bytes.length) {
+      var b = bytes(i)
+      if (b >= 'A' && b <= 'Z') b = (b + 32).toByte
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        if (pendingSpace && len > 0) { buf(len) = ' '; len += 1 }
+        pendingSpace = false
+        buf(len) = b; len += 1
+      } else if (isAsciiWs(b)) {
+        pendingSpace = true
+      } // anything else: stripped
+      i += 1
+    }
+    val count = math.max(len - n + 1, 0)
+    val out = new Array[Long](count)
+    var j = 0
+    while (j < count) {
+      out(j) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + j, n, Seed)
+      j += 1
+    }
+    out
+  }
+
+  /** Non-ASCII: replicate the Catalyst chain with the same JDK
+    * primitives Spark executes (default-locale String.toLowerCase =
+    * UTF8String.toLowerCase's non-ASCII fallback; the same regex
+    * patterns), window by code points as substr does.
+    */
+  private[expressions] def unicodeHashes(s: String, n: Int): Array[Long] = {
+    val lower = s.toLowerCase
+    val stripped = StripPattern.matcher(lower).replaceAll("")
+    val collapsed = WsPattern.matcher(stripped).replaceAll(" ")
+    var a = 0; var b = collapsed.length
+    while (a < b && collapsed.charAt(a) == ' ') a += 1
+    while (b > a && collapsed.charAt(b - 1) == ' ') b -= 1
+    val t = collapsed.substring(a, b)
+    val cps = t.codePoints().toArray
+    val count = math.max(cps.length - n + 1, 0)
+    val out = new Array[Long](count)
+    var j = 0
+    while (j < count) {
+      val gram = new String(cps, j, n)
+      val gb = gram.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out(j) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        gb, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, gb.length, Seed)
+      j += 1
+    }
+    out
+  }
+}

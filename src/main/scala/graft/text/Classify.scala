@@ -218,10 +218,15 @@ object Classify {
                          textCol: String, n: Int = 3,
                          minPairCount: Int = 1): DataFrame = {
     require(minPairCount >= 1, "minPairCount must be >= 1")
+    // the fused normalize→gram→hash expression emits hash values
+    // bit-equal to xxhash64(substr(normalizeText(s), i, n)) in one
+    // string pass (CharNgramHashesSpec asserts the equality
+    // elementwise), so this frame is identical to the composed-chain
+    // form, just cheaper to produce
     val g = docs
       .select(col(idCol), col(labelCol).as("label"),
-        explode(charNgrams(col(textCol), n)).as("w"))
-      .select(col(idCol), col("label"), xxhash64(col("w")).as("w_hash"))
+        explode(graft.expressions.CharNgramHashes.column(col(textCol), n))
+          .as("w_hash"))
       .persist()
 
     // ---- training (the trainNb aggregation, reading the shared frame)
