@@ -181,3 +181,62 @@ object CharNgramHashes {
     out
   }
 }
+
+/** Per-document Shannon entropy over the character (code point)
+  * distribution — the compression-style quality signal (low-entropy
+  * docs are boilerplate/repetition; implausibly high entropy is
+  * binary junk or encoding damage) that complements the Gopher
+  * length/ratio rules. ONE map-only pass per row: a code-point
+  * frequency map, then −Σ p·ln p accumulated in ASCENDING code-point
+  * order — a FIXED summation order, so the oracle reproduces the
+  * value by folding its per-char counts sorted by character (UTF-8
+  * byte order = code-point order), with only last-ulp libm ln
+  * differences left for the caller's rounding to absorb.
+  * Empty string → 0.0; NULL in → NULL out.
+  */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types.DoubleType
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"char_entropy expects string, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var n = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    if (n == 0L) 0.0
+    else {
+      var acc = 0.0
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val p = it.next().toDouble / n.toDouble
+        acc += p * math.log(p)
+      }
+      -acc
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
+object CharEntropy {
+  def column(c: Column): Column =
+    ColumnBridge.toColumn(CharEntropy(ColumnBridge.toExpression(c)))
+}

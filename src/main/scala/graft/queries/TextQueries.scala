@@ -293,6 +293,16 @@ object TextQueries {
       graft.text.Bpe.tokenCounts(docs, "doc_id", "text", model)
     }),
 
+    // per-doc character entropy: the compression-style quality signal
+    // (low = boilerplate/repetition, implausibly high = binary junk);
+    // one map-only fused pass, fixed code-point summation order so
+    // the oracle folds its sorted per-char counts to the same double
+    "q163_char_entropy" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        round(coalesce(
+          graft.expressions.CharEntropy.column(col("text")), lit(0.0)), 6)
+          .as("char_entropy"))),
+
     // exact phrase search over the positional inverted index — the
     // repeated-term phrase stresses the overlap contract (each
     // occurrence counts, including overlapping ones, which regex
@@ -994,6 +1004,25 @@ object TextQueries {
     "q157_bpe_token_counts" -> bpeCountsOracle(BpeNumMerges),
 
     "q161_bpe_fertility" -> bpeFertilityOracle(BpeNumMerges),
+
+    // per-char counts folded in list order after a sort by character
+    // (UTF-8 byte order = code-point order, the engine's summation
+    // order); list_sum is sequential so the double accumulation order
+    // matches, leaving only last-ulp ln differences for round(6)
+    "q163_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        |), cnt AS (
+        |  SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT doc_id, CAST(sum(k) AS DOUBLE) AS n, list(k ORDER BY c) AS ks
+        |  FROM cnt GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  round(coalesce(-list_sum(list_transform(a.ks,
+        |    k -> (k / a.n) * ln(k / a.n))), 0), 6) AS char_entropy
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // explicit position walk (overlap-correct where a regex scan is
     // not); the tokens convention matches the q26 oracle

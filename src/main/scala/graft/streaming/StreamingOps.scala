@@ -236,6 +236,75 @@ object StreamingOps {
       }
   }
 
+  final case class FunnelState(completions: Seq[Long])
+  final case class FunnelCompletion(user_id: Long, step_idx: Int,
+                                    step: String, ts: java.sql.Timestamp)
+
+  /** Streaming twin of [[graft.operators.AnalyticsOps.funnel]]: emits
+    * one row per (user, step) the FIRST time the user completes that
+    * step under the batch operator's exact semantics — step i counts
+    * at the earliest event of its type STRICTLY after the step-i−1
+    * completion (and within `maxGapSecs` of it when set). State per
+    * user is #steps longs (the completion timestamps) — flat in
+    * stream length, the signature-only-state discipline.
+    *
+    * Within a micro-batch events sort by (ts, event_type); because a
+    * completion, once set, is the MINIMUM the batch form would pick
+    * only under in-order delivery, cross-batch stragglers older than
+    * an already-set completion are dropped (the transitionsStreaming
+    * contract): re-opening a completed step would retract emitted
+    * rows, which Append mode cannot express. In-order replay
+    * reproduces the batch funnel exactly (StreamingSpec cross-check);
+    * the counts report is `groupBy(step_idx).count` downstream.
+    */
+  def funnelStreaming(events: Dataset[Event], steps: Seq[String],
+                      watermarkDelay: String,
+                      maxGapSecs: Option[Long] = None): Dataset[FunnelCompletion] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxGapSecs.forall(_ > 0), "conversion window must be positive")
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay)
+      else events
+    src
+      .filter(e => stepIdx.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelCompletion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, evs, state: GroupState[FunnelState]) =>
+          val comps = state.getOption
+            .map(_.completions.toArray)
+            .getOrElse(Array.fill(steps.size)(Long.MinValue))
+          // MICROsecond precision throughout — the batch operator
+          // compares unix_micros, and ms truncation would flip the
+          // strictly-after rule on sub-ms data
+          def micros(ts: java.sql.Timestamp): Long =
+            math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+          val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_type))
+          val out = Seq.newBuilder[FunnelCompletion]
+          sorted.foreach { e =>
+            val i = stepIdx(e.event_type)
+            val t = micros(e.ts)
+            if (comps(i) == Long.MinValue) {
+              val prevOk =
+                if (i == 0) true
+                else comps(i - 1) != Long.MinValue && t > comps(i - 1) &&
+                  maxGapSecs.forall(g => t - comps(i - 1) <= g * 1000000L)
+              if (prevOk) {
+                comps(i) = t
+                out += FunnelCompletion(uid, i + 1, steps(i), e.ts)
+              }
+            }
+            // an event for an already-completed step, or one that fails
+            // the strictly-after/window rule, contributes nothing —
+            // identical to the batch min-chain under in-order delivery
+          }
+          state.update(FunnelState(comps.toSeq))
+          out.result().iterator
+      }
+  }
+
   /** The reference's staged upsert, streaming-ified: each micro-batch
     * runs the master-table merge inside `foreachBatch`, mirroring how
     * each hourly DAG run merges `incoming_*` into `all_*`

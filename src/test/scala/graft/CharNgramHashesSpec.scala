@@ -68,6 +68,30 @@ class CharNgramHashesSpec extends SparkSpec {
     assert(out(1) === out(2))
   }
 
+  test("char entropy: hand-computed values, code-point counting on " +
+    "astral pairs, NULL/empty handling") {
+    import graft.expressions.CharEntropy
+    val rows = Seq(
+      (1, "aabb"),     // two symbols, p = 1/2 each -> ln 2
+      (2, "abcd"),     // uniform over 4 -> ln 4
+      (3, "aaaa"),     // single symbol -> 0
+      (4, ""),
+      (5, null.asInstanceOf[String]),
+      (6, "😀😀🙂🙂")) // astral pairs: 2 symbols by CODE POINT -> ln 2
+      .toDF("id", "s")
+      .select(col("id"), CharEntropy.column(col("s")).as("e"))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val ln2 = math.log(2.0); val ln4 = math.log(4.0)
+    assert(math.abs(rows(1).get - ln2) < 1e-12)
+    assert(math.abs(rows(2).get - ln4) < 1e-12)
+    assert(rows(3).get === 0.0)
+    assert(rows(4).get === 0.0)
+    assert(rows(5) === None)
+    assert(math.abs(rows(6).get - ln2) < 1e-12,
+      "astral chars must count as one code point each")
+  }
+
   test("n = 1 and long n behave: windows and counts") {
     val out = Seq(("abc d")).toDF("s")
       .select(CharNgramHashes.column(col("s"), 1).as("h1"),

@@ -156,6 +156,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStreaming ≡ batch funnel: per-step user counts match over " +
+    "an in-order multi-batch replay, with and without a conversion " +
+    "window; a straggler older than a set completion is dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val steps = Seq("view", "click", "purchase")
+    val evs = Seq(
+      // user 1 completes all three
+      Event(1, t(100), "view"), Event(1, t(200), "click"),
+      Event(1, t(300), "purchase"),
+      // user 2: click BEFORE view never counts; completes two steps
+      Event(2, t(90), "click"), Event(2, t(150), "view"),
+      Event(2, t(260), "click"),
+      // user 3: view only, plus an off-funnel type
+      Event(3, t(500), "view"), Event(3, t(600), "other"),
+      // user 4: same-instant click can't be strictly after its view
+      Event(4, t(700), "view"), Event(4, t(700), "click"))
+    for (gap <- Seq(None, Some(100L))) {
+      val name = s"funnel_twin_${gap.getOrElse(0L)}"
+      val in = MemoryStream[Event]
+      val q = StreamingOps.funnelStreaming(in.toDS(), steps, "0 seconds", gap)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        evs.sortBy(_.ts.getTime).grouped(3)
+          .foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        // straggler: user 1 "view" at t=50 — earlier than the consumed
+        // completion; must be dropped, not re-open the funnel
+        in.addData(Event(1, t(50), "view")); q.processAllAvailable()
+        val stream = spark.table(name)
+          .groupBy("step_idx", "step").agg(count(lit(1)).as("n_users"))
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+        val batch = graft.operators.AnalyticsOps.funnel(
+          evs.toDF("user_id", "ts", "event_type"), steps, maxGapSecs = gap)
+          .filter(col("n_users") > 0)
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+        assert(stream === batch, s"gap=$gap\nstream $stream\nbatch $batch")
+      } finally q.stop()
+    }
+  }
+
   test("streamingDedup drops watermark-window duplicates") {
     val dir = java.nio.file.Files.createTempDirectory("sdedup").toFile
     val schema = org.apache.spark.sql.types.StructType(Seq(
