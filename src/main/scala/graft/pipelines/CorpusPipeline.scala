@@ -515,9 +515,21 @@ object CorpusPipeline {
     * largest bucket, not the corpus.
     */
   def tokenBudget(docs: DataFrame, idCol: String, textCol: String,
-                  budget: Long, bucketSize: Long = 100000L): DataFrame = {
-    val toked = docs
-      .withColumn("__n_tok", TextOps.tokenCount(col(textCol)).cast("long"))
+                  budget: Long, bucketSize: Long = 100000L): DataFrame =
+    tokenBudgetWithCounts(docs, idCol,
+      TextOps.tokenCount(col(textCol)).cast("long"), budget, bucketSize)
+
+  /** [[tokenBudget]] with a caller-supplied per-doc token-count
+    * expression — the hook that swaps the whitespace estimate for
+    * counts from a TRAINED tokenizer (join [[graft.text.Bpe
+    * .tokenCounts]]'s frame and pass its column): budgets keyed on
+    * learned-BPE counts instead of the regex approximation, same
+    * two-level cumsum underneath.
+    */
+  def tokenBudgetWithCounts(docs: DataFrame, idCol: String,
+                            countExpr: Column, budget: Long,
+                            bucketSize: Long = 100000L): DataFrame = {
+    val toked = docs.withColumn("__n_tok", countExpr.cast("long"))
     val (bucketed, wi) = graft.operators.TwoLevelCumsum.withOffsets(
       toked, expr(s"`$idCol` div ${bucketSize}L"), col("__n_tok"), Seq(col(idCol)))
     bucketed

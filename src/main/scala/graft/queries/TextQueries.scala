@@ -293,6 +293,32 @@ object TextQueries {
       graft.text.Bpe.tokenCounts(docs, "doc_id", "text", model)
     }),
 
+    // IVF ANN with the DETERMINISTIC int8-k-means codebook: the
+    // entire index — training, assignment, probing — replays in the
+    // oracle and matches row-for-row (the MLlib-IVF q52 twin can only
+    // be recall-checked)
+    "q165_ivf_kmeans_knn" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.similarity.Ann.ivfKmeansInt8TopK(
+        emb.filter(col("vec_id") % 97 === 0),
+        emb.filter(col("vec_id") % 97 =!= 0),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nCells = KmK, iters = KmIters, nProbe = 2)
+    }),
+
+    // token budgeting keyed on LEARNED BPE counts instead of the
+    // regex estimate — the composition the trained tokenizer exists
+    // for (same two-level cumsum underneath; budget cut is exact)
+    "q164_bpe_token_budget" -> ((s, d) => {
+      val docs   = Tables.documents(s, d)
+      val model  = graft.text.Bpe.train(docs, "text", BpeNumMerges)
+      val counts = graft.text.Bpe.tokenCounts(docs, "doc_id", "text", model)
+      graft.pipelines.CorpusPipeline.tokenBudgetWithCounts(
+        docs.join(counts, "doc_id"), "doc_id", col("n_bpe_tokens"),
+        budget = BpeBudget)
+        .select("doc_id")
+    }),
+
     // per-doc character entropy: the compression-style quality signal
     // (low = boilerplate/repetition, implausibly high = binary junk);
     // one map-only fused pass, fixed code-point summation order so
@@ -354,6 +380,11 @@ object TextQueries {
     */
   private val BpeNumMerges = 20
 
+  /** q164 budget: cuts mid-corpus at the verify SF (≈27k words →
+    * ~40–70k BPE tokens at sf0.01), so the boundary doc is exercised.
+    */
+  private val BpeBudget = 30000L
+
   /** Unrolled BPE-training CTE chain for the DuckDB oracle: w0 is the
     * word histogram with each word's characters bracket-wrapped in
     * U+001F; each level i derives pair counts (p_i), the argmax merge
@@ -409,7 +440,8 @@ object TextQueries {
     * previous centroid via the LEFT JOIN coalesce). MATERIALIZED for
     * the same inlining reason as the BPE chain.
     */
-  private def kmeansCtes(k: Int, iters: Int, dims: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int, dims: Int,
+                         corpusWhere: String = ""): String = {
     val parts = Seq.newBuilder[String]
     parts += s"""q AS MATERIALIZED (
        |  SELECT vec_id,
@@ -418,7 +450,7 @@ object TextQueries {
        |                ELSE CAST(floor(x / scale * 127 + 0.5) AS BIGINT) END) AS qv
        |  FROM (SELECT vec_id, embedding,
        |          list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') AS scale
-       |        FROM embeddings))""".stripMargin
+       |        FROM embeddings $corpusWhere))""".stripMargin
     parts += s"""c0 AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
        |         qv AS cent
@@ -450,6 +482,46 @@ object TextQueries {
        |SELECT vec_id, CAST(cell AS INTEGER) AS cell, CAST(dist AS BIGINT) AS dist
        |FROM a${iters + 1}""".stripMargin
 
+  /** Full replay of the int8-k-means IVF: the kmeans chain trains on
+    * the corpus slice, queries quantize with the same formula, probe
+    * their nProbe integer-nearest cells, and candidates rank by the
+    * q29 (rounded cosine desc, id asc) convention.
+    */
+  private def ivfKmeansOracle(k: Int, iters: Int, dims: Int,
+                              nProbe: Int, topK: Int): String =
+    kmeansCtes(k, iters, dims, "WHERE vec_id % 97 <> 0") + s""",
+       |qq AS MATERIALIZED (
+       |  SELECT vec_id AS query_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CASE WHEN scale = 0 THEN 0
+       |                ELSE CAST(floor(x / scale * 127 + 0.5) AS BIGINT) END) AS qv,
+       |    embedding::DOUBLE[] AS fv
+       |  FROM (SELECT vec_id, embedding,
+       |          list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') AS scale
+       |        FROM embeddings WHERE vec_id % 97 = 0)),
+       |probe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT t.*, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist, cell) AS rn
+       |    FROM (SELECT q.query_id, c.cell,
+       |            list_sum(list_transform(generate_series(1, $dims),
+       |              i -> (q.qv[i]-c.cent[i])*(q.qv[i]-c.cent[i]))) AS dist
+       |          FROM qq q, c$iters c) t) WHERE rn <= $nProbe),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probe p JOIN a${iters + 1} a USING (cell)
+       |  WHERE a.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    round(list_cosine_similarity(q.fv, e.embedding::DOUBLE[]), 4) AS score
+       |  FROM cand c
+       |  JOIN qq q USING (query_id)
+       |  JOIN embeddings e ON e.vec_id = c.neighbor_id)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, score FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored)
+       |WHERE rank <= $topK""".stripMargin
+
   private def kmeansSampleOracle(k: Int, iters: Int, dims: Int, n: Int): String =
     kmeansCtes(k, iters, dims) + s"""
        |SELECT CAST(cell AS INTEGER) AS cell, CAST(rank AS INTEGER) AS sample_rank, vec_id FROM (
@@ -460,7 +532,11 @@ object TextQueries {
        |  FROM a${iters + 1})
        |WHERE rank <= $n""".stripMargin
 
-  private def bpeCountsOracle(n: Int): String = {
+  /** The q157 counts pipeline as a CTE chain ending in `counts`
+    * (doc_id, n_bpe_tokens) — shared by the counts output (q157) and
+    * the budget composition (q164).
+    */
+  private def bpeCountsCtes(n: Int): String = {
     val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
     bpeCtes(n) + s""",
        |vocab AS MATERIALIZED (
@@ -473,10 +549,23 @@ object TextQueries {
        |perdoc AS (
        |  SELECT o.doc_id,
        |    sum(CASE WHEN v.word IS NULL THEN length(o.word) ELSE v.nt END) AS t
-       |  FROM occ o LEFT JOIN vocab v ON o.word = v.word GROUP BY o.doc_id)
-       |SELECT d.doc_id, CAST(coalesce(p.t, 0) AS BIGINT) AS n_bpe_tokens
-       |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+       |  FROM occ o LEFT JOIN vocab v ON o.word = v.word GROUP BY o.doc_id),
+       |counts AS MATERIALIZED (
+       |  SELECT d.doc_id, CAST(coalesce(p.t, 0) AS BIGINT) AS n_bpe_tokens
+       |  FROM documents d LEFT JOIN perdoc p USING (doc_id))""".stripMargin
   }
+
+  private def bpeCountsOracle(n: Int): String =
+    bpeCountsCtes(n) + "\nSELECT doc_id, n_bpe_tokens FROM counts"
+
+  private def bpeBudgetOracle(n: Int, budget: Long): String =
+    bpeCountsCtes(n) + s"""
+       |SELECT doc_id FROM (
+       |  SELECT doc_id,
+       |    sum(n_bpe_tokens) OVER (ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM counts)
+       |WHERE cum <= $budget""".stripMargin
 
   private def bpeFertilityOracle(n: Int): String = {
     val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -1002,6 +1091,11 @@ object TextQueries {
     "q156_bpe_merges" -> bpeMergesOracle(BpeNumMerges),
 
     "q157_bpe_token_counts" -> bpeCountsOracle(BpeNumMerges),
+
+    "q164_bpe_token_budget" -> bpeBudgetOracle(BpeNumMerges, BpeBudget),
+
+    "q165_ivf_kmeans_knn" ->
+      ivfKmeansOracle(KmK, KmIters, KmDims, nProbe = 2, topK = 5),
 
     "q161_bpe_fertility" -> bpeFertilityOracle(BpeNumMerges),
 

@@ -294,4 +294,64 @@ object Ann {
     df.select(col(idCol), out.getField("scale").as("scale"),
       out.getField("qvec").as("qvec"))
   }
+
+  /** IVF with the DETERMINISTIC int8 k-means codebook
+    * ([[KmeansInt8]]) — the fully-oracle-checkable sibling of
+    * [[ivfKmeansTopK]] (whose MLlib trainer is float-reassociation
+    * nondeterministic) and the trained upgrade of [[ivfTopK]]'s
+    * hash-seeded codebook. Cells, probes, and the candidate set are
+    * all exact integer arithmetic, so an independent engine replays
+    * the ENTIRE index — training iterations, corpus assignment, query
+    * probing — and matches the output row-for-row, not just by
+    * recall.
+    *
+    * Scale shape: training per [[KmeansInt8.fit]]; corpus assignment
+    * and query probing are map-only passes against broadcast centroid
+    * literals (integer L2 on codes, ties to the lower cell); the
+    * (query, neighbor) candidates are unique by construction (one
+    * cell per corpus row, distinct probe cells), so the only shuffle
+    * is the bounded-heap top-k at ≤ k rows per query. Final scores
+    * are the q29-convention round(cosine, 4) on the ORIGINAL float
+    * vectors with the id tie-break.
+    */
+  def ivfKmeansInt8TopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nCells: Int = 8, iters: Int = 3, nProbe: Int = 2): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, "1 <= nProbe <= nCells")
+    val cCodes = quantizeInt8(corpus, cId, cVec)
+      .withColumnRenamed(cId, "neighbor_id")
+    val model = KmeansInt8.fit(cCodes, "neighbor_id", "qvec", nCells, iters)
+
+    val assigned = KmeansInt8.assign(cCodes, "neighbor_id", "qvec", model)
+      .select(col("neighbor_id"), col("cell"))
+      .join(corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv")),
+        "neighbor_id")
+
+    // query-side probing on the query's OWN int8 code: nProbe nearest
+    // cells by integer distance, (dist asc, cell asc) via struct sort
+    val qCodes = quantizeInt8(queries, qId, qVec)
+      .withColumnRenamed(qId, "query_id")
+      .join(queries.select(col(qId).as("query_id"), col(qVec).as("__qv")),
+        "query_id")
+    val probeStructs = array_sort(array(
+      model.centroids.zipWithIndex.map { case (c, j) =>
+        struct(
+          aggregate(
+            zip_with(col("qvec"), typedLit(c.toSeq),
+              (a, b) => (a.cast("long") - b) * (a.cast("long") - b)),
+            lit(0L), (acc, x) => acc + x).as("d"),
+          lit(j).as("cell"))
+      }: _*))
+    val probes = broadcast(qCodes
+      .withColumn("cell",
+        explode(slice(probeStructs, lit(1), lit(nProbe)).getField("cell")))
+      .select("query_id", "__qv", "cell"))
+
+    val scored = probes.join(assigned, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        round(graft.dedup.NearDup.cosine(col("__qv"), col("__cv")), 4))
+    finishTopK(scored, corpus.schema(cId).dataType, k)
+  }
 }

@@ -70,9 +70,12 @@ object Classify {
     * — the multinomial feature set for character-level classification
     * (language ID's classic representation: word features need
     * language-specific tokenizers, character n-grams don't). Unicode
-    * is preserved by the normalization; note Spark's `length`/`substr`
-    * count UTF-16 units while DuckDB counts codepoints — identical on
-    * BMP text (all CJK), divergent only on astral-plane characters.
+    * is preserved by the normalization; Spark's `length`/`substr`
+    * count CODE POINTS (UTF8String indexes UTF-8 characters, not
+    * UTF-16 units — CharNgramHashesSpec's astral fixture proves the
+    * window arithmetic against a code-point reference), matching
+    * DuckDB's code-point semantics on all input including
+    * astral-plane characters.
     */
   private def charNgrams(c: Column, n: Int): Column = {
     require(n >= 1, s"char n-gram length must be >= 1, got $n")

@@ -100,6 +100,33 @@ class KmeansSpec extends SparkSpec {
     }
   }
 
+  test("ivfKmeansInt8TopK: full probe (nProbe = nCells) equals brute " +
+    "force exactly; partial probe is a subset with sane recall") {
+    import graft.similarity.Ann
+    val rnd = new scala.util.Random(31)
+    val emb = (1L to 150L).map { id =>
+      (id, Seq.fill(16)(rnd.nextFloat() * 2f - 1f))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") <= 4)
+    val corpus = emb.filter(col("vec_id") > 4)
+    val brute = Ann.bruteForceTopK(queries, corpus,
+      "vec_id", "embedding", "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val full = Ann.ivfKmeansInt8TopK(queries, corpus,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, nCells = 4, iters = 2, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(full === brute,
+      "probing every cell must reproduce the exact brute-force ranking")
+    val partial = Ann.ivfKmeansInt8TopK(queries, corpus,
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, nCells = 4, iters = 2, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val brutePairs = brute.map(t => (t._1, t._3))
+    val recall = partial.intersect(brutePairs).size.toDouble / brutePairs.size
+    assert(recall >= 0.3, s"2/4-probe recall collapsed: $recall")
+  }
+
   test("assign is map-only: no exchange in the assignment plan") {
     val points = (1L to 50L).map(id => id -> Array.fill(4)(id % 7)).toMap
     val model = KmeansInt8.fit(codesDf(points), "id", "qv", k = 3, iters = 1)
