@@ -183,6 +183,63 @@ object NearDup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Directional CONTAINMENT near-dup pairs (Broder 1997's second
+    * resemblance measure): C(A→B) = |S(A) ∩ S(B)| / |S(A)| over
+    * distinct word shingles — the asymmetric statistic that catches a
+    * SHORT document embedded in a long one, which symmetric Jaccard
+    * structurally misses (a 50-shingle doc fully contained in a
+    * 5,000-shingle doc has Jaccard ≈ 0.01 but containment 1.0). The
+    * fuzzy sibling of the exact-substring span family (q85/q91):
+    * spans need verbatim token runs, containment survives
+    * reorderings and interleaved edits.
+    *
+    * Scale shape — posting-list join, NOT all-pairs: explode each
+    * doc's distinct shingles to (shingle-hash, doc), self-join on the
+    * 8-byte hash (the only corpus-sized shuffle), count shared
+    * shingles per ordered pair, divide by the source doc's set size.
+    * Pair fan-out concentrates on high-df shingles; `maxDf` drops
+    * shingles appearing in more than that many docs from the
+    * CANDIDATE join (boilerplate n-grams — the standard posting-list
+    * cap). A dropped shingle can only LOWER a pair's computed
+    * containment, so with a cap the result is a conservative subset;
+    * the default (no cap) is exact, which is what the q166 oracle
+    * verifies quadratically. Both directions emit (C(A→B) and
+    * C(B→A) differ); the threshold compares the UNROUNDED integer
+    * ratio — one IEEE division of exact counts, identical in any
+    * engine.
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxDf: Option[Long] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val sh = df
+      .filter(size(TextOps.tokens(col(textCol))) >= n)
+      .select(col(idCol).as("__id"),
+        explode(TextOps.wordShingles(col(textCol), n)).as("__s"))
+      .select(col("__id"), xxhash64(col("__s")).as("__h"))
+    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val joinable = maxDf match {
+      case Some(cap) =>
+        val hot = sh.groupBy("__h").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap).select("__h")
+        sh.join(hot, Seq("__h"), "left_anti")
+      case None => sh
+    }
+    val shared = joinable.select(col("__id").as("id_a"), col("__h"))
+      .join(joinable.select(col("__id").as("id_b"), col("__h")), "__h")
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("__c"))
+    shared
+      .join(sizes.select(col("__id").as("id_a"), col("__n")), "id_a")
+      .withColumn("containment",
+        col("__c").cast("double") / col("__n").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   /** Similar-document search: the corpus rows most Jaccard-similar to
     * ONE query text — the "find the near-dups of this document"
     * lookup every curation investigation runs after the histogram

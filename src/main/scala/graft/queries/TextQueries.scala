@@ -293,6 +293,15 @@ object TextQueries {
       graft.text.Bpe.tokenCounts(docs, "doc_id", "text", model)
     }),
 
+    // directional containment near-dup pairs (Broder): the asymmetric
+    // statistic that catches a short doc embedded in a long one,
+    // which symmetric Jaccard structurally misses; engine side is the
+    // posting-list join (no all-pairs), oracle recomputes
+    // quadratically
+    "q166_containment_pairs" -> ((s, d) =>
+      NearDup.containmentPairs(Tables.documents(s, d),
+        "doc_id", "text", n = 3, threshold = 0.8)),
+
     // IVF ANN with the DETERMINISTIC int8-k-means codebook: the
     // entire index — training, assignment, probing — replays in the
     // oracle and matches row-for-row (the MLlib-IVF q52 twin can only
@@ -1096,6 +1105,23 @@ object TextQueries {
 
     "q165_ivf_kmeans_knn" ->
       ivfKmeansOracle(KmK, KmIters, KmDims, nProbe = 2, topK = 5),
+
+    // quadratic recompute of the directional containment ratio; the
+    // threshold compares the unrounded integer ratio (one IEEE
+    // division, engine-identical); no pair sits within 0.3 of the
+    // 0.8 cut at the shipped SFs
+    "q166_containment_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents)
+        |  WHERE len(toks) >= 3
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 4) AS containment
+        |FROM sh a, sh b
+        |WHERE a.doc_id <> b.doc_id
+        |  AND len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.8""".stripMargin,
 
     "q161_bpe_fertility" -> bpeFertilityOracle(BpeNumMerges),
 

@@ -229,4 +229,64 @@ class NearDupSpec extends SparkSpec {
       NearDup.searchByText(docs, "doc_id", "text", "a b", k = 5)
     }
   }
+
+  test("containmentPairs: short-in-long caught where Jaccard misses, " +
+    "directional asymmetry, maxDf cap is a conservative subset, " +
+    "≡ quadratic reference on a random corpus") {
+    import spark.implicits._
+    // doc 1 is verbatim inside doc 2's much larger text
+    val short = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, short),
+      (2L, s"$filler $short ${filler.toUpperCase}"),
+      (3L, "unrelated content entirely different words here")
+      ).toDF("doc_id", "text")
+    val pairs = NearDup.containmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) === 1.0,
+      "short doc fully contained in long must score 1.0")
+    assert(!pairs.contains((2L, 1L)),
+      "the long side's containment in the short is far below threshold")
+    // Jaccard at the same cut misses the pair entirely
+    val jac = NearDup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5).count()
+    assert(jac === 0L)
+
+    // random corpus: posting-list join ≡ quadratic set arithmetic
+    val rnd = new scala.util.Random(47)
+    val vocab = (1 to 12).map(i => s"t$i")
+    val texts = (1L to 60L).map { id =>
+      id -> Seq.fill(rnd.nextInt(15) + 3)(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }.toMap
+    val rdf = texts.toSeq.toDF("doc_id", "text")
+    def shingles(t: String): Set[String] = {
+      val toks = t.split("\\s+").toSeq
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val want = (for {
+      (a, ta) <- texts.toSeq; (b, tb) <- texts.toSeq
+      if a != b
+      sa = shingles(ta); sb = shingles(tb)
+      if sa.nonEmpty
+      c = (sa & sb).size.toDouble / sa.size
+      if c >= 0.5
+    } yield (a, b) -> math.rint(c * 10000) / 10000).toMap
+    val got = NearDup.containmentPairs(rdf, "doc_id", "text",
+      n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got === want)
+
+    // df cap: capped result ⊆ uncapped, pairs only lose score
+    val capped = NearDup.containmentPairs(rdf, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDf = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    capped.foreach { case (pair, c) =>
+      assert(want.contains(pair) && c <= want(pair) + 1e-9,
+        s"capped pair $pair must be a conservative subset")
+    }
+  }
 }
