@@ -43,6 +43,22 @@ object ExtendedQueries {
       graft.operators.SketchOps.kmvDistinct(Tables.events(s, d),
         "event_type", "user_id", k = 64)),
 
+    // day-of-week seasonality profile: each (type, weekday)'s share
+    // of events vs the uniform 1/7 — the seasonal-index report behind
+    // staffing/capacity reads of an event stream; exact integer
+    // counts, one double expression per cell (the q145 discipline)
+    "q167_dow_seasonality" -> ((s, d) => {
+      val byDow = Tables.events(s, d)
+        .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+        .agg(count(lit(1)).as("n_events"))
+      val totals = Tables.events(s, d)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("__t"))
+      byDow.join(broadcast(totals), "event_type")
+        .select(col("event_type"), col("dow"), col("n_events"),
+          round(lit(7.0) * col("n_events") / col("__t"), 4)
+            .as("seasonal_index"))
+    }),
+
     // HDR-histogram quantile sketch per event type: log-linear integer
     // bucketing (exact below 2^5, top-5-significand-bits above),
     // bounded counter state, rank answered by a cumulative walk over
@@ -576,6 +592,21 @@ object ExtendedQueries {
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM act JOIN fu USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    // DuckDB counts Sunday = 0 where Spark counts Sunday = 1 — the +1
+    // aligns the labels (q148's chi-square was label-invariant and
+    // never needed this; a labeled report does)
+    "q167_dow_seasonality" ->
+      """WITH byd AS (
+        |  SELECT event_type, dayofweek(ts) + 1 AS dow,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT event_type, count(*) AS t FROM events GROUP BY 1
+        |)
+        |SELECT b.event_type, CAST(b.dow AS INTEGER) AS dow, b.n_events,
+        |  round(7.0::DOUBLE * b.n_events / t.t, 4) AS seasonal_index
+        |FROM byd b JOIN tot t USING (event_type)""".stripMargin,
 
     // the same log-linear bucket index, cumulative walk, and bucket
     // lower-bound inversion; q literals cast to DOUBLE so the rank

@@ -293,6 +293,41 @@ object TextQueries {
       graft.text.Bpe.tokenCounts(docs, "doc_id", "text", model)
     }),
 
+    // per-source quota capping: at most N docs per origin by salted
+    // hash order — the crawl-balance cap (per-domain quotas) on the
+    // same bounded-heap machinery as q97/q159
+    "q168_source_quota" -> ((s, d) =>
+      graft.operators.SplitOps.sampleKPerGroup(
+        Tables.documents(s, d), "doc_id", "source", k = 10)),
+
+    // dataset-card report: the corpus-level numbers a data release
+    // documents, one long-format row per metric — every value an
+    // exact count or a single division of exact counts
+    "q169_corpus_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val agg = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("n_null_text"),
+        sum(graft.text.TextOps.tokenCount(col("text")).cast("long"))
+          .as("n_ws_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        (count(lit(1)) -
+          countDistinct(coalesce(md5(col("text")), lit(""))))
+          .as("n_exact_dup_docs"),
+        sum(col("n_chars")).as("__sum_chars"))
+      agg.select(expr(
+        """stack(7,
+          |  'n_docs', CAST(n_docs AS DOUBLE),
+          |  'n_null_text', CAST(n_null_text AS DOUBLE),
+          |  'n_ws_tokens', CAST(n_ws_tokens AS DOUBLE),
+          |  'n_langs', CAST(n_langs AS DOUBLE),
+          |  'n_sources', CAST(n_sources AS DOUBLE),
+          |  'n_exact_dup_docs', CAST(n_exact_dup_docs AS DOUBLE),
+          |  'mean_chars', round(CAST(__sum_chars AS DOUBLE) / n_docs, 4)
+          |) AS (metric, value)""".stripMargin))
+    }),
+
     // directional containment near-dup pairs (Broder): the asymmetric
     // statistic that catches a short doc embedded in a long one,
     // which symmetric Jaccard structurally misses; engine side is the
@@ -1105,6 +1140,38 @@ object TextQueries {
 
     "q165_ivf_kmeans_knn" ->
       ivfKmeansOracle(KmK, KmIters, KmDims, nProbe = 2, topK = 5),
+
+    // the q97 salted-hash order recomputation, keyed on source
+    "q168_source_quota" ->
+      """SELECT source, CAST(rank AS INTEGER) AS sample_rank, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|holdout'), 1, 8))::UBIGINT DESC,
+        |               doc_id ASC) AS rank
+        |  FROM documents)
+        |WHERE rank <= 10""".stripMargin,
+
+    // every metric an exact count or one division of exact counts
+    "q169_corpus_report" ->
+      """WITH a AS (
+        |  SELECT
+        |    count(*) AS n_docs,
+        |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null_text,
+        |    sum(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS n_ws_tokens,
+        |    count(DISTINCT lang) AS n_langs,
+        |    count(DISTINCT source) AS n_sources,
+        |    count(*) - count(DISTINCT coalesce(md5(text), '')) AS n_exact_dup_docs,
+        |    sum(n_chars) AS sum_chars
+        |  FROM documents
+        |)
+        |SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM a
+        |UNION ALL SELECT 'n_null_text', CAST(n_null_text AS DOUBLE) FROM a
+        |UNION ALL SELECT 'n_ws_tokens', CAST(n_ws_tokens AS DOUBLE) FROM a
+        |UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM a
+        |UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM a
+        |UNION ALL SELECT 'n_exact_dup_docs', CAST(n_exact_dup_docs AS DOUBLE) FROM a
+        |UNION ALL SELECT 'mean_chars', round(CAST(sum_chars AS DOUBLE) / n_docs, 4) FROM a""".stripMargin,
 
     // quadratic recompute of the directional containment ratio; the
     // threshold compares the unrounded integer ratio (one IEEE
