@@ -196,4 +196,40 @@ class PlanShapeSpec extends SparkSpec {
         intervals.withColumnRenamed("iid", "pid"), "s", "e", 8L)
     }
   }
+
+  test("q166 containment: posting-list equi-join, never a cartesian " +
+    "all-pairs product") {
+    val p = plan("q166_containment_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment must candidate-join on the shingle hash:\n$p")
+  }
+
+  test("q162 phrase search: anchor joins are equi-joins, no cartesian") {
+    val p = plan("q162_phrase_search")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"phrase anchors must equi-join on (doc, anchor):\n$p")
+  }
+
+  test("q160 hdr build: ONE exchange (the counter aggregation), " +
+    "partial-aggregated map-side; quantile walk windows only counter rows") {
+    val vals = Tables.events(spark, sf("sf0.01"))
+      .select(col("event_type"),
+        floor(col("value") * 1000).cast("long").as("v"))
+    val build = graft.operators.SketchOps.hdrBuild(vals, "event_type", "v", 5)
+    val p = build.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("partial_"), s"counter agg must map-side combine:\n$p")
+    val exchanges = "Exchange".r.findAllIn(
+      build.queryExecution.executedPlan.toString()).size
+    assert(exchanges <= 1, s"hdrBuild must shuffle exactly once:\n$p")
+  }
+
+  test("q163 char entropy: map-only — no exchange at all") {
+    val p = Tables.documents(spark, sf("sf0.01"))
+      .select(col("doc_id"),
+        graft.expressions.CharEntropy.column(col("text")).as("e"))
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"),
+      s"the fused entropy pass must not shuffle:\n$p")
+  }
 }
