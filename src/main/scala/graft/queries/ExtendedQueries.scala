@@ -731,7 +731,7 @@ object ExtendedQueries {
         |), tot AS (SELECT p, count(*) AS n FROM li GROUP BY 1)
         |SELECT pa, pb, n_both,
         |  round(n_both::DOUBLE * (SELECT n FROM no)
-        |    / (ta.n * tb.n)::DOUBLE, 6) AS lift
+        |    / (ta.n::DOUBLE * tb.n::DOUBLE), 6) AS lift
         |FROM (SELECT *, row_number() OVER (ORDER BY n_both DESC, pa ASC, pb ASC)
         |        AS rn FROM pairs) pairs
         |JOIN tot ta ON ta.p = pairs.pa
