@@ -377,4 +377,120 @@ object AnalyticsOps {
       sum("n_events").over(w).as("n_trailing"),
       round(sum("__vs").over(w), 4).as("value_trailing"))
   }
+
+  /** Lag-k autocorrelation (ACF) of each group's DAILY COUNT series,
+    * for k = 1..`maxLag` — the seasonality/periodicity probe that
+    * complements [[dailyTrendSlopes]] (trend) and the q167 day-of-week
+    * profile (fixed-period seasonality): a weekly cycle shows up as an
+    * ACF peak at lag 7 with no prior day-of-week assumption.
+    *
+    * Series are aligned on the union calendar with zero-fill (as in
+    * [[dailyCountCorrelation]] — a group with no events that day had
+    * count 0, not "no observation"), so every lag-k pair whose both
+    * endpoints lie inside the calendar span contributes. Pearson over
+    * the pairs from EXACT Decimal(38,0) integer moments; `acf` is NULL
+    * when either end of the lagged overlap is a constant series (no
+    * honest correlation exists).
+    *
+    * Scale shape: the daily summary is one map-side-combined shuffle
+    * on (group, day); the lag join explodes the CALENDAR-BOUNDED
+    * summary `maxLag`× and equi-joins on (group, day+lag) — hash
+    * partitioned, no range join, no per-group window over raw events.
+    */
+  def lagAutocorrelation(events: DataFrame, groupCol: String = "event_type",
+                         tsCol: String = "ts", maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 366, s"maxLag out of range: $maxLag")
+    val daily = events
+      .select(col(groupCol).as("__g"), to_date(col(tsCol)).as("__day"))
+      .groupBy("__g", "__day")
+      .agg(count(lit(1)).as("__n"))
+    daily.persist()
+    val groups = daily.select("__g").distinct()
+    val days = daily.select("__day").distinct()
+    val dense = groups.crossJoin(days)
+      .join(daily, Seq("__g", "__day"), "left")
+      .select(col("__g"),
+        datediff(col("__day"), lit("1970-01-01").cast(DateType)).as("__dayN"),
+        coalesce(col("__n"), lit(0L)).as("__n"))
+    val lagged = dense
+      .withColumn("lag", explode(array((1 to maxLag).map(lit): _*)))
+      .select(col("__g"), (col("__dayN") + col("lag")).as("__dayN"),
+        col("lag"), col("__n").as("__x"))
+    val dec = DecimalType(38, 0)
+    val out = lagged
+      .join(dense.select(col("__g"), col("__dayN"), col("__n").as("__y")),
+        Seq("__g", "__dayN"))
+      .groupBy(col("__g").as(groupCol), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__x").cast(dec)).as("__sx"), sum(col("__y").cast(dec)).as("__sy"),
+        // cast BEFORE the product — the q146 Long-wrap discipline
+        sum(col("__x").cast(dec) * col("__y").cast(dec)).as("__sxy"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"),
+        sum(col("__y").cast(dec) * col("__y").cast(dec)).as("__syy"))
+      .withColumn("__vx", col("n_pairs") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__vy", col("n_pairs") * col("__syy") - col("__sy") * col("__sy"))
+      .select(col(groupCol), col("lag"), col("n_pairs"),
+        round(when(col("__vx") > 0 && col("__vy") > 0,
+          (col("n_pairs") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+            / sqrt(col("__vx").cast("double") * col("__vy").cast("double"))), 6)
+          .as("acf"))
+      .localCheckpoint(true)
+    daily.unpersist()
+    out
+  }
+
+  /** Dyadic-decay EWMA of each group's daily event count: decay 1/2
+    * per day, truncated at `windowDays` terms —
+    *   ewma_t = Σ_{j=0..W-1} x_{t−j} · 2^{W−1−j}  /  2^W .
+    * The half decay is chosen ON PURPOSE: every weight 2^{−(j+1)} is a
+    * dyadic rational, so the numerator is an EXACT integer sum
+    * (Decimal(38,0)) and the single closing division is one IEEE op —
+    * the smoothed series is bit-deterministic across engines,
+    * partitionings, and retries, unlike the textbook recursive form
+    * (or a pow()-weighted window), whose float accumulation order is
+    * engine-defined. Truncation under-reports by at most
+    * max(x)·2^{−W} — below the 6-decimal rounding for any real count
+    * at the default W=16.
+    *
+    * Days before the calendar start contribute nothing (zero prior),
+    * and in-span days with no events contribute genuine zeros via the
+    * dense grid. Scale shape: calendar-bounded daily summary, W×
+    * explode, one hash equi-join on (group, day) — no window over raw
+    * events, no per-group serialization.
+    */
+  def ewmaDaily(events: DataFrame, groupCol: String = "event_type",
+                tsCol: String = "ts", windowDays: Int = 16): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 62, s"windowDays out of range: $windowDays")
+    val daily = events
+      .select(col(groupCol).as("__g"), to_date(col(tsCol)).as("day"))
+      .groupBy("__g", "day")
+      .agg(count(lit(1)).as("__n"))
+    daily.persist()
+    val groups = daily.select("__g").distinct()
+    val days = daily.select("day").distinct()
+    val dense = groups.crossJoin(days)
+      .join(daily, Seq("__g", "day"), "left")
+      .select(col("__g"), col("day"), coalesce(col("__n"), lit(0L)).as("__n"))
+    val dec = DecimalType(38, 0)
+    // each source day s contributes x_s · 2^{W−1−j} to target day s+j
+    val contrib = dense
+      .withColumn("__j", explode(array((0 until windowDays).map(lit): _*)))
+      .select(col("__g"), date_add(col("day"), col("__j")).as("day"),
+        (col("__n").cast(dec) *
+          expr(s"shiftleft(CAST(1 AS BIGINT), ${windowDays - 1} - __j)").cast(dec))
+          .as("__w"))
+      // targets beyond the calendar end are not report rows
+      .join(days, Seq("day"), "left_semi")
+      .groupBy("__g", "day")
+      .agg(sum("__w").as("__num"))
+    val out = contrib
+      .join(dense.select(col("__g"), col("day"), col("__n").as("n_events")),
+        Seq("__g", "day"))
+      .select(col("__g").as(groupCol), col("day"), col("n_events"),
+        round(col("__num").cast("double") /
+          lit((1L << windowDays).toDouble), 6).as("ewma"))
+      .localCheckpoint(true)
+    daily.unpersist()
+    out
+  }
 }

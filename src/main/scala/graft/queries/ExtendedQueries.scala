@@ -59,6 +59,22 @@ object ExtendedQueries {
             .as("seasonal_index"))
     }),
 
+    // lag-1..7 autocorrelation of the daily count series per event
+    // type: the periodicity probe (a weekly cycle = ACF peak at 7)
+    // with q146's exact-integer-moment Pearson; calendar-bounded
+    // summary exploded 7x, one hash equi-join, no raw-event window
+    "q170_lag_autocorrelation" -> ((s, d) =>
+      graft.operators.AnalyticsOps.lagAutocorrelation(Tables.events(s, d),
+        maxLag = 7)),
+
+    // dyadic-decay EWMA (decay 1/2, 16-term truncation): every weight
+    // is 2^-(j+1), so the numerator is an exact integer sum and the
+    // smoothed series is bit-deterministic across engines — no
+    // pow()-accumulation-order hazard
+    "q171_ewma_daily" -> ((s, d) =>
+      graft.operators.AnalyticsOps.ewmaDaily(Tables.events(s, d),
+        windowDays = 16)),
+
     // HDR-histogram quantile sketch per event type: log-linear integer
     // bucketing (exact below 2^5, top-5-significand-bits above),
     // bounded counter state, rank answered by a cumulative walk over
@@ -607,6 +623,63 @@ object ExtendedQueries {
         |SELECT b.event_type, CAST(b.dow AS INTEGER) AS dow, b.n_events,
         |  round(7.0::DOUBLE * b.n_events / t.t, 4) AS seasonal_index
         |FROM byd b JOIN tot t USING (event_type)""".stripMargin,
+
+    // same dense zero-filled calendar grid, lag equi-join, and
+    // exact-integer-moment Pearson (DuckDB widens the sums to HUGEINT
+    // — the same exactness envelope as the engine's Decimal(38,0))
+    "q170_lag_autocorrelation" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), grp AS (SELECT DISTINCT g FROM daily),
+        |cal AS (SELECT DISTINCT day FROM daily),
+        |dense AS (
+        |  SELECT grp.g, cal.day, COALESCE(daily.n, 0) AS n
+        |  FROM grp CROSS JOIN cal
+        |  LEFT JOIN daily ON daily.g = grp.g AND daily.day = cal.day
+        |), lags AS (SELECT CAST(unnest(range(1, 8)) AS INTEGER) AS lag),
+        |pairs AS (
+        |  SELECT a.g, l.lag, a.n AS x, b.n AS y
+        |  FROM dense a CROSS JOIN lags l
+        |  JOIN dense b ON b.g = a.g AND b.day = a.day + l.lag
+        |), m AS (
+        |  SELECT g AS event_type, lag, count(*) AS n_pairs,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM pairs GROUP BY 1, 2
+        |)
+        |SELECT event_type, lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  round(CASE WHEN n_pairs * sxx - sx * sx > 0
+        |              AND n_pairs * syy - sy * sy > 0
+        |    THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+        |           * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+        |  END, 6) AS acf
+        |FROM m""".stripMargin,
+
+    // same dense grid and dyadic weights: the numerator is an exact
+    // integer both sides (1 << (15 - j)), one closing IEEE division
+    "q171_ewma_daily" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), grp AS (SELECT DISTINCT g FROM daily),
+        |cal AS (SELECT DISTINCT day FROM daily),
+        |dense AS (
+        |  SELECT grp.g, cal.day, COALESCE(daily.n, 0) AS n
+        |  FROM grp CROSS JOIN cal
+        |  LEFT JOIN daily ON daily.g = grp.g AND daily.day = cal.day
+        |), js AS (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS j),
+        |contrib AS (
+        |  SELECT d.g, cal.day, d.n * (CAST(1 AS BIGINT) << (15 - js.j)) AS w
+        |  FROM dense d CROSS JOIN js
+        |  JOIN cal ON cal.day = d.day + js.j
+        |), num AS (
+        |  SELECT g, day, sum(w) AS num FROM contrib GROUP BY 1, 2
+        |)
+        |SELECT num.g AS event_type, num.day, dense.n AS n_events,
+        |  round(CAST(num.num AS DOUBLE) / 65536.0, 6) AS ewma
+        |FROM num JOIN dense ON dense.g = num.g AND dense.day = num.day""".stripMargin,
 
     // the same log-linear bucket index, cumulative walk, and bucket
     // lower-bound inversion; q literals cast to DOUBLE so the rank

@@ -320,4 +320,74 @@ class AnalyticsOpsSpec extends SparkSpec {
       ("a", "2024-01-10") -> ((1L, 100.0, 2L, 110.0)),
       ("b", "2024-01-01") -> ((1L, 7.0, 1L, 7.0))))
   }
+
+  test("lagAutocorrelation: period-2 series hits acf=+1 at lag 2 and " +
+    "-1 at lag 1; zero-fill uses the union calendar") {
+    // group a alternates 1,3 daily events over Jan 1-8; group b anchors
+    // the union calendar with one event every day, so a missing a-day
+    // would be a genuine zero (none here — a is present all 8 days)
+    val rows = (1 to 8).flatMap { day =>
+      val d = f"2024-01-$day%02d"
+      val aN = if (day % 2 == 1) 1 else 3
+      Seq.fill(aN)(("a", ts(s"$d 10:00:00"))) :+ (("b", ts(s"$d 09:00:00")))
+    }
+    val out = AnalyticsOps.lagAutocorrelation(
+      rows.toDF("event_type", "ts"), maxLag = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    // lag1: 7 pairs of (1,3)/(3,1) alternating (odd count: 4 of one,
+    // 3 of the other) -> r < 0 but not exactly -1; lag2: all pairs
+    // equal -> exactly +1. b is constant -> NULL at every lag.
+    assert(out(("a", 2)) === ((6L, Some(1.0))))
+    assert(out(("a", 1))._1 === 7L)
+    assert(out(("a", 1))._2.get < -0.9)
+    assert(out(("b", 1)) === ((7L, None)))
+    assert(out(("b", 2)) === ((6L, None)))
+  }
+
+  test("lagAutocorrelation: a group's day absent from its own events " +
+    "but inside the union calendar counts as zero") {
+    val rows = Seq(
+      ("a", ts("2024-01-01 10:00:00")), // a: 1, 0, 1 over the 3-day calendar
+      ("a", ts("2024-01-03 10:00:00")),
+      ("b", ts("2024-01-01 09:00:00")),
+      ("b", ts("2024-01-02 09:00:00")),
+      ("b", ts("2024-01-03 09:00:00"))).toDF("event_type", "ts")
+    val out = AnalyticsOps.lagAutocorrelation(rows, maxLag = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+      .toMap
+    // a's series is 1,0,1: lag-1 pairs (1,0),(0,1) -> r = -1 exactly;
+    // lag-2 pair (1,1) alone is constant -> NULL. Without zero-fill
+    // lag 1 would see the single pair (1,1) and report NULL.
+    assert(out(("a", 1)) === ((2L, Some(-1.0))))
+    assert(out(("a", 2)) === ((1L, None)))
+  }
+
+  test("ewmaDaily: dyadic weights are exact, zero days decay, " +
+    "pre-calendar history contributes nothing") {
+    val rows =
+      Seq.fill(2)(("a", ts("2024-01-01 10:00:00"))) ++
+        Seq.fill(4)(("a", ts("2024-01-02 10:00:00"))) ++
+        // a skips Jan 3 entirely; b anchors the calendar
+        Seq("2024-01-01", "2024-01-02", "2024-01-03")
+          .map(d => ("b", ts(s"$d 09:00:00")))
+    val out = AnalyticsOps.ewmaDaily(rows.toDF("event_type", "ts"),
+      windowDays = 16)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // ewma(d1) = 2/2 = 1.0 (no earlier history: truncated sum, not a
+    // warm-up special case); ewma(d2) = 4/2 + 2/4 = 2.5;
+    // ewma(d3) = 0/2 + 4/4 + 2/8 = 1.25 -- the zero day is a real
+    // observation, not a gap skip
+    assert(out(("a", "2024-01-01")) === ((2L, 1.0)))
+    assert(out(("a", "2024-01-02")) === ((4L, 2.5)))
+    assert(out(("a", "2024-01-03")) === ((0L, 1.25)))
+    assert(out(("b", "2024-01-03")) === ((1L, 0.875)))
+  }
 }
