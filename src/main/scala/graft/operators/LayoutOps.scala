@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data-layout clustering (Z-order / Morton curve) —
+  * the write-time operator behind min-max zone-map pruning: rows sorted
+  * by the interleaved bits of two dimension keys land in files whose
+  * per-file [min, max] ranges are TIGHT in BOTH dimensions, so a scan
+  * filtered on either dimension (or a rectangle in both) skips most
+  * files. A single-dimension sort gives perfect pruning on one column
+  * and none on the other; the Z-curve splits the difference — the same
+  * layout trade Delta Lake's OPTIMIZE ZORDER BY and ClickHouse's
+  * multi-column ORDER BY make.
+  *
+  * Everything here is exact integer arithmetic: the Morton code is a
+  * pure bit permutation of the two keys, and bucket assignment is
+  * `((rank − 1) · buckets) div N` on the two-level-cumsum global rank
+  * — deterministic across engines, partitionings, and retries, with no
+  * single-partition window anywhere (the q33 surrogate-id discipline).
+  */
+object LayoutOps {
+
+  /** Spread the low 31 bits of `c` to the even bit positions (Morton
+    * "part1by1" in its 64-bit form). Precondition: 0 ≤ c < 2³¹ —
+    * callers range-check or rank-encode wider domains first.
+    */
+  private def spread(c: Column): Column = {
+    val a = (c.bitwiseOR(shiftleft(c, 16))).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    val b = (a.bitwiseOR(shiftleft(a, 8))).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    val d = (b.bitwiseOR(shiftleft(b, 4))).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    val e = (d.bitwiseOR(shiftleft(d, 2))).bitwiseAND(lit(0x3333333333333333L))
+    (e.bitwiseOR(shiftleft(e, 1))).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** 62-bit Morton code of two non-negative 31-bit integer columns —
+    * `x` on the even bits, `y` on the odd bits. Monotone along the
+    * Z-curve; NULL in either key yields NULL (callers decide the NULL
+    * file placement explicitly).
+    */
+  def mortonZ(x: Column, y: Column): Column =
+    spread(x.cast("long")).bitwiseOR(shiftleft(spread(y.cast("long")), 1))
+
+  /** Attach `z` (Morton code) and `bucket` (0-based target file id,
+    * balanced to ±1 row across `buckets`) to every row. `tieCol` makes
+    * the rank — and therefore the whole layout — deterministic for
+    * rows sharing a Z-value.
+    *
+    * Scale shape: the global rank is the two-level cumsum (per-bucket
+    * windows over a monotone Z-prefix + broadcast offsets — no global
+    * window), and `n` is one metadata-cheap count. A writer then
+    * `repartitionByRange/sortWithinPartitions` on (bucket, z) — or just
+    * writes `bucket` as the file id — to materialize the layout.
+    */
+  def zOrderBuckets(df: DataFrame, xCol: String, yCol: String,
+                    tieCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 1 && buckets <= (1 << 20), s"buckets out of range: $buckets")
+    val n = df.count()
+    require(n > 0, "cannot layout an empty table")
+    val withZ = df.withColumn("z", mortonZ(col(xCol), col(yCol)))
+    // the Z-prefix is a monotone integer bucket for the cumsum; 2^44
+    // wide keeps the offsets table small while bounding any one
+    // window's partition to a Z-range, never the whole table
+    val (bucketed, wi) = TwoLevelCumsum.withOffsets(
+      withZ, expr("z div 1099511627776L"), lit(1L),
+      Seq(col("z").asc_nulls_first, col(tieCol).asc))
+    bucketed
+      .withColumn("__rk", col("__off") + sum("__w").over(wi))
+      // (N−1)·buckets stays in Long up to N ≈ 2^63/buckets — 5.6e17
+      // rows at 16 files; past that, widen to Decimal
+      .withColumn("bucket", expr(s"((__rk - 1L) * ${buckets}L) div ${n}L"))
+      .drop("__b", "__w", "__off", "__rk")
+  }
+
+  /** The zone map the layout buys: per target file, row count and the
+    * min/max of both dimension keys. The min/max spread per bucket is
+    * exactly what a reader's file-skipping test consults — tight
+    * ranges here ARE the pruning win.
+    */
+  def zOrderLayoutStats(df: DataFrame, xCol: String, yCol: String,
+                        tieCol: String, buckets: Int): DataFrame =
+    zOrderBuckets(df, xCol, yCol, tieCol, buckets)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(xCol)).as("min_x"), max(col(xCol)).as("max_x"),
+        min(col(yCol)).as("min_y"), max(col(yCol)).as("max_y"))
+}

@@ -75,6 +75,22 @@ object ExtendedQueries {
       graft.operators.AnalyticsOps.ewmaDaily(Tables.events(s, d),
         windowDays = 16)),
 
+    // Z-order layout: orders clustered on (custkey, order day) via the
+    // Morton curve into 16 balanced files; the output IS the zone map
+    // (per-file min/max of both dims) a reader's skipping test
+    // consults. Rank = two-level cumsum on a monotone Z-prefix — no
+    // global window; the oracle replays the bit-interleave and the
+    // same ((rk-1)*B) div N bucket formula
+    "q172_zorder_layout" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"),
+          col("o_custkey").cast("long").as("x"),
+          datediff(to_date(col("o_orderdate")),
+            lit("1970-01-01").cast(DateType)).cast("long").as("y"))
+      graft.operators.LayoutOps.zOrderLayoutStats(
+        o, "x", "y", "o_orderkey", buckets = 16)
+    }),
+
     // HDR-histogram quantile sketch per event type: log-linear integer
     // bucketing (exact below 2^5, top-5-significand-bits above),
     // bounded counter state, rank answered by a cumulative walk over
@@ -680,6 +696,39 @@ object ExtendedQueries {
         |SELECT num.g AS event_type, num.day, dense.n AS n_events,
         |  round(CAST(num.num AS DOUBLE) / 65536.0, 6) AS ewma
         |FROM num JOIN dense ON dense.g = num.g AND dense.day = num.day""".stripMargin,
+
+    // bit-identical Morton interleave (the five spread steps with the
+    // same masks, decimal literals for DuckDB), identical global rank
+    // ordering (z, id) and the same integer bucket formula
+    "q172_zorder_layout" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS id, CAST(o_custkey AS BIGINT) AS x,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS y
+        |  FROM orders
+        |), s1 AS (SELECT id, x AS ox, y AS oy,
+        |    (x | (x << 16)) & 281470681808895 AS sx,
+        |    (y | (y << 16)) & 281470681808895 AS sy FROM base),
+        |s2 AS (SELECT id, ox, oy,
+        |    (sx | (sx << 8)) & 71777214294589695 AS sx,
+        |    (sy | (sy << 8)) & 71777214294589695 AS sy FROM s1),
+        |s3 AS (SELECT id, ox, oy,
+        |    (sx | (sx << 4)) & 1085102592571150095 AS sx,
+        |    (sy | (sy << 4)) & 1085102592571150095 AS sy FROM s2),
+        |s4 AS (SELECT id, ox, oy,
+        |    (sx | (sx << 2)) & 3689348814741910323 AS sx,
+        |    (sy | (sy << 2)) & 3689348814741910323 AS sy FROM s3),
+        |s5 AS (SELECT id, ox, oy,
+        |    (sx | (sx << 1)) & 6148914691236517205 AS sx,
+        |    (sy | (sy << 1)) & 6148914691236517205 AS sy FROM s4),
+        |z AS (SELECT id, ox, oy, sx | (sy << 1) AS z FROM s5),
+        |r AS (SELECT ox, oy,
+        |    row_number() OVER (ORDER BY z, id) AS rk,
+        |    count(*) OVER () AS n FROM z)
+        |SELECT ((rk - 1) * 16) // n AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(ox) AS min_x, max(ox) AS max_x,
+        |  min(oy) AS min_y, max(oy) AS max_y
+        |FROM r GROUP BY 1""".stripMargin,
 
     // the same log-linear bucket index, cumulative walk, and bucket
     // lower-bound inversion; q literals cast to DOUBLE so the rank

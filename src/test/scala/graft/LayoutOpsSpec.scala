@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.LayoutOps
+import org.apache.spark.sql.functions._
+
+class LayoutOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mortonZ interleaves bits: x on even, y on odd positions") {
+    val out = Seq((3L, 5L), (0L, 0L), (1L, 0L), (0L, 1L),
+      (1L << 30, 0L), (0L, 1L << 30))
+      .toDF("x", "y")
+      .withColumn("z", LayoutOps.mortonZ(col("x"), col("y")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((3L, 5L)) === 39L)   // 0b100111
+    assert(out((0L, 0L)) === 0L)
+    assert(out((1L, 0L)) === 1L)    // x bit 0 -> z bit 0
+    assert(out((0L, 1L)) === 2L)    // y bit 0 -> z bit 1
+    assert(out((1L << 30, 0L)) === (1L << 60))
+    assert(out((0L, 1L << 30)) === (1L << 61))
+  }
+
+  test("zOrderBuckets balances to ±1 row and is deterministic") {
+    val df = (0 until 10).map(i => (i.toLong, (9 - i).toLong, i.toLong))
+      .toDF("x", "y", "id")
+    val sizes = LayoutOps.zOrderBuckets(df, "x", "y", "id", buckets = 4)
+      .groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ((rk-1)*4) div 10 over rk = 1..10 -> bucket sizes 3,2,3,2
+    assert(sizes === Map(0L -> 3L, 1L -> 2L, 2L -> 3L, 3L -> 2L))
+  }
+
+  test("zone map: on a 32x32 grid with 16 files, every Z-ordered file " +
+    "is an aligned 8x8 quad-block — tight in BOTH dimensions") {
+    val grid = (for (x <- 0 until 32; y <- 0 until 32)
+      yield (x.toLong, y.toLong, (x * 32 + y).toLong))
+      .toDF("x", "y", "id")
+    val stats = LayoutOps.zOrderLayoutStats(grid, "x", "y", "id", buckets = 16)
+      .collect()
+    assert(stats.length === 16)
+    stats.foreach { r =>
+      assert(r.getLong(1) === 64L) // 1024 cells / 16 files
+      val (minX, maxX) = (r.getLong(2), r.getLong(3))
+      val (minY, maxY) = (r.getLong(4), r.getLong(5))
+      // power-of-4 alignment: each file is exactly one 8x8 block, so a
+      // point predicate on EITHER dimension prunes 3/4 of the files
+      // (a 1-D sort would leave one dimension spanning 0..31)
+      assert(maxX - minX === 7L, s"x span in $r")
+      assert(maxY - minY === 7L, s"y span in $r")
+      assert(minX % 8 === 0L && minY % 8 === 0L)
+    }
+  }
+}
