@@ -86,6 +86,75 @@ object SketchOps {
         col("est_distinct"))
   }
 
+  /** KMV sketch ALGEBRA (Beyer et al. 2007, "On synopses for
+    * distinct-value estimation under multiset operations"): from one
+    * k-minimum-values sketch per side, estimate |A|, |B|, |A∪B|, the
+    * Jaccard similarity, and |A∩B| — WITHOUT touching the raw sets
+    * again. The union sketch is exact sketch algebra (the k smallest
+    * of A∪B are among the union of the two k-min sets); Jaccard is the
+    * fraction of the union's k-mins present in BOTH side sketches;
+    * the intersection estimate is `shared · est(A∪B) div |U|` — all
+    * integer arithmetic over the md5 hash order, so every output is a
+    * pure deterministic function of the two value SETS (the q111
+    * portability contract).
+    *
+    * Scale shape: each side is one distinct-then-bounded-heap pass
+    * (≤ k rows reach the driver side of the final agg); the algebra
+    * runs on two 1-row frames. Sides with < k distinct values report
+    * exact counts (their sketch IS the set). The 100 TB read: sketch
+    * once per source/partition, answer every pairwise overlap question
+    * from the stored sketches.
+    */
+  def kmvSetOps(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+                k: Int = 64): DataFrame = {
+    require(k >= 2 && k <= 2048, s"kmvSetOps needs 2 <= k <= 2048, got $k")
+    def kmins(df: DataFrame, outCol: String): DataFrame = {
+      val hashed = df.filter(col(valueCol).isNotNull)
+        .select(md5(col(valueCol).cast(StringType)).as("__h")).distinct()
+      val v = conv(substring(col("__h"), 1, PrefixHex), 16, 10).cast(LongType)
+      hashed
+        .agg(TopKAgg.topKFor(StringType, k)(col("__h"), -v.cast(DoubleType))
+          .as("__m"))
+        // ranked best-first = ascending hash order already; keep ids only
+        .select(transform(col("__m"), s => s.getField("id")).as(outCol))
+    }
+    def est(arr: String, prefix: String): Column =
+      when(size(col(arr)) < k, size(col(arr)).cast(LongType))
+        .otherwise(expr(s"${(k - 1).toLong << PrefixBits}L div $prefix"))
+    // try_element_at: a side below k has no kth hash — NULL here, and
+    // the est() CASE never reads the prefix on that branch (ANSI
+    // element_at would error on the short array regardless)
+    def kthPrefix(arr: String): Column =
+      greatest(
+        conv(substring(try_element_at(col(arr), lit(k)), 1, PrefixHex), 16, 10)
+          .cast(LongType), lit(1L))
+    kmins(dfA, "__ha").crossJoin(kmins(dfB, "__hb"))
+      .withColumn("__hu",
+        slice(array_sort(array_union(col("__ha"), col("__hb"))), 1, k))
+      .withColumn("__va", kthPrefix("__ha"))
+      .withColumn("__vb", kthPrefix("__hb"))
+      .withColumn("__vu", kthPrefix("__hu"))
+      .withColumn("n_a_hashes", size(col("__ha")).cast(LongType))
+      .withColumn("n_b_hashes", size(col("__hb")).cast(LongType))
+      .withColumn("union_size", size(col("__hu")).cast(LongType))
+      .withColumn("est_a", est("__ha", "__va"))
+      .withColumn("est_b", est("__hb", "__vb"))
+      .withColumn("union_est", est("__hu", "__vu"))
+      .withColumn("shared_mins",
+        size(filter(col("__hu"), h =>
+          array_contains(col("__ha"), h) && array_contains(col("__hb"), h)))
+          .cast(LongType))
+      .withColumn("jaccard_est",
+        when(col("union_size") > 0,
+          round(col("shared_mins").cast("double")
+            / col("union_size").cast("double"), 6)))
+      .withColumn("intersect_est",
+        when(col("union_size") > 0,
+          expr("(shared_mins * union_est) div union_size")))
+      .select("n_a_hashes", "n_b_hashes", "est_a", "est_b", "union_size",
+        "union_est", "shared_mins", "jaccard_est", "intersect_est")
+  }
+
   /** Count-Min frequency sketch (Cormode & Muthukrishnan 2005, "An
     * improved data stream summary: the count-min sketch and its
     * applications"): `depth` independent hash rows of `width` counters

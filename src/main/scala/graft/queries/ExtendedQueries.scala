@@ -91,6 +91,19 @@ object ExtendedQueries {
         o, "x", "y", "o_orderkey", buckets = 16)
     }),
 
+    // KMV sketch algebra: clicker-set vs purchaser-set overlap
+    // estimated purely from the two k-min sketches (union sketch,
+    // Jaccard from shared minima, intersection by inclusion-exclusion
+    // on the union estimate) — the answer to every "how much do these
+    // two 100 TB sources overlap" question without a distinct-join
+    "q173_kmv_set_ops" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.operators.SketchOps.kmvSetOps(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        "user_id", k = 64)
+    }),
+
     // HDR-histogram quantile sketch per event type: log-linear integer
     // bucketing (exact below 2^5, top-5-significand-bits above),
     // bounded counter state, rank answered by a cumulative walk over
@@ -729,6 +742,54 @@ object ExtendedQueries {
         |  min(ox) AS min_x, max(ox) AS max_x,
         |  min(oy) AS min_y, max(oy) AS max_y
         |FROM r GROUP BY 1""".stripMargin,
+
+    // the same md5 hash order, k-min sets, union-sketch algebra, and
+    // integer estimate formulas as q111; the kth hash of an ORDER BY h
+    // LIMIT k set is its max(h)
+    "q173_kmv_set_ops" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h FROM events
+        |  WHERE user_id IS NOT NULL AND event_type = 'click'
+        |), hb AS (
+        |  SELECT DISTINCT md5(CAST(user_id AS VARCHAR)) AS h FROM events
+        |  WHERE user_id IS NOT NULL AND event_type = 'purchase'
+        |), ka AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+        |kb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+        |ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) u
+        |       ORDER BY h LIMIT 64),
+        |st AS (
+        |  SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM ka) AS n_a_hashes,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM kb) AS n_b_hashes,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM ku) AS union_size,
+        |    (SELECT greatest(('0x' || substr(max(h), 1, 13))::BIGINT, 1)
+        |       FROM ka) AS va,
+        |    (SELECT greatest(('0x' || substr(max(h), 1, 13))::BIGINT, 1)
+        |       FROM kb) AS vb,
+        |    (SELECT greatest(('0x' || substr(max(h), 1, 13))::BIGINT, 1)
+        |       FROM ku) AS vu,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM ku
+        |       WHERE h IN (SELECT h FROM ka)
+        |         AND h IN (SELECT h FROM kb)) AS shared_mins
+        |)
+        |SELECT n_a_hashes, n_b_hashes,
+        |  CASE WHEN n_a_hashes < 64 THEN n_a_hashes
+        |       ELSE (63::BIGINT * (1::BIGINT << 52)) // va END AS est_a,
+        |  CASE WHEN n_b_hashes < 64 THEN n_b_hashes
+        |       ELSE (63::BIGINT * (1::BIGINT << 52)) // vb END AS est_b,
+        |  union_size,
+        |  CASE WHEN union_size < 64 THEN union_size
+        |       ELSE (63::BIGINT * (1::BIGINT << 52)) // vu END AS union_est,
+        |  shared_mins,
+        |  CASE WHEN union_size > 0
+        |       THEN round(shared_mins::DOUBLE / union_size::DOUBLE, 6)
+        |  END AS jaccard_est,
+        |  CASE WHEN union_size > 0
+        |       THEN (shared_mins * (CASE WHEN union_size < 64 THEN union_size
+        |              ELSE (63::BIGINT * (1::BIGINT << 52)) // vu END))
+        |            // union_size
+        |  END AS intersect_est
+        |FROM st""".stripMargin,
 
     // the same log-linear bucket index, cumulative walk, and bucket
     // lower-bound inversion; q literals cast to DOUBLE so the rank

@@ -198,4 +198,41 @@ class SketchSpec extends SparkSpec {
     val ss = sk.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(mm === ss)
   }
+
+  test("kmvSetOps: below k every output is EXACT set arithmetic") {
+    import spark.implicits._
+    val a = (1 to 10).map(_.toLong).toDF("v")
+    val b = (6 to 15).map(_.toLong).toDF("v")
+    val r = graft.operators.SketchOps.kmvSetOps(a, b, "v", k = 64).collect()(0)
+    assert(r.getAs[Long]("n_a_hashes") === 10L)
+    assert(r.getAs[Long]("n_b_hashes") === 10L)
+    assert(r.getAs[Long]("est_a") === 10L)
+    assert(r.getAs[Long]("est_b") === 10L)
+    assert(r.getAs[Long]("union_size") === 15L)
+    assert(r.getAs[Long]("union_est") === 15L)
+    assert(r.getAs[Long]("shared_mins") === 5L)
+    assert(r.getAs[Double]("jaccard_est") === 0.333333)
+    assert(r.getAs[Long]("intersect_est") === 5L)
+  }
+
+  test("kmvSetOps: k=16 sketches of 100/100-element sets with 50 " +
+    "shared track the true cardinalities") {
+    import spark.implicits._
+    val a = (1 to 100).map(_.toLong).toDF("v")
+    val b = (51 to 150).map(_.toLong).toDF("v")
+    val r = graft.operators.SketchOps.kmvSetOps(a, b, "v", k = 16).collect()(0)
+    // KMV with k=16 has ~1/sqrt(14) ≈ 27% relative error at one sigma;
+    // these are determinism-backed sanity bands, not statistics
+    def in(x: Long, lo: Long, hi: Long) = assert(x >= lo && x <= hi, x)
+    in(r.getAs[Long]("est_a"), 40L, 250L)
+    in(r.getAs[Long]("est_b"), 40L, 250L)
+    in(r.getAs[Long]("union_est"), 60L, 375L) // true 150
+    assert(r.getAs[Long]("shared_mins") <= 16L)
+    assert(r.getAs[Long]("intersect_est") <= r.getAs[Long]("union_est"))
+    // the estimator is a pure function of the value sets: re-running
+    // on a reshuffled input must reproduce it bit-identically
+    val r2 = graft.operators.SketchOps.kmvSetOps(
+      a.repartition(7), b.repartition(3), "v", k = 16).collect()(0)
+    assert(r.toSeq === r2.toSeq)
+  }
 }
