@@ -439,6 +439,54 @@ object AnalyticsOps {
     out
   }
 
+  /** Benford first-digit profile per group — the classic
+    * anomaly/fabrication screen for naturally-occurring positive
+    * amounts (Nigrini 2012): organic magnitudes follow
+    * P(d) = log10(1 + 1/d); invented or constrained ones rarely do.
+    * Output: one row per (group, digit 1..9) with the observed share,
+    * the Benford share, and the group's chi-square statistic against
+    * the Benford expectation (df = 8) repeated on each row. Digits a
+    * group never produced are REAL zero observations (dense 9-digit
+    * grid): their (0 − Np)²/Np mass belongs in the statistic.
+    *
+    * Values below 1 are excluded (their leading significant digit
+    * lives in the fractional part; the floor-then-string digit
+    * extraction is only exact for v ≥ 1 — and it IS exact there:
+    * floor is one IEEE op and the BIGINT-to-string first character is
+    * engine-portable, where a log10-based mantissa extraction would
+    * wobble near powers of ten).
+    *
+    * Scale shape: one map-side-combined count per (group, digit) —
+    * ≤ 9 rows per group — then arithmetic on the tiny grid.
+    */
+  def benfordProfile(df: DataFrame, groupCol: String,
+                     valueCol: String): DataFrame = {
+    val v = df.filter(col(valueCol) >= 1)
+      .select(col(groupCol).as("__g"),
+        substring(floor(col(valueCol)).cast(StringType), 1, 1)
+          .cast(IntegerType).as("digit"))
+    val c = v.groupBy("__g", "digit").agg(count(lit(1)).as("n"))
+    val t = v.groupBy("__g").agg(count(lit(1)).as("__t"))
+    val digits = df.sparkSession.range(1, 10)
+      .select(col("id").cast(IntegerType).as("digit"))
+    val dense = t.crossJoin(digits)
+      .join(c, Seq("__g", "digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val expected = col("__t").cast("double") *
+      log10(lit(1.0) + lit(1.0) / col("digit"))
+    val term = (col("n").cast("double") - expected) *
+      (col("n").cast("double") - expected) / expected
+    val chi = dense.groupBy("__g")
+      .agg(round(sum(term), 4).as("chi2"))
+    dense
+      .join(chi, "__g")
+      .select(col("__g").as(groupCol), col("digit"), col("n"),
+        round(col("n").cast("double") / col("__t").cast("double"), 6)
+          .as("obs_share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("benford_share"),
+        col("chi2"))
+  }
+
   /** Dyadic-decay EWMA of each group's daily event count: decay 1/2
     * per day, truncated at `windowDays` terms —
     *   ewma_t = Σ_{j=0..W-1} x_{t−j} · 2^{W−1−j}  /  2^W .

@@ -104,6 +104,15 @@ object ExtendedQueries {
         "user_id", k = 64)
     }),
 
+    // Benford first-digit screen on order amounts per priority class:
+    // exact floor-then-string digit extraction (no log10 mantissa
+    // wobble), dense 9-digit grid so never-seen digits contribute
+    // their (0-Np)^2/Np mass to the chi-square
+    "q174_benford_profile" -> ((s, d) =>
+      graft.operators.AnalyticsOps.benfordProfile(
+        s.read.parquet(s"$d/orders.parquet"),
+        "o_orderpriority", "o_totalprice")),
+
     // HDR-histogram quantile sketch per event type: log-linear integer
     // bucketing (exact below 2^5, top-5-significand-bits above),
     // bounded counter state, rank answered by a cumulative walk over
@@ -790,6 +799,36 @@ object ExtendedQueries {
         |            // union_size
         |  END AS intersect_est
         |FROM st""".stripMargin,
+
+    // identical digit extraction (floor -> BIGINT -> first character),
+    // dense digit grid, and chi-square over exact integer counts; the
+    // CAST(1 AS DOUBLE) guards DuckDB's DECIMAL literal parsing
+    "q174_benford_profile" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+        |      1, 1) AS INTEGER) AS digit
+        |  FROM orders WHERE o_totalprice >= 1
+        |), c AS (SELECT g, digit, count(*) AS n FROM v GROUP BY 1, 2),
+        |t AS (SELECT g, count(*) AS t FROM v GROUP BY 1),
+        |digits AS (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS digit),
+        |dense AS (
+        |  SELECT t.g, t.t, digits.digit, COALESCE(c.n, 0) AS n
+        |  FROM t CROSS JOIN digits
+        |  LEFT JOIN c ON c.g = t.g AND c.digit = digits.digit
+        |), chi AS (
+        |  SELECT g, round(sum(
+        |    (CAST(n AS DOUBLE) - t * log10(1 + CAST(1 AS DOUBLE) / digit))
+        |    * (CAST(n AS DOUBLE) - t * log10(1 + CAST(1 AS DOUBLE) / digit))
+        |    / (t * log10(1 + CAST(1 AS DOUBLE) / digit))), 4) AS chi2
+        |  FROM dense GROUP BY 1
+        |)
+        |SELECT dense.g AS o_orderpriority, dense.digit,
+        |  CAST(dense.n AS BIGINT) AS n,
+        |  round(CAST(dense.n AS DOUBLE) / dense.t, 6) AS obs_share,
+        |  round(log10(1 + CAST(1 AS DOUBLE) / dense.digit), 6) AS benford_share,
+        |  chi.chi2
+        |FROM dense JOIN chi ON chi.g = dense.g""".stripMargin,
 
     // the same log-linear bucket index, cumulative walk, and bucket
     // lower-bound inversion; q literals cast to DOUBLE so the rank

@@ -300,6 +300,17 @@ object TextQueries {
       graft.operators.SplitOps.sampleKPerGroup(
         Tables.documents(s, d), "doc_id", "source", k = 10)),
 
+    // corpus drift monitor: smoothed unigram distributions of the en
+    // vs de slices compared by KL (both directions) and Jensen-Shannon
+    // — per-term contributions are single IEEE expressions over exact
+    // counts; only the final vocab-sized sums are floats (round 4)
+    "q175_token_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.TextOps.tokenDistributionDrift(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") === "de"), "text")
+    }),
+
     // dataset-card report: the corpus-level numbers a data release
     // documents, one long-format row per metric — every value an
     // exact count or a single division of exact counts
@@ -652,6 +663,37 @@ object TextQueries {
     "q21_doc_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // same q104 tokenization, union-vocab add-1 smoothing, natural
+    // logs; per-term contributions identical IEEE expressions, final
+    // sums rounded to 4 (ppm convention)
+    "q175_token_drift" ->
+      """WITH ta AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents WHERE lang = 'en' AND length(trim(text)) > 0
+        |), tb AS (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        |  FROM documents WHERE lang = 'de' AND length(trim(text)) > 0
+        |), ca AS (SELECT term, count(*) AS ca FROM ta GROUP BY 1),
+        |cb AS (SELECT term, count(*) AS cb FROM tb GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term
+        |), tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb FROM j
+        |), pq AS (
+        |  SELECT v, na, nb,
+        |    (CAST(ca AS DOUBLE) + 1) / CAST(na + v AS DOUBLE) AS p,
+        |    (CAST(cb AS DOUBLE) + 1) / CAST(nb + v AS DOUBLE) AS q
+        |  FROM j CROSS JOIN tot
+        |)
+        |SELECT v AS vocab_size, na AS n_a, nb AS n_b,
+        |  round(sum(p * ln(p / q)), 4) AS kl_ab,
+        |  round(sum(q * ln(q / p)), 4) AS kl_ba,
+        |  round(sum(p * ln(p / ((p + q) / 2)) / 2
+        |          + q * ln(q / ((p + q) / 2)) / 2), 4) AS js_div
+        |FROM pq GROUP BY v, na, nb""".stripMargin,
 
     "q22_text_quality" ->
       s"""WITH t AS (

@@ -660,4 +660,49 @@ object TextOps {
     top.withColumn("rank", row_number().over(w))
       .select(col(idCol), col("rank"), round(col("__score"), 6).as("score"))
   }
+
+  /** Corpus drift report: add-1-smoothed unigram distributions of two
+    * document slices compared by KL divergence (both directions) and
+    * the symmetric Jensen–Shannon divergence — the distribution-shift
+    * monitor a training pipeline runs between crawl snapshots, before/
+    * after a filter, or across sources ("did this filter quietly
+    * change what the corpus talks about?"). Smoothing is over the
+    * UNION vocabulary, so a term unseen on one side contributes finite
+    * mass instead of ±∞ and the divergences are well-defined whenever
+    * either side is non-empty.
+    *
+    * Scale shape: one hash-keyed token count per side (map-side
+    * combined), one full-outer join on the term, then a single
+    * aggregation — the per-term log-ratio contributions are each one
+    * IEEE expression over exact integer counts; only the final
+    * #vocab-term sums are floats (reported at 4 decimals, the ppm
+    * convention for accumulation-order noise).
+    */
+  def tokenDistributionDrift(a: DataFrame, b: DataFrame,
+                             textCol: String): DataFrame = {
+    def counts(df: DataFrame, out: String): DataFrame = df
+      .select(explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as(out))
+    val joined = counts(a, "__ca").join(counts(b, "__cb"), Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    // totals ride along as a broadcast 1-row frame — no driver action,
+    // one declarative plan
+    val totals = joined.agg(
+      count(lit(1)).as("vocab_size"),
+      coalesce(sum("__ca"), lit(0L)).as("n_a"),
+      coalesce(sum("__cb"), lit(0L)).as("n_b"))
+    val p = (col("__ca").cast("double") + 1.0) /
+      (col("n_a") + col("vocab_size")).cast("double")
+    val q = (col("__cb").cast("double") + 1.0) /
+      (col("n_b") + col("vocab_size")).cast("double")
+    val m = (p + q) / 2.0
+    joined.crossJoin(broadcast(totals))
+      .groupBy("vocab_size", "n_a", "n_b")
+      .agg(
+        round(sum(p * log(p / q)), 4).as("kl_ab"),
+        round(sum(q * log(q / p)), 4).as("kl_ba"),
+        round(sum(p * log(p / m) / 2.0 + q * log(q / m) / 2.0), 4).as("js_div"))
+  }
 }

@@ -390,4 +390,28 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out(("a", "2024-01-03")) === ((0L, 1.25)))
     assert(out(("b", "2024-01-03")) === ((1L, 0.875)))
   }
+
+  test("benfordProfile: exact digit extraction, sub-1 values excluded, " +
+    "dense 9-digit grid with zero rows, chi-square positive") {
+    val df = Seq(
+      ("a", 1.5), ("a", 19.0), ("a", 123.4), ("a", 2.0), ("a", 29.9),
+      ("a", 0.5), // below 1: excluded, not digit 5
+      ("b", 999.999)).toDF("g", "v")
+    val out = AnalyticsOps.benfordProfile(df, "g", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(5))))
+      .toMap
+    assert(out.size === 18) // 2 groups x dense 9 digits
+    assert(out(("a", 1))._1 === 3L) // 1.5, 19, 123.4
+    assert(out(("a", 1))._2 === 0.6)
+    assert(out(("a", 2))._1 === 2L)
+    assert(out(("a", 5))._1 === 0L) // 0.5 must NOT land here
+    assert(out(("a", 5))._2 === 0.0)
+    assert(out(("b", 9))._1 === 1L)
+    // all of b's mass on digit 9 (p = 0.0458): chi2 = sum over digits
+    // of (n-Np)^2/(Np) with N=1 -> large; and constant per group
+    assert(out(("b", 9))._3 > 5.0)
+    assert(out.filter(_._1._1 == "a").values.map(_._3).toSet.size === 1)
+  }
 }

@@ -320,4 +320,36 @@ class TextOpsSpec extends SparkSpec {
     assert(out.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
       "bm25 top-k should plan as TakeOrderedAndProject")
   }
+
+  test("tokenDistributionDrift: identical slices diverge by zero; a " +
+    "mirrored skew gives the closed-form symmetric KL") {
+    import spark.implicits._
+    val a = Seq("x x x y").toDF("text")
+    val b = Seq("x y y Y").toDF("text") // lowercased: y y y
+    val same = TextOps.tokenDistributionDrift(a, a, "text").collect()(0)
+    assert(same.getAs[Long]("vocab_size") === 2L)
+    assert(same.getAs[Double]("kl_ab") === 0.0)
+    assert(same.getAs[Double]("js_div") === 0.0)
+    val r = TextOps.tokenDistributionDrift(a, b, "text").collect()(0)
+    assert(r.getAs[Long]("n_a") === 4L)
+    assert(r.getAs[Long]("n_b") === 4L)
+    // smoothed: p=(2/3,1/3), q=(1/3,2/3) -> KL both ways = ln(2)/3
+    val kl = BigDecimal(math.log(2) / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("kl_ab") === kl)
+    assert(r.getAs[Double]("kl_ba") === kl)
+    assert(r.getAs[Double]("js_div") === 0.0566)
+  }
+
+  test("tokenDistributionDrift: a term unseen on one side keeps the " +
+    "divergences finite via union-vocab smoothing") {
+    import spark.implicits._
+    val a = Seq("only here").toDF("text")
+    val b = Seq("different words entirely").toDF("text")
+    val r = TextOps.tokenDistributionDrift(a, b, "text").collect()(0)
+    assert(r.getAs[Long]("vocab_size") === 5L)
+    assert(!r.getAs[Double]("kl_ab").isInfinite)
+    assert(!r.getAs[Double]("kl_ba").isInfinite)
+    assert(r.getAs[Double]("js_div") > 0.0)
+  }
 }
