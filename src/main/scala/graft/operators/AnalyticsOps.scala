@@ -439,6 +439,56 @@ object AnalyticsOps {
     out
   }
 
+  /** Concentration report over a categorical key: Gini coefficient,
+    * Herfindahl–Hirschman index, and the largest single share — the
+    * "is this corpus dominated by a few domains" screen a training
+    * mix review starts from (the scalar complement to q168's quota
+    * CAP). Gini is computed from the rank-weighted identity
+    *   G = (2·Σᵢ i·cᵢ − (n+1)·Σc) / (n·Σc),   cᵢ ascending,
+    * whose numerator and denominator are EXACT Decimal(38,0) integers
+    * — ties in cᵢ make Σ i·cᵢ permutation-invariant, so the tiebreak
+    * order only serves determinism, not the value. HHI = Σc²/(Σc)² on
+    * the same exact-integer moments. Each statistic is ONE closing
+    * IEEE division over exact operands (round 6) — no float
+    * accumulation anywhere.
+    *
+    * Scale shape: one map-side-combined count per group, then the
+    * rank over the #groups-row count table via the two-level cumsum
+    * (a web-scale domain column has 10⁸ groups — still no
+    * single-partition window anywhere).
+    */
+  def concentrationReport(df: DataFrame, groupCol: String): DataFrame = {
+    val counts = df
+      .filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__c"))
+    // rank 1..n ascending by (count, group): bucket on a monotone
+    // count prefix so no window spans more than one count-bucket
+    val (bucketed, wi) = TwoLevelCumsum.withOffsets(
+      counts, expr("__c div 1024L"), lit(1L),
+      Seq(col("__c").asc, col("__g").asc))
+    val dec = DecimalType(38, 0)
+    val ranked = bucketed
+      .withColumn("__rk", col("__off") + sum("__w").over(wi))
+    ranked.agg(
+      count(lit(1)).as("n_groups"),
+      sum("__c").as("total"),
+      sum(col("__rk").cast(dec) * col("__c").cast(dec)).as("__src"),
+      max("__c").as("__maxc"),
+      sum(col("__c").cast(dec) * col("__c").cast(dec)).as("__ssq"))
+      .select(col("n_groups"), col("total"),
+        round(((lit(2).cast(dec) * col("__src")
+          - (col("n_groups") + 1).cast(dec) * col("total").cast(dec))
+          .cast("double"))
+          / (col("n_groups").cast(dec) * col("total").cast(dec)).cast("double"),
+          6).as("gini"),
+        round(col("__ssq").cast("double")
+          / (col("total").cast(dec) * col("total").cast(dec)).cast("double"), 6)
+          .as("hhi"),
+        round(col("__maxc").cast("double") / col("total").cast("double"), 6)
+          .as("top_share"))
+  }
+
   /** Benford first-digit profile per group — the classic
     * anomaly/fabrication screen for naturally-occurring positive
     * amounts (Nigrini 2012): organic magnitudes follow

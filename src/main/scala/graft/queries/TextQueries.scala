@@ -311,6 +311,14 @@ object TextQueries {
         docs.filter(col("lang") === "de"), "text")
     }),
 
+    // source concentration scalars (Gini / HHI / top share) — the
+    // one-row complement to q168's per-source cap: every statistic is
+    // a single IEEE division over exact Decimal moments, rank via the
+    // two-level cumsum (a domain column has 1e8 groups at web scale)
+    "q176_source_concentration" -> ((s, d) =>
+      graft.operators.AnalyticsOps.concentrationReport(
+        Tables.documents(s, d), "source")),
+
     // dataset-card report: the corpus-level numbers a data release
     // documents, one long-format row per metric — every value an
     // exact count or a single division of exact counts
@@ -694,6 +702,24 @@ object TextQueries {
         |  round(sum(p * ln(p / ((p + q) / 2)) / 2
         |          + q * ln(q / ((p + q) / 2)) / 2), 4) AS js_div
         |FROM pq GROUP BY v, na, nb""".stripMargin,
+
+    // same rank-weighted Gini identity and exact-integer moments
+    // (DuckDB sums widen to HUGEINT — the engine's Decimal envelope)
+    "q176_source_concentration" ->
+      """WITH c AS (
+        |  SELECT source AS g, count(*) AS c FROM documents
+        |  WHERE source IS NOT NULL GROUP BY 1
+        |), r AS (
+        |  SELECT g, c, row_number() OVER (ORDER BY c, g) AS rk FROM c
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(c) AS BIGINT) AS total,
+        |  round(CAST(2 * sum(rk * c) - (count(*) + 1) * sum(c) AS DOUBLE)
+        |    / CAST(count(*) * sum(c) AS DOUBLE), 6) AS gini,
+        |  round(CAST(sum(c * c) AS DOUBLE)
+        |    / CAST(sum(c) * sum(c) AS DOUBLE), 6) AS hhi,
+        |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_share
+        |FROM r""".stripMargin,
 
     "q22_text_quality" ->
       s"""WITH t AS (

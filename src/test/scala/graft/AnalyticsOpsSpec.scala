@@ -414,4 +414,20 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out(("b", 9))._3 > 5.0)
     assert(out.filter(_._1._1 == "a").values.map(_._3).toSet.size === 1)
   }
+
+  test("concentrationReport: closed-form Gini/HHI/top-share, equality " +
+    "floors Gini at zero") {
+    val skewed = (Seq("a", "b") ++ Seq.fill(2)("c")).toDF("src")
+    val r = AnalyticsOps.concentrationReport(skewed, "src").collect()(0)
+    assert(r.getAs[Long]("n_groups") === 3L)
+    assert(r.getAs[Long]("total") === 4L)
+    // counts ascending [1,1,2]: G = (2*(1+2+6) - 4*4) / (3*4) = 1/6
+    assert(r.getAs[Double]("gini") === 0.166667)
+    assert(r.getAs[Double]("hhi") === 0.375) // (1+1+4)/16
+    assert(r.getAs[Double]("top_share") === 0.5)
+    val even = Seq("a", "b", "c", "d").toDF("src")
+    val e = AnalyticsOps.concentrationReport(even, "src").collect()(0)
+    assert(e.getAs[Double]("gini") === 0.0)
+    assert(e.getAs[Double]("hhi") === 0.25)
+  }
 }
