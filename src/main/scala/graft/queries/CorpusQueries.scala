@@ -293,6 +293,18 @@ object CorpusQueries {
       graft.text.NgramLm.scorePerplexity(docs, "doc_id", "text", lm)
     }),
 
+    // stupid-backoff trigram scoring (Brants 2007) self-trained on
+    // the corpus — the web-scale LM score (no discounting, fixed α
+    // penalty per backoff level) complementing q93's interpolated
+    // bigram: three hash-keyed count frames, three left joins, one
+    // per-doc aggregate. The oracle retrains the WHOLE model and
+    // replays the coalesce cascade with the identical nesting
+    "q177_sbo_trigram_ppl" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lm = graft.text.NgramLm.trainStupidBackoff(docs, "text")
+      graft.text.NgramLm.scoreStupidBackoff(docs, "doc_id", "text", lm)
+    }),
+
     // triangle count of the near-dup graph — the clique-density
     // report distinguishing chain-shaped dup clusters (transcription
     // chains) from true duplicate cliques; standard 3-way ordered
@@ -1208,6 +1220,52 @@ object CorpusQueries {
         |)
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(avg(nll), 6) AS avg_nll, round(exp(avg(nll)), 4) AS ppl
+        |FROM score GROUP BY doc_id""".stripMargin,
+
+    // the full stupid-backoff replay: the same three count tables,
+    // the same fixed-order ratio divisions, and the same nested
+    // coalesce cascade S = r3 else 0.4*(r2 else 0.4*(c3+1)/(N+V))
+    "q177_sbo_trigram_ppl" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(nt, ' ') AS t
+        |  FROM norm WHERE length(nt) > 0
+        |), uni AS (
+        |  SELECT w, count(*)::DOUBLE AS c
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+        |), nv AS (SELECT sum(c) AS n, count(*) AS v FROM uni),
+        |bi AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE len(t) >= 2)
+        |), bic AS (
+        |  SELECT w1, w2, count(*)::DOUBLE AS c12 FROM bi GROUP BY w1, w2
+        |), tri AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 3)
+        |), tric AS (
+        |  SELECT w1, w2, w3, count(*)::DOUBLE AS c123
+        |  FROM tri GROUP BY w1, w2, w3
+        |), score AS (
+        |  SELECT g.doc_id,
+        |    -ln(coalesce(tc.c123 / bc1.c12,
+        |      0.4 * coalesce(bc2.c12 / u2.c,
+        |        0.4 * (coalesce(u3.c, 0.0) + 1)
+        |            / ((SELECT n FROM nv) + (SELECT v FROM nv))))) AS nls
+        |  FROM tri g
+        |  LEFT JOIN tric tc ON tc.w1 = g.w1 AND tc.w2 = g.w2 AND tc.w3 = g.w3
+        |  LEFT JOIN bic bc1 ON bc1.w1 = g.w1 AND bc1.w2 = g.w2
+        |  LEFT JOIN bic bc2 ON bc2.w1 = g.w2 AND bc2.w2 = g.w3
+        |  LEFT JOIN uni u2 ON u2.w = g.w2
+        |  LEFT JOIN uni u3 ON u3.w = g.w3
+        |)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        |  round(avg(nls), 6) AS avg_nls, round(exp(avg(nls)), 4) AS sbo_ppl
         |FROM score GROUP BY doc_id""".stripMargin,
 
     // exact-Jaccard pairs (the q27-proven ground truth at 0.8) joined

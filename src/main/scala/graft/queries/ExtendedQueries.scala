@@ -104,6 +104,34 @@ object ExtendedQueries {
         "user_id", k = 64)
     }),
 
+    // k-anonymity + l-diversity risk report over the release shape
+    // (priority, order month) with order status as the sensitive
+    // attribute: one cell count + one class rollup (the q07 two-level
+    // discipline — no Expand, no distinct aggregate), class-sized
+    // output, NULL-safe on both quasi and sensitive columns
+    "q178_privacy_risk" -> ((s, d) =>
+      graft.operators.PrivacyOps.privacyRisk(
+        s.read.parquet(s"$d/orders.parquet")
+          .withColumn("o_month",
+            (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+              .cast("int")),
+        Seq("o_orderpriority", "o_month"), "o_orderstatus",
+        k = 30, l = 3)),
+
+    // one-pass column profiler over the orders table's string
+    // surface: row/NULL/exact-distinct counts and lexicographic
+    // min/max for every column from ONE explode + two-level
+    // aggregation — no per-column scan, no Expand; the double column
+    // stringifies through DECIMAL(18,2) and the timestamp at date
+    // grain so the surface is engine-portable
+    "q179_table_profile" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+      graft.tables.CatalogOps.profileTable(o, Map(
+        "o_totalprice" -> col("o_totalprice")
+          .cast("decimal(18,2)").cast("string"),
+        "o_orderdate" -> col("o_orderdate").cast("date").cast("string")))
+    }),
+
     // Benford first-digit screen on order amounts per priority class:
     // exact floor-then-string digit extraction (no log10 mantissa
     // wobble), dense 9-digit grid so never-seen digits contribute
@@ -829,6 +857,44 @@ object ExtendedQueries {
         |  round(log10(1 + CAST(1 AS DOUBLE) / dense.digit), 6) AS benford_share,
         |  chi.chi2
         |FROM dense JOIN chi ON chi.g = dense.g""".stripMargin,
+
+    // the same two-level cell-then-class rollup: distinct sensitive
+    // values counted as cell rows (NULL included), risk flags by the
+    // same integer compare
+    "q178_privacy_risk" ->
+      """WITH cells AS (
+        |  SELECT o_orderpriority,
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER)
+        |      AS o_month,
+        |    o_orderstatus, count(*) AS n
+        |  FROM orders GROUP BY 1, 2, 3
+        |)
+        |SELECT o_orderpriority, o_month,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_sensitive_values,
+        |  sum(n) < 30 AS k_risk,
+        |  count(*) < 3 AS l_risk
+        |FROM cells GROUP BY 1, 2""".stripMargin,
+
+    // per-column UNION ALL twin of the one-pass profile: the same
+    // string surface (DECIMAL(18,2) for the price, date grain for the
+    // timestamp), distinct over non-NULL stringified values,
+    // lexicographic min/max
+    "q179_table_profile" ->
+      (Seq(
+        ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+        ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+        ("o_orderstatus", "o_orderstatus"),
+        ("o_totalprice", "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)"),
+        ("o_orderdate", "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)"),
+        ("o_orderpriority", "o_orderpriority"))
+        .map { case (c, v) =>
+          s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(*) - count(v) AS BIGINT) AS n_nulls,
+             |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+             |  min(v) AS min_value, max(v) AS max_value
+             |FROM (SELECT $v AS v FROM orders)""".stripMargin
+        }.mkString("\n", "\nUNION ALL\n", "")),
 
     // the same log-linear bucket index, cumulative walk, and bucket
     // lower-bound inversion; q literals cast to DOUBLE so the rank

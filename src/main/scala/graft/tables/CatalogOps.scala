@@ -1,6 +1,7 @@
 package graft.tables
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Catalog / orchestration helpers (the driver-side analogs of the
   * reference's Airflow-level operations).
@@ -60,6 +61,41 @@ object CatalogOps {
     * gen_schema_from_df gcs_utils.py:378-400): infer a StructType from
     * sample data.
     */
+  /** One-pass column profiler: per column — row count, NULL count,
+    * exact distinct count, lexicographic min/max — in long format
+    * (col_name, n_rows, n_nulls, n_distinct, min_value, max_value).
+    * The profile runs over the column's STRING SURFACE: each row
+    * explodes to C (col_name, stringified value) pairs, and ONE
+    * two-level aggregation (value histogram → per-column rollup)
+    * answers every metric — no per-column scan, no Expand from C
+    * distinct aggregates, map-side combine collapses repeated values
+    * before the shuffle. min/max are therefore string-ordered
+    * ("10" < "9"), the documented semantics of a surface profile.
+    *
+    * `stringify` overrides the default `cast(string)` per column —
+    * REQUIRED for floating-point columns when the profile must
+    * reproduce across engines (shortest-round-trip double formatting
+    * is not standardized; cast to DECIMAL first), and useful to
+    * profile timestamps at date grain.
+    */
+  def profileTable(df: org.apache.spark.sql.DataFrame,
+                   stringify: Map[String, Column] = Map.empty)
+      : org.apache.spark.sql.DataFrame = {
+    require(df.columns.nonEmpty, "cannot profile a zero-column frame")
+    val pairs = df.columns.toIndexedSeq.map { c =>
+      struct(lit(c).as("col_name"),
+        stringify.getOrElse(c, col(c).cast("string")).as("v"))
+    }
+    df.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+      .groupBy("col_name", "v").agg(count(lit(1)).as("__n"))
+      .groupBy("col_name")
+      .agg(sum("__n").as("n_rows"),
+        coalesce(sum(when(col("v").isNull, col("__n"))), lit(0L)).as("n_nulls"),
+        count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+        min("v").as("min_value"), max("v").as("max_value"))
+  }
+
   def inferSchema(spark: SparkSession, jsonPath: String): org.apache.spark.sql.types.StructType =
     spark.read.json(jsonPath).schema
 }

@@ -93,6 +93,103 @@ object NgramLm {
     BigramLm(bigrams, unigrams, 1.0 / (n + v).toDouble, lambda, uniLambda)
   }
 
+  /** A trained stupid-backoff trigram model (Brants et al. 2007,
+    * "Large Language Models in Machine Translation": the score that
+    * made web-scale n-gram LMs tractable — no discounting, no
+    * normalization, a fixed backoff penalty α per level):
+    *   S(w3|w1w2) = c(w1w2w3)/c(w1w2)            if the trigram is seen
+    *              = α·S(w3|w2)                    otherwise
+    *   S(w3|w2)   = c(w2w3)/c(w2)                 if the bigram is seen
+    *              = α·(c(w3)+1)/(N+V)             otherwise
+    * (the unigram floor is add-one smoothed — Brants uses c(w)/N, which
+    * is zero for OOV words and would make −ln S undefined; the +1 keeps
+    * the score total while changing seen-unigram mass by < 1/N).
+    * Ratio frames carry one double per OBSERVED n-gram, keyed on the
+    * 8-byte xxhash64 of the gram — unseen grams back off via the left
+    * join's NULL, so the sparse count frames ARE the full model.
+    */
+  final case class StupidBackoffLm(trigrams: DataFrame, bigrams: DataFrame,
+                                   unigrams: DataFrame, oovUni: Double,
+                                   alpha: Double)
+
+  private def trigramRows(df: DataFrame, textCol: String,
+                          extra: Seq[Column]): DataFrame = {
+    val toks = normTokens(col(textCol))
+    df.select(extra :+ toks.as("__t"): _*)
+      .filter(size(col("__t")) >= 3)
+      .select(extra :+ explode(expr(
+        "transform(sequence(0, size(__t) - 3), i -> struct(__t[i] AS w1, __t[i + 1] AS w2, __t[i + 2] AS w3))"))
+        .as("__g"): _*)
+      .select(extra ++ Seq(col("__g.w1").as("w1"), col("__g.w2").as("w2"),
+        col("__g.w3").as("w3")): _*)
+  }
+
+  /** Train a stupid-backoff trigram model: three hash-keyed count
+    * aggregations (unigram, bigram, trigram) + one O(1) scalar action
+    * for (N, V). Each ratio is precomputed at train time so scoring
+    * joins carry one double per model row; the division order is fixed
+    * (c_high.cast(double) / c_low.cast(double)), the cross-engine
+    * contract the q93/q177 oracles replay.
+    */
+  def trainStupidBackoff(ref: DataFrame, textCol: String,
+                         alpha: Double = 0.4): StupidBackoffLm = {
+    require(alpha > 0 && alpha < 1, s"backoff penalty must be in (0,1): $alpha")
+    val toks = ref.select(explode(normTokens(col(textCol))).as("w"))
+    val uniCounts = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val nv = uniCounts.agg(sum("c").as("n"), count(lit(1)).as("v")).head()
+    val n = nv.getLong(0); val v = nv.getLong(1)
+    require(n > 0, "reference corpus has no tokens")
+    val unigrams = uniCounts.select(
+      xxhash64(col("w")).as("u_hash"),
+      ((col("c") + 1).cast("double") / (n + v).toDouble).as("uni"))
+    val biCounts = bigramRows(ref, textCol, Seq.empty)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val bigrams = biCounts
+      .join(uniCounts.withColumnsRenamed(Map("w" -> "w1", "c" -> "c1")), "w1")
+      .select(xxhash64(col("w1"), col("w2")).as("b_hash"),
+        (col("c12").cast("double") / col("c1").cast("double")).as("r2"))
+    val trigrams = trigramRows(ref, textCol, Seq.empty)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+      .join(biCounts, Seq("w1", "w2"))
+      .select(xxhash64(col("w1"), col("w2"), col("w3")).as("t_hash"),
+        (col("c123").cast("double") / col("c12").cast("double")).as("r3"))
+    StupidBackoffLm(trigrams, bigrams, unigrams,
+      1.0 / (n + v).toDouble, alpha)
+  }
+
+  /** Score documents under stupid backoff: (idCol, n_trigrams,
+    * avg_nls rounded to 6, sbo_ppl rounded to 4) where avg_nls is the
+    * mean −ln S over the document's trigram positions. Documents with
+    * fewer than three normalized tokens have no trigram positions and
+    * are excluded, mirroring [[scorePerplexity]]'s bigram rule.
+    *
+    * Scale shape: one map-side explode (~1 row/token), three LEFT
+    * joins keyed on 8-byte gram hashes (broadcast when the model is
+    * small, shuffled otherwise — both correct), one per-doc aggregate.
+    * The backoff cascade is a coalesce chain, evaluated per row with
+    * no branching state.
+    */
+  def scoreStupidBackoff(docs: DataFrame, idCol: String, textCol: String,
+                         lm: StupidBackoffLm): DataFrame = {
+    val rows = trigramRows(docs, textCol, Seq(col(idCol)))
+      .select(col(idCol),
+        xxhash64(col("w1"), col("w2"), col("w3")).as("t_hash"),
+        xxhash64(col("w2"), col("w3")).as("b_hash"),
+        xxhash64(col("w3")).as("u_hash"))
+    val s = coalesce(col("r3"),
+      lit(lm.alpha) * coalesce(col("r2"),
+        lit(lm.alpha) * coalesce(col("uni"), lit(lm.oovUni))))
+    rows
+      .join(lm.trigrams, Seq("t_hash"), "left")
+      .join(lm.bigrams, Seq("b_hash"), "left")
+      .join(lm.unigrams, Seq("u_hash"), "left")
+      .select(col(idCol), (-log(s)).as("__nls"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(avg(col("__nls")), 6).as("avg_nls"),
+        round(exp(avg(col("__nls"))), 4).as("sbo_ppl"))
+  }
+
   /** Score documents against a trained model: (idCol, n_bigrams,
     * avg_nll rounded to 6, ppl rounded to 4). Documents with fewer
     * than two normalized tokens have no bigrams and are excluded —

@@ -58,4 +58,43 @@ class CatalogOpsSpec extends SparkSpec {
     val s = CatalogOps.inferSchema(spark, f.getPath)
     assert(s.fieldNames.toSet === Set("a", "b"))
   }
+
+  test("profileTable: hand-computed per-column counts, NULL handling, " +
+    "lexicographic min/max ('10' < '9'), stringify override, one-pass " +
+    "no-Expand plan") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (9L, Option("a"), Option(1.25)),
+      (10L, Option("a"), None),
+      (10L, None, Option(2.5))
+    ).toDF("id", "tag", "amt")
+    val out = CatalogOps.profileTable(df, Map(
+      "amt" -> col("amt").cast("decimal(18,2)").cast("string")))
+    val rows = out.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)), Option(r.getString(5)))).toMap
+    // id: 3 rows, 0 nulls, distinct {"9","10"}, min "10" (string order!)
+    assert(rows("id") === ((3L, 0L, 2L, Some("10"), Some("9"))))
+    assert(rows("tag") === ((3L, 1L, 1L, Some("a"), Some("a"))))
+    // amt through DECIMAL(18,2): {"1.25","2.50"}
+    assert(rows("amt") === ((3L, 1L, 2L, Some("1.25"), Some("2.50"))))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"no Expand expected:\n$plan")
+    // single scan of the source: exactly one Generate (explode) node
+    // in the logical plan (the physical string repeats it in AQE's
+    // initial-plan section)
+    import org.apache.spark.sql.catalyst.plans.logical.Generate
+    val gens = out.queryExecution.optimizedPlan.collect { case g: Generate => g }
+    assert(gens.length === 1, s"one explode expected:\n$plan")
+  }
+
+  test("profileTable: an all-NULL column reports NULL min/max and zero " +
+    "distincts") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(1, 2).toDF("x").withColumn("n", lit(null).cast("string"))
+    val rows = CatalogOps.profileTable(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)))).toMap
+    assert(rows("n") === ((2L, 2L, 0L, None)))
+  }
 }

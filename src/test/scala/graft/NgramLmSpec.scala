@@ -64,6 +64,39 @@ class NgramLmSpec extends SparkSpec {
     assert(fluent < out(0).getAs[Double]("ppl") / 10)
   }
 
+  test("trainStupidBackoff + scoreStupidBackoff reproduce hand-computed " +
+    "backoff cascades at all three levels") {
+    // counts from `ref`: c(a)=3 c(b)=2 c(c)=3, N=8 V=3;
+    // bigram (a,b)=2 (b,a)=2 (c,c)=2;
+    // trigram (a,b,a)=2 (b,a,b)=1 (c,c,c)=1
+    val lm = NgramLm.trainStupidBackoff(ref.toDF("doc_id", "text"), "text")
+    val target = Seq(
+      (1L, "a b a b a"),  // seen trigrams: S = [2/2, 1/2, 2/2]
+      (10L, "a a b"),     // unseen trigram, seen bigram (a,b): 0.4*(2/3)
+      (11L, "a c b"),     // unseen trigram+bigram, seen unigram b:
+                          //   0.4*(0.4*(2+1)/11)
+      (12L, "z z z"),     // fully OOV: 0.4*(0.4*(0+1)/11)
+      (13L, "a b")        // 2 tokens -> no trigram positions -> excluded
+    ).toDF("doc_id", "text")
+    val out = NgramLm.scoreStupidBackoff(target, "doc_id", "text", lm)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 10L, 11L, 12L))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nls1 = (-math.log(1.0) + -math.log(0.5) + -math.log(1.0)) / 3.0
+    assert(out(0).getAs[Long]("n_trigrams") === 3L)
+    assert(out(0).getAs[Double]("avg_nls") === r6(nls1))
+    assert(out(1).getAs[Double]("avg_nls") === r6(-math.log(0.4 * (2.0 / 3.0))))
+    assert(out(2).getAs[Double]("avg_nls") ===
+      r6(-math.log(0.4 * (0.4 * (3.0 / 11.0)))))
+    assert(out(3).getAs[Double]("avg_nls") ===
+      r6(-math.log(0.4 * (0.4 * (1.0 / 11.0)))))
+    // fluency ordering: seen > bigram-backoff > unigram-backoff > OOV
+    val ppls = out.map(_.getAs[Double]("sbo_ppl"))
+    assert(ppls.sameElements(ppls.sorted),
+      s"backoff depth must order perplexity: ${ppls.toSeq}")
+  }
+
   test("curate lmOpt: the gibberish doc scoring above the ppl cap drops " +
     "at the LM stage; fluent docs survive to dedup") {
     // 20 identical fluent docs + 1 stopword-laced gibberish doc (the
