@@ -104,6 +104,29 @@ object ExtendedQueries {
         "user_id", k = 64)
     }),
 
+    // Bloom-pruned fact-to-dimension join: high-value orders' keys
+    // compress to a broadcast bit array and lineitem drops
+    // non-matching rows map-side BEFORE its shuffle — the explicit
+    // semi-join reduction for build sides too big to broadcast as
+    // rows; no false negatives, so the aggregate over the join is
+    // EXACTLY the plain join's (the oracle is that plain join)
+    "q180_bloom_pruned_join" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val hv = s.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_totalprice") > 350000.0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val (joined, release) = graft.tables.ScaleJoins.bloomPrunedJoinManaged(
+        li, "l_orderkey", hv, "o_orderkey")
+      val out = joined.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lineitems"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .localCheckpoint(true)
+      release()
+      out
+    }),
+
     // k-anonymity + l-diversity risk report over the release shape
     // (priority, order month) with order status as the sensitive
     // attribute: one cell count + one class rollup (the q07 two-level
@@ -857,6 +880,16 @@ object ExtendedQueries {
         |  round(log10(1 + CAST(1 AS DOUBLE) / dense.digit), 6) AS benford_share,
         |  chi.chi2
         |FROM dense JOIN chi ON chi.g = dense.g""".stripMargin,
+
+    // the plain inner join + aggregate — the Bloom prune must be
+    // invisible in the result (no false negatives)
+    "q180_bloom_pruned_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_lineitems,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 350000.0
+        |GROUP BY 1""".stripMargin,
 
     // the same two-level cell-then-class rollup: distinct sensitive
     // values counted as cell rows (NULL included), risk flags by the

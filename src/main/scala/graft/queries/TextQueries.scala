@@ -115,6 +115,28 @@ object TextQueries {
         "key agg row scan slow fast table value part hash",
         k = 20, minJaccard = 0.01)),
 
+    // hybrid retrieval: BM25 lexical top-20 and shingle-Jaccard
+    // top-20 fused by reciprocal-rank fusion (1/(60+rank), fixed-order
+    // sum) — the standard two-retriever "hybrid search" merge; rank 0
+    // marks absence from a list (NULL-free output)
+    "q181_rrf_hybrid_search" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bm = TextOps.bm25Search(docs, "doc_id", "text",
+          Seq("table", "join", "stream"), k = 20)
+        .select(col("doc_id"), col("rank"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("jaccard").desc, col("doc_id").asc)
+      // rank window over the ALREADY-LIMITED 20-row list (the q112
+      // in-operator idiom), not a corpus-sized frame
+      val jac = NearDup.searchByText(docs, "doc_id", "text",
+          "key agg row scan slow fast table value part hash",
+          k = 20, minJaccard = 0.01)
+        .withColumn("rank", row_number().over(w))
+        .select(col("doc_id"), col("rank"))
+      graft.text.Search.rrfFuse(
+        Seq("bm25" -> bm, "jaccard" -> jac), "doc_id", "rank", k = 15)
+    }),
+
     // per-doc n-gram novelty: fraction of a doc's distinct 3-grams
     // seen in NO other document — the complement of containment;
     // 8-byte hash keys, exact integer ratio
@@ -852,6 +874,78 @@ object TextQueries {
         |  SELECT *, row_number() OVER (ORDER BY jaccard DESC, doc_id ASC) AS rn
         |  FROM scored WHERE jaccard >= 0.01)
         |WHERE rn <= 20""".stripMargin,
+
+    // both retriever pipelines recomputed in full (the q112 BM25 and
+    // q128 shingle chains at k=20), fused with the identical
+    // fixed-order 1/(60+rank) sum and (rrf DESC, id) cut
+    "q181_rrf_hybrid_search" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(nt, ' ')) AS term
+        |  FROM norm WHERE length(nt) > 0
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+        |), st AS (
+        |  SELECT count(*) AS n, sum(dl)*1.0/count(*) AS avgdl FROM dl
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term IN ('table', 'join', 'stream') GROUP BY 1, 2
+        |), dfc AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.doc_id,
+        |    sum(ln(1 + ((SELECT n FROM st) - dfc.df + 0.5) / (dfc.df + 0.5))
+        |      * (tf.tf * (1.2::DOUBLE + 1))
+        |      / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE
+        |          + 0.75::DOUBLE * dl.dl / (SELECT avgdl FROM st)))) AS s
+        |  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id)
+        |  GROUP BY 1
+        |), bmr AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 20
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents)
+        |  WHERE len(toks) >= 3
+        |), q AS (
+        |  SELECT list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) s
+        |  FROM (SELECT regexp_split_to_array(
+        |    'key agg row scan slow fast table value part hash', '\s+') t)
+        |), jscored AS (
+        |  SELECT doc_id,
+        |    round(len(list_intersect(sh.s, q.s))::DOUBLE /
+        |      (len(sh.s) + len(q.s) - len(list_intersect(sh.s, q.s))), 4) AS jaccard
+        |  FROM sh, q
+        |), jr AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (ORDER BY jaccard DESC, doc_id ASC) AS rank
+        |    FROM jscored WHERE jaccard >= 0.01)
+        |  WHERE rank <= 20
+        |), ids AS (
+        |  SELECT doc_id FROM bmr UNION SELECT doc_id FROM jr
+        |)
+        |SELECT ids.doc_id,
+        |  CAST(coalesce(bmr.rank, 0) AS BIGINT) AS rank_bm25,
+        |  CAST(coalesce(jr.rank, 0) AS BIGINT) AS rank_jaccard,
+        |  round(
+        |    (CASE WHEN bmr.rank IS NOT NULL
+        |       THEN 1.0::DOUBLE / (60.0::DOUBLE + CAST(bmr.rank AS DOUBLE))
+        |       ELSE 0.0::DOUBLE END)
+        |    + (CASE WHEN jr.rank IS NOT NULL
+        |       THEN 1.0::DOUBLE / (60.0::DOUBLE + CAST(jr.rank AS DOUBLE))
+        |       ELSE 0.0::DOUBLE END), 6) AS rrf_score
+        |FROM ids LEFT JOIN bmr USING (doc_id) LEFT JOIN jr USING (doc_id)
+        |ORDER BY rrf_score DESC, ids.doc_id ASC
+        |LIMIT 15""".stripMargin,
 
     // df recomputed on gram STRINGS (the engine keys on xxhash64 —
     // same result absent a 64-bit collision, the q84 argument)

@@ -32,6 +32,69 @@ object ScaleJoins {
     graft.sources.Sinks.writeBucketedMaster(merged, outTable, key, buckets)
   }
 
+  /** Bloom-pruned equi-join — explicit semi-join reduction for the
+    * shape where the BUILD side is too large (or too dynamic) to
+    * broadcast as rows yet far smaller than the PROBE side: a Bloom
+    * filter over the build keys (megabytes per 10⁸ keys at 1% fpp)
+    * broadcasts instead, and the probe side drops non-matching rows
+    * in a MAP-ONLY filter BEFORE its shuffle — at 100 TB the win is
+    * the difference between shuffling the whole fact table and
+    * shuffling only the rows that can join. Catalyst's runtime bloom
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) covers the
+    * scan-predicate case adaptively; this operator makes the
+    * reduction explicit, deterministic, and available when the build
+    * side is a computed frame the optimizer cannot see through.
+    *
+    * Contract: the result is EXACTLY `probe ⋈ build` — a Bloom filter
+    * has no false negatives, and false positives (at most `fpp`) only
+    * ride the shuffle to be discarded by the exact join. NULL probe
+    * keys drop at the filter, which an inner join discards anyway.
+    * Integral and string keys supported (the two
+    * `BloomFilter.mightContain*` fast paths).
+    *
+    * Returns the joined frame plus a release handle that destroys the
+    * broadcast bit array once the output is materialized — the
+    * [[graft.pipelines.CorpusPipeline.decontaminateBloomManaged]]
+    * idiom; loop callers MUST release.
+    */
+  def bloomPrunedJoinManaged(probe: DataFrame, probeKey: String,
+                             build: DataFrame, buildKey: String,
+                             fpp: Double = 0.01): (DataFrame, () => Unit) = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    val overlap = probe.columns.toSet.intersect(build.columns.toSet)
+    require(overlap.isEmpty,
+      s"probe and build column names must be disjoint, both have: $overlap")
+    import org.apache.spark.sql.types._
+    val keyType = build.schema(buildKey).dataType
+    require(keyType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType => true
+      case _ => false
+    }, s"bloomPrunedJoin supports integral and string keys, got $keyType")
+    val keys = build.select(col(buildKey)).filter(col(buildKey).isNotNull)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the 100k floor keeps the bit array out of the degenerate tiny
+    // regime where two-hash double hashing's observed fpp collapses
+    // (measured in the decontaminateBloom sizing probe)
+    val nKeys = math.max(keys.count(), 100000L)
+    val bf = keys.stat.bloomFilter(buildKey, nKeys, fpp)
+    keys.unpersist(blocking = false)
+    val bfB = probe.sparkSession.sparkContext.broadcast(bf)
+    val hit = keyType match {
+      case StringType =>
+        val f = udf((k: String) =>
+          k != null && bfB.value.mightContainString(k))
+        f(col(probeKey))
+      case _ =>
+        val f = udf((k: java.lang.Long) =>
+          k != null && bfB.value.mightContainLong(k))
+        f(col(probeKey).cast(LongType))
+    }
+    val out = probe.filter(hit)
+      .join(build, col(probeKey) === col(buildKey))
+    (out, () => bfB.destroy())
+  }
+
   /** Point-in-interval join WITHOUT a cross product — the 1-D sibling
     * of the geo grid join (`Geo.gridRevGeoZone`): every interval
     * explodes to the integer buckets it covers (`bucketWidth` units

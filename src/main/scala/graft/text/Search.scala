@@ -58,4 +58,56 @@ object Search {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_matches"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009,
+    * "Reciprocal Rank Fusion outperforms Condorcet and individual
+    * Rank Learning Methods"): combine top-k lists from heterogeneous
+    * retrievers — lexical BM25, set-similarity, embedding ANN — into
+    * one ranking by rrf(d) = Σ_lists 1/(c + rank_list(d)), the
+    * standard "hybrid search" merge. RRF needs only RANKS, so
+    * incomparable scores (BM25 logits vs cosine) fuse without
+    * calibration.
+    *
+    * `rankings` maps a source name to its (idCol, rankCol) frame —
+    * ranks 1-based, one row per id. The fused frame carries one
+    * `rank_<source>` column per input (0 = absent from that list, so
+    * the output is NULL-free) and `rrf_score` = the FIXED-ORDER sum
+    * of the per-source terms in `rankings` order — absent lists
+    * contribute exactly 0.0 — rounded to 6, making the score
+    * engine-reproducible (the q93 contract; a groupBy-sum over list
+    * rows would re-associate IEEE additions nondeterministically).
+    * Output: top `k` by (rrf_score DESC, id ASC).
+    *
+    * Scale shape: candidate lists are top-k-sized (bounded by
+    * Σ list lengths, not corpus size) — the fold of left joins and
+    * the final sort run on frames of at most that many rows; Spark
+    * broadcasts them. The corpus-sized work happened inside the
+    * retrievers, which own their scale stories (q112 BM25, q29/q95
+    * ANN, q128 shingle search).
+    */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], idCol: String,
+              rankCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k > 0 && c >= 0, s"k must be positive, c non-negative: k=$k c=$c")
+    require(rankings.map(_._1).distinct.size == rankings.size,
+      "ranking source names must be unique")
+    val universe = rankings.map(_._2.select(col(idCol)))
+      .reduce(_ unionByName _).distinct()
+    val withRanks = rankings.foldLeft(universe) { case (acc, (name, r)) =>
+      acc.join(r.select(col(idCol), col(rankCol).as(s"__r_$name")),
+          Seq(idCol), "left")
+        .withColumn(s"rank_$name",
+          coalesce(col(s"__r_$name"), lit(0L)).cast("long"))
+        .drop(s"__r_$name")
+    }
+    val score = rankings.map { case (name, _) =>
+      when(col(s"rank_$name") > 0,
+        lit(1.0) / (lit(c.toDouble) + col(s"rank_$name").cast("double")))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    withRanks
+      .withColumn("rrf_score", round(score, 6))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -224,6 +224,60 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges <= 1, s"hdrBuild must shuffle exactly once:\n$p")
   }
 
+  test("bloomPrunedJoin: result ≡ plain inner join on seeded random " +
+    "data (no false negatives), NULL keys dropped, probe-side filter " +
+    "sits BELOW the join, name-collision and unsupported-type guards") {
+    import graft.tables.ScaleJoins
+    val rnd = new scala.util.Random(11)
+    // parquet-backed probe: over a LocalRelation the optimizer
+    // (PushDownPredicates + ConvertToLocalRelation) EVALUATES the
+    // prune filter at planning time and folds it away, which would
+    // make the Filter plan assertion vacuous
+    val probeDir = java.nio.file.Files
+      .createTempDirectory("bloomprobe").toString
+    (1 to 2000).map { i =>
+      (i.toLong, if (i % 97 == 0) null
+       else java.lang.Long.valueOf(rnd.nextInt(300).toLong))
+    }.toDF("rid", "pk").write.mode("overwrite").parquet(probeDir)
+    val probe = spark.read.parquet(probeDir)
+    val build = (0 to 60).map(k => (k.toLong * 3, s"tag$k")).toDF("bk", "tag")
+    val (out, release) = ScaleJoins.bloomPrunedJoinManaged(
+      probe, "pk", build, "bk")
+    try {
+      val got = out.select("rid", "bk").as[(Long, Long)].collect().toSet
+      val want = probe.join(build, $"pk" === $"bk")
+        .select("rid", "bk").as[(Long, Long)].collect().toSet
+      assert(got === want)
+      assert(got.nonEmpty, "fixture must produce matches")
+      // the prune is a probe-side Filter containing the bloom UDF,
+      // planned below the join
+      val p = out.queryExecution.executedPlan.toString()
+      assert(p.contains("Filter"), s"bloom prune filter expected:\n$p")
+    } finally release()
+
+    intercept[IllegalArgumentException] {
+      ScaleJoins.bloomPrunedJoinManaged(
+        probe, "pk", build.withColumnRenamed("bk", "pk"), "pk")
+    }
+    intercept[IllegalArgumentException] {
+      val b2 = build.withColumn("bk", $"bk".cast("double"))
+      ScaleJoins.bloomPrunedJoinManaged(probe, "pk", b2, "bk")
+    }
+  }
+
+  test("bloomPrunedJoin: string keys supported") {
+    import graft.tables.ScaleJoins
+    val probe = Seq((1L, "a"), (2L, "b"), (3L, null), (4L, "zz"))
+      .toDF("rid", "pk")
+    val build = Seq(("a", 10), ("zz", 20)).toDF("bk", "v")
+    val (out, release) = ScaleJoins.bloomPrunedJoinManaged(
+      probe, "pk", build, "bk")
+    try {
+      assert(out.select("rid", "v").as[(Long, Int)].collect().toSet ===
+        Set((1L, 10), (4L, 20)))
+    } finally release()
+  }
+
   test("q163 char entropy: map-only — no exchange at all") {
     val p = Tables.documents(spark, sf("sf0.01"))
       .select(col("doc_id"),

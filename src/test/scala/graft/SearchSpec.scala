@@ -65,4 +65,38 @@ class SearchSpec extends SparkSpec {
       .as[(String, Long, Int)].collect().toSet
     assert(got === Set(("x", 1L, 0), ("y", 1L, 1), ("x", 1L, 2)))
   }
+
+  test("rrfFuse: hand-computed fixed-order scores, absence contributes " +
+    "zero with rank 0, (score, id) tie-break, top-k cut") {
+    // list A: docs 1,2,3 at ranks 1,2,3; list B: docs 3,4 at ranks 1,2
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val b = Seq((3L, 1), (4L, 2)).toDF("doc_id", "rank")
+    val out = Search.rrfFuse(Seq("a" -> a, "b" -> b), "doc_id", "rank",
+        k = 3, c = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc3 in both lists wins; doc1 (1/61) next; docs 2 and 4 TIE at
+    // 1/62 — id ascending keeps doc2, k=3 cuts doc4
+    assert(out.toSeq === Seq(
+      (3L, 3L, 1L, r6(1.0 / 63 + 1.0 / 61)),
+      (1L, 1L, 0L, r6(1.0 / 61)),
+      (2L, 2L, 0L, r6(1.0 / 62))))
+  }
+
+  test("rrfFuse: equal-score ties order by id; duplicate source names " +
+    "and empty input rejected") {
+    // doc 7 only in A at rank 2, doc 5 only in B at rank 2 -> equal
+    // scores, id ascending breaks the tie
+    val a = Seq((7L, 2)).toDF("doc_id", "rank")
+    val b = Seq((5L, 2)).toDF("doc_id", "rank")
+    val ids = Search.rrfFuse(Seq("a" -> a, "b" -> b), "doc_id", "rank", k = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(ids === Seq(5L, 7L))
+    intercept[IllegalArgumentException](
+      Search.rrfFuse(Seq("x" -> a, "x" -> b), "doc_id", "rank", 2))
+    intercept[IllegalArgumentException](
+      Search.rrfFuse(Seq.empty, "doc_id", "rank", 2))
+  }
 }
