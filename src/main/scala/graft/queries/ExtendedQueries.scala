@@ -104,6 +104,37 @@ object ExtendedQueries {
         "user_id", k = 64)
     }),
 
+    // end-to-end entity resolution: part names plus deterministic
+    // typo variants (q149's construction) resolve to entity clusters —
+    // SymSpell-blocked edit-distance-1 candidate pairs (complete for
+    // lev<=1, the q149 proof) feed the distributed min-label
+    // connected-components fixpoint; output = every entity with its
+    // cluster label (component min id) and cluster size. The oracle
+    // recomputes pairs QUADRATICALLY (length-band prefilter only — a
+    // necessary condition for lev<=1) and closes them with a
+    // recursive-CTE reachability fixpoint
+    "q182_entity_clusters" -> ((s, d) => {
+      val p = s.read.parquet(s"$d/part.parquet")
+        .select(col("p_partkey"), col("p_name"))
+      val ents = p.select(col("p_partkey").cast("long").as("id"),
+          col("p_name").as("name"))
+        .unionByName(p.filter(col("p_partkey") % 5 === 0)
+          .select((col("p_partkey") + 1000000L).cast("long").as("id"),
+            concat(substring(col("p_name"), 1, 2), expr("substring(p_name, 4)"))
+              .as("name")))
+      val pairs = graft.operators.FuzzyJoin.editDistanceJoin(
+          ents.select(col("id").as("id_a"), col("name").as("name_a")), "name_a",
+          ents.select(col("id").as("id_b"), col("name").as("name_b")), "name_b")
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      val labels = graft.pipelines.CorpusPipeline.minLabelComponents(
+        ents.select(col("id").as("node")), pairs)
+      val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      labels.join(broadcast(sizes), "label")
+        .select(col("node").as("entity_id"), col("label").as("cluster_id"),
+          col("cluster_size"))
+    }),
+
     // Bloom-pruned fact-to-dimension join: high-value orders' keys
     // compress to a broadcast bit array and lineitem drops
     // non-matching rows map-side BEFORE its shuffle — the explicit
@@ -880,6 +911,39 @@ object ExtendedQueries {
         |  round(log10(1 + CAST(1 AS DOUBLE) / dense.digit), 6) AS benford_share,
         |  chi.chi2
         |FROM dense JOIN chi ON chi.g = dense.g""".stripMargin,
+
+    // quadratic lev<=1 pair recomputation (length-band prefilter is a
+    // necessary condition, so completeness is preserved) + recursive
+    // reachability closure; labels = min reachable id
+    "q182_entity_clusters" ->
+      """WITH RECURSIVE ents AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS id, p_name AS name FROM part
+        |  UNION ALL
+        |  SELECT CAST(p_partkey + 1000000 AS BIGINT),
+        |    substring(p_name, 1, 2) || substring(p_name, 4)
+        |  FROM part WHERE p_partkey % 5 = 0
+        |), pairs AS (
+        |  SELECT a.id AS ia, b.id AS ib
+        |  FROM ents a JOIN ents b
+        |    ON a.id < b.id
+        |   AND abs(length(a.name) - length(b.name)) <= 1
+        |  WHERE levenshtein(a.name, b.name) <= 1
+        |), edges AS (
+        |  SELECT ia, ib FROM pairs
+        |  UNION ALL
+        |  SELECT ib AS ia, ia AS ib FROM pairs
+        |), r AS (
+        |  SELECT id AS src, id AS dst FROM ents
+        |  UNION
+        |  SELECT r.src, e.ib AS dst FROM r JOIN edges e ON e.ia = r.dst
+        |), labels AS (
+        |  SELECT src AS entity_id, min(dst) AS cluster_id FROM r GROUP BY src
+        |), sizes AS (
+        |  SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY 1
+        |)
+        |SELECT l.entity_id, l.cluster_id,
+        |  CAST(s.cluster_size AS BIGINT) AS cluster_size
+        |FROM labels l JOIN sizes s USING (cluster_id)""".stripMargin,
 
     // the plain inner join + aggregate — the Bloom prune must be
     // invisible in the result (no false negatives)
