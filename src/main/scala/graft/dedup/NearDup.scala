@@ -240,6 +240,47 @@ object NearDup {
         round(col("containment"), 4).as("containment"))
   }
 
+  /** Winnowing candidate pairs (the MOSS pipeline end-to-end): docs
+    * sharing at least `minShared` DISTINCT winnowing fingerprint
+    * hashes ([[graft.text.TextOps.winnowFingerprints]]). The
+    * fingerprint set is position-local, so unlike MinHash (a global
+    * sketch) a pair surfaces when ANY sufficiently long run is shared
+    * — the detector behind plagiarism/citation finding, and the fuzzy
+    * complement of the exact-substring span family (q84/q91): spans
+    * need verbatim runs anchored at n-gram boundaries; winnowing's
+    * guarantee is per-window and the match count grades overlap size.
+    *
+    * Scale shape — posting-list join, never all-pairs: distinct
+    * (hash, doc) postings self-join on the 8-byte-key hash (the only
+    * corpus-sized shuffle); `maxDf` drops fingerprints appearing in
+    * more than that many docs (boilerplate runs — the q166 cap
+    * argument: a dropped posting can only LOWER a pair's count, so a
+    * capped run is a conservative subset; the default None is exact).
+    * Fingerprint density is ~2/(w+1) of grams, so the posting frame
+    * is a constant fraction of the token stream.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3, w: Int = 4, minShared: Long = 2L,
+                  maxDf: Option[Long] = None): DataFrame = {
+    require(minShared >= 1, "minShared must be at least 1")
+    val fp = graft.text.TextOps.winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("__id"), col("fp_hash").as("__h"))
+      .distinct()
+    val joinable = maxDf match {
+      case Some(cap) =>
+        val hot = fp.groupBy("__h").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap).select("__h")
+        fp.join(hot, Seq("__h"), "left_anti")
+      case None => fp
+    }
+    joinable.select(col("__id").as("id_a"), col("__h"))
+      .join(joinable.select(col("__id").as("id_b"), col("__h")), "__h")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Similar-document search: the corpus rows most Jaccard-similar to
     * ONE query text — the "find the near-dups of this document"
     * lookup every curation investigation runs after the histogram

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -535,6 +535,255 @@ object AnalyticsOps {
           .as("obs_share"),
         round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("benford_share"),
         col("chi2"))
+  }
+
+  /** Robust outlier report per group on the Iglewicz–Hoaglin modified
+    * z-score: med = median(value), mad = median(|value − med|), and a
+    * value is an outlier when 0.6745·|v − med| / mad > `cutoff`
+    * (3.5 by default — the published rule). The MAD family is the
+    * robust sibling of the Tukey IQR fences (q134): fences move with a
+    * single wild value's pull on the quartiles far less than ±3σ
+    * z-scoring does, and MAD has the highest possible breakdown point
+    * (50%) of any dispersion estimator.
+    *
+    * Degenerate dispersion: when mad = 0 (over half the group sits
+    * exactly on the median), the modified z is infinite for any value
+    * off the median — those values ARE the outliers, so they are
+    * counted, not NULLed (the cutoff comparison is written to make
+    * this fall out: 0·cutoff < |v − med| ⟺ v ≠ med).
+    *
+    * Engine-exactness: both medians come from percentile_cont — the
+    * q38/q134-proven interpolation surface — and the outlier test is
+    * a fixed-order IEEE expression over them (|v − med|·0.6745 vs
+    * cutoff·mad), so the counts are bit-deterministic across engines.
+    * Scale shape: two grouped percentile aggregations and one
+    * broadcast join of the #groups-row statistics frame back onto the
+    * events — no per-group window, no sort wider than the grouped
+    * percentile's own partial state.
+    */
+  def madOutlierReport(df: DataFrame, groupCol: String = "event_type",
+                       valueCol: String = "value",
+                       cutoff: Double = 3.5): DataFrame = {
+    require(cutoff > 0, "cutoff must be positive")
+    val v = df.select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .filter(col("__v").isNotNull)
+    val med = v.groupBy("__g").agg(
+      expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY __v)").as("__med"))
+    val dev = v.join(broadcast(med), "__g")
+      .withColumn("__dev", abs(col("__v") - col("__med")))
+    val mad = dev.groupBy("__g").agg(
+      expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY __dev)").as("__mad"))
+    dev.join(broadcast(mad), "__g")
+      .groupBy(col("__g").as(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("__dev") * 0.6745 > col("__mad") * cutoff, 1L)
+          .otherwise(0L)).as("n_outliers"),
+        round(first(col("__med")), 4).as("median"),
+        round(first(col("__mad")), 4).as("mad"))
+  }
+
+  /** One-sided CUSUM change detection on each group's daily count
+    * series (Page 1954): with μ = the group's mean daily count over
+    * the union calendar, the statistic
+    *   S_t = max(0, S_{t−1} + (x_t − μ)) = P_t − min_{j≤t} P_j,
+    *   P_t = Σ_{j≤t} (x_j − μ),
+    * accumulates sustained excess over the mean and resets through the
+    * running-minimum identity — no recursive state, just a prefix sum
+    * and a prefix min. An alarm fires when S_t > `alarmMult`·μ: the
+    * cumulative excess exceeds `alarmMult` average days' worth of
+    * events — a LEVEL-SHIFT detector, complementary to the q127
+    * trailing z (single-day spikes) and the q145 OLS slope (global
+    * drift).
+    *
+    * Integer-exactness: μ = T/D is rational, so everything is scaled
+    * by D — x_t·D − T is an exact integer (Decimal(38,0) per the q146
+    * wrap discipline), the prefix sums and running minima stay
+    * integers, and the alarm test S_scaled > alarmMult·T·... is an
+    * INTEGER comparison (S/D > m·T/D ⟺ S_scaled > m·T). The reported
+    * `cusum` is the one closing division S_scaled/D, rounded — the
+    * alarm never depends on a float.
+    *
+    * Days with no events are genuine zeros via the dense group ×
+    * union-calendar grid (a silent outage IS a level shift — downward
+    * drift must accumulate). Scale shape: map-side-combined daily
+    * counts, the tiny dense grid, and two windows over the
+    * CALENDAR-BOUNDED daily frame (≤ #days rows per group).
+    */
+  def cusumAlarms(events: DataFrame, groupCol: String = "event_type",
+                  tsCol: String = "ts", alarmMult: Long = 4L): DataFrame = {
+    require(alarmMult >= 1, "alarmMult must be at least 1")
+    val daily = events
+      .select(col(groupCol).as("__g"), to_date(col(tsCol)).as("day"))
+      .groupBy("__g", "day")
+      .agg(count(lit(1)).as("__n"))
+    daily.persist()
+    val groups = daily.select("__g").distinct()
+    val days = daily.select("day").distinct()
+    val dense = groups.crossJoin(days)
+      .join(daily, Seq("__g", "day"), "left")
+      .select(col("__g"), col("day"), coalesce(col("__n"), lit(0L)).as("__n"))
+    val dec = DecimalType(38, 0)
+    val totals = dense.groupBy("__g").agg(
+      sum(col("__n").cast(dec)).as("__t"), count(lit(1)).as("__d"))
+    val w = Window.partitionBy("__g").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = dense.join(broadcast(totals), "__g")
+      // scaled deviation x·D − T, exact integer
+      .withColumn("__dev", col("__n").cast(dec) * col("__d").cast(dec) - col("__t"))
+      .withColumn("__p", sum("__dev").over(w))
+      // the running min MUST include the virtual empty prefix P_0 = 0
+      // (least(…, 0)) — without it a series that opens above the mean
+      // reports S_1 = 0 instead of P_1; and including day t itself is
+      // harmless: when P_t is the new minimum both forms give 0 (the
+      // max(0,·) reset), proven by induction in CusumSpec
+      .withColumn("__m", least(min("__p").over(w), lit(0).cast(dec)))
+      .withColumn("__s", col("__p") - col("__m"))
+      .select(col("__g").as(groupCol), col("day"),
+        col("__n").as("n_events"),
+        round(col("__s").cast("double") / col("__d").cast("double"), 4)
+          .as("cusum"),
+        (col("__s") > col("__t") * lit(alarmMult).cast(dec)).as("alarm"))
+      .localCheckpoint(true)
+    daily.unpersist()
+    out
+  }
+
+  /** Machine-cadence (bot) screen: accounts whose inter-event gaps are
+    * implausibly REGULAR — many events with a coefficient of variation
+    * of the gap distribution at or below `maxCv` (humans are bursty;
+    * schedulers tick). Gaps are consecutive-event deltas in the
+    * (ts, id) total order.
+    *
+    * cv reduces to one closing expression over exact integer moments:
+    *   cv = sqrt(n·Σg² − (Σg)²) / Σg
+    * (σ_pop/mean, both scale factors of 1/n cancelling) with Σg, Σg²
+    * accumulated in Decimal(38,0) — microsecond gaps square to ~1e26
+    * for month-long idles, far past a Long. Σg = 0 (all events at one
+    * instant) is maximal regularity: cv is reported NULL (0/0) but
+    * the account is flagged.
+    *
+    * Scale shape: the [[sessionizeBucketed]] discipline — within-bucket
+    * gaps from a lag over (user, day bucket), the single cross-bucket
+    * gap per boundary from the calendar-bounded per-user bucket
+    * summary, so no per-user partition ever exceeds one bucket's
+    * events and the moments aggregate with map-side combine. A
+    * billion-event bot cannot serialize a task; it just produces a
+    * billion SMALL gaps that fold into three numbers.
+    */
+  def cadenceReport(events: DataFrame, userCol: String = "user_id",
+                    tsCol: String = "ts", idCol: String = "event_id",
+                    minEvents: Long = 20L, maxCv: Double = 0.1,
+                    bucketSecs: Long = 86400L): DataFrame = {
+    require(minEvents >= 2, "cadence needs at least two events")
+    require(maxCv >= 0, "maxCv must be non-negative")
+    val e = events.select(
+      col(userCol).as("__u"), col(idCol).as("__id"),
+      unix_micros(col(tsCol)).as("__ts"))
+      .withColumn("__b", expr(s"__ts div ${bucketSecs * 1000000L}L"))
+    val wB = Window.partitionBy("__u", "__b").orderBy("__ts", "__id")
+    val within = e.withColumn("__prev", lag("__ts", 1).over(wB))
+      .filter(col("__prev").isNotNull)
+      .select(col("__u"), (col("__ts") - col("__prev")).as("__gap"))
+    val wU = Window.partitionBy("__u").orderBy("__b")
+    val boundary = e.groupBy("__u", "__b")
+      .agg(min("__ts").as("__first"), max("__ts").as("__last"))
+      .withColumn("__prevLast", lag("__last", 1).over(wU))
+      .filter(col("__prevLast").isNotNull)
+      .select(col("__u"), (col("__first") - col("__prevLast")).as("__gap"))
+    val dec = DecimalType(38, 0)
+    within.unionByName(boundary)
+      .groupBy(col("__u").as(userCol))
+      .agg(count(lit(1)).as("__ng"),
+        sum(col("__gap").cast(dec)).as("__sg"),
+        sum(col("__gap").cast(dec) * col("__gap").cast(dec)).as("__sgg"))
+      .withColumn("n_events", col("__ng") + 1)
+      .withColumn("__var", col("__ng") * col("__sgg") - col("__sg") * col("__sg"))
+      .withColumn("cv", round(
+        when(col("__sg") > 0,
+          sqrt(col("__var").cast("double")) / col("__sg").cast("double")), 6))
+      .filter(col("n_events") >= minEvents &&
+        (col("__sg") === 0 || col("cv") <= maxCv))
+      .select(col(userCol), col("n_events"),
+        round(col("__sg").cast("double") / col("__ng").cast("double") / 1e6, 4)
+          .as("mean_gap_s"),
+        col("cv"))
+  }
+
+  /** Poisson bootstrap confidence interval for the per-group MEAN of a
+    * value column — error bars on any metric in ONE pass, the
+    * resampling scheme that works at 100 TB because it never
+    * materializes a resample: each row's multiplicity in replicate r
+    * is an independent Poisson(1) draw (Chamandy 2012, "Estimating
+    * Uncertainty for Massive Data Streams"; equivalently the
+    * per-element limit of the multinomial bootstrap), so a row
+    * contributes (w·x, w) to each of `reps` running sums and the
+    * replicate means' spread IS the sampling distribution.
+    *
+    * Determinism: the draw is a PURE FUNCTION of (id, replicate,
+    * salt) — u32 = first 8 md5 hex chars (the q48/q119 portable
+    * trick), folded through the Poisson(1) inverse CDF as INTEGER
+    * threshold comparisons (the 2³²-scaled cumulative literals below,
+    * identical in the oracle — no engine float CDF anywhere).
+    * Multiplicity is capped at 8 (P ≈ 1e-5 per draw); the cap is part
+    * of the operator's definition, applied identically everywhere.
+    *
+    * Exactness: values accumulate as DECIMAL(18,6)-quantized operands
+    * (the q179 portable-surface trick) in Decimal(38,6) sums, so
+    * replicate means are single IEEE divisions of exact operands; the
+    * percentile interpolation then runs on 6-decimal-rounded means —
+    * reproducible across engines, partitionings, and retries.
+    *
+    * Scale shape: one `reps`-way map-side explode (the documented
+    * bootstrap cost — tune `reps` to the error-bar precision needed),
+    * partial aggregation combines map-side into (group, rep) cells,
+    * and the percentile runs over the #groups × reps cell frame —
+    * corpus-size-independent. No second pass, no per-group window
+    * over raw rows.
+    */
+  def bootstrapCiMean(df: DataFrame, groupCol: String, idCol: String,
+                      valueCol: String, reps: Int = 64,
+                      salt: String = "boot",
+                      ciLo: Double = 0.025, ciHi: Double = 0.975): DataFrame = {
+    require(reps >= 8 && reps <= 4096, s"reps out of range: $reps")
+    require(ciLo > 0 && ciHi < 1 && ciLo < ciHi, "invalid CI bounds")
+    // floor(2^32 · P(Poisson(1) <= k)) for k = 0..7 — literals shared
+    // verbatim with the oracle SQL
+    val thresholds = Seq(1580030168L, 3160060337L, 3950075421L,
+      4213413783L, 4279248373L, 4292415291L, 4294609777L, 4294923276L)
+    val dec6 = DecimalType(18, 6)
+    val dec = DecimalType(38, 6)
+    val rows = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(idCol).as("__id"),
+        col(valueCol).cast(dec6).as("__v"))
+    val drawn = rows
+      .withColumn("__r", explode(array((0 until reps).map(lit): _*)))
+      .withColumn("__u", conv(substring(md5(
+        concat_ws("|", col("__id").cast(StringType),
+          col("__r").cast(StringType), lit(salt))), 1, 8), 16, 10)
+        .cast(LongType))
+      .withColumn("__w", thresholds.zipWithIndex.foldRight(lit(8): Column) {
+        case ((t, k), rest) => when(col("__u") < t, lit(k)).otherwise(rest)
+      })
+    val cells = drawn.groupBy("__g", "__r")
+      .agg(sum(col("__w").cast(dec) * col("__v")).as("__swx"),
+        sum(col("__w").cast(LongType)).as("__sw"))
+      .filter(col("__sw") > 0) // an all-zero replicate has no mean
+      .withColumn("__mean", round(
+        col("__swx").cast("double") / col("__sw").cast("double"), 6))
+    val point = rows.groupBy("__g")
+      .agg(count(lit(1)).as("n_rows"), sum("__v").as("__sv"))
+      .withColumn("mean",
+        round(col("__sv").cast("double") / col("n_rows").cast("double"), 6))
+    cells.groupBy("__g")
+      .agg(count(lit(1)).as("n_reps"),
+        expr(s"percentile_cont($ciLo) WITHIN GROUP (ORDER BY __mean)").as("__lo"),
+        expr(s"percentile_cont($ciHi) WITHIN GROUP (ORDER BY __mean)").as("__hi"))
+      .join(point, "__g")
+      .select(col("__g").as(groupCol), col("n_rows"), col("mean"),
+        col("n_reps"), round(col("__lo"), 6).as("ci_lo"),
+        round(col("__hi"), 6).as("ci_hi"))
   }
 
   /** Dyadic-decay EWMA of each group's daily event count: decay 1/2

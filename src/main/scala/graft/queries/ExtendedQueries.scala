@@ -195,6 +195,38 @@ object ExtendedQueries {
         s.read.parquet(s"$d/orders.parquet"),
         "o_orderpriority", "o_totalprice")),
 
+    // MAD robust outlier report (Iglewicz–Hoaglin modified z): both
+    // medians via percentile_cont (the q134-proven surface), the
+    // outlier test one fixed-order IEEE comparison over them; mad=0
+    // groups count every off-median value (infinite modified z)
+    "q184_mad_outliers" -> ((s, d) =>
+      graft.operators.AnalyticsOps.madOutlierReport(Tables.events(s, d))),
+
+    // one-sided CUSUM level-shift alarms on the daily count series:
+    // prefix-sum minus running-min identity, everything scaled by
+    // #days so the alarm test is an exact INTEGER comparison; dense
+    // calendar zeros so outages accumulate downward drift
+    "q185_cusum_alarms" -> ((s, d) =>
+      graft.operators.AnalyticsOps.cusumAlarms(Tables.events(s, d),
+        alarmMult = 4L)),
+
+    // machine-cadence (bot) screen: accounts with >= 15 events whose
+    // inter-event-gap cv <= 0.8 — cv from exact Decimal(38,0)
+    // moments over bucketed lags (the q116 discipline: no unbounded
+    // per-user window over raw events)
+    "q186_bot_cadence" -> ((s, d) =>
+      graft.operators.AnalyticsOps.cadenceReport(Tables.events(s, d),
+        minEvents = 15L, maxCv = 0.8)),
+
+    // Poisson-bootstrap CI on the per-type mean event value: 64
+    // replicates in ONE pass via deterministic md5-threshold
+    // Poisson(1) multiplicities — error bars at 100 TB with no
+    // resample materialization; decimal-exact sums, percentile over
+    // the #groups x 64 cell frame
+    "q188_bootstrap_ci" -> ((s, d) =>
+      graft.operators.AnalyticsOps.bootstrapCiMean(Tables.events(s, d),
+        "event_type", "event_id", "value", reps = 64)),
+
     // HDR-histogram quantile sketch per event type: log-linear integer
     // bucketing (exact below 2^5, top-5-significand-bits above),
     // bounded counter state, rank answered by a cumulative walk over
@@ -911,6 +943,131 @@ object ExtendedQueries {
         |  round(log10(1 + CAST(1 AS DOUBLE) / dense.digit), 6) AS benford_share,
         |  chi.chi2
         |FROM dense JOIN chi ON chi.g = dense.g""".stripMargin,
+
+    // same two percentile_cont medians and the identical fixed-order
+    // outlier comparison (dev*0.6745 > mad*3.5 — mad=0 counts every
+    // off-median value)
+    "q184_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type,
+        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |), dev AS (
+        |  SELECT e.event_type, m.med, abs(e.value - m.med) AS dv
+        |  FROM events e JOIN med m USING (event_type)
+        |  WHERE e.value IS NOT NULL
+        |), mad AS (
+        |  SELECT event_type,
+        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY dv) AS mad
+        |  FROM dev GROUP BY 1
+        |)
+        |SELECT d.event_type, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN d.dv * 0.6745 > a.mad * 3.5
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(min(d.med), 4) AS median, round(min(a.mad), 4) AS mad
+        |FROM dev d JOIN mad a USING (event_type)
+        |GROUP BY 1""".stripMargin,
+
+    // identical scaled-integer recomputation: P_t = running sum of
+    // n*D - T, S_t = P_t - min(0, running min P), alarm on the integer
+    // comparison S > 4*T; HUGEINT sums = the same exact envelope
+    "q185_cusum_alarms" ->
+      """WITH daily AS (
+        |  SELECT event_type, ts::DATE AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), groups AS (SELECT DISTINCT event_type FROM daily),
+        |days AS (SELECT DISTINCT day FROM daily),
+        |dense AS (
+        |  SELECT g.event_type, d.day, COALESCE(dl.n, 0) AS n
+        |  FROM groups g CROSS JOIN days d
+        |  LEFT JOIN daily dl ON dl.event_type = g.event_type AND dl.day = d.day
+        |), tot AS (
+        |  SELECT event_type, sum(n) AS t, count(*) AS dd FROM dense GROUP BY 1
+        |), pre AS (
+        |  SELECT e.event_type, e.day, e.n, t.t, t.dd,
+        |    sum(e.n * t.dd - t.t) OVER (PARTITION BY e.event_type
+        |      ORDER BY e.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+        |  FROM dense e JOIN tot t USING (event_type)
+        |), s AS (
+        |  SELECT event_type, day, n, t, dd,
+        |    p - least(min(p) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      0) AS sv
+        |  FROM pre
+        |)
+        |SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
+        |  round(CAST(sv AS DOUBLE) / CAST(dd AS DOUBLE), 4) AS cusum,
+        |  sv > 4 * t AS alarm
+        |FROM s""".stripMargin,
+
+    // the NAIVE per-user lag recomputation (fine in an oracle): same
+    // gap multiset, exact HUGEINT moments, the same closing
+    // cv = sqrt(n*Sgg - Sg^2)/Sg expression and rounded-cv filter
+    "q186_bot_cadence" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS gap
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, count(*) AS ng, sum(gap::HUGEINT) AS sg,
+        |    sum(gap::HUGEINT * gap::HUGEINT) AS sgg
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1
+        |), cv AS (
+        |  SELECT user_id, ng + 1 AS n_events, ng, sg,
+        |    round(CASE WHEN sg > 0 THEN
+        |      sqrt(CAST(ng * sgg - sg * sg AS DOUBLE)) / CAST(sg AS DOUBLE)
+        |    END, 6) AS cv
+        |  FROM m
+        |)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  round(CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) / 1e6, 4) AS mean_gap_s,
+        |  cv
+        |FROM cv
+        |WHERE n_events >= 15 AND (sg = 0 OR cv <= 0.8)""".stripMargin,
+
+    // the identical draw: md5-prefix u32, the same 2^32-scaled
+    // Poisson(1) CDF integer thresholds, DECIMAL(18,6) operands, and
+    // percentile over the same 6-decimal-rounded replicate means
+    "q188_bootstrap_ci" ->
+      """WITH rows_ AS (
+        |  SELECT event_type AS g, event_id AS id,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), drawn AS (
+        |  SELECT g, v, r,
+        |    ('0x' || substr(md5(CAST(id AS VARCHAR) || '|' ||
+        |      CAST(r AS VARCHAR) || '|boot'), 1, 8))::UBIGINT AS u
+        |  FROM rows_ CROSS JOIN (SELECT unnest(range(0, 64)) AS r)
+        |), wtd AS (
+        |  SELECT g, r, v,
+        |    CASE WHEN u < 1580030168 THEN 0
+        |         WHEN u < 3160060337 THEN 1
+        |         WHEN u < 3950075421 THEN 2
+        |         WHEN u < 4213413783 THEN 3
+        |         WHEN u < 4279248373 THEN 4
+        |         WHEN u < 4292415291 THEN 5
+        |         WHEN u < 4294609777 THEN 6
+        |         WHEN u < 4294923276 THEN 7
+        |         ELSE 8 END AS w
+        |  FROM drawn
+        |), cells AS (
+        |  SELECT g, r,
+        |    round(CAST(sum(w * v) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 6) AS m
+        |  FROM wtd GROUP BY 1, 2 HAVING sum(w) > 0
+        |), ci AS (
+        |  SELECT g, count(*) AS n_reps,
+        |    round(percentile_cont(0.025) WITHIN GROUP (ORDER BY m), 6) AS ci_lo,
+        |    round(percentile_cont(0.975) WITHIN GROUP (ORDER BY m), 6) AS ci_hi
+        |  FROM cells GROUP BY 1
+        |), pt AS (
+        |  SELECT g, count(*) AS n_rows,
+        |    round(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mean
+        |  FROM rows_ GROUP BY 1
+        |)
+        |SELECT ci.g AS event_type, pt.n_rows, pt.mean,
+        |  CAST(ci.n_reps AS BIGINT) AS n_reps, ci.ci_lo, ci.ci_hi
+        |FROM ci JOIN pt USING (g)""".stripMargin,
 
     // quadratic lev<=1 pair recomputation (length-band prefilter is a
     // necessary condition, so completeness is preserved) + recursive

@@ -341,6 +341,25 @@ object TextQueries {
       graft.operators.AnalyticsOps.concentrationReport(
         Tables.documents(s, d), "source")),
 
+    // winnowing fingerprints (the MOSS algorithm): 3-gram md5 hashes,
+    // window-of-4 minima with the rightmost-min tie rule encoded in
+    // the h*2^31 + (2^31-1-pos) key, so any shared run of >= 6 tokens
+    // between two docs yields a shared fingerprint; per-DOC window
+    // only (the q91 sort envelope)
+    "q183_winnow_fingerprints" -> ((s, d) =>
+      graft.text.TextOps.winnowFingerprints(
+        Tables.documents(s, d), "doc_id", "text", k = 3, w = 4)),
+
+    // MOSS end-to-end: docs sharing >= 2 distinct winnowing
+    // fingerprint hashes, graded by the shared count — posting-list
+    // join on the 8-byte hash, never all-pairs; surfaces any shared
+    // >= w+k-1-token run (the per-window guarantee q27's global
+    // sketch can't give)
+    "q187_winnow_pairs" -> ((s, d) =>
+      graft.dedup.NearDup.winnowPairs(
+        Tables.documents(s, d), "doc_id", "text",
+        k = 3, w = 4, minShared = 2L)),
+
     // dataset-card report: the corpus-level numbers a data release
     // documents, one long-format row per metric — every value an
     // exact count or a single division of exact counts
@@ -724,6 +743,70 @@ object TextQueries {
         |  round(sum(p * ln(p / ((p + q) / 2)) / 2
         |          + q * ln(q / ((p + q) / 2)) / 2), 4) AS js_div
         |FROM pq GROUP BY v, na, nb""".stripMargin,
+
+    // same gram positions, the same 32-bit md5-prefix hash, and the
+    // identical composite-key arithmetic — an ordinary window MIN
+    // reproduces the rightmost-min winnowing selection exactly
+    "q183_winnow_fingerprints" ->
+      """WITH toked AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(
+        |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+        |  FROM documents
+        |  WHERE length(trim(regexp_replace(text, '^\s+|\s+$', '', 'g'))) > 0
+        |), grams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+2], ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toked WHERE len(t) >= 3)
+        |), keyed AS (
+        |  SELECT doc_id, pos,
+        |    ('0x' || substr(md5(g), 1, 8))::UBIGINT * 2147483648
+        |      + (2147483647 - pos) AS key
+        |  FROM grams
+        |), wmin AS (
+        |  SELECT doc_id, pos,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+        |    count(*) OVER (PARTITION BY doc_id) AS gc
+        |  FROM keyed
+        |)
+        |SELECT DISTINCT doc_id,
+        |  CAST(2147483647 - (mn % 2147483648) AS BIGINT) AS fp_pos,
+        |  CAST(mn // 2147483648 AS BIGINT) AS fp_hash
+        |FROM wmin
+        |WHERE pos = 0 OR pos <= gc - 4""".stripMargin,
+
+    // the q183 selection replayed, deduped to (doc, hash) postings,
+    // self-joined, counted — the same posting-list recomputation
+    "q187_winnow_pairs" ->
+      """WITH toked AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(
+        |      regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+        |  FROM documents
+        |  WHERE length(trim(regexp_replace(text, '^\s+|\s+$', '', 'g'))) > 0
+        |), grams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+2], ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toked WHERE len(t) >= 3)
+        |), keyed AS (
+        |  SELECT doc_id, pos,
+        |    ('0x' || substr(md5(g), 1, 8))::UBIGINT * 2147483648
+        |      + (2147483647 - pos) AS key
+        |  FROM grams
+        |), wmin AS (
+        |  SELECT doc_id, pos,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mn,
+        |    count(*) OVER (PARTITION BY doc_id) AS gc
+        |  FROM keyed
+        |), fps AS (
+        |  SELECT DISTINCT doc_id, mn // 2147483648 AS h
+        |  FROM wmin WHERE pos = 0 OR pos <= gc - 4
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     // same rank-weighted Gini identity and exact-integer moments
     // (DuckDB sums widen to HUGEINT — the engine's Decimal envelope)

@@ -430,4 +430,159 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(e.getAs[Double]("gini") === 0.0)
     assert(e.getAs[Double]("hhi") === 0.25)
   }
+
+  test("madOutlierReport: hand-computed median/MAD, the 3.5 modified-z " +
+    "cutoff, mad=0 counts every off-median value, NULLs excluded") {
+    // group a: values 1..9 plus one wild 1000 — med = 5.5, deviations
+    // {4.5,3.5,2.5,1.5,.5,.5,1.5,2.5,3.5,994.5} -> mad = 2.5;
+    // outlier iff |v-5.5|*0.6745 > 2.5*3.5 = 8.75 i.e. |v-5.5| > 12.97
+    // -> only 1000
+    val a = (1 to 9).map(v => ("a", Some(v.toDouble))) :+ (("a", Some(1000.0)))
+    // group b: constant 7 except two strays -> med 7, mad 0: both
+    // strays are outliers (infinite modified z), the 7s are not
+    val b = Seq.fill(6)(("b", Some(7.0))) ++
+      Seq(("b", Some(8.0)), ("b", Some(100.0)), ("b", None))
+    val out = AnalyticsOps.madOutlierReport(
+      (a ++ b).toDF("event_type", "value"), "event_type", "value")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_outliers"),
+          r.getAs[Double]("median"), r.getAs[Double]("mad")))).toMap
+    assert(out("a") === ((10L, 1L, 5.5, 2.5)))
+    assert(out("b") === ((8L, 2L, 7.0, 0.0))) // NULL row dropped
+  }
+
+  test("cusumAlarms: equals the classic recursive max(0, S+dev) on a " +
+    "fixture that OPENS above the mean (the virtual-P0 case), alarms " +
+    "on the integer test, zero-fills silent days") {
+    // one group, daily counts [10, 10, 0, 0] over 4 days (days 3-4
+    // have no rows at all: the dense grid must supply the zeros);
+    // mean = 5 -> classic S = [5, 10, 5, 0]
+    val ev = (1 to 10).map(i => ("a", ts("2024-01-01 08:00:00"))) ++
+      (1 to 10).map(i => ("a", ts("2024-01-02 08:00:00"))) ++
+      // a second group supplies the 4-day union calendar
+      Seq(("b", ts("2024-01-01 01:00:00")), ("b", ts("2024-01-03 01:00:00")),
+        ("b", ts("2024-01-04 01:00:00")))
+    val out = AnalyticsOps.cusumAlarms(
+      ev.toDF("event_type", "ts"), alarmMult = 1L)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("cusum"),
+          r.getAs[Boolean]("alarm")))).toMap
+    assert(out(("a", "2024-01-01")) === ((10L, 5.0, false)))
+    assert(out(("a", "2024-01-02")) === ((10L, 10.0, true)))
+    assert(out(("a", "2024-01-03")) === ((0L, 5.0, false)))
+    assert(out(("a", "2024-01-04")) === ((0L, 0.0, false)))
+    // alarmMult=1, T=20: alarm iff S_scaled > 20 i.e. S > 5 — day 2
+    val alarmed = AnalyticsOps.cusumAlarms(
+      ev.toDF("event_type", "ts"), alarmMult = 1L)
+      .filter(col("alarm")).collect()
+    assert(alarmed.map(r => (r.getString(0), r.getDate(1).toString)).toSet
+      === Set(("a", "2024-01-02")))
+    // brute-force cross-check of the identity on group b's series
+    // [1,0,1,1], mean 3/4: recursive S_t = max(0, S_{t-1} + x_t - mu)
+    val counts = Seq(1.0, 0.0, 1.0, 1.0)
+    val mu = counts.sum / counts.length
+    val classic = counts.scanLeft(0.0)((s, x) => math.max(0.0, s + x - mu)).tail
+    val bRows = AnalyticsOps.cusumAlarms(ev.toDF("event_type", "ts"))
+      .filter(col("event_type") === "b").orderBy("day")
+      .collect().map(_.getAs[Double]("cusum")).toSeq
+    assert(bRows === classic.map(s => math.round(s * 10000.0) / 10000.0))
+  }
+
+  test("cadenceReport: bucketed gap decomposition equals the naive " +
+    "per-user consecutive-gap list; metronome flagged, bursty human " +
+    "not, all-one-instant flagged with NULL cv, minEvents gates") {
+    // bot: 30 events exactly 1h apart, crossing a day-bucket boundary
+    val bot = (0 until 30).map(i =>
+      (1L, i.toLong, Timestamp.from(java.time.Instant
+        .parse("2024-01-01T10:00:00Z").plusSeconds(i * 3600L))))
+    // human: 20 events with irregular gaps (1m..8h pattern)
+    val gaps = Seq(60L, 7200L, 300L, 28800L, 90L, 3600L, 120L, 14400L,
+      600L, 60L, 21600L, 30L, 1800L, 7200L, 45L, 900L, 28800L, 75L, 3600L)
+    val humanTs = gaps.scanLeft(0L)(_ + _)
+    val human = humanTs.zipWithIndex.map { case (off, i) =>
+      (2L, 100L + i, Timestamp.from(java.time.Instant
+        .parse("2024-01-02T00:00:00Z").plusSeconds(off))) }
+    // degenerate: 15 events at ONE instant — sum of gaps 0, flagged
+    val burst = (0 until 15).map(i =>
+      (3L, 200L + i, Timestamp.from(java.time.Instant.parse("2024-01-03T00:00:00Z"))))
+    // below minEvents: a perfect 5-event metronome must NOT appear
+    val tiny = (0 until 5).map(i =>
+      (4L, 300L + i, Timestamp.from(java.time.Instant
+        .parse("2024-01-04T00:00:00Z").plusSeconds(i * 60L))))
+    val df = (bot ++ human ++ burst ++ tiny).toDF("user_id", "event_id", "ts")
+    val out = AnalyticsOps.cadenceReport(df, minEvents = 15L, maxCv = 0.1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("mean_gap_s"),
+          Option(r.getAs[Any]("cv"))))).toMap
+    assert(out.keySet === Set(1L, 3L))
+    assert(out(1L)._1 === 30L)
+    assert(out(1L)._2 === 3600.0)
+    assert(out(1L)._3 === Some(0.0)) // perfect cadence
+    assert(out(3L)._3 === None)      // sg = 0 -> cv undefined, still flagged
+    // decomposition equals the naive gap list: recompute the human's
+    // cv directly and compare against a no-filter run
+    val all = AnalyticsOps.cadenceReport(df, minEvents = 2L, maxCv = 1e9)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("cv")).toMap
+    val g = gaps.map(_ * 1000000L)
+    val n = g.length.toLong
+    val sg = g.map(BigInt(_)).sum
+    val sgg = g.map(x => BigInt(x) * BigInt(x)).sum
+    val cv = math.sqrt((BigInt(n) * sgg - sg * sg).toDouble) / sg.toDouble
+    assert(all(2L) === math.round(cv * 1e6) / 1e6)
+  }
+
+  test("bootstrapCiMean: replicate means and CI bounds equal a full " +
+    "JVM recomputation of the deterministic Poisson draw; CI brackets " +
+    "the point mean; layout-invariant") {
+    val vals = (1 to 200).map(i => ("a", i.toLong, (i % 17).toDouble + 0.25))
+    val df = vals.toDF("event_type", "event_id", "value")
+    val out = AnalyticsOps.bootstrapCiMean(
+      df, "event_type", "event_id", "value", reps = 16, salt = "boot")
+    val r = out.collect()(0)
+    val mean = r.getAs[Double]("mean")
+    val lo = r.getAs[Double]("ci_lo"); val hi = r.getAs[Double]("ci_hi")
+    assert(r.getAs[Long]("n_rows") === 200L)
+    assert(lo <= mean && mean <= hi, s"CI [$lo,$hi] must bracket $mean")
+    // full JVM recomputation: same md5 draw, thresholds, decimal
+    // quantization, rounding, and percentile interpolation
+    val th = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L, 4292415291L, 4294609777L, 4294923276L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u32(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x")
+        .mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def weight(id: Long, rep: Int): Int = {
+      val u = u32(s"$id|$rep|boot")
+      val i = th.indexWhere(u < _)
+      if (i < 0) 8 else i
+    }
+    val means = (0 until 16).flatMap { rep =>
+      val ws = vals.map { case (_, id, v) =>
+        (weight(id, rep), BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      }
+      val sw = ws.map(_._1).sum
+      if (sw == 0) None
+      else {
+        val swx = ws.map { case (w, v) => v * w }.sum
+        Some(BigDecimal(swx.toDouble / sw)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.sorted
+    assert(r.getAs[Long]("n_reps") === means.length.toLong)
+    def pct(p: Double): Double = {
+      val h = p * (means.length - 1)
+      val i = h.toInt
+      val v = if (i + 1 < means.length)
+        means(i) + (means(i + 1) - means(i)) * (h - i)
+      else means(i)
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(lo === pct(0.025) && hi === pct(0.975))
+    // layout invariance: a different partitioning changes nothing
+    val re = AnalyticsOps.bootstrapCiMean(df.repartition(7),
+      "event_type", "event_id", "value", reps = 16, salt = "boot").collect()(0)
+    assert(re.getAs[Double]("ci_lo") === lo && re.getAs[Double]("ci_hi") === hi)
+  }
 }

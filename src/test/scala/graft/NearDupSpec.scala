@@ -289,4 +289,39 @@ class NearDupSpec extends SparkSpec {
         s"capped pair $pair must be a conservative subset")
     }
   }
+
+  test("winnowPairs: n_shared equals the fingerprint-hash-set " +
+    "intersection; a long shared run forces a pair; disjoint docs " +
+    "absent; maxDf cap is a conservative subset") {
+    import spark.implicits._
+    val run = "the quick brown fox jumps over the lazy dog again tonight"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon"),
+      (2L, s"one two three $run four five"),
+      (3L, s"totally different content with no overlap at all here"),
+      // 4/5 share ONLY a short 4-token run (< w+k-1 = 6): a shared
+      // fingerprint is possible but not guaranteed
+      (4L, "shared little run here plus unrelated padding words"),
+      (5L, "other prefix stuff shared little run here and more"))
+      .toDF("doc_id", "text")
+    val got = NearDup.winnowPairs(docs, "doc_id", "text",
+      k = 3, w = 4, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // ground truth from the fingerprint sets themselves
+    val fps = TextOps.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ids = fps.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      n = fps(a).intersect(fps(b)).size if n >= 1
+    } yield (a, b) -> n.toLong).toMap
+    assert(got === want)
+    assert(got.contains((1L, 2L)), "the 11-token shared run must pair")
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // cap at df > 1 removes every hash docs 1 and 2 share
+    val cappedPairs = NearDup.winnowPairs(docs, "doc_id", "text",
+      k = 3, w = 4, minShared = 1L, maxDf = Some(1L)).collect()
+    assert(cappedPairs.isEmpty)
+  }
 }

@@ -352,4 +352,67 @@ class TextOpsSpec extends SparkSpec {
     assert(!r.getAs[Double]("kl_ba").isInfinite)
     assert(r.getAs[Double]("js_div") > 0.0)
   }
+
+  /** Brute-force winnowing reference (Schleimer 2003): same md5-prefix
+    * hash, explicit rightmost-min scan per window. */
+  private def winnowRef(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < k) return Set.empty
+    val grams = toks.sliding(k).map(_.mkString(" ")).toArray
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val hs = grams.map(h)
+    val starts =
+      if (grams.length < w) Seq(0)
+      else 0 to (grams.length - w)
+    starts.map { j =>
+      val end = math.min(j + w, grams.length)
+      // rightmost minimum
+      var best = j
+      (j until end).foreach(i => if (hs(i) <= hs(best)) best = i)
+      (best.toLong, hs(best))
+    }.toSet
+  }
+
+  test("winnowFingerprints: equals the brute-force reference on mixed " +
+    "docs; the w+k-1 shared-run guarantee holds; repeated-token ties " +
+    "select the RIGHTMOST min; short docs yield their global min") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon zeta"),
+      (2L, s"one two three four five $shared six seven"),
+      (3L, "a a a a a a a"),          // all grams identical -> ties
+      (4L, "just three tokens here"), // 2 grams < w -> global min
+      (5L, "x y"),                    // fewer than k tokens -> empty
+      (6L, "   "),                    // whitespace-only -> empty
+      (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextOps.winnowFingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val texts = Map(
+      1L -> s"alpha beta gamma $shared delta epsilon zeta",
+      2L -> s"one two three four five $shared six seven",
+      3L -> "a a a a a a a", 4L -> "just three tokens here")
+    texts.foreach { case (id, t) =>
+      assert(out(id) === winnowRef(t, 3, 4), s"doc $id")
+    }
+    assert(!out.contains(5L) && !out.contains(6L) && !out.contains(7L))
+    // guarantee: the 10-token shared run (>= w+k-1 = 6) forces a
+    // common fingerprint HASH between docs 1 and 2
+    val h1 = out(1L).map(_._2); val h2 = out(2L).map(_._2)
+    assert(h1.intersect(h2).nonEmpty)
+    // all-equal hashes: every window's rightmost element is selected,
+    // so positions are exactly {w-1 .. G-1}
+    val g3 = 7 - 3 + 1
+    assert(out(3L).map(_._1) === (3L until g3.toLong).toSet)
+    // short doc: exactly one fingerprint, its global min
+    assert(out(4L).size === 1)
+  }
 }
