@@ -410,6 +410,19 @@ object TextQueries {
         k = 5, nCells = KmK, iters = KmIters, nProbe = 2)
     }),
 
+    // product-quantization ANN (Jégou 2011 ADC): 4 per-subspace int8
+    // codebooks, corpus compressed to 4 cell ids, queries score
+    // candidates with 4 table lookups — integer-exact end to end, so
+    // the oracle replays training/encoding/ranking row-for-row
+    "q189_pq_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.similarity.Ann.pqTopK(
+        emb.filter(col("vec_id") % 97 === 0),
+        emb.filter(col("vec_id") % 97 =!= 0),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, m = PqM, kSub = PqKSub, iters = PqIters)
+    }),
+
     // token budgeting keyed on LEARNED BPE counts instead of the
     // regex estimate — the composition the trained tokenizer exists
     // for (same two-level cumsum underneath; budget cut is exact)
@@ -474,6 +487,9 @@ object TextQueries {
   private val KmK = 8
   private val KmIters = 3
   private val KmSampleK = 30
+  private val PqM = 4
+  private val PqKSub = 8
+  private val PqIters = 2
   /** embeddings fixture dimensionality (all SFs). */
   private val KmDims = 64
 
@@ -625,6 +641,89 @@ object TextQueries {
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY score DESC, neighbor_id ASC) AS rank FROM scored)
        |WHERE rank <= $topK""".stripMargin
+
+  /** Full PQ-ADC replay: per-subspace kmeans chains (prefixed CTE
+    * names, slice-offset indexing into the shared quantization),
+    * corpus encoding as m cell ids, per-query sub-distance frames,
+    * and the ADC sum ranked (adc asc, neighbor asc).
+    */
+  private def pqOracle(m: Int, kSub: Int, iters: Int, dims: Int,
+                       topK: Int): String = {
+    val d = dims / m
+    val parts = Seq.newBuilder[String]
+    parts += s"""q AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CASE WHEN scale = 0 THEN 0
+       |                ELSE CAST(floor(x / scale * 127 + 0.5) AS BIGINT) END) AS qv
+       |  FROM (SELECT vec_id, embedding,
+       |          list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') AS scale
+       |        FROM embeddings WHERE vec_id % 97 <> 0))""".stripMargin
+    for (s <- 0 until m) {
+      val off = s * d
+      parts += s"""p${s}c0 AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+         |         qv[${off + 1}:${off + d}] AS cent
+         |  FROM (SELECT vec_id, qv FROM q
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $kSub))""".stripMargin
+      for (i <- 1 to iters + 1) {
+        parts += s"""p${s}a$i AS MATERIALIZED (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT t.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |    FROM (SELECT q.vec_id, c.cell,
+           |            list_sum(list_transform(generate_series(1, $d),
+           |              i -> (q.qv[$off+i]-c.cent[i])*(q.qv[$off+i]-c.cent[i]))) AS dist
+           |          FROM q, p${s}c${i - 1} c) t) WHERE rn = 1)""".stripMargin
+        if (i <= iters)
+          parts += s"""p${s}c$i AS MATERIALIZED (
+             |  SELECT p.cell, coalesce(n.cent, p.cent) AS cent
+             |  FROM p${s}c${i - 1} p LEFT JOIN (
+             |    SELECT cell, list(CAST(floor(s::DOUBLE / n) AS BIGINT) ORDER BY i) AS cent
+             |    FROM (SELECT a.cell, u.i, sum(q.qv[$off+u.i]) AS s, count(*) AS n
+             |          FROM p${s}a$i a JOIN q USING (vec_id), unnest(generate_series(1, $d)) u(i)
+             |          GROUP BY a.cell, u.i)
+             |    GROUP BY cell) n ON p.cell = n.cell)""".stripMargin
+      }
+    }
+    val encJoins = (1 until m)
+      .map(s => s"JOIN p${s}a${iters + 1} a$s USING (vec_id)").mkString(" ")
+    val codeList = (0 until m).map(s => s"a$s.cell").mkString(", ")
+    parts += s"""enc AS MATERIALIZED (
+       |  SELECT a0.vec_id, [$codeList] AS codes
+       |  FROM p0a${iters + 1} a0 $encJoins)""".stripMargin
+    parts += s"""qq AS MATERIALIZED (
+       |  SELECT vec_id AS query_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CASE WHEN scale = 0 THEN 0
+       |                ELSE CAST(floor(x / scale * 127 + 0.5) AS BIGINT) END) AS qv
+       |  FROM (SELECT vec_id, embedding,
+       |          list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') AS scale
+       |        FROM embeddings WHERE vec_id % 97 = 0))""".stripMargin
+    for (s <- 0 until m) {
+      val off = s * d
+      parts += s"""t$s AS MATERIALIZED (
+         |  SELECT q.query_id, c.cell,
+         |    list_sum(list_transform(generate_series(1, $d),
+         |      i -> (q.qv[$off+i]-c.cent[i])*(q.qv[$off+i]-c.cent[i]))) AS dist
+         |  FROM qq q, p${s}c$iters c)""".stripMargin
+    }
+    val tabJoins = (1 until m).map(s =>
+      s"JOIN t$s ON t$s.cell = e.codes[${s + 1}] AND t$s.query_id = t0.query_id")
+      .mkString("\n  ")
+    val adcSum = (0 until m).map(s => s"t$s.dist").mkString(" + ")
+    "WITH " + parts.result().mkString(",\n") + s""",
+       |scored AS (
+       |  SELECT t0.query_id, e.vec_id AS neighbor_id, $adcSum AS adc
+       |  FROM enc e
+       |  JOIN t0 ON t0.cell = e.codes[1]
+       |  $tabJoins
+       |  WHERE e.vec_id <> t0.query_id)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       |  CAST(adc AS BIGINT) AS adc_dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc, neighbor_id ASC) AS rank FROM scored)
+       |WHERE rank <= $topK""".stripMargin
+  }
 
   private def kmeansSampleOracle(k: Int, iters: Int, dims: Int, n: Int): String =
     kmeansCtes(k, iters, dims) + s"""
@@ -1385,6 +1484,8 @@ object TextQueries {
 
     "q165_ivf_kmeans_knn" ->
       ivfKmeansOracle(KmK, KmIters, KmDims, nProbe = 2, topK = 5),
+
+    "q189_pq_ann" -> pqOracle(PqM, PqKSub, PqIters, KmDims, topK = 5),
 
     // the q97 salted-hash order recomputation, keyed on source
     "q168_source_quota" ->

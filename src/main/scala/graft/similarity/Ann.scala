@@ -354,4 +354,84 @@ object Ann {
         round(graft.dedup.NearDup.cosine(col("__qv"), col("__cv")), 4))
     finishTopK(scored, corpus.schema(cId).dataType, k)
   }
+
+  /** Product-quantization ANN with asymmetric distance computation
+    * (Jégou–Douze–Schmid 2011): the int8 code vector splits into `m`
+    * subspaces, each clustered by its OWN deterministic
+    * [[KmeansInt8]] codebook (`kSub` cells, same md5-order seeding),
+    * and every corpus vector compresses to m small cell ids —
+    * m·log2(kSub) bits instead of dims floats, the compression that
+    * makes billion-vector indexes fit a memory budget. A query builds
+    * its m × kSub integer distance table ONCE (exact int8 squared
+    * distances to every sub-centroid), and each corpus candidate
+    * scores with m TABLE LOOKUPS + (m−1) adds — the ADC trick: per
+    * pair cost is O(m), not O(dims).
+    *
+    * Fully integer-deterministic END TO END: quantization (q89
+    * formula), training (the q158 exact Lloyd chain, per subspace),
+    * encoding (argmin with lower-cell ties), the ADC sum, and the
+    * final rank (adc asc, neighbor asc — negated into the shared
+    * bounded-heap finalizer as an exact −adc double; |adc| < 2⁵³ by
+    * construction). The oracle replays ALL of it, assignments
+    * included — no recall-only checking.
+    *
+    * Scale shape: m driver-held codebooks (m·kSub·(dims/m) longs —
+    * KB-sized), corpus participation is one map-only encode pass +
+    * the broadcast-queries ADC scan (the q29/q94 shape: corpus is
+    * never shuffled; the only shuffle is the bounded-heap top-k's
+    * k×#queries rows). At IVF+PQ scale, compose: route with
+    * [[ivfKmeansInt8TopK]]'s coarse cells, re-rank survivors here.
+    */
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, m: Int = 4, kSub: Int = 16, iters: Int = 2): DataFrame = {
+    require(m >= 1 && m <= 64, "1 <= m <= 64")
+    val cCodes = quantizeInt8(corpus, cId, cVec)
+      .withColumnRenamed(cId, "neighbor_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dims = cCodes.select(size(col("qvec")).as("__d")).head().getInt(0)
+      require(dims % m == 0, s"dims=$dims must be divisible by m=$m")
+      val d = dims / m
+      // per-subspace codebooks — same md5-order seed ROWS, sliced
+      val models = (0 until m).map { s =>
+        KmeansInt8.fit(
+          cCodes.select(col("neighbor_id"),
+            slice(col("qvec"), s * d + 1, d).as("qvec")),
+          "neighbor_id", "qvec", kSub, iters)
+      }
+      // encode: m nearest-cell ids per corpus row (map-only)
+      val encoded = cCodes.select(col("neighbor_id"),
+        array(models.zipWithIndex.map { case (mod, s) =>
+          KmeansInt8.cellOf(slice(col("qvec"), s * d + 1, d), mod)
+        }: _*).as("__codes"))
+      // query-side m x kSub integer distance tables, built once per
+      // query row in the broadcast frame
+      val qTab = broadcast(
+        quantizeInt8(queries, qId, qVec)
+          .withColumnRenamed(qId, "query_id")
+          .withColumn("__tab", array(models.zipWithIndex.map { case (mod, s) =>
+            graft.expressions.ExprOps.bind(
+              slice(col("qvec"), s * d + 1, d)) { sub =>
+              array(mod.centroids.map(c =>
+                KmeansInt8.sqDistTo(sub, c)): _*)
+            }
+          }: _*))
+          .select("query_id", "__tab"))
+      val adc = (0 until m).map(s =>
+        element_at(element_at(col("__tab"), s + 1),
+          element_at(col("__codes"), s + 1) + 1)).reduce(_ + _)
+      val scored = qTab.crossJoin(encoded)
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("__adc", adc)
+        // exact: adc <= m * 254^2 * dims < 2^53 — the negation keeps
+        // the shared (score desc, id asc) heap ranking = (adc asc, id)
+        .withColumn("score", -col("__adc").cast(DoubleType))
+      finishTopK(scored, corpus.schema(cId).dataType, k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          (-col("score")).cast(LongType).as("adc_dist"))
+        .localCheckpoint(true)
+    } finally cCodes.unpersist(blocking = false)
+  }
 }

@@ -108,6 +108,18 @@ object KmeansInt8 {
     } finally codes.unpersist(blocking = false)
   }
 
+  /** The nearest-cell id under a model, as a column over an arbitrary
+    * code-vector expression — the building block product quantization
+    * ([[Ann.pqTopK]]) composes per subspace.
+    */
+  def cellOf(vec: Column, model: Model): Column =
+    nearest(vec, model).getField("c")
+
+  /** Exact integer squared distance from a code-vector expression to
+    * one centroid — exposed for the PQ per-query distance tables.
+    */
+  def sqDistTo(vec: Column, cent: Array[Long]): Column = sqDist(vec, cent)
+
   /** Final assignment under a fitted model: map-only, no shuffle —
     * (id, cell, dist).
     */

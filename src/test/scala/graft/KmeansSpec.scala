@@ -135,4 +135,55 @@ class KmeansSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"assignment must be a map-only pass against broadcast literals:\n$plan")
   }
+
+  /** Exact int8 L2 top-k reference: the quantization formula + integer
+    * squared distance + (dist asc, id asc) rank. */
+  private def int8TopKRef(queries: Map[Long, Array[Double]],
+                          corpus: Map[Long, Array[Double]],
+                          k: Int): Map[(Long, Int), (Long, Long)] = {
+    def q8(v: Array[Double]): Array[Long] = {
+      val s = v.map(math.abs).max
+      v.map(x => if (s == 0) 0L else math.floor(x / s * 127 + 0.5).toLong)
+    }
+    val qc = queries.map { case (id, v) => id -> q8(v) }
+    val cc = corpus.map { case (id, v) => id -> q8(v) }
+    qc.flatMap { case (qid, qv) =>
+      cc.filter(_._1 != qid).toSeq
+        .map { case (cid, cv) =>
+          (qv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+        }
+        .sorted.take(k).zipWithIndex
+        .map { case ((d, cid), i) => (qid, i + 1) -> ((cid, d)) }
+    }
+  }
+
+  test("pqTopK: kSub >= corpus with iters=0 makes every vector its own " +
+    "centroid, so PQ-ADC EQUALS exact int8 L2 ranking (the exactness-" +
+    "recovery gate); lossy setting is deterministic and layout-invariant") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (1L to 60L).map(id =>
+      id -> Array.fill(8)(rnd.nextDouble() * 2 - 1)).toMap
+    val queries = (101L to 103L).map(id =>
+      id -> Array.fill(8)(rnd.nextDouble() * 2 - 1)).toMap
+    def df(m: Map[Long, Array[Double]]) =
+      m.toSeq.map { case (id, v) => (id, v.map(_.toFloat).toSeq) }
+        .toDF("vec_id", "embedding")
+    val exact = graft.similarity.Ann.pqTopK(
+      df(queries), df(corpus), "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, m = 4, kSub = 60, iters = 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(exact === int8TopKRef(queries, corpus, 5))
+    // lossy codebook: still deterministic under repartitioning
+    val lossy1 = graft.similarity.Ann.pqTopK(
+      df(queries), df(corpus), "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, m = 4, kSub = 8, iters = 2).collect().map(_.toSeq).toSet
+    val lossy2 = graft.similarity.Ann.pqTopK(
+      df(queries), df(corpus).repartition(13),
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, m = 4, kSub = 8, iters = 2).collect().map(_.toSeq).toSet
+    assert(lossy1 === lossy2)
+    assert(lossy1.size === queries.size * 5)
+  }
 }
