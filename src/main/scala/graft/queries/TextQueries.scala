@@ -423,6 +423,19 @@ object TextQueries {
         k = 5, m = PqM, kSub = PqKSub, iters = PqIters)
     }),
 
+    // IVF-PQ with residual encoding — the full FAISS index shape:
+    // coarse routing + PQ over residuals + per-probe ADC tables,
+    // integer-exact throughout; the oracle replays the ENTIRE index
+    "q190_ivfpq_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.similarity.Ann.ivfPqTopK(
+        emb.filter(col("vec_id") % 97 === 0),
+        emb.filter(col("vec_id") % 97 =!= 0),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nCells = KmK, coarseIters = 2, nProbe = 2,
+        m = PqM, kSub = PqKSub, pqIters = PqIters)
+    }),
+
     // token budgeting keyed on LEARNED BPE counts instead of the
     // regex estimate — the composition the trained tokenizer exists
     // for (same two-level cumsum underneath; budget cut is exact)
@@ -718,6 +731,133 @@ object TextQueries {
        |  JOIN t0 ON t0.cell = e.codes[1]
        |  $tabJoins
        |  WHERE e.vec_id <> t0.query_id)
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       |  CAST(adc AS BIGINT) AS adc_dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adc, neighbor_id ASC) AS rank FROM scored)
+       |WHERE rank <= $topK""".stripMargin
+  }
+
+  /** Full IVF-PQ replay: coarse kmeans chain (g/b prefixes) → integer
+    * residuals → m per-subspace kmeans chains on the residuals →
+    * encoding → query probing (nProbe nearest coarse cells) →
+    * per-probe query residuals and ADC tables → (adc asc, neighbor
+    * asc) rank. Every value BIGINT-exact.
+    */
+  private def ivfPqOracle(nCells: Int, coarseIters: Int, nProbe: Int,
+                          m: Int, kSub: Int, pqIters: Int, dims: Int,
+                          topK: Int): String = {
+    val d = dims / m
+    val parts = Seq.newBuilder[String]
+    parts += s"""q AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CASE WHEN scale = 0 THEN 0
+       |                ELSE CAST(floor(x / scale * 127 + 0.5) AS BIGINT) END) AS qv
+       |  FROM (SELECT vec_id, embedding,
+       |          list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') AS scale
+       |        FROM embeddings WHERE vec_id % 97 <> 0))""".stripMargin
+    // coarse chain over the full code vector
+    parts += s"""g0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+       |         qv AS cent
+       |  FROM (SELECT vec_id, qv FROM q
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCells))""".stripMargin
+    for (i <- 1 to coarseIters + 1) {
+      parts += s"""b$i AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT t.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+         |    FROM (SELECT q.vec_id, c.cell,
+         |            list_sum(list_transform(generate_series(1, $dims),
+         |              i -> (q.qv[i]-c.cent[i])*(q.qv[i]-c.cent[i]))) AS dist
+         |          FROM q, g${i - 1} c) t) WHERE rn = 1)""".stripMargin
+      if (i <= coarseIters)
+        parts += s"""g$i AS MATERIALIZED (
+           |  SELECT p.cell, coalesce(n.cent, p.cent) AS cent
+           |  FROM g${i - 1} p LEFT JOIN (
+           |    SELECT cell, list(CAST(floor(s::DOUBLE / n) AS BIGINT) ORDER BY i) AS cent
+           |    FROM (SELECT a.cell, u.i, sum(q.qv[u.i]) AS s, count(*) AS n
+           |          FROM b$i a JOIN q USING (vec_id), unnest(generate_series(1, $dims)) u(i)
+           |          GROUP BY a.cell, u.i)
+           |    GROUP BY cell) n ON p.cell = n.cell)""".stripMargin
+    }
+    parts += s"""rv AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cell,
+       |    list_transform(generate_series(1, $dims), i -> q.qv[i] - c.cent[i]) AS rv
+       |  FROM b${coarseIters + 1} a JOIN q USING (vec_id)
+       |  JOIN g$coarseIters c USING (cell))""".stripMargin
+    // per-subspace chains on the residuals
+    for (s <- 0 until m) {
+      val off = s * d
+      parts += s"""p${s}c0 AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+         |         rv[${off + 1}:${off + d}] AS cent
+         |  FROM (SELECT vec_id, rv FROM rv
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $kSub))""".stripMargin
+      for (i <- 1 to pqIters + 1) {
+        parts += s"""p${s}a$i AS MATERIALIZED (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT t.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+           |    FROM (SELECT r.vec_id, c.cell,
+           |            list_sum(list_transform(generate_series(1, $d),
+           |              i -> (r.rv[$off+i]-c.cent[i])*(r.rv[$off+i]-c.cent[i]))) AS dist
+           |          FROM rv r, p${s}c${i - 1} c) t) WHERE rn = 1)""".stripMargin
+        if (i <= pqIters)
+          parts += s"""p${s}c$i AS MATERIALIZED (
+             |  SELECT p.cell, coalesce(n.cent, p.cent) AS cent
+             |  FROM p${s}c${i - 1} p LEFT JOIN (
+             |    SELECT cell, list(CAST(floor(s::DOUBLE / n) AS BIGINT) ORDER BY i) AS cent
+             |    FROM (SELECT a.cell, u.i, sum(r.rv[$off+u.i]) AS s, count(*) AS n
+             |          FROM p${s}a$i a JOIN rv r USING (vec_id), unnest(generate_series(1, $d)) u(i)
+             |          GROUP BY a.cell, u.i)
+             |    GROUP BY cell) n ON p.cell = n.cell)""".stripMargin
+      }
+    }
+    val encJoins = (1 until m)
+      .map(s => s"JOIN p${s}a${pqIters + 1} a$s USING (vec_id)").mkString(" ")
+    val codeList = (0 until m).map(s => s"a$s.cell").mkString(", ")
+    parts += s"""enc AS MATERIALIZED (
+       |  SELECT a0.vec_id, r.cell, [$codeList] AS codes
+       |  FROM p0a${pqIters + 1} a0 $encJoins JOIN rv r ON r.vec_id = a0.vec_id)""".stripMargin
+    parts += s"""qq AS MATERIALIZED (
+       |  SELECT vec_id AS query_id,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CASE WHEN scale = 0 THEN 0
+       |                ELSE CAST(floor(x / scale * 127 + 0.5) AS BIGINT) END) AS qv
+       |  FROM (SELECT vec_id, embedding,
+       |          list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') AS scale
+       |        FROM embeddings WHERE vec_id % 97 = 0))""".stripMargin
+    parts += s"""qprobe AS MATERIALIZED (
+       |  SELECT query_id, cell FROM (
+       |    SELECT t.*, row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS rn
+       |    FROM (SELECT q.query_id, c.cell,
+       |            list_sum(list_transform(generate_series(1, $dims),
+       |              i -> (q.qv[i]-c.cent[i])*(q.qv[i]-c.cent[i]))) AS dist
+       |          FROM qq q, g$coarseIters c) t) WHERE rn <= $nProbe)""".stripMargin
+    parts += s"""qrv AS MATERIALIZED (
+       |  SELECT p.query_id, p.cell,
+       |    list_transform(generate_series(1, $dims), i -> q.qv[i] - c.cent[i]) AS rv
+       |  FROM qprobe p JOIN qq q USING (query_id)
+       |  JOIN g$coarseIters c USING (cell))""".stripMargin
+    for (s <- 0 until m) {
+      val off = s * d
+      parts += s"""t$s AS MATERIALIZED (
+         |  SELECT r.query_id, r.cell AS pcell, c.cell,
+         |    list_sum(list_transform(generate_series(1, $d),
+         |      i -> (r.rv[$off+i]-c.cent[i])*(r.rv[$off+i]-c.cent[i]))) AS dist
+         |  FROM qrv r, p${s}c$pqIters c)""".stripMargin
+    }
+    val tabJoins = (0 until m).map(s =>
+      s"JOIN t$s ON t$s.query_id = pr.query_id AND t$s.pcell = pr.cell" +
+        s" AND t$s.cell = e.codes[${s + 1}]").mkString("\n  ")
+    val adcSum = (0 until m).map(s => s"t$s.dist").mkString(" + ")
+    "WITH " + parts.result().mkString(",\n") + s""",
+       |scored AS (
+       |  SELECT pr.query_id, e.vec_id AS neighbor_id, $adcSum AS adc
+       |  FROM enc e
+       |  JOIN qrv pr ON pr.cell = e.cell
+       |  $tabJoins
+       |  WHERE e.vec_id <> pr.query_id)
        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
        |  CAST(adc AS BIGINT) AS adc_dist FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1486,6 +1626,9 @@ object TextQueries {
       ivfKmeansOracle(KmK, KmIters, KmDims, nProbe = 2, topK = 5),
 
     "q189_pq_ann" -> pqOracle(PqM, PqKSub, PqIters, KmDims, topK = 5),
+
+    "q190_ivfpq_ann" -> ivfPqOracle(KmK, coarseIters = 2, nProbe = 2,
+      m = PqM, kSub = PqKSub, pqIters = PqIters, dims = KmDims, topK = 5),
 
     // the q97 salted-hash order recomputation, keyed on source
     "q168_source_quota" ->

@@ -434,4 +434,104 @@ object Ann {
         .localCheckpoint(true)
     } finally cCodes.unpersist(blocking = false)
   }
+
+  /** IVF-PQ with residual encoding — the full FAISS-style index shape
+    * (Jégou 2011 §IV): a coarse [[KmeansInt8]] codebook routes each
+    * vector to a cell, the RESIDUAL (code − cell centroid) is what PQ
+    * compresses — residuals cluster far tighter than raw vectors, so
+    * the same kSub spends its precision where the data actually is —
+    * and a query probes only its `nProbe` nearest cells, scoring that
+    * fraction of the corpus with per-probe ADC tables built from the
+    * query's OWN residual against each probed centroid.
+    *
+    * Everything stays on the integer-exact rails of [[pqTopK]]:
+    * residuals are exact long subtractions (|r| ≤ 254, still int8
+    * range ×2), both training chains are the deterministic Lloyd
+    * loop, and the rank is (adc asc, neighbor asc). The oracle
+    * replays the entire index — coarse chain, residuals, m subspace
+    * chains, encoding, probing, ADC — row-for-row.
+    *
+    * Scale shape: corpus makes three map-only passes (coarse assign,
+    * residual, PQ encode) against KB-sized broadcast codebooks plus
+    * the per-iteration histogram aggregations of the two trainers;
+    * the probe join keys on the coarse cell (corpus side already
+    * partitioned by it), and ADC touches only the probed fraction.
+    * At 10⁹ vectors × nCells 65k, a 2-probe query scans ~2/65k of
+    * the code table — memory-bandwidth-bound over m-byte codes.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, nCells: Int = 8, coarseIters: Int = 2, nProbe: Int = 2,
+      m: Int = 4, kSub: Int = 8, pqIters: Int = 2): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells, "1 <= nProbe <= nCells")
+    require(m >= 1 && m <= 64, "1 <= m <= 64")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cCodes = quantizeInt8(corpus, cId, cVec)
+      .withColumnRenamed(cId, "neighbor_id").persist(lvl)
+    var assigned: DataFrame = null
+    try {
+      val dims = cCodes.select(size(col("qvec")).as("__d")).head().getInt(0)
+      require(dims % m == 0, s"dims=$dims must be divisible by m=$m")
+      val d = dims / m
+      val coarse = KmeansInt8.fit(cCodes, "neighbor_id", "qvec",
+        nCells, coarseIters)
+      val centsLit = typedLit(coarse.centroids.map(_.toSeq))
+      def residual(codeVec: Column, cell: Column): Column =
+        transform(
+          zip_with(codeVec, element_at(centsLit, cell + 1),
+            (a, b) => a.cast(LongType) - b),
+          x => x.cast(IntegerType))
+      // corpus: cell + residual, consumed by m trainers and the encode
+      assigned = cCodes
+        .withColumn("__cell", KmeansInt8.cellOf(col("qvec"), coarse))
+        .withColumn("__rv", residual(col("qvec"), col("__cell")))
+        .persist(lvl)
+      val models = (0 until m).map { s =>
+        KmeansInt8.fit(
+          assigned.select(col("neighbor_id"),
+            slice(col("__rv"), s * d + 1, d).as("qvec")),
+          "neighbor_id", "qvec", kSub, pqIters)
+      }
+      val encoded = assigned.select(col("neighbor_id"),
+        col("__cell").as("cell"),
+        array(models.zipWithIndex.map { case (mod, s) =>
+          KmeansInt8.cellOf(slice(col("__rv"), s * d + 1, d), mod)
+        }: _*).as("__codes"))
+      // query probes: nProbe nearest coarse cells on the query's own
+      // int8 code, (dist asc, cell asc) via struct sort; per probe, a
+      // residual vs THAT centroid and its m x kSub ADC table
+      val probeStructs = array_sort(array(
+        coarse.centroids.zipWithIndex.map { case (c, j) =>
+          struct(KmeansInt8.sqDistTo(col("qvec"), c).as("d"),
+            lit(j).as("cell"))
+        }: _*))
+      val probes = quantizeInt8(queries, qId, qVec)
+        .withColumnRenamed(qId, "query_id")
+        .withColumn("cell",
+          explode(slice(probeStructs, 1, nProbe).getField("cell")))
+        .withColumn("__rv", residual(col("qvec"), col("cell")))
+        .withColumn("__tab", array(models.zipWithIndex.map { case (mod, s) =>
+          graft.expressions.ExprOps.bind(
+            slice(col("__rv"), s * d + 1, d)) { sub =>
+            array(mod.centroids.map(c => KmeansInt8.sqDistTo(sub, c)): _*)
+          }
+        }: _*))
+        .select("query_id", "cell", "__tab")
+      val adc = (0 until m).map(s =>
+        element_at(element_at(col("__tab"), s + 1),
+          element_at(col("__codes"), s + 1) + 1)).reduce(_ + _)
+      val scored = broadcast(probes).join(encoded, "cell")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("__adc", adc)
+        .withColumn("score", -col("__adc").cast(DoubleType))
+      finishTopK(scored, corpus.schema(cId).dataType, k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          (-col("score")).cast(LongType).as("adc_dist"))
+        .localCheckpoint(true)
+    } finally {
+      cCodes.unpersist(blocking = false)
+      if (assigned != null) assigned.unpersist(blocking = false)
+    }
+  }
 }

@@ -186,4 +186,38 @@ class KmeansSpec extends SparkSpec {
     assert(lossy1 === lossy2)
     assert(lossy1.size === queries.size * 5)
   }
+
+  test("ivfPqTopK: full probe + per-vector residual codebooks cancel " +
+    "the cell centroid, so ADC EQUALS exact int8 L2 ranking; lossy " +
+    "setting layout-invariant with probed-fraction candidates") {
+    val rnd = new scala.util.Random(23)
+    val corpus = (1L to 60L).map(id =>
+      id -> Array.fill(8)(rnd.nextDouble() * 2 - 1)).toMap
+    val queries = (101L to 103L).map(id =>
+      id -> Array.fill(8)(rnd.nextDouble() * 2 - 1)).toMap
+    def df(m: Map[Long, Array[Double]]) =
+      m.toSeq.map { case (id, v) => (id, v.map(_.toFloat).toSeq) }
+        .toDF("vec_id", "embedding")
+    // d((q - c), (x - c)) = d(q, x): the residual subtraction cancels
+    // inside every subspace distance when the codebook is exact
+    val exact = graft.similarity.Ann.ivfPqTopK(
+      df(queries), df(corpus), "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, nCells = 4, coarseIters = 1, nProbe = 4,
+      m = 4, kSub = 60, pqIters = 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(exact === int8TopKRef(queries, corpus, 5))
+    val lossy1 = graft.similarity.Ann.ivfPqTopK(
+      df(queries), df(corpus), "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, nCells = 4, coarseIters = 1, nProbe = 2,
+      m = 4, kSub = 8, pqIters = 1).collect().map(_.toSeq).toSet
+    val lossy2 = graft.similarity.Ann.ivfPqTopK(
+      df(queries), df(corpus).repartition(13),
+      "vec_id", "embedding", "vec_id", "embedding",
+      k = 5, nCells = 4, coarseIters = 1, nProbe = 2,
+      m = 4, kSub = 8, pqIters = 1).collect().map(_.toSeq).toSet
+    assert(lossy1 === lossy2)
+    assert(lossy1.nonEmpty)
+  }
 }
