@@ -286,4 +286,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"),
       s"the fused entropy pass must not shuffle:\n$p")
   }
+
+  test("q183 winnowing: no cartesian; the only window partitions by " +
+    "the document id (the q91 per-doc sort envelope)") {
+    val p = plan("q183_winnow_fingerprints")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"winnowing is a per-doc window + id join, never a product:\n$p")
+    val winds = "windowspecdefinition\\(([a-zA-Z_#0-9]+)".r
+      .findAllMatchIn(p.toLowerCase).map(_.group(1)).toSet
+    assert(winds.forall(_.startsWith("doc_id")),
+      s"every window must partition by doc_id, got $winds:\n$p")
+  }
+
+  test("q187 winnow pairs: posting-list equi-join on the fingerprint " +
+    "hash, never a cartesian product") {
+    val p = plan("q187_winnow_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair candidates must equi-join on the fingerprint hash:\n$p")
+  }
+
+  test("q188 bootstrap: windowless — replicate cells come from " +
+    "partial-aggregated explode, percentiles from the cell frame") {
+    val p = plan("q188_bootstrap_ci")
+    assert(!p.toLowerCase.contains("windowspecdefinition"),
+      s"the one-pass bootstrap must not contain a window:\n$p")
+    assert(p.contains("partial_"),
+      s"cell sums must map-side combine before the shuffle:\n$p")
+  }
+
+  test("q189/q190 ADC scans: corpus side joins broadcast query frames " +
+    "— no corpus-keyed SortMergeJoin anywhere") {
+    Seq("q189_pq_ann", "q190_ivfpq_ann").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("SortMergeJoin"),
+        s"$name must broadcast queries/probes, never sort-merge the corpus:\n$p")
+    }
+  }
 }
