@@ -227,6 +227,13 @@ object ExtendedQueries {
       graft.operators.AnalyticsOps.bootstrapCiMean(Tables.events(s, d),
         "event_type", "event_id", "value", reps = 64)),
 
+    // robust trend: Theil-Sen slope (median of pairwise day-slopes,
+    // each ONE exact-operand division) + tie-corrected Mann-Kendall
+    // S and z — integer sums, one closing double expression; pairs
+    // explode the calendar-bounded daily frame only
+    "q191_robust_trend" -> ((s, d) =>
+      graft.operators.AnalyticsOps.robustTrend(Tables.events(s, d))),
+
     // HDR-histogram quantile sketch per event type: log-linear integer
     // bucketing (exact below 2^5, top-5-significand-bits above),
     // bounded counter state, rank answered by a cumulative walk over
@@ -1068,6 +1075,44 @@ object ExtendedQueries {
         |SELECT ci.g AS event_type, pt.n_rows, pt.mean,
         |  CAST(ci.n_reps AS BIGINT) AS n_reps, ci.ci_lo, ci.ci_hi
         |FROM ci JOIN pt USING (g)""".stripMargin,
+
+    // same dense grid, pairwise slopes/signs, percentile median, and
+    // the tie-corrected variance — all integer until the closing z
+    "q191_robust_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, ts::DATE AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), groups AS (SELECT DISTINCT g FROM daily),
+        |days AS (SELECT DISTINCT day FROM daily),
+        |dense AS (
+        |  SELECT gr.g, d.day - DATE '1970-01-01' AS x, COALESCE(dl.n, 0) AS y
+        |  FROM groups gr CROSS JOIN days d
+        |  LEFT JOIN daily dl ON dl.g = gr.g AND dl.day = d.day
+        |), pairs AS (
+        |  SELECT a.g,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope,
+        |    CAST(sign(b.y - a.y) AS BIGINT) AS sgn
+        |  FROM dense a JOIN dense b ON a.g = b.g AND a.x < b.x
+        |), base AS (
+        |  SELECT g,
+        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY slope) AS sen,
+        |    sum(sgn) AS s
+        |  FROM pairs GROUP BY 1
+        |), ties AS (
+        |  SELECT g, sum(t * (t - 1) * (2 * t + 5)) AS tcorr,
+        |    CAST(sum(t) AS BIGINT) AS n_days
+        |  FROM (SELECT g, y, count(*) AS t FROM dense GROUP BY 1, 2)
+        |  GROUP BY 1
+        |)
+        |SELECT b.g AS event_type, t.n_days,
+        |  round(b.sen, 6) AS sen_slope, CAST(b.s AS BIGINT) AS mk_s,
+        |  round(CASE
+        |    WHEN b.s > 0 AND vs > 0 THEN CAST(b.s - 1 AS DOUBLE) / sqrt(vs)
+        |    WHEN b.s < 0 AND vs > 0 THEN CAST(b.s + 1 AS DOUBLE) / sqrt(vs)
+        |    WHEN vs > 0 THEN 0.0 END, 4) AS mk_z
+        |FROM base b JOIN ties t USING (g),
+        |  LATERAL (SELECT CAST(t.n_days * (t.n_days - 1) * (2 * t.n_days + 5)
+        |    - t.tcorr AS DOUBLE) / 18.0 AS vs) v""".stripMargin,
 
     // quadratic lev<=1 pair recomputation (length-band prefilter is a
     // necessary condition, so completeness is preserved) + recursive

@@ -360,6 +360,14 @@ object TextQueries {
         Tables.documents(s, d), "doc_id", "text",
         k = 3, w = 4, minShared = 2L)),
 
+    // RAKE keywords: stopword/punctuation-delimited candidate
+    // phrases scored by sum of deg/freq — degree rewards
+    // co-occurrence, so multi-word terms outrank bare frequent
+    // words; exact integer deg/freq, rounded ratio sum, top-25
+    "q192_rake_keywords" -> ((s, d) =>
+      graft.text.TextOps.rakeKeywords(
+        Tables.documents(s, d), "doc_id", "text", topK = 25)),
+
     // dataset-card report: the corpus-level numbers a data release
     // documents, one long-format row per metric — every value an
     // exact count or a single division of exact counts
@@ -982,6 +990,52 @@ object TextQueries {
         |  round(sum(p * ln(p / ((p + q) / 2)) / 2
         |          + q * ln(q / ((p + q) / 2)) / 2), 4) AS js_div
         |FROM pq GROUP BY v, na, nb""".stripMargin,
+
+    // same fragment/stopword segmentation, integer deg/freq, rounded
+    // ratio sum, and (score desc, phrase) top-25 cut
+    "q192_rake_keywords" ->
+      """WITH frags AS (
+        |  SELECT doc_id, i - 1 AS fi, fr[i] AS frag
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(lower(text), '[^\p{L}\p{N}\s]+') AS fr
+        |        FROM documents WHERE text IS NOT NULL),
+        |       unnest(range(1, len(fr) + 1)) u(i)
+        |), toked AS (
+        |  SELECT doc_id, fi,
+        |    regexp_split_to_array(
+        |      regexp_replace(frag, '^\s+|\s+$', '', 'g'), '\s+') AS t
+        |  FROM frags
+        |  WHERE length(regexp_replace(frag, '^\s+|\s+$', '', 'g')) > 0
+        |), words AS (
+        |  SELECT doc_id, fi, i - 1 AS wi, t[i] AS w,
+        |    CASE WHEN t[i] IN ('the','a','an','and','or','of','to','in',
+        |      'is','it','that','for','on','with','as','was','at','by',
+        |      'be','this') THEN 1 ELSE 0 END AS sw
+        |  FROM toked, unnest(range(1, len(t) + 1)) u(i)
+        |), seg AS (
+        |  SELECT *, sum(sw) OVER (PARTITION BY doc_id, fi ORDER BY wi
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sg
+        |  FROM words
+        |), ph AS (
+        |  SELECT doc_id, fi, sg, count(*) AS len,
+        |    string_agg(w, ' ' ORDER BY wi) AS phrase
+        |  FROM seg WHERE sw = 0 GROUP BY 1, 2, 3
+        |), wstat AS (
+        |  SELECT s.w, count(*) AS freq, sum(p.len) AS deg
+        |  FROM seg s JOIN ph p USING (doc_id, fi, sg)
+        |  WHERE s.sw = 0 GROUP BY 1
+        |), pstat AS (
+        |  SELECT phrase, count(*) AS n_occurrences FROM ph GROUP BY 1
+        |), scored AS (
+        |  SELECT p.phrase, p.n_occurrences,
+        |    round(sum(round(CAST(ws.deg AS DOUBLE) / CAST(ws.freq AS DOUBLE), 6)), 4) AS score
+        |  FROM pstat p
+        |  CROSS JOIN unnest(string_split(p.phrase, ' ')) AS t(w0)
+        |  JOIN wstat ws ON ws.w = t.w0
+        |  GROUP BY 1, 2
+        |)
+        |SELECT phrase, n_occurrences, score FROM scored
+        |ORDER BY score DESC, phrase LIMIT 25""".stripMargin,
 
     // same gram positions, the same 32-bit md5-prefix hash, and the
     // identical composite-key arithmetic — an ordinary window MIN

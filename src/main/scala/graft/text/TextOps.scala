@@ -211,6 +211,74 @@ object TextOps {
       .distinct()
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents"): candidate phrases are the
+    * maximal token runs delimited by punctuation OR stopwords; each
+    * word scores deg(w)/freq(w) — deg = Σ length of the phrases it
+    * appears in (co-occurrence degree, self included), freq = its
+    * phrase-token occurrence count — and a phrase scores the sum over
+    * its token sequence. Multi-word technical terms ("support vector
+    * machine") outrank bare frequent words because degree rewards
+    * co-occurrence, which TF-IDF (q96) and PMI pairs (q121)
+    * structurally miss; this is the corpus-level keyword REPORT
+    * beside those per-doc/per-pair statistics.
+    *
+    * Determinism: deg and freq are exact integers; each word ratio is
+    * ONE IEEE division rounded to 6; the phrase sum rounds to 4 (the
+    * q01 rounded-float-sum contract), and the top-k cut breaks ties
+    * on the phrase string. Phrase assembly sorts (position, word)
+    * structs — layout-independent.
+    *
+    * Scale shape: fragment/token explodes are map-only; the ONLY
+    * windows run per (doc, fragment) — a single document's tokens,
+    * the q91 envelope; word and phrase statistics are hash-keyed
+    * map-side-combined aggregations; the final cut is a bounded
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
+                   topK: Int = 25,
+                   stopwords: Seq[String] = EnStopwords): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(split(lower(col(textCol)), "[^\\p{L}\\p{N}\\s]+")))
+      .withColumnsRenamed(Map("pos" -> "__fi", "col" -> "__frag"))
+      .select(col("__id"), col("__fi"), posexplode(tokens(col("__frag"))))
+      .withColumnsRenamed(Map("pos" -> "__wi", "col" -> "__w"))
+    val wSeg = Window.partitionBy("__id", "__fi").orderBy("__wi")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val phraseWords = toks
+      .withColumn("__sw", col("__w").isInCollection(stopwords).cast(LongType))
+      .withColumn("__sg", sum("__sw").over(wSeg))
+      .filter(col("__sw") === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ph = phraseWords.groupBy("__id", "__fi", "__sg")
+        .agg(count(lit(1)).as("__len"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("__wi"), col("__w")))),
+            s => s.getField("__w")), " ").as("__phrase"))
+      val occ = phraseWords.select("__id", "__fi", "__sg", "__w")
+        .join(ph.select("__id", "__fi", "__sg", "__len"),
+          Seq("__id", "__fi", "__sg"))
+      val wstat = occ.groupBy("__w")
+        .agg(count(lit(1)).as("__freq"), sum("__len").as("__deg"))
+      ph.groupBy("__phrase").agg(count(lit(1)).as("n_occurrences"))
+        .withColumn("__pw", explode(split(col("__phrase"), " ")))
+        .join(wstat, col("__pw") === col("__w"))
+        .groupBy("__phrase", "n_occurrences")
+        .agg(sum(round(col("__deg").cast(DoubleType) /
+          col("__freq").cast(DoubleType), 6)).as("__sc"))
+        .select(col("__phrase").as("phrase"), col("n_occurrences"),
+          round(col("__sc"), 4).as("score"))
+        .orderBy(col("score").desc, col("phrase"))
+        .limit(topK)
+        .localCheckpoint(true)
+    } finally phraseWords.unpersist(blocking = false)
+  }
+
   /** Repetition quality signals (the Gopher-rule family):
     * `distinct_token_ratio` (type-token ratio) and `top_bigram_frac`
     * (share of all word bigrams taken by the most frequent one —

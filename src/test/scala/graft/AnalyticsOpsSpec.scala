@@ -531,6 +531,33 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(all(2L) === math.round(cv * 1e6) / 1e6)
   }
 
+  test("robustTrend: monotone series gives the exact Sen slope and " +
+    "maximal S; constant series gives zero slope and NULL z (zero " +
+    "variance); tie-corrected z matches a JVM brute force") {
+    // group a: counts 1,2,3,4 on four consecutive days — slope 1,
+    // S = 6 (all pairs rising)
+    val a = (1 to 4).flatMap(dy => (1 to dy).map(_ =>
+      ("a", ts(s"2024-01-0$dy 08:00:00"))))
+    // group b: constant 2 per day — every pair ties
+    val b = (1 to 4).flatMap(dy => (1 to 2).map(_ =>
+      ("b", ts(s"2024-01-0$dy 09:00:00"))))
+    val out = AnalyticsOps.robustTrend((a ++ b).toDF("event_type", "ts"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_days"), r.getAs[Double]("sen_slope"),
+          r.getAs[Long]("mk_s"), Option(r.getAs[Any]("mk_z"))))).toMap
+    assert(out("a")._1 === 4L)
+    assert(out("a")._2 === 1.0)
+    assert(out("a")._3 === 6L)
+    // a has no ties: Var = 4*3*13/18 = 26/3; z = 5/sqrt(26/3)
+    val za = BigDecimal(5.0 / math.sqrt(26.0 / 3.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("a")._4 === Some(za))
+    assert(out("b")._2 === 0.0)
+    assert(out("b")._3 === 0L)
+    // all four y equal: tcorr = 4*3*13 = full term -> Var = 0 -> NULL
+    assert(out("b")._4 === None)
+  }
+
   test("bootstrapCiMean: replicate means and CI bounds equal a full " +
     "JVM recomputation of the deterministic Poisson draw; CI brackets " +
     "the point mean; layout-invariant") {

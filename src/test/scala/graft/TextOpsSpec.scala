@@ -353,6 +353,34 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("js_div") > 0.0)
   }
 
+  test("rakeKeywords: hand-computed deg/freq scores on the classic " +
+    "shape — co-occurring multi-word phrases outrank short ones; " +
+    "duplicate words in a phrase count per occurrence; punctuation " +
+    "and stopwords both delimit") {
+    import spark.implicits._
+    // phrases after splitting on '.'/',' and the stopword 'and':
+    //   [deep learning models] [deep learning wins] [models win]
+    // freq: deep 2, learning 2, models 2, wins 1, win 1
+    // deg:  deep 6, learning 6, models 5, wins 3, win 2
+    // scores: d-l-w 9.0, d-l-m 8.5, m-w 4.5
+    val docs = Seq(
+      (1L, "Deep learning models. Deep learning wins, and models win"))
+      .toDF("doc_id", "text")
+    val out = TextOps.rakeKeywords(docs, "doc_id", "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(
+      ("deep learning wins", 1L, 9.0),
+      ("deep learning models", 1L, 8.5),
+      ("models win", 1L, 4.5)))
+    // duplicate word inside one phrase: each occurrence counts in
+    // freq AND contributes the phrase length to deg
+    val dup = Seq((1L, "big big data")).toDF("doc_id", "text")
+    val d = TextOps.rakeKeywords(dup, "doc_id", "text", topK = 5)
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    // freq(big)=2, deg(big)=6 -> ratio 3; data: 3/1 -> score 3+3+3
+    assert(d.toSeq === Seq(("big big data", 9.0)))
+  }
+
   /** Brute-force winnowing reference (Schleimer 2003): same md5-prefix
     * hash, explicit rightmost-min scan per window. */
   private def winnowRef(text: String, k: Int, w: Int): Set[(Long, Long)] = {
