@@ -49,6 +49,71 @@ object GraphOps {
     } finally oriented.unpersist(blocking = false)
   }
 
+  /** Synchronous label propagation communities (Raghavan 2007), made
+    * DETERMINISTIC: labels start as node ids; each round every node
+    * adopts the most frequent label among its NEIGHBORS, ties broken
+    * to the smallest label, all nodes updating simultaneously from
+    * the previous round's labels (no update-order dependence — the
+    * async variant's nondeterminism is exactly what this engine
+    * refuses). `iters` is fixed and part of the operator's definition
+    * (sync LPA can oscillate on bipartite shapes, so a fixpoint test
+    * would not terminate; a fixed horizon is the standard remedy).
+    * Isolated behavior: a node keeps its previous label when it has
+    * no neighbors. Returns (node, label, community_size).
+    *
+    * Communities differ from [[graft.pipelines.CorpusPipeline
+    * .minLabelComponents]]: CC merges anything connected; LPA keeps
+    * DENSELY linked groups apart even inside one component — the
+    * "which items cluster" report over co-occurrence graphs.
+    *
+    * Scale shape: per round, one hash join of the both-ways edge list
+    * (partitioned once, reused — the PageRank discipline) against the
+    * label frame, one (node, label) count with map-side combine, and
+    * one min-struct argmax per node — never a per-node window over
+    * anything unbounded. Labels localCheckpoint per round (lineage
+    * barrier), the previous round's cache released after the next
+    * materializes.
+    */
+  def labelPropagation(pairs: DataFrame, iters: Int = 3,
+                       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
+    val edges = pairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull && col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val both = edges.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      val nodes = edges.select(col("a").as("node"))
+        .unionAll(edges.select(col("b").as("node"))).distinct()
+      var labels = nodes.select(col("node"), col("node").as("label"))
+        .localCheckpoint()
+      for (_ <- 1 to iters) {
+        val counted = both
+          .join(labels.select(col("node").as("dst"), col("label")), "dst")
+          .groupBy(col("src").as("node"), col("label"))
+          .agg(count(lit(1)).as("__n"))
+        // argmax (count desc, label asc) via min over (-count, label)
+        val best = counted
+          .groupBy("node")
+          .agg(min(struct((-col("__n")).as("nn"), col("label").as("l")))
+            .as("__b"))
+          .select(col("node"), col("__b.l").as("__newLabel"))
+        val next = labels.join(best, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("__newLabel"), col("label")).as("label"))
+          .localCheckpoint()
+        labels = next
+      }
+      val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
+      labels.join(sizes, "label")
+        .select(col("node"), col("label"), col("community_size"))
+        .localCheckpoint(true)
+    } finally edges.unpersist(blocking = false)
+  }
+
   /** Degree-ordered orientation of a normalized undirected edge list:
     * one row (s, t, td) per distinct edge, directed from the
     * lower-(degree, id) endpoint `s` to the higher `t`, with `td` =

@@ -721,12 +721,16 @@ object AnalyticsOps {
     * replicate means' spread IS the sampling distribution.
     *
     * Determinism: the draw is a PURE FUNCTION of (id, replicate,
-    * salt) — u32 = first 8 md5 hex chars (the q48/q119 portable
-    * trick), folded through the Poisson(1) inverse CDF as INTEGER
-    * threshold comparisons (the 2³²-scaled cumulative literals below,
-    * identical in the oracle — no engine float CDF anywhere).
-    * Multiplicity is capped at 8 (P ≈ 1e-5 per draw); the cap is part
-    * of the operator's definition, applied identically everywhere.
+    * salt) — one md5 per BLOCK of four replicates, its 128 bits
+    * sliced into four independent 32-bit u values (8 hex chars each,
+    * the q48/q119 portable trick amortized 4×: hashing dominates the
+    * explode cost, and slicing keeps full cryptographic independence
+    * where a cheaper counter-mix would trade statistical quality),
+    * folded through the Poisson(1) inverse CDF as INTEGER threshold
+    * comparisons (the 2³²-scaled cumulative literals below, identical
+    * in the oracle — no engine float CDF anywhere). Multiplicity is
+    * capped at 8 (P ≈ 1e-5 per draw); the cap is part of the
+    * operator's definition, applied identically everywhere.
     *
     * Exactness: values accumulate as DECIMAL(18,6)-quantized operands
     * (the q179 portable-surface trick) in Decimal(38,6) sums, so
@@ -746,6 +750,7 @@ object AnalyticsOps {
                       salt: String = "boot",
                       ciLo: Double = 0.025, ciHi: Double = 0.975): DataFrame = {
     require(reps >= 8 && reps <= 4096, s"reps out of range: $reps")
+    require(reps % 4 == 0, s"reps must be a multiple of 4 (md5 slicing): $reps")
     require(ciLo > 0 && ciHi < 1 && ciLo < ciHi, "invalid CI bounds")
     // floor(2^32 · P(Poisson(1) <= k)) for k = 0..7 — literals shared
     // verbatim with the oracle SQL
@@ -758,11 +763,13 @@ object AnalyticsOps {
       .select(col(groupCol).as("__g"), col(idCol).as("__id"),
         col(valueCol).cast(dec6).as("__v"))
     val drawn = rows
-      .withColumn("__r", explode(array((0 until reps).map(lit): _*)))
-      .withColumn("__u", conv(substring(md5(
-        concat_ws("|", col("__id").cast(StringType),
-          col("__r").cast(StringType), lit(salt))), 1, 8), 16, 10)
-        .cast(LongType))
+      .withColumn("__b", explode(array((0 until reps / 4).map(lit): _*)))
+      .withColumn("__h", md5(concat_ws("|", col("__id").cast(StringType),
+        col("__b").cast(StringType), lit(salt))))
+      .withColumn("__s", explode(array((0 until 4).map(lit): _*)))
+      .withColumn("__r", col("__b") * 4 + col("__s"))
+      .withColumn("__u",
+        conv(expr("substr(__h, __s * 8 + 1, 8)"), 16, 10).cast(LongType))
       .withColumn("__w", thresholds.zipWithIndex.foldRight(lit(8): Column) {
         case ((t, k), rest) => when(col("__u") < t, lit(k)).otherwise(rest)
       })

@@ -234,6 +234,48 @@ object ExtendedQueries {
     "q191_robust_trend" -> ((s, d) =>
       graft.operators.AnalyticsOps.robustTrend(Tables.events(s, d))),
 
+    // last-touch attribution through the custom as-of PLANNER
+    // operator: each purchase pairs with the user's latest prior
+    // touch (view/click) and attributes if within 7 days; touches
+    // first dedupe to one per (user, instant) with a min-id rule so
+    // equal-timestamp ties cannot make the as-of pick nondeterministic
+    "q194_attribution" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val touches = e.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("event_id").as("tid"), col("event_type").as("ttype"))
+        .groupBy("user_id", "t_us")
+        .agg(min(struct(col("tid"), col("ttype"))).as("__t"))
+        .select(col("user_id"), col("t_us"),
+          col("__t.ttype").as("touch_type"))
+      graft.plans.AsOfJoin.asofJoin(
+        purchases, touches, Seq("user_id"), "p_us", "t_us")
+        .select(when(col("t_us").isNotNull &&
+            col("p_us") - col("t_us") <= 7L * 86400L * 1000000L,
+            col("touch_type")).otherwise(lit("none")).as("attributed_to"))
+        .groupBy("attributed_to")
+        .agg(count(lit(1)).as("n_purchases"))
+    }),
+
+    // deterministic synchronous label-propagation communities over
+    // the co-purchase item graph (parts sharing >= 2 orders):
+    // 3 fixed rounds, ties to the smallest label, all-simultaneous
+    // updates — no async update-order nondeterminism
+    "q193_item_communities" -> ((s, d) => {
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("pb"))
+      val edges = a.join(b, "l_orderkey").filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= 2)
+        .select(col("pa").as("id_a"), col("pb").as("id_b"))
+      graft.graph.GraphOps.labelPropagation(edges, iters = 3)
+    }),
+
     // HDR-histogram quantile sketch per event type: log-linear integer
     // bucketing (exact below 2^5, top-5-significand-bits above),
     // bounded counter state, rank answered by a cumulative walk over
@@ -1033,19 +1075,23 @@ object ExtendedQueries {
         |FROM cv
         |WHERE n_events >= 15 AND (sg = 0 OR cv <= 0.8)""".stripMargin,
 
-    // the identical draw: md5-prefix u32, the same 2^32-scaled
-    // Poisson(1) CDF integer thresholds, DECIMAL(18,6) operands, and
-    // percentile over the same 6-decimal-rounded replicate means
+    // the identical draw: one md5 per 4-replicate block sliced into
+    // four u32s, the same 2^32-scaled Poisson(1) CDF integer
+    // thresholds, DECIMAL(18,6) operands, and percentile over the
+    // same 6-decimal-rounded replicate means
     "q188_bootstrap_ci" ->
       """WITH rows_ AS (
         |  SELECT event_type AS g, event_id AS id,
         |    CAST(value AS DECIMAL(18,6)) AS v
         |  FROM events WHERE value IS NOT NULL
         |), drawn AS (
-        |  SELECT g, v, r,
+        |  SELECT g, v, b.b * 4 + s.s AS r,
         |    ('0x' || substr(md5(CAST(id AS VARCHAR) || '|' ||
-        |      CAST(r AS VARCHAR) || '|boot'), 1, 8))::UBIGINT AS u
-        |  FROM rows_ CROSS JOIN (SELECT unnest(range(0, 64)) AS r)
+        |      CAST(b.b AS VARCHAR) || '|boot'),
+        |      s.s * 8 + 1, 8))::UBIGINT AS u
+        |  FROM rows_
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS b) b
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS s) s
         |), wtd AS (
         |  SELECT g, r, v,
         |    CASE WHEN u < 1580030168 THEN 0
@@ -1075,6 +1121,61 @@ object ExtendedQueries {
         |SELECT ci.g AS event_type, pt.n_rows, pt.mean,
         |  CAST(ci.n_reps AS BIGINT) AS n_reps, ci.ci_lo, ci.ci_hi
         |FROM ci JOIN pt USING (g)""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN replays the planner operator;
+    // the same min-id touch dedupe and 7-day CASE
+    "q194_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS pus
+        |  FROM events WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT user_id, epoch_us(ts) AS tus,
+        |    arg_min(event_type, event_id) AS touch_type
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |  GROUP BY 1, 2
+        |), j AS (
+        |  SELECT p.pus, t.tus, t.touch_type
+        |  FROM p ASOF LEFT JOIN t
+        |    ON p.user_id = t.user_id AND t.tus <= p.pus
+        |)
+        |SELECT CASE WHEN tus IS NOT NULL AND pus - tus <= 604800000000
+        |         THEN touch_type ELSE 'none' END AS attributed_to,
+        |  count(*) AS n_purchases
+        |FROM j GROUP BY 1""".stripMargin,
+
+    // the same edge build and three unrolled synchronous rounds —
+    // per-round argmax via (count desc, label asc) row_number
+    "q193_item_communities" -> {
+      def round(prev: String, out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT n.node, coalesce(b.l, n.label) AS label
+           |  FROM $prev n LEFT JOIN (
+           |    SELECT node, l FROM (
+           |      SELECT src AS node, label AS l,
+           |        row_number() OVER (PARTITION BY src
+           |          ORDER BY count(*) DESC, label ASC) AS rn
+           |      FROM bothw JOIN $prev p ON p.node = bothw.dst
+           |      GROUP BY src, label) WHERE rn = 1
+           |  ) b USING (node))""".stripMargin
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT pa AS a, pb AS b FROM (
+         |    SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+         |    FROM lineitem a JOIN lineitem b
+         |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |    GROUP BY 1, 2) WHERE n >= 2
+         |), bothw AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM e
+         |  UNION ALL SELECT b, a FROM e
+         |), nodes AS (
+         |  SELECT a AS node FROM e UNION SELECT b FROM e
+         |), l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes),
+         |${round("l0", "l1")},
+         |${round("l1", "l2")},
+         |${round("l2", "l3")},
+         |sizes AS (SELECT label, count(*) AS community_size FROM l3 GROUP BY 1)
+         |SELECT l3.node, l3.label, sizes.community_size
+         |FROM l3 JOIN sizes USING (label)""".stripMargin
+    },
 
     // same dense grid, pairwise slopes/signs, percentile median, and
     // the tie-corrected variance — all integer until the closing z

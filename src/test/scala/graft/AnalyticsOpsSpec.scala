@@ -575,13 +575,12 @@ class AnalyticsOpsSpec extends SparkSpec {
     val th = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
       4279248373L, 4292415291L, 4294609777L, 4294923276L)
     val md = java.security.MessageDigest.getInstance("MD5")
-    def u32(s: String): Long = {
-      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x")
-        .mkString.take(8)
-      java.lang.Long.parseLong(hex, 16)
-    }
+    // one md5 per 4-replicate block, 8-hex-char slice per replicate
     def weight(id: Long, rep: Int): Int = {
-      val u = u32(s"$id|$rep|boot")
+      val hex = md.digest(s"$id|${rep / 4}|boot".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val u = java.lang.Long.parseLong(
+        hex.substring((rep % 4) * 8, (rep % 4) * 8 + 8), 16)
       val i = th.indexWhere(u < _)
       if (i < 0) 8 else i
     }

@@ -112,4 +112,48 @@ class PageRankSpec extends SparkSpec {
     assert(math.abs(got.values.sum / 1000000.0 - 1.0) < 1e-9)
     assert(got("y") > got("x"), "the sink must accumulate rank")
   }
+
+  /** JVM reference for synchronous LPA with the engine's exact
+    * contract: neighbors-only vote, (count desc, label asc) argmax,
+    * simultaneous updates, keep-own-label when isolated. */
+  private def refLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    var labels = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      labels = labels.map { case (n, old) =>
+        val votes = nbrs(n).map(labels).groupBy(identity).view
+          .mapValues(_.size).toSeq
+        if (votes.isEmpty) n -> old
+        else n -> votes.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
+  test("labelPropagation: two triangles joined by a bridge stay TWO " +
+    "communities (where CC would merge them); sync-update semantics " +
+    "match the JVM reference on a seeded random graph") {
+    val bridged = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val out = graft.graph.GraphOps.labelPropagation(
+      bridged.toDF("id_a", "id_b"), iters = 3)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(0), r.getLong(2))))
+    val byLabel = out.groupBy(_._1).view
+      .mapValues(_.map(_._2._1).toSet).toMap
+    assert(byLabel === Map(1L -> Set(1L, 2L, 3L), 3L -> Set(4L, 5L, 6L)),
+      s"bridged triangles must keep separate communities: $byLabel")
+    assert(out.forall(_._2._2 == 3L), "both community sizes are 3")
+    // random graph vs the reference, exact label-for-label
+    val rnd = new scala.util.Random(5)
+    val re = (1 to 120).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2)
+    val eng = graft.graph.GraphOps.labelPropagation(
+      re.toDF("id_a", "id_b"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(eng === refLpa(re, 4))
+  }
 }
