@@ -236,6 +236,69 @@ object StreamingOps {
       }
   }
 
+  final case class CusumState(sScaled: Long, openDay: Long, openCount: Long)
+  final case class CusumPoint(event_type: String, day: java.sql.Date,
+                              n_events: Long, cusum: Double, alarm: Boolean)
+
+  /** Streaming twin of [[graft.operators.AnalyticsOps.cusumAlarms]]
+    * with a FIXED rational reference mean μ = muNum/muDen events/day
+    * (the batch form's data-derived μ needs the whole series — a
+    * fixed target is the standard streaming-CUSUM formulation; feed
+    * it last period's batch mean). A day CLOSES when a later day's
+    * event arrives for the group; closing emits the day's point and
+    * folds S ← max(0, S + n·muDen − muNum), with every SKIPPED
+    * calendar day in between contributing its genuine zero
+    * (n = 0 ⇒ S ← max(0, S − muNum)) — the batch dense-grid
+    * semantics. All state arithmetic is scaled by muDen, so S, the
+    * deviations, and the alarm test S > alarmMult·muNum are exact
+    * INTEGER operations; `cusum` is the one closing division.
+    *
+    * State per group is three longs — flat in stream length. Events
+    * for already-closed days are stragglers and are dropped (the
+    * transitionsStreaming contract: Append mode cannot retract an
+    * emitted day). In-order delivery reproduces the fixed-μ batch
+    * recurrence exactly (StreamingSpec cross-check).
+    */
+  def cusumStreaming(events: Dataset[Event], muNum: Long, muDen: Long,
+                     alarmMult: Long,
+                     watermarkDelay: String): Dataset[CusumPoint] = {
+    require(muNum >= 0 && muDen > 0, "mean must be a non-negative rational")
+    require(alarmMult >= 1, "alarmMult must be at least 1")
+    import events.sparkSession.implicits._
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay)
+      else events
+    def dayOf(ts: java.sql.Timestamp): Long =
+      Math.floorDiv(ts.getTime, 86400000L)
+    src
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (etype, evs, state: GroupState[CusumState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumPoint]
+          var st = state.getOption.getOrElse(CusumState(0L, Long.MinValue, 0L))
+          def close(day: Long, n: Long): Unit = {
+            val s = math.max(0L, st.sScaled + n * muDen - muNum)
+            out += CusumPoint(etype,
+              new java.sql.Date(day * 86400000L), n,
+              s.toDouble / muDen.toDouble, s > alarmMult * muNum)
+            st = CusumState(s, day, 0L)
+          }
+          evs.toSeq.map(e => dayOf(e.ts)).sorted.foreach { d =>
+            if (st.openDay == Long.MinValue) st = st.copy(openDay = d)
+            if (d == st.openDay) st = st.copy(openCount = st.openCount + 1)
+            else if (d > st.openDay) {
+              close(st.openDay, st.openCount)
+              var skipped = st.openDay + 1
+              while (skipped < d) { close(skipped, 0L); skipped += 1 }
+              st = CusumState(st.sScaled, d, 1L)
+            } // d < openDay: straggler for a closed day — drop
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class FunnelState(completions: Seq[Long])
   final case class FunnelCompletion(user_id: Long, step_idx: Int,
                                     step: String, ts: java.sql.Timestamp)

@@ -523,4 +523,41 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Set(1L, 2L, 10L), s"half-committed retry must admit vec 10, got $ids")
     assert(spark.read.parquet(stP).count() === 3)
   }
+
+  test("cusumStreaming ≡ the fixed-mean CUSUM recurrence: day-close " +
+    "emission, skipped days contribute genuine zeros, integer alarm " +
+    "test, stragglers for closed days dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps.Event
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def at(day: Long, s: Long) = new java.sql.Timestamp(day * 86400000L + s * 1000L)
+    // daily counts [10, 10, 0, 0, 3] for type "a"; days 2-3 have no
+    // events at all — the day-4 arrival must close them as zeros
+    val evs =
+      (1 to 10).map(i => Event(i.toLong, at(0, i.toLong), "a")) ++
+      (1 to 10).map(i => Event(i.toLong, at(1, i.toLong), "a")) ++
+      (1 to 3).map(i => Event(i.toLong, at(4, i.toLong), "a"))
+    val in = MemoryStream[Event]
+    val q = graft.streaming.StreamingOps.cusumStreaming(
+      in.toDS(), muNum = 5L, muDen = 1L, alarmMult = 1L,
+      watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("cusum_twin")
+      .outputMode("append").start()
+    try {
+      evs.grouped(7).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      // straggler for the long-closed day 1: must change nothing
+      in.addData(Event(99L, at(1, 99), "a")); q.processAllAvailable()
+      val got = spark.table("cusum_twin")
+        .collect().map(r => (r.getDate(1).toString,
+          r.getLong(2), r.getDouble(3), r.getBoolean(4))).sortBy(_._1)
+      // fixed-mu recurrence over the closed days [10, 10, 0, 0]
+      val s = Seq(10L, 10L, 0L, 0L).scanLeft(0L)((acc, n) =>
+        math.max(0L, acc + n - 5L)).tail
+      assert(got.map(_._2).toSeq === Seq(10L, 10L, 0L, 0L))
+      assert(got.map(_._3).toSeq === s.map(_.toDouble))
+      assert(got.map(_._4).toSeq === s.map(_ > 5L)) // S > alarmMult*mu
+      assert(got.map(_._1).toSeq ===
+        Seq("1970-01-01", "1970-01-02", "1970-01-03", "1970-01-04"))
+    } finally q.stop()
+  }
 }
