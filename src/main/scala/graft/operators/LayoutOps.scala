@@ -84,4 +84,26 @@ object LayoutOps {
       .agg(count(lit(1)).as("n_rows"),
         min(col(xCol)).as("min_x"), max(col(xCol)).as("max_x"),
         min(col(yCol)).as("min_y"), max(col(yCol)).as("max_y"))
+
+  /** Rendezvous (highest-random-weight) shard assignment (Thaler &
+    * Ravishankar 1998): shard(k) = argmax over s < n of h(k, s) with
+    * h the engine-portable 60-bit md5 prefix. The property a layout
+    * at 100 TB cares about: growing n → n+1 moves EXACTLY the keys
+    * whose new shard wins the argmax — an expected 1/(n+1) of them —
+    * where mod-hashing reshuffles (n−1)/n of the corpus. Ties (two
+    * shards sharing a 60-bit hash — ~0 probability) break to the
+    * larger shard id via the greatest-struct comparison; the oracle
+    * replays (hv DESC, s DESC) identically. Pure map-only column —
+    * n md5 evaluations per row, done once at layout time.
+    */
+  def rendezvousShard(key: Column, n: Int): Column = {
+    require(n >= 1 && n <= 1024, s"shard count out of range: $n")
+    if (n == 1) lit(0)
+    else greatest((0 until n).map { s =>
+      struct(
+        conv(substring(md5(concat(key.cast("string"), lit("#"),
+          lit(s.toString))), 1, 15), 16, 10).cast("long").as("h"),
+        lit(s).as("s"))
+    }: _*).getField("s")
+  }
 }

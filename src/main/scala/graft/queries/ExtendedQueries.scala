@@ -260,6 +260,73 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n_purchases"))
     }),
 
+    // LINEAR multi-touch attribution via the KEYED interval join:
+    // every view/click in a purchase's trailing 7-day window shares
+    // the credit 1/k equally — the fractional complement of q194's
+    // winner-take-all last touch; bucket-explode join sharded by
+    // (user, day bucket), never a cross product
+    "q195_linear_attribution" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("p_us"))
+        .withColumn("w_start", col("p_us") - 7L * 86400L * 1000000L)
+      val touches = e.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("event_type").as("touch_type"))
+      val joined = graft.tables.ScaleJoins.pointInIntervalJoin(
+        touches, "t_us", purchases, "w_start", "p_us",
+        bucketWidth = 86400L * 1000000L, keys = Seq("user_id"))
+      joined.persist()
+      val k = joined.groupBy("purchase_id").agg(count(lit(1)).as("__k"))
+      val att = joined.join(k, "purchase_id")
+        .groupBy(col("touch_type").as("attributed_to"))
+        .agg(round(sum(lit(1.0) / col("__k")), 4).as("credit"),
+          count(lit(1)).as("n_touches"))
+      val un = purchases.join(k, Seq("purchase_id"), "left_anti")
+        .agg(count(lit(1)).as("__n"))
+        .select(lit("none").as("attributed_to"),
+          round(col("__n").cast("double"), 4).as("credit"),
+          lit(0L).as("n_touches"))
+      val out = att.unionByName(un).localCheckpoint(true)
+      joined.unpersist(blocking = false)
+      out
+    }),
+
+    // calibration curve (reliability diagram) for the q24 language
+    // scorer: score_en deciles vs the observed fraction of truly-en
+    // docs — exact counts, single divisions, the same IEEE
+    // floor(score*10) bin on both sides
+    "q196_calibration_curve" -> ((s, d) => {
+      val sc = graft.text.TextOps.langId(Tables.documents(s, d))
+        .select(col("score_en"),
+          (col("lang") === "en").cast("long").as("__y"))
+      sc.withColumn("bin", least(floor(col("score_en") * 10), lit(9L)).cast("int"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum("__y").cast("double") / count(lit(1)).cast("double"), 6)
+            .as("observed_en_rate"),
+          round(avg("score_en"), 6).as("mean_score"))
+    }),
+
+    // rendezvous-hash shard layout: per-shard key counts at n=8 and
+    // the keys that MOVE when growing to n=9 — expected 1/9, vs
+    // mod-hash reshuffling 8/9 of the corpus; argmax of portable
+    // 60-bit md5 weights, map-only
+    "q197_rendezvous_shards" -> ((s, d) => {
+      import graft.operators.LayoutOps.rendezvousShard
+      s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"),
+          rendezvousShard(col("o_orderkey"), 8).as("shard"),
+          rendezvousShard(col("o_orderkey"), 9).as("__s9"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("__s9") =!= col("shard"), 1L).otherwise(0L))
+            .as("n_moved"))
+        .withColumn("moved_frac",
+          round(col("n_moved").cast("double") / col("n_keys").cast("double"), 6))
+    }),
+
     // deterministic synchronous label-propagation communities over
     // the co-purchase item graph (parts sharing >= 2 orders):
     // 3 fixed rounds, ties to the smallest label, all-simultaneous
@@ -1121,6 +1188,85 @@ object ExtendedQueries {
         |SELECT ci.g AS event_type, pt.n_rows, pt.mean,
         |  CAST(ci.n_reps AS BIGINT) AS n_reps, ci.ci_lo, ci.ci_hi
         |FROM ci JOIN pt USING (g)""".stripMargin,
+
+    // plain range join + the identical 1/k credit arithmetic and
+    // anti-join 'none' row
+    "q195_linear_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS pid, epoch_us(ts) AS pus
+        |  FROM events WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_type AS ttype
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |), j AS (
+        |  SELECT p.pid, t.ttype
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND t.tus >= p.pus - 604800000000 AND t.tus < p.pus
+        |), k AS (
+        |  SELECT pid, count(*) AS k FROM j GROUP BY 1
+        |), att AS (
+        |  SELECT j.ttype AS attributed_to,
+        |    round(sum(CAST(1 AS DOUBLE) / k.k), 4) AS credit,
+        |    count(*) AS n_touches
+        |  FROM j JOIN k USING (pid) GROUP BY 1
+        |), un AS (
+        |  SELECT 'none' AS attributed_to,
+        |    round(CAST(count(*) AS DOUBLE), 4) AS credit,
+        |    CAST(0 AS BIGINT) AS n_touches
+        |  FROM p WHERE pid NOT IN (SELECT pid FROM k)
+        |)
+        |SELECT * FROM att UNION ALL SELECT * FROM un""".stripMargin,
+
+    // the q24 score_en recomputation + the same floor(score*10) bin
+    "q196_calibration_curve" ->
+      """WITH t AS (
+        |  SELECT lang, text,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT lang,
+        |    round(CASE WHEN len(toks) > 0 AND length(trim(text)) > 0
+        |      THEN len(list_filter(toks, x -> list_contains(
+        |        ['the','and','of','to','a','in','is','it','that','for'], x)))::DOUBLE
+        |        / len(toks) ELSE 0 END, 6) AS score_en
+        |  FROM t
+        |)
+        |SELECT CAST(least(floor(score_en * 10), 9) AS INTEGER) AS bin,
+        |  count(*) AS n_docs,
+        |  round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE, 6) AS observed_en_rate,
+        |  round(avg(score_en), 6) AS mean_score
+        |FROM s GROUP BY 1""".stripMargin,
+
+    // same 60-bit md5 weights; argmax replayed as row_number over
+    // (hv DESC, s DESC) — the greatest-struct tie rule
+    "q197_rendezvous_shards" ->
+      """WITH k AS (SELECT o_orderkey AS key FROM orders),
+        |h8 AS (
+        |  SELECT key, u.s,
+        |    ('0x' || substr(md5(CAST(key AS VARCHAR) || '#' ||
+        |      CAST(u.s AS VARCHAR)), 1, 15))::UBIGINT AS hv
+        |  FROM k, unnest(range(0, 8)) u(s)
+        |), a8 AS (
+        |  SELECT key, s FROM (
+        |    SELECT key, s, row_number() OVER (PARTITION BY key
+        |      ORDER BY hv DESC, s DESC) AS rn FROM h8) WHERE rn = 1
+        |), h9 AS (
+        |  SELECT key, u.s,
+        |    ('0x' || substr(md5(CAST(key AS VARCHAR) || '#' ||
+        |      CAST(u.s AS VARCHAR)), 1, 15))::UBIGINT AS hv
+        |  FROM k, unnest(range(0, 9)) u(s)
+        |), a9 AS (
+        |  SELECT key, s FROM (
+        |    SELECT key, s, row_number() OVER (PARTITION BY key
+        |      ORDER BY hv DESC, s DESC) AS rn FROM h9) WHERE rn = 1
+        |)
+        |SELECT CAST(a8.s AS INTEGER) AS shard, count(*) AS n_keys,
+        |  CAST(sum(CASE WHEN a9.s <> a8.s THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_moved,
+        |  round(sum(CASE WHEN a9.s <> a8.s THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE, 6) AS moved_frac
+        |FROM a8 JOIN a9 USING (key) GROUP BY 1""".stripMargin,
 
     // DuckDB's native ASOF LEFT JOIN replays the planner operator;
     // the same min-id touch dedupe and 7-day CASE

@@ -115,14 +115,21 @@ object ScaleJoins {
     * serializes through one task unless the DATA concentrates in one
     * bucket (then: smaller buckets).
     *
-    * Column names must be disjoint across the two frames (checked).
+    * Column names must be disjoint across the two frames EXCEPT the
+    * optional equality `keys` (checked), which join alongside the
+    * bucket — the keyed form ("this user's events inside this user's
+    * window") shards the bucket equi-join by the key, so a hot time
+    * bucket spreads across keys instead of one task.
     */
   def pointInIntervalJoin(points: DataFrame, pointCol: String,
                           intervals: DataFrame, startCol: String,
-                          endCol: String, bucketWidth: Long): DataFrame = {
+                          endCol: String, bucketWidth: Long,
+                          keys: Seq[String] = Nil): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
-    require(overlap.isEmpty, s"column collision across sides: $overlap")
+    require(overlap == keys.toSet,
+      s"column collision across sides beyond the join keys: " +
+        s"${overlap.diff(keys.toSet)}")
     val iv = intervals
       .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
         col(endCol) > col(startCol))
@@ -131,7 +138,7 @@ object ScaleJoins {
         expr(s"(`$endCol` - 1) div ${bucketWidth}L"))))
     val pt = points.filter(col(pointCol).isNotNull)
       .withColumn("__b", expr(s"`$pointCol` div ${bucketWidth}L"))
-    pt.join(iv, Seq("__b"))
+    pt.join(iv, "__b" +: keys)
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__b")
   }

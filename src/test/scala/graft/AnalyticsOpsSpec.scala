@@ -558,6 +558,40 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out("b")._4 === None)
   }
 
+  test("q195 linear attribution conserves credit: the per-type credits " +
+    "plus the 'none' row sum EXACTLY to the purchase count") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q195_linear_attribution")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val purchases = Tables.events(spark, d)
+      .filter(col("event_type") === "purchase").count()
+    // each attributed purchase distributes exactly 1.0 across its
+    // touches; each unattributed purchase contributes 1.0 to 'none'
+    // each per-type credit is rounded to 4 decimals, so the sum can
+    // drift by up to #rows * 5e-5 from the exact purchase count
+    assert(math.abs(out.values.sum - purchases.toDouble) < 5e-4 * out.size,
+      s"credit ${out.values.sum} must equal $purchases purchases: $out")
+    assert(out.contains("none"))
+  }
+
+  test("rendezvousShard: growing n -> n+1 moves keys ONLY to the new " +
+    "shard, at ~1/(n+1) rate; assignment is deterministic") {
+    import graft.operators.LayoutOps.rendezvousShard
+    val keys = (1L to 8000L).toDF("k")
+      .select(col("k"), rendezvousShard(col("k"), 8).as("s8"),
+        rendezvousShard(col("k"), 9).as("s9"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val moved = keys.filter(t => t._2 != t._3)
+    assert(moved.forall(_._3 == 8),
+      "every moved key must land on the ADDED shard — the rendezvous monotonicity property")
+    val frac = moved.length.toDouble / keys.length
+    assert(frac > 0.08 && frac < 0.15, s"expected ~1/9 moved, got $frac")
+    // balance: each of the 8 shards gets roughly 1/8
+    val hist = keys.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(hist.size === 8)
+    assert(hist.values.forall(c => c > 800 && c < 1200), s"imbalanced: $hist")
+  }
+
   test("bootstrapCiMean: replicate means and CI bounds equal a full " +
     "JVM recomputation of the deterministic Poisson draw; CI brackets " +
     "the point mean; layout-invariant") {

@@ -197,6 +197,26 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("pointInIntervalJoin keyed variant: same-bucket rows with a " +
+    "different key never pair; ≡ the keyed naive range join") {
+    import graft.tables.ScaleJoins
+    val pts = Seq((1L, "u1", 5L), (2L, "u2", 5L), (3L, "u1", 15L))
+      .toDF("pid", "user", "p")
+    val ivs = Seq((10L, "u1", 0L, 10L), (11L, "u2", 0L, 10L),
+      (12L, "u1", 10L, 20L)).toDF("iid", "user", "s", "e")
+    val out = ScaleJoins.pointInIntervalJoin(pts, "p", ivs, "s", "e",
+      bucketWidth = 8L, keys = Seq("user"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    // u1's p=5 only hits u1's [0,10); u2's p=5 only u2's; p=15 hits
+    // u1's [10,20)
+    assert(out === Set((1L, 10L), (2L, 11L), (3L, 12L)))
+    // a non-key collision still rejects
+    intercept[IllegalArgumentException] {
+      ScaleJoins.pointInIntervalJoin(pts, "p",
+        ivs.withColumnRenamed("iid", "pid"), "s", "e", 8L, Seq("user"))
+    }
+  }
+
   test("q166 containment: posting-list equi-join, never a cartesian " +
     "all-pairs product") {
     val p = plan("q166_containment_pairs")
