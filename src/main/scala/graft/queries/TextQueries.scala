@@ -368,6 +368,25 @@ object TextQueries {
       graft.text.TextOps.rakeKeywords(
         Tables.documents(s, d), "doc_id", "text", topK = 25)),
 
+    // per-class evaluation of the q24 language scorer against gold
+    // labels: confusion-matrix marginals -> precision/recall/F1 per
+    // truth class — exact counts, single divisions, one fixed-order
+    // F1 expression; NULL where a denominator is zero
+    "q198_langid_confusion" -> ((s, d) =>
+      graft.text.Classify.confusionReport(
+        graft.text.TextOps.langId(Tables.documents(s, d))
+          .select(col("lang"), col("lang_pred")),
+        "lang", "lang_pred")),
+
+    // Cohen's kappa of the q24 scorer vs gold: chance agreement from
+    // EXACT integer marginal products (pe = sum n1*n2 / n^2 — a Long
+    // sum, no float accumulation), kappa one fixed-order expression
+    "q199_langid_kappa" -> ((s, d) =>
+      graft.text.Classify.cohenKappa(
+        graft.text.TextOps.langId(Tables.documents(s, d))
+          .select(col("lang"), col("lang_pred")),
+        "lang", "lang_pred")),
+
     // dataset-card report: the corpus-level numbers a data release
     // documents, one long-format row per metric — every value an
     // exact count or a single division of exact counts
@@ -504,6 +523,40 @@ object TextQueries {
         assigned, "vec_id", "cell", k = KmSampleK)
     })
   )
+
+  /** The q24 stopword-scoring prediction chain as a reusable CTE
+    * prefix ending in `pred(lang, lang_pred)` — shared by the
+    * evaluation oracles (q198 confusion, q199 kappa). Margins are
+    * stripped by the CONSUMING oracle string.
+    */
+  private val langPredCte: String = {
+    val langLists = graft.text.TextOps.LangStopwords.toSeq.sortBy(_._1)
+      .map { case (l, ws) =>
+        val lst = ws.map(w => s"'$w'").mkString(", ")
+        s"round(CASE WHEN len(toks) > 0 AND length(trim(text)) > 0 " +
+          s"THEN len(list_filter(toks, t -> list_contains([$lst], t)))::DOUBLE " +
+          s"/ len(toks) ELSE 0 END, 6) AS score_$l"
+      }.mkString(",\n  ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, text,
+       |    regexp_split_to_array(lower(trim(text)), '\\s+') toks
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, lang,
+       |  $langLists
+       |  FROM t
+       |), u AS (
+       |  SELECT doc_id, lang, score_de, score_en, score_es, score_fr, score_zh,
+       |    unnest(['de','en','es','fr','zh']) AS plang,
+       |    unnest([score_de, score_en, score_es, score_fr, score_zh]) AS sc
+       |  FROM s
+       |), pred AS (
+       |  SELECT lang, CASE WHEN sc = 0 THEN 'und' ELSE plang END AS lang_pred
+       |  FROM u
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY sc DESC, plang DESC) = 1
+       |)"""
+  }
 
   private val KmK = 8
   private val KmIters = 3
@@ -990,6 +1043,48 @@ object TextQueries {
         |  round(sum(p * ln(p / ((p + q) / 2)) / 2
         |          + q * ln(q / ((p + q) / 2)) / 2), 4) AS js_div
         |FROM pq GROUP BY v, na, nb""".stripMargin,
+
+    // the q24 prediction chain + confusion marginals and the same
+    // fixed-order precision/recall/F1 expressions
+    "q198_langid_confusion" -> (langPredCte + """,
+        |cm AS (SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2),
+        |rws AS (SELECT lang, sum(n) AS n_docs FROM cm GROUP BY 1),
+        |cls AS (SELECT lang_pred AS lang, sum(n) AS pred FROM cm GROUP BY 1),
+        |tp AS (SELECT lang, n AS tp FROM cm WHERE lang = lang_pred)
+        |SELECT r.lang, CAST(r.n_docs AS BIGINT) AS n_docs,
+        |  CAST(coalesce(tp.tp, 0) AS BIGINT) AS n_correct,
+        |  round(CASE WHEN c.pred > 0 THEN
+        |    coalesce(tp.tp, 0)::DOUBLE / c.pred::DOUBLE END, 6) AS precision,
+        |  round(coalesce(tp.tp, 0)::DOUBLE / r.n_docs::DOUBLE, 6) AS recall,
+        |  round(CASE WHEN c.pred > 0 AND
+        |      (coalesce(tp.tp, 0)::DOUBLE / c.pred::DOUBLE
+        |       + coalesce(tp.tp, 0)::DOUBLE / r.n_docs::DOUBLE) > 0 THEN
+        |    2.0 * (coalesce(tp.tp, 0)::DOUBLE / c.pred::DOUBLE)
+        |        * (coalesce(tp.tp, 0)::DOUBLE / r.n_docs::DOUBLE)
+        |      / (coalesce(tp.tp, 0)::DOUBLE / c.pred::DOUBLE
+        |         + coalesce(tp.tp, 0)::DOUBLE / r.n_docs::DOUBLE) END, 6) AS f1
+        |FROM rws r
+        |LEFT JOIN cls c ON c.lang = r.lang
+        |LEFT JOIN tp ON tp.lang = r.lang""").stripMargin,
+
+    // same chain; pe from the exact integer marginal-product sum
+    "q199_langid_kappa" -> (langPredCte + """,
+        |n AS (SELECT count(*) AS n_docs,
+        |  sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) AS n_agree
+        |  FROM pred),
+        |m1 AS (SELECT lang AS l, count(*) AS n1 FROM pred GROUP BY 1),
+        |m2 AS (SELECT lang_pred AS l, count(*) AS n2 FROM pred GROUP BY 1),
+        |pe AS (SELECT coalesce(sum(n1 * n2), 0) AS s FROM m1 JOIN m2 USING (l))
+        |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_agree AS BIGINT) AS n_agree,
+        |  round(n_agree::DOUBLE / n_docs::DOUBLE, 6) AS po,
+        |  round(s::DOUBLE / (n_docs::DOUBLE * n_docs::DOUBLE), 6) AS pe,
+        |  round(CASE WHEN s::DOUBLE / (n_docs::DOUBLE * n_docs::DOUBLE) < 1.0
+        |    THEN (n_agree::DOUBLE / n_docs::DOUBLE
+        |          - s::DOUBLE / (n_docs::DOUBLE * n_docs::DOUBLE))
+        |      / (1.0 - s::DOUBLE / (n_docs::DOUBLE * n_docs::DOUBLE)) END, 6)
+        |    AS kappa
+        |FROM n CROSS JOIN pe""").stripMargin,
 
     // same fragment/stopword segmentation, integer deg/freq, rounded
     // ratio sum, and (score desc, phrase) top-25 cut

@@ -465,4 +465,71 @@ object Classify {
     rawRows.unpersist()
     out
   }
+
+  /** Per-truth-class evaluation report from (truth, prediction) rows:
+    * confusion-matrix marginals → precision / recall / F1. Exact
+    * integer counts, single IEEE divisions, one fixed-order F1
+    * expression; precision and F1 are NULL for a class the model
+    * never predicts (no honest ratio exists), recall 0 when it never
+    * hits. Rows cover TRUTH classes; a predicted-only label (e.g.
+    * 'und') appears in no row but drains others' precision through
+    * the column marginal it does not contribute to — the standard
+    * convention. Scale shape: three class-sized aggregations of the
+    * (truth, pred) count matrix — #classes² rows at most.
+    */
+  def confusionReport(df: DataFrame, truthCol: String,
+                      predCol: String): DataFrame = {
+    val cm = df.groupBy(col(truthCol).as("__t"), col(predCol).as("__p"))
+      .agg(count(lit(1)).as("__n"))
+    cm.persist()
+    val rows = cm.groupBy(col("__t")).agg(sum("__n").as("n_docs"))
+    val cols = cm.groupBy(col("__p").as("__t")).agg(sum("__n").as("__pred"))
+    val tp = cm.filter(col("__t") === col("__p"))
+      .select(col("__t"), col("__n").as("__tp"))
+    val p = col("__tp").cast("double") / col("__pred").cast("double")
+    val r = col("__tp").cast("double") / col("n_docs").cast("double")
+    val out = rows
+      .join(cols, Seq("__t"), "left")
+      .join(tp, Seq("__t"), "left")
+      .withColumn("__tp", coalesce(col("__tp"), lit(0L)))
+      .select(col("__t").as(truthCol), col("n_docs"),
+        col("__tp").as("n_correct"),
+        round(when(col("__pred").isNotNull && col("__pred") > 0, p), 6)
+          .as("precision"),
+        round(r, 6).as("recall"),
+        round(when(col("__pred").isNotNull && col("__pred") > 0 &&
+          (p + r) > 0, lit(2.0) * p * r / (p + r)), 6).as("f1"))
+      .localCheckpoint(true)
+    cm.unpersist(blocking = false)
+    out
+  }
+
+  /** Cohen's kappa from (truth, prediction) rows — agreement
+    * corrected for chance, with pe built from the EXACT integer
+    * marginal-product sum Σ n₁ᵢ·n₂ᵢ (a Long sum — no float
+    * accumulation; exact while Σ < 2⁶³, i.e. n < ~3·10⁹ rows) and
+    * one closing fixed-order expression. kappa is NULL when chance
+    * agreement is total (pe = 1 — a single shared class).
+    */
+  def cohenKappa(df: DataFrame, truthCol: String,
+                 predCol: String): DataFrame = {
+    val sc = df.select(col(truthCol).as("__t"), col(predCol).as("__p"))
+    sc.persist()
+    val n = sc.agg(count(lit(1)).as("n_docs"),
+      sum(when(col("__t") === col("__p"), 1L).otherwise(0L)).as("n_agree"))
+    val m1 = sc.groupBy(col("__t").as("__l")).agg(count(lit(1)).as("__n1"))
+    val m2 = sc.groupBy(col("__p").as("__l")).agg(count(lit(1)).as("__n2"))
+    val pe = m1.join(m2, "__l")
+      .agg(coalesce(sum(col("__n1") * col("__n2")), lit(0L)).as("__s"))
+    val po = col("n_agree").cast("double") / col("n_docs").cast("double")
+    val peD = col("__s").cast("double") /
+      (col("n_docs").cast("double") * col("n_docs").cast("double"))
+    val out = n.crossJoin(pe)
+      .select(col("n_docs"), col("n_agree"),
+        round(po, 6).as("po"), round(peD, 6).as("pe"),
+        round(when(peD < 1.0, (po - peD) / (lit(1.0) - peD)), 6).as("kappa"))
+      .localCheckpoint(true)
+    sc.unpersist(blocking = false)
+    out
+  }
 }

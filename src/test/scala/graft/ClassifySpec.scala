@@ -263,4 +263,39 @@ class ClassifySpec extends SparkSpec {
     assert(out.keySet === Set(1L, 2L))
     assert(out(2L) === ((0L, 0.0)))
   }
+
+  test("confusionReport: hand-computed marginals — precision drains " +
+    "through a predicted-only label, never-predicted truth class gets " +
+    "NULL precision/F1 and zero recall") {
+    import spark.implicits._
+    // truth en: predicted en, en; truth de: predicted en (miss), de;
+    // truth fr: predicted und (never a truth label)
+    val rows = Seq(("en", "en"), ("en", "en"), ("de", "en"),
+      ("de", "de"), ("fr", "und")).toDF("lang", "lang_pred")
+    val out = Classify.confusionReport(rows, "lang", "lang_pred")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getAs[Any]("precision")),
+          r.getAs[Double]("recall"), Option(r.getAs[Any]("f1"))))).toMap
+    assert(out("en") === ((2L, 2L, Some(0.666667), 1.0, Some(0.8))))
+    assert(out("de") === ((2L, 1L, Some(1.0), 0.5, Some(0.666667))))
+    assert(out("fr") === ((1L, 0L, None, 0.0, None)))
+    assert(!out.contains("und"), "predicted-only labels are not rows")
+  }
+
+  test("cohenKappa: hand-computed po/pe/kappa; total chance agreement " +
+    "(one shared class) yields NULL kappa") {
+    import spark.implicits._
+    val rows = Seq(("en", "en"), ("en", "en"), ("de", "en"),
+      ("de", "de"), ("fr", "und")).toDF("lang", "lang_pred")
+    val r = Classify.cohenKappa(rows, "lang", "lang_pred").collect()(0)
+    assert(r.getAs[Long]("n_docs") === 5L)
+    assert(r.getAs[Long]("n_agree") === 3L)
+    assert(r.getAs[Double]("po") === 0.6)
+    // pe = (2*3 + 2*1 + 0) / 25 = 0.32; kappa = 0.28/0.68
+    assert(r.getAs[Double]("pe") === 0.32)
+    assert(r.getAs[Double]("kappa") === 0.411765)
+    val const = Seq(("a", "a"), ("a", "a")).toDF("t", "p")
+    val c = Classify.cohenKappa(const, "t", "p").collect()(0)
+    assert(Option(c.getAs[Any]("kappa")) === None)
+  }
 }
