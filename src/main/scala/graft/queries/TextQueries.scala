@@ -387,6 +387,46 @@ object TextQueries {
           .select(col("lang"), col("lang_pred")),
         "lang", "lang_pred")),
 
+    // information-gain feature ranking: which q22 quality signal
+    // carries the most bits about the language label — IG = H(Y) −
+    // Σ_b p(b)·H(Y|b) over decile bins; every probability is a
+    // single division of exact counts, entropies are short
+    // fixed-small sums of -p·ln(p) terms
+    "q200_feature_infogain" -> ((s, d) => {
+      val sig = graft.text.TextOps.qualitySignals(Tables.documents(s, d))
+        .select(col("lang"), col("alpha_ratio"), col("punct_ratio"),
+          col("stopword_ratio"))
+      val long = sig.select(col("lang"), expr(
+        "stack(3, 'alpha_ratio', alpha_ratio, 'punct_ratio', punct_ratio," +
+          " 'stopword_ratio', stopword_ratio) AS (signal, v)"))
+        .withColumn("bin", least(floor(col("v") * 10), lit(9L)).cast("int"))
+      long.persist()
+      val total = long.filter(col("signal") === "alpha_ratio").count()
+      // H(Y): from the label distribution (same for every signal)
+      val hy = long.filter(col("signal") === "alpha_ratio")
+        .groupBy("lang").agg(count(lit(1)).as("__n"))
+        .agg(sum(-(col("__n").cast("double") / total) *
+          log(col("__n").cast("double") / total)).as("__hy"))
+        .head().getDouble(0)
+      // H(Y|b) per (signal, bin), then the p(b)-weighted sum
+      val cell = long.groupBy("signal", "bin", "lang")
+        .agg(count(lit(1)).as("__n"))
+      val binTot = cell.groupBy("signal", "bin").agg(sum("__n").as("__bt"))
+      val hcond = cell.join(binTot, Seq("signal", "bin"))
+        .groupBy("signal", "bin")
+        .agg(first("__bt").as("__bt"),
+          sum(-(col("__n").cast("double") / col("__bt").cast("double")) *
+            log(col("__n").cast("double") / col("__bt").cast("double")))
+            .as("__hb"))
+      val out = hcond.groupBy("signal")
+        .agg(count(lit(1)).as("n_bins"),
+          round(lit(hy) - sum(col("__bt").cast("double") / total *
+            col("__hb")), 6).as("info_gain"))
+        .localCheckpoint(true)
+      long.unpersist(blocking = false)
+      out
+    }),
+
     // dataset-card report: the corpus-level numbers a data release
     // documents, one long-format row per metric — every value an
     // exact count or a single division of exact counts
@@ -1066,6 +1106,49 @@ object TextQueries {
         |FROM rws r
         |LEFT JOIN cls c ON c.lang = r.lang
         |LEFT JOIN tp ON tp.lang = r.lang""").stripMargin,
+
+    // the q22 signal formulas + identical bin/entropy/IG arithmetic
+    "q200_feature_infogain" ->
+      s"""WITH t AS (
+         |  SELECT lang, text, regexp_split_to_array(trim(text), '\\s+') toks,
+         |    length(text) nc
+         |  FROM documents
+         |), sigs AS (
+         |  SELECT lang,
+         |    round(CASE WHEN nc > 0
+         |      THEN (nc - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE / nc
+         |      ELSE 0 END, 4) AS alpha_ratio,
+         |    round(CASE WHEN nc > 0
+         |      THEN length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))::DOUBLE / nc
+         |      ELSE 0 END, 4) AS punct_ratio,
+         |    round(CASE WHEN len(toks) > 0 AND length(trim(text)) > 0
+         |      THEN len(list_filter(toks, x -> list_contains([$stopList], lower(x))))::DOUBLE / len(toks)
+         |      ELSE 0 END, 4) AS stopword_ratio
+         |  FROM t
+         |), lng AS (
+         |  SELECT signal, CAST(least(floor(v * 10), 9) AS INTEGER) AS bin, lang
+         |  FROM (
+         |    SELECT lang, 'alpha_ratio' AS signal, alpha_ratio AS v FROM sigs
+         |    UNION ALL SELECT lang, 'punct_ratio', punct_ratio FROM sigs
+         |    UNION ALL SELECT lang, 'stopword_ratio', stopword_ratio FROM sigs)
+         |), tot AS (SELECT count(*) AS n FROM sigs),
+         |hy AS (
+         |  SELECT sum(-(c::DOUBLE / n) * ln(c::DOUBLE / n)) AS hy
+         |  FROM (SELECT lang, count(*) AS c FROM sigs GROUP BY 1)
+         |  CROSS JOIN tot
+         |), cell AS (
+         |  SELECT signal, bin, lang, count(*) AS c FROM lng GROUP BY 1, 2, 3
+         |), btot AS (SELECT signal, bin, sum(c) AS bt FROM cell GROUP BY 1, 2),
+         |hb AS (
+         |  SELECT cell.signal, cell.bin, min(btot.bt) AS bt,
+         |    sum(-(cell.c::DOUBLE / btot.bt::DOUBLE)
+         |        * ln(cell.c::DOUBLE / btot.bt::DOUBLE)) AS hb
+         |  FROM cell JOIN btot USING (signal, bin) GROUP BY 1, 2
+         |)
+         |SELECT signal, count(*) AS n_bins,
+         |  round(min(hy.hy) - sum(hb.bt::DOUBLE / tot.n * hb.hb), 6) AS info_gain
+         |FROM hb CROSS JOIN hy CROSS JOIN tot
+         |GROUP BY 1""".stripMargin,
 
     // same chain; pe from the exact integer marginal-product sum
     "q199_langid_kappa" -> (langPredCte + """,
