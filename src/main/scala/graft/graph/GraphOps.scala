@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
 import org.apache.spark.storage.StorageLevel
 
 /** Non-iterative graph statistics over ordered edge lists (the
@@ -146,5 +147,65 @@ object GraphOps {
             col("__da").as("td")))
           .as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.td").as("td"))
+  }
+
+  /** Degree summary + degree assortativity (Newman 2002): the Pearson
+    * correlation of endpoint degrees over every directed edge (each
+    * undirected edge counted in both orientations — the standard
+    * convention, making the measure symmetric). Positive = hubs link
+    * to hubs; disassortative (negative) is the typical web/bipartite
+    * signature.
+    *
+    * Exactness: all five moments (Σx, Σy, Σxy, Σx², Σy²) accumulate
+    * in Decimal(38,0) over exact integer degrees; r closes with ONE
+    * fixed-order double expression, rounded 6. Envelope: m·d_max⁴ <
+    * 10³⁸ — holds to d_max ~ 10⁷ at a trillion edges.
+    *
+    * Scale shape: one degree count (map-side combined), two hash
+    * joins keyed on edge endpoints, one scalar aggregate; the degree
+    * percentile runs over the #nodes frame. No windows, no collects.
+    */
+  def degreeAssortativity(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val und = pairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val directed = und.select(col("a"), col("b"))
+      .unionAll(und.select(col("b").as("a"), col("a").as("b")))
+      .join(deg.select(col("v").as("a"), col("d").as("__x")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("__y")), "b")
+    val x = col("__x").cast(dec)
+    val y = col("__y").cast(dec)
+    val moments = directed.agg(
+      count(org.apache.spark.sql.functions.lit(1)).as("__m"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum(x * y).as("__sxy"), sum(x * x).as("__sxx"),
+      sum(y * y).as("__syy"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"),
+      max("d").as("max_degree"),
+      expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY CAST(d AS DOUBLE))")
+        .as("__p90"))
+    val num = (col("__m").cast(dec) * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val denX = (col("__m").cast(dec) * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val denY = (col("__m").cast(dec) * col("__syy") - col("__sy") * col("__sy"))
+      .cast("double")
+    moments.crossJoin(nodes)
+      .select(
+        (col("__m") / 2).cast(LongType).as("n_edges"),
+        col("n_nodes"), col("max_degree"),
+        round(col("__p90"), 4).as("p90_degree"),
+        round(col("__sx").cast("double") / col("__m").cast("double"), 6)
+          .as("mean_edge_degree"),
+        round(when(denX > 0 && denY > 0, num / sqrt(denX * denY)), 6)
+          .as("assortativity"))
   }
 }

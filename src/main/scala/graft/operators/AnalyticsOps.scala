@@ -916,4 +916,330 @@ object AnalyticsOps {
     daily.unpersist()
     out
   }
+
+  /** Mann–Whitney rank-sum test, one-vs-rest per group: does group g's
+    * value distribution differ from the pooled rest? The standard
+    * nonparametric two-sample test (Mann & Whitney 1947), with
+    * midranks for ties and the tie-corrected normal approximation
+    * with continuity correction.
+    *
+    * Exactness: ranks are NEVER computed by sorting raw rows — the
+    * corpus collapses to a (value, group) histogram, and each distinct
+    * value's midrank comes from the cumulative count of smaller
+    * values:  2·midrank(v) = 2·below(v) + t_v + 1  (kept DOUBLED so
+    * every rank quantity is an exact integer; .5 midranks never touch
+    * a float). Rank sums, U, and the tie term Σ(t³−t) accumulate in
+    * Decimal(38,0); the closing z and rank-biserial r are fixed-order
+    * double expressions of exact operands, rounded 4. Envelope:
+    * Σ n_gv·2·midrank ≤ 2N² — fine to N ~ 10¹⁸ rows.
+    *
+    * Scale shape: one map-side-combined (value, group) count, a
+    * two-level cumsum over the DISTINCT-VALUE frame (bucketed on the
+    * integer part, so a trillion-row corpus with a million distinct
+    * values shuffles a million-row histogram and no global window),
+    * and #groups-row closing arithmetic. Nothing corpus-sized is
+    * sorted or serialized.
+    */
+  def rankSumTest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    // 6-decimal quantized integer value — the portable exact surface
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        (col(valueCol).cast(DecimalType(18, 6)) * lit(1000000)).cast(LongType).as("__v"))
+    val hist = rows.groupBy("__v").agg(count(lit(1)).as("__t"))
+    val (bucketed, win) = TwoLevelCumsum.withOffsets(
+      hist, expr("__v div 1000000L"), col("__t"), Seq(col("__v").asc))
+    val ranked = bucketed
+      .withColumn("__cum", col("__off") + sum("__w").over(win))
+      // 2·midrank = 2·(cum − t) + t + 1
+      .select(col("__v"), col("__t"),
+        (lit(2) * (col("__cum") - col("__t")) + col("__t") + 1).as("__r2"))
+    val perGroupVal = rows.groupBy("__g", "__v").agg(count(lit(1)).as("__n"))
+    val stats = perGroupVal.join(ranked, "__v")
+      .groupBy("__g")
+      .agg(sum(col("__n")).as("n"),
+        sum(col("__n").cast(dec) * col("__r2").cast(dec)).as("__r2sum"))
+    val totals = hist.agg(
+      sum("__t").cast(dec).as("__N"),
+      sum(col("__t").cast(dec) * col("__t").cast(dec) * col("__t").cast(dec)
+        - col("__t").cast(dec)).as("__ties"))
+    val out = stats.crossJoin(broadcast(totals))
+      .withColumn("__m", col("__N") - col("n")) // rest size
+      // 2U = 2R − 2·n(n+1)/2 = __r2sum − n(n+1)
+      .withColumn("__u2", col("__r2sum") - col("n").cast(dec) * (col("n") + 1).cast(dec))
+      .withColumn("u", (col("__u2").cast("double") / 2.0))
+      .withColumn("__mu2", col("n").cast(dec) * col("__m")) // 2·mean(U)
+      .withColumn("__varU",
+        (col("n").cast(dec) * col("__m")).cast("double") *
+          ((col("__N") + 1).cast("double") -
+            col("__ties").cast("double") /
+              (col("__N") * (col("__N") - 1)).cast("double")) / 12.0)
+      .withColumn("__num", (col("__u2") - col("__mu2")).cast("double") / 2.0)
+      .withColumn("z", round(
+        when(col("__varU") > 0,
+          (col("__num") - signum(col("__num")) * 0.5) / sqrt(col("__varU"))), 4))
+      .withColumn("rank_biserial", round(
+        when(col("__mu2") > 0,
+          col("__u2").cast("double") / col("__mu2").cast("double") - 1.0), 4))
+      .select(col("__g").as(groupCol), col("n"), col("u"), col("z"),
+        col("rank_biserial"))
+    out
+  }
+
+  /** Kaplan–Meier survival curve per cohort over user lifetimes. A
+    * user's lifetime is the day span from their first to their last
+    * event; users whose last event falls within `censorDays` of the
+    * log's end are right-CENSORED (still alive when observation
+    * stopped), everyone else is an observed churn at their span. The
+    * cohort is the type of the user's FIRST event (deterministic
+    * min-struct tie-break on (ts, event_id)).
+    *
+    * S(t) = Π_{s ≤ t, d_s > 0} (1 − d_s/n_s), with n_s the at-risk
+    * count (users whose span ≥ s). Greenwood's SE is included. The
+    * products run as CUMULATIVE ORDERED log-sums over the per-cohort
+    * day frame — a sequential, fixed-order fold both engines evaluate
+    * identically (then rounded 6); counts d, c, n are exact integers
+    * throughout.
+    *
+    * Scale shape: raw events collapse to one row per user (min/max
+    * struct aggregation, map-side combined); the curve frame is
+    * (cohort × distinct span) ≤ #cohorts × #days — calendar-bounded,
+    * so the only windows run over ≤ #days rows per cohort.
+    */
+  def kaplanMeier(events: DataFrame, userCol: String = "user_id",
+                  typeCol: String = "event_type", tsCol: String = "ts",
+                  censorDays: Int = 7): DataFrame = {
+    val perUser = events
+      .select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+        col(typeCol).as("__ty"), col("event_id").as("__eid"))
+      .groupBy("__u")
+      .agg(min(struct(col("__ts"), col("__eid"), col("__ty"))).as("__first"),
+        max(to_date(col("__ts"))).as("__last"),
+        min(to_date(col("__ts"))).as("__start"))
+      .select(col("__u"), col("__first.__ty").as("cohort"),
+        col("__start"), col("__last"))
+    val logEnd = events.agg(max(to_date(col(tsCol))).as("__end"))
+    val spans = perUser.crossJoin(broadcast(logEnd))
+      .select(col("cohort"),
+        datediff(col("__last"), col("__start")).cast(LongType).as("__t"),
+        (datediff(col("__end"), col("__last")) < censorDays).as("__censored"))
+    val atDay = spans.groupBy("cohort", "__t")
+      .agg(sum(when(!col("__censored"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("__censored"), 1L).otherwise(0L)).as("__c"))
+    // at-risk n_t = Σ_{s >= t} (d_s + c_s): reverse cumulative over the
+    // calendar-bounded per-cohort day frame
+    val wDesc = Window.partitionBy("cohort").orderBy(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.partitionBy("cohort").orderBy(col("__t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    atDay
+      .withColumn("n_risk", sum(col("d") + col("__c")).over(wDesc))
+      .withColumn("__lns", sum(
+        when(col("d") > 0,
+          log((col("n_risk") - col("d")).cast("double") / col("n_risk").cast("double")))
+          .otherwise(lit(0.0))).over(wAsc))
+      .withColumn("__gw", sum(
+        when(col("d") > 0 && col("n_risk") > col("d"),
+          col("d").cast("double") /
+            (col("n_risk").cast("double") * (col("n_risk") - col("d")).cast("double")))
+          .otherwise(lit(0.0))).over(wAsc))
+      .select(col("cohort"), col("__t").as("t_days"), col("n_risk"), col("d"),
+        round(exp(col("__lns")), 6).as("survival"),
+        round(exp(col("__lns")) * sqrt(col("__gw")), 6).as("greenwood_se"))
+  }
+
+  /** Brown's double exponential smoothing (level + trend) on each
+    * group's daily event count, with the q170/q171 dyadic-decay trick
+    * applied TWICE: S′ is the W-term truncated EWMA with weight
+    * 2^{W−1−j}/2^W, and S″ = EWMA(S′) expands to a single closed-form
+    * kernel — Σ_{a+b=j} 2^{W−1−a}·2^{W−1−b} = (j+1)·2^{2W−2−j} for
+    * j < W — so BOTH smoothings are one exact integer convolution
+    * (Decimal(38,0) numerators over 2^W and 2^{2W}) and the level/
+    * trend/forecast close with fixed-order double arithmetic:
+    * level = 2S′ − S″, trend = S′ − S″ (α = 1/2 makes α/(1−α) = 1),
+    * forecast(h) = level + h·trend. No recursion, no float
+    * accumulation, bit-stable across engines and retries.
+    *
+    * Scale shape: identical to ewmaDaily — calendar-bounded daily
+    * frame, ≤ 2W-way map-side explode, hash equi-joins on
+    * (group, day). Envelope: count·(j+1)·2^{2W−2} ≤ 10³⁸ holds to
+    * W = 20 for daily counts below ~10¹².
+    */
+  def brownTrendDaily(events: DataFrame, groupCol: String = "event_type",
+                      tsCol: String = "ts", windowDays: Int = 12,
+                      horizonDays: Int = 7): DataFrame = {
+    require(windowDays >= 2 && windowDays <= 20, s"windowDays out of range: $windowDays")
+    val daily = events
+      .select(col(groupCol).as("__g"), to_date(col(tsCol)).as("day"))
+      .groupBy("__g", "day")
+      .agg(count(lit(1)).as("__n"))
+    daily.persist()
+    val groups = daily.select("__g").distinct()
+    val days = daily.select("day").distinct()
+    val dense = groups.crossJoin(days)
+      .join(daily, Seq("__g", "day"), "left")
+      .select(col("__g"), col("day"), coalesce(col("__n"), lit(0L)).as("__n"))
+    val dec = DecimalType(38, 0)
+    val w = windowDays
+    // single kernel: source day s contributes to target s+j
+    //   S'-numerator:  x_s · 2^{W−1−j}            (j < W)
+    //   S''-numerator: x_s · (j+1) · 2^{2W−2−j}   (j < 2W−1, truncated at W terms per leg)
+    // the S'' kernel for j ≥ W drops the out-of-window split pairs:
+    //   k2(j) = Σ_{a,b<W, a+b=j} 2^{2W−2−j} = (W − |j − (W−1)|) · 2^{2W−2−j}
+    val contrib = dense
+      .withColumn("__j", explode(array((0 until 2 * w - 1).map(lit): _*)))
+      .select(col("__g"), date_add(col("day"), col("__j")).as("day"),
+        when(col("__j") < w,
+          col("__n").cast(dec) *
+            expr(s"shiftleft(CAST(1 AS BIGINT), ${w - 1} - __j)").cast(dec))
+          .otherwise(lit(0).cast(dec)).as("__s1"),
+        (col("__n").cast(dec) *
+          (lit(w).cast(dec) - abs(col("__j") - lit(w - 1)).cast(dec)) *
+          expr(s"shiftleft(CAST(1 AS BIGINT), ${2 * w - 2} - __j)").cast(dec))
+          .as("__s2"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy("__g", "day")
+      .agg(sum("__s1").as("__n1"), sum("__s2").as("__n2"))
+    val out = contrib
+      .join(dense.select(col("__g"), col("day"), col("__n").as("n_events")),
+        Seq("__g", "day"))
+      .withColumn("__sp", col("__n1").cast("double") / lit((1L << w).toDouble))
+      .withColumn("__spp", col("__n2").cast("double") / lit((1L << w).toDouble * (1L << w).toDouble))
+      .select(col("__g").as(groupCol), col("day"), col("n_events"),
+        round(lit(2.0) * col("__sp") - col("__spp"), 6).as("level"),
+        round(col("__sp") - col("__spp"), 6).as("trend"),
+        round(lit(2.0) * col("__sp") - col("__spp") +
+          lit(horizonDays.toDouble) * (col("__sp") - col("__spp")), 6)
+          .as("forecast"))
+      .localCheckpoint(true)
+    daily.unpersist()
+    out
+  }
+
+  /** Calendar gap-fill with linear interpolation: each group's daily
+    * mean value on the dense day grid, with absent days filled by the
+    * straight line between the nearest observed neighbors (exact
+    * fraction (d−prev)/(next−prev) of exact per-day means; edge days
+    * before the first / after the last observation stay NULL and are
+    * flagged). The standard time-series regularization step before
+    * any fixed-step model.
+    *
+    * Exactness: per-day means are single divisions of Decimal(38,6)
+    * sums; interpolation is a fixed-order expression of those two
+    * doubles and two integer day distances, rounded 6.
+    *
+    * Scale shape: raw events collapse map-side to (group, day); the
+    * fill windows (last/first non-null) run over the calendar-bounded
+    * dense frame, ≤ #days rows per group.
+    */
+  def gapFillDaily(events: DataFrame, groupCol: String = "event_type",
+                   tsCol: String = "ts", valueCol: String = "value"): DataFrame = {
+    val dec6 = DecimalType(18, 6)
+    val daily = events
+      .select(col(groupCol).as("__g"), to_date(col(tsCol)).as("day"),
+        col(valueCol).cast(dec6).as("__v"))
+      .groupBy("__g", "day")
+      .agg(count(lit(1)).as("__n"), sum("__v").as("__sv"))
+      .withColumn("__mean",
+        col("__sv").cast("double") / col("__n").cast("double"))
+    daily.persist()
+    val groups = daily.select("__g").distinct()
+    val days = daily.select("day").distinct()
+    val dense = groups.crossJoin(days)
+      .join(daily, Seq("__g", "day"), "left")
+    val wBack = Window.partitionBy("__g").orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = Window.partitionBy("__g").orderBy(col("day").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = dense
+      .withColumn("__pd", last(when(col("__mean").isNotNull, col("day")), ignoreNulls = true).over(wBack))
+      .withColumn("__pv", last(col("__mean"), ignoreNulls = true).over(wBack))
+      .withColumn("__nd", last(when(col("__mean").isNotNull, col("day")), ignoreNulls = true).over(wFwd))
+      .withColumn("__nv", last(col("__mean"), ignoreNulls = true).over(wFwd))
+      .withColumn("filled", round(
+        when(col("__mean").isNotNull, col("__mean"))
+          .when(col("__pv").isNotNull && col("__nv").isNotNull,
+            col("__pv") +
+              (col("__nv") - col("__pv")) *
+                (datediff(col("day"), col("__pd")).cast("double") /
+                  datediff(col("__nd"), col("__pd")).cast("double"))), 6))
+      .select(col("__g").as(groupCol), col("day"),
+        coalesce(col("__n"), lit(0L)).as("n_events"), col("filled"),
+        (col("__mean").isNull && col("filled").isNotNull).as("interpolated"))
+      .localCheckpoint(true)
+    daily.unpersist()
+    out
+  }
+
+  /** Population stability index between a reference and a current
+    * window of the log — THE production drift metric for "has this
+    * feature's distribution moved". The calendar is split at
+    * `splitFrac` of its distinct-day span (reference = earlier days);
+    * value bins are the reference window's exact deciles
+    * (percentile_cont), and PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/
+    * p_ref) with Laplace-smoothed shares so empty bins stay finite.
+    *
+    * Exactness: bin edges are exact type-7 quantiles of the 6-decimal
+    * quantized values; bin counts are integers; each share is one
+    * division and the 11-term closing sum is rounded 6 (the q200
+    * short-fixed-sum envelope). Deterministic bin assignment: edges
+    * are broadcast literals-by-construction, membership is `<=` on
+    * exact decimals.
+    *
+    * Scale shape: two map-side-combined (group, bin) counts and a
+    * #groups×9-row quantile frame; no window touches raw rows.
+    */
+  def psiDrift(events: DataFrame, groupCol: String = "event_type",
+               tsCol: String = "ts", valueCol: String = "value",
+               splitFrac: Double = 0.5): DataFrame = {
+    val dec6 = DecimalType(18, 6)
+    val rows = events.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), to_date(col(tsCol)).as("__day"),
+        col(valueCol).cast(dec6).as("__v"))
+    rows.persist()
+    // split day: the day at splitFrac of the distinct-day span
+    val daySpan = rows.agg(min("__day").as("__d0"), max("__day").as("__d1"))
+      .select(expr(s"date_add(__d0, CAST(floor(datediff(__d1, __d0) * $splitFrac) AS INT))")
+        .as("__split"))
+    val tagged = rows.crossJoin(broadcast(daySpan))
+      .withColumn("__cur", col("__day") > col("__split"))
+    val edgeCols = (1 to 9).map(i =>
+      expr(s"percentile_cont(0.${i}) WITHIN GROUP (ORDER BY CAST(__v AS DOUBLE))")
+        .as(s"__e$i"))
+    val edges = tagged.filter(!col("__cur"))
+      .groupBy("__g")
+      .agg(edgeCols.head, edgeCols.tail: _*)
+    val binned = tagged.join(broadcast(edges), "__g")
+      .withColumn("__bin",
+        (1 to 9).foldRight(lit(9): Column) { case (i, rest) =>
+          when(col("__v").cast("double") <= col(s"__e$i"), lit(i - 1)).otherwise(rest)
+        })
+      .groupBy("__g", "__cur", "__bin")
+      .agg(count(lit(1)).as("__n"))
+    val totals = binned.groupBy("__g", "__cur").agg(sum("__n").as("__tot"))
+    // dense (group × window × bin) grid so empty bins get their
+    // Laplace share instead of silently vanishing from the sum
+    val grid = binned.select("__g").distinct()
+      .withColumn("__cur", explode(array(lit(false), lit(true))))
+      .withColumn("__bin", explode(array((0 to 9).map(lit): _*)))
+    val shares = grid
+      .join(broadcast(totals), Seq("__g", "__cur"))
+      .join(binned, Seq("__g", "__cur", "__bin"), "left")
+      .withColumn("__p",
+        (coalesce(col("__n"), lit(0L)) + 1).cast("double") /
+          (col("__tot") + 10).cast("double"))
+    val wide = shares
+      .groupBy("__g", "__bin")
+      .agg(max(when(!col("__cur"), col("__p"))).as("__pr"),
+        max(when(col("__cur"), col("__p"))).as("__pc"))
+      .filter(col("__pr").isNotNull && col("__pc").isNotNull)
+    val out = wide.groupBy("__g")
+      .agg(round(sum((col("__pc") - col("__pr")) * log(col("__pc") / col("__pr"))), 6)
+        .as("psi"),
+        count(lit(1)).as("n_bins"))
+      .select(col("__g").as(groupCol), col("n_bins"), col("psi"))
+      .localCheckpoint(true)
+    rows.unpersist()
+    out
+  }
 }

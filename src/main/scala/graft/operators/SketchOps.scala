@@ -297,4 +297,74 @@ object SketchOps {
       .select(col(groupCol), col("q"),
         hdrBucketLo(col("__b"), p).as("est_lo"))
   }
+
+  /** Per-group HyperLogLog distinct estimate (Flajolet 2007) with
+    * ENGINE-PORTABLE registers — the objection in this file's header
+    * applies to the built-in approx_count_distinct sketches, whose
+    * register layouts are implementation-defined; this operator
+    * derives its own 64 registers from md5, so the estimate is a pure
+    * deterministic function of the value SET, like KMV, while keeping
+    * HLL's O(m) state against KMV's O(k·hash) (64 bytes vs ~2 KB —
+    * the difference that matters when sketching millions of groups).
+    *
+    * Register construction: bucket = u32(hex 1-8) mod 64; rank ρ =
+    * position of the first 1-bit of u32(hex 9-16) in a 32-char
+    * zero-padded binary string (instr(lpad(bin(w), 32, '0'), '1'),
+    * 33 for w = 0) — string ops both engines define identically.
+    * Estimate: α·m²/Σ2^(−M_j) with the harmonic sum held EXACT as the
+    * integer Σ2^(33−M_j) (absent buckets contribute 2^33); the small-
+    * range linear-counting correction m·ln(m/V) applies below 2.5m
+    * when empty registers exist. One closing double expression,
+    * rounded 4.
+    *
+    * Scale shape: the (group, bucket) register max partial-aggregates
+    * map-side — at most 64 rows per group cross the exchange however
+    * many raw rows a group has; everything after is #groups-sized.
+    * `exact_distinct` rides along for error inspection (same opt-out
+    * contract as [[kmvDistinct]]).
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                  includeExact: Boolean = true): DataFrame = {
+    val m = 64
+    val hashed = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        md5(col(valueCol).cast(StringType)).as("__h"))
+    val rho = {
+      val i = instr(lpad(bin(conv(substring(col("__h"), 9, 8), 16, 10)
+        .cast(LongType)), 32, "0"), "1")
+      when(i === 0, lit(33)).otherwise(i)
+    }
+    val regs = hashed
+      .withColumn("__bkt",
+        (conv(substring(col("__h"), 1, 8), 16, 10).cast(LongType) % m))
+      .withColumn("__rho", rho)
+      .groupBy("__g", "__bkt")
+      .agg(max("__rho").as("__M"))
+    val est = regs.groupBy("__g")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 33 - __M)")).as("__sp"),
+        count(lit(1)).as("__nb"))
+      .withColumn("__S",
+        col("__sp") + (lit(m.toLong) - col("__nb")) * lit(1L << 33))
+      .withColumn("__V", lit(m.toLong) - col("__nb"))
+      .withColumn("__alpha",
+        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)))
+      .withColumn("__raw",
+        col("__alpha") * lit(m.toDouble) * lit(m.toDouble) *
+          lit((1L << 33).toDouble) / col("__S").cast(DoubleType))
+      .withColumn("est_distinct", round(
+        when(col("__raw") <= lit(2.5 * m) && col("__V") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("__V").cast(DoubleType)))
+          .otherwise(col("__raw")), 4))
+    if (includeExact) {
+      val exact = df
+        .groupBy(col(groupCol).as("__g"))
+        .agg(count_distinct(col(valueCol)).as("exact_distinct"))
+      est.join(exact, "__g")
+        .select(col("__g").as(groupCol), col("__nb").as("n_buckets_hit"),
+          col("est_distinct"), col("exact_distinct"))
+    } else
+      est.select(col("__g").as(groupCol), col("__nb").as("n_buckets_hit"),
+        col("est_distinct"))
+  }
 }

@@ -43,6 +43,41 @@ object ExtendedQueries {
       graft.operators.SketchOps.kmvDistinct(Tables.events(s, d),
         "event_type", "user_id", k = 64)),
 
+    // HLL distinct with engine-portable md5-derived registers — both
+    // estimator regimes exercised: event_id (raw harmonic-mean path)
+    // and user_id (small-range linear counting)
+    "q206_hll_distinct" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      graft.operators.SketchOps.hllDistinct(e, "event_type", "event_id")
+        .withColumn("value_col", lit("event_id"))
+        .unionByName(
+          graft.operators.SketchOps.hllDistinct(e, "event_type", "user_id")
+            .withColumn("value_col", lit("user_id")))
+    }),
+
+    // per-dimension affine SQ8 ANN: byte codes, integer code-space
+    // scan, fp32 rerank — training/encoding/ranking all replayed by
+    // the oracle
+    "q208_sq_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.similarity.Ann.sqTopK(
+        emb.filter(col("vec_id") % 97 === 0),
+        emb.filter(col("vec_id") % 97 =!= 0),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, oversample = 4)
+    }),
+
+    // degree summary + assortativity over the q143 order-part link
+    // graph: exact Decimal moments, one closing double expression
+    "q209_assortativity" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 7 === 0)
+        .select(
+          concat(lit("o"), col("l_orderkey").cast(StringType)).as("id_a"),
+          concat(lit("p"), col("l_partkey").cast(StringType)).as("id_b"))
+      graft.graph.GraphOps.degreeAssortativity(edges)
+    }),
+
     // day-of-week seasonality profile: each (type, weekday)'s share
     // of events vs the uniform 1/7 — the seasonal-index report behind
     // staffing/capacity reads of an event stream; exact integer
@@ -233,6 +268,37 @@ object ExtendedQueries {
     // explode the calendar-bounded daily frame only
     "q191_robust_trend" -> ((s, d) =>
       graft.operators.AnalyticsOps.robustTrend(Tables.events(s, d))),
+
+    // Mann-Whitney one-vs-rest rank-sum test: midranks come from the
+    // (value, group) histogram via the two-level cumsum — the corpus
+    // is never sorted; doubled-rank integer arithmetic, tie-corrected
+    // z with continuity correction, rank-biserial effect size
+    "q201_rank_sum_test" -> ((s, d) =>
+      graft.operators.AnalyticsOps.rankSumTest(Tables.events(s, d),
+        "event_type", "value")),
+
+    // Kaplan-Meier survival by first-event cohort: per-user span
+    // collapse (map-side min/max structs), right-censoring near the
+    // log end, reverse-cumulative at-risk counts and ordered log-sum
+    // survival products over the calendar-bounded curve frame
+    "q202_kaplan_meier" -> ((s, d) =>
+      graft.operators.AnalyticsOps.kaplanMeier(Tables.events(s, d))),
+
+    // Brown double exponential smoothing: level/trend/forecast from
+    // TWO dyadic-kernel convolutions (exact integer numerators over
+    // 2^W and 2^2W) — no recursion, no float accumulation
+    "q203_brown_trend" -> ((s, d) =>
+      graft.operators.AnalyticsOps.brownTrendDaily(Tables.events(s, d))),
+
+    // calendar gap-fill with linear interpolation between nearest
+    // observed per-day means; edges stay NULL and are flagged
+    "q204_gap_fill" -> ((s, d) =>
+      graft.operators.AnalyticsOps.gapFillDaily(Tables.events(s, d))),
+
+    // population stability index: reference-half deciles, Laplace-
+    // smoothed bin shares, 10-term closing sum — the drift metric
+    "q205_psi_drift" -> ((s, d) =>
+      graft.operators.AnalyticsOps.psiDrift(Tables.events(s, d))),
 
     // last-touch attribution through the custom as-of PLANNER
     // operator: each purchase pairs with the user's latest prior
@@ -1325,6 +1391,221 @@ object ExtendedQueries {
 
     // same dense grid, pairwise slopes/signs, percentile median, and
     // the tie-corrected variance — all integer until the closing z
+    // same histogram-midrank construction: doubled ranks stay integer,
+    // HUGEINT moments, identical closing double expression
+    "q201_rank_sum_test" ->
+      """WITH rows_ AS (
+        |  SELECT event_type AS g,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), hist AS (
+        |  SELECT v, count(*) AS t FROM rows_ GROUP BY 1
+        |), ranked AS (
+        |  SELECT v, t,
+        |    2 * (sum(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t) + t + 1 AS r2
+        |  FROM hist
+        |), pgv AS (
+        |  SELECT g, v, count(*) AS n FROM rows_ GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT g, CAST(sum(p.n) AS BIGINT) AS n,
+        |    sum(CAST(p.n AS HUGEINT) * CAST(r.r2 AS HUGEINT)) AS r2sum
+        |  FROM pgv p JOIN ranked r USING (v) GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(t) AS HUGEINT) AS nn,
+        |    sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+        |      - CAST(t AS HUGEINT)) AS ties
+        |  FROM hist
+        |)
+        |SELECT g AS event_type, n,
+        |  CAST(u2 AS DOUBLE) / 2.0 AS u,
+        |  round(CASE WHEN varu > 0
+        |    THEN (num - sign(num) * 0.5) / sqrt(varu) END, 4) AS z,
+        |  round(CASE WHEN mu2 > 0
+        |    THEN CAST(u2 AS DOUBLE) / CAST(mu2 AS DOUBLE) - 1.0 END, 4)
+        |    AS rank_biserial
+        |FROM stats, tot,
+        |  LATERAL (SELECT CAST(n AS HUGEINT) AS nh, nn - n AS m) a,
+        |  LATERAL (SELECT r2sum - nh * (nh + 1) AS u2, nh * m AS mu2) b,
+        |  LATERAL (SELECT CAST(nh * m AS DOUBLE) *
+        |      (CAST(nn + 1 AS DOUBLE) -
+        |       CAST(ties AS DOUBLE) / CAST(nn * (nn - 1) AS DOUBLE)) / 12.0 AS varu,
+        |    CAST(u2 - mu2 AS DOUBLE) / 2.0 AS num) c""".stripMargin,
+
+    // identical span/censor/at-risk construction; survival and
+    // Greenwood via the same ordered log-sum windows
+    "q202_kaplan_meier" ->
+      """WITH pu AS (
+        |  SELECT user_id AS u, min(ts::DATE) AS start, max(ts::DATE) AS last
+        |  FROM events GROUP BY 1
+        |), first_ev AS (
+        |  SELECT user_id AS u, event_type AS cohort FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM events) WHERE rn = 1
+        |), fin AS (SELECT max(ts::DATE) AS fin FROM events),
+        |spans AS (
+        |  SELECT f.cohort, CAST(p.last - p.start AS BIGINT) AS t,
+        |    (fin.fin - p.last) < 7 AS censored
+        |  FROM pu p JOIN first_ev f USING (u) CROSS JOIN fin
+        |), atday AS (
+        |  SELECT cohort, t,
+        |    sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS d,
+        |    sum(CASE WHEN censored THEN 1 ELSE 0 END) AS c
+        |  FROM spans GROUP BY 1, 2
+        |), risked AS (
+        |  SELECT cohort, t, CAST(d AS BIGINT) AS d,
+        |    CAST(sum(d + c) OVER (PARTITION BY cohort ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+        |  FROM atday
+        |), curves AS (
+        |  SELECT cohort, t, n_risk, d,
+        |    sum(CASE WHEN d > 0 THEN
+        |        ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      ELSE 0.0 END) OVER w AS lns,
+        |    sum(CASE WHEN d > 0 AND n_risk > d THEN CAST(d AS DOUBLE) /
+        |        (CAST(n_risk AS DOUBLE) * CAST(n_risk - d AS DOUBLE))
+        |      ELSE 0.0 END) OVER w AS gw
+        |  FROM risked
+        |  WINDOW w AS (PARTITION BY cohort ORDER BY t ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT cohort, t AS t_days, n_risk, d,
+        |  round(exp(lns), 6) AS survival,
+        |  round(exp(lns) * sqrt(gw), 6) AS greenwood_se
+        |FROM curves""".stripMargin,
+
+    // the same two dyadic convolutions: s1 kernel 2^(W-1-j), s2 kernel
+    // (W - |j-(W-1)|)*2^(2W-2-j), exact HUGEINT numerators
+    "q203_brown_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, ts::DATE AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), groups AS (SELECT DISTINCT g FROM daily),
+        |days AS (SELECT DISTINCT day FROM daily),
+        |dense AS (
+        |  SELECT gr.g, d.day, COALESCE(dl.n, 0) AS n
+        |  FROM groups gr CROSS JOIN days d
+        |  LEFT JOIN daily dl ON dl.g = gr.g AND dl.day = d.day
+        |), js AS (SELECT unnest(range(0, 23)) AS j),
+        |contrib AS (
+        |  SELECT dn.g, dn.day + CAST(j.j AS INTEGER) AS day,
+        |    CASE WHEN j.j < 12 THEN CAST(dn.n AS HUGEINT) *
+        |      CAST(1::BIGINT << CAST(11 - j.j AS INTEGER) AS HUGEINT)
+        |      ELSE 0::HUGEINT END AS s1,
+        |    CAST(dn.n AS HUGEINT) * CAST(12 - abs(j.j - 11) AS HUGEINT) *
+        |      CAST(1::BIGINT << CAST(22 - j.j AS INTEGER) AS HUGEINT) AS s2
+        |  FROM dense dn CROSS JOIN js j
+        |), agg AS (
+        |  SELECT c.g, c.day, sum(s1) AS n1, sum(s2) AS n2
+        |  FROM contrib c WHERE c.day IN (SELECT day FROM days)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a.g AS event_type, a.day, CAST(dn.n AS BIGINT) AS n_events,
+        |  round(2.0 * sp - spp, 6) AS level,
+        |  round(sp - spp, 6) AS trend,
+        |  round(2.0 * sp - spp + 7.0 * (sp - spp), 6) AS forecast
+        |FROM agg a JOIN dense dn ON dn.g = a.g AND dn.day = a.day,
+        |  LATERAL (SELECT CAST(n1 AS DOUBLE) / 4096.0 AS sp,
+        |    CAST(n2 AS DOUBLE) / 16777216.0 AS spp) l""".stripMargin,
+
+    // same neighbor windows (IGNORE NULLS running last) and the same
+    // fixed-order interpolation expression
+    "q204_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, ts::DATE AS day, count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) /
+        |      CAST(count(*) AS DOUBLE) AS mean
+        |  FROM events GROUP BY 1, 2
+        |), groups AS (SELECT DISTINCT g FROM daily),
+        |days AS (SELECT DISTINCT day FROM daily),
+        |dense AS (
+        |  SELECT gr.g, d.day, dl.n, dl.mean
+        |  FROM groups gr CROSS JOIN days d
+        |  LEFT JOIN daily dl ON dl.g = gr.g AND dl.day = d.day
+        |), nbr AS (
+        |  SELECT g, day, n, mean,
+        |    last_value(CASE WHEN mean IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wb AS pd,
+        |    last_value(mean IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN mean IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wf AS nd,
+        |    last_value(mean IGNORE NULLS) OVER wf AS nv
+        |  FROM dense
+        |  WINDOW wb AS (PARTITION BY g ORDER BY day ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY g ORDER BY day DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT g AS event_type, day, CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+        |  round(CASE WHEN mean IS NOT NULL THEN mean
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv + (nv - pv) *
+        |      (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)) END, 6)
+        |    AS filled,
+        |  (mean IS NULL AND pv IS NOT NULL AND nv IS NOT NULL) AS interpolated
+        |FROM nbr""".stripMargin,
+
+    // same reference-decile binning, Laplace smoothing, and dense
+    // (group x window x bin) grid before the closing sum
+    "q205_psi_drift" ->
+      """WITH rows_ AS (
+        |  SELECT event_type AS g, ts::DATE AS day,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), split_ AS (
+        |  SELECT min(day) + CAST(floor((max(day) - min(day)) * 0.5) AS INTEGER)
+        |    AS sp FROM rows_
+        |), tagged AS (
+        |  SELECT g, v, day > sp AS cur FROM rows_ CROSS JOIN split_
+        |), edges AS (
+        |  SELECT g,
+        |    percentile_cont(0.1) WITHIN GROUP (ORDER BY CAST(v AS DOUBLE)) AS e1,
+        |    percentile_cont(0.2) WITHIN GROUP (ORDER BY CAST(v AS DOUBLE)) AS e2,
+        |    percentile_cont(0.3) WITHIN GROUP (ORDER BY CAST(v AS DOUBLE)) AS e3,
+        |    percentile_cont(0.4) WITHIN GROUP (ORDER BY CAST(v AS DOUBLE)) AS e4,
+        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(v AS DOUBLE)) AS e5,
+        |    percentile_cont(0.6) WITHIN GROUP (ORDER BY CAST(v AS DOUBLE)) AS e6,
+        |    percentile_cont(0.7) WITHIN GROUP (ORDER BY CAST(v AS DOUBLE)) AS e7,
+        |    percentile_cont(0.8) WITHIN GROUP (ORDER BY CAST(v AS DOUBLE)) AS e8,
+        |    percentile_cont(0.9) WITHIN GROUP (ORDER BY CAST(v AS DOUBLE)) AS e9
+        |  FROM tagged WHERE NOT cur GROUP BY 1
+        |), binned AS (
+        |  SELECT t.g, t.cur,
+        |    CASE WHEN CAST(v AS DOUBLE) <= e1 THEN 0
+        |         WHEN CAST(v AS DOUBLE) <= e2 THEN 1
+        |         WHEN CAST(v AS DOUBLE) <= e3 THEN 2
+        |         WHEN CAST(v AS DOUBLE) <= e4 THEN 3
+        |         WHEN CAST(v AS DOUBLE) <= e5 THEN 4
+        |         WHEN CAST(v AS DOUBLE) <= e6 THEN 5
+        |         WHEN CAST(v AS DOUBLE) <= e7 THEN 6
+        |         WHEN CAST(v AS DOUBLE) <= e8 THEN 7
+        |         WHEN CAST(v AS DOUBLE) <= e9 THEN 8
+        |         ELSE 9 END AS bin,
+        |    count(*) AS n
+        |  FROM tagged t JOIN edges e USING (g) GROUP BY 1, 2, 3
+        |), totals AS (
+        |  SELECT g, cur, sum(n) AS tot FROM binned GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT g, cur, bin FROM (SELECT DISTINCT g FROM binned)
+        |  CROSS JOIN (SELECT unnest([false, true]) AS cur)
+        |  CROSS JOIN (SELECT unnest(range(0, 10)) AS bin)
+        |), shares AS (
+        |  SELECT gr.g, gr.cur, gr.bin,
+        |    CAST(COALESCE(b.n, 0) + 1 AS DOUBLE) / CAST(t.tot + 10 AS DOUBLE) AS p
+        |  FROM grid gr
+        |  JOIN totals t ON t.g = gr.g AND t.cur = gr.cur
+        |  LEFT JOIN binned b ON b.g = gr.g AND b.cur = gr.cur AND b.bin = gr.bin
+        |), wide AS (
+        |  SELECT g, bin,
+        |    max(CASE WHEN NOT cur THEN p END) AS pr,
+        |    max(CASE WHEN cur THEN p END) AS pc
+        |  FROM shares GROUP BY 1, 2
+        |)
+        |SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_bins,
+        |  round(sum((pc - pr) * ln(pc / pr)), 6) AS psi
+        |FROM wide WHERE pr IS NOT NULL AND pc IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
     "q191_robust_trend" ->
       """WITH daily AS (
         |  SELECT event_type AS g, ts::DATE AS day, count(*) AS n
@@ -1479,6 +1760,151 @@ object ExtendedQueries {
     // window-rank recomputation of the k smallest distinct hashes per
     // group (full-hash lexicographic order = the engine's UTF-8 byte
     // order on lowercase hex) and the same integer-division estimator
+    // same md5-derived registers (bucket = u32(hex1-8) mod 64, rho via
+    // the zero-padded binary string), exact integer harmonic sum, the
+    // identical closing estimator expression
+    "q206_hll_distinct" ->
+      """WITH vals AS (
+        |  SELECT 'event_id' AS value_col, event_type AS g,
+        |    CAST(event_id AS VARCHAR) AS v FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', event_type, CAST(user_id AS VARCHAR) FROM events
+        |), h AS (
+        |  SELECT value_col, g, md5(v) AS h FROM vals WHERE v IS NOT NULL
+        |), rho AS (
+        |  SELECT value_col, g,
+        |    CAST(('0x' || substr(h, 1, 8))::UBIGINT % 64 AS BIGINT) AS bkt,
+        |    CASE WHEN instr(lpad(bin(CAST(('0x' || substr(h, 9, 8))::UBIGINT
+        |        AS BIGINT)), 32, '0'), '1') = 0 THEN 33
+        |      ELSE instr(lpad(bin(CAST(('0x' || substr(h, 9, 8))::UBIGINT
+        |        AS BIGINT)), 32, '0'), '1') END AS rho
+        |  FROM h
+        |), regs AS (
+        |  SELECT value_col, g, bkt, max(rho) AS m
+        |  FROM rho GROUP BY 1, 2, 3
+        |), agg AS (
+        |  SELECT value_col, g,
+        |    sum(1::BIGINT << CAST(33 - m AS INTEGER)) AS sp,
+        |    count(*) AS nb
+        |  FROM regs GROUP BY 1, 2
+        |), est AS (
+        |  SELECT value_col, g, CAST(nb AS BIGINT) AS n_buckets_hit,
+        |    sp + (64 - nb) * (1::BIGINT << 33) AS s, 64 - nb AS v
+        |  FROM agg
+        |), ex AS (
+        |  SELECT 'event_id' AS value_col, event_type AS g,
+        |    CAST(count(DISTINCT event_id) AS BIGINT) AS exact_distinct
+        |  FROM events GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'user_id', event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) FROM events GROUP BY 2
+        |)
+        |SELECT e.g AS event_type, e.n_buckets_hit,
+        |  round(CASE WHEN raw <= 160.0 AND e.v > 0
+        |    THEN 64.0 * ln(64.0 / CAST(e.v AS DOUBLE)) ELSE raw END, 4)
+        |    AS est_distinct,
+        |  ex.exact_distinct, e.value_col
+        |FROM est e
+        |JOIN ex ON ex.value_col = e.value_col AND ex.g = e.g,
+        |  LATERAL (SELECT (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0
+        |    * 8589934592.0 / CAST(e.s AS DOUBLE) AS raw) r""".stripMargin,
+
+    // full SQ8 replay: per-dim min/max training, byte encoding with
+    // the identical clamp formula, integer code-space scan with
+    // (dist, id) candidate cut, fp32 cosine rerank
+    "q208_sq_ann" ->
+      """WITH corp AS MATERIALIZED (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE vec_id % 97 <> 0
+        |), qs AS MATERIALIZED (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE vec_id % 97 = 0
+        |), stats AS MATERIALIZED (
+        |  SELECT u.i AS d, min(c.v[u.i]) AS mn, max(c.v[u.i]) AS mx
+        |  FROM corp c, unnest(generate_series(1, 64)) u(i)
+        |  GROUP BY 1
+        |), statl AS MATERIALIZED (
+        |  SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+        |  FROM stats
+        |), enc_c AS MATERIALIZED (
+        |  SELECT c.vec_id, list_transform(generate_series(1, 64),
+        |    i -> CASE WHEN s.mxs[i] = s.mns[i] THEN 0
+        |      ELSE least(greatest(CAST(floor((c.v[i] - s.mns[i])
+        |        / (s.mxs[i] - s.mns[i]) * 255 + 0.5) AS BIGINT) - 128,
+        |        -128), 127) END) AS code
+        |  FROM corp c, statl s
+        |), enc_q AS MATERIALIZED (
+        |  SELECT q.vec_id, list_transform(generate_series(1, 64),
+        |    i -> CASE WHEN s.mxs[i] = s.mns[i] THEN 0
+        |      ELSE least(greatest(CAST(floor((q.v[i] - s.mns[i])
+        |        / (s.mxs[i] - s.mns[i]) * 255 + 0.5) AS BIGINT) - 128,
+        |        -128), 127) END) AS code
+        |  FROM qs q, statl s
+        |), scored AS (
+        |  SELECT eq.vec_id AS query_id, ec.vec_id AS neighbor_id,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> (eq.code[i] - ec.code[i]) * (eq.code[i] - ec.code[i])))
+        |      AS dist
+        |  FROM enc_q eq, enc_c ec WHERE eq.vec_id <> ec.vec_id
+        |), cand AS (
+        |  SELECT * FROM (
+        |    SELECT s.*, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dist, neighbor_id) AS rn FROM scored s)
+        |  WHERE rn <= 20
+        |), rer AS (
+        |  SELECT c.query_id, c.neighbor_id, c.dist,
+        |    round(list_cosine_similarity(q.v, co.v), 4) AS score
+        |  FROM cand c
+        |  JOIN qs q ON q.vec_id = c.query_id
+        |  JOIN corp co ON co.vec_id = c.neighbor_id
+        |)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+        |  score, CAST(dist AS BIGINT) AS sq_dist FROM (
+        |  SELECT r.*, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id) AS rank FROM rer r)
+        |WHERE rank <= 5""".stripMargin,
+
+    // same degree counts, HUGEINT moments, identical closing
+    // expression over the both-orientations edge frame
+    "q209_assortativity" ->
+      """WITH und AS (
+        |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM (
+        |    SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS a,
+        |           'p' || CAST(l_partkey AS VARCHAR) AS b
+        |    FROM lineitem WHERE l_orderkey % 7 = 0)
+        |  WHERE a <> b
+        |), deg AS (
+        |  SELECT v, count(*) AS d FROM (
+        |    SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY 1
+        |), dir AS (
+        |  SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+        |), mom AS (
+        |  SELECT count(*) AS m,
+        |    sum(CAST(da.d AS HUGEINT)) AS sx,
+        |    sum(CAST(db.d AS HUGEINT)) AS sy,
+        |    sum(CAST(da.d AS HUGEINT) * CAST(db.d AS HUGEINT)) AS sxy,
+        |    sum(CAST(da.d AS HUGEINT) * CAST(da.d AS HUGEINT)) AS sxx,
+        |    sum(CAST(db.d AS HUGEINT) * CAST(db.d AS HUGEINT)) AS syy
+        |  FROM dir JOIN deg da ON da.v = dir.a JOIN deg db ON db.v = dir.b
+        |), nd AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(max(d) AS BIGINT) AS max_degree,
+        |    percentile_cont(0.9) WITHIN GROUP (ORDER BY CAST(d AS DOUBLE))
+        |      AS p90
+        |  FROM deg
+        |)
+        |SELECT CAST(m // 2 AS BIGINT) AS n_edges, n_nodes, max_degree,
+        |  round(p90, 4) AS p90_degree,
+        |  round(CAST(sx AS DOUBLE) / CAST(m AS DOUBLE), 6)
+        |    AS mean_edge_degree,
+        |  round(CASE WHEN denx > 0 AND deny > 0
+        |    THEN num / sqrt(denx * deny) END, 6) AS assortativity
+        |FROM mom, nd,
+        |  LATERAL (SELECT CAST(m * sxy - sx * sy AS DOUBLE) AS num,
+        |    CAST(m * sxx - sx * sx AS DOUBLE) AS denx,
+        |    CAST(m * syy - sy * sy AS DOUBLE) AS deny) l""".stripMargin,
+
     "q111_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h

@@ -143,6 +143,17 @@ object TextQueries {
     "q129_ngram_novelty" -> ((s, d) =>
       TextOps.ngramNovelty(Tables.documents(s, d), "doc_id", "text")),
 
+    // Flesch / FK readability per (lang, source): RE2-safe counting
+    // conventions (whitespace words, [.!?]+ sentences, vowel-group
+    // syllables), integer sums, one closing double expression
+    "q207_readability" -> ((s, d) =>
+      TextOps.readabilityReport(Tables.documents(s, d))),
+
+    // C4-style page filters as a per-source audit: lorem-ipsum /
+    // brace / policy-boilerplate / under-3-sentences flags, keep rate
+    "q210_c4_rules" -> ((s, d) =>
+      TextOps.c4Rules(Tables.documents(s, d))),
+
     // Gopher-style composite quality-rule gate (Rae et al. 2021):
     // seven auditable rules, every ratio decided by integer
     // cross-multiplication so the boundary is engine-exact; annotates
@@ -1551,6 +1562,69 @@ object TextQueries {
     // re-counts the tokens/lines/symbols, the integer
     // cross-multiplication rules and the first-fail CASE chain are
     // restated verbatim
+    // same counting conventions: whitespace words, [.!?]+ runs,
+    // vowel-group runs; integer sums, identical closing expressions
+    "q207_readability" ->
+      """WITH base AS (
+        |  SELECT lang, source, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS w
+        |  FROM documents
+        |), perdoc AS (
+        |  SELECT lang, source, w,
+        |    CASE WHEN w > 0 THEN
+        |      greatest(coalesce(len(regexp_extract_all(text, '[.!?]+')), 0), 1)
+        |      ELSE 0 END AS s,
+        |    CASE WHEN w > 0 THEN
+        |      coalesce(len(regexp_extract_all(lower(text), '[aeiouy]+')), 0)
+        |      ELSE 0 END AS y
+        |  FROM base
+        |), agg AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(w) AS BIGINT) AS n_words,
+        |    CAST(sum(s) AS BIGINT) AS n_sentences,
+        |    CAST(sum(y) AS BIGINT) AS n_syllables
+        |  FROM perdoc GROUP BY 1, 2
+        |)
+        |SELECT lang, source, n_docs, n_words, n_sentences, n_syllables,
+        |  round(CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+        |    206.835 - 1.015 *
+        |      (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |    END, 4) AS flesch_ease,
+        |  round(CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+        |    0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |    - 15.59 END, 4) AS fk_grade
+        |FROM agg""".stripMargin,
+
+    // same substring predicates and the same De-Morgan-equivalent
+    // keep condition (3VL-safe either way)
+    "q210_c4_rules" ->
+      """WITH flags AS (
+        |  SELECT source,
+        |    position('lorem ipsum' IN lower(text)) > 0 AS lorem,
+        |    position('{' IN text) > 0 AS brace,
+        |    (position('cookie policy' IN lower(text)) > 0
+        |     OR position('privacy policy' IN lower(text)) > 0
+        |     OR position('terms of use' IN lower(text)) > 0
+        |     OR position('uses cookies' IN lower(text)) > 0) AS policy,
+        |    coalesce(len(regexp_extract_all(text, '[.!?]+')), 0) < 3 AS short
+        |  FROM documents
+        |), agg AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN lorem THEN 1 ELSE 0 END) AS BIGINT) AS n_lorem,
+        |    CAST(sum(CASE WHEN brace THEN 1 ELSE 0 END) AS BIGINT) AS n_brace,
+        |    CAST(sum(CASE WHEN policy THEN 1 ELSE 0 END) AS BIGINT) AS n_policy,
+        |    CAST(sum(CASE WHEN short THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |    CAST(sum(CASE WHEN (NOT lorem) AND (NOT brace) AND (NOT policy)
+        |      AND (NOT short) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |  FROM flags GROUP BY 1
+        |)
+        |SELECT source, n_docs, n_lorem, n_brace, n_policy, n_short, n_kept,
+        |  round(CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS keep_rate
+        |FROM agg""".stripMargin,
+
     "q109_gopher_rules" ->
       """WITH base AS (
         |  SELECT doc_id, text,

@@ -534,4 +534,85 @@ object Ann {
       if (assigned != null) assigned.unpersist(blocking = false)
     }
   }
+
+  /** Per-dimension affine scalar quantization (the FAISS SQ8 shape):
+    * the corpus trains a (min_d, max_d) pair per dimension, every
+    * vector compresses to one signed byte per dimension —
+    * q_d = floor((x_d − min_d)/(max_d − min_d)·255 + 0.5) − 128,
+    * clamped to [−128, 127] so out-of-train-range QUERY values cannot
+    * overflow the byte — and candidates rank by integer L2 in code
+    * space (symmetric distance computation), then the top k·oversample
+    * survivors rerank exactly on the fp32 vectors. Unlike
+    * [[quantizeInt8]]'s per-VECTOR symmetric scale (built for
+    * scale-invariant cosine scanning), the per-DIM affine grid
+    * preserves relative Euclidean geometry across dimensions with
+    * unequal ranges.
+    *
+    * Deterministic end to end: train stats are exact min/max; the
+    * quantize expression is a fixed-order double formula (identical
+    * in the oracle); code distances are exact integers (≤ dims·255²);
+    * ranks break ties on the neighbor id; rerank scores are the
+    * shared round(cosine, 4) convention. The oracle replays training,
+    * encoding, scanning, and reranking row-for-row.
+    *
+    * Scale shape: training is one dims-key map-side-combined
+    * aggregate; stats broadcast back as driver-held literals (dims
+    * doubles — KBs); the corpus pass scans 1-byte-per-dim codes (4×
+    * less bandwidth than fp32); the candidate shuffle is the bounded
+    * heap's ≤ k·oversample rows per query; the rerank join touches
+    * only surviving candidates.
+    */
+  def sqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String,
+      k: Int, oversample: Int = 4): DataFrame = {
+    require(oversample >= 1 && oversample <= 64, "1 <= oversample <= 64")
+    val stats = corpus
+      .select(posexplode(col(cVec)).as(Seq("__d", "__x")))
+      .groupBy("__d")
+      .agg(min(col("__x").cast(DoubleType)).as("__mn"),
+        max(col("__x").cast(DoubleType)).as("__mx"))
+      .collect().sortBy(_.getInt(0))
+    val mins = typedLit(stats.map(_.getDouble(1)).toSeq)
+    val maxs = typedLit(stats.map(_.getDouble(2)).toSeq)
+    def encode(vec: Column): Column =
+      graft.expressions.ExprOps.bind(transform(vec, x => x.cast(DoubleType))) { v =>
+        zip_with(zip_with(v, mins, (x, mn) => struct(x.as("x"), mn.as("mn"))),
+          maxs, (p, mx) =>
+            when(mx === p.getField("mn"), lit(0))
+              .otherwise(least(greatest(
+                (floor((p.getField("x") - p.getField("mn")) /
+                  (mx - p.getField("mn")) * 255d + 0.5d) - 128).cast(IntegerType),
+                lit(-128)), lit(127))).cast(ByteType))
+      }
+    val cCodes = corpus.select(col(cId).as("neighbor_id"),
+      encode(col(cVec)).as("__code"))
+    val qCodes = broadcast(queries.select(col(qId).as("query_id"),
+      encode(col(qVec)).as("__qcode"),
+      col(qVec).as("__qv")))
+    val codeDist = aggregate(
+      zip_with(col("__qcode"), col("__code"),
+        (a, b) => (a.cast(LongType) - b) * (a.cast(LongType) - b)),
+      lit(0L), (acc, x) => acc + x)
+    val cand = finishTopK(
+      qCodes.crossJoin(cCodes)
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("__dist", codeDist)
+        .withColumn("score", -col("__dist").cast(DoubleType)),
+      corpus.schema(cId).dataType, k * oversample)
+      .select(col("query_id"), col("neighbor_id"),
+        (-col("score")).cast(LongType).as("sq_dist"))
+    val reranked = cand
+      .join(qCodes.select("query_id", "__qv"), "query_id")
+      .join(corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv")),
+        "neighbor_id")
+      .withColumn("score", round(NearDup.cosine(col("__qv"), col("__cv")), 4))
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("sq_dist"))
+    finishTopK(reranked.select(col("query_id"), col("neighbor_id"),
+      col("score")), corpus.schema(cId).dataType, k)
+      .join(reranked.select(col("query_id"), col("neighbor_id"), col("sq_dist")),
+        Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("score"), col("sq_dist"))
+  }
 }

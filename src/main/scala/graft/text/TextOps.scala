@@ -827,4 +827,83 @@ object TextOps {
         round(sum(q * log(q / p)), 4).as("kl_ba"),
         round(sum(p * log(p / m) / 2.0 + q * log(q / m) / 2.0), 4).as("js_div"))
   }
+
+  /** Flesch reading-ease / Flesch–Kincaid grade per (lang, source) —
+    * the readability axis of corpus quality reporting (Flesch 1948;
+    * Kincaid 1975). Counting conventions, chosen to be expressible
+    * identically in any regex engine WITHOUT lookaround (RE2-safe):
+    * words = whitespace tokens; sentences = runs of [.!?] (floored at
+    * 1 for any non-empty doc — a fragment is one sentence);
+    * syllables = vowel-group runs [aeiouy]+ of the lowercased text
+    * (the standard heuristic, minus the per-word ≥1 clamp, which
+    * would need word-boundary lookarounds; all-consonant tokens are
+    * vanishingly rare in natural text and the bias is shared by both
+    * engines by construction).
+    *
+    * Exactness: the three counts are integers, group sums are
+    * integers, and both scores close with ONE fixed-order double
+    * expression of two exact ratios, rounded 4.
+    *
+    * Scale shape: map-only per-doc counting (codegen'd regex), one
+    * map-side-combined (lang, source) aggregate — nothing else.
+    */
+  def readabilityReport(docs: DataFrame, textCol: String = "text",
+                        groupCols: Seq[String] = Seq("lang", "source")): DataFrame = {
+    val c = col(textCol)
+    val perDoc = docs
+      .withColumn("__w", size(tokens(c)))
+      .withColumn("__s",
+        when(col("__w") > 0,
+          greatest(coalesce(regexp_count(c, lit("[.!?]+")), lit(0)), lit(1)))
+          .otherwise(lit(0)))
+      .withColumn("__y",
+        when(col("__w") > 0,
+          coalesce(regexp_count(lower(c), lit("[aeiouy]+")), lit(0)))
+          .otherwise(lit(0)))
+    val wps = col("__W").cast(DoubleType) / col("__S").cast(DoubleType)
+    val ypw = col("__Y").cast(DoubleType) / col("__W").cast(DoubleType)
+    perDoc.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__w").cast(LongType)).as("__W"),
+        sum(col("__s").cast(LongType)).as("__S"),
+        sum(col("__y").cast(LongType)).as("__Y"))
+      .select((groupCols.map(col) ++ Seq(
+        col("n_docs"), col("__W").as("n_words"), col("__S").as("n_sentences"),
+        col("__Y").as("n_syllables"),
+        round(when(col("__W") > 0 && col("__S") > 0,
+          lit(206.835) - lit(1.015) * wps - lit(84.6) * ypw), 4)
+          .as("flesch_ease"),
+        round(when(col("__W") > 0 && col("__S") > 0,
+          lit(0.39) * wps + lit(11.8) * ypw - lit(15.59)), 4)
+          .as("fk_grade"))): _*)
+  }
+
+  /** C4-style page filters (Raffel 2020 §2.2) as a per-source audit
+    * report: boilerplate-phrase hits ("lorem ipsum", cookie/privacy/
+    * terms boilerplate), code-leak braces, and the under-3-sentences
+    * rule, plus the resulting keep count and rate. Flags are plain
+    * substring/regex predicates on the lowercased text — map-only,
+    * codegen'd, identical in any engine — and the aggregate is one
+    * map-side-combined count per source.
+    */
+  def c4Rules(docs: DataFrame, textCol: String = "text",
+              groupCol: String = "source"): DataFrame = {
+    val lc = lower(col(textCol))
+    val lorem = instr(lc, "lorem ipsum") > 0
+    val brace = instr(col(textCol), "{") > 0
+    val policy = instr(lc, "cookie policy") > 0 ||
+      instr(lc, "privacy policy") > 0 || instr(lc, "terms of use") > 0 ||
+      instr(lc, "uses cookies") > 0
+    val short = coalesce(regexp_count(col(textCol), lit("[.!?]+")), lit(0)) < 3
+    def n(c: Column) = sum(when(c, 1L).otherwise(0L))
+    docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        n(lorem).as("n_lorem"),
+        n(brace).as("n_brace"),
+        n(policy).as("n_policy"),
+        n(short).as("n_short"),
+        n(!lorem && !brace && !policy && !short).as("n_kept"))
+      .withColumn("keep_rate", round(
+        col("n_kept").cast(DoubleType) / col("n_docs").cast(DoubleType), 6))
+  }
 }

@@ -645,4 +645,118 @@ class AnalyticsOpsSpec extends SparkSpec {
       "event_type", "event_id", "value", reps = 16, salt = "boot").collect()(0)
     assert(re.getAs[Double]("ci_lo") === lo && re.getAs[Double]("ci_hi") === hi)
   }
+
+  test("rankSumTest: hand-computed U with and without ties; midranks " +
+    "are exact halves; one-vs-rest sides sum to n*m") {
+    // A = {1,2,3}, B = {4,5,6}: complete separation
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 4.0), ("B", 5.0), ("B", 6.0)).toDF("g", "v")
+    val out = AnalyticsOps.rankSumTest(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("u"), r.getAs[Double]("rank_biserial"))).toMap
+    // R_A = 1+2+3 = 6, U_A = 6 - 3*4/2 = 0; U_B = 9
+    assert(out("A")._1 === 0.0 && out("B")._1 === 9.0)
+    assert(out("A")._2 === -1.0 && out("B")._2 === 1.0)
+
+    // ties: A = {1,1}, B = {1,2} -> midrank(1) = 2, rank(2) = 4
+    val t = Seq(("A", 1.0), ("A", 1.0), ("B", 1.0), ("B", 2.0))
+      .toDF("g", "v")
+    val tied = AnalyticsOps.rankSumTest(t, "g", "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("u")).toMap
+    // R_A = 4, U_A = 4 - 3 = 1; R_B = 6, U_B = 6 - 3 = 3
+    assert(tied("A") === 1.0 && tied("B") === 3.0)
+  }
+
+  test("kaplanMeier: censoring keeps at-risk counts but not deaths; " +
+    "survival is the running product of (1 - d/n)") {
+    val events = Seq(
+      // u1: one event Jan 1 -> span 0, churned
+      (1L, 10L, "view", ts("2024-01-01 08:00:00")),
+      // u2: Jan 1 .. Jan 5 -> span 4, churned
+      (2L, 11L, "view", ts("2024-01-01 09:00:00")),
+      (2L, 12L, "view", ts("2024-01-05 09:00:00")),
+      // u3: Jan 9 .. Jan 19 -> span 10, last event within 7 days of
+      // log end (Jan 20) -> censored
+      (3L, 13L, "view", ts("2024-01-09 09:00:00")),
+      (3L, 14L, "view", ts("2024-01-19 09:00:00")),
+      // u4 pins the log end
+      (4L, 15L, "view", ts("2024-01-20 09:00:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+    val out = AnalyticsOps.kaplanMeier(events)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getAs[Double]("survival"))).toMap
+    // u4 is span 0 censored; t=0: n=4, d=1 -> S = 3/4
+    assert(out(0L) === ((4L, 1L, 0.75)))
+    // t=4: n=2 (u4 left at 0), d=1 -> S = 3/4 * 1/2 = 0.375
+    assert(out(4L) === ((2L, 1L, 0.375)))
+    // t=10: censored only -> survival unchanged
+    assert(out(10L) === ((1L, 0L, 0.375)))
+  }
+
+  test("brownTrendDaily: equals the directly-computed truncated " +
+    "double convolution, and tracks a linear ramp's slope") {
+    val w = 4
+    val days = (0 until 10)
+    val counts = days.map(t => 3 + 2 * t) // linear ramp, slope 2
+    val events = days.flatMap(t => (0 until counts(t)).map(i =>
+      (t.toLong * 1000 + i, "a", ts(f"2024-01-${t + 1}%02d 08:00:00"))))
+      .toDF("event_id", "event_type", "ts")
+    val out = AnalyticsOps.brownTrendDaily(events, windowDays = w,
+      horizonDays = 1)
+      .collect().map(r => r.getDate(1).toString ->
+        (r.getAs[Double]("level"), r.getAs[Double]("trend"))).toMap
+    // brute-force truncated EWMAs with zero prior
+    def sPrime(t: Int): Double =
+      (0 until w).map(j => (if (t - j >= 0) counts(t - j) else 0).toDouble *
+        (1L << (w - 1 - j))).sum / (1L << w).toDouble
+    def sDouble(t: Int): Double =
+      (0 until w).map(j => (if (t - j >= 0) sPrime(t - j) else 0.0) *
+        (1L << (w - 1 - j))).sum / (1L << w).toDouble
+    for (t <- days) {
+      val (lvl, trd) = out(f"2024-01-${t + 1}%02d")
+      val el = 2 * sPrime(t) - sDouble(t)
+      val et = sPrime(t) - sDouble(t)
+      assert(math.abs(lvl - el) < 1e-6, s"level day $t")
+      assert(math.abs(trd - et) < 1e-6, s"trend day $t")
+    }
+    // deep in the ramp the trend estimate approaches the true slope
+    // (biased low by the truncated kernel's (2^W-1)/2^W total mass)
+    assert(math.abs(out("2024-01-10")._2 - 2.0) < 0.5)
+  }
+
+  test("gapFillDaily: interior gaps interpolate linearly, edges stay " +
+    "NULL and unflagged") {
+    val events = Seq(
+      ("A", 2.0, ts("2024-01-01 08:00:00")),
+      ("A", 5.0, ts("2024-01-04 08:00:00")),
+      ("B", 7.0, ts("2024-01-02 08:00:00")),
+      ("B", 9.0, ts("2024-01-03 08:00:00")))
+      .toDF("event_type", "value", "ts")
+    val out = AnalyticsOps.gapFillDaily(events)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString) ->
+        (Option(r.getAs[Double]("filled")), r.getBoolean(4))).toMap
+    assert(out(("A", "2024-01-02")) === ((Some(3.0), true)))
+    assert(out(("A", "2024-01-03")) === ((Some(4.0), true)))
+    assert(out(("A", "2024-01-01")) === ((Some(2.0), false)))
+    // B has no observation on Jan 1 / Jan 4 and no neighbor on one
+    // side -> NULL, not interpolated
+    assert(out(("B", "2024-01-01")) === ((None, false)))
+    assert(out(("B", "2024-01-04")) === ((None, false)))
+  }
+
+  test("psiDrift: identical halves give PSI exactly 0; a shifted " +
+    "current window gives PSI > 0") {
+    // 4 days, split lands after day 2: ref = {d1,d2}, cur = {d3,d4}
+    def mk(rows: Seq[(String, Double, String)]) =
+      rows.map { case (g, v, d) => (g, v, ts(s"$d 08:00:00")) }
+        .toDF("event_type", "value", "ts")
+    val same = mk((1 to 20).flatMap(i => Seq(
+      ("A", i.toDouble, "2024-01-01"), ("A", i.toDouble, "2024-01-03"))))
+    val psi0 = AnalyticsOps.psiDrift(same).collect()(0).getAs[Double]("psi")
+    assert(psi0 === 0.0)
+    val shifted = mk((1 to 20).flatMap(i => Seq(
+      ("A", i.toDouble, "2024-01-01"), ("A", i + 15.0, "2024-01-03"))))
+    val psi1 = AnalyticsOps.psiDrift(shifted).collect()(0).getAs[Double]("psi")
+    assert(psi1 > 0.5)
+  }
 }

@@ -156,4 +156,22 @@ class PageRankSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(eng === refLpa(re, 4))
   }
+
+  test("degreeAssortativity: a star is perfectly disassortative (-1), " +
+    "a regular cycle is degenerate (NULL), duplicates and self-loops " +
+    "are dropped") {
+    import spark.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 0L), (1L, 0L))
+      .toDF("id_a", "id_b")
+    val r = graft.graph.GraphOps.degreeAssortativity(star).collect()(0)
+    assert(r.getAs[Long]("n_edges") === 3L)
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Long]("max_degree") === 3L)
+    assert(r.getAs[Double]("mean_edge_degree") === 2.0)
+    assert(r.getAs[Double]("assortativity") === -1.0)
+    // 4-cycle: every endpoint degree 2 -> zero variance -> NULL
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("id_a", "id_b")
+    val rc = graft.graph.GraphOps.degreeAssortativity(cyc).collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("assortativity")))
+  }
 }

@@ -235,4 +235,30 @@ class SketchSpec extends SparkSpec {
       a.repartition(7), b.repartition(3), "v", k = 16).collect()(0)
     assert(r.toSeq === r2.toSeq)
   }
+
+  test("hllDistinct: linear counting is near-exact on tiny sets, the " +
+    "raw estimator tracks large sets, and the estimate is layout-" +
+    "invariant") {
+    import spark.implicits._
+    // 3 distinct values, heavy duplication -> linear-count regime
+    val small = Seq.fill(50)(Seq("x", "y", "z")).flatten
+      .map(("g", _)).toDF("g", "v")
+    val r = graft.operators.SketchOps.hllDistinct(small, "g", "v").collect()(0)
+    assert(r.getAs[Long]("exact_distinct") === 3L)
+    val est = r.getAs[Double]("est_distinct")
+    // m ln(m/V) with V >= 61 -> within a hash collision of 3
+    assert(est > 1.5 && est < 5.0, s"linear-count estimate $est")
+
+    // 2000 distinct -> raw harmonic regime; sigma ~ 1.04/sqrt(64) = 13%
+    val big = (1 to 2000).map(i => ("g", s"val$i")).toDF("g", "v")
+    val rb = graft.operators.SketchOps.hllDistinct(big, "g", "v").collect()(0)
+    assert(rb.getAs[Long]("n_buckets_hit") === 64L)
+    val estB = rb.getAs[Double]("est_distinct")
+    assert(estB > 1400 && estB < 2700, s"raw estimate $estB")
+
+    // pure function of the value set: duplication + layout can't move it
+    val rb2 = graft.operators.SketchOps.hllDistinct(
+      big.unionAll(big).repartition(7), "g", "v").collect()(0)
+    assert(rb2.getAs[Double]("est_distinct") === estB)
+  }
 }

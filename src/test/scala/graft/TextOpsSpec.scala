@@ -443,4 +443,48 @@ class TextOpsSpec extends SparkSpec {
     // short doc: exactly one fingerprint, its global min
     assert(out(4L).size === 1)
   }
+
+  test("readabilityReport: hand-computed Flesch scores; empty docs " +
+    "count as zero-word rows, not divisions") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "a", "The cat sat. It ran!"), // 5 words, 2 sentences, 5 vowel groups
+      ("en", "b", ""), // zero words -> contributes only to n_docs
+      ("en", "b", "No terminal punctuation here")) // sentence floor = 1
+      .toDF("lang", "source", "text")
+    val out = graft.text.TextOps.readabilityReport(docs)
+      .collect().map(r => r.getString(1) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_words") === 5L)
+    assert(a.getAs[Long]("n_sentences") === 2L)
+    assert(a.getAs[Long]("n_syllables") === 5L)
+    // 206.835 - 1.015*(5/2) - 84.6*(5/5)
+    assert(math.abs(a.getAs[Double]("flesch_ease") - 119.6975) < 1e-9)
+    // 0.39*2.5 + 11.8*1 - 15.59
+    assert(math.abs(a.getAs[Double]("fk_grade") - (-2.815)) < 1e-9)
+    val b = out("b")
+    assert(b.getAs[Long]("n_docs") === 2L)
+    assert(b.getAs[Long]("n_words") === 4L)
+    assert(b.getAs[Long]("n_sentences") === 1L) // floor kicks in
+  }
+
+  test("c4Rules: each flag fires on its own trigger and kept requires " +
+    "all clear") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s", "Lorem ipsum dolor sit amet. More. Text."),
+      ("s", "function f() { return 1; } One. Two. Three."),
+      ("s", "We use cookies. See our cookie policy. Thanks."),
+      ("s", "Too short."),
+      ("s", "A fine document. It has sentences. Three of them."))
+      .toDF("source", "text")
+    val r = graft.text.TextOps.c4Rules(docs).collect()(0)
+    assert(r.getAs[Long]("n_docs") === 5L)
+    assert(r.getAs[Long]("n_lorem") === 1L)
+    assert(r.getAs[Long]("n_brace") === 1L)
+    assert(r.getAs[Long]("n_policy") === 1L)
+    assert(r.getAs[Long]("n_short") === 1L)
+    assert(r.getAs[Long]("n_kept") === 1L)
+    assert(r.getAs[Double]("keep_rate") === 0.2)
+  }
 }
