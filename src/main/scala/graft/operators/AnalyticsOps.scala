@@ -1242,4 +1242,127 @@ object AnalyticsOps {
     rows.unpersist()
     out
   }
+
+  /** One-vs-rest ranking metrics per class: the exact AUC from the
+    * midrank identity AUC = U / (n·m) (the probability a random
+    * in-class score outranks a random rest score, ties at ½), and the
+    * exact Kolmogorov–Smirnov separation D = max_v |F⁺(v) − F⁻(v)|
+    * with its achieving threshold (ties broken toward the SMALLEST
+    * threshold). Scores quantize to 6-decimal integers (the q201
+    * portable surface); every statistic is integer/Decimal(38,0)
+    * until the closing divisions.
+    *
+    * Scale shape: the corpus collapses to the (value) histogram and
+    * the (class, value) counts — both one map-side-combined shuffle.
+    * Global positions come from the two-level cumsum; the KS sweep
+    * runs on the (class × distinct-value) frame, a bounded #classes
+    * fan-out of the histogram, with the per-class cumulative via the
+    * GROUPED two-level cumsum — no per-class single-task window over
+    * a corpus-sized value axis.
+    */
+  def rankingMetrics(df: DataFrame, groupCol: String,
+                     scoreCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rows = df.filter(col(scoreCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        (col(scoreCol).cast(DecimalType(18, 6)) * lit(1000000))
+          .cast(LongType).as("__v"))
+    val hist = rows.groupBy("__v").agg(count(lit(1)).as("__t"))
+    val (bucketed, win) = TwoLevelCumsum.withOffsets(
+      hist, expr("__v div 1000000L"), col("__t"), Seq(col("__v").asc))
+    val cums = bucketed
+      .withColumn("__cum", col("__off") + sum("__w").over(win))
+      .select(col("__v"), col("__t"), col("__cum"),
+        // 2·midrank of the value run — kept doubled so it stays integer
+        (lit(2) * (col("__cum") - col("__t")) + col("__t") + 1).as("__r2"))
+    val classes = rows.groupBy("__g").agg(count(lit(1)).as("__n"))
+    val pgv = rows.groupBy("__g", "__v").agg(count(lit(1)).as("__ng"))
+    val totals = hist.agg(sum("__t").cast(dec).as("__tn"))
+    // dense (class × value) frame: every CDF step visible to each class
+    val dense = cums.crossJoin(broadcast(classes))
+      .join(pgv, Seq("__g", "__v"), "left")
+      .withColumn("__ng", coalesce(col("__ng"), lit(0L)))
+    val (gb, gwin) = TwoLevelCumsum.withGroupedOffsets(
+      dense, Seq("__g"), expr("__v div 1000000L"), col("__ng"),
+      Seq(col("__v").asc))
+    val swept = gb
+      .withColumn("__cp", col("__off") + sum("__w").over(gwin))
+      .crossJoin(broadcast(totals))
+      .withColumn("__m", col("__tn") - col("__n"))
+      // |cumPos·m − cumNeg·n| — the KS numerator, exact
+      .withColumn("__num", abs(col("__cp").cast(dec) * col("__m") -
+        (col("__cum") - col("__cp")).cast(dec) * col("__n").cast(dec)))
+    val ks = swept.groupBy("__g")
+      .agg(max(struct(col("__num"), (-col("__v")).as("__negv"))).as("__kk"))
+      .select(col("__g"), col("__kk.__num").as("__ksnum"),
+        (-col("__kk.__negv")).as("__ksv"))
+    val r2sum = pgv.join(cums.select("__v", "__r2"), "__v")
+      .groupBy("__g")
+      .agg(sum(col("__ng").cast(dec) * col("__r2").cast(dec)).as("__r2sum"))
+    classes.join(r2sum, "__g").join(ks, "__g")
+      .crossJoin(broadcast(totals))
+      .withColumn("__m", col("__tn") - col("__n"))
+      .withColumn("__u2", col("__r2sum") -
+        col("__n").cast(dec) * (col("__n") + 1).cast(dec))
+      .withColumn("__nm", col("__n").cast(dec) * col("__m"))
+      .select(col("__g").as(groupCol),
+        col("__n").as("n_pos"),
+        col("__m").cast(LongType).as("n_neg"),
+        round(when(col("__nm") > 0,
+          col("__u2").cast("double") / (col("__nm").cast("double") * 2.0)), 6)
+          .as("auc"),
+        round(when(col("__nm") > 0,
+          col("__ksnum").cast("double") / col("__nm").cast("double")), 6)
+          .as("ks"),
+        round(col("__ksv").cast("double") / 1000000.0, 6).as("ks_threshold"))
+  }
+
+  /** Gains/lift table: rows rank by score DESCENDING into `nBins`
+    * rank bins and each bin reports its positive capture — cumulative
+    * gain (recall at depth), precision at depth, and lift over the
+    * base rate. A tied score run is atomic: the whole run lands in
+    * the bin of its LAST global position (bin = ⌈nBins·cum/N⌉, exact
+    * integer arithmetic), so bins are deterministic under ties in
+    * both engines — no row-arbitrary NTILE.
+    *
+    * Scale shape: the corpus collapses to the (score → n, n_pos)
+    * histogram; global descending positions via the two-level cumsum;
+    * the only ordered window after that runs over the ≤ nBins-row
+    * aggregated frame.
+    */
+  def gainsTable(df: DataFrame, scoreCol: String, positive: Column,
+                 nBins: Int = 10): DataFrame = {
+    val rows = df.filter(col(scoreCol).isNotNull)
+      .select((col(scoreCol).cast(DecimalType(18, 6)) * lit(1000000))
+        .cast(LongType).as("__v"),
+        positive.cast(LongType).as("__y"))
+    val hist = rows.groupBy("__v")
+      .agg(count(lit(1)).as("__t"), sum("__y").as("__p"))
+      .withColumn("__u", -col("__v"))
+    val (bucketed, win) = TwoLevelCumsum.withOffsets(
+      hist, expr("__u div 1000000L"), col("__t"), Seq(col("__u").asc))
+    val totals = hist.agg(sum("__t").as("__tn"), sum("__p").as("__tp"))
+    val binned = bucketed
+      .withColumn("__cum", col("__off") + sum("__w").over(win))
+      .crossJoin(broadcast(totals))
+      .withColumn("bin",
+        expr(s"(${nBins}L * __cum + __tn - 1L) div __tn").cast(IntegerType))
+      .groupBy("bin")
+      .agg(sum("__t").as("n"), sum("__p").as("n_pos"))
+    // ≤ nBins rows: the global ordered window is bounded by construction
+    val wb = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .withColumn("cum_n", sum("n").over(wb))
+      .withColumn("cum_pos", sum("n_pos").over(wb))
+      .crossJoin(broadcast(totals))
+      .select(col("bin"), col("n"), col("n_pos"), col("cum_n"), col("cum_pos"),
+        round(col("cum_pos").cast("double") / col("__tp").cast("double"), 6)
+          .as("gain"),
+        round(col("cum_pos").cast("double") / col("cum_n").cast("double"), 6)
+          .as("precision_at"),
+        round((col("cum_pos").cast("double") / col("cum_n").cast("double")) /
+          (col("__tp").cast("double") / col("__tn").cast("double")), 6)
+          .as("lift"))
+  }
 }

@@ -78,6 +78,20 @@ object ExtendedQueries {
       graft.graph.GraphOps.degreeAssortativity(edges)
     }),
 
+    // one-vs-rest exact AUC + Kolmogorov-Smirnov separation per event
+    // type, value as the score: midrank AUC and the integer-numerator
+    // KS sweep over the dense (class x value) frame
+    "q211_ranking_metrics" -> ((s, d) =>
+      graft.operators.AnalyticsOps.rankingMetrics(Tables.events(s, d),
+        "event_type", "value")),
+
+    // gains/lift deciles ranked by value descending, purchase as the
+    // positive class; tie runs land atomically in the bin of their
+    // last global position — deterministic under ties in both engines
+    "q212_gains_table" -> ((s, d) =>
+      graft.operators.AnalyticsOps.gainsTable(Tables.events(s, d),
+        "value", col("event_type") === "purchase", nBins = 10)),
+
     // day-of-week seasonality profile: each (type, weekday)'s share
     // of events vs the uniform 1/7 — the seasonal-index report behind
     // staffing/capacity reads of an event stream; exact integer
@@ -1904,6 +1918,94 @@ object ExtendedQueries {
         |  LATERAL (SELECT CAST(m * sxy - sx * sy AS DOUBLE) AS num,
         |    CAST(m * sxx - sx * sx AS DOUBLE) AS denx,
         |    CAST(m * syy - sy * sy AS DOUBLE) AS deny) l""".stripMargin,
+
+    // same quantized-value histogram as q201; the midrank AUC identity
+    // and the HUGEINT KS numerator sweep over the dense class x value
+    // frame, argmax tie broken toward the smallest threshold
+    "q211_ranking_metrics" ->
+      """WITH rows_ AS (
+        |  SELECT event_type AS g,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), hist AS (
+        |  SELECT v, count(*) AS t FROM rows_ GROUP BY 1
+        |), r2s AS (
+        |  SELECT v, t, cum, 2 * (cum - t) + t + 1 AS r2 FROM (
+        |    SELECT v, t, sum(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM hist)
+        |), classes AS (
+        |  SELECT g, count(*) AS n FROM rows_ GROUP BY 1
+        |), tot AS (SELECT CAST(sum(t) AS HUGEINT) AS nn FROM hist
+        |), pgv AS (
+        |  SELECT g, v, count(*) AS ng FROM rows_ GROUP BY 1, 2
+        |), dense AS (
+        |  SELECT c.g, c.n, s.v, s.cum, COALESCE(p.ng, 0) AS ng
+        |  FROM r2s s CROSS JOIN classes c
+        |  LEFT JOIN pgv p ON p.g = c.g AND p.v = s.v
+        |), swept AS (
+        |  SELECT g, n, v, cum,
+        |    sum(ng) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+        |  FROM dense
+        |), nums AS (
+        |  SELECT g, v, abs(CAST(cp AS HUGEINT) * (nn - n)
+        |    - CAST(cum - cp AS HUGEINT) * CAST(n AS HUGEINT)) AS num
+        |  FROM swept, tot
+        |), ks AS (
+        |  SELECT g, ks_num, min(v) AS ksv
+        |  FROM nums JOIN (SELECT g, max(num) AS ks_num FROM nums GROUP BY 1)
+        |    USING (g)
+        |  WHERE num = ks_num GROUP BY 1, 2
+        |), r2sum AS (
+        |  SELECT g, sum(CAST(ng AS HUGEINT) * CAST(r2 AS HUGEINT)) AS rs
+        |  FROM pgv p JOIN r2s r USING (v) GROUP BY 1
+        |)
+        |SELECT g AS event_type, n AS n_pos, CAST(nn - n AS BIGINT) AS n_neg,
+        |  round(CASE WHEN nm > 0
+        |    THEN CAST(u2 AS DOUBLE) / (CAST(nm AS DOUBLE) * 2.0) END, 6) AS auc,
+        |  round(CASE WHEN nm > 0
+        |    THEN CAST(ks_num AS DOUBLE) / CAST(nm AS DOUBLE) END, 6) AS ks,
+        |  round(CAST(ksv AS DOUBLE) / 1000000.0, 6) AS ks_threshold
+        |FROM classes JOIN r2sum USING (g) JOIN ks USING (g), tot,
+        |  LATERAL (SELECT CAST(n AS HUGEINT) AS nh, nn - n AS m) a,
+        |  LATERAL (SELECT rs - nh * (nh + 1) AS u2, nh * m AS nm) b""".stripMargin,
+
+    // descending-rank bins over the score histogram: a tied run is
+    // atomic in the bin of its LAST position (ceil(10*cum/N), exact
+    // integers), cumulative capture over the 10-row bin frame
+    "q212_gains_table" ->
+      """WITH rows_ AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events WHERE value IS NOT NULL
+        |), hist AS (
+        |  SELECT v, count(*) AS t, sum(y) AS p FROM rows_ GROUP BY 1
+        |), tot AS (SELECT sum(t) AS nn, sum(p) AS pp FROM hist
+        |), cums AS (
+        |  SELECT v, t, p, sum(t) OVER (ORDER BY v DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist
+        |), binned AS (
+        |  SELECT CAST((10 * cum + nn - 1) // nn AS INTEGER) AS bin,
+        |    sum(t) AS n, sum(p) AS n_pos
+        |  FROM cums, tot GROUP BY 1
+        |), cb AS (
+        |  SELECT bin, n, n_pos,
+        |    sum(n) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |    sum(n_pos) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+        |  FROM binned
+        |)
+        |SELECT bin, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST(cum_n AS BIGINT) AS cum_n, CAST(cum_pos AS BIGINT) AS cum_pos,
+        |  round(CAST(cum_pos AS DOUBLE) / CAST(pp AS DOUBLE), 6) AS gain,
+        |  round(CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE), 6)
+        |    AS precision_at,
+        |  round((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)) /
+        |    (CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)), 6) AS lift
+        |FROM cb, tot""".stripMargin,
 
     "q111_kmv_distinct" ->
       """WITH h AS (

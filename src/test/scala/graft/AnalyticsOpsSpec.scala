@@ -759,4 +759,49 @@ class AnalyticsOpsSpec extends SparkSpec {
     val psi1 = AnalyticsOps.psiDrift(shifted).collect()(0).getAs[Double]("psi")
     assert(psi1 > 0.5)
   }
+
+  test("rankingMetrics: perfect separation gives AUC=1/KS=1; ties count " +
+    "half in AUC and the KS argmax reports the smallest threshold") {
+    val sep = Seq(("A", 3.0), ("A", 4.0), ("B", 1.0), ("B", 2.0))
+      .toDF("event_type", "value")
+    val outSep = AnalyticsOps.rankingMetrics(sep, "event_type", "value")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("auc"), r.getAs[Double]("ks"),
+          r.getAs[Double]("ks_threshold"))).toMap
+    assert(outSep("A") === ((1.0, 1.0, 2.0))) // D peaks once B is exhausted
+    assert(outSep("B") === ((0.0, 1.0, 2.0)))
+    // A={1,2}, B={1,3}: U_A = 0.5 (tie) + 1 = 1.5 -> AUC 0.375;
+    // F_A(2)=1 vs F_B(2)=0.5 -> KS 0.5 at threshold 2
+    val tied = Seq(("A", 1.0), ("A", 2.0), ("B", 1.0), ("B", 3.0))
+      .toDF("event_type", "value")
+    val outT = AnalyticsOps.rankingMetrics(tied, "event_type", "value")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("auc"), r.getAs[Double]("ks"),
+          r.getAs[Double]("ks_threshold"))).toMap
+    assert(outT("A") === ((0.375, 0.5, 2.0)))
+    assert(outT("B") === ((0.625, 0.5, 2.0)))
+  }
+
+  test("gainsTable: one-row bins give lift=N/P at a pure top bin; a " +
+    "tied run lands atomically in the bin of its last position") {
+    val distinct10 = (1 to 10).map(i =>
+      (i.toDouble, i >= 9)).toDF("value", "pos")
+    val out = AnalyticsOps.gainsTable(distinct10, "value", col("pos"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getAs[Double]("gain"), r.getAs[Double]("lift"))).toMap
+    assert(out(1) === ((1L, 1L, 1L, 1L, 0.5, 5.0))) // score 10 first
+    assert(out(2) === ((1L, 1L, 2L, 2L, 1.0, 5.0)))
+    assert(out(10) === ((1L, 0L, 10L, 2L, 1.0, 1.0)))
+    // scores {9, 5,5,5}: the 5-run's last position is 4 -> whole run
+    // in bin 2 of 2; bin 1 holds only the 9
+    val tied = Seq((9.0, true), (5.0, false), (5.0, true), (5.0, false))
+      .toDF("value", "pos")
+    val outT = AnalyticsOps.gainsTable(tied, "value", col("pos"), nBins = 2)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4),
+          r.getAs[Double]("gain"), r.getAs[Double]("lift"))).toMap
+    assert(outT(1) === ((1L, 1L, 1L, 0.5, 2.0)))
+    assert(outT(2) === ((3L, 1L, 2L, 1.0, 1.0)))
+  }
 }
