@@ -1317,6 +1317,96 @@ object AnalyticsOps {
         round(col("__ksv").cast("double") / 1000000.0, 6).as("ks_threshold"))
   }
 
+  /** Welch's unequal-variance t-test, each class against the rest of
+    * the corpus. Values quantize to 6-decimal integers; per-class
+    * count / sum / sum-of-squares are exact Decimal(38,0) moments and
+    * the REST moments are total-minus-class (one corpus pass, no
+    * second scan), so the whole statistic reduces to one closing
+    * double expression per class — mean difference over the pooled
+    * standard error, with the Welch–Satterthwaite degrees of freedom.
+    *
+    * Scale shape: a single map-side-combined groupBy(class) plus a
+    * broadcast 1-row totals frame; output is #classes rows.
+    */
+  def welchTTest(df: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        (col(valueCol).cast(DecimalType(18, 6)) * lit(1000000))
+          .cast(LongType).as("__v"))
+    val per = rows.groupBy("__g").agg(
+      count(lit(1)).as("__n"),
+      sum(col("__v").cast(dec)).as("__s"),
+      sum(col("__v").cast(dec) * col("__v").cast(dec)).as("__q"))
+    val tot = per.agg(sum("__n").as("__cnt"),
+      sum("__s").as("__ts"), sum("__q").as("__tq"))
+    // raw-unit doubles: the oracle mirrors this exact expression tree
+    def meanOf(s: Column, n: Column): Column =
+      s.cast("double") / n.cast("double") / 1e6
+    def varOf(q: Column, s: Column, n: Column): Column =
+      (q.cast("double") - s.cast("double") * s.cast("double") /
+        n.cast("double")) / (n.cast("double") - 1.0) / 1e12
+    per.crossJoin(broadcast(tot))
+      .withColumn("__m", col("__cnt") - col("__n"))
+      .withColumn("__mean1", meanOf(col("__s"), col("__n")))
+      .withColumn("__mean2", meanOf(col("__ts") - col("__s"), col("__m")))
+      .withColumn("__se1",
+        varOf(col("__q"), col("__s"), col("__n")) / col("__n").cast("double"))
+      .withColumn("__se2",
+        varOf(col("__tq") - col("__q"), col("__ts") - col("__s"), col("__m")) /
+          col("__m").cast("double"))
+      .withColumn("__se", col("__se1") + col("__se2"))
+      .select(col("__g").as(groupCol),
+        col("__n").as("n"),
+        round(col("__mean1"), 6).as("mean"),
+        round(when(col("__n") > 1 && col("__m") > 1 && col("__se") > 0,
+          (col("__mean1") - col("__mean2")) / sqrt(col("__se"))), 4).as("t"),
+        round(when(col("__n") > 1 && col("__m") > 1 && col("__se") > 0,
+          col("__se") * col("__se") /
+            (col("__se1") * col("__se1") / (col("__n").cast("double") - 1.0) +
+              col("__se2") * col("__se2") / (col("__m").cast("double") - 1.0))),
+          4).as("df"))
+  }
+
+  /** Removal-effect channel attribution: a converting user DEPENDS on
+    * a channel if it appears among their touches strictly before
+    * their first conversion; removing the channel would (path-wise)
+    * lose exactly those conversions. Each channel reports its
+    * dependent-conversion count, the removal effect (share of all
+    * conversions lost), and the removal-normalized attribution share.
+    * All counting is exact integers; two closing divisions.
+    *
+    * Scale shape: first-conversion instants are one map-side min per
+    * user; the touch scan joins on the user key only (shuffle on
+    * user); channel rollups are #channels rows.
+    */
+  def removalEffectAttribution(events: DataFrame,
+                               userCol: String = "user_id",
+                               typeCol: String = "event_type",
+                               tsCol: String = "ts",
+                               convType: String = "purchase"): DataFrame = {
+    val conv = events.filter(col(typeCol) === convType)
+      .groupBy(col(userCol).as("__u"))
+      .agg(min(col(tsCol)).as("__cts"))
+    val nConv = conv.agg(count(lit(1)).as("__nc"))
+    val depend = events.filter(col(typeCol) =!= convType)
+      .select(col(userCol).as("__u"), col(typeCol).as("channel"),
+        col(tsCol).as("__ts"))
+      .join(conv, "__u")
+      .filter(col("__ts") < col("__cts"))
+      .select("__u", "channel").distinct()
+    val perChannel = depend.groupBy("channel")
+      .agg(count(lit(1)).as("n_dependent"))
+    val denom = perChannel.agg(sum("n_dependent").as("__tot"))
+    perChannel.crossJoin(broadcast(nConv)).crossJoin(broadcast(denom))
+      .select(col("channel"), col("n_dependent"),
+        round(col("n_dependent").cast("double") / col("__nc").cast("double"),
+          6).as("removal_effect"),
+        round(col("n_dependent").cast("double") / col("__tot").cast("double"),
+          6).as("attribution_share"))
+  }
+
   /** Gains/lift table: rows rank by score DESCENDING into `nBins`
     * rank bins and each bin reports its positive capture — cumulative
     * gain (recall at depth), precision at depth, and lift over the

@@ -92,6 +92,18 @@ object ExtendedQueries {
       graft.operators.AnalyticsOps.gainsTable(Tables.events(s, d),
         "value", col("event_type") === "purchase", nBins = 10)),
 
+    // Welch's unequal-variance t, each type vs rest: exact Decimal
+    // moments, rest = total - class, one closing double expression
+    "q213_welch_ttest" -> ((s, d) =>
+      graft.operators.AnalyticsOps.welchTTest(Tables.events(s, d),
+        "event_type", "value")),
+
+    // removal-effect attribution: conversions path-dependent on each
+    // pre-conversion channel; exact integer counts
+    "q214_removal_attribution" -> ((s, d) =>
+      graft.operators.AnalyticsOps.removalEffectAttribution(
+        Tables.events(s, d))),
+
     // day-of-week seasonality profile: each (type, weekday)'s share
     // of events vs the uniform 1/7 — the seasonal-index report behind
     // staffing/capacity reads of an event stream; exact integer
@@ -2006,6 +2018,62 @@ object ExtendedQueries {
         |  round((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)) /
         |    (CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)), 6) AS lift
         |FROM cb, tot""".stripMargin,
+
+    // identical quantized moments and the SAME double expression tree
+    // as the engine: mean s/n/1e6, var (q - s*s/n)/(n-1)/1e12
+    "q213_welch_ttest" ->
+      """WITH rows_ AS (
+        |  SELECT event_type AS g,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), per AS (
+        |  SELECT g, count(*) AS n, sum(CAST(v AS HUGEINT)) AS s,
+        |    sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS q
+        |  FROM rows_ GROUP BY 1
+        |), tot AS (
+        |  SELECT sum(n) AS cnt, sum(s) AS ts, sum(q) AS tq FROM per
+        |)
+        |SELECT g AS event_type, n,
+        |  round(mean1, 6) AS mean,
+        |  round(CASE WHEN n > 1 AND m > 1 AND se > 0
+        |    THEN (mean1 - mean2) / sqrt(se) END, 4) AS t,
+        |  round(CASE WHEN n > 1 AND m > 1 AND se > 0
+        |    THEN se * se / (se1 * se1 / (CAST(n AS DOUBLE) - 1.0)
+        |      + se2 * se2 / (CAST(m AS DOUBLE) - 1.0)) END, 4) AS df
+        |FROM per, tot,
+        |  LATERAL (SELECT cnt - n AS m) a,
+        |  LATERAL (SELECT
+        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS mean1,
+        |    CAST(ts - s AS DOUBLE) / CAST(m AS DOUBLE) / 1e6 AS mean2,
+        |    (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 1e12
+        |      / CAST(n AS DOUBLE) AS se1,
+        |    (CAST(tq - q AS DOUBLE) - CAST(ts - s AS DOUBLE)
+        |      * CAST(ts - s AS DOUBLE) / CAST(m AS DOUBLE))
+        |      / (CAST(m AS DOUBLE) - 1.0) / 1e12
+        |      / CAST(m AS DOUBLE) AS se2) b,
+        |  LATERAL (SELECT se1 + se2 AS se) c""".stripMargin,
+
+    // conversions strictly after their pre-purchase touches; DISTINCT
+    // (user, channel) dependence, integer counts, closing divisions
+    "q214_removal_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id AS u, min(ts) AS cts FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1
+        |), nconv AS (SELECT count(*) AS nc FROM conv
+        |), dep AS (
+        |  SELECT DISTINCT e.user_id AS u, e.event_type AS channel
+        |  FROM events e JOIN conv c ON c.u = e.user_id
+        |  WHERE e.event_type <> 'purchase' AND e.ts < c.cts
+        |), pc AS (
+        |  SELECT channel, count(*) AS n_dependent FROM dep GROUP BY 1
+        |), den AS (SELECT sum(n_dependent) AS tot FROM pc)
+        |SELECT channel, n_dependent,
+        |  round(CAST(n_dependent AS DOUBLE) / CAST(nc AS DOUBLE), 6)
+        |    AS removal_effect,
+        |  round(CAST(n_dependent AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+        |    AS attribution_share
+        |FROM pc, nconv, den""".stripMargin,
 
     "q111_kmv_distinct" ->
       """WITH h AS (

@@ -782,6 +782,41 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(outT("B") === ((0.625, 0.5, 2.0)))
   }
 
+  test("welchTTest: hand-computed t and Welch-Satterthwaite df on " +
+    "equal-variance halves") {
+    // A={1,2,3} vs rest B={4,5,6}: means 2 and 5, s^2 = 1 both sides,
+    // se = 1/3 + 1/3, t = -3/sqrt(2/3) = -3.6742, df = (2/3)^2/(1/9) = 4
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 4.0), ("B", 5.0), ("B", 6.0)).toDF("event_type", "value")
+    val out = AnalyticsOps.welchTTest(df, "event_type", "value")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Double]("mean"), r.getAs[Double]("t"),
+          r.getAs[Double]("df"))).toMap
+    assert(out("A") === ((3L, 2.0, -3.6742, 4.0)))
+    assert(out("B") === ((3L, 5.0, 3.6742, 4.0)))
+  }
+
+  test("removalEffectAttribution: only strictly-pre-conversion touches " +
+    "count, non-converters are excluded, shares sum to 1") {
+    val events = Seq(
+      (1L, "view", ts("2024-01-01 01:00:00")),
+      (1L, "click", ts("2024-01-01 02:00:00")),
+      (1L, "purchase", ts("2024-01-01 03:00:00")),
+      (2L, "view", ts("2024-01-01 01:00:00")),
+      (2L, "purchase", ts("2024-01-01 02:00:00")),
+      (2L, "click", ts("2024-01-01 03:00:00")), // post-conversion: ignored
+      (3L, "click", ts("2024-01-01 01:00:00")),
+      (3L, "purchase", ts("2024-01-01 02:00:00")),
+      (4L, "view", ts("2024-01-01 01:00:00"))) // never converts
+      .toDF("user_id", "event_type", "ts")
+    val out = AnalyticsOps.removalEffectAttribution(events)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Double]("removal_effect"),
+          r.getAs[Double]("attribution_share"))).toMap
+    assert(out("view") === ((2L, 0.666667, 0.5)))
+    assert(out("click") === ((2L, 0.666667, 0.5)))
+  }
+
   test("gainsTable: one-row bins give lift=N/P at a pure top bin; a " +
     "tied run lands atomically in the bin of its last position") {
     val distinct10 = (1 to 10).map(i =>
