@@ -149,6 +149,103 @@ object GraphOps {
       .select(col("e.s").as("s"), col("e.t").as("t"), col("e.td").as("td"))
   }
 
+  /** Common-neighbor / Jaccard link prediction: for every UNLINKED
+    * pair of nodes sharing at least one common neighbor, score by the
+    * common-neighbor count through LOW-DEGREE centers (center degree ≤
+    * `maxCenterDegree`) and the degree-Jaccard cn/(d_x + d_y − cn)
+    * with FULL degrees. The center cap is part of the operator's
+    * definition, not an approximation knob the engine hides: wedge
+    * volume through a center is deg², so an uncapped hub contributes
+    * O(10¹⁴) candidate rows at web scale while carrying ~zero signal
+    * (everything co-occurs with a hub) — the same discount
+    * Adamic–Adar's 1/log weight encodes, made exact and replayable.
+    * Top-k orders (cn DESC, id_a, id_b) — fully deterministic.
+    *
+    * Scale shape: wedge volume is O(m · maxCenterDegree) sharded by
+    * center; the existing-edge exclusion is one anti-join; top-k plans
+    * as TakeOrderedAndProject, never a global sort.
+    */
+  def linkPrediction(pairs: DataFrame, k: Int = 50,
+                     maxCenterDegree: Int = 64,
+                     aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val und = pairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deg = und.select(col("a").as("v"))
+        .unionAll(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val centers = deg.filter(col("d") <= maxCenterDegree)
+        .select(col("v").as("src"))
+      val both = und.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      val adj = both.join(centers, "src")
+      val cn = adj.join(adj.select(col("src"), col("dst").as("dst2")), "src")
+        .filter(col("dst") < col("dst2"))
+        .groupBy(col("dst").as("a"), col("dst2").as("b"))
+        .agg(count(lit(1)).as("common_neighbors"))
+        .join(und, Seq("a", "b"), "left_anti")
+      cn.join(deg.select(col("v").as("a"), col("d").as("__da")), "a")
+        .join(deg.select(col("v").as("b"), col("d").as("__db")), "b")
+        .select(col("a").as("id_a"), col("b").as("id_b"),
+          col("common_neighbors"),
+          round(col("common_neighbors").cast("double") /
+            (col("__da") + col("__db") - col("common_neighbors"))
+              .cast("double"), 6).as("jaccard"))
+        .orderBy(col("common_neighbors").desc, col("id_a"), col("id_b"))
+        .limit(k)
+    } finally und.unpersist(blocking = false)
+  }
+
+  /** k-core decomposition by fixed-horizon iterative peeling: each
+    * round drops every node of degree < `coreK` (with its edges),
+    * simultaneously; after `iters` rounds the surviving subgraph's
+    * exact degrees are returned as (node, core_degree). The horizon is
+    * part of the operator's definition (both engines replay the same
+    * rounds), chosen ≥ the peel depth so the result IS the k-core on
+    * the shipped graphs; peeling is monotone, so an unconverged
+    * horizon yields a superset of the core, never garbage.
+    *
+    * Scale shape: per round, one map-side-combined degree count and
+    * two hash semi-joins on the edge endpoints; edges localCheckpoint
+    * per round (the PageRank lineage barrier) with the previous
+    * round's blocks released after the next materializes.
+    */
+  def kCore(pairs: DataFrame, coreK: Int = 3, iters: Int = 8,
+            aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters out of range: $iters")
+    var edges = pairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .distinct()
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val deg = edges.select(col("a").as("v"))
+        .unionAll(edges.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= coreK)
+      val next = edges
+        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+      edges.unpersist(blocking = false)
+      edges = next
+    }
+    val out = edges.select(col("a").as("v"))
+      .unionAll(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("core_degree"))
+      .select(col("v").as("node"), col("core_degree"))
+      .localCheckpoint(true)
+    edges.unpersist(blocking = false)
+    out
+  }
+
   /** Degree summary + degree assortativity (Newman 2002): the Pearson
     * correlation of endpoint degrees over every directed edge (each
     * undirected edge counted in both orientations — the standard

@@ -92,6 +92,31 @@ object ExtendedQueries {
       graft.operators.AnalyticsOps.gainsTable(Tables.events(s, d),
         "value", col("event_type") === "purchase", nBins = 10)),
 
+    // common-neighbor/Jaccard link prediction over the order-part
+    // graph: wedges through degree-capped centers only (the exact,
+    // replayable hub discount), anti-join against existing edges,
+    // deterministic top-k
+    "q215_link_prediction" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 7 === 0)
+        .select(
+          concat(lit("o"), col("l_orderkey").cast(StringType)).as("id_a"),
+          concat(lit("p"), col("l_partkey").cast(StringType)).as("id_b"))
+      graft.graph.GraphOps.linkPrediction(edges, k = 50,
+        maxCenterDegree = 64)
+    }),
+
+    // 3-core of the order-part graph by 8 fixed peel rounds (monotone,
+    // converged on the shipped graphs); oracle replays every round
+    "q216_kcore" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 7 === 0)
+        .select(
+          concat(lit("o"), col("l_orderkey").cast(StringType)).as("id_a"),
+          concat(lit("p"), col("l_partkey").cast(StringType)).as("id_b"))
+      graft.graph.GraphOps.kCore(edges, coreK = 3, iters = 8)
+    }),
+
     // Welch's unequal-variance t, each type vs rest: exact Decimal
     // moments, rest = total - class, one closing double expression
     "q213_welch_ttest" -> ((s, d) =>
@@ -2075,6 +2100,40 @@ object ExtendedQueries {
         |    AS attribution_share
         |FROM pc, nconv, den""".stripMargin,
 
+    // wedge counts through degree<=64 centers, full-degree Jaccard,
+    // the same total order for the top-k set
+    "q215_link_prediction" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM (
+        |    SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS a,
+        |           'p' || CAST(l_partkey AS VARCHAR) AS b
+        |    FROM lineitem WHERE l_orderkey % 7 = 0)
+        |  WHERE a <> b
+        |), deg AS (
+        |  SELECT v, count(*) AS d FROM (
+        |    SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1
+        |), ctr AS (SELECT v FROM deg WHERE d <= 64
+        |), both_ AS (
+        |  SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b, a FROM e0
+        |), adj AS (
+        |  SELECT src, dst FROM both_ JOIN ctr ON ctr.v = both_.src
+        |), w AS (
+        |  SELECT a1.dst AS x, a2.dst AS y, count(*) AS cn
+        |  FROM adj a1 JOIN adj a2 USING (src)
+        |  WHERE a1.dst < a2.dst GROUP BY 1, 2
+        |), nw AS (
+        |  SELECT x, y, cn FROM w
+        |  ANTI JOIN e0 ON e0.a = w.x AND e0.b = w.y
+        |)
+        |SELECT x AS id_a, y AS id_b, cn AS common_neighbors,
+        |  round(CAST(cn AS DOUBLE)
+        |    / CAST(da.d + db.d - cn AS DOUBLE), 6) AS jaccard
+        |FROM nw JOIN deg da ON da.v = nw.x JOIN deg db ON db.v = nw.y
+        |ORDER BY cn DESC, x, y LIMIT 50""".stripMargin,
+
+    "q216_kcore" -> kCoreOracle(3, 8),
+
     "q111_kmv_distinct" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
@@ -2691,4 +2750,32 @@ object ExtendedQueries {
         |  round(max(value), 4) AS vmax
         |FROM events GROUP BY 1""".stripMargin
   )
+
+  /** Full-replay oracle for [[graft.graph.GraphOps.kCore]]: the peel
+    * unrolls into one CTE triple (degrees, keep-set, filtered edges)
+    * per round, then reads the surviving graph's degrees — the same
+    * generated-SQL discipline as the q189/q190 k-means replays.
+    */
+  private def kCoreOracle(coreK: Int, iters: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += """e0 AS MATERIALIZED (
+      |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM (
+      |    SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS a,
+      |           'p' || CAST(l_partkey AS VARCHAR) AS b
+      |    FROM lineitem WHERE l_orderkey % 7 = 0)
+      |  WHERE a <> b)""".stripMargin
+    for (i <- 0 until iters) {
+      parts += s"""d$i AS MATERIALIZED (
+        |  SELECT v, count(*) AS d FROM (
+        |    SELECT a AS v FROM e$i UNION ALL SELECT b FROM e$i) GROUP BY 1)""".stripMargin
+      parts += s"k$i AS MATERIALIZED (SELECT v FROM d$i WHERE d >= $coreK)"
+      parts += s"""e${i + 1} AS MATERIALIZED (
+        |  SELECT e.a, e.b FROM e$i e
+        |  JOIN k$i x ON x.v = e.a JOIN k$i y ON y.v = e.b)""".stripMargin
+    }
+    s"""WITH ${parts.result().mkString(",\n")}
+       |SELECT v AS node, count(*) AS core_degree FROM (
+       |  SELECT a AS v FROM e$iters UNION ALL SELECT b FROM e$iters)
+       |GROUP BY 1""".stripMargin
+  }
 }

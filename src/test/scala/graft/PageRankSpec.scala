@@ -174,4 +174,39 @@ class PageRankSpec extends SparkSpec {
     val rc = graft.graph.GraphOps.degreeAssortativity(cyc).collect()(0)
     assert(rc.isNullAt(rc.fieldIndex("assortativity")))
   }
+
+  test("linkPrediction: 4-cycle scores both diagonals with cn=2 and " +
+    "jaccard=1; existing edges are excluded; a center above the degree " +
+    "cap contributes no wedges") {
+    import spark.implicits._
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("id_a", "id_b")
+    val out = graft.graph.GraphOps.linkPrediction(cyc, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getAs[Double]("jaccard"))).toMap
+    // diagonals (1,3) and (2,4): two common neighbors each, and the
+    // union of neighborhoods is exactly those two -> jaccard 1
+    assert(out === Map((1L, 3L) -> ((2L, 1.0)), (2L, 4L) -> ((2L, 1.0))))
+    // a star whose hub exceeds the cap yields nothing: all wedges run
+    // through the capped-out hub
+    val star = (1L to 5L).map(i => (0L, i)).toDF("id_a", "id_b")
+    assert(graft.graph.GraphOps.linkPrediction(star, k = 10,
+      maxCenterDegree = 4).count() === 0L)
+    assert(graft.graph.GraphOps.linkPrediction(star, k = 10,
+      maxCenterDegree = 5).count() === 10L) // all spoke pairs
+  }
+
+  test("kCore: a pendant chain peels away over multiple rounds while " +
+    "the triangle survives with exact degrees; a bare chain empties") {
+    import spark.implicits._
+    // triangle {1,2,3} + chain 3-4-5: round 1 drops 5, round 2 drops 4
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val core = graft.graph.GraphOps.kCore(g, coreK = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // chain 1-2-3-4: endpoint peel cascades to empty
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    assert(graft.graph.GraphOps.kCore(chain, coreK = 2, iters = 3)
+      .count() === 0L)
+  }
 }
