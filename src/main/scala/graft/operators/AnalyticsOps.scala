@@ -1009,23 +1009,7 @@ object AnalyticsOps {
   def kaplanMeier(events: DataFrame, userCol: String = "user_id",
                   typeCol: String = "event_type", tsCol: String = "ts",
                   censorDays: Int = 7): DataFrame = {
-    val perUser = events
-      .select(col(userCol).as("__u"), col(tsCol).as("__ts"),
-        col(typeCol).as("__ty"), col("event_id").as("__eid"))
-      .groupBy("__u")
-      .agg(min(struct(col("__ts"), col("__eid"), col("__ty"))).as("__first"),
-        max(to_date(col("__ts"))).as("__last"),
-        min(to_date(col("__ts"))).as("__start"))
-      .select(col("__u"), col("__first.__ty").as("cohort"),
-        col("__start"), col("__last"))
-    val logEnd = events.agg(max(to_date(col(tsCol))).as("__end"))
-    val spans = perUser.crossJoin(broadcast(logEnd))
-      .select(col("cohort"),
-        datediff(col("__last"), col("__start")).cast(LongType).as("__t"),
-        (datediff(col("__end"), col("__last")) < censorDays).as("__censored"))
-    val atDay = spans.groupBy("cohort", "__t")
-      .agg(sum(when(!col("__censored"), 1L).otherwise(0L)).as("d"),
-        sum(when(col("__censored"), 1L).otherwise(0L)).as("__c"))
+    val atDay = survivalAtDay(events, userCol, typeCol, tsCol, censorDays)
     // at-risk n_t = Σ_{s >= t} (d_s + c_s): reverse cumulative over the
     // calendar-bounded per-cohort day frame
     val wDesc = Window.partitionBy("cohort").orderBy(col("__t").desc)
@@ -1046,6 +1030,125 @@ object AnalyticsOps {
       .select(col("cohort"), col("__t").as("t_days"), col("n_risk"), col("d"),
         round(exp(col("__lns")), 6).as("survival"),
         round(exp(col("__lns")) * sqrt(col("__gw")), 6).as("greenwood_se"))
+  }
+
+  /** Shared survival scaffold: per-user lifetime spans collapsed to
+    * the (cohort, span-day) event table — `d` observed churns, `__c`
+    * right-censored exits — under [[kaplanMeier]]'s cohort and
+    * censoring rules (first-event cohort with a deterministic
+    * min-struct tie-break; censored iff the last event falls within
+    * `censorDays` of the log end). One map-side min/max per user.
+    */
+  private def survivalAtDay(events: DataFrame, userCol: String,
+                            typeCol: String, tsCol: String,
+                            censorDays: Int): DataFrame = {
+    val perUser = events
+      .select(col(userCol).as("__u"), col(tsCol).as("__ts"),
+        col(typeCol).as("__ty"), col("event_id").as("__eid"))
+      .groupBy("__u")
+      .agg(min(struct(col("__ts"), col("__eid"), col("__ty"))).as("__first"),
+        max(to_date(col("__ts"))).as("__last"),
+        min(to_date(col("__ts"))).as("__start"))
+      .select(col("__u"), col("__first.__ty").as("cohort"),
+        col("__start"), col("__last"))
+    val logEnd = events.agg(max(to_date(col(tsCol))).as("__end"))
+    val spans = perUser.crossJoin(broadcast(logEnd))
+      .select(col("cohort"),
+        datediff(col("__last"), col("__start")).cast(LongType).as("__t"),
+        (datediff(col("__end"), col("__last")) < censorDays).as("__censored"))
+    spans.groupBy("cohort", "__t")
+      .agg(sum(when(!col("__censored"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("__censored"), 1L).otherwise(0L)).as("__c"))
+  }
+
+  /** Nelson–Aalen cumulative-hazard curve per cohort — the estimator
+    * dual to [[kaplanMeier]]: H(t) = Σ_{s ≤ t} d_s/n_s with Klein's
+    * variance Σ d_s(n_s − d_s)/n_s³. Both accumulate as ORDERED
+    * window folds over the calendar-bounded per-cohort day frame (a
+    * fixed-order sequential sum both engines evaluate identically);
+    * the d and n_risk counts are exact integers throughout.
+    */
+  def nelsonAalen(events: DataFrame, userCol: String = "user_id",
+                  typeCol: String = "event_type", tsCol: String = "ts",
+                  censorDays: Int = 7): DataFrame = {
+    val atDay = survivalAtDay(events, userCol, typeCol, tsCol, censorDays)
+    val wDesc = Window.partitionBy("cohort").orderBy(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.partitionBy("cohort").orderBy(col("__t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    atDay
+      .withColumn("n_risk", sum(col("d") + col("__c")).over(wDesc))
+      .withColumn("__h", sum(
+        when(col("d") > 0,
+          col("d").cast("double") / col("n_risk").cast("double"))
+          .otherwise(lit(0.0))).over(wAsc))
+      .withColumn("__v", sum(
+        when(col("d") > 0,
+          col("d").cast("double") * (col("n_risk") - col("d")).cast("double") /
+            (col("n_risk").cast("double") * col("n_risk").cast("double") *
+              col("n_risk").cast("double")))
+          .otherwise(lit(0.0))).over(wAsc))
+      .select(col("cohort"), col("__t").as("t_days"), col("n_risk"), col("d"),
+        round(col("__h"), 6).as("cum_hazard"),
+        round(sqrt(col("__v")), 6).as("na_se"))
+  }
+
+  /** One-vs-rest log-rank test per cohort: at every span-day where
+    * ANY cohort records an observed churn, the cohort's observed
+    * deaths d₁ compare against the expectation n₁·d/n under the null
+    * of equal hazards, with the hypergeometric variance
+    * d·(n₁/n)·(1−n₁/n)·(n−d)/(n−1); z = (O−E)/√V. O is an exact
+    * integer sum; E and V accumulate as ORDERED window folds over the
+    * dense (cohort × span-day) frame and the final row is selected by
+    * max-struct — no unordered floating-point aggregation anywhere.
+    *
+    * Scale shape: the dense frame is #cohorts × #distinct span-days —
+    * calendar-bounded per cohort; at-risk counts are the same reverse
+    * cumulative as [[kaplanMeier]]; per-day totals roll up over the
+    * bounded cohort fan-out.
+    */
+  def logRankOneVsRest(events: DataFrame, userCol: String = "user_id",
+                       typeCol: String = "event_type", tsCol: String = "ts",
+                       censorDays: Int = 7): DataFrame = {
+    val atDay = survivalAtDay(events, userCol, typeCol, tsCol, censorDays)
+    val times = atDay.select("__t").distinct()
+    val cohorts = atDay.groupBy("cohort")
+      .agg(sum(col("d") + col("__c")).as("n_users"))
+    val dense = cohorts.crossJoin(broadcast(times))
+      .join(atDay, Seq("cohort", "__t"), "left")
+      .select(col("cohort"), col("n_users"), col("__t"),
+        coalesce(col("d"), lit(0L)).as("__d1"),
+        coalesce(col("__c"), lit(0L)).as("__c1"))
+    val wDesc = Window.partitionBy("cohort").orderBy(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risked = dense
+      .withColumn("__n1", sum(col("__d1") + col("__c1")).over(wDesc))
+    val totals = risked.groupBy("__t")
+      .agg(sum("__d1").as("__dt"), sum("__n1").as("__nt"))
+    val wAsc = Window.partitionBy("cohort").orderBy(col("__t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = risked.join(totals, "__t")
+      .withColumn("__e", sum(
+        when(col("__dt") > 0,
+          col("__n1").cast("double") * col("__dt").cast("double") /
+            col("__nt").cast("double")).otherwise(lit(0.0))).over(wAsc))
+      .withColumn("__v", sum(
+        when(col("__dt") > 0 && col("__nt") > 1,
+          col("__dt").cast("double") *
+            (col("__n1").cast("double") / col("__nt").cast("double")) *
+            (lit(1.0) - col("__n1").cast("double") / col("__nt").cast("double")) *
+            (col("__nt") - col("__dt")).cast("double") /
+            (col("__nt").cast("double") - lit(1.0)))
+          .otherwise(lit(0.0))).over(wAsc))
+    joined.groupBy("cohort")
+      .agg(max("n_users").as("n_users"),
+        sum(when(col("__dt") > 0, col("__d1")).otherwise(0L)).as("observed"),
+        max(struct(col("__t"), col("__e"), col("__v"))).as("__last"))
+      .select(col("cohort"), col("n_users"), col("observed"),
+        round(col("__last.__e"), 4).as("expected"),
+        round(when(col("__last.__v") > 0,
+          (col("observed").cast("double") - col("__last.__e")) /
+            sqrt(col("__last.__v"))), 4).as("logrank_z"))
   }
 
   /** Brown's double exponential smoothing (level + trend) on each

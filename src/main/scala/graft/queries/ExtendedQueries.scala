@@ -117,6 +117,17 @@ object ExtendedQueries {
       graft.graph.GraphOps.kCore(edges, coreK = 3, iters = 8)
     }),
 
+    // Nelson-Aalen cumulative hazard with Klein's variance: ordered
+    // window folds over the calendar-bounded cohort curve (the q202
+    // survival scaffold's estimator dual)
+    "q217_nelson_aalen" -> ((s, d) =>
+      graft.operators.AnalyticsOps.nelsonAalen(Tables.events(s, d))),
+
+    // one-vs-rest log-rank test: exact integer O, ordered-fold E and
+    // V over the dense cohort x span-day frame, max-struct final row
+    "q218_logrank" -> ((s, d) =>
+      graft.operators.AnalyticsOps.logRankOneVsRest(Tables.events(s, d))),
+
     // Welch's unequal-variance t, each type vs rest: exact Decimal
     // moments, rest = total - class, one closing double expression
     "q213_welch_ttest" -> ((s, d) =>
@@ -2133,6 +2144,120 @@ object ExtendedQueries {
         |ORDER BY cn DESC, x, y LIMIT 50""".stripMargin,
 
     "q216_kcore" -> kCoreOracle(3, 8),
+
+    // q202's span/censor scaffold with the hazard-sum estimator and
+    // Klein's variance, both as the same ordered window fold
+    "q217_nelson_aalen" ->
+      """WITH pu AS (
+        |  SELECT user_id AS u, min(ts::DATE) AS start, max(ts::DATE) AS last
+        |  FROM events GROUP BY 1
+        |), first_ev AS (
+        |  SELECT user_id AS u, event_type AS cohort FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM events) WHERE rn = 1
+        |), fin AS (SELECT max(ts::DATE) AS fin FROM events),
+        |spans AS (
+        |  SELECT f.cohort, CAST(p.last - p.start AS BIGINT) AS t,
+        |    (fin.fin - p.last) < 7 AS censored
+        |  FROM pu p JOIN first_ev f USING (u) CROSS JOIN fin
+        |), atday AS (
+        |  SELECT cohort, t,
+        |    sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS d,
+        |    sum(CASE WHEN censored THEN 1 ELSE 0 END) AS c
+        |  FROM spans GROUP BY 1, 2
+        |), risked AS (
+        |  SELECT cohort, t, CAST(d AS BIGINT) AS d,
+        |    CAST(sum(d + c) OVER (PARTITION BY cohort ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+        |  FROM atday
+        |), curves AS (
+        |  SELECT cohort, t, n_risk, d,
+        |    sum(CASE WHEN d > 0 THEN
+        |        CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+        |      ELSE 0.0 END) OVER w AS h,
+        |    sum(CASE WHEN d > 0 THEN
+        |        CAST(d AS DOUBLE) * CAST(n_risk - d AS DOUBLE) /
+        |          (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)
+        |            * CAST(n_risk AS DOUBLE))
+        |      ELSE 0.0 END) OVER w AS v
+        |  FROM risked
+        |  WINDOW w AS (PARTITION BY cohort ORDER BY t ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT cohort, t AS t_days, n_risk, d,
+        |  round(h, 6) AS cum_hazard,
+        |  round(sqrt(v), 6) AS na_se
+        |FROM curves""".stripMargin,
+
+    // dense cohort x span-day frame, reverse-cumulative at-risk,
+    // per-day totals, ordered E/V folds, last-row pick at max t
+    "q218_logrank" ->
+      """WITH pu AS (
+        |  SELECT user_id AS u, min(ts::DATE) AS start, max(ts::DATE) AS last
+        |  FROM events GROUP BY 1
+        |), first_ev AS (
+        |  SELECT user_id AS u, event_type AS cohort FROM (
+        |    SELECT user_id, event_type,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |    FROM events) WHERE rn = 1
+        |), fin AS (SELECT max(ts::DATE) AS fin FROM events),
+        |spans AS (
+        |  SELECT f.cohort, CAST(p.last - p.start AS BIGINT) AS t,
+        |    (fin.fin - p.last) < 7 AS censored
+        |  FROM pu p JOIN first_ev f USING (u) CROSS JOIN fin
+        |), atday AS (
+        |  SELECT cohort, t,
+        |    sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS d,
+        |    sum(CASE WHEN censored THEN 1 ELSE 0 END) AS c
+        |  FROM spans GROUP BY 1, 2
+        |), coh AS (
+        |  SELECT cohort, CAST(sum(d + c) AS BIGINT) AS n_users
+        |  FROM atday GROUP BY 1
+        |), times AS (SELECT DISTINCT t FROM atday),
+        |dense AS (
+        |  SELECT c.cohort, c.n_users, ti.t,
+        |    COALESCE(a.d, 0) AS d1, COALESCE(a.c, 0) AS c1
+        |  FROM coh c CROSS JOIN times ti
+        |  LEFT JOIN atday a ON a.cohort = c.cohort AND a.t = ti.t
+        |), risked AS (
+        |  SELECT cohort, n_users, t, d1,
+        |    sum(d1 + c1) OVER (PARTITION BY cohort ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1
+        |  FROM dense
+        |), tt AS (
+        |  SELECT t, sum(d1) AS dt, sum(n1) AS nt FROM risked GROUP BY 1
+        |), terms AS (
+        |  SELECT r.cohort, r.n_users, r.t, r.d1, tt.dt,
+        |    sum(CASE WHEN tt.dt > 0 THEN
+        |        CAST(r.n1 AS DOUBLE) * CAST(tt.dt AS DOUBLE)
+        |          / CAST(tt.nt AS DOUBLE)
+        |      ELSE 0.0 END) OVER w AS e,
+        |    sum(CASE WHEN tt.dt > 0 AND tt.nt > 1 THEN
+        |        CAST(tt.dt AS DOUBLE)
+        |          * (CAST(r.n1 AS DOUBLE) / CAST(tt.nt AS DOUBLE))
+        |          * (1.0 - CAST(r.n1 AS DOUBLE) / CAST(tt.nt AS DOUBLE))
+        |          * CAST(tt.nt - tt.dt AS DOUBLE)
+        |          / (CAST(tt.nt AS DOUBLE) - 1.0)
+        |      ELSE 0.0 END) OVER w AS v
+        |  FROM risked r JOIN tt USING (t)
+        |  WINDOW w AS (PARTITION BY cohort ORDER BY t ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), lastrow AS (
+        |  SELECT cohort, max(t) AS mt FROM terms GROUP BY 1
+        |), obs AS (
+        |  SELECT cohort,
+        |    CAST(sum(CASE WHEN dt > 0 THEN d1 ELSE 0 END) AS BIGINT)
+        |      AS observed
+        |  FROM terms GROUP BY 1
+        |)
+        |SELECT t2.cohort, t2.n_users, o.observed,
+        |  round(t2.e, 4) AS expected,
+        |  round(CASE WHEN t2.v > 0
+        |    THEN (CAST(o.observed AS DOUBLE) - t2.e) / sqrt(t2.v) END, 4)
+        |    AS logrank_z
+        |FROM terms t2 JOIN lastrow l ON l.cohort = t2.cohort AND l.mt = t2.t
+        |JOIN obs o ON o.cohort = t2.cohort""".stripMargin,
 
     "q111_kmv_distinct" ->
       """WITH h AS (

@@ -782,6 +782,38 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(outT("B") === ((0.625, 0.5, 2.0)))
   }
 
+  test("nelsonAalen and logRankOneVsRest: hand-computed hazards, " +
+    "expectations and hypergeometric variances on a two-cohort fixture") {
+    // cohort A: churns at t=0 (u2) and t=2 (u1), censored at t=30 (u3,
+    // last event at the log end); cohort B: churns at t=0, t=2
+    val events = Seq(
+      (1L, "A", ts("2024-01-01 08:00:00"), 1L),
+      (1L, "A", ts("2024-01-03 08:00:00"), 2L),
+      (2L, "A", ts("2024-01-01 09:00:00"), 3L),
+      (3L, "A", ts("2024-01-01 10:00:00"), 4L),
+      (3L, "A", ts("2024-01-31 10:00:00"), 5L),
+      (4L, "B", ts("2024-01-02 08:00:00"), 6L),
+      (4L, "B", ts("2024-01-04 08:00:00"), 7L),
+      (5L, "B", ts("2024-01-02 09:00:00"), 8L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val na = AnalyticsOps.nelsonAalen(events)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getAs[Double]("cum_hazard"))).toMap
+    // A: H(0) = 1/3, H(2) = 1/3 + 1/2, censor row carries H unchanged
+    assert(na(("A", 0L)) === ((3L, 1L, 0.333333)))
+    assert(na(("A", 2L)) === ((2L, 1L, 0.833333)))
+    assert(na(("A", 30L)) === ((1L, 0L, 0.833333)))
+    assert(na(("B", 0L)) === ((2L, 1L, 0.5)))
+    assert(na(("B", 2L)) === ((1L, 1L, 1.5)))
+    val lr = AnalyticsOps.logRankOneVsRest(events)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Double]("expected"),
+          r.getAs[Double]("logrank_z"))).toMap
+    // E_A = 3*2/5 + 2*2/3 = 2.5333; V = 0.36 + 2/9 = 0.582222 both
+    assert(lr("A") === ((3L, 2L, 2.5333, -0.699)))
+    assert(lr("B") === ((2L, 2L, 1.4667, 0.699)))
+  }
+
   test("welchTTest: hand-computed t and Welch-Satterthwaite df on " +
     "equal-variance halves") {
     // A={1,2,3} vs rest B={4,5,6}: means 2 and 5, s^2 = 1 both sides,
