@@ -1510,6 +1510,54 @@ object AnalyticsOps {
           6).as("attribution_share"))
   }
 
+  /** Fleiss' kappa multi-rater agreement (Fleiss 1971) — the
+    * labeling-pipeline QA statistic for 3+ annotators that Cohen's
+    * kappa (q199) can't express. Input is one row per (item, rater)
+    * with a categorical label; every item must carry exactly
+    * `nRaters` ratings (the statistic's own precondition).
+    *
+    * Exactness: with num1 = Σᵢⱼ n²ᵢⱼ − N·n, D1 = N·n·(n−1), S2 =
+    * Σⱼ c²ⱼ, D2 = (N·n)², the whole statistic is
+    * κ = (num1·D2 − S2·D1) / (D1·(D2 − S2)) — every term an exact
+    * Decimal(38,0) product of counts, three closing double divisions
+    * (P̄, Pₑ, κ), rounded 6. Envelope: D1·D2 < 10³⁸ holds to
+    * N ~ 10¹² items at n ≤ 3.
+    *
+    * Scale shape: one (item, label) count with map-side combine, one
+    * #items-keyed aggregate, one #labels-keyed aggregate, then a
+    * 1-row cross join. No windows, no collects.
+    */
+  def fleissKappa(labels: DataFrame, itemCol: String, raterCol: String,
+                  labelCol: String, nRaters: Int): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val nij = labels.groupBy(col(itemCol).as("__i"), col(labelCol).as("__l"))
+      .agg(count(lit(1)).as("__nij"))
+    val perItem = nij.agg(
+      sum(col("__nij").cast(dec) * col("__nij").cast(dec)).as("__ssq"),
+      count_distinct(col("__i")).as("__ni"))
+    val perLabel = nij.groupBy("__l").agg(sum("__nij").as("__c"))
+      .agg(sum(col("__c").cast(dec) * col("__c").cast(dec)).as("__s2"),
+        count(lit(1)).as("__k"))
+    perItem.crossJoin(perLabel)
+      .withColumn("__nr", lit(nRaters.toLong))
+      .withColumn("__num1",
+        col("__ssq") - col("__ni").cast(dec) * col("__nr").cast(dec))
+      .withColumn("__d1", col("__ni").cast(dec) * col("__nr").cast(dec) *
+        (col("__nr") - 1).cast(dec))
+      .withColumn("__d2", col("__ni").cast(dec) * col("__nr").cast(dec) *
+        col("__ni").cast(dec) * col("__nr").cast(dec))
+      .select(col("__ni").as("n_items"), col("__nr").as("n_raters"),
+        col("__k").as("n_categories"),
+        round(col("__num1").cast("double") / col("__d1").cast("double"), 6)
+          .as("p_bar"),
+        round(col("__s2").cast("double") / col("__d2").cast("double"), 6)
+          .as("p_e"),
+        round((col("__num1") * col("__d2") - col("__s2") * col("__d1"))
+          .cast("double") /
+          (col("__d1") * (col("__d2") - col("__s2"))).cast("double"), 6)
+          .as("fleiss_kappa"))
+  }
+
   /** Gains/lift table: rows rank by score DESCENDING into `nBins`
     * rank bins and each bin reports its positive capture — cumulative
     * gain (recall at depth), precision at depth, and lift over the

@@ -325,23 +325,51 @@ object SketchOps {
     */
   def hllDistinct(df: DataFrame, groupCol: String, valueCol: String,
                   includeExact: Boolean = true): DataFrame = {
+    val regs = hllRegisters(df, Seq(col(groupCol).as("__g")), valueCol)
+    val est = hllEstimate(regs, Seq("__g"))
+    if (includeExact) {
+      val exact = df
+        .groupBy(col(groupCol).as("__g"))
+        .agg(count_distinct(col(valueCol)).as("exact_distinct"))
+      est.join(exact, "__g")
+        .select(col("__g").as(groupCol), col("__nb").as("n_buckets_hit"),
+          col("est_distinct"), col("exact_distinct"))
+    } else
+      est.select(col("__g").as(groupCol), col("__nb").as("n_buckets_hit"),
+        col("est_distinct"))
+  }
+
+  /** md5-derived HLL registers keyed by `keys`: one (keys..., __bkt,
+    * __M) row per non-empty register — the mergeable state shared by
+    * [[hllDistinct]] and [[hllRollup]].
+    */
+  private def hllRegisters(df: DataFrame, keys: Seq[Column],
+                           valueCol: String): DataFrame = {
     val m = 64
     val hashed = df
       .filter(col(valueCol).isNotNull)
-      .select(col(groupCol).as("__g"),
-        md5(col(valueCol).cast(StringType)).as("__h"))
+      .select(keys :+ md5(col(valueCol).cast(StringType)).as("__h"): _*)
     val rho = {
       val i = instr(lpad(bin(conv(substring(col("__h"), 9, 8), 16, 10)
         .cast(LongType)), 32, "0"), "1")
       when(i === 0, lit(33)).otherwise(i)
     }
-    val regs = hashed
+    val keyNames = hashed.columns.dropRight(1)
+    hashed
       .withColumn("__bkt",
         (conv(substring(col("__h"), 1, 8), 16, 10).cast(LongType) % m))
       .withColumn("__rho", rho)
-      .groupBy("__g", "__bkt")
+      .groupBy((keyNames :+ "__bkt").map(col): _*)
       .agg(max("__rho").as("__M"))
-    val est = regs.groupBy("__g")
+  }
+
+  /** The HLL estimator over a register frame: harmonic mean held as
+    * the exact integer Σ2^(33−M) with linear counting below 2.5m —
+    * one closing double expression per key, rounded 4.
+    */
+  private def hllEstimate(regs: DataFrame, keyNames: Seq[String]): DataFrame = {
+    val m = 64
+    regs.groupBy(keyNames.map(col): _*)
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 33 - __M)")).as("__sp"),
         count(lit(1)).as("__nb"))
       .withColumn("__S",
@@ -356,15 +384,40 @@ object SketchOps {
         when(col("__raw") <= lit(2.5 * m) && col("__V") > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / col("__V").cast(DoubleType)))
           .otherwise(col("__raw")), 4))
-    if (includeExact) {
-      val exact = df
-        .groupBy(col(groupCol).as("__g"))
-        .agg(count_distinct(col(valueCol)).as("exact_distinct"))
-      est.join(exact, "__g")
-        .select(col("__g").as(groupCol), col("__nb").as("n_buckets_hit"),
-          col("est_distinct"), col("exact_distinct"))
-    } else
-      est.select(col("__g").as(groupCol), col("__nb").as("n_buckets_hit"),
-        col("est_distinct"))
+  }
+
+  /** HLL MERGEABILITY rollup — the property that makes register
+    * sketches the 100 TB distinct-count answer: per-(group, day)
+    * registers merge by plain MAX into exactly the registers the
+    * whole group would have produced, so daily sketch state rolls up
+    * to any coarser grain with no rescan and no error growth. The
+    * report puts the merged estimate next to the exact distinct and
+    * the naive Σ(per-day exacts) — the latter double-counts every
+    * cross-day repeat, which is WHY per-partition exact counts don't
+    * roll up and sketches do.
+    *
+    * Scale shape: register construction partial-aggregates map-side
+    * to ≤ 64 rows per (group, day); the merge shuffles only those
+    * register rows; the exact columns ride on two count-distinct
+    * aggregations (each a two-level hash agg, no Expand).
+    */
+  def hllRollup(df: DataFrame, groupCol: String, dayCol: Column,
+                valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), dayCol.as("__day"), col(valueCol))
+    val daily = hllRegisters(base,
+      Seq(col("__g"), col("__day")), valueCol)
+    val merged = daily.groupBy("__g", "__bkt").agg(max("__M").as("__M"))
+    val est = hllEstimate(merged, Seq("__g"))
+    val perDayExact = base.groupBy("__g", "__day")
+      .agg(count_distinct(col(valueCol)).as("__dx"))
+    val naive = perDayExact.groupBy("__g")
+      .agg(count(lit(1)).as("n_days"), sum("__dx").as("sum_daily_exact"))
+    val exact = base.groupBy("__g")
+      .agg(count_distinct(col(valueCol)).as("exact_distinct"))
+    est.join(naive, "__g").join(exact, "__g")
+      .select(col("__g").as(groupCol), col("n_days"),
+        col("sum_daily_exact"), col("exact_distinct"),
+        col("est_distinct").as("est_merged"))
   }
 }

@@ -117,6 +117,37 @@ object ExtendedQueries {
       graft.graph.GraphOps.kCore(edges, coreK = 3, iters = 8)
     }),
 
+    // HLL register MERGE: per-(type, day) sketches roll up by MAX into
+    // exactly the whole-period registers; report puts the merged
+    // estimate next to the exact distinct and the double-counting
+    // naive sum of per-day exacts
+    "q219_hll_rollup" -> ((s, d) =>
+      graft.operators.SketchOps.hllRollup(Tables.events(s, d),
+        "event_type", to_date(col("ts")), "user_id")),
+
+    // Fleiss' kappa over 3 deterministic synthetic annotators: base
+    // label = doc-length band, each rater flips to the next band on an
+    // md5 coin (u32 % 10 < 2) — fully replayable in both engines
+    "q220_fleiss_kappa" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), length(col("text")).as("__len"))
+      val ann = docs
+        .select(col("doc_id"), col("__len"),
+          explode(array(lit(1), lit(2), lit(3))).as("rater"))
+        .withColumn("__band", when(col("__len") < 150, 0)
+          .when(col("__len") < 300, 1).otherwise(2))
+        .withColumn("__flip",
+          conv(substring(md5(concat(col("rater").cast(StringType), lit(":"),
+            col("doc_id").cast(StringType))), 1, 8), 16, 10)
+            .cast(LongType) % 10 < 2)
+        .withColumn("__idx",
+          (col("__band") + when(col("__flip"), 1).otherwise(0)) % 3)
+        .withColumn("label", when(col("__idx") === 0, "short")
+          .when(col("__idx") === 1, "medium").otherwise("long"))
+      graft.operators.AnalyticsOps.fleissKappa(ann, "doc_id", "rater",
+        "label", nRaters = 3)
+    }),
+
     // Nelson-Aalen cumulative hazard with Klein's variance: ordered
     // window folds over the calendar-bounded cohort curve (the q202
     // survival scaffold's estimator dual)
@@ -2144,6 +2175,92 @@ object ExtendedQueries {
         |ORDER BY cn DESC, x, y LIMIT 50""".stripMargin,
 
     "q216_kcore" -> kCoreOracle(3, 8),
+
+    // daily registers -> MAX-merged registers -> the q206 estimator;
+    // per-day exact distincts summed for the double-counting contrast
+    "q219_hll_rollup" ->
+      """WITH base AS (
+        |  SELECT event_type AS g, ts::DATE AS day,
+        |    CAST(user_id AS VARCHAR) AS v
+        |  FROM events WHERE user_id IS NOT NULL
+        |), h AS (SELECT g, day, md5(v) AS h FROM base
+        |), rho AS (
+        |  SELECT g, day,
+        |    CAST(('0x' || substr(h, 1, 8))::UBIGINT % 64 AS BIGINT) AS bkt,
+        |    CASE WHEN instr(lpad(bin(CAST(('0x' || substr(h, 9, 8))::UBIGINT
+        |        AS BIGINT)), 32, '0'), '1') = 0 THEN 33
+        |      ELSE instr(lpad(bin(CAST(('0x' || substr(h, 9, 8))::UBIGINT
+        |        AS BIGINT)), 32, '0'), '1') END AS rho
+        |  FROM h
+        |), daily AS (
+        |  SELECT g, day, bkt, max(rho) AS m FROM rho GROUP BY 1, 2, 3
+        |), merged AS (
+        |  SELECT g, bkt, max(m) AS m FROM daily GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT g, sum(1::BIGINT << CAST(33 - m AS INTEGER)) AS sp,
+        |    count(*) AS nb
+        |  FROM merged GROUP BY 1
+        |), est AS (
+        |  SELECT g, sp + (64 - nb) * (1::BIGINT << 33) AS s, 64 - nb AS v
+        |  FROM agg
+        |), pday AS (
+        |  SELECT g, day, count(DISTINCT v) AS dx FROM base GROUP BY 1, 2
+        |), naive AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(dx) AS BIGINT) AS sum_daily_exact
+        |  FROM pday GROUP BY 1
+        |), ex AS (
+        |  SELECT g, CAST(count(DISTINCT v) AS BIGINT) AS exact_distinct
+        |  FROM base GROUP BY 1
+        |)
+        |SELECT e.g AS event_type, n.n_days, n.sum_daily_exact,
+        |  ex.exact_distinct,
+        |  round(CASE WHEN raw <= 160.0 AND e.v > 0
+        |    THEN 64.0 * ln(64.0 / CAST(e.v AS DOUBLE)) ELSE raw END, 4)
+        |    AS est_merged
+        |FROM est e JOIN naive n ON n.g = e.g JOIN ex ON ex.g = e.g,
+        |  LATERAL (SELECT (0.7213 / (1.0 + 1.079 / 64.0)) * 64.0 * 64.0
+        |    * 8589934592.0 / CAST(e.s AS DOUBLE) AS raw) r""".stripMargin,
+
+    // the same md5 coin and band rotation; kappa entirely in HUGEINT
+    // count products with three closing divisions
+    "q220_fleiss_kappa" ->
+      """WITH docs AS (
+        |  SELECT doc_id, length(text) AS len FROM documents
+        |  WHERE text IS NOT NULL
+        |), ann AS (
+        |  SELECT doc_id,
+        |    CASE WHEN idx = 0 THEN 'short' WHEN idx = 1 THEN 'medium'
+        |      ELSE 'long' END AS label
+        |  FROM (
+        |    SELECT doc_id,
+        |      (CASE WHEN len < 150 THEN 0 WHEN len < 300 THEN 1 ELSE 2 END
+        |       + CASE WHEN ('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
+        |           || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10 < 2
+        |         THEN 1 ELSE 0 END) % 3 AS idx
+        |    FROM docs CROSS JOIN (SELECT unnest([1, 2, 3]) AS r) raters)
+        |), nij AS (
+        |  SELECT doc_id, label, count(*) AS nij FROM ann GROUP BY 1, 2
+        |), peritem AS (
+        |  SELECT sum(CAST(nij AS HUGEINT) * CAST(nij AS HUGEINT)) AS ssq,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_items
+        |  FROM nij
+        |), perlabel AS (
+        |  SELECT sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM (SELECT label, sum(nij) AS c FROM nij GROUP BY 1)
+        |)
+        |SELECT n_items, CAST(3 AS BIGINT) AS n_raters, k AS n_categories,
+        |  round(CAST(num1 AS DOUBLE) / CAST(d1 AS DOUBLE), 6) AS p_bar,
+        |  round(CAST(s2 AS DOUBLE) / CAST(d2 AS DOUBLE), 6) AS p_e,
+        |  round(CAST(num1 * d2 - s2 * d1 AS DOUBLE)
+        |    / CAST(d1 * (d2 - s2) AS DOUBLE), 6) AS fleiss_kappa
+        |FROM peritem, perlabel,
+        |  LATERAL (SELECT
+        |    ssq - CAST(n_items AS HUGEINT) * 3 AS num1,
+        |    CAST(n_items AS HUGEINT) * 3 * 2 AS d1,
+        |    CAST(n_items AS HUGEINT) * 3 * CAST(n_items AS HUGEINT) * 3
+        |      AS d2) l""".stripMargin,
 
     // q202's span/censor scaffold with the hazard-sum estimator and
     // Klein's variance, both as the same ordered window fold

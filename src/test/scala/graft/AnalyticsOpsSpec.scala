@@ -814,6 +814,27 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(lr("B") === ((2L, 2L, 1.4667, 0.699)))
   }
 
+  test("fleissKappa: hand-computed on the 3-item 2-rater fixture; " +
+    "perfect agreement gives kappa 1") {
+    // a: X,X  b: X,Y  c: Y,Y -> ssq=10, num1=4, d1=6, cX=cY=3, s2=18,
+    // d2=36: P=2/3, Pe=1/2, kappa = (1/6)/(1/2) = 1/3
+    val mixed = Seq(("a", 1, "X"), ("a", 2, "X"), ("b", 1, "X"),
+      ("b", 2, "Y"), ("c", 1, "Y"), ("c", 2, "Y"))
+      .toDF("item", "rater", "label")
+    val r = AnalyticsOps.fleissKappa(mixed, "item", "rater", "label", 2)
+      .collect()(0)
+    assert(r.getLong(0) === 3L)
+    assert(r.getLong(1) === 2L)
+    assert(r.getLong(2) === 2L)
+    assert(r.getAs[Double]("p_bar") === 0.666667)
+    assert(r.getAs[Double]("p_e") === 0.5)
+    assert(r.getAs[Double]("fleiss_kappa") === 0.333333)
+    val perfect = Seq(("a", 1, "X"), ("a", 2, "X"), ("b", 1, "Y"),
+      ("b", 2, "Y")).toDF("item", "rater", "label")
+    assert(AnalyticsOps.fleissKappa(perfect, "item", "rater", "label", 2)
+      .collect()(0).getAs[Double]("fleiss_kappa") === 1.0)
+  }
+
   test("welchTTest: hand-computed t and Welch-Satterthwaite df on " +
     "equal-variance halves") {
     // A={1,2,3} vs rest B={4,5,6}: means 2 and 5, s^2 = 1 both sides,

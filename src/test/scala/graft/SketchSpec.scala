@@ -261,4 +261,25 @@ class SketchSpec extends SparkSpec {
       big.unionAll(big).repartition(7), "g", "v").collect()(0)
     assert(rb2.getAs[Double]("est_distinct") === estB)
   }
+
+  test("hllRollup: day-merged registers reproduce the whole-period " +
+    "estimate EXACTLY while the naive per-day sum double-counts") {
+    import spark.implicits._
+    import java.sql.Date
+    // 1500 values over 3 days, each day's set overlapping the next:
+    // day d carries val(500d-250) .. val(500d+499)
+    val rows = (0 to 2).flatMap(d => (500 * d - 250 to 500 * d + 499)
+      .filter(_ >= 0).map(i => ("g", Date.valueOf(f"2024-01-0${d + 1}"),
+        s"val$i")))
+    val df = rows.toDF("g", "day", "v")
+    val out = graft.operators.SketchOps.hllRollup(df, "g", col("day"), "v")
+      .collect()(0)
+    assert(out.getAs[Long]("n_days") === 3L)
+    assert(out.getAs[Long]("exact_distinct") === 1500L)
+    assert(out.getAs[Long]("sum_daily_exact") === 2000L) // 500 repeats
+    // merge-by-max is lossless: the rolled-up estimate IS the direct one
+    val direct = graft.operators.SketchOps.hllDistinct(df, "g", "v")
+      .collect()(0).getAs[Double]("est_distinct")
+    assert(out.getAs[Double]("est_merged") === direct)
+  }
 }
