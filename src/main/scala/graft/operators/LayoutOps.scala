@@ -85,6 +85,53 @@ object LayoutOps {
         min(col(xCol)).as("min_x"), max(col(xCol)).as("max_x"),
         min(col(yCol)).as("min_y"), max(col(yCol)).as("max_y"))
 
+  /** Zone-map pruning effectiveness, three layouts side by side: the
+    * same table laid out in NATURAL (ingestion/tie-key) order, sorted
+    * by x alone, and Z-ordered on (x, y) — then, for one rectangle
+    * predicate [xLo..xHi] × [yLo..yHi], each target file's min/max
+    * zone map decides whether a reader SKIPS it. This is the
+    * measurement behind every "why Z-order" decision at 100 TB: the
+    * x-sort prunes perfectly on x and not at all on y, natural order
+    * prunes nothing, the Z-curve prunes on both.
+    *
+    * All three layouts rank through the two-level cumsum (monotone
+    * integer prefixes — no global window); skippability is exact
+    * integer interval disjointness, emitted as 0/1 (never a nullable
+    * boolean — the cross-engine hash hazard).
+    */
+  def zoneMapPruning(df: DataFrame, xCol: String, yCol: String,
+                     tieCol: String, buckets: Int,
+                     xLo: Long, xHi: Long, yLo: Long, yHi: Long): DataFrame = {
+    val n = df.count()
+    require(n > 0, "cannot layout an empty table")
+    def rankBuckets(d: DataFrame, prefix: Column, order: Seq[Column]): DataFrame = {
+      val (bk, wi) = TwoLevelCumsum.withOffsets(d, prefix, lit(1L), order)
+      bk.withColumn("__rk", col("__off") + sum("__w").over(wi))
+        .withColumn("bucket", expr(s"((__rk - 1L) * ${buckets}L) div ${n}L"))
+        .drop("__b", "__w", "__off", "__rk")
+    }
+    def stats(d: DataFrame, layout: String): DataFrame =
+      d.groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col(xCol)).as("min_x"), max(col(xCol)).as("max_x"),
+          min(col(yCol)).as("min_y"), max(col(yCol)).as("max_y"))
+        .withColumn("layout", lit(layout))
+    val natural = rankBuckets(df, expr(s"`$tieCol` div 1024L"),
+      Seq(col(tieCol).asc))
+    val xsort = rankBuckets(df, expr(s"`$xCol` div 1024L"),
+      Seq(col(xCol).asc, col(tieCol).asc))
+    val z = zOrderBuckets(df, xCol, yCol, tieCol, buckets).drop("z")
+    stats(natural, "natural")
+      .unionByName(stats(xsort, "xsort"))
+      .unionByName(stats(z, "zorder"))
+      .withColumn("skippable",
+        (col("max_x") < xLo || col("min_x") > xHi ||
+          col("max_y") < yLo || col("min_y") > yHi)
+          .cast(org.apache.spark.sql.types.LongType))
+      .select("layout", "bucket", "n_rows", "min_x", "max_x",
+        "min_y", "max_y", "skippable")
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment (Thaler &
     * Ravishankar 1998): shard(k) = argmax over s < n of h(k, s) with
     * h the engine-portable 60-bit md5 prefix. The property a layout

@@ -117,6 +117,24 @@ object ExtendedQueries {
       graft.graph.GraphOps.kCore(edges, coreK = 3, iters = 8)
     }),
 
+    // mojibake/encoding-artifact screen: replace-based exact counts of
+    // UTF-8-as-Latin-1 artifacts, replacement chars, C0 controls
+    "q221_mojibake" -> ((s, d) =>
+      graft.text.TextOps.encodingArtifacts(Tables.documents(s, d))),
+
+    // zone-map pruning effectiveness: natural vs x-sort vs Z-order
+    // layouts of orders (custkey x orderdate-day), per-file min/max
+    // and skippability for one rectangle predicate
+    "q222_zonemap_pruning" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"),
+          col("o_custkey").cast("long").as("x"),
+          datediff(to_date(col("o_orderdate")),
+            lit("1970-01-01").cast(DateType)).cast("long").as("y"))
+      graft.operators.LayoutOps.zoneMapPruning(o, "x", "y", "o_orderkey",
+        buckets = 16, xLo = 10L, xHi = 60L, yLo = 9500L, yHi = 9800L)
+    }),
+
     // HLL register MERGE: per-(type, day) sketches roll up by MAX into
     // exactly the whole-period registers; report puts the merged
     // estimate next to the exact distinct and the double-counting
@@ -2175,6 +2193,80 @@ object ExtendedQueries {
         |ORDER BY cn DESC, x, y LIMIT 50""".stripMargin,
 
     "q216_kcore" -> kCoreOracle(3, 8),
+
+    // identical replace-based length arithmetic; the C0 class is the
+    // one fixed byte-range regex both dialects define identically
+    "q221_mojibake" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST((length(text) - length(replace(text, '�', ''))) / 1
+        |      AS BIGINT) AS repl,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[\x{0080}-\x{009f}]', '', 'g')) AS BIGINT) AS c1,
+        |    CAST((length(text) - length(replace(text, 'Ã', ''))) / 1
+        |      AS BIGINT) AS latin1,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[\x01-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) AS BIGINT) AS ctrl
+        |  FROM documents WHERE text IS NOT NULL
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(CASE WHEN repl > 0 THEN 1 ELSE 0 END) AS n_replacement,
+        |  sum(CASE WHEN c1 > 0 THEN 1 ELSE 0 END) AS n_c1,
+        |  sum(CASE WHEN latin1 > 0 THEN 1 ELSE 0 END) AS n_latin1,
+        |  sum(CASE WHEN ctrl > 0 THEN 1 ELSE 0 END) AS n_control,
+        |  CAST(sum(repl + c1 + latin1 + ctrl) AS BIGINT) AS total_artifacts,
+        |  sum(CASE WHEN repl = 0 AND c1 = 0 AND latin1 = 0 AND ctrl = 0
+        |    THEN 1 ELSE 0 END) AS n_clean,
+        |  round(CAST(sum(CASE WHEN repl = 0 AND c1 = 0 AND latin1 = 0
+        |      AND ctrl = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS clean_rate
+        |FROM t GROUP BY 1""".stripMargin,
+
+    // q172's bit-interleave chain plus two comparison layouts; bucket
+    // by the same exact rank formula; skippable = interval disjointness
+    "q222_zonemap_pruning" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS id, CAST(o_custkey AS BIGINT) AS x,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS y
+        |  FROM orders
+        |), s1 AS (SELECT id, x AS ox, y AS oy,
+        |    (x | (x << 16)) & 281470681808895 AS sx,
+        |    (y | (y << 16)) & 281470681808895 AS sy FROM base),
+        |s2 AS (SELECT id, ox, oy,
+        |    (sx | (sx << 8)) & 71777214294589695 AS sx,
+        |    (sy | (sy << 8)) & 71777214294589695 AS sy FROM s1),
+        |s3 AS (SELECT id, ox, oy,
+        |    (sx | (sx << 4)) & 1085102592571150095 AS sx,
+        |    (sy | (sy << 4)) & 1085102592571150095 AS sy FROM s2),
+        |s4 AS (SELECT id, ox, oy,
+        |    (sx | (sx << 2)) & 3689348814741910323 AS sx,
+        |    (sy | (sy << 2)) & 3689348814741910323 AS sy FROM s3),
+        |s5 AS (SELECT id, ox, oy,
+        |    (sx | (sx << 1)) & 6148914691236517205 AS sx,
+        |    (sy | (sy << 1)) & 6148914691236517205 AS sy FROM s4),
+        |zz AS (SELECT id, ox, oy, sx | (sy << 1) AS z FROM s5),
+        |ranked AS (
+        |  SELECT 'natural' AS layout, ox, oy,
+        |    row_number() OVER (ORDER BY id) AS rk, count(*) OVER () AS n
+        |  FROM zz
+        |  UNION ALL
+        |  SELECT 'xsort', ox, oy,
+        |    row_number() OVER (ORDER BY ox, id), count(*) OVER () FROM zz
+        |  UNION ALL
+        |  SELECT 'zorder', ox, oy,
+        |    row_number() OVER (ORDER BY z, id), count(*) OVER () FROM zz
+        |), st AS (
+        |  SELECT layout, ((rk - 1) * 16) // n AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    min(ox) AS min_x, max(ox) AS max_x,
+        |    min(oy) AS min_y, max(oy) AS max_y
+        |  FROM ranked GROUP BY 1, 2
+        |)
+        |SELECT layout, bucket, n_rows, min_x, max_x, min_y, max_y,
+        |  CAST(CASE WHEN max_x < 10 OR min_x > 60
+        |    OR max_y < 9500 OR min_y > 9800 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS skippable
+        |FROM st""".stripMargin,
 
     // daily registers -> MAX-merged registers -> the q206 estimator;
     // per-day exact distincts summed for the double-counting contrast

@@ -906,4 +906,45 @@ object TextOps {
       .withColumn("keep_rate", round(
         col("n_kept").cast(DoubleType) / col("n_docs").cast(DoubleType), 6))
   }
+
+  /** Encoding-artifact (mojibake) screen — the ftfy-class corpus
+    * health check. Four exact signals: U+FFFD replacement characters
+    * (decode failure), C1 control characters U+0080–U+009F (the
+    * smoking gun of a UTF-8-as-Latin-1 round-trip — 'â€"'-style
+    * artifacts decode to C1 bytes, and NO legitimate text contains
+    * them), the 'Ã' letter (every Latin-1-mangled accented letter
+    * produces one — a screen signal, counted not judged), and raw C0
+    * control bytes (binary bleed-through). U+FFFD and 'Ã' count by
+    * replace-based length arithmetic; the C0/C1 classes are fixed
+    * codepoint-range regexes both engines' dialects define
+    * identically. Per-source totals plus a clean-doc rate.
+    *
+    * Scale shape: map-only per-doc projections into one
+    * map-side-combined aggregate; nothing shuffles but #sources rows.
+    */
+  def encodingArtifacts(docs: DataFrame, textCol: String = "text",
+                        groupCol: String = "source"): DataFrame = {
+    val t = col(textCol)
+    def occurrences(lit0: String): Column =
+      ((length(t) - length(replace(t, lit(lit0), lit("")))) / lit0.length)
+        .cast(LongType)
+    val repl = occurrences("�")
+    val latin1 = occurrences("Ã")
+    val c1 = (length(t) -
+      length(regexp_replace(t, "[\\x{0080}-\\x{009f}]", ""))).cast(LongType)
+    val ctrl = (length(t) -
+      length(regexp_replace(t, "[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]", "")))
+      .cast(LongType)
+    def n(c: Column) = sum(when(c, 1L).otherwise(0L))
+    docs.filter(t.isNotNull).groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        n(repl > 0).as("n_replacement"),
+        n(c1 > 0).as("n_c1"),
+        n(latin1 > 0).as("n_latin1"),
+        n(ctrl > 0).as("n_control"),
+        sum(repl + c1 + latin1 + ctrl).as("total_artifacts"),
+        n(repl === 0 && c1 === 0 && latin1 === 0 && ctrl === 0).as("n_clean"))
+      .withColumn("clean_rate", round(
+        col("n_clean").cast(DoubleType) / col("n_docs").cast(DoubleType), 6))
+  }
 }

@@ -50,4 +50,22 @@ class LayoutOpsSpec extends SparkSpec {
       assert(minX % 8 === 0L && minY % 8 === 0L)
     }
   }
+
+  test("zoneMapPruning: natural order prunes nothing, the x-sort " +
+    "prunes every non-matching x range, and z-order prunes on both") {
+    // 64 rows whose ingestion (tie) order is a permutation of x, so
+    // natural files span nearly the whole x domain
+    val rows = (0 until 64).map { i =>
+      (((i * 29) % 64).toLong, (i % 8).toLong, i.toLong)
+    }.toDF("x", "y", "id")
+    val out = LayoutOps.zoneMapPruning(rows, "x", "y", "id", buckets = 4,
+      xLo = 0L, xHi = 15L, yLo = 0L, yHi = 3L).collect()
+    val skipped = out.groupBy(_.getString(0)).view
+      .mapValues(rs => (rs.map(_.getLong(7)).sum, rs.map(_.getLong(2)).sum))
+      .toMap
+    assert(skipped("natural") === ((0L, 64L))) // every file overlaps
+    assert(skipped("xsort") === ((3L, 64L))) // only x in 0..15 survives
+    assert(skipped("zorder")._1 >= 2L) // prunes in both dimensions
+    assert(skipped("zorder")._2 === 64L)
+  }
 }

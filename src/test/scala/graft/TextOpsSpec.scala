@@ -487,4 +487,27 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_kept") === 1L)
     assert(r.getAs[Double]("keep_rate") === 0.2)
   }
+
+  test("encodingArtifacts: each artifact family counts its own " +
+    "fixture, multi-char patterns count per occurrence, clean text " +
+    "is clean") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s", "perfectly clean ascii text"),
+      ("s", "cafÃ© and naÃ¯ve"), // two Ã artifacts
+      ("s", "smart â dash â twice"),
+      ("s", "lost char � here � and �"),
+      ("s", "binarybleedthrough"))
+      .toDF("source", "text")
+    val r = graft.text.TextOps.encodingArtifacts(docs).collect()(0)
+    assert(r.getAs[Long]("n_docs") === 5L)
+    assert(r.getAs[Long]("n_replacement") === 1L)
+    assert(r.getAs[Long]("n_c1") === 1L) // the round-tripped dashes
+    assert(r.getAs[Long]("n_latin1") === 1L) // cafÃ©/naÃ¯ve doc
+    assert(r.getAs[Long]("n_control") === 1L)
+    // 3 (replacement) + 4 (C1 bytes in the two dashes) + 2 (Ã) + 2 (C0)
+    assert(r.getAs[Long]("total_artifacts") === 11L)
+    assert(r.getAs[Long]("n_clean") === 1L)
+    assert(r.getAs[Double]("clean_rate") === 0.2)
+  }
 }
