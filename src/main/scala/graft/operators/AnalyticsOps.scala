@@ -211,6 +211,67 @@ object AnalyticsOps {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** First-order Markov next-event prediction accuracy — the eval
+    * report for the q136 transition model: adjacent in-session pairs
+    * (the same (user, time-bucket) decomposition, so no per-user
+    * window over an unbounded history) split by the TO-event's day at
+    * the calendar midpoint; the first half trains per-state argmax
+    * predictions (ties to the lexicographically smallest successor),
+    * the second half scores them. Everything is integer counts and
+    * min-struct argmaxes until the closing accuracy division. States
+    * unseen in training predict NULL and score as misses.
+    */
+  def markovNextEventAccuracy(events: DataFrame,
+                              userCol: String = "user_id",
+                              tsCol: String = "ts",
+                              idCol: String = "event_id",
+                              typeCol: String = "event_type",
+                              bucketSecs: Long = 86400L): DataFrame = {
+    val e = events.select(
+      col(userCol).as("__u"), col(idCol).as("__id"),
+      unix_micros(col(tsCol)).as("__ts"), col(typeCol).as("__t"))
+      .withColumn("__b", expr(s"__ts div ${bucketSecs * 1000000L}L"))
+    val wB = Window.partitionBy("__u", "__b").orderBy("__ts", "__id")
+    val within = e.withColumn("__p", lag("__t", 1).over(wB))
+      .filter(col("__p").isNotNull)
+      .select(col("__p").as("from_type"), col("__t").as("to_type"),
+        col("__ts").as("__tots"))
+    val wU = Window.partitionBy("__u").orderBy("__b")
+    val boundary = e.groupBy("__u", "__b")
+      .agg(min(struct(col("__ts"), col("__id"), col("__t"))).as("__first"),
+        max(struct(col("__ts"), col("__id"), col("__t"))).as("__last"))
+      .withColumn("__prevLastT", lag(col("__last.__t"), 1).over(wU))
+      .filter(col("__prevLastT").isNotNull)
+      .select(col("__prevLastT").as("from_type"),
+        col("__first.__t").as("to_type"),
+        col("__first.__ts").as("__tots"))
+    val pairs = within.unionByName(boundary)
+      .withColumn("__day", expr("__tots div 86400000000L"))
+    val bounds = pairs.agg(min("__day").as("__lo"), max("__day").as("__hi"))
+      .withColumn("__split", expr("__lo + (__hi - __lo) div 2L"))
+      .select("__split")
+    val tagged = pairs.crossJoin(broadcast(bounds))
+    val train = tagged.filter(col("__day") <= col("__split"))
+    val eval_ = tagged.filter(col("__day") > col("__split"))
+    val model = train.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("__n"))
+    val predicted = model.groupBy("from_type")
+      .agg(sum("__n").as("n_train"),
+        min(struct((-col("__n")).as("nn"), col("to_type").as("t")))
+          .as("__best"))
+      .select(col("from_type"), col("n_train"),
+        col("__best.t").as("predicted_next"))
+    eval_.join(predicted, Seq("from_type"), "left")
+      .groupBy("from_type")
+      .agg(max(coalesce(col("n_train"), lit(0L))).as("n_train"),
+        max(col("predicted_next")).as("predicted_next"),
+        count(lit(1)).as("n_eval"),
+        sum(when(col("to_type") === col("predicted_next"), 1L)
+          .otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy", round(
+        col("n_correct").cast("double") / col("n_eval").cast("double"), 6))
+  }
+
   /** Per-group activity TREND: the least-squares slope of daily event
     * counts over the day number — the "is this metric growing"
     * statistic behind every dashboard trend arrow. All four OLS

@@ -117,6 +117,23 @@ object ExtendedQueries {
       graft.graph.GraphOps.kCore(edges, coreK = 3, iters = 8)
     }),
 
+    // next-event prediction eval: calendar-half split, per-state argmax
+    // model from the first half scored on the second; integer counts +
+    // min-struct argmax, closing accuracy division
+    "q223_markov_accuracy" -> ((s, d) =>
+      graft.operators.AnalyticsOps.markovNextEventAccuracy(
+        Tables.events(s, d))),
+
+    // cross-source duplicate overlap matrix with a deterministic
+    // "mirror" feed (every 5th doc relabeled) simulating a re-crawl;
+    // normalized-digest pair join bounded by #sources fan-out
+    "q224_cross_source_dups" -> ((s, d) => {
+      val d0 = Tables.documents(s, d)
+      val mirror = d0.filter(col("doc_id") % 5 === 0)
+        .withColumn("source", lit("mirror"))
+      graft.text.TextOps.crossSourceDuplicates(d0.unionByName(mirror))
+    }),
+
     // mojibake/encoding-artifact screen: replace-based exact counts of
     // UTF-8-as-Latin-1 artifacts, replacement chars, C0 controls
     "q221_mojibake" -> ((s, d) =>
@@ -2193,6 +2210,94 @@ object ExtendedQueries {
         |ORDER BY cn DESC, x, y LIMIT 50""".stripMargin,
 
     "q216_kcore" -> kCoreOracle(3, 8),
+
+    // the same (user, day-bucket) adjacency as q136, first/last rows by
+    // row_number twins of the engine's min/max structs, argmax by
+    // (count DESC, successor ASC)
+    "q223_markov_accuracy" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, event_id AS id, epoch_us(ts) AS tsu,
+        |    event_type AS t, epoch_us(ts) // 86400000000 AS b
+        |  FROM events
+        |), within AS (
+        |  SELECT p AS from_type, t AS to_type, tsu AS tots FROM (
+        |    SELECT t, tsu,
+        |      lag(t) OVER (PARTITION BY u, b ORDER BY tsu, id) AS p
+        |    FROM e)
+        |  WHERE p IS NOT NULL
+        |), fl AS (
+        |  SELECT u, b,
+        |    max(CASE WHEN rna = 1 THEN t END) AS first_t,
+        |    max(CASE WHEN rna = 1 THEN tsu END) AS first_ts,
+        |    max(CASE WHEN rnd = 1 THEN t END) AS last_t
+        |  FROM (SELECT u, b, t, tsu,
+        |      row_number() OVER (PARTITION BY u, b ORDER BY tsu, id) AS rna,
+        |      row_number() OVER (PARTITION BY u, b ORDER BY tsu DESC, id DESC)
+        |        AS rnd
+        |    FROM e)
+        |  GROUP BY 1, 2
+        |), boundary AS (
+        |  SELECT prev_last AS from_type, first_t AS to_type,
+        |    first_ts AS tots
+        |  FROM (SELECT first_t, first_ts,
+        |      lag(last_t) OVER (PARTITION BY u ORDER BY b) AS prev_last
+        |    FROM fl)
+        |  WHERE prev_last IS NOT NULL
+        |), pairs AS (
+        |  SELECT from_type, to_type, tots // 86400000000 AS day
+        |  FROM (SELECT * FROM within UNION ALL SELECT * FROM boundary)
+        |), bounds AS (
+        |  SELECT min(day) + (max(day) - min(day)) // 2 AS split FROM pairs
+        |), model AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM pairs, bounds WHERE day <= split GROUP BY 1, 2
+        |), pred AS (
+        |  SELECT from_type, CAST(n_train AS BIGINT) AS n_train,
+        |    to_type AS predicted_next
+        |  FROM (SELECT m.from_type, m.to_type,
+        |      sum(m.n) OVER (PARTITION BY m.from_type) AS n_train,
+        |      row_number() OVER (PARTITION BY m.from_type
+        |        ORDER BY m.n DESC, m.to_type) AS rn
+        |    FROM model m)
+        |  WHERE rn = 1
+        |)
+        |SELECT e.from_type,
+        |  CAST(COALESCE(max(p.n_train), 0) AS BIGINT) AS n_train,
+        |  max(p.predicted_next) AS predicted_next,
+        |  count(*) AS n_eval,
+        |  sum(CASE WHEN e.to_type = p.predicted_next THEN 1 ELSE 0 END)
+        |    AS n_correct,
+        |  round(CAST(sum(CASE WHEN e.to_type = p.predicted_next
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS accuracy
+        |FROM (SELECT from_type, to_type FROM pairs, bounds WHERE day > split) e
+        |LEFT JOIN pred p USING (from_type)
+        |GROUP BY 1""".stripMargin,
+
+    // the q80 normalization digest per (source, doc), mirror feed
+    // unioned in, unordered pair counts + digest-set Jaccard
+    "q224_cross_source_dups" ->
+      """WITH alldocs AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'mirror', text FROM documents WHERE doc_id % 5 = 0
+        |), k AS (
+        |  SELECT DISTINCT source AS s,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g'))) AS h
+        |  FROM alldocs WHERE text IS NOT NULL
+        |), sizes AS (
+        |  SELECT s, count(*) AS n FROM k GROUP BY 1
+        |), shared AS (
+        |  SELECT a.s AS source_a, b.s AS source_b, count(*) AS n_shared
+        |  FROM k a JOIN k b USING (h) WHERE a.s < b.s GROUP BY 1, 2
+        |)
+        |SELECT source_a, source_b, n_shared,
+        |  round(CAST(n_shared AS DOUBLE)
+        |    / CAST(na.n + nb.n - n_shared AS DOUBLE), 6) AS digest_jaccard
+        |FROM shared
+        |JOIN sizes na ON na.s = source_a
+        |JOIN sizes nb ON nb.s = source_b""".stripMargin,
 
     // identical replace-based length arithmetic; the C0 class is the
     // one fixed byte-range regex both dialects define identically

@@ -907,6 +907,38 @@ object TextOps {
         col("n_kept").cast(DoubleType) / col("n_docs").cast(DoubleType), 6))
   }
 
+  /** Cross-source duplicate overlap matrix — the corpus-governance
+    * report behind "which feeds re-crawl each other": per unordered
+    * source pair, how many NORMALIZED-text digests ([[normalizeText]],
+    * the q80 key) appear in both, with the digest-set Jaccard. Exact
+    * integers, one closing division.
+    *
+    * Scale shape: the corpus collapses to DISTINCT (source, digest)
+    * rows (one map-side-combined aggregate); the pair join keys on
+    * the digest, whose per-key fan-out is bounded by #sources — the
+    * join explodes O(dups · sources²) worst case, never O(corpus²).
+    */
+  def crossSourceDuplicates(docs: DataFrame, textCol: String = "text",
+                            sourceCol: String = "source"): DataFrame = {
+    val keys = docs.filter(col(textCol).isNotNull)
+      .select(col(sourceCol).as("__s"),
+        md5(normalizeText(col(textCol))).as("__h"))
+      .distinct()
+    val sizes = keys.groupBy("__s").agg(count(lit(1)).as("__n"))
+    val shared = keys.join(keys.select(col("__s").as("__s2"), col("__h")), "__h")
+      .filter(col("__s") < col("__s2"))
+      .groupBy(col("__s"), col("__s2"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("__s"), col("__n").as("__na")), "__s")
+      .join(sizes.select(col("__s").as("__s2"), col("__n").as("__nb")), "__s2")
+      .select(col("__s").as("source_a"), col("__s2").as("source_b"),
+        col("n_shared"),
+        round(col("n_shared").cast(DoubleType) /
+          (col("__na") + col("__nb") - col("n_shared")).cast(DoubleType), 6)
+          .as("digest_jaccard"))
+  }
+
   /** Encoding-artifact (mojibake) screen — the ftfy-class corpus
     * health check. Four exact signals: U+FFFD replacement characters
     * (decode failure), C1 control characters U+0080–U+009F (the

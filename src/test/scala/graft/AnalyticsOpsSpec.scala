@@ -782,6 +782,33 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(outT("B") === ((0.625, 0.5, 2.0)))
   }
 
+  test("markovNextEventAccuracy: calendar-half split, boundary pairs " +
+    "cross buckets, unseen states predict NULL and score as misses") {
+    val events = Seq(
+      // u1 day 1-2 (train): A->B twice within-day, B->A at the boundary
+      (1L, "A", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "B", ts("2024-01-01 11:00:00"), 2L),
+      (1L, "A", ts("2024-01-02 10:00:00"), 3L),
+      (1L, "B", ts("2024-01-02 11:00:00"), 4L),
+      // u1 day 3-4 (eval): A->B (hit), A->C (miss), two B->A boundaries
+      (1L, "A", ts("2024-01-03 10:00:00"), 5L),
+      (1L, "B", ts("2024-01-03 11:00:00"), 6L),
+      (1L, "A", ts("2024-01-04 10:00:00"), 7L),
+      (1L, "C", ts("2024-01-04 11:00:00"), 8L),
+      // u2 eval-only state X: unseen in training
+      (2L, "X", ts("2024-01-03 10:00:00"), 9L),
+      (2L, "Y", ts("2024-01-03 11:00:00"), 10L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = AnalyticsOps.markovNextEventAccuracy(events)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.getString(2)), r.getLong(3), r.getLong(4),
+          r.getAs[Double]("accuracy"))).toMap
+    assert(out("A") === ((2L, Some("B"), 2L, 1L, 0.5)))
+    assert(out("B") === ((1L, Some("A"), 2L, 2L, 1.0)))
+    assert(out("X") === ((0L, None, 1L, 0L, 0.0)))
+    assert(!out.contains("C") && !out.contains("Y"))
+  }
+
   test("nelsonAalen and logRankOneVsRest: hand-computed hazards, " +
     "expectations and hypergeometric variances on a two-cohort fixture") {
     // cohort A: churns at t=0 (u2) and t=2 (u1), censored at t=30 (u3,

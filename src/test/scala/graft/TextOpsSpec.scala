@@ -488,6 +488,21 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("keep_rate") === 0.2)
   }
 
+  test("crossSourceDuplicates: case/punct/space variants collide " +
+    "through the q80 normalization, disjoint sources emit no pair") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "Hello, World!"), ("s1", "unique one"),
+      ("s2", "hello   world"), ("s2", "other text"),
+      ("s3", "no match")).toDF("source", "text")
+    val out = graft.text.TextOps.crossSourceDuplicates(docs).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert((r.getString(0), r.getString(1)) === (("s1", "s2")))
+    assert(r.getLong(2) === 1L)
+    assert(r.getAs[Double]("digest_jaccard") === 0.333333)
+  }
+
   test("encodingArtifacts: each artifact family counts its own " +
     "fixture, multi-char patterns count per occurrence, clean text " +
     "is clean") {
