@@ -67,6 +67,22 @@ object ExtendedQueries {
         k = 5, oversample = 4)
     }),
 
+    // Matryoshka prefix-dim recall: 16-dim int8 ranking vs the full
+    // 64-dim ranking, recall@10 per query — all-integer distances
+    "q225_prefix_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.similarity.Ann.prefixDimRecall(
+        emb.filter(col("vec_id") % 97 === 0),
+        emb.filter(col("vec_id") % 97 =!= 0),
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 10, prefixDims = 16)
+    }),
+
+    // per-dimension embedding health: exact quantized moments, zero
+    // counts, min/max — the pre-index screen
+    "q226_dim_profile" -> ((s, d) =>
+      graft.similarity.Ann.dimProfile(Tables.embeddings(s, d), "embedding")),
+
     // degree summary + assortativity over the q143 order-part link
     // graph: exact Decimal moments, one closing double expression
     "q209_assortativity" -> ((s, d) => {
@@ -2210,6 +2226,76 @@ object ExtendedQueries {
         |ORDER BY cn DESC, x, y LIMIT 50""".stripMargin,
 
     "q216_kcore" -> kCoreOracle(3, 8),
+
+    // the q89 int8 codes, prefix and full integer L2, row_number twins
+    // of the bounded-heap top-k, LEFT-join intersection
+    "q225_prefix_recall" ->
+      """WITH vecs AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CASE WHEN scale = 0 THEN 0
+        |           ELSE CAST(floor(x / scale * 127 + 0.5) AS BIGINT) END) AS qv
+        |  FROM (SELECT vec_id, embedding,
+        |      list_aggregate(list_transform(embedding::DOUBLE[],
+        |        x -> abs(x)), 'max') AS scale
+        |    FROM embeddings)
+        |), q AS (SELECT vec_id AS query_id, qv FROM vecs WHERE vec_id % 97 = 0
+        |), c AS (
+        |  SELECT vec_id AS neighbor_id, qv FROM vecs WHERE vec_id % 97 <> 0
+        |), scored AS (
+        |  SELECT q.query_id, c.neighbor_id,
+        |    list_sum(list_transform(generate_series(1, 16),
+        |      i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i]))) AS dp,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i]))) AS df
+        |  FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id
+        |), tp AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY dp, neighbor_id) AS rn
+        |    FROM scored) WHERE rn <= 10
+        |), tf AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY df, neighbor_id) AS rn
+        |    FROM scored) WHERE rn <= 10
+        |)
+        |SELECT tf.query_id, count(*) AS k_full,
+        |  sum(CASE WHEN tp.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS n_hits,
+        |  round(CAST(sum(CASE WHEN tp.neighbor_id IS NOT NULL THEN 1
+        |      ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+        |FROM tf LEFT JOIN tp USING (query_id, neighbor_id)
+        |GROUP BY 1""".stripMargin,
+
+    // generate_series twin of posexplode (1-based -> dim = d - 1),
+    // the q213 moment tree over 6-decimal quantized coordinates
+    "q226_dim_profile" ->
+      """WITH ex AS (
+        |  SELECT d - 1 AS dim, CAST(embedding[d] AS DOUBLE) AS xd
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS g(d)
+        |  WHERE embedding IS NOT NULL
+        |), qv AS (
+        |  SELECT dim, xd,
+        |    CAST(CAST(xd AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+        |  FROM ex
+        |), agg AS (
+        |  SELECT dim, count(*) AS n,
+        |    sum(CASE WHEN xd = 0.0 THEN 1 ELSE 0 END) AS n_zero,
+        |    sum(CAST(v AS HUGEINT)) AS s,
+        |    sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS q,
+        |    min(xd) AS mn, max(xd) AS mx
+        |  FROM qv GROUP BY 1
+        |)
+        |SELECT CAST(dim AS INTEGER) AS dim, n, n_zero,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6) AS mean,
+        |  round(CASE WHEN n > 1 THEN sqrt(
+        |    (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 1e12)
+        |    END, 6) AS std,
+        |  round(mn, 6) AS min_v,
+        |  round(mx, 6) AS max_v
+        |FROM agg""".stripMargin,
 
     // the same (user, day-bucket) adjacency as q136, first/last rows by
     // row_number twins of the engine's min/max structs, argmax by

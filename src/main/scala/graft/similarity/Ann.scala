@@ -295,6 +295,90 @@ object Ann {
       out.getField("qvec").as("qvec"))
   }
 
+  /** Matryoshka-style prefix-dimension recall report: rank the corpus
+    * per query by squared-L2 over the FIRST `prefixDims` int8 code
+    * dimensions and over ALL dimensions, and measure recall@k of the
+    * prefix ranking against the full one — the measurement behind
+    * "can we search on a 4× shorter vector". Distances are exact
+    * integers over the [[quantizeInt8]] code space (bit-identical
+    * across engines), ties break on (distance, neighbor id), and the
+    * intersection count is a plain join — no float comparisons
+    * anywhere.
+    *
+    * Scale shape: queries broadcast, one corpus scan feeding BOTH
+    * rankings, bounded-heap top-k per ranking (≤ k rows per query per
+    * map partition cross the shuffle), intersection on (query,
+    * neighbor) keys.
+    */
+  def prefixDimRecall(queries: DataFrame, corpus: DataFrame,
+                      qId: String, qVec: String, cId: String, cVec: String,
+                      k: Int, prefixDims: Int): DataFrame = {
+    require(k >= 1 && prefixDims >= 1, "k and prefixDims must be positive")
+    val qc = broadcast(quantizeInt8(queries, qId, qVec)
+      .select(col(qId).as("query_id"), col("qvec").as("__q")))
+    val cc = quantizeInt8(corpus, cId, cVec)
+      .select(col(cId).as("neighbor_id"), col("qvec").as("__c"))
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b,
+        (x, y) => (x.cast(LongType) - y) * (x.cast(LongType) - y)),
+        lit(0L), (acc, x) => acc + x)
+    val scored = qc.crossJoin(cc)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__dp", sqDist(slice(col("__q"), 1, prefixDims),
+        slice(col("__c"), 1, prefixDims)))
+      .withColumn("__df", sqDist(col("__q"), col("__c")))
+    val idType = corpus.schema(cId).dataType
+    val topPrefix = finishTopK(scored.select(col("query_id"),
+      col("neighbor_id"), (-col("__dp")).cast(DoubleType).as("score")),
+      idType, k)
+    val topFull = finishTopK(scored.select(col("query_id"),
+      col("neighbor_id"), (-col("__df")).cast(DoubleType).as("score")),
+      idType, k)
+    topFull.select("query_id", "neighbor_id")
+      .join(topPrefix.select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("__hit")), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k_full"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", round(
+        col("n_hits").cast(DoubleType) / col("k_full").cast(DoubleType), 6))
+  }
+
+  /** Per-dimension embedding health profile — the "dead or exploding
+    * dimension" screen run before any ANN index build: for every
+    * coordinate, the count, zero count, exact mean and sample std
+    * (6-decimal-quantized integer moments, the q201 portable
+    * surface), and the min/max. A dimension with n_zero = n is dead
+    * weight in every distance computation; one with a std far above
+    * its peers dominates unnormalized L2.
+    *
+    * Scale shape: one posexplode (×dims map-side fan-out) into a
+    * map-side-combined groupBy(dim); output is #dims rows.
+    */
+  def dimProfile(df: DataFrame, vecCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val ex = df.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .withColumn("__xd", col("__x").cast(DoubleType))
+      .withColumn("__v",
+        (col("__xd").cast(DecimalType(18, 6)) * lit(1000000)).cast(LongType))
+    ex.groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__xd") === 0.0d, 1L).otherwise(0L)).as("n_zero"),
+        sum(col("__v").cast(dec)).as("__s"),
+        sum(col("__v").cast(dec) * col("__v").cast(dec)).as("__q"),
+        min("__xd").as("__mn"), max("__xd").as("__mx"))
+      .select(col("dim"), col("n"), col("n_zero"),
+        round(col("__s").cast(DoubleType) / col("n").cast(DoubleType) / 1e6, 6)
+          .as("mean"),
+        round(when(col("n") > 1, sqrt(
+          (col("__q").cast(DoubleType) - col("__s").cast(DoubleType) *
+            col("__s").cast(DoubleType) / col("n").cast(DoubleType)) /
+            (col("n").cast(DoubleType) - 1.0) / 1e12)), 6).as("std"),
+        round(col("__mn"), 6).as("min_v"),
+        round(col("__mx"), 6).as("max_v"))
+  }
+
   /** IVF with the DETERMINISTIC int8 k-means codebook
     * ([[KmeansInt8]]) — the fully-oracle-checkable sibling of
     * [[ivfKmeansTopK]] (whose MLlib trainer is float-reassociation
