@@ -211,6 +211,133 @@ object AnalyticsOps {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
+  /** Lead–lag cross-correlation matrix: for every unordered group
+    * pair and every lag in [−maxLag, maxLag], the Pearson correlation
+    * of a's daily count against b's count `lag` days LATER — the
+    * "does A's spike predict B's" report (q146's zero-lag correlation
+    * generalized along the time axis). Same dense zero-filled grid
+    * and exact Decimal(38,0) moments as q146; alignment is integer
+    * day arithmetic, one closing double expression per cell.
+    *
+    * Scale shape: the corpus collapses to the daily count frame; the
+    * pair×lag fan-out is (#groups × 2·maxLag+1) on a calendar-bounded
+    * grid. No windows.
+    */
+  def leadLagCorrelation(events: DataFrame,
+                         groupCol: String = "event_type",
+                         tsCol: String = "ts", maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 30, s"maxLag out of range: $maxLag")
+    val spark0 = events.sparkSession
+    import spark0.implicits._
+    val daily = events
+      .select(col(groupCol).as("__g"), to_date(col(tsCol)).as("__day"))
+      .groupBy("__g", "__day")
+      .agg(count(lit(1)).as("__n"))
+    daily.persist()
+    val groups = daily.select("__g").distinct()
+    val days = daily.select("__day").distinct()
+    val dense = groups.crossJoin(days)
+      .join(daily, Seq("__g", "__day"), "left")
+      .select(col("__g"),
+        datediff(col("__day"), lit("1970-01-01").cast(DateType))
+          .cast(LongType).as("__d"),
+        coalesce(col("__n"), lit(0L)).as("__n"))
+    val lags = broadcast((-maxLag to maxLag).toDF("lag"))
+    val a = dense.select(col("__g").as("group_a"), col("__d"),
+      col("__n").as("__x"))
+    val b = dense.select(col("__g").as("group_b"), col("__d").as("__db"),
+      col("__n").as("__y"))
+    val dec = DecimalType(38, 0)
+    val out = a.crossJoin(lags)
+      .join(b, col("__db") === col("__d") + col("lag"))
+      .filter(col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b", "lag")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum(col("__x").cast(dec) * col("__y").cast(dec)).as("__sxy"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"),
+        sum(col("__y").cast(dec) * col("__y").cast(dec)).as("__syy"))
+      .withColumn("__vx",
+        col("n_days") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__vy",
+        col("n_days") * col("__syy") - col("__sy") * col("__sy"))
+      .select(col("group_a"), col("group_b"), col("lag"), col("n_days"),
+        round(when(col("__vx") > 0 && col("__vy") > 0,
+          (col("n_days") * col("__sxy") - col("__sx") * col("__sy"))
+            .cast("double")
+            / sqrt(col("__vx").cast("double") * col("__vy").cast("double"))),
+          6).as("pearson_r"))
+      .localCheckpoint(true)
+    daily.unpersist()
+    out
+  }
+
+  /** Single-changepoint detection by binary segmentation: for each
+    * group's daily count series (dense zero-filled calendar grid),
+    * the split boundary minimizing SSE_left + SSE_right — equivalently
+    * maximizing the variance-reduction gain over the unsplit series.
+    * Cumulative count/sum/sum-of-squares run as exact integer window
+    * folds over the calendar-bounded per-group frame; each candidate's
+    * gain closes in one fixed double expression and the argmax is a
+    * max-struct with ties to the EARLIEST boundary.
+    */
+  def changepointDetection(events: DataFrame,
+                           groupCol: String = "event_type",
+                           tsCol: String = "ts"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = events
+      .select(col(groupCol).as("__g"), to_date(col(tsCol)).as("__day"))
+      .groupBy("__g", "__day")
+      .agg(count(lit(1)).as("__n"))
+    daily.persist()
+    val groups = daily.select("__g").distinct()
+    val days = daily.select("__day").distinct()
+    val dense = groups.crossJoin(days)
+      .join(daily, Seq("__g", "__day"), "left")
+      .select(col("__g"), col("__day"),
+        coalesce(col("__n"), lit(0L)).as("__n"))
+    val w = Window.partitionBy("__g").orderBy(col("__day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dense
+      .withColumn("__cn", count(lit(1)).over(w))
+      .withColumn("__cs", sum(col("__n").cast(dec)).over(w))
+      .withColumn("__cq",
+        sum(col("__n").cast(dec) * col("__n").cast(dec)).over(w))
+    val totals = dense.groupBy("__g")
+      .agg(count(lit(1)).as("__tn"), sum(col("__n").cast(dec)).as("__ts2"),
+        sum(col("__n").cast(dec) * col("__n").cast(dec)).as("__tq"))
+    def sse(q: Column, s: Column, n: Column): Column =
+      q.cast("double") - s.cast("double") * s.cast("double") /
+        n.cast("double")
+    val scored = cum.join(totals, "__g")
+      .filter(col("__cn") < col("__tn")) // a split needs a right side
+      .withColumn("__gain",
+        sse(col("__tq"), col("__ts2"), col("__tn")) -
+          sse(col("__cq"), col("__cs"), col("__cn")) -
+          sse(col("__tq") - col("__cq"), col("__ts2") - col("__cs"),
+            col("__tn") - col("__cn")))
+      .withColumn("__negd",
+        -datediff(col("__day"), lit("1970-01-01").cast(DateType))
+          .cast(LongType))
+    val out = scored.groupBy("__g")
+      .agg(max(struct(col("__gain"), col("__negd"), col("__day").as("d"),
+        col("__cn").as("cn"), col("__cs").as("cs"), col("__ts2").as("ts2"),
+        col("__tn").as("tn"))).as("__b"))
+      .select(col("__g").as(groupCol),
+        col("__b.d").as("split_day"),
+        col("__b.tn").as("n_days"),
+        round(col("__b.cs").cast("double") / col("__b.cn").cast("double"), 6)
+          .as("mean_before"),
+        round((col("__b.ts2") - col("__b.cs")).cast("double") /
+          (col("__b.tn") - col("__b.cn")).cast("double"), 6)
+          .as("mean_after"),
+        round(col("__b.__gain"), 6).as("gain"))
+      .localCheckpoint(true)
+    daily.unpersist()
+    out
+  }
+
   /** First-order Markov next-event prediction accuracy — the eval
     * report for the q136 transition model: adjacent in-session pairs
     * (the same (user, time-bucket) decomposition, so no per-user

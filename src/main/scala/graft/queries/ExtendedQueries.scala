@@ -133,6 +133,16 @@ object ExtendedQueries {
       graft.graph.GraphOps.kCore(edges, coreK = 3, iters = 8)
     }),
 
+    // lead-lag cross-correlation: q146's dense grid and exact moments
+    // swept across integer day offsets -3..3
+    "q227_lead_lag" -> ((s, d) =>
+      graft.operators.AnalyticsOps.leadLagCorrelation(Tables.events(s, d))),
+
+    // single changepoint by binary segmentation: exact cumulative
+    // moments, per-boundary gain in one double tree, earliest-tie argmax
+    "q228_changepoint" -> ((s, d) =>
+      graft.operators.AnalyticsOps.changepointDetection(Tables.events(s, d))),
+
     // next-event prediction eval: calendar-half split, per-state argmax
     // model from the first half scored on the second; integer counts +
     // min-struct argmax, closing accuracy division
@@ -2296,6 +2306,88 @@ object ExtendedQueries {
         |  round(mn, 6) AS min_v,
         |  round(mx, 6) AS max_v
         |FROM agg""".stripMargin,
+
+    // same dense zero-filled grid; day alignment by integer offset,
+    // HUGEINT moments, the q146 closing expression per (pair, lag)
+    "q227_lead_lag" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, ts::DATE AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), groups AS (SELECT DISTINCT g FROM daily
+        |), days AS (SELECT DISTINCT day FROM daily
+        |), dense AS (
+        |  SELECT gr.g, datediff('day', DATE '1970-01-01', d.day) AS d,
+        |    COALESCE(da.n, 0) AS n
+        |  FROM groups gr CROSS JOIN days d
+        |  LEFT JOIN daily da ON da.g = gr.g AND da.day = d.day
+        |), lags AS (SELECT range AS lag FROM range(-3, 4)
+        |), mom AS (
+        |  SELECT a.g AS group_a, b.g AS group_b, l.lag,
+        |    count(*) AS nd,
+        |    sum(CAST(a.n AS HUGEINT)) AS sx, sum(CAST(b.n AS HUGEINT)) AS sy,
+        |    sum(CAST(a.n AS HUGEINT) * CAST(b.n AS HUGEINT)) AS sxy,
+        |    sum(CAST(a.n AS HUGEINT) * CAST(a.n AS HUGEINT)) AS sxx,
+        |    sum(CAST(b.n AS HUGEINT) * CAST(b.n AS HUGEINT)) AS syy
+        |  FROM dense a CROSS JOIN lags l
+        |  JOIN dense b ON b.d = a.d + l.lag AND a.g < b.g
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT group_a, group_b, CAST(lag AS INTEGER) AS lag,
+        |  CAST(nd AS BIGINT) AS n_days,
+        |  round(CASE WHEN vx > 0 AND vy > 0
+        |    THEN CAST(num AS DOUBLE)
+        |      / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) END, 6)
+        |    AS pearson_r
+        |FROM mom, LATERAL (SELECT nd * sxx - sx * sx AS vx,
+        |  nd * syy - sy * sy AS vy, nd * sxy - sx * sy AS num) l2""".stripMargin,
+
+    // cumulative HUGEINT moments per group, the identical three-term
+    // gain tree, row_number argmax (gain DESC, day ASC)
+    "q228_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type AS g, ts::DATE AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), groups AS (SELECT DISTINCT g FROM daily
+        |), days AS (SELECT DISTINCT day FROM daily
+        |), dense AS (
+        |  SELECT gr.g, d.day, COALESCE(da.n, 0) AS n
+        |  FROM groups gr CROSS JOIN days d
+        |  LEFT JOIN daily da ON da.g = gr.g AND da.day = d.day
+        |), cum AS (
+        |  SELECT g, day,
+        |    count(*) OVER w AS cn,
+        |    sum(CAST(n AS HUGEINT)) OVER w AS cs,
+        |    sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) OVER w AS cq
+        |  FROM dense
+        |  WINDOW w AS (PARTITION BY g ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), tot AS (
+        |  SELECT g, count(*) AS tn, sum(CAST(n AS HUGEINT)) AS ts,
+        |    sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS tq
+        |  FROM dense GROUP BY 1
+        |), scored AS (
+        |  SELECT c.g, c.day, c.cn, c.cs, t.tn, t.ts,
+        |    (CAST(t.tq AS DOUBLE) - CAST(t.ts AS DOUBLE) * CAST(t.ts AS DOUBLE)
+        |      / CAST(t.tn AS DOUBLE))
+        |    - (CAST(c.cq AS DOUBLE) - CAST(c.cs AS DOUBLE)
+        |      * CAST(c.cs AS DOUBLE) / CAST(c.cn AS DOUBLE))
+        |    - (CAST(t.tq - c.cq AS DOUBLE) - CAST(t.ts - c.cs AS DOUBLE)
+        |      * CAST(t.ts - c.cs AS DOUBLE) / CAST(t.tn - c.cn AS DOUBLE))
+        |      AS gain
+        |  FROM cum c JOIN tot t USING (g) WHERE c.cn < t.tn
+        |), best AS (
+        |  SELECT g, day, cn, cs, tn, ts, gain,
+        |    row_number() OVER (PARTITION BY g ORDER BY gain DESC, day ASC)
+        |      AS rn
+        |  FROM scored
+        |)
+        |SELECT g AS event_type, day AS split_day,
+        |  CAST(tn AS BIGINT) AS n_days,
+        |  round(CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE), 6) AS mean_before,
+        |  round(CAST(ts - cs AS DOUBLE) / CAST(tn - cn AS DOUBLE), 6)
+        |    AS mean_after,
+        |  round(gain, 6) AS gain
+        |FROM best WHERE rn = 1""".stripMargin,
 
     // the same (user, day-bucket) adjacency as q136, first/last rows by
     // row_number twins of the engine's min/max structs, argmax by

@@ -782,6 +782,38 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(outT("B") === ((0.625, 0.5, 2.0)))
   }
 
+  test("leadLagCorrelation: a series shifted by one day correlates " +
+    "perfectly at exactly that lag") {
+    // A carries count i on day i (1..6); B carries count i on day i+1
+    val events = (1 to 6).flatMap { i =>
+      (1 to i).flatMap(j => Seq(
+        ("A", ts(f"2024-01-0$i 08:00:00")),
+        ("B", ts(if (i + 1 <= 9) f"2024-01-0${i + 1} 08:00:00"
+                 else f"2024-01-${i + 1} 08:00:00"))))
+    }.toDF("event_type", "ts")
+    val out = AnalyticsOps.leadLagCorrelation(events)
+      .collect().map(r => r.getInt(2) ->
+        (r.getLong(3), Option(r.getAs[Any]("pearson_r")))).toMap
+    assert(out.size === 7)
+    assert(out(1) === ((6L, Some(1.0)))) // b_{t+1} = a_t exactly
+    assert(out(-1)._2 !== Some(1.0))
+  }
+
+  test("changepointDetection: a clean level shift splits at the " +
+    "boundary with the full-SSE gain") {
+    // counts 2,2,2 then 8,8,8: gain = total SSE = 204 - 900/6 = 54
+    val events = (1 to 6).flatMap { d =>
+      val k = if (d <= 3) 2 else 8
+      (1 to k).map(j => ("A", ts(f"2024-01-0$d 08:00:00")))
+    }.toDF("event_type", "ts")
+    val r = AnalyticsOps.changepointDetection(events).collect()(0)
+    assert(r.getDate(1).toString === "2024-01-03")
+    assert(r.getLong(2) === 6L)
+    assert(r.getAs[Double]("mean_before") === 2.0)
+    assert(r.getAs[Double]("mean_after") === 8.0)
+    assert(r.getAs[Double]("gain") === 54.0)
+  }
+
   test("markovNextEventAccuracy: calendar-half split, boundary pairs " +
     "cross buckets, unseen states predict NULL and score as misses") {
     val events = Seq(
