@@ -246,6 +246,56 @@ object GraphOps {
     out
   }
 
+  /** Multi-source BFS: exact minimum hop distance from a SEED set to
+    * every node within `maxHops` — the bounded transitive-closure
+    * primitive Spark's missing recursive CTE would otherwise cover
+    * (impact radius, contamination spread, N-degree audience). Level-
+    * synchronous frontier expansion: each round joins the CURRENT
+    * frontier (not the whole reached set) against the adjacency list
+    * and anti-joins everything already reached, so a node is emitted
+    * exactly once at its first (minimal) depth. Rounds are fixed and
+    * part of the operator's definition; unreached nodes are absent.
+    *
+    * Scale shape: per round, one hash join frontier⋈edges + one
+    * anti-join against the reached set — both keyed on the node;
+    * frontier and reached frames localCheckpoint per round (the
+    * PageRank lineage barrier), previous handles released. No
+    * windows, no collects, no driver-side loop over data.
+    */
+  def khopDistances(pairs: DataFrame, seeds: DataFrame, maxHops: Int,
+                    aCol: String = "id_a", bCol: String = "id_b",
+                    seedCol: String = "node"): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 64, s"maxHops out of range: $maxHops")
+    val edges = pairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull && col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val both = edges.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      var reached = seeds.select(col(seedCol).as("node")).distinct()
+        .withColumn("dist", lit(0))
+        .localCheckpoint()
+      var frontier = reached
+      for (h <- 1 to maxHops) {
+        val next = frontier
+          .join(both, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(reached, Seq("node"), "left_anti")
+          .withColumn("dist", lit(h))
+          .localCheckpoint()
+        val grown = reached.unionByName(next).localCheckpoint()
+        frontier.unpersist(blocking = false)
+        reached.unpersist(blocking = false)
+        frontier = next
+        reached = grown
+      }
+      reached
+    } finally edges.unpersist(blocking = false)
+  }
+
   /** Degree summary + degree assortativity (Newman 2002): the Pearson
     * correlation of endpoint degrees over every directed edge (each
     * undirected edge counted in both orientations — the standard

@@ -343,7 +343,7 @@ object SketchOps {
     * __M) row per non-empty register — the mergeable state shared by
     * [[hllDistinct]] and [[hllRollup]].
     */
-  private def hllRegisters(df: DataFrame, keys: Seq[Column],
+  private[graft] def hllRegisters(df: DataFrame, keys: Seq[Column],
                            valueCol: String): DataFrame = {
     val m = 64
     val hashed = df
@@ -367,7 +367,7 @@ object SketchOps {
     * the exact integer Σ2^(33−M) with linear counting below 2.5m —
     * one closing double expression per key, rounded 4.
     */
-  private def hllEstimate(regs: DataFrame, keyNames: Seq[String]): DataFrame = {
+  private[graft] def hllEstimate(regs: DataFrame, keyNames: Seq[String]): DataFrame = {
     val m = 64
     regs.groupBy(keyNames.map(col): _*)
       .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 33 - __M)")).as("__sp"),

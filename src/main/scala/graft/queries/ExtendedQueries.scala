@@ -133,6 +133,19 @@ object ExtendedQueries {
       graft.graph.GraphOps.kCore(edges, coreK = 3, iters = 8)
     }),
 
+    // bounded transitive closure: exact min hop distance from seed
+    // orders over the order-part graph, 4 level-synchronous rounds
+    "q229_khop_reachability" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).filter(col("l_orderkey") % 7 === 0)
+      val edges = li.select(
+        concat(lit("o"), col("l_orderkey").cast(StringType)).as("id_a"),
+        concat(lit("p"), col("l_partkey").cast(StringType)).as("id_b"))
+      val seeds = li.filter(col("l_orderkey") % 700 === 0)
+        .select(concat(lit("o"), col("l_orderkey").cast(StringType))
+          .as("node")).distinct()
+      graft.graph.GraphOps.khopDistances(edges, seeds, maxHops = 4)
+    }),
+
     // lead-lag cross-correlation: q146's dense grid and exact moments
     // swept across integer day offsets -3..3
     "q227_lead_lag" -> ((s, d) =>
@@ -2237,6 +2250,8 @@ object ExtendedQueries {
 
     "q216_kcore" -> kCoreOracle(3, 8),
 
+    "q229_khop_reachability" -> khopOracle(4),
+
     // the q89 int8 codes, prefix and full integer L2, row_number twins
     // of the bounded-heap top-k, LEFT-join intersection
     "q225_prefix_recall" ->
@@ -3394,5 +3409,39 @@ object ExtendedQueries {
        |SELECT v AS node, count(*) AS core_degree FROM (
        |  SELECT a AS v FROM e$iters UNION ALL SELECT b FROM e$iters)
        |GROUP BY 1""".stripMargin
+  }
+
+  /** Full-replay oracle for [[graft.graph.GraphOps.khopDistances]]:
+    * one (frontier, reached) CTE pair per level-synchronous round,
+    * MATERIALIZED against DuckDB's exponential CTE inlining.
+    */
+  private def khopOracle(maxHops: Int): String = {
+    val parts = Seq.newBuilder[String]
+    parts += """li AS MATERIALIZED (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 7 = 0)""".stripMargin
+    parts += """e0 AS MATERIALIZED (
+      |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM (
+      |    SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS a,
+      |           'p' || CAST(l_partkey AS VARCHAR) AS b FROM li)
+      |  WHERE a <> b)""".stripMargin
+    parts += """adj AS MATERIALIZED (
+      |  SELECT a AS src, b AS dst FROM e0
+      |  UNION ALL SELECT b, a FROM e0)""".stripMargin
+    parts += """f0 AS MATERIALIZED (
+      |  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS node
+      |  FROM li WHERE l_orderkey % 700 = 0)""".stripMargin
+    parts += "r0 AS MATERIALIZED (SELECT node, 0 AS dist FROM f0)"
+    for (h <- 1 to maxHops) {
+      parts += s"""f$h AS MATERIALIZED (
+        |  SELECT DISTINCT d.node FROM (
+        |    SELECT a.dst AS node FROM adj a
+        |    JOIN f${h - 1} f ON a.src = f.node) d
+        |  ANTI JOIN r${h - 1} r ON r.node = d.node)""".stripMargin
+      parts += s"""r$h AS MATERIALIZED (
+        |  SELECT node, dist FROM r${h - 1}
+        |  UNION ALL SELECT node, $h FROM f$h)""".stripMargin
+    }
+    s"""WITH ${parts.result().mkString(",\n")}
+       |SELECT node, CAST(dist AS INTEGER) AS dist FROM r$maxHops""".stripMargin
   }
 }

@@ -610,6 +610,37 @@ object StreamingOps {
     * still holds for already-processed batch ids. No-op (state left
     * byte-identical) when the store does not exist yet.
     */
+  /** One micro-batch of streaming HLL register maintenance — the
+    * incremental twin of [[graft.operators.SketchOps.hllRollup]]:
+    * the batch collapses to its (group, bucket, max-rho) registers
+    * and lands in its own `statePath/batch=<id>` partition
+    * (idempotent: a retry overwrites exactly its own partition, and
+    * register MAX-merge makes double-processing harmless by algebra,
+    * not just by bookkeeping). Estimates come from
+    * [[hllEstimateFromState]], which max-merges all partitions at
+    * read; `compactState` can fold old partitions without changing
+    * any answer — the mergeability contract, incrementally.
+    */
+  def hllBatch(batch: DataFrame, batchId: Long, groupCol: String,
+               valueCol: String, statePath: String): Unit = {
+    val regs = graft.operators.SketchOps.hllRegisters(
+      batch.select(col(groupCol).as("__g"), col(valueCol)),
+      Seq(col("__g")), valueCol)
+    regs.write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+  }
+
+  /** The distinct-count estimate over everything [[hllBatch]] has
+    * admitted so far: max-merge the stored registers, then the q206
+    * estimator. Reads register rows only — never the raw values.
+    */
+  def hllEstimateFromState(spark: SparkSession, statePath: String): DataFrame = {
+    val regs = spark.read.parquet(statePath)
+      .groupBy("__g", "__bkt").agg(max("__M").as("__M"))
+    graft.operators.SketchOps.hllEstimate(regs, Seq("__g"))
+      .select(col("__g").as("group"), col("__nb").as("n_buckets_hit"),
+        col("est_distinct"))
+  }
+
   def compactState(spark: SparkSession, statePath: String,
                    removedIds: DataFrame, idCol: String): Unit = {
     val master = new HPath(statePath)

@@ -195,6 +195,21 @@ class PageRankSpec extends SparkSpec {
       maxCenterDegree = 5).count() === 10L) // all spoke pairs
   }
 
+  test("khopDistances: min hop distance on a path, multi-seed min " +
+    "wins, beyond-horizon and disconnected nodes are absent") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("id_a", "id_b")
+    val one = graft.graph.GraphOps.khopDistances(path,
+      Seq(1L).toDF("node"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(one === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3)) // 5 beyond, 8/9 disconnected
+    val two = graft.graph.GraphOps.khopDistances(path,
+      Seq(1L, 5L).toDF("node"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(two === Map(1L -> 0, 5L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+  }
+
   test("kCore: a pendant chain peels away over multiple rounds while " +
     "the triangle survives with exact degrees; a bare chain empties") {
     import spark.implicits._

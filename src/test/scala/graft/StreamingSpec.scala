@@ -560,4 +560,31 @@ class StreamingSpec extends SparkSpec {
         Seq("1970-01-01", "1970-01-02", "1970-01-03", "1970-01-04"))
     } finally q.stop()
   }
+
+  test("hllBatch/hllEstimateFromState: incremental registers match the " +
+    "batch sketch exactly, and a retried batch changes nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hll_state").toString
+    // three overlapping batches covering val0..val899
+    val batches = Seq(0 to 399, 200 to 599, 400 to 899)
+      .map(r => r.map(i => ("g", s"val$i")).toDF("g", "v"))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.StreamingOps.hllBatch(b, i.toLong, "g", "v", dir)
+    }
+    val streamed = graft.streaming.StreamingOps
+      .hllEstimateFromState(spark, dir).collect()(0)
+    val direct = graft.operators.SketchOps.hllDistinct(
+      (0 to 899).map(i => ("g", s"val$i")).toDF("g", "v"), "g", "v")
+      .collect()(0)
+    assert(streamed.getAs[Double]("est_distinct") ===
+      direct.getAs[Double]("est_distinct"))
+    assert(streamed.getAs[Long]("n_buckets_hit") ===
+      direct.getAs[Long]("n_buckets_hit"))
+    // retry of batch 1: MAX-merge makes replay a no-op by algebra
+    graft.streaming.StreamingOps.hllBatch(batches(1), 1L, "g", "v", dir)
+    val retried = graft.streaming.StreamingOps
+      .hllEstimateFromState(spark, dir).collect()(0)
+    assert(retried.getAs[Double]("est_distinct") ===
+      direct.getAs[Double]("est_distinct"))
+  }
 }
