@@ -133,6 +133,22 @@ object ExtendedQueries {
       graft.graph.GraphOps.kCore(edges, coreK = 3, iters = 8)
     }),
 
+    // IR eval closing the search family: precision@10, MRR, nDCG@10 of
+    // the q112 BM25 ranking against all-terms-present relevance; DCG
+    // and ideal DCG as ordered <=k-row window folds
+    "q230_retrieval_eval" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ranked = graft.text.TextOps.bm25Search(docs, "doc_id", "text",
+        queryTerms = Seq("table", "join", "stream"), k = 10)
+      val norm = concat(lit(" "),
+        graft.text.TextOps.normalizeText(col("text")), lit(" "))
+      val relevant = docs.filter(col("text").isNotNull &&
+        norm.contains(" table ") && norm.contains(" join ") &&
+        norm.contains(" stream "))
+      graft.text.Search.retrievalEval(ranked, "doc_id", "rank",
+        relevant, "doc_id", k = 10)
+    }),
+
     // bounded transitive closure: exact min hop distance from seed
     // orders over the order-part graph, 4 level-synchronous rounds
     "q229_khop_reachability" -> ((s, d) => {
@@ -2251,6 +2267,85 @@ object ExtendedQueries {
     "q216_kcore" -> kCoreOracle(3, 8),
 
     "q229_khop_reachability" -> khopOracle(4),
+
+    // q112's BM25 pipeline verbatim, whole-word relevance on the padded
+    // normalized text, the same ln(x)/ln(2) ordered folds
+    "q230_retrieval_eval" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(nt, ' ')) AS term
+        |  FROM norm WHERE length(nt) > 0
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+        |), st AS (
+        |  SELECT count(*) AS n, sum(dl)*1.0/count(*) AS avgdl FROM dl
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term IN ('table', 'join', 'stream') GROUP BY 1, 2
+        |), dfc AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.doc_id,
+        |    sum(ln(1 + ((SELECT n FROM st) - dfc.df + 0.5) / (dfc.df + 0.5))
+        |      * (tf.tf * (1.2::DOUBLE + 1))
+        |      / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE
+        |          + 0.75::DOUBLE * dl.dl / (SELECT avgdl FROM st)))) AS s
+        |  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id)
+        |  GROUP BY 1
+        |), ranked AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id ASC)
+        |      AS rank
+        |    FROM scored)
+        |  WHERE rank <= 10
+        |), rel AS (
+        |  SELECT DISTINCT d.doc_id
+        |  FROM documents d JOIN norm ON norm.doc_id = d.doc_id
+        |  WHERE d.text IS NOT NULL
+        |    AND (' ' || norm.nt || ' ') LIKE '% table %'
+        |    AND (' ' || norm.nt || ' ') LIKE '% join %'
+        |    AND (' ' || norm.nt || ' ') LIKE '% stream %'
+        |), nrel AS (SELECT count(*) AS n_relevant FROM rel
+        |), topk AS (
+        |  SELECT r.rank,
+        |    CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS relv
+        |  FROM ranked r LEFT JOIN rel ON rel.doc_id = r.doc_id
+        |), folded AS (
+        |  SELECT rank, relv,
+        |    sum(CAST(relv AS DOUBLE)
+        |      / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0)))
+        |      OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND CURRENT ROW) AS dcg
+        |  FROM topk
+        |), ag AS (
+        |  SELECT count(*) AS n_results, CAST(sum(relv) AS BIGINT) AS nrelk,
+        |    min(CASE WHEN relv = 1 THEN rank END) AS first_
+        |  FROM topk
+        |), dval AS (SELECT dcg FROM folded ORDER BY rank DESC LIMIT 1
+        |), ifold AS (
+        |  SELECT r,
+        |    sum(1.0 / (ln(CAST(r AS DOUBLE) + 1.0) / ln(2.0)))
+        |      OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND CURRENT ROW) AS id_
+        |  FROM (SELECT unnest(generate_series(1,
+        |    (SELECT least(10, n_relevant) FROM nrel))) AS r)
+        |  WHERE (SELECT n_relevant FROM nrel) > 0
+        |), ival AS (
+        |  SELECT COALESCE((SELECT id_ FROM ifold ORDER BY r DESC LIMIT 1),
+        |    0.0) AS idcg
+        |)
+        |SELECT 10 AS k, n_results, n_relevant,
+        |  round(CAST(nrelk AS DOUBLE) / 10.0, 6) AS precision_at_k,
+        |  round(COALESCE(1.0 / CAST(first_ AS DOUBLE), 0.0), 6) AS mrr,
+        |  round((SELECT dcg FROM dval), 6) AS dcg,
+        |  round(idcg, 6) AS idcg,
+        |  round(CASE WHEN idcg > 0
+        |    THEN (SELECT dcg FROM dval) / idcg END, 6) AS ndcg
+        |FROM ag, nrel, ival""".stripMargin,
 
     // the q89 int8 codes, prefix and full integer L2, row_number twins
     // of the bounded-heap top-k, LEFT-join intersection

@@ -110,4 +110,64 @@ object Search {
       .orderBy(col("rrf_score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Retrieval-quality report — the IR eval closing the search family
+    * (q112 BM25, q181 RRF, q225 recall): given a ranked result list
+    * and a binary relevance set, precision@k, MRR, and nDCG@k. Both
+    * DCG and the ideal DCG accumulate as ORDERED window folds over
+    * ≤ k-row frames (rank order — a fixed-order sequential sum both
+    * engines evaluate identically; a groupBy sum would re-associate
+    * IEEE adds); MRR's first-relevant rank is an exact min. An empty
+    * relevance set reports NULL nDCG/MRR-0 rather than dividing by
+    * zero.
+    *
+    * Scale shape: the ranked frame is already ≤ k rows; the relevance
+    * set participates only via one broadcast-joinable distinct
+    * projection and one count.
+    */
+  def retrievalEval(ranked: DataFrame, idCol: String, rankCol: String,
+                    relevant: DataFrame, relIdCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val rel = relevant.select(col(relIdCol).as("__rid")).distinct()
+    val nRel = rel.agg(count(lit(1)).as("n_relevant"))
+    val topk = ranked.filter(col(rankCol) <= k)
+      .join(broadcast(rel), col(idCol) === col("__rid"), "left")
+      .withColumn("__rel", when(col("__rid").isNotNull, 1L).otherwise(0L))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(rankCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // ≤ k rows: the ordered fold frame is bounded by construction
+    val folded = topk
+      .withColumn("__dcg", sum(col("__rel").cast("double") /
+        (log(col(rankCol).cast("double") + 1.0) / log(lit(2.0)))).over(w))
+      .agg(count(lit(1)).as("n_results"),
+        sum("__rel").as("__nrelk"),
+        min(when(col("__rel") === 1, col(rankCol))).as("__first"),
+        max(struct(col(rankCol), col("__dcg").as("d"))).as("__last"))
+    val stats = folded.crossJoin(broadcast(nRel))
+    // ideal DCG over ranks 1..min(k, |relevant|), the same ordered fold
+    val idcg = stats
+      .select(explode(when(col("n_relevant") > 0,
+        sequence(lit(1), least(lit(k), col("n_relevant").cast("int"))))
+        .otherwise(array())).as("__r"))
+      .withColumn("__id", sum(lit(1.0) /
+        (log(col("__r").cast("double") + 1.0) / log(lit(2.0))))
+        .over(org.apache.spark.sql.expressions.Window.orderBy(col("__r").asc)
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .agg(max(struct(col("__r"), col("__id").as("i"))).as("__ib"))
+      .select(coalesce(col("__ib.i"), lit(0.0)).as("__idcg"))
+    stats.crossJoin(broadcast(idcg))
+      .select(lit(k).as("k"), col("n_results"), col("n_relevant"),
+        round(col("__nrelk").cast("double") / lit(k.toDouble), 6)
+          .as("precision_at_k"),
+        round(coalesce(lit(1.0) / col("__first").cast("double"), lit(0.0)), 6)
+          .as("mrr"),
+        round(col("__last.d"), 6).as("dcg"),
+        round(col("__idcg"), 6).as("idcg"),
+        round(when(col("__idcg") > 0, col("__last.d") / col("__idcg")), 6)
+          .as("ndcg"))
+  }
 }

@@ -99,4 +99,25 @@ class SearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Search.rrfFuse(Seq.empty, "doc_id", "rank", 2))
   }
+
+  test("retrievalEval: hand-computed precision/MRR/nDCG, IDCG bounded " +
+    "by the relevant-set size, empty relevance degrades gracefully") {
+    import spark.implicits._
+    val ranked = (1 to 5).map(i => (i.toLong, i)).toDF("doc_id", "rank")
+    val relevant = Seq(2L, 4L, 99L).toDF("doc_id")
+    val r = Search.retrievalEval(ranked, "doc_id", "rank",
+      relevant, "doc_id", k = 5).collect()(0)
+    assert(r.getAs[Long]("n_results") === 5L)
+    assert(r.getAs[Long]("n_relevant") === 3L)
+    assert(r.getAs[Double]("precision_at_k") === 0.4)
+    assert(r.getAs[Double]("mrr") === 0.5)
+    // DCG = 1/log2(3) + 1/log2(5); IDCG over ranks 1..3
+    assert(r.getAs[Double]("dcg") === 1.061606)
+    assert(r.getAs[Double]("idcg") === 2.13093)
+    assert(r.getAs[Double]("ndcg") === 0.498189)
+    val empty = Search.retrievalEval(ranked, "doc_id", "rank",
+      Seq.empty[Long].toDF("doc_id"), "doc_id", k = 5).collect()(0)
+    assert(empty.getAs[Double]("mrr") === 0.0)
+    assert(empty.isNullAt(empty.fieldIndex("ndcg")))
+  }
 }
