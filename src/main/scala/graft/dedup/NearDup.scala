@@ -240,6 +240,87 @@ object NearDup {
         round(col("containment"), 4).as("containment"))
   }
 
+  /** EXACT all-pairs Jaccard join by prefix filtering (AllPairs /
+    * PPJoin family — Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07):
+    * every (a < b) pair with word-n-gram Jaccard ≥ threshold, with NO
+    * miss probability — the deterministic-complete alternative to
+    * [[minhashLshPairs]] (whose banded LSH has a tunable but nonzero
+    * false-negative rate) at the price of an exact-verification join.
+    * Produces the identical pair set to the quadratic
+    * [[ngramJaccardPairs]] (the prefix-filter theorem guarantees
+    * completeness; verification guarantees precision), which is what
+    * the q231 oracle checks.
+    *
+    * Scale shape — candidates come ONLY from the rare tail of each
+    * document's shingle set: shingles are globally ordered by
+    * (document frequency asc, shingle asc) and each doc contributes
+    * just its first `|x| - floor(t·|x|)` shingles in that order to the
+    * self-join (the prefix-filter lemma: two sets with overlap ≥
+    * ⌈t·max(|x|,|y|)⌉ must share a member inside those prefixes). The
+    * per-doc prefix rank is a window bounded by the DOCUMENT's own
+    * shingle count — never a corpus- or vocab-sized frame — and the
+    * candidate join keys are by construction the LEAST frequent
+    * shingles, so posting-list fan-out is bounded where a naive
+    * shingle self-join explodes on boilerplate grams. A size
+    * compatibility filter (t·|x| ≤ |y| ≤ |x|/t, evaluated with 1-gram
+    * slack so IEEE rounding can only ADMIT extra candidates, never
+    * drop a true pair) prunes before dedup; exact verification then
+    * joins each surviving candidate pair to its two doc-bounded
+    * shingle arrays and computes |∩| with `array_intersect` — the
+    * threshold compares the unrounded ratio of exact integer counts,
+    * one closing IEEE division, identical in any engine.
+    */
+  def prefixJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(size(TextOps.tokens(col(textCol))) >= n)
+      .select(col(idCol).as("__id"),
+        TextOps.wordShingles(col(textCol), n).as("__set"))
+      .withColumn("__n", size(col("__set")))
+    base.persist()
+    val post = base.select(col("__id"), col("__n"),
+      explode(col("__set")).as("__s"))
+    val dfc = post.groupBy("__s").agg(count(lit(1)).as("__df"))
+    // per-doc rank in global (df asc, shingle asc) order — the window
+    // partitions by doc id, so the frame is one document's shingles
+    val ranked = post.join(dfc, "__s")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__df"), col("__s"))))
+    // prefix length |x| - floor(t|x|) ≥ the lemma's |x| - ceil(t|x|) + 1:
+    // floor-slack keeps completeness under IEEE multiply rounding
+    val prefix = ranked.filter(
+      col("__rn") <= col("__n") - floor(col("__n") * lit(threshold)))
+    val cand = prefix.select(col("__id").as("id_a"), col("__s"),
+        col("__n").as("__na"))
+      .join(prefix.select(col("__id").as("id_b"), col("__s"),
+        col("__n").as("__nb")), "__s")
+      .filter(col("id_a") < col("id_b"))
+      // size filter with 1-gram slack (admit-only under fp rounding)
+      .filter(col("__nb").cast("double") >= col("__na") * lit(threshold) - 1.0 &&
+        col("__na").cast("double") >= col("__nb") * lit(threshold) - 1.0)
+      .select("id_a", "id_b").distinct()
+    val out = cand
+      .join(base.select(col("__id").as("id_a"), col("__set").as("__sa"),
+        col("__n").as("__na")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__set").as("__sb"),
+        col("__n").as("__nb")), "id_b")
+      .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("__jac", col("__inter").cast("double") /
+        (col("__na") + col("__nb") - col("__inter")).cast("double"))
+      .filter(col("__jac") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        col("__inter").cast(LongType).as("inter_size"),
+        col("__na").cast(LongType).as("size_a"),
+        col("__nb").cast(LongType).as("size_b"),
+        round(col("__jac"), 4).as("jaccard"))
+      .localCheckpoint(true)
+    base.unpersist(blocking = false)
+    out
+  }
+
   /** Winnowing candidate pairs (the MOSS pipeline end-to-end): docs
     * sharing at least `minShared` DISTINCT winnowing fingerprint
     * hashes ([[graft.text.TextOps.winnowFingerprints]]). The

@@ -475,6 +475,15 @@ object TextQueries {
       NearDup.containmentPairs(Tables.documents(s, d),
         "doc_id", "text", n = 3, threshold = 0.8)),
 
+    // EXACT all-pairs Jaccard ≥ 0.4 via prefix filtering (AllPairs/
+    // PPJoin): candidates only from each doc's rarest-shingle prefix,
+    // then exact verification — deterministically COMPLETE where
+    // q27's LSH has a miss probability; the oracle is the quadratic
+    // ground truth, which the prefix-filter theorem says we must equal
+    "q231_prefix_jaccard_pairs" -> ((s, d) =>
+      NearDup.prefixJaccardPairs(Tables.documents(s, d),
+        "doc_id", "text", n = 3, threshold = 0.4)),
+
     // IVF ANN with the DETERMINISTIC int8-k-means codebook: the
     // entire index — training, assignment, probing — replays in the
     // oracle and matches row-for-row (the MLlib-IVF q52 twin can only
@@ -1984,6 +1993,28 @@ object TextQueries {
         |FROM sh a, sh b
         |WHERE a.doc_id <> b.doc_id
         |  AND len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.8""".stripMargin,
+
+    // quadratic ground truth: the engine's prefix-filtered join must
+    // produce EXACTLY this set (completeness by the prefix-filter
+    // lemma, precision by the verification join); same one-division
+    // threshold compare on exact integer counts
+    "q231_prefix_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents)
+        |  WHERE len(toks) >= 3
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter_size,
+        |  CAST(len(a.s) AS BIGINT) AS size_a,
+        |  CAST(len(b.s) AS BIGINT) AS size_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.s, b.s))::DOUBLE /
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.4""".stripMargin,
 
     "q161_bpe_fertility" -> bpeFertilityOracle(BpeNumMerges),
 

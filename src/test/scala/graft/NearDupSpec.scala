@@ -324,4 +324,35 @@ class NearDupSpec extends SparkSpec {
       k = 3, w = 4, minShared = 1L, maxDf = Some(1L)).collect()
     assert(cappedPairs.isEmpty)
   }
+
+  test("prefixJaccardPairs ≡ quadratic ngramJaccardPairs (exact-complete) " +
+    "on sf0.001 and on a seeded skewed corpus") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val exact = pairSet(NearDup.prefixJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.4))
+    val brute = pairSet(NearDup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.4))
+    assert(exact === brute)
+    assert(exact.nonEmpty, "test data should contain planted near-dups")
+
+    // seeded random corpus with a boilerplate run shared by EVERY doc:
+    // the hot shingles land at the END of the (df asc) order, so they
+    // never enter a prefix — completeness must still hold
+    val rnd = new scala.util.Random(231)
+    val vocab = (1 to 20).map(i => s"w$i")
+    val boiler = "hdr one two three"
+    val texts = (1L to 50L).map { id =>
+      val body = Seq.fill(rnd.nextInt(12) + 4)(vocab(rnd.nextInt(vocab.size)))
+      id -> (boiler + " " + body.mkString(" "))
+    }
+    val fixture = texts.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val e = pairSet(NearDup.prefixJaccardPairs(fixture, "doc_id", "text", 3, t))
+      val b = pairSet(NearDup.ngramJaccardPairs(fixture, "doc_id", "text", 3, t))
+      assert(e === b, s"threshold $t: prefix-filtered != quadratic")
+    }
+  }
 }
