@@ -303,4 +303,106 @@ object SplitOps {
     df.withColumn(outCol,
       when(col(keyCol).isNull, lit(null).cast(StringType)).otherwise(assignment))
   }
+
+  /** Deterministic UNIFORM negative sampling for contrastive
+    * training — the random-negative complement of the ANN-based HARD
+    * negatives (q120): for each anchor, the k candidates with the
+    * smallest md5(anchor|candidate|salt) draw among candidates NOT
+    * sharing the anchor's group (the positive class, e.g. same
+    * source/query). The draw is a pure function of the ID PAIR, so
+    * the sample is reproducible across runs, engines, and cluster
+    * layouts, and adding corpus rows never reshuffles the ranking of
+    * existing pairs (only displaces tail ranks) — the property that
+    * makes epoch-stable negatives possible without storing them.
+    *
+    * Scale shape: anchors broadcast (they are few — a training batch
+    * or eval set); the corpus is scanned ONCE; the per-anchor top-k
+    * goes through the bounded-heap aggregate, so each map partition
+    * contributes ≤ k rows per anchor to the only shuffle
+    * (k × #anchors rows) — never a per-anchor window over the corpus.
+    * Ties (impossible for distinct pairs under md5, but defined
+    * anyway) break by candidate id ascending.
+    */
+  def negativeSampleK(anchors: DataFrame, corpus: DataFrame,
+                      keyCol: String, groupCol: String, k: Int,
+                      salt: String = "neg"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val a = broadcast(anchors.select(col(keyCol).as("anchor_id"),
+      col(groupCol).as("__ag")))
+    val c = corpus.select(col(keyCol).as("neg_id"), col(groupCol).as("__cg"))
+    val idType = corpus.schema(keyCol).dataType
+    val drawn = a.crossJoin(c)
+      .filter(col("anchor_id") =!= col("neg_id"))
+      .filter(!(col("__ag") <=> col("__cg")))
+      .withColumn("__h", conv(substring(md5(concat(
+        col("anchor_id").cast(StringType), lit("|"),
+        col("neg_id").cast(StringType), lit("|" + salt))), 1, 8), 16, 10)
+        .cast(LongType))
+      // u32 fits a double exactly; negation makes the heap's
+      // (score desc, id asc) order = (draw asc, id asc)
+      .withColumn("__score", -col("__h").cast(DoubleType))
+    drawn.groupBy("anchor_id")
+      .agg(graft.expressions.TopKAgg.topKFor(idType, k)(
+        col("neg_id"), col("__score")).as("__topk"))
+      .select(col("anchor_id"), posexplode(col("__topk")))
+      .select(col("anchor_id"), (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("col.id").as("neg_id"),
+        (-col("col.score")).cast(LongType).as("draw"))
+  }
+
+  /** Deterministic k-fold cross-validation assignment with a fold ×
+    * label balance report — the pre-training sanity check that hash
+    * folds didn't accidentally concentrate a label (which would make
+    * per-fold eval scores incomparable). Fold = md5-bucket(key) mod k
+    * (the engine-portable [[hashBucket]], a pure function of the key,
+    * so fold membership is reproducible across runs, engines, and
+    * cluster sizes — no Math.random, no partition-dependent state).
+    *
+    * Per (fold, label) cell: observed count, fold and label marginal
+    * totals, the independence-expected count, and the chi-square
+    * contribution — computed as (n·N − fold_n·label_n)² /
+    * (N·fold_n·label_n) so the numerator and denominator are EXACT
+    * Decimal(38,0) integer products with ONE closing IEEE division
+    * (envelope: N ≲ 10⁹ rows keeps (n·N)² < 10³⁸; beyond that, chunk
+    * by partition date like every other exact-moment report).
+    *
+    * Scale shape: one cell aggregation on (fold, label); marginals
+    * re-aggregate the CELL frame (k·L rows), never the corpus; the
+    * join-back broadcasts k-row / L-row / 1-row frames. NULL keys
+    * have no defined bucket and are excluded (the assignSplit rule);
+    * NULL labels form their own class.
+    */
+  def kFoldReport(df: DataFrame, keyCol: String, labelCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 2, "need at least 2 folds")
+    val dec = DecimalType(38, 0)
+    val cells = df.filter(col(keyCol).isNotNull)
+      .withColumn("fold", (hashBucket(col(keyCol)) % k).cast(IntegerType))
+      .withColumn("label", coalesce(col(labelCol).cast(StringType), lit("__null__")))
+      .groupBy("fold", "label").agg(count(lit(1)).as("n"))
+    cells.persist()
+    val foldTot = cells.groupBy("fold").agg(sum(col("n")).as("fold_n"))
+    val labTot = cells.groupBy("label").agg(sum(col("n")).as("label_n"))
+    val total = cells.agg(sum(col("n")).as("__N"))
+    val out = cells
+      .join(broadcast(foldTot), "fold")
+      .join(broadcast(labTot), "label")
+      .crossJoin(broadcast(total))
+      .withColumn("expected", round(
+        (col("fold_n").cast(dec) * col("label_n").cast(dec)).cast("double") /
+          col("__N").cast("double"), 6))
+      .withColumn("chi_contrib", round(
+        {
+          val num = col("n").cast(dec) * col("__N").cast(dec) -
+            col("fold_n").cast(dec) * col("label_n").cast(dec)
+          (num * num).cast("double") /
+            (col("__N").cast(dec) * col("fold_n").cast(dec) *
+              col("label_n").cast(dec)).cast("double")
+        }, 6))
+      .select(col("fold"), col("label"), col("n"), col("fold_n"),
+        col("label_n"), col("expected"), col("chi_contrib"))
+      .localCheckpoint(true)
+    cells.unpersist(blocking = false)
+    out
+  }
 }

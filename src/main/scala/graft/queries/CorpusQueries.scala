@@ -106,6 +106,23 @@ object CorpusQueries {
         .select("doc_id", "src")
     }),
 
+    // deterministic 5-fold CV assignment + fold × label independence
+    // report: md5-bucket folds, exact Decimal chi-square contributions
+    // with one closing division per cell
+    "q232_kfold_balance" -> ((s, d) =>
+      graft.operators.SplitOps.kFoldReport(
+        Tables.documents(s, d), "doc_id", "lang", k = 5)),
+
+    // deterministic uniform negative sampling (the random-negative
+    // complement of q120's hard negatives): per anchor, 8 smallest
+    // md5(anchor|cand|salt) draws among different-source candidates
+    "q233_negative_sampling" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.SplitOps.negativeSampleK(
+        docs.filter(col("doc_id") % 50 === 0), docs,
+        "doc_id", "source", k = 8)
+    }),
+
     // concat-then-chunk sequence packing: global token offset via the
     // two-level cumulative sum, chunked into 2048-token packs
     "q79_sequence_packing" -> ((s, d) =>
@@ -542,6 +559,57 @@ object CorpusQueries {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, 8))::UBIGINT
         |        / 4294967296.0
         |  < CASE doc_id % 3 WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 ELSE 0.1 END""".stripMargin,
+
+    // same md5 bucket mod 5; chi-square replayed on HUGEINT products
+    // with the identical one closing division per cell
+    "q232_kfold_balance" ->
+      """WITH cells AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |           % 5 AS INT) AS fold,
+        |    COALESCE(CAST(lang AS VARCHAR), '__null__') AS label,
+        |    count(*) AS n
+        |  FROM documents WHERE doc_id IS NOT NULL
+        |  GROUP BY 1, 2
+        |), ft AS (SELECT fold, sum(n) AS fold_n FROM cells GROUP BY 1
+        |), lt AS (SELECT label, sum(n) AS label_n FROM cells GROUP BY 1
+        |), tt AS (SELECT sum(n) AS nn FROM cells)
+        |SELECT c.fold, c.label, CAST(c.n AS BIGINT) AS n,
+        |  CAST(ft.fold_n AS BIGINT) AS fold_n,
+        |  CAST(lt.label_n AS BIGINT) AS label_n,
+        |  round(CAST(CAST(ft.fold_n AS HUGEINT) * CAST(lt.label_n AS HUGEINT)
+        |      AS DOUBLE) / CAST(tt.nn AS DOUBLE), 6) AS expected,
+        |  round(CAST((CAST(c.n AS HUGEINT) * CAST(tt.nn AS HUGEINT)
+        |        - CAST(ft.fold_n AS HUGEINT) * CAST(lt.label_n AS HUGEINT))
+        |      * (CAST(c.n AS HUGEINT) * CAST(tt.nn AS HUGEINT)
+        |        - CAST(ft.fold_n AS HUGEINT) * CAST(lt.label_n AS HUGEINT))
+        |      AS DOUBLE)
+        |    / CAST(CAST(tt.nn AS HUGEINT) * CAST(ft.fold_n AS HUGEINT)
+        |        * CAST(lt.label_n AS HUGEINT) AS DOUBLE), 6) AS chi_contrib
+        |FROM cells c
+        |JOIN ft USING (fold) JOIN lt USING (label) CROSS JOIN tt""".stripMargin,
+
+    // same md5 u32 draw; row_number twin of the bounded-heap top-k
+    // with the identical (draw asc, neg_id asc) order
+    "q233_negative_sampling" ->
+      """WITH a AS (
+        |  SELECT doc_id AS anchor_id, source AS ag FROM documents
+        |  WHERE doc_id % 50 = 0
+        |), c AS (
+        |  SELECT doc_id AS neg_id, source AS cg FROM documents
+        |), s AS (
+        |  SELECT anchor_id, neg_id,
+        |    CAST(('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || '|'
+        |      || CAST(neg_id AS VARCHAR) || '|neg'), 1, 8))::UBIGINT AS BIGINT)
+        |      AS draw
+        |  FROM a, c
+        |  WHERE anchor_id <> neg_id AND a.ag IS DISTINCT FROM c.cg
+        |)
+        |SELECT anchor_id, CAST(rnk AS INT) AS rank, neg_id, draw FROM (
+        |  SELECT anchor_id, neg_id, draw,
+        |    row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY draw ASC, neg_id ASC) AS rnk
+        |  FROM s)
+        |WHERE rnk <= 8""".stripMargin,
 
     "q79_sequence_packing" ->
       """WITH toked AS (

@@ -256,4 +256,67 @@ class SplitOpsSpec extends SparkSpec {
       s"heavy rows underrepresented: $out")
     assert(!out.exists(_._2 === 200L), "zero-weight row must be excluded")
   }
+
+  test("kFoldReport: deterministic md5 folds, exact marginals, " +
+    "chi-square contributions match an independent double recompute, " +
+    "NULL keys excluded / NULL labels kept as their own class") {
+    def foldOf(id: Long, k: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 8), 16) % k).toInt
+    }
+    val rows = (1L to 300L).map(i =>
+      (i, if (i % 7 == 0) null else s"lab${i % 3}"))
+    val df = rows.toDF("id", "lab")
+      .unionByName(spark.sql("SELECT CAST(NULL AS BIGINT) id, 'labX' lab"))
+    val out = SplitOps.kFoldReport(df, "id", "lab", k = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    assert(!out.keySet.exists(_._2 == "labX"), "NULL key must be excluded")
+    // independent recompute
+    val truth = rows.groupBy { case (id, lab) =>
+      (foldOf(id, 4), if (lab == null) "__null__" else lab) }
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(out.keySet === truth.keySet)
+    val foldN = truth.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val labN = truth.groupBy(_._1._2).map { case (l, m) => l -> m.values.sum }
+    val bigN = 300.0
+    out.foreach { case ((f, l), (n, fn, ln, exp, chi)) =>
+      assert(n === truth((f, l)) && fn === foldN(f) && ln === labN(l))
+      val e = fn * ln / bigN
+      assert(math.abs(exp - BigDecimal(e).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      val c = (n * bigN - fn.toDouble * ln) * (n * bigN - fn.toDouble * ln) /
+        (bigN * fn * ln)
+      assert(math.abs(chi - BigDecimal(c).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
+  test("negativeSampleK: reproducible md5 draws, same-group and self " +
+    "excluded, ranking matches an independent recompute") {
+    def draw(a: Long, c: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$a|$c|neg".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val corpus = (1L to 100L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    val anchors = corpus.filter($"id" % 25 === 0) // ids 25,50,75,100
+    val out = SplitOps.negativeSampleK(anchors, corpus, "id", "grp", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 4 * 5)
+    val byAnchor = out.groupBy(_._1)
+    for (a <- Seq(25L, 50L, 75L, 100L)) {
+      val got = byAnchor(a).sortBy(_._2).map(x => (x._3, x._4))
+      val want = (1L to 100L)
+        .filter(c => c != a && (c % 4) != (a % 4))
+        .map(c => (c, draw(a, c))).sortBy { case (c, d) => (d, c) }.take(5)
+      assert(got.toSeq === want, s"anchor $a")
+      assert(got.forall { case (c, _) => c % 4 != a % 4 },
+        "same-group candidate leaked in as a negative")
+    }
+  }
 }
