@@ -442,6 +442,68 @@ object AnalyticsOps {
             / col("__den").cast("double")), 6).as("slope_per_day"))
   }
 
+  /** Two-regressor OLS fit y = b0 + b1·x1 + b2·x2 per group, solved in
+    * CLOSED FORM by Cramer's rule over the normal-equation moment
+    * matrix — the multiple-regression extension of
+    * [[dailyTrendSlopes]]' simple slope, and the distributed shape a
+    * gradient loop cannot match: ONE map-side-combined aggregation
+    * collects the nine exact moments (n, Σx1, Σx2, Σy, Σx1², Σx2²,
+    * Σx1x2, Σx1y, Σx2y) and the per-group solve is #groups-sized
+    * driver-free column arithmetic.
+    *
+    * Engine-exactness (the house discipline): inputs must be INTEGRAL
+    * columns; every moment and every 3×3 determinant accumulates in
+    * Decimal(38,0) — exact integers, no fp summation order anywhere —
+    * and each coefficient is ONE closing IEEE division det_i/det,
+    * identical in any engine (DuckDB widens to HUGEINT: same
+    * envelope, loud overflow). Envelope: determinants are sums of
+    * triple moment products, so n·max(x)⁴·... must stay below 10³⁸ —
+    * comfortably 10⁹ rows of 10⁴-magnitude features per group; chunk
+    * by partition beyond. A singular system (collinear features, or
+    * fewer than 3 rows) yields NULL coefficients rather than a
+    * garbage pseudo-inverse.
+    */
+  def olsTwoFeature(df: DataFrame, groupCol: String, yCol: String,
+                    x1Col: String, x2Col: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rows = df
+      .filter(col(yCol).isNotNull && col(x1Col).isNotNull &&
+        col(x2Col).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(yCol).cast(LongType).cast(dec).as("__y"),
+        col(x1Col).cast(LongType).cast(dec).as("__x1"),
+        col(x2Col).cast(LongType).cast(dec).as("__x2"))
+    val m = rows.groupBy("__g").agg(
+      count(lit(1)).as("n"),
+      sum(col("__x1")).as("__s1"), sum(col("__x2")).as("__s2"),
+      sum(col("__y")).as("__sy"),
+      sum(col("__x1") * col("__x1")).as("__s11"),
+      sum(col("__x2") * col("__x2")).as("__s22"),
+      sum(col("__x1") * col("__x2")).as("__s12"),
+      sum(col("__x1") * col("__y")).as("__s1y"),
+      sum(col("__x2") * col("__y")).as("__s2y"))
+    val nn = col("n").cast(dec)
+    val (s1, s2, sy, s11, s22, s12, s1y, s2y) =
+      (col("__s1"), col("__s2"), col("__sy"), col("__s11"),
+        col("__s22"), col("__s12"), col("__s1y"), col("__s2y"))
+    val det = nn * (s11 * s22 - s12 * s12) -
+      s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+    val det0 = sy * (s11 * s22 - s12 * s12) -
+      s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y)
+    val det1 = nn * (s1y * s22 - s12 * s2y) -
+      sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2)
+    val det2 = nn * (s11 * s2y - s1y * s12) -
+      s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)
+    m.withColumn("__det", det)
+      .select(col("__g").as(groupCol), col("n"),
+        round(when(col("__det") =!= 0,
+          det0.cast("double") / col("__det").cast("double")), 6).as("b0"),
+        round(when(col("__det") =!= 0,
+          det1.cast("double") / col("__det").cast("double")), 6).as("b1"),
+        round(when(col("__det") =!= 0,
+          det2.cast("double") / col("__det").cast("double")), 6).as("b2"))
+  }
+
   /** Pairwise Pearson correlation of the groups' DAILY COUNT series —
     * "which metrics move together". Days where a group has no events
     * count as 0 (the series are aligned on the union calendar, built

@@ -208,6 +208,59 @@ object SketchOps {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
 
+  /** AMS "tug-of-war" second-frequency-moment sketch (Alon, Matias,
+    * Szegedy 1996): F2 = Σ_v f_v² — the self-join size / repeat-rate
+    * statistic — estimated from `depth` independent ±1 sign
+    * estimators. Estimator r assigns every value a deterministic sign
+    * from an md5 parity bit of "r:value", folds X_r = Σ_rows sign(v)
+    * (ONE map-side-combined sum per estimator — constant state like
+    * [[countMinBuild]]), and estimates F2 as X_r²; the report returns
+    * each estimator row plus their MEDIAN (depth odd, so the median
+    * is an exact member value, no interpolation) next to the exact
+    * F2 and the signed relative error.
+    *
+    * Like every sketch behind this oracle gate, the state is a pure
+    * deterministic function of the input multiset — bit-identical
+    * across engines, partitionings, and retries. All moments are
+    * exact Decimal(38,0) integers with BIGINT outputs (envelope:
+    * |X| ≤ N and F2 ≤ N² need N ≲ 3·10⁹ per scope — the q151/ADVICE
+    * overflow discipline); the only IEEE op is the closing relative
+    * error division.
+    *
+    * `exact_f2` rides along for error inspection (the kmvDistinct
+    * opt-out contract): at 100 TB the exact side is itself one
+    * hash-shuffle on the value, or is simply dropped.
+    */
+  def amsF2(df: DataFrame, valueCol: String, depth: Int = 5): DataFrame = {
+    require(depth >= 1 && depth % 2 == 1, "depth must be odd (exact median)")
+    val dec = DecimalType(38, 0)
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast(StringType).as("__v"))
+    val signed = vals
+      .select(explode(expr(s"sequence(0, ${depth - 1})")).as("sketch_row"),
+        col("__v"))
+      .withColumn("__sign",
+        when(conv(substring(md5(concat(col("sketch_row").cast(StringType),
+          lit(":"), col("__v"))), 1, 8), 16, 10).cast(LongType) % 2 === 1,
+          lit(1L)).otherwise(lit(-1L)))
+    val x = signed.groupBy("sketch_row")
+      .agg(sum(col("__sign")).as("x"))
+      .withColumn("est", (col("x").cast(dec) * col("x").cast(dec))
+        .cast(LongType))
+    val med = x.agg(expr(
+      "CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(est AS DOUBLE)) AS BIGINT)")
+      .as("median_est"))
+    val exact = vals.groupBy("__v").agg(count(lit(1)).as("__f"))
+      .agg(sum(col("__f").cast(dec) * col("__f").cast(dec)).cast(LongType)
+        .as("exact_f2"))
+    x.crossJoin(broadcast(med)).crossJoin(broadcast(exact))
+      .withColumn("rel_err", round(
+        (col("median_est") - col("exact_f2")).cast("double") /
+          col("exact_f2").cast("double"), 6))
+      .select(col("sketch_row"), col("x"), col("est"),
+        col("median_est"), col("exact_f2"), col("rel_err"))
+  }
+
   /** HDR-histogram-style deterministic quantile sketch (the
     * log-linear bucketing popularized by Gil Tene's HdrHistogram):
     * non-negative long values map to a bucket index that is EXACT

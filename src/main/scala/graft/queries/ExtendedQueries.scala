@@ -43,6 +43,24 @@ object ExtendedQueries {
       graft.operators.SketchOps.kmvDistinct(Tables.events(s, d),
         "event_type", "user_id", k = 64)),
 
+    // AMS tug-of-war F2 sketch over event users: 5 deterministic ±1
+    // sign estimators (md5 parity), exact-integer fold per estimator,
+    // exact-member median vs exact F2
+    "q234_ams_f2" -> ((s, d) =>
+      graft.operators.SketchOps.amsF2(Tables.events(s, d), "user_id",
+        depth = 5)),
+
+    // two-regressor OLS per language: token count ~ chars + distinct
+    // tokens, solved in closed form on exact Decimal moments (Cramer)
+    "q235_ols_two_feature" -> ((s, d) => {
+      val t = graft.text.TextOps
+      val docs = Tables.documents(s, d)
+        .withColumn("__y", t.tokenCount(col("text")))
+        .withColumn("__x2", size(array_distinct(t.tokens(col("text")))))
+      graft.operators.AnalyticsOps.olsTwoFeature(
+        docs, "lang", "__y", "n_chars", "__x2")
+    }),
+
     // HLL distinct with engine-portable md5-derived registers — both
     // estimator regimes exercised: event_id (raw harmonic-mean path)
     // and user_id (small-range linear counting)
@@ -2860,6 +2878,74 @@ object ExtendedQueries {
         |    AS logrank_z
         |FROM terms t2 JOIN lastrow l ON l.cohort = t2.cohort AND l.mt = t2.t
         |JOIN obs o ON o.cohort = t2.cohort""".stripMargin,
+
+    // same md5 parity signs and integer folds; median via
+    // percentile_cont over the 5 estimator rows (odd depth → exact
+    // member), exact F2 on HUGEINT squares
+    "q234_ams_f2" ->
+      """WITH v AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS v FROM events
+        |  WHERE user_id IS NOT NULL
+        |), signed AS (
+        |  SELECT r.r AS sketch_row, v.v,
+        |    CASE WHEN ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || v.v),
+        |      1, 8))::UBIGINT % 2 = 1 THEN 1 ELSE -1 END AS s
+        |  FROM v, (SELECT unnest(generate_series(0, 4)) AS r) r
+        |), x AS (
+        |  SELECT sketch_row, CAST(sum(s) AS BIGINT) AS x FROM signed GROUP BY 1
+        |), e AS (
+        |  SELECT sketch_row, x,
+        |    CAST(CAST(x AS HUGEINT) * CAST(x AS HUGEINT) AS BIGINT) AS est
+        |  FROM x
+        |), med AS (
+        |  SELECT CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY CAST(est AS DOUBLE))
+        |    AS BIGINT) AS median_est FROM e
+        |), ex AS (
+        |  SELECT CAST(sum(CAST(f AS HUGEINT) * CAST(f AS HUGEINT)) AS BIGINT)
+        |    AS exact_f2
+        |  FROM (SELECT v, count(*) AS f FROM v GROUP BY 1)
+        |)
+        |SELECT sketch_row, x, est, median_est, exact_f2,
+        |  round(CAST(median_est - exact_f2 AS DOUBLE)
+        |    / CAST(exact_f2 AS DOUBLE), 6) AS rel_err
+        |FROM e, med, ex""".stripMargin,
+
+    // identical nine HUGEINT moments and Cramer expansions; one
+    // closing division per coefficient
+    "q235_ols_two_feature" ->
+      """WITH feat AS (
+        |  SELECT lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS HUGEINT) AS y,
+        |    CAST(n_chars AS HUGEINT) AS x1,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+        |      END AS HUGEINT) AS x2
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND n_chars IS NOT NULL
+        |), m AS (
+        |  SELECT lang, count(*) AS n,
+        |    sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+        |    sum(x1*x1) AS s11, sum(x2*x2) AS s22, sum(x1*x2) AS s12,
+        |    sum(x1*y) AS s1y, sum(x2*y) AS s2y
+        |  FROM feat GROUP BY 1
+        |), dets AS (
+        |  SELECT lang, n,
+        |    CAST(n AS HUGEINT)*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |      + s2*(s1*s12 - s11*s2) AS det,
+        |    sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+        |      + s2*(s1y*s12 - s11*s2y) AS det0,
+        |    CAST(n AS HUGEINT)*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+        |      + s2*(s1*s2y - s1y*s2) AS det1,
+        |    CAST(n AS HUGEINT)*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+        |      + sy*(s1*s12 - s11*s2) AS det2
+        |  FROM m
+        |)
+        |SELECT lang, n,
+        |  round(CASE WHEN det <> 0 THEN CAST(det0 AS DOUBLE)/CAST(det AS DOUBLE) END, 6) AS b0,
+        |  round(CASE WHEN det <> 0 THEN CAST(det1 AS DOUBLE)/CAST(det AS DOUBLE) END, 6) AS b1,
+        |  round(CASE WHEN det <> 0 THEN CAST(det2 AS DOUBLE)/CAST(det AS DOUBLE) END, 6) AS b2
+        |FROM dets""".stripMargin,
 
     "q111_kmv_distinct" ->
       """WITH h AS (

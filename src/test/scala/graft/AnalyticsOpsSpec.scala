@@ -951,4 +951,27 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(outT(1) === ((1L, 1L, 1L, 0.5, 2.0)))
     assert(outT(2) === ((3L, 1L, 2L, 1.0, 1.0)))
   }
+
+  test("olsTwoFeature: exact plane recovered, collinear features NULL, " +
+    "NULL rows excluded") {
+    import spark.implicits._
+    // y = 2 + 3*x1 - x2 exactly, on a non-degenerate design
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (2L, 3L), (5L, 1L),
+      (3L, 7L), (4L, 2L))
+    val df = pts.map { case (x1, x2) => ("g", 2 + 3 * x1 - x2, x1, x2) }
+      .toDF("g", "y", "x1", "x2")
+      .unionByName(Seq(("g", Option.empty[Long], Option(1L), Option(1L)))
+        .toDF("g", "y", "x1", "x2"))
+    val out = AnalyticsOps.olsTwoFeature(df, "g", "y", "x1", "x2").collect()(0)
+    assert(out.getAs[Long]("n") === 7L, "NULL-y row must be excluded")
+    assert(out.getAs[Double]("b0") === 2.0)
+    assert(out.getAs[Double]("b1") === 3.0)
+    assert(out.getAs[Double]("b2") === -1.0)
+    // x2 = 2*x1: singular normal equations -> NULL, not garbage
+    val sing = pts.map { case (x1, _) => ("s", x1 + 1, x1, 2 * x1) }
+      .toDF("g", "y", "x1", "x2")
+    val so = AnalyticsOps.olsTwoFeature(sing, "g", "y", "x1", "x2").collect()(0)
+    assert(so.isNullAt(so.fieldIndex("b0")) && so.isNullAt(so.fieldIndex("b1"))
+      && so.isNullAt(so.fieldIndex("b2")))
+  }
 }

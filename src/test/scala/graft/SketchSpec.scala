@@ -282,4 +282,34 @@ class SketchSpec extends SparkSpec {
       .collect()(0).getAs[Double]("est_distinct")
     assert(out.getAs[Double]("est_merged") === direct)
   }
+
+  test("amsF2: estimator folds match an independent md5-sign replay, " +
+    "exact F2 correct, median is an exact member of the estimates") {
+    import spark.implicits._
+    def sign(r: Int, v: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$r:$v".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2 == 1) 1L else -1L
+    }
+    // multiset: a x4, b x2, c x1, d x1  =>  F2 = 16+4+1+1 = 22
+    val vals = Seq.fill(4)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d")
+    val df = (vals :+ null).toDF("v")
+    val out = graft.operators.SketchOps.amsF2(df, "v", depth = 5).collect()
+    assert(out.length === 5)
+    assert(out.head.getAs[Long]("exact_f2") === 22L)
+    val ests = out.map { r =>
+      val row = r.getAs[Int]("sketch_row")
+      val x = vals.map(v => sign(row, v)).sum
+      assert(r.getAs[Long]("x") === x, s"estimator $row fold")
+      assert(r.getAs[Long]("est") === x * x)
+      x * x
+    }
+    val med = ests.sorted.apply(2)
+    assert(out.head.getAs[Long]("median_est") === med)
+    assert(out.head.getAs[Double]("rel_err") ===
+      BigDecimal((med - 22.0) / 22.0).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    intercept[IllegalArgumentException](
+      graft.operators.SketchOps.amsF2(df, "v", depth = 4))
+  }
 }
