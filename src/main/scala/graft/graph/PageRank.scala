@@ -101,4 +101,85 @@ object PageRank {
     outDeg.unpersist(blocking = false)
     out
   }
+
+  /** Personalized PageRank (random walk with restart to a SEED set) —
+    * the "relevance to these nodes" variant behind related-item
+    * discovery and seed-expansion labeling (Page et al. 1999's
+    * personalization vector; Gleich 2015 survey). Same fixed-iteration
+    * power method, lineage-barrier loop, and float-reassociation
+    * caveat as [[pageRank]] (kept as a SEPARATE function so the
+    * uniform-teleport arithmetic there stays literally unchanged);
+    * the teleport vector is uniform over the seeds PRESENT IN THE
+    * GRAPH instead of over all nodes:
+    *   r'(v) = (1−d)·t(v) + d·( Σ_{u→v} r(u)/outdeg(u) + dangling·t(v) )
+    * with t(v) = 1/|S| for seeds, 0 otherwise, r0 = t. Dangling mass
+    * restarts at the seeds too, so Σr stays 1 and mass cannot leak to
+    * unreachable components — nodes the walk cannot reach from S get
+    * EXACTLY rank 0, which is the point of the personalization.
+    *
+    * Scale shape identical to [[pageRank]]: one source-keyed join +
+    * one map-side-combined destination sum per iteration; the seed
+    * membership rides as one extra #nodes-sized boolean column
+    * resolved by a single left-semi-style join before the loop.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iterations: Int = 10,
+                           damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && iterations <= 100, "1 <= iterations <= 100")
+    require(damping > 0 && damping < 1, "damping in (0, 1)")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull)
+      .distinct()
+      .persist(lvl)
+    val sd = seeds.select(col(seedCol).as("node")).filter(col("node").isNotNull)
+      .distinct()
+    val nodes = e.select(col("__s").as("node"))
+      .unionByName(e.select(col("__d").as("node")))
+      .distinct()
+      .join(sd.withColumn("__seed", lit(true)), Seq("node"), "left")
+      .withColumn("__seed", coalesce(col("__seed"), lit(false)))
+      .persist(lvl)
+    val nSeeds = nodes.filter(col("__seed")).count()
+    require(nSeeds > 0, "no seed is present in the graph")
+    val tele = when(col("__seed"), lit(1.0 / nSeeds)).otherwise(lit(0.0))
+    val outDeg = e.groupBy(col("__s").as("node"))
+      .agg(count(lit(1)).as("__deg")).persist(lvl)
+    val spark = edges.sparkSession
+    def barrier(df: DataFrame): (DataFrame, DataFrame) = {
+      val p = df.persist(lvl); p.count()
+      (spark.createDataFrame(p.rdd, p.schema), p)
+    }
+    var (ranks, ranksCache) =
+      barrier(nodes.select(col("node"), col("__seed"), tele.as("rank")))
+    for (_ <- 1 to iterations) {
+      val withDeg = ranks.join(outDeg, Seq("node"), "left")
+      val dang = withDeg.filter(col("__deg").isNull)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
+      val contrib = withDeg.filter(col("__deg").isNotNull)
+        .select(col("node").as("__s"), (col("rank") / col("__deg")).as("__c"))
+        .join(e, "__s")
+        .groupBy(col("__d").as("node"))
+        .agg(sum("__c").as("__in"))
+      val (next, nextCache) = barrier(nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"), col("__seed"),
+          (lit(1.0 - damping) * tele +
+            lit(damping) * (coalesce(col("__in"), lit(0.0))
+              + col("__dm") * tele))
+            .as("rank")))
+      ranksCache.unpersist(blocking = false)
+      ranks = next; ranksCache = nextCache
+    }
+    val out = ranks
+      .select(col("node"), col("__seed").as("is_seed"),
+        round(col("rank") * 1000000.0, 4).as("rank_ppm"))
+      .localCheckpoint(true)
+    ranksCache.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    outDeg.unpersist(blocking = false)
+    out
+  }
 }

@@ -840,6 +840,27 @@ object ExtendedQueries {
       graft.graph.PageRank.pageRank(edges, "src", "dst", iterations = 5)
     }),
 
+    // random walk with restart to the %91 seed orders: teleport and
+    // dangling mass go to seeds only, so unreachable nodes score
+    // exactly 0 — the "relevance to these nodes" signal
+    "q236_personalized_pagerank" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val edges = li.filter(col("l_orderkey") % 7 === 0)
+        .select(
+          concat(lit("o"), col("l_orderkey").cast(StringType)).as("src"),
+          concat(lit("p"), col("l_partkey").cast(StringType)).as("dst"))
+      val seeds = li.filter(col("l_orderkey") % 91 === 0)
+        .select(concat(lit("o"), col("l_orderkey").cast(StringType)).as("seed"))
+      graft.graph.PageRank.personalizedPageRank(edges, "src", "dst",
+        seeds, "seed", iterations = 5)
+    }),
+
+    // TextRank keywords: PageRank over the corpus word-adjacency
+    // graph, top-20 by (rounded ppm desc, word asc)
+    "q237_textrank_keywords" -> ((s, d) =>
+      graft.text.TextOps.textRankKeywords(Tables.documents(s, d), "text",
+        iterations = 5, k = 20)),
+
     // array-function surface: per-doc stopword intersections /
     // differences, sorted so ordering conventions can't diverge
     // across engines
@@ -3249,6 +3270,103 @@ object ExtendedQueries {
       }.mkString
       head + iters +
         "\nSELECT node, round(rank * 1000000.0, 4) AS rank_ppm FROM r5"
+    },
+
+    // q143's unrolled power iterations with the seed-restart teleport:
+    // r' = (1-d)·t + d·(contrib + dangling·t), t = 1/|S| on seeds
+    "q236_personalized_pagerank" -> {
+      val head =
+        """WITH edges AS MATERIALIZED (
+          |  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+          |    'p' || CAST(l_partkey AS VARCHAR) AS dst
+          |  FROM lineitem WHERE l_orderkey % 7 = 0
+          |), nodes AS MATERIALIZED (
+          |  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+          |), seeds AS MATERIALIZED (
+          |  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS s
+          |  FROM lineitem WHERE l_orderkey % 91 = 0
+          |), sn AS (SELECT count(*)::DOUBLE AS c
+          |          FROM seeds JOIN nodes ON nodes.node = seeds.s),
+          |tele AS MATERIALIZED (
+          |  SELECT node,
+          |    CASE WHEN EXISTS (SELECT 1 FROM seeds WHERE s = node)
+          |      THEN 1.0 / (SELECT c FROM sn) ELSE 0.0 END AS t
+          |  FROM nodes
+          |), deg AS MATERIALIZED (SELECT src AS node, count(*)::DOUBLE AS deg
+          |        FROM edges GROUP BY 1),
+          |r0 AS MATERIALIZED (SELECT node, t AS rank FROM tele)""".stripMargin
+      val iters = (1 to 5).map { i =>
+        s""", dang$i AS MATERIALIZED (
+           |  SELECT coalesce(sum(r.rank), 0.0) AS m FROM r${i - 1} r
+           |  WHERE NOT EXISTS (SELECT 1 FROM deg d WHERE d.node = r.node)
+           |), r$i AS MATERIALIZED (
+           |  SELECT n.node,
+           |    (1.0 - 0.85) * t.t
+           |      + 0.85 * (coalesce(c.s, 0.0)
+           |                + (SELECT m FROM dang$i) * t.t) AS rank
+           |  FROM nodes n JOIN tele t USING (node) LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r.rank / d.deg) AS s
+           |    FROM r${i - 1} r
+           |    JOIN deg d USING (node)
+           |    JOIN edges e ON e.src = r.node
+           |    GROUP BY e.dst) c USING (node)
+           |)""".stripMargin
+      }.mkString
+      head + iters +
+        """
+          |SELECT r.node,
+          |  EXISTS (SELECT 1 FROM seeds WHERE s = r.node) AS is_seed,
+          |  round(rank * 1000000.0, 4) AS rank_ppm FROM r5 r""".stripMargin
+    },
+
+    // q143's unrolled iterations over the word-adjacency graph built
+    // with a list comprehension; top-20 by (rounded ppm desc, word)
+    "q237_textrank_keywords" -> {
+      val head =
+        """WITH tok AS (
+          |  SELECT regexp_split_to_array(trim(text), '\s+') AS t
+          |  FROM documents
+          |  WHERE text IS NOT NULL AND length(trim(text)) > 0
+          |    AND len(regexp_split_to_array(trim(text), '\s+')) >= 2
+          |), pr AS (
+          |  SELECT unnest([{'a': t[i], 'b': t[i+1]} for i in range(1, len(t))],
+          |    recursive := true)
+          |  FROM tok
+          |), edges AS MATERIALIZED (
+          |  SELECT DISTINCT a AS src, b AS dst FROM pr WHERE a <> b
+          |  UNION
+          |  SELECT DISTINCT b, a FROM pr WHERE a <> b
+          |), nodes AS MATERIALIZED (
+          |  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+          |), nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+          |deg AS MATERIALIZED (SELECT src AS node, count(*)::DOUBLE AS deg
+          |        FROM edges GROUP BY 1),
+          |r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)""".stripMargin
+      val iters = (1 to 5).map { i =>
+        s""", dang$i AS MATERIALIZED (
+           |  SELECT coalesce(sum(r.rank), 0.0) AS m FROM r${i - 1} r
+           |  WHERE NOT EXISTS (SELECT 1 FROM deg d WHERE d.node = r.node)
+           |), r$i AS MATERIALIZED (
+           |  SELECT n.node,
+           |    (1.0 - 0.85) / (SELECT n FROM nn)
+           |      + 0.85 * (coalesce(c.s, 0.0)
+           |                + (SELECT m FROM dang$i) / (SELECT n FROM nn)) AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r.rank / d.deg) AS s
+           |    FROM r${i - 1} r
+           |    JOIN deg d USING (node)
+           |    JOIN edges e ON e.src = r.node
+           |    GROUP BY e.dst) c USING (node)
+           |)""".stripMargin
+      }.mkString
+      head + iters +
+        """
+          |SELECT CAST(pos AS INT) AS pos, keyword, rank_ppm FROM (
+          |  SELECT row_number() OVER (
+          |      ORDER BY round(rank * 1000000.0, 4) DESC, node) AS pos,
+          |    node AS keyword, round(rank * 1000000.0, 4) AS rank_ppm
+          |  FROM r5)
+          |WHERE pos <= 20""".stripMargin
     },
 
     // same list algebra with list_sort pinning the order both sides

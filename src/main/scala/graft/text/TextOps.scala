@@ -979,4 +979,39 @@ object TextOps {
       .withColumn("clean_rate", round(
         col("n_clean").cast(DoubleType) / col("n_docs").cast(DoubleType), 6))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    * over the corpus-wide word ADJACENCY graph (window 2 — each pair
+    * of neighbouring tokens is an undirected edge), top-k words by
+    * rank — the graph-centrality complement of RAKE (q192, degree/
+    * frequency scoring) and TF-IDF (corpus statistics, no graph). The
+    * edge list is built with one explode over per-doc adjacent pairs
+    * (self-loops from repeated tokens dropped), fed to the UNCHANGED
+    * [[graft.graph.PageRank]] power method — undirected = both
+    * directed edges, duplicates collapse there; the final top-k is an
+    * orderBy+limit (TakeOrderedAndProject — never a global sort) on
+    * (rounded ppm desc, word asc), the deterministic tie order the
+    * oracle replays.
+    */
+  def textRankKeywords(docs: DataFrame, textCol: String,
+                       iterations: Int = 5, k: Int = 20): DataFrame = {
+    val pairs = docs
+      .filter(col(textCol).isNotNull && size(tokens(col(textCol))) >= 2)
+      .select(explode(graft.expressions.ExprOps.bind(tokens(col(textCol))) {
+        t =>
+          transform(sequence(lit(0), size(t) - 2),
+            i => struct(element_at(t, i + 1).as("a"),
+              element_at(t, i + 2).as("b")))
+      }).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val ranked = graft.graph.PageRank.pageRank(edges, "src", "dst", iterations)
+    import org.apache.spark.sql.expressions.Window
+    ranked.orderBy(col("rank_ppm").desc, col("node")).limit(k)
+      .withColumn("pos", row_number().over(   // k-row frame
+        Window.orderBy(col("rank_ppm").desc, col("node"))).cast(IntegerType))
+      .select(col("pos"), col("node").as("keyword"), col("rank_ppm"))
+  }
 }

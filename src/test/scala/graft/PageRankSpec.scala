@@ -210,6 +210,30 @@ class PageRankSpec extends SparkSpec {
     assert(two === Map(1L -> 0, 5L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
   }
 
+  test("personalizedPageRank: mass restarts at the seeds so nodes " +
+    "unreachable FROM the seed set score exactly 0, ranks sum to 1, " +
+    "and a seed outside the graph is ignored") {
+    import spark.implicits._
+    // two components: seed-reachable a->b->c and disconnected x->y;
+    // c is dangling so its mass restarts at the seed
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("s", "d")
+    val seeds = Seq("a", "ghost").toDF("seed")
+    val out = graft.graph.PageRank.personalizedPageRank(
+      edges, "s", "d", seeds, "seed", iterations = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(1), r.getAs[Double]("rank_ppm"))).toMap
+    assert(out("x") === ((false, 0.0)))
+    assert(out("y") === ((false, 0.0)))
+    assert(out("a")._1 && !out("b")._1)
+    assert(out("a")._2 > 0 && out("b")._2 > 0 && out("c")._2 > 0)
+    assert(math.abs(out.values.map(_._2).sum - 1e6) < 1.0) // sums to 1
+    // no seed present in the graph is a hard error
+    intercept[IllegalArgumentException] {
+      graft.graph.PageRank.personalizedPageRank(
+        edges, "s", "d", Seq("ghost").toDF("seed"), "seed")
+    }
+  }
+
   test("kCore: a pendant chain peels away over multiple rounds while " +
     "the triangle survives with exact degrees; a bare chain empties") {
     import spark.implicits._

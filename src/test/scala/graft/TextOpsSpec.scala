@@ -525,4 +525,22 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_clean") === 1L)
     assert(r.getAs[Double]("clean_rate") === 0.2)
   }
+
+  test("textRankKeywords: a word bridging both corpus themes out-ranks " +
+    "peripheral words; positions are dense from 1; single-token and " +
+    "empty docs contribute no edges") {
+    import spark.implicits._
+    // "data" is adjacent to every other word -> highest centrality
+    val docs = Seq(
+      "big data systems",
+      "data quality rules",
+      "fast data",
+      "solo", // too short for any pair
+      " ", "").toDF("text")
+    val out = graft.text.TextOps.textRankKeywords(docs, "text",
+      iterations = 8, k = 3).collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    assert(out(0).getString(1) === "data")
+    assert(out(0).getAs[Double]("rank_ppm") > out(1).getAs[Double]("rank_ppm"))
+  }
 }
