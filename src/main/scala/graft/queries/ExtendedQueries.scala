@@ -861,6 +861,17 @@ object ExtendedQueries {
       graft.text.TextOps.textRankKeywords(Tables.documents(s, d), "text",
         iterations = 5, k = 20)),
 
+    // connected components over the order–part bipartite graph:
+    // min-label propagation + pointer doubling, fixed 6 rounds
+    "q238_connected_components" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val edges = li.filter(col("l_orderkey") % 13 === 0)
+        .select(
+          concat(lit("o"), col("l_orderkey").cast(StringType)).as("id_a"),
+          concat(lit("p"), col("l_partkey").cast(StringType)).as("id_b"))
+      graft.graph.GraphOps.connectedComponents(edges, iters = 6)
+    }),
+
     // array-function surface: per-doc stopword intersections /
     // differences, sorted so ordering conventions can't diverge
     // across engines
@@ -3367,6 +3378,42 @@ object ExtendedQueries {
           |    node AS keyword, round(rank * 1000000.0, 4) AS rank_ppm
           |  FROM r5)
           |WHERE pos <= 20""".stripMargin
+    },
+
+    // min-label propagation with pointer doubling, every round
+    // unrolled: h_i = min(own, neighbor min), l_i = min(h_i, h_i of
+    // one's label) — labels only decrease, so the fixed horizon is
+    // the operator's definition on both engines
+    "q238_connected_components" -> {
+      val head =
+        """WITH edges AS MATERIALIZED (
+          |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM (
+          |    SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS a,
+          |      'p' || CAST(l_partkey AS VARCHAR) AS b
+          |    FROM lineitem WHERE l_orderkey % 13 = 0)
+          |  WHERE a <> b
+          |), both_dir AS MATERIALIZED (
+          |  SELECT a AS src, b AS dst FROM edges
+          |  UNION ALL SELECT b, a FROM edges
+          |), l0 AS MATERIALIZED (
+          |  SELECT node, node AS lab FROM (
+          |    SELECT a AS node FROM edges UNION SELECT b FROM edges)
+          |)""".stripMargin
+      val iters = (1 to 6).map { i =>
+        s""", h$i AS MATERIALIZED (
+           |  SELECT l.node, least(l.lab, coalesce(m.nb, l.lab)) AS lab
+           |  FROM l${i - 1} l LEFT JOIN (
+           |    SELECT e.dst AS node, min(l2.lab) AS nb
+           |    FROM l${i - 1} l2 JOIN both_dir e ON e.src = l2.node
+           |    GROUP BY e.dst) m USING (node)
+           |), l$i AS MATERIALIZED (
+           |  SELECT x.node, least(x.lab, coalesce(y.ll, x.lab)) AS lab
+           |  FROM h$i x LEFT JOIN (
+           |    SELECT node AS lab, lab AS ll FROM h$i) y USING (lab)
+           |)""".stripMargin
+      }.mkString
+      head + iters +
+        "\nSELECT node, lab AS component FROM l6"
     },
 
     // same list algebra with list_sort pinning the order both sides

@@ -234,6 +234,26 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: separate components get their own min " +
+    "labels, pointer doubling converges a diameter-8 path in 4 " +
+    "rounds, and an unconverged horizon refines but never merges") {
+    import spark.implicits._
+    val g = (1L to 8L).map(i => (i, i + 1)) ++ // path 1..9, diameter 8
+      Seq((20L, 21L), (21L, 22L), (20L, 22L)) // triangle
+    val full = graft.graph.GraphOps.connectedComponents(
+      g.toDF("id_a", "id_b"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 9L).forall(full(_) === 1L))
+    assert(Seq(20L, 21L, 22L).forall(full(_) === 20L))
+    // one round cannot span the whole path; but every label must
+    // still be a member of the node's true component (refinement)
+    val part = graft.graph.GraphOps.connectedComponents(
+      g.toDF("id_a", "id_b"), iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(part.filterKeys(_ <= 9L).values.toSet.size > 1)
+    assert(part.forall { case (n, l) => (n <= 9L) === (l <= 9L) })
+  }
+
   test("kCore: a pendant chain peels away over multiple rounds while " +
     "the triangle survives with exact degrees; a bare chain empties") {
     import spark.implicits._
