@@ -1856,4 +1856,113 @@ object AnalyticsOps {
           (col("__tp").cast("double") / col("__tn").cast("double")), 6)
           .as("lift"))
   }
+
+  /** Pareto frontier / skyline (Börzsönyi et al. 2001): the rows not
+    * STRICTLY dominated under (minimize `xCol`, maximize `yCol`) —
+    * j dominates i iff xⱼ ≤ xᵢ, yⱼ ≥ yᵢ, and at least one is strict;
+    * duplicated points dominate neither and both survive. Per group,
+    * a row is dominated iff
+    *   max{y : x' < x} ≥ y   (someone strictly cheaper is as good)
+    *   or max{y : x' = x} > y (someone equally cheap is better),
+    * so the whole skyline reduces to a STRICT prefix-max of y in x
+    * order — computed with the two-level discipline: x-levels bucket
+    * on a monotone prefix of x (floor(x·xScale) — IEEE multiply by a
+    * positive constant and floor are both monotone, so fp wobble
+    * cannot break bucket ordering), per-(group, bucket) maxima get
+    * their running max over the TINY bucket table, and the only
+    * data-side window is per (group, bucket) over DISTINCT x levels —
+    * bounded by the value resolution per bucket, never by group size.
+    * No arithmetic touches x or y themselves (raw comparisons only),
+    * so results are bit-exact on any engine.
+    */
+  def paretoFrontier(df: DataFrame, groupCol: String, idCol: String,
+                     xCol: String, yCol: String,
+                     xScale: Double = 1.0): DataFrame = {
+    // NULL-group rows are excluded (the equi-joins below would drop
+    // them silently otherwise — better absent by contract than lost)
+    val base = df
+      .filter(col(groupCol).isNotNull &&
+        col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol), col(idCol), col(xCol), col(yCol))
+    val levels = base.groupBy(col(groupCol), col(xCol))
+      .agg(max(col(yCol)).as("__lm"))
+      .withColumn("__b",
+        floor(col(xCol).cast(DoubleType) * lit(xScale)).cast(LongType))
+    val bucketMax = levels.groupBy(col(groupCol), col("__b"))
+      .agg(max("__lm").as("__bm"))
+      .withColumn("__offm", max("__bm").over(
+        Window.partitionBy(groupCol).orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col(groupCol), col("__b"), col("__offm"))
+    val wl = Window.partitionBy(col(groupCol), col("__b"))
+      .orderBy(col(xCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val strict = levels
+      .withColumn("__pm", max("__lm").over(wl)) // x-levels per bucket only
+      .join(bucketMax, Seq(groupCol, "__b"))
+      .withColumn("__sm", greatest(
+        coalesce(col("__pm"), col("__offm")),
+        coalesce(col("__offm"), col("__pm"))))
+      .select(col(groupCol), col(xCol), col("__lm"), col("__sm"))
+    base.join(strict, Seq(groupCol, xCol))
+      .filter((col("__sm").isNull || col("__sm") < col(yCol)) &&
+        col(yCol) === col("__lm"))
+      .select(col(groupCol), col(idCol), col(xCol), col(yCol))
+  }
+
+  /** Item–item collaborative filtering over implicit binary feedback
+    * (Sarwar et al. 2001; Linden et al. 2003's "people who bought X"):
+    * cosine similarity between items i, j =
+    * |U(i)∩U(j)| / √(|U(i)|·|U(j)|) over the DISTINCT (user, item)
+    * incidence, top-k neighbours per item. All inputs are exact
+    * integers and the cosine closes in one fixed IEEE expression
+    * (x·y and √ are correctly rounded), so scores are bit-identical
+    * across engines; ties break (score desc, item asc) on both sides.
+    *
+    * Scale: the user self-join is O(Σ basket²), so users with more
+    * than `maxBasket` distinct items are EXCLUDED OUTRIGHT — an exact,
+    * replayable power-user discount (the [[graft.graph.GraphOps.linkPrediction]]
+    * degree cap; a crawler that touched every item carries no
+    * preference signal anyway). Item norms count the CAPPED incidence
+    * so the cosine stays internally consistent. Top-k per item rides
+    * the bounded-heap [[graft.expressions.TopKAgg]] — ≤ k rows per
+    * item per map partition cross the shuffle, never the full
+    * candidate list of a popular item.
+    */
+  def itemSimilarity(df: DataFrame, userCol: String, itemCol: String,
+                     k: Int = 5, maxBasket: Int = 100): DataFrame = {
+    val ui = df
+      .filter(col(userCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(userCol).as("__u"), col(itemCol).as("__i"))
+      .distinct()
+    val small = ui.groupBy("__u").agg(count(lit(1)).as("__bs"))
+      .filter(col("__bs") <= maxBasket)
+      .select("__u")
+    val kept = ui.join(small, Seq("__u"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = kept.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+      val cooc = kept.select(col("__u"), col("__i").as("__ia"))
+        .join(kept.select(col("__u"), col("__i").as("__ib")), "__u")
+        .filter(col("__ia") < col("__ib"))
+        .groupBy("__ia", "__ib").agg(count(lit(1)).as("__c"))
+      val sym = cooc.unionAll(cooc.select(col("__ib").as("__ia"),
+        col("__ia").as("__ib"), col("__c")))
+      val scored = sym
+        .join(n.select(col("__i").as("__ia"), col("__n").as("__na")), "__ia")
+        .join(n.select(col("__i").as("__ib"), col("__n").as("__nb")), "__ib")
+        .withColumn("__cos", col("__c").cast(DoubleType) /
+          sqrt(col("__na").cast(DoubleType) * col("__nb").cast(DoubleType)))
+      val idType = df.schema(itemCol).dataType
+      scored.groupBy(col("__ia").as("item"))
+        .agg(graft.expressions.TopKAgg.topKFor(idType, k)(
+          col("__ib"), col("__cos")).as("__topk"))
+        .select(col("item"), posexplode(col("__topk")))
+        .select(col("item"),
+          (col("pos") + 1).cast(IntegerType).as("rank"),
+          col("col.id").as("similar_item"),
+          round(col("col.score"), 6).as("cosine"))
+        .localCheckpoint(true)
+    } finally kept.unpersist(blocking = false)
+  }
 }

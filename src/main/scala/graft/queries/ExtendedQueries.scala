@@ -872,6 +872,26 @@ object ExtendedQueries {
       graft.graph.GraphOps.connectedComponents(edges, iters = 6)
     }),
 
+    // "customers who bought X also bought": item-item cosine over the
+    // customer–part incidence, top-5 neighbours per part, power-user
+    // baskets excluded outright (exact, replayable cap)
+    "q239_item_similarity" -> ((s, d) => {
+      val baskets = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("user_id"), col("l_partkey").as("item"))
+      graft.operators.AnalyticsOps.itemSimilarity(
+        baskets, "user_id", "item", k = 5, maxBasket = 60)
+    }),
+
+    // per-brand price/size skyline: parts no other part of the brand
+    // strictly dominates (cheaper and at-least-as-big, or same price
+    // and strictly bigger)
+    "q240_pareto_skyline" -> ((s, d) =>
+      graft.operators.AnalyticsOps.paretoFrontier(
+        Tables.part(s, d), "p_brand", "p_partkey",
+        "p_retailprice", "p_size", xScale = 0.01)),
+
     // array-function surface: per-doc stopword intersections /
     // differences, sorted so ordering conventions can't diverge
     // across engines
@@ -3415,6 +3435,51 @@ object ExtendedQueries {
       head + iters +
         "\nSELECT node, lab AS component FROM l6"
     },
+
+    // same capped incidence, pair counts, and one-expression cosine;
+    // row_number replays the heap's (score desc, id asc) order
+    "q239_item_similarity" ->
+      """WITH ui AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |), kept AS MATERIALIZED (
+        |  SELECT u, i FROM ui WHERE u IN (
+        |    SELECT u FROM ui GROUP BY u HAVING count(*) <= 60)
+        |), n AS (SELECT i, count(*) AS n FROM kept GROUP BY i),
+        |cooc AS (
+        |  SELECT a.i AS ia, b.i AS ib, count(*) AS c
+        |  FROM kept a JOIN kept b ON a.u = b.u AND a.i < b.i
+        |  GROUP BY 1, 2
+        |), sym AS (
+        |  SELECT ia, ib, c FROM cooc UNION ALL SELECT ib, ia, c FROM cooc
+        |), scored AS (
+        |  SELECT s.ia AS item, s.ib AS sim,
+        |    s.c::DOUBLE / sqrt(na.n::DOUBLE * nb.n::DOUBLE) AS cos
+        |  FROM sym s JOIN n na ON na.i = s.ia JOIN n nb ON nb.i = s.ib
+        |)
+        |SELECT item, CAST(rank AS INT) AS rank, sim AS similar_item,
+        |  round(cos, 6) AS cosine
+        |FROM (SELECT item, sim, cos, row_number() OVER (
+        |        PARTITION BY item ORDER BY cos DESC, sim) AS rank
+        |      FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+
+    // the skyline by its definition: strict-dominance NOT EXISTS
+    // (quadratic is fine for an oracle; the engine's prefix-max form
+    // is the scale path)
+    "q240_pareto_skyline" ->
+      """SELECT p_brand, p_partkey, p_retailprice, p_size
+        |FROM part p
+        |WHERE p_brand IS NOT NULL
+        |  AND p_retailprice IS NOT NULL AND p_size IS NOT NULL
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM part q
+        |    WHERE q.p_brand = p.p_brand
+        |      AND q.p_retailprice IS NOT NULL AND q.p_size IS NOT NULL
+        |      AND q.p_retailprice <= p.p_retailprice
+        |      AND q.p_size >= p.p_size
+        |      AND (q.p_retailprice < p.p_retailprice
+        |           OR q.p_size > p.p_size))""".stripMargin,
 
     // same list algebra with list_sort pinning the order both sides
     "q141_array_ops" -> {

@@ -974,4 +974,52 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(so.isNullAt(so.fieldIndex("b0")) && so.isNullAt(so.fieldIndex("b1"))
       && so.isNullAt(so.fieldIndex("b2")))
   }
+
+  test("paretoFrontier: strict dominance across and within price " +
+    "levels, duplicated points both survive, buckets span the " +
+    "prefix-max, NULL group excluded") {
+    import spark.implicits._
+    val pts = Seq(
+      ("g", 1L, 10.0, 5L), // out: 2 is same price, bigger
+      ("g", 2L, 10.0, 7L), // out: 3 is cheaper, same size
+      ("g", 3L, 9.0, 7L),  // frontier
+      ("g", 4L, 9.0, 7L),  // duplicate of 3: dominates neither, kept
+      ("g", 5L, 8.0, 3L),  // frontier (cheapest)
+      ("g", 6L, 12.0, 9L), // frontier (biggest)
+      ("g", 7L, 12.0, 8L), // out: 6 same price, bigger
+      ("g", 8L, 11.0, 2L), // out: 5 cheaper AND bigger
+      ("h", 9L, 99.0, 1L)) // own group: trivially frontier
+      .toDF("brand", "id", "price", "sz")
+      .unionByName(Seq((Option.empty[String], 10L, Option(1.0), Option(9L)))
+        .toDF("brand", "id", "price", "sz"))
+    // xScale 0.5 puts {8,9} {10,11} {12} in different buckets, so the
+    // strict max must flow through the bucket-offset path
+    val out = AnalyticsOps.paretoFrontier(pts, "brand", "id",
+      "price", "sz", xScale = 0.5)
+      .collect().map(_.getLong(1)).toSet
+    assert(out === Set(3L, 4L, 5L, 6L, 9L))
+  }
+
+  test("itemSimilarity: hand-computed cosines with id-asc tie-break, " +
+    "duplicate feedback collapses, capped basket drops out entirely") {
+    import spark.implicits._
+    // u1:{1,2,3} u2:{1,2} u3:{1,3}; u4's 4-item basket exceeds the
+    // cap, so item 4 (only u4's) must vanish from the output
+    val fb = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 1L), // dup row
+      (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L),
+      (4L, 1L), (4L, 2L), (4L, 3L), (4L, 4L))
+      .toDF("user_id", "item")
+    val out = AnalyticsOps.itemSimilarity(fb, "user_id", "item",
+      k = 2, maxBasket = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getAs[Double]("cosine"))).toMap
+    // nA=3 nB=2 nC=2; cooc AB=2 AC=2 BC=1
+    val s6 = math.rint(2.0 / math.sqrt(6.0) * 1e6) / 1e6
+    assert(out((1L, 1)) === ((2L, s6))) // tie with item 3 -> id asc
+    assert(out((1L, 2)) === ((3L, s6)))
+    assert(out((2L, 1)) === ((1L, s6)))
+    assert(out((2L, 2)) === ((3L, 0.5)))
+    assert(!out.keys.exists(_._1 === 4L))
+    assert(!out.values.exists(_._1 === 4L))
+  }
 }
