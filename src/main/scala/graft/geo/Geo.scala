@@ -367,4 +367,62 @@ object Geo {
       else concat(lit(s"$geoType("), body, lit(")"))
     when(c.isNull || length(c) === 0, lit(null)).otherwise(wrapped)
   }
+
+  /** Grid-density hotspot clustering (DBSCAN-lite; Ester et al. 1996
+    * by way of the STING/grid family): cells of an INTEGER gridSize ×
+    * gridSize lattice holding at least `minPts` points are dense, and
+    * 8-adjacent dense cells merge into one hotspot via
+    * [[graft.graph.GraphOps.connectedComponents]] (min-label +
+    * pointer doubling, `ccIters` fixed horizon — both engines replay
+    * the same horizon, and an unconverged run splits, never wrongly
+    * merges). Isolated dense cells are their own single-cell hotspot
+    * (coalesce to self — the CC operator only sees edge endpoints).
+    * Output per hotspot: the min cell id as the cluster key, cell
+    * count, total points, and the densest cell's count.
+    *
+    * Cell ids must be exact integers (hash-bucket or integer-divided
+    * coordinates — no fp binning), which is what makes every count
+    * and the clustering itself bit-portable across engines.
+    *
+    * Scale shape: one (cx, cy)-keyed count with map-side combine cuts
+    * the corpus to ≤ gridSize² dense-cell rows; the neighbor explode
+    * is 4 forward offsets per dense cell semi-joined against the
+    * dense set (never a spatial self-join over points); CC runs on
+    * the dense-cell graph only.
+    */
+  def gridHotspots(points: DataFrame, cxCol: String, cyCol: String,
+                   gridSize: Int, minPts: Long,
+                   ccIters: Int = 5): DataFrame = {
+    require(gridSize >= 2 && gridSize <= (1 << 20), "gridSize out of range")
+    val dense = points
+      .filter(col(cxCol).isNotNull && col(cyCol).isNotNull)
+      .groupBy(col(cxCol).cast("long").as("__cx"),
+        col(cyCol).cast("long").as("__cy"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minPts)
+      .withColumn("__cell", col("__cx") * gridSize + col("__cy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // forward half of the 8-neighborhood: each unordered adjacency
+      // is generated exactly once (CC normalizes anyway)
+      val offsets = Seq((0, 1), (1, -1), (1, 0), (1, 1))
+      val nbrs = dense.select(col("__cell").as("id_a"),
+        explode(array(offsets.map { case (dx, dy) =>
+          when(col("__cx") + dx >= 0 && col("__cx") + dx < gridSize &&
+            col("__cy") + dy >= 0 && col("__cy") + dy < gridSize,
+            (col("__cx") + dx) * gridSize + (col("__cy") + dy))
+        }: _*)).as("id_b"))
+        .filter(col("id_b").isNotNull)
+      val edges = nbrs.join(dense.select(col("__cell").as("id_b")),
+        Seq("id_b"), "left_semi")
+      val cc = graft.graph.GraphOps.connectedComponents(edges, ccIters)
+      dense
+        .join(cc.withColumnRenamed("node", "__cell"), Seq("__cell"), "left")
+        .withColumn("component", coalesce(col("component"), col("__cell")))
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_cells"), sum("__n").as("n_points"),
+          max("__n").as("peak_cell_points"))
+        .localCheckpoint(true)
+    } finally dense.unpersist(blocking = false)
+  }
 }

@@ -14,6 +14,27 @@ object ExtendedQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Unrolled min-label + pointer-doubling rounds for connected-
+    * components oracles (q238, q242): expects CTEs `both_dir(src,
+    * dst)` and `l0(node, lab)` in scope, emits `h1/l1 … h{iters}/
+    * l{iters}` — the literal SQL twin of
+    * [[graft.graph.GraphOps.connectedComponents]]'s loop body.
+    */
+  private def ccRoundsSql(iters: Int): String =
+    (1 to iters).map { i =>
+      s""", h$i AS MATERIALIZED (
+         |  SELECT l.node, least(l.lab, coalesce(m.nb, l.lab)) AS lab
+         |  FROM l${i - 1} l LEFT JOIN (
+         |    SELECT e.dst AS node, min(l2.lab) AS nb
+         |    FROM l${i - 1} l2 JOIN both_dir e ON e.src = l2.node
+         |    GROUP BY e.dst) m USING (node)
+         |), l$i AS MATERIALIZED (
+         |  SELECT x.node, least(x.lab, coalesce(y.ll, x.lab)) AS lab
+         |  FROM h$i x LEFT JOIN (
+         |    SELECT node AS lab, lab AS ll FROM h$i) y USING (lab)
+         |)""".stripMargin
+    }.mkString
+
   val queries: Map[String, Q] = Map(
     // skew-mitigated join: the salted form must be EXACTLY the plain
     // join (the oracle is the plain SQL join) — salting is a physical
@@ -891,6 +912,27 @@ object ExtendedQueries {
       graft.operators.AnalyticsOps.paretoFrontier(
         Tables.part(s, d), "p_brand", "p_partkey",
         "p_retailprice", "p_size", xScale = 0.01)),
+
+    // top-40 collocations by Dunning G² (mutual-information form so
+    // engine ln ulps don't amplify through corpus-sized cancellation)
+    "q241_llr_collocations" -> ((s, d) =>
+      graft.text.TextOps.llrCollocations(Tables.documents(s, d), "text",
+        k = 40, minCount = 5L)),
+
+    // DBSCAN-lite hotspots: md5-bucketed 32×32 grid cells, dense ≥ 14
+    // points, 8-adjacent dense cells merged by connected components
+    "q242_grid_hotspots" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      def cellOf(salt: String) = expr(
+        s"""conv(substring(md5(concat(cast(event_id as string), '$salt')), 1, 8), 16, 10)""")
+        .cast(LongType)
+      val cells = ev.select(
+        cellOf(":x").as("__hx"), cellOf(":y").as("__hy"))
+        .select(expr("__hx div 134217728L").as("cx"),
+          expr("__hy div 134217728L").as("cy"))
+      graft.geo.Geo.gridHotspots(cells, "cx", "cy",
+        gridSize = 32, minPts = 14L, ccIters = 5)
+    }),
 
     // array-function surface: per-doc stopword intersections /
     // differences, sorted so ordering conventions can't diverge
@@ -3419,21 +3461,40 @@ object ExtendedQueries {
           |  SELECT node, node AS lab FROM (
           |    SELECT a AS node FROM edges UNION SELECT b FROM edges)
           |)""".stripMargin
-      val iters = (1 to 6).map { i =>
-        s""", h$i AS MATERIALIZED (
-           |  SELECT l.node, least(l.lab, coalesce(m.nb, l.lab)) AS lab
-           |  FROM l${i - 1} l LEFT JOIN (
-           |    SELECT e.dst AS node, min(l2.lab) AS nb
-           |    FROM l${i - 1} l2 JOIN both_dir e ON e.src = l2.node
-           |    GROUP BY e.dst) m USING (node)
-           |), l$i AS MATERIALIZED (
-           |  SELECT x.node, least(x.lab, coalesce(y.ll, x.lab)) AS lab
-           |  FROM h$i x LEFT JOIN (
-           |    SELECT node AS lab, lab AS ll FROM h$i) y USING (lab)
-           |)""".stripMargin
-      }.mkString
-      head + iters +
+      head + ccRoundsSql(6) +
         "\nSELECT node, lab AS component FROM l6"
+    },
+
+    // same grid derivation, dense filter, forward-adjacency edges,
+    // and unrolled CC rounds; isolated dense cells self-label via l0
+    "q242_grid_hotspots" -> {
+      val head =
+        """WITH pts AS MATERIALIZED (
+          |  SELECT CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':x'), 1, 8))::UBIGINT
+          |           // 134217728 AS BIGINT) AS cx,
+          |         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':y'), 1, 8))::UBIGINT
+          |           // 134217728 AS BIGINT) AS cy
+          |  FROM events
+          |), dense AS MATERIALIZED (
+          |  SELECT cx, cy, cx * 32 + cy AS cell, count(*) AS n
+          |  FROM pts GROUP BY 1, 2 HAVING count(*) >= 14
+          |), edges AS MATERIALIZED (
+          |  SELECT a.cell AS a, b.cell AS b FROM dense a JOIN dense b
+          |  ON b.cell > a.cell
+          |    AND abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+          |), both_dir AS MATERIALIZED (
+          |  SELECT a AS src, b AS dst FROM edges
+          |  UNION ALL SELECT b, a FROM edges
+          |), l0 AS MATERIALIZED (
+          |  SELECT cell AS node, cell AS lab FROM dense
+          |)""".stripMargin
+      head + ccRoundsSql(5) +
+        """
+          |SELECT l.lab AS component, count(*) AS n_cells,
+          |  CAST(sum(d.n) AS BIGINT) AS n_points,
+          |  CAST(max(d.n) AS BIGINT) AS peak_cell_points
+          |FROM l5 l JOIN dense d ON d.cell = l.node
+          |GROUP BY 1""".stripMargin
     },
 
     // same capped incidence, pair counts, and one-expression cosine;
@@ -3480,6 +3541,50 @@ object ExtendedQueries {
         |      AND q.p_size >= p.p_size
         |      AND (q.p_retailprice < p.p_retailprice
         |           OR q.p_size > p.p_size))""".stripMargin,
+
+    // identical contingency marginals and the same fixed-order
+    // four-term MI sum scaled by 2N; rank on the rounded value
+    // (the q121 contract)
+    "q241_llr_collocations" ->
+      """WITH toked AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+        |  FROM documents
+        |), bc AS MATERIALIZED (
+        |  SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c12
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i
+        |        FROM toked WHERE len(t) >= 2)
+        |  GROUP BY 1, 2
+        |), nn AS (SELECT sum(c12) AS ni, sum(c12)::DOUBLE AS n FROM bc),
+        |r AS (SELECT w1, sum(c12) AS r1 FROM bc GROUP BY 1),
+        |c AS (SELECT w2, sum(c12) AS c1 FROM bc GROUP BY 1),
+        |scored AS (
+        |  SELECT b.w1, b.w2, b.c12,
+        |    round(2.0 * nn.n * (
+        |      ((CASE WHEN b.c12 = 0 THEN 0.0 ELSE
+        |          (b.c12::DOUBLE / nn.n) * ln(b.c12::DOUBLE * nn.n
+        |            / (r.r1::DOUBLE * c.c1::DOUBLE)) END
+        |        + CASE WHEN r.r1 - b.c12 = 0 THEN 0.0 ELSE
+        |          ((r.r1 - b.c12)::DOUBLE / nn.n) * ln((r.r1 - b.c12)::DOUBLE * nn.n
+        |            / (r.r1::DOUBLE * (nn.ni - c.c1)::DOUBLE)) END)
+        |       + (CASE WHEN c.c1 - b.c12 = 0 THEN 0.0 ELSE
+        |          ((c.c1 - b.c12)::DOUBLE / nn.n) * ln((c.c1 - b.c12)::DOUBLE * nn.n
+        |            / ((nn.ni - r.r1)::DOUBLE * c.c1::DOUBLE)) END
+        |        + CASE WHEN nn.ni - r.r1 - c.c1 + b.c12 = 0 THEN 0.0 ELSE
+        |          ((nn.ni - r.r1 - c.c1 + b.c12)::DOUBLE / nn.n)
+        |            * ln((nn.ni - r.r1 - c.c1 + b.c12)::DOUBLE * nn.n
+        |            / ((nn.ni - r.r1)::DOUBLE * (nn.ni - c.c1)::DOUBLE)) END))), 4)
+        |      AS llr
+        |  FROM bc b
+        |  JOIN r ON r.w1 = b.w1
+        |  JOIN c ON c.w2 = b.w2
+        |  CROSS JOIN nn
+        |  WHERE b.c12 >= 5
+        |)
+        |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, llr FROM (
+        |  SELECT *, row_number() OVER (ORDER BY llr DESC, w1 ASC, w2 ASC) AS rn
+        |  FROM scored)
+        |WHERE rn <= 40""".stripMargin,
 
     // same list algebra with list_sort pinning the order both sides
     "q141_array_ops" -> {

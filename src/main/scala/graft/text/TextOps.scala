@@ -980,6 +980,74 @@ object TextOps {
         col("n_clean").cast(DoubleType) / col("n_docs").cast(DoubleType), 6))
   }
 
+  /** Top-k collocations by Dunning's log-likelihood ratio (Dunning
+    * 1993) — the small-count-safe complement of [[pmiCollocations]]:
+    * PMI rewards rare pairs, G² asks how unlikely the 2×2 bigram
+    * contingency (w1-then-w2 vs everything else) is under
+    * independence, so frequent genuine phrases rise. Marginals are
+    * the bigram table's own first/second-position sums (two hash-
+    * keyed aggregations + two joins keyed on the word).
+    *
+    * Numeric discipline: the textbook Σ k·ln k form multiplies
+    * corpus-sized counts into ln terms whose CANCELLATION leaves the
+    * engines' 1-ulp ln differences magnified to ~1e-3 at N = 10⁶ —
+    * so G² is computed in the mutual-information form instead,
+    *   G² = 2N · Σᵢⱼ (kᵢⱼ/N)·ln( kᵢⱼ·N / (rowᵢ·colⱼ) ),
+    * where every summand is O(1) (error stays ~1e-15 before the
+    * single 2N scale-up), zero cells contribute exactly 0 by
+    * definition, and the four-term sum closes in one fixed order
+    * mirrored verbatim by the oracle. Rank is on the ROUNDED value
+    * with (w1, w2) tie-break — the [[pmiCollocations]] contract.
+    *
+    * Scale shape: one explode into a hash-keyed bigram count, two
+    * marginal aggregations of THAT table, one scalar total, top-k as
+    * TakeOrderedAndProject over the minCount-filtered frame.
+    */
+  def llrCollocations(docs: DataFrame, textCol: String, k: Int,
+                      minCount: Long = 5L): DataFrame = {
+    val bis = docs.select(tokens(lower(col(textCol))).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(__t) - 2), i -> struct(__t[i] AS w1, __t[i + 1] AS w2))"))
+        .as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    bis.persist()
+    val n = bis.agg(coalesce(sum("c12"), lit(0L))).head().getLong(0)
+    val out =
+      if (n == 0) {
+        val s = docs.sparkSession
+        import s.implicits._
+        Seq.empty[(String, String, Long, Double)].toDF("w1", "w2", "c12", "llr")
+      } else {
+        val r = bis.groupBy("w1").agg(sum("c12").as("__r1"))
+        val c = bis.groupBy("w2").agg(sum("c12").as("__c1"))
+        val nD = n.toDouble
+        def term(kk: Column, row: Column, colm: Column): Column =
+          when(kk === 0, lit(0.0)).otherwise(
+            (kk.cast(DoubleType) / nD) *
+              log(kk.cast(DoubleType) * nD /
+                (row.cast(DoubleType) * colm.cast(DoubleType))))
+        bis.filter(col("c12") >= minCount)
+          .join(r, "w1").join(c, "w2")
+          .withColumn("__k12", col("__r1") - col("c12"))
+          .withColumn("__k21", col("__c1") - col("c12"))
+          .withColumn("__k22", lit(n) - col("__r1") - col("__c1") + col("c12"))
+          .withColumn("llr", round(lit(2.0) * nD *
+            ((term(col("c12"), col("__r1"), col("__c1"))
+              + term(col("__k12"), col("__r1"), lit(n) - col("__c1")))
+              + (term(col("__k21"), lit(n) - col("__r1"), col("__c1"))
+                + term(col("__k22"), lit(n) - col("__r1"),
+                  lit(n) - col("__c1")))), 4))
+          .orderBy(col("llr").desc, col("w1").asc, col("w2").asc)
+          .limit(k)
+          .select(col("w1"), col("w2"), col("c12"), col("llr"))
+          .localCheckpoint(true)
+      }
+    bis.unpersist()
+    out
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
     * over the corpus-wide word ADJACENCY graph (window 2 — each pair
     * of neighbouring tokens is an undirected edge), top-k words by

@@ -234,4 +234,22 @@ class GeoSpec extends SparkSpec {
       "POLYGON((-80.1 40.3, -79.8 40.3, -79.8 40.6, -80.1 40.6, -80.1 40.3))",
       col("long"), col("lat"))
   }
+
+  test("gridHotspots: 8-adjacent dense cells (incl. diagonal) merge " +
+    "under the min cell id, an isolated dense cell is its own " +
+    "hotspot, sub-threshold cells vanish") {
+    import spark.implicits._
+    def cell(cx: Long, cy: Long, n: Int) = Seq.fill(n)((cx, cy))
+    val pts = (cell(0, 0, 3) ++ cell(0, 1, 2) ++ cell(1, 1, 2) ++
+      cell(4, 4, 2) ++ cell(7, 7, 1)).toDF("cx", "cy")
+    val out = Geo.gridHotspots(pts, "cx", "cy", gridSize = 8,
+      minPts = 2L, ccIters = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // (0,0)+(0,1)+(1,1) chain: diagonal (0,0)-(1,1) and the two
+    // orthogonal adjacencies all merge into component 0*8+0 = 0
+    assert(out === Map(
+      0L -> ((3L, 7L, 3L)),   // 3 cells, 7 points, peak 3
+      36L -> ((1L, 2L, 2L)))) // isolated 4*8+4
+  }
 }

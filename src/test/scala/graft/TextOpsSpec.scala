@@ -526,6 +526,39 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("clean_rate") === 0.2)
   }
 
+  test("llrCollocations: matches an independent G² computation on " +
+    "hand-counted bigrams, zero cells contribute zero, minCount " +
+    "filters, G² is non-negative") {
+    import spark.implicits._
+    val docs = (Seq.fill(6)("new york") ++ Seq.fill(2)("new day") ++
+      Seq("old york")).toDF("text")
+    // bigram table: (new,york)=6 (new,day)=2 (old,york)=1, N=9
+    def llrRef(k11: Long, r1: Long, c1: Long, n: Long): Double = {
+      val nD = n.toDouble
+      def t(k: Long, row: Long, c: Long): Double =
+        if (k == 0) 0.0
+        else (k.toDouble / nD) * math.log(k.toDouble * nD / (row.toDouble * c.toDouble))
+      val v = 2.0 * nD * ((t(k11, r1, c1) + t(r1 - k11, r1, n - c1)) +
+        (t(c1 - k11, n - r1, c1) + t(n - r1 - c1 + k11, n - r1, n - c1)))
+      math.rint(v * 1e4) / 1e4
+    }
+    val all = graft.text.TextOps.llrCollocations(docs, "text", k = 10,
+      minCount = 1L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getAs[Double]("llr"))).toMap
+    assert(all.size === 3)
+    assert(all(("new", "york"))._1 === 6L)
+    assert(math.abs(all(("new", "york"))._2 - llrRef(6, 8, 7, 9)) < 1e-3)
+    assert(math.abs(all(("new", "day"))._2 - llrRef(2, 8, 2, 9)) < 1e-3)
+    assert(math.abs(all(("old", "york"))._2 - llrRef(1, 1, 7, 9)) < 1e-3)
+    assert(all.values.forall(_._2 >= 0.0), "G² is a scaled KL divergence")
+    // minCount 5 keeps only the 6-count pair
+    val top = graft.text.TextOps.llrCollocations(docs, "text", k = 10,
+      minCount = 5L).collect()
+    assert(top.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("new", "york")))
+  }
+
   test("textRankKeywords: a word bridging both corpus themes out-ranks " +
     "peripheral words; positions are dense from 1; single-token and " +
     "empty docs contribute no edges") {
