@@ -390,6 +390,64 @@ object Geo {
     * dense set (never a spatial self-join over points); CC runs on
     * the dense-cell graph only.
     */
+  /** Radius-bounded nearest-neighbor join on INTEGER planar
+    * coordinates: for every point, the closest facility within
+    * Euclidean distance `cellSize` (squared distance ≤ cellSize²),
+    * ties broken by facility id. Points with no facility in the ball
+    * are absent — the bounded-radius contract is precisely what makes
+    * the grid blocking COMPLETE: any facility with d² ≤ r² has both
+    * |Δx| ≤ r and |Δy| ≤ r, so it lives in the point's own or an
+    * 8-adjacent (coordinate div r) cell, and the oracle can verify
+    * completeness by brute force.
+    *
+    * All arithmetic is exact 64-bit integers: deltas are filtered to
+    * |Δ| ≤ cellSize BEFORE squaring (candidates come only from
+    * adjacent cells, so Δ² ≤ cellSize² ≤ 2⁶² never wraps), and the
+    * argmin is a lexicographic min-struct on (d², facility id) — no
+    * floats anywhere, bit-identical on any engine.
+    *
+    * Scale shape: facilities (the small side) explode ×9 into their
+    * neighborhood cells and BROADCAST; the point side is one map-only
+    * pass — no point self-join, no shuffle of the big side at all.
+    * For a facility side too large to broadcast, the same plan
+    * degrades gracefully to a (cx, cy)-keyed hash join.
+    */
+  def radiusNearestJoin(points: DataFrame, idCol: String,
+                        xCol: String, yCol: String,
+                        facilities: DataFrame, fidCol: String,
+                        fxCol: String, fyCol: String,
+                        cellSize: Long): DataFrame = {
+    require(cellSize >= 1 && cellSize <= (1L << 31), "cellSize out of range")
+    val pts = points
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(idCol), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .withColumn("__cx", expr(s"__x div ${cellSize}L"))
+      .withColumn("__cy", expr(s"__y div ${cellSize}L"))
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
+    val fac = facilities
+      .filter(col(fxCol).isNotNull && col(fyCol).isNotNull)
+      .select(col(fidCol).as("__fid"), col(fxCol).cast("long").as("__fx"),
+        col(fyCol).cast("long").as("__fy"))
+      .withColumn("__o", explode(array(offsets.map { case (dx, dy) =>
+        struct((expr(s"__fx div ${cellSize}L") + dx).as("gx"),
+          (expr(s"__fy div ${cellSize}L") + dy).as("gy"))
+      }: _*)))
+      .select(col("__fid"), col("__fx"), col("__fy"),
+        col("__o.gx").as("__cx"), col("__o.gy").as("__cy"))
+    pts.join(broadcast(fac), Seq("__cx", "__cy"))
+      .withColumn("__dx", col("__x") - col("__fx"))
+      .withColumn("__dy", col("__y") - col("__fy"))
+      .filter(abs(col("__dx")) <= cellSize && abs(col("__dy")) <= cellSize)
+      .withColumn("__d2",
+        col("__dx") * col("__dx") + col("__dy") * col("__dy"))
+      .filter(col("__d2") <= lit(cellSize) * lit(cellSize))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__d2"), col("__fid"))).as("__best"))
+      .select(col(idCol), col("__best.__fid").as("facility_id"),
+        col("__best.__d2").as("dist_sq"))
+  }
+
   def gridHotspots(points: DataFrame, cxCol: String, cyCol: String,
                    gridSize: Int, minPts: Long,
                    ccIters: Int = 5): DataFrame = {

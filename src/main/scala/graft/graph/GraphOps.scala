@@ -357,6 +357,64 @@ object GraphOps {
     } finally edges.unpersist(blocking = false)
   }
 
+  /** Bounded weighted shortest paths (Bellman–Ford relaxation, the
+    * weighted sibling of [[khopDistances]]): exact minimum path cost
+    * from a seed set using at most `maxRounds` edges, over the
+    * undirected min-weight-normalized edge list (parallel edges keep
+    * their cheapest weight). Like every fixed-horizon graph operator
+    * here, the round count is part of the definition — costs only
+    * DECREASE as rounds grow, so an unconverged run is an upper
+    * envelope, never garbage — and the oracle replays the identical
+    * horizon. Seeds are emitted at cost 0 whether or not they appear
+    * in the graph (the khop contract); unreached nodes are absent.
+    *
+    * Each round relaxes from the FRONTIER only — nodes whose cost
+    * changed last round — which is equivalent to full relaxation
+    * round-for-round (a non-improved node's contributions were
+    * already min-merged the round it last improved) but shuffles
+    * frontier-sized, not reached-sized, frames: the delta-stepping
+    * economy that matters when the reached set grows to the whole
+    * graph. Integer weights, integer costs — no fp anywhere.
+    */
+  def weightedDistances(edges: DataFrame, seeds: DataFrame, maxRounds: Int,
+                        aCol: String = "id_a", bCol: String = "id_b",
+                        wCol: String = "weight",
+                        seedCol: String = "node"): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 64,
+      s"maxRounds out of range: $maxRounds")
+    val und = edges
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(wCol).isNotNull && col(wCol) >= 0 && col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"),
+        col(wCol).cast("long").as("w"))
+      .groupBy("a", "b").agg(min("w").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val both = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      var reached = seeds.select(col(seedCol).as("node")).distinct()
+        .withColumn("dist", lit(0L))
+        .localCheckpoint()
+      var frontier = reached
+      for (_ <- 1 to maxRounds) {
+        val relaxed = frontier.join(both, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        val next = reached.unionByName(relaxed)
+          .groupBy("node").agg(min("dist").as("dist"))
+          .localCheckpoint()
+        val nextFrontier = next.join(reached, Seq("node", "dist"), "left_anti")
+          .localCheckpoint()
+        frontier.unpersist(blocking = false)
+        reached.unpersist(blocking = false)
+        reached = next
+        frontier = nextFrontier
+      }
+      frontier.unpersist(blocking = false)
+      reached
+    } finally und.unpersist(blocking = false)
+  }
+
   /** Degree summary + degree assortativity (Newman 2002): the Pearson
     * correlation of endpoint degrees over every directed edge (each
     * undirected edge counted in both orientations — the standard

@@ -934,6 +934,40 @@ object ExtendedQueries {
         gridSize = 32, minPts = 14L, ccIters = 5)
     }),
 
+    // nearest supplier facility within one cell radius on the u32
+    // md5 lattice: facilities explode ×9 into neighborhood cells and
+    // broadcast, the event side stays map-only; all-integer distances
+    "q243_radius_nn_join" -> ((s, d) => {
+      import graft.operators.SplitOps.hashBucket
+      val pts = Tables.events(s, d).select(col("event_id"),
+        hashBucket(concat(col("event_id").cast(StringType), lit(":nx")))
+          .as("x"),
+        hashBucket(concat(col("event_id").cast(StringType), lit(":ny")))
+          .as("y"))
+      val fac = Tables.supplier(s, d).select(col("s_suppkey"),
+        hashBucket(concat(lit("s"), col("s_suppkey").cast(StringType),
+          lit(":nx"))).as("fx"),
+        hashBucket(concat(lit("s"), col("s_suppkey").cast(StringType),
+          lit(":ny"))).as("fy"))
+      graft.geo.Geo.radiusNearestJoin(pts, "event_id", "x", "y",
+        fac, "s_suppkey", "fx", "fy", cellSize = 134217728L)
+    }),
+
+    // min path cost within 6 relaxation rounds over the order–part
+    // graph weighted by the cheapest line quantity; seeds at cost 0
+    "q244_weighted_distances" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val edges = li.filter(col("l_orderkey") % 7 === 0)
+        .select(
+          concat(lit("o"), col("l_orderkey").cast(StringType)).as("id_a"),
+          concat(lit("p"), col("l_partkey").cast(StringType)).as("id_b"),
+          col("l_quantity").cast(LongType).as("weight"))
+      val seeds = li.filter(col("l_orderkey") % 91 === 0)
+        .select(concat(lit("o"), col("l_orderkey").cast(StringType))
+          .as("node"))
+      graft.graph.GraphOps.weightedDistances(edges, seeds, maxRounds = 6)
+    }),
+
     // array-function surface: per-doc stopword intersections /
     // differences, sorted so ordering conventions can't diverge
     // across engines
@@ -3495,6 +3529,75 @@ object ExtendedQueries {
           |  CAST(max(d.n) AS BIGINT) AS peak_cell_points
           |FROM l5 l JOIN dense d ON d.cell = l.node
           |GROUP BY 1""".stripMargin
+    },
+
+    // brute force over all (point, facility) pairs — deliberately
+    // ignores the engine's grid blocking, so a blocking completeness
+    // bug would surface as a hash mismatch; |Δ| pre-filter keeps the
+    // BIGINT squares from wrapping, same as the engine
+    "q243_radius_nn_join" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT event_id,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':nx'), 1, 8))::UBIGINT AS BIGINT) AS x,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':ny'), 1, 8))::UBIGINT AS BIGINT) AS y
+        |  FROM events
+        |), f AS MATERIALIZED (
+        |  SELECT s_suppkey,
+        |    CAST(('0x' || substr(md5('s' || CAST(s_suppkey AS VARCHAR) || ':nx'), 1, 8))::UBIGINT AS BIGINT) AS fx,
+        |    CAST(('0x' || substr(md5('s' || CAST(s_suppkey AS VARCHAR) || ':ny'), 1, 8))::UBIGINT AS BIGINT) AS fy
+        |  FROM supplier
+        |), cand AS (
+        |  -- CASE so the INT64 square is never evaluated on far pairs
+        |  -- (the WHERE alone does not stop eager projection)
+        |  SELECT p.event_id, f.s_suppkey,
+        |    CASE WHEN abs(p.x - f.fx) <= 134217728
+        |           AND abs(p.y - f.fy) <= 134217728
+        |      THEN (p.x - f.fx) * (p.x - f.fx) + (p.y - f.fy) * (p.y - f.fy)
+        |    END AS d2
+        |  FROM p CROSS JOIN f
+        |)
+        |SELECT event_id, s_suppkey AS facility_id, d2 AS dist_sq FROM (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY event_id ORDER BY d2, s_suppkey) AS rn
+        |  FROM cand WHERE d2 <= 134217728::BIGINT * 134217728::BIGINT)
+        |WHERE rn = 1""".stripMargin,
+
+    // full Bellman-Ford relaxation unrolled: r_i = min over r_{i-1}
+    // plus one-edge extensions — equivalent round-for-round to the
+    // engine's frontier form, so a frontier bug shows as a mismatch
+    "q244_weighted_distances" -> {
+      val head =
+        """WITH und AS MATERIALIZED (
+          |  SELECT least(a, b) AS a, greatest(a, b) AS b,
+          |    min(w) AS w
+          |  FROM (
+          |    SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS a,
+          |      'p' || CAST(l_partkey AS VARCHAR) AS b,
+          |      CAST(l_quantity AS BIGINT) AS w
+          |    FROM lineitem
+          |    WHERE l_orderkey % 7 = 0 AND l_quantity IS NOT NULL
+          |      AND l_quantity >= 0)
+          |  WHERE a <> b
+          |  GROUP BY 1, 2
+          |), both_dir AS MATERIALIZED (
+          |  SELECT a AS src, b AS dst, w FROM und
+          |  UNION ALL SELECT b, a, w FROM und
+          |), r0 AS MATERIALIZED (
+          |  SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS node,
+          |    0::BIGINT AS dist
+          |  FROM lineitem WHERE l_orderkey % 91 = 0
+          |)""".stripMargin
+      val iters = (1 to 6).map { i =>
+        s""", r$i AS MATERIALIZED (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM r${i - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, r.dist + e.w AS dist
+           |    FROM r${i - 1} r JOIN both_dir e ON e.src = r.node)
+           |  GROUP BY node
+           |)""".stripMargin
+      }.mkString
+      head + iters + "\nSELECT node, dist FROM r6"
     },
 
     // same capped incidence, pair counts, and one-expression cosine;

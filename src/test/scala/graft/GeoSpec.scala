@@ -235,6 +235,27 @@ class GeoSpec extends SparkSpec {
       col("long"), col("lat"))
   }
 
+  test("radiusNearestJoin: nearest facility in the Euclidean ball, " +
+    "corner candidates beyond the radius rejected, id tie-break, " +
+    "cross-cell neighbors found, uncovered points absent") {
+    import spark.implicits._
+    val pts = Seq((1L, 100L, 100L), (2L, 0L, 0L), (3L, 500L, 500L),
+      (4L, 19L, 10L)).toDF("id", "x", "y")
+    val fac = Seq(
+      (10L, 105L, 100L), // d2=25 from p1 -> nearest
+      (11L, 100L, 108L), // d2=64 from p1
+      (12L, 109L, 109L), // |d|<=10 both axes but d2=162 > 100: rejected
+      (20L, 3L, 4L),     // d2=25 from p2, ties with 21
+      (21L, 4L, 3L),     // d2=25 -> min fid 20 wins
+      (30L, 21L, 10L))   // neighbor CELL of p4 (cells 1 vs 2), d2=4
+      .toDF("fid", "fx", "fy")
+    val out = Geo.radiusNearestJoin(pts, "id", "x", "y",
+      fac, "fid", "fx", "fy", cellSize = 10L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(1L -> ((10L, 25L)), 2L -> ((20L, 25L)),
+      4L -> ((30L, 4L))))
+  }
+
   test("gridHotspots: 8-adjacent dense cells (incl. diagonal) merge " +
     "under the min cell id, an isolated dense cell is its own " +
     "hotspot, sub-threshold cells vanish") {

@@ -234,6 +234,22 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  test("weightedDistances: cheaper two-hop path found within the " +
+    "round budget, one round returns the direct-edge envelope, " +
+    "parallel edges keep the min weight, absent seed emitted at 0") {
+    import spark.implicits._
+    val g = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L),
+      (1L, 2L, 7L), // parallel edge: min weight 5 wins
+      (8L, 9L, 2L)) // disconnected
+      .toDF("id_a", "id_b", "weight")
+    def run(rounds: Int) = graft.graph.GraphOps.weightedDistances(
+      g, Seq(1L, 42L).toDF("node"), maxRounds = rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(2) === Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 42L -> 0L))
+    // one round cannot take the 2-hop shortcut: direct edge cost 10
+    assert(run(1) === Map(1L -> 0L, 2L -> 5L, 3L -> 10L, 42L -> 0L))
+  }
+
   test("connectedComponents: separate components get their own min " +
     "labels, pointer doubling converges a diameter-8 path in 4 " +
     "rounds, and an unconverged horizon refines but never merges") {
