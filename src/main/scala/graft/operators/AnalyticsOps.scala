@@ -1857,6 +1857,154 @@ object AnalyticsOps {
           .as("lift"))
   }
 
+  /** CUPED experiment readout (Deng et al. 2013 — Controlled
+    * experiments Using Pre-Experiment Data): per experiment arm, the
+    * post-period activity metric and its variance-reduced CUPED
+    * adjustment Y′ = Y − θ·(X − X̄) with X the user's PRE-period
+    * activity and θ = cov(X,Y)/var(X) pooled over all users. Arms are
+    * assigned by the engine-portable md5 bucket of the user id (a
+    * pure function — re-runs, engines, and cluster sizes agree);
+    * pre/post is the calendar-half split ([[psiDrift]]'s convention).
+    *
+    * Exactness: every moment (n, Σx, Σy, Σxy, Σx², Σy²) accumulates
+    * in Decimal(38,0); θ is ONE closing division of exact integers
+    * (the N² factors cancel), and each variance identity
+    *   var(Y′) = var(Y) − 2θ·cov(X,Y) + θ²·var(X)
+    * closes in a fixed-order double tree over exact-integer
+    * numerators mirrored verbatim by the oracle — the per-user
+    * adjusted values are never materialized, so there is no unordered
+    * fp summation anywhere. Degenerate var(X) = 0 yields NULL θ and
+    * NULL adjusted columns rather than garbage.
+    *
+    * Scale shape: one (user)-keyed count pass, one #arms-row
+    * aggregate, one broadcast of the 1-row pooled moments.
+    */
+  def cupedReport(events: DataFrame, userCol: String = "user_id",
+                  tsCol: String = "ts", salt: String = "exp",
+                  splitFrac: Double = 0.5): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rows = events.filter(col(userCol).isNotNull)
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__day"))
+    val daySpan = rows.agg(min("__day").as("__d0"), max("__day").as("__d1"))
+      .select(expr(
+        s"date_add(__d0, CAST(floor(datediff(__d1, __d0) * $splitFrac) AS INT))")
+        .as("__split"))
+    val perUser = rows.crossJoin(broadcast(daySpan))
+      .groupBy("__u")
+      .agg(sum(when(col("__day") <= col("__split"), 1L).otherwise(0L))
+        .cast(dec).as("__x"),
+        sum(when(col("__day") > col("__split"), 1L).otherwise(0L))
+          .cast(dec).as("__y"))
+      .withColumn("arm", when(SplitOps.hashBucket(
+        concat(col("__u").cast(StringType), lit("|" + salt))) % 2 === 0,
+        lit("control")).otherwise(lit("treatment")))
+    perUser.persist()
+    val perArm = perUser.groupBy("arm").agg(
+      count(lit(1)).cast(dec).as("__n"),
+      sum("__x").as("__sx"), sum("__y").as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"))
+    val pooled = perUser.agg(
+      count(lit(1)).cast(dec).as("__tn"),
+      sum("__x").as("__tsx"), sum("__y").as("__tsy"),
+      sum(col("__x") * col("__y")).as("__tsxy"),
+      sum(col("__x") * col("__x")).as("__tsxx"))
+    val thetaNum = (col("__tn") * col("__tsxy") - col("__tsx") * col("__tsy"))
+      .cast("double")
+    val thetaDen = (col("__tn") * col("__tsxx") - col("__tsx") * col("__tsx"))
+      .cast("double")
+    val n2 = (col("__n") * col("__n")).cast("double")
+    val vy = (col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      .cast("double") / n2
+    val cv = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double") / n2
+    val vx = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double") / n2
+    val my = col("__sy").cast("double") / col("__n").cast("double")
+    val mxa = col("__sx").cast("double") / col("__n").cast("double")
+    val mxAll = col("__tsx").cast("double") / col("__tn").cast("double")
+    val theta = when(thetaDen > 0, thetaNum / thetaDen)
+    val varCuped = vy - lit(2.0) * theta * cv + theta * theta * vx
+    val out = perArm.crossJoin(broadcast(pooled))
+      .select(col("arm"),
+        col("__n").cast(LongType).as("n_users"),
+        round(my, 6).as("mean_y"),
+        round(my - theta * (mxa - mxAll), 6).as("mean_y_cuped"),
+        round(vy, 6).as("var_y"),
+        round(varCuped, 6).as("var_y_cuped"),
+        round(when(vy > 0, (lit(1.0) - varCuped / vy) * 100.0), 4)
+          .as("var_reduction_pct"),
+        round(theta, 6).as("theta"))
+      .localCheckpoint(true)
+    perUser.unpersist()
+    out
+  }
+
+  /** Temporal-holdout evaluation of [[itemSimilarity]] — the recsys
+    * twin of the q230 retrieval eval: feedback before the calendar
+    * split trains the item-item cosine model, feedback after it is
+    * the held-out truth. A user's candidate set is the union of the
+    * top-k neighbours of their TRAINING items minus the training
+    * items themselves ("already bought"); the user scores a hit when
+    * any candidate appears in their holdout purchases. Only users
+    * with activity on BOTH sides of the split are evaluable.
+    *
+    * Output is one row: evaluable users, hit users, hit rate, and the
+    * mean candidate-set size (the coverage/precision trade dial) —
+    * counts exact, each rate ONE closing division.
+    *
+    * Scale shape: [[itemSimilarity]]'s own discipline (capped
+    * baskets, bounded-heap top-k) plus three hash joins keyed on the
+    * user/item and two distinct-aggregations; no windows, no
+    * collects.
+    */
+  def itemRecHoldout(df: DataFrame, userCol: String, itemCol: String,
+                     tsCol: String, k: Int = 5, maxBasket: Int = 100,
+                     splitFrac: Double = 0.5): DataFrame = {
+    val rows = df
+      .filter(col(userCol).isNotNull && col(itemCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"), col(itemCol).as("__i"),
+        to_date(col(tsCol)).as("__day"))
+    val daySpan = rows.agg(min("__day").as("__d0"), max("__day").as("__d1"))
+      .select(expr(
+        s"date_add(__d0, CAST(floor(datediff(__d1, __d0) * $splitFrac) AS INT))")
+        .as("__split"))
+    val tagged = rows.crossJoin(broadcast(daySpan))
+    val train = tagged.filter(col("__day") <= col("__split"))
+      .select("__u", "__i").distinct()
+    val test = tagged.filter(col("__day") > col("__split"))
+      .select("__u", "__i").distinct()
+    train.persist(); test.persist()
+    try {
+      val sims = itemSimilarity(train, "__u", "__i", k, maxBasket)
+      val cand = train
+        .join(sims.select(col("item").as("__i"),
+          col("similar_item").as("__c")), "__i")
+        .select(col("__u"), col("__c")).distinct()
+        .join(train.select(col("__u"), col("__i").as("__c")),
+          Seq("__u", "__c"), "left_anti")
+      val evalUsers = train.select("__u").distinct()
+        .join(test.select("__u").distinct(), Seq("__u"), "left_semi")
+      val candOfEval = cand.join(evalUsers, Seq("__u"), "left_semi")
+      val hitUsers = candOfEval
+        .join(test.select(col("__u"), col("__i").as("__c")),
+          Seq("__u", "__c"), "left_semi")
+        .select("__u").distinct()
+      val nEval = evalUsers.agg(count(lit(1)).as("n_eval_users"))
+      val nHit = hitUsers.agg(count(lit(1)).as("n_hit_users"))
+      val nCand = candOfEval.agg(count(lit(1)).as("__nc"))
+      nEval.crossJoin(nHit).crossJoin(nCand)
+        .select(col("n_eval_users"), col("n_hit_users"),
+          round(col("n_hit_users").cast("double")
+            / col("n_eval_users").cast("double"), 6).as("hit_rate"),
+          round(col("__nc").cast("double")
+            / col("n_eval_users").cast("double"), 6).as("avg_candidates"))
+        .localCheckpoint(true)
+    } finally { train.unpersist(blocking = false); test.unpersist(blocking = false) }
+  }
+
   /** Pareto frontier / skyline (Börzsönyi et al. 2001): the rows not
     * STRICTLY dominated under (minimize `xCol`, maximize `yCol`) —
     * j dominates i iff xⱼ ≤ xᵢ, yⱼ ≥ yᵢ, and at least one is strict;

@@ -968,6 +968,23 @@ object ExtendedQueries {
       graft.graph.GraphOps.weightedDistances(edges, seeds, maxRounds = 6)
     }),
 
+    // CUPED variance-reduced A/B readout: md5-bucket arms, calendar
+    // halves as pre/post, all adjustments from exact integer moments
+    "q245_cuped_experiment" -> ((s, d) =>
+      graft.operators.AnalyticsOps.cupedReport(Tables.events(s, d))),
+
+    // temporal-holdout recsys eval: train item-item cosine on the
+    // first calendar half of orders, score hit-rate on the second
+    "q246_rec_holdout_eval" -> ((s, d) => {
+      val baskets = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("user_id"),
+          col("l_partkey").as("item"), col("o_orderdate").as("ts"))
+      graft.operators.AnalyticsOps.itemRecHoldout(
+        baskets, "user_id", "item", "ts", k = 5, maxBasket = 60)
+    }),
+
     // array-function surface: per-doc stopword intersections /
     // differences, sorted so ordering conventions can't diverge
     // across engines
@@ -3599,6 +3616,110 @@ object ExtendedQueries {
       }.mkString
       head + iters + "\nSELECT node, dist FROM r6"
     },
+
+    // identical moments in HUGEINT, the same one-division theta, and
+    // the variance identity var(Y') = var(Y) - 2θcov + θ²var(X) in
+    // the same fixed operator order
+    "q245_cuped_experiment" ->
+      """WITH rows_ AS (
+        |  SELECT user_id AS u, ts::DATE AS day
+        |  FROM events WHERE user_id IS NOT NULL
+        |), split_ AS (
+        |  SELECT min(day) + CAST(floor((max(day) - min(day)) * 0.5) AS INTEGER)
+        |    AS sp FROM rows_
+        |), pu AS MATERIALIZED (
+        |  SELECT u,
+        |    sum(CASE WHEN day <= sp THEN 1 ELSE 0 END)::HUGEINT AS x,
+        |    sum(CASE WHEN day > sp THEN 1 ELSE 0 END)::HUGEINT AS y,
+        |    CASE WHEN ('0x' || substr(md5(CAST(u AS VARCHAR) || '|exp'), 1, 8))::UBIGINT % 2 = 0
+        |      THEN 'control' ELSE 'treatment' END AS arm
+        |  FROM rows_ CROSS JOIN split_ GROUP BY u
+        |), pooled AS (
+        |  SELECT count(*)::HUGEINT AS tn, sum(x) AS tsx, sum(y) AS tsy,
+        |    sum(x * y) AS tsxy, sum(x * x) AS tsxx
+        |  FROM pu
+        |), per_arm AS (
+        |  SELECT arm, count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM pu GROUP BY arm
+        |)
+        |SELECT arm, CAST(n AS BIGINT) AS n_users,
+        |  round(my, 6) AS mean_y,
+        |  round(my - theta * (mxa - mxall), 6) AS mean_y_cuped,
+        |  round(vy, 6) AS var_y,
+        |  round(vc, 6) AS var_y_cuped,
+        |  round(CASE WHEN vy > 0 THEN (1.0 - vc / vy) * 100.0 END, 4)
+        |    AS var_reduction_pct,
+        |  round(theta, 6) AS theta
+        |FROM (
+        |  SELECT arm, n, vy,
+        |    vy - 2.0 * theta * cv + theta * theta * vx AS vc,
+        |    my, mxa, mxall, theta
+        |  FROM (
+        |    SELECT arm, n,
+        |      (n * syy - sy * sy)::DOUBLE / (n * n)::DOUBLE AS vy,
+        |      (n * sxy - sx * sy)::DOUBLE / (n * n)::DOUBLE AS cv,
+        |      (n * sxx - sx * sx)::DOUBLE / (n * n)::DOUBLE AS vx,
+        |      sy::DOUBLE / n::DOUBLE AS my,
+        |      sx::DOUBLE / n::DOUBLE AS mxa,
+        |      p.tsx::DOUBLE / p.tn::DOUBLE AS mxall,
+        |      CASE WHEN (p.tn * p.tsxx - p.tsx * p.tsx) > 0 THEN
+        |        (p.tn * p.tsxy - p.tsx * p.tsy)::DOUBLE
+        |          / (p.tn * p.tsxx - p.tsx * p.tsx)::DOUBLE END AS theta
+        |    FROM per_arm CROSS JOIN pooled p))""".stripMargin,
+
+    // the q239 training replay restricted to the first calendar half,
+    // then candidate-union / already-bought exclusion / holdout hit
+    "q246_rec_holdout_eval" ->
+      """WITH rows_ AS (
+        |  SELECT o.o_custkey AS u, l.l_partkey AS i, o.o_orderdate::DATE AS day
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_custkey IS NOT NULL AND l.l_partkey IS NOT NULL
+        |    AND o.o_orderdate IS NOT NULL
+        |), split_ AS (
+        |  SELECT min(day) + CAST(floor((max(day) - min(day)) * 0.5) AS INTEGER)
+        |    AS sp FROM rows_
+        |), train AS MATERIALIZED (
+        |  SELECT DISTINCT u, i FROM rows_ CROSS JOIN split_ WHERE day <= sp
+        |), test AS MATERIALIZED (
+        |  SELECT DISTINCT u, i FROM rows_ CROSS JOIN split_ WHERE day > sp
+        |), kept AS MATERIALIZED (
+        |  SELECT u, i FROM train WHERE u IN (
+        |    SELECT u FROM train GROUP BY u HAVING count(*) <= 60)
+        |), n AS (SELECT i, count(*) AS n FROM kept GROUP BY i),
+        |cooc AS (
+        |  SELECT a.i AS ia, b.i AS ib, count(*) AS c
+        |  FROM kept a JOIN kept b ON a.u = b.u AND a.i < b.i
+        |  GROUP BY 1, 2
+        |), sym AS (
+        |  SELECT ia, ib, c FROM cooc UNION ALL SELECT ib, ia, c FROM cooc
+        |), sims AS MATERIALIZED (
+        |  SELECT item, sim FROM (
+        |    SELECT s.ia AS item, s.ib AS sim, row_number() OVER (
+        |        PARTITION BY s.ia
+        |        ORDER BY s.c::DOUBLE / sqrt(na.n::DOUBLE * nb.n::DOUBLE) DESC,
+        |          s.ib) AS rank
+        |    FROM sym s JOIN n na ON na.i = s.ia JOIN n nb ON nb.i = s.ib)
+        |  WHERE rank <= 5
+        |), cand AS MATERIALIZED (
+        |  SELECT DISTINCT t.u, s.sim AS c
+        |  FROM train t JOIN sims s ON s.item = t.i
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM train t2 WHERE t2.u = t.u AND t2.i = s.sim)
+        |), eu AS MATERIALIZED (
+        |  SELECT DISTINCT u FROM train WHERE u IN (SELECT u FROM test)
+        |), ce AS MATERIALIZED (
+        |  SELECT u, c FROM cand WHERE u IN (SELECT u FROM eu)
+        |), hits AS (
+        |  SELECT DISTINCT ce.u FROM ce WHERE EXISTS (
+        |    SELECT 1 FROM test t WHERE t.u = ce.u AND t.i = ce.c)
+        |)
+        |SELECT ne AS n_eval_users, nh AS n_hit_users,
+        |  round(nh::DOUBLE / ne::DOUBLE, 6) AS hit_rate,
+        |  round(nc::DOUBLE / ne::DOUBLE, 6) AS avg_candidates
+        |FROM (SELECT (SELECT count(*) FROM eu) AS ne,
+        |        (SELECT count(*) FROM hits) AS nh,
+        |        (SELECT count(*) FROM ce) AS nc)""".stripMargin,
 
     // same capped incidence, pair counts, and one-expression cosine;
     // row_number replays the heap's (score desc, id asc) order

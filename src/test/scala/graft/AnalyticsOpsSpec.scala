@@ -975,6 +975,55 @@ class AnalyticsOpsSpec extends SparkSpec {
       && so.isNullAt(so.fieldIndex("b2")))
   }
 
+  test("itemRecHoldout: already-bought candidates are excluded, only " +
+    "both-sides users are evaluable, hit and candidate counts are " +
+    "hand-checked") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // train half (<= Jan 5): u1{A,B} u2{A,B} u3{A} u5{A}
+    // test half  (>  Jan 5): u1{C} u2{D} u3{B} u4{A}
+    val (a, b, c0, d0) = (101L, 102L, 103L, 104L)
+    val rows = Seq(
+      (1L, a, t(1)), (1L, b, t(2)), (2L, a, t(1)), (2L, b, t(3)),
+      (3L, a, t(4)), (5L, a, t(5)),
+      (1L, c0, t(9)), (2L, d0, t(8)), (3L, b, t(7)), (4L, a, t(9)))
+      .toDF("user_id", "item", "ts")
+    val r = AnalyticsOps.itemRecHoldout(rows, "user_id", "item", "ts",
+      k = 5, maxBasket = 10).collect()(0)
+    // model: A<->B only; u1/u2 trained both -> empty candidates; u3's
+    // candidate {B} hits its holdout; u4 test-only, u5 train-only
+    assert(r.getAs[Long]("n_eval_users") === 3L)
+    assert(r.getAs[Long]("n_hit_users") === 1L)
+    assert(r.getAs[Double]("hit_rate") === 0.333333)
+    assert(r.getAs[Double]("avg_candidates") === 0.333333)
+  }
+
+  test("cupedReport: perfectly correlated pre/post activity gives " +
+    "theta exactly 1, zero adjusted variance, 100% reduction, and " +
+    "both arms' adjusted means collapse to the overall pre mean") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // user u does (u%4)+1 events on Jan 1 AND the same number on
+    // Jan 10 -> X = Y per user, so cov = var and the identity
+    // var(Y') = var(Y) - 2θcov + θ²var(X) must close to exactly 0
+    val events = (1L to 8L).flatMap { u =>
+      val k = (u % 4 + 1).toInt
+      Seq.fill(k)((u, Timestamp.valueOf("2024-01-01 10:00:00"))) ++
+        Seq.fill(k)((u, Timestamp.valueOf("2024-01-10 10:00:00")))
+    }.toDF("user_id", "ts")
+    val out = AnalyticsOps.cupedReport(events).collect()
+    assert(out.length === 2)
+    val mxall = (1L to 8L).map(u => (u % 4 + 1).toDouble).sum / 8.0
+    out.foreach { r =>
+      assert(r.getAs[Double]("theta") === 1.0)
+      assert(r.getAs[Double]("var_y_cuped") === 0.0)
+      assert(r.getAs[Double]("mean_y_cuped") === mxall)
+      if (r.getAs[Double]("var_y") > 0)
+        assert(r.getAs[Double]("var_reduction_pct") === 100.0)
+    }
+  }
+
   test("paretoFrontier: strict dominance across and within price " +
     "levels, duplicated points both survive, buckets span the " +
     "prefix-max, NULL group excluded") {
