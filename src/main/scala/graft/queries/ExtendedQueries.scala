@@ -973,6 +973,69 @@ object ExtendedQueries {
     "q245_cuped_experiment" -> ((s, d) =>
       graft.operators.AnalyticsOps.cupedReport(Tables.events(s, d))),
 
+    // q148's contingency table upgraded to cell-level diagnostics:
+    // Haberman adjusted residuals say WHICH (type, weekday) cells
+    // drive the dependence, Cramér's V gives the effect size the raw
+    // chi-square lacks; counts exact, each statistic a fixed closing
+    // double tree over them
+    "q247_cramers_v_residuals" -> ((s, d) => {
+      val obs = Tables.events(s, d)
+        .select(col("event_type").as("__r"), dayofweek(col("ts")).as("__c"))
+        .groupBy("__r", "__c").agg(count(lit(1)).as("__o"))
+      obs.persist()
+      val rowT = obs.groupBy("__r").agg(sum("__o").as("__rt"))
+      val colT = obs.groupBy("__c").agg(sum("__o").as("__ct"))
+      val total = obs.agg(sum("__o")).head().getLong(0)
+      val nD = total.toDouble
+      val cells = obs.join(rowT, "__r").join(colT, "__c")
+        .withColumn("__e",
+          col("__rt").cast("double") * col("__ct").cast("double") / nD)
+      val summary = cells.agg(
+        sum((col("__o").cast("double") - col("__e")) *
+          (col("__o").cast("double") - col("__e")) / col("__e")).as("__chi2"),
+        countDistinct("__r").as("__nr"), countDistinct("__c").as("__nc"))
+        .select((col("__chi2") / (lit(nD) *
+          least(col("__nr") - 1, col("__nc") - 1).cast("double"))).as("__v2"))
+      val out = cells.crossJoin(broadcast(summary))
+        .select(col("__r").as("event_type"), col("__c").as("dow"),
+          col("__o").as("n"), round(col("__e"), 4).as("expected"),
+          round((col("__o").cast("double") - col("__e")) /
+            sqrt(col("__e") *
+              (lit(1.0) - col("__rt").cast("double") / nD) *
+              (lit(1.0) - col("__ct").cast("double") / nD)), 4)
+            .as("adj_residual"),
+          round(sqrt(col("__v2")), 6).as("cramers_v"))
+        .localCheckpoint(true)
+      obs.unpersist()
+      out
+    }),
+
+    // Good–Turing vocabulary saturation per language: unseen-mass
+    // estimate N1/N and the r*=2·N2/N1 discount — "is more data
+    // still adding new words"; exact integer counts, one closing
+    // division per statistic
+    "q248_good_turing" -> ((s, d) => {
+      import graft.text.TextOps
+      val counts = Tables.documents(s, d)
+        .select(col("lang"),
+          explode(TextOps.tokens(lower(col("text")))).as("__w"))
+        .groupBy("lang", "__w").agg(count(lit(1)).as("__c"))
+      counts.groupBy("lang").agg(
+        count(lit(1)).as("vocab"),
+        sum("__c").as("n_tokens"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("n2"))
+        .select(col("lang"), col("vocab"), col("n_tokens"), col("n1"),
+          col("n2"),
+          round(col("n1").cast("double") / col("n_tokens").cast("double"), 6)
+            .as("p_unseen"),
+          round(when(col("n1") > 0,
+            lit(2.0) * col("n2").cast("double") / col("n1").cast("double")), 6)
+            .as("r_star_1"),
+          round(col("n1").cast("double") / col("vocab").cast("double"), 6)
+            .as("singleton_vocab_share"))
+    }),
+
     // temporal-holdout recsys eval: train item-item cosine on the
     // first calendar half of orders, score hit-rate on the second
     "q246_rec_holdout_eval" -> ((s, d) => {
@@ -3667,6 +3730,60 @@ object ExtendedQueries {
         |        (p.tn * p.tsxy - p.tsx * p.tsy)::DOUBLE
         |          / (p.tn * p.tsxx - p.tsx * p.tsx)::DOUBLE END AS theta
         |    FROM per_arm CROSS JOIN pooled p))""".stripMargin,
+
+    // same cells, same fixed-order trees: e = rt·ct/N, Haberman
+    // adjusted residual, V = sqrt(chi2/(N·min(r-1,c-1)))
+    "q247_cramers_v_residuals" ->
+      """WITH obs AS MATERIALIZED (
+        |  -- DuckDB dayofweek is 0=Sunday..6; Spark's is 1..7: +1
+        |  SELECT event_type AS r, dayofweek(ts) + 1 AS c, count(*) AS o
+        |  FROM events GROUP BY 1, 2
+        |), rt AS (SELECT r, sum(o) AS t FROM obs GROUP BY 1),
+        |ct AS (SELECT c, sum(o) AS t FROM obs GROUP BY 1),
+        |tot AS (SELECT sum(o)::DOUBLE AS n FROM obs),
+        |cells AS MATERIALIZED (
+        |  SELECT obs.r, obs.c, obs.o, rt.t AS rtv, ct.t AS ctv,
+        |    rt.t::DOUBLE * ct.t::DOUBLE / (SELECT n FROM tot) AS e
+        |  FROM obs JOIN rt USING (r) JOIN ct USING (c)
+        |), summ AS (
+        |  SELECT sum((o::DOUBLE - e) * (o::DOUBLE - e) / e)
+        |    / ((SELECT n FROM tot) *
+        |       least(count(DISTINCT r) - 1, count(DISTINCT c) - 1)::DOUBLE)
+        |    AS v2
+        |  FROM cells
+        |)
+        |SELECT r AS event_type, c AS dow, o AS n,
+        |  round(e, 4) AS expected,
+        |  round((o::DOUBLE - e) /
+        |    sqrt(e * (1.0 - rtv::DOUBLE / (SELECT n FROM tot))
+        |           * (1.0 - ctv::DOUBLE / (SELECT n FROM tot))), 4)
+        |    AS adj_residual,
+        |  round(sqrt((SELECT v2 FROM summ)), 6) AS cramers_v
+        |FROM cells""".stripMargin,
+
+    // same per-language frequency-of-frequencies and closing ratios
+    "q248_good_turing" ->
+      """WITH toked AS (
+        |  SELECT lang, unnest(
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS w
+        |  FROM documents
+        |), counts AS MATERIALIZED (
+        |  SELECT lang, w, count(*) AS c FROM toked GROUP BY 1, 2
+        |)
+        |SELECT lang, count(*) AS vocab,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE
+        |    / sum(c)::DOUBLE, 6) AS p_unseen,
+        |  round(CASE WHEN sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) > 0 THEN
+        |    2.0 * sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::DOUBLE
+        |      / sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE END, 6)
+        |    AS r_star_1,
+        |  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE, 6) AS singleton_vocab_share
+        |FROM counts GROUP BY lang""".stripMargin,
 
     // the q239 training replay restricted to the first calendar half,
     // then candidate-union / already-bought exclusion / holdout hit
