@@ -1036,6 +1036,79 @@ object ExtendedQueries {
             .as("singleton_vocab_share"))
     }),
 
+    // Simpson's-paradox screen: does the pooled discount→quantity
+    // slope reverse inside supplier nations? Slope SIGNS come from
+    // the exact integer numerator nΣxy−ΣxΣy (discount scaled ×100 to
+    // an exact integer), so agreement flags carry no fp at all
+    "q249_simpsons_screen" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val rows = Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").as("nation"),
+          round(col("l_discount") * 100).cast(dec).as("__x"),
+          col("l_quantity").cast(dec).as("__y"))
+      def moments(df: DataFrame, keys: Seq[String]) = {
+        val g = if (keys.isEmpty) df.groupBy() else df.groupBy(keys.map(col): _*)
+        g.agg(count(lit(1)).cast(dec).as("__n"),
+          sum("__x").as("__sx"), sum("__y").as("__sy"),
+          sum(col("__x") * col("__y")).as("__sxy"),
+          sum(col("__x") * col("__x")).as("__sxx"))
+      }
+      def num = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+      def den = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+      val overall = moments(rows, Seq.empty)
+        .select(signum(num.cast("double")).cast(IntegerType).as("__osign"),
+          round(when(den > 0, num.cast("double") / den.cast("double")), 6)
+            .as("overall_slope"))
+      moments(rows, Seq("nation")).crossJoin(broadcast(overall))
+        .select(col("nation"), col("__n").cast(LongType).as("n_rows"),
+          round(when(den > 0, num.cast("double") / den.cast("double")), 6)
+            .as("slope"),
+          signum(num.cast("double")).cast(IntegerType).as("sign"),
+          col("overall_slope"),
+          when(signum(num.cast("double")).cast(IntegerType) * col("__osign")
+            < 0, 1).otherwise(0).as("reversed"))
+    }),
+
+    // time-decay multi-touch attribution with a DYADIC kernel:
+    // weight = 2^(6 − age_days) is an exact integer (the q203 Brown
+    // trick), so each purchase's share w/Σw is one closing division;
+    // same keyed interval join as q195
+    "q250_time_decay_attribution" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("p_us"))
+        .withColumn("w_start", col("p_us") - 7L * 86400L * 1000000L)
+      val touches = e.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+          col("event_type").as("touch_type"))
+      val joined = graft.tables.ScaleJoins.pointInIntervalJoin(
+        touches, "t_us", purchases, "w_start", "p_us",
+        bucketWidth = 86400L * 1000000L, keys = Seq("user_id"))
+        .withColumn("__w", expr(
+          // least(…, 6) clamps a touch landing exactly on the window
+          // open edge (age = 7d sharp) to the oldest-day weight — a
+          // negative shift would be engine-undefined
+          "shiftleft(1L, CAST(6 - least((p_us - t_us) div 86400000000L, 6L) AS INT))"))
+      joined.persist()
+      val sw = joined.groupBy("purchase_id").agg(sum("__w").as("__sw"))
+      val att = joined.join(sw, "purchase_id")
+        .groupBy(col("touch_type").as("attributed_to"))
+        .agg(round(sum(col("__w").cast("double") / col("__sw").cast("double")),
+          4).as("credit"),
+          count(lit(1)).as("n_touches"))
+      val un = purchases.join(sw, Seq("purchase_id"), "left_anti")
+        .agg(count(lit(1)).as("__n"))
+        .select(lit("none").as("attributed_to"),
+          round(col("__n").cast("double"), 4).as("credit"),
+          lit(0L).as("n_touches"))
+      val out = att.unionByName(un).localCheckpoint(true)
+      joined.unpersist(blocking = false)
+      out
+    }),
+
     // temporal-holdout recsys eval: train item-item cosine on the
     // first calendar half of orders, score hit-rate on the second
     "q246_rec_holdout_eval" -> ((s, d) => {
@@ -3784,6 +3857,69 @@ object ExtendedQueries {
         |  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::DOUBLE
         |    / count(*)::DOUBLE, 6) AS singleton_vocab_share
         |FROM counts GROUP BY lang""".stripMargin,
+
+    // signs from the same exact integer numerators (HUGEINT), slopes
+    // the same single divisions
+    "q249_simpsons_screen" ->
+      """WITH rows_ AS (
+        |  SELECT s.s_nationkey AS nation,
+        |    CAST(round(l.l_discount * 100) AS HUGEINT) AS x,
+        |    CAST(l.l_quantity AS HUGEINT) AS y
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |), g AS (
+        |  SELECT nation, count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM rows_ GROUP BY 1
+        |), o AS (
+        |  SELECT count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM rows_
+        |), ov AS (
+        |  SELECT CAST(sign((n * sxy - sx * sy)::DOUBLE) AS INTEGER) AS osign,
+        |    round(CASE WHEN (n * sxx - sx * sx) > 0 THEN
+        |      (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE END, 6)
+        |      AS overall_slope
+        |  FROM o
+        |)
+        |SELECT nation, CAST(n AS BIGINT) AS n_rows,
+        |  round(CASE WHEN (n * sxx - sx * sx) > 0 THEN
+        |    (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE END, 6)
+        |    AS slope,
+        |  CAST(sign((n * sxy - sx * sy)::DOUBLE) AS INTEGER) AS sign,
+        |  ov.overall_slope,
+        |  CASE WHEN CAST(sign((n * sxy - sx * sy)::DOUBLE) AS INTEGER)
+        |         * ov.osign < 0 THEN 1 ELSE 0 END AS reversed
+        |FROM g CROSS JOIN ov""".stripMargin,
+
+    // q195's join with the dyadic weight 1 << (6 - age_days); the
+    // same least() clamp on the window's open edge
+    "q250_time_decay_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS pid, epoch_us(ts) AS pus
+        |  FROM events WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_type AS ttype
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |), j AS (
+        |  SELECT p.pid, t.ttype,
+        |    (1::BIGINT << CAST(6 - least((p.pus - t.tus) // 86400000000, 6)
+        |       AS INTEGER)) AS w
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND t.tus >= p.pus - 604800000000 AND t.tus < p.pus
+        |), sw AS (
+        |  SELECT pid, sum(w) AS sw FROM j GROUP BY 1
+        |), att AS (
+        |  SELECT j.ttype AS attributed_to,
+        |    round(sum(j.w::DOUBLE / sw.sw::DOUBLE), 4) AS credit,
+        |    count(*) AS n_touches
+        |  FROM j JOIN sw USING (pid) GROUP BY 1
+        |), un AS (
+        |  SELECT 'none' AS attributed_to,
+        |    round(CAST(count(*) AS DOUBLE), 4) AS credit,
+        |    CAST(0 AS BIGINT) AS n_touches
+        |  FROM p WHERE pid NOT IN (SELECT pid FROM sw)
+        |)
+        |SELECT * FROM att UNION ALL SELECT * FROM un""".stripMargin,
 
     // the q239 training replay restricted to the first calendar half,
     // then candidate-union / already-bought exclusion / holdout hit
