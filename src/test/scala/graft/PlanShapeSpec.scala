@@ -342,4 +342,35 @@ class PlanShapeSpec extends SparkSpec {
         s"$name must broadcast queries/probes, never sort-merge the corpus:\n$p")
     }
   }
+
+  test("q243 radius NN join: the exploded facility side broadcasts — " +
+    "the point side is map-only, never cartesian or sort-merged") {
+    val p = plan("q243_radius_nn_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"facility neighborhood cells must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the point side must not shuffle for the join:\n$p")
+  }
+
+  test("q240 skyline: every window partitions by (group, bucket) — " +
+    "no group-sized or global window frame") {
+    val p = plan("q240_pareto_skyline")
+    val winds = "windowspecdefinition\\(([a-z0-9_#, ]*?) asc"
+      .r.findAllMatchIn(p.toLowerCase).map(_.group(1)).toList
+    assert(winds.nonEmpty, s"expected window specs in:\n$p")
+    // the only data-side window is per (p_brand, __b); the bucket
+    // offset window runs over the tiny per-(group,bucket) max table
+    assert(winds.forall(w => w.contains("__b")),
+      s"every window must include the bucket in its partition, got $winds")
+  }
+
+  test("q239 item similarity: pair generation is a user-keyed " +
+    "equi-join, never cartesian; top-k is the bounded-heap aggregate " +
+    "(no window over the candidate frame)") {
+    val p = plan("q239_item_similarity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"basket pairs must equi-join on the user:\n$p")
+    assert(!p.toLowerCase.contains("windowspecdefinition"),
+      s"neighbour ranking must ride the bounded heap, not a window:\n$p")
+  }
 }
