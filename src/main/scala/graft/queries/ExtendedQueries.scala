@@ -1109,6 +1109,17 @@ object ExtendedQueries {
       out
     }),
 
+    // MMR diversified rerank: greedy λ·rel − (1−λ)·max-sim selection
+    // of 5 from the per-query top-12 pool — the redundancy-killing
+    // step between retrieval and a context window
+    "q251_mmr_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.similarity.Ann.mmrRerank(
+        emb.filter(col("vec_id") < 3), emb,
+        "vec_id", "embedding", "vec_id", "embedding",
+        poolK = 12, selectK = 5, lambda = 0.7)
+    }),
+
     // temporal-holdout recsys eval: train item-item cosine on the
     // first calendar half of orders, score hit-rate on the second
     "q246_rec_holdout_eval" -> ((s, d) => {
@@ -3920,6 +3931,56 @@ object ExtendedQueries {
         |  FROM p WHERE pid NOT IN (SELECT pid FROM sw)
         |)
         |SELECT * FROM att UNION ALL SELECT * FROM un""".stripMargin,
+
+    // unrolled greedy: the same 4-decimal-rounded similarities, the
+    // same fixed mmr tree (note (1.0 - 0.7), NOT the literal 0.3 —
+    // the engine computes 1−λ in IEEE and 0.3 is a different double),
+    // row_number twins of the (mmr, −id) max-struct
+    "q251_mmr_rerank" -> {
+      val head =
+        """WITH relq AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS cand,
+          |    round(list_cosine_similarity(q.embedding::DOUBLE[],
+          |      c.embedding::DOUBLE[]), 4) AS rel
+          |  FROM embeddings q, embeddings c
+          |  WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id
+          |), pool AS MATERIALIZED (
+          |  SELECT query_id, cand, rel FROM (
+          |    SELECT *, row_number() OVER (
+          |      PARTITION BY query_id ORDER BY rel DESC, cand) AS rn
+          |    FROM relq)
+          |  WHERE rn <= 12
+          |), ps AS MATERIALIZED (
+          |  SELECT a.query_id, a.cand AS pa, b.cand AS pb,
+          |    round(list_cosine_similarity(ea.embedding::DOUBLE[],
+          |      eb.embedding::DOUBLE[]), 4) AS sim
+          |  FROM pool a JOIN pool b
+          |    ON a.query_id = b.query_id AND a.cand <> b.cand
+          |  JOIN embeddings ea ON ea.vec_id = a.cand
+          |  JOIN embeddings eb ON eb.vec_id = b.cand
+          |), m0 AS (SELECT query_id, cand, rel, 0.0 AS ms FROM pool)""".stripMargin
+      val steps = (1 to 5).map { r =>
+        s""", p$r AS MATERIALIZED (
+           |  SELECT query_id, cand, rel, mmr FROM (
+           |    SELECT query_id, cand, rel,
+           |      0.7 * rel - (1.0 - 0.7) * ms AS mmr,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY 0.7 * rel - (1.0 - 0.7) * ms DESC, cand) AS rn
+           |    FROM m${r - 1}) WHERE rn = 1
+           |), m$r AS MATERIALIZED (
+           |  SELECT m.query_id, m.cand, m.rel, greatest(m.ms, ps.sim) AS ms
+           |  FROM m${r - 1} m
+           |  JOIN p$r p ON p.query_id = m.query_id
+           |  JOIN ps ON ps.query_id = m.query_id AND ps.pa = m.cand
+           |    AND ps.pb = p.cand
+           |  WHERE m.cand <> p.cand
+           |)""".stripMargin
+      }.mkString
+      val finals = (1 to 5).map { r =>
+        s"SELECT query_id, CAST($r AS INT) AS rank, cand AS selected_id, rel, round(mmr, 4) AS mmr FROM p$r"
+      }.mkString("\n", "\nUNION ALL\n", "")
+      head + steps + finals
+    },
 
     // the q239 training replay restricted to the first calendar half,
     // then candidate-union / already-bought exclusion / holdout hit

@@ -699,4 +699,80 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("score"), col("sq_dist"))
   }
+
+  /** MMR diversified rerank (Carbonell & Goldstein 1998): greedily
+    * pick `selectK` of the per-query top-`poolK` relevance candidates
+    * maximizing  λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)  — the
+    * standard redundancy-killing rerank between retrieval and a
+    * context window. Deterministic across engines: EVERY similarity
+    * is rounded to 4 decimals before any MMR arithmetic (the
+    * rank-on-rounded house contract), the score tree is one fixed
+    * fp expression over those 4-decimal values, and each greedy step
+    * breaks ties by (mmr desc, candidate id asc) via a max-struct on
+    * (mmr, −id). The first pick's diversity term is literally
+    * λ·rel − (1−λ)·0.0, which the oracle replays.
+    *
+    * Scale shape: the candidate CUT is the scale path (broadcast
+    * queries, one corpus scan, bounded-heap top-poolK); everything
+    * after operates on #queries × poolK rows — the pairwise sim frame
+    * is poolK² per query and each greedy round is two hash joins on
+    * those tiny frames. poolK is capped to keep that contract.
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame,
+                qId: String, qVec: String, cId: String, cVec: String,
+                poolK: Int = 12, selectK: Int = 5,
+                lambda: Double = 0.7): DataFrame = {
+    require(poolK >= selectK && poolK <= 256, "selectK <= poolK <= 256")
+    val q = broadcast(queries.select(col(qId).as("query_id"),
+      col(qVec).as("__qv")))
+    val rel = q.crossJoin(corpus.select(col(cId).as("neighbor_id"),
+      col(cVec).as("__cv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", round(NearDup.cosine(col("__qv"), col("__cv")), 4))
+    val pool = finishTopK(rel.select(col("query_id"), col("neighbor_id"),
+      col("score")), corpus.schema(cId).dataType, poolK)
+      .select(col("query_id"), col("neighbor_id").as("__c"),
+        col("score").as("__rel"))
+      .localCheckpoint()
+    val vecs = corpus.select(col(cId).as("__id"), col(cVec).as("__v"))
+    val pairSim = pool.select(col("query_id"), col("__c").as("__a"))
+      .join(pool.select(col("query_id"), col("__c").as("__b")), "query_id")
+      .filter(col("__a") =!= col("__b"))
+      .join(vecs.select(col("__id").as("__a"), col("__v").as("__va")), "__a")
+      .join(vecs.select(col("__id").as("__b"), col("__v").as("__vb")), "__b")
+      .select(col("query_id"), col("__a"), col("__b"),
+        round(NearDup.cosine(col("__va"), col("__vb")), 4).as("__sim"))
+      .localCheckpoint()
+    var remaining = pool.withColumn("__ms", lit(0.0)).localCheckpoint()
+    var selected: DataFrame = null
+    for (r <- 1 to selectK) {
+      val scored = remaining.withColumn("__mmr",
+        lit(lambda) * col("__rel") - lit(1.0 - lambda) * col("__ms"))
+      val pick = scored.groupBy("query_id")
+        .agg(max(struct(col("__mmr"), (-col("__c")).as("__nc"))).as("__p"))
+        .select(col("query_id"), (-col("__p.__nc")).as("__pick"),
+          col("__p.__mmr").as("__pmmr"))
+      val pickRow = pick.join(remaining,
+        pick("query_id") === remaining("query_id") &&
+          pick("__pick") === remaining("__c"))
+        .select(pick("query_id"), col("__pick").as("selected_id"),
+          lit(r).cast(IntegerType).as("rank"), col("__rel").as("rel"),
+          col("__pmmr").as("mmr"))
+        .localCheckpoint()
+      selected = if (selected == null) pickRow
+        else selected.unionByName(pickRow)
+      val nextRemaining = remaining
+        .join(pick.select(col("query_id"), col("__pick")), "query_id")
+        .filter(col("__c") =!= col("__pick"))
+        .join(pairSim.select(col("query_id"), col("__a").as("__c"),
+          col("__b").as("__pick"), col("__sim")),
+          Seq("query_id", "__c", "__pick"))
+        .select(col("query_id"), col("__c"), col("__rel"),
+          greatest(col("__ms"), col("__sim")).as("__ms"))
+        .localCheckpoint()
+      remaining = nextRemaining
+    }
+    selected.select(col("query_id"), col("rank"), col("selected_id"),
+      col("rel"), round(col("mmr"), 4).as("mmr"))
+  }
 }

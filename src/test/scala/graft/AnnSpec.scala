@@ -93,4 +93,52 @@ class AnnSpec extends SparkSpec {
     // dim 1: {0,0,4} -> mean 4/3, sample var 16/3, std 2.309401
     assert(out(1) === ((3L, 2L, 1.333333, 2.309401, 0.0, 4.0)))
   }
+
+  test("mmrRerank: matches an independent greedy MMR on a seeded " +
+    "fixture, and a redundant near-duplicate of the first pick is " +
+    "deferred in favor of a diverse candidate") {
+    // deterministic pseudo-random 4-dim corpus (no Math.random)
+    def v(id: Long): Seq[Float] =
+      (0 until 4).map(d => (((id * 31 + d * 17 + 7) % 19) - 9) / 9.0f)
+    val corpus = vecs(((1L to 30L).map(i => i -> v(i)) :+
+      (99L -> v(5L))): _*) // 99 duplicates vector 5 exactly
+    val queries = vecs(0L -> v(0L))
+    val (poolK, selK, lam) = (8, 4, 0.5)
+    val out = Ann.mmrRerank(queries, corpus, "vec_id", "embedding",
+      "vec_id", "embedding", poolK, selK, lam)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+
+    // independent reference: same fold-order cosine, same HALF_UP
+    // rounding, same greedy tie-break
+    val all = ((1L to 30L).map(i => i -> v(i)) :+ (99L -> v(5L))).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      if (na > 0 && nb > 0) dot / (math.sqrt(na) * math.sqrt(nb)) else 0.0
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rel = all.map { case (id, vv) => id -> r4(cos(v(0L), vv)) }
+    val pool = all.keys.toSeq
+      .sortBy(id => (-rel(id), id)).take(poolK)
+    var ms = pool.map(_ -> 0.0).toMap
+    var remaining = pool.toSet
+    val picks = (1 to selK).map { _ =>
+      val best = remaining.toSeq.sortBy(c =>
+        (-(lam * rel(c) - (1.0 - lam) * ms(c)), c)).head
+      remaining -= best
+      ms = ms.map { case (c, m) =>
+        c -> math.max(m, r4(cos(all(best), all(c))))
+      }
+      best
+    }
+    assert(out.map(_._2).toSeq === picks,
+      s"engine=${out.toSeq} ref=$picks rel=$rel")
+    // the exact duplicate pair (5, 99): at most one of them selected
+    assert(out.count(p => p._2 == 5L || p._2 == 99L) <= 1,
+      "MMR must not select both copies of a duplicated vector")
+  }
 }
