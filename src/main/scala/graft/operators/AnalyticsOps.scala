@@ -2005,6 +2005,162 @@ object AnalyticsOps {
     } finally { train.unpersist(blocking = false); test.unpersist(blocking = false) }
   }
 
+  /** Frequent triple mining — one Apriori step (Agrawal & Srikant
+    * 1994) above the engine's pair surface (q155 lift): itemsets
+    * {a < b < c} appearing in at least `minSupport` baskets. The
+    * anti-monotone prune is what makes this tractable: pair instances
+    * are kept only when their pair is itself frequent, and the third
+    * item joins only when BOTH closing pairs are frequent — so the
+    * intermediate row count is bounded by frequent-pair instances,
+    * never the raw C(basket, 3) explosion. The oracle counts triples
+    * with no prune at all, so a prune that loses a frequent triple
+    * (or admits a bogus one) is a hash mismatch.
+    *
+    * Scale shape: every join is basket- or item-keyed hash equi-join
+    * with map-side-combined counts; the frequent-pair table is the
+    * only broadcast-sized state.
+    */
+  def frequentTriples(df: DataFrame, basketCol: String, itemCol: String,
+                      minSupport: Long = 2L): DataFrame = {
+    val b = df.filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__bk"), col(itemCol).as("__i"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairInst = b.select(col("__bk"), col("__i").as("__a"))
+        .join(b.select(col("__bk"), col("__i").as("__b")), "__bk")
+        .filter(col("__a") < col("__b"))
+      val freqPairs = pairInst.groupBy("__a", "__b")
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= minSupport)
+        .select("__a", "__b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val keptInst = pairInst.join(freqPairs, Seq("__a", "__b"), "left_semi")
+        val tri = keptInst
+          .join(b.select(col("__bk"), col("__i").as("__c")), "__bk")
+          .filter(col("__b") < col("__c"))
+          .join(freqPairs.select(col("__a"), col("__b").as("__c")),
+            Seq("__a", "__c"), "left_semi")
+          .join(freqPairs.select(col("__a").as("__b"), col("__b").as("__c")),
+            Seq("__b", "__c"), "left_semi")
+          .groupBy("__a", "__b", "__c")
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= minSupport)
+          .select(col("__a").as("item_a"), col("__b").as("item_b"),
+            col("__c").as("item_c"), col("support"))
+          .localCheckpoint(true)
+        tri
+      } finally freqPairs.unpersist(blocking = false)
+    } finally b.unpersist(blocking = false)
+  }
+
+  /** Exact sliding 7-day distinct active users per calendar day — the
+    * window-distinct aggregate naive rollups get WRONG (summing daily
+    * distincts double-counts returnees; q219's HLL merge is the
+    * sketch path, this is the exact one). Each (user, active day)
+    * pair explodes into the ≤ `windowDays` window days it supports;
+    * distinct (user, window day) then counts per day — shuffle volume
+    * is windowDays × the DAILY-deduped activity, not the raw event
+    * count. Days beyond the observed span are clamped; the first
+    * windowDays−1 days are PARTIAL windows by definition (flagged).
+    */
+  def slidingDau(events: DataFrame, userCol: String = "user_id",
+                 tsCol: String = "ts", windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 90, "windowDays out of range")
+    val ud = events.filter(col(userCol).isNotNull)
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__day"))
+      .distinct()
+    val span = ud.agg(min("__day").as("__d0"), max("__day").as("__d1"))
+    val dau1 = ud.groupBy(col("__day").as("day"))
+      .agg(countDistinct("__u").as("dau_1d"))
+    val win = ud
+      .select(col("__u"), explode(sequence(col("__day"),
+        date_add(col("__day"), windowDays - 1))).as("day"))
+      .distinct()
+      .crossJoin(broadcast(span))
+      .filter(col("day") <= col("__d1"))
+      .groupBy("day")
+      .agg(count(lit(1)).as(s"dau_${windowDays}d"))
+    win.join(dau1, Seq("day"), "left")
+      .crossJoin(broadcast(span))
+      .select(col("day"), coalesce(col("dau_1d"), lit(0L)).as("dau_1d"),
+        col(s"dau_${windowDays}d"),
+        (datediff(col("day"), col("__d0")) < windowDays - 1)
+          .cast(IntegerType).as("partial_window"))
+  }
+
+  /** Difference-in-differences readout on the [[cupedReport]]
+    * scaffold (md5 arms, calendar-half pre/post): the causal-inference
+    * workhorse  DiD = (ȳ_T − x̄_T) − (ȳ_C − x̄_C)  with its standard
+    * error from the per-arm variance of the user-level delta,
+    * var(y−x) = var(y) − 2cov(x,y) + var(x) — the same
+    * exact-Decimal-moment identity trick as CUPED, so per-user deltas
+    * are never materialized and no unordered fp summation exists.
+    * One row out: arm sizes, per-arm pre/post means, the DiD
+    * estimate, its SE, and the t statistic (each a fixed closing
+    * double tree over exact integers, mirrored by the oracle).
+    */
+  def didReport(events: DataFrame, userCol: String = "user_id",
+                tsCol: String = "ts", salt: String = "exp",
+                splitFrac: Double = 0.5): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rows = events.filter(col(userCol).isNotNull)
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__day"))
+    val daySpan = rows.agg(min("__day").as("__d0"), max("__day").as("__d1"))
+      .select(expr(
+        s"date_add(__d0, CAST(floor(datediff(__d1, __d0) * $splitFrac) AS INT))")
+        .as("__split"))
+    val perArm = rows.crossJoin(broadcast(daySpan))
+      .groupBy("__u")
+      .agg(sum(when(col("__day") <= col("__split"), 1L).otherwise(0L))
+        .cast(dec).as("__x"),
+        sum(when(col("__day") > col("__split"), 1L).otherwise(0L))
+          .cast(dec).as("__y"))
+      .withColumn("__t", (SplitOps.hashBucket(
+        concat(col("__u").cast(StringType), lit("|" + salt))) % 2 === 1)
+        .cast(IntegerType))
+      .groupBy("__t").agg(
+        count(lit(1)).cast(dec).as("__n"),
+        sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    val n2 = (col("__n") * col("__n")).cast("double")
+    // var(y−x) numerator: n(Σy²−2Σxy+Σx²) − (Σy−Σx)²   — all exact
+    val varD = ((col("__n") * (col("__syy") - lit(2) * col("__sxy")
+      + col("__sxx"))
+      - (col("__sy") - col("__sx")) * (col("__sy") - col("__sx")))
+      .cast("double")) / n2
+    val md = (col("__sy") - col("__sx")).cast("double") /
+      col("__n").cast("double")
+    val side = perArm.select(col("__t"),
+      col("__n").cast(LongType).as("n"),
+      (col("__sx").cast("double") / col("__n").cast("double")).as("mx"),
+      (col("__sy").cast("double") / col("__n").cast("double")).as("my"),
+      md.as("mdelta"),
+      varD.as("vard"))
+    val c = side.filter(col("__t") === 0)
+      .select(col("n").as("n_control"), col("mx").as("pre_control"),
+        col("my").as("post_control"), col("mdelta").as("__dc"),
+        col("vard").as("__vc"))
+    val t = side.filter(col("__t") === 1)
+      .select(col("n").as("n_treatment"), col("mx").as("pre_treatment"),
+        col("my").as("post_treatment"), col("mdelta").as("__dt"),
+        col("vard").as("__vt"))
+    val se = sqrt(col("__vt") / col("n_treatment").cast("double")
+      + col("__vc") / col("n_control").cast("double"))
+    c.crossJoin(t).select(
+      col("n_control"), col("n_treatment"),
+      round(col("pre_control"), 6).as("pre_control"),
+      round(col("post_control"), 6).as("post_control"),
+      round(col("pre_treatment"), 6).as("pre_treatment"),
+      round(col("post_treatment"), 6).as("post_treatment"),
+      round(col("__dt") - col("__dc"), 6).as("did"),
+      round(se, 6).as("se"),
+      round(when(se > 0, (col("__dt") - col("__dc")) / se), 4).as("t_stat"))
+  }
+
   /** Pareto frontier / skyline (Börzsönyi et al. 2001): the rows not
     * STRICTLY dominated under (minimize `xCol`, maximize `yCol`) —
     * j dominates i iff xⱼ ≤ xᵢ, yⱼ ≥ yᵢ, and at least one is strict;

@@ -1109,6 +1109,25 @@ object ExtendedQueries {
       out
     }),
 
+    // difference-in-differences on the same md5-arm / calendar-half
+    // scaffold as q245; SE via the exact-moment variance identity
+    "q252_diff_in_diff" -> ((s, d) =>
+      graft.operators.AnalyticsOps.didReport(Tables.events(s, d))),
+
+    // one Apriori step above the pair surface: frequent part triples
+    // inside order baskets; the prune is correctness-gated against a
+    // prune-free oracle
+    "q253_frequent_triples" -> ((s, d) =>
+      graft.operators.AnalyticsOps.frequentTriples(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+        minSupport = 2L)),
+
+    // exact sliding 7-day distinct actives per day (the rollup that
+    // cannot be summed from daily distincts); q219's HLL merge is the
+    // sketch sibling
+    "q254_sliding_dau" -> ((s, d) =>
+      graft.operators.AnalyticsOps.slidingDau(Tables.events(s, d))),
+
     // MMR diversified rerank: greedy λ·rel − (1−λ)·max-sim selection
     // of 5 from the per-query top-12 pool — the redundancy-killing
     // step between retrieval and a context window
@@ -3931,6 +3950,81 @@ object ExtendedQueries {
         |  FROM p WHERE pid NOT IN (SELECT pid FROM sw)
         |)
         |SELECT * FROM att UNION ALL SELECT * FROM un""".stripMargin,
+
+    // NO prune at all: the raw triple self-join with HAVING — equality
+    // proves the engine's Apriori prune is lossless and sound
+    "q253_frequent_triples" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |)
+        |SELECT a.p AS item_a, b2.p AS item_b, c.p AS item_c,
+        |  count(*) AS support
+        |FROM b a
+        |JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+        |JOIN b c ON a.o = c.o AND b2.p < c.p
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin,
+
+    // same explode/clamp/distinct; the window flag replays
+    "q254_sliding_dau" ->
+      """WITH ud AS MATERIALIZED (
+        |  SELECT DISTINCT user_id AS u, ts::DATE AS day
+        |  FROM events WHERE user_id IS NOT NULL
+        |), span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+        |w AS MATERIALIZED (
+        |  SELECT DISTINCT u, day + CAST(off AS INTEGER) AS wday
+        |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS off)
+        |), wf AS (
+        |  SELECT wday AS day, count(*) AS dau_7d
+        |  FROM w WHERE wday <= (SELECT d1 FROM span) GROUP BY 1
+        |), d1f AS (
+        |  SELECT day, count(DISTINCT u) AS dau_1d FROM ud GROUP BY 1
+        |)
+        |SELECT wf.day, coalesce(d1f.dau_1d, 0) AS dau_1d, wf.dau_7d,
+        |  CASE WHEN (wf.day - (SELECT d0 FROM span)) < 6 THEN 1 ELSE 0 END
+        |    AS partial_window
+        |FROM wf LEFT JOIN d1f USING (day)""".stripMargin,
+
+    // same HUGEINT moments; var(y−x) from the identity numerator
+    // n(Σy²−2Σxy+Σx²) − (Σy−Σx)², one division per statistic
+    "q252_diff_in_diff" ->
+      """WITH rows_ AS (
+        |  SELECT user_id AS u, ts::DATE AS day
+        |  FROM events WHERE user_id IS NOT NULL
+        |), split_ AS (
+        |  SELECT min(day) + CAST(floor((max(day) - min(day)) * 0.5) AS INTEGER)
+        |    AS sp FROM rows_
+        |), pu AS (
+        |  SELECT u,
+        |    sum(CASE WHEN day <= sp THEN 1 ELSE 0 END)::HUGEINT AS x,
+        |    sum(CASE WHEN day > sp THEN 1 ELSE 0 END)::HUGEINT AS y,
+        |    CASE WHEN ('0x' || substr(md5(CAST(u AS VARCHAR) || '|exp'), 1, 8))::UBIGINT % 2 = 1
+        |      THEN 1 ELSE 0 END AS t
+        |  FROM rows_ CROSS JOIN split_ GROUP BY u
+        |), pa AS MATERIALIZED (
+        |  SELECT t, count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM pu GROUP BY t
+        |), side AS (
+        |  SELECT t, CAST(n AS BIGINT) AS n,
+        |    sx::DOUBLE / n::DOUBLE AS mx,
+        |    sy::DOUBLE / n::DOUBLE AS my,
+        |    (sy - sx)::DOUBLE / n::DOUBLE AS mdelta,
+        |    (n * (syy - 2 * sxy + sxx) - (sy - sx) * (sy - sx))::DOUBLE
+        |      / (n * n)::DOUBLE AS vard
+        |  FROM pa
+        |)
+        |SELECT c.n AS n_control, t.n AS n_treatment,
+        |  round(c.mx, 6) AS pre_control, round(c.my, 6) AS post_control,
+        |  round(t.mx, 6) AS pre_treatment, round(t.my, 6) AS post_treatment,
+        |  round(t.mdelta - c.mdelta, 6) AS did,
+        |  round(sqrt(t.vard / t.n::DOUBLE + c.vard / c.n::DOUBLE), 6) AS se,
+        |  round(CASE WHEN sqrt(t.vard / t.n::DOUBLE + c.vard / c.n::DOUBLE) > 0
+        |    THEN (t.mdelta - c.mdelta)
+        |      / sqrt(t.vard / t.n::DOUBLE + c.vard / c.n::DOUBLE) END, 4)
+        |    AS t_stat
+        |FROM (SELECT * FROM side WHERE t = 0) c
+        |CROSS JOIN (SELECT * FROM side WHERE t = 1) t""".stripMargin,
 
     // unrolled greedy: the same 4-decimal-rounded similarities, the
     // same fixed mmr tree (note (1.0 - 0.7), NOT the literal 0.3 —

@@ -999,6 +999,58 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("avg_candidates") === 0.333333)
   }
 
+  test("didReport: identical pre/post activity per user closes the " +
+    "deltas, the DiD, and both variances to exactly zero") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val events = (1L to 8L).flatMap { u =>
+      val k = (u % 4 + 1).toInt
+      Seq.fill(k)((u, Timestamp.valueOf("2024-01-01 10:00:00"))) ++
+        Seq.fill(k)((u, Timestamp.valueOf("2024-01-10 10:00:00")))
+    }.toDF("user_id", "ts")
+    val r = AnalyticsOps.didReport(events).collect()(0)
+    assert(r.getAs[Double]("pre_control") === r.getAs[Double]("post_control"))
+    assert(r.getAs[Double]("pre_treatment") === r.getAs[Double]("post_treatment"))
+    assert(r.getAs[Double]("did") === 0.0)
+    assert(r.getAs[Double]("se") === 0.0)
+    assert(r.isNullAt(r.fieldIndex("t_stat")), "0/0 must be NULL, not NaN")
+  }
+
+  test("frequentTriples: supported triples found, an infrequent " +
+    "closing pair prunes correctly, duplicate basket rows collapse") {
+    import spark.implicits._
+    val b = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (1L, 1L), // dup row
+      (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L), (3L, 4L),
+      (4L, 1L), (4L, 2L), (4L, 4L),
+      (5L, 1L), (5L, 3L), (5L, 4L)) // (1,3,4) support 1: out
+      .toDF("basket", "item")
+    val out = AnalyticsOps.frequentTriples(b, "basket", "item", 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        r.getLong(3)).toMap
+    assert(out === Map((1L, 2L, 3L) -> 2L, (1L, 2L, 4L) -> 2L))
+  }
+
+  test("slidingDau: the 7-day distinct count never double-counts a " +
+    "returning user, gap days appear with dau_1d 0, windows clamp at " +
+    "the span end and flag partial starts") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 09:00:00")
+    val ev = Seq((1L, t(1)), (1L, t(1)), (2L, t(1)), (1L, t(3)), (3L, t(8)))
+      .toDF("user_id", "ts")
+    val out = AnalyticsOps.slidingDau(ev).collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    assert(out.size === 8) // Jan 1..8; window days past Jan 8 clamped
+    assert(out("2024-01-01") === ((2L, 2L, 1)))
+    assert(out("2024-01-03") === ((1L, 2L, 1))) // u1 once, not twice
+    assert(out("2024-01-07") === ((0L, 2L, 0))) // first full window
+    assert(out("2024-01-08") === ((1L, 2L, 0))) // u1(Jan3) + u3(Jan8)
+    assert(out("2024-01-02") === ((0L, 2L, 1)))
+  }
+
   test("cupedReport: perfectly correlated pre/post activity gives " +
     "theta exactly 1, zero adjusted variance, 100% reduction, and " +
     "both arms' adjusted means collapse to the overall pre mean") {
