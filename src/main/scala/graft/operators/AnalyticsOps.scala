@@ -2055,6 +2055,53 @@ object AnalyticsOps {
     } finally b.unpersist(blocking = false)
   }
 
+  /** Association rules {a,b} → c from the [[frequentTriples]] output:
+    * each frequent triple yields its three pair-antecedent rules with
+    *   confidence = sup(abc)/sup(antecedent pair)
+    *   lift       = confidence · #baskets / sup(consequent)
+    * — exact integer counts throughout, each metric one fixed
+    * closing-double tree. The consequent-side base rates and pair
+    * supports come from the same deduped basket incidence the triples
+    * did, so the three numbers are mutually consistent by
+    * construction.
+    */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+                       minSupport: Long = 2L): DataFrame = {
+    val b = df.filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__bk"), col(itemCol).as("__i"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tri = frequentTriples(b, "__bk", "__i", minSupport)
+      val nB = b.select("__bk").distinct().count()
+      val singles = b.groupBy(col("__i")).agg(count(lit(1)).as("__cs"))
+      val pairs = b.select(col("__bk"), col("__i").as("__a"))
+        .join(b.select(col("__bk"), col("__i").as("__b")), "__bk")
+        .filter(col("__a") < col("__b"))
+        .groupBy("__a", "__b").agg(count(lit(1)).as("__cp"))
+      // the three pair-antecedent rotations of each triple; the
+      // antecedent keeps its canonical (low, high) order
+      val rules = tri.select(col("item_a").as("ant1"), col("item_b").as("ant2"),
+        col("item_c").as("consequent"), col("support"))
+        .unionByName(tri.select(col("item_a").as("ant1"),
+          col("item_c").as("ant2"), col("item_b").as("consequent"),
+          col("support")))
+        .unionByName(tri.select(col("item_b").as("ant1"),
+          col("item_c").as("ant2"), col("item_a").as("consequent"),
+          col("support")))
+      rules
+        .join(pairs.select(col("__a").as("ant1"), col("__b").as("ant2"),
+          col("__cp")), Seq("ant1", "ant2"))
+        .join(singles.select(col("__i").as("consequent"), col("__cs")),
+          "consequent")
+        .select(col("ant1"), col("ant2"), col("consequent"), col("support"),
+          round(col("support").cast("double") / col("__cp").cast("double"), 6)
+            .as("confidence"),
+          round(col("support").cast("double") / col("__cp").cast("double")
+            * lit(nB.toDouble) / col("__cs").cast("double"), 6).as("lift"))
+    } finally b.unpersist(blocking = false)
+  }
+
   /** Exact sliding 7-day distinct active users per calendar day — the
     * window-distinct aggregate naive rollups get WRONG (summing daily
     * distincts double-counts returnees; q219's HLL merge is the

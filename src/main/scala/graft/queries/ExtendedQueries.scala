@@ -1128,6 +1128,19 @@ object ExtendedQueries {
     "q254_sliding_dau" -> ((s, d) =>
       graft.operators.AnalyticsOps.slidingDau(Tables.events(s, d))),
 
+    // {a,b} -> c rules with confidence and lift over the q253 triples
+    "q255_association_rules" -> ((s, d) =>
+      graft.operators.AnalyticsOps.associationRules(
+        Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+        minSupport = 2L)),
+
+    // JL ±1 random projection 64→16 on int8 codes with an exact-
+    // integer distance-distortion audit over the first 20 vectors
+    "q256_jl_projection" -> ((s, d) =>
+      graft.similarity.Ann.jlProjectionReport(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        outDims = 16, pairIds = 20L)),
+
     // MMR diversified rerank: greedy λ·rel − (1−λ)·max-sim selection
     // of 5 from the per-query top-12 pool — the redundancy-killing
     // step between retrieval and a context window
@@ -3964,6 +3977,83 @@ object ExtendedQueries {
         |JOIN b b2 ON a.o = b2.o AND a.p < b2.p
         |JOIN b c ON a.o = c.o AND b2.p < c.p
         |GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin,
+
+    // prune-free triples again, three antecedent rotations, the same
+    // closing confidence/lift trees
+    "q255_association_rules" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |), tri AS MATERIALIZED (
+        |  SELECT a.p AS ia, b2.p AS ib, c.p AS ic, count(*) AS support
+        |  FROM b a
+        |  JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+        |  JOIN b c ON a.o = c.o AND b2.p < c.p
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 2
+        |), nb AS (SELECT count(DISTINCT o)::DOUBLE AS n FROM b),
+        |singles AS (SELECT p, count(*) AS cs FROM b GROUP BY 1),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.p AS pa, b2.p AS pb, count(*) AS cp
+        |  FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+        |  GROUP BY 1, 2
+        |), rules AS (
+        |  SELECT ia AS ant1, ib AS ant2, ic AS consequent, support FROM tri
+        |  UNION ALL
+        |  SELECT ia, ic, ib, support FROM tri
+        |  UNION ALL
+        |  SELECT ib, ic, ia, support FROM tri
+        |)
+        |SELECT r.ant1, r.ant2, r.consequent, r.support,
+        |  round(r.support::DOUBLE / p.cp::DOUBLE, 6) AS confidence,
+        |  round(r.support::DOUBLE / p.cp::DOUBLE * (SELECT n FROM nb)
+        |    / s.cs::DOUBLE, 6) AS lift
+        |FROM rules r
+        |JOIN pairs p ON p.pa = r.ant1 AND p.pb = r.ant2
+        |JOIN singles s ON s.p = r.consequent""".stripMargin,
+
+    // q89's code replay, md5 ±1 signs, integer sums end to end; the
+    // one fp op is the closing distortion division
+    "q256_jl_projection" ->
+      """WITH vecs AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CASE WHEN scale = 0 THEN 0
+        |           ELSE CAST(floor(x / scale * 127 + 0.5) AS BIGINT) END) AS qv
+        |  FROM (SELECT vec_id, embedding,
+        |      list_aggregate(list_transform(embedding::DOUBLE[],
+        |        x -> abs(x)), 'max') AS scale
+        |    FROM embeddings)
+        |), elems AS MATERIALIZED (
+        |  SELECT vec_id AS id, d - 1 AS i, qv[d] AS q
+        |  FROM vecs CROSS JOIN generate_series(1, 64) AS g(d)
+        |), proj AS MATERIALIZED (
+        |  SELECT id, j, sum(q * s) AS y FROM (
+        |    SELECT e.id, e.i, e.q, gj.j,
+        |      CASE WHEN ('0x' || substr(md5('rp|' || CAST(gj.j AS VARCHAR)
+        |          || '|' || CAST(e.i AS VARCHAR)), 1, 8))::UBIGINT % 2 = 0
+        |        THEN 1 ELSE -1 END AS s
+        |    FROM elems e CROSS JOIN (
+        |      SELECT unnest(range(0, 16)) AS j) gj)
+        |  GROUP BY 1, 2
+        |), dorig AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    sum((a.q - b.q) * (a.q - b.q)) AS d2_orig
+        |  FROM elems a JOIN elems b ON a.i = b.i AND a.id < b.id
+        |  WHERE a.id < 20 AND b.id < 20
+        |  GROUP BY 1, 2
+        |), dproj AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    sum((a.y - b.y) * (a.y - b.y)) AS d2_proj
+        |  FROM proj a JOIN proj b ON a.j = b.j AND a.id < b.id
+        |  WHERE a.id < 20 AND b.id < 20
+        |  GROUP BY 1, 2
+        |)
+        |SELECT o.id_a, o.id_b,
+        |  CAST(o.d2_orig AS BIGINT) AS d2_orig,
+        |  CAST(p.d2_proj AS BIGINT) AS d2_proj,
+        |  round(CASE WHEN o.d2_orig > 0 THEN p.d2_proj::DOUBLE
+        |    / (16.0 * o.d2_orig::DOUBLE) END, 6) AS distortion
+        |FROM dorig o JOIN dproj p USING (id_a, id_b)""".stripMargin,
 
     // same explode/clamp/distinct; the window flag replays
     "q254_sliding_dau" ->

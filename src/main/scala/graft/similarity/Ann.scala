@@ -700,6 +700,62 @@ object Ann {
         col("score"), col("sq_dist"))
   }
 
+  /** Johnson–Lindenstrauss random projection with a distance-
+    * distortion audit — the dimensionality-reduction sketch behind
+    * "search 16 dims instead of 64" (Achlioptas 2003's ±1 matrix):
+    * y_j = Σ_i s(j,i)·q_i over the [[quantizeInt8]] codes with
+    * s(j,i) = ±1 from the engine-portable md5 bucket — so projections
+    * and BOTH distance columns are exact integers (bit-identical on
+    * any engine; no fp until the one closing distortion ratio
+    * d²_proj / (outDims · d²_orig), whose expectation is 1 by the JL
+    * identity E[d²_proj] = outDims · d²_orig for ±1 entries).
+    *
+    * Scale shape: the projection is one posexplode × outDims map and
+    * a (id, j)-keyed integer sum — embarrassingly parallel, corpus
+    * never joined to itself; the audit pairs are the `pairIds`-bounded
+    * prefix only.
+    */
+  def jlProjectionReport(df: DataFrame, idCol: String, vecCol: String,
+                         outDims: Int = 16, pairIds: Long = 20L,
+                         salt: String = "rp"): DataFrame = {
+    require(outDims >= 1 && outDims <= 1024, "outDims out of range")
+    import graft.operators.SplitOps.hashBucket
+    val codes = quantizeInt8(df, idCol, vecCol)
+    val elems = codes.select(col(idCol).as("__id"), posexplode(col("qvec")))
+      .select(col("__id"), col("pos").as("__i"),
+        col("col").cast(LongType).as("__q"))
+    val proj = elems.select(col("__id"), col("__i"), col("__q"),
+      explode(array((0 until outDims).map(lit): _*)).as("__j"))
+      .withColumn("__s", when(hashBucket(concat(lit(salt + "|"),
+        col("__j").cast(StringType), lit("|"),
+        col("__i").cast(StringType))) % 2 === 0, 1L).otherwise(-1L))
+      .groupBy("__id", "__j")
+      .agg(sum(col("__q") * col("__s")).as("__y"))
+    val ea = elems.filter(col("__id") < pairIds)
+    val dOrig = ea.select(col("__id").as("id_a"), col("__i"),
+      col("__q").as("__qa"))
+      .join(ea.select(col("__id").as("id_b"), col("__i"),
+        col("__q").as("__qb")), "__i")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum((col("__qa") - col("__qb")) * (col("__qa") - col("__qb")))
+        .as("d2_orig"))
+    val pa = proj.filter(col("__id") < pairIds)
+    val dProj = pa.select(col("__id").as("id_a"), col("__j"),
+      col("__y").as("__ya"))
+      .join(pa.select(col("__id").as("id_b"), col("__j"),
+        col("__y").as("__yb")), "__j")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum((col("__ya") - col("__yb")) * (col("__ya") - col("__yb")))
+        .as("d2_proj"))
+    dOrig.join(dProj, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("d2_orig"), col("d2_proj"),
+        round(when(col("d2_orig") > 0, col("d2_proj").cast(DoubleType)
+          / (lit(outDims.toDouble) * col("d2_orig").cast(DoubleType))), 6)
+          .as("distortion"))
+  }
+
   /** MMR diversified rerank (Carbonell & Goldstein 1998): greedily
     * pick `selectK` of the per-query top-`poolK` relevance candidates
     * maximizing  λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)  — the

@@ -1032,6 +1032,28 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out === Map((1L, 2L, 3L) -> 2L, (1L, 2L, 4L) -> 2L))
   }
 
+  test("associationRules: hand-computed confidence and lift for every " +
+    "rotation of both frequent triples") {
+    import spark.implicits._
+    val b = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L), (3L, 4L), (4L, 1L), (4L, 2L), (4L, 4L),
+      (5L, 1L), (5L, 3L), (5L, 4L))
+      .toDF("basket", "item")
+    val out = AnalyticsOps.associationRules(b, "basket", "item", 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getAs[Double]("confidence"), r.getAs[Double]("lift"))).toMap
+    assert(out.size === 6)
+    // nB=5; pairs (1,2)=4 (1,3)=3 (2,3)=2 (1,4)=3 (2,4)=2;
+    // singles 1->5 2->4 3->3 4->3; triples (1,2,3)=2 (1,2,4)=2
+    assert(out((1L, 2L, 3L)) === ((0.5, 0.833333)))
+    assert(out((1L, 3L, 2L)) === ((0.666667, 0.833333)))
+    assert(out((2L, 3L, 1L)) === ((1.0, 1.0)))
+    assert(out((1L, 2L, 4L)) === ((0.5, 0.833333)))
+    assert(out((1L, 4L, 2L)) === ((0.666667, 0.833333)))
+    assert(out((2L, 4L, 1L)) === ((1.0, 1.0)))
+  }
+
   test("slidingDau: the 7-day distinct count never double-counts a " +
     "returning user, gap days appear with dau_1d 0, windows clamp at " +
     "the span end and flag partial starts") {

@@ -94,6 +94,45 @@ class AnnSpec extends SparkSpec {
     assert(out(1) === ((3L, 2L, 1.333333, 2.309401, 0.0, 4.0)))
   }
 
+  test("jlProjectionReport: projections match an independent md5-sign " +
+    "replay, identical vectors give d2 0 with NULL distortion") {
+    val corpus = vecs(
+      0L -> Seq(1.0f, -0.5f),
+      1L -> Seq(0.5f, 0.25f),
+      2L -> Seq(1.0f, -0.5f)) // exact duplicate of 0
+    val out = Ann.jlProjectionReport(corpus, "vec_id", "embedding",
+      outDims = 4, pairIds = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    // independent replay: same quantization, same md5 sign bits
+    def q8(v: Seq[Float]): Seq[Long] = {
+      val s = v.map(x => math.abs(x.toDouble)).max
+      v.map(x => if (s == 0) 0L
+        else math.floor(x.toDouble / s * 127d + 0.5d).toLong)
+    }
+    def sign(j: Int, i: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"rp|$j|$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+    }
+    def proj(v: Seq[Float]): Seq[Long] = {
+      val q = q8(v)
+      (0 until 4).map(j => q.indices.map(i => sign(j, i) * q(i)).sum)
+    }
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val (v0, v1, v2) = (Seq(1.0f, -0.5f), Seq(0.5f, 0.25f), Seq(1.0f, -0.5f))
+    assert(out((0L, 2L)) === ((0L, 0L, None)), "duplicate pair: 0/NULL")
+    assert(out((0L, 1L))._1 === d2(q8(v0), q8(v1)))
+    assert(out((0L, 1L))._2 === d2(proj(v0), proj(v1)))
+    val expected = BigDecimal(d2(proj(v0), proj(v1)).toDouble /
+      (4.0 * d2(q8(v0), q8(v1)).toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out((0L, 1L))._3 === Some(expected))
+  }
+
   test("mmrRerank: matches an independent greedy MMR on a seeded " +
     "fixture, and a redundant near-duplicate of the first pick is " +
     "deferred in favor of a diverse candidate") {
