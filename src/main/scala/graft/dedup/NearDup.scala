@@ -42,6 +42,30 @@ object NearDup {
   def exactDedupNormalized(df: DataFrame, idCol: String, textCol: String): DataFrame =
     exactDedupBy(df, idCol, md5(TextOps.normalizeText(col(textCol))))
 
+  /** Dedup PLANNING report: before spending a full dedup pass at
+    * 100 TB, how much is there to save? Clusters by the q80
+    * normalized digest, keeps the min-id doc per cluster (the
+    * engine's dedup keeper rule), and reports the cluster-size
+    * distribution with the character volume the non-keepers
+    * represent — the "bytes saved" estimate and the "is dedup worth
+    * a pass" histogram in one table. One digest-keyed shuffle with
+    * map-side-combined sums; #cluster-size output rows.
+    */
+  def dedupSavingsReport(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val groups = df
+      .select(md5(TextOps.normalizeText(col(textCol))).as("__k"),
+        col(idCol).as("__id"),
+        coalesce(length(col(textCol)), lit(0)).cast("long").as("__len"))
+      .groupBy("__k")
+      .agg(count(lit(1)).as("__n"), sum("__len").as("__total"),
+        min(struct(col("__id"), col("__len"))).as("__keeper"))
+    groups.groupBy(col("__n").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("__n").as("n_docs"),
+        sum(col("__total") - col("__keeper.__len")).as("dup_chars"))
+  }
+
   /** Unicode-canonical exact dedup: the digest is taken over the NFC
     * normalization of the text, so strings that render identically but
     * differ in code-point sequence (precomposed é vs e + combining

@@ -2137,6 +2137,42 @@ object AnalyticsOps {
           .cast(IntegerType).as("partial_window"))
   }
 
+  /** Exact WEIGHTED median per group — the aggregate
+    * `percentile_cont` doesn't cover (it weighs rows equally; here a
+    * row counts `weight` times — quantity-weighted price medians,
+    * token-weighted length medians). Lower weighted median: the
+    * smallest value v with 2·cumweight(v) ≥ totalweight — an
+    * integer comparison, so the result is exact on any engine.
+    *
+    * Scale shape: one (group, value)-keyed weight histogram with
+    * map-side combine, then the grouped two-level cumsum over THAT
+    * histogram (no window wider than one (group, value-bucket)), and
+    * a min-aggregate over the crossing rows. Weights must be
+    * integral and positive; zero/NULL-weight rows are dropped.
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String): DataFrame = {
+    val hist = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .groupBy(col(groupCol), col(valueCol).cast(LongType).as("__v"))
+      .agg(sum(col(weightCol).cast(LongType)).as("__hw"))
+    val (bucketed, wi) = TwoLevelCumsum.withGroupedOffsets(
+      hist, Seq(groupCol), expr("__v div 1024L"), col("__hw"),
+      Seq(col("__v").asc))
+    val cum = bucketed
+      .withColumn("__cum", col("__off") + sum("__w").over(wi))
+    val totals = hist.groupBy(col(groupCol))
+      .agg(sum("__hw").as("total_weight"), count(lit(1)).as("n_values"))
+    cum.join(totals, groupCol)
+      .filter(col("__cum") * 2 >= col("total_weight"))
+      .groupBy(col(groupCol))
+      .agg(min("__v").as("weighted_median"))
+      .join(totals, groupCol)
+      .select(col(groupCol), col("n_values"), col("total_weight"),
+        col("weighted_median"))
+  }
+
   /** Difference-in-differences readout on the [[cupedReport]]
     * scaffold (md5 arms, calendar-half pre/post): the causal-inference
     * workhorse  DiD = (ȳ_T − x̄_T) − (ȳ_C − x̄_C)  with its standard

@@ -1141,6 +1141,21 @@ object ExtendedQueries {
         Tables.embeddings(s, d), "vec_id", "embedding",
         outDims = 16, pairIds = 20L)),
 
+    // quantity-weighted median discount per return flag: the weighted
+    // quantile percentile_cont can't express; integer crossing rule
+    "q257_weighted_median" -> ((s, d) =>
+      graft.operators.AnalyticsOps.weightedMedian(
+        Tables.lineitem(s, d)
+          .withColumn("disc_x100",
+            round(col("l_discount") * 100).cast(LongType)),
+        "l_returnflag", "disc_x100", "l_quantity")),
+
+    // dedup planning: cluster-size distribution + the exact character
+    // volume the non-keeper duplicates represent
+    "q258_dedup_savings" -> ((s, d) =>
+      graft.dedup.NearDup.dedupSavingsReport(
+        Tables.documents(s, d), "doc_id", "text")),
+
     // MMR diversified rerank: greedy λ·rel − (1−λ)·max-sim selection
     // of 5 from the per-query top-12 pool — the redundancy-killing
     // step between retrieval and a context window
@@ -4054,6 +4069,46 @@ object ExtendedQueries {
         |  round(CASE WHEN o.d2_orig > 0 THEN p.d2_proj::DOUBLE
         |    / (16.0 * o.d2_orig::DOUBLE) END, 6) AS distortion
         |FROM dorig o JOIN dproj p USING (id_a, id_b)""".stripMargin,
+
+    // window cumsum twin of the grouped two-level form; the same
+    // 2*cum >= W lower-median crossing rule
+    "q257_weighted_median" ->
+      """WITH h AS (
+        |  SELECT l_returnflag AS g, CAST(round(l_discount * 100) AS BIGINT) AS v,
+        |    sum(CAST(l_quantity AS BIGINT)) AS w
+        |  FROM lineitem
+        |  WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_quantity > 0
+        |  GROUP BY 1, 2
+        |), t AS (
+        |  SELECT g, sum(w) AS tw, count(*) AS nv FROM h GROUP BY 1
+        |), c AS (
+        |  SELECT g, v, sum(w) OVER (
+        |    PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h
+        |), m AS (
+        |  SELECT c.g, min(v) AS wm
+        |  FROM c JOIN t USING (g) WHERE 2 * cum >= tw GROUP BY 1
+        |)
+        |SELECT m.g AS l_returnflag, t.nv AS n_values,
+        |  CAST(t.tw AS BIGINT) AS total_weight, m.wm AS weighted_median
+        |FROM m JOIN t USING (g)""".stripMargin,
+
+    // the q80 digest, min-id keeper, and exact char accounting
+    "q258_dedup_savings" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g'))) AS k,
+        |    count(*) AS n,
+        |    sum(coalesce(length(text), 0)) AS total,
+        |    arg_min(coalesce(length(text), 0), doc_id) AS keeper_len
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT n AS cluster_size, count(*) AS n_clusters,
+        |  CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(sum(total - keeper_len) AS BIGINT) AS dup_chars
+        |FROM g GROUP BY 1""".stripMargin,
 
     // same explode/clamp/distinct; the window flag replays
     "q254_sliding_dau" ->

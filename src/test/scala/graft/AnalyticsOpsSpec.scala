@@ -1032,6 +1032,25 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out === Map((1L, 2L, 3L) -> 2L, (1L, 2L, 4L) -> 2L))
   }
 
+  test("weightedMedian: weight-crossing rule, lower median on even " +
+    "splits, zero and NULL weights dropped") {
+    import spark.implicits._
+    val df = Seq(
+      ("g", 1L, Option(1L)), ("g", 2L, Option(2L)), ("g", 3L, Option(1L)),
+      ("g", 10L, Option(0L)), ("g", 11L, Option.empty[Long]),
+      ("e", 1L, Option(1L)), ("e", 3L, Option(1L)),
+      ("h", 7L, Option(100L)))
+      .toDF("grp", "v", "w")
+    val out = AnalyticsOps.weightedMedian(df, "grp", "v", "w")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // g: weights 1,2,1 -> W=4, cum crosses 2 at v=2
+    assert(out("g") === ((3L, 4L, 2L)))
+    // e: even split -> LOWER median 1
+    assert(out("e") === ((2L, 2L, 1L)))
+    assert(out("h") === ((1L, 100L, 7L)))
+  }
+
   test("associationRules: hand-computed confidence and lift for every " +
     "rotation of both frequent triples") {
     import spark.implicits._

@@ -355,4 +355,21 @@ class NearDupSpec extends SparkSpec {
       assert(e === b, s"threshold $t: prefix-filtered != quadratic")
     }
   }
+
+  test("dedupSavingsReport: normalization-equal docs cluster, the " +
+    "min-id keeper's chars are excluded from the savings, singletons " +
+    "save nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b"),      // keeper of the pair (min id), 3 chars
+      (2L, "A  b!!"),   // normalizes to "a b": 6 dup chars
+      (3L, "c"))        // singleton
+      .toDF("doc_id", "text")
+    val out = NearDup.dedupSavingsReport(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map(
+      2L -> ((1L, 2L, 6L)), // one 2-doc cluster, non-keeper's 6 chars
+      1L -> ((1L, 1L, 0L))))
+  }
 }
