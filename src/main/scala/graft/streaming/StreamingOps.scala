@@ -621,6 +621,36 @@ object StreamingOps {
     * read; `compactState` can fold old partitions without changing
     * any answer — the mergeability contract, incrementally.
     */
+  /** Incremental sibling of
+    * [[graft.operators.AnalyticsOps.slidingDau]]: each micro-batch
+    * appends its DAILY-deduped (user, active day) pairs as one state
+    * partition; a retried batch overwrites its own partition, so
+    * replays are no-ops by IDEMPOTENT SET ALGEBRA (the hllBatch
+    * contract), and the estimate-on-read dedups across partitions —
+    * two batches both observing a (user, day) cannot double-count.
+    * State volume is the deduped activity, never the raw event count.
+    */
+  def dauBatch(batch: DataFrame, batchId: Long, userCol: String,
+               tsCol: String, statePath: String): Unit = {
+    val ud = batch.filter(col(userCol).isNotNull)
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("__day"))
+      .distinct()
+    ud.write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+  }
+
+  /** The exact sliding-window DAU over everything [[dauBatch]] has
+    * admitted: cross-partition distinct, then the batch operator's
+    * own explode/clamp pipeline — incremental ≡ batch by
+    * construction (spec-pinned).
+    */
+  def dauFromState(spark: SparkSession, statePath: String,
+                   windowDays: Int = 7): DataFrame =
+    graft.operators.AnalyticsOps.slidingDau(
+      spark.read.parquet(statePath)
+        .select(col("__u").as("user_id"),
+          col("__day").cast("timestamp").as("ts")),
+      "user_id", "ts", windowDays)
+
   def hllBatch(batch: DataFrame, batchId: Long, groupCol: String,
                valueCol: String, statePath: String): Unit = {
     val regs = graft.operators.SketchOps.hllRegisters(

@@ -587,4 +587,32 @@ class StreamingSpec extends SparkSpec {
     assert(retried.getAs[Double]("est_distinct") ===
       direct.getAs[Double]("est_distinct"))
   }
+
+  test("dauBatch/dauFromState: incremental sliding DAU equals the " +
+    "batch operator row-for-row, cross-batch returnees are not " +
+    "double-counted, and a retried batch changes nothing") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 09:00:00")
+    val all = Seq((1L, t(1)), (1L, t(1)), (2L, t(1)), (1L, t(3)), (3L, t(8)))
+      .toDF("user_id", "ts")
+    // split so user 1's Jan-1 activity appears in BOTH batches
+    val batches = Seq(
+      Seq((1L, t(1)), (2L, t(1))).toDF("user_id", "ts"),
+      Seq((1L, t(1)), (1L, t(3)), (3L, t(8))).toDF("user_id", "ts"))
+    val dir = java.nio.file.Files.createTempDirectory("dau_state").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.StreamingOps.dauBatch(b, i.toLong, "user_id", "ts", dir)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    val direct = rows(graft.operators.AnalyticsOps.slidingDau(all))
+    assert(rows(graft.streaming.StreamingOps.dauFromState(spark, dir))
+      === direct)
+    // retry batch 1: partition overwrite + set algebra = no-op
+    graft.streaming.StreamingOps.dauBatch(batches(1), 1L, "user_id", "ts", dir)
+    assert(rows(graft.streaming.StreamingOps.dauFromState(spark, dir))
+      === direct)
+  }
 }
