@@ -132,6 +132,63 @@ object LayoutOps {
         "min_y", "max_y", "skippable")
   }
 
+  /** Attach the Hilbert-curve index of (`xCol`, `yCol`) as `__hd` —
+    * the space-filling curve with strictly better locality than the
+    * Z/Morton curve (every unit step of the curve is a unit step in
+    * the plane; Z-order takes long diagonal jumps at quadrant
+    * boundaries), hence tighter per-file zone maps at the same file
+    * count. The per-bit rotate/reflect walk lives in the codegen'd
+    * [[graft.expressions.HilbertIndex]] expression — composing it
+    * from Column operators grows a 4^order node tree (measured: an
+    * 18-level staged form OOMed the optimizer). Out-of-domain
+    * coordinates yield NULL. Precondition: 0 ≤ x, y < 2^order.
+    */
+  def withHilbertIndex(df: DataFrame, xCol: String, yCol: String,
+                       order: Int): DataFrame =
+    df.withColumn("__hd", graft.expressions.LayoutExpressions.hilbert_index(
+      col(xCol).cast("long"), col(yCol).cast("long"), order))
+
+  /** Hilbert vs Z-order, head to head on the SAME rectangle predicate
+    * — the [[zoneMapPruning]] measurement extended with the curve the
+    * big table formats are moving to (Delta Lake liquid clustering,
+    * Iceberg's hilbert transform). Same two-level-cumsum ranking,
+    * same exact 0/1 skippability.
+    */
+  def hilbertVsZorderPruning(df: DataFrame, xCol: String, yCol: String,
+                             tieCol: String, buckets: Int, order: Int,
+                             xLo: Long, xHi: Long,
+                             yLo: Long, yHi: Long): DataFrame = {
+    val n = df.count()
+    require(n > 0, "cannot layout an empty table")
+    // curve indexes span [0, 4^order): size the cumsum prefix to
+    // ~256 buckets so no window partition exceeds 1/256 of the curve
+    val prefixDiv = 1L << math.max(0, 2 * order - 8)
+    def rankBuckets(d: DataFrame, keyCol: String): DataFrame = {
+      val (bk, wi) = TwoLevelCumsum.withOffsets(
+        d, expr(s"`$keyCol` div ${prefixDiv}L"), lit(1L),
+        Seq(col(keyCol).asc_nulls_first, col(tieCol).asc))
+      bk.withColumn("__rk", col("__off") + sum("__w").over(wi))
+        .withColumn("bucket", expr(s"((__rk - 1L) * ${buckets}L) div ${n}L"))
+        .drop("__b", "__w", "__off", "__rk")
+    }
+    def stats(d: DataFrame, layout: String): DataFrame =
+      d.groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col(xCol)).as("min_x"), max(col(xCol)).as("max_x"),
+          min(col(yCol)).as("min_y"), max(col(yCol)).as("max_y"))
+        .withColumn("layout", lit(layout))
+    val h = rankBuckets(withHilbertIndex(df, xCol, yCol, order), "__hd")
+    val z = rankBuckets(df.withColumn("__z", mortonZ(col(xCol), col(yCol))),
+      "__z")
+    stats(h, "hilbert").unionByName(stats(z, "zorder"))
+      .withColumn("skippable",
+        (col("max_x") < xLo || col("min_x") > xHi ||
+          col("max_y") < yLo || col("min_y") > yHi)
+          .cast(org.apache.spark.sql.types.LongType))
+      .select("layout", "bucket", "n_rows", "min_x", "max_x",
+        "min_y", "max_y", "skippable")
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment (Thaler &
     * Ravishankar 1998): shard(k) = argmax over s < n of h(k, s) with
     * h the engine-portable 60-bit md5 prefix. The property a layout

@@ -1156,6 +1156,20 @@ object ExtendedQueries {
       graft.dedup.NearDup.dedupSavingsReport(
         Tables.documents(s, d), "doc_id", "text")),
 
+    // Hilbert vs Z-order zone maps on the q222 rectangle: the curve
+    // with no quadrant-boundary jumps should skip at least as many
+    // files at the same file count
+    "q259_hilbert_pruning" -> ((s, d) => {
+      val o = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"),
+          col("o_custkey").cast("long").as("x"),
+          datediff(to_date(col("o_orderdate")),
+            lit("1970-01-01").cast(DateType)).cast("long").as("y"))
+      graft.operators.LayoutOps.hilbertVsZorderPruning(o, "x", "y",
+        "o_orderkey", buckets = 16, order = 18,
+        xLo = 10L, xHi = 60L, yLo = 9500L, yHi = 9800L)
+    }),
+
     // MMR diversified rerank: greedy λ·rel − (1−λ)·max-sim selection
     // of 5 from the per-query top-12 pool — the redundancy-killing
     // step between retrieval and a context window
@@ -4094,6 +4108,77 @@ object ExtendedQueries {
         |SELECT m.g AS l_returnflag, t.nv AS n_values,
         |  CAST(t.tw AS BIGINT) AS total_weight, m.wm AS weighted_median
         |FROM m JOIN t USING (g)""".stripMargin,
+
+    // every Hilbert bit level unrolled (rotation reads the PRE-level
+    // x/y from the inner subquery), the q222 Morton chain verbatim,
+    // same rank/bucket/skippability arithmetic
+    "q259_hilbert_pruning" -> {
+      val order = 18
+      val n1 = (1L << order) - 1
+      val head =
+        """WITH base AS (
+          |  SELECT o_orderkey AS id, CAST(o_custkey AS BIGINT) AS ox,
+          |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS oy
+          |  FROM orders
+          |), s1 AS (SELECT id, ox, oy,
+          |    (ox | (ox << 16)) & 281470681808895 AS sx,
+          |    (oy | (oy << 16)) & 281470681808895 AS sy FROM base),
+          |s2 AS (SELECT id, ox, oy,
+          |    (sx | (sx << 8)) & 71777214294589695 AS sx,
+          |    (sy | (sy << 8)) & 71777214294589695 AS sy FROM s1),
+          |s3 AS (SELECT id, ox, oy,
+          |    (sx | (sx << 4)) & 1085102592571150095 AS sx,
+          |    (sy | (sy << 4)) & 1085102592571150095 AS sy FROM s2),
+          |s4 AS (SELECT id, ox, oy,
+          |    (sx | (sx << 2)) & 3689348814741910323 AS sx,
+          |    (sy | (sy << 2)) & 3689348814741910323 AS sy FROM s3),
+          |s5 AS (SELECT id, ox, oy,
+          |    (sx | (sx << 1)) & 6148914691236517205 AS sx,
+          |    (sy | (sy << 1)) & 6148914691236517205 AS sy FROM s4),
+          |zz AS MATERIALIZED (SELECT id, ox, oy, sx | (sy << 1) AS z FROM s5),
+          |h0 AS (SELECT id, ox, oy, ox AS hx, oy AS hy, 0::BIGINT AS hd
+          |       FROM base)""".stripMargin
+      val levels = ((order - 1) to 0 by -1).zipWithIndex.map {
+        case (i, k) =>
+          val s = 1L << i
+          s""", h${k + 1} AS (
+             |  SELECT id, ox, oy,
+             |    CASE WHEN ry = 0 THEN
+             |      CASE WHEN rx = 1 THEN $n1 - hy ELSE hy END
+             |    ELSE hx END AS hx,
+             |    CASE WHEN ry = 0 THEN
+             |      CASE WHEN rx = 1 THEN $n1 - hx ELSE hx END
+             |    ELSE hy END AS hy,
+             |    hd + ${s * s} * xor(3 * rx, ry) AS hd
+             |  FROM (SELECT *,
+             |      CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+             |      CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+             |    FROM h$k)
+             |)""".stripMargin
+      }.mkString
+      head + levels +
+        s"""
+           |, ranked AS (
+           |  SELECT 'hilbert' AS layout, ox, oy,
+           |    row_number() OVER (ORDER BY hd, id) AS rk,
+           |    count(*) OVER () AS n
+           |  FROM h$order
+           |  UNION ALL
+           |  SELECT 'zorder', ox, oy,
+           |    row_number() OVER (ORDER BY z, id), count(*) OVER () FROM zz
+           |), st AS (
+           |  SELECT layout, ((rk - 1) * 16) // n AS bucket,
+           |    CAST(count(*) AS BIGINT) AS n_rows,
+           |    min(ox) AS min_x, max(ox) AS max_x,
+           |    min(oy) AS min_y, max(oy) AS max_y
+           |  FROM ranked GROUP BY 1, 2
+           |)
+           |SELECT layout, bucket, n_rows, min_x, max_x, min_y, max_y,
+           |  CAST(CASE WHEN max_x < 10 OR min_x > 60
+           |    OR max_y < 9500 OR min_y > 9800 THEN 1 ELSE 0 END AS BIGINT)
+           |    AS skippable
+           |FROM st""".stripMargin
+    },
 
     // the q80 digest, min-id keeper, and exact char accounting
     "q258_dedup_savings" ->

@@ -68,4 +68,32 @@ class LayoutOpsSpec extends SparkSpec {
     assert(skipped("zorder")._1 >= 2L) // prunes in both dimensions
     assert(skipped("zorder")._2 === 64L)
   }
+
+  test("hilbert index: bijective on the 16x16 grid, every consecutive " +
+    "pair of curve positions is a UNIT step in the plane (the " +
+    "property Z-order lacks), known order-1 corners, out-of-domain " +
+    "is NULL") {
+    import spark.implicits._
+    val cells = (for { x <- 0 until 16; y <- 0 until 16 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val d = LayoutOps.withHilbertIndex(cells, "x", "y", order = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(d.map(_._3).toSet === (0L until 256L).toSet, "bijection")
+    val path = d.sortBy(_._3)
+    path.sliding(2).foreach { case Array(a, b) =>
+      assert(math.abs(a._1 - b._1) + math.abs(a._2 - b._2) === 1L,
+        s"curve jump between $a and $b")
+    }
+    // order-1 quadrant walk: (0,0)->0 (0,1)->1 (1,1)->2 (1,0)->3
+    val tiny = LayoutOps.withHilbertIndex(
+      Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y"),
+      "x", "y", order = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(tiny === Map((0L, 0L) -> 0L, (0L, 1L) -> 1L,
+      (1L, 1L) -> 2L, (1L, 0L) -> 3L))
+    val oob = LayoutOps.withHilbertIndex(
+      Seq((16L, 0L), (-1L, 3L)).toDF("x", "y"), "x", "y", order = 4)
+      .collect()
+    assert(oob.forall(_.isNullAt(2)))
+  }
 }
