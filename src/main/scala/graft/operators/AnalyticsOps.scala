@@ -597,6 +597,58 @@ object AnalyticsOps {
         (col("n_events").cast("double") - mean) / sqrt(variance)), 6).as("z"))
   }
 
+  /** Day-of-week-adjusted anomaly scores — the seasonal sibling of
+    * [[dailyAnomalyScores]]: Monday spikes are judged against OTHER
+    * Mondays, not the whole week (the naive global baseline flags
+    * every weekend of a weekday-heavy metric). Per (group, weekday):
+    * mean and variance of the daily counts from exact Decimal(38,0)
+    * moments (the family's overflow discipline); each day's z closes
+    * in one fixed double tree. A weekday with fewer than `minDays`
+    * observations yields NULL rather than a one-sample zero-variance
+    * explosion. Leave-one-out baseline: the scored day is EXCLUDED
+    * from its own weekday stats (otherwise a single huge spike
+    * suppresses its own z), via the (Σ − x, n − 1) complement — still
+    * exact integers.
+    *
+    * Scale shape: events pre-aggregate to (group, day) map-side, the
+    * weekday stats are a #groups × 7 frame broadcast back. No
+    * windows at all.
+    */
+  def dowAdjustedAnomaly(events: DataFrame, groupCol: String = "event_type",
+                         tsCol: String = "ts",
+                         minDays: Int = 3): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = events
+      .select(col(groupCol).as("__g"), to_date(col(tsCol)).as("day"))
+      .groupBy("__g", "day")
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("dow", dayofweek(col("day")))
+    val stats = daily.groupBy("__g", "dow")
+      .agg(count(lit(1)).as("__nd"),
+        sum(col("n_events").cast(dec)).as("__s1"),
+        sum(col("n_events").cast(dec) * col("n_events").cast(dec))
+          .as("__s2"))
+    val joined = daily.join(broadcast(stats), Seq("__g", "dow"))
+      .withColumn("__n1", col("__nd") - 1)
+      .withColumn("__l1", col("__s1") - col("n_events").cast(dec))
+      .withColumn("__l2", col("__s2") -
+        col("n_events").cast(dec) * col("n_events").cast(dec))
+    // greatest(n1, 1): ANSI divide-by-zero would fire even under the
+    // when() guards — codegen subexpression elimination hoists the
+    // shared division out of the CaseWhen branches. Guarded rows
+    // output NULL regardless, so the clamped value is never seen.
+    val n1d = greatest(col("__n1"), lit(1L)).cast("double")
+    val mean = col("__l1").cast("double") / n1d
+    val variance = (col("__l2").cast("double") / n1d) - mean * mean
+    joined.select(col("__g").as(groupCol), col("day"), col("dow"),
+      col("n_events"),
+      (col("__nd") - 1).as("n_baseline_days"),
+      round(when(col("__n1") >= minDays, mean), 6).as("dow_mean"),
+      round(when(col("__n1") >= minDays && variance > 0,
+        (col("n_events").cast("double") - mean) / sqrt(variance)), 6)
+        .as("z"))
+  }
+
   /** Trailing calendar-window aggregates: per (group, day), the day's
     * own event count / value sum plus the trailing `windowDays`-day
     * totals — the moving-average family every event warehouse reports.

@@ -1156,6 +1156,40 @@ object ExtendedQueries {
       graft.dedup.NearDup.dedupSavingsReport(
         Tables.documents(s, d), "doc_id", "text")),
 
+    // pairwise Jensen-Shannon divergence between source unigram
+    // distributions — the corpus-mixing "how different" matrix
+    "q260_source_js_divergence" -> ((s, d) =>
+      graft.text.TextOps.sourceDivergenceMatrix(
+        Tables.documents(s, d), "source", "text")),
+
+    // seasonal anomaly: each day judged against OTHER days of its own
+    // weekday (leave-one-out exact-moment baseline, no windows)
+    "q262_dow_anomaly" -> ((s, d) =>
+      graft.operators.AnalyticsOps.dowAdjustedAnomaly(Tables.events(s, d))),
+
+    // 3-fold cross-validated NB language-ID accuracy: md5 folds, each
+    // fold scored by a model trained on the other two — the honest
+    // accuracy number the self-train q118/q131 report can't give
+    "q261_nb_cv_accuracy" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("__fold", (graft.operators.SplitOps.hashBucket(
+          concat(col("doc_id").cast(StringType), lit("|cv"))) % 3)
+          .cast(IntegerType))
+      (0 until 3).map { f =>
+        val train = docs.filter(col("__fold") =!= f)
+        val test = docs.filter(col("__fold") === f)
+        val model = graft.text.Classify.trainNaiveBayes(train, "lang", "text")
+        graft.text.Classify.scoreNaiveBayes(test, "doc_id", "text", model)
+          .join(test.select(col("doc_id"), col("lang")), "doc_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum((col("pred_label") === col("lang")).cast(LongType))
+              .as("n_correct"))
+          .select(lit(f).as("fold"), col("n_docs"), col("n_correct"),
+            round(col("n_correct").cast(DoubleType)
+              / col("n_docs").cast(DoubleType), 6).as("accuracy"))
+      }.reduce(_ unionByName _)
+    }),
+
     // Hilbert vs Z-order zone maps on the q222 rectangle: the curve
     // with no quadrant-boundary jumps should skip at least as many
     // files at the same file count
@@ -4108,6 +4142,131 @@ object ExtendedQueries {
         |SELECT m.g AS l_returnflag, t.nv AS n_values,
         |  CAST(t.tw AS BIGINT) AS total_weight, m.wm AS weighted_median
         |FROM m JOIN t USING (g)""".stripMargin,
+
+    // same HUGEINT leave-one-out complements and closing trees;
+    // DuckDB dayofweek +1 realigned (the q247 convention)
+    "q262_dow_anomaly" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type AS g, ts::DATE AS day, count(*) AS n,
+        |    dayofweek(ts::DATE) + 1 AS dow
+        |  FROM events GROUP BY 1, 2, 4
+        |), stats AS (
+        |  SELECT g, dow, count(*) AS nd,
+        |    sum(n::HUGEINT) AS s1, sum(n::HUGEINT * n::HUGEINT) AS s2
+        |  FROM daily GROUP BY 1, 2
+        |), j AS (
+        |  SELECT d.g, d.day, d.dow, d.n,
+        |    s.nd - 1 AS n1,
+        |    s.s1 - d.n::HUGEINT AS l1,
+        |    s.s2 - d.n::HUGEINT * d.n::HUGEINT AS l2
+        |  FROM daily d JOIN stats s USING (g, dow)
+        |)
+        |SELECT g AS event_type, day, dow, n AS n_events,
+        |  CAST(n1 AS BIGINT) AS n_baseline_days,
+        |  round(CASE WHEN n1 >= 3 THEN l1::DOUBLE / n1::DOUBLE END, 6)
+        |    AS dow_mean,
+        |  round(CASE WHEN n1 >= 3
+        |      AND (l2::DOUBLE / n1::DOUBLE)
+        |        - (l1::DOUBLE / n1::DOUBLE) * (l1::DOUBLE / n1::DOUBLE) > 0
+        |    THEN (n::DOUBLE - l1::DOUBLE / n1::DOUBLE)
+        |      / sqrt((l2::DOUBLE / n1::DOUBLE)
+        |        - (l1::DOUBLE / n1::DOUBLE) * (l1::DOUBLE / n1::DOUBLE))
+        |    END, 6) AS z
+        |FROM j""".stripMargin,
+
+    // the full q118 retrain+rescore chain once per fold (training
+    // CTEs exclude the fold, scoring covers only it), argmax ties
+    // (score desc, label asc), per-fold accuracy rows unioned
+    "q261_nb_cv_accuracy" -> {
+      def foldSql(f: Int): String =
+        s"""SELECT $f AS fold, count(*) AS n_docs,
+           |  sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS n_correct,
+           |  round(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)::DOUBLE
+           |    / count(*)::DOUBLE, 6) AS accuracy
+           |FROM (
+           |  WITH norm AS (
+           |    SELECT doc_id, lang,
+           |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|cv'), 1, 8))::UBIGINT % 3 AS INTEGER) AS fold,
+           |      trim(regexp_replace(regexp_replace(lower(text),
+           |        '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g')) AS nt
+           |    FROM documents
+           |  ), toks AS (
+           |    SELECT doc_id, lang, unnest(regexp_split_to_array(nt, ' ')) AS w
+           |    FROM norm WHERE length(nt) > 0 AND fold <> $f
+           |  ), testdocs AS (
+           |    SELECT doc_id, lang, nt,
+           |      CASE WHEN nt IS NULL OR length(nt) = 0 THEN 0
+           |           ELSE len(regexp_split_to_array(nt, ' ')) END AS n
+           |    FROM norm WHERE fold = $f
+           |  ), ttoks AS (
+           |    SELECT doc_id, unnest(regexp_split_to_array(nt, ' ')) AS w
+           |    FROM testdocs WHERE nt IS NOT NULL AND length(nt) > 0
+           |  ), pair AS (
+           |    SELECT lang AS label, w, count(*)::DOUBLE AS c
+           |    FROM toks GROUP BY 1, 2
+           |  ), vv AS (SELECT count(DISTINCT w) AS v FROM toks),
+           |  cls AS (SELECT lang AS label, count(*) AS nd FROM norm
+           |          WHERE fold <> $f GROUP BY 1),
+           |  tot AS (SELECT count(*) AS n FROM norm WHERE fold <> $f),
+           |  tl AS (SELECT label, sum(c) AS t FROM pair GROUP BY 1),
+           |  classes AS (
+           |    SELECT cls.label,
+           |      ln(nd::DOUBLE) - ln((SELECT n FROM tot)::DOUBLE) AS log_prior,
+           |      ln(coalesce(t, 0)::DOUBLE + (SELECT v FROM vv)::DOUBLE) AS log_denom
+           |    FROM cls LEFT JOIN tl USING (label)
+           |  ), sparse AS (
+           |    SELECT t.doc_id, p.label, sum(ln(p.c + 1.0)) AS num
+           |    FROM ttoks t JOIN pair p ON p.w = t.w GROUP BY 1, 2
+           |  ), dense AS (
+           |    SELECT td.doc_id, td.lang, c.label,
+           |      c.log_prior + coalesce(s.num, 0.0)
+           |        - td.n::DOUBLE * c.log_denom AS score
+           |    FROM testdocs td CROSS JOIN classes c
+           |    LEFT JOIN sparse s ON s.doc_id = td.doc_id AND s.label = c.label
+           |  )
+           |  SELECT doc_id, lang, label AS pred
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |          ORDER BY score DESC, label ASC) AS rn FROM dense)
+           |  WHERE rn = 1
+           |)""".stripMargin
+      (0 until 3).map(foldSql).mkString("\nUNION ALL\n")
+    },
+
+    // union vocab per pair via the side-tagged max-merge, the same
+    // half-KL terms with the midpoint denominator, round 4
+    "q260_source_js_divergence" ->
+      """WITH counts AS MATERIALIZED (
+        |  SELECT s, w, count(*) AS c FROM (
+        |    SELECT source AS s, unnest(
+        |      CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |           ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS w
+        |    FROM documents WHERE source IS NOT NULL)
+        |  GROUP BY 1, 2
+        |), tot AS (SELECT s, sum(c) AS n FROM counts GROUP BY 1),
+        |pr AS (SELECT a.s AS sa, b.s AS sb FROM tot a JOIN tot b ON a.s < b.s),
+        |expanded AS (
+        |  SELECT p.sa, p.sb, c.w,
+        |    CASE WHEN c.s = p.sa THEN c.c END AS ca,
+        |    CASE WHEN c.s = p.sb THEN c.c END AS cb
+        |  FROM pr p JOIN counts c ON c.s = p.sa OR c.s = p.sb
+        |), merged AS (
+        |  SELECT sa, sb, w, max(ca) AS ca, max(cb) AS cb
+        |  FROM expanded GROUP BY 1, 2, 3
+        |), vals AS (
+        |  SELECT sa, sb,
+        |    coalesce(ca, 0)::DOUBLE / ta.n::DOUBLE AS p,
+        |    coalesce(cb, 0)::DOUBLE / tb.n::DOUBLE AS q,
+        |    coalesce(ca, 0) AS ca0, coalesce(cb, 0) AS cb0
+        |  FROM merged JOIN tot ta ON ta.s = merged.sa
+        |  JOIN tot tb ON tb.s = merged.sb
+        |)
+        |SELECT sa AS source_a, sb AS source_b, count(*) AS n_terms,
+        |  round(sum(
+        |    CASE WHEN ca0 > 0 THEN 0.5 * p * ln(p / ((p + q) / 2.0))
+        |         ELSE 0.0 END
+        |    + CASE WHEN cb0 > 0 THEN 0.5 * q * ln(q / ((p + q) / 2.0))
+        |           ELSE 0.0 END), 4) AS js
+        |FROM vals GROUP BY 1, 2""".stripMargin,
 
     // every Hilbert bit level unrolled (rotation reads the PRE-level
     // x/y from the inner subquery), the q222 Morton chain verbatim,

@@ -1048,6 +1048,68 @@ object TextOps {
     out
   }
 
+  /** Pairwise Jensen–Shannon divergence between source unigram
+    * distributions — the "how different are these corpora" matrix a
+    * mixing decision consults (Lin 1991): JS(p‖q) = ½KL(p‖m) +
+    * ½KL(q‖m) with m the midpoint, symmetric and bounded by ln 2.
+    * Counts are exact integers; each vocabulary term contributes
+    * 0.5·p·ln(p/m) (+ the q side), all summands tiny and POSITIVE
+    * (no cancellation), so the unordered fp sum agrees across
+    * engines well inside the 4-decimal rounding. Terms absent from
+    * one source contribute only the present side's half — the
+    * midpoint keeps every log argument finite, which is exactly why
+    * JS and not KL.
+    *
+    * Scale shape: one token explode into a (source, term) count, one
+    * #sources²-bounded pair frame, a full-outer term merge per pair
+    * keyed on the term — fan-out #vocab × #source-pairs, never
+    * corpus-sized.
+    */
+  def sourceDivergenceMatrix(docs: DataFrame, sourceCol: String,
+                             textCol: String): DataFrame = {
+    val counts = docs
+      .filter(col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("__s"),
+        explode(tokens(lower(col(textCol)))).as("__w"))
+      .groupBy("__s", "__w").agg(count(lit(1)).as("__c"))
+    counts.persist()
+    try {
+      val totals = counts.groupBy("__s").agg(sum("__c").as("__n"))
+      val sources = totals.select(col("__s"), col("__n"))
+      val pairs = sources.select(col("__s").as("__sa"), col("__n").as("__na"))
+        .crossJoin(sources.select(col("__s").as("__sb"),
+          col("__n").as("__nb")))
+        .filter(col("__sa") < col("__sb"))
+      val ca = pairs.join(counts.select(col("__s").as("__sa"),
+        col("__w"), col("__c").as("__ca")), Seq("__sa"))
+      val cb = pairs.join(counts.select(col("__s").as("__sb"),
+        col("__w"), col("__c").as("__cb")), Seq("__sb"))
+      val merged = ca.select(col("__sa"), col("__sb"), col("__na"),
+        col("__nb"), col("__w"), col("__ca"))
+        .join(cb.select(col("__sa"), col("__sb"), col("__w"), col("__cb")),
+          Seq("__sa", "__sb", "__w"), "full_outer")
+      // re-resolve the totals dropped on the B-only outer rows
+      val filled = merged.drop("__na", "__nb")
+        .join(sources.select(col("__s").as("__sa"), col("__n").as("__na")),
+          "__sa")
+        .join(sources.select(col("__s").as("__sb"), col("__n").as("__nb")),
+          "__sb")
+      val p = coalesce(col("__ca"), lit(0L)).cast(DoubleType) /
+        col("__na").cast(DoubleType)
+      val q = coalesce(col("__cb"), lit(0L)).cast(DoubleType) /
+        col("__nb").cast(DoubleType)
+      val m = (p + q) / 2.0
+      val term =
+        when(coalesce(col("__ca"), lit(0L)) > 0, lit(0.5) * p * log(p / m))
+          .otherwise(lit(0.0)) +
+          when(coalesce(col("__cb"), lit(0L)) > 0, lit(0.5) * q * log(q / m))
+            .otherwise(lit(0.0))
+      filled.groupBy(col("__sa").as("source_a"), col("__sb").as("source_b"))
+        .agg(count(lit(1)).as("n_terms"), round(sum(term), 4).as("js"))
+        .localCheckpoint(true)
+    } finally counts.unpersist(blocking = false)
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
     * over the corpus-wide word ADJACENCY graph (window 2 — each pair
     * of neighbouring tokens is an undirected edge), top-k words by

@@ -1032,6 +1032,28 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out === Map((1L, 2L, 3L) -> 2L, (1L, 2L, 4L) -> 2L))
   }
 
+  test("dowAdjustedAnomaly: leave-one-out weekday baseline with a " +
+    "hand-computed z, zero-variance and thin weekdays yield NULL") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // five consecutive Mondays with 1,2,3,4,10 events
+    val mondays = Seq("2024-01-01", "2024-01-08", "2024-01-15",
+      "2024-01-22", "2024-01-29")
+    val counts = Seq(1, 2, 3, 4, 10)
+    val ev = mondays.zip(counts).flatMap { case (d, k) =>
+      Seq.fill(k)(("m", Timestamp.valueOf(s"$d 12:00:00")))
+    } ++ Seq(("m", Timestamp.valueOf("2024-01-02 12:00:00"))) // lone Tuesday
+    val out = AnalyticsOps.dowAdjustedAnomaly(ev.toDF("event_type", "ts"))
+      .collect().map(r => r.getDate(1).toString ->
+        (r.getLong(4),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toMap
+    // spike day: baseline {1,2,3,4} -> mean 2.5, var 1.25,
+    // z = 7.5/sqrt(1.25) = 6.708204
+    assert(out("2024-01-29") === ((4L, Some(6.708204))))
+    // the lone Tuesday has n1 = 0 baseline days -> NULL
+    assert(out("2024-01-02") === ((0L, None)))
+  }
+
   test("weightedMedian: weight-crossing rule, lower median on even " +
     "splits, zero and NULL weights dropped") {
     import spark.implicits._

@@ -298,4 +298,29 @@ class ClassifySpec extends SparkSpec {
     val c = Classify.cohenKappa(const, "t", "p").collect()(0)
     assert(Option(c.getAs[Any]("kappa")) === None)
   }
+
+  test("cross-validated NB (the q261 composition): trivially separable " +
+    "classes score accuracy 1.0 on every md5 fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 24L).map { i =>
+      if (i % 2 == 0) (i, "a", "alpha alpha beta")
+      else (i, "b", "gamma gamma delta")
+    }.toDF("doc_id", "lang", "text")
+      .withColumn("__fold", (graft.operators.SplitOps.hashBucket(
+        concat(col("doc_id").cast("string"), lit("|cv"))) % 3).cast("int"))
+    val out = (0 until 3).map { f =>
+      val train = docs.filter(col("__fold") =!= f)
+      val test = docs.filter(col("__fold") === f)
+      Classify.scoreNaiveBayes(test, "doc_id", "text",
+        Classify.trainNaiveBayes(train, "lang", "text"))
+        .join(test.select(col("doc_id"), col("lang")), "doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum((col("pred_label") === col("lang")).cast("long")).as("ok"))
+        .select(lit(f).as("fold"), col("n"), col("ok"))
+    }.reduce(_ unionByName _).collect()
+    assert(out.map(_.getLong(1)).sum === 24L, "every doc scored once")
+    out.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      s"fold ${r.getInt(0)} must be perfectly separable"))
+  }
 }

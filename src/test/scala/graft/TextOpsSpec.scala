@@ -526,6 +526,22 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("clean_rate") === 0.2)
   }
 
+  test("sourceDivergenceMatrix: identical distributions give js 0, " +
+    "disjoint vocabularies give exactly ln 2") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "x y"), ("A", "x y"),
+      ("B", "x y"),
+      ("C", "z w z w")).toDF("source", "text")
+    val out = graft.text.TextOps.sourceDivergenceMatrix(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getAs[Double]("js"))).toMap
+    assert(out(("A", "B")) === ((2L, 0.0)))
+    val ln2 = math.rint(math.log(2.0) * 1e4) / 1e4
+    assert(out(("A", "C")) === ((4L, ln2)))
+    assert(out(("B", "C")) === ((4L, ln2)))
+  }
+
   test("llrCollocations: matches an independent G² computation on " +
     "hand-counted bigrams, zero cells contribute zero, minCount " +
     "filters, G² is non-negative") {
