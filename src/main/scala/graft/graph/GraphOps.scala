@@ -50,6 +50,46 @@ object GraphOps {
     } finally oriented.unpersist(blocking = false)
   }
 
+  /** Global clustering coefficient C = 3·triangles / wedges (Watts &
+    * Strogatz's transitivity in its whole-graph form) — for a
+    * NEAR-DUP graph this is the health check on the similarity
+    * relation itself: a sound "near duplicate" notion is almost
+    * transitive (C → 1 inside clusters); a low C means the threshold
+    * is admitting chains A~B~C where A and C share little, the
+    * classic over-merge precursor a dedup pass wants to see BEFORE
+    * keeping one doc per connected component.
+    *
+    * Exactness: wedges are the exact integer Σ d(d−1)/2, triangles
+    * the exact [[triangleCount]]; the coefficient is one closing
+    * division. Scale shape inherits triangleCount's (degree-ordered
+    * wedges) — see its caveats for social-scale graphs; dup graphs'
+    * bounded clusters are the declared domain.
+    */
+  def clusteringCoefficient(pairs: DataFrame, aCol: String = "id_a",
+                            bCol: String = "id_b"): DataFrame = {
+    val und = pairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull &&
+        col(aCol) =!= col(bCol))
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nEdges = und.count()
+      val tri = triangleCount(und, "a", "b")
+      und.select(col("a").as("v"))
+        .unionAll(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+        .agg(count(lit(1)).as("n_nodes"),
+          coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
+        .select(col("n_nodes"), lit(nEdges).as("n_edges"), col("n_wedges"),
+          lit(tri).as("n_triangles"),
+          round(when(col("n_wedges") > 0,
+            lit(3.0) * lit(tri.toDouble) / col("n_wedges").cast("double")),
+            6).as("clustering_coeff"))
+    } finally und.unpersist(blocking = false)
+  }
+
   /** Synchronous label propagation communities (Raghavan 2007), made
     * DETERMINISTIC: labels start as node ids; each round every node
     * adopts the most frequent label among its NEIGHBORS, ties broken

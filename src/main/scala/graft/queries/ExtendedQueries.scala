@@ -1167,6 +1167,47 @@ object ExtendedQueries {
     "q262_dow_anomaly" -> ((s, d) =>
       graft.operators.AnalyticsOps.dowAdjustedAnomaly(Tables.events(s, d))),
 
+    // transitivity health of the LSH near-dup relation: a sound
+    // "near duplicate" is almost transitive, so a low clustering
+    // coefficient flags chain-merging before component-level dedup
+    "q264_dupgraph_clustering" -> ((s, d) => {
+      val pairs = graft.dedup.NearDup.lshCosinePairsBanded(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.45, bands = 96, bitsPerBand = 6,
+        dedupBeforeVerify = false)
+      graft.graph.GraphOps.clusteringCoefficient(pairs, "id_a", "id_b")
+    }),
+
+    // probabilistic-forecast quality for the q24/q196 scorer: Brier
+    // score on the ×1e6 integer lattice (EXACT — the 6dp score and
+    // the 0/1 label both live there) + 10-bin expected calibration
+    // error; the q196 floor(score*10) bin convention
+    "q263_brier_ece" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val sc = graft.text.TextOps.langId(Tables.documents(s, d))
+        .select(round(col("score_en") * 1000000).cast(LongType).as("__s6"),
+          (col("lang") === "en").cast(LongType).as("__y"),
+          least(floor(col("score_en") * 10), lit(9L)).cast(IntegerType)
+            .as("__bin"))
+      val bins = sc.groupBy("__bin").agg(
+        count(lit(1)).as("__nb"),
+        sum("__y").as("__pb"),
+        sum(col("__s6").cast(dec)).as("__sb"),
+        sum((col("__s6").cast(dec) - col("__y").cast(dec) * 1000000) *
+          (col("__s6").cast(dec) - col("__y").cast(dec) * 1000000))
+          .as("__sq"))
+      bins.agg(
+        sum("__nb").as("n_docs"),
+        round(sum("__sq").cast(DoubleType) /
+          (sum("__nb").cast(DoubleType) * 1.0e12), 6).as("brier"),
+        round(sum(abs(col("__pb").cast(DoubleType) /
+          col("__nb").cast(DoubleType) -
+          col("__sb").cast(DoubleType) /
+            (col("__nb").cast(DoubleType) * 1.0e6)) *
+          col("__nb").cast(DoubleType)) / sum("__nb").cast(DoubleType), 6)
+          .as("ece"))
+    }),
+
     // 3-fold cross-validated NB language-ID accuracy: md5 folds, each
     // fold scored by a model trained on the other two — the honest
     // accuracy number the self-train q118/q131 report can't give
@@ -4142,6 +4183,67 @@ object ExtendedQueries {
         |SELECT m.g AS l_returnflag, t.nv AS n_values,
         |  CAST(t.tw AS BIGINT) AS total_weight, m.wm AS weighted_median
         |FROM m JOIN t USING (g)""".stripMargin,
+
+    // exact quadratic pair SQL (the q51 oracle — recall-1-proven vs
+    // the banded engine path), ordered triangle join, integer wedges
+    "q264_dupgraph_clustering" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT a.vec_id AS s, b.vec_id AS t
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_cosine_similarity(a.embedding::DOUBLE[],
+        |          b.embedding::DOUBLE[]) >= 0.45
+        |), deg AS (
+        |  SELECT v, count(*) AS d FROM (
+        |    SELECT s AS v FROM e UNION ALL SELECT t FROM e) GROUP BY 1
+        |), tri AS (
+        |  SELECT count(*) AS t
+        |  FROM e e1
+        |  JOIN e e2 ON e2.s = e1.s AND e2.t > e1.t
+        |  JOIN e e3 ON e3.s = e1.t AND e3.t = e2.t
+        |)
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM e) AS n_edges,
+        |  CAST((SELECT coalesce(sum((d * (d - 1)) // 2), 0) FROM deg) AS BIGINT)
+        |    AS n_wedges,
+        |  (SELECT t FROM tri) AS n_triangles,
+        |  round(CASE WHEN (SELECT coalesce(sum((d * (d - 1)) // 2), 0) FROM deg) > 0
+        |    THEN 3.0 * (SELECT t FROM tri)::DOUBLE
+        |      / (SELECT coalesce(sum((d * (d - 1)) // 2), 0) FROM deg)::DOUBLE
+        |    END, 6) AS clustering_coeff""".stripMargin,
+
+    // the q196 score recomputation, then integer-lattice Brier and
+    // the 10-bin ECE with identical closing trees
+    "q263_brier_ece" ->
+      """WITH t AS (
+        |  SELECT lang, text,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT lang,
+        |    round(CASE WHEN len(toks) > 0 AND length(trim(text)) > 0
+        |      THEN len(list_filter(toks, x -> list_contains(
+        |        ['the','and','of','to','a','in','is','it','that','for'], x)))::DOUBLE
+        |        / len(toks) ELSE 0 END, 6) AS score_en
+        |  FROM t
+        |), rows_ AS (
+        |  SELECT CAST(round(score_en * 1000000) AS BIGINT) AS s6,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    CAST(least(floor(score_en * 10), 9) AS INTEGER) AS bin
+        |  FROM s
+        |), bins AS (
+        |  SELECT bin, count(*) AS nb, sum(y) AS pb,
+        |    sum(s6::HUGEINT) AS sb,
+        |    sum((s6::HUGEINT - y::HUGEINT * 1000000)
+        |      * (s6::HUGEINT - y::HUGEINT * 1000000)) AS sq
+        |  FROM rows_ GROUP BY 1
+        |)
+        |SELECT CAST(sum(nb) AS BIGINT) AS n_docs,
+        |  round(sum(sq)::DOUBLE / (sum(nb)::DOUBLE * 1.0e12), 6) AS brier,
+        |  round(sum(abs(pb::DOUBLE / nb::DOUBLE
+        |      - sb::DOUBLE / (nb::DOUBLE * 1.0e6)) * nb::DOUBLE)
+        |    / sum(nb)::DOUBLE, 6) AS ece
+        |FROM bins""".stripMargin,
 
     // same HUGEINT leave-one-out complements and closing trees;
     // DuckDB dayofweek +1 realigned (the q247 convention)

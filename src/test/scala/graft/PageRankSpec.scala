@@ -234,6 +234,24 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  test("clusteringCoefficient: 1.0 on a triangle, 0 on a star, 0.6 " +
+    "on a triangle with a pendant, NULL on a single edge") {
+    import spark.implicits._
+    def c(edges: Seq[(Long, Long)]) = graft.graph.GraphOps
+      .clusteringCoefficient(edges.toDF("id_a", "id_b")).collect()(0)
+    val tri = c(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    assert(tri.getAs[Double]("clustering_coeff") === 1.0)
+    assert(tri.getAs[Long]("n_wedges") === 3L)
+    val star = c(Seq((0L, 1L), (0L, 2L), (0L, 3L)))
+    assert(star.getAs[Double]("clustering_coeff") === 0.0)
+    // triangle {1,2,3} + pendant 3-4: wedges 1+1+3 = 5, one triangle
+    val pend = c(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    assert(pend.getAs[Long]("n_wedges") === 5L)
+    assert(pend.getAs[Double]("clustering_coeff") === 0.6)
+    val edge = c(Seq((1L, 2L)))
+    assert(edge.isNullAt(edge.fieldIndex("clustering_coeff")))
+  }
+
   test("weightedDistances: cheaper two-hop path found within the " +
     "round budget, one round returns the direct-edge envelope, " +
     "parallel edges keep the min weight, absent seed emitted at 0") {
