@@ -2189,6 +2189,85 @@ object AnalyticsOps {
           .cast(IntegerType).as("partial_window"))
   }
 
+  /** Per-group rank normalization — value → (rank − 1)/(n − 1) in
+    * [0, 1], the distribution-free feature transform (quantile/rank
+    * scaling) robust to outliers where min-max scaling is not. Rank
+    * is DENSE over the (group, value) histogram with ties sharing the
+    * rank of their value (average-rank variants reintroduce
+    * fp-vs-count ambiguity; the lower dense rank is an integer both
+    * engines agree on). n is the count of DISTINCT values, so the
+    * output hits exactly 0 and 1 at the group extremes.
+    *
+    * Scale shape: one (group, value) histogram with map-side combine,
+    * the grouped two-level cumsum over THAT frame for the dense rank,
+    * then one broadcast-size join back — the corpus never sorts.
+    */
+  def rankNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                    outCol: String = "rank_norm"): DataFrame = {
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val (bucketed, wi) = TwoLevelCumsum.withGroupedOffsets(
+      hist, Seq(groupCol), expr("CAST(__v AS BIGINT) div 1024L"), lit(1L),
+      Seq(col("__v").asc))
+    val ranked = bucketed
+      .withColumn("__rk", col("__off") + sum("__w").over(wi))
+    val totals = hist.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__nv"))
+    val lookup = ranked.join(totals, groupCol)
+      .select(col(groupCol), col("__v"),
+        round(when(col("__nv") > 1,
+          (col("__rk") - 1).cast(DoubleType) /
+            (col("__nv") - 1).cast(DoubleType)).otherwise(lit(0.0)), 6)
+          .as(outCol))
+    df.join(lookup, df(groupCol) === lookup(groupCol) &&
+      col(valueCol) === col("__v"))
+      .drop(lookup(groupCol)).drop("__v")
+  }
+
+  /** Semantic centroid drift between two deterministic halves of a
+    * labeled embedding corpus — the "did this class's meaning move"
+    * screen between snapshots. Centroids live on the
+    * [[graft.similarity.Ann.quantizeInt8]] code lattice, so each
+    * half's per-dimension SUM is an exact integer (order-free — the
+    * fp-mean version would hash differently across engines), and
+    * cos(centroid_a, centroid_b) equals cos(sum_a, sum_b) because the
+    * 1/n factors cancel — one closing expression over exact integer
+    * dot products.
+    */
+  def semanticDrift(codes: DataFrame, labelCol: String, idCol: String,
+                    qvecCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val tagged = codes.select(col(labelCol).as("__l"),
+      (SplitOps.hashBucket(concat(col(idCol).cast(StringType),
+        lit("|drift"))) % 2).as("__h"),
+      posexplode(col(qvecCol)))
+      .select(col("__l"), col("__h"), col("pos").as("__i"),
+        col("col").cast(LongType).as("__q"))
+    val sums = tagged.groupBy("__l", "__i")
+      .agg(sum(when(col("__h") === 0, col("__q")).otherwise(0L)).cast(dec)
+        .as("__sa"),
+        sum(when(col("__h") === 1, col("__q")).otherwise(0L)).cast(dec)
+          .as("__sb"))
+    val moments = sums.groupBy(col("__l").as(labelCol))
+      .agg(sum(col("__sa") * col("__sb")).as("__dot"),
+        sum(col("__sa") * col("__sa")).as("__na"),
+        sum(col("__sb") * col("__sb")).as("__nb"))
+    val counts = codes.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum((SplitOps.hashBucket(concat(col(idCol).cast(StringType),
+          lit("|drift"))) % 2).cast(LongType)).as("__nb1"))
+    moments.join(counts, labelCol)
+      .select(col(labelCol), col("n_vectors"),
+        (col("n_vectors") - col("__nb1")).as("n_half_a"),
+        col("__nb1").as("n_half_b"),
+        round(when(col("__na") > 0 && col("__nb") > 0,
+          col("__dot").cast(DoubleType) /
+            (sqrt(col("__na").cast(DoubleType)) *
+              sqrt(col("__nb").cast(DoubleType)))), 6)
+          .as("centroid_cosine"))
+  }
+
   /** Exact WEIGHTED median per group — the aggregate
     * `percentile_cont` doesn't cover (it weighs rows equally; here a
     * row counts `weight` times — quantity-weighted price medians,

@@ -1178,6 +1178,24 @@ object ExtendedQueries {
       graft.graph.GraphOps.clusteringCoefficient(pairs, "id_a", "id_b")
     }),
 
+    // distribution-free feature scaling: per-segment dense-rank
+    // normalization of account balances to [0, 1]
+    "q265_rank_normalize" -> ((s, d) =>
+      graft.operators.AnalyticsOps.rankNormalize(
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+        "c_mktsegment", "c_acctbal")),
+
+    // per-label centroid drift between md5 halves on the int8 code
+    // lattice — exact integer sums, 1/n factors cancel in the cosine
+    "q266_semantic_drift" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val codes = graft.similarity.Ann.quantizeInt8(emb, "vec_id", "embedding")
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      graft.operators.AnalyticsOps.semanticDrift(
+        codes, "label", "vec_id", "qvec")
+    }),
+
     // probabilistic-forecast quality for the q24/q196 scorer: Brier
     // score on the ×1e6 integer lattice (EXACT — the 6dp score and
     // the 0/1 label both live there) + 10-bin expected calibration
@@ -4183,6 +4201,56 @@ object ExtendedQueries {
         |SELECT m.g AS l_returnflag, t.nv AS n_values,
         |  CAST(t.tw AS BIGINT) AS total_weight, m.wm AS weighted_median
         |FROM m JOIN t USING (g)""".stripMargin,
+
+    // dense_rank twin of the histogram rank; same [0,1] closing tree
+    "q265_rank_normalize" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  round(CASE WHEN nv > 1 THEN (dr - 1)::DOUBLE / (nv - 1)::DOUBLE
+        |        ELSE 0.0 END, 6) AS rank_norm
+        |FROM (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    dense_rank() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal) AS dr,
+        |    count(DISTINCT c_acctbal) OVER (PARTITION BY c_mktsegment) AS nv
+        |  FROM customer WHERE c_acctbal IS NOT NULL
+        |    AND c_mktsegment IS NOT NULL)""".stripMargin,
+
+    // q89's code replay, md5 half split, HUGEINT per-dimension sums,
+    // the cancel-the-1/n cosine
+    "q266_semantic_drift" ->
+      """WITH vecs AS MATERIALIZED (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CASE WHEN scale = 0 THEN 0
+        |           ELSE CAST(floor(x / scale * 127 + 0.5) AS BIGINT) END) AS qv,
+        |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '|drift'), 1, 8))::UBIGINT % 2 AS BIGINT) AS h
+        |  FROM (SELECT vec_id, label, embedding,
+        |      list_aggregate(list_transform(embedding::DOUBLE[],
+        |        x -> abs(x)), 'max') AS scale
+        |    FROM embeddings)
+        |), el AS (
+        |  SELECT label, h, d - 1 AS i, qv[d] AS q
+        |  FROM vecs CROSS JOIN generate_series(1, 64) AS g(d)
+        |), sums AS (
+        |  SELECT label, i,
+        |    sum(CASE WHEN h = 0 THEN q ELSE 0 END)::HUGEINT AS sa,
+        |    sum(CASE WHEN h = 1 THEN q ELSE 0 END)::HUGEINT AS sb
+        |  FROM el GROUP BY 1, 2
+        |), m AS (
+        |  SELECT label, sum(sa * sb) AS dot, sum(sa * sa) AS na,
+        |    sum(sb * sb) AS nb
+        |  FROM sums GROUP BY 1
+        |), c AS (
+        |  SELECT label, count(*) AS n_vectors, sum(h) AS nb1 FROM vecs
+        |  GROUP BY 1
+        |)
+        |SELECT m.label, c.n_vectors,
+        |  CAST(c.n_vectors - c.nb1 AS BIGINT) AS n_half_a,
+        |  CAST(c.nb1 AS BIGINT) AS n_half_b,
+        |  round(CASE WHEN m.na > 0 AND m.nb > 0 THEN
+        |    m.dot::DOUBLE / (sqrt(m.na::DOUBLE) * sqrt(m.nb::DOUBLE)) END, 6)
+        |    AS centroid_cosine
+        |FROM m JOIN c USING (label)""".stripMargin,
 
     // exact quadratic pair SQL (the q51 oracle — recall-1-proven vs
     // the banded engine path), ordered triangle join, integer wedges

@@ -651,6 +651,28 @@ object StreamingOps {
           col("__day").cast("timestamp").as("ts")),
       "user_id", "ts", windowDays)
 
+  /** Incremental sibling of
+    * [[graft.operators.AnalyticsOps.itemSimilarity]]: feedback
+    * micro-batches append their deduped (user, item) incidence as
+    * one state partition each ([[dauBatch]]'s contract — a retried
+    * batch overwrites itself, replay is a no-op by set algebra), and
+    * the model rebuilds on read from the UNION incidence — the
+    * cross-batch distinct inside itemSimilarity means two batches
+    * both observing a (user, item) cannot inflate a cosine.
+    */
+  def cfBatch(batch: DataFrame, batchId: Long, userCol: String,
+              itemCol: String, statePath: String): Unit =
+    batch.filter(col(userCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(userCol).as("user_id"), col(itemCol).as("item"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+
+  /** Item–item similarity over everything [[cfBatch]] admitted. */
+  def cfFromState(spark: SparkSession, statePath: String,
+                  k: Int = 5, maxBasket: Int = 100): DataFrame =
+    graft.operators.AnalyticsOps.itemSimilarity(
+      spark.read.parquet(statePath), "user_id", "item", k, maxBasket)
+
   def hllBatch(batch: DataFrame, batchId: Long, groupCol: String,
                valueCol: String, statePath: String): Unit = {
     val regs = graft.operators.SketchOps.hllRegisters(

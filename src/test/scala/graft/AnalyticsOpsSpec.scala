@@ -1032,6 +1032,35 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out === Map((1L, 2L, 3L) -> 2L, (1L, 2L, 4L) -> 2L))
   }
 
+  test("rankNormalize: ties share the dense rank, extremes hit " +
+    "exactly 0 and 1, single-value group maps to 0, NULL values drop") {
+    import spark.implicits._
+    val df = Seq(("g", Option(10.0)), ("g", Option(20.0)),
+      ("g", Option(20.0)), ("g", Option(30.0)), ("g", Option.empty[Double]),
+      ("h", Option(7.0)), ("h", Option(7.0)))
+      .toDF("grp", "v")
+    val out = AnalyticsOps.rankNormalize(df, "grp", "v")
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Double]("v")) ->
+        r.getAs[Double]("rank_norm")).toMap
+    assert(out === Map(("g", 10.0) -> 0.0, ("g", 20.0) -> 0.5,
+      ("g", 30.0) -> 1.0, ("h", 7.0) -> 0.0))
+  }
+
+  test("semanticDrift: a label whose vectors are all identical has " +
+    "centroid cosine exactly 1 whichever way the md5 halves fall") {
+    import spark.implicits._
+    val emb = (1L to 8L).map(i => (i, Seq(1.0f, 2.0f, -1.0f, 0.5f), "a"))
+      .toDF("vec_id", "embedding", "label")
+    val codes = graft.similarity.Ann.quantizeInt8(emb, "vec_id", "embedding")
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+    val r = AnalyticsOps.semanticDrift(codes, "label", "vec_id", "qvec")
+      .collect()(0)
+    assert(r.getAs[Long]("n_vectors") === 8L)
+    if (r.getAs[Long]("n_half_a") > 0 && r.getAs[Long]("n_half_b") > 0)
+      assert(r.getAs[Double]("centroid_cosine") === 1.0)
+    else assert(r.isNullAt(r.fieldIndex("centroid_cosine")))
+  }
+
   test("dowAdjustedAnomaly: leave-one-out weekday baseline with a " +
     "hand-computed z, zero-variance and thin weekdays yield NULL") {
     import spark.implicits._

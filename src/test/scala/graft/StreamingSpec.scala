@@ -588,6 +588,34 @@ class StreamingSpec extends SparkSpec {
       direct.getAs[Double]("est_distinct"))
   }
 
+  test("cfBatch/cfFromState: the incremental item-similarity model " +
+    "equals the batch model row-for-row, cross-batch duplicate " +
+    "feedback does not inflate cosines, retry is a no-op") {
+    import spark.implicits._
+    val all = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L)).toDF("user_id", "item")
+    // (1,1) and (2,2) repeat across batches — the set-algebra hazard
+    val batches = Seq(
+      Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("user_id", "item"),
+      Seq((1L, 1L), (2L, 2L), (1L, 3L), (3L, 1L), (3L, 3L))
+        .toDF("user_id", "item"))
+    val dir = java.nio.file.Files.createTempDirectory("cf_state").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.streaming.StreamingOps.cfBatch(b, i.toLong, "user_id", "item", dir)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getAs[Double]("cosine"))).toMap
+    val direct = rows(graft.operators.AnalyticsOps.itemSimilarity(
+      all, "user_id", "item", k = 3, maxBasket = 10))
+    assert(rows(graft.streaming.StreamingOps.cfFromState(spark, dir,
+      k = 3, maxBasket = 10)) === direct)
+    graft.streaming.StreamingOps.cfBatch(batches(1), 1L, "user_id",
+      "item", dir)
+    assert(rows(graft.streaming.StreamingOps.cfFromState(spark, dir,
+      k = 3, maxBasket = 10)) === direct)
+  }
+
   test("dauBatch/dauFromState: incremental sliding DAU equals the " +
     "batch operator row-for-row, cross-batch returnees are not " +
     "double-counted, and a retried batch changes nothing") {
