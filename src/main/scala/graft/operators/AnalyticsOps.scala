@@ -2189,6 +2189,52 @@ object AnalyticsOps {
           .cast(IntegerType).as("partial_window"))
   }
 
+  /** Pairwise two-sample Kolmogorov–Smirnov distance between every
+    * pair of groups — the nonparametric sibling of [[psiDrift]] (no
+    * binning, no smoothing): D = max over values of |F_a − F_b|,
+    * computed with the q211 integer discipline as
+    * max |cum_a·n_b − cum_b·n_a| / (n_a·n_b) — the numerator is an
+    * exact Decimal(38,0) sweep, ties argmax to the SMALLEST value,
+    * and the single closing division happens once per pair.
+    *
+    * Scale shape: per-group CDFs materialize on the dense
+    * (group × distinct-value) grid via the grouped two-level cumsum
+    * (no partition wider than one value bucket), pairs join on the
+    * value — #groups²/2 × #distinct-values rows, never corpus-sized.
+    */
+  def ksMatrix(df: DataFrame, groupCol: String,
+               valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rows = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast(LongType).as("__v"))
+    val values = rows.select("__v").distinct()
+    val classes = rows.groupBy("__g").agg(count(lit(1)).as("__n"))
+    val pgv = rows.groupBy("__g", "__v").agg(count(lit(1)).as("__ng"))
+    val dense = values.crossJoin(broadcast(classes))
+      .join(pgv, Seq("__g", "__v"), "left")
+      .withColumn("__ng", coalesce(col("__ng"), lit(0L)))
+    val (gb, gwin) = TwoLevelCumsum.withGroupedOffsets(
+      dense, Seq("__g"), expr("__v div 1024L"), col("__ng"),
+      Seq(col("__v").asc))
+    val cdf = gb.withColumn("__cp", col("__off") + sum("__w").over(gwin))
+      .select(col("__g"), col("__v"), col("__cp"), col("__n"))
+    val paired = cdf.select(col("__g").as("__ga"), col("__v"),
+      col("__cp").as("__ca"), col("__n").as("__na"))
+      .join(cdf.select(col("__g").as("__gb"), col("__v"),
+        col("__cp").as("__cb"), col("__n").as("__nb")), "__v")
+      .filter(col("__ga") < col("__gb"))
+      .withColumn("__num", abs(col("__ca").cast(dec) * col("__nb").cast(dec)
+        - col("__cb").cast(dec) * col("__na").cast(dec)))
+    paired.groupBy(col("__ga").as("source_a"), col("__gb").as("source_b"))
+      .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
+        max(struct(col("__num"), (-col("__v")).as("__negv"))).as("__kk"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        round(col("__kk.__num").cast(DoubleType) /
+          (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)), 6)
+          .as("ks_d"),
+        (-col("__kk.__negv")).as("ks_at"))
+  }
+
   /** Per-group rank normalization — value → (rank − 1)/(n − 1) in
     * [0, 1], the distribution-free feature transform (quantile/rank
     * scaling) robust to outliers where min-max scaling is not. Rank

@@ -1178,6 +1178,16 @@ object ExtendedQueries {
       graft.graph.GraphOps.clusteringCoefficient(pairs, "id_a", "id_b")
     }),
 
+    // pairwise two-sample KS on doc token counts across sources —
+    // the binning-free drift test beside q205's PSI
+    "q267_ks_matrix" -> ((s, d) =>
+      graft.operators.AnalyticsOps.ksMatrix(
+        Tables.documents(s, d)
+          .select(col("source"),
+            graft.text.TextOps.tokenCount(col("text")).cast(LongType)
+              .as("n_tokens")),
+        "source", "n_tokens")),
+
     // distribution-free feature scaling: per-segment dense-rank
     // normalization of account balances to [0, 1]
     "q265_rank_normalize" -> ((s, d) =>
@@ -4201,6 +4211,40 @@ object ExtendedQueries {
         |SELECT m.g AS l_returnflag, t.nv AS n_values,
         |  CAST(t.tw AS BIGINT) AS total_weight, m.wm AS weighted_median
         |FROM m JOIN t USING (g)""".stripMargin,
+
+    // window-cumsum CDFs on the dense grid, HUGEINT sweep numerator,
+    // argmax tie to the smallest value, one division per pair
+    "q267_ks_matrix" ->
+      """WITH rows_ AS (
+        |  SELECT source AS g,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS v
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+        |), vals AS (SELECT DISTINCT v FROM rows_),
+        |cls AS (SELECT g, count(*) AS n FROM rows_ GROUP BY 1),
+        |pgv AS (SELECT g, v, count(*) AS ng FROM rows_ GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT c.g, va.v, coalesce(p.ng, 0) AS ng, c.n
+        |  FROM vals va CROSS JOIN cls c
+        |  LEFT JOIN pgv p ON p.g = c.g AND p.v = va.v
+        |), cdf AS (
+        |  SELECT g, v, n, sum(ng) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+        |  FROM dense
+        |), pairs AS (
+        |  SELECT a.g AS ga, b.g AS gb, a.v, a.n AS na, b.n AS nb,
+        |    abs(a.cp::HUGEINT * b.n::HUGEINT
+        |      - b.cp::HUGEINT * a.n::HUGEINT) AS num
+        |  FROM cdf a JOIN cdf b ON a.v = b.v AND a.g < b.g
+        |)
+        |SELECT ga AS source_a, gb AS source_b,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(num::DOUBLE / (na::DOUBLE * nb::DOUBLE), 6) AS ks_d,
+        |  v AS ks_at
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY ga, gb ORDER BY num DESC, v) AS rn
+        |      FROM pairs)
+        |WHERE rn = 1""".stripMargin,
 
     // dense_rank twin of the histogram rank; same [0,1] closing tree
     "q265_rank_normalize" ->

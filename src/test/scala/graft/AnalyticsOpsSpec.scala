@@ -1032,6 +1032,22 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out === Map((1L, 2L, 3L) -> 2L, (1L, 2L, 4L) -> 2L))
   }
 
+  test("ksMatrix: hand-computed D with the smallest-value argmax tie, " +
+    "identical distributions give exactly 0") {
+    import spark.implicits._
+    val df = (Seq(1L, 1L, 2L).map(("a", _)) ++
+      Seq(1L, 2L, 2L, 3L).map(("b", _)) ++
+      Seq(1L, 1L, 2L).map(("c", _))) // identical to a
+      .toDF("g", "v")
+    val out = AnalyticsOps.ksMatrix(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("ks_d"), r.getLong(5))).toMap
+    // a vs b at v=1: |2*4 - 1*3| = 5 -> 5/12
+    assert(out(("a", "b")) === ((0.416667, 1L)))
+    assert(out(("b", "c")) === ((0.416667, 1L)))
+    assert(out(("a", "c"))._1 === 0.0)
+  }
+
   test("rankNormalize: ties share the dense rank, extremes hit " +
     "exactly 0 and 1, single-value group maps to 0, NULL values drop") {
     import spark.implicits._
