@@ -1178,6 +1178,33 @@ object ExtendedQueries {
       graft.graph.GraphOps.clusteringCoefficient(pairs, "id_a", "id_b")
     }),
 
+    // forecast baseline backtest: naive (yesterday) vs seasonal-naive
+    // (same weekday last week) MAE per event type — exact integer
+    // error sums, one closing division each; a day is scored only
+    // when BOTH baselines have their reference day, so the two MAEs
+    // compare on the same support
+    "q268_forecast_backtest" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type").as("g"), to_date(col("ts")).as("day"))
+        .groupBy("g", "day").agg(count(lit(1)).as("n"))
+      val d1 = daily.select(col("g"), date_add(col("day"), 1).as("day"),
+        col("n").as("n1"))
+      val d7 = daily.select(col("g"), date_add(col("day"), 7).as("day"),
+        col("n").as("n7"))
+      daily.join(d1, Seq("g", "day")).join(d7, Seq("g", "day"))
+        .groupBy(col("g").as("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("n") - col("n1"))).as("__e1"),
+          sum(abs(col("n") - col("n7"))).as("__e7"))
+        .select(col("event_type"), col("n_days"),
+          round(col("__e1").cast(DoubleType) / col("n_days").cast(DoubleType),
+            4).as("mae_naive"),
+          round(col("__e7").cast(DoubleType) / col("n_days").cast(DoubleType),
+            4).as("mae_seasonal"),
+          when(col("__e7") < col("__e1"), 1).otherwise(0)
+            .as("seasonal_wins"))
+    }),
+
     // pairwise two-sample KS on doc token counts across sources —
     // the binning-free drift test beside q205's PSI
     "q267_ks_matrix" -> ((s, d) =>
@@ -4211,6 +4238,24 @@ object ExtendedQueries {
         |SELECT m.g AS l_returnflag, t.nv AS n_values,
         |  CAST(t.tw AS BIGINT) AS total_weight, m.wm AS weighted_median
         |FROM m JOIN t USING (g)""".stripMargin,
+
+    // same shifted self-joins and integer error sums
+    "q268_forecast_backtest" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type AS g, ts::DATE AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT d.g AS event_type, count(*) AS n_days,
+        |  round(sum(abs(d.n - d1.n))::DOUBLE / count(*)::DOUBLE, 4)
+        |    AS mae_naive,
+        |  round(sum(abs(d.n - d7.n))::DOUBLE / count(*)::DOUBLE, 4)
+        |    AS mae_seasonal,
+        |  CASE WHEN sum(abs(d.n - d7.n)) < sum(abs(d.n - d1.n))
+        |    THEN 1 ELSE 0 END AS seasonal_wins
+        |FROM daily d
+        |JOIN daily d1 ON d1.g = d.g AND d1.day = d.day - 1
+        |JOIN daily d7 ON d7.g = d.g AND d7.day = d.day - 7
+        |GROUP BY 1""".stripMargin,
 
     // window-cumsum CDFs on the dense grid, HUGEINT sweep numerator,
     // argmax tie to the smallest value, one division per pair
