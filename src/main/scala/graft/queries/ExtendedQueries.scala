@@ -1178,6 +1178,12 @@ object ExtendedQueries {
       graft.graph.GraphOps.clusteringCoefficient(pairs, "id_a", "id_b")
     }),
 
+    // greedy k-center coreset: 8 maximally-spread vectors — the
+    // diverse eval-set primitive random sampling can't give
+    "q269_kcenter_coreset" -> ((s, d) =>
+      graft.similarity.Ann.kCenterSelect(
+        Tables.embeddings(s, d), "vec_id", "embedding", k = 8)),
+
     // forecast baseline backtest: naive (yesterday) vs seasonal-naive
     // (same weekday last week) MAE per event type — exact integer
     // error sums, one closing division each; a day is scored only
@@ -4238,6 +4244,50 @@ object ExtendedQueries {
         |SELECT m.g AS l_returnflag, t.nv AS n_values,
         |  CAST(t.tw AS BIGINT) AS total_weight, m.wm AS weighted_median
         |FROM m JOIN t USING (g)""".stripMargin,
+
+    // farthest-point traversal unrolled: argmax (dist desc, id asc)
+    // per step, min-update against the new center — integer L2 on
+    // the q89 code lattice throughout
+    "q269_kcenter_coreset" -> {
+      val head =
+        """WITH vecs AS MATERIALIZED (
+          |  SELECT vec_id,
+          |    list_transform(embedding::DOUBLE[],
+          |      x -> CASE WHEN scale = 0 THEN 0
+          |           ELSE CAST(floor(x / scale * 127 + 0.5) AS BIGINT) END) AS qv
+          |  FROM (SELECT vec_id, embedding,
+          |      list_aggregate(list_transform(embedding::DOUBLE[],
+          |        x -> abs(x)), 'max') AS scale
+          |    FROM embeddings)
+          |), seed AS (SELECT min(vec_id) AS sid FROM vecs),
+          |sv AS (SELECT qv AS v FROM vecs
+          |       WHERE vec_id = (SELECT sid FROM seed)),
+          |m1 AS MATERIALIZED (
+          |  SELECT vec_id, qv,
+          |    list_sum(list_transform(generate_series(1, 64),
+          |      i -> (qv[i] - s.v[i]) * (qv[i] - s.v[i]))) AS md
+          |  FROM vecs CROSS JOIN sv s
+          |  WHERE vec_id <> (SELECT sid FROM seed)
+          |)""".stripMargin
+      val steps = (2 to 8).map { r =>
+        s""", p$r AS MATERIALIZED (
+           |  SELECT vec_id AS pid, md, qv AS pv FROM (
+           |    SELECT *, row_number() OVER (ORDER BY md DESC, vec_id) AS rn
+           |    FROM m${r - 1}) WHERE rn = 1
+           |), m$r AS MATERIALIZED (
+           |  SELECT m.vec_id, m.qv,
+           |    least(m.md, list_sum(list_transform(generate_series(1, 64),
+           |      i -> (m.qv[i] - p.pv[i]) * (m.qv[i] - p.pv[i])))) AS md
+           |  FROM m${r - 1} m, p$r p WHERE m.vec_id <> p.pid
+           |)""".stripMargin
+      }.mkString
+      val finals = (2 to 8).map { r =>
+        s"SELECT pid AS selected_id, CAST($r AS INT) AS rank, md AS min_dist_sq FROM p$r"
+      }.mkString("\nUNION ALL\n")
+      head + steps +
+        "\nSELECT (SELECT sid FROM seed) AS selected_id, CAST(1 AS INT) AS rank, NULL::BIGINT AS min_dist_sq\nUNION ALL\n" +
+        finals
+    },
 
     // same shifted self-joins and integer error sums
     "q268_forecast_backtest" ->

@@ -756,6 +756,67 @@ object Ann {
           .as("distortion"))
   }
 
+  /** Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    * traversal, the 2-approximation): start from the min-id vector,
+    * then k−1 times pick the point FARTHEST from everything selected
+    * so far — the classic diverse-subset primitive behind eval-set
+    * construction and prototype picking (covers the space where
+    * random sampling oversamples dense clusters). All distances are
+    * exact integer squared-L2 on the [[quantizeInt8]] code lattice;
+    * ties break to the smallest id via the (dist, −id) max-struct, so
+    * the whole traversal is a pure function of the corpus.
+    *
+    * Scale shape: k passes, each one broadcast of the single new
+    * center + a map-only min-update of the running distance column +
+    * one max-struct aggregate — no pairwise materialization, no
+    * windows; lineage resets per round via localCheckpoint.
+    */
+  def kCenterSelect(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1 && k <= 256, "k out of range")
+    def sqDist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b,
+        (x, y) => (x.cast(LongType) - y) * (x.cast(LongType) - y)),
+        lit(0L), (acc, x) => acc + x)
+    val codes = quantizeInt8(corpus, idCol, vecCol)
+      .select(col(idCol).as("__id"), col("qvec").as("__v"))
+      .localCheckpoint()
+    val seed = codes.orderBy(col("__id").asc).limit(1)
+      .select(col("__id").as("__sid"), col("__v").as("__sv"))
+    var selected = seed.select(col("__sid").as("selected_id"),
+      lit(1).cast(IntegerType).as("rank"),
+      lit(null).cast(LongType).as("min_dist_sq"))
+      .localCheckpoint()
+    var remaining = codes.crossJoin(broadcast(seed))
+      .filter(col("__id") =!= col("__sid"))
+      .select(col("__id"), col("__v"),
+        sqDist(col("__v"), col("__sv")).as("__md"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val pick = remaining
+        .agg(max(struct(col("__md"), (-col("__id")).as("__ni"))).as("__p"))
+        .select((-col("__p.__ni")).as("__pid"), col("__p.__md").as("__pd"))
+      val pickRow = pick.join(remaining,
+        pick("__pid") === remaining("__id"))
+        .select(col("__pid").as("selected_id"),
+          lit(r).cast(IntegerType).as("rank"),
+          col("__pd").as("min_dist_sq"),
+          col("__v").as("__pv"))
+        .localCheckpoint()
+      selected = selected.unionByName(
+        pickRow.select("selected_id", "rank", "min_dist_sq"))
+        .localCheckpoint()
+      remaining = remaining
+        .crossJoin(broadcast(pickRow.select(col("selected_id").as("__pid"),
+          col("__pv"))))
+        .filter(col("__id") =!= col("__pid"))
+        .select(col("__id"), col("__v"),
+          least(col("__md"), sqDist(col("__v"), col("__pv"))).as("__md"))
+        .localCheckpoint()
+    }
+    selected
+  }
+
   /** MMR diversified rerank (Carbonell & Goldstein 1998): greedily
     * pick `selectK` of the per-query top-`poolK` relevance candidates
     * maximizing  λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)  — the

@@ -94,6 +94,22 @@ class AnnSpec extends SparkSpec {
     assert(out(1) === ((3L, 2L, 1.333333, 2.309401, 0.0, 4.0)))
   }
 
+  test("kCenterSelect: farthest-point traversal picks opposite poles " +
+    "before a near-duplicate, with exact integer selection distances") {
+    val corpus = vecs(
+      1L -> Seq(1.0f, 0.0f),   // seed (min id) -> code (127, 0)
+      2L -> Seq(0.99f, 0.01f), // near-dup of 1 -> (127, 1)
+      3L -> Seq(-1.0f, 0.0f),  // opposite pole -> (-127, 0)
+      4L -> Seq(0.0f, 1.0f))   // orthogonal -> (0, 127)
+    val out = Ann.kCenterSelect(corpus, "vec_id", "embedding", k = 4)
+      .collect().map(r => r.getInt(1) ->
+        (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out(1) === ((1L, -1L)))
+    assert(out(2) === ((3L, 254L * 254L)))      // farthest from seed
+    assert(out(3) === ((4L, 127L * 127L * 2)))  // then the orthogonal
+    assert(out(4) === ((2L, 1L)))               // near-dup last
+  }
+
   test("jlProjectionReport: projections match an independent md5-sign " +
     "replay, identical vectors give d2 0 with NULL distortion") {
     val corpus = vecs(
