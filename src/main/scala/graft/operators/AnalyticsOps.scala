@@ -2189,6 +2189,49 @@ object AnalyticsOps {
           .cast(IntegerType).as("partial_window"))
   }
 
+  /** Seasonality strength per group (Hyndman's STL-strength measure
+    * specialized to a weekday profile): 1 − SS_within / SS_total,
+    * where SS_within is the residual sum of squares after removing
+    * each weekday's own mean — 0 means the weekday profile explains
+    * nothing, →1 means the series IS its weekly pattern. Both sums
+    * decompose over exact Decimal day-count moments: SS_within =
+    * Σ_dow (Σx² − (Σx)²/n_d), each dow's term one fixed double tree,
+    * summed over ≤ 7 terms. Clamped at 0 (fp dust on a flat series).
+    */
+  def seasonalityStrength(events: DataFrame,
+                          groupCol: String = "event_type",
+                          tsCol: String = "ts"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = events
+      .select(col(groupCol).as("__g"), to_date(col(tsCol)).as("__day"))
+      .groupBy("__g", "__day").agg(count(lit(1)).as("__n"))
+      .withColumn("__dow", dayofweek(col("__day")))
+    val perDow = daily.groupBy("__g", "__dow")
+      .agg(count(lit(1)).as("__nd"),
+        sum(col("__n").cast(dec)).as("__sx"),
+        sum(col("__n").cast(dec) * col("__n").cast(dec)).as("__sxx"))
+      .withColumn("__ssw", col("__sxx").cast(DoubleType) -
+        (col("__sx") * col("__sx")).cast(DoubleType) /
+          col("__nd").cast(DoubleType))
+    val within = perDow.groupBy("__g")
+      .agg(sum("__ssw").as("__ssw"), sum("__nd").as("__ndays"))
+    val total = daily.groupBy("__g")
+      .agg(count(lit(1)).cast(dec).as("__nt"),
+        sum(col("__n").cast(dec)).as("__tsx"),
+        sum(col("__n").cast(dec) * col("__n").cast(dec)).as("__tsxx"))
+      .withColumn("__sst", col("__tsxx").cast(DoubleType) -
+        (col("__tsx") * col("__tsx")).cast(DoubleType) /
+          col("__nt").cast(DoubleType))
+    within.join(total, "__g")
+      .select(col("__g").as(groupCol),
+        col("__ndays").as("n_days"),
+        round(col("__sst"), 4).as("ss_total"),
+        round(col("__ssw"), 4).as("ss_within"),
+        round(when(col("__sst") > 0,
+          greatest(lit(0.0), lit(1.0) - col("__ssw") / col("__sst"))), 6)
+          .as("seasonality_strength"))
+  }
+
   /** Pairwise two-sample Kolmogorov–Smirnov distance between every
     * pair of groups — the nonparametric sibling of [[psiDrift]] (no
     * binning, no smoothing): D = max over values of |F_a − F_b|,

@@ -24,6 +24,58 @@ object SplitOps {
   def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
     df.filter(hashBucket(col(keyCol)) < (fraction * 4294967296.0).toLong)
 
+  /** Neyman-allocation stratified sampling (Neyman 1934): a total
+    * budget of `totalSample` rows splits across strata proportional
+    * to N_h·σ_h — high-variance strata get MORE than proportional
+    * share, minimizing the estimator variance at fixed cost (the
+    * survey-sampling optimum; proportional allocation is the σ-blind
+    * special case). σ_h comes from exact Decimal moments on the
+    * ×1e6 integer lattice (scale cancels in the allocation ratio),
+    * per-stratum rates round to 6 decimals (the q81 cross-engine
+    * contract) and clamp at 1; membership is the pure md5 function
+    * of (key, salt). Zero-variance strata draw nothing — by the
+    * optimum they contribute nothing to estimator variance.
+    *
+    * Returns the per-stratum audit: size, σ, target rate, sampled
+    * count. Scale shape: one moment pass, a #strata-row allocation
+    * frame broadcast back, one map-only membership filter.
+    */
+  def neymanSample(df: DataFrame, keyCol: String, groupCol: String,
+                   valueCol: String, totalSample: Long,
+                   salt: String = "ney"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rows = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("__v6", round(col(valueCol) * 1000000).cast(LongType)
+        .cast(dec))
+    val stats = rows.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).cast(dec).as("__n"),
+        sum("__v6").as("__sx"),
+        sum(col("__v6") * col("__v6")).as("__sxx"))
+      .withColumn("__sigma", sqrt(greatest(lit(0.0),
+        (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+          .cast(DoubleType) / (col("__n") * col("__n")).cast(DoubleType))))
+      .withColumn("__w", col("__n").cast(DoubleType) * col("__sigma"))
+    val tot = stats.agg(sum("__w").as("__tw"))
+    val alloc = stats.crossJoin(broadcast(tot))
+      .withColumn("rate", round(least(lit(1.0),
+        when(col("__tw") > 0,
+          lit(totalSample.toDouble) * col("__w") /
+            (col("__tw") * col("__n").cast(DoubleType)))
+          .otherwise(lit(0.0))), 6))
+    val sampled = rows
+      .join(broadcast(alloc.select(col("__g"), col("rate"))),
+        rows(groupCol) === col("__g"))
+      .filter(hashBucket(concat(col(keyCol).cast(StringType),
+        lit("|" + salt))).cast(DoubleType) / 4294967296.0 < col("rate"))
+      .groupBy("__g").agg(count(lit(1)).as("n_sampled"))
+    alloc.join(sampled, Seq("__g"), "left")
+      .select(col("__g").as(groupCol),
+        col("__n").cast(LongType).as("n_rows"),
+        round(col("__sigma") / 1000000.0, 6).as("sigma"),
+        col("rate"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+  }
+
   /** Deterministic stratified (per-group) sampling — the data-MIXING
     * primitive: each group keeps its own fraction, membership is a pure
     * function of (key, salt), so a re-run, a repartition, or a second

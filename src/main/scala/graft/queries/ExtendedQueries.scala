@@ -1184,6 +1184,18 @@ object ExtendedQueries {
       graft.similarity.Ann.kCenterSelect(
         Tables.embeddings(s, d), "vec_id", "embedding", k = 8)),
 
+    // variance-optimal stratified sampling: a 2000-row budget splits
+    // across event types by N_h·σ_h (Neyman allocation)
+    "q270_neyman_sample" -> ((s, d) =>
+      graft.operators.SplitOps.neymanSample(
+        Tables.events(s, d).filter(col("value").isNotNull),
+        "event_id", "event_type", "value", totalSample = 2000L)),
+
+    // how much of each type's daily variation is just its weekday
+    // profile — the STL-strength measure on exact moments
+    "q271_seasonality_strength" -> ((s, d) =>
+      graft.operators.AnalyticsOps.seasonalityStrength(Tables.events(s, d))),
+
     // forecast baseline backtest: naive (yesterday) vs seasonal-naive
     // (same weekday last week) MAE per event type — exact integer
     // error sums, one closing division each; a day is scored only
@@ -4244,6 +4256,72 @@ object ExtendedQueries {
         |SELECT m.g AS l_returnflag, t.nv AS n_values,
         |  CAST(t.tw AS BIGINT) AS total_weight, m.wm AS weighted_median
         |FROM m JOIN t USING (g)""".stripMargin,
+
+    // same lattice moments, allocation ratio, 6-decimal rate, and md5
+    // membership
+    "q270_neyman_sample" ->
+      """WITH rows_ AS (
+        |  SELECT event_id, event_type AS g,
+        |    CAST(round(value * 1000000) AS HUGEINT) AS v6
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |), stats AS (
+        |  SELECT g, count(*)::HUGEINT AS n, sum(v6) AS sx,
+        |    sum(v6 * v6) AS sxx
+        |  FROM rows_ GROUP BY 1
+        |), alloc AS MATERIALIZED (
+        |  SELECT g, n,
+        |    sqrt(greatest(0.0,
+        |      (n * sxx - sx * sx)::DOUBLE / (n * n)::DOUBLE)) AS sigma
+        |  FROM stats
+        |), tw AS (SELECT sum(n::DOUBLE * sigma) AS t FROM alloc),
+        |rates AS MATERIALIZED (
+        |  SELECT g, n, sigma,
+        |    round(least(1.0, CASE WHEN (SELECT t FROM tw) > 0 THEN
+        |      2000.0 * (n::DOUBLE * sigma)
+        |        / ((SELECT t FROM tw) * n::DOUBLE)
+        |      ELSE 0.0 END), 6) AS rate
+        |  FROM alloc
+        |), sampled AS (
+        |  SELECT r.g, count(*) AS n_sampled
+        |  FROM rows_ r JOIN rates ON rates.g = r.g
+        |  WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|ney'), 1, 8))::UBIGINT::DOUBLE
+        |      / 4294967296.0 < rates.rate
+        |  GROUP BY 1
+        |)
+        |SELECT rates.g AS event_type, CAST(rates.n AS BIGINT) AS n_rows,
+        |  round(rates.sigma / 1000000.0, 6) AS sigma, rates.rate,
+        |  coalesce(s.n_sampled, 0) AS n_sampled
+        |FROM rates LEFT JOIN sampled s ON s.g = rates.g""".stripMargin,
+
+    // per-dow within-SS decomposed from the same exact moments,
+    // ≤ 7 closing terms per group
+    "q271_seasonality_strength" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type AS g, ts::DATE AS day, count(*) AS n,
+        |    dayofweek(ts::DATE) + 1 AS dow
+        |  FROM events GROUP BY 1, 2, 4
+        |), pd AS (
+        |  SELECT g, dow, count(*) AS nd, sum(n::HUGEINT) AS sx,
+        |    sum(n::HUGEINT * n::HUGEINT) AS sxx
+        |  FROM daily GROUP BY 1, 2
+        |), w AS (
+        |  SELECT g, sum(sxx::DOUBLE - (sx * sx)::DOUBLE / nd::DOUBLE) AS ssw,
+        |    CAST(sum(nd) AS BIGINT) AS ndays
+        |  FROM pd GROUP BY 1
+        |), t AS (
+        |  SELECT g, count(*)::HUGEINT AS nt, sum(n::HUGEINT) AS tsx,
+        |    sum(n::HUGEINT * n::HUGEINT) AS tsxx
+        |  FROM daily GROUP BY 1
+        |)
+        |SELECT w.g AS event_type, w.ndays AS n_days,
+        |  round(t.tsxx::DOUBLE - (t.tsx * t.tsx)::DOUBLE / t.nt::DOUBLE, 4)
+        |    AS ss_total,
+        |  round(w.ssw, 4) AS ss_within,
+        |  round(CASE WHEN t.tsxx::DOUBLE - (t.tsx * t.tsx)::DOUBLE / t.nt::DOUBLE > 0
+        |    THEN greatest(0.0, 1.0 - w.ssw
+        |      / (t.tsxx::DOUBLE - (t.tsx * t.tsx)::DOUBLE / t.nt::DOUBLE))
+        |    END, 6) AS seasonality_strength
+        |FROM w JOIN t USING (g)""".stripMargin,
 
     // farthest-point traversal unrolled: argmax (dist desc, id asc)
     // per step, min-update against the new center — integer L2 on

@@ -1032,6 +1032,26 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out === Map((1L, 2L, 3L) -> 2L, (1L, 2L, 4L) -> 2L))
   }
 
+  test("seasonalityStrength: a perfectly weekly series scores exactly " +
+    "1, a flat series has zero total SS and NULL strength") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // counts depend ONLY on weekday: dow d gets (d % 3) + 1 events,
+    // repeated for 3 weeks -> SS_within = 0
+    val weekly = (1 to 21).flatMap { d =>
+      Seq.fill((d % 7 % 3) + 1)(("w", t(d)))
+    }
+    val flat = (1 to 21).map(d => ("f", t(d)))
+    val out = AnalyticsOps.seasonalityStrength(
+      (weekly ++ flat).toDF("event_type", "ts"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("ss_within"),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(out("w") === ((0.0, Some(1.0))))
+    assert(out("f")._2 === None) // zero total variance
+  }
+
   test("ksMatrix: hand-computed D with the smallest-value argmax tie, " +
     "identical distributions give exactly 0") {
     import spark.implicits._

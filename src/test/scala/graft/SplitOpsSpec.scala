@@ -319,4 +319,27 @@ class SplitOpsSpec extends SparkSpec {
         "same-group candidate leaked in as a negative")
     }
   }
+
+  test("neymanSample: a zero-variance stratum draws nothing, the " +
+    "varying stratum takes the whole budget at min(1, S/N)") {
+    import spark.implicits._
+    val rows = (1L to 10L).map(i => (i, "const", 5.0)) ++
+      (11L to 20L).map(i => (i, "vary", i.toDouble))
+    val out = SplitOps.neymanSample(rows.toDF("id", "grp", "v"),
+      "id", "grp", "v", totalSample = 5L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Double]("sigma"), r.getAs[Double]("rate"),
+          r.getLong(4))).toMap
+    assert(out("const")._2 === 0.0)
+    assert(out("const")._3 === 0.0)
+    assert(out("const")._4 === 0L)
+    // all weight on "vary": rate = min(1, 5·w/(w·10)) = 0.5
+    assert(out("vary")._3 === 0.5)
+    assert(out("vary")._4 <= 10L)
+    // full budget beyond N clamps at rate 1 and samples everything
+    val all = SplitOps.neymanSample(rows.toDF("id", "grp", "v"),
+      "id", "grp", "v", totalSample = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(all("vary") === 10L)
+  }
 }
