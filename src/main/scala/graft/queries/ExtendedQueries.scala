@@ -1184,6 +1184,60 @@ object ExtendedQueries {
       graft.similarity.Ann.kCenterSelect(
         Tables.embeddings(s, d), "vec_id", "embedding", k = 8)),
 
+    // repeat-purchase cadence: consecutive purchase gaps per user
+    // (user-keyed lag window — bounded by one user's purchases),
+    // summarized on the proven percentile_cont surface
+    "q272_repurchase_intervals" -> ((s, d) => {
+      val p = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("__us"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("__us")
+      p.withColumn("__prev", lag("__us", 1).over(w))
+        .filter(col("__prev").isNotNull)
+        .withColumn("__gap_h",
+          (col("__us") - col("__prev")).cast(DoubleType) / 3600.0e6)
+        .agg(count(lit(1)).as("n_gaps"),
+          countDistinct("user_id").as("n_repeat_users"),
+          round(expr(
+            "percentile_cont(0.5) WITHIN GROUP (ORDER BY __gap_h)"), 4)
+            .as("median_gap_hours"),
+          round(expr(
+            "percentile_cont(0.9) WITHIN GROUP (ORDER BY __gap_h)"), 4)
+            .as("p90_gap_hours"))
+    }),
+
+    // signup→purchase conversion latency by signup-month cohort:
+    // exact counts, one division, percentile_cont latency
+    "q273_signup_to_purchase" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val signups = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("__s_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("__p_us"))
+      val conv = signups.join(purchases, "user_id")
+        .filter(col("__p_us") >= col("__s_us"))
+        .groupBy("user_id", "__s_us")
+        .agg(min("__p_us").as("__fp_us"))
+      val latency = conv.withColumn("__lat_h",
+        (col("__fp_us") - col("__s_us")).cast(DoubleType) / 3600.0e6)
+      signups
+        .withColumn("cohort_month",
+          date_format(to_date(timestamp_micros(col("__s_us"))), "yyyy-MM"))
+        .join(latency.select(col("user_id"), col("__lat_h")),
+          Seq("user_id"), "left")
+        .groupBy("cohort_month")
+        .agg(count(lit(1)).as("n_signups"),
+          sum(when(col("__lat_h").isNotNull, 1L).otherwise(0L))
+            .as("n_converted"),
+          round(sum(when(col("__lat_h").isNotNull, 1L).otherwise(0L))
+            .cast(DoubleType) / count(lit(1)).cast(DoubleType), 6)
+            .as("conversion_rate"),
+          round(expr(
+            "percentile_cont(0.5) WITHIN GROUP (ORDER BY __lat_h)"), 4)
+            .as("median_hours_to_purchase"))
+    }),
+
     // variance-optimal stratified sampling: a 2000-row budget splits
     // across event types by N_h·σ_h (Neyman allocation)
     "q270_neyman_sample" -> ((s, d) =>
@@ -4256,6 +4310,47 @@ object ExtendedQueries {
         |SELECT m.g AS l_returnflag, t.nv AS n_values,
         |  CAST(t.tw AS BIGINT) AS total_weight, m.wm AS weighted_median
         |FROM m JOIN t USING (g)""".stripMargin,
+
+    // same lag/percentile machinery; epoch_us twin of unix_micros
+    "q272_repurchase_intervals" ->
+      """WITH p AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) AS us
+        |  FROM events WHERE event_type = 'purchase'
+        |), g AS (
+        |  SELECT user_id,
+        |    (us - lag(us) OVER (PARTITION BY user_id ORDER BY us))::DOUBLE
+        |      / 3600.0e6 AS gap_h
+        |  FROM p
+        |)
+        |SELECT count(*) AS n_gaps,
+        |  count(DISTINCT user_id) AS n_repeat_users,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap_h), 4)
+        |    AS median_gap_hours,
+        |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap_h), 4)
+        |    AS p90_gap_hours
+        |FROM g WHERE gap_h IS NOT NULL""".stripMargin,
+
+    // first-signup anchor, first post-signup purchase, cohort rollup
+    "q273_signup_to_purchase" ->
+      """WITH s AS MATERIALIZED (
+        |  SELECT user_id, min(epoch_us(ts)) AS sus
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1
+        |), conv AS (
+        |  SELECT s.user_id,
+        |    (min(epoch_us(p.ts)) - s.sus)::DOUBLE / 3600.0e6 AS lat_h
+        |  FROM s JOIN events p ON p.user_id = s.user_id
+        |    AND p.event_type = 'purchase' AND epoch_us(p.ts) >= s.sus
+        |  GROUP BY s.user_id, s.sus
+        |)
+        |SELECT strftime(make_timestamp(s.sus)::DATE, '%Y-%m') AS cohort_month,
+        |  count(*) AS n_signups,
+        |  sum(CASE WHEN c.lat_h IS NOT NULL THEN 1 ELSE 0 END) AS n_converted,
+        |  round(sum(CASE WHEN c.lat_h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE, 6) AS conversion_rate,
+        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY c.lat_h), 4)
+        |    AS median_hours_to_purchase
+        |FROM s LEFT JOIN conv c ON c.user_id = s.user_id
+        |GROUP BY 1""".stripMargin,
 
     // same lattice moments, allocation ratio, 6-decimal rate, and md5
     // membership
