@@ -2278,6 +2278,58 @@ object AnalyticsOps {
         (-col("__kk.__negv")).as("ks_at"))
   }
 
+  /** Pairwise 1-D Wasserstein-1 (earth mover's) distance — the
+    * MAGNITUDE companion to [[ksMatrix]]'s max deviation: in one
+    * dimension W₁ = ∫|F_a − F_b| dv, the total work to morph one
+    * distribution into the other in the value's own units. Both CDFs
+    * are step functions on the observed values, so the integral is
+    * the exact integer sum Σ |cum_a·n_b − cum_b·n_a| · Δv over
+    * consecutive observed values, with ONE closing division by
+    * n_a·n_b.
+    *
+    * Scale shape: the [[ksMatrix]] dense-grid CDFs; the value gap Δv
+    * rides a lead window per (pair) over the value-histogram frame —
+    * bounded by the value resolution, the operator's documented
+    * envelope, never corpus-sized.
+    */
+  def emdMatrix(df: DataFrame, groupCol: String,
+                valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rows = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast(LongType).as("__v"))
+    val values = rows.select("__v").distinct()
+    val classes = rows.groupBy("__g").agg(count(lit(1)).as("__n"))
+    val pgv = rows.groupBy("__g", "__v").agg(count(lit(1)).as("__ng"))
+    val dense = values.crossJoin(broadcast(classes))
+      .join(pgv, Seq("__g", "__v"), "left")
+      .withColumn("__ng", coalesce(col("__ng"), lit(0L)))
+    val (gb, gwin) = TwoLevelCumsum.withGroupedOffsets(
+      dense, Seq("__g"), expr("__v div 1024L"), col("__ng"),
+      Seq(col("__v").asc))
+    val cdf = gb.withColumn("__cp", col("__off") + sum("__w").over(gwin))
+      .select(col("__g"), col("__v"), col("__cp"), col("__n"))
+    val paired = cdf.select(col("__g").as("__ga"), col("__v"),
+      col("__cp").as("__ca"), col("__n").as("__na"))
+      .join(cdf.select(col("__g").as("__gb"), col("__v"),
+        col("__cp").as("__cb"), col("__n").as("__nb")), "__v")
+      .filter(col("__ga") < col("__gb"))
+    val dvWin = Window.partitionBy("__ga", "__gb").orderBy(col("__v").asc)
+    paired
+      .withColumn("__dv", lead("__v", 1).over(dvWin) - col("__v"))
+      .filter(col("__dv").isNotNull) // the last step carries no area
+      .withColumn("__area",
+        abs(col("__ca").cast(dec) * col("__nb").cast(dec)
+          - col("__cb").cast(dec) * col("__na").cast(dec))
+          * col("__dv").cast(dec))
+      .groupBy(col("__ga").as("source_a"), col("__gb").as("source_b"))
+      .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
+        sum("__area").as("__sumArea"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        round(col("__sumArea").cast(DoubleType) /
+          (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)), 6)
+          .as("emd"))
+  }
+
   /** Per-group rank normalization — value → (rank − 1)/(n − 1) in
     * [0, 1], the distribution-free feature transform (quantile/rank
     * scaling) robust to outliers where min-max scaling is not. Rank

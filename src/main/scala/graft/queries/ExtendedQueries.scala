@@ -1184,6 +1184,16 @@ object ExtendedQueries {
       graft.similarity.Ann.kCenterSelect(
         Tables.embeddings(s, d), "vec_id", "embedding", k = 8)),
 
+    // Wasserstein-1 drift magnitude between source length
+    // distributions — the integral companion to q267's max deviation
+    "q274_emd_matrix" -> ((s, d) =>
+      graft.operators.AnalyticsOps.emdMatrix(
+        Tables.documents(s, d)
+          .select(col("source"),
+            graft.text.TextOps.tokenCount(col("text")).cast(LongType)
+              .as("n_tokens")),
+        "source", "n_tokens")),
+
     // repeat-purchase cadence: consecutive purchase gaps per user
     // (user-keyed lag window — bounded by one user's purchases),
     // summarized on the proven percentile_cont surface
@@ -4310,6 +4320,39 @@ object ExtendedQueries {
         |SELECT m.g AS l_returnflag, t.nv AS n_values,
         |  CAST(t.tw AS BIGINT) AS total_weight, m.wm AS weighted_median
         |FROM m JOIN t USING (g)""".stripMargin,
+
+    // the q267 CDF grid with a per-pair lead(v) gap; exact HUGEINT
+    // area terms, one division per pair
+    "q274_emd_matrix" ->
+      """WITH rows_ AS (
+        |  SELECT source AS g,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS v
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+        |), vals AS (SELECT DISTINCT v FROM rows_),
+        |cls AS (SELECT g, count(*) AS n FROM rows_ GROUP BY 1),
+        |pgv AS (SELECT g, v, count(*) AS ng FROM rows_ GROUP BY 1, 2),
+        |dense AS (
+        |  SELECT c.g, va.v, coalesce(p.ng, 0) AS ng, c.n
+        |  FROM vals va CROSS JOIN cls c
+        |  LEFT JOIN pgv p ON p.g = c.g AND p.v = va.v
+        |), cdf AS (
+        |  SELECT g, v, n, sum(ng) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+        |  FROM dense
+        |), paired AS (
+        |  SELECT a.g AS ga, b.g AS gb, a.v, a.n AS na, b.n AS nb,
+        |    a.cp AS ca, b.cp AS cb,
+        |    lead(a.v) OVER (PARTITION BY a.g, b.g ORDER BY a.v) - a.v AS dv
+        |  FROM cdf a JOIN cdf b ON a.v = b.v AND a.g < b.g
+        |)
+        |SELECT ga AS source_a, gb AS source_b,
+        |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |  round(sum(abs(ca::HUGEINT * nb::HUGEINT - cb::HUGEINT * na::HUGEINT)
+        |      * dv::HUGEINT)::DOUBLE
+        |    / (max(na)::DOUBLE * max(nb)::DOUBLE), 6) AS emd
+        |FROM paired WHERE dv IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
 
     // same lag/percentile machinery; epoch_us twin of unix_micros
     "q272_repurchase_intervals" ->

@@ -1032,6 +1032,20 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out === Map((1L, 2L, 3L) -> 2L, (1L, 2L, 4L) -> 2L))
   }
 
+  test("emdMatrix: W1 equals the textbook mean shift for point " +
+    "masses, and 0 for identical distributions") {
+    import spark.implicits._
+    // point masses at 1 and 4 -> W1 = 3; identical groups -> 0
+    val df = (Seq(1L, 1L).map(("a", _)) ++ Seq(4L, 4L).map(("b", _)) ++
+      Seq(1L, 1L).map(("c", _))).toDF("g", "v")
+    val out = AnalyticsOps.emdMatrix(df, "g", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("emd")).toMap
+    assert(out(("a", "b")) === 3.0)
+    assert(out(("a", "c")) === 0.0)
+    assert(out(("b", "c")) === 3.0)
+  }
+
   test("seasonalityStrength: a perfectly weekly series scores exactly " +
     "1, a flat series has zero total SS and NULL strength") {
     import spark.implicits._
