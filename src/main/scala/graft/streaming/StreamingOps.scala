@@ -651,6 +651,41 @@ object StreamingOps {
           col("__day").cast("timestamp").as("ts")),
       "user_id", "ts", windowDays)
 
+  /** Incremental graph state: edge micro-batches append as one
+    * partition each (the [[dauBatch]] contract — retried batches
+    * overwrite themselves, replay is a no-op by set algebra since
+    * every reader normalizes/dedups edges), and the graph analytics
+    * recompute on read. Min-label components and Bellman–Ford costs
+    * both re-converge from scratch in O(log diameter)/O(horizon)
+    * rounds, so "recompute on read" IS the honest incremental story
+    * for them — unlike sketches there is no cheaper exact merge, and
+    * an edge arriving later can merge two giant components no
+    * state-local shortcut could anticipate.
+    */
+  def edgeBatch(batch: DataFrame, batchId: Long, aCol: String,
+                bCol: String, statePath: String,
+                wCol: Option[String] = None): Unit = {
+    val base = batch.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val sel = wCol match {
+      case Some(w) => base.select(col(aCol).as("id_a"), col(bCol).as("id_b"),
+        col(w).cast("long").as("weight"))
+      case None => base.select(col(aCol).as("id_a"), col(bCol).as("id_b"))
+    }
+    sel.distinct().write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+  }
+
+  /** Connected components over everything [[edgeBatch]] admitted. */
+  def componentsFromState(spark: SparkSession, statePath: String,
+                          iters: Int = 8): DataFrame =
+    graft.graph.GraphOps.connectedComponents(
+      spark.read.parquet(statePath), iters)
+
+  /** Bounded weighted shortest paths over the admitted edges. */
+  def distancesFromState(spark: SparkSession, statePath: String,
+                         seeds: DataFrame, maxRounds: Int): DataFrame =
+    graft.graph.GraphOps.weightedDistances(
+      spark.read.parquet(statePath), seeds, maxRounds)
+
   /** Incremental sibling of
     * [[graft.operators.AnalyticsOps.itemSimilarity]]: feedback
     * micro-batches append their deduped (user, item) incidence as

@@ -588,6 +588,38 @@ class StreamingSpec extends SparkSpec {
       direct.getAs[Double]("est_distinct"))
   }
 
+  test("edgeBatch/componentsFromState/distancesFromState: a late edge " +
+    "merges two components exactly as the batch operators see it, " +
+    "and a retried batch changes nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graph_state").toString
+    // batch 0: two separate components {1,2} and {3,4}
+    graft.streaming.StreamingOps.edgeBatch(
+      Seq((1L, 2L, 5L), (3L, 4L, 1L)).toDF("a", "b", "w"), 0L,
+      "a", "b", dir, wCol = Some("w"))
+    val cc0 = graft.streaming.StreamingOps
+      .componentsFromState(spark, dir, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc0 === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    // batch 1: the bridging edge 2-3 merges everything
+    graft.streaming.StreamingOps.edgeBatch(
+      Seq((2L, 3L, 2L)).toDF("a", "b", "w"), 1L, "a", "b", dir,
+      wCol = Some("w"))
+    def cc() = graft.streaming.StreamingOps
+      .componentsFromState(spark, dir, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc() === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    val d = graft.streaming.StreamingOps.distancesFromState(
+      spark, dir, Seq(1L).toDF("node"), maxRounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(1L -> 0L, 2L -> 5L, 3L -> 7L, 4L -> 8L))
+    // retry batch 1: identical state by set algebra
+    graft.streaming.StreamingOps.edgeBatch(
+      Seq((2L, 3L, 2L)).toDF("a", "b", "w"), 1L, "a", "b", dir,
+      wCol = Some("w"))
+    assert(cc() === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("cfBatch/cfFromState: the incremental item-similarity model " +
     "equals the batch model row-for-row, cross-batch duplicate " +
     "feedback does not inflate cosines, retry is a no-op") {
