@@ -1184,6 +1184,67 @@ object ExtendedQueries {
       graft.similarity.Ann.kCenterSelect(
         Tables.embeddings(s, d), "vec_id", "embedding", k = 8)),
 
+    // ratio-metric A/B readout via the delta method: revenue-per-event
+    // is a ratio of USER-level sums, so its variance needs the
+    // covariance correction naive per-event variance misses —
+    // var(X̄/Ȳ) ≈ (σx² − 2R·σxy + R²·σy²) / (n·Ȳ²) with R = X̄/Ȳ;
+    // every moment an exact lattice integer, the correction one fixed
+    // closing tree per arm
+    "q275_ratio_metric_delta" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val perUser = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .groupBy("user_id")
+        .agg(sum(round(col("value") * 1000000).cast(LongType)).cast(dec)
+          .as("__x"),
+          count(lit(1)).cast(dec).as("__y"))
+        .withColumn("arm", when(graft.operators.SplitOps.hashBucket(
+          concat(col("user_id").cast(StringType), lit("|exp"))) % 2 === 0,
+          lit("control")).otherwise(lit("treatment")))
+      val m = perUser.groupBy("arm").agg(
+        count(lit(1)).cast(dec).as("__n"),
+        sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      val n2 = (col("__n") * col("__n")).cast(DoubleType)
+      val vx = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+        .cast(DoubleType) / n2
+      val vy = (col("__n") * col("__syy") - col("__sy") * col("__sy"))
+        .cast(DoubleType) / n2
+      val cxy = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+        .cast(DoubleType) / n2
+      val mx = col("__sx").cast(DoubleType) / col("__n").cast(DoubleType)
+      val my = col("__sy").cast(DoubleType) / col("__n").cast(DoubleType)
+      val r = mx / my
+      val varR = (vx - lit(2.0) * r * cxy + r * r * vy) /
+        (col("__n").cast(DoubleType) * (my * my))
+      m.select(col("arm"), col("__n").cast(LongType).as("n_users"),
+        round(r / 1000000.0, 6).as("revenue_per_event"),
+        round(sqrt(greatest(lit(0.0), varR)) / 1000000.0, 6).as("se_delta"))
+    }),
+
+    // how predictable are user flows: conditional next-event entropy
+    // per current state and the corpus-wide predictability index
+    "q276_transition_entropy" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("__us"), col("event_id"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("__us"), col("event_id"))
+      val trans = e.withColumn("__next", lead("event_type", 1).over(w))
+        .filter(col("__next").isNotNull)
+        .groupBy(col("event_type").as("state"), col("__next"))
+        .agg(count(lit(1)).as("__c"))
+      val totals = trans.groupBy("state").agg(sum("__c").as("__t"))
+      val p = col("__c").cast(DoubleType) / col("__t").cast(DoubleType)
+      trans.join(totals, "state")
+        .groupBy("state")
+        .agg(max("__t").as("n_transitions"),
+          count(lit(1)).as("n_successors"),
+          round(sum(-p * log(p)), 6).as("entropy_nats"))
+    }),
+
     // Wasserstein-1 drift magnitude between source length
     // distributions — the integral companion to q267's max deviation
     "q274_emd_matrix" -> ((s, d) =>
@@ -4320,6 +4381,52 @@ object ExtendedQueries {
         |SELECT m.g AS l_returnflag, t.nv AS n_values,
         |  CAST(t.tw AS BIGINT) AS total_weight, m.wm AS weighted_median
         |FROM m JOIN t USING (g)""".stripMargin,
+
+    // same lattice moments; the delta-method tree in the same order
+    "q275_ratio_metric_delta" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    sum(CAST(round(value * 1000000) AS HUGEINT)) AS x,
+        |    count(*)::HUGEINT AS y,
+        |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|exp'), 1, 8))::UBIGINT % 2 = 0
+        |      THEN 'control' ELSE 'treatment' END AS arm
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY user_id
+        |), m AS (
+        |  SELECT arm, count(*)::HUGEINT AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM pu GROUP BY 1
+        |)
+        |SELECT arm, CAST(n AS BIGINT) AS n_users,
+        |  round(r / 1000000.0, 6) AS revenue_per_event,
+        |  round(sqrt(greatest(0.0,
+        |    (vx - 2.0 * r * cxy + r * r * vy) / (n::DOUBLE * (my * my))))
+        |    / 1000000.0, 6) AS se_delta
+        |FROM (
+        |  SELECT arm, n,
+        |    (n * sxx - sx * sx)::DOUBLE / (n * n)::DOUBLE AS vx,
+        |    (n * syy - sy * sy)::DOUBLE / (n * n)::DOUBLE AS vy,
+        |    (n * sxy - sx * sy)::DOUBLE / (n * n)::DOUBLE AS cxy,
+        |    sy::DOUBLE / n::DOUBLE AS my,
+        |    (sx::DOUBLE / n::DOUBLE) / (sy::DOUBLE / n::DOUBLE) AS r
+        |  FROM m)""".stripMargin,
+
+    // user-keyed lead, exact transition counts, small −p·ln p sums
+    "q276_transition_entropy" ->
+      """WITH t AS (
+        |  SELECT event_type AS state,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS nxt
+        |  FROM events
+        |), c AS (
+        |  SELECT state, nxt, count(*) AS c FROM t
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2
+        |), tot AS (SELECT state, sum(c) AS t FROM c GROUP BY 1)
+        |SELECT c.state, CAST(max(tot.t) AS BIGINT) AS n_transitions,
+        |  count(*) AS n_successors,
+        |  round(sum(-(c.c::DOUBLE / tot.t::DOUBLE)
+        |    * ln(c.c::DOUBLE / tot.t::DOUBLE)), 6) AS entropy_nats
+        |FROM c JOIN tot USING (state) GROUP BY 1""".stripMargin,
 
     // the q267 CDF grid with a per-pair lead(v) gap; exact HUGEINT
     // area terms, one division per pair
