@@ -1184,6 +1184,63 @@ object ExtendedQueries {
       graft.similarity.Ann.kCenterSelect(
         Tables.embeddings(s, d), "vec_id", "embedding", k = 8)),
 
+    // referential-integrity audit across the star schema: orphans in
+    // each direction, childless parents, and key-uniqueness
+    // violations — the pre-flight DQ report every warehouse load runs
+    "q277_referential_integrity" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      def one(check: String, n: org.apache.spark.sql.DataFrame) =
+        n.select(lit(check).as("check"), col("n"))
+      val orphanLines = one("lineitems_without_order",
+        li.join(o.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n")))
+      val childless = one("orders_without_lineitems",
+        o.join(li.select(col("l_orderkey").as("o_orderkey")).distinct(),
+          Seq("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n")))
+      val orphanOrders = one("orders_without_customer",
+        o.join(c.select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n")))
+      val dupOrderKeys = one("duplicate_order_keys",
+        o.groupBy("o_orderkey").agg(count(lit(1)).as("__c"))
+          .filter(col("__c") > 1)
+          .agg(count(lit(1)).as("n")))
+      val nullKeys = one("null_order_keys",
+        o.filter(col("o_orderkey").isNull).agg(count(lit(1)).as("n")))
+      Seq(orphanLines, childless, orphanOrders, dupOrderKeys, nullKeys)
+        .reduce(_ unionByName _)
+    }),
+
+    // financial reconciliation: per-order lineitem revenue vs the
+    // order header total, bucketed into relative-error bands — the
+    // "do the books close" report (header and lines are generated
+    // independently here, so the bands measure that gap exactly)
+    "q278_reconciliation_bands" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("__line_rev"))
+      Tables.orders(s, d).join(li, Seq("o_orderkey"), "left")
+        .withColumn("__rel",
+          when(col("__line_rev").isNotNull && col("o_totalprice") > 0,
+            abs(col("__line_rev") - col("o_totalprice")) /
+              col("o_totalprice")))
+        .withColumn("band",
+          when(col("__rel").isNull, "no_lineitems")
+            .when(col("__rel") <= 0.01, "within_1pct")
+            .when(col("__rel") <= 0.10, "within_10pct")
+            .when(col("__rel") <= 0.50, "within_50pct")
+            .otherwise("over_50pct"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2)
+            .as("header_total"))
+    }),
+
     // ratio-metric A/B readout via the delta method: revenue-per-event
     // is a ratio of USER-level sums, so its variance needs the
     // covariance correction naive per-event variance misses —
@@ -4381,6 +4438,52 @@ object ExtendedQueries {
         |SELECT m.g AS l_returnflag, t.nv AS n_values,
         |  CAST(t.tw AS BIGINT) AS total_weight, m.wm AS weighted_median
         |FROM m JOIN t USING (g)""".stripMargin,
+
+    // the same anti-join orphan definitions, exact counts
+    "q277_referential_integrity" ->
+      """SELECT 'lineitems_without_order' AS check, (
+        |  SELECT count(*) FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_orderkey = l.l_orderkey)) AS n
+        |UNION ALL
+        |SELECT 'orders_without_lineitems', (
+        |  SELECT count(*) FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+        |                    WHERE l.l_orderkey = o.o_orderkey))
+        |UNION ALL
+        |SELECT 'orders_without_customer', (
+        |  SELECT count(*) FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                    WHERE c.c_custkey = o.o_custkey))
+        |UNION ALL
+        |SELECT 'duplicate_order_keys', (
+        |  SELECT count(*) FROM (
+        |    SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1))
+        |UNION ALL
+        |SELECT 'null_order_keys', (
+        |  SELECT count(*) FROM orders WHERE o_orderkey IS NULL)""".stripMargin,
+
+    // same band edges on the same one-division relative error
+    "q278_reconciliation_bands" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |    sum(l_extendedprice * (1 - l_discount)) AS line_rev
+        |  FROM lineitem GROUP BY 1
+        |), j AS (
+        |  SELECT o.o_totalprice,
+        |    CASE WHEN li.line_rev IS NOT NULL AND o.o_totalprice > 0
+        |      THEN abs(li.line_rev - o.o_totalprice) / o.o_totalprice
+        |    END AS rel
+        |  FROM orders o LEFT JOIN li USING (o_orderkey)
+        |)
+        |SELECT CASE WHEN rel IS NULL THEN 'no_lineitems'
+        |            WHEN rel <= 0.01 THEN 'within_1pct'
+        |            WHEN rel <= 0.10 THEN 'within_10pct'
+        |            WHEN rel <= 0.50 THEN 'within_50pct'
+        |            ELSE 'over_50pct' END AS band,
+        |  count(*) AS n_orders,
+        |  round(sum(coalesce(o_totalprice, 0.0)), 2) AS header_total
+        |FROM j GROUP BY 1""".stripMargin,
 
     // same lattice moments; the delta-method tree in the same order
     "q275_ratio_metric_delta" ->
