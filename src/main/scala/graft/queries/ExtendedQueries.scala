@@ -1184,6 +1184,60 @@ object ExtendedQueries {
       graft.similarity.Ann.kCenterSelect(
         Tables.embeddings(s, d), "vec_id", "embedding", k = 8)),
 
+    // audience overlap between event types: exact Jaccard of the
+    // distinct user sets per pair — |A∩B| from one pair count over
+    // the deduped incidence, union by inclusion-exclusion
+    "q279_audience_overlap" -> ((s, d) => {
+      val ui = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("event_type").as("__t"), col("user_id").as("__u"))
+        .distinct()
+      val sizes = ui.groupBy("__t").agg(count(lit(1)).as("__n"))
+      val inter = ui.select(col("__u"), col("__t").as("type_a"))
+        .join(ui.select(col("__u"), col("__t").as("type_b")), "__u")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+      inter
+        .join(sizes.select(col("__t").as("type_a"), col("__n").as("n_a")),
+          "type_a")
+        .join(sizes.select(col("__t").as("type_b"), col("__n").as("n_b")),
+          "type_b")
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_both"),
+          round(col("n_both").cast(DoubleType) /
+            (col("n_a") + col("n_b") - col("n_both")).cast(DoubleType), 6)
+            .as("jaccard"))
+    }),
+
+    // whale report: share of total revenue carried by the top 1% and
+    // top 10% of customers — per-customer exact Decimal revenue,
+    // rank via the two-level cumsum, integer ceil thresholds
+    "q280_whale_report" -> ((s, d) => {
+      val dec = DecimalType(38, 6)
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(dec)).as("__r"))
+      val (bucketed, wi) = graft.operators.TwoLevelCumsum.withOffsets(
+        rev.withColumn("__neg", (-col("__r")).cast(dec)),
+        expr("CAST(__neg AS BIGINT) div 1024L"), lit(1L),
+        Seq(col("__neg").asc, col("o_custkey").asc))
+      val ranked = bucketed
+        .withColumn("__rk", col("__off") + sum("__w").over(wi))
+      val totals = rev.agg(count(lit(1)).as("__nc"),
+        sum("__r").cast(dec).as("__tot"))
+      ranked.crossJoin(broadcast(totals))
+        .agg(max("__nc").as("n_customers"),
+          round(max("__tot"), 2).as("total_revenue"),
+          round(sum(when(col("__rk") * 100 <= col("__nc"), col("__r"))
+            .otherwise(lit(0).cast(dec))).cast(DoubleType)
+            / max("__tot").cast(DoubleType), 6).as("share_top_1pct"),
+          round(sum(when(col("__rk") * 10 <= col("__nc"), col("__r"))
+            .otherwise(lit(0).cast(dec))).cast(DoubleType)
+            / max("__tot").cast(DoubleType), 6).as("share_top_10pct"))
+    }),
+
     // referential-integrity audit across the star schema: orphans in
     // each direction, childless parents, and key-uniqueness
     // violations — the pre-flight DQ report every warehouse load runs
@@ -4438,6 +4492,48 @@ object ExtendedQueries {
         |SELECT m.g AS l_returnflag, t.nv AS n_values,
         |  CAST(t.tw AS BIGINT) AS total_weight, m.wm AS weighted_median
         |FROM m JOIN t USING (g)""".stripMargin,
+
+    // same pair counts and inclusion-exclusion union
+    "q279_audience_overlap" ->
+      """WITH ui AS MATERIALIZED (
+        |  SELECT DISTINCT event_type AS t, user_id AS u
+        |  FROM events WHERE user_id IS NOT NULL
+        |), sizes AS (SELECT t, count(*) AS n FROM ui GROUP BY 1),
+        |inter AS (
+        |  SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_both
+        |  FROM ui a JOIN ui b ON a.u = b.u AND a.t < b.t
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.type_a, i.type_b,
+        |  sa.n AS n_a, sb.n AS n_b, i.n_both,
+        |  round(i.n_both::DOUBLE / (sa.n + sb.n - i.n_both)::DOUBLE, 6)
+        |    AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON sa.t = i.type_a
+        |JOIN sizes sb ON sb.t = i.type_b""".stripMargin,
+
+    // row_number twin of the two-level rank; integer percentile
+    // thresholds, decimal sums, one division per share
+    "q280_whale_report" ->
+      """WITH rev AS MATERIALIZED (
+        |  SELECT o.o_custkey,
+        |    sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |      AS DECIMAL(38,6))) AS r
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1
+        |), ranked AS (
+        |  SELECT r, row_number() OVER (ORDER BY r DESC, o_custkey) AS rk
+        |  FROM rev
+        |), t AS (SELECT count(*) AS nc, sum(r) AS tot FROM rev)
+        |SELECT (SELECT nc FROM t) AS n_customers,
+        |  round((SELECT tot FROM t), 2) AS total_revenue,
+        |  round(sum(CASE WHEN rk * 100 <= (SELECT nc FROM t) THEN r
+        |      ELSE 0 END)::DOUBLE / (SELECT tot FROM t)::DOUBLE, 6)
+        |    AS share_top_1pct,
+        |  round(sum(CASE WHEN rk * 10 <= (SELECT nc FROM t) THEN r
+        |      ELSE 0 END)::DOUBLE / (SELECT tot FROM t)::DOUBLE, 6)
+        |    AS share_top_10pct
+        |FROM ranked""".stripMargin,
 
     // the same anti-join orphan definitions, exact counts
     "q277_referential_integrity" ->
