@@ -1184,6 +1184,33 @@ object ExtendedQueries {
       graft.similarity.Ann.kCenterSelect(
         Tables.embeddings(s, d), "vec_id", "embedding", k = 8)),
 
+    // ingestion completeness: observed vs expected calendar days per
+    // type and the longest gap — the freshness/holes report an
+    // incremental pipeline checks before trusting a backfill
+    "q281_calendar_completeness" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type").as("t"), to_date(col("ts")).as("day"))
+        .distinct()
+      val w = Window.partitionBy("t").orderBy("day")
+      val gaps = daily
+        .withColumn("__next", lead("day", 1).over(w))
+        .withColumn("__gap",
+          when(col("__next").isNotNull,
+            datediff(col("__next"), col("day")) - 1).otherwise(lit(0)))
+      gaps.groupBy("t")
+        .agg(min("day").as("first_day"), max("day").as("last_day"),
+          count(lit(1)).as("n_observed_days"),
+          max("__gap").as("longest_gap_days"))
+        .select(col("t").as("event_type"), col("first_day"),
+          col("last_day"), col("n_observed_days"),
+          (datediff(col("last_day"), col("first_day")) + 1)
+            .cast(LongType).as("n_expected_days"),
+          round(col("n_observed_days").cast(DoubleType) /
+            (datediff(col("last_day"), col("first_day")) + 1)
+              .cast(DoubleType), 6).as("completeness"),
+          col("longest_gap_days").cast(LongType).as("longest_gap_days"))
+    }),
+
     // audience overlap between event types: exact Jaccard of the
     // distinct user sets per pair — |A∩B| from one pair count over
     // the deduped incidence, union by inclusion-exclusion
@@ -4492,6 +4519,26 @@ object ExtendedQueries {
         |SELECT m.g AS l_returnflag, t.nv AS n_values,
         |  CAST(t.tw AS BIGINT) AS total_weight, m.wm AS weighted_median
         |FROM m JOIN t USING (g)""".stripMargin,
+
+    // same lead-gap arithmetic on the distinct (type, day) frame
+    "q281_calendar_completeness" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT DISTINCT event_type AS t, ts::DATE AS day FROM events
+        |), g AS (
+        |  SELECT t, day,
+        |    CASE WHEN lead(day) OVER (PARTITION BY t ORDER BY day)
+        |           IS NOT NULL
+        |      THEN (lead(day) OVER (PARTITION BY t ORDER BY day)) - day - 1
+        |      ELSE 0 END AS gap
+        |  FROM daily
+        |)
+        |SELECT t AS event_type, min(day) AS first_day, max(day) AS last_day,
+        |  count(*) AS n_observed_days,
+        |  CAST(max(day) - min(day) + 1 AS BIGINT) AS n_expected_days,
+        |  round(count(*)::DOUBLE / (max(day) - min(day) + 1)::DOUBLE, 6)
+        |    AS completeness,
+        |  CAST(max(gap) AS BIGINT) AS longest_gap_days
+        |FROM g GROUP BY 1""".stripMargin,
 
     // same pair counts and inclusion-exclusion union
     "q279_audience_overlap" ->
