@@ -2278,6 +2278,54 @@ object AnalyticsOps {
         (-col("__kk.__negv")).as("ks_at"))
   }
 
+  /** Distribution-free median confidence interval per group — the
+    * binomial order-statistic bound (Conover's nonparametric CI): the
+    * true median lies between the order statistics at ranks
+    *   lo = ⌊(n − z·√n)/2⌋,  hi = ⌈(n + z·√n)/2⌉ + 1   (z = 1.96),
+    * with ~95% coverage and NO normality assumption. Ranks are
+    * integers computed from one deterministic double expression
+    * (√ is exactly rounded, floor/ceil agree on any engine), clamped
+    * to [1, n]; the values at those ranks come off the (group, value)
+    * histogram via the grouped two-level cumsum — the corpus never
+    * sorts. Values are taken on the ×1e6 lattice and unscaled once.
+    */
+  def medianCI(df: DataFrame, groupCol: String,
+               valueCol: String): DataFrame = {
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol),
+        round(col(valueCol) * 1000000).cast(LongType).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = hist.groupBy(col(groupCol)).agg(sum("__c").as("__n"))
+      .withColumn("__z", lit(1.96) * sqrt(col("__n").cast(DoubleType)))
+      .withColumn("__lo", greatest(lit(1L),
+        floor((col("__n").cast(DoubleType) - col("__z")) / 2.0)
+          .cast(LongType)))
+      .withColumn("__hi", least(col("__n"),
+        ceil((col("__n").cast(DoubleType) + col("__z")) / 2.0)
+          .cast(LongType) + 1))
+      .withColumn("__mid", expr("(__n + 1) div 2")) // lower median rank
+    val (bucketed, wi) = TwoLevelCumsum.withGroupedOffsets(
+      hist, Seq(groupCol), expr("__v div 1024L"), col("__c"),
+      Seq(col("__v").asc))
+    val cum = bucketed
+      .withColumn("__cumHi", col("__off") + sum("__w").over(wi))
+      .withColumn("__cumLo", col("__cumHi") - col("__c") + 1)
+      .join(totals, groupCol)
+    // the value at rank r is the row whose [cumLo, cumHi] covers r
+    def valueAt(rank: Column, out: String) =
+      cum.filter(col("__cumLo") <= rank && rank <= col("__cumHi"))
+        .groupBy(col(groupCol))
+        .agg(min("__v").as(out))
+    valueAt(col("__mid"), "__vm")
+      .join(valueAt(col("__lo"), "__vl"), groupCol)
+      .join(valueAt(col("__hi"), "__vh"), groupCol)
+      .join(totals.select(col(groupCol), col("__n")), groupCol)
+      .select(col(groupCol), col("__n").as("n"),
+        round(col("__vm").cast(DoubleType) / 1000000.0, 6).as("median"),
+        round(col("__vl").cast(DoubleType) / 1000000.0, 6).as("ci_low"),
+        round(col("__vh").cast(DoubleType) / 1000000.0, 6).as("ci_high"))
+  }
+
   /** Pairwise 1-D Wasserstein-1 (earth mover's) distance — the
     * MAGNITUDE companion to [[ksMatrix]]'s max deviation: in one
     * dimension W₁ = ∫|F_a − F_b| dv, the total work to morph one

@@ -1184,6 +1184,13 @@ object ExtendedQueries {
       graft.similarity.Ann.kCenterSelect(
         Tables.embeddings(s, d), "vec_id", "embedding", k = 8)),
 
+    // nonparametric median CI per event type: binomial order-statistic
+    // bounds, values off the histogram cumsum — corpus never sorts
+    "q282_median_ci" -> ((s, d) =>
+      graft.operators.AnalyticsOps.medianCI(
+        Tables.events(s, d).filter(col("value").isNotNull),
+        "event_type", "value")),
+
     // ingestion completeness: observed vs expected calendar days per
     // type and the longest gap — the freshness/holes report an
     // incremental pipeline checks before trusting a backfill
@@ -4519,6 +4526,41 @@ object ExtendedQueries {
         |SELECT m.g AS l_returnflag, t.nv AS n_values,
         |  CAST(t.tw AS BIGINT) AS total_weight, m.wm AS weighted_median
         |FROM m JOIN t USING (g)""".stripMargin,
+
+    // window-cumsum twin of the rank lookup; the same z = 1.96 rank
+    // formula with identical floor/ceil/clamp arithmetic
+    "q282_median_ci" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT event_type AS g,
+        |    CAST(round(value * 1000000) AS BIGINT) AS v, count(*) AS c
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        |), t AS (
+        |  SELECT g, sum(c) AS n,
+        |    greatest(1, CAST(floor((sum(c)::DOUBLE
+        |      - 1.96 * sqrt(sum(c)::DOUBLE)) / 2.0) AS BIGINT)) AS lo,
+        |    least(sum(c), CAST(ceil((sum(c)::DOUBLE
+        |      + 1.96 * sqrt(sum(c)::DOUBLE)) / 2.0) AS BIGINT) + 1) AS hi,
+        |    (sum(c) + 1) // 2 AS mid
+        |  FROM h GROUP BY 1
+        |), cum AS (
+        |  SELECT g, v,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chi,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS clo
+        |  FROM h
+        |)
+        |SELECT t.g AS event_type, CAST(t.n AS BIGINT) AS n,
+        |  round((SELECT min(v) FROM cum
+        |         WHERE cum.g = t.g AND clo <= t.mid AND t.mid <= chi)::DOUBLE
+        |    / 1000000.0, 6) AS median,
+        |  round((SELECT min(v) FROM cum
+        |         WHERE cum.g = t.g AND clo <= t.lo AND t.lo <= chi)::DOUBLE
+        |    / 1000000.0, 6) AS ci_low,
+        |  round((SELECT min(v) FROM cum
+        |         WHERE cum.g = t.g AND clo <= t.hi AND t.hi <= chi)::DOUBLE
+        |    / 1000000.0, 6) AS ci_high
+        |FROM t""".stripMargin,
 
     // same lead-gap arithmetic on the distinct (type, day) frame
     "q281_calendar_completeness" ->

@@ -1032,6 +1032,23 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out === Map((1L, 2L, 3L) -> 2L, (1L, 2L, 4L) -> 2L))
   }
 
+  test("medianCI: textbook order-statistic bounds on 1..25 (ranks " +
+    "7/13/19), ties resolved through the histogram") {
+    import spark.implicits._
+    val df = (1 to 25).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val r = AnalyticsOps.medianCI(df, "grp", "v").collect()(0)
+    // n=25: z*sqrt(n)=9.8 -> lo=floor(7.6)=7, hi=ceil(17.4)+1=19
+    assert(r.getAs[Long]("n") === 25L)
+    assert(r.getAs[Double]("median") === 13.0)
+    assert(r.getAs[Double]("ci_low") === 7.0)
+    assert(r.getAs[Double]("ci_high") === 19.0)
+    // heavy ties: 10 copies of 5 and one 9 -> everything lands on 5
+    val ties = (Seq.fill(10)(5.0) :+ 9.0).map(("t", _)).toDF("grp", "v")
+    val rt = AnalyticsOps.medianCI(ties, "grp", "v").collect()(0)
+    assert(rt.getAs[Double]("median") === 5.0)
+    assert(rt.getAs[Double]("ci_low") === 5.0)
+  }
+
   test("emdMatrix: W1 equals the textbook mean shift for point " +
     "masses, and 0 for identical distributions") {
     import spark.implicits._
