@@ -1184,6 +1184,65 @@ object ExtendedQueries {
       graft.similarity.Ann.kCenterSelect(
         Tables.embeddings(s, d), "vec_id", "embedding", k = 8)),
 
+    // subgroup treatment effects: the q245 arms contrasted per event
+    // type on user-level activity — Welch SE from exact moments; the
+    // heterogeneity table behind "did the effect concentrate
+    // somewhere" (exact counts, fixed closing trees)
+    "q283_subgroup_effects" -> ((s, d) => {
+      val dec = DecimalType(38, 0)
+      val perUser = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).cast(dec).as("__y"))
+        .withColumn("__t", (graft.operators.SplitOps.hashBucket(
+          concat(col("user_id").cast(StringType), lit("|exp"))) % 2 === 1)
+          .cast(IntegerType))
+      val m = perUser.groupBy("event_type", "__t")
+        .agg(count(lit(1)).cast(dec).as("__n"),
+          sum("__y").as("__sy"),
+          sum(col("__y") * col("__y")).as("__syy"))
+      val n2 = (col("__n") * col("__n")).cast(DoubleType)
+      val mean = col("__sy").cast(DoubleType) / col("__n").cast(DoubleType)
+      val varM = (col("__n") * col("__syy") - col("__sy") * col("__sy"))
+        .cast(DoubleType) / n2
+      val side = m.select(col("event_type"), col("__t"),
+        col("__n").cast(LongType).as("n"), mean.as("mu"),
+        varM.as("vv"))
+      val c = side.filter(col("__t") === 0)
+        .select(col("event_type"), col("n").as("n_control"),
+          col("mu").as("__mc"), col("vv").as("__vc"))
+      val t = side.filter(col("__t") === 1)
+        .select(col("event_type"), col("n").as("n_treatment"),
+          col("mu").as("__mt"), col("vv").as("__vt"))
+      val se = sqrt(col("__vt") / col("n_treatment").cast(DoubleType)
+        + col("__vc") / col("n_control").cast(DoubleType))
+      c.join(t, "event_type")
+        .select(col("event_type"), col("n_control"), col("n_treatment"),
+          round(col("__mc"), 6).as("mean_control"),
+          round(col("__mt"), 6).as("mean_treatment"),
+          round(col("__mt") - col("__mc"), 6).as("effect"),
+          round(se, 6).as("se"),
+          round(when(se > 0, (col("__mt") - col("__mc")) / se), 4)
+            .as("t_stat"))
+    }),
+
+    // label-noise screen: exact-duplicate clusters whose members
+    // disagree on the language label — same content, different tags
+    "q284_dup_label_conflicts" -> ((s, d) => {
+      val g = Tables.documents(s, d)
+        .select(md5(graft.text.TextOps.normalizeText(col("text")))
+          .as("__k"), col("lang"), col("doc_id"))
+        .groupBy("__k")
+        .agg(count(lit(1)).as("__n"),
+          countDistinct("lang").as("__nl"))
+      g.agg(count(lit(1)).as("n_clusters"),
+        sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup_clusters"),
+        sum(when(col("__nl") > 1, 1L).otherwise(0L))
+          .as("n_conflicted_clusters"),
+        sum(when(col("__nl") > 1, col("__n")).otherwise(0L))
+          .as("n_docs_in_conflicted"))
+    }),
+
     // nonparametric median CI per event type: binomial order-statistic
     // bounds, values off the histogram cumsum — corpus never sorts
     "q282_median_ci" -> ((s, d) =>
@@ -4526,6 +4585,53 @@ object ExtendedQueries {
         |SELECT m.g AS l_returnflag, t.nv AS n_values,
         |  CAST(t.tw AS BIGINT) AS total_weight, m.wm AS weighted_median
         |FROM m JOIN t USING (g)""".stripMargin,
+
+    // same per-(type, arm) moments and Welch tree
+    "q283_subgroup_effects" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id, count(*)::HUGEINT AS y,
+        |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|exp'), 1, 8))::UBIGINT % 2 = 1
+        |      THEN 1 ELSE 0 END AS t
+        |  FROM events WHERE user_id IS NOT NULL
+        |  GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, t, count(*)::HUGEINT AS n, sum(y) AS sy,
+        |    sum(y * y) AS syy
+        |  FROM pu GROUP BY 1, 2
+        |), side AS (
+        |  SELECT event_type, t, CAST(n AS BIGINT) AS n,
+        |    sy::DOUBLE / n::DOUBLE AS mu,
+        |    (n * syy - sy * sy)::DOUBLE / (n * n)::DOUBLE AS vv
+        |  FROM m
+        |)
+        |SELECT c.event_type, c.n AS n_control, t.n AS n_treatment,
+        |  round(c.mu, 6) AS mean_control,
+        |  round(t.mu, 6) AS mean_treatment,
+        |  round(t.mu - c.mu, 6) AS effect,
+        |  round(sqrt(t.vv / t.n::DOUBLE + c.vv / c.n::DOUBLE), 6) AS se,
+        |  round(CASE WHEN sqrt(t.vv / t.n::DOUBLE + c.vv / c.n::DOUBLE) > 0
+        |    THEN (t.mu - c.mu)
+        |      / sqrt(t.vv / t.n::DOUBLE + c.vv / c.n::DOUBLE) END, 4)
+        |    AS t_stat
+        |FROM (SELECT * FROM side WHERE t = 0) c
+        |JOIN (SELECT * FROM side WHERE t = 1) t USING (event_type)""".stripMargin,
+
+    // the q80 digest with per-cluster distinct-label counts
+    "q284_dup_label_conflicts" ->
+      """WITH g AS (
+        |  SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g'))) AS k,
+        |    count(*) AS n, count(DISTINCT lang) AS nl
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT count(*) AS n_clusters,
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_clusters,
+        |  CAST(sum(CASE WHEN nl > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_conflicted_clusters,
+        |  CAST(sum(CASE WHEN nl > 1 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_docs_in_conflicted
+        |FROM g""".stripMargin,
 
     // window-cumsum twin of the rank lookup; the same z = 1.96 rank
     // formula with identical floor/ceil/clamp arithmetic
