@@ -2278,6 +2278,56 @@ object AnalyticsOps {
         (-col("__kk.__negv")).as("ks_at"))
   }
 
+  /** Exact Spearman rank correlation — the monotonic-relationship
+    * test Pearson misses when the link is nonlinear. Ranks are
+    * DOUBLED midranks (ties get the average rank of their run; kept
+    * ×2 so they stay integers — the q201 rank-sum trick), derived per
+    * variable from the value histogram via the two-level cumsum, then
+    * ρ is the Pearson correlation of the two integer rank columns:
+    * five exact Decimal(38,0) moments and ONE closing expression.
+    * The corpus never sorts; each variable contributes one histogram
+    * pass and one broadcast-size rank-map join.
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(round(col(xCol) * 1000000).cast(LongType).as("__x"),
+        round(col(yCol) * 1000000).cast(LongType).as("__y"))
+    rows.persist()
+    try {
+      def rankMap(c: String): DataFrame = {
+        val hist = rows.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+        val (bk, wi) = TwoLevelCumsum.withOffsets(
+          hist, expr(s"`$c` div 1048576L"), col("__c"), Seq(col(c).asc))
+        bk.withColumn("__cum", col("__off") + sum("__w").over(wi))
+          // doubled midrank of the tie run: 2·(cum − c) + c + 1
+          .select(col(c),
+            (lit(2) * (col("__cum") - col("__c")) + col("__c") + 1)
+              .as(s"__r$c"))
+      }
+      val ranked = rows
+        .join(rankMap("__x"), "__x")
+        .join(rankMap("__y"), "__y")
+        .select(col("__r__x").cast(dec).as("__rx"),
+          col("__r__y").cast(dec).as("__ry"))
+      val m = ranked.agg(count(lit(1)).cast(dec).as("__n"),
+        sum("__rx").as("__sx"), sum("__ry").as("__sy"),
+        sum(col("__rx") * col("__ry")).as("__sxy"),
+        sum(col("__rx") * col("__rx")).as("__sxx"),
+        sum(col("__ry") * col("__ry")).as("__syy"))
+      val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+        .cast(DoubleType)
+      val dx = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+        .cast(DoubleType)
+      val dy = (col("__n") * col("__syy") - col("__sy") * col("__sy"))
+        .cast(DoubleType)
+      m.select(col("__n").cast(LongType).as("n"),
+        round(when(dx > 0 && dy > 0, num / sqrt(dx * dy)), 6)
+          .as("spearman_rho"))
+        .localCheckpoint(true)
+    } finally rows.unpersist(blocking = false)
+  }
+
   /** Distribution-free median confidence interval per group — the
     * binomial order-statistic bound (Conover's nonparametric CI): the
     * true median lies between the order statistics at ranks

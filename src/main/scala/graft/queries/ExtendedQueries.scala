@@ -1184,6 +1184,13 @@ object ExtendedQueries {
       graft.similarity.Ann.kCenterSelect(
         Tables.embeddings(s, d), "vec_id", "embedding", k = 8)),
 
+    // exact Spearman: does bigger discount MONOTONICALLY buy more
+    // quantity — doubled-midrank integers, five Decimal moments,
+    // one closing expression
+    "q285_spearman" -> ((s, d) =>
+      graft.operators.AnalyticsOps.spearman(
+        Tables.lineitem(s, d), "l_discount", "l_quantity")),
+
     // subgroup treatment effects: the q245 arms contrasted per event
     // type on user-level activity — Welch SE from exact moments; the
     // heterogeneity table behind "did the effect concentrate
@@ -4585,6 +4592,40 @@ object ExtendedQueries {
         |SELECT m.g AS l_returnflag, t.nv AS n_values,
         |  CAST(t.tw AS BIGINT) AS total_weight, m.wm AS weighted_median
         |FROM m JOIN t USING (g)""".stripMargin,
+
+    // same doubled midranks off window cumsums, HUGEINT moments,
+    // identical closing tree
+    "q285_spearman" ->
+      """WITH rows_ AS (
+        |  SELECT CAST(round(l_discount * 1000000) AS BIGINT) AS x,
+        |    CAST(round(l_quantity * 1000000) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+        |), rx AS MATERIALIZED (
+        |  SELECT x, 2 * (cum - c) + c + 1 AS r FROM (
+        |    SELECT x, c, sum(c) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM (SELECT x, count(*) AS c FROM rows_ GROUP BY 1))
+        |), ry AS MATERIALIZED (
+        |  SELECT y, 2 * (cum - c) + c + 1 AS r FROM (
+        |    SELECT y, c, sum(c) OVER (ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM (SELECT y, count(*) AS c FROM rows_ GROUP BY 1))
+        |), j AS (
+        |  SELECT rx.r::HUGEINT AS a, ry.r::HUGEINT AS b
+        |  FROM rows_ JOIN rx USING (x) JOIN ry USING (y)
+        |), m AS (
+        |  SELECT count(*)::HUGEINT AS n, sum(a) AS sx, sum(b) AS sy,
+        |    sum(a * b) AS sxy, sum(a * a) AS sxx, sum(b * b) AS syy
+        |  FROM j
+        |)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(CASE WHEN (n * sxx - sx * sx) > 0
+        |      AND (n * syy - sy * sy) > 0 THEN
+        |    (n * sxy - sx * sy)::DOUBLE
+        |      / sqrt((n * sxx - sx * sx)::DOUBLE
+        |           * (n * syy - sy * sy)::DOUBLE) END, 6) AS spearman_rho
+        |FROM m""".stripMargin,
 
     // same per-(type, arm) moments and Welch tree
     "q283_subgroup_effects" ->

@@ -1032,6 +1032,26 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out === Map((1L, 2L, 3L) -> 2L, (1L, 2L, 4L) -> 2L))
   }
 
+  test("spearman: exactly 1 on any monotone map, exactly -1 reversed, " +
+    "ties through midranks match scipy's value on a hand fixture") {
+    import spark.implicits._
+    // monotone nonlinear: rho must be exactly 1 where Pearson is not
+    val mono = (1 to 20).map(i => (i.toDouble, (i * i).toDouble))
+      .toDF("a", "b")
+    assert(AnalyticsOps.spearman(mono, "a", "b")
+      .collect()(0).getAs[Double]("spearman_rho") === 1.0)
+    val anti = (1 to 20).map(i => (i.toDouble, -(i * i).toDouble))
+      .toDF("a", "b")
+    assert(AnalyticsOps.spearman(anti, "a", "b")
+      .collect()(0).getAs[Double]("spearman_rho") === -1.0)
+    // tie fixture: x = 1,1,2,3  y = 10,20,20,30; midranks
+    // rx = (1.5,1.5,3,4), ry = (1,2.5,2.5,4) -> rho = 3.75/4.5
+    val ties = Seq((1.0, 10.0), (1.0, 20.0), (2.0, 20.0), (3.0, 30.0))
+      .toDF("a", "b")
+    assert(AnalyticsOps.spearman(ties, "a", "b")
+      .collect()(0).getAs[Double]("spearman_rho") === 0.833333)
+  }
+
   test("medianCI: textbook order-statistic bounds on 1..25 (ranks " +
     "7/13/19), ties resolved through the histogram") {
     import spark.implicits._
