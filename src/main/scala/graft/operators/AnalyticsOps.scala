@@ -2328,6 +2328,60 @@ object AnalyticsOps {
     } finally rows.unpersist(blocking = false)
   }
 
+  /** Exact Kendall τ-b — the third member of the correlation family
+    * (Pearson: linear; [[spearman]]: monotonic via ranks; Kendall:
+    * pairwise concordance, the most robust to outliers and the one
+    * with a direct probabilistic reading P(concordant) −
+    * P(discordant)). The naive form is O(n²) over ROWS; this one is
+    * O(cells²) over the JOINT VALUE HISTOGRAM — concordant/discordant
+    * mass between two cells is just c_a·c_b, and ties fall out of the
+    * marginal histograms — so the cost is value-resolution-bounded
+    * (the q267/q274 envelope), never corpus-bounded. Every count is
+    * an exact Decimal(38,0); τ-b closes in one expression.
+    */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(round(col(xCol) * 1000000).cast(LongType).as("__x"),
+        round(col(yCol) * 1000000).cast(LongType).as("__y"))
+    val cells = rows.groupBy("__x", "__y")
+      .agg(count(lit(1)).cast(dec).as("__c"))
+    cells.persist()
+    try {
+      // unordered cell pairs once, lexicographically — the frame is
+      // (#distinct x × #distinct y)² / 2, a deliberate bounded square
+      val pairs = cells.select(col("__x").as("__xa"), col("__y").as("__ya"),
+        col("__c").as("__ca"))
+        .crossJoin(cells.select(col("__x").as("__xb"),
+          col("__y").as("__yb"), col("__c").as("__cb")))
+        .filter(struct(col("__xa"), col("__ya")) <
+          struct(col("__xb"), col("__yb")))
+      val pq = pairs.agg(
+        sum(when((col("__xa") < col("__xb") && col("__ya") < col("__yb")) ||
+          (col("__xa") > col("__xb") && col("__ya") > col("__yb")),
+          col("__ca") * col("__cb")).otherwise(lit(0).cast(dec))).as("__p"),
+        sum(when((col("__xa") < col("__xb") && col("__ya") > col("__yb")) ||
+          (col("__xa") > col("__xb") && col("__ya") < col("__yb")),
+          col("__ca") * col("__cb")).otherwise(lit(0).cast(dec))).as("__q"))
+      val n = rows.agg(count(lit(1)).cast(dec).as("__n"))
+      def tiePairs(c: String) = rows.groupBy(col(c))
+        .agg(count(lit(1)).cast(dec).as("__m"))
+        .agg(sum(col("__m") * (col("__m") - 1)).as("__t2")) // doubled
+      val tx = tiePairs("__x").select(col("__t2").as("__tx2"))
+      val ty = tiePairs("__y").select(col("__t2").as("__ty2"))
+      // doubled pair counts keep everything integer: n0·2 = n(n−1)
+      pq.crossJoin(n).crossJoin(tx).crossJoin(ty)
+        .withColumn("__n02", col("__n") * (col("__n") - 1))
+        .select(col("__n").cast(LongType).as("n"),
+          round(when((col("__n02") - col("__tx2")) > 0 &&
+            (col("__n02") - col("__ty2")) > 0,
+            (lit(2).cast(dec) * (col("__p") - col("__q"))).cast(DoubleType) /
+              sqrt((col("__n02") - col("__tx2")).cast(DoubleType) *
+                (col("__n02") - col("__ty2")).cast(DoubleType))), 6)
+            .as("kendall_tau_b"))
+    } finally cells.unpersist(blocking = false)
+  }
+
   /** Distribution-free median confidence interval per group — the
     * binomial order-statistic bound (Conover's nonparametric CI): the
     * true median lies between the order statistics at ranks

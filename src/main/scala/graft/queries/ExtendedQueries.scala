@@ -1191,6 +1191,12 @@ object ExtendedQueries {
       graft.operators.AnalyticsOps.spearman(
         Tables.lineitem(s, d), "l_discount", "l_quantity")),
 
+    // exact Kendall tau-b on the joint value histogram — O(cells²)
+    // not O(rows²); completes the Pearson/Spearman/Kendall family
+    "q286_kendall_tau" -> ((s, d) =>
+      graft.operators.AnalyticsOps.kendallTau(
+        Tables.lineitem(s, d), "l_discount", "l_quantity")),
+
     // subgroup treatment effects: the q245 arms contrasted per event
     // type on user-level activity — Welch SE from exact moments; the
     // heterogeneity table behind "did the effect concentrate
@@ -4592,6 +4598,40 @@ object ExtendedQueries {
         |SELECT m.g AS l_returnflag, t.nv AS n_values,
         |  CAST(t.tw AS BIGINT) AS total_weight, m.wm AS weighted_median
         |FROM m JOIN t USING (g)""".stripMargin,
+
+    // same joint-histogram concordance counting with doubled tie
+    // pairs; identical closing tree
+    "q286_kendall_tau" ->
+      """WITH rows_ AS (
+        |  SELECT CAST(round(l_discount * 1000000) AS BIGINT) AS x,
+        |    CAST(round(l_quantity * 1000000) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+        |), cells AS MATERIALIZED (
+        |  SELECT x, y, count(*)::HUGEINT AS c FROM rows_ GROUP BY 1, 2
+        |), pq AS (
+        |  SELECT
+        |    sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+        |            OR (a.x > b.x AND a.y > b.y)
+        |      THEN a.c * b.c ELSE 0 END) AS p,
+        |    sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+        |            OR (a.x > b.x AND a.y < b.y)
+        |      THEN a.c * b.c ELSE 0 END) AS q
+        |  FROM cells a, cells b
+        |  WHERE (a.x, a.y) < (b.x, b.y)
+        |), nn AS (SELECT count(*)::HUGEINT AS n FROM rows_),
+        |tx AS (SELECT sum(m * (m - 1)) AS t2 FROM (
+        |  SELECT count(*)::HUGEINT AS m FROM rows_ GROUP BY x)),
+        |ty AS (SELECT sum(m * (m - 1)) AS t2 FROM (
+        |  SELECT count(*)::HUGEINT AS m FROM rows_ GROUP BY y))
+        |SELECT CAST(nn.n AS BIGINT) AS n,
+        |  round(CASE WHEN (nn.n * (nn.n - 1) - tx.t2) > 0
+        |      AND (nn.n * (nn.n - 1) - ty.t2) > 0 THEN
+        |    (2 * (pq.p - pq.q))::DOUBLE
+        |      / sqrt((nn.n * (nn.n - 1) - tx.t2)::DOUBLE
+        |           * (nn.n * (nn.n - 1) - ty.t2)::DOUBLE) END, 6)
+        |    AS kendall_tau_b
+        |FROM pq, nn, tx, ty""".stripMargin,
 
     // same doubled midranks off window cumsums, HUGEINT moments,
     // identical closing tree

@@ -1052,6 +1052,21 @@ class AnalyticsOpsSpec extends SparkSpec {
       .collect()(0).getAs[Double]("spearman_rho") === 0.833333)
   }
 
+  test("kendallTau: +-1 on monotone maps, and the textbook tau-b on " +
+    "a tied fixture") {
+    import spark.implicits._
+    val mono = (1 to 15).map(i => (i.toDouble, (i * i * i).toDouble))
+      .toDF("a", "b")
+    assert(AnalyticsOps.kendallTau(mono, "a", "b")
+      .collect()(0).getAs[Double]("kendall_tau_b") === 1.0)
+    // x = 1,1,2,3  y = 10,20,20,30: P = 4 concordant, Q = 0;
+    // n0*2 = 12, tx2 = 2, ty2 = 2 -> tau = 8/sqrt(100) = 0.8
+    val ties = Seq((1.0, 10.0), (1.0, 20.0), (2.0, 20.0), (3.0, 30.0))
+      .toDF("a", "b")
+    assert(AnalyticsOps.kendallTau(ties, "a", "b")
+      .collect()(0).getAs[Double]("kendall_tau_b") === 0.8)
+  }
+
   test("medianCI: textbook order-statistic bounds on 1..25 (ranks " +
     "7/13/19), ties resolved through the histogram") {
     import spark.implicits._
