@@ -1197,6 +1197,27 @@ object ExtendedQueries {
       graft.operators.AnalyticsOps.kendallTau(
         Tables.lineitem(s, d), "l_discount", "l_quantity")),
 
+    // PII incidence per source: email and US-phone pattern hit rates
+    // (both regexes RE2-compatible and dialect-identical) — the
+    // "which feeds need the redaction pass" triage before q-level
+    // redaction; map-only, #sources output rows
+    "q287_pii_incidence" -> ((s, d) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\(\\d{3}\\) ?\\d{3}-\\d{4}|\\d{3}-\\d{3}-\\d{4}"
+      Tables.documents(s, d)
+        .filter(col("source").isNotNull)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("text").rlike(email), 1L).otherwise(0L))
+            .as("n_email_docs"),
+          sum(when(col("text").rlike(phone), 1L).otherwise(0L))
+            .as("n_phone_docs"),
+          round(sum(when(col("text").rlike(email) ||
+            col("text").rlike(phone), 1L).otherwise(0L))
+            .cast(DoubleType) / count(lit(1)).cast(DoubleType), 6)
+            .as("pii_doc_rate"))
+    }),
+
     // subgroup treatment effects: the q245 arms contrasted per event
     // type on user-level activity — Welch SE from exact moments; the
     // heterogeneity table behind "did the effect concentrate
@@ -4598,6 +4619,24 @@ object ExtendedQueries {
         |SELECT m.g AS l_returnflag, t.nv AS n_values,
         |  CAST(t.tw AS BIGINT) AS total_weight, m.wm AS weighted_median
         |FROM m JOIN t USING (g)""".stripMargin,
+
+    // the same two regexes via regexp_matches; NULL text never hits
+    "q287_pii_incidence" ->
+      """SELECT source, count(*) AS n_docs,
+        |  sum(CASE WHEN regexp_matches(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        |    THEN 1 ELSE 0 END) AS n_email_docs,
+        |  sum(CASE WHEN regexp_matches(text,
+        |    '\(\d{3}\) ?\d{3}-\d{4}|\d{3}-\d{3}-\d{4}')
+        |    THEN 1 ELSE 0 END) AS n_phone_docs,
+        |  round(sum(CASE WHEN regexp_matches(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+        |    OR regexp_matches(text,
+        |      '\(\d{3}\) ?\d{3}-\d{4}|\d{3}-\d{3}-\d{4}')
+        |    THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
+        |    AS pii_doc_rate
+        |FROM documents WHERE source IS NOT NULL
+        |GROUP BY 1""".stripMargin,
 
     // same joint-histogram concordance counting with doubled tie
     // pairs; identical closing tree
