@@ -9,6 +9,7 @@ import duckdb
 import pandas as pd
 
 sf, out = sys.argv[1], sys.argv[2]
+print(f"duckdb=={duckdb.__version__}")
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
@@ -33,14 +34,22 @@ for name in sorted(oracle):
         fails.append((name, f"rows spark={len(got)} oracle={len(exp)}")); continue
     g = got.sort_values(by=list(got.columns), na_position="first").reset_index(drop=True)
     e = exp.sort_values(by=list(exp.columns), na_position="first").reset_index(drop=True)
-    # normalize dtypes: compare as strings after rounding floats
+    # EXACT compare (the driver hashes byte representations): floats
+    # must be bit-identical after a shared -0.0 -> +0.0 normalization
+    # (the only representational split both engines agree is
+    # value-equal). np.isclose here would be WEAKER than the shipping
+    # hash gate and hide -0.0 / round-boundary splits.
     ok = True
     for c in g.columns:
         gc, ec = g[c], e[c]
         if gc.dtype.kind == "f" or ec.dtype.kind == "f":
             import numpy as np
-            same = np.isclose(gc.fillna(1e300).astype(float), ec.fillna(1e300).astype(float),
-                              rtol=1e-9, atol=1e-9)
+            ga = gc.astype(float).to_numpy()
+            ea = ec.astype(float).to_numpy()
+            ga = np.where(ga == 0.0, 0.0, ga)  # -0.0 -> +0.0
+            ea = np.where(ea == 0.0, 0.0, ea)
+            same = (ga.view(np.uint64) == ea.view(np.uint64)) | \
+                   (np.isnan(ga) & np.isnan(ea))
             if not same.all():
                 bad = (~same).nonzero()[0][:3]
                 fails.append((name, f"col {c} diff at rows {bad}: spark={gc.iloc[bad].tolist()} oracle={ec.iloc[bad].tolist()}"))

@@ -278,9 +278,11 @@ object NearDup {
     * Scale shape — candidates come ONLY from the rare tail of each
     * document's shingle set: shingles are globally ordered by
     * (document frequency asc, shingle asc) and each doc contributes
-    * just its first `|x| - floor(t·|x|)` shingles in that order to the
-    * self-join (the prefix-filter lemma: two sets with overlap ≥
-    * ⌈t·max(|x|,|y|)⌉ must share a member inside those prefixes). The
+    * just its first `|x| - floor(t·|x|) + 1` shingles in that order to
+    * the self-join (dominating the prefix-filter lemma's
+    * `|x| - ceil(t·|x|) + 1` even when t·|x| is an exact integer: two
+    * sets with overlap ≥ ⌈t·max(|x|,|y|)⌉ must share a member inside
+    * those prefixes). The
     * per-doc prefix rank is a window bounded by the DOCUMENT's own
     * shingle count — never a corpus- or vocab-sized frame — and the
     * candidate join keys are by construction the LEAST frequent
@@ -313,10 +315,14 @@ object NearDup {
     val ranked = post.join(dfc, "__s")
       .withColumn("__rn", row_number().over(
         Window.partitionBy("__id").orderBy(col("__df"), col("__s"))))
-    // prefix length |x| - floor(t|x|) ≥ the lemma's |x| - ceil(t|x|) + 1:
-    // floor-slack keeps completeness under IEEE multiply rounding
+    // prefix length |x| - floor(t|x|) + 1 ≥ the lemma's
+    // |x| - ceil(t|x|) + 1 for EVERY t|x| (integral t|x| included,
+    // where floor = ceil and the un-incremented form is one short —
+    // e.g. t=1 exact duplicates would get a zero-length prefix) and
+    // under IEEE multiply rounding; costs at most one extra posting
+    // per doc over the tight bound
     val prefix = ranked.filter(
-      col("__rn") <= col("__n") - floor(col("__n") * lit(threshold)))
+      col("__rn") <= col("__n") - floor(col("__n") * lit(threshold)) + 1)
     val cand = prefix.select(col("__id").as("id_a"), col("__s"),
         col("__n").as("__na"))
       .join(prefix.select(col("__id").as("id_b"), col("__s"),

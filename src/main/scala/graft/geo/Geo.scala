@@ -417,7 +417,10 @@ object Geo {
                         facilities: DataFrame, fidCol: String,
                         fxCol: String, fyCol: String,
                         cellSize: Long): DataFrame = {
-    require(cellSize >= 1 && cellSize <= (1L << 31), "cellSize out of range")
+    // ≤ 2^30 keeps __d2 = dx² + dy² ≤ 2·2^60 < 2^63: at 2^31 the
+    // |dx| = |dy| = cellSize corner reaches exactly 2^63 and wraps
+    // negative, sneaking past the d² ≤ r² filter
+    require(cellSize >= 1 && cellSize <= (1L << 30), "cellSize out of range")
     val pts = points
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(idCol), col(xCol).cast("long").as("__x"),
@@ -454,6 +457,12 @@ object Geo {
     require(gridSize >= 2 && gridSize <= (1 << 20), "gridSize out of range")
     val dense = points
       .filter(col(cxCol).isNotNull && col(cyCol).isNotNull)
+      // enforce the lattice precondition on the CELLS themselves, not
+      // just the neighbor offsets: an out-of-range (cx, cy) would
+      // alias another cell's id under cx*gridSize + cy ((0, gridSize)
+      // == (1, 0)) and silently merge unrelated hotspots
+      .filter(col(cxCol) >= 0 && col(cxCol) < gridSize &&
+        col(cyCol) >= 0 && col(cyCol) < gridSize)
       .groupBy(col(cxCol).cast("long").as("__cx"),
         col(cyCol).cast("long").as("__cy"))
       .agg(count(lit(1)).as("__n"))

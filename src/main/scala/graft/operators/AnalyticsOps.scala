@@ -395,8 +395,9 @@ object AnalyticsOps {
         count(lit(1)).as("n_eval"),
         sum(when(col("to_type") === col("predicted_next"), 1L)
           .otherwise(0L)).as("n_correct"))
-      .withColumn("accuracy", round(
-        col("n_correct").cast("double") / col("n_eval").cast("double"), 6))
+      // unrounded exact-integer ratio: one IEEE division, portable
+      .withColumn("accuracy",
+        col("n_correct").cast("double") / col("n_eval").cast("double"))
   }
 
   /** Per-group activity TREND: the least-squares slope of daily event
@@ -1764,14 +1765,19 @@ object AnalyticsOps {
       .withColumn("__se", col("__se1") + col("__se2"))
       .select(col("__g").as(groupCol),
         col("__n").as("n"),
-        round(col("__mean1"), 6).as("mean"),
-        round(when(col("__n") > 1 && col("__m") > 1 && col("__se") > 0,
-          (col("__mean1") - col("__mean2")) / sqrt(col("__se"))), 4).as("t"),
-        round(when(col("__n") > 1 && col("__m") > 1 && col("__se") > 0,
+        // UNROUNDED closings: every op in the tree (int->double cast,
+        // -, *, /, sqrt) is IEEE correctly rounded, so the raw double
+        // is bit-identical across engines AND engine versions — while
+        // round(x, n) is engine-implemented (half-boundary + -0.0
+        // snap hazards; the r9 driver split q213's t on -0.0 vs +0.0)
+        col("__mean1").as("mean"),
+        when(col("__n") > 1 && col("__m") > 1 && col("__se") > 0,
+          (col("__mean1") - col("__mean2")) / sqrt(col("__se"))).as("t"),
+        when(col("__n") > 1 && col("__m") > 1 && col("__se") > 0,
           col("__se") * col("__se") /
             (col("__se1") * col("__se1") / (col("__n").cast("double") - 1.0) +
-              col("__se2") * col("__se2") / (col("__m").cast("double") - 1.0))),
-          4).as("df"))
+              col("__se2") * col("__se2") / (col("__m").cast("double") - 1.0)))
+          .as("df"))
   }
 
   /** Removal-effect channel attribution: a converting user DEPENDS on

@@ -1212,9 +1212,9 @@ object ExtendedQueries {
             .as("n_email_docs"),
           sum(when(col("text").rlike(phone), 1L).otherwise(0L))
             .as("n_phone_docs"),
-          round(sum(when(col("text").rlike(email) ||
+          (sum(when(col("text").rlike(email) ||
             col("text").rlike(phone), 1L).otherwise(0L))
-            .cast(DoubleType) / count(lit(1)).cast(DoubleType), 6)
+            .cast(DoubleType) / count(lit(1)).cast(DoubleType))
             .as("pii_doc_rate"))
     }),
 
@@ -1519,6 +1519,11 @@ object ExtendedQueries {
     // signup→purchase conversion latency by signup-month cohort:
     // exact counts, one division, percentile_cont latency
     "q273_signup_to_purchase" -> ((s, d) => {
+      // Portable closings: conversion is an unrounded exact-integer
+      // ratio; the latency median is the ORDER-STATISTIC median over
+      // integer microseconds ((lo+hi)/2 as one integer sum + one IEEE
+      // division) — percentile_cont's interpolation formula is
+      // engine-implemented and splits hashes across DuckDB versions.
       val e = Tables.events(s, d)
       val signups = e.filter(col("event_type") === "signup")
         .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("__s_us"))
@@ -1528,23 +1533,38 @@ object ExtendedQueries {
         .filter(col("__p_us") >= col("__s_us"))
         .groupBy("user_id", "__s_us")
         .agg(min("__p_us").as("__fp_us"))
-      val latency = conv.withColumn("__lat_h",
-        (col("__fp_us") - col("__s_us")).cast(DoubleType) / 3600.0e6)
+        .select(col("user_id"),
+          date_format(to_date(timestamp_micros(col("__s_us"))), "yyyy-MM")
+            .as("cohort_month"),
+          (col("__fp_us") - col("__s_us")).as("__lat_us"))
+      // cohort-partition window: bounded by cohort size (the same sort
+      // percentile_cont performs), values-only order so ties are moot
+      val wC = Window.partitionBy("cohort_month")
+        .orderBy(col("__lat_us"), col("user_id"))
+      val med = conv
+        .withColumn("__rn", row_number().over(wC))
+        .withColumn("__nc", count(lit(1)).over(
+          Window.partitionBy("cohort_month")))
+        .groupBy("cohort_month")
+        .agg(sum(when(col("__rn") === expr("(__nc + 1) div 2"),
+          col("__lat_us")).otherwise(0L) +
+          when(col("__rn") === expr("__nc div 2 + 1"), col("__lat_us"))
+            .otherwise(0L)).as("__m2"))
       signups
         .withColumn("cohort_month",
           date_format(to_date(timestamp_micros(col("__s_us"))), "yyyy-MM"))
-        .join(latency.select(col("user_id"), col("__lat_h")),
+        .join(conv.select(col("user_id"), lit(1L).as("__c")),
           Seq("user_id"), "left")
         .groupBy("cohort_month")
         .agg(count(lit(1)).as("n_signups"),
-          sum(when(col("__lat_h").isNotNull, 1L).otherwise(0L))
-            .as("n_converted"),
-          round(sum(when(col("__lat_h").isNotNull, 1L).otherwise(0L))
-            .cast(DoubleType) / count(lit(1)).cast(DoubleType), 6)
-            .as("conversion_rate"),
-          round(expr(
-            "percentile_cont(0.5) WITHIN GROUP (ORDER BY __lat_h)"), 4)
-            .as("median_hours_to_purchase"))
+          sum(coalesce(col("__c"), lit(0L))).as("n_converted"),
+          (sum(coalesce(col("__c"), lit(0L)))
+            .cast(DoubleType) / count(lit(1)).cast(DoubleType))
+            .as("conversion_rate"))
+        .join(med, Seq("cohort_month"), "left")
+        .withColumn("median_hours_to_purchase",
+          col("__m2").cast(DoubleType) / 7.2e9)
+        .drop("__m2")
     }),
 
     // variance-optimal stratified sampling: a 2000-row budget splits
@@ -1662,8 +1682,8 @@ object ExtendedQueries {
             sum((col("pred_label") === col("lang")).cast(LongType))
               .as("n_correct"))
           .select(lit(f).as("fold"), col("n_docs"), col("n_correct"),
-            round(col("n_correct").cast(DoubleType)
-              / col("n_docs").cast(DoubleType), 6).as("accuracy"))
+            (col("n_correct").cast(DoubleType)
+              / col("n_docs").cast(DoubleType)).as("accuracy"))
       }.reduce(_ unionByName _)
     }),
 
@@ -3073,12 +3093,12 @@ object ExtendedQueries {
         |  SELECT sum(n) AS cnt, sum(s) AS ts, sum(q) AS tq FROM per
         |)
         |SELECT g AS event_type, n,
-        |  round(mean1, 6) AS mean,
-        |  round(CASE WHEN n > 1 AND m > 1 AND se > 0
-        |    THEN (mean1 - mean2) / sqrt(se) END, 4) AS t,
-        |  round(CASE WHEN n > 1 AND m > 1 AND se > 0
+        |  mean1 AS mean,
+        |  CASE WHEN n > 1 AND m > 1 AND se > 0
+        |    THEN (mean1 - mean2) / sqrt(se) END AS t,
+        |  CASE WHEN n > 1 AND m > 1 AND se > 0
         |    THEN se * se / (se1 * se1 / (CAST(n AS DOUBLE) - 1.0)
-        |      + se2 * se2 / (CAST(m AS DOUBLE) - 1.0)) END, 4) AS df
+        |      + se2 * se2 / (CAST(m AS DOUBLE) - 1.0)) END AS df
         |FROM per, tot,
         |  LATERAL (SELECT cnt - n AS m) a,
         |  LATERAL (SELECT
@@ -3265,8 +3285,8 @@ object ExtendedQueries {
         |SELECT tf.query_id, count(*) AS k_full,
         |  sum(CASE WHEN tp.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
         |    AS n_hits,
-        |  round(CAST(sum(CASE WHEN tp.neighbor_id IS NOT NULL THEN 1
-        |      ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+        |  CAST(sum(CASE WHEN tp.neighbor_id IS NOT NULL THEN 1
+        |      ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
         |FROM tf LEFT JOIN tp USING (query_id, neighbor_id)
         |GROUP BY 1""".stripMargin,
 
@@ -3290,13 +3310,13 @@ object ExtendedQueries {
         |  FROM qv GROUP BY 1
         |)
         |SELECT CAST(dim AS INTEGER) AS dim, n, n_zero,
-        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 6) AS mean,
-        |  round(CASE WHEN n > 1 THEN sqrt(
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS mean,
+        |  CASE WHEN n > 1 THEN sqrt(
         |    (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
         |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 1e12)
-        |    END, 6) AS std,
-        |  round(mn, 6) AS min_v,
-        |  round(mx, 6) AS max_v
+        |    END AS std,
+        |  mn AS min_v,
+        |  mx AS max_v
         |FROM agg""".stripMargin,
 
     // same dense zero-filled grid; day alignment by integer offset,
@@ -3437,8 +3457,8 @@ object ExtendedQueries {
         |  count(*) AS n_eval,
         |  sum(CASE WHEN e.to_type = p.predicted_next THEN 1 ELSE 0 END)
         |    AS n_correct,
-        |  round(CAST(sum(CASE WHEN e.to_type = p.predicted_next
-        |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |  CAST(sum(CASE WHEN e.to_type = p.predicted_next
+        |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |    AS accuracy
         |FROM (SELECT from_type, to_type FROM pairs, bounds WHERE day > split) e
         |LEFT JOIN pred p USING (from_type)
@@ -3492,9 +3512,9 @@ object ExtendedQueries {
         |  CAST(sum(repl + c1 + latin1 + ctrl) AS BIGINT) AS total_artifacts,
         |  sum(CASE WHEN repl = 0 AND c1 = 0 AND latin1 = 0 AND ctrl = 0
         |    THEN 1 ELSE 0 END) AS n_clean,
-        |  round(CAST(sum(CASE WHEN repl = 0 AND c1 = 0 AND latin1 = 0
+        |  CAST(sum(CASE WHEN repl = 0 AND c1 = 0 AND latin1 = 0
         |      AND ctrl = 0 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / CAST(count(*) AS DOUBLE), 6) AS clean_rate
+        |    / CAST(count(*) AS DOUBLE) AS clean_rate
         |FROM t GROUP BY 1""".stripMargin,
 
     // q172's bit-interleave chain plus two comparison layouts; bucket
@@ -4629,11 +4649,11 @@ object ExtendedQueries {
         |  sum(CASE WHEN regexp_matches(text,
         |    '\(\d{3}\) ?\d{3}-\d{4}|\d{3}-\d{3}-\d{4}')
         |    THEN 1 ELSE 0 END) AS n_phone_docs,
-        |  round(sum(CASE WHEN regexp_matches(text,
+        |  sum(CASE WHEN regexp_matches(text,
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
         |    OR regexp_matches(text,
         |      '\(\d{3}\) ?\d{3}-\d{4}|\d{3}-\d{3}-\d{4}')
-        |    THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
+        |    THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE
         |    AS pii_doc_rate
         |FROM documents WHERE source IS NOT NULL
         |GROUP BY 1""".stripMargin,
@@ -4999,22 +5019,38 @@ object ExtendedQueries {
       """WITH s AS MATERIALIZED (
         |  SELECT user_id, min(epoch_us(ts)) AS sus
         |  FROM events WHERE event_type = 'signup' GROUP BY 1
-        |), conv AS (
+        |), conv AS MATERIALIZED (
         |  SELECT s.user_id,
-        |    (min(epoch_us(p.ts)) - s.sus)::DOUBLE / 3600.0e6 AS lat_h
+        |    strftime(make_timestamp(s.sus)::DATE, '%Y-%m') AS cohort_month,
+        |    min(epoch_us(p.ts)) - s.sus AS lat_us
         |  FROM s JOIN events p ON p.user_id = s.user_id
         |    AND p.event_type = 'purchase' AND epoch_us(p.ts) >= s.sus
         |  GROUP BY s.user_id, s.sus
+        |), ranked AS (
+        |  SELECT cohort_month, lat_us,
+        |    row_number() OVER (PARTITION BY cohort_month
+        |      ORDER BY lat_us, user_id) AS rn,
+        |    count(*) OVER (PARTITION BY cohort_month) AS nc
+        |  FROM conv
+        |), med AS (
+        |  SELECT cohort_month,
+        |    sum(CASE WHEN rn = (nc + 1) // 2 THEN lat_us ELSE 0 END
+        |      + CASE WHEN rn = nc // 2 + 1 THEN lat_us ELSE 0 END) AS m2
+        |  FROM ranked GROUP BY 1
+        |), coh AS (
+        |  SELECT strftime(make_timestamp(s.sus)::DATE, '%Y-%m')
+        |      AS cohort_month,
+        |    count(*) AS n_signups,
+        |    sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS n_converted,
+        |    sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |      / count(*)::DOUBLE AS conversion_rate
+        |  FROM s LEFT JOIN conv c ON c.user_id = s.user_id
+        |  GROUP BY 1
         |)
-        |SELECT strftime(make_timestamp(s.sus)::DATE, '%Y-%m') AS cohort_month,
-        |  count(*) AS n_signups,
-        |  sum(CASE WHEN c.lat_h IS NOT NULL THEN 1 ELSE 0 END) AS n_converted,
-        |  round(sum(CASE WHEN c.lat_h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
-        |    / count(*)::DOUBLE, 6) AS conversion_rate,
-        |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY c.lat_h), 4)
+        |SELECT coh.*, CAST(m.m2 AS DOUBLE) / 7.2e9
         |    AS median_hours_to_purchase
-        |FROM s LEFT JOIN conv c ON c.user_id = s.user_id
-        |GROUP BY 1""".stripMargin,
+        |FROM coh LEFT JOIN med m USING (cohort_month)""".stripMargin,
 
     // same lattice moments, allocation ratio, 6-decimal rate, and md5
     // membership
@@ -5327,8 +5363,8 @@ object ExtendedQueries {
       def foldSql(f: Int): String =
         s"""SELECT $f AS fold, count(*) AS n_docs,
            |  sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS n_correct,
-           |  round(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)::DOUBLE
-           |    / count(*)::DOUBLE, 6) AS accuracy
+           |  sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)::DOUBLE
+           |    / count(*)::DOUBLE AS accuracy
            |FROM (
            |  WITH norm AS (
            |    SELECT doc_id, lang,

@@ -340,8 +340,9 @@ object Ann {
       .groupBy("query_id")
       .agg(count(lit(1)).as("k_full"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
-      .withColumn("recall", round(
-        col("n_hits").cast(DoubleType) / col("k_full").cast(DoubleType), 6))
+      // unrounded exact-integer ratio: one IEEE division, portable
+      .withColumn("recall",
+        col("n_hits").cast(DoubleType) / col("k_full").cast(DoubleType))
   }
 
   /** Per-dimension embedding health profile — the "dead or exploding
@@ -368,15 +369,18 @@ object Ann {
         sum(col("__v").cast(dec)).as("__s"),
         sum(col("__v").cast(dec) * col("__v").cast(dec)).as("__q"),
         min("__xd").as("__mn"), max("__xd").as("__mx"))
+      // unrounded closings: int->double casts, -, *, /, sqrt are all
+      // IEEE correctly rounded — bit-identical across engines; min/max
+      // are exact float->double widenings of data values
       .select(col("dim"), col("n"), col("n_zero"),
-        round(col("__s").cast(DoubleType) / col("n").cast(DoubleType) / 1e6, 6)
+        (col("__s").cast(DoubleType) / col("n").cast(DoubleType) / 1e6)
           .as("mean"),
-        round(when(col("n") > 1, sqrt(
+        when(col("n") > 1, sqrt(
           (col("__q").cast(DoubleType) - col("__s").cast(DoubleType) *
             col("__s").cast(DoubleType) / col("n").cast(DoubleType)) /
-            (col("n").cast(DoubleType) - 1.0) / 1e12)), 6).as("std"),
-        round(col("__mn"), 6).as("min_v"),
-        round(col("__mx"), 6).as("max_v"))
+            (col("n").cast(DoubleType) - 1.0) / 1e12)).as("std"),
+        col("__mn").as("min_v"),
+        col("__mx").as("max_v"))
   }
 
   /** IVF with the DETERMINISTIC int8 k-means codebook
@@ -774,6 +778,14 @@ object Ann {
   def kCenterSelect(corpus: DataFrame, idCol: String, vecCol: String,
                     k: Int): DataFrame = {
     require(k >= 1 && k <= 256, "k out of range")
+    // the (dist, -id) max-struct tie-break needs a numeric id: a
+    // string id would cast -id to NULL and silently pick among ties
+    // nondeterministically — fail loudly instead (the rest of the ANN
+    // family is id-generic via finishTopK; this operator is not)
+    require(corpus.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"kCenterSelect requires a numeric id column, got " +
+        s"${corpus.schema(idCol).dataType}")
     def sqDist(a: Column, b: Column): Column =
       aggregate(zip_with(a, b,
         (x, y) => (x.cast(LongType) - y) * (x.cast(LongType) - y)),
@@ -840,6 +852,12 @@ object Ann {
                 poolK: Int = 12, selectK: Int = 5,
                 lambda: Double = 0.7): DataFrame = {
     require(poolK >= selectK && poolK <= 256, "selectK <= poolK <= 256")
+    // same numeric-id contract as kCenterSelect: the greedy argmax
+    // tie-break is the (mmr, -id) max-struct
+    require(corpus.schema(cId).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"mmrRerank requires a numeric corpus id column, got " +
+        s"${corpus.schema(cId).dataType}")
     val q = broadcast(queries.select(col(qId).as("query_id"),
       col(qVec).as("__qv")))
     val rel = q.crossJoin(corpus.select(col(cId).as("neighbor_id"),

@@ -976,8 +976,10 @@ object TextOps {
         n(ctrl > 0).as("n_control"),
         sum(repl + c1 + latin1 + ctrl).as("total_artifacts"),
         n(repl === 0 && c1 === 0 && latin1 === 0 && ctrl === 0).as("n_clean"))
-      .withColumn("clean_rate", round(
-        col("n_clean").cast(DoubleType) / col("n_docs").cast(DoubleType), 6))
+      // unrounded: an exact-integer ratio is one IEEE division —
+      // bit-identical everywhere; round() is engine-implemented
+      .withColumn("clean_rate",
+        col("n_clean").cast(DoubleType) / col("n_docs").cast(DoubleType))
   }
 
   /** Top-k collocations by Dunning's log-likelihood ratio (Dunning

@@ -897,15 +897,21 @@ class AnalyticsOpsSpec extends SparkSpec {
   test("welchTTest: hand-computed t and Welch-Satterthwaite df on " +
     "equal-variance halves") {
     // A={1,2,3} vs rest B={4,5,6}: means 2 and 5, s^2 = 1 both sides,
-    // se = 1/3 + 1/3, t = -3/sqrt(2/3) = -3.6742, df = (2/3)^2/(1/9) = 4
+    // se = 1/3 + 1/3, t = -3/sqrt(2/3), df = (2/3)^2/(1/9) = 4; the
+    // expectations below REPLAY the operator's unrounded closing tree
+    // op-for-op (every op IEEE correctly rounded -> bit-equal)
     val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
       ("B", 4.0), ("B", 5.0), ("B", 6.0)).toDF("event_type", "value")
     val out = AnalyticsOps.welchTTest(df, "event_type", "value")
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getAs[Double]("mean"), r.getAs[Double]("t"),
           r.getAs[Double]("df"))).toMap
-    assert(out("A") === ((3L, 2.0, -3.6742, 4.0)))
-    assert(out("B") === ((3L, 5.0, 3.6742, 4.0)))
+    val se1 = 1.0 / 3.0
+    val se = se1 + se1
+    val tExp = -3.0 / math.sqrt(se)
+    val dfExp = se * se / (se1 * se1 / 2.0 + se1 * se1 / 2.0)
+    assert(out("A") === ((3L, 2.0, tExp, dfExp)))
+    assert(out("B") === ((3L, 5.0, -tExp, dfExp)))
   }
 
   test("removalEffectAttribution: only strictly-pre-conversion touches " +

@@ -90,8 +90,11 @@ class AnnSpec extends SparkSpec {
           r.getAs[Double]("std"), r.getAs[Double]("min_v"),
           r.getAs[Double]("max_v"))).toMap
     assert(out(0) === ((3L, 0L, 2.0, 1.0, 1.0, 3.0)))
-    // dim 1: {0,0,4} -> mean 4/3, sample var 16/3, std 2.309401
-    assert(out(1) === ((3L, 2L, 1.333333, 2.309401, 0.0, 4.0)))
+    // dim 1: {0,0,4} -> mean 4/3, sample var 16/3; expectations replay
+    // the operator's unrounded closing tree op-for-op
+    val meanExp = 4.0e6 / 3.0 / 1e6
+    val stdExp = math.sqrt((16.0e12 - 4.0e6 * 4.0e6 / 3.0) / 2.0 / 1e12)
+    assert(out(1) === ((3L, 2L, meanExp, stdExp, 0.0, 4.0)))
   }
 
   test("kCenterSelect: farthest-point traversal picks opposite poles " +
