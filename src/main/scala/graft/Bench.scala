@@ -41,7 +41,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_ONLY=q145,q264 times a comma-separated prefix subset
+    // (the Verify convention) — for profiling single queries without
+    // paying for the whole headline sweep
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(exclude)
+      .filter(n => only.forall(_.exists(n.startsWith)))
     // JVM/codegen warm-up on the smallest scale so the first measured
     // query doesn't absorb session start-up cost
     try SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
@@ -77,7 +83,9 @@ object Bench {
     // (BENCH_r6/r7 lost per-query history for a third of the set): the
     // full per-query line is ALSO appended to a committed jsonl, one
     // line per run with a wall-clock stamp for cross-round comparison
-    try {
+    // subset runs (SPARK_GRAFT_ONLY) are profiling probes — keep them
+    // out of the committed full-sweep history
+    if (only.isEmpty) try {
       val stamp = java.time.Instant.now().toString
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_full.jsonl"),

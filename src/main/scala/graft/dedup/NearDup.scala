@@ -662,6 +662,40 @@ object NearDup {
         .select(col(idCol), col("simhash")),
       idCol, "simhash", maxHamming)
 
+  /** ENGINE-PORTABLE 64-bit SimHash signatures: each token's 64 hash
+    * bits are two u32 halves of md5(token) (hex chars 1-8 → bits
+    * 0-31, chars 9-16 → bits 32-63), so an independent SQL engine
+    * replays the signature bit-for-bit — [[withSimhash]]'s murmur
+    * bits are JVM-only and can only be oracle-checked against pinned
+    * literals. Bit b of the output is 1 iff STRICTLY more tokens set
+    * bit b than clear it (2·ones_b > n_tokens). Docs with no tokens
+    * (NULL/blank text) carry no signature and are absent.
+    *
+    * Scale shape: ONE fused map-only pass per document
+    * ([[graft.expressions.Md5Simhash64]] — tokenize, md5, 64-bit
+    * tally, majority close, no explode and no shuffle at all). Output
+    * is one row per doc — the input to [[hammingPairs64]]'s pigeonhole
+    * blocking, whose candidates are COMPLETE by construction (a
+    * hamming ≤ h pair must share one of h+1 exact blocks), unlike
+    * banded LSH whose recall is probabilistic.
+    */
+  def md5SimhashSigs(df: DataFrame, idCol: String, textCol: String,
+                     outCol: String = "simhash"): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.expressions.Md5Simhash64.column(col(textCol)).as(outCol))
+      .filter(col(outCol).isNotNull)
+
+  /** Near-dup pairs on the PORTABLE md5 SimHash ([[md5SimhashSigs]] →
+    * [[hammingPairs64]]): the fully-oracle-checkable sibling of
+    * [[simhashPairs]] — candidates complete by pigeonhole, exact
+    * hamming verify, and a SQL oracle can recompute the entire chain.
+    */
+  def md5SimhashPairs(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame =
+    hammingPairs64(md5SimhashSigs(df, idCol, textCol), idCol, "simhash",
+      maxHamming)
+
   // ------------------------------------------------------------------
   // Embedding-cosine near-dup
   // ------------------------------------------------------------------

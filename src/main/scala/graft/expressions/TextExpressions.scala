@@ -240,3 +240,101 @@ object CharEntropy {
   def column(c: Column): Column =
     ColumnBridge.toColumn(CharEntropy(ColumnBridge.toExpression(c)))
 }
+
+/** Fused 64-bit md5 SimHash over whitespace tokens — the hot-path
+  * form of `explode(tokens(text))` → `md5(token)` → 64 per-bit sums →
+  * strict-majority signature, collapsed into ONE streaming pass per
+  * document with zero shuffle (the composed chain pays a corpus-sized
+  * explode plus a 64-sum hash aggregate). Bit source per token: the
+  * two u32 halves of md5(token) — hex chars 1-8 → bits 0-31, chars
+  * 9-16 → bits 32-63 — so any SQL engine with md5 replays the
+  * signature bit-for-bit (Md5Simhash64 is what q264's DuckDB oracle
+  * recomputes). Bit b of the output is 1 iff STRICTLY more tokens set
+  * bit b than clear it. Tokenization = graft.text.TextOps.tokens:
+  * trim \s edges, split on \s+ (java regex \s class). Zero tokens
+  * (blank text) → NULL, mirroring the absent-row contract of the
+  * composed form. Interpreted eval (CodegenFallback) — md5 and the
+  * 64-bit tally dominate, not the dispatch (the CharNgramHashes
+  * precedent).
+  */
+case class Md5Simhash64(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.types.LongType
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"md5_simhash64 expects string, got $other")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    Md5Simhash64.signature(s) match {
+      case Some(sig) => sig
+      case None => null
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Simhash64 =
+    copy(child = newChild)
+}
+
+object Md5Simhash64 {
+  def column(c: Column): Column =
+    ColumnBridge.toColumn(Md5Simhash64(ColumnBridge.toExpression(c)))
+
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  // java regex \s — the exact class TextOps.tokens splits on
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+
+  /** None when the text has zero tokens. */
+  def signature(s: String): Option[Long] = {
+    val counts = new Array[Int](64)
+    var nTokens = 0
+    val digest = md.get()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isWs(s.charAt(i))) i += 1
+        nTokens += 1
+        digest.reset()
+        val d = digest.digest(s.substring(start, i).getBytes("UTF-8"))
+        // hex chars 1-8 big-endian = bytes 0..3; 9-16 = bytes 4..7
+        val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        var b = 0
+        while (b < 32) {
+          if (((h1 >>> b) & 1L) == 1L) counts(b) += 1
+          if (((h2 >>> b) & 1L) == 1L) counts(32 + b) += 1
+          b += 1
+        }
+      }
+    }
+    if (nTokens == 0) None
+    else {
+      var out = 0L
+      var b = 0
+      while (b < 64) {
+        if (2 * counts(b) > nTokens) out |= (1L << b)
+        b += 1
+      }
+      Some(out)
+    }
+  }
+}

@@ -84,9 +84,10 @@ object GraphOps {
           coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
         .select(col("n_nodes"), lit(nEdges).as("n_edges"), col("n_wedges"),
           lit(tri).as("n_triangles"),
-          round(when(col("n_wedges") > 0,
-            lit(3.0) * lit(tri.toDouble) / col("n_wedges").cast("double")),
-            6).as("clustering_coeff"))
+          // unrounded exact-integer ratio: one IEEE division, portable
+          when(col("n_wedges") > 0,
+            lit(3.0) * lit(tri.toDouble) / col("n_wedges").cast("double"))
+            .as("clustering_coeff"))
     } finally und.unpersist(blocking = false)
   }
 

@@ -2019,12 +2019,15 @@ object AnalyticsOps {
     */
   def itemRecHoldout(df: DataFrame, userCol: String, itemCol: String,
                      tsCol: String, k: Int = 5, maxBasket: Int = 100,
-                     splitFrac: Double = 0.5): DataFrame = {
+                     splitFrac: Double = 0.5, minCooc: Long = 1L): DataFrame = {
+    // persist the dated incidence: the split-point aggregate and BOTH
+    // halves consume it — unpersisted, the upstream scan runs 3×
     val rows = df
       .filter(col(userCol).isNotNull && col(itemCol).isNotNull &&
         col(tsCol).isNotNull)
       .select(col(userCol).as("__u"), col(itemCol).as("__i"),
         to_date(col(tsCol)).as("__day"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val daySpan = rows.agg(min("__day").as("__d0"), max("__day").as("__d1"))
       .select(expr(
         s"date_add(__d0, CAST(floor(datediff(__d1, __d0) * $splitFrac) AS INT))")
@@ -2036,7 +2039,7 @@ object AnalyticsOps {
       .select("__u", "__i").distinct()
     train.persist(); test.persist()
     try {
-      val sims = itemSimilarity(train, "__u", "__i", k, maxBasket)
+      val sims = itemSimilarity(train, "__u", "__i", k, maxBasket, minCooc)
       val cand = train
         .join(sims.select(col("item").as("__i"),
           col("similar_item").as("__c")), "__i")
@@ -2054,13 +2057,17 @@ object AnalyticsOps {
       val nHit = hitUsers.agg(count(lit(1)).as("n_hit_users"))
       val nCand = candOfEval.agg(count(lit(1)).as("__nc"))
       nEval.crossJoin(nHit).crossJoin(nCand)
+        // unrounded exact-integer ratios: one IEEE division, portable
         .select(col("n_eval_users"), col("n_hit_users"),
-          round(col("n_hit_users").cast("double")
-            / col("n_eval_users").cast("double"), 6).as("hit_rate"),
-          round(col("__nc").cast("double")
-            / col("n_eval_users").cast("double"), 6).as("avg_candidates"))
+          (col("n_hit_users").cast("double")
+            / col("n_eval_users").cast("double")).as("hit_rate"),
+          (col("__nc").cast("double")
+            / col("n_eval_users").cast("double")).as("avg_candidates"))
         .localCheckpoint(true)
-    } finally { train.unpersist(blocking = false); test.unpersist(blocking = false) }
+    } finally {
+      train.unpersist(blocking = false); test.unpersist(blocking = false)
+      rows.unpersist(blocking = false)
+    }
   }
 
   /** Frequent triple mining — one Apriori step (Agrawal & Srikant
@@ -2747,11 +2754,16 @@ object AnalyticsOps {
     * candidate list of a popular item.
     */
   def itemSimilarity(df: DataFrame, userCol: String, itemCol: String,
-                     k: Int = 5, maxBasket: Int = 100): DataFrame = {
+                     k: Int = 5, maxBasket: Int = 100,
+                     minCooc: Long = 1L): DataFrame = {
+    // persist the incidence: both the basket-size aggregate and the
+    // cap semi-join consume it — unpersisted, the upstream scan +
+    // distinct (the most expensive input stage, CfProbe) runs twice
     val ui = df
       .filter(col(userCol).isNotNull && col(itemCol).isNotNull)
       .select(col(userCol).as("__u"), col(itemCol).as("__i"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val small = ui.groupBy("__u").agg(count(lit(1)).as("__bs"))
       .filter(col("__bs") <= maxBasket)
       .select("__u")
@@ -2759,10 +2771,17 @@ object AnalyticsOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = kept.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+      // minCooc floor (exact, oracle-mirrored): a single shared user
+      // is noise in implicit feedback, and cooc = 1 pairs dominate the
+      // pair table at corpus scale — the floor cuts everything
+      // downstream of the count (sym, norm joins, heap) by the cooc
+      // histogram's head while the model keeps only evidence-backed
+      // neighbours
       val cooc = kept.select(col("__u"), col("__i").as("__ia"))
         .join(kept.select(col("__u"), col("__i").as("__ib")), "__u")
         .filter(col("__ia") < col("__ib"))
         .groupBy("__ia", "__ib").agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= minCooc)
       val sym = cooc.unionAll(cooc.select(col("__ib").as("__ia"),
         col("__ia").as("__ib"), col("__c")))
       val scored = sym
@@ -2778,8 +2797,12 @@ object AnalyticsOps {
         .select(col("item"),
           (col("pos") + 1).cast(IntegerType).as("rank"),
           col("col.id").as("similar_item"),
-          round(col("col.score"), 6).as("cosine"))
+          // unrounded: exact ints through /, sqrt — IEEE-portable
+          col("col.score").as("cosine"))
         .localCheckpoint(true)
-    } finally kept.unpersist(blocking = false)
+    } finally {
+      kept.unpersist(blocking = false)
+      ui.unpersist(blocking = false)
+    }
   }
 }

@@ -902,7 +902,7 @@ object ExtendedQueries {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("user_id"), col("l_partkey").as("item"))
       graft.operators.AnalyticsOps.itemSimilarity(
-        baskets, "user_id", "item", k = 5, maxBasket = 60)
+        baskets, "user_id", "item", k = 5, maxBasket = 60, minCooc = 2L)
     }),
 
     // per-brand price/size skyline: parts no other part of the brand
@@ -1167,14 +1167,17 @@ object ExtendedQueries {
     "q262_dow_anomaly" -> ((s, d) =>
       graft.operators.AnalyticsOps.dowAdjustedAnomaly(Tables.events(s, d))),
 
-    // transitivity health of the LSH near-dup relation: a sound
-    // "near duplicate" is almost transitive, so a low clustering
-    // coefficient flags chain-merging before component-level dedup
+    // transitivity health of the near-dup relation: a sound "near
+    // duplicate" is almost transitive, so a low clustering coefficient
+    // flags chain-merging before component-level dedup. Graph = md5
+    // SimHash hamming ≤ 3 pairs: candidates COMPLETE by pigeonhole
+    // blocking AND selective (only identical 16-bit blocks join) —
+    // the τ=0.45 banded-LSH graph this replaces needed non-selective
+    // bands (6-bit bands collide ~78% of ALL pairs across 96 bands)
+    // to reach full recall, an all-pairs join in disguise at scale
     "q264_dupgraph_clustering" -> ((s, d) => {
-      val pairs = graft.dedup.NearDup.lshCosinePairsBanded(
-        Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.45, bands = 96, bitsPerBand = 6,
-        dedupBeforeVerify = false)
+      val pairs = graft.dedup.NearDup.md5SimhashPairs(
+        Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
       graft.graph.GraphOps.clusteringCoefficient(pairs, "id_a", "id_b")
     }),
 
@@ -1721,7 +1724,8 @@ object ExtendedQueries {
         .select(col("o_custkey").as("user_id"),
           col("l_partkey").as("item"), col("o_orderdate").as("ts"))
       graft.operators.AnalyticsOps.itemRecHoldout(
-        baskets, "user_id", "item", "ts", k = 5, maxBasket = 60)
+        baskets, "user_id", "item", "ts", k = 5, maxBasket = 60,
+        minCooc = 2L)
     }),
 
     // array-function surface: per-doc stopword intersections /
@@ -5264,33 +5268,60 @@ object ExtendedQueries {
         |    AS centroid_cosine
         |FROM m JOIN c USING (label)""".stripMargin,
 
-    // exact quadratic pair SQL (the q51 oracle — recall-1-proven vs
-    // the banded engine path), ordered triangle join, integer wedges
-    "q264_dupgraph_clustering" ->
-      """WITH e AS MATERIALIZED (
-        |  SELECT a.vec_id AS s, b.vec_id AS t
-        |  FROM embeddings a, embeddings b
-        |  WHERE a.vec_id < b.vec_id
-        |    AND list_cosine_similarity(a.embedding::DOUBLE[],
-        |          b.embedding::DOUBLE[]) >= 0.45
-        |), deg AS (
-        |  SELECT v, count(*) AS d FROM (
-        |    SELECT s AS v FROM e UNION ALL SELECT t FROM e) GROUP BY 1
-        |), tri AS (
-        |  SELECT count(*) AS t
-        |  FROM e e1
-        |  JOIN e e2 ON e2.s = e1.s AND e2.t > e1.t
-        |  JOIN e e3 ON e3.s = e1.t AND e3.t = e2.t
-        |)
-        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
-        |  (SELECT count(*) FROM e) AS n_edges,
-        |  CAST((SELECT coalesce(sum((d * (d - 1)) // 2), 0) FROM deg) AS BIGINT)
-        |    AS n_wedges,
-        |  (SELECT t FROM tri) AS n_triangles,
-        |  round(CASE WHEN (SELECT coalesce(sum((d * (d - 1)) // 2), 0) FROM deg) > 0
-        |    THEN 3.0 * (SELECT t FROM tri)::DOUBLE
-        |      / (SELECT coalesce(sum((d * (d - 1)) // 2), 0) FROM deg)::DOUBLE
-        |    END, 6) AS clustering_coeff""".stripMargin,
+    // full md5-SimHash replay (64 bit-sums per doc, strict-majority
+    // signature), exact quadratic hamming pair SQL vs the engine's
+    // pigeonhole-blocked path, ordered triangle join, integer wedges
+    "q264_dupgraph_clustering" -> {
+      val sums1 = (0 until 32)
+        .map(b => s"sum((h1 >> $b) & 1) AS b$b").mkString(", ")
+      val sums2 = (32 until 64)
+        .map(b => s"sum((h2 >> ${b - 32}) & 1) AS b$b").mkString(", ")
+      val lo = (0 until 32)
+        .map(b => s"CASE WHEN 2 * b$b > n THEN (1::BIGINT << $b) ELSE 0 END")
+        .mkString(" + ")
+      val hi = (32 until 64)
+        .map(b =>
+          s"CASE WHEN 2 * b$b > n THEN (1::BIGINT << ${b - 32}) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+         |      THEN []::VARCHAR[]
+         |      ELSE regexp_split_to_array(trim(text), '\\s+') END) AS w
+         |  FROM documents WHERE text IS NOT NULL
+         |), h AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(w), 1, 8))::UBIGINT::BIGINT AS h1,
+         |    ('0x' || substr(md5(w), 9, 8))::UBIGINT::BIGINT AS h2
+         |  FROM toks
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS n, $sums1, $sums2
+         |  FROM h GROUP BY 1
+         |), sig AS MATERIALIZED (
+         |  SELECT doc_id, $lo AS lo, $hi AS hi FROM agg
+         |), e AS MATERIALIZED (
+         |  SELECT a.doc_id AS s, b.doc_id AS t
+         |  FROM sig a, sig b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+         |), deg AS (
+         |  SELECT v, count(*) AS d FROM (
+         |    SELECT s AS v FROM e UNION ALL SELECT t FROM e) GROUP BY 1
+         |), tri AS (
+         |  SELECT count(*) AS t
+         |  FROM e e1
+         |  JOIN e e2 ON e2.s = e1.s AND e2.t > e1.t
+         |  JOIN e e3 ON e3.s = e1.t AND e3.t = e2.t
+         |)
+         |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+         |  (SELECT count(*) FROM e) AS n_edges,
+         |  CAST((SELECT coalesce(sum((d * (d - 1)) // 2), 0) FROM deg) AS BIGINT)
+         |    AS n_wedges,
+         |  (SELECT t FROM tri) AS n_triangles,
+         |  CASE WHEN (SELECT coalesce(sum((d * (d - 1)) // 2), 0) FROM deg) > 0
+         |    THEN 3.0 * (SELECT t FROM tri)::DOUBLE
+         |      / (SELECT coalesce(sum((d * (d - 1)) // 2), 0) FROM deg)::DOUBLE
+         |    END AS clustering_coeff""".stripMargin
+    },
 
     // the q196 score recomputation, then integer-lattice Brier and
     // the 10-bin ECE with identical closing trees
@@ -5669,7 +5700,7 @@ object ExtendedQueries {
         |cooc AS (
         |  SELECT a.i AS ia, b.i AS ib, count(*) AS c
         |  FROM kept a JOIN kept b ON a.u = b.u AND a.i < b.i
-        |  GROUP BY 1, 2
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
         |), sym AS (
         |  SELECT ia, ib, c FROM cooc UNION ALL SELECT ib, ia, c FROM cooc
         |), sims AS MATERIALIZED (
@@ -5694,8 +5725,8 @@ object ExtendedQueries {
         |    SELECT 1 FROM test t WHERE t.u = ce.u AND t.i = ce.c)
         |)
         |SELECT ne AS n_eval_users, nh AS n_hit_users,
-        |  round(nh::DOUBLE / ne::DOUBLE, 6) AS hit_rate,
-        |  round(nc::DOUBLE / ne::DOUBLE, 6) AS avg_candidates
+        |  nh::DOUBLE / ne::DOUBLE AS hit_rate,
+        |  nc::DOUBLE / ne::DOUBLE AS avg_candidates
         |FROM (SELECT (SELECT count(*) FROM eu) AS ne,
         |        (SELECT count(*) FROM hits) AS nh,
         |        (SELECT count(*) FROM ce) AS nc)""".stripMargin,
@@ -5713,7 +5744,7 @@ object ExtendedQueries {
         |cooc AS (
         |  SELECT a.i AS ia, b.i AS ib, count(*) AS c
         |  FROM kept a JOIN kept b ON a.u = b.u AND a.i < b.i
-        |  GROUP BY 1, 2
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
         |), sym AS (
         |  SELECT ia, ib, c FROM cooc UNION ALL SELECT ib, ia, c FROM cooc
         |), scored AS (
@@ -5722,7 +5753,7 @@ object ExtendedQueries {
         |  FROM sym s JOIN n na ON na.i = s.ia JOIN n nb ON nb.i = s.ib
         |)
         |SELECT item, CAST(rank AS INT) AS rank, sim AS similar_item,
-        |  round(cos, 6) AS cosine
+        |  cos AS cosine
         |FROM (SELECT item, sim, cos, row_number() OVER (
         |        PARTITION BY item ORDER BY cos DESC, sim) AS rank
         |      FROM scored)

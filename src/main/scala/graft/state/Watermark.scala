@@ -93,4 +93,45 @@ object Watermark {
     }
     mustRename(tmp, p)
   }
+
+  /** Listing-based backfill-date inference — the reference's
+    * `find_backfill_date` (airflow_utils.py:250-308): when the run log
+    * is MISSING (lost state, first deploy), infer the resume date from
+    * the date-partitioned output tree itself. Walk month prefixes
+    * `<dir>/yyyy/MM` backwards from `asOf`'s month while year >
+    * `earliestYear` (the reference's hard 2017 floor); the first month
+    * holding at least one NON-EMPTY file (the reference's size > 0 kb
+    * guard — zero-byte drops are failed uploads) answers with the
+    * LATEST modification date among those files; if no month
+    * qualifies, fall back to yesterday (asOf − 1 day), the reference's
+    * terminal default. Timestamps resolve in UTC — the engine-wide
+    * session timezone — where the reference used the feed's local tz.
+    *
+    * Scale shape: driver-side metadata listing of at most one month
+    * prefix per probe (never the whole tree), bounded by the year
+    * floor; no data is read.
+    */
+  def findBackfillDate(dirPath: String, asOf: java.time.LocalDate,
+                       earliestYear: Int = 2017): java.time.LocalDate = {
+    val fs = fsFor(dirPath)
+    var ym = java.time.YearMonth.from(asOf)
+    while (ym.getYear > earliestYear) {
+      val prefix = new HPath(
+        f"$dirPath/${ym.getYear}%04d/${ym.getMonthValue}%02d")
+      if (fs.exists(prefix)) {
+        val it = fs.listFiles(prefix, true)
+        var latest = Long.MinValue
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getLen > 0 && st.getModificationTime > latest)
+            latest = st.getModificationTime
+        }
+        if (latest != Long.MinValue)
+          return java.time.Instant.ofEpochMilli(latest)
+            .atZone(java.time.ZoneOffset.UTC).toLocalDate
+      }
+      ym = ym.minusMonths(1)
+    }
+    asOf.minusDays(1)
+  }
 }

@@ -686,6 +686,96 @@ object StreamingOps {
     graft.graph.GraphOps.weightedDistances(
       spark.read.parquet(statePath), seeds, maxRounds)
 
+  /** Incremental-frontier connected components for APPEND-ONLY edge
+    * streams — the true incremental upgrade of
+    * [[componentsFromState]]'s honest recompute-on-read. State is the
+    * LABEL TABLE (node, component = min member id); each micro-batch
+    * CONTRACTS its new edges onto the current labels (endpoint → its
+    * component, unseen endpoint → itself), runs min-label CC on that
+    * contracted graph — sized by the batch and the components it
+    * touches, never the accumulated corpus graph — and applies the
+    * resulting label map with ONE component-keyed join.
+    *
+    * The late-bridging-edge hazard documented on
+    * [[componentsFromState]] is handled BY CONSTRUCTION: an edge
+    * joining two giant components contracts to one (labelA, labelB)
+    * row, the tiny CC merges the two labels, and the relabel join
+    * moves every member — merge cost is independent of component
+    * size. Replaying a batch is a no-op by algebra (re-merging merged
+    * labels maps every label to itself). `iters` must cover the
+    * CONTRACTED graph's diameter (pointer-doubling rounds over the
+    * batch's touched components — 8 covers 2^8-label chains, far
+    * beyond a realistic micro-batch). Deletions are out of contract,
+    * exactly as for the recompute-on-read twin.
+    *
+    * Crash discipline: write-new-then-swap with the checked renames
+    * every state writer here uses; a crash between the rotation
+    * renames leaves `.old` as the recoverable pre-batch label table.
+    */
+  def ccLabelBatch(batch: DataFrame, aCol: String, bCol: String,
+                   labelPath: String, iters: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val master = new HPath(labelPath)
+    val fs = master.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nonEmptyDir(p: HPath) = fs.exists(p) && fs.listStatus(p).nonEmpty
+    def mustRename(src: HPath, dst: HPath): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"rename $src -> $dst failed")
+    val old = new HPath(labelPath + ".old")
+    val edges = batch
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("id_a"), col(bCol).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+      .localCheckpoint(true)
+    val labels =
+      if (nonEmptyDir(master)) spark.read.parquet(labelPath)
+      else if (nonEmptyDir(old)) spark.read.parquet(old.toString)
+      else edges.select(col("id_a").as("node"), col("id_a").as("component"))
+        .limit(0)
+    // contract: endpoint -> current component, unseen -> itself
+    val contracted = edges
+      .join(labels.select(col("node").as("id_a"),
+        col("component").as("__la")), Seq("id_a"), "left")
+      .join(labels.select(col("node").as("id_b"),
+        col("component").as("__lb")), Seq("id_b"), "left")
+      .select(coalesce(col("__la"), col("id_a")).as("id_a"),
+        coalesce(col("__lb"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val lmap = graft.graph.GraphOps.connectedComponents(contracted, iters)
+      .select(col("node").as("__old"), col("component").as("__new"))
+      .filter(col("__old") =!= col("__new"))
+      .localCheckpoint(true)
+    val endpoints = edges.select(col("id_a").as("node"))
+      .unionByName(edges.select(col("id_b").as("node"))).distinct()
+    val newNodes = endpoints.join(labels.select("node"), Seq("node"),
+      "left_anti")
+    val updatedOld = labels
+      .join(lmap, labels("component") === lmap("__old"), "left")
+      .select(labels("node"),
+        coalesce(col("__new"), labels("component")).as("component"))
+    val newRows = newNodes
+      .join(lmap, newNodes("node") === lmap("__old"), "left")
+      .select(newNodes("node"),
+        coalesce(col("__new"), newNodes("node")).as("component"))
+    val next = updatedOld.unionByName(newRows).localCheckpoint(true)
+    val tmp = new HPath(labelPath + ".next")
+    next.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(master)) {
+      if (fs.exists(old) && !fs.delete(old, true))
+        throw new java.io.IOException(s"delete $old failed")
+      mustRename(master, old)
+    }
+    mustRename(tmp, master)
+  }
+
+  /** The label table [[ccLabelBatch]] maintains — already the
+    * components answer, no recompute: (node, component).
+    */
+  def componentsFromLabels(spark: SparkSession,
+                           labelPath: String): DataFrame =
+    spark.read.parquet(labelPath).select("node", "component")
+
   /** Incremental sibling of
     * [[graft.operators.AnalyticsOps.itemSimilarity]]: feedback
     * micro-batches append their deduped (user, item) incidence as

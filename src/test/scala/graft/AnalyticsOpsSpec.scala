@@ -1001,8 +1001,8 @@ class AnalyticsOpsSpec extends SparkSpec {
     // candidate {B} hits its holdout; u4 test-only, u5 train-only
     assert(r.getAs[Long]("n_eval_users") === 3L)
     assert(r.getAs[Long]("n_hit_users") === 1L)
-    assert(r.getAs[Double]("hit_rate") === 0.333333)
-    assert(r.getAs[Double]("avg_candidates") === 0.333333)
+    assert(r.getAs[Double]("hit_rate") === 1.0 / 3.0)
+    assert(r.getAs[Double]("avg_candidates") === 1.0 / 3.0)
   }
 
   test("didReport: identical pre/post activity per user closes the " +
@@ -1314,13 +1314,23 @@ class AnalyticsOpsSpec extends SparkSpec {
       k = 2, maxBasket = 3)
       .collect().map(r => (r.getLong(0), r.getInt(1)) ->
         (r.getLong(2), r.getAs[Double]("cosine"))).toMap
-    // nA=3 nB=2 nC=2; cooc AB=2 AC=2 BC=1
-    val s6 = math.rint(2.0 / math.sqrt(6.0) * 1e6) / 1e6
+    // nA=3 nB=2 nC=2; cooc AB=2 AC=2 BC=1; expectations replay the
+    // operator's unrounded closing tree (c / sqrt(na*nb)) op-for-op
+    val s6 = 2.0 / math.sqrt(6.0)
     assert(out((1L, 1)) === ((2L, s6))) // tie with item 3 -> id asc
     assert(out((1L, 2)) === ((3L, s6)))
     assert(out((2L, 1)) === ((1L, s6)))
     assert(out((2L, 2)) === ((3L, 0.5)))
     assert(!out.keys.exists(_._1 === 4L))
     assert(!out.values.exists(_._1 === 4L))
+    // the minCooc floor drops the single-shared-user BC pair but
+    // keeps the evidence-backed AB/AC neighbours
+    val floored = AnalyticsOps.itemSimilarity(fb, "user_id", "item",
+      k = 2, maxBasket = 3, minCooc = 2L)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getAs[Double]("cosine"))).toMap
+    assert(floored((1L, 1)) === ((2L, s6)))
+    assert(floored((2L, 1)) === ((1L, s6)))
+    assert(!floored.contains((2L, 2)), "cooc=1 neighbour must be floored")
   }
 }

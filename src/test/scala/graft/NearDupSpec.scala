@@ -356,6 +356,83 @@ class NearDupSpec extends SparkSpec {
     }
   }
 
+  test("prefixJaccardPairs boundary: J exactly == threshold with " +
+    "integral t*n survives, and threshold 1.0 finds exact duplicates") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // x = 2 shingles {a b c, b c d} fully inside y's 4 ({u v a, v a b,
+    // a b c, b c d}): J = 2/(2+4-2) = 0.5 exactly; y's unique shingles
+    // are rarest (df=1) so they fill y's prefix first — the
+    // un-incremented prefix length (4 - floor(2) = 2) would stop
+    // before the first shared shingle and miss the pair
+    val boundary = Seq(
+      (1L, "a b c d"),
+      (2L, "u v a b c d")).toDF("doc_id", "text")
+    assert(pairSet(NearDup.prefixJaccardPairs(boundary, "doc_id", "text",
+      n = 3, threshold = 0.5)) === Set((1L, 2L)))
+    // t = 1.0: only the exact-duplicate shingle set pairs
+    val dup = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),
+      (3L, "a b c d f")).toDF("doc_id", "text")
+    assert(pairSet(NearDup.prefixJaccardPairs(dup, "doc_id", "text",
+      n = 3, threshold = 1.0)) === Set((1L, 2L)))
+  }
+
+  test("md5SimhashSigs replays an independent md5 bit computation, " +
+    "and md5SimhashPairs ≡ brute-force hamming on a seeded corpus") {
+    // independent replay: strict-majority bits from MessageDigest md5
+    def sigOf(text: String): Long = {
+      val toks = text.trim.split("\\s+").toSeq
+      val counts = new Array[Int](64)
+      toks.foreach { w =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val h1 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+        val h2 = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+        for (b <- 0 until 32) {
+          if (((h1 >> b) & 1L) == 1L) counts(b) += 1
+          if (((h2 >> b) & 1L) == 1L) counts(32 + b) += 1
+        }
+      }
+      var out = 0L
+      for (b <- 0 until 64)
+        if (2 * counts(b) > toks.size) out |= (1L << b)
+      out
+    }
+    val texts = Seq(1L -> "the quick brown fox", 2L -> "lazy dog sleeps",
+      3L -> "the quick brown fox")
+    val got = NearDup.md5SimhashSigs(texts.toDF("doc_id", "text"),
+      "doc_id", "text").as[(Long, Long)].collect().toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) === sigOf(t), s"doc $id signature mismatch")
+    }
+    // pigeonhole completeness: blocked pairs == brute force over sigs;
+    // every 10th doc mirrors its predecessor + an edit (planted dups)
+    val vocab = (1 to 30).map(i => s"tok$i")
+    val baseTexts = {
+      val r2 = new scala.util.Random(264)
+      (1L to 60L).map { id =>
+        id -> Seq.fill(30)(vocab(r2.nextInt(vocab.size))).mkString(" ")
+      }.toMap
+    }
+    val docs = (1L to 60L).map { id =>
+      if (id % 10 == 0) id -> (baseTexts(id - 1) + " edited")
+      else id -> baseTexts(id)
+    }.toDF("doc_id", "text")
+    for (h <- Seq(0, 3, 7)) {
+      val blocked = NearDup.md5SimhashPairs(docs, "doc_id", "text", h)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val sigs = NearDup.md5SimhashSigs(docs, "doc_id", "text")
+        .as[(Long, Long)].collect()
+      val brute = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+        if java.lang.Long.bitCount(sa ^ sb) <= h
+      } yield (ia, ib)).toSet
+      assert(blocked === brute, s"maxHamming $h: blocked != brute")
+    }
+  }
+
   test("dedupSavingsReport: normalization-equal docs cluster, the " +
     "min-id keeper's chars are excluded from the savings, singletons " +
     "save nothing") {

@@ -620,6 +620,39 @@ class StreamingSpec extends SparkSpec {
     assert(cc() === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("ccLabelBatch/componentsFromLabels: incremental-frontier labels " +
+    "≡ batch recompute across multi-batch replays, a late bridging " +
+    "edge merges whole components via the contracted graph, replay " +
+    "is a no-op, and a smaller-id newcomer re-mins its component") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cc_labels")
+      .toString + "/labels"
+    def labels() = graft.streaming.StreamingOps
+      .componentsFromLabels(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b0 = Seq((10L, 20L), (30L, 40L)).toDF("a", "b")
+    val b1 = Seq((40L, 50L), (60L, 70L)).toDF("a", "b")
+    // late bridge joins the {10,20} and {30,40,50} giants; newcomer 5
+    // undercuts every existing id, so the merged component re-mins
+    val b2 = Seq((20L, 30L), (5L, 60L)).toDF("a", "b")
+    graft.streaming.StreamingOps.ccLabelBatch(b0, "a", "b", dir)
+    assert(labels() === Map(10L -> 10L, 20L -> 10L, 30L -> 30L,
+      40L -> 30L))
+    graft.streaming.StreamingOps.ccLabelBatch(b1, "a", "b", dir)
+    assert(labels() === Map(10L -> 10L, 20L -> 10L, 30L -> 30L,
+      40L -> 30L, 50L -> 30L, 60L -> 60L, 70L -> 60L))
+    graft.streaming.StreamingOps.ccLabelBatch(b2, "a", "b", dir)
+    val expected = graft.graph.GraphOps.connectedComponents(
+      b0.unionByName(b1).unionByName(b2)
+        .select(col("a").as("id_a"), col("b").as("id_b")), iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels() === expected)
+    assert(labels()(70L) === 5L, "newcomer 5 must re-min 60-70's label")
+    // replay the bridging batch: merged labels re-merge to themselves
+    graft.streaming.StreamingOps.ccLabelBatch(b2, "a", "b", dir)
+    assert(labels() === expected)
+  }
+
   test("cfBatch/cfFromState: the incremental item-similarity model " +
     "equals the batch model row-for-row, cross-batch duplicate " +
     "feedback does not inflate cosines, retry is a no-op") {

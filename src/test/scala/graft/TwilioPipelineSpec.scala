@@ -33,4 +33,32 @@ class TwilioPipelineSpec extends SparkSpec {
     val (s3, _) = TwilioPipeline.runWindow(log, nowUnix = 3000L)
     assert(s3 === 1000L)
   }
+
+  test("findBackfillDate: log lost => resume from the newest non-empty " +
+    "file in the latest populated month partition, else yesterday") {
+    import graft.state.Watermark
+    val root = Files.createTempDirectory("backfill").toFile.getAbsolutePath
+    val asOf = java.time.LocalDate.of(2024, 3, 15)
+    // nothing listed anywhere => the reference's yesterday fallback
+    assert(Watermark.findBackfillDate(root, asOf) === asOf.minusDays(1))
+    // 2024/03 holds only a ZERO-byte drop (failed upload — reference
+    // skips size-0 blobs); 2024/01 holds a real file: the probe must
+    // walk past 03 and 02 and answer with 01's file date
+    val mar = new java.io.File(s"$root/2024/03"); mar.mkdirs()
+    val empty = new java.io.File(mar, "part-0000.ndjson")
+    empty.createNewFile()
+    val jan = new java.io.File(s"$root/2024/01"); jan.mkdirs()
+    val real = new java.io.File(jan, "part-0000.ndjson")
+    Files.write(real.toPath, "row".getBytes("UTF-8"))
+    val stamp = java.time.LocalDate.of(2024, 1, 20)
+      .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+    real.setLastModified(stamp)
+    assert(Watermark.findBackfillDate(root, asOf) ===
+      java.time.LocalDate.of(2024, 1, 20))
+    // the year floor bounds the walk: asOf already at the floor year
+    // probes nothing and falls back
+    assert(Watermark.findBackfillDate(root,
+      java.time.LocalDate.of(2017, 6, 1)) ===
+      java.time.LocalDate.of(2017, 5, 31))
+  }
 }
