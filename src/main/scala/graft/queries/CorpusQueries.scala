@@ -959,7 +959,7 @@ object CorpusQueries {
         |  WHERE vec_id % 97 <> 0
         |)
         |SELECT c.vec_id, count(*) AS n_matches,
-        |  round(max(list_cosine_similarity(c.e, b.e)), 6) AS max_cos
+        |  round(max(list_cosine_similarity(c.e, b.e)), 6) + 0 AS max_cos
         |FROM corpus c, bench b
         |WHERE list_cosine_similarity(c.e, b.e) >= 0.3
         |GROUP BY c.vec_id""".stripMargin,
@@ -1059,7 +1059,7 @@ object CorpusQueries {
         |    round((ln((ygw::DOUBLE + aw)
         |             / (ng::DOUBLE + 500.0 - ygw::DOUBLE - aw))
         |         - ln((yrest + aw) / (nrest + 500.0 - yrest - aw)))
-        |      / sqrt(1.0 / (ygw::DOUBLE + aw) + 1.0 / (yrest + aw)), 6) AS z
+        |      / sqrt(1.0 / (ygw::DOUBLE + aw) + 1.0 / (yrest + aw)), 6) + 0 AS z
         |  FROM sc
         |)
         |SELECT grp AS lang, w AS term, CAST(ygw AS BIGINT) AS n_in_group,
@@ -1160,12 +1160,12 @@ object CorpusQueries {
         |  WHERE p.c >= 3 GROUP BY 1, 2
         |), dense AS (
         |  SELECT nd.doc_id, c.label,
-        |    c.log_prior + coalesce(s.num, 0.0) - nd.n::DOUBLE * c.log_denom AS score,
+        |    c.log_prior + coalesce(s.num, 0.0) - nd.n::DOUBLE * c.log_denom + 0 AS score,
         |    nd.n
         |  FROM ndoc nd CROSS JOIN classes c
         |  LEFT JOIN sparse s ON s.doc_id = nd.doc_id AND s.label = c.label
         |)
-        |SELECT doc_id, label AS pred_label, round(score, 6) AS score,
+        |SELECT doc_id, label AS pred_label, round(score, 6) + 0 AS score,
         |  CAST(n AS BIGINT) AS n_tokens
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
         |        ORDER BY score DESC, label ASC) AS rn FROM dense)
@@ -1204,12 +1204,12 @@ object CorpusQueries {
         |  FROM toks t JOIN pair p ON p.w = t.w GROUP BY 1, 2
         |), dense AS (
         |  SELECT nd.doc_id, c.label,
-        |    c.log_prior + coalesce(s.num, 0.0) - nd.n::DOUBLE * c.log_denom AS score,
+        |    c.log_prior + coalesce(s.num, 0.0) - nd.n::DOUBLE * c.log_denom + 0 AS score,
         |    nd.n
         |  FROM ndoc nd CROSS JOIN classes c
         |  LEFT JOIN sparse s ON s.doc_id = nd.doc_id AND s.label = c.label
         |)
-        |SELECT doc_id, label AS pred_label, round(score, 6) AS score,
+        |SELECT doc_id, label AS pred_label, round(score, 6) + 0 AS score,
         |  CAST(n AS BIGINT) AS n_tokens
         |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
         |        ORDER BY score DESC, label ASC) AS rn FROM dense)

@@ -2077,7 +2077,7 @@ object ExtendedQueries {
         |    THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
         |      / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
         |           * CAST(n_pairs * syy - sy * sy AS DOUBLE))
-        |  END, 6) AS acf
+        |  END, 6) + 0 AS acf
         |FROM m""".stripMargin,
 
     // same dense grid and dyadic weights: the numerator is an exact
@@ -2101,7 +2101,7 @@ object ExtendedQueries {
         |  SELECT g, day, sum(w) AS num FROM contrib GROUP BY 1, 2
         |)
         |SELECT num.g AS event_type, num.day, dense.n AS n_events,
-        |  round(CAST(num.num AS DOUBLE) / 65536.0, 6) AS ewma
+        |  round(CAST(num.num AS DOUBLE) / 65536.0, 6) + 0 AS ewma
         |FROM num JOIN dense ON dense.g = num.g AND dense.day = num.day""".stripMargin,
 
     // bit-identical Morton interleave (the five spread steps with the
@@ -2267,7 +2267,7 @@ object ExtendedQueries {
         |  FROM pre
         |)
         |SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
-        |  round(CAST(sv AS DOUBLE) / CAST(dd AS DOUBLE), 4) AS cusum,
+        |  round(CAST(sv AS DOUBLE) / CAST(dd AS DOUBLE), 4) + 0 AS cusum,
         |  sv > 4 * t AS alarm
         |FROM s""".stripMargin,
 
@@ -2509,7 +2509,7 @@ object ExtendedQueries {
         |SELECT g AS event_type, n,
         |  CAST(u2 AS DOUBLE) / 2.0 AS u,
         |  round(CASE WHEN varu > 0
-        |    THEN (num - sign(num) * 0.5) / sqrt(varu) END, 4) AS z,
+        |    THEN (num - sign(num) * 0.5) / sqrt(varu) END, 4) + 0 AS z,
         |  round(CASE WHEN mu2 > 0
         |    THEN CAST(u2 AS DOUBLE) / CAST(mu2 AS DOUBLE) - 1.0 END, 4)
         |    AS rank_biserial
@@ -2591,9 +2591,9 @@ object ExtendedQueries {
         |  GROUP BY 1, 2
         |)
         |SELECT a.g AS event_type, a.day, CAST(dn.n AS BIGINT) AS n_events,
-        |  round(2.0 * sp - spp, 6) AS level,
-        |  round(sp - spp, 6) AS trend,
-        |  round(2.0 * sp - spp + 7.0 * (sp - spp), 6) AS forecast
+        |  round(2.0 * sp - spp, 6) + 0 AS level,
+        |  round(sp - spp, 6) + 0 AS trend,
+        |  round(2.0 * sp - spp + 7.0 * (sp - spp), 6) + 0 AS forecast
         |FROM agg a JOIN dense dn ON dn.g = a.g AND dn.day = a.day,
         |  LATERAL (SELECT CAST(n1 AS DOUBLE) / 4096.0 AS sp,
         |    CAST(n2 AS DOUBLE) / 16777216.0 AS spp) l""".stripMargin,
@@ -2707,7 +2707,7 @@ object ExtendedQueries {
         |  LEFT JOIN daily dl ON dl.g = gr.g AND dl.day = d.day
         |), pairs AS (
         |  SELECT a.g,
-        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) + 0 AS slope,
         |    CAST(sign(b.y - a.y) AS BIGINT) AS sgn
         |  FROM dense a JOIN dense b ON a.g = b.g AND a.x < b.x
         |), base AS (
@@ -2722,7 +2722,7 @@ object ExtendedQueries {
         |  GROUP BY 1
         |)
         |SELECT b.g AS event_type, t.n_days,
-        |  round(b.sen, 6) AS sen_slope, CAST(b.s AS BIGINT) AS mk_s,
+        |  round(b.sen, 6) + 0 AS sen_slope, CAST(b.s AS BIGINT) AS mk_s,
         |  round(CASE
         |    WHEN b.s > 0 AND vs > 0 THEN CAST(b.s - 1 AS DOUBLE) / sqrt(vs)
         |    WHEN b.s < 0 AND vs > 0 THEN CAST(b.s + 1 AS DOUBLE) / sqrt(vs)
@@ -2942,7 +2942,7 @@ object ExtendedQueries {
         |  WHERE rn <= 20
         |), rer AS (
         |  SELECT c.query_id, c.neighbor_id, c.dist,
-        |    round(list_cosine_similarity(q.v, co.v), 4) AS score
+        |    round(list_cosine_similarity(q.v, co.v), 4) + 0 AS score
         |  FROM cand c
         |  JOIN qs q ON q.vec_id = c.query_id
         |  JOIN corp co ON co.vec_id = c.neighbor_id
@@ -2988,7 +2988,7 @@ object ExtendedQueries {
         |  round(CAST(sx AS DOUBLE) / CAST(m AS DOUBLE), 6)
         |    AS mean_edge_degree,
         |  round(CASE WHEN denx > 0 AND deny > 0
-        |    THEN num / sqrt(denx * deny) END, 6) AS assortativity
+        |    THEN num / sqrt(denx * deny) END, 6) + 0 AS assortativity
         |FROM mom, nd,
         |  LATERAL (SELECT CAST(m * sxy - sx * sy AS DOUBLE) AS num,
         |    CAST(m * sxx - sx * sx AS DOUBLE) AS denx,
@@ -3075,7 +3075,7 @@ object ExtendedQueries {
         |)
         |SELECT bin, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
         |  CAST(cum_n AS BIGINT) AS cum_n, CAST(cum_pos AS BIGINT) AS cum_pos,
-        |  round(CAST(cum_pos AS DOUBLE) / CAST(pp AS DOUBLE), 6) AS gain,
+        |  round(CAST(cum_pos AS DOUBLE) / CAST(pp AS DOUBLE), 6) + 0 AS gain,
         |  round(CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE), 6)
         |    AS precision_at,
         |  round((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)) /
@@ -3389,7 +3389,7 @@ object ExtendedQueries {
         |      * CAST(c.cs AS DOUBLE) / CAST(c.cn AS DOUBLE))
         |    - (CAST(t.tq - c.cq AS DOUBLE) - CAST(t.ts - c.cs AS DOUBLE)
         |      * CAST(t.ts - c.cs AS DOUBLE) / CAST(t.tn - c.cn AS DOUBLE))
-        |      AS gain
+        |      + 0 AS gain
         |  FROM cum c JOIN tot t USING (g) WHERE c.cn < t.tn
         |), best AS (
         |  SELECT g, day, cn, cs, tn, ts, gain,
@@ -3399,10 +3399,10 @@ object ExtendedQueries {
         |)
         |SELECT g AS event_type, day AS split_day,
         |  CAST(tn AS BIGINT) AS n_days,
-        |  round(CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE), 6) AS mean_before,
+        |  round(CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE), 6) + 0 AS mean_before,
         |  round(CAST(ts - cs AS DOUBLE) / CAST(tn - cn AS DOUBLE), 6)
-        |    AS mean_after,
-        |  round(gain, 6) AS gain
+        |    + 0 AS mean_after,
+        |  round(gain, 6) + 0 AS gain
         |FROM best WHERE rn = 1""".stripMargin,
 
     // the same (user, day-bucket) adjacency as q136, first/last rows by
@@ -3645,7 +3645,7 @@ object ExtendedQueries {
         |  round(CAST(num1 AS DOUBLE) / CAST(d1 AS DOUBLE), 6) AS p_bar,
         |  round(CAST(s2 AS DOUBLE) / CAST(d2 AS DOUBLE), 6) AS p_e,
         |  round(CAST(num1 * d2 - s2 * d1 AS DOUBLE)
-        |    / CAST(d1 * (d2 - s2) AS DOUBLE), 6) AS fleiss_kappa
+        |    / CAST(d1 * (d2 - s2) AS DOUBLE), 6) + 0 AS fleiss_kappa
         |FROM peritem, perlabel,
         |  LATERAL (SELECT
         |    ssq - CAST(n_items AS HUGEINT) * 3 AS num1,
@@ -3830,9 +3830,9 @@ object ExtendedQueries {
         |  FROM m
         |)
         |SELECT lang, n,
-        |  round(CASE WHEN det <> 0 THEN CAST(det0 AS DOUBLE)/CAST(det AS DOUBLE) END, 6) AS b0,
-        |  round(CASE WHEN det <> 0 THEN CAST(det1 AS DOUBLE)/CAST(det AS DOUBLE) END, 6) AS b1,
-        |  round(CASE WHEN det <> 0 THEN CAST(det2 AS DOUBLE)/CAST(det AS DOUBLE) END, 6) AS b2
+        |  round(CASE WHEN det <> 0 THEN CAST(det0 AS DOUBLE)/CAST(det AS DOUBLE) END, 6) + 0 AS b0,
+        |  round(CASE WHEN det <> 0 THEN CAST(det1 AS DOUBLE)/CAST(det AS DOUBLE) END, 6) + 0 AS b1,
+        |  round(CASE WHEN det <> 0 THEN CAST(det2 AS DOUBLE)/CAST(det AS DOUBLE) END, 6) + 0 AS b2
         |FROM dets""".stripMargin,
 
     "q111_kmv_distinct" ->
@@ -4099,7 +4099,7 @@ object ExtendedQueries {
         |  round(sy::DOUBLE / n_days::DOUBLE, 6) AS mean_daily,
         |  round(CASE WHEN n_days * sxx - sx * sx <> 0 THEN
         |    (n_days * sxy - sx * sy)::DOUBLE
-        |      / (n_days * sxx - sx * sx)::DOUBLE END, 6) AS slope_per_day
+        |      / (n_days * sxx - sx * sx)::DOUBLE END, 6) + 0 AS slope_per_day
         |FROM m""".stripMargin,
 
     // the same 5 power iterations UNROLLED as chained MATERIALIZED
@@ -4392,8 +4392,8 @@ object ExtendedQueries {
         |  round(vy, 6) AS var_y,
         |  round(vc, 6) AS var_y_cuped,
         |  round(CASE WHEN vy > 0 THEN (1.0 - vc / vy) * 100.0 END, 4)
-        |    AS var_reduction_pct,
-        |  round(theta, 6) AS theta
+        |    + 0 AS var_reduction_pct,
+        |  round(theta, 6) + 0 AS theta
         |FROM (
         |  SELECT arm, n, vy,
         |    vy - 2.0 * theta * cv + theta * theta * vx AS vc,
@@ -4408,7 +4408,7 @@ object ExtendedQueries {
         |      p.tsx::DOUBLE / p.tn::DOUBLE AS mxall,
         |      CASE WHEN (p.tn * p.tsxx - p.tsx * p.tsx) > 0 THEN
         |        (p.tn * p.tsxy - p.tsx * p.tsy)::DOUBLE
-        |          / (p.tn * p.tsxx - p.tsx * p.tsx)::DOUBLE END AS theta
+        |          / (p.tn * p.tsxx - p.tsx * p.tsx)::DOUBLE END + 0 AS theta
         |    FROM per_arm CROSS JOIN pooled p))""".stripMargin,
 
     // same cells, same fixed-order trees: e = rt·ct/N, Haberman
@@ -4437,7 +4437,7 @@ object ExtendedQueries {
         |  round((o::DOUBLE - e) /
         |    sqrt(e * (1.0 - rtv::DOUBLE / (SELECT n FROM tot))
         |           * (1.0 - ctv::DOUBLE / (SELECT n FROM tot))), 4)
-        |    AS adj_residual,
+        |    + 0 AS adj_residual,
         |  round(sqrt((SELECT v2 FROM summ)), 6) AS cramers_v
         |FROM cells""".stripMargin,
 
@@ -4491,7 +4491,7 @@ object ExtendedQueries {
         |SELECT nation, CAST(n AS BIGINT) AS n_rows,
         |  round(CASE WHEN (n * sxx - sx * sx) > 0 THEN
         |    (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE END, 6)
-        |    AS slope,
+        |    + 0 AS slope,
         |  CAST(sign((n * sxy - sx * sy)::DOUBLE) AS INTEGER) AS sign,
         |  ov.overall_slope,
         |  CASE WHEN CAST(sign((n * sxy - sx * sy)::DOUBLE) AS INTEGER)
@@ -4693,7 +4693,7 @@ object ExtendedQueries {
         |    (2 * (pq.p - pq.q))::DOUBLE
         |      / sqrt((nn.n * (nn.n - 1) - tx.t2)::DOUBLE
         |           * (nn.n * (nn.n - 1) - ty.t2)::DOUBLE) END, 6)
-        |    AS kendall_tau_b
+        |    + 0 AS kendall_tau_b
         |FROM pq, nn, tx, ty""".stripMargin,
 
     // same doubled midranks off window cumsums, HUGEINT moments,
@@ -4727,7 +4727,7 @@ object ExtendedQueries {
         |      AND (n * syy - sy * sy) > 0 THEN
         |    (n * sxy - sx * sy)::DOUBLE
         |      / sqrt((n * sxx - sx * sx)::DOUBLE
-        |           * (n * syy - sy * sy)::DOUBLE) END, 6) AS spearman_rho
+        |           * (n * syy - sy * sy)::DOUBLE) END, 6) + 0 AS spearman_rho
         |FROM m""".stripMargin,
 
     // same per-(type, arm) moments and Welch tree
@@ -4751,12 +4751,12 @@ object ExtendedQueries {
         |SELECT c.event_type, c.n AS n_control, t.n AS n_treatment,
         |  round(c.mu, 6) AS mean_control,
         |  round(t.mu, 6) AS mean_treatment,
-        |  round(t.mu - c.mu, 6) AS effect,
+        |  round(t.mu - c.mu, 6) + 0 AS effect,
         |  round(sqrt(t.vv / t.n::DOUBLE + c.vv / c.n::DOUBLE), 6) AS se,
         |  round(CASE WHEN sqrt(t.vv / t.n::DOUBLE + c.vv / c.n::DOUBLE) > 0
         |    THEN (t.mu - c.mu)
         |      / sqrt(t.vv / t.n::DOUBLE + c.vv / c.n::DOUBLE) END, 4)
-        |    AS t_stat
+        |    + 0 AS t_stat
         |FROM (SELECT * FROM side WHERE t = 0) c
         |JOIN (SELECT * FROM side WHERE t = 1) t USING (event_type)""".stripMargin,
 
@@ -5265,7 +5265,7 @@ object ExtendedQueries {
         |  CAST(c.nb1 AS BIGINT) AS n_half_b,
         |  round(CASE WHEN m.na > 0 AND m.nb > 0 THEN
         |    m.dot::DOUBLE / (sqrt(m.na::DOUBLE) * sqrt(m.nb::DOUBLE)) END, 6)
-        |    AS centroid_cosine
+        |    + 0 AS centroid_cosine
         |FROM m JOIN c USING (label)""".stripMargin,
 
     // full md5-SimHash replay (64 bit-sums per doc, strict-majority
@@ -5384,7 +5384,7 @@ object ExtendedQueries {
         |    THEN (n::DOUBLE - l1::DOUBLE / n1::DOUBLE)
         |      / sqrt((l2::DOUBLE / n1::DOUBLE)
         |        - (l1::DOUBLE / n1::DOUBLE) * (l1::DOUBLE / n1::DOUBLE))
-        |    END, 6) AS z
+        |    END, 6) + 0 AS z
         |FROM j""".stripMargin,
 
     // the full q118 retrain+rescore chain once per fold (training
@@ -5433,7 +5433,7 @@ object ExtendedQueries {
            |  ), dense AS (
            |    SELECT td.doc_id, td.lang, c.label,
            |      c.log_prior + coalesce(s.num, 0.0)
-           |        - td.n::DOUBLE * c.log_denom AS score
+           |        - td.n::DOUBLE * c.log_denom + 0 AS score
            |    FROM testdocs td CROSS JOIN classes c
            |    LEFT JOIN sparse s ON s.doc_id = td.doc_id AND s.label = c.label
            |  )
@@ -5619,12 +5619,12 @@ object ExtendedQueries {
         |SELECT c.n AS n_control, t.n AS n_treatment,
         |  round(c.mx, 6) AS pre_control, round(c.my, 6) AS post_control,
         |  round(t.mx, 6) AS pre_treatment, round(t.my, 6) AS post_treatment,
-        |  round(t.mdelta - c.mdelta, 6) AS did,
+        |  round(t.mdelta - c.mdelta, 6) + 0 AS did,
         |  round(sqrt(t.vard / t.n::DOUBLE + c.vard / c.n::DOUBLE), 6) AS se,
         |  round(CASE WHEN sqrt(t.vard / t.n::DOUBLE + c.vard / c.n::DOUBLE) > 0
         |    THEN (t.mdelta - c.mdelta)
         |      / sqrt(t.vard / t.n::DOUBLE + c.vard / c.n::DOUBLE) END, 4)
-        |    AS t_stat
+        |    + 0 AS t_stat
         |FROM (SELECT * FROM side WHERE t = 0) c
         |CROSS JOIN (SELECT * FROM side WHERE t = 1) t""".stripMargin,
 
@@ -5659,7 +5659,7 @@ object ExtendedQueries {
         s""", p$r AS MATERIALIZED (
            |  SELECT query_id, cand, rel, mmr FROM (
            |    SELECT query_id, cand, rel,
-           |      0.7 * rel - (1.0 - 0.7) * ms AS mmr,
+           |      0.7 * rel - (1.0 - 0.7) * ms + 0 AS mmr,
            |      row_number() OVER (PARTITION BY query_id
            |        ORDER BY 0.7 * rel - (1.0 - 0.7) * ms DESC, cand) AS rn
            |    FROM m${r - 1}) WHERE rn = 1
@@ -5749,11 +5749,11 @@ object ExtendedQueries {
         |  SELECT ia, ib, c FROM cooc UNION ALL SELECT ib, ia, c FROM cooc
         |), scored AS (
         |  SELECT s.ia AS item, s.ib AS sim,
-        |    s.c::DOUBLE / sqrt(na.n::DOUBLE * nb.n::DOUBLE) AS cos
+        |    s.c::DOUBLE / sqrt(na.n::DOUBLE * nb.n::DOUBLE) + 0 AS cos
         |  FROM sym s JOIN n na ON na.i = s.ia JOIN n nb ON nb.i = s.ib
         |)
         |SELECT item, CAST(rank AS INT) AS rank, sim AS similar_item,
-        |  cos AS cosine
+        |  cos + 0 AS cosine
         |FROM (SELECT item, sim, cos, row_number() OVER (
         |        PARTITION BY item ORDER BY cos DESC, sim) AS rank
         |      FROM scored)
@@ -6024,7 +6024,7 @@ object ExtendedQueries {
         |      s2::DOUBLE / nb::DOUBLE - (s1::DOUBLE / nb::DOUBLE) * (s1::DOUBLE / nb::DOUBLE) > 0
         |    THEN (n_events::DOUBLE - s1::DOUBLE / nb::DOUBLE)
         |      / sqrt(s2::DOUBLE / nb::DOUBLE - (s1::DOUBLE / nb::DOUBLE) * (s1::DOUBLE / nb::DOUBLE))
-        |  END, 6) AS z
+        |  END, 6) + 0 AS z
         |FROM st""".stripMargin,
 
     // same three grouping levels via GROUP BY ROLLUP; DuckDB's

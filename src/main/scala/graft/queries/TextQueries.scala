@@ -767,7 +767,7 @@ object TextQueries {
        |  WHERE a.vec_id <> p.query_id),
        |scored AS (
        |  SELECT c.query_id, c.neighbor_id,
-       |    round(list_cosine_similarity(q.fv, e.embedding::DOUBLE[]), 4) AS score
+       |    round(list_cosine_similarity(q.fv, e.embedding::DOUBLE[]), 4) + 0 AS score
        |  FROM cand c
        |  JOIN qq q USING (query_id)
        |  JOIN embeddings e ON e.vec_id = c.neighbor_id)
@@ -1101,7 +1101,7 @@ object TextQueries {
         |  round(sum(p * ln(p / q)), 4) AS kl_ab,
         |  round(sum(q * ln(q / p)), 4) AS kl_ba,
         |  round(sum(p * ln(p / ((p + q) / 2)) / 2
-        |          + q * ln(q / ((p + q) / 2)) / 2), 4) AS js_div
+        |          + q * ln(q / ((p + q) / 2)) / 2), 4) + 0 AS js_div
         |FROM pq GROUP BY v, na, nb""".stripMargin,
 
     // the q24 prediction chain + confusion marginals and the same
@@ -1166,7 +1166,7 @@ object TextQueries {
          |  FROM cell JOIN btot USING (signal, bin) GROUP BY 1, 2
          |)
          |SELECT signal, count(*) AS n_bins,
-         |  round(min(hy.hy) - sum(hb.bt::DOUBLE / tot.n * hb.hb), 6) AS info_gain
+         |  round(min(hy.hy) - sum(hb.bt::DOUBLE / tot.n * hb.hb), 6) + 0 AS info_gain
          |FROM hb CROSS JOIN hy CROSS JOIN tot
          |GROUP BY 1""".stripMargin,
 
@@ -1186,7 +1186,7 @@ object TextQueries {
         |    THEN (n_agree::DOUBLE / n_docs::DOUBLE
         |          - s::DOUBLE / (n_docs::DOUBLE * n_docs::DOUBLE))
         |      / (1.0 - s::DOUBLE / (n_docs::DOUBLE * n_docs::DOUBLE)) END, 6)
-        |    AS kappa
+        |    + 0 AS kappa
         |FROM n CROSS JOIN pe""").stripMargin,
 
     // same fragment/stopword segmentation, integer deg/freq, rounded
@@ -1226,7 +1226,7 @@ object TextQueries {
         |  SELECT phrase, count(*) AS n_occurrences FROM ph GROUP BY 1
         |), scored AS (
         |  SELECT p.phrase, p.n_occurrences,
-        |    round(sum(round(CAST(ws.deg AS DOUBLE) / CAST(ws.freq AS DOUBLE), 6)), 4) AS score
+        |    round(sum(round(CAST(ws.deg AS DOUBLE) / CAST(ws.freq AS DOUBLE), 6)), 4) + 0 AS score
         |  FROM pstat p
         |  CROSS JOIN unnest(string_split(p.phrase, ' ')) AS t(w0)
         |  JOIN wstat ws ON ws.w = t.w0
@@ -1399,7 +1399,7 @@ object TextQueries {
         |  FROM embeddings WHERE vec_id < 5
         |), s AS (
         |  SELECT query_id, c.vec_id AS neighbor_id,
-        |    round(list_cosine_similarity(qv, c.embedding::DOUBLE[]), 4) AS score
+        |    round(list_cosine_similarity(qv, c.embedding::DOUBLE[]), 4) + 0 AS score
         |  FROM q, embeddings c
         |  WHERE c.vec_id != query_id
         |)
@@ -1416,7 +1416,7 @@ object TextQueries {
         |  FROM embeddings WHERE vec_id < 5
         |), s AS (
         |  SELECT query_id, c.vec_id AS neighbor_id,
-        |    round(list_cosine_similarity(qv, c.embedding::DOUBLE[]), 4) AS score
+        |    round(list_cosine_similarity(qv, c.embedding::DOUBLE[]), 4) + 0 AS score
         |  FROM q, embeddings c
         |  WHERE c.vec_id != query_id
         |)
@@ -1767,7 +1767,7 @@ object TextQueries {
         |  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id)
         |  GROUP BY 1
         |)
-        |SELECT doc_id, rank, round(s, 6) AS score FROM (
+        |SELECT doc_id, rank, round(s, 6) + 0 AS score FROM (
         |  SELECT doc_id, s,
         |    row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
         |  FROM scored)
@@ -1870,7 +1870,7 @@ object TextQueries {
         |), df AS (
         |  SELECT term, count(*) AS df FROM tf GROUP BY term
         |), n AS (SELECT count(DISTINCT doc_id) AS n FROM tf)
-        |SELECT doc_id, rank, term, round(s, 6) AS score FROM (
+        |SELECT doc_id, rank, term, round(s, 6) + 0 AS score FROM (
         |  SELECT tf.doc_id, tf.term,
         |    tf.tf * (ln(((SELECT n FROM n) + 1.0) / (df.df + 1.0)) + 1) AS s,
         |    row_number() OVER (PARTITION BY tf.doc_id
@@ -1887,7 +1887,7 @@ object TextQueries {
         |  FROM embeddings WHERE vec_id < 5
         |), s AS (
         |  SELECT query_id, c.vec_id AS neighbor_id,
-        |    round(list_cosine_similarity(qv, c.embedding::DOUBLE[]), 4) AS score
+        |    round(list_cosine_similarity(qv, c.embedding::DOUBLE[]), 4) + 0 AS score
         |  FROM q, embeddings c
         |  WHERE c.vec_id != query_id
         |)
@@ -1898,7 +1898,7 @@ object TextQueries {
 
     "q30_cosine_dup_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) + 0 AS cos
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
@@ -1907,7 +1907,7 @@ object TextQueries {
     // proves recall 1.0 + soundness of the blocked implementation
     "q51_lsh_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) + 0 AS cos
         |FROM embeddings a, embeddings b
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""".stripMargin,
