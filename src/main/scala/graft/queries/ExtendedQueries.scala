@@ -1221,6 +1221,36 @@ object ExtendedQueries {
             .as("pii_doc_rate"))
     }),
 
+    // the q238 component answer rebuilt INCREMENTALLY: the edge set
+    // arrives in three deterministic batches through ccLabelBatch's
+    // label-contraction state, and the final label table must equal
+    // the batch CC — this puts the streaming incremental path itself
+    // under the driver's oracle gate, not just ScalaTest
+    "q288_incremental_cc" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val edges = li.filter(col("l_orderkey") % 13 === 0)
+        .select(
+          concat(lit("o"), col("l_orderkey").cast(StringType)).as("id_a"),
+          concat(lit("p"), col("l_partkey").cast(StringType)).as("id_b"),
+          pmod(expr("l_orderkey div 13"), lit(3)).as("__b"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("q288cc").toString + "/labels"
+      for (b <- 0 until 3)
+        graft.streaming.StreamingOps.ccLabelBatch(
+          edges.filter(col("__b") === b), "id_a", "id_b", dir, iters = 6)
+      graft.streaming.StreamingOps.componentsFromLabels(s, dir)
+    }),
+
+    // the portable md5-SimHash near-dup pair surface itself (q264
+    // consumes it as a graph): pigeonhole-blocked hamming ≤ 3 pairs
+    // against the exact quadratic oracle — a blocking completeness
+    // bug or one wrong signature bit is a hash mismatch
+    "q289_simhash_pairs_portable" -> ((s, d) =>
+      graft.dedup.NearDup.md5SimhashPairs(
+        Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast(IntegerType).as("hamming"))),
+
     // subgroup treatment effects: the q245 arms contrasted per event
     // type on user-level activity — Welch SE from exact moments; the
     // heterogeneity table behind "did the effect concentrate
@@ -4661,6 +4691,68 @@ object ExtendedQueries {
         |    AS pii_doc_rate
         |FROM documents WHERE source IS NOT NULL
         |GROUP BY 1""".stripMargin,
+
+    // the q238 batch CC answer unrolled to the FIXPOINT (converges by
+    // round 10 at sf0.01 and 11 at sf0.1, DuckDB-measured; 14 carries
+    // margin) — the incremental path must land on the fixpoint, not a
+    // round-count snapshot
+    "q288_incremental_cc" -> {
+      val head =
+        """WITH edges AS MATERIALIZED (
+          |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM (
+          |    SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS a,
+          |      'p' || CAST(l_partkey AS VARCHAR) AS b
+          |    FROM lineitem WHERE l_orderkey % 13 = 0)
+          |  WHERE a <> b
+          |), both_dir AS MATERIALIZED (
+          |  SELECT a AS src, b AS dst FROM edges
+          |  UNION ALL SELECT b, a FROM edges
+          |), l0 AS MATERIALIZED (
+          |  SELECT node, node AS lab FROM (
+          |    SELECT a AS node FROM edges UNION SELECT b FROM edges)
+          |)""".stripMargin
+      head + ccRoundsSql(14) +
+        "\nSELECT node, lab AS component FROM l14"
+    },
+
+    // the q264 signature replay cut at the pair surface: exact
+    // quadratic hamming over the recomputed md5 signatures
+    "q289_simhash_pairs_portable" -> {
+      val sums1 = (0 until 32)
+        .map(b => s"sum((h1 >> $b) & 1) AS b$b").mkString(", ")
+      val sums2 = (32 until 64)
+        .map(b => s"sum((h2 >> ${b - 32}) & 1) AS b$b").mkString(", ")
+      val lo = (0 until 32)
+        .map(b => s"CASE WHEN 2 * b$b > n THEN (1::BIGINT << $b) ELSE 0 END")
+        .mkString(" + ")
+      val hi = (32 until 64)
+        .map(b =>
+          s"CASE WHEN 2 * b$b > n THEN (1::BIGINT << ${b - 32}) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+         |      THEN []::VARCHAR[]
+         |      ELSE regexp_split_to_array(trim(text), '\\s+') END) AS w
+         |  FROM documents WHERE text IS NOT NULL
+         |), h AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(w), 1, 8))::UBIGINT::BIGINT AS h1,
+         |    ('0x' || substr(md5(w), 9, 8))::UBIGINT::BIGINT AS h2
+         |  FROM toks
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS n, $sums1, $sums2
+         |  FROM h GROUP BY 1
+         |), sig AS MATERIALIZED (
+         |  SELECT doc_id, $lo AS lo, $hi AS hi FROM agg
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+         |    AS INTEGER) AS hamming
+         |FROM sig a, sig b
+         |WHERE a.doc_id < b.doc_id
+         |  AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+         |""".stripMargin
+    },
 
     // same joint-histogram concordance counting with doubled tie
     // pairs; identical closing tree

@@ -702,11 +702,14 @@ object StreamingOps {
     * row, the tiny CC merges the two labels, and the relabel join
     * moves every member — merge cost is independent of component
     * size. Replaying a batch is a no-op by algebra (re-merging merged
-    * labels maps every label to itself). `iters` must cover the
-    * CONTRACTED graph's diameter (pointer-doubling rounds over the
-    * batch's touched components — 8 covers 2^8-label chains, far
-    * beyond a realistic micro-batch). Deletions are out of contract,
-    * exactly as for the recompute-on-read twin.
+    * labels maps every label to itself). `iters` is a FLOOR on the
+    * per-pass CC horizon — the batch runs a fixpoint contraction loop
+    * (horizon auto-scaled to log2 of the remaining contracted edges,
+    * re-contract until no cross-label edge remains, fail loudly
+    * otherwise), because an under-converged label write would split
+    * components FOREVER: later batches only merge what new edges
+    * bridge. Deletions are out of contract, exactly as for the
+    * recompute-on-read twin.
     *
     * Crash discipline: write-new-then-swap with the checked renames
     * every state writer here uses; a crash between the rotation
@@ -742,20 +745,62 @@ object StreamingOps {
       .select(coalesce(col("__la"), col("id_a")).as("id_a"),
         coalesce(col("__lb"), col("id_b")).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
-    val lmap = graft.graph.GraphOps.connectedComponents(contracted, iters)
-      .select(col("node").as("__old"), col("component").as("__new"))
-      .filter(col("__old") =!= col("__new"))
-      .localCheckpoint(true)
+    // fixpoint contraction loop: one CC pass can under-converge when
+    // the contracted graph's diameter exceeds the pointer-doubling
+    // horizon — an under-merged label table would SILENTLY split
+    // components forever (later batches only merge what new edges
+    // bridge). Each pass sizes its horizon to log2(remaining edges)
+    // and re-contracts; the loop exits only when NO cross-label edge
+    // remains, so the state is a true fixpoint, and it fails loudly
+    // rather than write a non-fixpoint.
+    var lmap: DataFrame = null // original contracted-node -> final label
+    var g = contracted.localCheckpoint(true)
+    var guard = 0
+    while (!g.isEmpty && guard < 8) {
+      val nEdges = g.count()
+      val horizon = math.max(iters,
+        64 - java.lang.Long.numberOfLeadingZeros(nEdges + 2) + 3)
+      val m = graft.graph.GraphOps.connectedComponents(g, horizon)
+        .select(col("node").as("__o"), col("component").as("__n"))
+        .filter(col("__o") =!= col("__n"))
+        .localCheckpoint(true)
+      lmap =
+        if (lmap == null) m
+        else lmap
+          .join(m.select(col("__o").as("__n2"), col("__n").as("__nn")),
+            col("__n") === col("__n2"), "left")
+          .select(col("__o"), coalesce(col("__nn"), col("__n")).as("__n"))
+          .unionByName(m.join(lmap.select("__o"), Seq("__o"), "left_anti"))
+          .localCheckpoint(true)
+      g = g
+        .join(m.select(col("__o").as("id_a"), col("__n").as("__na")),
+          Seq("id_a"), "left")
+        .join(m.select(col("__o").as("id_b"), col("__n").as("__nb")),
+          Seq("id_b"), "left")
+        .select(coalesce(col("__na"), col("id_a")).as("id_a"),
+          coalesce(col("__nb"), col("id_b")).as("id_b"))
+        .filter(col("id_a") =!= col("id_b")).distinct()
+        .localCheckpoint(true)
+      guard += 1
+    }
+    if (!g.isEmpty)
+      throw new IllegalStateException(
+        "ccLabelBatch: contraction did not reach a fixpoint in 8 passes")
+    if (lmap == null)
+      lmap = contracted.select(col("id_a").as("__o"), col("id_a").as("__n"))
+        .limit(0)
+    val lmapF = lmap.withColumnRenamed("__o", "__old")
+      .withColumnRenamed("__n", "__new")
     val endpoints = edges.select(col("id_a").as("node"))
       .unionByName(edges.select(col("id_b").as("node"))).distinct()
     val newNodes = endpoints.join(labels.select("node"), Seq("node"),
       "left_anti")
     val updatedOld = labels
-      .join(lmap, labels("component") === lmap("__old"), "left")
+      .join(lmapF, labels("component") === lmapF("__old"), "left")
       .select(labels("node"),
         coalesce(col("__new"), labels("component")).as("component"))
     val newRows = newNodes
-      .join(lmap, newNodes("node") === lmap("__old"), "left")
+      .join(lmapF, newNodes("node") === lmapF("__old"), "left")
       .select(newNodes("node"),
         coalesce(col("__new"), newNodes("node")).as("component"))
     val next = updatedOld.unionByName(newRows).localCheckpoint(true)
@@ -775,6 +820,111 @@ object StreamingOps {
   def componentsFromLabels(spark: SparkSession,
                            labelPath: String): DataFrame =
     spark.read.parquet(labelPath).select("node", "component")
+
+  /** Incremental single-source shortest paths for APPEND-ONLY weighted
+    * edge streams — the distances sibling of [[ccLabelBatch]]. State
+    * is the distance table (node, dist); edges still accumulate via
+    * [[edgeBatch]] (`wCol` set) because an improvement introduced by a
+    * NEW edge must propagate through OLD topology, so relaxation joins
+    * the full admitted edge set — but only FRONTIER-sized frames drive
+    * each round (new-edge improvements, then whatever they improved),
+    * where recompute-on-read re-converges every seed over everything
+    * from scratch. Nonnegative weights make relaxation monotone
+    * (distances only decrease), which is what makes the increment
+    * sound and batch replay a no-op by algebra (no improvement the
+    * second time). `rounds` must cover THIS batch's improvement
+    * propagation depth — the change's reach, not the graph diameter;
+    * with enough rounds the state equals
+    * [[graft.graph.GraphOps.weightedDistances]] at convergence over
+    * all admitted edges (spec-pinned across multi-batch replays).
+    * Seeds are passed on every call and min-merged at dist 0
+    * (idempotent); unreached nodes are absent, matching the batch
+    * operator. Same write-new-then-swap crash discipline.
+    */
+  def spIncrementBatch(batch: DataFrame, batchId: Long, aCol: String,
+                       bCol: String, wCol: String, seeds: DataFrame,
+                       seedCol: String, edgePath: String, distPath: String,
+                       rounds: Int = 8): Unit = {
+    require(rounds >= 1 && rounds <= 64, s"rounds out of range: $rounds")
+    val spark = batch.sparkSession
+    edgeBatch(batch, batchId, aCol, bCol, edgePath, wCol = Some(wCol))
+    val master = new HPath(distPath)
+    val fs = master.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nonEmptyDir(p: HPath) = fs.exists(p) && fs.listStatus(p).nonEmpty
+    def mustRename(src: HPath, dst: HPath): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"rename $src -> $dst failed")
+    val old = new HPath(distPath + ".old")
+    // the weightedDistances normalization, applied identically to the
+    // batch's own edges and to the admitted set read back for
+    // propagation: undirected, nonneg weights, min parallel edge
+    def normalize(e: DataFrame): DataFrame = e
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull &&
+        col("weight").isNotNull && col("weight") >= 0 &&
+        col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"),
+        col("weight").cast("long").as("w"))
+      .groupBy("a", "b").agg(min("w").as("w"))
+    def bothDir(e: DataFrame): DataFrame =
+      e.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    val newEdges = bothDir(normalize(
+      batch.select(col(aCol).as("id_a"), col(bCol).as("id_b"),
+        col(wCol).as("weight")))).localCheckpoint(true)
+    val allEdges = bothDir(normalize(spark.read.parquet(edgePath)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val seed0 = seeds.select(col(seedCol).as("node")).distinct()
+        .withColumn("dist", lit(0L))
+      val prior =
+        if (nonEmptyDir(master)) spark.read.parquet(distPath)
+        else if (nonEmptyDir(old)) spark.read.parquet(old.toString)
+        else seed0.limit(0)
+      var reached = prior.unionByName(seed0)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+      // frontier 0: new seeds (absent or improved vs prior) plus
+      // whatever the NEW edges improve against the merged state
+      val seedFront = reached.join(prior, Seq("node", "dist"), "left_anti")
+      val edgeFront = reached
+        .join(newEdges, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .groupBy("node").agg(min("dist").as("dist"))
+        .join(reached.withColumnRenamed("dist", "__cur"), Seq("node"), "left")
+        .filter(col("__cur").isNull || col("dist") < col("__cur"))
+        .select("node", "dist")
+      var frontier = seedFront.unionByName(edgeFront)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+      reached = reached.unionByName(frontier)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+      for (_ <- 1 to rounds) {
+        val relaxed = frontier.join(allEdges, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        val next = reached.unionByName(relaxed)
+          .groupBy("node").agg(min("dist").as("dist"))
+          .localCheckpoint(true)
+        frontier = next.join(reached, Seq("node", "dist"), "left_anti")
+          .localCheckpoint(true)
+        reached = next
+      }
+      val tmp = new HPath(distPath + ".next")
+      reached.write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(master)) {
+        if (fs.exists(old) && !fs.delete(old, true))
+          throw new java.io.IOException(s"delete $old failed")
+        mustRename(master, old)
+      }
+      mustRename(tmp, master)
+    } finally allEdges.unpersist(blocking = false)
+  }
+
+  /** The distance table [[spIncrementBatch]] maintains: (node, dist). */
+  def distancesFromDistState(spark: SparkSession,
+                             distPath: String): DataFrame =
+    spark.read.parquet(distPath).select("node", "dist")
 
   /** Incremental sibling of
     * [[graft.operators.AnalyticsOps.itemSimilarity]]: feedback

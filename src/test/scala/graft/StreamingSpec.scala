@@ -653,6 +653,43 @@ class StreamingSpec extends SparkSpec {
     assert(labels() === expected)
   }
 
+  test("spIncrementBatch/distancesFromDistState: improvements from a " +
+    "late shortcut edge propagate through OLD topology, state ≡ batch " +
+    "recompute at convergence, replay is a no-op") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sp_state").toString
+    val (ep, dp) = (s"$root/edges", s"$root/dists")
+    val seeds = Seq(1L).toDF("node")
+    def dists() = graft.streaming.StreamingOps
+      .distancesFromDistState(spark, dp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch 0: chain 1-2-3-4-5 with weight 10 per hop
+    val b0 = Seq((1L, 2L, 10L), (2L, 3L, 10L), (3L, 4L, 10L),
+      (4L, 5L, 10L)).toDF("a", "b", "w")
+    graft.streaming.StreamingOps.spIncrementBatch(b0, 0L, "a", "b", "w",
+      seeds, "node", ep, dp, rounds = 6)
+    assert(dists() === Map(1L -> 0L, 2L -> 10L, 3L -> 20L, 4L -> 30L,
+      5L -> 40L))
+    // batch 1: shortcut 1-4 weight 5 — improves 4 via the NEW edge,
+    // then 5 (and a fresh tail 5-6-7) THROUGH OLD/state topology
+    val b1 = Seq((1L, 4L, 5L), (5L, 6L, 1L), (6L, 7L, 1L))
+      .toDF("a", "b", "w")
+    graft.streaming.StreamingOps.spIncrementBatch(b1, 1L, "a", "b", "w",
+      seeds, "node", ep, dp, rounds = 6)
+    val expected = graft.graph.GraphOps.weightedDistances(
+      b0.unionByName(b1).select(col("a").as("id_a"), col("b").as("id_b"),
+        col("w").as("weight")),
+      seeds, maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dists() === expected)
+    assert(dists()(4L) === 5L && dists()(5L) === 15L && dists()(7L) === 17L,
+      "shortcut must re-route 4 and propagate to the old 5 and new tail")
+    // replay batch 1: monotone relaxation finds nothing to improve
+    graft.streaming.StreamingOps.spIncrementBatch(b1, 1L, "a", "b", "w",
+      seeds, "node", ep, dp, rounds = 6)
+    assert(dists() === expected)
+  }
+
   test("cfBatch/cfFromState: the incremental item-similarity model " +
     "equals the batch model row-for-row, cross-batch duplicate " +
     "feedback does not inflate cosines, retry is a no-op") {
