@@ -2805,4 +2805,124 @@ object AnalyticsOps {
       ui.unpersist(blocking = false)
     }
   }
+  /** Order-statistic histogram scaffold shared by [[trimmedMean]],
+    * [[bowleySkew]], and [[gini]]: the 6-decimal-quantized value
+    * histogram per group with EXACT rank spans (__cumLo..__cumHi) via
+    * the two-level cumsum — the corpus never sorts, the only window
+    * is per (group, 1024-value bucket) over DISTINCT values.
+    */
+  private def rankedHist(df: DataFrame, groupCol: String,
+                         valueCol: String): DataFrame = {
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol),
+        round(col(valueCol) * 1000000).cast(LongType).as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val (bucketed, wi) = TwoLevelCumsum.withGroupedOffsets(
+      hist, Seq(groupCol), expr("__v div 1024L"), col("__c"),
+      Seq(col("__v").asc))
+    bucketed
+      .withColumn("__cumHi", col("__off") + sum("__w").over(wi))
+      .withColumn("__cumLo", col("__cumHi") - col("__c") + 1)
+  }
+
+  /** Trimmed mean: drop the k = n div `trimDenom` smallest and k
+    * largest observations per group, average the rest — the
+    * outlier-robust location estimate between mean and median.
+    *
+    * Exactness: rank spans come from the integer histogram cumsum;
+    * each value block contributes `overlap(block, (k, n-k]) × v`
+    * summed in Decimal(38,0); ONE closing division then the exact
+    * /1e6 de-quantization — unrounded, bit-portable (the round-10
+    * doctrine). Groups with n - 2k = 0 report NULL.
+    *
+    * Scale shape: one map-side-combined histogram pass, windows only
+    * over distinct values per (group, bucket), #groups output rows.
+    */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+                  trimDenom: Int = 10): DataFrame = {
+    require(trimDenom >= 2, "trimDenom must be >= 2")
+    val dec = DecimalType(38, 0)
+    val cum = rankedHist(df, groupCol, valueCol)
+    val totals = cum.groupBy(col(groupCol)).agg(max("__cumHi").as("__n"))
+      .withColumn("__k", expr(s"__n div $trimDenom"))
+    cum.join(totals, Seq(groupCol))
+      .withColumn("__kept", greatest(lit(0L),
+        least(col("__cumHi"), col("__n") - col("__k")) -
+          greatest(col("__cumLo") - 1, col("__k"))))
+      .groupBy(col(groupCol))
+      .agg(max("__n").as("n"), max("__k").as("n_trimmed_each_side"),
+        sum(col("__kept").cast(dec) * col("__v").cast(dec)).as("__s"))
+      .select(col(groupCol), col("n"), col("n_trimmed_each_side"),
+        when(col("n") - lit(2L) * col("n_trimmed_each_side") > 0,
+          col("__s").cast(DoubleType) /
+            (col("n") - lit(2L) * col("n_trimmed_each_side"))
+              .cast(DoubleType) / 1e6).as("trimmed_mean"))
+  }
+
+  /** Bowley (quartile) skewness: (Q3 + Q1 − 2·Q2) / (Q3 − Q1) on
+    * TYPE-1 (ceil-rank) order statistics — Q_j = value at rank
+    * ceil(j·n/4). Order statistics are exact integers off the rank
+    * cover, so unlike moment skewness there is no cube to overflow
+    * and no fp accumulation; the closing is one integer-operand
+    * division, unrounded. Q1 = Q3 (no spread) reports NULL.
+    */
+  def bowleySkew(df: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame = {
+    val cumBase = rankedHist(df, groupCol, valueCol)
+    val cum = cumBase
+      .join(cumBase.groupBy(col(groupCol)).agg(max("__cumHi").as("__n")),
+        Seq(groupCol))
+      .withColumn("__r1", expr("(__n + 3) div 4"))
+      .withColumn("__r2", expr("(__n + 1) div 2"))
+      .withColumn("__r3", expr("(3 * __n + 3) div 4"))
+    def at(rank: Column, out: String) =
+      cum.filter(col("__cumLo") <= rank && rank <= col("__cumHi"))
+        .groupBy(col(groupCol)).agg(min("__v").as(out))
+    at(col("__r1"), "__q1")
+      .join(at(col("__r2"), "__q2"), Seq(groupCol))
+      .join(at(col("__r3"), "__q3"), Seq(groupCol))
+      .join(cum.groupBy(col(groupCol)).agg(max("__n").as("n")), Seq(groupCol))
+      .select(col(groupCol), col("n"),
+        (col("__q1").cast(DoubleType) / 1e6).as("q1"),
+        (col("__q2").cast(DoubleType) / 1e6).as("q2"),
+        (col("__q3").cast(DoubleType) / 1e6).as("q3"),
+        when(col("__q3") > col("__q1"),
+          (col("__q3") + col("__q1") - lit(2L) * col("__q2"))
+            .cast(DoubleType) /
+            (col("__q3") - col("__q1")).cast(DoubleType))
+          .as("bowley_skew"))
+  }
+
+  /** Gini coefficient over NONNEGATIVE values (negative rows are
+    * excluded and counted — inequality of a signed quantity is
+    * undefined): G = Σᵢ (2i − n − 1)·x₍ᵢ₎ / (n·Σx) on the sorted
+    * sample. With ties the rank block (lo..hi) of a value v
+    * contributes v·(hi(hi+1) − (lo−1)lo − c(n+1)) to the DOUBLED
+    * numerator — exact Decimal(38,0) integers end to end, one
+    * closing division of 2·num/2 = num/(n·S), unrounded. All-zero
+    * or empty groups report NULL.
+    */
+  def gini(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = df.filter(col(valueCol).isNotNull)
+    val negs = base.filter(col(valueCol) < 0)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__neg"))
+    val cum = rankedHist(base.filter(col(valueCol) >= 0), groupCol, valueCol)
+    val totals = cum.groupBy(col(groupCol)).agg(max("__cumHi").as("__n"))
+    cum.join(totals, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(max("__n").as("n"),
+        sum(col("__c").cast(dec) * col("__v").cast(dec)).as("__s"),
+        sum((col("__cumHi").cast(dec) * (col("__cumHi").cast(dec) + 1) -
+          (col("__cumLo").cast(dec) - 1) * col("__cumLo").cast(dec) -
+          col("__c").cast(dec) * (col("__n").cast(dec) + 1)) *
+          col("__v").cast(dec)).as("__num2"))
+      .join(negs, Seq(groupCol), "left")
+      .select(col(groupCol), col("n"),
+        coalesce(col("__neg"), lit(0L)).as("n_negative_excluded"),
+        when(col("__s") > 0,
+          col("__num2").cast(DoubleType) /
+            (col("n").cast(dec) * col("__s")).cast(DoubleType)).as("gini"))
+  }
+
 }

@@ -1251,6 +1251,87 @@ object ExtendedQueries {
         .select(col("id_a"), col("id_b"),
           col("hamming").cast(IntegerType).as("hamming"))),
 
+    // Heaps-law vocabulary growth: V(N) ≈ K·N^β measured at 10 doc-id
+    // checkpoints (token totals and first-occurrence vocab are exact
+    // integers; the log-log OLS closes over 10 tiny summands — the
+    // q260 small-sum-then-round discipline). β well under 1 says
+    // vocabulary saturates; near 1 says heavy novelty (OCR noise,
+    // boilerplate IDs). Scale shape: one explode pass for per-doc
+    // counts, one for token first-occurrence (both map-side-combined);
+    // the checkpoint fan-out is 10× a #docs / #vocab-row frame.
+    "q290_heaps_law" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val toks = docs.select(col("doc_id"),
+        explode(graft.text.TextOps.tokens(lower(col("text")))).as("__w"))
+      val perDoc = toks.groupBy("doc_id").agg(count(lit(1)).as("__tc"))
+      val firstDoc = toks.groupBy("__w").agg(min("doc_id").as("__fd"))
+      val maxId = docs.agg(max("doc_id").as("__mx"))
+      val cks = s.range(1, 11).toDF("checkpoint")
+        .crossJoin(broadcast(maxId))
+        .select(col("checkpoint").cast(IntegerType).as("checkpoint"),
+          expr("__mx * checkpoint div 10").as("__ck"))
+      val nTok = perDoc.join(broadcast(cks), col("doc_id") <= col("__ck"))
+        .groupBy("checkpoint").agg(sum("__tc").as("n_tokens"))
+      val vocab = firstDoc.join(broadcast(cks), col("__fd") <= col("__ck"))
+        .groupBy("checkpoint").agg(count(lit(1)).as("vocab"))
+      val pts = nTok.join(vocab, Seq("checkpoint"))
+        .withColumn("__x", log(col("n_tokens").cast(DoubleType)))
+        .withColumn("__y", log(col("vocab").cast(DoubleType)))
+      val fit = pts.agg(count(lit(1)).cast(DoubleType).as("__m"),
+        sum("__x").as("__sx"), sum("__y").as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+        .select(when(col("__m") * col("__sxx") - col("__sx") * col("__sx") > 0,
+          round((col("__m") * col("__sxy") - col("__sx") * col("__sy")) /
+            (col("__m") * col("__sxx") - col("__sx") * col("__sx")), 4))
+          .as("heaps_beta"))
+      pts.select("checkpoint", "n_tokens", "vocab")
+        .crossJoin(broadcast(fit))
+    }),
+
+    // near-dup threshold sensitivity: ONE prefix-filter pass at the
+    // base threshold, exact-integer Jaccard recomputed from the pair's
+    // (inter, sizes), counted at 0.5/0.7/0.9 — the "how much does the
+    // corpus shrink if we tighten dedup" planning curve
+    "q291_dup_threshold_curve" -> ((s, d) => {
+      val pairs = graft.dedup.NearDup.prefixJaccardPairs(
+        Tables.documents(s, d), "doc_id", "text", n = 3, threshold = 0.5)
+      val jac = col("inter_size").cast(DoubleType) /
+        (col("size_a") + col("size_b") - col("inter_size")).cast(DoubleType)
+      pairs.agg(
+        sum(when(jac >= 0.5, 1L).otherwise(0L)).as("n_pairs_ge_50"),
+        sum(when(jac >= 0.7, 1L).otherwise(0L)).as("n_pairs_ge_70"),
+        sum(when(jac >= 0.9, 1L).otherwise(0L)).as("n_pairs_ge_90"))
+    }),
+
+    // 10%-trimmed mean of line revenue per return flag — the robust
+    // location report; order statistics off the rank-covered
+    // histogram, never a sort
+    "q292_trimmed_mean" -> ((s, d) =>
+      graft.operators.AnalyticsOps.trimmedMean(
+        Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+        trimDenom = 10)),
+
+    // Bowley quartile skewness of order value per priority — the
+    // moment-free skew (no cubes to overflow, no fp accumulation)
+    "q293_bowley_skew" -> ((s, d) =>
+      graft.operators.AnalyticsOps.bowleySkew(
+        Tables.orders(s, d), "o_orderpriority", "o_totalprice")),
+
+    // revenue inequality per nation: Gini over per-customer exact
+    // Decimal revenue (the q280 revenue definition)
+    "q294_gini" -> ((s, d) => {
+      val dec = DecimalType(38, 6)
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(dec)).as("revenue"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+      graft.operators.AnalyticsOps.gini(rev, "c_nationkey", "revenue")
+    }),
+
     // subgroup treatment effects: the q245 arms contrasted per event
     // type on user-level activity — Welch SE from exact moments; the
     // heterogeneity table behind "did the effect concentrate
@@ -4753,6 +4834,163 @@ object ExtendedQueries {
          |  AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
          |""".stripMargin
     },
+
+    // same checkpoints, exact integer growth points, identical
+    // 10-summand log-log OLS closing
+    "q290_heaps_law" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN length(trim(lower(text))) = 0
+        |      THEN []::VARCHAR[]
+        |      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), pd AS (SELECT doc_id, len(t) AS tc FROM d WHERE len(t) > 0),
+        |fd AS (
+        |  SELECT w, min(doc_id) AS f
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM d) GROUP BY 1
+        |), mx AS (
+        |  SELECT max(doc_id) AS m FROM documents WHERE text IS NOT NULL
+        |), ck AS (
+        |  SELECT CAST(k AS INTEGER) AS checkpoint,
+        |    (SELECT m FROM mx) * k // 10 AS c
+        |  FROM generate_series(1, 10) g(k)
+        |), nt AS (
+        |  SELECT ck.checkpoint, CAST(sum(pd.tc) AS BIGINT) AS n_tokens
+        |  FROM pd JOIN ck ON pd.doc_id <= ck.c GROUP BY 1
+        |), vc AS (
+        |  SELECT ck.checkpoint, count(*) AS vocab
+        |  FROM fd JOIN ck ON fd.f <= ck.c GROUP BY 1
+        |), pts AS (
+        |  SELECT nt.checkpoint, n_tokens, vocab,
+        |    ln(n_tokens::DOUBLE) AS x, ln(vocab::DOUBLE) AS y
+        |  FROM nt JOIN vc USING (checkpoint)
+        |), fit AS (
+        |  SELECT count(*)::DOUBLE AS m, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM pts
+        |)
+        |SELECT p.checkpoint, p.n_tokens, p.vocab,
+        |  CASE WHEN f.m * f.sxx - f.sx * f.sx > 0
+        |    THEN round((f.m * f.sxy - f.sx * f.sy)
+        |      / (f.m * f.sxx - f.sx * f.sx), 4) END AS heaps_beta
+        |FROM pts p, fit f""".stripMargin,
+
+    // the q231 exact quadratic Jaccard, counted at three thresholds
+    // on the UNROUNDED integer-ratio value (identical bits both
+    // engines, so the literal comparisons agree)
+    "q291_dup_threshold_curve" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents)
+        |  WHERE len(toks) >= 3
+        |), j AS (
+        |  SELECT len(list_intersect(a.s, b.s))::DOUBLE /
+        |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |)
+        |SELECT
+        |  CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pairs_ge_50,
+        |  CAST(sum(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pairs_ge_70,
+        |  CAST(sum(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pairs_ge_90
+        |FROM j""".stripMargin,
+
+    // the same rank-covered histogram, overlap clamp, and one-division
+    // closing (unrounded, de-quantized by the exact /1e6)
+    "q292_trimmed_mean" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 1000000) AS BIGINT) AS v,
+        |    count(*) AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v) AS hi
+        |  FROM hist
+        |), cum2 AS (SELECT g, v, c, hi, hi - c + 1 AS lo FROM cum),
+        |tk AS (
+        |  SELECT g, max(hi) AS n, max(hi) // 10 AS k FROM cum GROUP BY 1
+        |)
+        |SELECT c2.g AS l_returnflag, CAST(t.n AS BIGINT) AS n,
+        |  CAST(t.k AS BIGINT) AS n_trimmed_each_side,
+        |  CASE WHEN t.n - 2 * t.k > 0 THEN
+        |    sum(greatest(0, least(c2.hi, t.n - t.k)
+        |        - greatest(c2.lo - 1, t.k))::HUGEINT * c2.v::HUGEINT)::DOUBLE
+        |      / (t.n - 2 * t.k)::DOUBLE / 1e6 END AS trimmed_mean
+        |FROM cum2 c2 JOIN tk t USING (g)
+        |GROUP BY c2.g, t.n, t.k""".stripMargin,
+
+    // type-1 (ceil-rank) quartiles off the same rank cover; integer
+    // numerator and denominator, one unrounded division
+    "q293_bowley_skew" ->
+      """WITH hist AS (
+        |  SELECT o_orderpriority AS g,
+        |    CAST(round(o_totalprice * 1000000) AS BIGINT) AS v,
+        |    count(*) AS c
+        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v) AS hi
+        |  FROM hist
+        |), cum2 AS (SELECT g, v, c, hi, hi - c + 1 AS lo FROM cum),
+        |r AS (
+        |  SELECT g, max(hi) AS n, (max(hi) + 3) // 4 AS r1,
+        |    (max(hi) + 1) // 2 AS r2, (3 * max(hi) + 3) // 4 AS r3
+        |  FROM cum GROUP BY 1
+        |), qa AS (
+        |  SELECT c2.g, min(v) AS v1 FROM cum2 c2
+        |  JOIN r ON r.g = c2.g AND c2.lo <= r.r1 AND r.r1 <= c2.hi
+        |  GROUP BY 1
+        |), qb AS (
+        |  SELECT c2.g, min(v) AS v2 FROM cum2 c2
+        |  JOIN r ON r.g = c2.g AND c2.lo <= r.r2 AND r.r2 <= c2.hi
+        |  GROUP BY 1
+        |), qc AS (
+        |  SELECT c2.g, min(v) AS v3 FROM cum2 c2
+        |  JOIN r ON r.g = c2.g AND c2.lo <= r.r3 AND r.r3 <= c2.hi
+        |  GROUP BY 1
+        |)
+        |SELECT r.g AS o_orderpriority, CAST(r.n AS BIGINT) AS n,
+        |  v1::DOUBLE / 1e6 AS q1, v2::DOUBLE / 1e6 AS q2,
+        |  v3::DOUBLE / 1e6 AS q3,
+        |  CASE WHEN v3 > v1 THEN (v3 + v1 - 2 * v2)::DOUBLE
+        |    / (v3 - v1)::DOUBLE END AS bowley_skew
+        |FROM r JOIN qa USING (g) JOIN qb USING (g) JOIN qc USING (g)""".stripMargin,
+
+    // per-customer exact Decimal revenue (the q280 definition), the
+    // tie-correct doubled-numerator Gini over the rank cover
+    "q294_gini" ->
+      """WITH rev AS MATERIALIZED (
+        |  SELECT c.c_nationkey AS g,
+        |    sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |      AS DECIMAL(38,6))) AS r
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY o.o_custkey, c.c_nationkey
+        |), negs AS (
+        |  SELECT g, count(*) AS ng FROM rev WHERE r < 0 GROUP BY 1
+        |), hist AS (
+        |  SELECT g, CAST(round(r * 1000000) AS BIGINT) AS v, count(*) AS c
+        |  FROM rev WHERE r >= 0 GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v) AS hi
+        |  FROM hist
+        |), cum2 AS (SELECT g, v, c, hi, hi - c + 1 AS lo FROM cum),
+        |tot AS (SELECT g, max(hi) AS n FROM cum GROUP BY 1),
+        |agg AS (
+        |  SELECT c2.g, max(t.n) AS n,
+        |    sum(c2.c::HUGEINT * c2.v::HUGEINT) AS s,
+        |    sum((c2.hi::HUGEINT * (c2.hi::HUGEINT + 1)
+        |      - (c2.lo::HUGEINT - 1) * c2.lo::HUGEINT
+        |      - c2.c::HUGEINT * (t.n::HUGEINT + 1)) * c2.v::HUGEINT)
+        |      AS num2
+        |  FROM cum2 c2 JOIN tot t USING (g) GROUP BY 1
+        |)
+        |SELECT a.g AS c_nationkey, CAST(a.n AS BIGINT) AS n,
+        |  CAST(coalesce(ng.ng, 0) AS BIGINT) AS n_negative_excluded,
+        |  CASE WHEN a.s > 0 THEN a.num2::DOUBLE
+        |    / (a.n::HUGEINT * a.s)::DOUBLE END AS gini
+        |FROM agg a LEFT JOIN negs ng USING (g)""".stripMargin,
 
     // same joint-histogram concordance counting with doubled tie
     // pairs; identical closing tree

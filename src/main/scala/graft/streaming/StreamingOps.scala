@@ -758,12 +758,22 @@ object StreamingOps {
     var guard = 0
     while (!g.isEmpty && guard < 8) {
       val nEdges = g.count()
-      val horizon = math.max(iters,
-        64 - java.lang.Long.numberOfLeadingZeros(nEdges + 2) + 3)
-      val m = graft.graph.GraphOps.connectedComponents(g, horizon)
-        .select(col("node").as("__o"), col("component").as("__n"))
-        .filter(col("__o") =!= col("__n"))
-        .localCheckpoint(true)
+      // the contracted graph is BATCH-bounded, not corpus-bounded: at
+      // micro-batch scale a driver-side union-find (min-label roots,
+      // path compression) reaches the fixpoint in one pass for the
+      // price of one collect — the distributed round loop pays a
+      // full job per pointer-doubling round, which dominated q288's
+      // bench cost 5× (20.8 s -> see SCALE.md). Above the cutoff the
+      // distributed loop takes over; either path feeds the same
+      // relabel joins, which stay fully distributed.
+      val m: DataFrame =
+        if (nEdges <= 1000000L) unionFindLabels(g)
+        else graft.graph.GraphOps.connectedComponents(g,
+          math.max(iters,
+            64 - java.lang.Long.numberOfLeadingZeros(nEdges + 2) + 3))
+          .select(col("node").as("__o"), col("component").as("__n"))
+          .filter(col("__o") =!= col("__n"))
+          .localCheckpoint(true)
       lmap =
         if (lmap == null) m
         else lmap
@@ -812,6 +822,45 @@ object StreamingOps {
       mustRename(master, old)
     }
     mustRename(tmp, master)
+  }
+
+  /** Driver-side min-label union-find over a SMALL (batch-bounded)
+    * edge frame: roots are always the component MINIMUM (union keeps
+    * the smaller root as parent), so the result is identical to the
+    * distributed min-label CC fixpoint. Returns only changed nodes
+    * (__o -> __n), id-type-generic via the frame's own schema.
+    */
+  private def unionFindLabels(g: DataFrame): DataFrame = {
+    val spark = g.sparkSession
+    val idType = g.schema("id_a").dataType
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[java.lang.Comparable[Any]].compareTo(b) < 0
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) {
+        val nxt = parent.get(c); parent.put(c, r); c = nxt
+      }
+      r
+    }
+    g.collect().foreach { row =>
+      val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+      if (ra != rb) {
+        if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    parent.keySet().forEach { k =>
+      val r = find(k)
+      if (r != k) out += org.apache.spark.sql.Row(k, r)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__o", idType),
+      org.apache.spark.sql.types.StructField("__n", idType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1), schema)
   }
 
   /** The label table [[ccLabelBatch]] maintains — already the

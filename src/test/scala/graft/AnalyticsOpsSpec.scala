@@ -1333,4 +1333,53 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(floored((2L, 1)) === ((1L, s6)))
     assert(!floored.contains((2L, 2)), "cooc=1 neighbour must be floored")
   }
+  test("trimmedMean: k = n div 10 trimmed each side, exact kept-rank " +
+    "overlap arithmetic, degenerate group reports NULL") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val r = AnalyticsOps.trimmedMean(df, "grp", "v", trimDenom = 10)
+      .collect()(0)
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Long]("n_trimmed_each_side") === 1L)
+    // keep ranks 2..9 -> mean of 2..9 = 5.5 (44e6 / 8 / 1e6 exactly)
+    assert(r.getAs[Double]("trimmed_mean") === 44.0e6 / 8.0 / 1e6)
+    // n = 2, trimDenom = 2 -> k = 1, nothing kept -> NULL
+    val tiny = Seq(("g", 1.0), ("g", 2.0)).toDF("grp", "v")
+    assert(AnalyticsOps.trimmedMean(tiny, "grp", "v", trimDenom = 2)
+      .collect()(0).isNullAt(3))
+  }
+
+  test("bowleySkew: type-1 ceil-rank quartiles, hand value 5/9 on a " +
+    "right-heavy fixture, symmetric fixture gives 0, no-spread NULL") {
+    import spark.implicits._
+    val df = Seq(1.0, 1.0, 2.0, 3.0, 10.0, 10.0, 10.0)
+      .map(("g", _)).toDF("grp", "v")
+    val r = AnalyticsOps.bowleySkew(df, "grp", "v").collect()(0)
+    // n=7: r1=2 -> 1, r2=4 -> 3, r3=6 -> 10; (10+1-6)/(10-1)
+    assert(r.getAs[Long]("n") === 7L)
+    assert(r.getAs[Double]("q1") === 1.0)
+    assert(r.getAs[Double]("q2") === 3.0)
+    assert(r.getAs[Double]("q3") === 10.0)
+    assert(r.getAs[Double]("bowley_skew") ===
+      5.0e6 / 9.0e6) // the operator's integer-operand division
+    val flat = Seq(("g", 4.0), ("g", 4.0), ("g", 4.0)).toDF("grp", "v")
+    assert(AnalyticsOps.bowleySkew(flat, "grp", "v").collect()(0)
+      .isNullAt(5))
+  }
+
+  test("gini: 0 on equal values, 0.75 on a one-whale fixture with " +
+    "tie-correct rank blocks, negatives excluded and counted") {
+    import spark.implicits._
+    val eq = Seq.fill(4)(("g", 5.0)).toDF("grp", "v")
+    assert(AnalyticsOps.gini(eq, "grp", "v").collect()(0)
+      .getAs[Double]("gini") === 0.0)
+    val whale = Seq(("g", 0.0), ("g", 0.0), ("g", 0.0), ("g", 10.0),
+      ("g", -3.0)).toDF("grp", "v")
+    val r = AnalyticsOps.gini(whale, "grp", "v").collect()(0)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Long]("n_negative_excluded") === 1L)
+    // sorted (0,0,0,10): sum (2i-n-1)x_i = 3*10 = 30; n*S = 40
+    assert(r.getAs[Double]("gini") === 0.75)
+  }
+
 }
