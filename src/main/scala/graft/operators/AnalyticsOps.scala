@@ -2925,4 +2925,106 @@ object AnalyticsOps {
             (col("n").cast(dec) * col("__s")).cast(DoubleType)).as("gini"))
   }
 
+  /** Winsorized mean: CLAMP (not drop — [[trimmedMean]]'s sibling)
+    * the k = n div `trimDenom` smallest observations to the value at
+    * rank k+1 and the k largest to the value at rank n−k, then
+    * average all n. Total = Σ kept-range block overlap × v +
+    * k·x₍k+1₎ + k·x₍n−k₎ — exact integers through the Decimal sum,
+    * ONE closing division, /1e6 de-quantization, unrounded.
+    */
+  def winsorizedMean(df: DataFrame, groupCol: String, valueCol: String,
+                     trimDenom: Int = 10): DataFrame = {
+    require(trimDenom >= 2, "trimDenom must be >= 2")
+    val dec = DecimalType(38, 0)
+    val cum = rankedHist(df, groupCol, valueCol)
+    val totals = cum.groupBy(col(groupCol)).agg(max("__cumHi").as("__n"))
+      .withColumn("__k", expr(s"__n div $trimDenom"))
+    val joined = cum.join(totals, Seq(groupCol))
+    val kept = joined
+      .withColumn("__kept", greatest(lit(0L),
+        least(col("__cumHi"), col("__n") - col("__k")) -
+          greatest(col("__cumLo") - 1, col("__k"))))
+      .groupBy(col(groupCol))
+      .agg(max("__n").as("n"), max("__k").as("n_winsorized_each_side"),
+        sum(col("__kept").cast(dec) * col("__v").cast(dec)).as("__s"))
+    def at(rank: Column, out: String) =
+      joined.filter(col("__cumLo") <= rank && rank <= col("__cumHi"))
+        .groupBy(col(groupCol)).agg(min("__v").as(out))
+    kept
+      .join(at(col("__k") + 1, "__vlo"), Seq(groupCol))
+      .join(at(col("__n") - col("__k"), "__vhi"), Seq(groupCol))
+      .select(col(groupCol), col("n"), col("n_winsorized_each_side"),
+        when(col("n") > 0,
+          (col("__s") + col("n_winsorized_each_side").cast(dec) *
+            (col("__vlo").cast(dec) + col("__vhi").cast(dec)))
+            .cast(DoubleType) / col("n").cast(DoubleType) / 1e6)
+          .as("winsorized_mean"))
+  }
+
+  /** Lorenz curve at decile ranks — the distribution behind [[gini]]'s
+    * single number: for d = 1..10, the share of total value held by
+    * the bottom rank (n·d) div 10 observations. Cumulative value at a
+    * rank boundary is blockEndCum − (blockHi − rank)·v — exact
+    * Decimal integers, one division per decile, unrounded. Values
+    * must be nonnegative (negatives excluded, [[gini]]'s contract).
+    */
+  def lorenzDeciles(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val cum = rankedHist(df.filter(col(valueCol) >= 0), groupCol, valueCol)
+    val (withVal, wv) = TwoLevelCumsum.withGroupedOffsets(
+      cum.withColumn("__cv", col("__c").cast(dec) * col("__v").cast(dec))
+        .drop("__b", "__w", "__off"),
+      Seq(groupCol), expr("__v div 1024L"), col("__cv"),
+      Seq(col("__v").asc))
+    val cv = withVal
+      .withColumn("__cvHi", col("__off") + sum("__w").over(wv))
+    val totals = cv.groupBy(col(groupCol))
+      .agg(max("__cumHi").as("__n"), max("__cvHi").as("__tot"))
+    val deciles = totals.select(col(groupCol), col("__n"), col("__tot"),
+      explode(sequence(lit(1), lit(10))).as("decile"))
+      .withColumn("__rd", expr("__n * decile div 10"))
+    cv.join(deciles, Seq(groupCol))
+      .filter(col("__rd") >= col("__cumLo") && col("__rd") <= col("__cumHi"))
+      .select(col(groupCol), col("decile").cast(IntegerType).as("decile"),
+        col("__rd").as("rank"),
+        when(col("__tot") > 0,
+          (col("__cvHi") - (col("__cumHi") - col("__rd")).cast(dec) *
+            col("__v").cast(dec)).cast(DoubleType) /
+            col("__tot").cast(DoubleType)).as("cum_share"))
+  }
+
+  /** Fano dispersion index of daily activity per group: variance /
+    * mean of the ZERO-FILLED daily count series over the global
+    * calendar span — ≈1 is Poisson-like, ≫1 is bursty (campaigns,
+    * bots), ≪1 is metronomic (schedulers). F = (n·Σx² − (Σx)²) /
+    * ((n−1)·Σx) — integer operands, one unrounded division; groups
+    * with zero events or a single day report NULL.
+    *
+    * Scale shape: one (group, day) count with map-side combine; the
+    * dense zero-fill happens in the MOMENTS (n = span days, missing
+    * days add zero to every sum), never as a materialized grid.
+    */
+  def dispersionIndex(events: DataFrame, groupCol: String = "event_type",
+                      tsCol: String = "ts"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val daily = events
+      .select(col(groupCol).as("__g"), to_date(col(tsCol)).as("__day"))
+      .groupBy("__g", "__day").agg(count(lit(1)).as("__x"))
+    val span = daily.agg(
+      (datediff(max("__day"), min("__day")) + 1).cast(LongType).as("__nd"))
+    daily.groupBy(col("__g"))
+      .agg(sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"))
+      .crossJoin(broadcast(span))
+      .select(col("__g").as(groupCol), col("__nd").as("n_days"),
+        (col("__sx").cast(DoubleType) / col("__nd").cast(DoubleType) / 1.0)
+          .as("mean_daily"),
+        when(col("__nd") > 1 && col("__sx") > 0,
+          (col("__nd").cast(dec) * col("__sxx") - col("__sx") * col("__sx"))
+            .cast(DoubleType) /
+            ((col("__nd") - 1).cast(dec) * col("__sx")).cast(DoubleType))
+          .as("fano"))
+  }
+
 }

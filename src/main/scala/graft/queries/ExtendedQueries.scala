@@ -1332,6 +1332,58 @@ object ExtendedQueries {
       graft.operators.AnalyticsOps.gini(rev, "c_nationkey", "revenue")
     }),
 
+    // winsorized (clamped) mean beside q292's trimmed (dropped) mean
+    "q295_winsorized_mean" -> ((s, d) =>
+      graft.operators.AnalyticsOps.winsorizedMean(
+        Tables.lineitem(s, d), "l_returnflag", "l_extendedprice",
+        trimDenom = 10)),
+
+    // the distribution behind q294's number: bottom-decile cumulative
+    // revenue shares per nation (Lorenz curve at 10 rank points)
+    "q296_lorenz_deciles" -> ((s, d) => {
+      val dec = DecimalType(38, 6)
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(dec)).as("revenue"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+      graft.operators.AnalyticsOps.lorenzDeciles(rev, "c_nationkey",
+        "revenue")
+    }),
+
+    // burstiness screen: Fano dispersion of zero-filled daily counts
+    // per event type (≈1 Poisson, ≫1 bursty, ≪1 metronomic)
+    "q297_dispersion_index" -> ((s, d) =>
+      graft.operators.AnalyticsOps.dispersionIndex(Tables.events(s, d))),
+
+    // cross-source vocabulary Jaccard: which feeds speak the same
+    // language (the corpus-mixing companion to q260's distributional
+    // divergence — set overlap, not frequency shape)
+    "q298_vocab_overlap" -> ((s, d) => {
+      val v = Tables.documents(s, d)
+        .filter(col("source").isNotNull && col("text").isNotNull)
+        .select(col("source"),
+          explode(graft.text.TextOps.tokens(lower(col("text")))).as("__w"))
+        .distinct()
+      val sizes = v.groupBy("source").agg(count(lit(1)).as("__n"))
+      val shared = v.select(col("source").as("source_a"), col("__w"))
+        .join(v.select(col("source").as("source_b"), col("__w")), "__w")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+      shared
+        .join(sizes.select(col("source").as("source_a"),
+          col("__n").as("vocab_a")), "source_a")
+        .join(sizes.select(col("source").as("source_b"),
+          col("__n").as("vocab_b")), "source_b")
+        .select(col("source_a"), col("source_b"), col("n_shared"),
+          col("vocab_a"), col("vocab_b"),
+          (col("n_shared").cast(DoubleType) /
+            (col("vocab_a") + col("vocab_b") - col("n_shared"))
+              .cast(DoubleType)).as("jaccard"))
+    }),
+
     // subgroup treatment effects: the q245 arms contrasted per event
     // type on user-level activity — Welch SE from exact moments; the
     // heterogeneity table behind "did the effect concentrate
@@ -4991,6 +5043,117 @@ object ExtendedQueries {
         |  CASE WHEN a.s > 0 THEN a.num2::DOUBLE
         |    / (a.n::HUGEINT * a.s)::DOUBLE END AS gini
         |FROM agg a LEFT JOIN negs ng USING (g)""".stripMargin,
+
+    // q292's rank cover, clamped instead of dropped: kept-range sum
+    // plus k copies of the clamp values, divided by the FULL n
+    "q295_winsorized_mean" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 1000000) AS BIGINT) AS v,
+        |    count(*) AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT g, v, c, sum(c) OVER (PARTITION BY g ORDER BY v) AS hi
+        |  FROM hist
+        |), cum2 AS (SELECT g, v, c, hi, hi - c + 1 AS lo FROM cum),
+        |tk AS (
+        |  SELECT g, max(hi) AS n, max(hi) // 10 AS k FROM cum GROUP BY 1
+        |), kept AS (
+        |  SELECT c2.g, max(t.n) AS n, max(t.k) AS k,
+        |    sum(greatest(0, least(c2.hi, t.n - t.k)
+        |      - greatest(c2.lo - 1, t.k))::HUGEINT * c2.v::HUGEINT) AS s
+        |  FROM cum2 c2 JOIN tk t USING (g) GROUP BY c2.g
+        |), vlo AS (
+        |  SELECT c2.g, min(v) AS v1 FROM cum2 c2
+        |  JOIN tk t ON t.g = c2.g
+        |    AND c2.lo <= t.k + 1 AND t.k + 1 <= c2.hi
+        |  GROUP BY 1
+        |), vhi AS (
+        |  SELECT c2.g, min(v) AS v2 FROM cum2 c2
+        |  JOIN tk t ON t.g = c2.g
+        |    AND c2.lo <= t.n - t.k AND t.n - t.k <= c2.hi
+        |  GROUP BY 1
+        |)
+        |SELECT k.g AS l_returnflag, CAST(k.n AS BIGINT) AS n,
+        |  CAST(k.k AS BIGINT) AS n_winsorized_each_side,
+        |  CASE WHEN k.n > 0 THEN
+        |    (k.s + k.k::HUGEINT * (vlo.v1::HUGEINT + vhi.v2::HUGEINT))::DOUBLE
+        |      / k.n::DOUBLE / 1e6 END AS winsorized_mean
+        |FROM kept k JOIN vlo USING (g) JOIN vhi USING (g)""".stripMargin,
+
+    // the q294 revenue CTE, count AND value cumsums over the same
+    // rank cover, share at rank (n*d)//10 per decile
+    "q296_lorenz_deciles" ->
+      """WITH rev AS MATERIALIZED (
+        |  SELECT c.c_nationkey AS g,
+        |    sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+        |      AS DECIMAL(38,6))) AS r
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY o.o_custkey, c.c_nationkey
+        |), hist AS (
+        |  SELECT g, CAST(round(r * 1000000) AS BIGINT) AS v, count(*) AS c
+        |  FROM rev WHERE r >= 0 GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT g, v, c,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v) AS hi,
+        |    sum(c::HUGEINT * v::HUGEINT) OVER (PARTITION BY g ORDER BY v)
+        |      AS cv
+        |  FROM hist
+        |), cum2 AS (SELECT g, v, c, hi, hi - c + 1 AS lo, cv FROM cum),
+        |tot AS (
+        |  SELECT g, max(hi) AS n, max(cv) AS tv FROM cum GROUP BY 1
+        |), dec_ AS (
+        |  SELECT t.g, t.n, t.tv, CAST(d AS INTEGER) AS decile,
+        |    t.n * d // 10 AS rd
+        |  FROM tot t CROSS JOIN generate_series(1, 10) s(d)
+        |)
+        |SELECT c2.g AS c_nationkey, d.decile, d.rd AS rank,
+        |  CASE WHEN d.tv > 0 THEN
+        |    (c2.cv - (c2.hi - d.rd)::HUGEINT * c2.v::HUGEINT)::DOUBLE
+        |      / d.tv::DOUBLE END AS cum_share
+        |FROM cum2 c2 JOIN dec_ d ON d.g = c2.g
+        |  AND d.rd >= c2.lo AND d.rd <= c2.hi""".stripMargin,
+
+    // same zero-fill-in-the-moments trick: span days enter n only
+    "q297_dispersion_index" ->
+      """WITH daily AS MATERIALIZED (
+        |  SELECT event_type AS g, ts::DATE AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT datediff('day', min(day), max(day)) + 1 AS nd FROM daily
+        |), m AS (
+        |  SELECT g, sum(x::HUGEINT) AS sx, sum(x::HUGEINT * x::HUGEINT)
+        |    AS sxx
+        |  FROM daily GROUP BY 1
+        |)
+        |SELECT g AS event_type, CAST(s.nd AS BIGINT) AS n_days,
+        |  sx::DOUBLE / s.nd::DOUBLE / 1.0 AS mean_daily,
+        |  CASE WHEN s.nd > 1 AND sx > 0 THEN
+        |    (s.nd::HUGEINT * sxx - sx * sx)::DOUBLE
+        |      / ((s.nd - 1)::HUGEINT * sx)::DOUBLE END AS fano
+        |FROM m, span s""".stripMargin,
+
+    // distinct (source, token) postings, pair join on the token,
+    // unrounded integer-ratio Jaccard
+    "q298_vocab_overlap" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT DISTINCT source AS s, w FROM (
+        |    SELECT source, unnest(CASE WHEN length(trim(lower(text))) = 0
+        |        THEN []::VARCHAR[]
+        |        ELSE regexp_split_to_array(trim(lower(text)), '\s+') END)
+        |      AS w
+        |    FROM documents
+        |    WHERE source IS NOT NULL AND text IS NOT NULL)
+        |), sz AS (SELECT s, count(*) AS n FROM v GROUP BY 1),
+        |sh AS (
+        |  SELECT a.s AS sa, b.s AS sb, count(*) AS c
+        |  FROM v a JOIN v b USING (w) WHERE a.s < b.s GROUP BY 1, 2
+        |)
+        |SELECT sa AS source_a, sb AS source_b, c AS n_shared,
+        |  za.n AS vocab_a, zb.n AS vocab_b,
+        |  c::DOUBLE / (za.n + zb.n - c)::DOUBLE AS jaccard
+        |FROM sh JOIN sz za ON za.s = sa JOIN sz zb ON zb.s = sb""".stripMargin,
 
     // same joint-histogram concordance counting with doubled tie
     // pairs; identical closing tree

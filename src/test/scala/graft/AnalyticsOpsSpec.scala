@@ -1382,4 +1382,53 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("gini") === 0.75)
   }
 
+  test("winsorizedMean: clamps k each side to the adjacent order " +
+    "statistics and divides by the FULL n") {
+    import spark.implicits._
+    // 1..10, k=1: clamp 1 -> 2 and 10 -> 9; total 2+2..9+9 = 55-1-10+2+9
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val r = AnalyticsOps.winsorizedMean(df, "grp", "v", trimDenom = 10)
+      .collect()(0)
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Long]("n_winsorized_each_side") === 1L)
+    assert(r.getAs[Double]("winsorized_mean") === 55.0e6 / 10.0 / 1e6)
+  }
+
+  test("lorenzDeciles: hand shares on a whale fixture, tie-correct " +
+    "block arithmetic, rank-0 deciles absent for tiny groups") {
+    import spark.implicits._
+    // values (0, 0, 10, 10, 80): total 100; ranks 1..5
+    val df = Seq(0.0, 0.0, 10.0, 10.0, 80.0).map(("g", _)).toDF("grp", "v")
+    val out = AnalyticsOps.lorenzDeciles(df, "grp", "v")
+      .collect().map(r => r.getInt(1) ->
+        (r.getAs[Long]("rank"), r.getAs[Double]("cum_share"))).toMap
+    // n=5: decile d covers rank 5d/10: d=2->1, d=4->2, d=6->3, d=8->4, d=10->5
+    assert(!out.contains(1), "rank 0 decile must be absent")
+    assert(out(2) === ((1L, 0.0)))
+    assert(out(4) === ((2L, 0.0)))
+    assert(out(6) === ((3L, 10.0e6 / 100.0e6)))
+    assert(out(8) === ((4L, 20.0e6 / 100.0e6)))
+    assert(out(10) === ((5L, 1.0)))
+  }
+
+  test("dispersionIndex: Poisson-flat series ~ F=1 exact on a " +
+    "constructed fixture, zero-filled span enters n_days") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // type A: 2 events/day on days 1..3 -> variance 0 -> F = 0
+    // type B: days 1 and 3 active (1 event), day 2 zero ->
+    //   n=3, sx=2, sxx=2: F = (3*2 - 4) / (2*2) = 0.5
+    val ev = Seq(
+      ("A", t(1)), ("A", t(1)), ("A", t(2)), ("A", t(2)),
+      ("A", t(3)), ("A", t(3)),
+      ("B", t(1)), ("B", t(3)))
+      .toDF("event_type", "ts")
+    val out = AnalyticsOps.dispersionIndex(ev)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("fano"))).toMap
+    assert(out("A") === ((3L, 0.0)))
+    assert(out("B") === ((3L, 2.0 / 4.0)))
+  }
+
 }
