@@ -881,9 +881,10 @@ object StreamingOps {
     * from scratch. Nonnegative weights make relaxation monotone
     * (distances only decrease), which is what makes the increment
     * sound and batch replay a no-op by algebra (no improvement the
-    * second time). `rounds` must cover THIS batch's improvement
-    * propagation depth — the change's reach, not the graph diameter;
-    * with enough rounds the state equals
+    * second time). The loop exits as soon as the frontier drains;
+    * `rounds` is a safety CAP on THIS batch's improvement propagation
+    * depth — the change's reach, not the graph diameter. With the cap
+    * uncut the state equals
     * [[graft.graph.GraphOps.weightedDistances]] at convergence over
     * all admitted edges (spec-pinned across multi-batch replays).
     * Seeds are passed on every call and min-merged at dist 0
@@ -949,15 +950,22 @@ object StreamingOps {
       reached = reached.unionByName(frontier)
         .groupBy("node").agg(min("dist").as("dist"))
         .localCheckpoint(true)
-      for (_ <- 1 to rounds) {
+      // early-exit frontier loop: `rounds` is a CAP, convergence is
+      // the frontier draining. The frontier stays un-checkpointed —
+      // both parents are checkpointed, so its recompute is one cheap
+      // join — keeping the loop at two jobs per round (merge + count)
+      var r = 0
+      var frontierCount = frontier.count()
+      while (r < rounds && frontierCount > 0) {
         val relaxed = frontier.join(allEdges, col("node") === col("src"))
           .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         val next = reached.unionByName(relaxed)
           .groupBy("node").agg(min("dist").as("dist"))
           .localCheckpoint(true)
         frontier = next.join(reached, Seq("node", "dist"), "left_anti")
-          .localCheckpoint(true)
         reached = next
+        frontierCount = frontier.count()
+        r += 1
       }
       val tmp = new HPath(distPath + ".next")
       reached.write.mode("overwrite").parquet(tmp.toString)
