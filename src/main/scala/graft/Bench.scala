@@ -44,10 +44,9 @@ object Bench {
     // SPARK_GRAFT_ONLY=q145,q264 times a comma-separated prefix subset
     // (the Verify convention) — for profiling single queries without
     // paying for the whole headline sweep
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val only = RunSelection.parse(sys.env.get("SPARK_GRAFT_ONLY"))
     val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(exclude)
-      .filter(n => only.forall(_.exists(n.startsWith)))
+      .filter(n => RunSelection.selects(only, n))
     // JVM/codegen warm-up on the smallest scale so the first measured
     // query doesn't absorb session start-up cost
     try SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
@@ -67,17 +66,42 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = names.map(name =>
-      name -> Seq(runOnce(name), runOnce(name), runOnce(name)).min)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Per-query isolation (the r11 2-3x same-code swing fix): every
+    // query's localCheckpoint/persist blocks release only via the
+    // WEAK-REF ContextCleaner, i.e. after a GC actually runs — without
+    // one, 250+ earlier queries' checkpoint blocks pile onto the heap
+    // and the late (heavy) queries pay their eviction and full-GC
+    // pauses inside THEIR timed window. A forced GC between queries
+    // (outside the timed section) flushes that debt to its owner.
+    // Per-query GC seconds (delta across the 3 reps) are recorded so
+    // a future swing is attributable from the artifact alone.
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans
+    def gcMillis(): Long = {
+      var s = 0L
+      gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime))
+      s
+    }
+    val results = names.map { name =>
+      System.gc()
+      val g0 = gcMillis()
+      val t = Seq(runOnce(name), runOnce(name), runOnce(name)).min
+      (name, t, (gcMillis() - g0) / 1000.0)
+    }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val gcs = results.map { case (k, _, g) => "\"" + k + "\":" + g }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val gcTotal = results.map(_._3).sum
     // n_runs documents the min-of-N protocol in the recorded artifact
     // itself (per-query numbers are each the min of three timed
     // executions) so a reader needn't consult this source to know the
     // noise envelope the number carries
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_runs":3,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_runs":3,"gc_sec":$gcTotal,"queries":$qs,"sf":"$sfDir"}"""
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_runs":3,"gc_sec":$gcTotal,"queries":$qs,"gc_queries":$gcs,"sf":"$sfDir"}"""
     println(line)
     // defend against the driver's 2000-char stdout-tail truncation
     // (BENCH_r6/r7 lost per-query history for a third of the set): the
@@ -89,7 +113,7 @@ object Bench {
       val stamp = java.time.Instant.now().toString
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_full.jsonl"),
-        s"""{"at":"$stamp",${line.drop(1)}""" + "\n",
+        s"""{"at":"$stamp",${fullLine.drop(1)}""" + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: Throwable => () } // best-effort: never fail the bench

@@ -21,12 +21,12 @@ object SparkEntry {
       ExtendedQueries.queries ++ ParityQueries.queries ++
       UdfParityQueries.queries ++ PipelineQueries.queries ++
       FeedQueries.queries ++ MasterUpkeepQueries.queries ++
-      CorpusQueries.queries
+      CorpusQueries.queries ++ ProbeQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextQueries.oracle ++
       ExtendedQueries.oracle ++ ParityQueries.oracle ++
       UdfParityQueries.oracle ++ PipelineQueries.oracle ++
       FeedQueries.oracle ++ MasterUpkeepQueries.oracle ++
-      CorpusQueries.oracle
+      CorpusQueries.oracle ++ ProbeQueries.oracle
 }

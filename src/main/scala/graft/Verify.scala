@@ -24,10 +24,8 @@ object Verify {
     // SPARK_GRAFT_ONLY=q177,q179 restricts the dump to a comma-separated
     // name-prefix list — a local iteration aid; the driver never sets it,
     // so the full surface runs by default
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    def selected(name: String): Boolean =
-      only.forall(_.exists(name.startsWith))
+    val only = RunSelection.parse(sys.env.get("SPARK_GRAFT_ONLY"))
+    def selected(name: String): Boolean = RunSelection.selects(only, name)
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

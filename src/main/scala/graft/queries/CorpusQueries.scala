@@ -614,8 +614,8 @@ object CorpusQueries {
     "q79_sequence_packing" ->
       """WITH toked AS (
         |  SELECT doc_id,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |    CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) END AS n_tokens
         |  FROM documents
         |), cum AS (
         |  SELECT doc_id, n_tokens,
@@ -685,8 +685,8 @@ object CorpusQueries {
     "q82_lang_token_budget" ->
       """WITH toked AS (
         |  SELECT doc_id, lang,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+        |    CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) END AS n_tok
         |  FROM documents
         |), cum AS (
         |  SELECT doc_id, lang,
@@ -702,8 +702,8 @@ object CorpusQueries {
     // matching Spark's slice(start, length) window exactly
     "q83_doc_chunking" ->
       """WITH toked AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-        |  FROM documents WHERE length(trim(text)) > 0
+        |  SELECT doc_id, regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) > 0
         |)
         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
         |  array_to_string(toks[(i*13+1):(i*13+16)], ' ') AS chunk_text
@@ -715,8 +715,8 @@ object CorpusQueries {
 
     "q73_decontaminate" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
-        |  FROM documents WHERE length(trim(text)) > 0
+        |  SELECT doc_id, regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') toks
+        |  FROM documents WHERE length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) > 0
         |),
         |dg AS (
         |  SELECT DISTINCT doc_id, g FROM (
@@ -740,8 +740,8 @@ object CorpusQueries {
     // of exact integer counts
     "q115_containment_score" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
-        |  FROM documents WHERE length(trim(text)) > 0
+        |  SELECT doc_id, regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') toks
+        |  FROM documents WHERE length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) > 0
         |),
         |dg AS (
         |  SELECT doc_id,
@@ -766,8 +766,8 @@ object CorpusQueries {
     // positive fires (see the q86 builder comment)
     "q86_bloom_decontaminate" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
-        |  FROM documents WHERE length(trim(text)) > 0
+        |  SELECT doc_id, regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') toks
+        |  FROM documents WHERE length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) > 0
         |),
         |dg AS (
         |  SELECT DISTINCT doc_id, g FROM (
@@ -800,8 +800,8 @@ object CorpusQueries {
 
     "q84_dup_spans" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
-        |  FROM documents WHERE length(trim(text)) > 0
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\s+') AS t
+        |  FROM documents WHERE length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) > 0
         |), spans AS (
         |  SELECT doc_id,
         |    unnest([array_to_string(t[i:i+7], ' ') for i in range(1, len(t)-6)]) AS span
@@ -814,8 +814,8 @@ object CorpusQueries {
 
     "q85_dup_span_fraction" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
-        |  FROM documents WHERE length(trim(text)) > 0
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\s+') AS t
+        |  FROM documents WHERE length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) > 0
         |), spans AS (
         |  SELECT doc_id,
         |    unnest([array_to_string(t[i:i+7], ' ') for i in range(1, len(t)-6)]) AS span
@@ -838,10 +838,10 @@ object CorpusQueries {
     "q91_dup_span_removal" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t,
-        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS lt
+        |    CASE WHEN text IS NULL OR length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') END AS t,
+        |    CASE WHEN text IS NULL OR length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\s+') END AS lt
         |  FROM documents
         |), spans AS (
         |  SELECT doc_id, CAST(u.strt AS INTEGER) AS strt, u.span FROM (
@@ -974,7 +974,7 @@ object CorpusQueries {
       """WITH sh AS (
         |  SELECT doc_id,
         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) s
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents)
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') toks FROM documents)
         |  WHERE len(toks) >= 3
         |), pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -994,10 +994,10 @@ object CorpusQueries {
     "q140_surgical_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t,
-        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS lt
+        |    CASE WHEN text IS NULL OR length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') END AS t,
+        |    CASE WHEN text IS NULL OR length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\s+') END AS lt
         |  FROM documents
         |), bench(bt) AS (VALUES ('key agg row scan'), ('batch window spark order')),
         |bspans AS (
@@ -1072,8 +1072,8 @@ object CorpusQueries {
     // whitespace rule, vocabulary via DISTINCT
     "q126_corpus_stats" ->
       """WITH toks AS (
-        |  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
-        |  FROM documents WHERE length(trim(text)) > 0
+        |  SELECT lang, unnest(regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS w
+        |  FROM documents WHERE length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) > 0
         |), tok_agg AS (
         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
         |    CAST(count(DISTINCT w) AS BIGINT) AS n_distinct_tokens
@@ -1095,7 +1095,7 @@ object CorpusQueries {
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id,
         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) s
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents)
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') toks FROM documents)
         |  WHERE len(toks) >= 3
         |), pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1342,7 +1342,7 @@ object CorpusQueries {
       """WITH sh AS (
         |  SELECT doc_id,
         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) s
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents)
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') toks FROM documents)
         |  WHERE len(toks) >= 3
         |), pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,

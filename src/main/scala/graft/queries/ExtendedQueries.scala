@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1200,25 +1200,41 @@ object ExtendedQueries {
       graft.operators.AnalyticsOps.kendallTau(
         Tables.lineitem(s, d), "l_discount", "l_quantity")),
 
-    // PII incidence per source: email and US-phone pattern hit rates
-    // (both regexes RE2-compatible and dialect-identical) — the
-    // "which feeds need the redaction pass" triage before q-level
-    // redaction; map-only, #sources output rows
+    // PII incidence per source — the "which feeds need the redaction
+    // pass" triage before q-level redaction; map-only, #sources output
+    // rows. Detection is STRUCTURAL, not regex: an email-shaped token
+    // (split on a literal space) has exactly one '@' with ≥1 char
+    // before it and a '.' after it with ≥2 chars following; a
+    // phone-shaped text contains ###-###-#### or (###) ###-#### after
+    // digit masking. Regex character classes are engine-implemented
+    // and drift across regex-library versions on the ORACLE side;
+    // replace/instr/reverse/split-on-literal are dialect-identical
+    // primitives, so both engines replay the detector exactly. The
+    // closing is an integer-only ppm.
     "q287_pii_incidence" -> ((s, d) => {
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val phone = "\\(\\d{3}\\) ?\\d{3}-\\d{4}|\\d{3}-\\d{3}-\\d{4}"
+      def emailTok(t: Column): Column = {
+        val at = instr(t, "@")
+        val rdot = instr(reverse(t), ".")
+        (length(t) - length(replace(t, lit("@"), lit(""))) === 1) &&
+          at >= 2 && rdot >= 3 && (length(t) - rdot + 1) >= at + 2
+      }
+      val emailDoc =
+        coalesce(exists(split(col("text"), " "), emailTok), lit(false))
+      val masked = "0123456789".foldLeft(col("text"))((c, ch) =>
+        replace(c, lit(ch.toString), lit("#")))
+      val phoneDoc = coalesce(instr(masked, "###-###-####") > 0 ||
+        instr(masked, "(###) ###-####") > 0 ||
+        instr(masked, "(###)###-####") > 0, lit(false))
       Tables.documents(s, d)
         .filter(col("source").isNotNull)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("text").rlike(email), 1L).otherwise(0L))
-            .as("n_email_docs"),
-          sum(when(col("text").rlike(phone), 1L).otherwise(0L))
-            .as("n_phone_docs"),
-          (sum(when(col("text").rlike(email) ||
-            col("text").rlike(phone), 1L).otherwise(0L))
-            .cast(DoubleType) / count(lit(1)).cast(DoubleType))
-            .as("pii_doc_rate"))
+          sum(when(emailDoc, 1L).otherwise(0L)).as("n_email_docs"),
+          sum(when(phoneDoc, 1L).otherwise(0L)).as("n_phone_docs"),
+          sum(when(emailDoc || phoneDoc, 1L).otherwise(0L))
+            .as("__n_pii"))
+        .withColumn("pii_doc_ppm", expr("__n_pii * 1000000 div n_docs"))
+        .drop("__n_pii")
     }),
 
     // the q238 component answer rebuilt INCREMENTALLY: the edge set
@@ -1685,12 +1701,21 @@ object ExtendedQueries {
     // signup→purchase conversion latency by signup-month cohort:
     // exact counts, one division, percentile_cont latency
     "q273_signup_to_purchase" -> ((s, d) => {
-      // Portable closings: conversion is an unrounded exact-integer
-      // ratio; the latency median is the ORDER-STATISTIC median over
-      // integer microseconds ((lo+hi)/2 as one integer sum + one IEEE
-      // division) — percentile_cont's interpolation formula is
-      // engine-implemented and splits hashes across DuckDB versions.
+      // Portable closings, integer-only: conversion ships as
+      // truncating ppm; the latency median ships as the ORDER-
+      // STATISTIC two-central-values sum in integer microseconds
+      // (lo+hi — halve and convert to hours off-engine) —
+      // percentile_cont's interpolation formula is engine-implemented
+      // and splits hashes across DuckDB versions, and the cohort key
+      // is the integer yyyymm (calendar arithmetic on an explicit
+      // epoch-day, no engine-formatted date strings).
       val e = Tables.events(s, d)
+      def cohortYm(usName: String): Column = {
+        val day = expr(s"$usName div 86400000000L")
+        val dt = date_add(lit("1970-01-01").cast(DateType),
+          day.cast(IntegerType))
+        (year(dt) * 100 + month(dt)).cast(IntegerType)
+      }
       val signups = e.filter(col("event_type") === "signup")
         .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("__s_us"))
       val purchases = e.filter(col("event_type") === "purchase")
@@ -1699,38 +1724,31 @@ object ExtendedQueries {
         .filter(col("__p_us") >= col("__s_us"))
         .groupBy("user_id", "__s_us")
         .agg(min("__p_us").as("__fp_us"))
-        .select(col("user_id"),
-          date_format(to_date(timestamp_micros(col("__s_us"))), "yyyy-MM")
-            .as("cohort_month"),
+        .select(col("user_id"), cohortYm("__s_us").as("cohort_ym"),
           (col("__fp_us") - col("__s_us")).as("__lat_us"))
       // cohort-partition window: bounded by cohort size (the same sort
       // percentile_cont performs), values-only order so ties are moot
-      val wC = Window.partitionBy("cohort_month")
+      val wC = Window.partitionBy("cohort_ym")
         .orderBy(col("__lat_us"), col("user_id"))
       val med = conv
         .withColumn("__rn", row_number().over(wC))
         .withColumn("__nc", count(lit(1)).over(
-          Window.partitionBy("cohort_month")))
-        .groupBy("cohort_month")
+          Window.partitionBy("cohort_ym")))
+        .groupBy("cohort_ym")
         .agg(sum(when(col("__rn") === expr("(__nc + 1) div 2"),
           col("__lat_us")).otherwise(0L) +
           when(col("__rn") === expr("__nc div 2 + 1"), col("__lat_us"))
-            .otherwise(0L)).as("__m2"))
+            .otherwise(0L)).as("median_lat_us2"))
       signups
-        .withColumn("cohort_month",
-          date_format(to_date(timestamp_micros(col("__s_us"))), "yyyy-MM"))
+        .withColumn("cohort_ym", cohortYm("__s_us"))
         .join(conv.select(col("user_id"), lit(1L).as("__c")),
           Seq("user_id"), "left")
-        .groupBy("cohort_month")
+        .groupBy("cohort_ym")
         .agg(count(lit(1)).as("n_signups"),
-          sum(coalesce(col("__c"), lit(0L))).as("n_converted"),
-          (sum(coalesce(col("__c"), lit(0L)))
-            .cast(DoubleType) / count(lit(1)).cast(DoubleType))
-            .as("conversion_rate"))
-        .join(med, Seq("cohort_month"), "left")
-        .withColumn("median_hours_to_purchase",
-          col("__m2").cast(DoubleType) / 7.2e9)
-        .drop("__m2")
+          sum(coalesce(col("__c"), lit(0L))).as("n_converted"))
+        .withColumn("conversion_ppm",
+          expr("n_converted * 1000000 div n_signups"))
+        .join(med, Seq("cohort_ym"), "left")
     }),
 
     // variance-optimal stratified sampling: a 2000-row budget splits
@@ -1834,6 +1852,10 @@ object ExtendedQueries {
     // fold scored by a model trained on the other two — the honest
     // accuracy number the self-train q118/q131 report can't give
     "q261_nb_cv_accuracy" -> ((s, d) => {
+      // argmaxRound6: fold models are retrained on 2/3 slices, so
+      // near-tied label scores are likelier than in the full-corpus
+      // q118 model — the round-6 argmax key collapses fp-order noise
+      // into deterministic label ties; the closing is integer-only ppm
       val docs = Tables.documents(s, d)
         .withColumn("__fold", (graft.operators.SplitOps.hashBucket(
           concat(col("doc_id").cast(StringType), lit("|cv"))) % 3)
@@ -1842,14 +1864,14 @@ object ExtendedQueries {
         val train = docs.filter(col("__fold") =!= f)
         val test = docs.filter(col("__fold") === f)
         val model = graft.text.Classify.trainNaiveBayes(train, "lang", "text")
-        graft.text.Classify.scoreNaiveBayes(test, "doc_id", "text", model)
+        graft.text.Classify.scoreNaiveBayes(test, "doc_id", "text", model,
+            argmaxRound6 = true)
           .join(test.select(col("doc_id"), col("lang")), "doc_id")
           .agg(count(lit(1)).as("n_docs"),
             sum((col("pred_label") === col("lang")).cast(LongType))
               .as("n_correct"))
           .select(lit(f).as("fold"), col("n_docs"), col("n_correct"),
-            (col("n_correct").cast(DoubleType)
-              / col("n_docs").cast(DoubleType)).as("accuracy"))
+            expr("n_correct * 1000000 div n_docs").as("accuracy_ppm"))
       }.reduce(_ unionByName _)
     }),
 
@@ -2083,8 +2105,12 @@ object ExtendedQueries {
     // §2.3 1→N unnesting (unnest_domi_street_seg, gcs_utils.py:597-662):
     // explode tokens with positional counters, then top-50 tokens
     "q31_explode_tokens" -> ((s, d) => {
+      // full-\s edge strip (not space-only trim) so a leading
+      // tab/newline never emits a spurious empty token — mirrors the
+      // oracle's explicit-whitespace-set trim
       val toks = Tables.documents(s, d)
-        .select(col("doc_id"), posexplode(split(trim(col("text")), "\\s+")))
+        .select(col("doc_id"), posexplode(split(
+          regexp_replace(col("text"), "^\\s+|\\s+$", ""), "\\s+")))
         .withColumnsRenamed(Map("pos" -> "token_idx", "col" -> "token"))
       toks.groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token").asc)
@@ -2539,11 +2565,11 @@ object ExtendedQueries {
     "q196_calibration_curve" ->
       """WITH t AS (
         |  SELECT lang, text,
-        |    regexp_split_to_array(lower(trim(text)), '\s+') toks
+        |    regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\s+') toks
         |  FROM documents
         |), s AS (
         |  SELECT lang,
-        |    round(CASE WHEN len(toks) > 0 AND length(trim(text)) > 0
+        |    round(CASE WHEN len(toks) > 0 AND length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) > 0
         |      THEN len(list_filter(toks, x -> list_contains(
         |        ['the','and','of','to','a','in','is','it','that','for'], x)))::DOUBLE
         |        / len(toks) ELSE 0 END, 6) AS score_en
@@ -3416,28 +3442,31 @@ object ExtendedQueries {
         |    THEN (SELECT dcg FROM dval) / idcg END, 6) AS ndcg
         |FROM ag, nrel, ival""".stripMargin,
 
-    // the q89 int8 codes, prefix and full integer L2, row_number twins
-    // of the bounded-heap top-k, LEFT-join intersection
+    // the q89 int8 codes replayed as SCALAR rows (unnest by
+    // generate_series + grouped max/sum — no list_transform /
+    // list_aggregate, whose element handling is engine-version
+    // territory), prefix and full integer L2, row_number twins of the
+    // bounded-heap top-k, LEFT-join intersection, integer-ppm closing
     "q225_prefix_recall" ->
-      """WITH vecs AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding::DOUBLE[],
-        |      x -> CASE WHEN scale = 0 THEN 0
-        |           ELSE CAST(floor(x / scale * 127 + 0.5) AS BIGINT) END) AS qv
-        |  FROM (SELECT vec_id, embedding,
-        |      list_aggregate(list_transform(embedding::DOUBLE[],
-        |        x -> abs(x)), 'max') AS scale
-        |    FROM embeddings)
-        |), q AS (SELECT vec_id AS query_id, qv FROM vecs WHERE vec_id % 97 = 0
-        |), c AS (
-        |  SELECT vec_id AS neighbor_id, qv FROM vecs WHERE vec_id % 97 <> 0
+      """WITH el AS (
+        |  SELECT vec_id, d AS dim, CAST(embedding[d] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS g(d)
+        |), sc AS (
+        |  SELECT vec_id, max(abs(x)) AS scale FROM el GROUP BY 1
+        |), qv AS (
+        |  SELECT el.vec_id, el.dim,
+        |    CASE WHEN sc.scale = 0 THEN 0
+        |         ELSE CAST(floor(x / sc.scale * 127.0 + 0.5) AS BIGINT)
+        |    END AS q
+        |  FROM el JOIN sc USING (vec_id)
         |), scored AS (
-        |  SELECT q.query_id, c.neighbor_id,
-        |    list_sum(list_transform(generate_series(1, 16),
-        |      i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i]))) AS dp,
-        |    list_sum(list_transform(generate_series(1, 64),
-        |      i -> (q.qv[i] - c.qv[i]) * (q.qv[i] - c.qv[i]))) AS df
-        |  FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    sum(CASE WHEN q.dim <= 16
+        |      THEN (q.q - c.q) * (q.q - c.q) ELSE 0 END) AS dp,
+        |    sum((q.q - c.q) * (q.q - c.q)) AS df
+        |  FROM qv q JOIN qv c ON q.dim = c.dim
+        |  WHERE q.vec_id % 97 = 0 AND c.vec_id % 97 <> 0
+        |  GROUP BY 1, 2
         |), tp AS (
         |  SELECT query_id, neighbor_id FROM (
         |    SELECT query_id, neighbor_id, row_number() OVER (
@@ -3450,15 +3479,17 @@ object ExtendedQueries {
         |    FROM scored) WHERE rn <= 10
         |)
         |SELECT tf.query_id, count(*) AS k_full,
-        |  sum(CASE WHEN tp.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-        |    AS n_hits,
-        |  CAST(sum(CASE WHEN tp.neighbor_id IS NOT NULL THEN 1
-        |      ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+        |  CAST(sum(CASE WHEN tp.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  CAST((sum(CASE WHEN tp.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    * 1000000) // count(*) AS BIGINT) AS recall_ppm
         |FROM tf LEFT JOIN tp USING (query_id, neighbor_id)
         |GROUP BY 1""".stripMargin,
 
-    // generate_series twin of posexplode (1-based -> dim = d - 1),
-    // the q213 moment tree over 6-decimal quantized coordinates
+    // generate_series twin of posexplode (1-based -> dim = d - 1);
+    // the 6-decimal lattice is floor(x·1e6 + 0.5) — three IEEE-
+    // correctly-rounded double ops, NOT an engine-implemented
+    // DECIMAL-cast rounding — and the output is integer-only moments
     "q226_dim_profile" ->
       """WITH ex AS (
         |  SELECT d - 1 AS dim, CAST(embedding[d] AS DOUBLE) AS xd
@@ -3466,25 +3497,17 @@ object ExtendedQueries {
         |  WHERE embedding IS NOT NULL
         |), qv AS (
         |  SELECT dim, xd,
-        |    CAST(CAST(xd AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS v
+        |    CAST(floor(xd * 1000000.0 + 0.5) AS BIGINT) AS v
         |  FROM ex
-        |), agg AS (
-        |  SELECT dim, count(*) AS n,
-        |    sum(CASE WHEN xd = 0.0 THEN 1 ELSE 0 END) AS n_zero,
-        |    sum(CAST(v AS HUGEINT)) AS s,
-        |    sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS q,
-        |    min(xd) AS mn, max(xd) AS mx
-        |  FROM qv GROUP BY 1
         |)
-        |SELECT CAST(dim AS INTEGER) AS dim, n, n_zero,
-        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS mean,
-        |  CASE WHEN n > 1 THEN sqrt(
-        |    (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-        |      / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) / 1e12)
-        |    END AS std,
-        |  mn AS min_v,
-        |  mx AS max_v
-        |FROM agg""".stripMargin,
+        |SELECT CAST(dim AS INTEGER) AS dim, count(*) AS n,
+        |  CAST(sum(CASE WHEN xd = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero,
+        |  CAST(sum(CAST(v AS HUGEINT)) AS BIGINT) AS sum_e6,
+        |  CAST(sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS BIGINT)
+        |    AS sumsq_e12,
+        |  min(v) AS min_e6, max(v) AS max_e6
+        |FROM qv GROUP BY 1""".stripMargin,
 
     // same dense zero-filled grid; day alignment by integer offset,
     // HUGEINT moments, the q146 closing expression per (pair, lag)
@@ -3622,11 +3645,11 @@ object ExtendedQueries {
         |  CAST(COALESCE(max(p.n_train), 0) AS BIGINT) AS n_train,
         |  max(p.predicted_next) AS predicted_next,
         |  count(*) AS n_eval,
-        |  sum(CASE WHEN e.to_type = p.predicted_next THEN 1 ELSE 0 END)
-        |    AS n_correct,
-        |  CAST(sum(CASE WHEN e.to_type = p.predicted_next
-        |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-        |    AS accuracy
+        |  CAST(sum(CASE WHEN e.to_type = p.predicted_next THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  CAST((sum(CASE WHEN e.to_type = p.predicted_next
+        |      THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT)
+        |    AS accuracy_ppm
         |FROM (SELECT from_type, to_type FROM pairs, bounds WHERE day > split) e
         |LEFT JOIN pred p USING (from_type)
         |GROUP BY 1""".stripMargin,
@@ -3656,19 +3679,25 @@ object ExtendedQueries {
         |JOIN sizes na ON na.s = source_a
         |JOIN sizes nb ON nb.s = source_b""".stripMargin,
 
-    // identical replace-based length arithmetic; the C0 class is the
-    // one fixed byte-range regex both dialects define identically
-    "q221_mojibake" ->
-      """WITH t AS (
+    // ZERO regex on the oracle side: every character class unrolls to
+    // a chr()-literal replace chain — length(text) − length(stripped)
+    // counts class members exactly, with no regex-library-version
+    // surface and no row explosion (replace on single-char needles is
+    // dialect-frozen). The engine's Java regex classes count exactly
+    // these codepoint sets.
+    "q221_mojibake" -> {
+      def strip(cps: Seq[Int]): String =
+        cps.foldLeft("text")((acc, c) => s"replace($acc, chr($c), '')")
+      val c1Chain = strip(128 to 159)
+      val ctrlChain = strip((1 to 8) ++ Seq(11, 12) ++ (14 to 31))
+      s"""WITH t AS (
         |  SELECT source,
-        |    CAST((length(text) - length(replace(text, '�', ''))) / 1
+        |    CAST(length(text) - length(replace(text, chr(65533), ''))
         |      AS BIGINT) AS repl,
-        |    CAST(length(text) - length(regexp_replace(text,
-        |      '[\x{0080}-\x{009f}]', '', 'g')) AS BIGINT) AS c1,
-        |    CAST((length(text) - length(replace(text, 'Ã', ''))) / 1
+        |    CAST(length(text) - length($c1Chain) AS BIGINT) AS c1,
+        |    CAST(length(text) - length(replace(text, chr(195), ''))
         |      AS BIGINT) AS latin1,
-        |    CAST(length(text) - length(regexp_replace(text,
-        |      '[\x01-\x08\x0b\x0c\x0e-\x1f]', '', 'g')) AS BIGINT) AS ctrl
+        |    CAST(length(text) - length($ctrlChain) AS BIGINT) AS ctrl
         |  FROM documents WHERE text IS NOT NULL
         |)
         |SELECT source, count(*) AS n_docs,
@@ -3679,10 +3708,11 @@ object ExtendedQueries {
         |  CAST(sum(repl + c1 + latin1 + ctrl) AS BIGINT) AS total_artifacts,
         |  sum(CASE WHEN repl = 0 AND c1 = 0 AND latin1 = 0 AND ctrl = 0
         |    THEN 1 ELSE 0 END) AS n_clean,
-        |  CAST(sum(CASE WHEN repl = 0 AND c1 = 0 AND latin1 = 0
-        |      AND ctrl = 0 THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / CAST(count(*) AS DOUBLE) AS clean_rate
-        |FROM t GROUP BY 1""".stripMargin,
+        |  CAST((sum(CASE WHEN repl = 0 AND c1 = 0 AND latin1 = 0
+        |      AND ctrl = 0 THEN 1 ELSE 0 END) * 1000000) // count(*)
+        |    AS BIGINT) AS clean_rate_ppm
+        |FROM t GROUP BY 1""".stripMargin
+    },
 
     // q172's bit-interleave chain plus two comparison layouts; bucket
     // by the same exact rank formula; skippable = interval disjointness
@@ -3966,11 +3996,11 @@ object ExtendedQueries {
     "q235_ols_two_feature" ->
       """WITH feat AS (
         |  SELECT lang,
-        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS HUGEINT) AS y,
+        |    CAST(CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) END AS HUGEINT) AS y,
         |    CAST(n_chars AS HUGEINT) AS x1,
-        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+        |    CAST(CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0 THEN 0
+        |      ELSE len(list_distinct(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')))
         |      END AS HUGEINT) AS x2
         |  FROM documents
         |  WHERE text IS NOT NULL AND n_chars IS NOT NULL
@@ -4354,10 +4384,10 @@ object ExtendedQueries {
     "q237_textrank_keywords" -> {
       val head =
         """WITH tok AS (
-          |  SELECT regexp_split_to_array(trim(text), '\s+') AS t
+          |  SELECT regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS t
           |  FROM documents
-          |  WHERE text IS NOT NULL AND length(trim(text)) > 0
-          |    AND len(regexp_split_to_array(trim(text), '\s+')) >= 2
+          |  WHERE text IS NOT NULL AND length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) > 0
+          |    AND len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) >= 2
           |), pr AS (
           |  SELECT unnest([{'a': t[i], 'b': t[i+1]} for i in range(1, len(t))],
           |    recursive := true)
@@ -4608,8 +4638,8 @@ object ExtendedQueries {
     "q248_good_turing" ->
       """WITH toked AS (
         |  SELECT lang, unnest(
-        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS w
+        |    CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') END) AS w
         |  FROM documents
         |), counts AS MATERIALIZED (
         |  SELECT lang, w, count(*) AS c FROM toked GROUP BY 1, 2
@@ -4807,28 +4837,51 @@ object ExtendedQueries {
         |  CAST(t.tw AS BIGINT) AS total_weight, m.wm AS weighted_median
         |FROM m JOIN t USING (g)""".stripMargin,
 
-    // the same two regexes via regexp_matches; NULL text never hits
+    // the same STRUCTURAL detectors, zero regex: email-shaped token
+    // via instr/reverse/replace arithmetic over a literal-space split;
+    // phone via a 10-replace digit mask + substring containment
     "q287_pii_incidence" ->
-      """SELECT source, count(*) AS n_docs,
-        |  sum(CASE WHEN regexp_matches(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
-        |    THEN 1 ELSE 0 END) AS n_email_docs,
-        |  sum(CASE WHEN regexp_matches(text,
-        |    '\(\d{3}\) ?\d{3}-\d{4}|\d{3}-\d{3}-\d{4}')
-        |    THEN 1 ELSE 0 END) AS n_phone_docs,
-        |  sum(CASE WHEN regexp_matches(text,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
-        |    OR regexp_matches(text,
-        |      '\(\d{3}\) ?\d{3}-\d{4}|\d{3}-\d{3}-\d{4}')
-        |    THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE
-        |    AS pii_doc_rate
-        |FROM documents WHERE source IS NOT NULL
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+        |), etok AS (
+        |  SELECT doc_id, max(CASE WHEN
+        |      length(t) - length(replace(t, '@', '')) = 1
+        |      AND instr(t, '@') >= 2
+        |      AND instr(reverse(t), '.') >= 3
+        |      AND length(t) - instr(reverse(t), '.') + 1
+        |        >= instr(t, '@') + 2
+        |    THEN 1 ELSE 0 END) AS has_email
+        |  FROM tok GROUP BY 1
+        |), ph AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN instr(m, '###-###-####') > 0
+        |      OR instr(m, '(###) ###-####') > 0
+        |      OR instr(m, '(###)###-####') > 0
+        |    THEN 1 ELSE 0 END AS has_phone
+        |  FROM (SELECT doc_id, source,
+        |      replace(replace(replace(replace(replace(replace(replace(
+        |        replace(replace(replace(text, '0', '#'), '1', '#'),
+        |        '2', '#'), '3', '#'), '4', '#'), '5', '#'), '6', '#'),
+        |        '7', '#'), '8', '#'), '9', '#') AS m
+        |    FROM documents WHERE source IS NOT NULL)
+        |)
+        |SELECT p.source, count(*) AS n_docs,
+        |  sum(COALESCE(e.has_email, 0)) AS n_email_docs,
+        |  sum(COALESCE(p.has_phone, 0)) AS n_phone_docs,
+        |  CAST((sum(CASE WHEN COALESCE(e.has_email, 0) = 1
+        |      OR COALESCE(p.has_phone, 0) = 1 THEN 1 ELSE 0 END)
+        |    * 1000000) // count(*) AS BIGINT) AS pii_doc_ppm
+        |FROM ph p LEFT JOIN etok e USING (doc_id)
         |GROUP BY 1""".stripMargin,
 
     // the q238 batch CC answer unrolled to the FIXPOINT (converges by
     // round 10 at sf0.01 and 11 at sf0.1, DuckDB-measured; 14 carries
     // margin) — the incremental path must land on the fixpoint, not a
-    // round-count snapshot
+    // round-count snapshot. The closing SELECT is GUARDED on l14 = l13:
+    // if a deeper graph ever outruns the unroll, the oracle returns
+    // ZERO rows and reds ITSELF (rows mismatch) instead of blaming a
+    // correct engine with a silently under-converged label table.
     "q288_incremental_cc" -> {
       val head =
         """WITH edges AS MATERIALIZED (
@@ -4844,8 +4897,13 @@ object ExtendedQueries {
           |  SELECT node, node AS lab FROM (
           |    SELECT a AS node FROM edges UNION SELECT b FROM edges)
           |)""".stripMargin
-      head + ccRoundsSql(14) +
-        "\nSELECT node, lab AS component FROM l14"
+      val fixpointGuard =
+        """, conv AS (
+          |  SELECT count(*) AS n_moved
+          |  FROM l14 a JOIN l13 b ON a.node = b.node AND a.lab <> b.lab
+          |)""".stripMargin
+      head + ccRoundsSql(14) + fixpointGuard +
+        "\nSELECT node, lab AS component FROM l14, conv WHERE conv.n_moved = 0"
     },
 
     // the q264 signature replay cut at the pair surface: exact
@@ -4863,9 +4921,9 @@ object ExtendedQueries {
           s"CASE WHEN 2 * b$b > n THEN (1::BIGINT << ${b - 32}) ELSE 0 END")
         .mkString(" + ")
       s"""WITH toks AS (
-         |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+         |  SELECT doc_id, unnest(CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0
          |      THEN []::VARCHAR[]
-         |      ELSE regexp_split_to_array(trim(text), '\\s+') END) AS w
+         |      ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') END) AS w
          |  FROM documents WHERE text IS NOT NULL
          |), h AS (
          |  SELECT doc_id,
@@ -4891,9 +4949,9 @@ object ExtendedQueries {
     // 10-summand log-log OLS closing
     "q290_heaps_law" ->
       """WITH d AS (
-        |  SELECT doc_id, CASE WHEN length(trim(lower(text))) = 0
+        |  SELECT doc_id, CASE WHEN length(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0
         |      THEN []::VARCHAR[]
-        |      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+        |      ELSE regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') END AS t
         |  FROM documents WHERE text IS NOT NULL
         |), pd AS (SELECT doc_id, len(t) AS tc FROM d WHERE len(t) > 0),
         |fd AS (
@@ -4933,7 +4991,7 @@ object ExtendedQueries {
       """WITH sh AS (
         |  SELECT doc_id,
         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) s
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents)
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') toks FROM documents)
         |  WHERE len(toks) >= 3
         |), j AS (
         |  SELECT len(list_intersect(a.s, b.s))::DOUBLE /
@@ -5109,9 +5167,9 @@ object ExtendedQueries {
         |  FROM tot t CROSS JOIN generate_series(1, 10) s(d)
         |)
         |SELECT c2.g AS c_nationkey, d.decile, d.rd AS rank,
-        |  CASE WHEN d.tv > 0 THEN
-        |    (c2.cv - (c2.hi - d.rd)::HUGEINT * c2.v::HUGEINT)::DOUBLE
-        |      / d.tv::DOUBLE END AS cum_share
+        |  CAST(c2.cv - (c2.hi - d.rd)::HUGEINT * c2.v::HUGEINT AS BIGINT)
+        |    AS cum_value_e6,
+        |  CAST(d.tv AS BIGINT) AS total_value_e6
         |FROM cum2 c2 JOIN dec_ d ON d.g = c2.g
         |  AND d.rd >= c2.lo AND d.rd <= c2.hi""".stripMargin,
 
@@ -5139,9 +5197,9 @@ object ExtendedQueries {
     "q298_vocab_overlap" ->
       """WITH v AS MATERIALIZED (
         |  SELECT DISTINCT source AS s, w FROM (
-        |    SELECT source, unnest(CASE WHEN length(trim(lower(text))) = 0
+        |    SELECT source, unnest(CASE WHEN length(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0
         |        THEN []::VARCHAR[]
-        |        ELSE regexp_split_to_array(trim(lower(text)), '\s+') END)
+        |        ELSE regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') END)
         |      AS w
         |    FROM documents
         |    WHERE source IS NOT NULL AND text IS NOT NULL)
@@ -5464,8 +5522,8 @@ object ExtendedQueries {
     "q274_emd_matrix" ->
       """WITH rows_ AS (
         |  SELECT source AS g,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS v
+        |    CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) END AS v
         |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
         |), vals AS (SELECT DISTINCT v FROM rows_),
         |cls AS (SELECT g, count(*) AS n FROM rows_ GROUP BY 1),
@@ -5511,43 +5569,53 @@ object ExtendedQueries {
         |    AS p90_gap_hours
         |FROM g WHERE gap_h IS NOT NULL""".stripMargin,
 
-    // first-signup anchor, first post-signup purchase, cohort rollup
+    // first-signup anchor, first post-signup purchase, cohort rollup.
+    // Integer-only closings: cohort key is yyyymm from explicit
+    // epoch-day arithmetic (no engine-formatted date strings), the
+    // conversion ships as truncating ppm, and the latency median is
+    // the two-central-order-statistics SUM in integer microseconds.
     "q273_signup_to_purchase" ->
       """WITH s AS MATERIALIZED (
         |  SELECT user_id, min(epoch_us(ts)) AS sus
         |  FROM events WHERE event_type = 'signup' GROUP BY 1
+        |), sc AS MATERIALIZED (
+        |  SELECT user_id, sus,
+        |    CAST(year(DATE '1970-01-01'
+        |        + CAST(sus // 86400000000 AS INTEGER)) * 100
+        |      + month(DATE '1970-01-01'
+        |        + CAST(sus // 86400000000 AS INTEGER)) AS INTEGER)
+        |      AS cohort_ym
+        |  FROM s
         |), conv AS MATERIALIZED (
-        |  SELECT s.user_id,
-        |    strftime(make_timestamp(s.sus)::DATE, '%Y-%m') AS cohort_month,
-        |    min(epoch_us(p.ts)) - s.sus AS lat_us
-        |  FROM s JOIN events p ON p.user_id = s.user_id
-        |    AND p.event_type = 'purchase' AND epoch_us(p.ts) >= s.sus
-        |  GROUP BY s.user_id, s.sus
+        |  SELECT sc.user_id, sc.cohort_ym,
+        |    min(epoch_us(p.ts)) - sc.sus AS lat_us
+        |  FROM sc JOIN events p ON p.user_id = sc.user_id
+        |    AND p.event_type = 'purchase' AND epoch_us(p.ts) >= sc.sus
+        |  GROUP BY sc.user_id, sc.sus, sc.cohort_ym
         |), ranked AS (
-        |  SELECT cohort_month, lat_us,
-        |    row_number() OVER (PARTITION BY cohort_month
+        |  SELECT cohort_ym, lat_us,
+        |    row_number() OVER (PARTITION BY cohort_ym
         |      ORDER BY lat_us, user_id) AS rn,
-        |    count(*) OVER (PARTITION BY cohort_month) AS nc
+        |    count(*) OVER (PARTITION BY cohort_ym) AS nc
         |  FROM conv
         |), med AS (
-        |  SELECT cohort_month,
-        |    sum(CASE WHEN rn = (nc + 1) // 2 THEN lat_us ELSE 0 END
-        |      + CASE WHEN rn = nc // 2 + 1 THEN lat_us ELSE 0 END) AS m2
+        |  SELECT cohort_ym,
+        |    CAST(sum(CASE WHEN rn = (nc + 1) // 2 THEN lat_us ELSE 0 END
+        |      + CASE WHEN rn = nc // 2 + 1 THEN lat_us ELSE 0 END)
+        |      AS BIGINT) AS median_lat_us2
         |  FROM ranked GROUP BY 1
         |), coh AS (
-        |  SELECT strftime(make_timestamp(s.sus)::DATE, '%Y-%m')
-        |      AS cohort_month,
+        |  SELECT sc.cohort_ym,
         |    count(*) AS n_signups,
-        |    sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
-        |      AS n_converted,
-        |    sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
-        |      / count(*)::DOUBLE AS conversion_rate
-        |  FROM s LEFT JOIN conv c ON c.user_id = s.user_id
+        |    CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_converted,
+        |    CAST((sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      * 1000000) // count(*) AS BIGINT) AS conversion_ppm
+        |  FROM sc LEFT JOIN conv c ON c.user_id = sc.user_id
         |  GROUP BY 1
         |)
-        |SELECT coh.*, CAST(m.m2 AS DOUBLE) / 7.2e9
-        |    AS median_hours_to_purchase
-        |FROM coh LEFT JOIN med m USING (cohort_month)""".stripMargin,
+        |SELECT coh.*, m.median_lat_us2
+        |FROM coh LEFT JOIN med m USING (cohort_ym)""".stripMargin,
 
     // same lattice moments, allocation ratio, 6-decimal rate, and md5
     // membership
@@ -5682,8 +5750,8 @@ object ExtendedQueries {
     "q267_ks_matrix" ->
       """WITH rows_ AS (
         |  SELECT source AS g,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS v
+        |    CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) END AS v
         |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
         |), vals AS (SELECT DISTINCT v FROM rows_),
         |cls AS (SELECT g, count(*) AS n FROM rows_ GROUP BY 1),
@@ -5777,9 +5845,9 @@ object ExtendedQueries {
           s"CASE WHEN 2 * b$b > n THEN (1::BIGINT << ${b - 32}) ELSE 0 END")
         .mkString(" + ")
       s"""WITH toks AS (
-         |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+         |  SELECT doc_id, unnest(CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0
          |      THEN []::VARCHAR[]
-         |      ELSE regexp_split_to_array(trim(text), '\\s+') END) AS w
+         |      ELSE regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') END) AS w
          |  FROM documents WHERE text IS NOT NULL
          |), h AS (
          |  SELECT doc_id,
@@ -5821,11 +5889,11 @@ object ExtendedQueries {
     "q263_brier_ece" ->
       """WITH t AS (
         |  SELECT lang, text,
-        |    regexp_split_to_array(lower(trim(text)), '\s+') toks
+        |    regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\s+') toks
         |  FROM documents
         |), s AS (
         |  SELECT lang,
-        |    round(CASE WHEN len(toks) > 0 AND length(trim(text)) > 0
+        |    round(CASE WHEN len(toks) > 0 AND length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) > 0
         |      THEN len(list_filter(toks, x -> list_contains(
         |        ['the','and','of','to','a','in','is','it','that','for'], x)))::DOUBLE
         |        / len(toks) ELSE 0 END, 6) AS score_en
@@ -5881,14 +5949,17 @@ object ExtendedQueries {
         |FROM j""".stripMargin,
 
     // the full q118 retrain+rescore chain once per fold (training
-    // CTEs exclude the fold, scoring covers only it), argmax ties
-    // (score desc, label asc), per-fold accuracy rows unioned
+    // CTEs exclude the fold, scoring covers only it), argmax on the
+    // ROUND-6 score key (fp-order noise collapses to deterministic
+    // label ties — the same lattice q118 ships as its score column),
+    // per-fold integer-ppm accuracy rows unioned
     "q261_nb_cv_accuracy" -> {
       def foldSql(f: Int): String =
         s"""SELECT $f AS fold, count(*) AS n_docs,
-           |  sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS n_correct,
-           |  sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)::DOUBLE
-           |    / count(*)::DOUBLE AS accuracy
+           |  CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_correct,
+           |  CAST((sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) * 1000000)
+           |    // count(*) AS BIGINT) AS accuracy_ppm
            |FROM (
            |  WITH norm AS (
            |    SELECT doc_id, lang,
@@ -5932,7 +6003,8 @@ object ExtendedQueries {
            |  )
            |  SELECT doc_id, lang, label AS pred
            |  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-           |          ORDER BY score DESC, label ASC) AS rn FROM dense)
+           |          ORDER BY round(score, 6) DESC, label ASC) AS rn
+           |        FROM dense)
            |  WHERE rn = 1
            |)""".stripMargin
       (0 until 3).map(foldSql).mkString("\nUNION ALL\n")
@@ -5944,8 +6016,8 @@ object ExtendedQueries {
       """WITH counts AS MATERIALIZED (
         |  SELECT s, w, count(*) AS c FROM (
         |    SELECT source AS s, unnest(
-        |      CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |           ELSE regexp_split_to_array(trim(lower(text)), '\s+') END) AS w
+        |      CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0 THEN []::VARCHAR[]
+        |           ELSE regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') END) AS w
         |    FROM documents WHERE source IS NOT NULL)
         |  GROUP BY 1, 2
         |), tot AS (SELECT s, sum(c) AS n FROM counts GROUP BY 1),
@@ -6218,8 +6290,9 @@ object ExtendedQueries {
         |    SELECT 1 FROM test t WHERE t.u = ce.u AND t.i = ce.c)
         |)
         |SELECT ne AS n_eval_users, nh AS n_hit_users,
-        |  nh::DOUBLE / ne::DOUBLE AS hit_rate,
-        |  nc::DOUBLE / ne::DOUBLE AS avg_candidates
+        |  CASE WHEN ne > 0 THEN nh::DOUBLE / ne::DOUBLE END AS hit_rate,
+        |  CASE WHEN ne > 0 THEN nc::DOUBLE / ne::DOUBLE END
+        |    AS avg_candidates
         |FROM (SELECT (SELECT count(*) FROM eu) AS ne,
         |        (SELECT count(*) FROM hits) AS nh,
         |        (SELECT count(*) FROM ce) AS nc)""".stripMargin,
@@ -6274,8 +6347,8 @@ object ExtendedQueries {
     // (the q121 contract)
     "q241_llr_collocations" ->
       """WITH toked AS (
-        |  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+        |  SELECT CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0 THEN []::VARCHAR[]
+        |              ELSE regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') END AS t
         |  FROM documents
         |), bc AS MATERIALIZED (
         |  SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS c12
@@ -6319,9 +6392,9 @@ object ExtendedQueries {
         .map(w => s"'$w'").mkString(", ")
       s"""WITH t AS (
          |  SELECT doc_id,
-         |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         |    CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0 THEN []::VARCHAR[]
          |         ELSE list_sort(list_distinct(
-         |           regexp_split_to_array(trim(lower(text)), '\\s+'))) END AS toks
+         |           regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+'))) END AS toks
          |  FROM documents
          |)
          |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_distinct_tokens,
@@ -6371,8 +6444,8 @@ object ExtendedQueries {
     // bucket formula; the min-of-counters estimate is integer-exact
     "q138_countmin" ->
       """WITH toks AS (
-        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
-        |  FROM documents WHERE length(trim(text)) > 0
+        |  SELECT unnest(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS w
+        |  FROM documents WHERE length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) > 0
         |), rr(r) AS (VALUES (0), (1), (2), (3)),
         |rows_ AS (
         |  SELECT rr.r,
@@ -6550,7 +6623,7 @@ object ExtendedQueries {
 
     "q31_explode_tokens" ->
       """SELECT token, count(*) AS n FROM (
-        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  SELECT unnest(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 50""".stripMargin,
 

@@ -593,13 +593,13 @@ object TextQueries {
     val langLists = graft.text.TextOps.LangStopwords.toSeq.sortBy(_._1)
       .map { case (l, ws) =>
         val lst = ws.map(w => s"'$w'").mkString(", ")
-        s"round(CASE WHEN len(toks) > 0 AND length(trim(text)) > 0 " +
+        s"round(CASE WHEN len(toks) > 0 AND length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) > 0 " +
           s"THEN len(list_filter(toks, t -> list_contains([$lst], t)))::DOUBLE " +
           s"/ len(toks) ELSE 0 END, 6) AS score_$l"
       }.mkString(",\n  ")
     s"""WITH t AS (
        |  SELECT doc_id, lang, text,
-       |    regexp_split_to_array(lower(trim(text)), '\\s+') toks
+       |    regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\\s+') toks
        |  FROM documents
        |), s AS (
        |  SELECT doc_id, lang,
@@ -1057,7 +1057,7 @@ object TextQueries {
     s"""WITH sh AS (
        |  SELECT doc_id,
        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) s
-       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') toks FROM documents)
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') toks FROM documents)
        |  WHERE len(toks) >= 3
        |)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1078,11 +1078,11 @@ object TextQueries {
     // sums rounded to 4 (ppm convention)
     "q175_token_drift" ->
       """WITH ta AS (
-        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
-        |  FROM documents WHERE lang = 'en' AND length(trim(text)) > 0
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\s+')) AS term
+        |  FROM documents WHERE lang = 'en' AND length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) > 0
         |), tb AS (
-        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
-        |  FROM documents WHERE lang = 'de' AND length(trim(text)) > 0
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\s+')) AS term
+        |  FROM documents WHERE lang = 'de' AND length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) > 0
         |), ca AS (SELECT term, count(*) AS ca FROM ta GROUP BY 1),
         |cb AS (SELECT term, count(*) AS cb FROM tb GROUP BY 1),
         |j AS (
@@ -1130,7 +1130,7 @@ object TextQueries {
     // the q22 signal formulas + identical bin/entropy/IG arithmetic
     "q200_feature_infogain" ->
       s"""WITH t AS (
-         |  SELECT lang, text, regexp_split_to_array(trim(text), '\\s+') toks,
+         |  SELECT lang, text, regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') toks,
          |    length(text) nc
          |  FROM documents
          |), sigs AS (
@@ -1141,7 +1141,7 @@ object TextQueries {
          |    round(CASE WHEN nc > 0
          |      THEN length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))::DOUBLE / nc
          |      ELSE 0 END, 4) AS punct_ratio,
-         |    round(CASE WHEN len(toks) > 0 AND length(trim(text)) > 0
+         |    round(CASE WHEN len(toks) > 0 AND length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) > 0
          |      THEN len(list_filter(toks, x -> list_contains([$stopList], lower(x))))::DOUBLE / len(toks)
          |      ELSE 0 END, 4) AS stopword_ratio
          |  FROM t
@@ -1319,13 +1319,13 @@ object TextQueries {
 
     "q22_text_quality" ->
       s"""WITH t AS (
-         |  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') toks,
+         |  SELECT doc_id, text, regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') toks,
          |    length(text) nc
          |  FROM documents
          |)
          |SELECT doc_id,
-         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
-         |  round(CASE WHEN len(toks) > 0 AND length(trim(text)) > 0
+         |  CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+         |  round(CASE WHEN len(toks) > 0 AND length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) > 0
          |    THEN length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE / len(toks)
          |    ELSE 0 END, 4) AS mean_token_len,
          |  round(CASE WHEN nc > 0
@@ -1334,25 +1334,25 @@ object TextQueries {
          |  round(CASE WHEN nc > 0
          |    THEN length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))::DOUBLE / nc
          |    ELSE 0 END, 4) AS punct_ratio,
-         |  round(CASE WHEN len(toks) > 0 AND length(trim(text)) > 0
+         |  round(CASE WHEN len(toks) > 0 AND length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) > 0
          |    THEN len(list_filter(toks, t -> list_contains([$stopList], lower(t))))::DOUBLE / len(toks)
          |    ELSE 0 END, 4) AS stopword_ratio
          |FROM t""".stripMargin,
 
     "q23_token_counts" ->
       """SELECT doc_id,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+        |  CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) END AS n_ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish_tokens
         |FROM documents""".stripMargin,
 
     "q24_lang_id" -> {
       val langLists = TextOps.LangStopwords.toSeq.sortBy(_._1).map { case (l, ws) =>
         val lst = ws.map(w => s"'$w'").mkString(", ")
-        s"round(CASE WHEN len(toks) > 0 AND length(trim(text)) > 0 THEN len(list_filter(toks, t -> list_contains([$lst], t)))::DOUBLE / len(toks) ELSE 0 END, 6) AS score_$l"
+        s"round(CASE WHEN len(toks) > 0 AND length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) > 0 THEN len(list_filter(toks, t -> list_contains([$lst], t)))::DOUBLE / len(toks) ELSE 0 END, 6) AS score_$l"
       }.mkString(",\n  ")
       s"""WITH t AS (
-         |  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') toks
+         |  SELECT doc_id, text, regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\\s+') toks
          |  FROM documents
          |), s AS (
          |  SELECT doc_id,
@@ -1432,7 +1432,7 @@ object TextQueries {
       """WITH sh AS (
         |  SELECT doc_id,
         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) s
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents)
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') toks FROM documents)
         |  WHERE len(toks) >= 3
         |), q AS (
         |  SELECT list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) s
@@ -1487,7 +1487,7 @@ object TextQueries {
         |), sh AS (
         |  SELECT doc_id,
         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) s
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents)
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') toks FROM documents)
         |  WHERE len(toks) >= 3
         |), q AS (
         |  SELECT list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) s
@@ -1527,7 +1527,7 @@ object TextQueries {
       """WITH grams AS (
         |  SELECT doc_id, unnest(list_distinct(
         |    [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])) AS g
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents)
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') toks FROM documents)
         |  WHERE len(toks) >= 3
         |), dfreq AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
@@ -1540,8 +1540,8 @@ object TextQueries {
     // full recount of both frames + the same rounded-PMI rank
     "q121_pmi_collocations" ->
       """WITH toked AS (
-        |  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-        |              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
+        |  SELECT CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0 THEN []::VARCHAR[]
+        |              ELSE regexp_split_to_array(trim(lower(text), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') END AS t
         |  FROM documents
         |), unis AS (
         |  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM toked) GROUP BY w
@@ -1576,8 +1576,8 @@ object TextQueries {
     "q207_readability" ->
       """WITH base AS (
         |  SELECT lang, source, text,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS w
+        |    CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) END AS w
         |  FROM documents
         |), perdoc AS (
         |  SELECT lang, source, w,
@@ -1777,8 +1777,8 @@ object TextQueries {
     // token — the join form of the engine's map-literal lookup
     "q108_topic_tags" ->
       """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
-        |  FROM documents WHERE length(trim(text)) > 0
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\s+')) AS tok
+        |  FROM documents WHERE length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) > 0
         |), lex(tok, topic) AS (VALUES
         |  ('table','db'), ('row','db'), ('column','db'), ('join','db'),
         |  ('scan','exec'), ('sort','exec'), ('merge','exec'), ('hash','exec'),
@@ -1824,8 +1824,8 @@ object TextQueries {
     // rule recomputed with a plain window over the vocab frame
     "q104_vocab_coverage" ->
       """WITH toks AS (
-        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
-        |  FROM documents WHERE length(trim(text)) > 0
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\s+')) AS tok
+        |  FROM documents WHERE length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) > 0
         |), tc AS (
         |  SELECT tok, count(*) AS c FROM toks GROUP BY tok
         |), tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM tc),
@@ -1845,8 +1845,8 @@ object TextQueries {
     // inclusive 1-based slice t[i:i+2] is the 3-token window
     "q101_top_ngrams" ->
       """WITH toks AS (
-        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
-        |  FROM documents WHERE length(trim(text)) > 0
+        |  SELECT regexp_split_to_array(lower(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))), '\s+') AS t
+        |  FROM documents WHERE length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) > 0
         |), grams AS (
         |  SELECT unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS ngram
         |  FROM toks WHERE len(t) >= 3
@@ -1961,8 +1961,8 @@ object TextQueries {
         |  SELECT
         |    count(*) AS n_docs,
         |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null_text,
-        |    sum(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
-        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS n_ws_tokens,
+        |    sum(CASE WHEN text IS NULL OR length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) END) AS n_ws_tokens,
         |    count(DISTINCT lang) AS n_langs,
         |    count(DISTINCT source) AS n_sources,
         |    count(*) - count(DISTINCT coalesce(md5(text), '')) AS n_exact_dup_docs,
@@ -1985,7 +1985,7 @@ object TextQueries {
       """WITH sh AS (
         |  SELECT doc_id,
         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) s
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents)
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') toks FROM documents)
         |  WHERE len(toks) >= 3
         |)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -2002,7 +2002,7 @@ object TextQueries {
       """WITH sh AS (
         |  SELECT doc_id,
         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) s
-        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents)
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') toks FROM documents)
         |  WHERE len(toks) >= 3
         |)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -2041,8 +2041,8 @@ object TextQueries {
     // not); the tokens convention matches the q26 oracle
     "q162_phrase_search" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        |  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+        |  SELECT doc_id, regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL AND trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) <> ''
         |), m AS (
         |  SELECT doc_id,
         |    list_sum(list_transform(generate_series(1, len(t) - 1),

@@ -196,8 +196,8 @@ object UdfParityQueries {
 
     "q50_repetition_signals" ->
       """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks,
-        |    length(trim(text)) nt
+        |  SELECT doc_id, regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') toks,
+        |    length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) nt
         |  FROM documents
         |), bg AS (
         |  SELECT doc_id,

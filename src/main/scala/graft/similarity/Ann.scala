@@ -340,47 +340,48 @@ object Ann {
       .groupBy("query_id")
       .agg(count(lit(1)).as("k_full"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
-      // unrounded exact-integer ratio: one IEEE division, portable
-      .withColumn("recall",
-        col("n_hits").cast(DoubleType) / col("k_full").cast(DoubleType))
+      // integer-only closing: the recall ratio ships as a truncating
+      // parts-per-million BIGINT — no float column leaves this
+      // operator, so the gate surface is version-proof by construction
+      .withColumn("recall_ppm", expr("n_hits * 1000000 div k_full"))
   }
 
   /** Per-dimension embedding health profile — the "dead or exploding
     * dimension" screen run before any ANN index build: for every
-    * coordinate, the count, zero count, exact mean and sample std
-    * (6-decimal-quantized integer moments, the q201 portable
-    * surface), and the min/max. A dimension with n_zero = n is dead
-    * weight in every distance computation; one with a std far above
-    * its peers dominates unnormalized L2.
+    * coordinate, the count, zero count, and the exact integer moments
+    * on the 6-decimal lattice (sum, sum-of-squares, min, max of
+    * v = floor(x·10⁶ + 0.5)). A dimension with n_zero = n is dead
+    * weight in every distance computation; one whose sumsq/n is far
+    * above its peers dominates unnormalized L2. Mean and std are one
+    * division away for the reader; the OUTPUT is integer-only so the
+    * gate surface carries no float at all — the lattice itself is
+    * three IEEE-correctly-rounded double ops (×10⁶, +0.5, floor),
+    * bit-identical in every engine, with no engine-implemented
+    * decimal-cast rounding anywhere.
     *
     * Scale shape: one posexplode (×dims map-side fan-out) into a
-    * map-side-combined groupBy(dim); output is #dims rows.
+    * map-side-combined groupBy(dim); output is #dims rows. Sums
+    * accumulate in Decimal(38,0) and close as BIGINT (|v| ≤ 10⁶·|x|,
+    * so sumsq fits 2^63 to ~10⁶ rows per dim at |x| ≤ 1 — past that
+    * the Decimal is the honest envelope and the closing cast is the
+    * documented contract).
     */
   def dimProfile(df: DataFrame, vecCol: String): DataFrame = {
     val dec = DecimalType(38, 0)
     val ex = df.filter(col(vecCol).isNotNull)
       .select(posexplode(col(vecCol)).as(Seq("dim", "__x")))
       .withColumn("__xd", col("__x").cast(DoubleType))
-      .withColumn("__v",
-        (col("__xd").cast(DecimalType(18, 6)) * lit(1000000)).cast(LongType))
+      .withColumn("__v", floor(col("__xd") * lit(1000000.0d) + lit(0.5d)))
     ex.groupBy("dim")
       .agg(count(lit(1)).as("n"),
         sum(when(col("__xd") === 0.0d, 1L).otherwise(0L)).as("n_zero"),
         sum(col("__v").cast(dec)).as("__s"),
         sum(col("__v").cast(dec) * col("__v").cast(dec)).as("__q"),
-        min("__xd").as("__mn"), max("__xd").as("__mx"))
-      // unrounded closings: int->double casts, -, *, /, sqrt are all
-      // IEEE correctly rounded — bit-identical across engines; min/max
-      // are exact float->double widenings of data values
+        min("__v").as("min_e6"), max("__v").as("max_e6"))
       .select(col("dim"), col("n"), col("n_zero"),
-        (col("__s").cast(DoubleType) / col("n").cast(DoubleType) / 1e6)
-          .as("mean"),
-        when(col("n") > 1, sqrt(
-          (col("__q").cast(DoubleType) - col("__s").cast(DoubleType) *
-            col("__s").cast(DoubleType) / col("n").cast(DoubleType)) /
-            (col("n").cast(DoubleType) - 1.0) / 1e12)).as("std"),
-        col("__mn").as("min_v"),
-        col("__mx").as("max_v"))
+        col("__s").cast(LongType).as("sum_e6"),
+        col("__q").cast(LongType).as("sumsq_e12"),
+        col("min_e6"), col("max_e6"))
   }
 
   /** IVF with the DETERMINISTIC int8 k-means codebook

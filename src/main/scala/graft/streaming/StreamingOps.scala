@@ -883,7 +883,14 @@ object StreamingOps {
     * sound and batch replay a no-op by algebra (no improvement the
     * second time). The loop exits as soon as the frontier drains;
     * `rounds` is a safety CAP on THIS batch's improvement propagation
-    * depth — the change's reach, not the graph diameter. With the cap
+    * depth — the change's reach, not the graph diameter. If the
+    * frontier has NOT drained at the cap the batch THROWS without
+    * touching the distance state (the [[ccLabelBatch]] contract):
+    * silently persisting under-converged distances would freeze
+    * too-high values forever, because later batches seed frontiers
+    * only from their own new edges; edge admission is
+    * replay-idempotent, so the failed batch reruns with a higher cap
+    * against unchanged state. With the cap
     * uncut the state equals
     * [[graft.graph.GraphOps.weightedDistances]] at convergence over
     * all admitted edges (spec-pinned across multi-batch replays).
@@ -967,6 +974,18 @@ object StreamingOps {
         frontierCount = frontier.count()
         r += 1
       }
+      // an undrained frontier at the cap means distances that are
+      // still TOO HIGH — and later batches only seed frontiers from
+      // their own new edges, so the staleness would persist forever.
+      // Fail loudly BEFORE touching the state (the ccLabelBatch
+      // contract): the edge admission above is replay-idempotent, so
+      // the caller reruns the batch with a higher cap and state picks
+      // up exactly where it was.
+      if (frontierCount > 0)
+        throw new IllegalStateException(
+          s"spIncrementBatch: frontier not drained after $rounds rounds " +
+            s"($frontierCount nodes still improving); state left " +
+            "untouched - rerun the batch with a higher rounds cap")
       val tmp = new HPath(distPath + ".next")
       reached.write.mode("overwrite").parquet(tmp.toString)
       if (fs.exists(master)) {

@@ -163,16 +163,27 @@ object Classify {
     * the rule is engine-portable.
     */
   def scoreNaiveBayes(docs: DataFrame, idCol: String, textCol: String,
-                      model: NbModel): DataFrame =
-    scoreNb(docs, idCol, normTokens(col(textCol)), model)
+                      model: NbModel, argmaxRound6: Boolean = false): DataFrame =
+    scoreNb(docs, idCol, normTokens(col(textCol)), model, argmaxRound6)
 
   /** Character-n-gram scorer pairing [[trainNaiveBayesChar]]. */
   def scoreNaiveBayesChar(docs: DataFrame, idCol: String, textCol: String,
                           model: NbModel, n: Int = 3): DataFrame =
     scoreNb(docs, idCol, charNgrams(col(textCol), n), model)
 
+  /** `argmaxRound6` quantizes the argmax ORDER key to the 6-decimal
+    * lattice (the same surface [[scoreNaiveBayes]] already ships as
+    * its `score` column, which an independent DuckDB replay matches
+    * bit-for-bit): the raw score is a multi-term fp sum whose
+    * accumulation order differs between engines and between runs, so
+    * two labels separated by less than the fp-order noise (~1e-12)
+    * can argmax-flip across engines; on the round-6 lattice such
+    * near-ties collapse to equal keys and break deterministically on
+    * the label. Default off — the single-model scorers' raw argmax is
+    * the established oracle contract.
+    */
   private def scoreNb(docs: DataFrame, idCol: String, features: Column,
-                      model: NbModel): DataFrame = {
+                      model: NbModel, argmaxRound6: Boolean = false): DataFrame = {
     val base = docs.select(col(idCol), features.as("__t"))
       .select(col(idCol), size(col("__t")).as("n_tokens"), col("__t"))
     // pre-aggregate to DISTINCT features per doc before the model
@@ -192,7 +203,8 @@ object Classify {
       .join(sparse, Seq(idCol, "label"), "left")
       .withColumn("__score", col("log_prior") + coalesce(col("__num"), lit(0.0))
         - col("n_tokens").cast("double") * col("log_denom"))
-    val w = Window.partitionBy(idCol).orderBy(col("__score").desc, col("label").asc)
+    val argmaxKey = if (argmaxRound6) round(col("__score"), 6) else col("__score")
+    val w = Window.partitionBy(idCol).orderBy(argmaxKey.desc, col("label").asc)
     dense.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col(idCol), col("label").as("pred_label"),

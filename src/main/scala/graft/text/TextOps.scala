@@ -976,10 +976,9 @@ object TextOps {
         n(ctrl > 0).as("n_control"),
         sum(repl + c1 + latin1 + ctrl).as("total_artifacts"),
         n(repl === 0 && c1 === 0 && latin1 === 0 && ctrl === 0).as("n_clean"))
-      // unrounded: an exact-integer ratio is one IEEE division —
-      // bit-identical everywhere; round() is engine-implemented
-      .withColumn("clean_rate",
-        col("n_clean").cast(DoubleType) / col("n_docs").cast(DoubleType))
+      // integer-only closing: the clean rate ships as truncating ppm,
+      // so the report carries no float column at all
+      .withColumn("clean_rate_ppm", expr("n_clean * 1000000 div n_docs"))
   }
 
   /** Top-k collocations by Dunning's log-likelihood ratio (Dunning

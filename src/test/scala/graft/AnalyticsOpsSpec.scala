@@ -834,10 +834,10 @@ class AnalyticsOpsSpec extends SparkSpec {
     val out = AnalyticsOps.markovNextEventAccuracy(events)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), Option(r.getString(2)), r.getLong(3), r.getLong(4),
-          r.getAs[Double]("accuracy"))).toMap
-    assert(out("A") === ((2L, Some("B"), 2L, 1L, 0.5)))
-    assert(out("B") === ((1L, Some("A"), 2L, 2L, 1.0)))
-    assert(out("X") === ((0L, None, 1L, 0L, 0.0)))
+          r.getAs[Long]("accuracy_ppm"))).toMap
+    assert(out("A") === ((2L, Some("B"), 2L, 1L, 500000L)))
+    assert(out("B") === ((1L, Some("A"), 2L, 2L, 1000000L)))
+    assert(out("X") === ((0L, None, 1L, 0L, 0L)))
     assert(!out.contains("C") && !out.contains("Y"))
   }
 
@@ -1003,6 +1003,44 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_hit_users") === 1L)
     assert(r.getAs[Double]("hit_rate") === 1.0 / 3.0)
     assert(r.getAs[Double]("avg_candidates") === 1.0 / 3.0)
+  }
+
+  test("itemRecHoldout: internal caches unpersist on success AND when " +
+    "the computation throws mid-flight") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")
+    // u1 and u2 appear in BOTH halves so the eval set is nonempty
+    val rows = Seq((1L, 101L, t(1)), (1L, 102L, t(1)), (2L, 101L, t(2)),
+      (2L, 102L, t(2)), (1L, 101L, t(8)), (2L, 102L, t(9)))
+      .toDF("user_id", "item", "ts")
+    def persisted() = spark.sparkContext.getPersistentRDDs.keySet
+    val before = persisted()
+    AnalyticsOps.itemRecHoldout(rows, "user_id", "item", "ts",
+      k = 3, maxBasket = 10).collect()
+    // only localCheckpoint blocks may remain (the 1-row result and the
+    // inner itemSimilarity model — both weak-ref ContextCleaner-managed,
+    // released at the next GC); the three explicit persists must be gone
+    assert((persisted() -- before).size <= 2,
+      "success path leaked internal caches")
+    val base2 = persisted()
+    // splitFrac far past Int range: the ANSI cast inside the split
+    // aggregate throws during execution — i.e. AFTER the persists
+    intercept[Throwable] {
+      AnalyticsOps.itemRecHoldout(rows, "user_id", "item", "ts",
+        k = 3, maxBasket = 10, splitFrac = 1e18).collect()
+    }
+    assert((persisted() -- base2).isEmpty,
+      "throw path leaked internal caches")
+    // cold-start degenerate: train and test users disjoint -> zero
+    // evaluable users must report NULL rates, not an ANSI 0/0 crash
+    val disjoint = Seq((1L, 101L, t(1)), (1L, 102L, t(1)),
+      (2L, 101L, t(9))).toDF("user_id", "item", "ts")
+    val r0 = AnalyticsOps.itemRecHoldout(disjoint, "user_id", "item",
+      "ts", k = 3, maxBasket = 10).collect()(0)
+    assert(r0.getAs[Long]("n_eval_users") === 0L)
+    assert(r0.isNullAt(r0.fieldIndex("hit_rate")))
+    assert(r0.isNullAt(r0.fieldIndex("avg_candidates")))
   }
 
   test("didReport: identical pre/post activity per user closes the " +
@@ -1401,14 +1439,15 @@ class AnalyticsOpsSpec extends SparkSpec {
     val df = Seq(0.0, 0.0, 10.0, 10.0, 80.0).map(("g", _)).toDF("grp", "v")
     val out = AnalyticsOps.lorenzDeciles(df, "grp", "v")
       .collect().map(r => r.getInt(1) ->
-        (r.getAs[Long]("rank"), r.getAs[Double]("cum_share"))).toMap
+        (r.getAs[Long]("rank"), r.getAs[Long]("cum_value_e6"),
+          r.getAs[Long]("total_value_e6"))).toMap
     // n=5: decile d covers rank 5d/10: d=2->1, d=4->2, d=6->3, d=8->4, d=10->5
     assert(!out.contains(1), "rank 0 decile must be absent")
-    assert(out(2) === ((1L, 0.0)))
-    assert(out(4) === ((2L, 0.0)))
-    assert(out(6) === ((3L, 10.0e6 / 100.0e6)))
-    assert(out(8) === ((4L, 20.0e6 / 100.0e6)))
-    assert(out(10) === ((5L, 1.0)))
+    assert(out(2) === ((1L, 0L, 100000000L)))
+    assert(out(4) === ((2L, 0L, 100000000L)))
+    assert(out(6) === ((3L, 10000000L, 100000000L)))
+    assert(out(8) === ((4L, 20000000L, 100000000L)))
+    assert(out(10) === ((5L, 100000000L, 100000000L)))
   }
 
   test("dispersionIndex: Poisson-flat series ~ F=1 exact on a " +

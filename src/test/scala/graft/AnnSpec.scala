@@ -64,7 +64,7 @@ class AnnSpec extends SparkSpec {
       "vec_id", "embedding", k = 2, prefixDims = 2)
       .collect()(0)
     assert(r1.getLong(1) === 2L) // k_full
-    assert(r1.getAs[Double]("recall") === 1.0)
+    assert(r1.getAs[Long]("recall_ppm") === 1000000L)
     // b matches q on the prefix but sits far away in the tail: codes
     // q=[127,0,0,0], a=[127,0,0,0], b=[25,0,127,127], c=[0,127,0,0];
     // full top2 = {a, c} (0, 32258 < 42662), prefix top2 = {a, b}
@@ -75,26 +75,25 @@ class AnnSpec extends SparkSpec {
       "vec_id", "embedding", k = 2, prefixDims = 2)
       .collect()(0)
     assert(r2.getLong(2) === 1L) // n_hits
-    assert(r2.getAs[Double]("recall") === 0.5)
+    assert(r2.getAs[Long]("recall_ppm") === 500000L)
   }
 
-  test("dimProfile: exact means/stds per coordinate, zero counting, " +
-    "and min/max") {
+  test("dimProfile: exact integer lattice moments per coordinate, " +
+    "zero counting, and min/max on the e6 lattice") {
     val df = vecs(
       1L -> Seq(1.0f, 0.0f),
       2L -> Seq(2.0f, 0.0f),
       3L -> Seq(3.0f, 4.0f))
     val out = Ann.dimProfile(df, "embedding")
       .collect().map(r => r.getInt(0) ->
-        (r.getLong(1), r.getLong(2), r.getAs[Double]("mean"),
-          r.getAs[Double]("std"), r.getAs[Double]("min_v"),
-          r.getAs[Double]("max_v"))).toMap
-    assert(out(0) === ((3L, 0L, 2.0, 1.0, 1.0, 3.0)))
-    // dim 1: {0,0,4} -> mean 4/3, sample var 16/3; expectations replay
-    // the operator's unrounded closing tree op-for-op
-    val meanExp = 4.0e6 / 3.0 / 1e6
-    val stdExp = math.sqrt((16.0e12 - 4.0e6 * 4.0e6 / 3.0) / 2.0 / 1e12)
-    assert(out(1) === ((3L, 2L, meanExp, stdExp, 0.0, 4.0)))
+        (r.getLong(1), r.getLong(2), r.getAs[Long]("sum_e6"),
+          r.getAs[Long]("sumsq_e12"), r.getAs[Long]("min_e6"),
+          r.getAs[Long]("max_e6"))).toMap
+    // dim 0: {1,2,3} on the e6 lattice
+    assert(out(0) === ((3L, 0L, 6000000L,
+      (1L + 4L + 9L) * 1000000000000L, 1000000L, 3000000L)))
+    // dim 1: {0,0,4} -> sum 4e6, sumsq 16e12
+    assert(out(1) === ((3L, 2L, 4000000L, 16000000000000L, 0L, 4000000L)))
   }
 
   test("kCenterSelect: farthest-point traversal picks opposite poles " +

@@ -690,6 +690,43 @@ class StreamingSpec extends SparkSpec {
     assert(dists() === expected)
   }
 
+  test("spIncrementBatch: an undrained frontier at the rounds cap " +
+    "throws and leaves the distance state untouched") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("sp_throw").toString
+    val (ep, dp) = (s"$root/edges", s"$root/dists")
+    val seeds = Seq(1L).toDF("node")
+    def dists() = graft.streaming.StreamingOps
+      .distancesFromDistState(spark, dp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b0 = Seq((1L, 2L, 10L), (2L, 3L, 10L)).toDF("a", "b", "w")
+    graft.streaming.StreamingOps.spIncrementBatch(b0, 0L, "a", "b", "w",
+      seeds, "node", ep, dp, rounds = 6)
+    val before = dists()
+    assert(before === Map(1L -> 0L, 2L -> 10L, 3L -> 20L))
+    // batch 1 appends a 4-hop tail but caps propagation at 1 round:
+    // the frontier cannot drain, so the batch must FAIL LOUDLY
+    // instead of freezing too-high distances into the state
+    val b1 = Seq((3L, 4L, 1L), (4L, 5L, 1L), (5L, 6L, 1L), (6L, 7L, 1L))
+      .toDF("a", "b", "w")
+    val ex = intercept[IllegalStateException] {
+      graft.streaming.StreamingOps.spIncrementBatch(b1, 1L, "a", "b", "w",
+        seeds, "node", ep, dp, rounds = 1)
+    }
+    assert(ex.getMessage.contains("frontier not drained"))
+    assert(dists() === before, "failed batch must not touch state")
+    // rerun with an adequate cap: edge admission was idempotent, the
+    // state converges to the full recompute
+    graft.streaming.StreamingOps.spIncrementBatch(b1, 1L, "a", "b", "w",
+      seeds, "node", ep, dp, rounds = 8)
+    val expected = graft.graph.GraphOps.weightedDistances(
+      b0.unionByName(b1).select(col("a").as("id_a"), col("b").as("id_b"),
+        col("w").as("weight")),
+      seeds, maxRounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dists() === expected)
+  }
+
   test("cfBatch/cfFromState: the incremental item-similarity model " +
     "equals the batch model row-for-row, cross-batch duplicate " +
     "feedback does not inflate cosines, retry is a no-op") {

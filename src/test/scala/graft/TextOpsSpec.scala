@@ -523,7 +523,7 @@ class TextOpsSpec extends SparkSpec {
     // 3 (replacement) + 4 (C1 bytes in the two dashes) + 2 (Ã) + 2 (C0)
     assert(r.getAs[Long]("total_artifacts") === 11L)
     assert(r.getAs[Long]("n_clean") === 1L)
-    assert(r.getAs[Double]("clean_rate") === 0.2)
+    assert(r.getAs[Long]("clean_rate_ppm") === 200000L)
   }
 
   test("sourceDivergenceMatrix: identical distributions give js 0, " +
