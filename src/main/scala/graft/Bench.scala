@@ -36,6 +36,10 @@ object Bench {
       // stage, which amplified occasional JIT-cold windows into
       // 15-40 s outliers (tools.Q75Probe round-7 table, SCALE.md)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // the measured host is local[32] with RAM far beyond the sf0.1
+      // working set: columnar-cache compression only burns CPU inside
+      // the persist builds the CF/holdout chains pay per run
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

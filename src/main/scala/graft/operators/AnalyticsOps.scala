@@ -2044,7 +2044,8 @@ object AnalyticsOps {
       test = tagged.filter(col("__day") > col("__split"))
         .select("__u", "__i").distinct()
       train.persist(); test.persist()
-      val sims = itemSimilarity(train, "__u", "__i", k, maxBasket, minCooc)
+      val sims = itemSimilarity(train, "__u", "__i", k, maxBasket, minCooc,
+        assumeDistinct = true) // train is .distinct() two lines up
       val cand = train
         .join(sims.select(col("item").as("__i"),
           col("similar_item").as("__c")), "__i")
@@ -2053,15 +2054,21 @@ object AnalyticsOps {
           Seq("__u", "__c"), "left_anti")
       val evalUsers = train.select("__u").distinct()
         .join(test.select("__u").distinct(), Seq("__u"), "left_semi")
+        .persist() // tiny (#users); consumed by the count AND the semi-join
       val candOfEval = cand.join(evalUsers, Seq("__u"), "left_semi")
-      val hitUsers = candOfEval
-        .join(test.select(col("__u"), col("__i").as("__c")),
-          Seq("__u", "__c"), "left_semi")
-        .select("__u").distinct()
+      // ONE pass over the candidate chain for BOTH tallies (hit users
+      // and candidate count) — the two-consumer form recomputed the
+      // whole train⋈sims→distinct→anti-join chain twice per call
+      // (CfProbe2: the q246 overhang). test is distinct, so the left
+      // join cannot fan out and count(*) stays the candidate count.
+      val ceAgg = candOfEval
+        .join(test.select(col("__u"), col("__i").as("__c"),
+          lit(1).as("__hit")), Seq("__u", "__c"), "left")
+        .agg(count(lit(1)).as("__nc"),
+          countDistinct(when(col("__hit") === 1, col("__u")))
+            .as("n_hit_users"))
       val nEval = evalUsers.agg(count(lit(1)).as("n_eval_users"))
-      val nHit = hitUsers.agg(count(lit(1)).as("n_hit_users"))
-      val nCand = candOfEval.agg(count(lit(1)).as("__nc"))
-      nEval.crossJoin(nHit).crossJoin(nCand)
+      val out = nEval.crossJoin(ceAgg)
         // unrounded exact-integer ratios: one IEEE division, portable;
         // zero evaluable users (a cold-start holdout) reports NULL
         // rates instead of an ANSI 0/0 crash — oracle-mirrored
@@ -2071,6 +2078,8 @@ object AnalyticsOps {
           when(col("n_eval_users") > 0, col("__nc").cast("double")
             / col("n_eval_users").cast("double")).as("avg_candidates"))
         .localCheckpoint(true)
+      evalUsers.unpersist(blocking = false)
+      out
     } finally {
       if (train != null) train.unpersist(blocking = false)
       if (test != null) test.unpersist(blocking = false)
@@ -2763,15 +2772,24 @@ object AnalyticsOps {
     */
   def itemSimilarity(df: DataFrame, userCol: String, itemCol: String,
                      k: Int = 5, maxBasket: Int = 100,
-                     minCooc: Long = 1L): DataFrame = {
+                     minCooc: Long = 1L,
+                     assumeDistinct: Boolean = false): DataFrame = {
     // persist the incidence: both the basket-size aggregate and the
     // cap semi-join consume it — unpersisted, the upstream scan +
-    // distinct (the most expensive input stage, CfProbe) runs twice
-    val ui = df
+    // distinct (the most expensive input stage, CfProbe) runs twice.
+    // assumeDistinct skips the dedup shuffle when the CALLER already
+    // holds a distinct (user, item) incidence (itemRecHoldout's train
+    // half) — duplicate rows would inflate cooc counts, so it is the
+    // caller's contract, not a heuristic.
+    val base = df
       .filter(col(userCol).isNotNull && col(itemCol).isNotNull)
       .select(col(userCol).as("__u"), col(itemCol).as("__i"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // assumeDistinct callers hold the incidence persisted already — a
+    // second cache of the same rows would only duplicate memory and
+    // pay another build pass
+    val ui = if (assumeDistinct) base
+      else base.distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val small = ui.groupBy("__u").agg(count(lit(1)).as("__bs"))
       .filter(col("__bs") <= maxBasket)
       .select("__u")
@@ -3003,6 +3021,31 @@ object AnalyticsOps {
         (col("__cvHi") - (col("__cumHi") - col("__rd")).cast(dec) *
           col("__v").cast(dec)).cast(LongType).as("cum_value_e6"),
         col("__tot").cast(LongType).as("total_value_e6"))
+  }
+
+  /** Per-group decile VALUES (the order statistic at rank (n·d) div 10
+    * for d = 1..10) off the shared [[rankedHist]] rank cover — the
+    * distribution-shape report behind "how long are this feed's
+    * documents" class questions. Values ride the same 6-decimal
+    * integer lattice as every rank-cover operator, so the output is
+    * integer-only; rank-0 deciles (tiny groups) are absent, the
+    * [[lorenzDeciles]] convention.
+    *
+    * Scale shape: one map-side-combined histogram pass; windows only
+    * over distinct values per (group, 1024-bucket); ≤ 10·#groups
+    * output rows.
+    */
+  def valueDeciles(df: DataFrame, groupCol: String,
+                   valueCol: String): DataFrame = {
+    val cum = rankedHist(df, groupCol, valueCol)
+    val totals = cum.groupBy(col(groupCol)).agg(max("__cumHi").as("__n"))
+    val deciles = totals.select(col(groupCol), col("__n"),
+      explode(sequence(lit(1), lit(10))).as("decile"))
+      .withColumn("__rd", expr("__n * decile div 10"))
+    cum.join(deciles, Seq(groupCol))
+      .filter(col("__rd") >= col("__cumLo") && col("__rd") <= col("__cumHi"))
+      .select(col(groupCol), col("decile").cast(IntegerType).as("decile"),
+        col("__rd").as("rank"), col("__v").as("value_e6"))
   }
 
   /** Fano dispersion index of daily activity per group: variance /

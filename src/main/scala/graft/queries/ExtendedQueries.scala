@@ -1400,6 +1400,102 @@ object ExtendedQueries {
               .cast(DoubleType)).as("jaccard"))
     }),
 
+    // Kneser-Ney bigram perplexity self-trained on the corpus — the
+    // discounting KenLM actually uses, next to q93's interpolated
+    // add-one bigram: continuation probability carries the back-off
+    // mass, D = 0.75 literal both engines
+    "q299_kneser_ney_ppl" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lm = graft.text.NgramLm.trainKneserNey(docs, "text")
+      graft.text.NgramLm.scoreKneserNey(docs, "doc_id", "text", lm)
+    }),
+
+    // boilerplate shingle screen: token 8-grams (md5 digests) whose
+    // per-source document frequency crosses max(2, ceil(10% of the
+    // source)) — the "strip the nav bar before training" planner;
+    // integer-only output
+    "q300_boilerplate_shingles" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("source").isNotNull && col("text").isNotNull)
+      val toks = graft.text.TextOps.tokens(
+        graft.text.TextOps.normalizeText(col("text")))
+      val perDoc = docs
+        .select(col("source"), col("doc_id"), toks.as("__t"))
+        .filter(size(col("__t")) >= 8)
+        .select(col("source"), col("doc_id"), explode(expr(
+          "transform(sequence(1, size(__t) - 7), i -> md5(concat_ws(' ', slice(__t, i, 8))))"))
+          .as("__h"))
+        .groupBy("source", "doc_id", "__h")
+        .agg(count(lit(1)).as("__occ"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nDocs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val flagged = perDoc.groupBy("source", "__h")
+          .agg(count(lit(1)).as("__df"), sum("__occ").as("__occT"))
+          .join(nDocs, "source")
+          .withColumn("__boiler",
+            col("__df") >= greatest(lit(2L), expr("(n_docs + 9) div 10")))
+        val perSource = flagged.groupBy("source")
+          .agg(count(lit(1)).as("n_shingle_types"),
+            sum(when(col("__boiler"), 1L).otherwise(0L))
+              .as("n_boiler_types"),
+            sum(when(col("__boiler"), col("__occT")).otherwise(0L))
+              .as("n_boiler_positions"))
+        val affected = perDoc
+          .join(flagged.filter(col("__boiler")).select("source", "__h"),
+            Seq("source", "__h"), "left_semi")
+          .select("source", "doc_id").distinct()
+          .groupBy("source").agg(count(lit(1)).as("n_docs_affected"))
+        nDocs
+          .join(perSource, Seq("source"), "left")
+          .join(affected, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_shingle_types"), lit(0L)).as("n_shingle_types"),
+            coalesce(col("n_boiler_types"), lit(0L)).as("n_boiler_types"),
+            coalesce(col("n_boiler_positions"), lit(0L))
+              .as("n_boiler_positions"),
+            coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"))
+          .localCheckpoint(true)
+      } finally perDoc.unpersist(blocking = false)
+    }),
+
+    // Zipf rank-frequency fit: log-log OLS slope over the global
+    // top-100 tokens (count desc, token asc ties) — near −1 is
+    // natural text, flat tails flag templated corpora; 100 O(1)
+    // summands + round 4, the q290 small-sum discipline
+    "q301_zipf_slope" -> ((s, d) => {
+      val top = Tables.documents(s, d)
+        .select(explode(graft.text.TextOps.tokens(
+          graft.text.TextOps.normalizeText(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc).limit(100)
+        // global window over the ALREADY-LIMITED 100-row frame only
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cnt").desc, col("token").asc))
+          .cast(IntegerType))
+      val x = log(col("rank").cast(DoubleType))
+      val y = log(col("cnt").cast(DoubleType))
+      val fit = top.agg(count(lit(1)).cast(DoubleType).as("__m"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"), sum(x * x).as("__sxx"))
+      top.crossJoin(broadcast(fit))
+        .select(col("rank"), col("token"), col("cnt"),
+          round((col("__m") * col("__sxy") - col("__sx") * col("__sy")) /
+            (col("__m") * col("__sxx") - col("__sx") * col("__sx")), 4)
+            .as("zipf_slope"))
+    }),
+
+    // per-source document-length decile values off the shared rank
+    // cover — the distribution-shape screen behind length-based
+    // quality gates; integer-only (e6 lattice)
+    "q302_length_deciles" -> ((s, d) =>
+      graft.operators.AnalyticsOps.valueDeciles(
+        Tables.documents(s, d)
+          .filter(col("source").isNotNull && col("text").isNotNull)
+          .select(col("source"),
+            length(col("text")).cast(DoubleType).as("len")),
+        "source", "len")),
+
     // subgroup treatment effects: the q245 arms contrasted per event
     // type on user-level activity — Welch SE from exact moments; the
     // heterogeneity table behind "did the effect concentrate
@@ -5212,6 +5308,146 @@ object ExtendedQueries {
         |  za.n AS vocab_a, zb.n AS vocab_b,
         |  c::DOUBLE / (za.n + zb.n - c)::DOUBLE AS jaccard
         |FROM sh JOIN sz za ON za.s = sa JOIN sz zb ON zb.s = sb""".stripMargin,
+
+    // full Kneser-Ney retrain + rescore: the same count tables
+    // (bigram-position marginal c1b, continuation fan-outs), the
+    // same D = 0.75 literal, the identical fixed-order expression
+    "q299_kneser_ney_ppl" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents
+        |), toks AS (
+        |  SELECT doc_id, regexp_split_to_array(nt, ' ') AS t
+        |  FROM norm WHERE length(nt) > 0
+        |), bi AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE len(t) >= 2)
+        |), bic AS MATERIALIZED (
+        |  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2
+        |), bv AS (
+        |  SELECT count(*) AS b, count(DISTINCT w2) AS vc FROM bic
+        |), heads AS (
+        |  SELECT w1, sum(c12) AS c1b, count(*) AS n1from
+        |  FROM bic GROUP BY 1
+        |), cont AS (
+        |  SELECT w2, (count(*) + 1)::DOUBLE
+        |      / ((SELECT b FROM bv) + (SELECT vc FROM bv))::DOUBLE AS pcont
+        |  FROM bic GROUP BY 1
+        |), score AS (
+        |  SELECT x.doc_id,
+        |    -ln(CASE WHEN h.c1b IS NOT NULL THEN
+        |          (greatest(coalesce(c.c12, 0)::DOUBLE - 0.75, 0.0)
+        |            + 0.75 * h.n1from::DOUBLE * coalesce(ct.pcont,
+        |                1.0 / ((SELECT b FROM bv)
+        |                  + (SELECT vc FROM bv))::DOUBLE))
+        |            / h.c1b::DOUBLE
+        |        ELSE coalesce(ct.pcont,
+        |          1.0 / ((SELECT b FROM bv)
+        |            + (SELECT vc FROM bv))::DOUBLE)
+        |        END) AS nll
+        |  FROM bi x
+        |  LEFT JOIN bic c ON c.w1 = x.w1 AND c.w2 = x.w2
+        |  LEFT JOIN heads h ON h.w1 = x.w1
+        |  LEFT JOIN cont ct ON ct.w2 = x.w2
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(nll), 6) AS avg_nll, round(exp(avg(nll)), 4) AS ppl
+        |FROM score GROUP BY doc_id""".stripMargin,
+
+    // same md5 8-gram digests (identical space-joined token windows),
+    // same max(2, ceil-10%) threshold, integer-only rollup
+    "q300_boilerplate_shingles" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+        |), toks AS (
+        |  SELECT doc_id, source, regexp_split_to_array(nt, ' ') AS t
+        |  FROM d WHERE length(nt) > 0
+        |), sh AS (
+        |  SELECT source, doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h
+        |  FROM (SELECT source, doc_id, t, unnest(range(1, len(t) - 6)) AS i
+        |        FROM toks WHERE len(t) >= 8)
+        |), perdoc AS MATERIALIZED (
+        |  SELECT source, doc_id, h, count(*) AS occ FROM sh GROUP BY 1, 2, 3
+        |), nd AS (
+        |  SELECT source, count(*) AS n_docs FROM documents
+        |  WHERE source IS NOT NULL AND text IS NOT NULL GROUP BY 1
+        |), flag AS MATERIALIZED (
+        |  SELECT f.source, f.h, f.occt,
+        |    f.df >= greatest(2, (n.n_docs + 9) // 10) AS boiler
+        |  FROM (SELECT source, h, count(*) AS df, sum(occ) AS occt
+        |        FROM perdoc GROUP BY 1, 2) f
+        |  JOIN nd n USING (source)
+        |), agg AS (
+        |  SELECT source, count(*) AS n_shingle_types,
+        |    sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS n_boiler_types,
+        |    sum(CASE WHEN boiler THEN occt ELSE 0 END) AS n_boiler_positions
+        |  FROM flag GROUP BY 1
+        |), aff AS (
+        |  SELECT p.source, count(DISTINCT p.doc_id) AS n_docs_affected
+        |  FROM perdoc p JOIN flag f
+        |    ON f.source = p.source AND f.h = p.h AND f.boiler
+        |  GROUP BY 1
+        |)
+        |SELECT n.source, n.n_docs,
+        |  CAST(coalesce(a.n_shingle_types, 0) AS BIGINT) AS n_shingle_types,
+        |  CAST(coalesce(a.n_boiler_types, 0) AS BIGINT) AS n_boiler_types,
+        |  CAST(coalesce(a.n_boiler_positions, 0) AS BIGINT)
+        |    AS n_boiler_positions,
+        |  CAST(coalesce(af.n_docs_affected, 0) AS BIGINT) AS n_docs_affected
+        |FROM nd n LEFT JOIN agg a USING (source)
+        |LEFT JOIN aff af USING (source)""".stripMargin,
+
+    // identical top-100 (count desc, token asc) cut and the identical
+    // 100-summand log-log OLS closing at round 4
+    "q301_zipf_slope" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(nt, ' ')) AS w FROM (
+        |    SELECT trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        |    FROM documents)
+        |  WHERE length(nt) > 0
+        |), cnts AS (
+        |  SELECT w AS token, count(*) AS cnt FROM toks GROUP BY 1
+        |), top AS MATERIALIZED (
+        |  SELECT token, cnt, CAST(rank AS INTEGER) AS rank FROM (
+        |    SELECT token, cnt, row_number() OVER (
+        |      ORDER BY cnt DESC, token ASC) AS rank
+        |    FROM cnts) WHERE rank <= 100
+        |), fit AS (
+        |  SELECT count(*)::DOUBLE AS m,
+        |    sum(ln(rank::DOUBLE)) AS sx, sum(ln(cnt::DOUBLE)) AS sy,
+        |    sum(ln(rank::DOUBLE) * ln(cnt::DOUBLE)) AS sxy,
+        |    sum(ln(rank::DOUBLE) * ln(rank::DOUBLE)) AS sxx
+        |  FROM top
+        |)
+        |SELECT t.rank, t.token, t.cnt,
+        |  round((f.m * f.sxy - f.sx * f.sy)
+        |    / (f.m * f.sxx - f.sx * f.sx), 4) AS zipf_slope
+        |FROM top t, fit f""".stripMargin,
+
+    // per-source length order statistics at rank (n*d)//10 on the e6
+    // lattice — the row_number twin of the rank-cover lookup
+    "q302_length_deciles" ->
+      """WITH v AS (
+        |  SELECT source,
+        |    CAST(round(length(text)::DOUBLE * 1000000) AS BIGINT) AS v
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+        |), r AS MATERIALIZED (
+        |  SELECT source, v,
+        |    row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM v
+        |)
+        |SELECT r.source, CAST(d AS INTEGER) AS decile,
+        |  r.n * d // 10 AS rank, r.v AS value_e6
+        |FROM r CROSS JOIN generate_series(1, 10) s(d)
+        |WHERE r.n * d // 10 = r.rn""".stripMargin,
 
     // same joint-histogram concordance counting with doubled tie
     // pairs; identical closing tree

@@ -212,4 +212,86 @@ object NgramLm {
         round(avg(col("__nll")), 6).as("avg_nll"),
         round(exp(avg(col("__nll"))), 4).as("ppl"))
   }
+
+  /** A trained Kneser–Ney bigram model (Kneser & Ney 1995; the
+    * discounting that makes KenLM's scores what they are — the
+    * unigram back-off weight is CONTINUATION probability, "how many
+    * distinct contexts does this word follow", not raw frequency, so
+    * "Francisco" stops looking probable everywhere just because
+    * "San Francisco" is frequent):
+    *   P(w2|w1) = (max(c12 − D, 0) + D·N1+(w1·)·Pcont(w2)) / c1b(w1)
+    *              when w1 heads at least one observed bigram,
+    *            = Pcont(w2) otherwise (OOV / document-final-only head)
+    *   Pcont(w2) = (N1+(·w2) + 1) / (B + Vc)   — add-one floored so a
+    *   never-continuing word keeps nonzero mass (1/(B+Vc))
+    * with c1b(w1) = Σ_w c(w1,w) (the bigram-position marginal — NOT
+    * the unigram count, which over-counts document-final tokens),
+    * N1+(w1·)/N1+(·w2) the distinct-continuation fan-outs, B the
+    * observed bigram-type count, Vc the distinct-continuation vocab,
+    * and D the absolute discount (0.75, the textbook constant, kept
+    * LITERAL on both engines). Every quantity is a ratio of exact
+    * counts combined in one fixed operation order, so an independent
+    * engine replays the scores bit-for-bit to the rounded outputs.
+    *
+    * Scale shape: training is three hash-keyed aggregations of the
+    * bigram frame + two O(1) scalars; scoring is the [[scorePerplexity]]
+    * shape — explode to bigram rows, three 8-byte-keyed left joins,
+    * one per-doc aggregate.
+    */
+  final case class KneserNeyLm(bigrams: DataFrame, heads: DataFrame,
+                               cont: DataFrame, contFloor: Double,
+                               discount: Double)
+
+  def trainKneserNey(ref: DataFrame, textCol: String,
+                     discount: Double = 0.75): KneserNeyLm = {
+    require(discount > 0 && discount < 1, s"discount in (0,1): $discount")
+    val bic = bigramRows(ref, textCol, Seq.empty)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bv = bic.agg(count(lit(1)).as("b"),
+      countDistinct(col("w2")).as("vc")).head()
+    val b = bv.getLong(0); val vc = bv.getLong(1)
+    require(b > 0, "reference corpus has no bigrams")
+    val heads = bic.groupBy("w1")
+      .agg(sum("c12").as("c1b"), count(lit(1)).as("n1from"))
+      .select(xxhash64(col("w1")).as("h_hash"), col("c1b"), col("n1from"))
+      .localCheckpoint(true)
+    val cont = bic.groupBy("w2").agg(count(lit(1)).as("nto"))
+      .select(xxhash64(col("w2")).as("c_hash"),
+        ((col("nto") + 1).cast("double") / (b + vc).toDouble).as("pcont"))
+      .localCheckpoint(true)
+    val bigrams = bic
+      .select(xxhash64(col("w1"), col("w2")).as("bg_hash"), col("c12"))
+      .localCheckpoint(true)
+    bic.unpersist(blocking = false)
+    KneserNeyLm(bigrams, heads, cont, 1.0 / (b + vc).toDouble, discount)
+  }
+
+  /** Per-doc Kneser–Ney perplexity — identical report shape to
+    * [[scorePerplexity]] (n_bigrams, avg_nll round 6, ppl round 4);
+    * documents with fewer than two tokens have no bigram rows and are
+    * absent, the [[scorePerplexity]] contract.
+    */
+  def scoreKneserNey(docs: DataFrame, idCol: String, textCol: String,
+                     lm: KneserNeyLm): DataFrame = {
+    val rows = bigramRows(docs, textCol, Seq(col(idCol)))
+      .select(col(idCol), xxhash64(col("w1"), col("w2")).as("bg_hash"),
+        xxhash64(col("w1")).as("h_hash"), xxhash64(col("w2")).as("c_hash"))
+    val pc = coalesce(col("pcont"), lit(lm.contFloor))
+    val p = when(col("c1b").isNotNull,
+      (greatest(coalesce(col("c12"), lit(0L)).cast("double") -
+        lit(lm.discount), lit(0.0)) +
+        lit(lm.discount) * col("n1from").cast("double") * pc) /
+        col("c1b").cast("double"))
+      .otherwise(pc)
+    rows
+      .join(lm.bigrams, Seq("bg_hash"), "left")
+      .join(lm.heads, Seq("h_hash"), "left")
+      .join(lm.cont, Seq("c_hash"), "left")
+      .select(col(idCol), (-log(p)).as("__nll"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("__nll")), 6).as("avg_nll"),
+        round(exp(avg(col("__nll"))), 4).as("ppl"))
+  }
 }

@@ -1450,6 +1450,25 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out(10) === ((5L, 100000000L, 100000000L)))
   }
 
+  test("valueDeciles: decile values are the order statistics at rank " +
+    "(n*d) div 10, rank-0 deciles absent for tiny groups") {
+    import spark.implicits._
+    val df = ((1 to 10).map(i => ("big", i.toDouble)) ++
+      Seq(("tiny", 5.0), ("tiny", 7.0), ("tiny", 9.0))).toDF("grp", "v")
+    val out = AnalyticsOps.valueDeciles(df, "grp", "v")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getAs[Long]("rank"), r.getAs[Long]("value_e6"))).toMap
+    // big: n=10, decile d covers rank d -> value d (x1e6 lattice)
+    (1 to 10).foreach(d =>
+      assert(out(("big", d)) === ((d.toLong, d * 1000000L))))
+    // tiny: n=3 -> d=1..3 rank 0 absent; d=4..6 -> rank 1, d=7..9 ->
+    // rank 2, d=10 -> rank 3
+    assert(!out.contains(("tiny", 1)) && !out.contains(("tiny", 3)))
+    assert(out(("tiny", 4)) === ((1L, 5000000L)))
+    assert(out(("tiny", 7)) === ((2L, 7000000L)))
+    assert(out(("tiny", 10)) === ((3L, 9000000L)))
+  }
+
   test("dispersionIndex: Poisson-flat series ~ F=1 exact on a " +
     "constructed fixture, zero-filled span enters n_days") {
     import spark.implicits._

@@ -252,4 +252,35 @@ class NgramLmSpec extends SparkSpec {
       s"duplicated docs should mostly score below median ppl $med")
     out.unpersist()
   }
+
+  test("trainKneserNey + scoreKneserNey reproduce hand-computed " +
+    "discounted probabilities at all three paths (seen bigram, seen " +
+    "head + unseen bigram, unseen head)") {
+    // counts from `ref`: bigrams (a,b)=2 (b,a)=2 (c,c)=2; B = 3 types,
+    // Vc = |{b, a, c}| = 3; heads a/b/c each c1b = 2, n1from = 1;
+    // pcont(w) = (1+1)/(3+3) for every seen continuation, floor 1/6
+    val lm = NgramLm.trainKneserNey(ref.toDF("doc_id", "text"), "text")
+    assert(lm.contFloor === 1.0 / 6.0)
+    val target = Seq(
+      (1L, "a b a b a"), // seen bigrams: p = (2-0.75 + 0.75*1*pc)/2
+      (20L, "a c"),      // seen head a, unseen bigram (a,c)
+      (21L, "z z"),      // unseen head: p = contFloor
+      (22L, "solo")      // 1 token -> excluded
+    ).toDF("doc_id", "text")
+    val out = NgramLm.scoreKneserNey(target, "doc_id", "text", lm)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 20L, 21L))
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val pc = (1.0 + 1.0) / 6.0
+    val pSeen = (math.max(2.0 - 0.75, 0.0) + 0.75 * 1.0 * pc) / 2.0
+    assert(out(0).getAs[Long]("n_bigrams") === 4L)
+    assert(out(0).getAs[Double]("ppl") === r4(1.0 / pSeen))
+    val pBackoff = (math.max(0.0 - 0.75, 0.0) + 0.75 * 1.0 * pc) / 2.0
+    assert(out(1).getAs[Double]("ppl") === r4(1.0 / pBackoff))
+    assert(out(2).getAs[Double]("ppl") === r4(6.0), "unseen head = floor")
+    // the continuation intuition: after the discount, a seen bigram
+    // still scores far above a backed-off one
+    assert(pSeen > 4 * pBackoff)
+  }
 }
