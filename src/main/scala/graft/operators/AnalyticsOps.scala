@@ -3023,6 +3023,76 @@ object AnalyticsOps {
         col("__tot").cast(LongType).as("total_value_e6"))
   }
 
+  /** Per-group two-central-order-statistics sum over an INTEGER value
+    * column: (group, n, m2 = v[(n+1) div 2] + v[n div 2 + 1]) — m2 is
+    * exactly twice the lower-interpolated median, kept as the integer
+    * SUM so no engine ever divides. Histogram + grouped two-level
+    * cumsum; the corpus never sorts.
+    */
+  private def medianSum2(in: DataFrame, groupCol: String,
+                         vCol: String): DataFrame = {
+    val hist = in.groupBy(col(groupCol), col(vCol).as("__hv"))
+      .agg(count(lit(1)).as("__c"))
+    val (bucketed, wi) = TwoLevelCumsum.withGroupedOffsets(
+      hist, Seq(groupCol), expr("__hv div 1024L"), col("__c"),
+      Seq(col("__hv").asc))
+    val cum = bucketed
+      .withColumn("__cumHi", col("__off") + sum("__w").over(wi))
+      .withColumn("__cumLo", col("__cumHi") - col("__c") + 1)
+    val tot = cum.groupBy(col(groupCol)).agg(max("__cumHi").as("__n"))
+    cum.join(tot, Seq(groupCol))
+      .withColumn("__rlo", expr("(__n + 1) div 2"))
+      .withColumn("__rhi", expr("__n div 2 + 1"))
+      .groupBy(col(groupCol))
+      .agg(max("__n").as("__n"),
+        sum(when(col("__rlo").between(col("__cumLo"), col("__cumHi")),
+          col("__hv")).otherwise(0L) +
+          when(col("__rhi").between(col("__cumLo"), col("__cumHi")),
+            col("__hv")).otherwise(0L)).as("__m2"))
+  }
+
+  /** Robust outlier screen: median + MAD (median absolute deviation)
+    * per group, with the |x − med| > k·MAD flag count — the
+    * location/scale pair that a 1%-whale column doesn't drag the way
+    * mean/std are dragged. EVERYTHING stays on the integer lattice:
+    * med ships as the two-central-sum m2 (= 2·median), deviations are
+    * dev2 = |2v − m2| (= 2·|v − med|, exact), MAD ships as the
+    * two-central-sum of dev2 (mad4 = 4·MAD), and the flag is the pure
+    * integer comparison 2·dev2 > k·mad4 ⟺ |v − med| > k·MAD. No
+    * division, no float, no engine-version surface anywhere.
+    *
+    * Scale shape: two histogram + rank-cover passes (values, then
+    * deviations) and one flag aggregate — windows only over distinct
+    * values per (group, 1024-bucket); #groups output rows.
+    */
+  def madOutlierScreen(df: DataFrame, groupCol: String, valueCol: String,
+                       k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol),
+        round(col(valueCol) * 1000000).cast(LongType).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val med = medianSum2(vals, groupCol, "__v")
+        .withColumnRenamed("__n", "n").withColumnRenamed("__m2", "__med2")
+      val dev = vals.join(med, Seq(groupCol))
+        .withColumn("__d2", abs(lit(2L) * col("__v") - col("__med2")))
+      val mad = medianSum2(dev.select(col(groupCol), col("__d2")),
+        groupCol, "__d2")
+        .select(col(groupCol), col("__m2").as("__mad4"))
+      val flags = dev.join(mad, Seq(groupCol))
+        .groupBy(col(groupCol))
+        .agg(sum(when(lit(2L) * col("__d2") > lit(k.toLong) * col("__mad4"),
+          1L).otherwise(0L)).as("n_outliers"))
+      med.join(mad, Seq(groupCol)).join(flags, Seq(groupCol))
+        .select(col(groupCol), col("n"),
+          col("__med2").as("median2_e6"),
+          col("__mad4").as("mad4_e6"),
+          col("n_outliers"))
+        .localCheckpoint(true)
+    } finally vals.unpersist(blocking = false)
+  }
+
   /** Per-group decile VALUES (the order statistic at rank (n·d) div 10
     * for d = 1..10) off the shared [[rankedHist]] rank cover — the
     * distribution-shape report behind "how long are this feed's

@@ -1496,6 +1496,57 @@ object ExtendedQueries {
             length(col("text")).cast(DoubleType).as("len")),
         "source", "len")),
 
+    // median/MAD robust-outlier screen on the pure integer lattice:
+    // med as the two-central-sum m2, MAD as the two-central-sum of
+    // dev2 = |2v - m2|, flag = 2*dev2 > 3*mad4 — zero division, zero
+    // float anywhere
+    "q303_mad_outliers" -> ((s, d) =>
+      graft.operators.AnalyticsOps.madOutlierScreen(
+        Tables.events(s, d).filter(col("value").isNotNull),
+        "event_type", "value", k = 3)),
+
+    // language-mixing screen: per doc, tokens landing in the OWN
+    // lang's top-100 vocabulary vs in some OTHER lang's top-100 (and
+    // not the own) — the contamination triage before per-language
+    // corpus splits; bounded-heap top-100 per lang, integer-ppm
+    // closing
+    "q304_language_mixing" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .filter(col("lang").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          explode(graft.text.TextOps.tokens(
+            graft.text.TextOps.normalizeText(col("text")))).as("__w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val top = toks.groupBy("lang", "__w").agg(count(lit(1)).as("__c"))
+          .groupBy("lang")
+          .agg(graft.expressions.TopKAgg.topKFor(StringType, 100)(
+            col("__w"), col("__c").cast(DoubleType)).as("__tk"))
+          .select(col("lang").as("__tl"),
+            explode(col("__tk")).as("__e"))
+          .select(col("__tl"), col("__e.id").as("__w"))
+        val ws = top.groupBy("__w")
+          .agg(count(lit(1)).as("__nl"), max("__tl").as("__mtl"))
+        val flagged = toks
+          .join(broadcast(top
+            .select(col("__w"), col("__tl").as("lang"),
+              lit(1L).as("__own"))), Seq("__w", "lang"), "left")
+          .join(broadcast(ws), Seq("__w"), "left")
+          .select(col("doc_id"), col("lang"),
+            when(col("__own").isNotNull, 1L).otherwise(0L).as("__o"),
+            when(col("__own").isNull && col("__nl").isNotNull &&
+              (col("__nl") >= 2 || col("__mtl") =!= col("lang")), 1L)
+              .otherwise(0L).as("__x"))
+        flagged.groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("__o")).as("n_own_top"),
+            sum(col("__x")).as("n_other_top"))
+          .withColumn("mixing_ppm",
+            expr("n_other_top * 1000000 div n_tokens"))
+          .localCheckpoint(true)
+      } finally toks.unpersist(blocking = false)
+    }),
+
     // subgroup treatment effects: the q245 arms contrasted per event
     // type on user-level activity — Welch SE from exact moments; the
     // heterogeneity table behind "did the effect concentrate
@@ -5430,6 +5481,84 @@ object ExtendedQueries {
         |  round((f.m * f.sxy - f.sx * f.sy)
         |    / (f.m * f.sxx - f.sx * f.sx), 4) AS zipf_slope
         |FROM top t, fit f""".stripMargin,
+
+    // row_number twins of both rank-cover passes; the identical
+    // integer flag comparison — no division or float anywhere
+    "q303_mad_outliers" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT event_type AS g,
+        |    CAST(round(value * 1000000) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM v
+        |), med AS MATERIALIZED (
+        |  SELECT g, max(n) AS n,
+        |    CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN v ELSE 0 END
+        |      + CASE WHEN rn = n // 2 + 1 THEN v ELSE 0 END) AS BIGINT)
+        |      AS med2
+        |  FROM r GROUP BY 1
+        |), dev AS MATERIALIZED (
+        |  SELECT v.g, abs(2 * v.v - m.med2) AS d2
+        |  FROM v JOIN med m ON m.g = v.g
+        |), rd AS (
+        |  SELECT g, d2, row_number() OVER (PARTITION BY g ORDER BY d2)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM dev
+        |), mad AS MATERIALIZED (
+        |  SELECT g,
+        |    CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN d2 ELSE 0 END
+        |      + CASE WHEN rn = n // 2 + 1 THEN d2 ELSE 0 END) AS BIGINT)
+        |      AS mad4
+        |  FROM rd GROUP BY 1
+        |), fl AS (
+        |  SELECT d.g, sum(CASE WHEN 2 * d.d2 > 3 * m.mad4
+        |    THEN 1 ELSE 0 END) AS n_outliers
+        |  FROM dev d JOIN mad m ON m.g = d.g GROUP BY 1
+        |)
+        |SELECT med.g AS event_type, CAST(med.n AS BIGINT) AS n,
+        |  med.med2 AS median2_e6, mad.mad4 AS mad4_e6,
+        |  CAST(fl.n_outliers AS BIGINT) AS n_outliers
+        |FROM med JOIN mad ON mad.g = med.g
+        |JOIN fl ON fl.g = med.g""".stripMargin,
+
+    // row_number top-100 per lang (count desc, token asc — the heap's
+    // order), per-token lang-set summary, the identical own/other
+    // flag predicates, integer-ppm closing
+    "q304_language_mixing" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+        |), toks AS MATERIALIZED (
+        |  SELECT doc_id, lang, unnest(regexp_split_to_array(nt, ' ')) AS w
+        |  FROM d WHERE length(nt) > 0
+        |), cnt AS (
+        |  SELECT lang, w, count(*) AS c FROM toks GROUP BY 1, 2
+        |), top AS MATERIALIZED (
+        |  SELECT lang AS tl, w FROM (
+        |    SELECT lang, w, row_number() OVER (PARTITION BY lang
+        |      ORDER BY c DESC, w ASC) AS rn
+        |    FROM cnt) WHERE rn <= 100
+        |), ws AS (
+        |  SELECT w, count(*) AS nl, max(tl) AS mtl FROM top GROUP BY 1
+        |)
+        |SELECT t.doc_id, t.lang, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN o.w IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_own_top,
+        |  CAST(sum(CASE WHEN o.w IS NULL AND s.w IS NOT NULL
+        |      AND (s.nl >= 2 OR s.mtl <> t.lang) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_other_top,
+        |  CAST((sum(CASE WHEN o.w IS NULL AND s.w IS NOT NULL
+        |      AND (s.nl >= 2 OR s.mtl <> t.lang) THEN 1 ELSE 0 END)
+        |    * 1000000) // count(*) AS BIGINT) AS mixing_ppm
+        |FROM toks t
+        |LEFT JOIN top o ON o.w = t.w AND o.tl = t.lang
+        |LEFT JOIN ws s ON s.w = t.w
+        |GROUP BY 1, 2""".stripMargin,
 
     // per-source length order statistics at rank (n*d)//10 on the e6
     // lattice — the row_number twin of the rank-cover lookup

@@ -1450,6 +1450,22 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(out(10) === ((5L, 100000000L, 100000000L)))
   }
 
+  test("madOutlierScreen: hand-computed median/MAD sums on the integer " +
+    "lattice, whale flagged, symmetric core not") {
+    import spark.implicits._
+    // values 1..9 and a 100 whale: med2 = 5e6 + 6e6; dev2 sorted
+    // {1,1,3,3,5,5,7,7,9,189}(e6) -> mad4 = 5e6 + 5e6 (MAD = 2.5);
+    // outlier iff dev2 > 1.5 * mad4 = 15e6 -> only the whale
+    val df = ((1 to 9).map(_.toDouble) :+ 100.0).map(("g", _))
+      .toDF("grp", "v")
+    val r = AnalyticsOps.madOutlierScreen(df, "grp", "v", k = 3)
+      .collect()(0)
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Long]("median2_e6") === 11000000L)
+    assert(r.getAs[Long]("mad4_e6") === 10000000L)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+  }
+
   test("valueDeciles: decile values are the order statistics at rank " +
     "(n*d) div 10, rank-0 deciles absent for tiny groups") {
     import spark.implicits._
