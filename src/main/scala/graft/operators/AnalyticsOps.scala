@@ -3073,14 +3073,19 @@ object AnalyticsOps {
         round(col(valueCol) * 1000000).cast(LongType).as("__v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // med and mad are #groups-row MODEL frames consumed by several
+      // downstream branches — checkpointed so their rank passes run
+      // once, not once per consumer
       val med = medianSum2(vals, groupCol, "__v")
         .withColumnRenamed("__n", "n").withColumnRenamed("__m2", "__med2")
-      val dev = vals.join(med, Seq(groupCol))
+        .localCheckpoint(true)
+      val dev = vals.join(broadcast(med), Seq(groupCol))
         .withColumn("__d2", abs(lit(2L) * col("__v") - col("__med2")))
       val mad = medianSum2(dev.select(col(groupCol), col("__d2")),
         groupCol, "__d2")
         .select(col(groupCol), col("__m2").as("__mad4"))
-      val flags = dev.join(mad, Seq(groupCol))
+        .localCheckpoint(true)
+      val flags = dev.join(broadcast(mad), Seq(groupCol))
         .groupBy(col(groupCol))
         .agg(sum(when(lit(2L) * col("__d2") > lit(k.toLong) * col("__mad4"),
           1L).otherwise(0L)).as("n_outliers"))
