@@ -94,6 +94,70 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** Integer squared L2 distance of two int-array code vectors (the
+  * [[graft.similarity.Ann.quantizeInt8]] space): Σ (aᵢ − bᵢ)² as a
+  * LONG — exact for any |code| ≤ 2³¹ per element and vector lengths
+  * to ~2⁶⁰ total. NULL if either side is NULL or the lengths differ.
+  * The zip_with+aggregate composition this replaces evaluates an
+  * interpreted lambda per ELEMENT — ruinous inside all-pairs kNN
+  * joins (pairs × dims lambda calls); this is one fused primitive
+  * loop inside whole-stage codegen.
+  */
+case class IntSqDist(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // mismatched lengths yield NULL
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(IntegerType, _) => true
+      case _                         => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"int_sq_dist expects array<int>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getInt(i).toLong - b.getInt(i).toLong
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $d = (long) $a.getInt($i) - (long) $b.getInt($i);
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
+         |}
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntSqDist =
+    copy(left = l, right = r)
+}
+
 /** Jaccard similarity of two string arrays: |A ∩ B| / |A ∪ B| over the
   * DISTINCT elements of each side, one hash-set pass per row (the
   * built-in `array_intersect`+`size` composition walks both arrays
@@ -366,6 +430,8 @@ object SimilarityExpressions {
     ColumnBridge.toColumn(CosineSim(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
   def jaccard_sim(a: Column, b: Column): Column =
     ColumnBridge.toColumn(JaccardSim(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
+  def int_sq_dist(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(IntSqDist(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
   def hyperplane_bands(vec: Column, bands: Int, bitsPerBand: Int, seed: Long): Column =
     ColumnBridge.toColumn(HyperplaneBands(ColumnBridge.toExpression(vec), bands, bitsPerBand, seed))
   def minhash_sig(shingles: Column, numPerms: Int): Column =

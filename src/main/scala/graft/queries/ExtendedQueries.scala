@@ -1547,6 +1547,56 @@ object ExtendedQueries {
       } finally toks.unpersist(blocking = false)
     }),
 
+    // train/eval split-leakage screen: exact-duplicate (q80 digest)
+    // and near-duplicate (portable md5-SimHash, hamming <= 3) pairs
+    // CROSSING a deterministic 90/10 md5 split — the contamination
+    // number that says "your eval set is in your training set";
+    // integer-only single-row report
+    "q305_split_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        .withColumn("__isEval",
+          graft.operators.SplitOps.hashBucket(concat(
+            col("doc_id").cast(StringType), lit("|split"))) % 10 === 9)
+      docs.persist()
+      try {
+        val sizes = docs.agg(
+          sum(when(!col("__isEval"), 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("__isEval"), 1L).otherwise(0L)).as("n_eval"))
+        val exact = docs
+          .select(md5(graft.text.TextOps.normalizeText(col("text")))
+            .as("__k"), col("__isEval"))
+          .groupBy("__k")
+          .agg(sum(when(!col("__isEval"), 1L).otherwise(0L)).as("__nt"),
+            sum(when(col("__isEval"), 1L).otherwise(0L)).as("__ne"))
+          .agg(coalesce(sum(col("__nt") * col("__ne")), lit(0L))
+            .as("exact_cross_pairs"),
+            coalesce(sum(when(col("__nt") > 0, col("__ne"))
+              .otherwise(0L)), lit(0L)).as("eval_docs_exact_leaked"))
+        val splits = docs.select(col("doc_id"), col("__isEval"))
+        val near = graft.dedup.NearDup.md5SimhashPairs(
+            docs, "doc_id", "text", maxHamming = 3)
+          .join(splits.select(col("doc_id").as("id_a"),
+            col("__isEval").as("__ea")), "id_a")
+          .join(splits.select(col("doc_id").as("id_b"),
+            col("__isEval").as("__eb")), "id_b")
+          .filter(col("__ea") =!= col("__eb"))
+          .select(when(col("__ea"), col("id_a")).otherwise(col("id_b"))
+            .as("__evalDoc"))
+        val nearAgg = near.agg(count(lit(1)).as("near_cross_pairs"),
+          countDistinct(col("__evalDoc")).as("eval_docs_near_leaked"))
+        sizes.crossJoin(exact).crossJoin(nearAgg).localCheckpoint(true)
+      } finally docs.unpersist(blocking = false)
+    }),
+
+    // kNN label-agreement audit over the embeddings' label column:
+    // exact int8-lattice 5-NN on a deterministic 1-in-7 query sample,
+    // majority-share-the-label counts per label — the label-noise
+    // screen run before training a classifier on the corpus
+    "q306_knn_label_agreement" -> ((s, d) =>
+      graft.similarity.Ann.knnLabelAgreement(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label",
+        k = 5, sampleMod = 7)),
+
     // subgroup treatment effects: the q245 arms contrasted per event
     // type on user-level activity — Welch SE from exact moments; the
     // heterogeneity table behind "did the effect concentrate
@@ -5481,6 +5531,124 @@ object ExtendedQueries {
         |  round((f.m * f.sxy - f.sx * f.sy)
         |    / (f.m * f.sxx - f.sx * f.sx), 4) AS zipf_slope
         |FROM top t, fit f""".stripMargin,
+
+    // q80-digest cross counts + the full md5-SimHash signature replay
+    // (the q289 machinery) restricted to split-crossing pairs; md5
+    // split twin of hashBucket
+    "q305_split_leakage" -> {
+      val sums1 = (0 until 32)
+        .map(b => s"sum((h1 >> $b) & 1) AS b$b").mkString(", ")
+      val sums2 = (32 until 64)
+        .map(b => s"sum((h2 >> ${b - 32}) & 1) AS b$b").mkString(", ")
+      val lo = (0 until 32)
+        .map(b => s"CASE WHEN 2 * b$b > n THEN (1::BIGINT << $b) ELSE 0 END")
+        .mkString(" + ")
+      val hi = (32 until 64)
+        .map(b =>
+          s"CASE WHEN 2 * b$b > n THEN (1::BIGINT << ${b - 32}) ELSE 0 END")
+        .mkString(" + ")
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      s"""WITH sp AS MATERIALIZED (
+         |  SELECT doc_id, text,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'),
+         |      1, 8))::UBIGINT % 10 = 9 AS is_eval
+         |  FROM documents WHERE text IS NOT NULL
+         |), sizes AS (
+         |  SELECT sum(CASE WHEN is_eval THEN 0 ELSE 1 END) AS n_train,
+         |    sum(CASE WHEN is_eval THEN 1 ELSE 0 END) AS n_eval
+         |  FROM sp
+         |), ex AS (
+         |  SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS k,
+         |    sum(CASE WHEN is_eval THEN 0 ELSE 1 END) AS nt,
+         |    sum(CASE WHEN is_eval THEN 1 ELSE 0 END) AS ne
+         |  FROM sp GROUP BY 1
+         |), exagg AS (
+         |  SELECT CAST(coalesce(sum(nt * ne), 0) AS BIGINT)
+         |      AS exact_cross_pairs,
+         |    CAST(coalesce(sum(CASE WHEN nt > 0 THEN ne ELSE 0 END), 0)
+         |      AS BIGINT) AS eval_docs_exact_leaked
+         |  FROM ex
+         |), toks AS (
+         |  SELECT doc_id, unnest(CASE WHEN length(trim(text, $ws)) = 0
+         |      THEN []::VARCHAR[]
+         |      ELSE regexp_split_to_array(trim(text, $ws), '\\s+') END) AS w
+         |  FROM sp
+         |), h AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(w), 1, 8))::UBIGINT::BIGINT AS h1,
+         |    ('0x' || substr(md5(w), 9, 8))::UBIGINT::BIGINT AS h2
+         |  FROM toks
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS n, $sums1, $sums2
+         |  FROM h GROUP BY 1
+         |), sig AS MATERIALIZED (
+         |  SELECT doc_id, $lo AS lo, $hi AS hi FROM agg
+         |), np AS (
+         |  SELECT CASE WHEN sa.is_eval THEN a.doc_id ELSE b.doc_id END
+         |      AS eval_doc
+         |  FROM sig a
+         |  JOIN sig b ON a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+         |  JOIN sp sa ON sa.doc_id = a.doc_id
+         |  JOIN sp sb ON sb.doc_id = b.doc_id
+         |  WHERE sa.is_eval <> sb.is_eval
+         |), nagg AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS near_cross_pairs,
+         |    CAST(count(DISTINCT eval_doc) AS BIGINT)
+         |      AS eval_docs_near_leaked
+         |  FROM np
+         |)
+         |SELECT CAST(s.n_train AS BIGINT) AS n_train,
+         |  CAST(s.n_eval AS BIGINT) AS n_eval,
+         |  e.exact_cross_pairs, e.eval_docs_exact_leaked,
+         |  n.near_cross_pairs, n.eval_docs_near_leaked
+         |FROM sizes s, exagg e, nagg n""".stripMargin
+    },
+
+    // the q225 scalar-unnest int8 replay with every vector as corpus
+    // and the 1-in-7 id sample as queries; row_number 5-NN, label
+    // joins, the identical majority predicate
+    "q306_knn_label_agreement" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  WHERE label IS NOT NULL AND embedding IS NOT NULL
+        |), el AS (
+        |  SELECT vec_id, d AS dim, CAST(embedding[d] AS DOUBLE) AS x
+        |  FROM base CROSS JOIN generate_series(1, 64) AS g(d)
+        |), sc AS (
+        |  SELECT vec_id, max(abs(x)) AS scale FROM el GROUP BY 1
+        |), qv AS (
+        |  SELECT el.vec_id, el.dim,
+        |    CASE WHEN sc.scale = 0 THEN 0
+        |         ELSE CAST(floor(x / sc.scale * 127.0 + 0.5) AS BIGINT)
+        |    END AS q
+        |  FROM el JOIN sc USING (vec_id)
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    sum((q.q - c.q) * (q.q - c.q)) AS df
+        |  FROM qv q JOIN qv c ON q.dim = c.dim
+        |  WHERE q.vec_id % 7 = 0 AND q.vec_id <> c.vec_id
+        |  GROUP BY 1, 2
+        |), top AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY df, neighbor_id) AS rn
+        |    FROM scored) WHERE rn <= 5
+        |), per AS (
+        |  SELECT t.query_id, ql.label AS qlab,
+        |    sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS same
+        |  FROM top t
+        |  JOIN base ql ON ql.vec_id = t.query_id
+        |  JOIN base nl ON nl.vec_id = t.neighbor_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT qlab AS label, count(*) AS n_queries,
+        |  CAST(sum(CASE WHEN same * 2 > 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_majority_same,
+        |  CAST((sum(CASE WHEN same * 2 > 5 THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS agreement_ppm
+        |FROM per GROUP BY 1""".stripMargin,
 
     // row_number twins of both rank-cover passes; the identical
     // integer flag comparison — no division or float anywhere

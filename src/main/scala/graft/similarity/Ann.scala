@@ -318,10 +318,10 @@ object Ann {
       .select(col(qId).as("query_id"), col("qvec").as("__q")))
     val cc = quantizeInt8(corpus, cId, cVec)
       .select(col(cId).as("neighbor_id"), col("qvec").as("__c"))
+    // codegen'd integer L2 — exact-value-identical to the former
+    // zip_with+aggregate composition, one fused primitive loop
     def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b,
-        (x, y) => (x.cast(LongType) - y) * (x.cast(LongType) - y)),
-        lit(0L), (acc, x) => acc + x)
+      graft.expressions.SimilarityExpressions.int_sq_dist(a, b)
     val scored = qc.crossJoin(cc)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("__dp", sqDist(slice(col("__q"), 1, prefixDims),
@@ -344,6 +344,58 @@ object Ann {
       // parts-per-million BIGINT — no float column leaves this
       // operator, so the gate surface is version-proof by construction
       .withColumn("recall_ppm", expr("n_hits * 1000000 div k_full"))
+  }
+
+  /** kNN label-agreement audit — the confident-learning-style label
+    * NOISE screen: for a deterministic sample of query vectors, do
+    * the k nearest neighbors (exact integer L2 on the
+    * [[quantizeInt8]] code space, ties (distance, id)) share the
+    * query's label? A label whose vectors' neighborhoods disagree is
+    * either noisy or genuinely entangled — either way it needs eyes
+    * before training on it. Integer-only report per label: sampled
+    * query count, majority-agreement count (> k/2 of the k neighbors
+    * share the label), truncating ppm.
+    *
+    * Scale shape: queries are a hash-disjoint SAMPLE (`sampleMod`,
+    * the audit's design — a screen, not a full pass) broadcast
+    * against one corpus scan; bounded-heap top-k; label join on
+    * model-sized frames. The full-corpus variant is the IVF path.
+    */
+  def knnLabelAgreement(df: DataFrame, idCol: String, vecCol: String,
+                        labelCol: String, k: Int = 5,
+                        sampleMod: Int = 7): DataFrame = {
+    require(k >= 1 && sampleMod >= 1, "k and sampleMod must be positive")
+    val base = df.filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+    val codes = quantizeInt8(base, idCol, vecCol)
+      .join(base.select(col(idCol), col(labelCol).as("__lab")), idCol)
+    val q = broadcast(codes.filter(col(idCol) % sampleMod === 0)
+      .select(col(idCol).as("query_id"), col("qvec").as("__q"),
+        col("__lab").as("__qlab")))
+    val c = codes.select(col(idCol).as("neighbor_id"),
+      col("qvec").as("__c"), col("__lab").as("__nlab"))
+    // codegen'd integer L2 (IntSqDist) — the all-pairs hot loop; the
+    // zip_with+aggregate form pays an interpreted lambda per DIMENSION
+    // of every pair (measured 2x the query wall-clock at sf0.1)
+    val dist = graft.expressions.SimilarityExpressions
+      .int_sq_dist(col("__q"), col("__c"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (-dist).cast(DoubleType).as("score"))
+    val idType = df.schema(idCol).dataType
+    val perQuery = finishTopK(scored, idType, k)
+      .join(codes.select(col(idCol).as("neighbor_id"),
+        col("__lab").as("__nlab")), "neighbor_id")
+      .join(q.select(col("query_id"), col("__qlab")), "query_id")
+      .groupBy(col("query_id"), col("__qlab"))
+      .agg(sum(when(col("__nlab") === col("__qlab"), 1L).otherwise(0L))
+        .as("__same"))
+    perQuery.groupBy(col("__qlab").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("__same") * 2 > k, 1L).otherwise(0L))
+          .as("n_majority_same"))
+      .withColumn("agreement_ppm",
+        expr("n_majority_same * 1000000 div n_queries"))
   }
 
   /** Per-dimension embedding health profile — the "dead or exploding
@@ -787,10 +839,10 @@ object Ann {
       .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"kCenterSelect requires a numeric id column, got " +
         s"${corpus.schema(idCol).dataType}")
+    // codegen'd integer L2 — exact-value-identical to the former
+    // zip_with+aggregate composition, one fused primitive loop
     def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b,
-        (x, y) => (x.cast(LongType) - y) * (x.cast(LongType) - y)),
-        lit(0L), (acc, x) => acc + x)
+      graft.expressions.SimilarityExpressions.int_sq_dist(a, b)
     val codes = quantizeInt8(corpus, idCol, vecCol)
       .select(col(idCol).as("__id"), col("qvec").as("__v"))
       .localCheckpoint()

@@ -78,6 +78,49 @@ class AnnSpec extends SparkSpec {
     assert(r2.getAs[Long]("recall_ppm") === 500000L)
   }
 
+  test("int_sq_dist: exact-value parity with the zip_with/aggregate " +
+    "composition, NULL on length mismatch and NULL inputs") {
+    import graft.expressions.SimilarityExpressions.int_sq_dist
+    val df = Seq(
+      (Seq(1, 2, 3), Seq(1, 2, 3)),
+      (Seq(-128, 127, 0), Seq(127, -128, 5)),
+      (Seq(0, 0), Seq(1000000, -1000000))).toDF("a", "b")
+    val both = df.select(int_sq_dist(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => (x.cast("long") - y) * (x.cast("long") - y)),
+        lit(0L), (acc, x) => acc + x).as("slow")).collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    assert(both(1).getLong(0) === 2L * 255L * 255L + 25L)
+    val edge = Seq((Seq(1, 2), Seq(1, 2, 3))).toDF("a", "b")
+      .select(int_sq_dist(col("a"), col("b")).as("d"))
+      .union(Seq((Seq(1), Seq(1))).toDF("a", "b")
+        .select(int_sq_dist(lit(null).cast("array<int>"), col("b")).as("d")))
+      .collect()
+    assert(edge.forall(_.isNullAt(0)), "mismatch/NULL must yield NULL")
+  }
+
+  test("knnLabelAgreement: clean clusters agree, a planted wrong-label " +
+    "vector is the disagreement") {
+    // two tight clusters: label 1 near (1,0), label 2 near (0,1);
+    // vec 14 sits IN cluster 1 but carries label 2 -> its 3-NN are all
+    // label 1 -> not majority-same; every clean sampled vec agrees.
+    // sampleMod = 1 samples every vector.
+    val df = Seq(
+      (0L, Seq(1.00f, 0.01f), 1), (7L, Seq(0.99f, 0.02f), 1),
+      (1L, Seq(0.98f, 0.00f), 1), (2L, Seq(0.97f, 0.03f), 1),
+      (3L, Seq(0.02f, 1.00f), 2), (4L, Seq(0.01f, 0.99f), 2),
+      (5L, Seq(0.03f, 0.98f), 2), (6L, Seq(0.00f, 0.97f), 2),
+      (14L, Seq(0.96f, 0.02f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Ann.knnLabelAgreement(df, "vec_id", "embedding", "label",
+      k = 3, sampleMod = 1)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[Long]("agreement_ppm"))).toMap
+    assert(out(1) === ((4L, 4L, 1000000L)))
+    // label 2: 5 sampled, the planted 14 disagrees -> 4/5 = 800000 ppm
+    assert(out(2) === ((5L, 4L, 800000L)))
+  }
+
   test("dimProfile: exact integer lattice moments per coordinate, " +
     "zero counting, and min/max on the e6 lattice") {
     val df = vecs(
