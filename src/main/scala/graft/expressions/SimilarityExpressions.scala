@@ -94,12 +94,13 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
-/** Integer squared L2 distance of two int-array code vectors (the
-  * [[graft.similarity.Ann.quantizeInt8]] space): Σ (aᵢ − bᵢ)² as a
-  * LONG — exact for any |code| ≤ 2³¹ per element and vector lengths
-  * to ~2⁶⁰ total. NULL if either side is NULL or the lengths differ.
-  * The zip_with+aggregate composition this replaces evaluates an
-  * interpreted lambda per ELEMENT — ruinous inside all-pairs kNN
+/** Integer squared L2 distance of two integral-array code vectors
+  * (byte / short / int / long elements — the
+  * [[graft.similarity.Ann.quantizeInt8]], SQ8, and k-means centroid
+  * spaces): Σ (aᵢ − bᵢ)² as a LONG, exact while codes stay within
+  * ±2³¹ per element. NULL if either side is NULL or the lengths
+  * differ. The zip_with+aggregate composition this replaces evaluates
+  * an interpreted lambda per ELEMENT — ruinous inside all-pairs kNN
   * joins (pairs × dims lambda calls); this is one fused primitive
   * loop inside whole-stage codegen.
   */
@@ -110,32 +111,46 @@ case class IntSqDist(left: Expression, right: Expression) extends BinaryExpressi
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
-      case ArrayType(IntegerType, _) => true
-      case _                         => false
+      case ArrayType(ByteType | ShortType | IntegerType | LongType, _) => true
+      case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"int_sq_dist expects array<int>, got ${left.dataType} / ${right.dataType}")
+        s"int_sq_dist expects integral arrays, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def getter(e: Expression): String = e.dataType match {
+    case ArrayType(ByteType, _)    => "getByte"
+    case ArrayType(ShortType, _)   => "getShort"
+    case ArrayType(IntegerType, _) => "getInt"
+    case _                         => "getLong"
   }
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     if (a.numElements() != b.numElements()) return null
+    def at(x: ArrayData, e: Expression, i: Int): Long = e.dataType match {
+      case ArrayType(ByteType, _)    => x.getByte(i).toLong
+      case ArrayType(ShortType, _)   => x.getShort(i).toLong
+      case ArrayType(IntegerType, _) => x.getInt(i).toLong
+      case _                         => x.getLong(i)
+    }
     val n = a.numElements()
     var s = 0L
     var i = 0
     while (i < n) {
-      val d = a.getInt(i).toLong - b.getInt(i).toLong
+      val d = at(a, left, i) - at(b, right, i)
       s += d * d
       i += 1
     }
     s
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (lGet, rGet) = (getter(left), getter(right))
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val s = ctx.freshName("s"); val d = ctx.freshName("d")
@@ -146,13 +161,14 @@ case class IntSqDist(left: Expression, right: Expression) extends BinaryExpressi
          |  int $n = $a.numElements();
          |  long $s = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    long $d = (long) $a.getInt($i) - (long) $b.getInt($i);
+         |    long $d = (long) $a.$lGet($i) - (long) $b.$rGet($i);
          |    $s += $d * $d;
          |  }
          |  ${ev.value} = $s;
          |}
          |""".stripMargin
     })
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): IntSqDist =
     copy(left = l, right = r)

@@ -478,10 +478,8 @@ object Ann {
     val probeStructs = array_sort(array(
       model.centroids.zipWithIndex.map { case (c, j) =>
         struct(
-          aggregate(
-            zip_with(col("qvec"), typedLit(c.toSeq),
-              (a, b) => (a.cast("long") - b) * (a.cast("long") - b)),
-            lit(0L), (acc, x) => acc + x).as("d"),
+          graft.expressions.SimilarityExpressions.int_sq_dist(
+            col("qvec"), typedLit(c.toSeq)).as("d"),
           lit(j).as("cell"))
       }: _*))
     val probes = broadcast(qCodes
@@ -731,10 +729,10 @@ object Ann {
     val qCodes = broadcast(queries.select(col(qId).as("query_id"),
       encode(col(qVec)).as("__qcode"),
       col(qVec).as("__qv")))
-    val codeDist = aggregate(
-      zip_with(col("__qcode"), col("__code"),
-        (a, b) => (a.cast(LongType) - b) * (a.cast(LongType) - b)),
-      lit(0L), (acc, x) => acc + x)
+    // codegen'd integer L2 over the byte codes (exact-value-identical
+    // to the zip_with+aggregate composition it replaces)
+    val codeDist = graft.expressions.SimilarityExpressions
+      .int_sq_dist(col("__qcode"), col("__code"))
     val cand = finishTopK(
       qCodes.crossJoin(cCodes)
         .filter(col("query_id") =!= col("neighbor_id"))

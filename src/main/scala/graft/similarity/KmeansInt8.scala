@@ -47,6 +47,15 @@ object KmeansInt8 {
   /** Trained model: `centroids(cell)(dim)`, all exact longs. */
   final case class Model(k: Int, dims: Int, centroids: IndexedSeq[Array[Long]])
 
+  /** Higher-order-function integer L2 against a centroid literal.
+    * Deliberately NOT the codegen'd IntSqDist: the k-means paths
+    * evaluate k (and in PQ, m·k) instances against SLICED sub-vectors
+    * inside one projection, where the inlined codegen loops blow past
+    * the JIT method-size budget and deoptimize the stage (measured:
+    * q189 2.4 → 4.2-4.5 s at sf0.1 under every converted variant).
+    * IntSqDist wins where a projection carries ONE distance per row
+    * (all-pairs kNN scans: q306 6.6 → 0.9 s, q225, q208, q269).
+    */
   private def sqDist(qv: Column, cent: Array[Long]): Column =
     aggregate(
       zip_with(qv, typedLit(cent.toSeq),
