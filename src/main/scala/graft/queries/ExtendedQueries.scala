@@ -364,12 +364,18 @@ object ExtendedQueries {
     // end-to-end entity resolution: part names plus deterministic
     // typo variants (q149's construction) resolve to entity clusters —
     // SymSpell-blocked edit-distance-1 candidate pairs (complete for
-    // lev<=1, the q149 proof) feed the distributed min-label
-    // connected-components fixpoint; output = every entity with its
-    // cluster label (component min id) and cluster size. The oracle
-    // recomputes pairs QUADRATICALLY (length-band prefilter only — a
-    // necessary condition for lev<=1) and closes them with a
-    // recursive-CTE reachability fixpoint
+    // lev<=1, the q149 proof) feed min-label connected components;
+    // output = every entity with its cluster label (component min id)
+    // and cluster size. CLIQUE COLLAPSE (round 12): equal names are a
+    // clique, so the graph contracts to DISTINCT NAMES before CC —
+    // the id-level pair set is the name-pair set times the product of
+    // name multiplicities (measured 5.3M id pairs from 288 name pairs
+    // at sf0.1, 10.8 s -> the name graph is 1.2k nodes) and the
+    // component min-id label recovers exactly as min over the
+    // component's per-name min ids. The oracle recomputes pairs
+    // QUADRATICALLY at the id level and closes them with a
+    // recursive-CTE reachability fixpoint — a collapse bug is a hash
+    // mismatch.
     "q182_entity_clusters" -> ((s, d) => {
       val p = s.read.parquet(s"$d/part.parquet")
         .select(col("p_partkey"), col("p_name"))
@@ -379,16 +385,25 @@ object ExtendedQueries {
           .select((col("p_partkey") + 1000000L).cast("long").as("id"),
             concat(substring(col("p_name"), 1, 2), expr("substring(p_name, 4)"))
               .as("name")))
-      val pairs = graft.operators.FuzzyJoin.editDistanceJoin(
-          ents.select(col("id").as("id_a"), col("name").as("name_a")), "name_a",
-          ents.select(col("id").as("id_b"), col("name").as("name_b")), "name_b")
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-      val labels = graft.pipelines.CorpusPipeline.minLabelComponents(
-        ents.select(col("id").as("node")), pairs)
-      val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-      labels.join(broadcast(sizes), "label")
-        .select(col("node").as("entity_id"), col("label").as("cluster_id"),
+      val names = ents.select("name").distinct()
+      val namePairs = graft.operators.FuzzyJoin.editDistanceJoin(
+          names.select(col("name").as("name_a")), "name_a",
+          names.select(col("name").as("name_b")), "name_b")
+        .filter(col("name_a") < col("name_b"))
+        .select(col("name_a").as("id_a"), col("name_b").as("id_b"))
+      val nameComp = graft.pipelines.CorpusPipeline.minLabelComponents(
+        names.select(col("name").as("node")), namePairs)
+        .select(col("node").as("name"), col("label").as("__nc"))
+      val nameMinId = ents.groupBy("name").agg(min("id").as("__minId"))
+      val compLabel = nameComp.join(nameMinId, "name")
+        .groupBy("__nc").agg(min("__minId").as("cluster_id"))
+      val labeled = ents
+        .join(broadcast(nameComp), "name")
+        .join(broadcast(compLabel), "__nc")
+      val sizes = labeled.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      labeled.join(broadcast(sizes), "cluster_id")
+        .select(col("id").as("entity_id"), col("cluster_id"),
           col("cluster_size"))
     }),
 
