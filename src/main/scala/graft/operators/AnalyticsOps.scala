@@ -2849,6 +2849,12 @@ object AnalyticsOps {
     bucketed
       .withColumn("__cumHi", col("__off") + sum("__w").over(wi))
       .withColumn("__cumLo", col("__cumHi") - col("__c") + 1)
+      // every consumer (totals, rank lookups, kept-span joins) reuses
+      // the SAME rank cover — checkpointed so the histogram + cumsum
+      // run once, not once per consumer (measured: winsorizedMean ran
+      // it 4x). The frame is distinct-(group, value)-sized — the
+      // operator family's working set by construction.
+      .localCheckpoint(true)
   }
 
   /** Trimmed mean: drop the k = n div `trimDenom` smallest and k
@@ -3009,6 +3015,9 @@ object AnalyticsOps {
       Seq(col("__v").asc))
     val cv = withVal
       .withColumn("__cvHi", col("__off") + sum("__w").over(wv))
+      // two consumers (totals + the decile join) — run the value
+      // cumsum once
+      .localCheckpoint(true)
     val totals = cv.groupBy(col(groupCol))
       .agg(max("__cumHi").as("__n"), max("__cvHi").as("__tot"))
     val deciles = totals.select(col(groupCol), col("__n"), col("__tot"),
@@ -3039,6 +3048,8 @@ object AnalyticsOps {
     val cum = bucketed
       .withColumn("__cumHi", col("__off") + sum("__w").over(wi))
       .withColumn("__cumLo", col("__cumHi") - col("__c") + 1)
+      // two consumers (totals + the rank lookup) — run the cumsum once
+      .localCheckpoint(true)
     val tot = cum.groupBy(col(groupCol)).agg(max("__cumHi").as("__n"))
     cum.join(tot, Seq(groupCol))
       .withColumn("__rlo", expr("(__n + 1) div 2"))
