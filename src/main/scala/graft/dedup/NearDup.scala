@@ -652,6 +652,45 @@ object NearDup {
       .distinct()
   }
 
+  /** Directed cross variant of [[hammingPairs64]]: for every PROBE
+    * signature, the STRICTLY-SMALLER-id build signatures within
+    * `maxHamming` — the "is this new document a near-dup of anything
+    * earlier" primitive behind incremental admission. Probe-side
+    * bands drive the equi-join, so a small batch probing a large
+    * admitted state shuffles only batch-band-key matches, never the
+    * state. Output (id_earlier, id_probe, hamming), complete by the
+    * same pigeonhole argument as the self-join form.
+    */
+  def hammingPairsAgainst(probe: DataFrame, build: DataFrame,
+                          idCol: String, sigCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"need 0 <= maxHamming < 64, got $maxHamming")
+    val nBlocks = maxHamming + 1
+    val base = 64 / nBlocks
+    val rem = 64 % nBlocks
+    val widths = Seq.tabulate(nBlocks)(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def blocked(df: DataFrame) = df
+      .select(col(idCol), col(sigCol).as("__sig64"))
+      .select(col(idCol), col("__sig64"), posexplode(
+        array((0 until nBlocks).map { q =>
+          val mask = if (widths(q) == 64) -1L else (1L << widths(q)) - 1
+          shiftright(col("__sig64"), offsets(q)).bitwiseAND(lit(mask))
+        }: _*)))
+      .withColumnsRenamed(Map("pos" -> "q", "col" -> "qkey"))
+    val b = blocked(build).select(col("q"), col("qkey"),
+      col(idCol).as("id_earlier"), col("__sig64").as("__sa"))
+    val p = blocked(probe).select(col("q"), col("qkey"),
+      col(idCol).as("id_probe"), col("__sig64").as("__sb"))
+    b.join(p, Seq("q", "qkey"))
+      .filter(col("id_earlier") < col("id_probe"))
+      .withColumn("hamming", hammingDist(col("__sa"), col("__sb")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_earlier", "id_probe", "hamming")
+      .distinct()
+  }
+
   /** SimHash near-dup pairs — [[hammingPairs64]] over [[withSimhash]]
     * signatures.
     */

@@ -1603,6 +1603,31 @@ object ExtendedQueries {
       } finally docs.unpersist(blocking = false)
     }),
 
+    // incremental crawl-novelty admission: the md5-SimHash signature
+    // stream arrives in three id-ordered batches through
+    // simhashDedupBatch's state; a doc is novel iff NOTHING with a
+    // smaller id sits within hamming 3 (the order-free any-earlier
+    // rule — replayable by an independent engine from the signature
+    // table alone, and the verdict surface itself is the gate)
+    "q307_incremental_simhash_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mx = docs.agg(max("doc_id")).head().getLong(0)
+      val dir = java.nio.file.Files
+        .createTempDirectory("q307sig").toString + "/state"
+      val cuts = Seq(
+        col("doc_id") <= mx / 3,
+        col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3,
+        col("doc_id") > 2 * mx / 3)
+      cuts.zipWithIndex.foreach { case (p, b) =>
+        graft.streaming.StreamingOps.simhashDedupBatch(
+          docs.filter(p), b.toLong, "doc_id", "text", dir, maxHamming = 3)
+      }
+      graft.streaming.StreamingOps.noveltyFromSimhashState(s, dir)
+        .select(col("doc_id"),
+          when(col("is_novel"), 1).otherwise(0).cast(IntegerType)
+            .as("is_novel"))
+    }),
+
     // kNN label-agreement audit over the embeddings' label column:
     // exact int8-lattice 5-NN on a deterministic 1-in-7 query sample,
     // majority-share-the-label counts per label — the label-noise
@@ -5619,6 +5644,48 @@ object ExtendedQueries {
          |  e.exact_cross_pairs, e.eval_docs_exact_leaked,
          |  n.near_cross_pairs, n.eval_docs_near_leaked
          |FROM sizes s, exagg e, nagg n""".stripMargin
+    },
+
+    // the q289 signature replay + the any-earlier dup rule: a doc is
+    // novel iff no smaller-id doc sits within hamming 3 — batching is
+    // invisible to the rule, so the oracle replays it globally
+    "q307_incremental_simhash_novelty" -> {
+      val sums1 = (0 until 32)
+        .map(b => s"sum((h1 >> $b) & 1) AS b$b").mkString(", ")
+      val sums2 = (32 until 64)
+        .map(b => s"sum((h2 >> ${b - 32}) & 1) AS b$b").mkString(", ")
+      val lo = (0 until 32)
+        .map(b => s"CASE WHEN 2 * b$b > n THEN (1::BIGINT << $b) ELSE 0 END")
+        .mkString(" + ")
+      val hi = (32 until 64)
+        .map(b =>
+          s"CASE WHEN 2 * b$b > n THEN (1::BIGINT << ${b - 32}) ELSE 0 END")
+        .mkString(" + ")
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(CASE WHEN length(trim(text, $ws)) = 0
+         |      THEN []::VARCHAR[]
+         |      ELSE regexp_split_to_array(trim(text, $ws), '\\s+') END) AS w
+         |  FROM documents WHERE text IS NOT NULL
+         |), h AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(w), 1, 8))::UBIGINT::BIGINT AS h1,
+         |    ('0x' || substr(md5(w), 9, 8))::UBIGINT::BIGINT AS h2
+         |  FROM toks
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS n, $sums1, $sums2
+         |  FROM h GROUP BY 1
+         |), sig AS MATERIALIZED (
+         |  SELECT doc_id, $lo AS lo, $hi AS hi FROM agg
+         |), dup AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+         |)
+         |SELECT s.doc_id,
+         |  CAST(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
+         |    AS is_novel
+         |FROM sig s LEFT JOIN dup d USING (doc_id)""".stripMargin
     },
 
     // the q225 scalar-unnest int8 replay with every vector as corpus

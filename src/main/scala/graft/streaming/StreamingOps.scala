@@ -1002,6 +1002,58 @@ object StreamingOps {
                              distPath: String): DataFrame =
     spark.read.parquet(distPath).select("node", "dist")
 
+  /** Incremental SimHash near-dup ADMISSION — the crawl-novelty
+    * filter run as documents arrive: a document is NOVEL iff no
+    * document with a SMALLER id (across every batch ever admitted,
+    * id = global arrival order) sits within `maxHamming` of its
+    * portable md5-SimHash signature. The any-earlier rule (not
+    * greedy keep-first) is deliberate: it has no sequential
+    * dependency, so an independent engine replays every verdict from
+    * the full signature table, and a replayed batch recomputes the
+    * identical verdicts against state that may already contain LATER
+    * batches (the earlier-id filter ignores them) — replay is a
+    * no-op by construction. Slightly more aggressive than greedy
+    * keep-first on chains (B near A dropped, C near B but not A is
+    * ALSO dropped here); that is the documented contract.
+    *
+    * Scale shape: signatures are one fused map-only expression per
+    * doc; the batch probes state ∪ self through pigeonhole band keys
+    * ([[graft.dedup.NearDup.hammingPairsAgainst]]) — only batch-band
+    * matches shuffle, never the state; verdicts land as one
+    * partition per batch (overwrite = idempotent retry).
+    */
+  def simhashDedupBatch(batch: DataFrame, batchId: Long, idCol: String,
+                        textCol: String, statePath: String,
+                        maxHamming: Int = 3): Unit = {
+    val spark = batch.sparkSession
+    val sigs = graft.dedup.NearDup.md5SimhashSigs(batch, idCol, textCol)
+      .select(col(idCol).as("doc_id"), col("simhash"))
+      .localCheckpoint(true)
+    val master = new HPath(statePath)
+    val fs = master.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior =
+      if (fs.exists(master) && fs.listStatus(master).nonEmpty)
+        spark.read.parquet(statePath).select("doc_id", "simhash")
+      else sigs.limit(0)
+    val all = prior.unionByName(sigs).groupBy("doc_id")
+      .agg(min("simhash").as("simhash")) // replay overlap collapses
+    val dupIds = graft.dedup.NearDup.hammingPairsAgainst(
+        sigs, all, "doc_id", "simhash", maxHamming)
+      .select(col("id_probe").as("doc_id")).distinct()
+      .withColumn("__dup", lit(true))
+    sigs.join(dupIds, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"),
+        coalesce(!col("__dup"), lit(true)).as("is_novel"))
+      .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+  }
+
+  /** The verdict table [[simhashDedupBatch]] maintains:
+    * (doc_id, is_novel) for every signature-bearing document.
+    */
+  def noveltyFromSimhashState(spark: SparkSession,
+                              statePath: String): DataFrame =
+    spark.read.parquet(statePath).select("doc_id", "is_novel")
+
   /** Incremental sibling of
     * [[graft.operators.AnalyticsOps.itemSimilarity]]: feedback
     * micro-batches append their deduped (user, item) incidence as

@@ -727,6 +727,42 @@ class StreamingSpec extends SparkSpec {
     assert(dists() === expected)
   }
 
+  test("simhashDedupBatch: incremental verdicts equal the global " +
+    "any-earlier rule, replay (even after later batches) is a no-op") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "totally different words entirely here"),
+      (3L, "alpha beta gamma delta epsilon"), // dup of 1
+      (4L, "alpha beta gamma delta epsilon"), // dup of 1/3
+      (5L, "another unique document body text"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("shdedup").toString + "/state"
+    def verdicts() = graft.streaming.StreamingOps
+      .noveltyFromSimhashState(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    def run(b: Long, ids: Long*) =
+      graft.streaming.StreamingOps.simhashDedupBatch(
+        docs.filter(col("doc_id").isin(ids: _*)), b, "doc_id", "text",
+        dir, maxHamming = 3)
+    run(0L, 1L, 2L)
+    run(1L, 3L, 5L)
+    run(2L, 4L)
+    val expected = Map(1L -> true, 2L -> true, 3L -> false,
+      4L -> false, 5L -> true)
+    assert(verdicts() === expected)
+    // cross-check against the batch pair surface's any-earlier rule
+    val dupByPairs = graft.dedup.NearDup.md5SimhashPairs(
+        docs, "doc_id", "text", maxHamming = 3)
+      .select("id_b").distinct().collect().map(_.getLong(0)).toSet
+    assert(expected.filterNot(_._2).keySet === dupByPairs)
+    // replay batch 1 AFTER batch 2 landed: the earlier-id filter
+    // ignores the later state rows, verdicts are unchanged
+    run(1L, 3L, 5L)
+    assert(verdicts() === expected)
+  }
+
   test("cfBatch/cfFromState: the incremental item-similarity model " +
     "equals the batch model row-for-row, cross-batch duplicate " +
     "feedback does not inflate cosines, retry is a no-op") {
