@@ -373,4 +373,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("windowspecdefinition"),
       s"neighbour ranking must ride the bounded heap, not a window:\n$p")
   }
+
+  test("q182 entity clusters: candidate pairs equi-join on deletion " +
+    "keys (never cartesian) and the id-level label/size joins are " +
+    "broadcast — the clique-collapse contract") {
+    val p = plan("q182_entity_clusters")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"SymSpell candidates must equi-join on the deletion key:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"name-component and size maps must broadcast back to ids:\n$p")
+  }
+
+  test("q306 kNN label agreement: query sample broadcast, corpus " +
+    "scanned once; ranking is the bounded heap (no window over the " +
+    "pair frame)") {
+    val p = plan("q306_knn_label_agreement")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"sampled queries must broadcast against the corpus scan:\n$p")
+    assert(!p.toLowerCase.contains("windowspecdefinition"),
+      s"5-NN must ride the bounded heap, not a window:\n$p")
+  }
 }
