@@ -1628,6 +1628,59 @@ object ExtendedQueries {
             .as("is_novel"))
     }),
 
+    // dedup-aware token budget: what a per-source token count is
+    // WORTH after exact dedup — raw whitespace-token volume vs the
+    // volume surviving q80-digest keep-first (min doc_id keeps), and
+    // the overhead ppm a trainer would waste without the dedup pass
+    "q308_dedup_token_budget" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("source").isNotNull && col("text").isNotNull)
+        .select(col("source"), col("doc_id"),
+          md5(graft.text.TextOps.normalizeText(col("text"))).as("__k"),
+          graft.text.TextOps.tokenCount(col("text")).cast(LongType)
+            .as("__tc"))
+      val keepers = docs.groupBy("__k").agg(min("doc_id").as("doc_id"))
+      docs.join(keepers.withColumn("__keep", lit(1L)),
+          Seq("__k", "doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("__keep"), lit(0L))).as("n_unique_docs"),
+          sum(col("__tc")).as("raw_tokens"),
+          sum(when(col("__keep").isNotNull, col("__tc")).otherwise(0L))
+            .as("unique_tokens"))
+        .withColumn("dup_overhead_ppm", expr(
+          "CASE WHEN raw_tokens > 0 THEN (raw_tokens - unique_tokens) * 1000000 div raw_tokens ELSE 0 END"))
+    }),
+
+    // contamination-SAFE split assignment — the fix q305's screen
+    // calls for: the md5 90/10 split, with train docs sitting within
+    // hamming 3 of ANY eval doc QUARANTINED (kept out of training
+    // without touching eval); row-level verdicts are the gate
+    "q309_decontaminated_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        .withColumn("__isEval",
+          graft.operators.SplitOps.hashBucket(concat(
+            col("doc_id").cast(StringType), lit("|split"))) % 10 === 9)
+      val sigs = graft.dedup.NearDup.md5SimhashSigs(docs, "doc_id", "text")
+      val pairs = graft.dedup.NearDup.hammingPairs64(
+        sigs, "doc_id", "simhash", maxHamming = 3)
+      val flags = docs.select(col("doc_id"), col("__isEval"))
+      val crossTrain = pairs
+        .join(flags.select(col("doc_id").as("id_a"),
+          col("__isEval").as("__ea")), "id_a")
+        .join(flags.select(col("doc_id").as("id_b"),
+          col("__isEval").as("__eb")), "id_b")
+        .filter(col("__ea") =!= col("__eb"))
+        .select(when(col("__ea"), col("id_b")).otherwise(col("id_a"))
+          .as("doc_id"))
+        .distinct().withColumn("__q", lit(1))
+      docs.join(crossTrain, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("__isEval"), "eval")
+            .when(col("__q").isNotNull, "quarantined")
+            .otherwise("train").as("split"))
+    }),
+
     // kNN label-agreement audit over the embeddings' label column:
     // exact int8-lattice 5-NN on a deterministic 1-in-7 query sample,
     // majority-share-the-label counts per label — the label-noise
@@ -5686,6 +5739,87 @@ object ExtendedQueries {
          |  CAST(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
          |    AS is_novel
          |FROM sig s LEFT JOIN dup d USING (doc_id)""".stripMargin
+    },
+
+    // q80 digest keep-first + trim-set token counts, integer-ppm
+    // overhead closing
+    "q308_dedup_token_budget" -> {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      s"""WITH d AS (
+         |  SELECT source, doc_id,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS k,
+         |    CASE WHEN length(trim(text, $ws)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text, $ws), '\\s+'))
+         |    END AS tc
+         |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+         |), keep AS (
+         |  SELECT k, min(doc_id) AS doc_id FROM d GROUP BY 1
+         |)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN kp.k IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_unique_docs,
+         |  CAST(sum(d.tc) AS BIGINT) AS raw_tokens,
+         |  CAST(sum(CASE WHEN kp.k IS NOT NULL THEN d.tc ELSE 0 END)
+         |    AS BIGINT) AS unique_tokens,
+         |  CAST(CASE WHEN sum(d.tc) > 0 THEN
+         |      ((sum(d.tc) - sum(CASE WHEN kp.k IS NOT NULL THEN d.tc
+         |        ELSE 0 END)) * 1000000) // sum(d.tc)
+         |    ELSE 0 END AS BIGINT) AS dup_overhead_ppm
+         |FROM d LEFT JOIN keep kp ON kp.k = d.k AND kp.doc_id = d.doc_id
+         |GROUP BY 1""".stripMargin
+    },
+
+    // the q289 signature replay + the md5 split; quarantined = the
+    // TRAIN side of any split-crossing hamming<=3 pair
+    "q309_decontaminated_split" -> {
+      val sums1 = (0 until 32)
+        .map(b => s"sum((h1 >> $b) & 1) AS b$b").mkString(", ")
+      val sums2 = (32 until 64)
+        .map(b => s"sum((h2 >> ${b - 32}) & 1) AS b$b").mkString(", ")
+      val lo = (0 until 32)
+        .map(b => s"CASE WHEN 2 * b$b > n THEN (1::BIGINT << $b) ELSE 0 END")
+        .mkString(" + ")
+      val hi = (32 until 64)
+        .map(b =>
+          s"CASE WHEN 2 * b$b > n THEN (1::BIGINT << ${b - 32}) ELSE 0 END")
+        .mkString(" + ")
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      s"""WITH sp AS MATERIALIZED (
+         |  SELECT doc_id, text,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'),
+         |      1, 8))::UBIGINT % 10 = 9 AS is_eval
+         |  FROM documents WHERE text IS NOT NULL
+         |), toks AS (
+         |  SELECT doc_id, unnest(CASE WHEN length(trim(text, $ws)) = 0
+         |      THEN []::VARCHAR[]
+         |      ELSE regexp_split_to_array(trim(text, $ws), '\\s+') END) AS w
+         |  FROM sp
+         |), h AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(w), 1, 8))::UBIGINT::BIGINT AS h1,
+         |    ('0x' || substr(md5(w), 9, 8))::UBIGINT::BIGINT AS h2
+         |  FROM toks
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS n, $sums1, $sums2
+         |  FROM h GROUP BY 1
+         |), sig AS MATERIALIZED (
+         |  SELECT doc_id, $lo AS lo, $hi AS hi FROM agg
+         |), xc AS (
+         |  SELECT DISTINCT CASE WHEN sa.is_eval THEN b.doc_id
+         |    ELSE a.doc_id END AS doc_id
+         |  FROM sig a
+         |  JOIN sig b ON a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+         |  JOIN sp sa ON sa.doc_id = a.doc_id
+         |  JOIN sp sb ON sb.doc_id = b.doc_id
+         |  WHERE sa.is_eval <> sb.is_eval
+         |)
+         |SELECT sp.doc_id,
+         |  CASE WHEN sp.is_eval THEN 'eval'
+         |       WHEN c.doc_id IS NOT NULL THEN 'quarantined'
+         |       ELSE 'train' END AS split
+         |FROM sp LEFT JOIN xc c USING (doc_id)""".stripMargin
     },
 
     // the q225 scalar-unnest int8 replay with every vector as corpus
