@@ -763,6 +763,36 @@ class StreamingSpec extends SparkSpec {
     assert(verdicts() === expected)
   }
 
+  test("q309 decontaminated split: eval never quarantined, every " +
+    "quarantined doc has a split-crossing near-dup partner, pairless " +
+    "train docs stay train") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q309_decontaminated_split")(
+      spark, sf("sf0.001"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.nonEmpty)
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+      .filter(col("text").isNotNull)
+    val sigs = graft.dedup.NearDup.md5SimhashSigs(docs, "doc_id", "text")
+    val pairs = graft.dedup.NearDup.hammingPairs64(
+        sigs, "doc_id", "simhash", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    // structural invariants of the assignment
+    out.foreach { case (id, split) =>
+      if (split == "quarantined") {
+        assert(pairs.exists { case (a, b) =>
+          (a == id && out(b) == "eval") || (b == id && out(a) == "eval")
+        }, s"quarantined $id has no eval near-dup partner")
+      }
+      if (!paired.contains(id))
+        assert(split != "quarantined",
+          s"pairless doc $id must keep its hash split")
+    }
+    assert(out.values.toSet.subsetOf(Set("train", "eval", "quarantined")))
+    assert(out.values.count(_ == "eval") > 0)
+  }
+
   test("cfBatch/cfFromState: the incremental item-similarity model " +
     "equals the batch model row-for-row, cross-batch duplicate " +
     "feedback does not inflate cosines, retry is a no-op") {
