@@ -1681,6 +1681,30 @@ object ExtendedQueries {
             .otherwise("train").as("split"))
     }),
 
+    // split distance audit closing the q305/q309 family: the hamming
+    // DISTRIBUTION (0..7) of split-crossing signature pairs — how
+    // close the eval set really sits to training data, not just
+    // whether anything crosses the <=3 line; integer histogram rows
+    "q310_split_distance_histogram" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        .withColumn("__isEval",
+          graft.operators.SplitOps.hashBucket(concat(
+            col("doc_id").cast(StringType), lit("|split"))) % 10 === 9)
+      val sigs = graft.dedup.NearDup.md5SimhashSigs(docs, "doc_id", "text")
+      val flags = docs.select(col("doc_id"), col("__isEval"))
+      graft.dedup.NearDup.hammingPairs64(
+          sigs, "doc_id", "simhash", maxHamming = 7)
+        .join(flags.select(col("doc_id").as("id_a"),
+          col("__isEval").as("__ea")), "id_a")
+        .join(flags.select(col("doc_id").as("id_b"),
+          col("__isEval").as("__eb")), "id_b")
+        .filter(col("__ea") =!= col("__eb"))
+        .groupBy(col("hamming").cast(IntegerType).as("hamming"))
+        .agg(count(lit(1)).as("n_cross_pairs"),
+          countDistinct(when(col("__ea"), col("id_a"))
+            .otherwise(col("id_b"))).as("n_eval_docs"))
+    }),
+
     // kNN label-agreement audit over the embeddings' label column:
     // exact int8-lattice 5-NN on a deterministic 1-in-7 query sample,
     // majority-share-the-label counts per label — the label-noise
@@ -5820,6 +5844,58 @@ object ExtendedQueries {
          |       WHEN c.doc_id IS NOT NULL THEN 'quarantined'
          |       ELSE 'train' END AS split
          |FROM sp LEFT JOIN xc c USING (doc_id)""".stripMargin
+    },
+
+    // the signature replay with the exact quadratic hamming at <=7,
+    // split-crossing filter, integer histogram
+    "q310_split_distance_histogram" -> {
+      val sums1 = (0 until 32)
+        .map(b => s"sum((h1 >> $b) & 1) AS b$b").mkString(", ")
+      val sums2 = (32 until 64)
+        .map(b => s"sum((h2 >> ${b - 32}) & 1) AS b$b").mkString(", ")
+      val lo = (0 until 32)
+        .map(b => s"CASE WHEN 2 * b$b > n THEN (1::BIGINT << $b) ELSE 0 END")
+        .mkString(" + ")
+      val hi = (32 until 64)
+        .map(b =>
+          s"CASE WHEN 2 * b$b > n THEN (1::BIGINT << ${b - 32}) ELSE 0 END")
+        .mkString(" + ")
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      s"""WITH sp AS MATERIALIZED (
+         |  SELECT doc_id, text,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'),
+         |      1, 8))::UBIGINT % 10 = 9 AS is_eval
+         |  FROM documents WHERE text IS NOT NULL
+         |), toks AS (
+         |  SELECT doc_id, unnest(CASE WHEN length(trim(text, $ws)) = 0
+         |      THEN []::VARCHAR[]
+         |      ELSE regexp_split_to_array(trim(text, $ws), '\\s+') END) AS w
+         |  FROM sp
+         |), h AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(w), 1, 8))::UBIGINT::BIGINT AS h1,
+         |    ('0x' || substr(md5(w), 9, 8))::UBIGINT::BIGINT AS h2
+         |  FROM toks
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS n, $sums1, $sums2
+         |  FROM h GROUP BY 1
+         |), sig AS MATERIALIZED (
+         |  SELECT doc_id, $lo AS lo, $hi AS hi FROM agg
+         |), cp AS (
+         |  SELECT CAST(bit_count(xor(a.lo, b.lo))
+         |      + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming,
+         |    CASE WHEN sa.is_eval THEN a.doc_id ELSE b.doc_id END
+         |      AS eval_doc
+         |  FROM sig a
+         |  JOIN sig b ON a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 7
+         |  JOIN sp sa ON sa.doc_id = a.doc_id
+         |  JOIN sp sb ON sb.doc_id = b.doc_id
+         |  WHERE sa.is_eval <> sb.is_eval
+         |)
+         |SELECT hamming, count(*) AS n_cross_pairs,
+         |  CAST(count(DISTINCT eval_doc) AS BIGINT) AS n_eval_docs
+         |FROM cp GROUP BY 1""".stripMargin
     },
 
     // the q225 scalar-unnest int8 replay with every vector as corpus
