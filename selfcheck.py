@@ -3,10 +3,34 @@
 outDir/<name> parquet (Spark output), run the matching oracle SQL in
 DuckDB over the sf tables, and compare as unordered multisets with
 columns sorted by name. Usage: selfcheck.py <sfDir> <outDir>
+
+TYPE-STRICT (VERDICT r12 task #2): before comparing values, the arrow
+schema of the DuckDB oracle result is compared against the arrow
+schema of the Spark parquet, column by column, on exact physical
+types (int64 vs decimal128 vs double etc.). The r9-r12 driver-red
+class — oracle HUGEINT/decimal128 sums and DOUBLE floor() hashed
+against Spark int64 — is invisible to a value compare that first
+normalizes dtypes; this gate now fails it locally. The only benign
+equivalences allowed are string-width aliases (large_string==string)
+and timezone annotation on timestamps, which are arrow transport
+artifacts, not column types either engine chose.
 """
 import sys, os, json, glob
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
+
+# Queries whose oracle-vs-engine type skew is DELIBERATE: the uncast
+# ln probe keeps its DOUBLE-vs-LONG skew to measure whether the
+# driver's hash is type-sensitive (its _cast twin is the strict leg).
+KNOWN_TYPE_SKEW = {"zz_probe_ln_lattice"}
+
+def norm_type(t):
+    s = str(t)
+    s = {"large_string": "string", "large_binary": "binary"}.get(s, s)
+    if s.startswith("timestamp["):  # drop tz annotation only
+        s = s.split(",")[0].rstrip("]") + "]"
+    return s
 
 sf, out = sys.argv[1], sys.argv[2]
 print(f"duckdb=={duckdb.__version__}")
@@ -17,19 +41,43 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = []
+type_skews = 0
 for name in sorted(oracle):
     path = f"{out}/{name}"
     if not os.path.isdir(path):
         fails.append((name, "spark output missing")); continue
-    got = pd.read_parquet(path)
     try:
-        exp = con.execute(oracle[name]).df()
+        got_tbl = pq.read_table(path)
+    except Exception as e:
+        fails.append((name, f"spark parquet unreadable: {e}")); continue
+    try:
+        exp_tbl = con.execute(oracle[name]).arrow()
     except Exception as e:
         fails.append((name, f"oracle error: {e}")); continue
+
+    # --- type-strict gate (exact arrow physical types per column) ---
+    got_types = {f.name: norm_type(f.type) for f in got_tbl.schema}
+    exp_types = {f.name: norm_type(f.type) for f in exp_tbl.schema}
+    if set(got_types) != set(exp_types):
+        fails.append((name, f"cols spark={sorted(got_types)} "
+                            f"oracle={sorted(exp_types)}")); continue
+    skewed = {c: (got_types[c], exp_types[c])
+              for c in got_types if got_types[c] != exp_types[c]}
+    if skewed:
+        if name in KNOWN_TYPE_SKEW:
+            type_skews += 1
+            print(f"  ..  {name}: KNOWN deliberate type skew {skewed}")
+        else:
+            fails.append((name,
+                "TYPE skew (driver hash compares physical types): " +
+                ", ".join(f"{c}: spark={g} oracle={e}"
+                          for c, (g, e) in skewed.items())))
+            continue
+
+    got = got_tbl.to_pandas()
+    exp = exp_tbl.to_pandas()
     got = got.reindex(sorted(got.columns), axis=1)
     exp = exp.reindex(sorted(exp.columns), axis=1)
-    if list(got.columns) != list(exp.columns):
-        fails.append((name, f"cols spark={list(got.columns)} oracle={list(exp.columns)}")); continue
     if len(got) != len(exp):
         fails.append((name, f"rows spark={len(got)} oracle={len(exp)}")); continue
     g = got.sort_values(by=list(got.columns), na_position="first").reset_index(drop=True)
@@ -64,5 +112,6 @@ for name in sorted(oracle):
         print(f"  OK  {name} ({len(got)} rows)")
 for name, why in fails:
     print(f"FAIL  {name}: {why}")
-print(f"\n{len(oracle)-len(fails)}/{len(oracle)} queries match")
+print(f"\n{len(oracle)-len(fails)}/{len(oracle)} queries match "
+      f"({type_skews} known deliberate type skews tolerated)")
 sys.exit(1 if fails else 0)

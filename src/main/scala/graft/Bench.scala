@@ -19,6 +19,45 @@ object Bench {
     */
   private val exclude = Set("q26_ngram_jaccard_pairs", "q30_cosine_dup_pairs")
 
+  /** Queries whose driver-env wall time disagrees with local
+    * measurement (VERDICT r12 task #4: q239 12.9 s driver vs 4.8 s
+    * local on the same commit, q246 similar family): per-rep,
+    * per-stage run/cpu/gc/io totals are recorded into
+    * `bench_full.jsonl` so the round artifact alone localizes WHERE
+    * the extra seconds go (scheduler gap vs executor run vs GC vs
+    * shuffle volume) without a driver-side profiler session.
+    */
+  private val stageProfiled =
+    Set("q239_item_similarity", "q246_rec_holdout_eval")
+
+  /** Per-stage metric accumulator; registered only around the
+    * stage-profiled queries' reps so the rest of the sweep pays no
+    * listener cost.
+    */
+  private final class StageCollector
+      extends org.apache.spark.scheduler.SparkListener {
+    final case class S(id: Int, name: String, tasks: Int, wallMs: Long,
+                       runMs: Long, cpuMs: Long, gcMs: Long, inMB: Double,
+                       shReadMB: Double, shWriteMB: Double)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[S]
+    override def onStageCompleted(
+        ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      synchronized {
+        val si = ev.stageInfo
+        val tm = si.taskMetrics
+        val wall = (for { s <- si.submissionTime; c <- si.completionTime }
+          yield c - s).getOrElse(-1L)
+        buf += S(si.stageId, si.name.takeWhile(_ != '\n').take(72),
+          si.numTasks, wall, tm.executorRunTime,
+          tm.executorCpuTime / 1000000L, tm.jvmGCTime,
+          tm.inputMetrics.bytesRead / 1e6,
+          tm.shuffleReadMetrics.totalBytesRead / 1e6,
+          tm.shuffleWriteMetrics.bytesWritten / 1e6)
+      }
+    def snapshot(): Vector[S] = synchronized { buf.toVector }
+    def clear(): Unit = synchronized { buf.clear() }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default matches the documented environment (local[32], 32 shuffle
@@ -86,10 +125,36 @@ object Bench {
       gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime))
       s
     }
+    val stageLines = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = names.map { name =>
       System.gc()
       val g0 = gcMillis()
-      val t = Seq(runOnce(name), runOnce(name), runOnce(name)).min
+      val t = if (!stageProfiled(name)) {
+        Seq(runOnce(name), runOnce(name), runOnce(name)).min
+      } else {
+        // stage-profiled path: same 3-rep min protocol, but each rep's
+        // stages are drained + snapshotted separately so the artifact
+        // shows per-rep totals and the top stages of the SLOWEST rep
+        // (the one carrying the driver-env mystery seconds)
+        val coll = new StageCollector
+        spark.sparkContext.addSparkListener(coll)
+        val reps = (1 to 3).map { rep =>
+          coll.clear()
+          val w = runOnce(name)
+          org.apache.spark.graftbridge.ListenerBridge
+            .drain(spark.sparkContext)
+          (rep, w, coll.snapshot())
+        }
+        spark.sparkContext.removeSparkListener(coll)
+        val repJson = reps.map { case (rep, w, st) =>
+          val top = st.sortBy(-_.runMs).take(8).map(s =>
+            s"""{"stage":${s.id},"name":"${s.name.replace("\"", "'")}","tasks":${s.tasks},"wall_ms":${s.wallMs},"run_ms":${s.runMs},"cpu_ms":${s.cpuMs},"gc_ms":${s.gcMs},"in_mb":${f"${s.inMB}%.1f"},"sh_read_mb":${f"${s.shReadMB}%.1f"},"sh_write_mb":${f"${s.shWriteMB}%.1f"}}""")
+            .mkString("[", ",", "]")
+          s"""{"rep":$rep,"wall_sec":$w,"n_stages":${st.size},"run_ms":${st.map(_.runMs).sum},"cpu_ms":${st.map(_.cpuMs).sum},"gc_ms":${st.map(_.gcMs).sum},"sh_read_mb":${f"${st.map(_.shReadMB).sum}%.1f"},"top_stages":$top}"""
+        }.mkString("[", ",", "]")
+        stageLines += s""""$name":$repJson"""
+        reps.map(_._2).min
+      }
       (name, t, (gcMillis() - g0) / 1000.0)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
@@ -104,8 +169,11 @@ object Bench {
     // noise envelope the number carries
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","n_runs":3,"gc_sec":$gcTotal,"queries":$qs,"sf":"$sfDir"}"""
+    val stagesJson =
+      if (stageLines.isEmpty) ""
+      else s""","stage_profiles":${stageLines.mkString("{", ",", "}")}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_runs":3,"gc_sec":$gcTotal,"queries":$qs,"gc_queries":$gcs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_runs":3,"gc_sec":$gcTotal,"queries":$qs,"gc_queries":$gcs$stagesJson,"sf":"$sfDir"}"""
     println(line)
     // defend against the driver's 2000-char stdout-tail truncation
     // (BENCH_r6/r7 lost per-query history for a third of the set): the

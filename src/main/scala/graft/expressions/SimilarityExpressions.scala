@@ -97,9 +97,13 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 /** Integer squared L2 distance of two integral-array code vectors
   * (byte / short / int / long elements — the
   * [[graft.similarity.Ann.quantizeInt8]], SQ8, and k-means centroid
-  * spaces): Σ (aᵢ − bᵢ)² as a LONG, exact while codes stay within
-  * ±2³¹ per element. NULL if either side is NULL or the lengths
-  * differ. The zip_with+aggregate composition this replaces evaluates
+  * spaces): Σ (aᵢ − bᵢ)² as a LONG. Exactness envelope (ADVICE r12):
+  * each |aᵢ − bᵢ| must stay below ~2^31.5 (≈3·10⁹, else d·d overflows
+  * Long) AND the running Σd² must stay under 2⁶³ — both trivially
+  * satisfied by every space this is used for (int8 codes: d ≤ 255,
+  * Σ ≤ dims·65025; SQ8/centroids likewise). Codes near ±2³¹ per
+  * element are NOT exact: a single diff of 2³² squares to 2⁶⁴.
+  * NULL if either side is NULL or the lengths differ. The zip_with+aggregate composition this replaces evaluates
   * an interpreted lambda per ELEMENT — ruinous inside all-pairs kNN
   * joins (pairs × dims lambda calls); this is one fused primitive
   * loop inside whole-stage codegen.

@@ -4,6 +4,7 @@ import graft.dedup.NearDup
 import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
 
 /** Training-corpus curation pipeline: the composition a 100 TB
   * pretraining-data run actually executes — quality gating, language
@@ -1347,5 +1348,134 @@ object CorpusPipeline {
       "after_exact_dedup" -> n3, "after_near_dedup" -> n4,
       "after_semantic_dedup" -> n4a, "after_dup_span" -> n4b,
       "after_decontamination" -> n5, "after_dsir" -> n5a, "final" -> n6))
+  }
+
+  /** Suffix-array-flavored repeat-length SPECTRUM — the index form of
+    * the [[duplicateSpans]] family (Lee et al. 2022 §4, ExactSubstr):
+    * instead of one fixed window size, for each window length w in
+    * {8, 16, 32, 64} tokens, the per-group count of token positions
+    * that START a w-token window occurring in ≥ `minDocs` distinct
+    * documents corpus-wide. Cumulative by construction (a duplicated
+    * 64-window implies duplicated 32/16/8 prefixes at the same
+    * position), so the four rows per group read as the tail
+    * distribution of maximal-repeat lengths — the statistic a suffix
+    * array's LCP table yields, without building one.
+    *
+    * Level keys are built by MANBER–MYERS PREFIX DOUBLING on hashes:
+    * h₈(i) = xxhash64 of the 8-token span string (one O(w·n) base
+    * pass, identical keying to [[duplicateSpans]]), then
+    * h₂ᵥ(i) = xxhash64(hᵥ(i), hᵥ(i+v)) — each doubling costs O(1)
+    * per position (two array lookups + one 16-byte hash) instead of
+    * re-hashing 2v tokens, and stays entirely WITHIN the document row
+    * (array transforms, no self-joins). Two equal 2v-token sequences
+    * agree on both halves, so keys collide exactly when spans match,
+    * modulo the same 64-bit birthday bound [[duplicateSpans]]
+    * documents.
+    *
+    * Scale shape: one corpus pass builds all four hash arrays; per
+    * level one explode + one 8-byte-key aggregate + one co-partitioned
+    * self-aggregate join (dup set ⋈ per-group counts share the hash
+    * key, so AQE reuses the exchange); corpus-wide document frequency
+    * is Σ over groups of per-(hash, group) distinct docs — exact,
+    * because a document carries exactly one group. No windows, no
+    * driver loops; the array frame is persisted across the four level
+    * consumers and released after materialization.
+    */
+  def repeatSpectrum(docs: DataFrame, idCol: String, textCol: String,
+                     groupCol: String, minDocs: Long = 2): DataFrame = {
+    val levels = Seq(8, 16, 32, 64)
+    def emptyLongs = array().cast(ArrayType(LongType))
+    val base = docs
+      .filter(col(groupCol).isNotNull)
+      .select(col(idCol).as("__id"), col(groupCol).as("__g"),
+        TextOps.tokens(lower(col(textCol))).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .filter(col("__n") >= levels.head)
+    val withH8 = base.withColumn("__h8",
+      transform(sequence(lit(1), col("__n") - (levels.head - 1)),
+        i => xxhash64(concat_ws(" ", slice(col("__t"), i, lit(levels.head))))))
+    // doubling: the level-2v array has n-2v+1 entries; entry i pairs
+    // hᵥ(i) with hᵥ(i+v), both guaranteed in range by the length guard
+    val arrays = levels.sliding(2).foldLeft(withH8) {
+      case (df, Seq(v, v2)) =>
+        df.withColumn(s"__h$v2",
+          when(col("__n") >= v2,
+            transform(sequence(lit(1), col("__n") - (v2 - 1)),
+              i => xxhash64(element_at(col(s"__h$v"), i),
+                element_at(col(s"__h$v"), i + v))))
+            .otherwise(emptyLongs))
+      case (df, _) => df
+    }.drop("__t")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val perLevel = levels.map { w =>
+        val lvl = arrays.filter(col("__n") >= w)
+          .select(col("__g"), col("__id"), explode(col(s"__h$w")).as("__h"))
+        val perHG = lvl.groupBy("__h", "__g")
+          .agg(countDistinct("__id").as("__ndg"), count(lit(1)).as("__npos"))
+        val dupH = perHG.groupBy("__h").agg(sum("__ndg").as("__nd"))
+          .filter(col("__nd") >= minDocs).select("__h")
+        val dupPos = perHG.join(dupH, "__h")
+          .groupBy("__g").agg(sum("__npos").as("__dup"))
+        val eligible = arrays.filter(col("__n") >= w)
+          .groupBy("__g").agg(count(lit(1)).as("n_docs"),
+            sum(col("__n") - (w - 1)).as("n_positions"))
+        eligible.join(dupPos, Seq("__g"), "left")
+          .select(col("__g").as(groupCol),
+            lit(w).cast(IntegerType).as("window_tokens"),
+            col("n_docs"), col("n_positions"),
+            coalesce(col("__dup"), lit(0L)).as("n_dup_positions"))
+          .withColumn("dup_ppm",
+            expr("n_dup_positions * 1000000 div n_positions"))
+      }
+      perLevel.reduce(_ unionByName _).localCheckpoint(true)
+    } finally arrays.unpersist(blocking = false)
+  }
+
+  /** Cross-lingual near-duplicate pairing — translation-pair mining
+    * over a language-agnostic embedding space (the LASER/LaBSE recipe:
+    * two documents in DIFFERENT languages whose sentence embeddings
+    * sit above a cosine threshold are translation candidates; the
+    * embedding column stands in for the multilingual encoder, which is
+    * an external model, not an engine operator). Pairs come from the
+    * recall-proven banded hyperplane LSH ([[graft.dedup.NearDup.lshCosinePairsBanded]],
+    * q51's (96, 6) full-recall settings — same regenerated-embeddings
+    * sensitivity note as q88); the language join then keeps only
+    * cross-language pairs and rolls them up per unordered language
+    * pair: pair count, distinct documents on each side, and the
+    * rounded cosine extremes (max/min of per-pair round-4 values —
+    * order statistics of already-quantized doubles, bit-stable).
+    *
+    * Scale shape: LSH candidate generation shuffles (band, id) rows
+    * only; the language attach is two hash joins against an
+    * (id, lang) projection; the rollup groups on a two-string key.
+    */
+  def crossLingualPairs(embs: DataFrame, vecIdCol: String, vecCol: String,
+                        langs: DataFrame, docIdCol: String, langCol: String,
+                        threshold: Double = 0.45, bands: Int = 96,
+                        bitsPerBand: Int = 6): DataFrame = {
+    val pairs = graft.dedup.NearDup.lshCosinePairsBanded(
+      embs, vecIdCol, vecCol, threshold, bands, bitsPerBand,
+      dedupBeforeVerify = false)
+    val lang = langs.filter(col(langCol).isNotNull)
+      .select(col(docIdCol).as("__lid"), col(langCol).as("__lang"))
+    val tagged = pairs
+      .join(lang.select(col("__lid").as("id_a"), col("__lang").as("__la")), "id_a")
+      .join(lang.select(col("__lid").as("id_b"), col("__lang").as("__lb")), "id_b")
+      .filter(col("__la") =!= col("__lb"))
+      .select(
+        least(col("__la"), col("__lb")).as("lang_a"),
+        greatest(col("__la"), col("__lb")).as("lang_b"),
+        when(col("__la") <= col("__lb"), col("id_a")).otherwise(col("id_b"))
+          .as("__da"),
+        when(col("__la") <= col("__lb"), col("id_b")).otherwise(col("id_a"))
+          .as("__db"),
+        col("cos"))
+    tagged.groupBy("lang_a", "lang_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("__da").as("n_docs_a"),
+        countDistinct("__db").as("n_docs_b"),
+        max("cos").as("max_cos"),
+        min("cos").as("min_cos"))
   }
 }

@@ -422,7 +422,8 @@ object FeedQueries {
 
     "q67_qalert_submitters" ->
       """SELECT request_id, submitter_id, first_name, last_name, address,
-        |  address_2, city, state, zip, email, phone, twitter_name,
+        |  CAST(address_2 AS VARCHAR) AS address_2, city, state, zip, email,
+        |  phone, twitter_name,
         |  last_request_date,
         |  CAST(curr_total_requests_closed AS BIGINT) AS curr_total_requests_closed,
         |  CAST(curr_total_requests_made AS BIGINT) AS curr_total_requests_made,

@@ -71,25 +71,27 @@ object MasterUpkeepQueries {
 
   private val submitterLatestSql =
     """(VALUES
-      |  ('501', 'Pat', 'Kim', 'p@x', '412', '1 Elm', NULL, 'Pgh', 'PA', '15222', NULL, 5, 4),
-      |  ('501', 'Pat', 'Kim', 'p@x', '412', '1 Elm', NULL, 'Pgh', 'PA', '15222', NULL, 7, 5),
-      |  ('502', 'Sam', 'Cox', 's@x', NULL, '2 Oak', NULL, 'Pgh', 'PA', '15213', 'sam', 1, 0)
+      |  ('501', 'Pat', 'Kim', 'p@x', '412', '1 Elm', CAST(NULL AS VARCHAR(32)), 'Pgh', 'PA', '15222', NULL, 5, 4),
+      |  ('501', 'Pat', 'Kim', 'p@x', '412', '1 Elm', CAST(NULL AS VARCHAR(32)), 'Pgh', 'PA', '15222', NULL, 7, 5),
+      |  ('502', 'Sam', 'Cox', 's@x', NULL, '2 Oak', CAST(NULL AS VARCHAR(32)), 'Pgh', 'PA', '15213', 'sam', 1, 0)
       |) t(submitter_id, first_name, last_name, email, phone, address, address_2,
       |    city, state, zip, twitter_name,
       |    curr_total_requests_made, curr_total_requests_closed)""".stripMargin
 
   private val submitterExistingSql =
     """(VALUES
-      |  ('502', 'Sam', 'Cox', 's@x', NULL, '2 Oak', NULL, 'Pgh', 'PA', '15213', 'sam', 9, 9),
-      |  ('777', 'Old', 'User', NULL, NULL, '3 Ash', NULL, 'Pgh', 'PA', '15219', NULL, 2, 2)
+      |  ('502', 'Sam', 'Cox', 's@x', NULL, '2 Oak', CAST(NULL AS VARCHAR(32)), 'Pgh', 'PA', '15213', 'sam', 9, 9),
+      |  ('777', 'Old', 'User', NULL, NULL, '3 Ash', CAST(NULL AS VARCHAR(32)), 'Pgh', 'PA', '15219', NULL, 2, 2)
       |) t(submitter_id, first_name, last_name, email, phone, address, address_2,
       |    city, state, zip, twitter_name, total_requests_made, total_requests_closed)""".stripMargin
 
   private val lsSql =
     """(VALUES
-      |  ('1111', '501', 'Pat', 'Kim', 'p@x', '412', '1 Elm', NULL, 'Pgh', 'PA',
+      |  ('1111', '501', 'Pat', 'Kim', 'p@x', '412', '1 Elm',
+      |   CAST(NULL AS VARCHAR(32)), 'Pgh', 'PA',
       |   '15222', NULL, '2024-01-02', '2024-01-03', 5, 4, 'Very Satisfied', 'WEB'),
-      |  ('1112', '502', 'Sam', 'Cox', 's@x', NULL, '2 Oak', NULL, 'Pgh', 'PA',
+      |  ('1112', '502', 'Sam', 'Cox', 's@x', NULL, '2 Oak',
+      |   CAST(NULL AS VARCHAR(32)), 'Pgh', 'PA',
       |   '15213', 'sam', NULL, NULL, 1, 0, NULL, 'PHONE')
       |) t(request_id, submitter_id, first_name, last_name, email, phone, address,
       |    address_2, city, state, zip, twitter_name, last_request_date,
@@ -108,7 +110,8 @@ object MasterUpkeepQueries {
   private val summariesSql =
     """(VALUES
       |  ('0999', '2023-06-01 09:00:00', 'Graffiti', '9 Old St', '400', 'Leg',
-      |   'Acy', NULL, NULL, NULL, NULL, NULL, NULL, NULL, 'Carrick', NULL,
+      |   'Acy', NULL, NULL, NULL, CAST(NULL AS VARCHAR(32)), NULL, NULL, NULL,
+      |   'Carrick', NULL,
       |   '2023-06-01', '2023-06-02', 3, 3, 'Unsatisfied', 'LEGACY')
       |) t(request_id, create_date_est, request_type_name, complaint_address,
       |    submitter_id, first_name, last_name, email, phone, address, address_2,

@@ -100,7 +100,7 @@ object ParityQueries {
       s"""WITH t(rid, street_num, street_name, cross_street, city, lat, long) AS (
          |  VALUES $valuesClause
          |)
-         |SELECT rid,
+         |SELECT CAST(rid AS BIGINT) AS rid,
          |  CASE WHEN street_name IS NOT NULL AND street_name != '' THEN
          |         CASE WHEN regexp_matches(street_num, '^[0-9]+$$') THEN 'Precise'
          |              WHEN street_num = '' AND cross_street != '' THEN 'Intersection'

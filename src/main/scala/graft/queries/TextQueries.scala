@@ -1341,9 +1341,9 @@ object TextQueries {
 
     "q23_token_counts" ->
       """SELECT doc_id,
-        |  CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0 THEN 0
-        |       ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) END AS n_ws_tokens,
-        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish_tokens
+        |  CAST(CASE WHEN length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+')) END AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpeish_tokens
         |FROM documents""".stripMargin,
 
     "q24_lang_id" -> {
@@ -1403,7 +1403,8 @@ object TextQueries {
         |  FROM q, embeddings c
         |  WHERE c.vec_id != query_id
         |)
-        |SELECT query_id, rank, neighbor_id, score FROM (
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, score
+        |FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY score DESC, neighbor_id ASC) AS rank FROM s)
         |WHERE rank <= 10""".stripMargin,
@@ -1420,7 +1421,8 @@ object TextQueries {
         |  FROM q, embeddings c
         |  WHERE c.vec_id != query_id
         |)
-        |SELECT query_id, rank, neighbor_id, score FROM (
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, score
+        |FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY score DESC, neighbor_id ASC) AS rank
         |  FROM s WHERE score >= 0.30 AND score < 0.45)
@@ -1767,7 +1769,8 @@ object TextQueries {
         |  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id)
         |  GROUP BY 1
         |)
-        |SELECT doc_id, rank, round(s, 6) + 0 AS score FROM (
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank,
+        |  round(s, 6) + 0 AS score FROM (
         |  SELECT doc_id, s,
         |    row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
         |  FROM scored)
@@ -1870,7 +1873,8 @@ object TextQueries {
         |), df AS (
         |  SELECT term, count(*) AS df FROM tf GROUP BY term
         |), n AS (SELECT count(DISTINCT doc_id) AS n FROM tf)
-        |SELECT doc_id, rank, term, round(s, 6) + 0 AS score FROM (
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
+        |  round(s, 6) + 0 AS score FROM (
         |  SELECT tf.doc_id, tf.term,
         |    tf.tf * (ln(((SELECT n FROM n) + 1.0) / (df.df + 1.0)) + 1) AS s,
         |    row_number() OVER (PARTITION BY tf.doc_id
@@ -1891,7 +1895,8 @@ object TextQueries {
         |  FROM q, embeddings c
         |  WHERE c.vec_id != query_id
         |)
-        |SELECT query_id, rank, neighbor_id, score FROM (
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, score
+        |FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY score DESC, neighbor_id ASC) AS rank FROM s)
         |WHERE rank <= 10""".stripMargin,

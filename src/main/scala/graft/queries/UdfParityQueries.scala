@@ -168,7 +168,7 @@ object UdfParityQueries {
         .map { case (p, i) => s"($i, '${p.replace("'", "''")}')" }.mkString(", ")
       s"""WITH t(rid, raw) AS (VALUES $values),
          |d AS (SELECT rid, regexp_replace(raw, '[^0-9]', '', 'g') AS digits FROM t)
-         |SELECT rid,
+         |SELECT CAST(rid AS BIGINT) AS rid,
          |  CASE WHEN length(digits) < 10 THEN NULL
          |       ELSE (CASE WHEN length(digits) > 10
          |                  THEN '+' || substr(digits, 1, length(digits) - 10)
@@ -184,7 +184,7 @@ object UdfParityQueries {
       val values = timeInputs.zipWithIndex
         .map { case (t, i) => s"($i, '$t')" }.mkString(", ")
       s"""WITH t(rid, raw) AS (VALUES $values)
-         |SELECT rid,
+         |SELECT CAST(rid AS BIGINT) AS rid,
          |  epoch(coalesce(
          |    try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
          |    try_strptime(raw, '%Y-%m-%dT%H:%M:%S'),

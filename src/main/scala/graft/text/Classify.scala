@@ -171,16 +171,19 @@ object Classify {
                           model: NbModel, n: Int = 3): DataFrame =
     scoreNb(docs, idCol, charNgrams(col(textCol), n), model)
 
-  /** `argmaxRound6` quantizes the argmax ORDER key to the 6-decimal
-    * lattice (the same surface [[scoreNaiveBayes]] already ships as
-    * its `score` column, which an independent DuckDB replay matches
-    * bit-for-bit): the raw score is a multi-term fp sum whose
-    * accumulation order differs between engines and between runs, so
-    * two labels separated by less than the fp-order noise (~1e-12)
-    * can argmax-flip across engines; on the round-6 lattice such
+  /** `argmaxRound6` quantizes the argmax ORDER key to the integer
+    * lattice floor(score·1e6 + 0.5): the raw score is a multi-term fp
+    * sum whose accumulation order differs between engines and between
+    * runs, so two labels separated by less than the fp-order noise
+    * (~1e-12) can argmax-flip across engines; on the lattice such
     * near-ties collapse to equal keys and break deterministically on
-    * the label. Default off — the single-model scorers' raw argmax is
-    * the established oracle contract.
+    * the label. The key deliberately avoids `round(x, 6)` — round-on-
+    * double is itself engine-implemented rounding (a score landing on
+    * a half-way boundary can key-split across engine versions), the
+    * exact surface the r12 doctrine removed from dimProfile; floor of
+    * a scaled double is pure ieee754 arithmetic both engines share
+    * (ADVICE r12). Default off — the single-model scorers' raw argmax
+    * is the established oracle contract.
     */
   private def scoreNb(docs: DataFrame, idCol: String, features: Column,
                       model: NbModel, argmaxRound6: Boolean = false): DataFrame = {
@@ -203,7 +206,9 @@ object Classify {
       .join(sparse, Seq(idCol, "label"), "left")
       .withColumn("__score", col("log_prior") + coalesce(col("__num"), lit(0.0))
         - col("n_tokens").cast("double") * col("log_denom"))
-    val argmaxKey = if (argmaxRound6) round(col("__score"), 6) else col("__score")
+    val argmaxKey =
+      if (argmaxRound6) floor(col("__score") * lit(1e6d) + lit(0.5d))
+      else col("__score")
     val w = Window.partitionBy(idCol).orderBy(argmaxKey.desc, col("label").asc)
     dense.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

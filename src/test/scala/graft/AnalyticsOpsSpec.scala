@@ -1371,6 +1371,37 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(floored((2L, 1)) === ((1L, s6)))
     assert(!floored.contains((2L, 2)), "cooc=1 neighbour must be floored")
   }
+
+  test("itemSimilarity assumeDistinct contract: distinct input matches " +
+    "the default path bit-for-bit; a duplicate-row caller silently " +
+    "inflates cooc (documented contract violation, ADVICE r12)") {
+    import spark.implicits._
+    val fb = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 1L), // dup row
+      (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L))
+      .toDF("user_id", "item")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getAs[Double]("cosine"))).toMap
+    val viaDefault = toMap(AnalyticsOps.itemSimilarity(
+      fb, "user_id", "item", k = 2, maxBasket = 3))
+    // the ONLY valid assumeDistinct caller shape: pre-distinct input
+    val viaContract = toMap(AnalyticsOps.itemSimilarity(
+      fb.distinct(), "user_id", "item", k = 2, maxBasket = 3,
+      assumeDistinct = true))
+    assert(viaContract === viaDefault,
+      "pre-distinct + assumeDistinct must equal the dedup path")
+    // breaking the contract is OBSERVABLE, not silent-correct: the
+    // duplicate (1,1) row double-counts u1 in item 1's norm
+    val broken = AnalyticsOps.itemSimilarity(
+      fb, "user_id", "item", k = 2, maxBasket = 4,
+      assumeDistinct = true)
+      .filter($"item" === 2L && $"similar_item" === 1L)
+      .collect().head.getAs[Double]("cosine")
+    // n1 inflates 3 -> 4 (dup) and u1's pairs double: cooc(1,2) =
+    // 2 (u1, via the dup) + 1 (u2) = 3, so 3/sqrt(4*2)
+    assert(broken === 3.0 / math.sqrt(8.0),
+      "duplicate rows must inflate cooc and norm exactly as documented")
+  }
   test("trimmedMean: k = n div 10 trimmed each side, exact kept-rank " +
     "overlap arithmetic, degenerate group reports NULL") {
     import spark.implicits._

@@ -840,4 +840,60 @@ class CorpusPipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(out === Seq((1L, 2L, 2L)))
   }
+
+  test("repeatSpectrum: hand-built corpus — identical 64-token twins " +
+    "duplicate at every level, a 16-token shared prefix duplicates " +
+    "exactly its in-range windows, short docs vanish from long levels") {
+    // shared 64-token block w1..w64; doc3 = w1..w16 then 16 uniques
+    val w = (1 to 64).map(i => s"w$i")
+    val s64 = w.mkString(" ")
+    val doc3 = (w.take(16) ++ (1 to 16).map(i => s"x$i")).mkString(" ")
+    val docs = Seq(
+      (1L, s64, "a"), (2L, s64, "a"), (3L, doc3, "b"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusPipeline.repeatSpectrum(docs, "doc_id", "text", "source")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // group a: twins — every position at every level is duplicated
+    assert(out(("a", 8))  === ((2L, 114L, 114L, 1000000L)))
+    assert(out(("a", 16)) === ((2L, 98L, 98L, 1000000L)))
+    assert(out(("a", 32)) === ((2L, 66L, 66L, 1000000L)))
+    assert(out(("a", 64)) === ((2L, 2L, 2L, 1000000L)))
+    // group b: windows fully inside the shared 16-token prefix only —
+    // 9 of 25 at w=8, 1 of 17 at w=16, 0 of 1 at w=32; no row at 64
+    assert(out(("b", 8))  === ((1L, 25L, 9L, 360000L)))
+    assert(out(("b", 16)) === ((1L, 17L, 1L, 58823L)))
+    assert(out(("b", 32)) === ((1L, 1L, 0L, 0L)))
+    assert(!out.contains(("b", 64)), "a 32-token doc has no 64-window")
+    assert(out.size === 7)
+  }
+
+  test("crossLingualPairs: cross-language cosine pairs only, unordered " +
+    "lang-pair rollup with per-side distinct doc counts") {
+    // unit-ish vectors: 1,2,5 colinear; 3 at cos~0.9 to them; 4
+    // orthogonal to 1/2/5 and at cos~0.436 (< 0.45) to 3
+    def vec(a: Float, b: Float) = Array(a, b, 0.0f, 0.0f)
+    val embs = Seq(
+      (1L, vec(1f, 0f)), (2L, vec(1f, 0f)), (3L, vec(0.9f, 0.43589f)),
+      (4L, vec(0f, 1f)), (5L, vec(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val langs = Seq((1L, "en"), (2L, "es"), (3L, "de"), (4L, "en"),
+      (5L, "en")).toDF("doc_id", "lang")
+    val out = CorpusPipeline.crossLingualPairs(
+        embs, "vec_id", "embedding", langs, "doc_id", "lang")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getAs[Double]("max_cos"), r.getAs[Double]("min_cos"))).toMap
+    assert(out.size === 3)
+    val (deEnPairs, deEnA, deEnB, deEnMax, _) = out(("de", "en"))
+    assert((deEnPairs, deEnA, deEnB) === ((2L, 1L, 2L)))
+    assert(deEnMax > 0.89 && deEnMax < 0.91)
+    val (deEsPairs, deEsA, deEsB, _, _) = out(("de", "es"))
+    assert((deEsPairs, deEsA, deEsB) === ((1L, 1L, 1L)))
+    val (enEsPairs, enEsA, enEsB, enEsMax, enEsMin) = out(("en", "es"))
+    assert((enEsPairs, enEsA, enEsB) === ((2L, 2L, 1L)))
+    assert(enEsMax === 1.0 && enEsMin === 1.0)
+  }
 }
