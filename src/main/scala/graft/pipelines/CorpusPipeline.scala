@@ -1381,22 +1381,36 @@ object CorpusPipeline {
     * driver loops; the array frame is persisted across the four level
     * consumers and released after materialization.
     */
-  def repeatSpectrum(docs: DataFrame, idCol: String, textCol: String,
-                     groupCol: String, minDocs: Long = 2): DataFrame = {
-    val levels = Seq(8, 16, 32, 64)
+  /** Shared window-hash levels for the suffix-array-flavored family
+    * ([[repeatSpectrum]], [[memorizationScreen]]).
+    */
+  private val RepeatLevels = Seq(8, 16, 32, 64)
+
+  /** Per-document prefix-doubled window-hash arrays: `__h8[i]` =
+    * xxhash64 of the 8-token span string starting at token i (the
+    * [[duplicateSpans]] keying), and each doubling
+    * `__h2v[i] = xxhash64(__hv[i], __hv[i+v])` — the Manber–Myers
+    * step on hashes, O(1) per position per level, entirely within the
+    * document row. Docs shorter than the base window drop out; a
+    * level longer than the doc yields an empty array. `extra` columns
+    * pass through untouched.
+    */
+  private def prefixDoubledHashes(docs: DataFrame, idCol: String,
+                                  textCol: String,
+                                  extra: Seq[Column]): DataFrame = {
     def emptyLongs = array().cast(ArrayType(LongType))
     val base = docs
-      .filter(col(groupCol).isNotNull)
-      .select(col(idCol).as("__id"), col(groupCol).as("__g"),
-        TextOps.tokens(lower(col(textCol))).as("__t"))
+      .select(col(idCol).as("__id") +: extra :+
+        TextOps.tokens(lower(col(textCol))).as("__t"): _*)
       .withColumn("__n", size(col("__t")))
-      .filter(col("__n") >= levels.head)
+      .filter(col("__n") >= RepeatLevels.head)
     val withH8 = base.withColumn("__h8",
-      transform(sequence(lit(1), col("__n") - (levels.head - 1)),
-        i => xxhash64(concat_ws(" ", slice(col("__t"), i, lit(levels.head))))))
+      transform(sequence(lit(1), col("__n") - (RepeatLevels.head - 1)),
+        i => xxhash64(concat_ws(" ",
+          slice(col("__t"), i, lit(RepeatLevels.head))))))
     // doubling: the level-2v array has n-2v+1 entries; entry i pairs
     // hᵥ(i) with hᵥ(i+v), both guaranteed in range by the length guard
-    val arrays = levels.sliding(2).foldLeft(withH8) {
+    RepeatLevels.sliding(2).foldLeft(withH8) {
       case (df, Seq(v, v2)) =>
         df.withColumn(s"__h$v2",
           when(col("__n") >= v2,
@@ -1406,6 +1420,14 @@ object CorpusPipeline {
             .otherwise(emptyLongs))
       case (df, _) => df
     }.drop("__t")
+  }
+
+  def repeatSpectrum(docs: DataFrame, idCol: String, textCol: String,
+                     groupCol: String, minDocs: Long = 2): DataFrame = {
+    val levels = RepeatLevels
+    val arrays = prefixDoubledHashes(
+        docs.filter(col(groupCol).isNotNull), idCol, textCol,
+        Seq(col(groupCol).as("__g")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val perLevel = levels.map { w =>
@@ -1429,6 +1451,66 @@ object CorpusPipeline {
             expr("n_dup_positions * 1000000 div n_positions"))
       }
       perLevel.reduce(_ unionByName _).localCheckpoint(true)
+    } finally arrays.unpersist(blocking = false)
+  }
+
+  /** Memorization-risk screen for an eval suite drawn against its
+    * training corpus (the Lee et al. 2022 / Carlini et al. extraction
+    * audit, run as data hygiene BEFORE training): for every eval
+    * document (`evalPred` true), the count of its w-token windows
+    * that appear verbatim as a window of ANY training document, at
+    * w ∈ {8, 16, 32, 64}, plus the largest such w — "how long a span
+    * of this eval item would the model see during training". Exact
+    * n-gram membership, not similarity: the complement of the
+    * decontamination family (q73/q86 DELETE training docs that
+    * overlap the eval suite; this AUDITS the eval suite's exposure,
+    * eval side kept).
+    *
+    * Window keys are the [[repeatSpectrum]] prefix-doubled xxhash64
+    * levels (same birthday-bound note). All four levels ride ONE
+    * shuffle: positions are tagged (level, hash) and the eval-vs-
+    * train membership is a single left-semi join on that composite
+    * key — the corpus-side pass is paid once, not per level. Eval
+    * docs shorter than a level simply contribute no positions there;
+    * eval docs shorter than 8 tokens (or empty) report all-zero
+    * counts via the closing left join.
+    */
+  def memorizationScreen(docs: DataFrame, idCol: String, textCol: String,
+                         evalPred: Column): DataFrame = {
+    val arrays = prefixDoubledHashes(docs, idCol, textCol,
+        Seq(evalPred.as("__isEval")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tagged = RepeatLevels.map { w =>
+        arrays.select(col("__id"), col("__isEval"),
+          lit(w).cast(IntegerType).as("__w"),
+          explode(col(s"__h$w")).as("__h"))
+      }.reduce(_ unionByName _)
+      val hits = tagged.filter(col("__isEval"))
+        .join(tagged.filter(!col("__isEval")).select("__w", "__h"),
+          Seq("__w", "__h"), "left_semi")
+        .groupBy("__id")
+        .agg(
+          sum(when(col("__w") === RepeatLevels.head, 1L).otherwise(0L))
+            .as(s"dup${RepeatLevels.head}"),
+          RepeatLevels.tail.map(w =>
+            sum(when(col("__w") === w, 1L).otherwise(0L)).as(s"dup$w")): _*)
+      val base = docs.filter(evalPred && col(textCol).isNotNull)
+        .select(col(idCol).as("__id"),
+          TextOps.tokenCount(col(textCol)).cast(LongType).as("n_tokens"))
+      val joined = base.join(hits, Seq("__id"), "left")
+      val filled = RepeatLevels.foldLeft(joined)((df, w) =>
+        df.withColumn(s"dup$w", coalesce(col(s"dup$w"), lit(0L))))
+      val maxDup = when(col("dup64") > 0, 64)
+        .when(col("dup32") > 0, 32)
+        .when(col("dup16") > 0, 16)
+        .when(col("dup8") > 0, 8)
+        .otherwise(0)
+      filled
+        .select(col("__id").as(idCol) +: col("n_tokens") +:
+          RepeatLevels.map(w => col(s"dup$w")) :+
+          maxDup.cast(IntegerType).as("max_dup_window"): _*)
+        .localCheckpoint(true)
     } finally arrays.unpersist(blocking = false)
   }
 

@@ -1737,6 +1737,16 @@ object ExtendedQueries {
         Tables.documents(s, d), "doc_id", "lang",
         threshold = 0.45, bands = 96, bitsPerBand = 6)),
 
+    // memorization-risk audit of a deterministic 1-in-31 eval sample
+    // against the remaining training corpus: per eval doc, verbatim
+    // train-window hits at 8/16/32/64 tokens and the longest such
+    // window — the q311 prefix-doubled levels riding ONE composite
+    // (level, hash) semi-join
+    "q313_memorization_screen" -> ((s, d) =>
+      graft.pipelines.CorpusPipeline.memorizationScreen(
+        Tables.documents(s, d).filter(col("text").isNotNull),
+        "doc_id", "text", col("doc_id") % 31 === 0)),
+
     // kNN label-agreement audit over the embeddings' label column:
     // exact int8-lattice 5-NN on a deterministic 1-in-7 query sample,
     // majority-share-the-label counts per label — the label-noise
@@ -6014,6 +6024,51 @@ object ExtendedQueries {
         |  CAST(count(DISTINCT db) AS BIGINT) AS n_docs_b,
         |  max(cos) AS max_cos, min(cos) AS min_cos
         |FROM tagged GROUP BY 1, 2""".stripMargin,
+
+    // span-STRING membership replay per level (the engine keys on
+    // prefix-doubled xxhash64 — q84's birthday-bound note), eval spans
+    // counted against the train span set, the identical max-window
+    // CASE chain
+    "q313_memorization_screen" -> {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      def spans(w: Int): String =
+        s"""spans${w}e AS (
+           |  SELECT doc_id,
+           |    unnest([array_to_string(t[i:i+${w - 1}], ' ')
+           |            for i in range(1, len(t)-${w - 2})]) AS span
+           |  FROM toks WHERE is_eval AND len(t) >= $w
+           |), spans${w}t AS (
+           |  SELECT unnest([array_to_string(t[i:i+${w - 1}], ' ')
+           |            for i in range(1, len(t)-${w - 2})]) AS span
+           |  FROM toks WHERE NOT is_eval AND len(t) >= $w
+           |), c$w AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup$w
+           |  FROM spans${w}e WHERE span IN (SELECT span FROM spans${w}t)
+           |  GROUP BY 1
+           |)""".stripMargin
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id, doc_id % 31 = 0 AS is_eval,
+         |    CASE WHEN length(trim(text, $ws)) = 0 THEN []::VARCHAR[]
+         |         ELSE regexp_split_to_array(lower(trim(text, $ws)),
+         |           '\\s+') END AS t
+         |  FROM documents WHERE text IS NOT NULL
+         |),
+         |${Seq(8, 16, 32, 64).map(spans).mkString(",\n")}
+         |SELECT e.doc_id, CAST(len(e.t) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(c8.dup8, 0) AS BIGINT) AS dup8,
+         |  CAST(COALESCE(c16.dup16, 0) AS BIGINT) AS dup16,
+         |  CAST(COALESCE(c32.dup32, 0) AS BIGINT) AS dup32,
+         |  CAST(COALESCE(c64.dup64, 0) AS BIGINT) AS dup64,
+         |  CAST(CASE WHEN COALESCE(c64.dup64, 0) > 0 THEN 64
+         |            WHEN COALESCE(c32.dup32, 0) > 0 THEN 32
+         |            WHEN COALESCE(c16.dup16, 0) > 0 THEN 16
+         |            WHEN COALESCE(c8.dup8, 0) > 0 THEN 8
+         |            ELSE 0 END AS INTEGER) AS max_dup_window
+         |FROM toks e
+         |LEFT JOIN c8 USING (doc_id) LEFT JOIN c16 USING (doc_id)
+         |LEFT JOIN c32 USING (doc_id) LEFT JOIN c64 USING (doc_id)
+         |WHERE e.is_eval""".stripMargin
+    },
 
     // the q225 scalar-unnest int8 replay with every vector as corpus
     // and the 1-in-7 id sample as queries; row_number 5-NN, label

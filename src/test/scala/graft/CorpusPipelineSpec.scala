@@ -869,6 +869,31 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.size === 7)
   }
 
+  test("memorizationScreen: eval windows counted against the train set " +
+    "only, per-level counts and max window hand-verified, short and " +
+    "non-overlapping eval docs report zeros") {
+    val w = (1 to 40).map(i => s"w$i")
+    val docs = Seq(
+      (1L, w.mkString(" ")),                                   // train, n=40
+      (2L, (1 to 12).map(i => s"t$i").mkString(" ")),          // train, unique
+      (31L, (w.take(16) ++ (1 to 4).map(i => s"y$i")).mkString(" ")), // eval
+      (62L, (1 to 10).map(i => s"z$i").mkString(" ")),         // eval, unique
+      (93L, "a b c d e"))                                      // eval, n=5
+      .toDF("doc_id", "text")
+    val out = CorpusPipeline.memorizationScreen(
+        docs, "doc_id", "text", col("doc_id") % 31 === 0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getInt(6))).toMap
+    // eval 31 (n=20): 8-windows 1..13, the 9 inside w1..w16 hit the
+    // train doc; 16-windows 1..5, only i=1 (w1..w16) hits; no
+    // 32-window fits -> max_dup_window = 16
+    assert(out(31L) === ((20L, 9L, 1L, 0L, 0L, 16)))
+    assert(out(62L) === ((10L, 0L, 0L, 0L, 0L, 0)))
+    assert(out(93L) === ((5L, 0L, 0L, 0L, 0L, 0)))
+    assert(out.size === 3, "train docs must not appear in the output")
+  }
+
   test("crossLingualPairs: cross-language cosine pairs only, unordered " +
     "lang-pair rollup with per-side distinct doc counts") {
     // unit-ish vectors: 1,2,5 colinear; 3 at cos~0.9 to them; 4
