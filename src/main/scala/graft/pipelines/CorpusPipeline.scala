@@ -1430,27 +1430,47 @@ object CorpusPipeline {
         Seq(col(groupCol).as("__g")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val perLevel = levels.map { w =>
-        val lvl = arrays.filter(col("__n") >= w)
-          .select(col("__g"), col("__id"), explode(col(s"__h$w")).as("__h"))
-        val perHG = lvl.groupBy("__h", "__g")
-          .agg(countDistinct("__id").as("__ndg"), count(lit(1)).as("__npos"))
-        val dupH = perHG.groupBy("__h").agg(sum("__ndg").as("__nd"))
-          .filter(col("__nd") >= minDocs).select("__h")
-        val dupPos = perHG.join(dupH, "__h")
-          .groupBy("__g").agg(sum("__npos").as("__dup"))
-        val eligible = arrays.filter(col("__n") >= w)
-          .groupBy("__g").agg(count(lit(1)).as("n_docs"),
-            sum(col("__n") - (w - 1)).as("n_positions"))
-        eligible.join(dupPos, Seq("__g"), "left")
-          .select(col("__g").as(groupCol),
-            lit(w).cast(IntegerType).as("window_tokens"),
-            col("n_docs"), col("n_positions"),
-            coalesce(col("__dup"), lit(0L)).as("n_dup_positions"))
-          .withColumn("dup_ppm",
-            expr("n_dup_positions * 1000000 div n_positions"))
-      }
-      perLevel.reduce(_ unionByName _).localCheckpoint(true)
+      // all four levels ride ONE (level, hash)-keyed pipeline (the
+      // q313 discipline): the per-level form planned 4 × ~6 barrier
+      // stages of sub-second wall each, and at local[32] the suite is
+      // stage-LATENCY-bound, not volume-bound (q246 stage profile:
+      // 48 sequential stages, executor time sums to 1.4 s/thread)
+      val tagged = levels.map { w =>
+        arrays.filter(col("__n") >= w)
+          .select(col("__g"), col("__id"),
+            lit(w).cast(IntegerType).as("__w"),
+            explode(col(s"__h$w")).as("__h"))
+      }.reduce(_ unionByName _)
+      val perHG = tagged.groupBy("__w", "__h", "__g")
+        .agg(countDistinct("__id").as("__ndg"), count(lit(1)).as("__npos"))
+      val dupH = perHG.groupBy("__w", "__h").agg(sum("__ndg").as("__nd"))
+        .filter(col("__nd") >= minDocs).select("__w", "__h")
+      val dupPos = perHG.join(dupH, Seq("__w", "__h"))
+        .groupBy("__g", "__w").agg(sum("__npos").as("__dup"))
+      // eligibility is one #groups-sized aggregate with conditional
+      // sums per level, stacked without touching the corpus again
+      val eligAgg = arrays.groupBy("__g")
+        .agg(
+          sum(when(col("__n") >= levels.head, 1L).otherwise(0L))
+            .as(s"nd${levels.head}"),
+          levels.tail.map(w =>
+            sum(when(col("__n") >= w, 1L).otherwise(0L)).as(s"nd$w")) ++
+          levels.map(w =>
+            sum(when(col("__n") >= w, col("__n") - (w - 1))
+              .otherwise(0L)).as(s"np$w")): _*)
+      val eligible = levels.map { w =>
+        eligAgg.filter(col(s"nd$w") > 0)
+          .select(col("__g"), lit(w).cast(IntegerType).as("__w"),
+            col(s"nd$w").as("n_docs"), col(s"np$w").as("n_positions"))
+      }.reduce(_ unionByName _)
+      eligible.join(dupPos, Seq("__g", "__w"), "left")
+        .select(col("__g").as(groupCol),
+          col("__w").as("window_tokens"),
+          col("n_docs"), col("n_positions"),
+          coalesce(col("__dup"), lit(0L)).as("n_dup_positions"))
+        .withColumn("dup_ppm",
+          expr("n_dup_positions * 1000000 div n_positions"))
+        .localCheckpoint(true)
     } finally arrays.unpersist(blocking = false)
   }
 
