@@ -1640,6 +1640,41 @@ object ExtendedQueries {
       res
     }),
 
+    // incremental exact-substring admission: the q311/q313 window-hash
+    // index as a crawl gate — three id-ordered batches through
+    // spanDedupBatch's state; a doc is novel iff NO 16-token window of
+    // it appears in any smaller-id doc (order-free any-earlier rule,
+    // replayable from the signature state alone)
+    "q314_incremental_span_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val mx = docs.agg(max("doc_id")).head().getLong(0)
+      val tmpRoot = java.nio.file.Files.createTempDirectory("q314span")
+      val dir = tmpRoot.toString + "/state"
+      val cuts = Seq(
+        col("doc_id") <= mx / 3,
+        col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3,
+        col("doc_id") > 2 * mx / 3)
+      cuts.zipWithIndex.foreach { case (p, b) =>
+        graft.streaming.StreamingOps.spanDedupBatch(
+          docs.filter(p), b.toLong, "doc_id", "text", dir,
+          windowTokens = 16)
+      }
+      // q307's temp-state discipline: checkpoint severs the lineage,
+      // the state dir is removed before returning
+      val res = graft.streaming.StreamingOps.noveltyFromSpanState(s, dir)
+        .select(col("doc_id"),
+          when(col("is_novel"), 1).otherwise(0).cast(IntegerType)
+            .as("is_novel"))
+        .localCheckpoint(true)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: java.io.IOException => () } // best-effort cleanup
+      res
+    }),
+
     // dedup-aware token budget: what a per-source token count is
     // WORTH after exact dedup — raw whitespace-token volume vs the
     // volume surviving q80-digest keep-first (min doc_id keeps), and
@@ -6024,6 +6059,34 @@ object ExtendedQueries {
         |  CAST(count(DISTINCT db) AS BIGINT) AS n_docs_b,
         |  max(cos) AS max_cos, min(cos) AS min_cos
         |FROM tagged GROUP BY 1, 2""".stripMargin,
+
+    // span-STRING replay of the any-earlier rule: a doc's verdict is
+    // the min first-owner over its 16-token spans — batching invisible
+    // by construction, so the oracle needs no batch structure at all
+    "q314_incremental_span_novelty" -> {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text, $ws)) = 0 THEN []::VARCHAR[]
+         |         ELSE regexp_split_to_array(lower(trim(text, $ws)),
+         |           '\\s+') END AS t
+         |  FROM documents WHERE text IS NOT NULL
+         |), spans AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(t[i:i+15], ' ')
+         |            for i in range(1, len(t)-14)]) AS span
+         |  FROM toks WHERE len(t) >= 16
+         |), fo AS (
+         |  SELECT span, min(doc_id) AS fo FROM spans GROUP BY 1
+         |), v AS (
+         |  SELECT s.doc_id, min(f.fo) AS mfo
+         |  FROM spans s JOIN fo f USING (span) GROUP BY 1
+         |)
+         |SELECT t.doc_id,
+         |  CAST(CASE WHEN v.mfo IS NULL OR v.mfo >= t.doc_id
+         |       THEN 1 ELSE 0 END AS INTEGER) AS is_novel
+         |FROM toks t LEFT JOIN v USING (doc_id)""".stripMargin
+    },
 
     // span-STRING membership replay per level (the engine keys on
     // prefix-doubled xxhash64 — q84's birthday-bound note), eval spans

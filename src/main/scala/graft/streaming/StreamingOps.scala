@@ -1054,6 +1054,82 @@ object StreamingOps {
                               statePath: String): DataFrame =
     spark.read.parquet(statePath).select("doc_id", "is_novel")
 
+  /** Incremental EXACT-SUBSTRING novelty admission — the streaming
+    * form of the q84/q311 window-hash index (Lee et al. 2022
+    * ExactSubstr as a crawl-admission gate): a document is novel iff
+    * NO `windowTokens`-token window of it appears as a window of any
+    * SMALLER-id document — the same order-free any-earlier rule as
+    * [[simhashDedupBatch]], so verdicts replay from the signature
+    * state alone, batching is invisible to the semantics, and a
+    * retried batch (even after later batches landed) rewrites
+    * byte-identical rows.
+    *
+    * Window keys are xxhash64 of the space-joined lower-cased token
+    * span — bit-identical to the [[graft.pipelines.CorpusPipeline]]
+    * span-hash keying, so this state interoperates with the batch
+    * index family (same birthday-bound note). State stores one row
+    * per DISTINCT window hash per document (`sigs/batch=N`) — O(total
+    * tokens), the same asymptotics as the suffix array ExactSubstr
+    * builds — plus the verdict table (`verdicts/batch=N`). Docs
+    * shorter than the window carry a NULL-hash row: trivially novel,
+    * but present in the verdict surface.
+    *
+    * Scale shape: the batch's hashes shuffle once for the
+    * min-owner-per-hash aggregate over prior ∪ batch; the prior state
+    * is never re-verdicted, only min-merged on the 8-byte key with
+    * map-side combine.
+    */
+  def spanDedupBatch(batch: DataFrame, batchId: Long, idCol: String,
+                     textCol: String, statePath: String,
+                     windowTokens: Int = 16): Unit = {
+    require(windowTokens > 0, s"windowTokens must be positive, got $windowTokens")
+    val spark = batch.sparkSession
+    val w = windowTokens
+    val sigs = batch.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        graft.text.TextOps.tokens(lower(col(textCol))).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .select(col("doc_id"),
+        when(col("__n") >= w,
+          array_distinct(transform(sequence(lit(1), col("__n") - (w - 1)),
+            i => xxhash64(concat_ws(" ", slice(col("__t"), i, lit(w)))))))
+          .otherwise(array().cast("array<bigint>")).as("__hs"))
+      .select(col("doc_id"), explode_outer(col("__hs")).as("h"))
+      .localCheckpoint(true) // one deterministic frame for state + verdict
+    val sigsDir = new HPath(s"$statePath/sigs")
+    val fs = sigsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior =
+      if (fs.exists(sigsDir) && fs.listStatus(sigsDir).nonEmpty)
+        spark.read.parquet(s"$statePath/sigs").select("doc_id", "h")
+      else sigs.limit(0)
+    // directed against the state (the hammingPairsAgainst discipline):
+    // only PRIOR rows whose hash the batch carries enter the shuffle —
+    // the state parquet is scanned, never bulk-reshuffled, so per-batch
+    // shuffle volume is O(batch tokens + matched keys), flat in corpus
+    // size. Replay overlap collapses in the min() itself.
+    val batchHashes = sigs.filter(col("h").isNotNull)
+    val priorMatched = prior.filter(col("h").isNotNull)
+      .join(batchHashes.select("h").distinct(), Seq("h"), "left_semi")
+    val firstOwner = priorMatched.unionByName(batchHashes)
+      .groupBy("h").agg(min("doc_id").as("__fo"))
+    val minOwner = batchHashes
+      .join(firstOwner, "h")
+      .groupBy("doc_id").agg(min("__fo").as("__mfo"))
+    sigs.select("doc_id").distinct()
+      .join(minOwner, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("__mfo").isNull || col("__mfo") >= col("doc_id"))
+          .as("is_novel"))
+      .write.mode("overwrite").parquet(s"$statePath/verdicts/batch=$batchId")
+    sigs.write.mode("overwrite").parquet(s"$statePath/sigs/batch=$batchId")
+  }
+
+  /** The verdict table [[spanDedupBatch]] maintains. */
+  def noveltyFromSpanState(spark: SparkSession,
+                           statePath: String): DataFrame =
+    spark.read.parquet(s"$statePath/verdicts")
+      .select("doc_id", "is_novel")
+
   /** Incremental sibling of
     * [[graft.operators.AnalyticsOps.itemSimilarity]]: feedback
     * micro-batches append their deduped (user, item) incidence as

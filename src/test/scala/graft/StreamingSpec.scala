@@ -763,6 +763,48 @@ class StreamingSpec extends SparkSpec {
     assert(verdicts() === expected)
   }
 
+  test("spanDedupBatch: incremental verdicts equal the global " +
+    "any-earlier window rule, short docs are trivially novel, replay " +
+    "after later batches is a no-op") {
+    import spark.implicits._
+    val block = (1 to 16).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, block + " tail1 tail2"),              // owns the 16-window
+      (2L, "totally different words " + (1 to 16).map(i => s"u$i").mkString(" ")),
+      (3L, "prefix " + block),                   // shares doc 1's window
+      (4L, "short doc under sixteen tokens"),    // no window: novel
+      (5L, block))                               // shares doc 1's window
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("spandedup").toString + "/state"
+    def verdicts() = graft.streaming.StreamingOps
+      .noveltyFromSpanState(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    def run(b: Long, ids: Long*) =
+      graft.streaming.StreamingOps.spanDedupBatch(
+        docs.filter(col("doc_id").isin(ids: _*)), b, "doc_id", "text",
+        dir, windowTokens = 16)
+    run(0L, 1L, 2L)
+    run(1L, 3L, 4L)
+    run(2L, 5L)
+    val expected = Map(1L -> true, 2L -> true, 3L -> false,
+      4L -> true, 5L -> false)
+    assert(verdicts() === expected)
+    // batch-INTERNAL earlier doc also counts: rerun from scratch with
+    // 1 and 3 in the same batch — 3 must still be a dup
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("spandedup2").toString + "/state"
+    graft.streaming.StreamingOps.spanDedupBatch(
+      docs.filter(col("doc_id").isin(1L, 3L)), 0L, "doc_id", "text",
+      dir2, windowTokens = 16)
+    val v2 = graft.streaming.StreamingOps.noveltyFromSpanState(spark, dir2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(v2 === Map(1L -> true, 3L -> false))
+    // replay batch 1 AFTER batch 2 landed: verdicts unchanged
+    run(1L, 3L, 4L)
+    assert(verdicts() === expected)
+  }
+
   test("q309 decontaminated split: eval never quarantined, every " +
     "quarantined doc has a split-crossing near-dup partner, pairless " +
     "train docs stay train") {
