@@ -1425,6 +1425,40 @@ object ExtendedQueries {
       graft.text.NgramLm.scoreKneserNey(docs, "doc_id", "text", lm)
     }),
 
+    // DoReMi-style domain reweighting from the q299 scorer: per-doc
+    // round-6 avg NLL lands on the e6 lattice, per-source means are
+    // BIGINT arithmetic, excess over the global mean (clamped at 0)
+    // normalizes to sampling weights in one truncating ppm division —
+    // "which sources deserve more epochs" as an integer-only table
+    "q315_mixture_reweight" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lm = graft.text.NgramLm.trainKneserNey(docs, "text")
+      val scored = graft.text.NgramLm.scoreKneserNey(docs, "doc_id", "text", lm)
+      val perDoc = scored.select(col("doc_id"),
+        floor(col("avg_nll") * lit(1e6d) + lit(0.5d)).cast(LongType)
+          .as("__ne6"))
+      val src = docs.filter(col("source").isNotNull)
+        .select(col("doc_id"), col("source"))
+      // #sources rows; checkpoint severs the KN chain from the three
+      // scalar-aggregate consumers below
+      val ps = perDoc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("__ne6").as("__se"))
+        .localCheckpoint(true)
+      val g = ps.agg(sum("__se").as("__gs"), sum("n_docs").as("__gn"))
+      val e = ps.crossJoin(broadcast(g))
+        .withColumn("mean_nll_e6", expr("__se div n_docs"))
+        .withColumn("global_mean_nll_e6", expr("__gs div __gn"))
+        .withColumn("excess_e6",
+          greatest(col("mean_nll_e6") - col("global_mean_nll_e6"), lit(0L)))
+      val te = e.agg(sum("excess_e6").as("__t"))
+      e.crossJoin(broadcast(te))
+        .select(col("source"), col("n_docs"), col("mean_nll_e6"),
+          col("global_mean_nll_e6"), col("excess_e6"),
+          when(col("__t") > 0, expr("excess_e6 * 1000000 div __t"))
+            .otherwise(0L).as("weight_ppm"))
+    }),
+
     // boilerplate shingle screen: token 8-grams (md5 digests) whose
     // per-source document frequency crosses max(2, ceil(10% of the
     // source)) — the "strip the nav bar before training" planner;
@@ -2602,6 +2636,53 @@ object ExtendedQueries {
           round(max("value"), 4).as("vmax"))
     })
   )
+
+  /** The q299 Kneser–Ney retrain-and-score CTE chain, shared verbatim
+    * by the q299 per-doc closing and the q315 per-source rollup (the
+    * refactor concatenates byte-identically to the round-12 q299
+    * oracle text — its driver-green closing surface is untouched).
+    */
+  private val knScoreCte: String =
+    """WITH norm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS nt
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, regexp_split_to_array(nt, ' ') AS t
+      |  FROM norm WHERE length(nt) > 0
+      |), bi AS (
+      |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+      |        FROM toks WHERE len(t) >= 2)
+      |), bic AS MATERIALIZED (
+      |  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2
+      |), bv AS (
+      |  SELECT count(*) AS b, count(DISTINCT w2) AS vc FROM bic
+      |), heads AS (
+      |  SELECT w1, sum(c12) AS c1b, count(*) AS n1from
+      |  FROM bic GROUP BY 1
+      |), cont AS (
+      |  SELECT w2, (count(*) + 1)::DOUBLE
+      |      / ((SELECT b FROM bv) + (SELECT vc FROM bv))::DOUBLE AS pcont
+      |  FROM bic GROUP BY 1
+      |), score AS (
+      |  SELECT x.doc_id,
+      |    -ln(CASE WHEN h.c1b IS NOT NULL THEN
+      |          (greatest(coalesce(c.c12, 0)::DOUBLE - 0.75, 0.0)
+      |            + 0.75 * h.n1from::DOUBLE * coalesce(ct.pcont,
+      |                1.0 / ((SELECT b FROM bv)
+      |                  + (SELECT vc FROM bv))::DOUBLE))
+      |            / h.c1b::DOUBLE
+      |        ELSE coalesce(ct.pcont,
+      |          1.0 / ((SELECT b FROM bv)
+      |            + (SELECT vc FROM bv))::DOUBLE)
+      |        END) AS nll
+      |  FROM bi x
+      |  LEFT JOIN bic c ON c.w1 = x.w1 AND c.w2 = x.w2
+      |  LEFT JOIN heads h ON h.w1 = x.w1
+      |  LEFT JOIN cont ct ON ct.w2 = x.w2
+      |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // independent recomputation: distinct (user, day) activity joined
@@ -5617,49 +5698,43 @@ object ExtendedQueries {
     // (bigram-position marginal c1b, continuation fan-outs), the
     // same D = 0.75 literal, the identical fixed-order expression
     "q299_kneser_ney_ppl" ->
-      """WITH norm AS (
-        |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(lower(text),
-        |      '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS nt
-        |  FROM documents
-        |), toks AS (
-        |  SELECT doc_id, regexp_split_to_array(nt, ' ') AS t
-        |  FROM norm WHERE length(nt) > 0
-        |), bi AS (
-        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
-        |        FROM toks WHERE len(t) >= 2)
-        |), bic AS MATERIALIZED (
-        |  SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2
-        |), bv AS (
-        |  SELECT count(*) AS b, count(DISTINCT w2) AS vc FROM bic
-        |), heads AS (
-        |  SELECT w1, sum(c12) AS c1b, count(*) AS n1from
-        |  FROM bic GROUP BY 1
-        |), cont AS (
-        |  SELECT w2, (count(*) + 1)::DOUBLE
-        |      / ((SELECT b FROM bv) + (SELECT vc FROM bv))::DOUBLE AS pcont
-        |  FROM bic GROUP BY 1
-        |), score AS (
-        |  SELECT x.doc_id,
-        |    -ln(CASE WHEN h.c1b IS NOT NULL THEN
-        |          (greatest(coalesce(c.c12, 0)::DOUBLE - 0.75, 0.0)
-        |            + 0.75 * h.n1from::DOUBLE * coalesce(ct.pcont,
-        |                1.0 / ((SELECT b FROM bv)
-        |                  + (SELECT vc FROM bv))::DOUBLE))
-        |            / h.c1b::DOUBLE
-        |        ELSE coalesce(ct.pcont,
-        |          1.0 / ((SELECT b FROM bv)
-        |            + (SELECT vc FROM bv))::DOUBLE)
-        |        END) AS nll
-        |  FROM bi x
-        |  LEFT JOIN bic c ON c.w1 = x.w1 AND c.w2 = x.w2
-        |  LEFT JOIN heads h ON h.w1 = x.w1
-        |  LEFT JOIN cont ct ON ct.w2 = x.w2
-        |)
+      (knScoreCte + """
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(avg(nll), 6) AS avg_nll, round(exp(avg(nll)), 4) AS ppl
-        |FROM score GROUP BY doc_id""".stripMargin,
+        |FROM score GROUP BY doc_id""".stripMargin),
+
+    // the q299 scorer rolled up to DOMAIN weights on integer lattices:
+    // per-doc round-6 avg NLL lands on the e6 lattice (the floor(x·1e6
+    // + 0.5) of an already-round-6 value is exact), per-source sums
+    // and means are pure BIGINT arithmetic, excess is clamped at the
+    // global mean, weights close as one truncating ppm division each
+    "q315_mixture_reweight" ->
+      (knScoreCte + """,
+        |perdoc AS (
+        |  SELECT doc_id,
+        |    CAST(floor(round(avg(nll), 6) * 1e6 + 0.5) AS BIGINT) AS ne6
+        |  FROM score GROUP BY 1
+        |), src AS (
+        |  SELECT doc_id, source FROM documents WHERE source IS NOT NULL
+        |), ps AS (
+        |  SELECT s.source, count(*) AS n_docs, sum(p.ne6) AS se
+        |  FROM perdoc p JOIN src s USING (doc_id) GROUP BY 1
+        |), g AS (SELECT sum(se) AS gs, sum(n_docs) AS gn FROM ps),
+        |e AS (
+        |  SELECT source, n_docs, se // n_docs AS mean_ne6,
+        |    greatest(se // n_docs
+        |      - (SELECT gs FROM g) // (SELECT gn FROM g), 0) AS ex6
+        |  FROM ps
+        |), te AS (SELECT sum(ex6) AS t FROM e)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(mean_ne6 AS BIGINT) AS mean_nll_e6,
+        |  CAST((SELECT gs FROM g) // (SELECT gn FROM g) AS BIGINT)
+        |    AS global_mean_nll_e6,
+        |  CAST(ex6 AS BIGINT) AS excess_e6,
+        |  CAST(CASE WHEN (SELECT t FROM te) > 0
+        |       THEN ex6 * 1000000 // (SELECT t FROM te)
+        |       ELSE 0 END AS BIGINT) AS weight_ppm
+        |FROM e""".stripMargin),
 
     // same md5 8-gram digests (identical space-joined token windows),
     // same max(2, ceil-10%) threshold, integer-only rollup
