@@ -894,6 +894,42 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(out.size === 3, "train docs must not appear in the output")
   }
 
+  test("repeat-family invariants on sf0.001: dup mass is monotone down " +
+    "the levels (a duplicated 2w-window start is a duplicated w-window " +
+    "start), and memorizationScreen's max_dup_window is consistent with " +
+    "its own counts") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .filter(col("text").isNotNull)
+    val spec = CorpusPipeline.repeatSpectrum(docs, "doc_id", "text", "source")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    for {
+      ((g, w), (nPos, nDup)) <- spec
+      nextLevel <- spec.get((g, w * 2))
+    } {
+      val (nPos2, nDup2) = nextLevel
+      assert(nPos2 <= nPos, s"$g: positions must shrink with w")
+      assert(nDup2 <= nDup,
+        s"$g: dup mass must be monotone down the levels ($w -> ${w * 2})")
+    }
+    val mem = CorpusPipeline.memorizationScreen(
+        docs, "doc_id", "text", col("doc_id") % 31 === 0)
+      .collect()
+    assert(mem.nonEmpty)
+    mem.foreach { r =>
+      val dups = Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val maxW = r.getInt(6)
+      // counts monotone down the levels; max window names the deepest
+      // nonzero level (0 iff all levels are zero)
+      assert(dups.sliding(2).forall(p => p(1) <= p.head),
+        s"doc ${r.getLong(0)}: window-hit counts must be monotone")
+      val expected = Seq(64, 32, 16, 8).zip(dups.reverse)
+        .collectFirst { case (w, c) if c > 0 => w }.getOrElse(0)
+      assert(maxW === expected, s"doc ${r.getLong(0)}: max_dup_window")
+    }
+  }
+
   test("crossLingualPairs: cross-language cosine pairs only, unordered " +
     "lang-pair rollup with per-side distinct doc counts") {
     // unit-ish vectors: 1,2,5 colinear; 3 at cos~0.9 to them; 4
