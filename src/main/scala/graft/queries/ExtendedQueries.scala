@@ -1459,6 +1459,150 @@ object ExtendedQueries {
             .otherwise(0L).as("weight_ppm"))
     }),
 
+    // LSH band planner: for the observed 3-shingle Jaccard pair
+    // distribution at >= 0.25 (threshold-bounded prefix-filter
+    // enumeration, never all-pairs), the expected MinHash-LSH catch
+    // under each 128-hash (rows r, bands b) split — P = 1-(1-s^r)^b
+    // evaluated as a pure squaring chain (every op IEEE
+    // correctly-rounded, so the doubles are bit-identical across
+    // engines) and summed on the e9 integer lattice. The table a
+    // dedup pipeline reads before committing to a band config:
+    // caught mass among true dups (jac >= 0.5) vs candidate load
+    // from the near-miss band [0.25, 0.5).
+    "q316_lsh_band_planner" -> ((s, d) => {
+      val pairs = graft.dedup.NearDup.prefixJaccardPairs(
+        Tables.documents(s, d), "doc_id", "text", n = 3, threshold = 0.25)
+      // (r, log2 r, b, log2 b): the four 128-hash factorizations
+      val configs = Seq((2, 1, 64, 6), (4, 2, 32, 5), (8, 3, 16, 4),
+        (16, 4, 8, 3))
+      def sq(c: Column, k: Int): Column =
+        (1 to k).foldLeft(c)((a, _) => a * a)
+      val jac = col("inter_size").cast(DoubleType) /
+        (col("size_a") + col("size_b") - col("inter_size"))
+          .cast(DoubleType)
+      // stepwise columns so the squaring chain is evaluated once per
+      // pair (and mirrors the oracle's CTE ladder op for op)
+      val staged = pairs.withColumn("__jac", jac)
+      val latCols = configs.map { case (r, lr, b, lb) =>
+        val p = lit(1.0d) - sq(lit(1.0d) - sq(col("__jac"), lr), lb)
+        floor(p * lit(1e9d) + lit(0.5d)).cast(LongType).as(s"__lat$r")
+      }
+      val lat = staged.select(col("__jac") +: latCols: _*)
+      val aggCols =
+        Seq(coalesce(sum(when(col("__jac") < 0.5, 1L).otherwise(0L)),
+          lit(0L)).as("__nband")) ++
+        configs.flatMap { case (r, _, _, _) =>
+          Seq(
+            coalesce(sum(when(col("__jac") >= 0.5, col(s"__lat$r"))
+              .otherwise(0L)), lit(0L)).as(s"__cg$r"),
+            coalesce(sum(when(col("__jac") < 0.5, col(s"__lat$r"))
+              .otherwise(0L)), lit(0L)).as(s"__cb$r"))
+        }
+      val agged = lat.agg(
+        coalesce(sum(when(col("__jac") >= 0.5, 1L).otherwise(0L)),
+          lit(0L)).as("__nge"), aggCols: _*)
+        .localCheckpoint(true) // 1 row; 4 config selects read it
+      configs.map { case (r, _, b, _) =>
+        agged.select(lit(r).cast(IntegerType).as("rows_per_band"),
+          lit(b).cast(IntegerType).as("bands"),
+          col("__nge").as("n_pairs_ge50"),
+          col(s"__cg$r").as("exp_caught_ge50_e9"),
+          col("__nband").as("n_pairs_band"),
+          col(s"__cb$r").as("exp_caught_band_e9"))
+      }.reduce(_.unionAll(_))
+    }),
+
+    // token-balanced shard assignment (LPT-flavored): docs ranked by
+    // token count DESC on the two-level-cumsum surrogate (no global
+    // window), dealt boustrophedon across 8 shards — the deterministic
+    // "write balanced training shards" planner with per-shard ppm
+    // deviation from the even split
+    "q317_token_balanced_shards" -> ((s, d) => {
+      val nShards = 8
+      val tc = graft.text.TextOps.tokenCount(col("text")).cast(LongType)
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), tc.as("__tc"))
+        .withColumn("__neg", -col("__tc"))
+      val ranked = graft.operators.DedupOps.globalSurrogateId(
+        docs, "__neg", Seq("doc_id"), "__rk", bucketWidth = 16L)
+      val perShard = ranked
+        .groupBy(expr(s"CAST(CASE WHEN (__rk - 1) div $nShards % 2 = 0" +
+          s" THEN (__rk - 1) % $nShards" +
+          s" ELSE ${nShards - 1} - (__rk - 1) % $nShards END AS INT)")
+          .as("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum("__tc").as("total_tokens"))
+      val grand = perShard.agg(sum("total_tokens").as("__g"))
+      perShard.crossJoin(broadcast(grand))
+        .select(col("shard"), col("n_docs"), col("total_tokens"),
+          expr(s"abs(total_tokens * $nShards - __g) * 1000000 div __g")
+            .as("abs_dev_ppm"),
+          when(col("total_tokens") * nShards > col("__g"), 1)
+            .when(col("total_tokens") * nShards < col("__g"), -1)
+            .otherwise(0).cast(IntegerType).as("over_mean"))
+    }),
+
+    // corpus diversity audit by deterministic random pairing (the
+    // self-BLEU shape without the generation loop): the q98 salted-md5
+    // shuffle pairs position 2k with 2k+1, each pair's 4-gram shingle
+    // Jaccard lands on the e6 lattice, histogrammed by decile — how
+    // self-similar a (synthetic) corpus is under a disjoint O(n)
+    // pairing instead of an O(n^2) sweep
+    "q318_pair_diversity" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.text.TextOps.wordShingles(col("text"), 4).as("__sg"))
+      val pos = graft.operators.SplitOps.shufflePositions(
+        docs, "doc_id", salt = "selfsim")
+        .withColumn("__pair", expr("(shuffle_pos - 1) div 2"))
+        .withColumn("__side", (col("shuffle_pos") - 1L) % 2L)
+      val a = pos.filter(col("__side") === 0L)
+        .select(col("__pair"), col("__sg").as("__sa"))
+      val b = pos.filter(col("__side") === 1L)
+        .select(col("__pair"), col("__sg").as("__sb"))
+      val joined = a.join(b, "__pair") // odd leftover drops here
+        .withColumn("__i",
+          size(array_intersect(col("__sa"), col("__sb"))).cast(LongType))
+        .withColumn("__u",
+          size(col("__sa")) + size(col("__sb")) - col("__i"))
+        .withColumn("__jac", when(col("__u") > 0L,
+          col("__i").cast(DoubleType) / col("__u").cast(DoubleType))
+          .otherwise(lit(0.0d)))
+      joined
+        .groupBy(least(floor(col("__jac") * 10.0d), lit(9.0d))
+          .cast(IntegerType).as("jac_decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(floor(col("__jac") * lit(1e6d) + lit(0.5d)).cast(LongType))
+            .as("sum_jac_e6"))
+    }),
+
+    // order-invariant duplicate screen: a doc's BAG fingerprint is the
+    // md5 of its sorted token:count multiset — catching shuffled /
+    // re-ordered near-copies the sequence digest misses; per source,
+    // sequence-distinct vs bag-distinct counts and the collapse gap.
+    // One token-stream shuffle (groupBy doc,token) — no windows, no
+    // pairs
+    "q319_bag_fingerprint_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("source").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          graft.text.TextOps.tokens(lower(col("text"))).as("__t"))
+      val bags = docs.select(col("doc_id"), explode(col("__t")).as("__w"))
+        .groupBy("doc_id", "__w").agg(count(lit(1)).as("__c"))
+        .groupBy("doc_id")
+        .agg(md5(concat_ws(",", sort_array(collect_list(
+          concat(col("__w"), lit(":"), col("__c").cast(StringType))))))
+          .as("__bag"))
+      docs.join(bags, Seq("doc_id"), "left") // empty-token docs: md5("")
+        .withColumn("__bagfp", coalesce(col("__bag"), md5(lit(""))))
+        .withColumn("__seqfp", md5(array_join(col("__t"), " ")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("__seqfp")).as("n_seq_fp"),
+          countDistinct(col("__bagfp")).as("n_bag_fp"))
+        .withColumn("n_reorder_collapsed",
+          col("n_seq_fp") - col("n_bag_fp"))
+    }),
+
     // boilerplate shingle screen: token 8-grams (md5 digests) whose
     // per-source document frequency crosses max(2, ceil(10% of the
     // source)) — the "strip the nav bar before training" planner;
@@ -6206,6 +6350,172 @@ object ExtendedQueries {
          |LEFT JOIN c8 USING (doc_id) LEFT JOIN c16 USING (doc_id)
          |LEFT JOIN c32 USING (doc_id) LEFT JOIN c64 USING (doc_id)
          |WHERE e.is_eval""".stripMargin
+    },
+
+    // exact quadratic pair enumeration at jac >= 0.25 (the engine's
+    // prefix filter post-checks the same double comparison), the
+    // identical squaring ladder — every multiply/subtract IEEE
+    // correctly rounded, so the e9 lattice values match bit for bit
+    "q316_lsh_band_planner" -> {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      // (r, b, s^r column, q^b squaring count)
+      val configs = Seq((2, 64, "s2", 6), (4, 32, "s4", 5),
+        (8, 16, "s8", 4), (16, 8, "s16", 3))
+      def sqs(e: String, k: Int): String =
+        (1 to k).foldLeft(e)((a, _) => s"($a * $a)")
+      val lats = configs.map { case (r, _, sc, lb) =>
+        s"CAST(floor((1.0 - ${sqs(s"(1.0 - $sc)", lb)}) * 1000000000.0" +
+          s" + 0.5) AS BIGINT) AS lat$r"
+      }.mkString(",\n         |    ")
+      val aggs = configs.map { case (r, _, _, _) =>
+        s"""CAST(COALESCE(sum(CASE WHEN jac >= 0.5 THEN lat$r ELSE 0 END),
+           |      0) AS BIGINT) AS cg$r,
+           |    CAST(COALESCE(sum(CASE WHEN jac < 0.5 THEN lat$r ELSE 0 END),
+           |      0) AS BIGINT) AS cb$r""".stripMargin
+      }.mkString(",\n    ")
+      val closings = configs.map { case (r, b, _, _) =>
+        s"""SELECT CAST($r AS INTEGER) AS rows_per_band,
+           |  CAST($b AS INTEGER) AS bands, nge AS n_pairs_ge50,
+           |  cg$r AS exp_caught_ge50_e9, nband AS n_pairs_band,
+           |  cb$r AS exp_caught_band_e9 FROM agg""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(toks[i:i+2], ' ')
+         |                   for i in range(1, len(toks)-1)]) s
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text, $ws),
+         |                '\\s+') toks
+         |        FROM documents)
+         |  WHERE len(toks) >= 3
+         |), j AS MATERIALIZED (
+         |  SELECT len(list_intersect(a.s, b.s))::DOUBLE /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.s, b.s))::DOUBLE /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         |      >= 0.25
+         |), p1 AS (SELECT jac, (jac * jac) AS s2 FROM j),
+         |p2 AS (SELECT *, (s2 * s2) AS s4 FROM p1),
+         |p3 AS (SELECT *, (s4 * s4) AS s8 FROM p2),
+         |p4 AS (SELECT *, (s8 * s8) AS s16 FROM p3),
+         |lat AS (
+         |  SELECT jac,
+         |    $lats
+         |  FROM p4
+         |), agg AS (
+         |  SELECT
+         |    CAST(COALESCE(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END),
+         |      0) AS BIGINT) AS nge,
+         |    CAST(COALESCE(sum(CASE WHEN jac < 0.5 THEN 1 ELSE 0 END),
+         |      0) AS BIGINT) AS nband,
+         |    $aggs
+         |  FROM lat
+         |)
+         |$closings""".stripMargin
+    },
+
+    // naive global row_number replay of the two-level surrogate rank
+    // (tc DESC, doc_id ASC ties), the same boustrophedon deal and
+    // integer ppm closings
+    "q317_token_balanced_shards" -> {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text, $ws)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text, $ws), '\\s+'))
+         |    END AS tc
+         |  FROM documents WHERE text IS NOT NULL
+         |), r AS (
+         |  SELECT tc,
+         |    row_number() OVER (ORDER BY tc DESC, doc_id ASC) - 1 AS i
+         |  FROM d
+         |), a AS (
+         |  SELECT CAST(CASE WHEN (i // 8) % 2 = 0 THEN i % 8
+         |              ELSE 7 - (i % 8) END AS INTEGER) AS shard,
+         |    count(*) AS n_docs, CAST(sum(tc) AS BIGINT) AS total_tokens
+         |  FROM r GROUP BY 1
+         |), g AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS grand FROM a)
+         |SELECT shard, n_docs, total_tokens,
+         |  CAST(abs(total_tokens * 8 - grand) * 1000000 // grand
+         |    AS BIGINT) AS abs_dev_ppm,
+         |  CAST(CASE WHEN total_tokens * 8 > grand THEN 1
+         |            WHEN total_tokens * 8 < grand THEN -1
+         |            ELSE 0 END AS INTEGER) AS over_mean
+         |FROM a, g""".stripMargin
+    },
+
+    // the q98 salted-md5 rank replayed as a naive global row_number,
+    // disjoint (2k, 2k+1) pairing, 4-gram set Jaccard per pair, the
+    // same decile clamp and e6 lattice sum
+    "q318_pair_diversity" -> {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) >= 4 THEN
+         |      list_distinct([array_to_string(toks[i:i+3], ' ')
+         |                     for i in range(1, len(toks)-2)])
+         |    ELSE []::VARCHAR[] END AS s
+         |  FROM (SELECT doc_id,
+         |          CASE WHEN length(trim(text, $ws)) = 0
+         |            THEN []::VARCHAR[]
+         |            ELSE regexp_split_to_array(trim(text, $ws), '\\s+')
+         |          END AS toks
+         |        FROM documents WHERE text IS NOT NULL)
+         |), pos AS (
+         |  SELECT doc_id, s, row_number() OVER (
+         |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+         |      || '|selfsim'), 1, 8))::UBIGINT ASC, doc_id ASC) - 1 AS i
+         |  FROM sh
+         |), pr AS (
+         |  SELECT a.s AS sa, b.s AS sb
+         |  FROM pos a JOIN pos b
+         |    ON b.i = a.i + 1 AND a.i % 2 = 0
+         |), jc AS (
+         |  SELECT CASE WHEN len(sa) + len(sb)
+         |        - len(list_intersect(sa, sb)) > 0 THEN
+         |      len(list_intersect(sa, sb))::DOUBLE
+         |        / (len(sa) + len(sb) - len(list_intersect(sa, sb)))
+         |    ELSE 0.0 END AS jac
+         |  FROM pr
+         |)
+         |SELECT CAST(least(floor(jac * 10.0), 9.0) AS INTEGER)
+         |    AS jac_decile,
+         |  count(*) AS n_pairs,
+         |  CAST(sum(CAST(floor(jac * 1000000.0 + 0.5) AS BIGINT))
+         |    AS BIGINT) AS sum_jac_e6
+         |FROM jc GROUP BY 1""".stripMargin
+    },
+
+    // bag fingerprint replayed as string_agg of token:count sorted
+    // under the shared binary collation; sequence digest = md5 of the
+    // space-joined token array; distinct counts per source
+    "q319_bag_fingerprint_dedup" -> {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      s"""WITH d AS MATERIALIZED (
+         |  SELECT source, doc_id,
+         |    CASE WHEN length(trim(text, $ws)) = 0 THEN []::VARCHAR[]
+         |         ELSE regexp_split_to_array(lower(trim(text, $ws)),
+         |           '\\s+') END AS t
+         |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+         |), w AS (
+         |  SELECT doc_id, unnest(t) AS w FROM d
+         |), cnt AS (
+         |  SELECT doc_id, w || ':' || CAST(count(*) AS VARCHAR) AS e
+         |  FROM w GROUP BY doc_id, w
+         |), bag AS (
+         |  SELECT doc_id, md5(string_agg(e, ',' ORDER BY e)) AS bag_fp
+         |  FROM cnt GROUP BY 1
+         |)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(count(DISTINCT md5(array_to_string(d.t, ' ')))
+         |    AS BIGINT) AS n_seq_fp,
+         |  CAST(count(DISTINCT COALESCE(b.bag_fp, md5('')))
+         |    AS BIGINT) AS n_bag_fp,
+         |  CAST(count(DISTINCT md5(array_to_string(d.t, ' ')))
+         |    - count(DISTINCT COALESCE(b.bag_fp, md5('')))
+         |    AS BIGINT) AS n_reorder_collapsed
+         |FROM d LEFT JOIN bag b USING (doc_id)
+         |GROUP BY 1""".stripMargin
     },
 
     // the q225 scalar-unnest int8 replay with every vector as corpus

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-13 pipeline-planner queries (q316–q319)
+  * on real sf0.001 data: the LSH band planner's S-curve monotonicity,
+  * the token-balanced shard deal's balance guarantee, the disjoint
+  * random-pairing diversity audit's accounting, and the bag-vs-seq
+  * fingerprint ordering.
+  */
+class PipelinePlannersSpec extends SparkSpec {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf("sf0.001")).collect()
+
+  test("q316 band planner: 4 configs; expected catch is bounded by the " +
+    "pair count on the e9 lattice and monotone DOWN in rows-per-band " +
+    "(a stricter band catches less at fixed 128-hash budget)") {
+    val rows = run("q316_lsh_band_planner")
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(rows.length === 4)
+    assert(rows.map(t => t._1 * t._2).toSeq === Seq(128, 128, 128, 128))
+    rows.foreach { case (r, b, nge, cg, nband, cb) =>
+      assert(cg <= nge * 1000000000L + nge, s"r=$r caught > possible")
+      assert(cb <= nband * 1000000000L + nband, s"r=$r band catch bound")
+      assert(cg >= 0 && cb >= 0)
+    }
+    // same pair set for every config row
+    assert(rows.map(_._3).distinct.length === 1)
+    assert(rows.map(_._5).distinct.length === 1)
+    // P = 1-(1-s^r)^b falls as r rises (s in [0,1), rb fixed)
+    val catches = rows.map(_._4).toSeq
+    assert(catches.sliding(2).forall(p => p(1) <= p.head),
+      s"catch must fall with rows-per-band: $catches")
+    val bandCatches = rows.map(_._6).toSeq
+    assert(bandCatches.sliding(2).forall(p => p(1) <= p.head))
+  }
+
+  test("q317 token-balanced shards: all 8 shards, docs and tokens " +
+    "conserved, and the boustrophedon deal keeps every shard within " +
+    "one max-document of the even split") {
+    val sfDir = sf("sf0.001")
+    val docs = Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+    val nDocs = docs.count()
+    val maxTc = docs
+      .agg(max(graft.text.TextOps.tokenCount(col("text")).cast("long")))
+      .head().getLong(0)
+    val rows = run("q317_token_balanced_shards")
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).sorted.toSeq === (0 until 8))
+    assert(rows.map(_._2).sum === nDocs)
+    val totals = rows.map(_._3)
+    // LPT-snake balance: spread bounded by one largest document
+    assert(totals.max - totals.min <= maxTc,
+      s"spread ${totals.max - totals.min} > max doc $maxTc")
+  }
+
+  test("q318 pair diversity: pair count = floor(n/2), deciles in 0..9, " +
+    "lattice sum bounded by n_pairs * 1e6") {
+    val nDocs = Tables.documents(spark, sf("sf0.001"))
+      .filter(col("text").isNotNull).count()
+    val rows = run("q318_pair_diversity")
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._2).sum === nDocs / 2)
+    rows.foreach { case (dec, n, sumE6) =>
+      assert(dec >= 0 && dec <= 9)
+      assert(sumE6 >= 0 && sumE6 <= n * 1000000L)
+      // a pair in decile d has jac >= d/10, so the mean obeys the floor
+      assert(sumE6 >= n * (dec * 100000L) - n,
+        s"decile $dec mean below its own floor")
+    }
+  }
+
+  test("q319 bag fingerprints: bag-distinct <= seq-distinct <= docs per " +
+    "source; the collapse gap is their difference; a hand-built " +
+    "reordered duplicate collapses under bag but not seq") {
+    val rows = run("q319_bag_fingerprint_dedup")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, seq, bag, gap) =>
+      assert(bag <= seq, s"$src: bag fp cannot outnumber seq fp")
+      assert(seq <= n, s"$src: seq fp cannot outnumber docs")
+      assert(gap === seq - bag)
+    }
+    // unit fixture: a token permutation is a bag-dup, not a seq-dup
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "s", "alpha beta gamma"),
+      (2L, "s", "gamma beta alpha"), // permutation of doc 1
+      (3L, "s", "alpha beta gamma"), // exact dup of doc 1
+      (4L, "s", "alpha beta"))
+      .toDF("doc_id", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("q319fix")
+    try {
+      fixture.write.mode("overwrite")
+        .parquet(tmp.resolve("documents.parquet").toString)
+      val out = SparkEntry.queries("q319_bag_fingerprint_dedup")(
+        spark, tmp.toString).collect()
+      assert(out.length === 1)
+      val r = out.head
+      assert(r.getLong(1) === 4L) // n_docs
+      assert(r.getLong(2) === 3L) // seq: {abc, cba, ab}
+      assert(r.getLong(3) === 2L) // bag: {a:1,b:1,g:1}, {a:1,b:1}
+      assert(r.getLong(4) === 1L) // the permutation collapsed
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+}
