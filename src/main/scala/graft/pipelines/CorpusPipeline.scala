@@ -1122,6 +1122,54 @@ object CorpusPipeline {
     exciseCovered(docs, idCol, textCol, dupStarts, windowTokens)
   }
 
+  /** The q300 boilerplate RULE as a reusable frame: per source, the
+    * case-folded `w`-token window hashes whose document frequency
+    * within that source reaches max(2, ceil(n_source_docs/dfDenom)) —
+    * the nav-bar/footer signal. Returns (sourceCol, __h).
+    *
+    * Scale shape: source df aggregates on (source, 8-byte hash) with
+    * map-side combine; the threshold join broadcasts the
+    * #sources-row doc-count table.
+    */
+  def boilerplateSpanHashes(docs: DataFrame, idCol: String, textCol: String,
+                            sourceCol: String, windowTokens: Int = 8,
+                            dfDenom: Int = 10): DataFrame = {
+    require(dfDenom > 0, s"dfDenom must be positive, got $dfDenom")
+    val src = docs.select(col(idCol), col(sourceCol))
+    val nDocs = src.groupBy(col(sourceCol)).agg(count(lit(1)).as("__nd"))
+    spanFrame(docs, idCol, textCol, windowTokens)
+      .join(src, Seq(idCol))
+      .groupBy(col(sourceCol), col("__h"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .join(broadcast(nDocs), Seq(sourceCol))
+      .filter(col("__df") >=
+        greatest(lit(2L), expr(s"(__nd + ${dfDenom - 1}) div $dfDenom")))
+      .select(col(sourceCol), col("__h"))
+  }
+
+  /** Per-source boilerplate span REMOVAL — the fix the q300 screen
+    * calls for: every window matching [[boilerplateSpanHashes]] marks
+    * its token positions, overlapping marked windows merge into
+    * maximal spans, and the spans are excised
+    * ([[removeDuplicateSpans]]'s surgery pointed at within-source
+    * boilerplate instead of cross-document duplication). Matching is
+    * case-folded; excision keeps the surviving ORIGINAL-case tokens.
+    * Returns one row per input document:
+    * (idCol, clean_text, n_tokens, n_removed_tokens).
+    */
+  def removeBoilerplateSpans(docs: DataFrame, idCol: String, textCol: String,
+                             sourceCol: String, windowTokens: Int = 8,
+                             dfDenom: Int = 10): DataFrame = {
+    val boiler = boilerplateSpanHashes(
+      docs, idCol, textCol, sourceCol, windowTokens, dfDenom)
+    val src = docs.select(col(idCol), col(sourceCol))
+    val dupStarts = spanFrame(docs, idCol, textCol, windowTokens)
+      .join(src, Seq(idCol))
+      .join(boiler, Seq(sourceCol, "__h"), "left_semi")
+      .select(col(idCol), col("__s"))
+    exciseCovered(docs, idCol, textCol, dupStarts, windowTokens)
+  }
+
   /** SURGICAL benchmark decontamination — span excision against a
     * benchmark instead of dropping whole documents: every
     * `windowTokens`-token window whose case-folded span occurs

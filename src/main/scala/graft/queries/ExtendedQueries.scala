@@ -1603,6 +1603,49 @@ object ExtendedQueries {
           col("n_seq_fp") - col("n_bag_fp"))
     }),
 
+    // boilerplate span REMOVAL — the fix q300's screen calls for:
+    // within-source high-df 8-token windows (df >= max(2, ceil(10%)))
+    // excised as merged maximal spans, q91's surgery pointed at the
+    // nav-bar signal; one row per doc with the rebuilt text
+    "q320_boilerplate_removal" -> ((s, d) =>
+      graft.pipelines.CorpusPipeline.removeBoilerplateSpans(
+        Tables.documents(s, d).filter(col("source").isNotNull),
+        "doc_id", "text", "source", windowTokens = 8, dfDenom = 10)),
+
+    // the audit closing the q300 -> q320 story: re-screen the CLEANED
+    // corpus with the same rule and report, per source, boilerplate
+    // span types before vs after plus the removed token mass —
+    // residual types are honest output (excision seams can mint new
+    // windows; thresholds are unchanged because no document is
+    // dropped)
+    "q321_boilerplate_residual" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("source").isNotNull)
+      val src = docs.select(col("doc_id"), col("source"))
+      val before = graft.pipelines.CorpusPipeline.boilerplateSpanHashes(
+          docs, "doc_id", "text", "source")
+        .groupBy("source").agg(count(lit(1)).as("n_boiler_types_before"))
+      // checkpoint: the cleaned frame feeds BOTH the re-screen and the
+      // removed-mass rollup — without it the whole excision chain
+      // would run twice
+      val cleaned = graft.pipelines.CorpusPipeline.removeBoilerplateSpans(
+          docs, "doc_id", "text", "source")
+        .join(src, "doc_id")
+        .localCheckpoint(true)
+      val after = graft.pipelines.CorpusPipeline.boilerplateSpanHashes(
+          cleaned, "doc_id", "clean_text", "source")
+        .groupBy("source").agg(count(lit(1)).as("n_boiler_types_after"))
+      cleaned.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_removed_tokens").as("n_removed_tokens"))
+        .join(before, Seq("source"), "left")
+        .join(after, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_removed_tokens"),
+          coalesce(col("n_boiler_types_before"), lit(0L))
+            .as("n_boiler_types_before"),
+          coalesce(col("n_boiler_types_after"), lit(0L))
+            .as("n_boiler_types_after"))
+    }),
+
     // boilerplate shingle screen: token 8-grams (md5 digests) whose
     // per-source document frequency crosses max(2, ceil(10% of the
     // source)) — the "strip the nav bar before training" planner;
@@ -2827,6 +2870,60 @@ object ExtendedQueries {
       |  LEFT JOIN heads h ON h.w1 = x.w1
       |  LEFT JOIN cont ct ON ct.w2 = x.w2
       |)""".stripMargin
+
+  /** The q320 boilerplate-removal CTE chain (q91's replay with the df
+    * rule swapped to the per-source max(2, ceil(10%)) threshold),
+    * shared by the q320 per-doc closing and the q321 re-screen.
+    * Leaves `toks`, `ndt`, `boiler`, and `rebuilt` in scope.
+    */
+  private val boilerRemovalCte: String = {
+    val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    CASE WHEN text IS NULL OR length(trim(text, $ws)) = 0
+       |         THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(trim(text, $ws), '\\s+')
+       |    END AS t,
+       |    CASE WHEN text IS NULL OR length(trim(text, $ws)) = 0
+       |         THEN CAST([] AS VARCHAR[])
+       |         ELSE regexp_split_to_array(lower(trim(text, $ws)),
+       |           '\\s+')
+       |    END AS lt
+       |  FROM documents WHERE source IS NOT NULL
+       |), ndt AS (
+       |  SELECT source, count(*) AS nd FROM toks GROUP BY 1
+       |), spans AS MATERIALIZED (
+       |  SELECT doc_id, source, CAST(u.strt AS INTEGER) AS strt, u.span
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      unnest([{'strt': i, 'span': array_to_string(lt[i:i+7], ' ')}
+       |              for i in range(1, len(lt)-6)]) AS u
+       |    FROM toks WHERE len(lt) >= 8)
+       |), bdf AS (
+       |  SELECT source, span, count(DISTINCT doc_id) AS df
+       |  FROM spans GROUP BY 1, 2
+       |), boiler AS MATERIALIZED (
+       |  SELECT b.source, b.span FROM bdf b JOIN ndt USING (source)
+       |  WHERE b.df >= greatest(2, (ndt.nd + 9) // 10)
+       |), covered AS (
+       |  SELECT DISTINCT doc_id, strt + j AS p FROM (
+       |    SELECT s.doc_id, s.strt, unnest(range(0, 8)) AS j
+       |    FROM spans s
+       |    JOIN boiler b ON b.source = s.source AND b.span = s.span)
+       |), toklist AS (
+       |  SELECT doc_id, unnest(t) AS tok,
+       |    CAST(unnest(range(1, len(t)+1)) AS INTEGER) AS p
+       |  FROM toks
+       |), kept AS (
+       |  SELECT k.doc_id, k.p, k.tok FROM toklist k
+       |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+       |                    WHERE c.doc_id = k.doc_id AND c.p = k.p)
+       |), rebuilt AS (
+       |  SELECT doc_id, count(*) AS nk,
+       |    string_agg(tok, ' ' ORDER BY p) AS clean
+       |  FROM kept GROUP BY doc_id
+       |)""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     // independent recomputation: distinct (user, day) activity joined
@@ -6517,6 +6614,58 @@ object ExtendedQueries {
          |FROM d LEFT JOIN bag b USING (doc_id)
          |GROUP BY 1""".stripMargin
     },
+
+    // q91's removal replay with the df rule swapped to the per-source
+    // boilerplate threshold (span STRINGS vs the engine's xxhash64 —
+    // the q84 birthday-bound note)
+    "q320_boilerplate_removal" ->
+      s"""$boilerRemovalCte
+         |SELECT t.doc_id, COALESCE(r.clean, '') AS clean_text,
+         |  CAST(len(t.t) AS BIGINT) AS n_tokens,
+         |  CAST(len(t.t) - COALESCE(r.nk, 0) AS BIGINT)
+         |    AS n_removed_tokens
+         |FROM toks t LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+
+    // the full removal replay re-screened: the same rule over the
+    // rebuilt text (thresholds unchanged — no document dropped),
+    // before/after boilerplate type counts per source
+    "q321_boilerplate_residual" ->
+      s"""$boilerRemovalCte,
+         |cleaned AS MATERIALIZED (
+         |  SELECT t.doc_id, t.source, COALESCE(r.clean, '') AS clean,
+         |    CAST(len(t.t) - COALESCE(r.nk, 0) AS BIGINT) AS removed
+         |  FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+         |), ctoks AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN length(clean) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE regexp_split_to_array(lower(clean), ' ') END AS lt
+         |  FROM cleaned
+         |), spans2 AS (
+         |  SELECT doc_id, source,
+         |    unnest([array_to_string(lt[i:i+7], ' ')
+         |            for i in range(1, len(lt)-6)]) AS span
+         |  FROM ctoks WHERE len(lt) >= 8
+         |), bdf2 AS (
+         |  SELECT source, span, count(DISTINCT doc_id) AS df
+         |  FROM spans2 GROUP BY 1, 2
+         |), boiler2 AS (
+         |  SELECT b.source, b.span FROM bdf2 b JOIN ndt USING (source)
+         |  WHERE b.df >= greatest(2, (ndt.nd + 9) // 10)
+         |), nb1 AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n1
+         |  FROM boiler GROUP BY 1
+         |), nb2 AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n2
+         |  FROM boiler2 GROUP BY 1
+         |)
+         |SELECT g.source, g.n_docs, g.n_removed_tokens,
+         |  COALESCE(nb1.n1, 0) AS n_boiler_types_before,
+         |  COALESCE(nb2.n2, 0) AS n_boiler_types_after
+         |FROM (SELECT source, count(*) AS n_docs,
+         |        CAST(sum(removed) AS BIGINT) AS n_removed_tokens
+         |      FROM cleaned GROUP BY 1) g
+         |LEFT JOIN nb1 USING (source)
+         |LEFT JOIN nb2 USING (source)""".stripMargin,
 
     // the q225 scalar-unnest int8 replay with every vector as corpus
     // and the 1-in-7 id sample as queries; row_number 5-NN, label

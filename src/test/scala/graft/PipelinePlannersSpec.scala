@@ -112,4 +112,51 @@ class PipelinePlannersSpec extends SparkSpec {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("q320/q321 boilerplate removal: a shared 8-token header is " +
+    "excised from every doc of its source, unique text survives " +
+    "verbatim, accounting ties out, and the residual audit reads " +
+    "zero after the fix") {
+    import spark.implicits._
+    val header = "one two three four five six seven eight"
+    val fixture = Seq(
+      (1L, "a", s"$header alpha beta gamma delta epsilon zeta"),
+      (2L, "a", s"$header bravo charlie delta echo foxtrot golf"),
+      (3L, "a", s"$header hotel india juliet kilo lima mike"),
+      (4L, "b", "unique text here with no shared window at all ok"),
+      (5L, "b", "another fully unique doc without any repeats here"))
+      .toDF("doc_id", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("q320fix")
+    try {
+      fixture.write.mode("overwrite")
+        .parquet(tmp.resolve("documents.parquet").toString)
+      val cleaned = SparkEntry.queries("q320_boilerplate_removal")(
+        spark, tmp.toString).collect()
+        .map(r => r.getLong(0) ->
+          (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+      assert(cleaned.size === 5)
+      // source a: df(header windows) = 3 >= max(2, ceil(3/10)) -> cut
+      assert(cleaned(1L)._1 === "alpha beta gamma delta epsilon zeta")
+      assert(cleaned(1L)._3 === 8L)
+      assert(cleaned(2L)._3 === 8L && cleaned(3L)._3 === 8L)
+      // source b: nothing shared, nothing touched
+      assert(cleaned(4L) ===
+        ("unique text here with no shared window at all ok", 10L, 0L))
+      assert(cleaned(5L)._3 === 0L)
+      cleaned.values.foreach { case (_, n, rm) =>
+        assert(rm >= 0L && rm <= n)
+      }
+      val audit = SparkEntry.queries("q321_boilerplate_residual")(
+        spark, tmp.toString).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(audit("a") === ((3L, 24L, 1L, 0L)))
+      assert(audit("b") === ((2L, 0L, 0L, 0L)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
