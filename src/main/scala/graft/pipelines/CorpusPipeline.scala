@@ -1159,9 +1159,14 @@ object CorpusPipeline {
     */
   def removeBoilerplateSpans(docs: DataFrame, idCol: String, textCol: String,
                              sourceCol: String, windowTokens: Int = 8,
-                             dfDenom: Int = 10): DataFrame = {
-    val boiler = boilerplateSpanHashes(
-      docs, idCol, textCol, sourceCol, windowTokens, dfDenom)
+                             dfDenom: Int = 10,
+                             precomputedHashes: Option[DataFrame] = None)
+      : DataFrame = {
+    // callers that already hold the rule frame (q321 screens BEFORE
+    // removing) pass it in, saving the heaviest pass — the
+    // (source, hash) countDistinct over the exploded span stream
+    val boiler = precomputedHashes.getOrElse(boilerplateSpanHashes(
+      docs, idCol, textCol, sourceCol, windowTokens, dfDenom))
     val src = docs.select(col(idCol), col(sourceCol))
     val dupStarts = spanFrame(docs, idCol, textCol, windowTokens)
       .join(src, Seq(idCol))

@@ -1621,14 +1621,20 @@ object ExtendedQueries {
     "q321_boilerplate_residual" -> ((s, d) => {
       val docs = Tables.documents(s, d).filter(col("source").isNotNull)
       val src = docs.select(col("doc_id"), col("source"))
-      val before = graft.pipelines.CorpusPipeline.boilerplateSpanHashes(
+      // ONE rule pass: the checkpointed (source, hash) frame feeds the
+      // before-count AND the removal (the countDistinct over the span
+      // stream is the family's heaviest stage — don't run it twice)
+      val boiler = graft.pipelines.CorpusPipeline.boilerplateSpanHashes(
           docs, "doc_id", "text", "source")
+        .localCheckpoint(true)
+      val before = boiler
         .groupBy("source").agg(count(lit(1)).as("n_boiler_types_before"))
       // checkpoint: the cleaned frame feeds BOTH the re-screen and the
       // removed-mass rollup — without it the whole excision chain
       // would run twice
       val cleaned = graft.pipelines.CorpusPipeline.removeBoilerplateSpans(
-          docs, "doc_id", "text", "source")
+          docs, "doc_id", "text", "source",
+          precomputedHashes = Some(boiler))
         .join(src, "doc_id")
         .localCheckpoint(true)
       val after = graft.pipelines.CorpusPipeline.boilerplateSpanHashes(
