@@ -6610,11 +6610,11 @@ object ExtendedQueries {
          |  FROM cnt GROUP BY 1
          |)
          |SELECT d.source, count(*) AS n_docs,
-         |  CAST(count(DISTINCT md5(array_to_string(d.t, ' ')))
+         |  CAST(count(DISTINCT md5(COALESCE(array_to_string(d.t, ' '), '')))
          |    AS BIGINT) AS n_seq_fp,
          |  CAST(count(DISTINCT COALESCE(b.bag_fp, md5('')))
          |    AS BIGINT) AS n_bag_fp,
-         |  CAST(count(DISTINCT md5(array_to_string(d.t, ' ')))
+         |  CAST(count(DISTINCT md5(COALESCE(array_to_string(d.t, ' '), '')))
          |    - count(DISTINCT COALESCE(b.bag_fp, md5('')))
          |    AS BIGINT) AS n_reorder_collapsed
          |FROM d LEFT JOIN bag b USING (doc_id)
