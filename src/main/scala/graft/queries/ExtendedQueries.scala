@@ -1652,6 +1652,63 @@ object ExtendedQueries {
             .as("n_boiler_types_after"))
     }),
 
+    // leave-one-out source influence on the corpus LM loss — the
+    // attribution twin of q315's reweighting: per source, the global
+    // mean NLL with the source DROPPED, as exact integer arithmetic
+    // on the shared e6 lattice (loo = (gs - se) div (gn - n)).
+    // influence_e6 < 0 ⇔ the corpus scores better without the source
+    // (the source sits above the average loss). The KN scorer is the
+    // whole cost; the attribution rides the same #sources-row
+    // checkpointed rollup q315 uses
+    "q322_loo_source_influence" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lm = graft.text.NgramLm.trainKneserNey(docs, "text")
+      val scored = graft.text.NgramLm.scoreKneserNey(
+        docs, "doc_id", "text", lm)
+      val perDoc = scored.select(col("doc_id"),
+        floor(col("avg_nll") * lit(1e6d) + lit(0.5d)).cast(LongType)
+          .as("__ne6"))
+      val src = docs.filter(col("source").isNotNull)
+        .select(col("doc_id"), col("source"))
+      val ps = perDoc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("__ne6").as("__se"))
+        .localCheckpoint(true)
+      val g = ps.agg(sum("__se").as("__gs"), sum("n_docs").as("__gn"))
+      ps.crossJoin(broadcast(g))
+        .select(col("source"), col("n_docs"),
+          expr("__se div n_docs").as("mean_nll_e6"),
+          expr("__gs div __gn").as("global_mean_nll_e6"),
+          when(col("__gn") > col("n_docs"),
+            expr("(__gs - __se) div (__gn - n_docs)"))
+            .otherwise(lit(null).cast(LongType)).as("loo_mean_nll_e6"),
+          when(col("__gn") > col("n_docs"),
+            expr("(__gs - __se) div (__gn - n_docs) - __gs div __gn"))
+            .otherwise(lit(null).cast(LongType)).as("influence_e6"))
+    }),
+
+    // deterministic shard MANIFESTS — the reproducibility closing of
+    // q317's deal: per shard, the md5 of the comma-joined doc-id list
+    // (binary-sorted as strings on both engines) beside the doc/token
+    // totals; the artifact a pipeline diffs across runs to prove the
+    // sharding is stable before pointing a trainer at it
+    "q323_shard_manifest" -> ((s, d) => {
+      val nShards = 8
+      val tc = graft.text.TextOps.tokenCount(col("text")).cast(LongType)
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), tc.as("__tc"))
+        .withColumn("__neg", -col("__tc"))
+      graft.operators.DedupOps.globalSurrogateId(
+          docs, "__neg", Seq("doc_id"), "__rk", bucketWidth = 16L)
+        .groupBy(expr(s"CAST(CASE WHEN (__rk - 1) div $nShards % 2 = 0" +
+          s" THEN (__rk - 1) % $nShards" +
+          s" ELSE ${nShards - 1} - (__rk - 1) % $nShards END AS INT)")
+          .as("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum("__tc").as("total_tokens"),
+          md5(concat_ws(",", sort_array(collect_list(
+            col("doc_id").cast(StringType))))).as("manifest_md5"))
+    }),
+
     // boilerplate shingle screen: token 8-grams (md5 digests) whose
     // per-source document frequency crosses max(2, ceil(10% of the
     // source)) — the "strip the nav bar before training" planner;
@@ -6672,6 +6729,59 @@ object ExtendedQueries {
          |      FROM cleaned GROUP BY 1) g
          |LEFT JOIN nb1 USING (source)
          |LEFT JOIN nb2 USING (source)""".stripMargin,
+
+    // the q315 rollup extended with the dropped-source mean — shared
+    // KN retrain CTE, pure BIGINT closings, NULL-guarded single-source
+    // degenerate
+    "q322_loo_source_influence" ->
+      (knScoreCte + """,
+        |perdoc AS (
+        |  SELECT doc_id,
+        |    CAST(floor(round(avg(nll), 6) * 1e6 + 0.5) AS BIGINT) AS ne6
+        |  FROM score GROUP BY 1
+        |), src AS (
+        |  SELECT doc_id, source FROM documents WHERE source IS NOT NULL
+        |), ps AS (
+        |  SELECT s.source, count(*) AS n_docs, sum(p.ne6) AS se
+        |  FROM perdoc p JOIN src s USING (doc_id) GROUP BY 1
+        |), g AS (SELECT sum(se) AS gs, sum(n_docs) AS gn FROM ps)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(se // n_docs AS BIGINT) AS mean_nll_e6,
+        |  CAST((SELECT gs FROM g) // (SELECT gn FROM g) AS BIGINT)
+        |    AS global_mean_nll_e6,
+        |  CAST(CASE WHEN (SELECT gn FROM g) > n_docs
+        |       THEN ((SELECT gs FROM g) - se)
+        |            // ((SELECT gn FROM g) - n_docs)
+        |       END AS BIGINT) AS loo_mean_nll_e6,
+        |  CAST(CASE WHEN (SELECT gn FROM g) > n_docs
+        |       THEN ((SELECT gs FROM g) - se)
+        |            // ((SELECT gn FROM g) - n_docs)
+        |            - (SELECT gs FROM g) // (SELECT gn FROM g)
+        |       END AS BIGINT) AS influence_e6
+        |FROM ps""".stripMargin),
+
+    // q317's row_number + snake-deal twin with the manifest digest:
+    // doc ids sorted AS STRINGS under the shared binary collation
+    "q323_shard_manifest" -> {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text, $ws)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text, $ws), '\\s+'))
+         |    END AS tc
+         |  FROM documents WHERE text IS NOT NULL
+         |), r AS (
+         |  SELECT doc_id, tc,
+         |    row_number() OVER (ORDER BY tc DESC, doc_id ASC) - 1 AS i
+         |  FROM d
+         |)
+         |SELECT CAST(CASE WHEN (i // 8) % 2 = 0 THEN i % 8
+         |            ELSE 7 - (i % 8) END AS INTEGER) AS shard,
+         |  count(*) AS n_docs, CAST(sum(tc) AS BIGINT) AS total_tokens,
+         |  md5(string_agg(CAST(doc_id AS VARCHAR), ','
+         |    ORDER BY CAST(doc_id AS VARCHAR))) AS manifest_md5
+         |FROM r GROUP BY 1""".stripMargin
+    },
 
     // the q225 scalar-unnest int8 replay with every vector as corpus
     // and the 1-in-7 id sample as queries; row_number 5-NN, label

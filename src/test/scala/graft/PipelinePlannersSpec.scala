@@ -159,4 +159,39 @@ class PipelinePlannersSpec extends SparkSpec {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("q322 leave-one-out influence: dropping a source moves the " +
+    "remaining mean AWAY from that source's own mean, and the exact " +
+    "mixture identity ties the three means together") {
+    val rows = run("q322_loo_source_influence")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length > 1)
+    val globals = rows.map(_._4).distinct
+    assert(globals.length === 1, "one global mean")
+    rows.foreach { case (src, n, mean, g, loo, infl) =>
+      assert(infl === loo - g, s"$src: influence definition")
+      // above-average source -> corpus improves without it (and the
+      // converse); integer-div truncation bounds the neutral band
+      if (mean > g) assert(loo <= g, s"$src: dropping a worse source")
+      if (mean < g) assert(loo >= g, s"$src: dropping a better source")
+      // loo mean must sit on the opposite side of the source mean
+      assert((loo - mean).sign * (g - mean).sign >= 0,
+        s"$src: loo moved toward the dropped source")
+    }
+  }
+
+  test("q323 shard manifests: 8 shards, totals conserved vs q317, and " +
+    "the manifest digests are distinct (disjoint membership)") {
+    val a = run("q317_token_balanced_shards")
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val m = run("q323_shard_manifest")
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(m.length === 8)
+    m.foreach { case (shard, n, tok, _) =>
+      assert(a(shard) === ((n, tok)),
+        s"shard $shard: manifest disagrees with q317's deal")
+    }
+    assert(m.map(_._4).distinct.length === 8, "digests must be distinct")
+  }
 }
