@@ -1709,6 +1709,64 @@ object ExtendedQueries {
             col("doc_id").cast(StringType))))).as("manifest_md5"))
     }),
 
+    // LSH band-planner BACKTEST — q316 predicts, this measures: a
+    // PORTABLE md5-keyed 128-perm MinHash (per-perm min of the
+    // fixed-width hex digest — string order = unsigned order, so the
+    // whole sketch replays engine-free), banded at (8,16) and (16,8),
+    // actual caught true pairs + total candidate load vs the S-curve
+    // expectation on the SAME exact-Jaccard pair frame. The loop a
+    // dedup pipeline closes before trusting the planner's math
+    "q324_lsh_backtest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = graft.dedup.NearDup.prefixJaccardPairs(
+        docs, "doc_id", "text", n = 3, threshold = 0.25)
+      val jac = col("inter_size").cast(DoubleType) /
+        (col("size_a") + col("size_b") - col("inter_size"))
+          .cast(DoubleType)
+      val truth = pairs.select(col("id_a"), col("id_b"), jac.as("__jac"))
+        .localCheckpoint(true) // threshold-bounded; feeds 2 configs
+      // 128 per-perm mins built INSIDE the doc row (no shuffle blowup)
+      val mins = docs
+        .filter(size(graft.text.TextOps.tokens(col("text"))) >= 3)
+        .select(col("doc_id"),
+          graft.text.TextOps.wordShingles(col("text"), 3).as("__sh"))
+        .select(col("doc_id"),
+          transform(sequence(lit(0), lit(127)), p =>
+            array_min(transform(col("__sh"), x => substring(
+              md5(concat(p.cast(StringType), lit("|"), x)), 1, 16))))
+            .as("__mins"))
+        .localCheckpoint(true) // one sketch pass shared by the configs
+      def sq(c: Column, k: Int): Column =
+        (1 to k).foldLeft(c)((a, _) => a * a)
+      Seq((8, 3, 16, 4), (16, 4, 8, 3)).map { case (r, lr, b, lb) =>
+        val bands = mins.select(col("doc_id"), posexplode(
+            transform(sequence(lit(0), lit(b - 1)), i =>
+              md5(concat_ws("", slice(col("__mins"), i * r + 1, lit(r))))))
+            .as(Seq("__b", "__k")))
+        val cand = bands
+          .select(col("__b"), col("__k"), col("doc_id").as("id_a"))
+          .join(bands.select(col("__b"), col("__k"),
+            col("doc_id").as("id_b")), Seq("__b", "__k"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+          .localCheckpoint(true) // feeds the count AND the semi-join
+        val p = lit(1.0d) - sq(lit(1.0d) - sq(col("__jac"), lr), lb)
+        val exp = truth.filter(col("__jac") >= 0.5)
+          .agg(count(lit(1)).as("n_pairs_ge50"),
+            coalesce(sum(floor(p * lit(1e9d) + lit(0.5d))
+              .cast(LongType)), lit(0L)).as("exp_caught_ge50_e9"))
+        val actual = truth.filter(col("__jac") >= 0.5)
+          .join(cand, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("actual_caught_ge50"))
+        val nCand = cand.agg(count(lit(1)).as("n_band_candidates"))
+        exp.crossJoin(actual).crossJoin(nCand)
+          .select(lit(r).cast(IntegerType).as("rows_per_band"),
+            lit(b).cast(IntegerType).as("bands"),
+            col("n_pairs_ge50"), col("exp_caught_ge50_e9"),
+            col("actual_caught_ge50"), col("n_band_candidates"))
+      }.reduce(_.unionAll(_))
+    }),
+
     // boilerplate shingle screen: token 8-grams (md5 digests) whose
     // per-source document frequency crosses max(2, ceil(10% of the
     // source)) — the "strip the nav bar before training" planner;
@@ -6781,6 +6839,75 @@ object ExtendedQueries {
          |  md5(string_agg(CAST(doc_id AS VARCHAR), ','
          |    ORDER BY CAST(doc_id AS VARCHAR))) AS manifest_md5
          |FROM r GROUP BY 1""".stripMargin
+    },
+
+    // the sketch replayed end to end: per-perm min of the SAME hex
+    // digests, band keys as md5 of the p-ordered concatenation,
+    // candidate self-join, q316's squaring ladder for the expectation
+    "q324_lsh_backtest" -> {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      def cfg(r: Int, b: Int, srCol: String, lb: Int): String = {
+        def sqs(e: String, k: Int): String =
+          (1 to k).foldLeft(e)((a, _) => s"($a * $a)")
+        val pExpr = s"(1.0 - ${sqs(s"(1.0 - $srCol)", lb)})"
+        s"""bk$r AS (
+           |  SELECT doc_id, p // $r AS b,
+           |    md5(string_agg(mh, '' ORDER BY p)) AS k
+           |  FROM mh GROUP BY doc_id, p // $r
+           |), cand$r AS MATERIALIZED (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bk$r a JOIN bk$r b
+           |    ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
+           |), agg$r AS (
+           |  SELECT
+           |    CAST(count(*) AS BIGINT) AS n_pairs_ge50,
+           |    CAST(COALESCE(sum(CAST(floor($pExpr * 1000000000.0 + 0.5)
+           |      AS BIGINT)), 0) AS BIGINT) AS exp_caught_ge50_e9,
+           |    CAST(COALESCE(sum(CASE WHEN c.id_a IS NOT NULL
+           |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS actual_caught_ge50,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM cand$r)
+           |      AS n_band_candidates
+           |  FROM lad j LEFT JOIN cand$r c USING (id_a, id_b)
+           |  WHERE j.jac >= 0.5
+           |)""".stripMargin
+      }
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(toks[i:i+2], ' ')
+         |                   for i in range(1, len(toks)-1)]) s
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text, $ws),
+         |                '\\s+') toks
+         |        FROM documents)
+         |  WHERE len(toks) >= 3
+         |), j AS MATERIALIZED (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.s, b.s))::DOUBLE /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.s, b.s))::DOUBLE /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         |      >= 0.25
+         |), l1 AS (SELECT *, (jac * jac) AS s2 FROM j),
+         |l2 AS (SELECT *, (s2 * s2) AS s4 FROM l1),
+         |l3 AS (SELECT *, (s4 * s4) AS s8 FROM l2),
+         |lad AS (SELECT *, (s8 * s8) AS s16 FROM l3),
+         |mh AS MATERIALIZED (
+         |  SELECT doc_id, p,
+         |    min(substr(md5(CAST(p AS VARCHAR) || '|' || g), 1, 16)) AS mh
+         |  FROM (SELECT doc_id, unnest(s) AS g FROM sh) t,
+         |       (SELECT unnest(range(0, 128)) AS p) pp
+         |  GROUP BY 1, 2
+         |),
+         |${cfg(8, 16, "s8", 4)},
+         |${cfg(16, 8, "s16", 3)}
+         |SELECT CAST(8 AS INTEGER) AS rows_per_band,
+         |  CAST(16 AS INTEGER) AS bands, n_pairs_ge50,
+         |  exp_caught_ge50_e9, actual_caught_ge50, n_band_candidates
+         |FROM agg8
+         |UNION ALL
+         |SELECT CAST(16 AS INTEGER), CAST(8 AS INTEGER), n_pairs_ge50,
+         |  exp_caught_ge50_e9, actual_caught_ge50, n_band_candidates
+         |FROM agg16""".stripMargin
     },
 
     // the q225 scalar-unnest int8 replay with every vector as corpus

@@ -194,4 +194,24 @@ class PipelinePlannersSpec extends SparkSpec {
     }
     assert(m.map(_._4).distinct.length === 8, "digests must be distinct")
   }
+
+  test("q324 LSH backtest: measured banded catch is bounded by the " +
+    "candidate load and the true-pair count, and the two configs see " +
+    "the same ground truth") {
+    val rows = run("q324_lsh_backtest")
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length === 2)
+    assert(rows.map(_._3).distinct.length === 1, "same pair frame")
+    rows.foreach { case (r, b, nTrue, exp, actual, cands) =>
+      assert(r * b === 128)
+      assert(actual <= nTrue, s"($r,$b): caught more than exist")
+      assert(actual <= cands, s"($r,$b): caught pairs are candidates")
+      assert(exp <= nTrue * 1000000000L + nTrue)
+      // at these settings the S-curve predicts near-total catch of
+      // jac >= 0.5 pairs; the realized sketch should not collapse
+      assert(actual * 10 >= nTrue * 9,
+        s"($r,$b): realized catch below 90% of truth")
+    }
+  }
 }
