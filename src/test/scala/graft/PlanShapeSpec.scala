@@ -393,4 +393,56 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("windowspecdefinition"),
       s"5-NN must ride the bounded heap, not a window:\n$p")
   }
+
+  test("q316/q324 planner family: pair enumeration equi-joins on the " +
+    "shingle / band key — never cartesian on the data path") {
+    val p316 = plan("q316_lsh_band_planner")
+    assert(!p316.contains("CartesianProduct") &&
+      !p316.contains("BroadcastNestedLoopJoin"),
+      s"q316 must posting-list-join, not cross:\n$p316")
+    // q324 assembles THREE 1-row aggregates per config with broadcast
+    // cross joins (scalar glue, not data); the pair/band joins
+    // themselves must never plan a true cartesian
+    val p324 = plan("q324_lsh_backtest")
+    assert(!p324.contains("CartesianProduct"),
+      s"q324 data joins must be equi (band key / pair id):\n$p324")
+  }
+
+  test("q317/q323 shard deal: rank rides the two-level cumsum — every " +
+    "window touches the bucket column, none spans the corpus") {
+    Seq("q317_token_balanced_shards", "q323_shard_manifest").foreach { q =>
+      val p = plan(q)
+      val winds = "windowspecdefinition\\(([a-z0-9_#, ]*?) asc"
+        .r.findAllMatchIn(p.toLowerCase).map(_.group(1)).toList
+      assert(winds.nonEmpty, s"$q: expected the cumsum windows in:\n$p")
+      assert(winds.forall(w => w.contains("__b")),
+        s"$q: a window without the bucket means a corpus-wide sort, got $winds")
+    }
+  }
+
+  test("q318 pair diversity: disjoint pairing equi-joins on the pair " +
+    "id; q319 bag dedup: one aggregation chain, no windows, no pairs") {
+    val p318 = plan("q318_pair_diversity")
+    assert(!p318.contains("CartesianProduct") &&
+      !p318.contains("BroadcastNestedLoopJoin"),
+      s"q318 must join side-0 to side-1 on __pair:\n$p318")
+    val p319 = plan("q319_bag_fingerprint_dedup")
+    assert(!p319.contains("CartesianProduct") &&
+      !p319.toLowerCase.contains("windowspecdefinition"),
+      s"q319 is groupBy-only by design:\n$p319")
+  }
+
+  test("q320/q321 boilerplate surgery: rule and excision equi-join on " +
+    "(source, hash) / (id, pos) — never cartesian; the doc-count " +
+    "threshold table broadcasts") {
+    Seq("q320_boilerplate_removal", "q321_boilerplate_residual")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+          s"$q must equi-join throughout:\n$p")
+        assert(p.contains("BroadcastHashJoin"),
+          s"$q: the #sources-row threshold join must broadcast:\n$p")
+      }
+  }
 }
