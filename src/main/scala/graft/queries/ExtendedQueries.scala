@@ -1709,6 +1709,41 @@ object ExtendedQueries {
             col("doc_id").cast(StringType))))).as("manifest_md5"))
     }),
 
+    // curriculum training order: easy-to-hard by KN loss — docs band
+    // into LM-loss quintiles (rank on the two-level cumsum, never a
+    // global window), shuffle DETERMINISTICALLY within each band (the
+    // q98 salted-hash order), and the final position is one more
+    // two-level rank on the composite (band << 33 | hash) key. The
+    // closing proves band contiguity (max_pos - min_pos + 1 = n_docs)
+    // and carries each band's exact-lattice mean loss
+    "q325_curriculum_order" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lm = graft.text.NgramLm.trainKneserNey(docs, "text")
+      val perDoc = graft.text.NgramLm.scoreKneserNey(
+          docs, "doc_id", "text", lm)
+        .select(col("doc_id"),
+          floor(col("avg_nll") * lit(1e6d) + lit(0.5d)).cast(LongType)
+            .as("__ne6"))
+        .localCheckpoint(true) // KN chain feeds rank + count + rollup
+      val n = perDoc.agg(count(lit(1)).as("__n"))
+      val ranked = graft.operators.DedupOps.globalSurrogateId(
+        perDoc, "__ne6", Seq("doc_id"), "__r1", bucketWidth = 1L << 20)
+      val banded = ranked.crossJoin(broadcast(n))
+        .withColumn("__band",
+          expr("CAST((__r1 - 1) * 5 div __n AS INT)"))
+        .withColumn("__ord", col("__band").cast(LongType) *
+          lit(8589934592L) + graft.operators.SplitOps.hashBucket(
+            concat(col("doc_id").cast(StringType), lit("|curr"))))
+      graft.operators.DedupOps.globalSurrogateId(
+          banded, "__ord", Seq("doc_id"), "__pos",
+          bucketWidth = 1L << 26)
+        .groupBy(col("__band").as("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          min("__pos").as("min_pos"), max("__pos").as("max_pos"),
+          expr("CAST(sum(__ne6) div count(1) AS BIGINT)")
+            .as("mean_nll_e6"))
+    }),
+
     // LSH band-planner BACKTEST — q316 predicts, this measures: a
     // PORTABLE md5-keyed 128-perm MinHash (per-perm min of the
     // fixed-width hex digest — string order = unsigned order, so the
@@ -6840,6 +6875,36 @@ object ExtendedQueries {
          |    ORDER BY CAST(doc_id AS VARCHAR))) AS manifest_md5
          |FROM r GROUP BY 1""".stripMargin
     },
+
+    // naive row_number twins of both two-level ranks: loss rank ->
+    // quintile, then (band, salted hash, id) order; same e6 lattice
+    "q325_curriculum_order" ->
+      (knScoreCte + """,
+        |perdoc AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(floor(round(avg(nll), 6) * 1e6 + 0.5) AS BIGINT) AS ne6
+        |  FROM score GROUP BY 1
+        |), nn AS (SELECT count(*) AS n FROM perdoc),
+        |r1 AS (
+        |  SELECT doc_id, ne6,
+        |    row_number() OVER (ORDER BY ne6 ASC, doc_id ASC) AS r
+        |  FROM perdoc
+        |), b AS (
+        |  SELECT doc_id, ne6,
+        |    CAST((r - 1) * 5 // (SELECT n FROM nn) AS INTEGER) AS band
+        |  FROM r1
+        |), p AS (
+        |  SELECT doc_id, ne6, band,
+        |    row_number() OVER (ORDER BY band ASC,
+        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|curr'),
+        |        1, 8))::UBIGINT ASC, doc_id ASC) AS pos
+        |  FROM b
+        |)
+        |SELECT band, count(*) AS n_docs,
+        |  CAST(min(pos) AS BIGINT) AS min_pos,
+        |  CAST(max(pos) AS BIGINT) AS max_pos,
+        |  CAST(sum(ne6) // count(*) AS BIGINT) AS mean_nll_e6
+        |FROM p GROUP BY 1""".stripMargin),
 
     // the sketch replayed end to end: per-perm min of the SAME hex
     // digests, band keys as md5 of the p-ordered concatenation,

@@ -214,4 +214,26 @@ class PipelinePlannersSpec extends SparkSpec {
         s"($r,$b): realized catch below 90% of truth")
     }
   }
+
+  test("q325 curriculum order: bands are contiguous position ranges, " +
+    "ordered easy-to-hard, and together cover 1..n exactly") {
+    val rows = run("q325_curriculum_order")
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (0 until rows.length))
+    rows.foreach { case (band, n, lo, hi, _) =>
+      assert(hi - lo + 1 === n, s"band $band must be contiguous")
+    }
+    // bands tile 1..n with no gaps, in band order
+    rows.sliding(2).filter(_.length == 2).foreach { w =>
+      assert(w(1)._3 === w(0)._4 + 1,
+        s"band ${w(1)._1} must start where ${w(0)._1} ends")
+    }
+    assert(rows.head._3 === 1L)
+    // curriculum: later bands are harder (mean loss non-decreasing)
+    val means = rows.map(_._5)
+    assert(means.sliding(2).forall(p => p(1) >= p.head),
+      s"band mean loss must be non-decreasing: $means")
+  }
 }
