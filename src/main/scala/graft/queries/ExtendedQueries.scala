@@ -1709,6 +1709,45 @@ object ExtendedQueries {
             col("doc_id").cast(StringType))))).as("manifest_md5"))
     }),
 
+    // rank-biased overlap between two retrieval systems (Webber et
+    // al.): BM25 top-10 vs 2-gram Jaccard top-10 for the same query
+    // intent, overlap-at-depth A_1..A_10 as exact integers, truncated
+    // RBO(p=0.9) as ONE fixed left-associated fp tree (literal-parsed
+    // p powers — both engines parse '0.9'/'0.1' to the same double
+    // and multiply identically) on the e9 lattice. The eval a search
+    // pipeline reads before swapping rankers
+    "q326_rbo_rank_agreement" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bm = graft.text.TextOps.bm25Search(docs, "doc_id", "text",
+          Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+            "value", "part", "hash"), k = 20)
+        .filter(col("rank") <= 10)
+        .select(col("doc_id"), col("rank").as("__ra"))
+      val w = Window.orderBy(col("jaccard").desc, col("doc_id").asc)
+      val jac = graft.dedup.NearDup.searchByText(docs, "doc_id", "text",
+          "key agg row scan slow fast table value part hash",
+          k = 20, minJaccard = 0.01)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("doc_id"), col("rank").as("__rb"))
+      val m = bm.join(jac, Seq("doc_id"), "full")
+        .select(greatest(coalesce(col("__ra"), lit(11)),
+          coalesce(col("__rb"), lit(11))).as("__m"))
+      val ag = m.agg(
+        sum(when(col("__m") <= 1, 1L).otherwise(0L)).as("a1"),
+        (2 to 10).map(dd =>
+          sum(when(col("__m") <= dd, 1L).otherwise(0L)).as(s"a$dd")): _*)
+      // ((t1 + t2) + ...) with t_d = 0.9^(d-1) * A_d / d, powers as
+      // left-folded literal products — the identical tree in the SQL
+      val rbo = (1 to 10).map { dd =>
+        val pw = (1 until dd).foldLeft(lit(1.0d))((a, _) => a * lit(0.9d))
+        pw * (col(s"a$dd").cast(DoubleType) / lit(dd.toDouble))
+      }.reduce(_ + _)
+      ag.select((1 to 10).map(dd => col(s"a$dd")) :+
+        floor(lit(0.1d) * rbo * lit(1e9d) + lit(0.5d)).cast(LongType)
+          .as("rbo_e9"): _*)
+    }),
+
     // curriculum training order: easy-to-hard by KN loss — docs band
     // into LM-loss quintiles (rank on the two-level cumsum, never a
     // global window), shuffle DETERMINISTICALLY within each band (the
@@ -6874,6 +6913,86 @@ object ExtendedQueries {
          |  md5(string_agg(CAST(doc_id AS VARCHAR), ','
          |    ORDER BY CAST(doc_id AS VARCHAR))) AS manifest_md5
          |FROM r GROUP BY 1""".stripMargin
+    },
+
+    // q181's two ranking replays verbatim (their portability is
+    // re-proven by q181's own green row every round), the max-rank
+    // full join, ten conditional sums, and the IDENTICAL fp tree:
+    // left-folded literal 0.9 powers, left-associated term sum,
+    // (0.1 * sum) on the e9 lattice
+    "q326_rbo_rank_agreement" -> {
+      val sums = (1 to 10).map(dd =>
+        s"CAST(COALESCE(sum(CASE WHEN m <= $dd THEN 1 ELSE 0 END), 0)" +
+          s" AS BIGINT) AS a$dd").mkString(",\n         |    ")
+      val terms = (1 to 10).map { dd =>
+        val pw = (1 until dd).foldLeft("1.0")((a, _) => s"($a * 0.9)")
+        s"($pw * (CAST(a$dd AS DOUBLE) / $dd.0))"
+      }.reduce((a, b) => s"($a + $b)")
+      val aCols = (1 to 10).map(dd => s"a$dd").mkString(", ")
+      s"""WITH norm AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^\\p{L}\\p{N}\\s]', '', 'g'), '\\s+', ' ', 'g')) AS nt
+         |  FROM documents
+         |), tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(nt, ' ')) AS term
+         |  FROM norm WHERE length(nt) > 0
+         |), dl AS (
+         |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+         |), st AS (
+         |  SELECT count(*) AS n, sum(dl)*1.0/count(*) AS avgdl FROM dl
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM tok
+         |  WHERE term IN ('key', 'agg', 'row', 'scan', 'slow', 'fast',
+         |    'table', 'value', 'part', 'hash') GROUP BY 1, 2
+         |), dfc AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+         |), scored AS (
+         |  SELECT tf.doc_id,
+         |    sum(ln(1 + ((SELECT n FROM st) - dfc.df + 0.5) / (dfc.df + 0.5))
+         |      * (tf.tf * (1.2::DOUBLE + 1))
+         |      / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE
+         |          + 0.75::DOUBLE * dl.dl / (SELECT avgdl FROM st)))) AS s
+         |  FROM tf JOIN dfc USING (term) JOIN dl USING (doc_id)
+         |  GROUP BY 1
+         |), bmr AS (
+         |  SELECT doc_id, rank FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+         |    FROM scored)
+         |  WHERE rank <= 10
+         |), sh AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) s
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\\s+') toks FROM documents)
+         |  WHERE len(toks) >= 3
+         |), q AS (
+         |  SELECT list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) s
+         |  FROM (SELECT regexp_split_to_array(
+         |    'key agg row scan slow fast table value part hash', '\\s+') t)
+         |), jscored AS (
+         |  SELECT doc_id,
+         |    round(len(list_intersect(sh.s, q.s))::DOUBLE /
+         |      (len(sh.s) + len(q.s) - len(list_intersect(sh.s, q.s))), 4) AS jaccard
+         |  FROM sh, q
+         |), jr AS (
+         |  SELECT doc_id, rank FROM (
+         |    SELECT doc_id,
+         |      row_number() OVER (ORDER BY jaccard DESC, doc_id ASC) AS rank
+         |    FROM jscored WHERE jaccard >= 0.01)
+         |  WHERE rank <= 10
+         |), ab AS (
+         |  SELECT greatest(COALESCE(a.rank, 11), COALESCE(b.rank, 11)) AS m
+         |  FROM bmr a FULL JOIN jr b USING (doc_id)
+         |), ag AS (
+         |  SELECT
+         |    $sums
+         |  FROM ab
+         |)
+         |SELECT $aCols,
+         |  CAST(floor(((0.1 * $terms) * 1000000000.0) + 0.5) AS BIGINT)
+         |    AS rbo_e9
+         |FROM ag""".stripMargin
     },
 
     // naive row_number twins of both two-level ranks: loss rank ->

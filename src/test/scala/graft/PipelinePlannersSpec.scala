@@ -236,4 +236,20 @@ class PipelinePlannersSpec extends SparkSpec {
     assert(means.sliding(2).forall(p => p(1) >= p.head),
       s"band mean loss must be non-decreasing: $means")
   }
+
+  test("q326 RBO: overlap-at-depth is non-decreasing and bounded by " +
+    "the depth, and the truncated RBO respects the overlap bounds") {
+    val r = run("q326_rbo_rank_agreement").head
+    val a = (0 until 10).map(r.getLong)
+    a.zipWithIndex.foreach { case (ad, i) =>
+      assert(ad >= 0 && ad <= i + 1, s"overlap at ${i + 1} in [0, d]")
+    }
+    assert(a.sliding(2).forall(p => p(1) >= p.head),
+      "overlap cannot shrink with depth")
+    val rbo = r.getLong(10)
+    assert(rbo >= 0 && rbo <= 1000000001L, "RBO in [0, 1] on the lattice")
+    // exact identity: perfect agreement at every depth -> truncated
+    // RBO = 0.1 * sum(0.9^(d-1)); all-zero overlap -> 0
+    if (a.forall(_ == 0)) assert(rbo === 0L)
+  }
 }
