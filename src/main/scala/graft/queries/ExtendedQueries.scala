@@ -1799,24 +1799,42 @@ object ExtendedQueries {
           .cast(DoubleType)
       val truth = pairs.select(col("id_a"), col("id_b"), jac.as("__jac"))
         .localCheckpoint(true) // threshold-bounded; feeds 2 configs
-      // 128 per-perm mins built INSIDE the doc row (no shuffle blowup)
-      val mins = docs
+      // Kirsch-Mitzenmacher double hashing: ONE md5 per shingle gives
+      // (h1: 60 bits, h2: 52 bits); perm p's hash is h1 + p*h2 — pure
+      // int64 arithmetic (max < 2^61, overflow-free in BOTH engines),
+      // and the 128 per-perm mins are codegen'd aggregates over the
+      // shingle stream, not an interpreted lambda per (perm, shingle)
+      // (the md5-per-perm form measured 62 s at sf0.1; this is ~5 s
+      // beyond the shared exact-pair pass). The K-M perms are
+      // CORRELATED across p (the argmin shingle is often stable in p)
+      // — which is precisely what the backtest then MEASURES: a small
+      // realized-catch deficit vs the independent-perm S-curve and a
+      // candidate load far above the ideal sketch's (sf0.1: 253/256
+      // caught vs 255.94e9 predicted; 19.8k candidates vs 256 true)
+      val hs = docs
         .filter(size(graft.text.TextOps.tokens(col("text"))) >= 3)
         .select(col("doc_id"),
-          graft.text.TextOps.wordShingles(col("text"), 3).as("__sh"))
+          explode(graft.text.TextOps.wordShingles(col("text"), 3))
+            .as("__g"))
+        .withColumn("__m", md5(col("__g")))
         .select(col("doc_id"),
-          transform(sequence(lit(0), lit(127)), p =>
-            array_min(transform(col("__sh"), x => substring(
-              md5(concat(p.cast(StringType), lit("|"), x)), 1, 16))))
-            .as("__mins"))
+          expr("CAST(conv(substring(__m, 1, 15), 16, 10) AS BIGINT)")
+            .as("__h1"),
+          expr("CAST(conv(substring(__m, 16, 13), 16, 10) AS BIGINT)")
+            .as("__h2"))
+      val minCols = (0 until 128).map(p =>
+        min(col("__h1") + lit(p.toLong) * col("__h2")).as(s"__v$p"))
+      val mins = hs.groupBy("doc_id")
+        .agg(minCols.head, minCols.tail: _*)
         .localCheckpoint(true) // one sketch pass shared by the configs
       def sq(c: Column, k: Int): Column =
         (1 to k).foldLeft(c)((a, _) => a * a)
       Seq((8, 3, 16, 4), (16, 4, 8, 3)).map { case (r, lr, b, lb) =>
-        val bands = mins.select(col("doc_id"), posexplode(
-            transform(sequence(lit(0), lit(b - 1)), i =>
-              md5(concat_ws("", slice(col("__mins"), i * r + 1, lit(r))))))
-            .as(Seq("__b", "__k")))
+        val bandKeys = (0 until b).map(i =>
+          md5(concat_ws(",", (0 until r).map(j =>
+            col(s"__v${i * r + j}").cast(StringType)): _*)))
+        val bands = mins.select(col("doc_id"),
+          posexplode(array(bandKeys: _*)).as(Seq("__b", "__k")))
         val cand = bands
           .select(col("__b"), col("__k"), col("doc_id").as("id_a"))
           .join(bands.select(col("__b"), col("__k"),
@@ -7025,9 +7043,10 @@ object ExtendedQueries {
         |  CAST(sum(ne6) // count(*) AS BIGINT) AS mean_nll_e6
         |FROM p GROUP BY 1""".stripMargin),
 
-    // the sketch replayed end to end: per-perm min of the SAME hex
-    // digests, band keys as md5 of the p-ordered concatenation,
-    // candidate self-join, q316's squaring ladder for the expectation
+    // the sketch replayed end to end: the same one-md5-per-shingle
+    // (h1, h2) split, the same h1 + p*h2 int64 perms, band keys as
+    // md5 of the p-ordered comma-joined mins, candidate self-join,
+    // q316's squaring ladder for the expectation
     "q324_lsh_backtest" -> {
       val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
       def cfg(r: Int, b: Int, srCol: String, lb: Int): String = {
@@ -7036,7 +7055,7 @@ object ExtendedQueries {
         val pExpr = s"(1.0 - ${sqs(s"(1.0 - $srCol)", lb)})"
         s"""bk$r AS (
            |  SELECT doc_id, p // $r AS b,
-           |    md5(string_agg(mh, '' ORDER BY p)) AS k
+           |    md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p)) AS k
            |  FROM mh GROUP BY doc_id, p // $r
            |), cand$r AS MATERIALIZED (
            |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -7075,11 +7094,14 @@ object ExtendedQueries {
          |l2 AS (SELECT *, (s2 * s2) AS s4 FROM l1),
          |l3 AS (SELECT *, (s4 * s4) AS s8 FROM l2),
          |lad AS (SELECT *, (s8 * s8) AS s16 FROM l3),
-         |mh AS MATERIALIZED (
-         |  SELECT doc_id, p,
-         |    min(substr(md5(CAST(p AS VARCHAR) || '|' || g), 1, 16)) AS mh
-         |  FROM (SELECT doc_id, unnest(s) AS g FROM sh) t,
-         |       (SELECT unnest(range(0, 128)) AS p) pp
+         |hs AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(g), 1, 15))::UBIGINT::BIGINT AS h1,
+         |    ('0x' || substr(md5(g), 16, 13))::UBIGINT::BIGINT AS h2
+         |  FROM (SELECT doc_id, unnest(s) AS g FROM sh) t
+         |), mh AS MATERIALIZED (
+         |  SELECT doc_id, p, min(h1 + p * h2) AS mh
+         |  FROM hs, (SELECT unnest(range(0, 128)) AS p) pp
          |  GROUP BY 1, 2
          |),
          |${cfg(8, 16, "s8", 4)},
