@@ -2039,11 +2039,15 @@ object AnalyticsOps {
           s"date_add(__d0, CAST(floor(datediff(__d1, __d0) * $splitFrac) AS INT))")
           .as("__split"))
       val tagged = rows.crossJoin(broadcast(daySpan))
+      // EAGER checkpoints, not lazy persists: train has CONCURRENT
+      // first consumers (itemSimilarity's basket aggregate + kept
+      // semi-join stages launch together), and a cold lazy cache lets
+      // both recompute the whole split lineage — the same race the
+      // r13 stage profile caught inside itemSimilarity itself
       train = tagged.filter(col("__day") <= col("__split"))
-        .select("__u", "__i").distinct()
+        .select("__u", "__i").distinct().localCheckpoint(true)
       test = tagged.filter(col("__day") > col("__split"))
-        .select("__u", "__i").distinct()
-      train.persist(); test.persist()
+        .select("__u", "__i").distinct().localCheckpoint(true)
       val sims = itemSimilarity(train, "__u", "__i", k, maxBasket, minCooc,
         assumeDistinct = true) // train is .distinct() two lines up
       val cand = train
@@ -2081,8 +2085,8 @@ object AnalyticsOps {
       evalUsers.unpersist(blocking = false)
       out
     } finally {
-      if (train != null) train.unpersist(blocking = false)
-      if (test != null) test.unpersist(blocking = false)
+      // train/test are checkpoints (ContextCleaner-reclaimed);
+      // rows is the one remaining lazy persist
       rows.unpersist(blocking = false)
     }
   }
@@ -2784,17 +2788,28 @@ object AnalyticsOps {
     val base = df
       .filter(col(userCol).isNotNull && col(itemCol).isNotNull)
       .select(col(userCol).as("__u"), col(itemCol).as("__i"))
-    // assumeDistinct callers hold the incidence persisted already — a
-    // second cache of the same rows would only duplicate memory and
-    // pay another build pass
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // EAGER checkpoint instead of lazy persist: the incidence has two
+    // consumers (basket-size aggregate + the kept semi-join) whose
+    // stages Spark submits CONCURRENTLY — on a cold lazy cache BOTH
+    // recompute the full distinct lineage before either populates a
+    // block (the r13 stage profile showed the race as two identical
+    // ~39 s 5-task stages; it is also timing-dependent, the measured
+    // q239 bimodality). The explicit repartition count pins the
+    // downstream parallelism AQE otherwise coalesces to ~5
+    // byte-sized partitions for this CPU-bound expansion.
     val ui = if (assumeDistinct) base
-      else base.distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base.repartition(nParts, col("__u"), col("__i")).distinct()
+        .localCheckpoint(true)
     val small = ui.groupBy("__u").agg(count(lit(1)).as("__bs"))
       .filter(col("__bs") <= maxBasket)
       .select("__u")
+    // hash-partitioned on __u at the pinned width and materialized
+    // once: the self-join reuses the partitioning on both sides (no
+    // exchange), so the quadratic pair expansion runs at full width
     val kept = ui.join(small, Seq("__u"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .repartition(nParts, col("__u"))
+      .localCheckpoint(true)
     try {
       val n = kept.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
       // minCooc floor (exact, oracle-mirrored): a single shared user
@@ -2827,8 +2842,10 @@ object AnalyticsOps {
           col("col.score").as("cosine"))
         .localCheckpoint(true)
     } finally {
-      kept.unpersist(blocking = false)
-      ui.unpersist(blocking = false)
+      // checkpointed frames: blocks are reclaimed by the
+      // ContextCleaner once the RDDs go weakly unreachable (the bench
+      // forces a GC between queries); unpersist here would be a no-op
+      ()
     }
   }
   /** Order-statistic histogram scaffold shared by [[trimmedMean]],

@@ -1018,10 +1018,12 @@ class AnalyticsOpsSpec extends SparkSpec {
     val before = persisted()
     AnalyticsOps.itemRecHoldout(rows, "user_id", "item", "ts",
       k = 3, maxBasket = 10).collect()
-    // only localCheckpoint blocks may remain (the 1-row result and the
-    // inner itemSimilarity model — both weak-ref ContextCleaner-managed,
-    // released at the next GC); the three explicit persists must be gone
-    assert((persisted() -- before).size <= 2,
+    // only localCheckpoint blocks may remain (train/test/ui/kept/the
+    // 1-row result/the inner itemSimilarity model — all weak-ref
+    // ContextCleaner-managed, released at the next GC; the r13 race
+    // fix made the multi-consumer frames EAGER checkpoints); the
+    // explicit lazy persists (rows, evalUsers) must be gone
+    assert((persisted() -- before).size <= 6,
       "success path leaked internal caches")
     val base2 = persisted()
     // splitFrac far past Int range: the ANSI cast inside the split
