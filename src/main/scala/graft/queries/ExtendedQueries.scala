@@ -1709,6 +1709,38 @@ object ExtendedQueries {
             col("doc_id").cast(StringType))))).as("manifest_md5"))
     }),
 
+    // quality-scorer agreement audit: before trusting ONE LM scorer
+    // to gate a corpus, measure how much two scorers (Kneser-Ney
+    // bigram vs stupid-backoff trigram) agree — each doc's two
+    // e6-lattice losses rank on the two-level cumsum, deciles land as
+    // integer arithmetic, and the closing is the sparse 10x10
+    // decile confusion matrix. Exact integers end to end; off-
+    // diagonal mass = docs one scorer would gate and the other keep
+    "q327_scorer_agreement" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val kn = graft.text.NgramLm.scoreKneserNey(docs, "doc_id", "text",
+          graft.text.NgramLm.trainKneserNey(docs, "text"))
+        .select(col("doc_id"),
+          floor(col("avg_nll") * lit(1e6d) + lit(0.5d)).cast(LongType)
+            .as("__ka"))
+      val sbo = graft.text.NgramLm.scoreStupidBackoff(docs, "doc_id",
+          "text", graft.text.NgramLm.trainStupidBackoff(docs, "text"))
+        .select(col("doc_id"),
+          floor(col("avg_nls") * lit(1e6d) + lit(0.5d)).cast(LongType)
+            .as("__kb"))
+      val j = kn.join(sbo, "doc_id").localCheckpoint(true)
+      val n = j.agg(count(lit(1)).as("__n"))
+      val ra = graft.operators.DedupOps.globalSurrogateId(
+        j, "__ka", Seq("doc_id"), "__ra", bucketWidth = 1L << 20)
+      val rb = graft.operators.DedupOps.globalSurrogateId(
+        ra, "__kb", Seq("doc_id"), "__rb", bucketWidth = 1L << 20)
+      rb.crossJoin(broadcast(n))
+        .groupBy(expr("CAST((__ra - 1) * 10 div __n AS INT)")
+          .as("band_kn"),
+          expr("CAST((__rb - 1) * 10 div __n AS INT)").as("band_sbo"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // rank-biased overlap between two retrieval systems (Webber et
     // al.): BM25 top-10 vs 2-gram Jaccard top-10 for the same query
     // intent, overlap-at-depth A_1..A_10 as exact integers, truncated
@@ -6932,6 +6964,71 @@ object ExtendedQueries {
          |    ORDER BY CAST(doc_id AS VARCHAR))) AS manifest_md5
          |FROM r GROUP BY 1""".stripMargin
     },
+
+    // the shared KN CTE + q177's SBO replay (CTEs suffixed 2, text
+    // otherwise verbatim — q177's green row re-proves it every
+    // round), both per-doc losses on the e6 lattice, naive
+    // row_number twins of the two ranks, integer decile confusion
+    "q327_scorer_agreement" ->
+      (knScoreCte + """,
+        |norm2 AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents
+        |), toks2 AS (
+        |  SELECT doc_id, regexp_split_to_array(nt, ' ') AS t
+        |  FROM norm2 WHERE length(nt) > 0
+        |), uni2 AS (
+        |  SELECT w, count(*)::DOUBLE AS c
+        |  FROM (SELECT unnest(t) AS w FROM toks2) GROUP BY w
+        |), nv2 AS (SELECT sum(c) AS n, count(*) AS v FROM uni2),
+        |bi2 AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks2 WHERE len(t) >= 2)
+        |), bic2 AS (
+        |  SELECT w1, w2, count(*)::DOUBLE AS c12 FROM bi2 GROUP BY w1, w2
+        |), tri2 AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+        |        FROM toks2 WHERE len(t) >= 3)
+        |), tric2 AS (
+        |  SELECT w1, w2, w3, count(*)::DOUBLE AS c123
+        |  FROM tri2 GROUP BY w1, w2, w3
+        |), score2 AS (
+        |  SELECT g.doc_id,
+        |    -ln(coalesce(tc.c123 / bc1.c12,
+        |      0.4 * coalesce(bc2.c12 / u2.c,
+        |        0.4 * (coalesce(u3.c, 0.0) + 1)
+        |            / ((SELECT n FROM nv2) + (SELECT v FROM nv2))))) AS nls
+        |  FROM tri2 g
+        |  LEFT JOIN tric2 tc ON tc.w1 = g.w1 AND tc.w2 = g.w2 AND tc.w3 = g.w3
+        |  LEFT JOIN bic2 bc1 ON bc1.w1 = g.w1 AND bc1.w2 = g.w2
+        |  LEFT JOIN bic2 bc2 ON bc2.w1 = g.w2 AND bc2.w2 = g.w3
+        |  LEFT JOIN uni2 u2 ON u2.w = g.w2
+        |  LEFT JOIN uni2 u3 ON u3.w = g.w3
+        |), ka AS (
+        |  SELECT doc_id,
+        |    CAST(floor(round(avg(nll), 6) * 1e6 + 0.5) AS BIGINT) AS a
+        |  FROM score GROUP BY 1
+        |), kb AS (
+        |  SELECT doc_id,
+        |    CAST(floor(round(avg(nls), 6) * 1e6 + 0.5) AS BIGINT) AS b
+        |  FROM score2 GROUP BY 1
+        |), jj AS (SELECT ka.doc_id, a, b FROM ka JOIN kb USING (doc_id)),
+        |nn AS (SELECT count(*) AS n FROM jj),
+        |rr AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY a ASC, doc_id ASC) AS ra,
+        |    row_number() OVER (ORDER BY b ASC, doc_id ASC) AS rb
+        |  FROM jj
+        |)
+        |SELECT
+        |  CAST((ra - 1) * 10 // (SELECT n FROM nn) AS INTEGER) AS band_kn,
+        |  CAST((rb - 1) * 10 // (SELECT n FROM nn) AS INTEGER) AS band_sbo,
+        |  count(*) AS n_docs
+        |FROM rr GROUP BY 1, 2""".stripMargin),
 
     // q181's two ranking replays verbatim (their portability is
     // re-proven by q181's own green row every round), the max-rank

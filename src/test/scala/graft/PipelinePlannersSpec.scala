@@ -252,4 +252,23 @@ class PipelinePlannersSpec extends SparkSpec {
     // RBO = 0.1 * sum(0.9^(d-1)); all-zero overlap -> 0
     if (a.forall(_ == 0)) assert(rbo === 0L)
   }
+
+  test("q327 scorer agreement: bands in 0..9, every doc accounted for " +
+    "exactly once per axis (marginals are the decile sizes)") {
+    val rows = run("q327_scorer_agreement")
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val n = rows.map(_._3).sum
+    assert(n > 0)
+    rows.foreach { case (a, b, c) =>
+      assert(a >= 0 && a <= 9 && b >= 0 && b <= 9 && c > 0)
+    }
+    // marginals: each axis's decile sizes partition n into 10 blocks
+    // of floor/ceil(n/10) (the (rank-1)*10 div n banding)
+    Seq(rows.groupBy(_._1), rows.groupBy(_._2)).foreach { m =>
+      val sizes = m.view.mapValues(_.map(_._3).sum).toMap
+      assert(sizes.values.sum === n)
+      sizes.values.foreach(s =>
+        assert(s === n / 10 || s === n / 10 + 1, s"decile size $s vs n=$n"))
+    }
+  }
 }
