@@ -1709,6 +1709,48 @@ object ExtendedQueries {
             col("doc_id").cast(StringType))))).as("manifest_md5"))
     }),
 
+    // eval-set dedup sampling — build an eval sample whose members
+    // are near-dup-CLEAN against both the rest of the corpus (a
+    // train-contaminated eval item inflates every score) and each
+    // other (a duplicated eval item double-counts): a 1-in-7 salted
+    // hash picks candidates; a candidate is rejected as 'train_near'
+    // when ANY non-candidate sits within hamming 3 of its md5-SimHash
+    // signature, else 'dup_earlier' when any SMALLER-id candidate
+    // does (the order-free any-earlier rule — q307/q314's discipline,
+    // replayable with no sequential state), else 'kept'
+    "q328_eval_dedup_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        .withColumn("__cand",
+          graft.operators.SplitOps.hashBucket(concat(
+            col("doc_id").cast(StringType), lit("|evalsamp"))) % 7 === 0)
+      val sigs = graft.dedup.NearDup.md5SimhashSigs(docs, "doc_id", "text")
+      val flags = docs.select(col("doc_id"), col("__cand"))
+      val pairs = graft.dedup.NearDup.hammingPairs64(
+          sigs, "doc_id", "simhash", maxHamming = 3)
+        .join(flags.select(col("doc_id").as("id_a"),
+          col("__cand").as("__ca")), "id_a")
+        .join(flags.select(col("doc_id").as("id_b"),
+          col("__cand").as("__cb")), "id_b")
+        .localCheckpoint(true) // feeds both rejection legs
+      val trainNear = pairs
+        .select(when(col("__ca") && !col("__cb"), col("id_a"))
+          .when(col("__cb") && !col("__ca"), col("id_b"))
+          .as("doc_id"))
+        .filter(col("doc_id").isNotNull).distinct()
+        .withColumn("__tn", lit(1))
+      val dupEarlier = pairs // id_a < id_b by construction
+        .filter(col("__ca") && col("__cb"))
+        .select(col("id_b").as("doc_id")).distinct()
+        .withColumn("__de", lit(1))
+      flags.filter(col("__cand"))
+        .join(trainNear, Seq("doc_id"), "left")
+        .join(dupEarlier, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("__tn") === 1, "train_near")
+            .when(col("__de") === 1, "dup_earlier")
+            .otherwise("kept").as("verdict"))
+    }),
+
     // quality-scorer agreement audit: before trusting ONE LM scorer
     // to gate a corpus, measure how much two scorers (Kneser-Ney
     // bigram vs stupid-backoff trigram) agree — each doc's two
@@ -6963,6 +7005,67 @@ object ExtendedQueries {
          |  md5(string_agg(CAST(doc_id AS VARCHAR), ','
          |    ORDER BY CAST(doc_id AS VARCHAR))) AS manifest_md5
          |FROM r GROUP BY 1""".stripMargin
+    },
+
+    // the q310 signature replay with the candidate flag: exact
+    // quadratic hamming <= 3, the two rejection legs as DISTINCT
+    // projections, the same CASE precedence
+    "q328_eval_dedup_sample" -> {
+      val sums1 = (0 until 32)
+        .map(b => s"sum((h1 >> $b) & 1) AS b$b").mkString(", ")
+      val sums2 = (32 until 64)
+        .map(b => s"sum((h2 >> ${b - 32}) & 1) AS b$b").mkString(", ")
+      val lo = (0 until 32)
+        .map(b => s"CASE WHEN 2 * b$b > n THEN (1::BIGINT << $b) ELSE 0 END")
+        .mkString(" + ")
+      val hi = (32 until 64)
+        .map(b =>
+          s"CASE WHEN 2 * b$b > n THEN (1::BIGINT << ${b - 32}) ELSE 0 END")
+        .mkString(" + ")
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      s"""WITH fl AS MATERIALIZED (
+         |  SELECT doc_id, text,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|evalsamp'),
+         |      1, 8))::UBIGINT % 7 = 0 AS cand
+         |  FROM documents WHERE text IS NOT NULL
+         |), toks AS (
+         |  SELECT doc_id, unnest(CASE WHEN length(trim(text, $ws)) = 0
+         |      THEN []::VARCHAR[]
+         |      ELSE regexp_split_to_array(trim(text, $ws), '\\s+') END) AS w
+         |  FROM fl
+         |), h AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(w), 1, 8))::UBIGINT::BIGINT AS h1,
+         |    ('0x' || substr(md5(w), 9, 8))::UBIGINT::BIGINT AS h2
+         |  FROM toks
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS n, $sums1, $sums2
+         |  FROM h GROUP BY 1
+         |), sig AS MATERIALIZED (
+         |  SELECT doc_id, $lo AS lo, $hi AS hi FROM agg
+         |), cp AS MATERIALIZED (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    fa.cand AS ca, fb.cand AS cb
+         |  FROM sig a
+         |  JOIN sig b ON a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+         |  JOIN fl fa ON fa.doc_id = a.doc_id
+         |  JOIN fl fb ON fb.doc_id = b.doc_id
+         |), tn AS (
+         |  SELECT DISTINCT CASE WHEN ca AND NOT cb THEN id_a
+         |                       ELSE id_b END AS doc_id
+         |  FROM cp WHERE (ca AND NOT cb) OR (cb AND NOT ca)
+         |), de AS (
+         |  SELECT DISTINCT id_b AS doc_id FROM cp WHERE ca AND cb
+         |)
+         |SELECT f.doc_id,
+         |  CASE WHEN tn.doc_id IS NOT NULL THEN 'train_near'
+         |       WHEN de.doc_id IS NOT NULL THEN 'dup_earlier'
+         |       ELSE 'kept' END AS verdict
+         |FROM fl f
+         |LEFT JOIN tn ON tn.doc_id = f.doc_id
+         |LEFT JOIN de ON de.doc_id = f.doc_id
+         |WHERE f.cand""".stripMargin
     },
 
     // the shared KN CTE + q177's SBO replay (CTEs suffixed 2, text

@@ -271,4 +271,47 @@ class PipelinePlannersSpec extends SparkSpec {
         assert(s === n / 10 || s === n / 10 + 1, s"decile size $s vs n=$n"))
     }
   }
+
+  test("q328 eval dedup sample: a candidate duplicated in train is " +
+    "train_near, a candidate duplicating an earlier candidate is " +
+    "dup_earlier, clean candidates are kept — verdicts replay from " +
+    "hand-picked hash-candidate ids") {
+    import spark.implicits._
+    // recover the 1-in-7 candidacy predicate for small ids
+    val cand = (0L until 300L).toDF("doc_id")
+      .withColumn("c", graft.operators.SplitOps.hashBucket(
+        concat(col("doc_id").cast("string"), lit("|evalsamp"))) % 7 === 0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val candIds = (0L until 300L).filter(cand).toList
+    val nonIds = (0L until 300L).filterNot(cand).toList
+    assert(candIds.size >= 3 && nonIds.size >= 1)
+    val Seq(ca, cb, cc) = candIds.sorted.take(3)
+    val nc = nonIds.head
+    val textX = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val textY = "one two three four five six seven eight nine ten"
+    val uniq = "totally unrelated words nothing shared here at all ok"
+    val fixture = Seq(
+      (ca, textX), (cb, textX),       // two identical candidates
+      (cc, textY), (nc, textY))       // candidate dup'd by train doc
+      .map { case (i, t) => (i, "s", t) }
+      .toDF("doc_id", "source", "text")
+      .union(Seq((nonIds(1), "s", uniq)).toDF("doc_id", "source", "text"))
+    val tmp = java.nio.file.Files.createTempDirectory("q328fix")
+    try {
+      fixture.write.mode("overwrite")
+        .parquet(tmp.resolve("documents.parquet").toString)
+      val out = SparkEntry.queries("q328_eval_dedup_sample")(
+        spark, tmp.toString).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.keySet === Set(ca, cb, cc))
+      assert(out(ca) === "kept", "earliest identical candidate stays")
+      assert(out(cb) === "dup_earlier")
+      assert(out(cc) === "train_near")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
