@@ -324,13 +324,27 @@ object NearDup {
     val prefix = ranked.filter(
       col("__rn") <= col("__n") - floor(col("__n") * lit(threshold)) + 1)
     val cand = prefix.select(col("__id").as("id_a"), col("__s"),
-        col("__n").as("__na"))
+        col("__n").as("__na"), col("__rn").as("__pa"))
       .join(prefix.select(col("__id").as("id_b"), col("__s"),
-        col("__n").as("__nb")), "__s")
+        col("__n").as("__nb"), col("__rn").as("__pb")), "__s")
       .filter(col("id_a") < col("id_b"))
       // size filter with 1-gram slack (admit-only under fp rounding)
       .filter(col("__nb").cast("double") >= col("__na") * lit(threshold) - 1.0 &&
         col("__na").cast("double") >= col("__nb") * lit(threshold) - 1.0)
+      // PPJoin positional filter (Xiao et al. VLDB'08): jac ≥ t needs
+      // overlap O ≥ t(|x|+|y|)/(1+t), and a match at canonical
+      // positions (px, py) bounds O ≤ 1 + min(|x|−px, |y|−py) because
+      // the shared suffixes start at the match (positions follow the
+      // same global (df, shingle) order in every doc). The FIRST
+      // shared shingle of a qualifying pair sits inside both prefixes
+      // AND passes this bound, so keeping a pair when ANY of its
+      // matching rows passes loses nothing; the −1.0 slack makes fp
+      // rounding admit-only (reject ⇒ strictly below the true bound)
+      .filter((lit(1.0) +
+          least(col("__na") - col("__pa"), col("__nb") - col("__pb"))
+            .cast("double")) >=
+        (col("__na") + col("__nb")).cast("double") *
+          lit(threshold / (1.0 + threshold)) - 1.0)
       .select("id_a", "id_b").distinct()
     val out = cand
       .join(base.select(col("__id").as("id_a"), col("__set").as("__sa"),
