@@ -1709,6 +1709,48 @@ object ExtendedQueries {
             col("doc_id").cast(StringType))))).as("manifest_md5"))
     }),
 
+    // max-min fair (water-filling) token allocation: realize a global
+    // token budget (1/5 of the corpus) across sources under
+    // availability caps — each round gives every unsaturated source
+    // the equal share budget div n; sources whose whole inventory
+    // fits saturate at avail and return their surplus to the pool;
+    // the loop is a #sources-row integer iteration on a collected
+    // 20-row table (the temperatureMix precedent), terminating in
+    // <= #sources rounds. Integer-exact; the div remainder (< n
+    // tokens) stays unallocated by design
+    "q329_token_waterfill" -> ((s, d) => {
+      val spark0 = s
+      import spark0.implicits._
+      val av = Tables.documents(s, d)
+        .filter(col("source").isNotNull && col("text").isNotNull)
+        .groupBy("source")
+        .agg(sum(graft.text.TextOps.tokenCount(col("text"))
+          .cast(LongType)).as("__avail"))
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = av.values.sum
+      var budget = total / 5
+      val alloc = scala.collection.mutable.Map.empty[String, Long]
+      var unsat = av.keySet
+      var done = false
+      while (!done && unsat.nonEmpty) {
+        val fair = budget / unsat.size
+        val newly = unsat.filter(sr => av(sr) <= fair)
+        if (newly.isEmpty) {
+          unsat.foreach(sr => alloc(sr) = fair)
+          done = true
+        } else {
+          newly.foreach(sr => alloc(sr) = av(sr))
+          budget -= newly.iterator.map(av).sum
+          unsat = unsat -- newly
+        }
+      }
+      val sat = av.keySet -- (if (done) unsat else Set.empty[String])
+      av.toSeq.sortBy(_._1).map { case (sr, a) =>
+        (sr, a, alloc(sr), if (sat.contains(sr)) 1 else 0)
+      }.toDF("source", "avail_tokens", "alloc_tokens", "saturated")
+    }),
+
     // eval-set dedup sampling — build an eval sample whose members
     // are near-dup-CLEAN against both the rest of the corpus (a
     // train-contaminated eval item inflates every score) and each
@@ -7005,6 +7047,61 @@ object ExtendedQueries {
          |  md5(string_agg(CAST(doc_id AS VARCHAR), ','
          |    ORDER BY CAST(doc_id AS VARCHAR))) AS manifest_md5
          |FROM r GROUP BY 1""".stripMargin
+    },
+
+    // unrolled water-filling rounds (the kCore-unroll discipline):
+    // each round's fair share, saturation, and budget return are
+    // scalar-subquery CTEs; 24 rounds >= #sources, and a no-op round
+    // is a fixed point so over-unrolling is safe; final fill = the
+    // last round's fair share
+    "q329_token_waterfill" -> {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      val rounds = 24
+      val parts = Seq.newBuilder[String]
+      for (j <- 0 until rounds) {
+        parts += s"""f$j AS MATERIALIZED (
+           |  SELECT CASE WHEN (SELECT count(*) FROM r$j
+           |                    WHERE alloc IS NULL) > 0
+           |    THEN (SELECT b FROM b$j)
+           |      // (SELECT count(*) FROM r$j WHERE alloc IS NULL)
+           |    ELSE 0 END AS fair)""".stripMargin
+        parts += s"""r${j + 1} AS MATERIALIZED (
+           |  SELECT source, avail,
+           |    CASE WHEN alloc IS NULL
+           |           AND avail <= (SELECT fair FROM f$j) THEN avail
+           |         ELSE alloc END AS alloc
+           |  FROM r$j)""".stripMargin
+        parts += s"""b${j + 1} AS MATERIALIZED (
+           |  SELECT (SELECT b FROM b$j) - COALESCE(
+           |    (SELECT sum(avail) FROM r$j
+           |     WHERE alloc IS NULL
+           |       AND avail <= (SELECT fair FROM f$j)), 0) AS b)""".stripMargin
+      }
+      parts += s"""ff AS MATERIALIZED (
+         |  SELECT CASE WHEN (SELECT count(*) FROM r$rounds
+         |                    WHERE alloc IS NULL) > 0
+         |    THEN (SELECT b FROM b$rounds)
+         |      // (SELECT count(*) FROM r$rounds WHERE alloc IS NULL)
+         |    ELSE 0 END AS fair)""".stripMargin
+      s"""WITH d AS (
+         |  SELECT source,
+         |    CASE WHEN length(trim(text, $ws)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text, $ws), '\\s+'))
+         |    END AS tc
+         |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+         |), avl AS MATERIALIZED (
+         |  SELECT source, CAST(sum(tc) AS BIGINT) AS avail
+         |  FROM d GROUP BY 1
+         |), r0 AS (
+         |  SELECT source, avail, CAST(NULL AS BIGINT) AS alloc FROM avl
+         |), b0 AS (SELECT (SELECT sum(avail) FROM avl) // 5 AS b),
+         |${parts.result().mkString(",\n")}
+         |SELECT source, avail AS avail_tokens,
+         |  CAST(COALESCE(alloc, (SELECT fair FROM ff)) AS BIGINT)
+         |    AS alloc_tokens,
+         |  CAST(CASE WHEN alloc IS NOT NULL THEN 1 ELSE 0 END
+         |    AS INTEGER) AS saturated
+         |FROM r$rounds""".stripMargin
     },
 
     // the q310 signature replay with the candidate flag: exact

@@ -314,4 +314,49 @@ class PipelinePlannersSpec extends SparkSpec {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("q329 water-fill: alloc <= avail, budget respected, every " +
+    "unsaturated source gets the same final share, and a tiny source " +
+    "saturates with its surplus flowing to the others") {
+    val rows = run("q329_token_waterfill")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val totalAvail = rows.map(_._2).sum
+    val budget = totalAvail / 5
+    rows.foreach { case (src, a, al, s) =>
+      assert(al <= a, s"$src: alloc over inventory")
+      if (s == 1) assert(al === a, s"$src: saturated means fully taken")
+    }
+    assert(rows.map(_._3).sum <= budget, "over-allocated")
+    assert(budget - rows.map(_._3).sum < rows.length,
+      "leftover must be below one token per source (div remainder)")
+    val fairs = rows.filter(_._4 == 0).map(_._3).distinct
+    assert(fairs.length <= 1, s"unsaturated shares must be equal: $fairs")
+    // hand fixture: tiny source saturates, its surplus raises the fair
+    import spark.implicits._
+    val tiny = "a b c d e"                          // 5 tokens
+    val big = Seq.fill(100)("tok").mkString(" ")    // 100 tokens/doc
+    val fixture = (Seq((0L, "tiny", tiny)) ++
+      (1L to 10L).map(i => (i, "big1", big)) ++
+      (11L to 20L).map(i => (i, "big2", big)))
+      .toDF("doc_id", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("q329fix")
+    try {
+      fixture.write.mode("overwrite")
+        .parquet(tmp.resolve("documents.parquet").toString)
+      val out = SparkEntry.queries("q329_token_waterfill")(
+        spark, tmp.toString).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+      // total 2005, budget 401; round 1 fair 133 saturates tiny (5),
+      // budget 396; round 2 fair 198 for both bigs
+      assert(out("tiny") === ((5L, 5L, 1)))
+      assert(out("big1") === ((1000L, 198L, 0)))
+      assert(out("big2") === ((1000L, 198L, 0)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
