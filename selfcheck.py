@@ -20,10 +20,12 @@ import duckdb
 import pandas as pd
 import pyarrow.parquet as pq
 
-# Queries whose oracle-vs-engine type skew is DELIBERATE: the uncast
-# ln probe keeps its DOUBLE-vs-LONG skew to measure whether the
-# driver's hash is type-sensitive (its _cast twin is the strict leg).
-KNOWN_TYPE_SKEW = {"zz_probe_ln_lattice"}
+# Queries whose oracle-vs-engine type skew is DELIBERATE. Empty since
+# round 14: the uncast ln probe (the one entry) settled its question
+# in the r13 driver artifact (uncast red + _cast green => the driver
+# hash is type-sensitive; no libm skew) and retired to
+# tools/LnLatticeProbe.scala.
+KNOWN_TYPE_SKEW = set()
 
 def norm_type(t):
     s = str(t)

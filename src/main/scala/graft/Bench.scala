@@ -19,21 +19,19 @@ object Bench {
     */
   private val exclude = Set("q26_ngram_jaccard_pairs", "q30_cosine_dup_pairs")
 
-  /** Queries whose driver-env wall time disagrees with local
-    * measurement (VERDICT r12 task #4: q239 12.9 s driver vs 4.8 s
-    * local on the same commit, q246 similar family): per-rep,
-    * per-stage run/cpu/gc/io totals are recorded into
-    * `bench_full.jsonl` so the round artifact alone localizes WHERE
-    * the extra seconds go (scheduler gap vs executor run vs GC vs
-    * shuffle volume) without a driver-side profiler session.
+  /** Stage profiles (VERDICT r13 task #6, generalizing r12 #4's
+    * CF-only version): EVERY query runs under the stage listener, and
+    * any query whose min-of-3 exceeds this threshold gets its per-rep,
+    * per-stage run/cpu/gc/io totals recorded into `bench_full.jsonl` —
+    * so a round-over-round swing on an expensive query is adjudicated
+    * from the artifact (gc_ms vs run_ms vs shuffle volume per rep)
+    * instead of by host-band vibes. The listener itself is one small
+    * buffer append per stage completion; sub-threshold queries pay
+    * that and nothing else.
     */
-  private val stageProfiled =
-    Set("q239_item_similarity", "q246_rec_holdout_eval")
+  private val profileThresholdSec = 2.0
 
-  /** Per-stage metric accumulator; registered only around the
-    * stage-profiled queries' reps so the rest of the sweep pays no
-    * listener cost.
-    */
+  /** Per-stage metric accumulator. */
   private final class StageCollector
       extends org.apache.spark.scheduler.SparkListener {
     final case class S(id: Int, name: String, tasks: Int, wallMs: Long,
@@ -126,26 +124,33 @@ object Bench {
       s
     }
     val stageLines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val coll = new StageCollector
+    spark.sparkContext.addSparkListener(coll)
     val results = names.map { name =>
+      // Deterministic block release between queries (ADVICE r13): the
+      // forced GC alone frees localCheckpoint/persist blocks only via
+      // the ASYNC weak-ref ContextCleaner, so blocks from queries that
+      // don't release their own storage can still sit on the heap
+      // while the next query's timed window runs. Unpersisting every
+      // still-registered RDD directly removes the blocks; nothing
+      // recomputes from a finished query's frames, so truncated
+      // lineage is irrelevant here.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       System.gc()
       val g0 = gcMillis()
-      val t = if (!stageProfiled(name)) {
-        Seq(runOnce(name), runOnce(name), runOnce(name)).min
-      } else {
-        // stage-profiled path: same 3-rep min protocol, but each rep's
-        // stages are drained + snapshotted separately so the artifact
-        // shows per-rep totals and the top stages of the SLOWEST rep
-        // (the one carrying the driver-env mystery seconds)
-        val coll = new StageCollector
-        spark.sparkContext.addSparkListener(coll)
-        val reps = (1 to 3).map { rep =>
-          coll.clear()
-          val w = runOnce(name)
-          org.apache.spark.graftbridge.ListenerBridge
-            .drain(spark.sparkContext)
-          (rep, w, coll.snapshot())
-        }
-        spark.sparkContext.removeSparkListener(coll)
+      // every rep's stages are drained + snapshotted separately so the
+      // artifact shows per-rep totals and the top stages of the
+      // SLOWEST rep (the one carrying any driver-env mystery seconds)
+      val reps = (1 to 3).map { rep =>
+        coll.clear()
+        val w = runOnce(name)
+        org.apache.spark.graftbridge.ListenerBridge
+          .drain(spark.sparkContext)
+        (rep, w, coll.snapshot())
+      }
+      val t = reps.map(_._2).min
+      if (t > profileThresholdSec) {
         val repJson = reps.map { case (rep, w, st) =>
           val top = st.sortBy(-_.runMs).take(8).map(s =>
             s"""{"stage":${s.id},"name":"${s.name.replace("\"", "'")}","tasks":${s.tasks},"wall_ms":${s.wallMs},"run_ms":${s.runMs},"cpu_ms":${s.cpuMs},"gc_ms":${s.gcMs},"in_mb":${f"${s.inMB}%.1f"},"sh_read_mb":${f"${s.shReadMB}%.1f"},"sh_write_mb":${f"${s.shWriteMB}%.1f"}}""")
@@ -153,10 +158,10 @@ object Bench {
           s"""{"rep":$rep,"wall_sec":$w,"n_stages":${st.size},"run_ms":${st.map(_.runMs).sum},"cpu_ms":${st.map(_.cpuMs).sum},"gc_ms":${st.map(_.gcMs).sum},"sh_read_mb":${f"${st.map(_.shReadMB).sum}%.1f"},"top_stages":$top}"""
         }.mkString("[", ",", "]")
         stageLines += s""""$name":$repJson"""
-        reps.map(_._2).min
       }
       (name, t, (gcMillis() - g0) / 1000.0)
     }
+    spark.sparkContext.removeSparkListener(coll)
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val gcs = results.map { case (k, _, g) => "\"" + k + "\":" + g }
@@ -181,6 +186,11 @@ object Bench {
     // line per run with a wall-clock stamp for cross-round comparison
     // subset runs (SPARK_GRAFT_ONLY) are profiling probes — keep them
     // out of the committed full-sweep history
+    // subset (SPARK_GRAFT_ONLY) runs are profiling probes: surface the
+    // stage profiles on stderr instead of the committed jsonl
+    if (only.nonEmpty && stageLines.nonEmpty)
+      System.err.println(
+        s"""[bench] stage_profiles: ${stageLines.mkString("{", ",", "}")}""")
     if (only.isEmpty) try {
       val stamp = java.time.Instant.now().toString
       java.nio.file.Files.writeString(

@@ -2031,25 +2031,38 @@ object AnalyticsOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // every consumer of the persisted frames sits inside the try so a
     // throw anywhere (split-point aggregate included) still unpersists
-    var train: DataFrame = null
-    var test: DataFrame = null
+    var flagged: DataFrame = null
+    var sims: DataFrame = null
     try {
       val daySpan = rows.agg(min("__day").as("__d0"), max("__day").as("__d1"))
         .select(expr(
           s"date_add(__d0, CAST(floor(datediff(__d1, __d0) * $splitFrac) AS INT))")
           .as("__split"))
       val tagged = rows.crossJoin(broadcast(daySpan))
-      // EAGER checkpoints, not lazy persists: train has CONCURRENT
-      // first consumers (itemSimilarity's basket aggregate + kept
-      // semi-join stages launch together), and a cold lazy cache lets
-      // both recompute the whole split lineage — the same race the
-      // r13 stage profile caught inside itemSimilarity itself
-      train = tagged.filter(col("__day") <= col("__split"))
-        .select("__u", "__i").distinct().localCheckpoint(true)
-      test = tagged.filter(col("__day") > col("__split"))
-        .select("__u", "__i").distinct().localCheckpoint(true)
-      val sims = itemSimilarity(train, "__u", "__i", k, maxBasket, minCooc,
-        assumeDistinct = true) // train is .distinct() two lines up
+      // ONE shuffle builds BOTH halves: per distinct (user, item),
+      // min/max activity day decide train membership (any day ≤ split)
+      // and test membership (any day > split) — identical semantics to
+      // two per-side DISTINCTs at half the passes and half the
+      // materializations (r14: q246's wall was 48-stage job-overhead
+      // bound, not stage bound). EAGER checkpoint, not lazy persist:
+      // the halves have CONCURRENT first consumers (itemSimilarity's
+      // basket aggregate + kept semi-join stages launch together), and
+      // a cold lazy cache lets both recompute the whole split lineage
+      // — the same race the r13 stage profile caught inside
+      // itemSimilarity itself.
+      // Single-node caveat (ADVICE r13): lineage is truncated — a
+      // multi-executor deployment that must survive executor loss
+      // should use persist(MEMORY_AND_DISK) / reliable checkpoints.
+      flagged = tagged.groupBy("__u", "__i")
+        .agg(max(when(col("__day") <= col("__split"), 1).otherwise(0))
+            .as("__in_train"),
+          max(when(col("__day") > col("__split"), 1).otherwise(0))
+            .as("__in_test"))
+        .localCheckpoint(true)
+      val train = flagged.filter(col("__in_train") === 1).select("__u", "__i")
+      val test = flagged.filter(col("__in_test") === 1).select("__u", "__i")
+      sims = itemSimilarity(train, "__u", "__i", k, maxBasket, minCooc,
+        assumeDistinct = true) // train is grouped-by-(__u, __i) above
       val cand = train
         .join(sims.select(col("item").as("__i"),
           col("similar_item").as("__c")), "__i")
@@ -2085,8 +2098,13 @@ object AnalyticsOps {
       evalUsers.unpersist(blocking = false)
       out
     } finally {
-      // train/test are checkpoints (ContextCleaner-reclaimed);
-      // rows is the one remaining lazy persist
+      // `out` is eagerly checkpointed above, so nothing reads the
+      // flagged/sims checkpoints past this point — release their
+      // blocks deterministically (ADVICE r13: ContextCleaner frees
+      // them only after the RDDs go weakly unreachable AND a GC runs,
+      // which GC-quiet library callers may never trigger); rows is
+      // the one remaining lazy persist
+      Seq(flagged, sims).filter(_ != null).foreach(releaseCheckpoint)
       rows.unpersist(blocking = false)
     }
   }
@@ -2777,14 +2795,42 @@ object AnalyticsOps {
   def itemSimilarity(df: DataFrame, userCol: String, itemCol: String,
                      k: Int = 5, maxBasket: Int = 100,
                      minCooc: Long = 1L,
-                     assumeDistinct: Boolean = false): DataFrame = {
+                     assumeDistinct: Boolean = false): DataFrame =
+    itemSimilarityImpl(df, userCol, itemCol, k, maxBasket, minCooc,
+      assumeDistinct, dupCheckMod = 64)
+
+  /** The persisted block-holding RDD behind an eagerly
+    * `localCheckpoint(true)`'ed Dataset — the checkpointed plan is a
+    * single [[org.apache.spark.sql.execution.LogicalRDD]] leaf whose
+    * `rdd` carries the storage; `ds.rdd` would wrap it in a fresh
+    * (unpersisted) deserializer RDD, so unpersisting THAT is a no-op.
+    */
+  private def checkpointRdd(ds: org.apache.spark.sql.Dataset[_])
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    ds.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
+  /** Deterministically release an eager localCheckpoint's blocks
+    * (ADVICE r13: waiting on the weak-ref ContextCleaner lets
+    * MEMORY_AND_DISK blocks pile up in GC-quiet driver programs,
+    * including on exception paths — `RDD.unpersist` works on
+    * localCheckpoint storage).
+    */
+  private def releaseCheckpoint(ds: org.apache.spark.sql.Dataset[_]): Unit =
+    checkpointRdd(ds).foreach(_.unpersist(blocking = false))
+
+  private[graft] def itemSimilarityImpl(
+      df: DataFrame, userCol: String, itemCol: String,
+      k: Int, maxBasket: Int, minCooc: Long,
+      assumeDistinct: Boolean, dupCheckMod: Int): DataFrame = {
     // persist the incidence: both the basket-size aggregate and the
     // cap semi-join consume it — unpersisted, the upstream scan +
     // distinct (the most expensive input stage, CfProbe) runs twice.
     // assumeDistinct skips the dedup shuffle when the CALLER already
     // holds a distinct (user, item) incidence (itemRecHoldout's train
     // half) — duplicate rows would inflate cooc counts, so it is the
-    // caller's contract, not a heuristic.
+    // caller's contract, tripwire-checked below.
     val base = df
       .filter(col(userCol).isNotNull && col(itemCol).isNotNull)
       .select(col(userCol).as("__u"), col(itemCol).as("__i"))
@@ -2798,6 +2844,12 @@ object AnalyticsOps {
     // q239 bimodality). The explicit repartition count pins the
     // downstream parallelism AQE otherwise coalesces to ~5
     // byte-sized partitions for this CPU-bound expansion.
+    // Single-node caveat (ADVICE r13): localCheckpoint TRUNCATES
+    // lineage — on a multi-executor cluster a lost executor makes the
+    // checkpointed partitions unrecoverable (the job fails instead of
+    // recomputing). Fine on the measured local[32] target; a cluster
+    // deployment that needs fault tolerance should swap these for
+    // persist(MEMORY_AND_DISK) or a reliable checkpoint dir.
     val ui = if (assumeDistinct) base
       else base.repartition(nParts, col("__u"), col("__i")).distinct()
         .localCheckpoint(true)
@@ -2812,17 +2864,72 @@ object AnalyticsOps {
       .localCheckpoint(true)
     try {
       val n = kept.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
+      val idType = df.schema(itemCol).dataType
+      // Packed pair keys (VERDICT r13 task #1): when item ids are
+      // integral, non-negative, and < 2^31 — checked with one bounded
+      // 1-row aggregate over the materialized incidence — the pair
+      // (ia, ib) groupBy keys on ONE long (ia << 32 | ib) instead of a
+      // two-field row. The aggregate hash map keys on an 8-byte
+      // primitive (cheaper hashing, smaller entries, less shuffle),
+      // cutting allocation in the dominant pair-expansion stage — the
+      // stage whose GC sensitivity the r13 stage profiles flagged
+      // (measured A/B at sf0.1: q239 4.0 s packed vs 5.1 s generic).
+      // Values stay exact: ordering of non-negative ints is preserved
+      // under the pack, so pair identity, __ia < __ib, and cooc counts
+      // are bit-identical to the generic path.
+      val integral = idType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      // ONE bounded driver action serves both the packability probe
+      // and — under assumeDistinct — the sampled distinctness
+      // tripwire (ADVICE r12 #4): a caller passing a NON-distinct
+      // incidence would silently inflate every cooc count, so one
+      // deterministic 1/dupCheckMod hash bucket of the materialized
+      // incidence is checked for duplicate (user, item) rows. A
+      // sliver of one pass, yet it fails loudly for any caller whose
+      // duplication isn't a needle-in-a-haystack (real contract
+      // breaches duplicate broadly).
+      val mm = kept.agg(min(col("__i").cast(LongType)).as("__mn"),
+        max(col("__i").cast(LongType)).as("__mx"))
+      val probeRow = (if (assumeDistinct)
+          mm.crossJoin(kept
+            .filter(pmod(hash(col("__u"), col("__i")),
+              lit(dupCheckMod)) === 0)
+            .groupBy("__u", "__i").agg(count(lit(1)).as("__m"))
+            .agg(coalesce(max("__m"), lit(0L)).as("__dupmax")))
+        else mm.withColumn("__dupmax", lit(0L))).head()
+      require(probeRow.getLong(2) <= 1L,
+        "itemSimilarity(assumeDistinct = true): the input contains " +
+          "duplicate (user, item) rows — pass a distinct incidence " +
+          "or drop assumeDistinct")
+      val packable = integral && !probeRow.isNullAt(0) &&
+        probeRow.getLong(0) >= 0L && probeRow.getLong(1) < (1L << 31)
       // minCooc floor (exact, oracle-mirrored): a single shared user
       // is noise in implicit feedback, and cooc = 1 pairs dominate the
       // pair table at corpus scale — the floor cuts everything
       // downstream of the count (sym, norm joins, heap) by the cooc
       // histogram's head while the model keeps only evidence-backed
       // neighbours
-      val cooc = kept.select(col("__u"), col("__i").as("__ia"))
-        .join(kept.select(col("__u"), col("__i").as("__ib")), "__u")
-        .filter(col("__ia") < col("__ib"))
-        .groupBy("__ia", "__ib").agg(count(lit(1)).as("__c"))
-        .filter(col("__c") >= minCooc)
+      val cooc = if (packable) {
+        val keyed = kept.select(col("__u"), col("__i").cast(LongType).as("__l"))
+        keyed.select(col("__u"), col("__l").as("__la"))
+          .join(keyed.select(col("__u"), col("__l").as("__lb")), "__u")
+          .filter(col("__la") < col("__lb"))
+          .select((shiftleft(col("__la"), 32)
+            .bitwiseOR(col("__lb"))).as("__pk"))
+          .groupBy("__pk").agg(count(lit(1)).as("__c"))
+          .filter(col("__c") >= minCooc)
+          .select(shiftrightunsigned(col("__pk"), 32).cast(idType).as("__ia"),
+            col("__pk").bitwiseAND(lit(0xFFFFFFFFL)).cast(idType).as("__ib"),
+            col("__c"))
+      } else {
+        kept.select(col("__u"), col("__i").as("__ia"))
+          .join(kept.select(col("__u"), col("__i").as("__ib")), "__u")
+          .filter(col("__ia") < col("__ib"))
+          .groupBy("__ia", "__ib").agg(count(lit(1)).as("__c"))
+          .filter(col("__c") >= minCooc)
+      }
       val sym = cooc.unionAll(cooc.select(col("__ib").as("__ia"),
         col("__ia").as("__ib"), col("__c")))
       val scored = sym
@@ -2830,7 +2937,6 @@ object AnalyticsOps {
         .join(n.select(col("__i").as("__ib"), col("__n").as("__nb")), "__ib")
         .withColumn("__cos", col("__c").cast(DoubleType) /
           sqrt(col("__na").cast(DoubleType) * col("__nb").cast(DoubleType)))
-      val idType = df.schema(itemCol).dataType
       scored.groupBy(col("__ia").as("item"))
         .agg(graft.expressions.TopKAgg.topKFor(idType, k)(
           col("__ib"), col("__cos")).as("__topk"))
@@ -2842,10 +2948,11 @@ object AnalyticsOps {
           col("col.score").as("cosine"))
         .localCheckpoint(true)
     } finally {
-      // checkpointed frames: blocks are reclaimed by the
-      // ContextCleaner once the RDDs go weakly unreachable (the bench
-      // forces a GC between queries); unpersist here would be a no-op
-      ()
+      // the result is eagerly checkpointed above, so by the time this
+      // runs nothing downstream reads ui/kept — release their blocks
+      // deterministically rather than waiting on ContextCleaner
+      releaseCheckpoint(kept)
+      if (!assumeDistinct) releaseCheckpoint(ui)
     }
   }
   /** Order-statistic histogram scaffold shared by [[trimmedMean]],

@@ -1264,12 +1264,24 @@ object ExtendedQueries {
           concat(lit("o"), col("l_orderkey").cast(StringType)).as("id_a"),
           concat(lit("p"), col("l_partkey").cast(StringType)).as("id_b"),
           pmod(expr("l_orderkey div 13"), lit(3)).as("__b"))
-      val dir = java.nio.file.Files
-        .createTempDirectory("q288cc").toString + "/labels"
+      val tmpRoot = java.nio.file.Files.createTempDirectory("q288cc")
+      val dir = tmpRoot.toString + "/labels"
       for (b <- 0 until 3)
         graft.streaming.StreamingOps.ccLabelBatch(
           edges.filter(col("__b") === b), "id_a", "id_b", dir, iters = 6)
-      graft.streaming.StreamingOps.componentsFromLabels(s, dir)
+      // q307's temp-state discipline (VERDICT r13 task #3): the eager
+      // checkpoint severs the lineage to the labels parquet, so the
+      // temp dir can be removed before returning — previously every
+      // Bench/Verify invocation leaked a labels copy under /tmp
+      val res = graft.streaming.StreamingOps.componentsFromLabels(s, dir)
+        .localCheckpoint(true)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: java.io.IOException => () } // best-effort cleanup
+      res
     }),
 
     // the portable md5-SimHash near-dup pair surface itself (q264
@@ -1534,7 +1546,14 @@ object ExtendedQueries {
       val grand = perShard.agg(sum("total_tokens").as("__g"))
       perShard.crossJoin(broadcast(grand))
         .select(col("shard"), col("n_docs"), col("total_tokens"),
-          expr(s"abs(total_tokens * $nShards - __g) * 1000000 div __g")
+          // 128-bit intermediate (ADVICE r13): abs dev can reach
+          // (nShards-1)·grand, so the ·1e6 scaling overflows int64
+          // once the corpus passes ~1.3e12 tokens; DECIMAL(38,0)
+          // carries it exactly (DuckDB mirrors via HUGEINT) and the
+          // closing div lands back on BIGINT — bit-identical to the
+          // old math wherever the old math didn't overflow
+          expr(s"CAST((CAST(abs(total_tokens * $nShards - __g) AS " +
+            s"DECIMAL(38,0)) * 1000000) div __g AS BIGINT)")
             .as("abs_dev_ppm"),
           when(col("total_tokens") * nShards > col("__g"), 1)
             .when(col("total_tokens") * nShards < col("__g"), -1)
@@ -1729,6 +1748,15 @@ object ExtendedQueries {
         .collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val total = av.values.sum
+      // the oracle unrolls exactly 24 materialized rounds (each round
+      // saturates >= 1 source or reaches the fixed point, and no-op
+      // rounds are fixed points, so 24 covers any dataset with <= 24
+      // sources); assert the invariant here so a future scale factor
+      // with more sources fails LOUDLY instead of silently diverging
+      // from the oracle (ADVICE r13)
+      require(av.size <= 24,
+        s"q329 oracle unrolls 24 water-filling rounds; dataset has " +
+          s"${av.size} sources — extend the oracle unroll first")
       var budget = total / 5
       val alloc = scala.collection.mutable.Map.empty[String, Long]
       var unsat = av.keySet
@@ -6862,8 +6890,11 @@ object ExtendedQueries {
          |  FROM r GROUP BY 1
          |), g AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS grand FROM a)
          |SELECT shard, n_docs, total_tokens,
-         |  CAST(abs(total_tokens * 8 - grand) * 1000000 // grand
-         |    AS BIGINT) AS abs_dev_ppm,
+         |  -- HUGEINT intermediate mirrors the engine's DECIMAL(38,0):
+         |  -- the *1000000 scaling would overflow BIGINT past ~1.3e12
+         |  -- corpus tokens (ADVICE r13)
+         |  CAST(CAST(abs(total_tokens * 8 - grand) AS HUGEINT)
+         |    * 1000000 // grand AS BIGINT) AS abs_dev_ppm,
          |  CAST(CASE WHEN total_tokens * 8 > grand THEN 1
          |            WHEN total_tokens * 8 < grand THEN -1
          |            ELSE 0 END AS INTEGER) AS over_mean

@@ -25,17 +25,18 @@ import org.apache.spark.sql.types._
   *   - `zz_probe_raw_ratio` — raw unrounded int/int division doubles
   *     with non-terminating decimal representations. Red ⇒ the
   *     driver's hash is sensitive to float RENDERING, not bits.
-  *   - `zz_probe_ln_lattice` / `zz_probe_ln_lattice_cast` — a PAIR
-  *     (VERDICT r12 task #3). Both compute floor(ln(k)·1e12) for
-  *     k = 2..20; the `_cast` variant CASTs the oracle's floor()
-  *     (DOUBLE in DuckDB) to BIGINT so both legs are int64, while the
-  *     uncast variant keeps the deliberate DOUBLE-vs-LONG type skew.
-  *     `_cast` red ⇒ genuine libm ln divergence above 1e-12 relative
-  *     (every ln-scored argmax needs a lattice). Uncast red while
-  *     `_cast` green ⇒ the driver's hash is sensitive to the column
-  *     TYPE, not the values — the r12-diagnosed failure mode for
-  *     q221/q287/q296. The two bits separate what the old single
-  *     probe conflated.
+  *   - `zz_probe_ln_lattice_cast` — floor(ln(k)·1e12) for k = 2..20,
+  *     with the oracle's floor() (DOUBLE in DuckDB) CAST to BIGINT so
+  *     both legs are int64. Red ⇒ genuine libm ln divergence above
+  *     1e-12 relative (every ln-scored argmax needs a lattice). Its
+  *     former UNCAST twin — deliberately DOUBLE-vs-LONG — ran in
+  *     rounds 13 and settled its question (the r13 driver artifact
+  *     showed uncast red while `_cast` green ⇒ the driver's hash is
+  *     TYPE-sensitive, the r12-diagnosed failure mode for
+  *     q221/q287/q296; no libm/value skew exists). A permanently-red
+  *     row would cost the clean N/N headline and could mask a future
+  *     genuine red, so the uncast probe retired to
+  *     [[graft.tools.LnLatticeProbe]] (VERDICT r13 task #2).
   *   - `zz_probe_regex_c1` — the exact C0/C1 regex character classes
   *     the q221 oracle previously used, applied to a fixed 11-char
   *     string built with chr(). Red ⇒ DuckDB's regex class semantics
@@ -71,10 +72,6 @@ object ProbeQueries {
     "zz_probe_raw_ratio" -> ((s, _) =>
       s.range(1L, 6L).select(col("id").as("k"),
         (col("id").cast(DoubleType) / lit(7.0d)).as("r"))),
-
-    "zz_probe_ln_lattice" -> ((s, _) =>
-      s.range(2L, 21L).select(col("id").as("k"),
-        floor(log(col("id").cast(DoubleType)) * lit(1e12d)).as("ln_e12"))),
 
     "zz_probe_ln_lattice_cast" -> ((s, _) =>
       s.range(2L, 21L).select(col("id").as("k"),
@@ -125,11 +122,6 @@ object ProbeQueries {
       """SELECT CAST(x AS BIGINT) AS k,
         |  CAST(x AS DOUBLE) / CAST(7 AS DOUBLE) AS r
         |FROM generate_series(1, 5) g(x)""".stripMargin,
-
-    "zz_probe_ln_lattice" ->
-      """SELECT CAST(x AS BIGINT) AS k,
-        |  floor(ln(CAST(x AS DOUBLE)) * 1e12) AS ln_e12
-        |FROM generate_series(2, 20) g(x)""".stripMargin,
 
     "zz_probe_ln_lattice_cast" ->
       """SELECT CAST(x AS BIGINT) AS k,

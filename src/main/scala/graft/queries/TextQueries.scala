@@ -1512,13 +1512,15 @@ object TextQueries {
         |SELECT ids.doc_id,
         |  CAST(coalesce(bmr.rank, 0) AS BIGINT) AS rank_bm25,
         |  CAST(coalesce(jr.rank, 0) AS BIGINT) AS rank_jaccard,
-        |  round(
+        |  -- e6 floor lattice, not round(): shared IEEE arithmetic on
+        |  -- both engines (round is engine-implemented; VERDICT r13 #7)
+        |  floor((
         |    (CASE WHEN bmr.rank IS NOT NULL
         |       THEN 1.0::DOUBLE / (60.0::DOUBLE + CAST(bmr.rank AS DOUBLE))
         |       ELSE 0.0::DOUBLE END)
         |    + (CASE WHEN jr.rank IS NOT NULL
         |       THEN 1.0::DOUBLE / (60.0::DOUBLE + CAST(jr.rank AS DOUBLE))
-        |       ELSE 0.0::DOUBLE END), 6) AS rrf_score
+        |       ELSE 0.0::DOUBLE END)) * 1e6 + 0.5) / 1e6 AS rrf_score
         |FROM ids LEFT JOIN bmr USING (doc_id) LEFT JOIN jr USING (doc_id)
         |ORDER BY rrf_score DESC, ids.doc_id ASC
         |LIMIT 15""".stripMargin,
@@ -1770,7 +1772,7 @@ object TextQueries {
         |  GROUP BY 1
         |)
         |SELECT doc_id, CAST(rank AS INTEGER) AS rank,
-        |  round(s, 6) + 0 AS score FROM (
+        |  floor(s * 1e6 + 0.5) / 1e6 + 0 AS score FROM (
         |  SELECT doc_id, s,
         |    row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
         |  FROM scored)
@@ -1874,7 +1876,7 @@ object TextQueries {
         |  SELECT term, count(*) AS df FROM tf GROUP BY term
         |), n AS (SELECT count(DISTINCT doc_id) AS n FROM tf)
         |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
-        |  round(s, 6) + 0 AS score FROM (
+        |  floor(s * 1e6 + 0.5) / 1e6 + 0 AS score FROM (
         |  SELECT tf.doc_id, tf.term,
         |    tf.tf * (ln(((SELECT n FROM n) + 1.0) / (df.df + 1.0)) + 1) AS s,
         |    row_number() OVER (PARTITION BY tf.doc_id

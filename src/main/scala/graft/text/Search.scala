@@ -106,7 +106,14 @@ object Search {
         .otherwise(lit(0.0))
     }.reduce(_ + _)
     withRanks
-      .withColumn("rrf_score", round(score, 6))
+      // e6 floor lattice, not round(_, 6): the ranking is ON the
+      // quantized score (deliberate — fp-order noise collapses into
+      // deterministic id-asc ties), and floor(x·1e6 + 0.5)/1e6 is a
+      // fixed IEEE expression both engines evaluate bit-identically,
+      // where round() is engine-implemented (half-boundary drift
+      // across DuckDB releases — the r12 doctrine; VERDICT r13 #7)
+      .withColumn("rrf_score",
+        floor(score * lit(1e6d) + lit(0.5d)) / lit(1e6d))
       .orderBy(col("rrf_score").desc, col(idCol).asc)
       .limit(k)
   }

@@ -615,7 +615,11 @@ object TextOps {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"),
-        round(col("__score"), 6).as("score"))
+        // e6 floor lattice (display quantizer; ranking is on the raw
+        // score): a fixed IEEE expression both engines share, unlike
+        // engine-implemented round() — VERDICT r13 #7
+        (floor(col("__score") * lit(1e6d) + lit(0.5d)) / lit(1e6d))
+          .as("score"))
   }
 
   /** Gopher-style quality-rule gate (Rae et al. 2021 §A1.1, public):
@@ -780,7 +784,12 @@ object TextOps {
     // the rank window runs over the ALREADY-LIMITED k-row frame —
     // single partition of k rows, not a global window over the corpus
     top.withColumn("rank", row_number().over(w))
-      .select(col(idCol), col("rank"), round(col("__score"), 6).as("score"))
+      .select(col(idCol), col("rank"),
+        // e6 floor lattice (display quantizer; ranking is on the raw
+        // score) — shared IEEE arithmetic, not engine round();
+        // VERDICT r13 #7
+        (floor(col("__score") * lit(1e6d) + lit(0.5d)) / lit(1e6d))
+          .as("score"))
   }
 
   /** Corpus drift report: add-1-smoothed unigram distributions of two

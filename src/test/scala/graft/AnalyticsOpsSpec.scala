@@ -1375,8 +1375,8 @@ class AnalyticsOpsSpec extends SparkSpec {
   }
 
   test("itemSimilarity assumeDistinct contract: distinct input matches " +
-    "the default path bit-for-bit; a duplicate-row caller silently " +
-    "inflates cooc (documented contract violation, ADVICE r12)") {
+    "the default path bit-for-bit; a duplicate-row caller FAILS LOUDLY " +
+    "on the distinctness tripwire (VERDICT r13 task #5 / ADVICE r12 #4)") {
     import spark.implicits._
     val fb = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 1L), // dup row
       (2L, 1L), (2L, 2L), (3L, 1L), (3L, 3L))
@@ -1392,17 +1392,17 @@ class AnalyticsOpsSpec extends SparkSpec {
       assumeDistinct = true))
     assert(viaContract === viaDefault,
       "pre-distinct + assumeDistinct must equal the dedup path")
-    // breaking the contract is OBSERVABLE, not silent-correct: the
-    // duplicate (1,1) row double-counts u1 in item 1's norm
-    val broken = AnalyticsOps.itemSimilarity(
-      fb, "user_id", "item", k = 2, maxBasket = 4,
-      assumeDistinct = true)
-      .filter($"item" === 2L && $"similar_item" === 1L)
-      .collect().head.getAs[Double]("cosine")
-    // n1 inflates 3 -> 4 (dup) and u1's pairs double: cooc(1,2) =
-    // 2 (u1, via the dup) + 1 (u2) = 3, so 3/sqrt(4*2)
-    assert(broken === 3.0 / math.sqrt(8.0),
-      "duplicate rows must inflate cooc and norm exactly as documented")
+    // breaking the contract fails loudly, not silent-wrong: the
+    // sampled tripwire (here with every hash bucket checked so the
+    // fixture is deterministic regardless of where (1, 1) hashes)
+    // rejects the duplicated incidence before any cooc is computed
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.AnalyticsOps.itemSimilarityImpl(
+        fb, "user_id", "item", k = 2, maxBasket = 4, minCooc = 1L,
+        assumeDistinct = true, dupCheckMod = 1)
+    }
+    assert(ex.getMessage.contains("duplicate (user, item) rows"),
+      s"tripwire message should name the contract breach: ${ex.getMessage}")
   }
   test("trimmedMean: k = n div 10 trimmed each side, exact kept-rank " +
     "overlap arithmetic, degenerate group reports NULL") {
