@@ -440,6 +440,63 @@ object NearDup {
       .limit(k)
   }
 
+  /** Portable Kirsch–Mitzenmacher MinHash mins per id, one wide row of
+    * `numPerms` BIGINT columns `__v0..__v{numPerms-1}` — ONE md5 per
+    * distinct n-token shingle split into (h1: 60-bit, h2: 52-bit)
+    * halves; perm p's hash is h1 + p·h2, overflow-free int64 in both
+    * engines (h1 < 2^60, p·h2 < 128·2^52 = 2^59), and the per-perm
+    * minima are codegen'd `min` aggregates over the shingle stream —
+    * never an interpreted per-(perm, shingle) lambda (the md5-per-perm
+    * form measured 62 s at sf0.1; this form ~5 s). Replays verbatim in
+    * SQL (`('0x'||substr(md5(g),1,15))::UBIGINT` etc. — the q324/q330
+    * oracles), so sketch, band keys, and candidates are
+    * engine-portable. Docs with fewer than n tokens are absent.
+    *
+    * K-M perms are CORRELATED across p (Kirsch & Mitzenmacher 2006
+    * prove the Bloom-filter case; for MinHash the argmin shingle is
+    * often stable in p) — cheap to compute, but backtest before
+    * trusting (q324 measures the realized-catch deficit and candidate
+    * amplification vs the independent-perm S-curve).
+    */
+  def kmMinhashMins(df: DataFrame, idCol: String, textCol: String,
+                    shingleLen: Int = 3, numPerms: Int = 128): DataFrame = {
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val hs = df
+      .filter(size(TextOps.tokens(col(textCol))) >= shingleLen)
+      // spread the md5 + numPerms-way min work across the full width
+      // BEFORE exploding: a single-split parquet otherwise computes
+      // the whole sketch in ONE task (measured: 1.7 s of q330's 3.4 s
+      // at sf0.1), and the groupBy below reuses this partitioning so
+      // the repartition replaces — not adds to — the agg exchange
+      .repartition(nParts, col(idCol))
+      .select(col(idCol),
+        explode(TextOps.wordShingles(col(textCol), shingleLen)).as("__g"))
+      .withColumn("__m", md5(col("__g")))
+      .select(col(idCol),
+        expr("CAST(conv(substring(__m, 1, 15), 16, 10) AS BIGINT)")
+          .as("__h1"),
+        expr("CAST(conv(substring(__m, 16, 13), 16, 10) AS BIGINT)")
+          .as("__h2"))
+    val minCols = (0 until numPerms).map(p =>
+      min(col("__h1") + lit(p.toLong) * col("__h2")).as(s"__v$p"))
+    hs.groupBy(idCol).agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** The `(id, band, key)` frame for [[kmMinhashMins]] output at a
+    * (rowsPerBand, bands) split: band i's key is the md5 of the
+    * comma-joined mins `__v{i·r}..__v{i·r+r-1}` in perm order —
+    * byte-identical to the oracle's
+    * `md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p))`.
+    */
+  def kmBandKeys(mins: DataFrame, idCol: String,
+                 rowsPerBand: Int, bands: Int): DataFrame = {
+    val bandKeys = (0 until bands).map(i =>
+      md5(concat_ws(",", (0 until rowsPerBand).map(j =>
+        col(s"__v${i * rowsPerBand + j}").cast(StringType)): _*)))
+    mins.select(col(idCol),
+      posexplode(array(bandKeys: _*)).as(Seq("__b", "__k")))
+  }
+
   // ------------------------------------------------------------------
   // Incremental MinHash (batch vs stored-signature corpus)
   // ------------------------------------------------------------------

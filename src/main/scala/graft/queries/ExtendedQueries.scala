@@ -1955,30 +1955,14 @@ object ExtendedQueries {
       // realized-catch deficit vs the independent-perm S-curve and a
       // candidate load far above the ideal sketch's (sf0.1: 253/256
       // caught vs 255.94e9 predicted; 19.8k candidates vs 256 true)
-      val hs = docs
-        .filter(size(graft.text.TextOps.tokens(col("text"))) >= 3)
-        .select(col("doc_id"),
-          explode(graft.text.TextOps.wordShingles(col("text"), 3))
-            .as("__g"))
-        .withColumn("__m", md5(col("__g")))
-        .select(col("doc_id"),
-          expr("CAST(conv(substring(__m, 1, 15), 16, 10) AS BIGINT)")
-            .as("__h1"),
-          expr("CAST(conv(substring(__m, 16, 13), 16, 10) AS BIGINT)")
-            .as("__h2"))
-      val minCols = (0 until 128).map(p =>
-        min(col("__h1") + lit(p.toLong) * col("__h2")).as(s"__v$p"))
-      val mins = hs.groupBy("doc_id")
-        .agg(minCols.head, minCols.tail: _*)
+      val mins = graft.dedup.NearDup
+        .kmMinhashMins(docs, "doc_id", "text", shingleLen = 3,
+          numPerms = 128)
         .localCheckpoint(true) // one sketch pass shared by the configs
       def sq(c: Column, k: Int): Column =
         (1 to k).foldLeft(c)((a, _) => a * a)
       Seq((8, 3, 16, 4), (16, 4, 8, 3)).map { case (r, lr, b, lb) =>
-        val bandKeys = (0 until b).map(i =>
-          md5(concat_ws(",", (0 until r).map(j =>
-            col(s"__v${i * r + j}").cast(StringType)): _*)))
-        val bands = mins.select(col("doc_id"),
-          posexplode(array(bandKeys: _*)).as(Seq("__b", "__k")))
+        val bands = graft.dedup.NearDup.kmBandKeys(mins, "doc_id", r, b)
         val cand = bands
           .select(col("__b"), col("__k"), col("doc_id").as("id_a"))
           .join(bands.select(col("__b"), col("__k"),
@@ -2000,6 +1984,77 @@ object ExtendedQueries {
             lit(b).cast(IntegerType).as("bands"),
             col("n_pairs_ge50"), col("exp_caught_ge50_e9"),
             col("actual_caught_ge50"), col("n_band_candidates"))
+      }.reduce(_.unionAll(_))
+    }),
+
+    // sketch-fed band planner (VERDICT r13 task #4): q316's planner
+    // ridden on the PRODUCTION path — candidate pairs come from the
+    // q324 K-M sketch banded at the (2, 64) recall config (catches
+    // jac 0.25 pairs w.p. ~98%) and each candidate's similarity is
+    // ESTIMATED as its matching-perm fraction (matches/128, a dyadic
+    // rational — the division is exact, so the squaring ladder is
+    // bit-identical cross-engine). No exact prefix-filter pass
+    // anywhere: the planner's cost now scales like the sketch (one
+    // sketch pass + banded equi-joins), not like Σdf² (measured 4.8×
+    // at 10× data on the fixed-vocab corpus — SCALE.md r13). The
+    // exact pass stays q316's oracle ground truth; n_cand_low counts
+    // the band collisions below the planner's 0.25 floor — the
+    // sketch-path noise a production run would carry
+    "q330_sketch_band_planner" -> ((s, d) => {
+      val mins = graft.dedup.NearDup
+        .kmMinhashMins(Tables.documents(s, d), "doc_id", "text",
+          shingleLen = 3, numPerms = 128)
+        .localCheckpoint(true) // feeds band keys AND both match sides
+      val bands = graft.dedup.NearDup.kmBandKeys(mins, "doc_id", 2, 64)
+      val cand = bands
+        .select(col("__b"), col("__k"), col("doc_id").as("id_a"))
+        .join(bands.select(col("__b"), col("__k"),
+          col("doc_id").as("id_b")), Seq("__b", "__k"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val aCols = (0 until 128).map(p => col(s"__v$p").as(s"__a$p"))
+      val bCols = (0 until 128).map(p => col(s"__v$p").as(s"__c$p"))
+      val matches = (0 until 128).map(p =>
+        when(col(s"__a$p") === col(s"__c$p"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val est = cand
+        .join(mins.select(col("doc_id").as("id_a") +: aCols: _*), "id_a")
+        .join(mins.select(col("doc_id").as("id_b") +: bCols: _*), "id_b")
+        .select(matches.as("__match"))
+        .withColumn("__ej", col("__match").cast(DoubleType) / lit(128.0d))
+      val configs = Seq((2, 1, 64, 6), (4, 2, 32, 5), (8, 3, 16, 4),
+        (16, 4, 8, 3))
+      def sq(c: Column, k: Int): Column =
+        (1 to k).foldLeft(c)((a, _) => a * a)
+      val latCols = configs.map { case (r, lr, _, lb) =>
+        val p = lit(1.0d) - sq(lit(1.0d) - sq(col("__ej"), lr), lb)
+        floor(p * lit(1e9d) + lit(0.5d)).cast(LongType).as(s"__lat$r")
+      }
+      val lat = est.select(col("__match") +: latCols: _*)
+      val aggCols =
+        Seq(coalesce(sum(when(col("__match") >= 32 && col("__match") < 64,
+            1L).otherwise(0L)), lit(0L)).as("__nband"),
+          coalesce(sum(when(col("__match") < 32, 1L).otherwise(0L)),
+            lit(0L)).as("__nlow")) ++
+        configs.flatMap { case (r, _, _, _) =>
+          Seq(
+            coalesce(sum(when(col("__match") >= 64, col(s"__lat$r"))
+              .otherwise(0L)), lit(0L)).as(s"__cg$r"),
+            coalesce(sum(when(col("__match") >= 32 && col("__match") < 64,
+              col(s"__lat$r")).otherwise(0L)), lit(0L)).as(s"__cb$r"))
+        }
+      val agged = lat.agg(
+        coalesce(sum(when(col("__match") >= 64, 1L).otherwise(0L)),
+          lit(0L)).as("__nge"), aggCols: _*)
+        .localCheckpoint(true) // 1 row; 4 config selects read it
+      configs.map { case (r, _, b, _) =>
+        agged.select(lit(r).cast(IntegerType).as("rows_per_band"),
+          lit(b).cast(IntegerType).as("bands"),
+          col("__nge").as("n_est_ge50"),
+          col(s"__cg$r").as("exp_caught_ge50_e9"),
+          col("__nband").as("n_est_band"),
+          col(s"__cb$r").as("exp_caught_band_e9"),
+          col("__nlow").as("n_cand_low"))
       }.reduce(_.unionAll(_))
     }),
 
@@ -7442,6 +7497,86 @@ object ExtendedQueries {
          |SELECT CAST(16 AS INTEGER), CAST(8 AS INTEGER), n_pairs_ge50,
          |  exp_caught_ge50_e9, actual_caught_ge50, n_band_candidates
          |FROM agg16""".stripMargin
+    },
+
+    // the q324 sketch + (2,64) band keys replayed verbatim, candidate
+    // similarity estimated as matching-perm fraction (mt/128.0 is a
+    // dyadic rational — exact division on both engines), then q316's
+    // squaring-ladder planner arithmetic over the ESTIMATES
+    "q330_sketch_band_planner" -> {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      def sqs(e: String, k: Int): String =
+        (1 to k).foldLeft(e)((a, _) => s"($a * $a)")
+      def latExpr(srCol: String, lb: Int): String =
+        s"CAST(floor((1.0 - ${sqs(s"(1.0 - $srCol)", lb)}) " +
+          "* 1000000000.0 + 0.5) AS BIGINT)"
+      val cfgs = Seq((2, "s2", 6), (4, "s4", 5), (8, "s8", 4),
+        (16, "s16", 3))
+      val aggCols = cfgs.map { case (r, sr, lb) =>
+        s"""CAST(COALESCE(sum(CASE WHEN mt >= 64
+           |      THEN ${latExpr(sr, lb)} ELSE 0 END), 0) AS BIGINT)
+           |      AS cg$r,
+           |    CAST(COALESCE(sum(CASE WHEN mt >= 32 AND mt < 64
+           |      THEN ${latExpr(sr, lb)} ELSE 0 END), 0) AS BIGINT)
+           |      AS cb$r""".stripMargin
+      }.mkString(",\n    ")
+      val selects = cfgs.zip(Seq(64, 32, 16, 8)).map { case ((r, _, _), b) =>
+        s"""SELECT CAST($r AS INTEGER) AS rows_per_band,
+           |  CAST($b AS INTEGER) AS bands, nge AS n_est_ge50,
+           |  cg$r AS exp_caught_ge50_e9, nband AS n_est_band,
+           |  cb$r AS exp_caught_band_e9, nlow AS n_cand_low FROM agg"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(toks[i:i+2], ' ')
+         |                   for i in range(1, len(toks)-1)]) s
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text, $ws),
+         |                '\\s+') toks
+         |        FROM documents)
+         |  WHERE len(toks) >= 3
+         |), hs AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(g), 1, 15))::UBIGINT::BIGINT AS h1,
+         |    ('0x' || substr(md5(g), 16, 13))::UBIGINT::BIGINT AS h2
+         |  FROM (SELECT doc_id, unnest(s) AS g FROM sh) t
+         |), mh AS MATERIALIZED (
+         |  SELECT doc_id, p, min(h1 + p * h2) AS mh
+         |  FROM hs, (SELECT unnest(range(0, 128)) AS p) pp
+         |  GROUP BY 1, 2
+         |), bk AS (
+         |  SELECT doc_id, p // 2 AS b,
+         |    md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p)) AS k
+         |  FROM mh GROUP BY doc_id, p // 2
+         |), cand AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bk a JOIN bk b
+         |    ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
+         |), m AS MATERIALIZED (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS mt
+         |  FROM cand c
+         |  JOIN mh x ON x.doc_id = c.id_a
+         |  JOIN mh y ON y.doc_id = c.id_b AND y.p = x.p
+         |  GROUP BY 1, 2
+         |), e0 AS (SELECT mt, mt / 128.0 AS ej FROM m),
+         |l1 AS (SELECT *, (ej * ej) AS s2 FROM e0),
+         |l2 AS (SELECT *, (s2 * s2) AS s4 FROM l1),
+         |l3 AS (SELECT *, (s4 * s4) AS s8 FROM l2),
+         |lad AS (SELECT *, (s8 * s8) AS s16 FROM l3),
+         |agg AS (
+         |  SELECT
+         |    CAST(COALESCE(sum(CASE WHEN mt >= 64 THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS nge,
+         |    CAST(COALESCE(sum(CASE WHEN mt >= 32 AND mt < 64
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS nband,
+         |    CAST(COALESCE(sum(CASE WHEN mt < 32 THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS nlow,
+         |    $aggCols
+         |  FROM lad
+         |)
+         |$selects""".stripMargin
     },
 
     // the q225 scalar-unnest int8 replay with every vector as corpus

@@ -359,4 +359,61 @@ class PipelinePlannersSpec extends SparkSpec {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("q330 sketch-fed band planner: 4 configs over ONE candidate " +
+    "set, lattice bounds, catch non-increasing in rows-per-band; " +
+    "twin docs land a 128/128 estimate and a certain catch while a " +
+    "disjoint-vocabulary doc draws no candidate") {
+    val rows = run("q330_sketch_band_planner")
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    assert(rows.length === 4)
+    assert(rows.map(t => t._1 * t._2).toSeq === Seq(128, 128, 128, 128))
+    rows.foreach { case (r, _, nge, cg, nband, cb, nlow) =>
+      assert(cg <= nge * 1000000000L, s"r=$r caught > possible")
+      assert(cb <= nband * 1000000000L, s"r=$r band catch bound")
+      assert(cg >= 0 && cb >= 0 && nlow >= 0)
+    }
+    // the candidate classes are config-independent (ONE enumeration)
+    assert(rows.map(_._3).distinct.length === 1)
+    assert(rows.map(_._5).distinct.length === 1)
+    assert(rows.map(_._7).distinct.length === 1)
+    // ties allowed (an est of exactly 1.0 catches under every config)
+    assert(rows.map(_._4).toSeq.sliding(2).forall(p => p(1) <= p.head))
+    assert(rows.map(_._6).toSeq.sliding(2).forall(p => p(1) <= p.head))
+
+    // hand fixture: twins share every perm min (est = 128/128 = 1.0,
+    // caught w.p. 1 under all four configs); the disjoint-vocabulary
+    // doc shares no shingle, so its band keys are md5s of different
+    // min values — no candidate pair
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "twin", "a b c d e f"),
+      (2L, "twin", "a b c d e f"),
+      (3L, "other", "p q r s t u"))
+      .toDF("doc_id", "source", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("q330fix")
+    try {
+      fixture.write.mode("overwrite")
+        .parquet(tmp.resolve("documents.parquet").toString)
+      val out = SparkEntry.queries("q330_sketch_band_planner")(
+        spark, tmp.toString).collect()
+        .map(r => (r.getInt(0), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(6)))
+        .sortBy(_._1)
+      assert(out.length === 4)
+      out.foreach { case (r, nge, cg, nband, nlow) =>
+        assert(nge === 1L, s"r=$r: the twin pair is the one candidate")
+        assert(cg === 1000000000L, s"r=$r: est 1.0 catches certainly")
+        assert(nband === 0L && nlow === 0L,
+          s"r=$r: the disjoint doc must draw no candidate")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
