@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -540,5 +540,62 @@ object Multimodal {
         .filter(_._2 % everyNth == 0).map(_._1).toArray)
     df.select(col(idCol), posexplode(chunker(col(binCol))))
       .withColumnsRenamed(Map("pos" -> "frame_idx", "col" -> "frame_bytes"))
+  }
+
+  /** Interleaved multimodal pack audit (VERDICT r13 #8): the q79
+    * concat-then-chunk packer run over a MIXED stream where each item
+    * contributes `imgPatchCol` image-patch positions (ViT-style patch
+    * tokens, 0 for text-only items) followed by `textTokCol` text
+    * tokens, in id order. Per `packLen`-sized window the report gives
+    * the doc/text/patch composition plus `n_split_images` — images
+    * whose patch span straddles the window's opening boundary, i.e.
+    * exactly the items a real interleaved packer must pad, shift, or
+    * replicate to keep whole. Σ n_split_images over packs is the
+    * padding bill of naive chunking; "how much of my batch is pixels"
+    * is `image_patches` vs `text_tokens` per pack.
+    *
+    * Scale shape: start offsets ride the two-level cumsum (no global
+    * window); each item explodes into only the ≤ cost/packLen + 1
+    * windows it touches; the rollup is one map-side-combined groupBy
+    * on pack_id. Zero-cost items (empty text, no image) own no
+    * position and are absent.
+    */
+  def interleavedPackReport(items: DataFrame, idCol: String,
+                            textTokCol: String, imgPatchCol: String,
+                            packLen: Long): DataFrame = {
+    require(packLen > 0, s"packLen must be positive, got $packLen")
+    val costed = items.select(col(idCol),
+      coalesce(col(textTokCol).cast(LongType), lit(0L)).as("__tt"),
+      coalesce(col(imgPatchCol).cast(LongType), lit(0L)).as("__ip"))
+      .withColumn("__cost", col("__tt") + col("__ip"))
+      .filter(col("__cost") > 0L)
+    val (bucketed, wi) = graft.operators.TwoLevelCumsum.withOffsets(
+      costed, expr(s"`$idCol` div 100000L"), col("__cost"),
+      Seq(col(idCol)))
+    val spans = bucketed
+      .withColumn("__s", col("__off") + sum("__w").over(wi) - col("__cost"))
+      .select(col(idCol), col("__tt"), col("__ip"), col("__cost"),
+        col("__s"))
+      .withColumn("pack_id",
+        explode(sequence(expr(s"__s div ${packLen}L"),
+          expr(s"(__s + __cost - 1) div ${packLen}L"))))
+    def overlap(lo: Column, hi: Column): Column = greatest(lit(0L),
+      least(hi, (col("pack_id") + 1) * packLen) -
+        greatest(lo, col("pack_id") * packLen))
+    spans
+      .withColumn("__imgIn", overlap(col("__s"), col("__s") + col("__ip")))
+      .withColumn("__txtIn",
+        overlap(col("__s") + col("__ip"), col("__s") + col("__cost")))
+      .withColumn("__split",
+        // the image straddles this pack's opening boundary
+        when(col("__ip") > 0L &&
+          col("__s") < col("pack_id") * packLen &&
+          col("__s") + col("__ip") > col("pack_id") * packLen, 1L)
+          .otherwise(0L))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__txtIn").as("text_tokens"),
+        sum("__imgIn").as("image_patches"),
+        sum("__split").as("n_split_images"))
   }
 }

@@ -2058,6 +2058,35 @@ object ExtendedQueries {
       }.reduce(_.unionAll(_))
     }),
 
+    // template/layout near-dup audit: exact clusters on the
+    // class-collapsed layout shape (digits→9, lower→x, upper→X, runs
+    // collapsed, punctuation literal) — boilerplate-varied mirrors
+    // that share a template while differing in every WORD, the class
+    // the digest/shingle/SimHash families cannot see; pair-free
+    // 16-byte-digest groupBy (the q319 discipline)
+    "q331_template_clusters" -> ((s, d) =>
+      graft.pipelines.CorpusPipeline.templateClusters(
+        Tables.documents(s, d), "doc_id", "source", "text")),
+
+    // interleaved multimodal pack audit: every 5th doc carries an
+    // md5-derived ViT-style image (1..64 patch tokens, deterministic
+    // fake per the multimodal stub contract); the q79 chunker runs
+    // over the [image][text] stream and reports each 512-window's
+    // doc/text/patch composition + the images a real packer must pad
+    // or shift to keep whole (straddling the window boundary)
+    "q332_interleaved_pack_budget" -> ((s, d) => {
+      def hx(salt: String): Column =
+        expr("CAST(conv(substring(md5(concat(cast(doc_id as string), " +
+          s"'|$salt')), 1, 2), 16, 10) AS BIGINT)") % 8 + 1
+      val items = Tables.documents(s, d).select(col("doc_id"),
+        graft.text.TextOps.tokenCount(col("text")).cast(LongType)
+          .as("__tt"),
+        when(col("doc_id") % 5 === 0, hx("imw") * hx("imh"))
+          .otherwise(0L).as("__ip"))
+      graft.multimodal.Multimodal.interleavedPackReport(
+        items, "doc_id", "__tt", "__ip", packLen = 512L)
+    }),
+
     // boilerplate shingle screen: token 8-grams (md5 digests) whose
     // per-source document frequency crosses max(2, ceil(10% of the
     // source)) — the "strip the nav bar before training" planner;
@@ -7577,6 +7606,80 @@ object ExtendedQueries {
          |  FROM lad
          |)
          |$selects""".stripMargin
+    },
+
+    // the same six ASCII-class regexp passes, md5 shape digest, and
+    // keep-first accounting (arg_min = the engine's min-struct trick)
+    "q331_template_clusters" -> {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      s"""WITH s AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN length(trim(text, $ws)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text, $ws),
+         |           '\\s+'))
+         |    END AS tc,
+         |    md5(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(regexp_replace(regexp_replace(text,
+         |      '[0-9]', '9', 'g'), '[a-z]', 'x', 'g'),
+         |      '[A-Z]', 'X', 'g'), 'x+', 'x', 'g'), 'X+', 'X', 'g'),
+         |      '9+', '9', 'g')) AS tpl
+         |  FROM documents WHERE text IS NOT NULL
+         |)
+         |SELECT tpl AS template_md5, count(*) AS n_docs,
+         |  count(DISTINCT source) AS n_sources,
+         |  min(doc_id) AS keeper_doc_id,
+         |  CAST(sum(tc) AS BIGINT) AS total_tokens,
+         |  CAST(sum(tc) - arg_min(tc, doc_id) AS BIGINT) AS dup_tokens
+         |FROM s GROUP BY tpl HAVING count(*) >= 2""".stripMargin
+    },
+
+    // the naive row_number/running-sum twin of the two-level cumsum,
+    // the same md5-derived patch counts, range()-exploded pack spans,
+    // and identical overlap/straddle arithmetic
+    "q332_interleaved_pack_budget" -> {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      def hx(salt: String): String =
+        s"(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|$salt'), " +
+          "1, 2))::UBIGINT % 8 + 1)"
+      s"""WITH it AS (
+         |  SELECT doc_id,
+         |    CASE WHEN text IS NULL THEN 0
+         |         WHEN length(trim(text, $ws)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text, $ws),
+         |           '\\s+'))
+         |    END AS tt,
+         |    CASE WHEN doc_id % 5 = 0
+         |         THEN CAST(${hx("imw")} * ${hx("imh")} AS BIGINT)
+         |         ELSE 0 END AS ip
+         |  FROM documents
+         |), cum AS (
+         |  SELECT doc_id, tt, ip, tt + ip AS cost,
+         |    CAST(COALESCE(SUM(tt + ip) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS s
+         |  FROM it WHERE tt + ip > 0
+         |), sp AS (
+         |  SELECT doc_id, tt, ip, cost, s,
+         |    unnest(range(s // 512, (s + cost - 1) // 512 + 1))
+         |      AS pack_id
+         |  FROM cum
+         |), o AS (
+         |  SELECT pack_id,
+         |    greatest(0, least(s + ip, (pack_id + 1) * 512)
+         |      - greatest(s, pack_id * 512)) AS img_in,
+         |    greatest(0, least(s + cost, (pack_id + 1) * 512)
+         |      - greatest(s + ip, pack_id * 512)) AS txt_in,
+         |    CASE WHEN ip > 0 AND s < pack_id * 512
+         |              AND s + ip > pack_id * 512
+         |         THEN 1 ELSE 0 END AS spl
+         |  FROM sp
+         |)
+         |SELECT CAST(pack_id AS BIGINT) AS pack_id,
+         |  count(*) AS n_docs,
+         |  CAST(sum(txt_in) AS BIGINT) AS text_tokens,
+         |  CAST(sum(img_in) AS BIGINT) AS image_patches,
+         |  CAST(sum(spl) AS BIGINT) AS n_split_images
+         |FROM o GROUP BY 1""".stripMargin
     },
 
     // the q225 scalar-unnest int8 replay with every vector as corpus

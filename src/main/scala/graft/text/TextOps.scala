@@ -37,6 +37,24 @@ object TextOps {
     trim(regexp_replace(
       regexp_replace(lower(c), "[^\\p{L}\\p{N}\\s]", ""), "\\s+", " "))
 
+  /** Layout/template shape of a document: digits collapse to `9`,
+    * lowercase runs to `x`, uppercase runs to `X`, while punctuation,
+    * separators, and non-ASCII bytes stay literal — two pages
+    * generated from the same template (boilerplate mirrors, forms,
+    * listings differing only in names/numbers) collapse to the SAME
+    * shape string even when every word differs, which is exactly the
+    * signal word-level dedup (digest/MinHash/SimHash over tokens)
+    * cannot see. Six plain ASCII-class regexp_replace passes —
+    * codegen'd, linear, and portable (same classes, same semantics
+    * in RE2/DuckDB).
+    */
+  def layoutShape(c: Column): Column = {
+    val classed = regexp_replace(regexp_replace(regexp_replace(c,
+      "[0-9]", "9"), "[a-z]", "x"), "[A-Z]", "X")
+    regexp_replace(regexp_replace(regexp_replace(classed,
+      "x+", "x"), "X+", "X"), "9+", "9")
+  }
+
   /** BPE-ish subword-count estimate: word-piece regex — runs of
     * letters, runs of digits, single non-space punctuation —
     * approximating a byte-pair tokenizer's segmentation for budgeting

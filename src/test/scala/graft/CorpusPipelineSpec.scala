@@ -957,4 +957,32 @@ class CorpusPipelineSpec extends SparkSpec {
     assert((enEsPairs, enEsA, enEsB) === ((2L, 2L, 1L)))
     assert(enEsMax === 1.0 && enEsMin === 1.0)
   }
+
+  test("templateClusters: word-disjoint template mirrors collapse to " +
+    "one layout cluster, keep-first accounting is exact, and a " +
+    "singleton layout is absent") {
+    import spark.implicits._
+    val docs = Seq(
+      // mirrors of one template: every WORD differs, layout identical
+      (1L, "shop", "Price: 42 USD"),
+      (2L, "store", "Total: 7 EUR"),
+      // second template (all-lowercase two-word pages)
+      (3L, "blog", "hello world"),
+      (4L, "blog", "greeting planet"),
+      // singleton layout -> filtered (n_docs < 2)
+      (5L, "misc", "a1b2 only"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.pipelines.CorpusPipeline
+      .templateClusters(docs, "doc_id", "source", "text")
+      .collect()
+      .map(r => r.getLong(3) -> (r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(5)))
+      .toMap // keyed by keeper_doc_id
+    assert(out.keySet === Set(1L, 3L))
+    // "Price: 42 USD" / "Total: 7 EUR" -> both "Xx: 9 X" (3 tokens)
+    assert(out(1L) === ((2L, 2L, 6L, 3L)),
+      "mirror cluster: 2 docs, 2 sources, 6 tokens, 3 beyond keeper")
+    // the two-word lowercase docs share shape "x x"
+    assert(out(3L) === ((2L, 1L, 4L, 2L)))
+  }
 }

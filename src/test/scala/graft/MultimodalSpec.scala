@@ -407,4 +407,30 @@ class MultimodalSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(kept === Set(1L, 4L, 5L, 6L), s"got $kept")
   }
+
+  test("interleavedPackReport: hand-packed mixed stream — per-window " +
+    "text/patch overlap is exact, an image straddling a window's " +
+    "opening boundary is flagged there, zero-cost items are absent") {
+    import spark.implicits._
+    val items = Seq(
+      (1L, 4L, 0L),  // text [0,4)
+      (2L, 3L, 5L),  // img [4,9), text [9,12)
+      (3L, 0L, 6L),  // img [12,18)
+      (4L, 2L, 6L),  // img [18,24) straddles 20, text [24,26)
+      (5L, 0L, 0L))  // zero-cost: absent
+      .toDF("doc_id", "tt", "ip")
+    val out = Multimodal
+      .interleavedPackReport(items, "doc_id", "tt", "ip", packLen = 10L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out.keySet === Set(0L, 1L, 2L))
+    assert(out(0L) === ((2L, 5L, 5L, 0L)),
+      "pack 0: doc1 text 4 + doc2 img 5 + doc2 text 1")
+    assert(out(1L) === ((3L, 2L, 8L, 0L)),
+      "pack 1: doc2 text 2, doc3 img 6, doc4 img 2 (starts here)")
+    assert(out(2L) === ((1L, 2L, 4L, 1L)),
+      "pack 2: doc4 img tail 4 + text 2, image straddle flagged")
+  }
 }
