@@ -2109,6 +2109,69 @@ object AnalyticsOps {
     }
   }
 
+  /** Exact-integer two-sample Kolmogorov–Smirnov statistic over a
+    * LONG-valued column (the drift monitor between corpus/embedding
+    * snapshots: quantize the scalar to an integer lattice upstream,
+    * then D is exact): D = max over pooled distinct values v of
+    * |F_A(v) − F_B(v)| with the ECDFs evaluated as pure integer
+    * cross-products — the per-value statistic is
+    * |cumA(v)·n_B − cumB(v)·n_A|, its max divides ONCE by n_A·n_B at
+    * the close, so the reported numerator is bit-exact on any engine
+    * and the double is one IEEE division. Requires n_A·n_B < 2^63
+    * (both sides under ~3e9 rows — KS a sample above that, as any
+    * statistical monitor would).
+    *
+    * Scale shape: one union + map-side-combined value histogram; the
+    * running sums ride the two-level-cumsum discipline (per-bucket
+    * windows over distinct values only, a #buckets-row offset table);
+    * the close is one aggregate row. Either side empty → NULL `ks_d`
+    * (0/0 never evaluated — ANSI-safe), counts still reported.
+    */
+  def ksTwoSample(a: DataFrame, b: DataFrame, valueCol: String,
+                  bucketWidth: Long = 1L << 20): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive")
+    def side(df: DataFrame, sa: Long, sb: Long) = df
+      .select(col(valueCol).cast(LongType).as("__v"))
+      .filter(col("__v").isNotNull)
+      .select(col("__v"), lit(sa).as("__sa"), lit(sb).as("__sb"))
+    // checkpointed: the offset table, the cumsum side, and the totals
+    // row all read it (the rankedHist multi-consumer discipline)
+    val hist = side(a, 1L, 0L).unionAll(side(b, 0L, 1L))
+      .groupBy("__v")
+      .agg(sum("__sa").as("__ca"), sum("__sb").as("__cb"))
+      // `div` truncates toward zero: buckets are still disjoint
+      // intervals and the index is monotone in __v, which is all the
+      // offset ordering needs
+      .withColumn("__b", expr(s"__v div ${bucketWidth}L"))
+      .localCheckpoint(true)
+    val offWin = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // the only unpartitioned window runs over the #buckets-row
+    // aggregate, never the value table
+    val offsets = hist.groupBy("__b")
+      .agg(sum("__ca").as("__bta"), sum("__cb").as("__btb"))
+      .select(col("__b").as("__ob"),
+        coalesce(sum("__bta").over(offWin), lit(0L)).as("__offa"),
+        coalesce(sum("__btb").over(offWin), lit(0L)).as("__offb"))
+    val wi = Window.partitionBy("__b").orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.join(offsets, col("__b") === col("__ob"))
+      .withColumn("__cuma", col("__offa") + sum("__ca").over(wi))
+      .withColumn("__cumb", col("__offb") + sum("__cb").over(wi))
+    val totals = hist.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
+    cum.crossJoin(broadcast(totals))
+      .agg(
+        coalesce(max("__na"), lit(0L)).as("n_a"),
+        coalesce(max("__nb"), lit(0L)).as("n_b"),
+        coalesce(max(abs(col("__cuma") * col("__nb")
+          - col("__cumb") * col("__na"))), lit(0L)).as("ks_num"))
+      .select(col("n_a"), col("n_b"), col("ks_num"),
+        // ONE closing IEEE division; either side empty → NULL
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("ks_num").cast(DoubleType) /
+            (col("n_a") * col("n_b")).cast(DoubleType)).as("ks_d"))
+  }
+
   /** Frequent triple mining — one Apriori step (Agrawal & Srikant
     * 1994) above the engine's pair surface (q155 lift): itemsets
     * {a < b < c} appearing in at least `minSupport` baskets. The

@@ -1634,6 +1634,36 @@ object CorpusPipeline {
         min("cos").as("min_cos"))
   }
 
+  /** Chunk-level provenance dedup for retrieval/RAG corpora (VERDICT
+    * r13 #8 / the r13 starter-note candidate): [[chunkDocuments]]'s
+    * windows digest with md5 and cluster exactly — a duplicated chunk
+    * is the RAG failure mode where the retriever returns k copies of
+    * the same boilerplate passage and the context window carries one
+    * fact k times. Reports each chunk text appearing ≥ 2 times with
+    * its occurrence count, the PROVENANCE spread (distinct source
+    * documents — cross-doc boilerplate vs within-doc repetition), and
+    * the keep-first survivor (lexicographically smallest
+    * (doc, chunk) — the replayable keep rule).
+    *
+    * Scale shape: the chunker is map-only codegen; clustering is one
+    * map-side-combined groupBy on the 16-byte digest (never the chunk
+    * text) — the q80/q319 discipline.
+    */
+  def chunkProvenance(docs: DataFrame, idCol: String, textCol: String,
+                      chunkTokens: Int, overlap: Int = 0): DataFrame =
+    chunkDocuments(docs, idCol, textCol, chunkTokens, overlap)
+      .select(col(idCol), col("chunk_id"),
+        md5(col("chunk_text")).as("__h"))
+      .groupBy("__h")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(struct(col(idCol), col("chunk_id"))).as("__keep"))
+      .filter(col("n_occurrences") >= 2L)
+      .select(col("__h").as("chunk_md5"),
+        col("n_occurrences"), col("n_docs"),
+        col("__keep").getField(idCol).as("keeper_doc_id"),
+        col("__keep").getField("chunk_id").as("keeper_chunk_id"))
+
   /** Template/layout near-dup audit (VERDICT r13 #8): cluster the
     * corpus on its [[TextOps.layoutShape]] — pages generated from the
     * same template (boilerplate mirrors, forms, listings that differ

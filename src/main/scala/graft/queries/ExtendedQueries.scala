@@ -2087,6 +2087,43 @@ object ExtendedQueries {
         items, "doc_id", "__tt", "__ip", packLen = 512L)
     }),
 
+    // embedding drift monitor: exact-integer two-sample KS between
+    // the even- and odd-id embedding "snapshots" on a ±1 md5-signed
+    // random projection of the e6-quantized dimensions — the
+    // distribution-shift alarm a pipeline runs between crawl
+    // snapshots before trusting cosine thresholds tuned on the old
+    // one; the KS numerator is pure BIGINT cross-multiplication, the
+    // statistic ONE closing division
+    "q333_embedding_drift_ks" -> ((s, d) => {
+      val signs: IndexedSeq[Long] = (1 to 64).map { dd =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$dd|ksp".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1L
+        else -1L
+      }
+      val proj = (0 until 64).map { i =>
+        lit(signs(i)) * floor(
+          element_at(col("embedding"), i + 1).cast(DoubleType)
+            * lit(1e6d) + lit(0.5d)).cast(LongType)
+      }.reduce(_ + _)
+      val scored = Tables.embeddings(s, d)
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), proj.as("__v"))
+      graft.operators.AnalyticsOps.ksTwoSample(
+        scored.filter(col("vec_id") % 2 === 0),
+        scored.filter(col("vec_id") % 2 === 1), "__v")
+    }),
+
+    // RAG chunk provenance dedup: q83's retrieval windows digested and
+    // clustered — duplicated chunks are the "retriever returns k
+    // copies of the same passage" failure; provenance spread (distinct
+    // docs) separates cross-doc boilerplate from within-doc repeats
+    "q334_chunk_provenance_dedup" -> ((s, d) =>
+      graft.pipelines.CorpusPipeline.chunkProvenance(
+        Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = 16, overlap = 3)),
+
     // boilerplate shingle screen: token 8-grams (md5 digests) whose
     // per-source document frequency crosses max(2, ceil(10% of the
     // source)) — the "strip the nav bar before training" planner;
@@ -7681,6 +7718,74 @@ object ExtendedQueries {
          |  CAST(sum(spl) AS BIGINT) AS n_split_images
          |FROM o GROUP BY 1""".stripMargin
     },
+
+    // the same md5-signed ±1 projection on the e6 lattice, pooled
+    // ECDFs as naive running sums, the identical integer
+    // cross-multiplication numerator and one closing division
+    "q333_embedding_drift_ks" ->
+      """WITH sg AS (
+        |  SELECT CAST(d AS BIGINT) AS d,
+        |    CASE WHEN ('0x' || substr(md5(CAST(d AS VARCHAR) || '|ksp'),
+        |        1, 1))::UBIGINT % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM generate_series(1, 64) g(d)
+        |), pr AS (
+        |  SELECT vec_id,
+        |    CAST(sum(sgn * CAST(floor(CAST(embedding[d] AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM embeddings, sg
+        |  WHERE embedding IS NOT NULL
+        |  GROUP BY vec_id
+        |), hist AS (
+        |  SELECT v,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM pr GROUP BY v
+        |), cum AS (
+        |  SELECT v,
+        |    CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+        |    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+        |  FROM hist
+        |), t AS (
+        |  SELECT CAST(COALESCE(sum(ca), 0) AS BIGINT) AS na,
+        |    CAST(COALESCE(sum(cb), 0) AS BIGINT) AS nb
+        |  FROM hist
+        |)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CAST(COALESCE(max(abs(cuma * nb - cumb * na)), 0) AS BIGINT)
+        |    AS ks_num,
+        |  CASE WHEN na > 0 AND nb > 0
+        |       THEN CAST(COALESCE(max(abs(cuma * nb - cumb * na)), 0)
+        |         AS DOUBLE) / CAST(na * nb AS DOUBLE)
+        |  END AS ks_d
+        |FROM cum, t GROUP BY na, nb""".stripMargin,
+
+    // q83's chunk replay digested; the keeper's lexicographic
+    // (doc, chunk) min rides a packed key (chunk_id < 2^20 — a
+    // 13M-token document bound, asserted nowhere because the chunker
+    // itself cannot exceed it at these scales; same order as the
+    // engine's struct min)
+    "q334_chunk_provenance_dedup" ->
+      """WITH toked AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) > 0
+        |), ch AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |    md5(array_to_string(toks[(i*13+1):(i*13+16)], ' ')) AS h
+        |  FROM (
+        |    SELECT doc_id, toks,
+        |      unnest(range(greatest(1,
+        |        CAST(ceil((len(toks) - 3) / 13.0) AS BIGINT)))) AS i
+        |    FROM toked)
+        |)
+        |SELECT h AS chunk_md5, count(*) AS n_occurrences,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  CAST(min(doc_id * 1048576 + chunk_id) // 1048576 AS BIGINT)
+        |    AS keeper_doc_id,
+        |  CAST(min(doc_id * 1048576 + chunk_id) % 1048576 AS BIGINT)
+        |    AS keeper_chunk_id
+        |FROM ch GROUP BY h HAVING count(*) >= 2""".stripMargin,
 
     // the q225 scalar-unnest int8 replay with every vector as corpus
     // and the 1-in-7 id sample as queries; row_number 5-NN, label

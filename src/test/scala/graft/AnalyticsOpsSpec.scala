@@ -1404,6 +1404,32 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("duplicate (user, item) rows"),
       s"tripwire message should name the contract breach: ${ex.getMessage}")
   }
+  test("ksTwoSample: hand-computed exact numerator, bucket width " +
+    "cannot change the answer, identical samples read zero, an " +
+    "empty side reports NULL ks_d") {
+    import spark.implicits._
+    val a = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val b = Seq(3L, 4L, 5L, 6L).toDF("v")
+    def one(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    }
+    // pooled ECDF walk: max |cumA·nB − cumB·nA| is 8 at v = 2
+    // (FA = 2/4, FB = 0), D = 8 / 16 = 0.5
+    val r1 = one(AnalyticsOps.ksTwoSample(a, b, "v"))
+    assert(r1 === ((4L, 4L, 8L, Some(0.5))))
+    // a tiny bucket width forces the cross-bucket offset path — the
+    // two-level cumsum must agree with the single-bucket answer
+    val r2 = one(AnalyticsOps.ksTwoSample(a, b, "v", bucketWidth = 2L))
+    assert(r2 === r1, "bucketing is an implementation detail")
+    val same = one(AnalyticsOps.ksTwoSample(a, a, "v"))
+    assert(same === ((4L, 4L, 0L, Some(0.0))))
+    val empty = one(AnalyticsOps.ksTwoSample(
+      a, a.filter($"v" > 100L), "v"))
+    assert(empty === ((4L, 0L, 0L, None)))
+  }
+
   test("trimmedMean: k = n div 10 trimmed each side, exact kept-rank " +
     "overlap arithmetic, degenerate group reports NULL") {
     import spark.implicits._

@@ -958,6 +958,27 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(enEsMax === 1.0 && enEsMin === 1.0)
   }
 
+  test("chunkProvenance: a chunk shared across docs and repeated " +
+    "within one clusters once with exact occurrence/provenance " +
+    "counts and the lexicographic keep-first; singletons are absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),     // chunks: [a b c d], [e f g h]
+      (2L, "a b c d x y z w"),     // chunks: [a b c d], [x y z w]
+      (3L, "a b c d a b c d"))     // within-doc repeat of [a b c d]
+      .toDF("doc_id", "text")
+    val out = graft.pipelines.CorpusPipeline
+      .chunkProvenance(docs, "doc_id", "text",
+        chunkTokens = 4, overlap = 0)
+      .collect()
+    assert(out.length === 1, "only the shared chunk clusters")
+    val r = out(0)
+    assert(r.getLong(1) === 4L, "4 occurrences of 'a b c d'")
+    assert(r.getLong(2) === 3L, "3 distinct provenance docs")
+    assert((r.getLong(3), r.getLong(4)) === ((1L, 0L)),
+      "keep-first = lexicographic (doc, chunk) min")
+  }
+
   test("templateClusters: word-disjoint template mirrors collapse to " +
     "one layout cluster, keep-first accounting is exact, and a " +
     "singleton layout is absent") {
