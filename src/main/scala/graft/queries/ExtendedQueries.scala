@@ -2124,6 +2124,112 @@ object ExtendedQueries {
         Tables.documents(s, d), "doc_id", "text",
         chunkTokens = 16, overlap = 3)),
 
+    // per-source curriculum mixing (q325 × q315, the r13 starter-note
+    // candidate): each source gets its DoReMi excess-loss sampling
+    // weight AND its own internal easy→hard quintile schedule — the
+    // "visit source s with weight w, and within s read in this order"
+    // table a curriculum trainer consumes. Both ranks (per-source loss
+    // rank, per-source banded-shuffle position) ride the GROUPED
+    // two-level cumsum — no per-source global window anywhere; the KN
+    // scorer is paid once and checkpointed for all three consumers
+    "q335_source_curriculum" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lm = graft.text.NgramLm.trainKneserNey(docs, "text")
+      val perDoc = graft.text.NgramLm.scoreKneserNey(
+          docs, "doc_id", "text", lm)
+        .select(col("doc_id"),
+          floor(col("avg_nll") * lit(1e6d) + lit(0.5d)).cast(LongType)
+            .as("__ne6"))
+        .join(docs.filter(col("source").isNotNull)
+          .select(col("doc_id"), col("source")), "doc_id")
+        .localCheckpoint(true) // KN chain feeds rollup + both ranks
+      val ps = perDoc.groupBy("source")
+        .agg(count(lit(1)).as("__n"), sum("__ne6").as("__se"))
+        .localCheckpoint(true) // #sources rows; weights + band sizes
+      val g = ps.agg(sum("__se").as("__gs"), sum("__n").as("__gn"))
+      val e = ps.crossJoin(broadcast(g))
+        .withColumn("__ex", greatest(
+          expr("__se div __n") - expr("__gs div __gn"), lit(0L)))
+      val te = e.agg(sum("__ex").as("__t"))
+      val weights = e.crossJoin(broadcast(te))
+        .select(col("source"), col("__n"),
+          when(col("__t") > 0, expr("__ex * 1000000 div __t"))
+            .otherwise(0L).as("weight_ppm"))
+      val (b1, w1) = graft.operators.TwoLevelCumsum.withGroupedOffsets(
+        perDoc, Seq("source"), expr("__ne6 div 1048576L"), lit(1L),
+        Seq(col("__ne6").asc, col("doc_id").asc))
+      val ranked = b1
+        .withColumn("__r1", col("__off") + sum(col("__w")).over(w1))
+        .select(col("source"), col("doc_id"), col("__ne6"), col("__r1"))
+      val banded = ranked.join(weights, "source")
+        .withColumn("__band", expr("CAST((__r1 - 1) * 5 div __n AS INT)"))
+        .withColumn("__ord", col("__band").cast(LongType) *
+          lit(8589934592L) + graft.operators.SplitOps.hashBucket(
+            concat(col("doc_id").cast(StringType), lit("|scur"))))
+        .select("source", "doc_id", "__ne6", "__band", "__ord",
+          "weight_ppm")
+      val (b2, w2) = graft.operators.TwoLevelCumsum.withGroupedOffsets(
+        banded, Seq("source"), expr("__ord div 67108864L"), lit(1L),
+        Seq(col("__ord").asc, col("doc_id").asc))
+      b2.withColumn("__pos", col("__off") + sum(col("__w")).over(w2))
+        .groupBy(col("source"), col("__band").as("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          min("__pos").as("min_pos"), max("__pos").as("max_pos"),
+          expr("CAST(sum(__ne6) div count(1) AS BIGINT)")
+            .as("mean_nll_e6"),
+          max("weight_ppm").as("weight_ppm"))
+    }),
+
+    // the q324 backtest in its PRODUCTION form (r13 starter note):
+    // sketch quality is audited on a deterministic 1-in-2 salted doc
+    // sample — same realized-catch-deficit / candidate-amplification
+    // readout at a quarter of the quadratic truth cost (half the
+    // docs ⇒ ~¼ the exact pairs), which is how a 100 TB pipeline
+    // would actually run the audit; q324 stays the full-corpus
+    // ground-truth form
+    "q336_lsh_backtest_sampled" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(graft.operators.SplitOps.hashBucket(concat(
+          col("doc_id").cast(StringType), lit("|bts"))) % 2 === 0)
+      val pairs = graft.dedup.NearDup.prefixJaccardPairs(
+        docs, "doc_id", "text", n = 3, threshold = 0.25)
+      val jac = col("inter_size").cast(DoubleType) /
+        (col("size_a") + col("size_b") - col("inter_size"))
+          .cast(DoubleType)
+      val truth = pairs.select(col("id_a"), col("id_b"), jac.as("__jac"))
+        .localCheckpoint(true)
+      val mins = graft.dedup.NearDup
+        .kmMinhashMins(docs, "doc_id", "text", shingleLen = 3,
+          numPerms = 128)
+        .localCheckpoint(true)
+      def sq(c: Column, k: Int): Column =
+        (1 to k).foldLeft(c)((a, _) => a * a)
+      Seq((8, 3, 16, 4), (16, 4, 8, 3)).map { case (r, lr, b, lb) =>
+        val bands = graft.dedup.NearDup.kmBandKeys(mins, "doc_id", r, b)
+        val cand = bands
+          .select(col("__b"), col("__k"), col("doc_id").as("id_a"))
+          .join(bands.select(col("__b"), col("__k"),
+            col("doc_id").as("id_b")), Seq("__b", "__k"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+          .localCheckpoint(true)
+        val p = lit(1.0d) - sq(lit(1.0d) - sq(col("__jac"), lr), lb)
+        val exp = truth.filter(col("__jac") >= 0.5)
+          .agg(count(lit(1)).as("n_pairs_ge50"),
+            coalesce(sum(floor(p * lit(1e9d) + lit(0.5d))
+              .cast(LongType)), lit(0L)).as("exp_caught_ge50_e9"))
+        val actual = truth.filter(col("__jac") >= 0.5)
+          .join(cand, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("actual_caught_ge50"))
+        val nCand = cand.agg(count(lit(1)).as("n_band_candidates"))
+        exp.crossJoin(actual).crossJoin(nCand)
+          .select(lit(r).cast(IntegerType).as("rows_per_band"),
+            lit(b).cast(IntegerType).as("bands"),
+            col("n_pairs_ge50"), col("exp_caught_ge50_e9"),
+            col("actual_caught_ge50"), col("n_band_candidates"))
+      }.reduce(_.unionAll(_))
+    }),
+
     // boilerplate shingle screen: token 8-grams (md5 digests) whose
     // per-source document frequency crosses max(2, ceil(10% of the
     // source)) — the "strip the nav bar before training" planner;
@@ -7492,6 +7598,58 @@ object ExtendedQueries {
         |  CAST(sum(ne6) // count(*) AS BIGINT) AS mean_nll_e6
         |FROM p GROUP BY 1""".stripMargin),
 
+    // the shared KN CTE + q315's rollup replay + q325's two
+    // row_number twins PARTITIONED BY source; the engine's
+    // band·2^33 + u32-hash composite key is order-isomorphic to the
+    // (band, hash, doc_id) sort here
+    "q335_source_curriculum" ->
+      (knScoreCte + """,
+        |perdoc AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(floor(round(avg(nll), 6) * 1e6 + 0.5) AS BIGINT) AS ne6
+        |  FROM score GROUP BY 1
+        |), src AS (
+        |  SELECT doc_id, source FROM documents WHERE source IS NOT NULL
+        |), pd AS MATERIALIZED (
+        |  SELECT p.doc_id, p.ne6, s.source
+        |  FROM perdoc p JOIN src s USING (doc_id)
+        |), ps AS (
+        |  SELECT source, count(*) AS n, sum(ne6) AS se FROM pd GROUP BY 1
+        |), g AS (SELECT sum(se) AS gs, sum(n) AS gn FROM ps),
+        |e AS (
+        |  SELECT source, n, greatest(se // n
+        |    - (SELECT gs FROM g) // (SELECT gn FROM g), 0) AS ex6
+        |  FROM ps
+        |), te AS (SELECT sum(ex6) AS t FROM e),
+        |w AS (
+        |  SELECT source, n,
+        |    CASE WHEN (SELECT t FROM te) > 0
+        |         THEN ex6 * 1000000 // (SELECT t FROM te)
+        |         ELSE 0 END AS wppm
+        |  FROM e
+        |), r1 AS (
+        |  SELECT source, doc_id, ne6,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ne6 ASC, doc_id ASC) AS r
+        |  FROM pd
+        |), b AS (
+        |  SELECT r1.source, doc_id, ne6,
+        |    CAST((r - 1) * 5 // w.n AS INTEGER) AS band, w.wppm
+        |  FROM r1 JOIN w USING (source)
+        |), p AS (
+        |  SELECT source, doc_id, ne6, band, wppm,
+        |    row_number() OVER (PARTITION BY source ORDER BY band ASC,
+        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|scur'),
+        |        1, 8))::UBIGINT ASC, doc_id ASC) AS pos
+        |  FROM b
+        |)
+        |SELECT source, band, count(*) AS n_docs,
+        |  CAST(min(pos) AS BIGINT) AS min_pos,
+        |  CAST(max(pos) AS BIGINT) AS max_pos,
+        |  CAST(sum(ne6) // count(*) AS BIGINT) AS mean_nll_e6,
+        |  CAST(max(wppm) AS BIGINT) AS weight_ppm
+        |FROM p GROUP BY 1, 2""".stripMargin),
+
     // the sketch replayed end to end: the same one-md5-per-shingle
     // (h1, h2) split, the same h1 + p*h2 int64 perms, band keys as
     // md5 of the p-ordered comma-joined mins, candidate self-join,
@@ -7530,6 +7688,80 @@ object ExtendedQueries {
          |  FROM (SELECT doc_id, regexp_split_to_array(trim(text, $ws),
          |                '\\s+') toks
          |        FROM documents)
+         |  WHERE len(toks) >= 3
+         |), j AS MATERIALIZED (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.s, b.s))::DOUBLE /
+         |    (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.s, b.s))::DOUBLE /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         |      >= 0.25
+         |), l1 AS (SELECT *, (jac * jac) AS s2 FROM j),
+         |l2 AS (SELECT *, (s2 * s2) AS s4 FROM l1),
+         |l3 AS (SELECT *, (s4 * s4) AS s8 FROM l2),
+         |lad AS (SELECT *, (s8 * s8) AS s16 FROM l3),
+         |hs AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(g), 1, 15))::UBIGINT::BIGINT AS h1,
+         |    ('0x' || substr(md5(g), 16, 13))::UBIGINT::BIGINT AS h2
+         |  FROM (SELECT doc_id, unnest(s) AS g FROM sh) t
+         |), mh AS MATERIALIZED (
+         |  SELECT doc_id, p, min(h1 + p * h2) AS mh
+         |  FROM hs, (SELECT unnest(range(0, 128)) AS p) pp
+         |  GROUP BY 1, 2
+         |),
+         |${cfg(8, 16, "s8", 4)},
+         |${cfg(16, 8, "s16", 3)}
+         |SELECT CAST(8 AS INTEGER) AS rows_per_band,
+         |  CAST(16 AS INTEGER) AS bands, n_pairs_ge50,
+         |  exp_caught_ge50_e9, actual_caught_ge50, n_band_candidates
+         |FROM agg8
+         |UNION ALL
+         |SELECT CAST(16 AS INTEGER), CAST(8 AS INTEGER), n_pairs_ge50,
+         |  exp_caught_ge50_e9, actual_caught_ge50, n_band_candidates
+         |FROM agg16""".stripMargin
+    },
+
+    // q324's oracle restricted to the same 1-in-2 salted doc sample
+    // (the md5-u32 parity filter in the sh CTE); everything else —
+    // sketch, bands, candidates, ladder — replays verbatim
+    "q336_lsh_backtest_sampled" -> {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      def cfg(r: Int, b: Int, srCol: String, lb: Int): String = {
+        def sqs(e: String, k: Int): String =
+          (1 to k).foldLeft(e)((a, _) => s"($a * $a)")
+        val pExpr = s"(1.0 - ${sqs(s"(1.0 - $srCol)", lb)})"
+        s"""bk$r AS (
+           |  SELECT doc_id, p // $r AS b,
+           |    md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p)) AS k
+           |  FROM mh GROUP BY doc_id, p // $r
+           |), cand$r AS MATERIALIZED (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bk$r a JOIN bk$r b
+           |    ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
+           |), agg$r AS (
+           |  SELECT
+           |    CAST(count(*) AS BIGINT) AS n_pairs_ge50,
+           |    CAST(COALESCE(sum(CAST(floor($pExpr * 1000000000.0 + 0.5)
+           |      AS BIGINT)), 0) AS BIGINT) AS exp_caught_ge50_e9,
+           |    CAST(COALESCE(sum(CASE WHEN c.id_a IS NOT NULL
+           |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS actual_caught_ge50,
+           |    (SELECT CAST(count(*) AS BIGINT) FROM cand$r)
+           |      AS n_band_candidates
+           |  FROM lad j LEFT JOIN cand$r c USING (id_a, id_b)
+           |  WHERE j.jac >= 0.5
+           |)""".stripMargin
+      }
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(toks[i:i+2], ' ')
+         |                   for i in range(1, len(toks)-1)]) s
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text, $ws),
+         |                '\\s+') toks
+         |        FROM documents
+         |        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+         |          || '|bts'), 1, 8))::UBIGINT % 2 = 0)
          |  WHERE len(toks) >= 3
          |), j AS MATERIALIZED (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,

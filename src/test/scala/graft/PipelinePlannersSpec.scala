@@ -360,6 +360,36 @@ class PipelinePlannersSpec extends SparkSpec {
     }
   }
 
+  test("q335 per-source curriculum: bands tile 1..n within every " +
+    "source, per-band mean loss is non-decreasing, weights are " +
+    "per-source constants summing to <= 1e6 ppm") {
+    val rows = run("q335_source_curriculum")
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val n = sorted.map(_._3).sum
+      // contiguity: each band's positions are a gap-free run and the
+      // runs tile 1..n in band order
+      var next = 1L
+      sorted.foreach { case (_, band, nd, lo, hi, _, _) =>
+        assert(lo === next, s"$src band $band starts at $lo, want $next")
+        assert(hi - lo + 1 === nd, s"$src band $band not contiguous")
+        next = hi + 1
+      }
+      assert(next === n + 1)
+      // easy-to-hard: per-band mean loss never falls
+      val means = sorted.map(_._6)
+      assert(means.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+        s"$src band means not monotone: $means")
+      // one weight per source
+      assert(rs.map(_._7).distinct.length === 1)
+    }
+    val perSource = rows.groupBy(_._1).map(_._2.head._7)
+    assert(perSource.sum <= 1000000L,
+      "truncating ppm weights cannot exceed the whole")
+  }
+
   test("q330 sketch-fed band planner: 4 configs over ONE candidate " +
     "set, lattice bounds, catch non-increasing in rows-per-band; " +
     "twin docs land a 128/128 estimate and a certain catch while a " +
