@@ -2069,8 +2069,15 @@ object AnalyticsOps {
         .select(col("__u"), col("__c")).distinct()
         .join(train.select(col("__u"), col("__i").as("__c")),
           Seq("__u", "__c"), "left_anti")
-      val evalUsers = train.select("__u").distinct()
-        .join(test.select("__u").distinct(), Seq("__u"), "left_semi")
+      // evaluable = active on BOTH sides of the split (on ANY items) —
+      // one per-user max-flag aggregate over the flagged checkpoint
+      // instead of distinct(train) ⋈ distinct(test): same set by
+      // construction, two distincts and a semi-join fewer (r14: q246
+      // is job-count bound, not stage bound)
+      val evalUsers = flagged.groupBy("__u")
+        .agg(max("__in_train").as("__t1"), max("__in_test").as("__t2"))
+        .filter(col("__t1") === 1 && col("__t2") === 1)
+        .select("__u")
         .persist() // tiny (#users); consumed by the count AND the semi-join
       val candOfEval = cand.join(evalUsers, Seq("__u"), "left_semi")
       // ONE pass over the candidate chain for BOTH tallies (hit users
