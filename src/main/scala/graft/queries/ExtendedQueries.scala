@@ -2230,6 +2230,82 @@ object ExtendedQueries {
       }.reduce(_.unionAll(_))
     }),
 
+    // quality-filter ablation audit: per Gopher rule, how many docs
+    // fail it, how many fail ONLY it (the docs dropping the rule
+    // would admit — its marginal contribution), the first-failure
+    // attribution, and the token mass a drop would recover — the
+    // table a pipeline reads before loosening a threshold. One
+    // map-only gate pass + one 7-key exploded aggregate
+    "q337_filter_ablation" -> ((s, d) => {
+      val ruleNames = Seq("word_count", "mean_word_length",
+        "symbol_ratio", "bullet_lines", "ellipsis_lines",
+        "alpha_words", "stopword_hits")
+      val gated = graft.text.TextOps.gopherRules(
+          Tables.documents(s, d), "doc_id", "text")
+        .withColumn("__nf", ruleNames
+          .map(r => when(col(s"r_$r"), 0).otherwise(1)).reduce(_ + _))
+      gated.select(col("__nf"), col("n_words"), col("reject_reason"),
+          explode(array(ruleNames.map(r => struct(lit(r).as("r"),
+            col(s"r_$r").as("ok"))): _*)).as("x"))
+        .groupBy(col("x.r").as("rule"))
+        .agg(
+          sum(when(!col("x.ok"), 1L).otherwise(0L)).as("n_fail"),
+          sum(when(!col("x.ok") && col("__nf") === 1, 1L).otherwise(0L))
+            .as("n_only_fail"),
+          sum(when(col("reject_reason") === col("x.r"), 1L)
+            .otherwise(0L)).as("n_first_reason"),
+          sum(when(!col("x.ok") && col("__nf") === 1, col("n_words"))
+            .otherwise(0L)).as("tokens_recovered"))
+    }),
+
+    // curriculum length-confound audit: is q325's "easy" just
+    // "short"? Per token-length decile the mean KN loss, plus the
+    // Spearman rank correlation between loss rank and length rank —
+    // ranks are the tie-broken (value, doc_id) surrogate permutations
+    // (deterministic, not the tie-corrected estimator), Σd² is exact
+    // DECIMAL(38,0), and ρ closes as ONE fixed double expression
+    // (exact below n ≈ 2e5 where Σd² < 2^53 — sample above, as any
+    // rank audit would). Both ranks ride the two-level cumsum
+    "q338_curriculum_length_confound" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lm = graft.text.NgramLm.trainKneserNey(docs, "text")
+      val perDoc = graft.text.NgramLm.scoreKneserNey(
+          docs, "doc_id", "text", lm)
+        .select(col("doc_id"),
+          floor(col("avg_nll") * lit(1e6d) + lit(0.5d)).cast(LongType)
+            .as("__ne6"))
+        .join(docs.select(col("doc_id"),
+          graft.text.TextOps.tokenCount(col("text")).cast(LongType)
+            .as("__tc")), "doc_id")
+        .localCheckpoint(true) // KN chain feeds both ranks + n
+      val r1 = graft.operators.DedupOps.globalSurrogateId(
+        perDoc, "__ne6", Seq("doc_id"), "__rl", bucketWidth = 1L << 20)
+      val r2 = graft.operators.DedupOps.globalSurrogateId(
+        r1, "__tc", Seq("doc_id"), "__rt", bucketWidth = 16L)
+      val n = perDoc.agg(count(lit(1)).as("__n"))
+      val dec = DecimalType(38, 0)
+      val sd2 = r2.agg(sum((((col("__rl") - col("__rt")) *
+          (col("__rl") - col("__rt"))).cast(dec))).as("__sd2d"))
+        .select(col("__sd2d").cast(LongType).as("__sd2"))
+      val rho = n.crossJoin(broadcast(sd2))
+        .select(col("__n"),
+          // n <= 1 has no rank spread: NULL, never an ANSI x/0
+          when(col("__n") > 1L,
+            lit(1.0d) - lit(6.0d) * col("__sd2").cast(DoubleType) /
+              (col("__n").cast(DoubleType) * col("__n").cast(DoubleType)
+                * col("__n").cast(DoubleType)
+                - col("__n").cast(DoubleType))).as("__rho"))
+      r2.crossJoin(broadcast(rho))
+        .groupBy(expr("CAST((__rt - 1) * 10 div __n AS INT)")
+          .as("length_decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("CAST(sum(__tc) div count(1) AS BIGINT)")
+            .as("mean_tokens"),
+          expr("CAST(sum(__ne6) div count(1) AS BIGINT)")
+            .as("mean_nll_e6"),
+          max("__rho").as("spearman_loss_vs_length"))
+    }),
+
     // boilerplate shingle screen: token 8-grams (md5 digests) whose
     // per-source document frequency crosses max(2, ceil(10% of the
     // source)) — the "strip the nav bar before training" planner;
@@ -7949,6 +8025,124 @@ object ExtendedQueries {
          |  CAST(sum(img_in) AS BIGINT) AS image_patches,
          |  CAST(sum(spl) AS BIGINT) AS n_split_images
          |FROM o GROUP BY 1""".stripMargin
+    },
+
+    // q109's rule CTE verbatim + the fail-count column; per-rule
+    // marginals as a 7-way UNION ALL of integer aggregates
+    "q337_filter_ablation" -> {
+      val ruleNames = Seq("word_count", "mean_word_length",
+        "symbol_ratio", "bullet_lines", "ellipsis_lines",
+        "alpha_words", "stopword_hits")
+      val selects = ruleNames.map { r =>
+        s"""SELECT '$r' AS rule,
+           |  CAST(sum(CASE WHEN NOT r_$r THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_fail,
+           |  CAST(sum(CASE WHEN NOT r_$r AND nf = 1 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_only_fail,
+           |  CAST(sum(CASE WHEN reject_reason = '$r' THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_first_reason,
+           |  CAST(sum(CASE WHEN NOT r_$r AND nf = 1 THEN n_words
+           |    ELSE 0 END) AS BIGINT) AS tokens_recovered
+           |FROM fin""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0
+         |         THEN []::VARCHAR[]
+         |         ELSE regexp_split_to_array(
+         |           regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+') END AS toks,
+         |    list_filter(string_split(text, chr(10)),
+         |      l -> length(regexp_replace(l, '^\\s+|\\s+$$', '', 'g')) > 0) AS lns
+         |  FROM documents
+         |), sig AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS word_chars,
+         |    CAST(len(list_filter(toks, t -> regexp_matches(t, '\\p{L}'))) AS BIGINT) AS n_alpha_words,
+         |    CAST(len(regexp_extract_all(text, '#|…'))
+         |       + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_symbols,
+         |    CAST(len(lns) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(lns, l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS n_bullet_lines,
+         |    CAST(len(list_filter(lns, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS BIGINT) AS n_ellipsis_lines,
+         |    CAST(len(list_filter(toks, t -> list_contains(
+         |      ['the','be','to','of','and','that','have','with'], lower(t)))) AS BIGINT) AS n_stopword_hits
+         |  FROM base
+         |), rules AS (
+         |  SELECT *,
+         |    (n_words >= 20 AND n_words <= 5000) AS r_word_count,
+         |    (n_words > 0 AND word_chars >= 3*n_words AND word_chars <= 10*n_words) AS r_mean_word_length,
+         |    (10*n_symbols <= n_words) AS r_symbol_ratio,
+         |    (10*n_bullet_lines <= 9*n_lines) AS r_bullet_lines,
+         |    (10*n_ellipsis_lines <= 3*n_lines) AS r_ellipsis_lines,
+         |    (5*n_alpha_words >= 4*n_words) AS r_alpha_words,
+         |    (n_stopword_hits >= 2) AS r_stopword_hits
+         |  FROM sig
+         |), fin AS (
+         |  SELECT *,
+         |    (CASE WHEN r_word_count THEN 0 ELSE 1 END
+         |     + CASE WHEN r_mean_word_length THEN 0 ELSE 1 END
+         |     + CASE WHEN r_symbol_ratio THEN 0 ELSE 1 END
+         |     + CASE WHEN r_bullet_lines THEN 0 ELSE 1 END
+         |     + CASE WHEN r_ellipsis_lines THEN 0 ELSE 1 END
+         |     + CASE WHEN r_alpha_words THEN 0 ELSE 1 END
+         |     + CASE WHEN r_stopword_hits THEN 0 ELSE 1 END) AS nf,
+         |    CASE WHEN NOT r_word_count THEN 'word_count'
+         |         WHEN NOT r_mean_word_length THEN 'mean_word_length'
+         |         WHEN NOT r_symbol_ratio THEN 'symbol_ratio'
+         |         WHEN NOT r_bullet_lines THEN 'bullet_lines'
+         |         WHEN NOT r_ellipsis_lines THEN 'ellipsis_lines'
+         |         WHEN NOT r_alpha_words THEN 'alpha_words'
+         |         WHEN NOT r_stopword_hits THEN 'stopword_hits'
+         |         ELSE NULL END AS reject_reason
+         |  FROM rules
+         |)
+         |$selects""".stripMargin
+    },
+
+    // the shared KN CTE, both tie-broken row_number rank twins, the
+    // exact Σd² and the identical one-expression Spearman close
+    "q338_curriculum_length_confound" -> {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      knScoreCte + s""",
+        |perdoc AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(floor(round(avg(nll), 6) * 1e6 + 0.5) AS BIGINT) AS ne6
+        |  FROM score GROUP BY 1
+        |), tcv AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text, $ws)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text, $ws),
+        |           '\\s+'))
+        |    END AS BIGINT) AS tc
+        |  FROM documents
+        |), pd AS MATERIALIZED (
+        |  SELECT p.doc_id, p.ne6, t.tc
+        |  FROM perdoc p JOIN tcv t USING (doc_id)
+        |), r AS (
+        |  SELECT doc_id, ne6, tc,
+        |    row_number() OVER (ORDER BY ne6 ASC, doc_id ASC) AS rl,
+        |    row_number() OVER (ORDER BY tc ASC, doc_id ASC) AS rt
+        |  FROM pd
+        |), nn AS (SELECT count(*) AS n FROM pd),
+        |s2 AS (
+        |  SELECT CAST(sum((rl - rt) * (rl - rt)) AS BIGINT) AS sd2
+        |  FROM r
+        |), rho AS (
+        |  SELECT CASE WHEN (SELECT n FROM nn) > 1 THEN
+        |      1.0 - 6.0 * CAST((SELECT sd2 FROM s2) AS DOUBLE)
+        |        / (CAST((SELECT n FROM nn) AS DOUBLE)
+        |           * CAST((SELECT n FROM nn) AS DOUBLE)
+        |           * CAST((SELECT n FROM nn) AS DOUBLE)
+        |           - CAST((SELECT n FROM nn) AS DOUBLE))
+        |    END AS rho
+        |)
+        |SELECT CAST((rt - 1) * 10 // (SELECT n FROM nn) AS INTEGER)
+        |    AS length_decile,
+        |  count(*) AS n_docs,
+        |  CAST(sum(tc) // count(*) AS BIGINT) AS mean_tokens,
+        |  CAST(sum(ne6) // count(*) AS BIGINT) AS mean_nll_e6,
+        |  max(rho.rho) AS spearman_loss_vs_length
+        |FROM r, rho GROUP BY 1""".stripMargin
     },
 
     // the same md5-signed ±1 projection on the e6 lattice, pooled

@@ -360,6 +360,67 @@ class PipelinePlannersSpec extends SparkSpec {
     }
   }
 
+  test("q337 filter ablation: marginal / only-failure / first-reason " +
+    "attribution replayed from a hand-built rule matrix") {
+    import spark.implicits._
+    val fixture = Seq(
+      // passes every rule: 20 words, 8 stopwords, mean len exactly 3
+      (1L, "the be to of and that have with aaa bbb ccc ddd eee fff " +
+        "ggg hhh iii jjj kkk lll"),
+      // fails ONLY word_count (8 stopword tokens, mean len in range)
+      (2L, "the be to of and that have with"),
+      // fails word_count AND stopword_hits (first reason: word_count)
+      (3L, "qqqq wwww eeee rrrr tttt"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("q337fix")
+    try {
+      fixture.write.mode("overwrite")
+        .parquet(tmp.resolve("documents.parquet").toString)
+      val out = SparkEntry.queries("q337_filter_ablation")(
+        spark, tmp.toString).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toMap
+      assert(out.size === 7)
+      assert(out("word_count") === ((2L, 1L, 2L, 8L)),
+        "both short docs fail; only doc 2 fails nothing else; " +
+          "dropping the rule recovers doc 2's 8 tokens")
+      assert(out("stopword_hits") === ((1L, 0L, 0L, 0L)),
+        "doc 3 also fails word_count, so no marginal recovery here")
+      (out.keySet - "word_count" - "stopword_hits").foreach { r =>
+        assert(out(r) === ((0L, 0L, 0L, 0L)), s"rule $r should be clean")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("q338 length-confound audit: deciles tile the corpus, mean " +
+    "tokens are non-decreasing across length deciles, and the " +
+    "Spearman is one value in [-1, 1] on every row") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .filter(col("text").isNotNull)
+    val rows = run("q338_curriculum_length_confound")
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (0 until 10))
+    // every KN-scored doc lands in exactly one decile; floor/ceil
+    // decile sizes
+    val n = rows.map(_._2).sum
+    assert(rows.map(_._2).forall(c => c == n / 10 || c == n / 10 + 1))
+    assert(n <= docs.count())
+    // deciles are ordered by length rank
+    val mt = rows.map(_._3)
+    assert(mt.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      s"decile mean tokens must not fall: $mt")
+    val rhos = rows.map(_._5).distinct
+    assert(rhos.length === 1, "one Spearman, repeated per row")
+    assert(rhos.head >= -1.0 && rhos.head <= 1.0)
+  }
+
   test("q335 per-source curriculum: bands tile 1..n within every " +
     "source, per-band mean loss is non-decreasing, weights are " +
     "per-source constants summing to <= 1e6 ppm") {
