@@ -2179,6 +2179,57 @@ object AnalyticsOps {
             (col("n_a") * col("n_b")).cast(DoubleType)).as("ks_d"))
   }
 
+  /** Grouped form of [[ksTwoSample]]: an independent exact-integer KS
+    * per distinct value of `groupCol` (per-source drift between
+    * corpus snapshots — one monitor row per source). Identical
+    * arithmetic, with every window and aggregate additionally keyed
+    * on the group, so one skewed group still fans out across its
+    * value buckets and no corpus-sized partition exists. NULL-group
+    * rows are excluded by contract (the equi-joins would drop them
+    * silently otherwise).
+    */
+  def ksTwoSampleGrouped(a: DataFrame, b: DataFrame, groupCol: String,
+                         valueCol: String,
+                         bucketWidth: Long = 1L << 20): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive")
+    def side(df: DataFrame, sa: Long, sb: Long) = df
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast(LongType).as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+      .select(col("__g"), col("__v"),
+        lit(sa).as("__sa"), lit(sb).as("__sb"))
+    val hist = side(a, 1L, 0L).unionAll(side(b, 0L, 1L))
+      .groupBy("__g", "__v")
+      .agg(sum("__sa").as("__ca"), sum("__sb").as("__cb"))
+      .withColumn("__b", expr(s"__v div ${bucketWidth}L"))
+      .localCheckpoint(true) // offsets + cumsum + totals all read it
+    val offWin = Window.partitionBy("__g").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.groupBy("__g", "__b")
+      .agg(sum("__ca").as("__bta"), sum("__cb").as("__btb"))
+      .select(col("__g").as("__go"), col("__b").as("__ob"),
+        coalesce(sum("__bta").over(offWin), lit(0L)).as("__offa"),
+        coalesce(sum("__btb").over(offWin), lit(0L)).as("__offb"))
+    val wi = Window.partitionBy("__g", "__b").orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .join(offsets, col("__g") === col("__go") && col("__b") === col("__ob"))
+      .withColumn("__cuma", col("__offa") + sum("__ca").over(wi))
+      .withColumn("__cumb", col("__offb") + sum("__cb").over(wi))
+    val totals = hist.groupBy("__g")
+      .agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
+      .select(col("__g").as("__gt"), col("__na"), col("__nb"))
+    cum.join(totals, col("__g") === col("__gt"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
+        max(abs(col("__cuma") * col("__nb")
+          - col("__cumb") * col("__na"))).as("ks_num"))
+      .select(col(groupCol), col("n_a"), col("n_b"), col("ks_num"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("ks_num").cast(DoubleType) /
+            (col("n_a") * col("n_b")).cast(DoubleType)).as("ks_d"))
+  }
+
   /** Frequent triple mining — one Apriori step (Agrawal & Srikant
     * 1994) above the engine's pair surface (q155 lift): itemsets
     * {a < b < c} appearing in at least `minSupport` baskets. The

@@ -2556,6 +2556,57 @@ object ExtendedQueries {
       res
     }),
 
+    // incremental TEMPLATE novelty: q331's layout digest as a crawl
+    // gate through three id-ordered batches — a doc is novel iff no
+    // smaller-id doc owns its layout shape (order-free any-earlier
+    // rule; replay-idempotent); the gate that refuses the
+    // ten-thousandth boilerplate-varied mirror word-level digests
+    // admit as new
+    "q339_incremental_template_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val mx = docs.agg(max("doc_id")).head().getLong(0)
+      val tmpRoot = java.nio.file.Files.createTempDirectory("q339tpl")
+      val dir = tmpRoot.toString + "/state"
+      val cuts = Seq(
+        col("doc_id") <= mx / 3,
+        col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3,
+        col("doc_id") > 2 * mx / 3)
+      cuts.zipWithIndex.foreach { case (p, b) =>
+        graft.streaming.StreamingOps.templateDedupBatch(
+          docs.filter(p), b.toLong, "doc_id", "text", dir)
+      }
+      // q307's temp-state discipline: checkpoint severs the lineage,
+      // the state dir is removed before returning
+      val res = graft.streaming.StreamingOps
+        .noveltyFromTemplateState(s, dir)
+        .select(col("doc_id"),
+          when(col("is_novel"), 1).otherwise(0).cast(IntegerType)
+            .as("is_novel"))
+        .localCheckpoint(true)
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: java.io.IOException => () } // best-effort cleanup
+      res
+    }),
+
+    // per-source length drift: an independent exact-integer KS per
+    // source between the even- and odd-id snapshots on the token-count
+    // distribution — one monitor row per source, the grouped form of
+    // q333's drift alarm ("did THIS crawl source change shape?")
+    "q340_source_length_drift_ks" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .filter(col("text").isNotNull && col("source").isNotNull)
+        .select(col("source"), col("doc_id"),
+          graft.text.TextOps.tokenCount(col("text")).cast(LongType)
+            .as("__v"))
+      graft.operators.AnalyticsOps.ksTwoSampleGrouped(
+        scored.filter(col("doc_id") % 2 === 0),
+        scored.filter(col("doc_id") % 2 === 1), "source", "__v")
+    }),
+
     // dedup-aware token budget: what a per-source token count is
     // WORTH after exact dedup — raw whitespace-token volume vs the
     // volume surviving q80-digest keep-first (min doc_id keeps), and
@@ -8025,6 +8076,65 @@ object ExtendedQueries {
          |  CAST(sum(img_in) AS BIGINT) AS image_patches,
          |  CAST(sum(spl) AS BIGINT) AS n_split_images
          |FROM o GROUP BY 1""".stripMargin
+    },
+
+    // q331's shape digest + the order-free min-owner rule: batching
+    // is invisible by construction, so the oracle is one global
+    // min-per-digest join
+    "q339_incremental_template_novelty" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[0-9]', '9', 'g'), '[a-z]', 'x', 'g'),
+        |      '[A-Z]', 'X', 'g'), 'x+', 'x', 'g'), 'X+', 'X', 'g'),
+        |      '9+', '9', 'g')) AS h
+        |  FROM documents WHERE text IS NOT NULL
+        |), fo AS (SELECT h, min(doc_id) AS f FROM s GROUP BY 1)
+        |SELECT s.doc_id,
+        |  CAST(CASE WHEN fo.f >= s.doc_id THEN 1 ELSE 0 END AS INTEGER)
+        |    AS is_novel
+        |FROM s JOIN fo USING (h)""".stripMargin,
+
+    // per-source pooled ECDF walk: the q333 integer cross-product
+    // numerator with every window PARTITIONED BY source
+    "q340_source_length_drift_ks" -> {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      s"""WITH sc AS (
+         |  SELECT source, doc_id,
+         |    CAST(CASE WHEN length(trim(text, $ws)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text, $ws),
+         |           '\\s+'))
+         |    END AS BIGINT) AS v
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND source IS NOT NULL
+         |), hist AS (
+         |  SELECT source, v,
+         |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS cb
+         |  FROM sc GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT source, v,
+         |    CAST(SUM(ca) OVER (PARTITION BY source ORDER BY v)
+         |      AS BIGINT) AS cuma,
+         |    CAST(SUM(cb) OVER (PARTITION BY source ORDER BY v)
+         |      AS BIGINT) AS cumb
+         |  FROM hist
+         |), t AS (
+         |  SELECT source, CAST(sum(ca) AS BIGINT) AS na,
+         |    CAST(sum(cb) AS BIGINT) AS nb
+         |  FROM hist GROUP BY 1
+         |)
+         |SELECT cum.source, na AS n_a, nb AS n_b,
+         |  CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS ks_num,
+         |  CASE WHEN na > 0 AND nb > 0
+         |       THEN CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
+         |         / CAST(na * nb AS DOUBLE)
+         |  END AS ks_d
+         |FROM cum JOIN t USING (source)
+         |GROUP BY 1, 2, 3""".stripMargin
     },
 
     // q109's rule CTE verbatim + the fail-count column; per-rule

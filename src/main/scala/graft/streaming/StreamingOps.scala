@@ -1130,6 +1130,56 @@ object StreamingOps {
     spark.read.parquet(s"$statePath/verdicts")
       .select("doc_id", "is_novel")
 
+  /** Incremental TEMPLATE novelty admission — the crawl-gate form of
+    * the q331 layout-cluster audit, completing the incremental
+    * admission family (exact digest → MinHash → semantic → SimHash →
+    * span → TEMPLATE): a document is novel iff its
+    * [[graft.text.TextOps.layoutShape]] md5 digest is owned by no
+    * SMALLER-id document — the order-free any-earlier rule shared by
+    * the whole family, so verdicts replay from the signature state
+    * alone, batching is invisible to the semantics, and a retried
+    * batch (even after later batches landed) rewrites byte-identical
+    * rows. This is the gate that refuses the ten-thousandth
+    * boilerplate-varied mirror of a template the word-level digests
+    * admit as "new".
+    *
+    * State is ONE row per document (doc_id, template md5) — strictly
+    * smaller than the document table. Per batch: the batch's digests
+    * shuffle once for the min-owner aggregate over (matched prior ∪
+    * batch); the prior state is scanned and semi-join-filtered on the
+    * batch's digests ([[spanDedupBatch]]'s directed discipline),
+    * never bulk-reshuffled — per-batch shuffle volume is O(batch +
+    * matched keys), flat in corpus size.
+    */
+  def templateDedupBatch(batch: DataFrame, batchId: Long, idCol: String,
+                         textCol: String, statePath: String): Unit = {
+    val spark = batch.sparkSession
+    val sigs = batch.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        md5(graft.text.TextOps.layoutShape(col(textCol))).as("h"))
+      .localCheckpoint(true) // one deterministic frame, state + verdict
+    val sigsDir = new HPath(s"$statePath/sigs")
+    val fs = sigsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior =
+      if (fs.exists(sigsDir) && fs.listStatus(sigsDir).nonEmpty)
+        spark.read.parquet(s"$statePath/sigs").select("doc_id", "h")
+      else sigs.limit(0)
+    val priorMatched = prior
+      .join(sigs.select("h").distinct(), Seq("h"), "left_semi")
+    val firstOwner = priorMatched.unionByName(sigs)
+      .groupBy("h").agg(min("doc_id").as("__fo"))
+    sigs.join(firstOwner, "h")
+      .select(col("doc_id"), (col("__fo") >= col("doc_id")).as("is_novel"))
+      .write.mode("overwrite").parquet(s"$statePath/verdicts/batch=$batchId")
+    sigs.write.mode("overwrite").parquet(s"$statePath/sigs/batch=$batchId")
+  }
+
+  /** The verdict table [[templateDedupBatch]] maintains. */
+  def noveltyFromTemplateState(spark: SparkSession,
+                               statePath: String): DataFrame =
+    spark.read.parquet(s"$statePath/verdicts")
+      .select("doc_id", "is_novel")
+
   /** Incremental sibling of
     * [[graft.operators.AnalyticsOps.itemSimilarity]]: feedback
     * micro-batches append their deduped (user, item) incidence as

@@ -1430,6 +1430,35 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(empty === ((4L, 0L, 0L, None)))
   }
 
+  test("ksTwoSampleGrouped: per-group results equal the ungrouped " +
+    "statistic run group by group; a one-sided group reports NULL") {
+    import spark.implicits._
+    val a = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L), ("g1", 4L),
+      ("g2", 10L), ("g2", 20L), ("g3", 7L)).toDF("g", "v")
+    val b = Seq(("g1", 3L), ("g1", 4L), ("g1", 5L), ("g1", 6L),
+      ("g2", 10L), ("g2", 30L)).toDF("g", "v")
+    val out = AnalyticsOps.ksTwoSampleGrouped(a, b, "g", "v")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+    assert(out.keySet === Set("g1", "g2", "g3"))
+    // g1 is the ungrouped fixture: D_num 8 at v = 2, D = 0.5
+    assert(out("g1") === ((4L, 4L, 8L, Some(0.5))))
+    // g2: ECDF walk over {10, 20, 30}: |1*2-1*2|=0, |2*2-1*2|=2,
+    // |2*2-2*2|=0 -> D = 2/4
+    assert(out("g2") === ((2L, 2L, 2L, Some(0.5))))
+    // g3 has no B side
+    assert(out("g3") === ((1L, 0L, 0L, None)))
+    // grouped == ungrouped, group by group
+    for (g <- Seq("g1", "g2")) {
+      val solo = AnalyticsOps.ksTwoSample(
+        a.filter($"g" === g), b.filter($"g" === g), "v").collect()(0)
+      assert((solo.getLong(0), solo.getLong(1), solo.getLong(2),
+        Some(solo.getDouble(3))) === out(g), s"group $g disagrees")
+    }
+  }
+
   test("trimmedMean: k = n div 10 trimmed each side, exact kept-rank " +
     "overlap arithmetic, degenerate group reports NULL") {
     import spark.implicits._

@@ -805,6 +805,48 @@ class StreamingSpec extends SparkSpec {
     assert(verdicts() === expected)
   }
 
+  test("templateDedupBatch: incremental verdicts equal the global " +
+    "any-earlier layout rule — word-disjoint template mirrors are " +
+    "dups, a new layout is novel, replay after later batches is a " +
+    "no-op") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Price: 42 USD"),        // owns the "Xx: 9 X" layout
+      (2L, "hello world"),          // owns "x x"
+      (3L, "Total: 7 EUR"),         // doc 1's layout, every word new
+      (4L, "a1b2 unique layout"),   // novel shape
+      (5L, "greeting planet"))      // doc 2's layout
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("tpldedup").toString + "/state"
+    def verdicts() = graft.streaming.StreamingOps
+      .noveltyFromTemplateState(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    def run(b: Long, ids: Long*) =
+      graft.streaming.StreamingOps.templateDedupBatch(
+        docs.filter(col("doc_id").isin(ids: _*)), b, "doc_id", "text",
+        dir)
+    run(0L, 1L, 2L)
+    run(1L, 3L, 4L)
+    run(2L, 5L)
+    val expected = Map(1L -> true, 2L -> true, 3L -> false,
+      4L -> true, 5L -> false)
+    assert(verdicts() === expected)
+    // batch-INTERNAL earlier doc also counts
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("tpldedup2").toString + "/state"
+    graft.streaming.StreamingOps.templateDedupBatch(
+      docs.filter(col("doc_id").isin(1L, 3L)), 0L, "doc_id", "text",
+      dir2)
+    val v2 = graft.streaming.StreamingOps
+      .noveltyFromTemplateState(spark, dir2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(v2 === Map(1L -> true, 3L -> false))
+    // replay batch 1 AFTER batch 2 landed: verdicts unchanged
+    run(1L, 3L, 4L)
+    assert(verdicts() === expected)
+  }
+
   test("q309 decontaminated split: eval never quarantined, every " +
     "quarantined doc has a split-crossing near-dup partner, pairless " +
     "train docs stay train") {
