@@ -1664,6 +1664,57 @@ object CorpusPipeline {
         col("__keep").getField(idCol).as("keeper_doc_id"),
         col("__keep").getField("chunk_id").as("keeper_chunk_id"))
 
+  /** Atomic next-fit sequence packing — the PACKER whose padding bill
+    * the interleaved audit (q332) measures: documents never split
+    * across packs; walking each shard in id order, a document that
+    * does not fit the open pack closes it and starts the next (the
+    * classic next-fit discipline, ≤ 2× optimal waste). A document
+    * larger than `packLen` occupies a pack alone (reported in
+    * `n_oversize` — the truncation candidates). Output is the
+    * per-pack manifest: docs, used tokens, oversize count.
+    *
+    * Scale shape: next-fit is inherently SEQUENTIAL, so the
+    * parallelism unit is the shard (id mod `nShards` — q317's deal
+    * without the balance snake, since pack boundaries need a FIXED
+    * walk order): one shuffle groups each shard's (id, cost) pairs —
+    * 16 bytes per doc, never text — and the per-shard fold runs as
+    * `flatMapGroups` with an in-memory id sort. Size `nShards` so a
+    * shard's doc COUNT fits an executor (at 100 TB that is thousands
+    * of shards — the knob is the caller's, like q317's).
+    */
+  def packAtomicNextFit(docs: DataFrame, idCol: String, textCol: String,
+                        packLen: Long, nShards: Int): DataFrame = {
+    require(packLen > 0, s"packLen must be positive, got $packLen")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val items = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast(LongType).as("id"),
+        TextOps.tokenCount(col(textCol)).cast(LongType).as("cost"))
+      .filter(col("cost") > 0L)
+      .withColumn("shard",
+        pmod(col("id"), lit(nShards.toLong)).cast(IntegerType))
+    items.groupByKey(_.getInt(2))
+      .flatMapGroups { (shard: Int, it: Iterator[org.apache.spark.sql.Row]) =>
+        val sorted = it.map(r => (r.getLong(0), r.getLong(1)))
+          .toArray.sortBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Long, Long, Long, Long)]
+        var pack = 0L; var fill = 0L; var nDocs = 0L; var nOver = 0L
+        sorted.foreach { case (_, cost) =>
+          if (fill > 0L && fill + cost > packLen) {
+            out += ((shard, pack, nDocs, fill, nOver))
+            pack += 1L; fill = 0L; nDocs = 0L; nOver = 0L
+          }
+          fill += cost; nDocs += 1L
+          if (cost > packLen) nOver += 1L
+        }
+        if (nDocs > 0L) out += ((shard, pack, nDocs, fill, nOver))
+        out.iterator
+      }
+      .toDF("shard", "pack_idx", "n_docs", "used_tokens", "n_oversize")
+  }
+
   /** Template/layout near-dup audit (VERDICT r13 #8): cluster the
     * corpus on its [[TextOps.layoutShape]] — pages generated from the
     * same template (boilerplate mirrors, forms, listings that differ

@@ -2607,6 +2607,15 @@ object ExtendedQueries {
         scored.filter(col("doc_id") % 2 === 1), "source", "__v")
     }),
 
+    // atomic next-fit packer: the packer whose padding bill q332
+    // audits — docs never split; per shard (id mod 8, fixed walk
+    // order) a doc that doesn't fit closes the open 512-token pack;
+    // per-pack manifest rows
+    "q341_atomic_next_fit_pack" -> ((s, d) =>
+      graft.pipelines.CorpusPipeline.packAtomicNextFit(
+        Tables.documents(s, d), "doc_id", "text",
+        packLen = 512L, nShards = 8)),
+
     // dedup-aware token budget: what a per-source token count is
     // WORTH after exact dedup — raw whitespace-token volume vs the
     // volume surviving q80-digest keep-first (min doc_id keeps), and
@@ -8095,6 +8104,43 @@ object ExtendedQueries {
         |  CAST(CASE WHEN fo.f >= s.doc_id THEN 1 ELSE 0 END AS INTEGER)
         |    AS is_novel
         |FROM s JOIN fo USING (h)""".stripMargin,
+
+    // the next-fit walk replayed as a RECURSIVE CTE: one iteration
+    // per doc rank, all shards advance in parallel rows; the same
+    // fill/close rule, per-(shard, pack) rollup
+    "q341_atomic_next_fit_pack" -> {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      s"""WITH RECURSIVE items AS (
+         |  SELECT CAST(doc_id % 8 AS INTEGER) AS shard, doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text, $ws), '\\s+'))
+         |      AS BIGINT) AS cost
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(trim(text, $ws)) > 0
+         |), it AS (
+         |  SELECT shard, doc_id, cost,
+         |    row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+         |      AS rn
+         |  FROM items
+         |), walk AS (
+         |  SELECT shard, rn, cost, cost AS fill, CAST(0 AS BIGINT)
+         |    AS pack
+         |  FROM it WHERE rn = 1
+         |  UNION ALL
+         |  SELECT i.shard, i.rn, i.cost,
+         |    CASE WHEN w.fill + i.cost > 512 THEN i.cost
+         |         ELSE w.fill + i.cost END,
+         |    CASE WHEN w.fill + i.cost > 512 THEN w.pack + 1
+         |         ELSE w.pack END
+         |  FROM walk w JOIN it i
+         |    ON i.shard = w.shard AND i.rn = w.rn + 1
+         |)
+         |SELECT shard, pack AS pack_idx,
+         |  count(*) AS n_docs,
+         |  CAST(sum(cost) AS BIGINT) AS used_tokens,
+         |  CAST(sum(CASE WHEN cost > 512 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oversize
+         |FROM walk GROUP BY 1, 2""".stripMargin
+    },
 
     // per-source pooled ECDF walk: the q333 integer cross-product
     // numerator with every window PARTITIONED BY source

@@ -979,6 +979,30 @@ class CorpusPipelineSpec extends SparkSpec {
       "keep-first = lexicographic (doc, chunk) min")
   }
 
+  test("packAtomicNextFit: hand-walked next-fit boundaries, docs " +
+    "never split, an oversize doc owns a pack alone and is counted") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // costs in id order: 4, 5, 3, 12, 2, 9 at packLen 10
+    val docs = Seq(
+      (10L, words(4)), (11L, words(5)), (12L, words(3)),
+      (13L, words(12)), (14L, words(2)), (15L, words(9)))
+      .toDF("doc_id", "text")
+    val out = graft.pipelines.CorpusPipeline
+      .packAtomicNextFit(docs, "doc_id", "text",
+        packLen = 10L, nShards = 1)
+      .collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toMap
+    assert(out === Map(
+      0L -> ((2L, 9L, 0L)),   // 4 + 5 fits, 3 would overflow
+      1L -> ((1L, 3L, 0L)),   // 3 alone (12 won't fit after it)
+      2L -> ((1L, 12L, 1L)),  // the oversize doc owns its pack
+      3L -> ((1L, 2L, 0L)),   // 2 alone (9 would overflow)
+      4L -> ((1L, 9L, 0L))))
+  }
+
   test("templateClusters: word-disjoint template mirrors collapse to " +
     "one layout cluster, keep-first accounting is exact, and a " +
     "singleton layout is absent") {
