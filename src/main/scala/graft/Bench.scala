@@ -56,6 +56,58 @@ object Bench {
     def clear(): Unit = synchronized { buf.clear() }
   }
 
+  /** Per-query min of `current` against every same-surface full sweep
+    * retained in `historyPath` (bench_full.jsonl): entries count iff
+    * they carry the SAME query-name set (same-surface proxy — any code
+    * change that adds or removes a query starts a fresh merge window),
+    * the same `sf` (a sf0.001 probe sweep must never contribute its
+    * tiny walls to the sf0.1 official minima), and a timestamp within
+    * 24 h of `now` (one round). Returns (minima, sweeps merged — 1
+    * means no usable history). min is the right statistic: every
+    * per-query number is already a min-of-3 wall of a deterministic
+    * computation, so all upward excursions are host noise by
+    * construction (the r14 adjudication: three same-code sweeps
+    * degraded 321.7 -> 368.3 s on a drifting container).
+    */
+  private[graft] def mergedMins(
+      historyPath: java.nio.file.Path, sfDir: String,
+      current: Map[String, Double],
+      now: java.time.Instant): (Map[String, Double], Int) = {
+    import org.json4s._
+    if (!java.nio.file.Files.exists(historyPath)) return (current, 1)
+    val cutoff = now.minusSeconds(24L * 3600L)
+    var merged = current
+    var n = 1
+    val src = scala.io.Source.fromFile(historyPath.toFile)
+    try src.getLines().foreach { line =>
+      try {
+        val j = org.json4s.jackson.JsonMethods.parse(line)
+        val at = j \ "at" match {
+          case JString(s) => java.time.Instant.parse(s)
+          case _          => null
+        }
+        val qs = j \ "queries" match {
+          case JObject(fs) => fs.collect {
+            case (k, JDouble(v))  => k -> v
+            case (k, JInt(v))     => k -> v.toDouble
+            case (k, JDecimal(v)) => k -> v.toDouble
+          }.toMap
+          case _ => Map.empty[String, Double]
+        }
+        val sameSf = j \ "sf" match {
+          case JString(s) => s == sfDir
+          case _          => false
+        }
+        if (at != null && at.isAfter(cutoff) && sameSf &&
+            qs.keySet == current.keySet) {
+          n += 1
+          merged = merged.map { case (k, v) => k -> math.min(v, qs(k)) }
+        }
+      } catch { case _: Throwable => () } // a bad line never kills the bench
+    } finally src.close()
+    (merged, n)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default matches the documented environment (local[32], 32 shuffle
@@ -162,6 +214,32 @@ object Bench {
       (name, t, (gcMillis() - g0) / 1000.0)
     }
     spark.sparkContext.removeSparkListener(coll)
+
+    // ----- cross-sweep minimum merge (VERDICT r14 task #1) -----
+    // The round-14 adjudication showed the binding noise source is the
+    // CONTAINER, not the engine: three same-code full sweeps degraded
+    // monotonically 321.7 -> 368.3 s (+15%) with identical stage
+    // structures, and the committed (last) sweep buried a verified 3x
+    // CF win under host drift. The official artifact therefore also
+    // carries, per query, the MINIMUM across this round's full sweeps:
+    // bench_full.jsonl retains every full-sweep per-query line, so the
+    // merge filters history to entries with the SAME query-name set
+    // (same-surface proxy: any code change that adds/removes a query
+    // starts a fresh merge window) recorded within the last 24 h (one
+    // round), then takes per-query min including the current sweep.
+    // min is the right statistic here because every per-query number
+    // is already a min-of-3 wall of a DETERMINISTIC computation — all
+    // upward excursions are host noise by construction.
+    val sweep = results.map { case (k, v, _) => k -> v }.toMap
+    val (mins, sweepsMerged) =
+      if (only.isEmpty)
+        mergedMins(java.nio.file.Paths.get("bench_full.jsonl"), sfDir,
+          sweep, java.time.Instant.now())
+      else (sweep, 1)
+    val qsMin = results.map { case (k, _, _) => "\"" + k + "\":" + mins(k) }
+      .mkString("{", ",", "}")
+    val totalMin = results.map { case (k, _, _) => mins(k) }.sum
+
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val gcs = results.map { case (k, _, g) => "\"" + k + "\":" + g }
@@ -172,13 +250,21 @@ object Bench {
     // itself (per-query numbers are each the min of three timed
     // executions) so a reader needn't consult this source to know the
     // noise envelope the number carries
+    // `value`/`queries` stay THIS sweep's numbers (raw history, and
+    // the cross-round comparable); `value_min`/`queries_min` are the
+    // graded cross-sweep minima with `sweeps_merged` recording how
+    // many same-surface sweeps the merge saw (1 = no history). The
+    // driver retains only the LAST 2000 chars of stdout, so the
+    // headline min fields sit at the END of the printed line (inside
+    // the kept tail); the full queries_min map rides bench_full.jsonl,
+    // which is where per-query numbers are read from anyway.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_runs":3,"gc_sec":$gcTotal,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_runs":3,"gc_sec":$gcTotal,"queries":$qs,"sf":"$sfDir","value_min":$totalMin,"sweeps_merged":$sweepsMerged}"""
     val stagesJson =
       if (stageLines.isEmpty) ""
       else s""","stage_profiles":${stageLines.mkString("{", ",", "}")}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_runs":3,"gc_sec":$gcTotal,"queries":$qs,"gc_queries":$gcs$stagesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_runs":3,"gc_sec":$gcTotal,"value_min":$totalMin,"sweeps_merged":$sweepsMerged,"queries_min":$qsMin,"queries":$qs,"gc_queries":$gcs$stagesJson,"sf":"$sfDir"}"""
     println(line)
     // defend against the driver's 2000-char stdout-tail truncation
     // (BENCH_r6/r7 lost per-query history for a third of the set): the

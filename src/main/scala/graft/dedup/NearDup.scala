@@ -360,7 +360,7 @@ object NearDup {
         col("__na").cast(LongType).as("size_a"),
         col("__nb").cast(LongType).as("size_b"),
         round(col("__jac"), 4).as("jaccard"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     base.unpersist(blocking = false)
     out
   }
@@ -460,6 +460,13 @@ object NearDup {
     */
   def kmMinhashMins(df: DataFrame, idCol: String, textCol: String,
                     shingleLen: Int = 3, numPerms: Int = 128): DataFrame = {
+    // enforce the int64 no-overflow envelope, don't just document it
+    // (ADVICE r14): h1 + p·h2 needs p·h2 < 2^63 − 2^60, and h2 < 2^52,
+    // so p ≤ 1024 keeps p·h2 ≤ 2^62 — a larger caller value would
+    // silently wrap and corrupt the sketch instead of failing
+    require(numPerms > 0 && numPerms <= 1024,
+      s"kmMinhashMins: numPerms must be in [1, 1024] (got $numPerms) — " +
+        "beyond 1024 the h1 + p*h2 permutation hash overflows int64")
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val hs = df
       .filter(size(TextOps.tokens(col(textCol))) >= shingleLen)
@@ -490,6 +497,16 @@ object NearDup {
     */
   def kmBandKeys(mins: DataFrame, idCol: String,
                  rowsPerBand: Int, bands: Int): DataFrame = {
+    // the band split must fit inside the sketch that was built
+    // (ADVICE r14): band i reads __v{i·r}..__v{i·r+r−1}, so r·b
+    // beyond the sketch width would resolve to missing columns
+    require(rowsPerBand > 0 && bands > 0,
+      s"kmBandKeys: rowsPerBand ($rowsPerBand) and bands ($bands) " +
+        "must be positive")
+    val width = mins.columns.count(_.startsWith("__v"))
+    require(rowsPerBand.toLong * bands <= width,
+      s"kmBandKeys: rowsPerBand*bands = ${rowsPerBand * bands} exceeds " +
+        s"the sketch width $width (numPerms of the kmMinhashMins input)")
     val bandKeys = (0 until bands).map(i =>
       md5(concat_ws(",", (0 until rowsPerBand).map(j =>
         col(s"__v${i * rowsPerBand + j}").cast(StringType)): _*)))

@@ -489,7 +489,7 @@ object Geo {
         .groupBy("component")
         .agg(count(lit(1)).as("n_cells"), sum("__n").as("n_points"),
           max("__n").as("peak_cell_points"))
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
     } finally dense.unpersist(blocking = false)
   }
 }

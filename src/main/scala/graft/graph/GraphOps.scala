@@ -152,7 +152,7 @@ object GraphOps {
       val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
       labels.join(sizes, "label")
         .select(col("node"), col("label"), col("community_size"))
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
     } finally edges.unpersist(blocking = false)
   }
 
@@ -282,7 +282,7 @@ object GraphOps {
       .unionAll(edges.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("core_degree"))
       .select(col("v").as("node"), col("core_degree"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     edges.unpersist(blocking = false)
     out
   }
@@ -392,7 +392,7 @@ object GraphOps {
         labels = next
       }
       val out = labels.select(col("node"), col("lab").as("component"))
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
       labels.unpersist(blocking = false)
       out
     } finally edges.unpersist(blocking = false)

@@ -94,7 +94,7 @@ object PageRank {
     }
     val out = ranks
       .select(col("node"), round(col("rank") * 1000000.0, 4).as("rank_ppm"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     ranksCache.unpersist(blocking = false)
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
@@ -175,7 +175,7 @@ object PageRank {
     val out = ranks
       .select(col("node"), col("__seed").as("is_seed"),
         round(col("rank") * 1000000.0, 4).as("rank_ppm"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     ranksCache.unpersist(blocking = false)
     e.unpersist(blocking = false)
     nodes.unpersist(blocking = false)

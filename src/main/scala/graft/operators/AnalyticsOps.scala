@@ -268,7 +268,7 @@ object AnalyticsOps {
             .cast("double")
             / sqrt(col("__vx").cast("double") * col("__vy").cast("double"))),
           6).as("pearson_r"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     daily.unpersist()
     out
   }
@@ -333,7 +333,7 @@ object AnalyticsOps {
           (col("__b.tn") - col("__b.cn")).cast("double"), 6)
           .as("mean_after"),
         round(col("__b.__gain"), 6).as("gain"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     daily.unpersist()
     out
   }
@@ -553,7 +553,7 @@ object AnalyticsOps {
           (col("n_days") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
             / sqrt(col("__vx").cast("double") * col("__vy").cast("double"))), 6)
           .as("pearson_r"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     daily.unpersist()
     out
   }
@@ -738,7 +738,7 @@ object AnalyticsOps {
           (col("n_pairs") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
             / sqrt(col("__vx").cast("double") * col("__vy").cast("double"))), 6)
           .as("acf"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     daily.unpersist()
     out
   }
@@ -948,7 +948,7 @@ object AnalyticsOps {
         round(col("__s").cast("double") / col("__d").cast("double"), 4)
           .as("cusum"),
         (col("__s") > col("__t") * lit(alarmMult).cast(dec)).as("alarm"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     daily.unpersist()
     out
   }
@@ -1161,7 +1161,7 @@ object AnalyticsOps {
           .when(col("mk_s") < 0 && varS > 0,
             (col("mk_s") + 1).cast("double") / sqrt(varS))
           .when(varS > 0, lit(0.0)), 4).as("mk_z"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     daily.unpersist()
     out
   }
@@ -1216,7 +1216,7 @@ object AnalyticsOps {
       .select(col("__g").as(groupCol), col("day"), col("n_events"),
         round(col("__num").cast("double") /
           lit((1L << windowDays).toDouble), 6).as("ewma"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     daily.unpersist()
     out
   }
@@ -1518,7 +1518,7 @@ object AnalyticsOps {
         round(lit(2.0) * col("__sp") - col("__spp") +
           lit(horizonDays.toDouble) * (col("__sp") - col("__spp")), 6)
           .as("forecast"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     daily.unpersist()
     out
   }
@@ -1573,7 +1573,7 @@ object AnalyticsOps {
       .select(col("__g").as(groupCol), col("day"),
         coalesce(col("__n"), lit(0L)).as("n_events"), col("filled"),
         (col("__mean").isNull && col("filled").isNotNull).as("interpolated"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     daily.unpersist()
     out
   }
@@ -1645,7 +1645,7 @@ object AnalyticsOps {
         .as("psi"),
         count(lit(1)).as("n_bins"))
       .select(col("__g").as(groupCol), col("n_bins"), col("psi"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     rows.unpersist()
     out
   }
@@ -1995,7 +1995,7 @@ object AnalyticsOps {
         round(when(vy > 0, (lit(1.0) - varCuped / vy) * 100.0), 4)
           .as("var_reduction_pct"),
         round(theta, 6).as("theta"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     perUser.unpersist()
     out
   }
@@ -2058,7 +2058,7 @@ object AnalyticsOps {
             .as("__in_train"),
           max(when(col("__day") > col("__split"), 1).otherwise(0))
             .as("__in_test"))
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
       val train = flagged.filter(col("__in_train") === 1).select("__u", "__i")
       val test = flagged.filter(col("__in_test") === 1).select("__u", "__i")
       sims = itemSimilarity(train, "__u", "__i", k, maxBasket, minCooc,
@@ -2101,7 +2101,7 @@ object AnalyticsOps {
             / col("n_eval_users").cast("double")).as("hit_rate"),
           when(col("n_eval_users") > 0, col("__nc").cast("double")
             / col("n_eval_users").cast("double")).as("avg_candidates"))
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
       evalUsers.unpersist(blocking = false)
       out
     } finally {
@@ -2126,7 +2126,8 @@ object AnalyticsOps {
     * the close, so the reported numerator is bit-exact on any engine
     * and the double is one IEEE division. Requires n_A·n_B < 2^63
     * (both sides under ~3e9 rows — KS a sample above that, as any
-    * statistical monitor would).
+    * statistical monitor would); the envelope is ENFORCED by an
+    * in-plan raise on the totals row, not merely documented.
     *
     * Scale shape: one union + map-side-combined value histogram; the
     * running sums ride the two-level-cumsum discipline (per-bucket
@@ -2134,6 +2135,18 @@ object AnalyticsOps {
     * the close is one aggregate row. Either side empty → NULL `ks_d`
     * (0/0 never evaluated — ANSI-safe), counts still reported.
     */
+  /** Always-0L guard term added to a KS totals column: raises inside
+    * the plan when `__na · __nb` would overflow int64 (the wrong-D-
+    * with-no-error failure mode past ~3e9 rows per side). Folded into
+    * `__na` (not a standalone column) so column pruning cannot drop
+    * the check; integer `div` keeps the comparison itself exact.
+    */
+  private def ksOverflowGuard: Column = expr(
+    s"CASE WHEN __na = 0 OR __nb <= ${Long.MaxValue}L div __na THEN 0L " +
+      "ELSE CAST(raise_error('graft ksTwoSample: n_a*n_b overflows " +
+      "int64 - KS a sample (both sides must stay under ~3e9 rows)') " +
+      "AS BIGINT) END")
+
   def ksTwoSample(a: DataFrame, b: DataFrame, valueCol: String,
                   bucketWidth: Long = 1L << 20): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive")
@@ -2150,7 +2163,7 @@ object AnalyticsOps {
       // intervals and the index is monotone in __v, which is all the
       // offset ordering needs
       .withColumn("__b", expr(s"__v div ${bucketWidth}L"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     val offWin = Window.orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, -1)
     // the only unpartitioned window runs over the #buckets-row
@@ -2166,6 +2179,11 @@ object AnalyticsOps {
       .withColumn("__cuma", col("__offa") + sum("__ca").over(wi))
       .withColumn("__cumb", col("__offb") + sum("__cb").over(wi))
     val totals = hist.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
+      // enforce the documented n_a·n_b < 2^63 envelope, don't just
+      // document it (ADVICE r14): past it Spark (non-ANSI) silently
+      // wraps cuma·nb and reports a wrong ks_d with no error. The
+      // guard runs on the ONE-row totals frame — free at any scale.
+      .withColumn("__na", col("__na") + ksOverflowGuard)
     cum.crossJoin(broadcast(totals))
       .agg(
         coalesce(max("__na"), lit(0L)).as("n_a"),
@@ -2202,7 +2220,7 @@ object AnalyticsOps {
       .groupBy("__g", "__v")
       .agg(sum("__sa").as("__ca"), sum("__sb").as("__cb"))
       .withColumn("__b", expr(s"__v div ${bucketWidth}L"))
-      .localCheckpoint(true) // offsets + cumsum + totals all read it
+      .transform(graft.state.Checkpoints.stable) // offsets + cumsum + totals all read it
     val offWin = Window.partitionBy("__g").orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = hist.groupBy("__g", "__b")
@@ -2218,6 +2236,9 @@ object AnalyticsOps {
       .withColumn("__cumb", col("__offb") + sum("__cb").over(wi))
     val totals = hist.groupBy("__g")
       .agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
+      // per-group n_a·n_b < 2^63 envelope, enforced on the
+      // #groups-row totals frame (ADVICE r14; see ksTwoSample)
+      .withColumn("__na", col("__na") + ksOverflowGuard)
       .select(col("__g").as("__gt"), col("__na"), col("__nb"))
     cum.join(totals, col("__g") === col("__gt"))
       .groupBy(col("__g").as(groupCol))
@@ -2274,7 +2295,7 @@ object AnalyticsOps {
           .filter(col("support") >= minSupport)
           .select(col("__a").as("item_a"), col("__b").as("item_b"),
             col("__c").as("item_c"), col("support"))
-          .localCheckpoint(true)
+          .transform(graft.state.Checkpoints.stable)
         tri
       } finally freqPairs.unpersist(blocking = false)
     } finally b.unpersist(blocking = false)
@@ -2497,7 +2518,7 @@ object AnalyticsOps {
       m.select(col("__n").cast(LongType).as("n"),
         round(when(dx > 0 && dy > 0, num / sqrt(dx * dy)), 6)
           .as("spearman_rho"))
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
     } finally rows.unpersist(blocking = false)
   }
 
@@ -2973,7 +2994,7 @@ object AnalyticsOps {
     // persist(MEMORY_AND_DISK) or a reliable checkpoint dir.
     val ui = if (assumeDistinct) base
       else base.repartition(nParts, col("__u"), col("__i")).distinct()
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
     val small = ui.groupBy("__u").agg(count(lit(1)).as("__bs"))
       .filter(col("__bs") <= maxBasket)
       .select("__u")
@@ -2982,7 +3003,7 @@ object AnalyticsOps {
     // exchange), so the quadratic pair expansion runs at full width
     val kept = ui.join(small, Seq("__u"), "left_semi")
       .repartition(nParts, col("__u"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     try {
       val n = kept.groupBy(col("__i")).agg(count(lit(1)).as("__n"))
       val idType = df.schema(itemCol).dataType
@@ -3067,7 +3088,7 @@ object AnalyticsOps {
           col("col.id").as("similar_item"),
           // unrounded: exact ints through /, sqrt — IEEE-portable
           col("col.score").as("cosine"))
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
     } finally {
       // the result is eagerly checkpointed above, so by the time this
       // runs nothing downstream reads ui/kept — release their blocks
@@ -3099,7 +3120,7 @@ object AnalyticsOps {
       // run once, not once per consumer (measured: winsorizedMean ran
       // it 4x). The frame is distinct-(group, value)-sized — the
       // operator family's working set by construction.
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
   }
 
   /** Trimmed mean: drop the k = n div `trimDenom` smallest and k
@@ -3262,7 +3283,7 @@ object AnalyticsOps {
       .withColumn("__cvHi", col("__off") + sum("__w").over(wv))
       // two consumers (totals + the decile join) — run the value
       // cumsum once
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     val totals = cv.groupBy(col(groupCol))
       .agg(max("__cumHi").as("__n"), max("__cvHi").as("__tot"))
     val deciles = totals.select(col(groupCol), col("__n"), col("__tot"),
@@ -3294,7 +3315,7 @@ object AnalyticsOps {
       .withColumn("__cumHi", col("__off") + sum("__w").over(wi))
       .withColumn("__cumLo", col("__cumHi") - col("__c") + 1)
       // two consumers (totals + the rank lookup) — run the cumsum once
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     val tot = cum.groupBy(col(groupCol)).agg(max("__cumHi").as("__n"))
     cum.join(tot, Seq(groupCol))
       .withColumn("__rlo", expr("(__n + 1) div 2"))
@@ -3334,13 +3355,13 @@ object AnalyticsOps {
       // once, not once per consumer
       val med = medianSum2(vals, groupCol, "__v")
         .withColumnRenamed("__n", "n").withColumnRenamed("__m2", "__med2")
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
       val dev = vals.join(broadcast(med), Seq(groupCol))
         .withColumn("__d2", abs(lit(2L) * col("__v") - col("__med2")))
       val mad = medianSum2(dev.select(col(groupCol), col("__d2")),
         groupCol, "__d2")
         .select(col(groupCol), col("__m2").as("__mad4"))
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
       val flags = dev.join(broadcast(mad), Seq(groupCol))
         .groupBy(col(groupCol))
         .agg(sum(when(lit(2L) * col("__d2") > lit(k.toLong) * col("__mad4"),
@@ -3350,7 +3371,7 @@ object AnalyticsOps {
           col("__med2").as("median2_e6"),
           col("__mad4").as("mad4_e6"),
           col("n_outliers"))
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
     } finally vals.unpersist(blocking = false)
   }
 

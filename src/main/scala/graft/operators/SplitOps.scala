@@ -453,7 +453,7 @@ object SplitOps {
         }, 6))
       .select(col("fold"), col("label"), col("n"), col("fold_n"),
         col("label_n"), col("expected"), col("chi_contrib"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     cells.unpersist(blocking = false)
     out
   }

@@ -1523,7 +1523,7 @@ object CorpusPipeline {
           coalesce(col("__dup"), lit(0L)).as("n_dup_positions"))
         .withColumn("dup_ppm",
           expr("n_dup_positions * 1000000 div n_positions"))
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
     } finally arrays.unpersist(blocking = false)
   }
 
@@ -1583,7 +1583,7 @@ object CorpusPipeline {
         .select(col("__id").as(idCol) +: col("n_tokens") +:
           RepeatLevels.map(w => col(s"dup$w")) :+
           maxDup.cast(IntegerType).as("max_dup_window"): _*)
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
     } finally arrays.unpersist(blocking = false)
   }
 
@@ -1713,6 +1713,82 @@ object CorpusPipeline {
         out.iterator
       }
       .toDF("shard", "pack_idx", "n_docs", "used_tokens", "n_oversize")
+  }
+
+  /** Atomic BEST-FIT-DECREASING sequence packing — the padding-waste
+    * comparison point beside [[packAtomicNextFit]] (VERDICT r14 #4):
+    * documents never split; within each shard the docs are walked in
+    * DECREASING cost order (ties on id — the q317 size-rank) and each
+    * doc is placed into the open pack with the LARGEST fill that
+    * still fits (ties on the lowest pack index); if none fits, a new
+    * pack opens. Oversize docs (> `packLen`) sort first and therefore
+    * each own a pack alone — no later doc ever fits beside a fill
+    * that already exceeds `packLen`. BFD's waste bound (11/9·OPT + 4
+    * packs, Johnson 1973) is the reason trainers pay the sort: the
+    * same manifest schema as next-fit plus a `waste_tokens` column
+    * (packLen − fill for normal packs, 0 for oversize) makes the two
+    * disciplines comparable under one surface.
+    *
+    * Scale shape: like next-fit the walk is inherently sequential, so
+    * the parallelism unit is the id-mod shard and only 16-byte
+    * (id, cost) pairs — never text — reach the fold. Unlike next-fit
+    * ALL of a shard's packs stay open, so the fold keeps a
+    * fill→pack-index TreeMap: O(log packs) per doc (`floorEntry` IS
+    * the best-fit rule) and O(packs) shard memory — the same order as
+    * the manifest the shard emits anyway. Size `nShards` so a shard's
+    * PACK count fits an executor; at 100 TB that is thousands of
+    * shards, the documented knob shared with q317/q341.
+    */
+  def packBestFitDecreasing(docs: DataFrame, idCol: String,
+                            textCol: String, packLen: Long,
+                            nShards: Int): DataFrame = {
+    require(packLen > 0, s"packLen must be positive, got $packLen")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val items = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast(LongType).as("id"),
+        TextOps.tokenCount(col(textCol)).cast(LongType).as("cost"))
+      .filter(col("cost") > 0L)
+      .withColumn("shard",
+        pmod(col("id"), lit(nShards.toLong)).cast(IntegerType))
+    items.groupByKey(_.getInt(2))
+      .flatMapGroups { (shard: Int, it: Iterator[org.apache.spark.sql.Row]) =>
+        val sorted = it.map(r => (r.getLong(0), r.getLong(1)))
+          .toArray.sortBy { case (id, cost) => (-cost, id) }
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val nDocs = scala.collection.mutable.ArrayBuffer.empty[Long]
+        // fill → open pack indices at that fill (lowest-index tie);
+        // floorEntry(packLen - cost) is exactly "largest fill ≤ cap"
+        val byFill = new java.util.TreeMap[Long, java.util.TreeSet[Int]]()
+        def pool(fill: Long): java.util.TreeSet[Int] = {
+          var s = byFill.get(fill)
+          if (s == null) { s = new java.util.TreeSet[Int](); byFill.put(fill, s) }
+          s
+        }
+        sorted.foreach { case (_, cost) =>
+          val cap = packLen - cost
+          val e = if (cap >= 0) byFill.floorEntry(cap) else null
+          if (e == null) { // nothing fits (or oversize): open a pack
+            fills += cost; nDocs += 1L
+            pool(cost).add(fills.length - 1)
+          } else {
+            val idx = e.getValue.first()
+            e.getValue.remove(idx)
+            if (e.getValue.isEmpty) byFill.remove(e.getKey)
+            fills(idx) += cost; nDocs(idx) += 1L
+            pool(fills(idx)).add(idx)
+          }
+        }
+        fills.indices.iterator.map { i =>
+          val over = fills(i) > packLen
+          (shard, i.toLong, nDocs(i), fills(i),
+            if (over) 1L else 0L,
+            if (over) 0L else packLen - fills(i))
+        }
+      }
+      .toDF("shard", "pack_idx", "n_docs", "used_tokens", "n_oversize",
+        "waste_tokens")
   }
 
   /** Template/layout near-dup audit (VERDICT r13 #8): cluster the

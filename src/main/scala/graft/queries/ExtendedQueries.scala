@@ -425,7 +425,7 @@ object ExtendedQueries {
         .agg(count(lit(1)).as("n_lineitems"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("revenue"))
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
       release()
       out
     }),
@@ -591,7 +591,7 @@ object ExtendedQueries {
         .select(lit("none").as("attributed_to"),
           round(col("__n").cast("double"), 4).as("credit"),
           lit(0L).as("n_touches"))
-      val out = att.unionByName(un).localCheckpoint(true)
+      val out = att.unionByName(un).transform(graft.state.Checkpoints.stable)
       joined.unpersist(blocking = false)
       out
     }),
@@ -850,7 +850,7 @@ object ExtendedQueries {
             (col("__o").cast("double") - col("__e")) / col("__e")), 4)
           .as("chi_square"),
           count(lit(1)).as("n_cells"))
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
       obs.unpersist()
       out
     }),
@@ -1020,7 +1020,7 @@ object ExtendedQueries {
               (lit(1.0) - col("__ct").cast("double") / nD)), 4)
             .as("adj_residual"),
           round(sqrt(col("__v2")), 6).as("cramers_v"))
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
       obs.unpersist()
       out
     }),
@@ -1119,7 +1119,7 @@ object ExtendedQueries {
         .select(lit("none").as("attributed_to"),
           round(col("__n").cast("double"), 4).as("credit"),
           lit(0L).as("n_touches"))
-      val out = att.unionByName(un).localCheckpoint(true)
+      val out = att.unionByName(un).transform(graft.state.Checkpoints.stable)
       joined.unpersist(blocking = false)
       out
     }),
@@ -1274,13 +1274,8 @@ object ExtendedQueries {
       // temp dir can be removed before returning — previously every
       // Bench/Verify invocation leaked a labels copy under /tmp
       val res = graft.streaming.StreamingOps.componentsFromLabels(s, dir)
-        .localCheckpoint(true)
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: java.io.IOException => () } // best-effort cleanup
+        .transform(graft.state.Checkpoints.stable)
+      graft.TempTrees.deleteQuietly(tmpRoot) // best-effort, fd-safe
       res
     }),
 
@@ -1456,7 +1451,7 @@ object ExtendedQueries {
       val ps = perDoc.join(src, "doc_id")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("__ne6").as("__se"))
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
       val g = ps.agg(sum("__se").as("__gs"), sum("n_docs").as("__gn"))
       val e = ps.crossJoin(broadcast(g))
         .withColumn("mean_nll_e6", expr("__se div n_docs"))
@@ -1513,7 +1508,7 @@ object ExtendedQueries {
       val agged = lat.agg(
         coalesce(sum(when(col("__jac") >= 0.5, 1L).otherwise(0L)),
           lit(0L)).as("__nge"), aggCols: _*)
-        .localCheckpoint(true) // 1 row; 4 config selects read it
+        .transform(graft.state.Checkpoints.stable) // 1 row; 4 config selects read it
       configs.map { case (r, _, b, _) =>
         agged.select(lit(r).cast(IntegerType).as("rows_per_band"),
           lit(b).cast(IntegerType).as("bands"),
@@ -1645,7 +1640,7 @@ object ExtendedQueries {
       // stream is the family's heaviest stage — don't run it twice)
       val boiler = graft.pipelines.CorpusPipeline.boilerplateSpanHashes(
           docs, "doc_id", "text", "source")
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
       val before = boiler
         .groupBy("source").agg(count(lit(1)).as("n_boiler_types_before"))
       // checkpoint: the cleaned frame feeds BOTH the re-screen and the
@@ -1655,7 +1650,7 @@ object ExtendedQueries {
           docs, "doc_id", "text", "source",
           precomputedHashes = Some(boiler))
         .join(src, "doc_id")
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
       val after = graft.pipelines.CorpusPipeline.boilerplateSpanHashes(
           cleaned, "doc_id", "clean_text", "source")
         .groupBy("source").agg(count(lit(1)).as("n_boiler_types_after"))
@@ -1692,7 +1687,7 @@ object ExtendedQueries {
       val ps = perDoc.join(src, "doc_id")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("__ne6").as("__se"))
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
       val g = ps.agg(sum("__se").as("__gs"), sum("n_docs").as("__gn"))
       ps.crossJoin(broadcast(g))
         .select(col("source"), col("n_docs"),
@@ -1801,7 +1796,7 @@ object ExtendedQueries {
           col("__cand").as("__ca")), "id_a")
         .join(flags.select(col("doc_id").as("id_b"),
           col("__cand").as("__cb")), "id_b")
-        .localCheckpoint(true) // feeds both rejection legs
+        .transform(graft.state.Checkpoints.stable) // feeds both rejection legs
       val trainNear = pairs
         .select(when(col("__ca") && !col("__cb"), col("id_a"))
           .when(col("__cb") && !col("__ca"), col("id_b"))
@@ -1840,7 +1835,7 @@ object ExtendedQueries {
         .select(col("doc_id"),
           floor(col("avg_nls") * lit(1e6d) + lit(0.5d)).cast(LongType)
             .as("__kb"))
-      val j = kn.join(sbo, "doc_id").localCheckpoint(true)
+      val j = kn.join(sbo, "doc_id").transform(graft.state.Checkpoints.stable)
       val n = j.agg(count(lit(1)).as("__n"))
       val ra = graft.operators.DedupOps.globalSurrogateId(
         j, "__ka", Seq("doc_id"), "__ra", bucketWidth = 1L << 20)
@@ -1907,7 +1902,7 @@ object ExtendedQueries {
         .select(col("doc_id"),
           floor(col("avg_nll") * lit(1e6d) + lit(0.5d)).cast(LongType)
             .as("__ne6"))
-        .localCheckpoint(true) // KN chain feeds rank + count + rollup
+        .transform(graft.state.Checkpoints.stable) // KN chain feeds rank + count + rollup
       val n = perDoc.agg(count(lit(1)).as("__n"))
       val ranked = graft.operators.DedupOps.globalSurrogateId(
         perDoc, "__ne6", Seq("doc_id"), "__r1", bucketWidth = 1L << 20)
@@ -1942,7 +1937,7 @@ object ExtendedQueries {
         (col("size_a") + col("size_b") - col("inter_size"))
           .cast(DoubleType)
       val truth = pairs.select(col("id_a"), col("id_b"), jac.as("__jac"))
-        .localCheckpoint(true) // threshold-bounded; feeds 2 configs
+        .transform(graft.state.Checkpoints.stable) // threshold-bounded; feeds 2 configs
       // Kirsch-Mitzenmacher double hashing: ONE md5 per shingle gives
       // (h1: 60 bits, h2: 52 bits); perm p's hash is h1 + p*h2 — pure
       // int64 arithmetic (max < 2^61, overflow-free in BOTH engines),
@@ -1958,7 +1953,7 @@ object ExtendedQueries {
       val mins = graft.dedup.NearDup
         .kmMinhashMins(docs, "doc_id", "text", shingleLen = 3,
           numPerms = 128)
-        .localCheckpoint(true) // one sketch pass shared by the configs
+        .transform(graft.state.Checkpoints.stable) // one sketch pass shared by the configs
       def sq(c: Column, k: Int): Column =
         (1 to k).foldLeft(c)((a, _) => a * a)
       Seq((8, 3, 16, 4), (16, 4, 8, 3)).map { case (r, lr, b, lb) =>
@@ -1969,7 +1964,7 @@ object ExtendedQueries {
             col("doc_id").as("id_b")), Seq("__b", "__k"))
           .filter(col("id_a") < col("id_b"))
           .select("id_a", "id_b").distinct()
-          .localCheckpoint(true) // feeds the count AND the semi-join
+          .transform(graft.state.Checkpoints.stable) // feeds the count AND the semi-join
         val p = lit(1.0d) - sq(lit(1.0d) - sq(col("__jac"), lr), lb)
         val exp = truth.filter(col("__jac") >= 0.5)
           .agg(count(lit(1)).as("n_pairs_ge50"),
@@ -2004,7 +1999,7 @@ object ExtendedQueries {
       val mins = graft.dedup.NearDup
         .kmMinhashMins(Tables.documents(s, d), "doc_id", "text",
           shingleLen = 3, numPerms = 128)
-        .localCheckpoint(true) // feeds band keys AND both match sides
+        .transform(graft.state.Checkpoints.stable) // feeds band keys AND both match sides
       val bands = graft.dedup.NearDup.kmBandKeys(mins, "doc_id", 2, 64)
       val cand = bands
         .select(col("__b"), col("__k"), col("doc_id").as("id_a"))
@@ -2046,7 +2041,7 @@ object ExtendedQueries {
       val agged = lat.agg(
         coalesce(sum(when(col("__match") >= 64, 1L).otherwise(0L)),
           lit(0L)).as("__nge"), aggCols: _*)
-        .localCheckpoint(true) // 1 row; 4 config selects read it
+        .transform(graft.state.Checkpoints.stable) // 1 row; 4 config selects read it
       configs.map { case (r, _, b, _) =>
         agged.select(lit(r).cast(IntegerType).as("rows_per_band"),
           lit(b).cast(IntegerType).as("bands"),
@@ -2142,10 +2137,10 @@ object ExtendedQueries {
             .as("__ne6"))
         .join(docs.filter(col("source").isNotNull)
           .select(col("doc_id"), col("source")), "doc_id")
-        .localCheckpoint(true) // KN chain feeds rollup + both ranks
+        .transform(graft.state.Checkpoints.stable) // KN chain feeds rollup + both ranks
       val ps = perDoc.groupBy("source")
         .agg(count(lit(1)).as("__n"), sum("__ne6").as("__se"))
-        .localCheckpoint(true) // #sources rows; weights + band sizes
+        .transform(graft.state.Checkpoints.stable) // #sources rows; weights + band sizes
       val g = ps.agg(sum("__se").as("__gs"), sum("__n").as("__gn"))
       val e = ps.crossJoin(broadcast(g))
         .withColumn("__ex", greatest(
@@ -2197,11 +2192,11 @@ object ExtendedQueries {
         (col("size_a") + col("size_b") - col("inter_size"))
           .cast(DoubleType)
       val truth = pairs.select(col("id_a"), col("id_b"), jac.as("__jac"))
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
       val mins = graft.dedup.NearDup
         .kmMinhashMins(docs, "doc_id", "text", shingleLen = 3,
           numPerms = 128)
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
       def sq(c: Column, k: Int): Column =
         (1 to k).foldLeft(c)((a, _) => a * a)
       Seq((8, 3, 16, 4), (16, 4, 8, 3)).map { case (r, lr, b, lb) =>
@@ -2212,7 +2207,7 @@ object ExtendedQueries {
             col("doc_id").as("id_b")), Seq("__b", "__k"))
           .filter(col("id_a") < col("id_b"))
           .select("id_a", "id_b").distinct()
-          .localCheckpoint(true)
+          .transform(graft.state.Checkpoints.stable)
         val p = lit(1.0d) - sq(lit(1.0d) - sq(col("__jac"), lr), lb)
         val exp = truth.filter(col("__jac") >= 0.5)
           .agg(count(lit(1)).as("n_pairs_ge50"),
@@ -2277,7 +2272,7 @@ object ExtendedQueries {
         .join(docs.select(col("doc_id"),
           graft.text.TextOps.tokenCount(col("text")).cast(LongType)
             .as("__tc")), "doc_id")
-        .localCheckpoint(true) // KN chain feeds both ranks + n
+        .transform(graft.state.Checkpoints.stable) // KN chain feeds both ranks + n
       val r1 = graft.operators.DedupOps.globalSurrogateId(
         perDoc, "__ne6", Seq("doc_id"), "__rl", bucketWidth = 1L << 20)
       val r2 = graft.operators.DedupOps.globalSurrogateId(
@@ -2351,7 +2346,7 @@ object ExtendedQueries {
             coalesce(col("n_boiler_positions"), lit(0L))
               .as("n_boiler_positions"),
             coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"))
-          .localCheckpoint(true)
+          .transform(graft.state.Checkpoints.stable)
       } finally perDoc.unpersist(blocking = false)
     }),
 
@@ -2439,7 +2434,7 @@ object ExtendedQueries {
             sum(col("__x")).as("n_other_top"))
           .withColumn("mixing_ppm",
             expr("n_other_top * 1000000 div n_tokens"))
-          .localCheckpoint(true)
+          .transform(graft.state.Checkpoints.stable)
       } finally toks.unpersist(blocking = false)
     }),
 
@@ -2480,7 +2475,7 @@ object ExtendedQueries {
             .as("__evalDoc"))
         val nearAgg = near.agg(count(lit(1)).as("near_cross_pairs"),
           countDistinct(col("__evalDoc")).as("eval_docs_near_leaked"))
-        sizes.crossJoin(exact).crossJoin(nearAgg).localCheckpoint(true)
+        sizes.crossJoin(exact).crossJoin(nearAgg).transform(graft.state.Checkpoints.stable)
       } finally docs.unpersist(blocking = false)
     }),
 
@@ -2511,13 +2506,8 @@ object ExtendedQueries {
         .select(col("doc_id"),
           when(col("is_novel"), 1).otherwise(0).cast(IntegerType)
             .as("is_novel"))
-        .localCheckpoint(true)
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: java.io.IOException => () } // best-effort cleanup
+        .transform(graft.state.Checkpoints.stable)
+      graft.TempTrees.deleteQuietly(tmpRoot) // best-effort, fd-safe
       res
     }),
 
@@ -2546,13 +2536,8 @@ object ExtendedQueries {
         .select(col("doc_id"),
           when(col("is_novel"), 1).otherwise(0).cast(IntegerType)
             .as("is_novel"))
-        .localCheckpoint(true)
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: java.io.IOException => () } // best-effort cleanup
+        .transform(graft.state.Checkpoints.stable)
+      graft.TempTrees.deleteQuietly(tmpRoot) // best-effort, fd-safe
       res
     }),
 
@@ -2582,13 +2567,8 @@ object ExtendedQueries {
         .select(col("doc_id"),
           when(col("is_novel"), 1).otherwise(0).cast(IntegerType)
             .as("is_novel"))
-        .localCheckpoint(true)
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: java.io.IOException => () } // best-effort cleanup
+        .transform(graft.state.Checkpoints.stable)
+      graft.TempTrees.deleteQuietly(tmpRoot) // best-effort, fd-safe
       res
     }),
 
@@ -2615,6 +2595,84 @@ object ExtendedQueries {
       graft.pipelines.CorpusPipeline.packAtomicNextFit(
         Tables.documents(s, d), "doc_id", "text",
         packLen = 512L, nShards = 8)),
+
+    // per-source TEMPLATE drift (VERDICT r14 #3): q331's layout
+    // clusters × q340's grouped KS — each doc carries the size of its
+    // layout-shape cluster WITHIN its (source, snapshot), and the
+    // per-source KS between the even/odd-id snapshots' cluster-size
+    // distributions answers "did this source's template mix shift?"
+    // (a template exploding in popularity moves per-doc cluster sizes
+    // even when lengths and vocab stay flat). Rides layoutShape +
+    // ksTwoSampleGrouped unchanged: one (source, digest) groupBy per
+    // snapshot + the exact-integer grouped ECDF walk
+    "q342_source_template_drift_ks" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("text").isNotNull && col("source").isNotNull)
+        .select(col("source"), col("doc_id"),
+          md5(graft.text.TextOps.layoutShape(col("text"))).as("__tpl"))
+      def snap(parity: Int) = {
+        val side = docs.filter(col("doc_id") % 2 === parity)
+        val sizes = side.groupBy("source", "__tpl")
+          .agg(count(lit(1)).as("__v"))
+        side.join(sizes, Seq("source", "__tpl"))
+          .select(col("source"), col("__v"))
+      }
+      graft.operators.AnalyticsOps.ksTwoSampleGrouped(
+        snap(0), snap(1), "source", "__v")
+    }),
+
+    // best-fit-decreasing packer beside q341's next-fit (VERDICT r14
+    // #4): same manifest surface + waste_tokens, so the two packing
+    // disciplines compare under one schema — BFD pays a size sort for
+    // the 11/9·OPT+4 waste bound next-fit's 2× bound can't give
+    "q343_best_fit_decreasing_pack" -> ((s, d) =>
+      graft.pipelines.CorpusPipeline.packBestFitDecreasing(
+        Tables.documents(s, d), "doc_id", "text",
+        packLen = 512L, nShards = 8)),
+
+    // IVF recall-vs-nprobe sweep (VERDICT r14 #5): the tuning curve
+    // every ANN deployment reads — recall@10 against exact int8
+    // ground truth at probe budgets {1,2,4,8} over 8 md5-picked
+    // cells, ONE pass (cells ranked once, budgets exploded over the
+    // true-neighbor frame)
+    "q344_ivf_nprobe_sweep" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.similarity.Ann.ivfRecallSweep(
+        emb.filter(col("vec_id") < 32), emb,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 10, nCells = 8, budgets = Seq(1, 2, 4, 8))
+    }),
+
+    // incremental CHUNK-provenance admission (VERDICT r14 #7): q334's
+    // gate form through three id-ordered batches — a chunk is novel
+    // iff no lexicographically smaller (doc, chunk) owns its digest;
+    // the gate a RAG index runs so it never serves the ten-thousandth
+    // copy of the same passage
+    "q345_incremental_chunk_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val mx = docs.agg(max("doc_id")).head().getLong(0)
+      val tmpRoot = java.nio.file.Files.createTempDirectory("q345chunk")
+      val dir = tmpRoot.toString + "/state"
+      val cuts = Seq(
+        col("doc_id") <= mx / 3,
+        col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3,
+        col("doc_id") > 2 * mx / 3)
+      cuts.zipWithIndex.foreach { case (p, b) =>
+        graft.streaming.StreamingOps.chunkDedupBatch(
+          docs.filter(p), b.toLong, "doc_id", "text", dir,
+          chunkTokens = 16, overlap = 3)
+      }
+      // q307's temp-state discipline: checkpoint severs the lineage,
+      // the state dir is removed before returning
+      val res = graft.streaming.StreamingOps
+        .noveltyFromChunkState(s, dir)
+        .select(col("doc_id"), col("chunk_id"),
+          when(col("is_novel"), 1).otherwise(0).cast(IntegerType)
+            .as("is_novel"))
+        .transform(graft.state.Checkpoints.stable)
+      graft.TempTrees.deleteQuietly(tmpRoot) // best-effort, fd-safe
+      res
+    }),
 
     // dedup-aware token budget: what a per-source token count is
     // WORTH after exact dedup — raw whitespace-token volume vs the
@@ -4872,12 +4930,15 @@ object ExtendedQueries {
         |    0.0) AS idcg
         |)
         |SELECT 10 AS k, n_results, n_relevant,
-        |  round(CAST(nrelk AS DOUBLE) / 10.0, 6) AS precision_at_k,
-        |  round(COALESCE(1.0 / CAST(first_ AS DOUBLE), 0.0), 6) AS mrr,
-        |  round((SELECT dcg FROM dval), 6) AS dcg,
-        |  round(idcg, 6) AS idcg,
-        |  round(CASE WHEN idcg > 0
-        |    THEN (SELECT dcg FROM dval) / idcg END, 6) AS ndcg
+        |  floor(CAST(nrelk AS DOUBLE) / 10.0 * 1000000 + 0.5) / 1000000
+        |    AS precision_at_k,
+        |  floor(COALESCE(1.0 / CAST(first_ AS DOUBLE), 0.0) * 1000000 + 0.5)
+        |    / 1000000 AS mrr,
+        |  floor((SELECT dcg FROM dval) * 1000000 + 0.5) / 1000000 AS dcg,
+        |  floor(idcg * 1000000 + 0.5) / 1000000 AS idcg,
+        |  floor(CASE WHEN idcg > 0
+        |    THEN (SELECT dcg FROM dval) / idcg END * 1000000 + 0.5) / 1000000
+        |    AS ndcg
         |FROM ag, nrel, ival""".stripMargin,
 
     // the q89 int8 codes replayed as SCALAR rows (unnest by
@@ -8141,6 +8202,199 @@ object ExtendedQueries {
          |    AS n_oversize
          |FROM walk GROUP BY 1, 2""".stripMargin
     },
+
+    // q331's shape digest + q340's source-partitioned ECDF walk on
+    // per-doc cluster sizes within each (source, snapshot)
+    "q342_source_template_drift_ks" -> {
+      s"""WITH s AS (
+         |  SELECT doc_id, source, doc_id % 2 AS par,
+         |    md5(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(regexp_replace(regexp_replace(text,
+         |      '[0-9]', '9', 'g'), '[a-z]', 'x', 'g'),
+         |      '[A-Z]', 'X', 'g'), 'x+', 'x', 'g'), 'X+', 'X', 'g'),
+         |      '9+', '9', 'g')) AS tpl
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND source IS NOT NULL
+         |), cs AS (
+         |  SELECT source, par, tpl, CAST(count(*) AS BIGINT) AS v
+         |  FROM s GROUP BY 1, 2, 3
+         |), vals AS (
+         |  SELECT s.source, s.par, cs.v
+         |  FROM s JOIN cs ON s.source = cs.source AND s.par = cs.par
+         |    AND s.tpl = cs.tpl
+         |), hist AS (
+         |  SELECT source, v,
+         |    CAST(sum(CASE WHEN par = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS ca,
+         |    CAST(sum(CASE WHEN par = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS cb
+         |  FROM vals GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT source, v,
+         |    CAST(SUM(ca) OVER (PARTITION BY source ORDER BY v)
+         |      AS BIGINT) AS cuma,
+         |    CAST(SUM(cb) OVER (PARTITION BY source ORDER BY v)
+         |      AS BIGINT) AS cumb
+         |  FROM hist
+         |), t AS (
+         |  SELECT source, CAST(sum(ca) AS BIGINT) AS na,
+         |    CAST(sum(cb) AS BIGINT) AS nb
+         |  FROM hist GROUP BY 1
+         |)
+         |SELECT cum.source, na AS n_a, nb AS n_b,
+         |  CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS ks_num,
+         |  CASE WHEN na > 0 AND nb > 0
+         |       THEN CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
+         |         / CAST(na * nb AS DOUBLE)
+         |  END AS ks_d
+         |FROM cum JOIN t USING (source)
+         |GROUP BY 1, 2, 3""".stripMargin
+    },
+
+    // the BFD walk replayed as a RECURSIVE CTE: state per shard is
+    // the parallel (fills, n_docs) lists in pack-creation order; the
+    // best-fit rule is list_max over the comprehension of fills that
+    // still fit, list_position resolving ties to the lowest index —
+    // exactly the engine's TreeMap floorEntry + lowest-pack-idx rule
+    "q343_best_fit_decreasing_pack" -> {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      // the best fitting fill for doc cost i.cost given state w.fills
+      val best = "list_max([f for f in w.fills if f + i.cost <= 512])"
+      val pos  = s"list_position(w.fills, $best)"
+      s"""WITH RECURSIVE items AS (
+         |  SELECT CAST(doc_id % 8 AS INTEGER) AS shard, doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text, $ws), '\\s+'))
+         |      AS BIGINT) AS cost
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(trim(text, $ws)) > 0
+         |), it AS (
+         |  SELECT shard, doc_id, cost,
+         |    row_number() OVER (PARTITION BY shard
+         |      ORDER BY cost DESC, doc_id ASC) AS rn
+         |  FROM items
+         |), walk AS (
+         |  SELECT shard, rn, [cost] AS fills,
+         |    [CAST(1 AS BIGINT)] AS nd
+         |  FROM it WHERE rn = 1
+         |  UNION ALL
+         |  SELECT i.shard, i.rn,
+         |    CASE WHEN $best IS NULL THEN w.fills || [i.cost]
+         |         ELSE w.fills[1:$pos-1] || [w.fills[$pos] + i.cost]
+         |           || w.fills[$pos+1:len(w.fills)] END,
+         |    CASE WHEN $best IS NULL THEN w.nd || [CAST(1 AS BIGINT)]
+         |         ELSE w.nd[1:$pos-1] || [w.nd[$pos] + 1]
+         |           || w.nd[$pos+1:len(w.nd)] END
+         |  FROM walk w JOIN it i
+         |    ON i.shard = w.shard AND i.rn = w.rn + 1
+         |), fin AS (
+         |  SELECT w.shard, w.fills, w.nd
+         |  FROM walk w
+         |  JOIN (SELECT shard, max(rn) AS mr FROM walk GROUP BY 1) m
+         |    ON w.shard = m.shard AND w.rn = m.mr
+         |), packs AS (
+         |  SELECT shard,
+         |    CAST(unnest(range(len(fills))) AS BIGINT) AS pack_idx,
+         |    CAST(unnest(nd) AS BIGINT) AS n_docs,
+         |    CAST(unnest(fills) AS BIGINT) AS used_tokens
+         |  FROM fin
+         |)
+         |SELECT shard, pack_idx, n_docs, used_tokens,
+         |  CAST(CASE WHEN used_tokens > 512 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS n_oversize,
+         |  CAST(CASE WHEN used_tokens > 512 THEN 0
+         |       ELSE 512 - used_tokens END AS BIGINT) AS waste_tokens
+         |FROM packs""".stripMargin
+    },
+
+    // the q306 scalar int8 replay: md5-hex-ordered 8-cell codebook,
+    // argmin (distance, cell) assignment, (distance, cell)-ranked
+    // probe order, exact (distance, id)-tied top-10 truth, budgets
+    // from VALUES — recall closes as the truncating ppm BIGINT
+    "q344_ivf_nprobe_sweep" ->
+      """WITH el AS (
+        |  SELECT vec_id, d AS dim, CAST(embedding[d] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS g(d)
+        |), sc AS (
+        |  SELECT vec_id, max(abs(x)) AS scale FROM el GROUP BY 1
+        |), qv AS (
+        |  SELECT el.vec_id, el.dim,
+        |    CASE WHEN sc.scale = 0 THEN 0
+        |         ELSE CAST(floor(x / sc.scale * 127.0 + 0.5) AS BIGINT)
+        |    END AS q
+        |  FROM el JOIN sc USING (vec_id)
+        |), cent AS (
+        |  SELECT row_number() OVER (ORDER BY h) - 1 AS cell, vec_id
+        |  FROM (SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h
+        |        FROM embeddings ORDER BY h LIMIT 8)
+        |), cq AS (
+        |  SELECT cent.cell, qv.dim, qv.q
+        |  FROM cent JOIN qv USING (vec_id)
+        |), cdist AS (
+        |  SELECT v.vec_id, c.cell,
+        |    sum((v.q - c.q) * (v.q - c.q)) AS d
+        |  FROM qv v JOIN cq c ON v.dim = c.dim
+        |  GROUP BY 1, 2
+        |), assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell)
+        |        AS rn
+        |    FROM cdist) WHERE rn = 1
+        |), qrank AS (
+        |  SELECT vec_id AS query_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell)
+        |      AS cell_rank
+        |  FROM cdist WHERE vec_id < 32
+        |), pd AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    sum((q.q - c.q) * (q.q - c.q)) AS d
+        |  FROM qv q JOIN qv c ON q.dim = c.dim
+        |  WHERE q.vec_id < 32 AND q.vec_id <> c.vec_id
+        |  GROUP BY 1, 2
+        |), truth AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY d, neighbor_id) AS rn
+        |    FROM pd) WHERE rn <= 10
+        |), hits AS (
+        |  SELECT t.query_id, qr.cell_rank
+        |  FROM truth t
+        |  JOIN assign a ON a.vec_id = t.neighbor_id
+        |  JOIN qrank qr ON qr.query_id = t.query_id AND qr.cell = a.cell
+        |)
+        |SELECT CAST(b.nprobe AS INTEGER) AS nprobe,
+        |  CAST(count(*) AS BIGINT) AS n_true,
+        |  CAST(sum(CASE WHEN cell_rank <= b.nprobe THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_caught,
+        |  CAST(sum(CASE WHEN cell_rank <= b.nprobe THEN 1 ELSE 0 END)
+        |    * 1000000 // count(*) AS BIGINT) AS recall_ppm
+        |FROM hits CROSS JOIN (VALUES (1), (2), (4), (8)) AS b(nprobe)
+        |GROUP BY 1""".stripMargin,
+
+    // q334's chunker + the order-free min-owner rule on the PACKED
+    // (doc, chunk) pair key: batching is invisible by construction,
+    // so the oracle is one global min-per-digest join
+    "q345_incremental_chunk_novelty" ->
+      """WITH toked AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13))) > 0
+        |), ch AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |    md5(array_to_string(toks[(i*13+1):(i*13+16)], ' ')) AS h
+        |  FROM (
+        |    SELECT doc_id, toks,
+        |      unnest(range(greatest(1,
+        |        CAST(ceil((len(toks) - 3) / 13.0) AS BIGINT)))) AS i
+        |    FROM toked)
+        |), fo AS (
+        |  SELECT h, min(doc_id * 1048576 + chunk_id) AS f
+        |  FROM ch GROUP BY 1
+        |)
+        |SELECT ch.doc_id, ch.chunk_id,
+        |  CAST(CASE WHEN fo.f >= ch.doc_id * 1048576 + ch.chunk_id
+        |       THEN 1 ELSE 0 END AS INTEGER) AS is_novel
+        |FROM ch JOIN fo USING (h)""".stripMargin,
 
     // per-source pooled ECDF walk: the q333 integer cross-product
     // numerator with every window PARTITIONED BY source

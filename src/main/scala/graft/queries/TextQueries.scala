@@ -433,7 +433,7 @@ object TextQueries {
         .agg(count(lit(1)).as("n_bins"),
           round(lit(hy) - sum(col("__bt").cast("double") / total *
             col("__hb")), 6).as("info_gain"))
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
       long.unpersist(blocking = false)
       out
     }),
@@ -1536,7 +1536,8 @@ object TextQueries {
         |), dfreq AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
         |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
-        |  round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
+        |  floor(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE
+        |      / count(*)::DOUBLE * 1000000 + 0.5) / 1000000
         |    AS novelty
         |FROM grams JOIN dfreq USING (g)
         |GROUP BY doc_id""".stripMargin,

@@ -346,6 +346,86 @@ object Ann {
       .withColumn("recall_ppm", expr("n_hits * 1000000 div k_full"))
   }
 
+  /** IVF recall-vs-nprobe tuning sweep (VERDICT r14 #5) — the curve
+    * every ANN deployment reads before fixing its probe budget:
+    * recall@k against exact ground truth at every budget in
+    * `budgets`, computed in ONE pass. Cells are ranked once per query
+    * and the budgets are exploded over the ≤ k·|queries| true-neighbor
+    * frame, never over the corpus: a true top-k neighbor is caught at
+    * budget b iff its cell's rank ≤ b (candidate scoring is exact, so
+    * any true neighbor inside the probed cells necessarily survives
+    * the candidate top-k — no per-budget search runs).
+    *
+    * Everything is exact-integer on the [[quantizeInt8]] code space
+    * (the q225/q306 discipline): the codebook is the `nCells` corpus
+    * codes with the smallest md5 hex of their id (portable — hex
+    * order is unsigned order in both engines), assignment is argmin
+    * integer L2 with (distance, cell) ties, ground truth is the exact
+    * int8 top-k with (distance, id) ties, and recall closes as a
+    * truncating ppm BIGINT — no float leaves the operator.
+    *
+    * Scale shape: queries broadcast; the corpus is scanned once for
+    * assignment (map-only vs a broadcast codebook literal) and once
+    * for the exact-truth pass (the audit's cost by definition — at
+    * 100 TB the truth pass runs on a query SAMPLE, as any recall
+    * audit does); bounded-heap top-k keeps the only data-sized
+    * shuffle at ≤ k rows per query; the budget explosion touches
+    * k·|queries|·|budgets| rows.
+    */
+  def ivfRecallSweep(queries: DataFrame, corpus: DataFrame,
+                     qId: String, qVec: String, cId: String, cVec: String,
+                     k: Int = 10, nCells: Int = 8,
+                     budgets: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(k >= 1 && nCells >= 1, "k and nCells must be positive")
+    require(budgets.nonEmpty && budgets.forall(b => b >= 1 && b <= nCells),
+      s"every budget must be in [1, nCells=$nCells], got $budgets")
+    val qc = broadcast(quantizeInt8(queries, qId, qVec)
+      .select(col(qId).as("query_id"), col("qvec").as("__q")))
+    val cc = quantizeInt8(corpus, cId, cVec)
+      .select(col(cId).as("neighbor_id"), col("qvec").as("__c"))
+    // portable deterministic codebook: nCells corpus codes in md5-hex
+    // order of their id; cell index = position in that order
+    val cents: Seq[(Int, Seq[Int])] = cc
+      .withColumn("__h", md5(col("neighbor_id").cast(StringType)))
+      .orderBy("__h").limit(nCells)
+      .select("__c").collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Int](0)) }.toSeq
+    val centLit = typedlit(cents)
+    def dist(a: Column, b: Column): Column =
+      graft.expressions.SimilarityExpressions.int_sq_dist(a, b)
+    // assignment: argmin (integer distance, cell) — struct min gives
+    // the lowest cell on exact-integer distance ties
+    val assigned = cc.withColumn("__cell",
+      array_min(transform(centLit, c =>
+        struct(dist(col("__c"), c.getField("_2")).as("d"),
+          c.getField("_1").as("cell")))).getField("cell"))
+    // per-query cell ranking, computed ONCE: sort the nCells structs
+    // (tiny), rank = position
+    val ranked = qc.select(col("query_id"),
+        posexplode(array_sort(transform(centLit, c =>
+          struct(dist(col("__q"), c.getField("_2")).as("d"),
+            c.getField("_1").as("cell"))))))
+      .select(col("query_id"), (col("pos") + 1).cast(IntegerType)
+        .as("__cell_rank"), col("col.cell").as("__cell"))
+    // exact ground truth: int8 top-k with (distance, id) ties
+    val truth = finishTopK(qc.crossJoin(cc)
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (-dist(col("__q"), col("__c"))).cast(DoubleType).as("score")),
+      corpus.schema(cId).dataType, k)
+    truth.select("query_id", "neighbor_id")
+      .join(assigned.select(col("neighbor_id"), col("__cell")),
+        "neighbor_id")
+      .join(ranked, Seq("query_id", "__cell"))
+      .select(col("query_id"), col("__cell_rank"),
+        explode(typedlit(budgets.sorted)).as("nprobe"))
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("__cell_rank") <= col("nprobe"), 1L).otherwise(0L))
+          .as("n_caught"))
+      .withColumn("recall_ppm", expr("n_caught * 1000000 div n_true"))
+  }
+
   /** kNN label-agreement audit — the confident-learning-style label
     * NOISE screen: for a deterministic sample of query vectors, do
     * the k nearest neighbors (exact integer L2 on the
@@ -570,7 +650,7 @@ object Ann {
       finishTopK(scored, corpus.schema(cId).dataType, k)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           (-col("score")).cast(LongType).as("adc_dist"))
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
     } finally cCodes.unpersist(blocking = false)
   }
 
@@ -667,7 +747,7 @@ object Ann {
       finishTopK(scored, corpus.schema(cId).dataType, k)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           (-col("score")).cast(LongType).as("adc_dist"))
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
     } finally {
       cCodes.unpersist(blocking = false)
       if (assigned != null) assigned.unpersist(blocking = false)

@@ -730,7 +730,7 @@ object StreamingOps {
       .select(col(aCol).as("id_a"), col(bCol).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     val labels =
       if (nonEmptyDir(master)) spark.read.parquet(labelPath)
       else if (nonEmptyDir(old)) spark.read.parquet(old.toString)
@@ -754,7 +754,7 @@ object StreamingOps {
     // remains, so the state is a true fixpoint, and it fails loudly
     // rather than write a non-fixpoint.
     var lmap: DataFrame = null // original contracted-node -> final label
-    var g = contracted.localCheckpoint(true)
+    var g = contracted.transform(graft.state.Checkpoints.stable)
     var guard = 0
     while (!g.isEmpty && guard < 8) {
       val nEdges = g.count()
@@ -773,7 +773,7 @@ object StreamingOps {
             64 - java.lang.Long.numberOfLeadingZeros(nEdges + 2) + 3))
           .select(col("node").as("__o"), col("component").as("__n"))
           .filter(col("__o") =!= col("__n"))
-          .localCheckpoint(true)
+          .transform(graft.state.Checkpoints.stable)
       lmap =
         if (lmap == null) m
         else lmap
@@ -781,7 +781,7 @@ object StreamingOps {
             col("__n") === col("__n2"), "left")
           .select(col("__o"), coalesce(col("__nn"), col("__n")).as("__n"))
           .unionByName(m.join(lmap.select("__o"), Seq("__o"), "left_anti"))
-          .localCheckpoint(true)
+          .transform(graft.state.Checkpoints.stable)
       g = g
         .join(m.select(col("__o").as("id_a"), col("__n").as("__na")),
           Seq("id_a"), "left")
@@ -790,7 +790,7 @@ object StreamingOps {
         .select(coalesce(col("__na"), col("id_a")).as("id_a"),
           coalesce(col("__nb"), col("id_b")).as("id_b"))
         .filter(col("id_a") =!= col("id_b")).distinct()
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
       guard += 1
     }
     if (!g.isEmpty)
@@ -813,7 +813,7 @@ object StreamingOps {
       .join(lmapF, newNodes("node") === lmapF("__old"), "left")
       .select(newNodes("node"),
         coalesce(col("__new"), newNodes("node")).as("component"))
-    val next = updatedOld.unionByName(newRows).localCheckpoint(true)
+    val next = updatedOld.unionByName(newRows).transform(graft.state.Checkpoints.stable)
     val tmp = new HPath(labelPath + ".next")
     next.write.mode("overwrite").parquet(tmp.toString)
     if (fs.exists(master)) {
@@ -928,7 +928,7 @@ object StreamingOps {
         .unionAll(e.select(col("b").as("src"), col("a").as("dst"), col("w")))
     val newEdges = bothDir(normalize(
       batch.select(col(aCol).as("id_a"), col(bCol).as("id_b"),
-        col(wCol).as("weight")))).localCheckpoint(true)
+        col(wCol).as("weight")))).transform(graft.state.Checkpoints.stable)
     val allEdges = bothDir(normalize(spark.read.parquet(edgePath)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -940,7 +940,7 @@ object StreamingOps {
         else seed0.limit(0)
       var reached = prior.unionByName(seed0)
         .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
       // frontier 0: new seeds (absent or improved vs prior) plus
       // whatever the NEW edges improve against the merged state
       val seedFront = reached.join(prior, Seq("node", "dist"), "left_anti")
@@ -953,10 +953,10 @@ object StreamingOps {
         .select("node", "dist")
       var frontier = seedFront.unionByName(edgeFront)
         .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
       reached = reached.unionByName(frontier)
         .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
       // early-exit frontier loop: `rounds` is a CAP, convergence is
       // the frontier draining. The frontier stays un-checkpointed —
       // both parents are checkpointed, so its recompute is one cheap
@@ -968,7 +968,7 @@ object StreamingOps {
           .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         val next = reached.unionByName(relaxed)
           .groupBy("node").agg(min("dist").as("dist"))
-          .localCheckpoint(true)
+          .transform(graft.state.Checkpoints.stable)
         frontier = next.join(reached, Seq("node", "dist"), "left_anti")
         reached = next
         frontierCount = frontier.count()
@@ -1028,7 +1028,7 @@ object StreamingOps {
     val spark = batch.sparkSession
     val sigs = graft.dedup.NearDup.md5SimhashSigs(batch, idCol, textCol)
       .select(col(idCol).as("doc_id"), col("simhash"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     val master = new HPath(statePath)
     val fs = master.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prior =
@@ -1095,7 +1095,7 @@ object StreamingOps {
             i => xxhash64(concat_ws(" ", slice(col("__t"), i, lit(w)))))))
           .otherwise(array().cast("array<bigint>")).as("__hs"))
       .select(col("doc_id"), explode_outer(col("__hs")).as("h"))
-      .localCheckpoint(true) // one deterministic frame for state + verdict
+      .transform(graft.state.Checkpoints.stable) // one deterministic frame for state + verdict
     val sigsDir = new HPath(s"$statePath/sigs")
     val fs = sigsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prior =
@@ -1137,9 +1137,16 @@ object StreamingOps {
     * [[graft.text.TextOps.layoutShape]] md5 digest is owned by no
     * SMALLER-id document — the order-free any-earlier rule shared by
     * the whole family, so verdicts replay from the signature state
-    * alone, batching is invisible to the semantics, and a retried
-    * batch (even after later batches landed) rewrites byte-identical
-    * rows. This is the gate that refuses the ten-thousandth
+    * alone and batching is invisible to the semantics. Batch contract
+    * (the SHARED family convention, matching the q339 driver's id-cut
+    * batching; ADVICE r14): batches must arrive in non-decreasing
+    * doc_id order — under that ordering a retried batch (even after
+    * later batches landed) rewrites byte-identical rows, because no
+    * later batch can introduce a smaller-id owner of a digest this
+    * batch already judged. An out-of-order feed keeps the FINAL state
+    * correct (min() is order-free) but a replayed early batch would
+    * re-judge against owners it hadn't seen, flipping verdict rows vs
+    * the original run. This is the gate that refuses the ten-thousandth
     * boilerplate-varied mirror of a template the word-level digests
     * admit as "new".
     *
@@ -1157,7 +1164,7 @@ object StreamingOps {
     val sigs = batch.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         md5(graft.text.TextOps.layoutShape(col(textCol))).as("h"))
-      .localCheckpoint(true) // one deterministic frame, state + verdict
+      .transform(graft.state.Checkpoints.stable) // one deterministic frame, state + verdict
     val sigsDir = new HPath(s"$statePath/sigs")
     val fs = sigsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prior =
@@ -1179,6 +1186,70 @@ object StreamingOps {
                                statePath: String): DataFrame =
     spark.read.parquet(s"$statePath/verdicts")
       .select("doc_id", "is_novel")
+
+  /** Incremental CHUNK-provenance admission — the crawl-gate form of
+    * the q334 RAG chunk-dedup audit, completing the incremental
+    * family for the retrieval surface (VERDICT r14 #7): a batch CHUNK
+    * is novel iff no lexicographically smaller (doc_id, chunk_id)
+    * pair owns its text digest — the any-earlier rule on the pair
+    * key, so verdicts replay from the signature state alone and a
+    * gated index never serves the ten-thousandth copy of the same
+    * boilerplate passage. Unlike the span gate the admission unit is
+    * the chunk, not the document: the verdict table carries one row
+    * per (doc_id, chunk_id).
+    *
+    * Batch contract (the shared family convention; ADVICE r14):
+    * batches arrive in non-decreasing doc_id order — under that
+    * ordering a retried batch rewrites byte-identical rows, because
+    * no later batch can introduce a smaller-pair owner of a digest
+    * this batch already judged.
+    *
+    * Scale shape ([[spanDedupBatch]]'s directed discipline): state is
+    * one 16-byte digest row per chunk; per batch, only PRIOR rows
+    * whose digest the batch carries enter the shuffle (the state
+    * parquet is scanned and semi-join-filtered, never
+    * bulk-reshuffled) — per-batch shuffle volume is O(batch chunks +
+    * matched keys), flat in corpus size.
+    */
+  def chunkDedupBatch(batch: DataFrame, batchId: Long, idCol: String,
+                      textCol: String, statePath: String,
+                      chunkTokens: Int, overlap: Int = 0): Unit = {
+    val spark = batch.sparkSession
+    val sigs = graft.pipelines.CorpusPipeline
+      .chunkDocuments(batch.filter(col(textCol).isNotNull),
+        idCol, textCol, chunkTokens, overlap)
+      .select(col(idCol).as("doc_id"), col("chunk_id"),
+        md5(col("chunk_text")).as("h"))
+      .transform(graft.state.Checkpoints.stable) // one frame, state + verdict
+    val sigsDir = new HPath(s"$statePath/sigs")
+    val fs = sigsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior =
+      if (fs.exists(sigsDir) && fs.listStatus(sigsDir).nonEmpty)
+        spark.read.parquet(s"$statePath/sigs")
+          .select("doc_id", "chunk_id", "h")
+      else sigs.limit(0)
+    val priorMatched = prior
+      .join(sigs.select("h").distinct(), Seq("h"), "left_semi")
+    // min over the PAIR key: struct ordering is (doc_id, chunk_id)
+    // lexicographic — the q334 keeper rule
+    val firstOwner = priorMatched.unionByName(sigs)
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("__fo"))
+    sigs.join(firstOwner, "h")
+      .select(col("doc_id"), col("chunk_id"),
+        (col("__fo") >= struct(col("doc_id"), col("chunk_id")))
+          .as("is_novel"))
+      .write.mode("overwrite").parquet(s"$statePath/verdicts/batch=$batchId")
+    sigs.write.mode("overwrite").parquet(s"$statePath/sigs/batch=$batchId")
+  }
+
+  /** The verdict table [[chunkDedupBatch]] maintains: one row per
+    * (doc_id, chunk_id).
+    */
+  def noveltyFromChunkState(spark: SparkSession,
+                            statePath: String): DataFrame =
+    spark.read.parquet(s"$statePath/verdicts")
+      .select("doc_id", "chunk_id", "is_novel")
 
   /** Incremental sibling of
     * [[graft.operators.AnalyticsOps.itemSimilarity]]: feedback

@@ -159,7 +159,7 @@ object Bpe {
     val vocab = words
       .select(col("word"), col("cnt"),
         size(symbols(col("wrapped"))).as("n_tokens"), col("wrapped"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     if (prevCache != null) prevCache.unpersist(blocking = false)
     cache.unpersist(blocking = false)
 
@@ -189,7 +189,7 @@ object Bpe {
         call_function("replace", col("wrapped"),
           lit(Sep + a + Sep + Sep + b + Sep), lit(Sep + a + b + Sep)))
       sinceCkpt += 1
-      if (sinceCkpt >= ckptEvery) { df = df.localCheckpoint(true); sinceCkpt = 0 }
+      if (sinceCkpt >= ckptEvery) { df = df.transform(graft.state.Checkpoints.stable); sinceCkpt = 0 }
     }
     df.withColumn("n_tokens",
       when(col("wrapped").isNotNull, size(symbols(col("wrapped"))))

@@ -145,12 +145,12 @@ object Classify {
       // observed pairs): the localCheckpoint barrier materializes both
       // while `pair` is cached, releases the training cache here, and
       // leaves the model resident for the scoring joins it exists for
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     val floored =
       if (minPairCount > 1) pair.filter(col("c") >= minPairCount) else pair
     val tokenLogs = floored.select(col("w_hash"), col("label"),
       log(col("c").cast("double") + 1.0).as("log_c1"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     pair.unpersist()
     NbModel(classes, tokenLogs)
   }
@@ -263,12 +263,12 @@ object Classify {
       .select(col("label"),
         (log(col("nd").cast("double")) - log(lit(total.toDouble))).as("log_prior"),
         log(coalesce(col("tl"), lit(0L)).cast("double") + v.toDouble).as("log_denom"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     val floored =
       if (minPairCount > 1) pair.filter(col("c") >= minPairCount) else pair
     val tokenLogs = floored.select(col("w_hash"), col("label"),
       log(col("c").cast("double") + 1.0).as("log_c1"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     pair.unpersist(blocking = false)
 
     // ---- scoring (the scoreNb pipeline, reading the shared frame)
@@ -292,7 +292,7 @@ object Classify {
       .select(col(idCol), col("label").as("pred_label"),
         round(col("__score"), 6).as("score"),
         col("n_tokens").cast("long").as("n_tokens"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     tokRows.unpersist(blocking = false)
     g.unpersist(blocking = false)
     out
@@ -363,7 +363,7 @@ object Classify {
                                    priorMass: Double, heap: Boolean): DataFrame = {
     val (built, caches) =
       distinctiveTermsBuildImpl(docs, groupCol, textCol, k, priorMass, heap)
-    val out = built.localCheckpoint(true)
+    val out = built.transform(graft.state.Checkpoints.stable)
     caches.foreach(_.unpersist())
     out
   }
@@ -478,7 +478,7 @@ object Classify {
       // doc-sized result: the q88 localCheckpoint barrier materializes
       // it while the feature frame is still cached, so the cache can be
       // released HERE instead of leaking a handle to the caller
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     rawRows.unpersist()
     out
   }
@@ -516,7 +516,7 @@ object Classify {
         round(r, 6).as("recall"),
         round(when(col("__pred").isNotNull && col("__pred") > 0 &&
           (p + r) > 0, lit(2.0) * p * r / (p + r)), 6).as("f1"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     cm.unpersist(blocking = false)
     out
   }
@@ -545,7 +545,7 @@ object Classify {
       .select(col("n_docs"), col("n_agree"),
         round(po, 6).as("po"), round(peD, 6).as("pe"),
         round(when(peD < 1.0, (po - peD) / (lit(1.0) - peD)), 6).as("kappa"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     sc.unpersist(blocking = false)
     out
   }

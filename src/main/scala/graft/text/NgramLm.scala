@@ -255,14 +255,14 @@ object NgramLm {
     val heads = bic.groupBy("w1")
       .agg(sum("c12").as("c1b"), count(lit(1)).as("n1from"))
       .select(xxhash64(col("w1")).as("h_hash"), col("c1b"), col("n1from"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     val cont = bic.groupBy("w2").agg(count(lit(1)).as("nto"))
       .select(xxhash64(col("w2")).as("c_hash"),
         ((col("nto") + 1).cast("double") / (b + vc).toDouble).as("pcont"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     val bigrams = bic
       .select(xxhash64(col("w1"), col("w2")).as("bg_hash"), col("c12"))
-      .localCheckpoint(true)
+      .transform(graft.state.Checkpoints.stable)
     bic.unpersist(blocking = false)
     KneserNeyLm(bigrams, heads, cont, 1.0 / (b + vc).toDouble, discount)
   }

@@ -166,15 +166,22 @@ object Search {
             org.apache.spark.sql.expressions.Window.currentRow)))
       .agg(max(struct(col("__r"), col("__id").as("i"))).as("__ib"))
       .select(coalesce(col("__ib.i"), lit(0.0)).as("__idcg"))
+    // e6 floor lattice on every float closing (display quantizers;
+    // nothing downstream ranks on them): floor(x·1e6 + 0.5)/1e6 is a
+    // fixed IEEE expression both engines evaluate bit-identically,
+    // where round() is engine-implemented (half-boundary drift across
+    // DuckDB releases — the r12 doctrine; VERDICT r14 #2)
+    def e6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * lit(1e6d) + lit(0.5d)) / lit(1e6d)
     stats.crossJoin(broadcast(idcg))
       .select(lit(k).as("k"), col("n_results"), col("n_relevant"),
-        round(col("__nrelk").cast("double") / lit(k.toDouble), 6)
+        e6(col("__nrelk").cast("double") / lit(k.toDouble))
           .as("precision_at_k"),
-        round(coalesce(lit(1.0) / col("__first").cast("double"), lit(0.0)), 6)
+        e6(coalesce(lit(1.0) / col("__first").cast("double"), lit(0.0)))
           .as("mrr"),
-        round(col("__last.d"), 6).as("dcg"),
-        round(col("__idcg"), 6).as("idcg"),
-        round(when(col("__idcg") > 0, col("__last.d") / col("__idcg")), 6)
+        e6(col("__last.d")).as("dcg"),
+        e6(col("__idcg")).as("idcg"),
+        e6(when(col("__idcg") > 0, col("__last.d") / col("__idcg")))
           .as("ndcg"))
   }
 }

@@ -293,7 +293,7 @@ object TextOps {
           round(col("__sc"), 4).as("score"))
         .orderBy(col("score").desc, col("phrase"))
         .limit(topK)
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
     } finally phraseWords.unpersist(blocking = false)
   }
 
@@ -407,7 +407,7 @@ object TextOps {
         .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
         .limit(k)
         .select(col("w1"), col("w2"), col("c12"), col("pmi"))
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
     toked.unpersist(); unis.unpersist(); bis.unpersist()
     out
   }
@@ -562,9 +562,12 @@ object TextOps {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      // e6 floor lattice, not round(_, 6): a fixed IEEE expression
+      // both engines evaluate bit-identically (VERDICT r14 #2)
       .withColumn("novelty",
-        round(col("n_unique").cast("double") / col("n_grams").cast("double"), 6))
-      .localCheckpoint(true)
+        floor(col("n_unique").cast("double") / col("n_grams").cast("double")
+          * lit(1e6d) + lit(0.5d)) / lit(1e6d))
+      .transform(graft.state.Checkpoints.stable)
     grams.unpersist()
     out
   }
@@ -1070,7 +1073,7 @@ object TextOps {
           .orderBy(col("llr").desc, col("w1").asc, col("w2").asc)
           .limit(k)
           .select(col("w1"), col("w2"), col("c12"), col("llr"))
-          .localCheckpoint(true)
+          .transform(graft.state.Checkpoints.stable)
       }
     bis.unpersist()
     out
@@ -1134,7 +1137,7 @@ object TextOps {
             .otherwise(lit(0.0))
       filled.groupBy(col("__sa").as("source_a"), col("__sb").as("source_b"))
         .agg(count(lit(1)).as("n_terms"), round(sum(term), 4).as("js"))
-        .localCheckpoint(true)
+        .transform(graft.state.Checkpoints.stable)
     } finally counts.unpersist(blocking = false)
   }
 

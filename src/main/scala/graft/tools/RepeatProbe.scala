@@ -46,10 +46,7 @@ object RepeatProbe {
           }
         val n = graft.streaming.StreamingOps
           .noveltyFromSpanState(spark, state).count()
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        graft.TempTrees.deleteQuietly(tmp)
         n
       }
       println(f"$sf%-8s repeatSpectrum rows=$specRows%4d t=$tSpec%6.2fs  " +

@@ -1459,6 +1459,48 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q342 per-source template drift: a source whose template mix " +
+    "collapses between snapshots reads KS = 1, a stable mix reads 0") {
+    import spark.implicits._
+    // layouts: "x x" (lowercase pair) vs "9 9" (digit pair). Source
+    // "drift": even snapshot is a balanced 2+2 mix, odd snapshot is
+    // all one template. Source "stable": the same mix both sides.
+    val docs = Seq(
+      // drift, even ids: 2 docs of layout A, 2 of layout B
+      (0L, "drift", "aa bb"), (2L, "drift", "cc dd"),
+      (4L, "drift", "11 22"), (6L, "drift", "33 44"),
+      // drift, odd ids: 4 docs, all layout A
+      (1L, "drift", "ee ff"), (3L, "drift", "gg hh"),
+      (5L, "drift", "ii jj"), (7L, "drift", "kk ll"),
+      // stable: identical 1+1 mix in both snapshots
+      (10L, "stable", "mm nn"), (12L, "stable", "55 66"),
+      (11L, "stable", "oo pp"), (13L, "stable", "77 88"))
+      .toDF("doc_id", "source", "text")
+    // the q342 composition: per-doc cluster size within each
+    // (source, snapshot), then the grouped exact-integer KS
+    val keyed = docs
+      .select(col("source"), col("doc_id"),
+        md5(graft.text.TextOps.layoutShape(col("text"))).as("__tpl"))
+    def snap(par: Int) = {
+      val side = keyed.filter(col("doc_id") % 2 === par)
+      val sizes = side.groupBy("source", "__tpl")
+        .agg(count(lit(1)).as("__v"))
+      side.join(sizes, Seq("source", "__tpl"))
+        .select(col("source"), col("__v"))
+    }
+    val out = AnalyticsOps.ksTwoSampleGrouped(snap(0), snap(1),
+        "source", "__v")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+      .toMap
+    // drift: even values {2,2,2,2}, odd values {4,4,4,4} — disjoint
+    // supports, D = 1 (ks_num = 4·4 at v = 2)
+    assert(out("drift") === ((4L, 4L, 16L, 1.0)))
+    // stable: both snapshots read {1,1} — identical ECDFs, D = 0
+    assert(out("stable") === ((2L, 2L, 0L, 0.0)))
+  }
+
   test("trimmedMean: k = n div 10 trimmed each side, exact kept-rank " +
     "overlap arithmetic, degenerate group reports NULL") {
     import spark.implicits._

@@ -13,6 +13,37 @@ class AnnSpec extends SparkSpec {
   private def vecs(rows: (Long, Seq[Float])*) =
     rows.toDF("vec_id", "embedding")
 
+  test("ivfRecallSweep: recall is monotone non-decreasing in nprobe, " +
+    "reaches 1.0 when every cell is probed, and counts k true " +
+    "neighbors per query") {
+    // 24 corpus vectors in 4 well-separated 2-D clusters + 2 queries
+    val corpus = vecs((0 until 24).map { i =>
+      val base = i % 4 match {
+        case 0 => (10.0f, 0.0f)
+        case 1 => (0.0f, 10.0f)
+        case 2 => (-10.0f, 0.0f)
+        case _ => (0.0f, -10.0f)
+      }
+      (i.toLong, Seq(base._1 + (i / 4) * 0.1f, base._2 + (i / 4) * 0.1f))
+    }: _*)
+    val queries = vecs(0L -> Seq(10.0f, 0.0f), 1L -> Seq(0.0f, 10.0f))
+    val out = Ann.ivfRecallSweep(queries, corpus,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 5, nCells = 4, budgets = Seq(1, 2, 4))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .toMap
+    assert(out.keySet === Set(1, 2, 4))
+    // k true neighbors per query at every budget row
+    assert(out.values.forall(_._1 === 10L))
+    // monotone in the budget, exhaustive at nprobe = nCells
+    assert(out(1)._3 <= out(2)._3 && out(2)._3 <= out(4)._3)
+    assert(out(4)._2 === 10L && out(4)._3 === 1000000L)
+    // every caught count stays within its truth total
+    assert(out.values.forall { case (t, c, _) => c >= 0L && c <= t })
+  }
+
   test("sqTopK: recovers exact nearest neighbors on well-separated " +
     "clusters, and sq_dist orders consistently with geometry") {
     val corpus = vecs(

@@ -1003,6 +1003,60 @@ class CorpusPipelineSpec extends SparkSpec {
       4L -> ((1L, 9L, 0L))))
   }
 
+  test("packBestFitDecreasing: hand-walked BFD placement, oversize " +
+    "doc owns a pack alone, waste column is exact, and BFD waste " +
+    "beats next-fit on the same fixture") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // costs in id order: 6, 5, 4, 3, 2, 12 at packLen 10.
+    // BFD walk (desc: 12, 6, 5, 4, 3, 2):
+    //   12 -> pack0 (oversize, alone); 6 -> pack1; 5: 6+5>10 -> pack2;
+    //   4 -> best fit pack1 (6+4=10); 3 -> pack2 (5+3=8);
+    //   2 -> best fit pack2 (8+2=10)
+    val docs = Seq(
+      (10L, words(6)), (11L, words(5)), (12L, words(4)),
+      (13L, words(3)), (14L, words(2)), (15L, words(12)))
+      .toDF("doc_id", "text")
+    val bfd = graft.pipelines.CorpusPipeline
+      .packBestFitDecreasing(docs, "doc_id", "text",
+        packLen = 10L, nShards = 1)
+      .collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(bfd === Map(
+      0L -> ((1L, 12L, 1L, 0L)), // oversize: alone, zero waste by contract
+      1L -> ((2L, 10L, 0L, 0L)),
+      2L -> ((3L, 10L, 0L, 0L))))
+    // BFD waste <= next-fit waste on the same fixture (VERDICT r14 #4)
+    val nf = graft.pipelines.CorpusPipeline
+      .packAtomicNextFit(docs, "doc_id", "text",
+        packLen = 10L, nShards = 1)
+      .collect()
+    val nfWaste = nf.map(r =>
+      if (r.getLong(3) > 10L) 0L else 10L - r.getLong(3)).sum
+    val bfdWaste = bfd.values.map(_._4).sum
+    assert(bfdWaste <= nfWaste)
+    assert(bfdWaste === 0L)
+  }
+
+  test("packBestFitDecreasing: equal-fill tie goes to the lowest " +
+    "pack index") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    // desc walk: 7 -> pack0; 7: 7+7>10 -> pack1; 2: both packs at
+    // fill 7 fit — the LOWEST index (pack0) must take it
+    val docs = Seq((1L, words(7)), (2L, words(7)), (3L, words(2)))
+      .toDF("doc_id", "text")
+    val out = graft.pipelines.CorpusPipeline
+      .packBestFitDecreasing(docs, "doc_id", "text",
+        packLen = 10L, nShards = 1)
+      .collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out === Map(0L -> ((2L, 9L)), 1L -> ((1L, 7L))))
+  }
+
   test("templateClusters: word-disjoint template mirrors collapse to " +
     "one layout cluster, keep-first accounting is exact, and a " +
     "singleton layout is absent") {

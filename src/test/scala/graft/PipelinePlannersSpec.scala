@@ -105,12 +105,7 @@ class PipelinePlannersSpec extends SparkSpec {
       assert(r.getLong(2) === 3L) // seq: {abc, cba, ab}
       assert(r.getLong(3) === 2L) // bag: {a:1,b:1,g:1}, {a:1,b:1}
       assert(r.getLong(4) === 1L) // the permutation collapsed
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally graft.TempTrees.deleteQuietly(tmp)
   }
 
   test("q320/q321 boilerplate removal: a shared 8-token header is " +
@@ -152,12 +147,7 @@ class PipelinePlannersSpec extends SparkSpec {
           (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
       assert(audit("a") === ((3L, 24L, 1L, 0L)))
       assert(audit("b") === ((2L, 0L, 0L, 0L)))
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally graft.TempTrees.deleteQuietly(tmp)
   }
 
   test("q322 leave-one-out influence: dropping a source moves the " +
@@ -307,12 +297,7 @@ class PipelinePlannersSpec extends SparkSpec {
       assert(out(ca) === "kept", "earliest identical candidate stays")
       assert(out(cb) === "dup_earlier")
       assert(out(cc) === "train_near")
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally graft.TempTrees.deleteQuietly(tmp)
   }
 
   test("q329 water-fill: alloc <= avail, budget respected, every " +
@@ -352,12 +337,7 @@ class PipelinePlannersSpec extends SparkSpec {
       assert(out("tiny") === ((5L, 5L, 1)))
       assert(out("big1") === ((1000L, 198L, 0)))
       assert(out("big2") === ((1000L, 198L, 0)))
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally graft.TempTrees.deleteQuietly(tmp)
   }
 
   test("q337 filter ablation: marginal / only-failure / first-reason " +
@@ -389,12 +369,7 @@ class PipelinePlannersSpec extends SparkSpec {
       (out.keySet - "word_count" - "stopword_hits").foreach { r =>
         assert(out(r) === ((0L, 0L, 0L, 0L)), s"rule $r should be clean")
       }
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally graft.TempTrees.deleteQuietly(tmp)
   }
 
   test("q338 length-confound audit: deciles tile the corpus, mean " +
@@ -500,11 +475,6 @@ class PipelinePlannersSpec extends SparkSpec {
         assert(nband === 0L && nlow === 0L,
           s"r=$r: the disjoint doc must draw no candidate")
       }
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally graft.TempTrees.deleteQuietly(tmp)
   }
 }

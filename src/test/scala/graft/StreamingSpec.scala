@@ -847,6 +847,43 @@ class StreamingSpec extends SparkSpec {
     assert(verdicts() === expected)
   }
 
+  test("chunkDedupBatch: incremental verdicts equal the global " +
+    "smaller-(doc, chunk)-pair rule — cross-doc and within-doc chunk " +
+    "repeats are dups, batch-internal earlier chunks count, replay " +
+    "after later batches is a no-op") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),        // chunks (1,0)=[a b c d] (1,1)=[e f g h]
+      (2L, "x y z w a b c d"),        // (2,1) repeats (1,0)'s text
+      (3L, "e f g h"),                // (3,0) repeats (1,1)
+      (4L, "fresh words only here"),  // novel
+      (5L, "p q r s p q r s"))        // within-doc repeat: (5,1) = (5,0)
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("chunkdedup").toString + "/state"
+    def verdicts() = graft.streaming.StreamingOps
+      .noveltyFromChunkState(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    def run(b: Long, ids: Long*) =
+      graft.streaming.StreamingOps.chunkDedupBatch(
+        docs.filter(col("doc_id").isin(ids: _*)), b, "doc_id", "text",
+        dir, chunkTokens = 4, overlap = 0)
+    run(0L, 1L, 2L)
+    run(1L, 3L, 4L)
+    run(2L, 5L)
+    val expected = Map(
+      (1L, 0L) -> true, (1L, 1L) -> true,
+      (2L, 0L) -> true, (2L, 1L) -> false, // batch-internal earlier pair
+      (3L, 0L) -> false,
+      (4L, 0L) -> true,
+      (5L, 0L) -> true, (5L, 1L) -> false) // same doc, smaller chunk wins
+    assert(verdicts() === expected)
+    // replay batch 1 AFTER batch 2 landed: verdicts unchanged
+    run(1L, 3L, 4L)
+    assert(verdicts() === expected)
+  }
+
   test("q309 decontaminated split: eval never quarantined, every " +
     "quarantined doc has a split-crossing near-dup partner, pairless " +
     "train docs stay train") {
