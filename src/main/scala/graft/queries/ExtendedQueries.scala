@@ -2674,6 +2674,76 @@ object ExtendedQueries {
       res
     }),
 
+    // packing-discipline comparison: q341's next-fit and q343's BFD
+    // rolled up under one surface — packs, docs, token mass, oversize
+    // count, padding waste, and the waste share of consumed capacity
+    // (truncating ppm) per discipline; the one-table read before
+    // choosing a packer for a training run
+    "q346_pack_discipline_compare" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val nf = graft.pipelines.CorpusPipeline
+        .packAtomicNextFit(docs, "doc_id", "text",
+          packLen = 512L, nShards = 8)
+        // next-fit's manifest predates the waste column: derive it
+        // under the shared contract (oversize packs waste nothing)
+        .withColumn("waste_tokens",
+          when(col("used_tokens") > 512L, 0L)
+            .otherwise(lit(512L) - col("used_tokens")))
+        .withColumn("discipline", lit("next_fit"))
+      val bfd = graft.pipelines.CorpusPipeline
+        .packBestFitDecreasing(docs, "doc_id", "text",
+          packLen = 512L, nShards = 8)
+        .withColumn("discipline", lit("best_fit_decreasing"))
+      nf.unionByName(bfd)
+        .groupBy("discipline")
+        .agg(count(lit(1)).as("n_packs"),
+          sum("n_docs").as("n_docs"),
+          sum("used_tokens").as("total_tokens"),
+          sum("n_oversize").as("n_oversize"),
+          sum("waste_tokens").as("waste_tokens"))
+        .withColumn("waste_ppm",
+          expr("CASE WHEN waste_tokens + total_tokens > 0 THEN " +
+            "waste_tokens * 1000000 div (waste_tokens + total_tokens) " +
+            "END"))
+    }),
+
+    // SimHash probe-radius backtest: the q316/q324 planner shape for
+    // the OTHER near-dup gate — among the exact prefix-filter 3-gram
+    // Jaccard pairs, how many true dups (jac >= 0.5, the pure integer
+    // predicate 3i >= na+nb) does the portable md5-SimHash catch at
+    // hamming radius r in {0,1,2,3} (the maxHamming knob every
+    // simhashDedupBatch deployment must pick), and how many near-miss
+    // band pairs ride along as false candidates at each radius
+    "q347_simhash_radius_backtest" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = graft.dedup.NearDup.prefixJaccardPairs(
+        docs, "doc_id", "text", n = 3, threshold = 0.25)
+      val sigs = graft.dedup.NearDup.md5SimhashSigs(docs, "doc_id", "text")
+      val withH = pairs
+        .join(sigs.select(col("doc_id").as("id_a"),
+          col("simhash").as("__sa")), "id_a")
+        .join(sigs.select(col("doc_id").as("id_b"),
+          col("simhash").as("__sb")), "id_b")
+        .select(
+          (lit(3L) * col("inter_size") >=
+            col("size_a") + col("size_b")).as("__true"),
+          graft.dedup.NearDup.hammingDist(col("__sa"), col("__sb"))
+            .as("__h"))
+      withH.select(col("__true"), col("__h"),
+          explode(typedlit(Seq(0, 1, 2, 3))).as("radius"))
+        .groupBy("radius")
+        .agg(
+          sum(when(col("__true"), 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("__true") && col("__h") <= col("radius"), 1L)
+            .otherwise(0L)).as("n_true_caught"),
+          sum(when(!col("__true"), 1L).otherwise(0L)).as("n_band"),
+          sum(when(!col("__true") && col("__h") <= col("radius"), 1L)
+            .otherwise(0L)).as("n_band_caught"))
+        .withColumn("catch_ppm",
+          expr("CASE WHEN n_true > 0 THEN " +
+            "n_true_caught * 1000000 div n_true END"))
+    }),
+
     // dedup-aware token budget: what a per-source token count is
     // WORTH after exact dedup — raw whitespace-token volume vs the
     // volume surviving q80-digest keep-first (min doc_id keeps), and
@@ -8371,6 +8441,164 @@ object ExtendedQueries {
         |    * 1000000 // count(*) AS BIGINT) AS recall_ppm
         |FROM hits CROSS JOIN (VALUES (1), (2), (4), (8)) AS b(nprobe)
         |GROUP BY 1""".stripMargin,
+
+    // both pack walks replayed in ONE recursive WITH (q341's scalar
+    // next-fit state + q343's list-state BFD), rolled up per
+    // discipline with the shared waste contract
+    "q346_pack_discipline_compare" -> {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      val best = "list_max([f for f in w.fills if f + i.cost <= 512])"
+      val pos  = s"list_position(w.fills, $best)"
+      s"""WITH RECURSIVE items AS (
+         |  SELECT CAST(doc_id % 8 AS INTEGER) AS shard, doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text, $ws), '\\s+'))
+         |      AS BIGINT) AS cost
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND length(trim(text, $ws)) > 0
+         |), it_nf AS (
+         |  SELECT shard, doc_id, cost,
+         |    row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+         |      AS rn
+         |  FROM items
+         |), walk_nf AS (
+         |  SELECT shard, rn, cost, cost AS fill, CAST(0 AS BIGINT)
+         |    AS pack
+         |  FROM it_nf WHERE rn = 1
+         |  UNION ALL
+         |  SELECT i.shard, i.rn, i.cost,
+         |    CASE WHEN w.fill + i.cost > 512 THEN i.cost
+         |         ELSE w.fill + i.cost END,
+         |    CASE WHEN w.fill + i.cost > 512 THEN w.pack + 1
+         |         ELSE w.pack END
+         |  FROM walk_nf w JOIN it_nf i
+         |    ON i.shard = w.shard AND i.rn = w.rn + 1
+         |), it AS (
+         |  SELECT shard, doc_id, cost,
+         |    row_number() OVER (PARTITION BY shard
+         |      ORDER BY cost DESC, doc_id ASC) AS rn
+         |  FROM items
+         |), walk AS (
+         |  SELECT shard, rn, [cost] AS fills,
+         |    [CAST(1 AS BIGINT)] AS nd
+         |  FROM it WHERE rn = 1
+         |  UNION ALL
+         |  SELECT i.shard, i.rn,
+         |    CASE WHEN $best IS NULL THEN w.fills || [i.cost]
+         |         ELSE w.fills[1:$pos-1] || [w.fills[$pos] + i.cost]
+         |           || w.fills[$pos+1:len(w.fills)] END,
+         |    CASE WHEN $best IS NULL THEN w.nd || [CAST(1 AS BIGINT)]
+         |         ELSE w.nd[1:$pos-1] || [w.nd[$pos] + 1]
+         |           || w.nd[$pos+1:len(w.nd)] END
+         |  FROM walk w JOIN it i
+         |    ON i.shard = w.shard AND i.rn = w.rn + 1
+         |), nf_packs AS (
+         |  SELECT shard, pack, CAST(count(*) AS BIGINT) AS nd,
+         |    CAST(sum(cost) AS BIGINT) AS used
+         |  FROM walk_nf GROUP BY 1, 2
+         |), b_fin AS (
+         |  SELECT w.shard, w.fills, w.nd
+         |  FROM walk w
+         |  JOIN (SELECT shard, max(rn) AS mr FROM walk GROUP BY 1) m
+         |    ON w.shard = m.shard AND w.rn = m.mr
+         |), b_packs AS (
+         |  SELECT shard, CAST(unnest(nd) AS BIGINT) AS nd,
+         |    CAST(unnest(fills) AS BIGINT) AS used
+         |  FROM b_fin
+         |), uni AS (
+         |  SELECT 'next_fit' AS discipline, nd, used FROM nf_packs
+         |  UNION ALL
+         |  SELECT 'best_fit_decreasing', nd, used FROM b_packs
+         |)
+         |SELECT discipline, CAST(count(*) AS BIGINT) AS n_packs,
+         |  CAST(sum(nd) AS BIGINT) AS n_docs,
+         |  CAST(sum(used) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CASE WHEN used > 512 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oversize,
+         |  CAST(sum(CASE WHEN used > 512 THEN 0 ELSE 512 - used END)
+         |    AS BIGINT) AS waste_tokens,
+         |  CAST(CASE WHEN sum(CASE WHEN used > 512 THEN 0
+         |           ELSE 512 - used END) + sum(used) > 0
+         |       THEN sum(CASE WHEN used > 512 THEN 0
+         |           ELSE 512 - used END) * 1000000
+         |         // (sum(CASE WHEN used > 512 THEN 0
+         |           ELSE 512 - used END) + sum(used))
+         |       END AS BIGINT) AS waste_ppm
+         |FROM uni GROUP BY 1""".stripMargin
+    },
+
+    // q324's quadratic pair replay (float >= 0.25 pair set, the
+    // engine's prefix filter is exact-complete) + q289's portable
+    // simhash signature replay; the true/band split is the pure
+    // integer predicate 3i >= na+nb on both sides
+    "q347_simhash_radius_backtest" -> {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      val sums1 = (0 until 32)
+        .map(b => s"sum((h1 >> $b) & 1) AS b$b").mkString(", ")
+      val sums2 = (32 until 64)
+        .map(b => s"sum((h2 >> ${b - 32}) & 1) AS b$b").mkString(", ")
+      val lo = (0 until 32)
+        .map(b => s"CASE WHEN 2 * b$b > n THEN (1::BIGINT << $b) ELSE 0 END")
+        .mkString(" + ")
+      val hi = (32 until 64)
+        .map(b =>
+          s"CASE WHEN 2 * b$b > n THEN (1::BIGINT << ${b - 32}) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(toks[i:i+2], ' ')
+         |                   for i in range(1, len(toks)-1)]) s
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text, $ws),
+         |                '\\s+') toks
+         |        FROM documents)
+         |  WHERE len(toks) >= 3
+         |), j AS MATERIALIZED (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.s, b.s)) AS isz,
+         |    len(a.s) AS na, len(b.s) AS nb
+         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.s, b.s))::DOUBLE /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         |      >= 0.25
+         |), tk AS (
+         |  SELECT doc_id, unnest(CASE WHEN length(trim(text, $ws)) = 0
+         |      THEN []::VARCHAR[]
+         |      ELSE regexp_split_to_array(trim(text, $ws), '\\s+') END)
+         |      AS w
+         |  FROM documents WHERE text IS NOT NULL
+         |), hb AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(w), 1, 8))::UBIGINT::BIGINT AS h1,
+         |    ('0x' || substr(md5(w), 9, 8))::UBIGINT::BIGINT AS h2
+         |  FROM tk
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS n, $sums1, $sums2
+         |  FROM hb GROUP BY 1
+         |), sig AS MATERIALIZED (
+         |  SELECT doc_id, $lo AS lo, $hi AS hi FROM agg
+         |), hp AS (
+         |  SELECT (3 * j.isz >= j.na + j.nb) AS istrue,
+         |    bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+         |      AS hd
+         |  FROM j JOIN sig a ON a.doc_id = j.id_a
+         |  JOIN sig b ON b.doc_id = j.id_b
+         |)
+         |SELECT CAST(r.radius AS INTEGER) AS radius,
+         |  CAST(sum(CASE WHEN istrue THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_true,
+         |  CAST(sum(CASE WHEN istrue AND hd <= r.radius THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_true_caught,
+         |  CAST(sum(CASE WHEN NOT istrue THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_band,
+         |  CAST(sum(CASE WHEN NOT istrue AND hd <= r.radius THEN 1
+         |    ELSE 0 END) AS BIGINT) AS n_band_caught,
+         |  CAST(CASE WHEN sum(CASE WHEN istrue THEN 1 ELSE 0 END) > 0
+         |       THEN sum(CASE WHEN istrue AND hd <= r.radius
+         |           THEN 1 ELSE 0 END) * 1000000
+         |         // sum(CASE WHEN istrue THEN 1 ELSE 0 END)
+         |       END AS BIGINT) AS catch_ppm
+         |FROM hp CROSS JOIN (VALUES (0), (1), (2), (3)) r(radius)
+         |GROUP BY 1""".stripMargin
+    },
 
     // q334's chunker + the order-free min-owner rule on the PACKED
     // (doc, chunk) pair key: batching is invisible by construction,

@@ -477,4 +477,71 @@ class PipelinePlannersSpec extends SparkSpec {
       }
     } finally graft.TempTrees.deleteQuietly(tmp)
   }
+
+  test("q346 pack discipline compare: both disciplines pack the same " +
+    "docs and token mass, BFD wastes no more than next-fit, and the " +
+    "ppm closing is consistent with its own columns") {
+    val rows = run("q346_pack_discipline_compare")
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(rows.keySet === Set("next_fit", "best_fit_decreasing"))
+    val (nfPacks, nfDocs, nfTok, nfOver, nfWaste, nfPpm) = rows("next_fit")
+    val (bPacks, bDocs, bTok, bOver, bWaste, bPpm) =
+      rows("best_fit_decreasing")
+    // the packers place the SAME items — only the arrangement differs
+    assert(nfDocs === bDocs && nfTok === bTok && nfOver === bOver)
+    assert(bWaste <= nfWaste, "BFD must not waste more than next-fit")
+    assert(bPacks <= nfPacks, "fewer-or-equal packs for the same mass")
+    assert(nfPpm === nfWaste * 1000000L / (nfWaste + nfTok))
+    assert(bPpm === bWaste * 1000000L / (bWaste + bTok))
+  }
+
+  test("q347 simhash radius backtest: totals constant across radii, " +
+    "caught counts monotone in the radius and bounded by their " +
+    "totals; identical twins are a true pair caught at radius 0") {
+    val rows = run("q347_simhash_radius_backtest")
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(rows.keySet === Set(0, 1, 2, 3))
+    val totals = rows.values.map(v => (v._1, v._3)).toSet
+    assert(totals.size === 1, "n_true/n_band must not vary with radius")
+    for (r <- Seq(0, 1, 2)) {
+      assert(rows(r)._2 <= rows(r + 1)._2, "true catch monotone")
+      assert(rows(r)._4 <= rows(r + 1)._4, "band catch monotone")
+    }
+    rows.values.foreach { case (t, tc, b, bc) =>
+      assert(tc >= 0L && tc <= t && bc >= 0L && bc <= b)
+    }
+    // hand fixture: an identical twin (jac 1, hamming 0), a band pair
+    // (shared prefix: 6 of 14 union shingles = 0.43), a disjoint doc
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k l"),   // identical to 1
+      (3L, "a b c d e f g h x y z w"),   // band vs 1 and 2
+      (4L, "totally unrelated words only here"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("q347fix")
+    try {
+      fixture.write.mode("overwrite")
+        .parquet(tmp.resolve("documents.parquet").toString)
+      val out = SparkEntry.queries("q347_simhash_radius_backtest")(
+        spark, tmp.toString).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toMap
+      // (1,2) is the one true pair; (1,3) and (2,3) are the band
+      out.values.foreach { case (t, _, b, _, _) =>
+        assert(t === 1L && b === 2L)
+      }
+      // identical text -> identical signature -> caught at radius 0
+      assert(out(0)._2 === 1L)
+      assert(out(0)._5 === 1000000L, "catch_ppm full at every radius")
+      // band pairs share half their text: hamming is small but the
+      // catch count can only grow with the radius
+      assert(out(3)._4 >= out(0)._4)
+    } finally graft.TempTrees.deleteQuietly(tmp)
+  }
 }
