@@ -9,7 +9,7 @@ class AvroSinkSpec extends SparkSpec {
   test("writeAvro produces genuine Avro object-container files " +
     "(magic bytes, embedded schema, _SUCCESS) and readAvro round-trips " +
     "every envelope type including NULLs") {
-    val dir = java.nio.file.Files.createTempDirectory("avro_sink").toFile.getPath
+    val dir = tempDir("avro_sink").toFile.getPath
     val df = spark.createDataFrame(
       java.util.Arrays.asList(
         org.apache.spark.sql.Row(1L, "alpha", 7, 1.5, true,
@@ -49,7 +49,7 @@ class AvroSinkSpec extends SparkSpec {
 
   test("writeAvro with a declared schema validates like the reference's " +
     "Avro stage: missing columns error, types conform") {
-    val dir = java.nio.file.Files.createTempDirectory("avro_schema").toFile.getPath
+    val dir = tempDir("avro_schema").toFile.getPath
     val declared = SchemaRegistry.flatSchema("id" -> LongType, "name" -> StringType)
     val df = Seq((1, "a"), (2, "b")).toDF("id", "name") // id is int: must cast
     AvroSink.writeAvro(df, s"$dir/ok", Some(declared))
@@ -63,7 +63,7 @@ class AvroSinkSpec extends SparkSpec {
 
   test("writeAvro rejects complex-typed columns loudly instead of " +
     "toString-encoding them") {
-    val dir = java.nio.file.Files.createTempDirectory("avro_complex").toFile.getPath
+    val dir = tempDir("avro_complex").toFile.getPath
     val df = Seq((1L, Seq("a", "b"))).toDF("id", "arr")
     val e = intercept[IllegalArgumentException](AvroSink.writeAvro(df, s"$dir/out"))
     assert(e.getMessage.contains("flat Avro envelope"))
@@ -71,7 +71,7 @@ class AvroSinkSpec extends SparkSpec {
 
   test("a failed overwrite job leaves the previous output intact " +
     "(write-new-then-swap)") {
-    val dir = java.nio.file.Files.createTempDirectory("avro_swap").toFile.getPath
+    val dir = tempDir("avro_swap").toFile.getPath
     val good = Seq((1L, "keep"), (2L, "me")).toDF("id", "v")
     AvroSink.writeAvro(good, s"$dir/out")
     val boom = org.apache.spark.sql.functions.udf(

@@ -7,7 +7,7 @@ class CatalogOpsSpec extends SparkSpec {
   import spark.implicits._
 
   test("inputPresent gates on file/dir existence (ShortCircuitOperator)") {
-    val dir = Files.createTempDirectory("gate").toFile
+    val dir = tempDir("gate").toFile
     assert(!CatalogOps.inputPresent(spark, s"$dir/absent"))
     val f = new java.io.File(dir, "drop.json")
     Files.write(f.toPath, "{}".getBytes)
@@ -43,7 +43,7 @@ class CatalogOpsSpec extends SparkSpec {
     val tag = "exp_" + System.nanoTime()
     Seq((1, "a")).toDF("id", "v").write.saveAsTable(s"${tag}_t1")
     Seq((2, "b")).toDF("id", "v").write.saveAsTable(s"${tag}_t2")
-    val out = Files.createTempDirectory("bulk").toFile
+    val out = tempDir("bulk").toFile
     val exported = CatalogOps.exportAllTables(spark, tag, out.getPath)
     assert(exported.toSet === Set(s"${tag}_t1", s"${tag}_t2"))
     val back = spark.read.option("header", "true").csv(s"$out/${tag}_t1")
@@ -52,7 +52,7 @@ class CatalogOpsSpec extends SparkSpec {
   }
 
   test("inferSchema autodetects from ndjson") {
-    val dir = Files.createTempDirectory("infer").toFile
+    val dir = tempDir("infer").toFile
     val f = new java.io.File(dir, "x.json")
     Files.write(f.toPath, """{"a": 1, "b": "x"}""".getBytes)
     val s = CatalogOps.inferSchema(spark, f.getPath)

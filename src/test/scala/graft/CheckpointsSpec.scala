@@ -52,7 +52,7 @@ class CheckpointsSpec extends SparkSpec {
       .itemSimilarity(ratings, "user_id", "item_id", k = 5)
       .collect().map(_.toSeq).toSet
     assert(expected.nonEmpty)
-    val dir = java.nio.file.Files.createTempDirectory("graftckpt")
+    val dir = tempDir("graftckpt")
     try {
       spark.sparkContext.setCheckpointDir(dir.toString)
       val reliable = withFlag("true") {
@@ -71,7 +71,7 @@ class CheckpointsSpec extends SparkSpec {
       .itemRecHoldout(dated, "user_id", "item_id", "ts", k = 5)
       .collect().map(_.toSeq).toSet
     assert(expected.nonEmpty)
-    val dir = java.nio.file.Files.createTempDirectory("graftckpt2")
+    val dir = tempDir("graftckpt2")
     try {
       spark.sparkContext.setCheckpointDir(dir.toString)
       val reliable = withFlag("true") {

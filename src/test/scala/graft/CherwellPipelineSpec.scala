@@ -27,7 +27,7 @@ class CherwellPipelineSpec extends SparkSpec {
       "IncidentID" -> "101", "CreatedDateTime" -> "01/10/2023 08:00:00 AM",
       "Status" -> "Open", "AssignedTeam" -> "", "Stat_IncidentReopened" -> "False",
       "OnBehalfOf" -> "True")
-    val dir = Files.createTempDirectory("cherwell").toFile
+    val dir = tempDir("cherwell").toFile
     val f = new java.io.File(dir, "in.json")
     Files.write(f.toPath, (inc1 + "\n" + inc2 + "\nnot json at all {{{").getBytes)
 

@@ -28,7 +28,7 @@ class ComputronixPliSpec extends SparkSpec {
       .stripMargin.replace("\n", " ")
 
   test("two-level xref flatten + rename + upper + time triple + parcel standardize") {
-    val dir = Files.createTempDirectory("cx").toFile
+    val dir = tempDir("cx").toFile
     val f = new java.io.File(dir, "in.json")
     Files.write(f.toPath, (full + "\n" + noXref).getBytes)
     val (out, quarantine) = ComputronixPliPipeline.runBatch(spark, f.getPath)

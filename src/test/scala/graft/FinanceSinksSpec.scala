@@ -37,7 +37,7 @@ class FinanceSinksSpec extends SparkSpec {
     assert(rows(1).isNullAt(rows(1).fieldIndex("latitude")), "unknown parcel => null coords")
     assert(rows(1).getAs[String]("neighborhood_name") === "Shadyside", "fallback to extracted")
 
-    val dir = Files.createTempDirectory("fin").toFile
+    val dir = tempDir("fin").toFile
     FinancePipeline.publish(enriched, s"$dir/table", s"$dir/csv",
       Seq("parc_num", "address", "neighborhood_name"))
     val parts = new java.io.File(s"$dir/table").listFiles().map(_.getName).filter(_.startsWith("__part="))
@@ -49,7 +49,7 @@ class FinanceSinksSpec extends SparkSpec {
 
   test("writePartitioned: small-files control — filesPerPartition bounds " +
     "parquet files per partition directory") {
-    val dir = Files.createTempDirectory("partfiles").toFile
+    val dir = tempDir("partfiles").toFile
     val df = (1 to 2000).map { i =>
       (i.toLong, java.sql.Timestamp.valueOf(f"2024-0${i % 2 + 1}%d-15 00:00:00"))
     }.toDF("id", "d")
@@ -76,7 +76,7 @@ class FinanceSinksSpec extends SparkSpec {
   }
 
   test("writeStage round-trips with schema validation") {
-    val dir = Files.createTempDirectory("stage").toFile
+    val dir = tempDir("stage").toFile
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
     val declared = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),

@@ -13,7 +13,7 @@ class JsonSourceSpec extends SparkSpec {
     StructField("a", LongType), StructField("b", StringType)))
 
   private def read(lines: String*): (Seq[(Option[Long], Option[String])], Long) = {
-    val dir = Files.createTempDirectory("jsrc").toFile
+    val dir = tempDir("jsrc").toFile
     val f = new java.io.File(dir, "in.json")
     Files.write(f.toPath, lines.mkString("\n").getBytes)
     val (ok, bad) = JsonSource.readRepaired(spark, f.getPath, schema)
@@ -126,7 +126,7 @@ class JsonSourceSpec extends SparkSpec {
     assert(st.fields.forall(_.nullable))
 
     // file loader round-trip
-    val dir = Files.createTempDirectory("avsc").toFile
+    val dir = tempDir("avsc").toFile
     val f = new java.io.File(dir, "feed.avsc")
     Files.write(f.toPath, avsc.getBytes)
     assert(graft.sources.SchemaRegistry.loadAvsc(f.getPath) === st)

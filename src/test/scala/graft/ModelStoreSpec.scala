@@ -9,7 +9,7 @@ class ModelStoreSpec extends SparkSpec {
   import spark.implicits._
 
   private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+    tempDir(prefix).toString
 
   test("BPE model round-trips: loaded model reproduces token counts " +
     "and fertility bit-for-bit") {

@@ -93,7 +93,7 @@ class PipelinePlannersSpec extends SparkSpec {
       (3L, "s", "alpha beta gamma"), // exact dup of doc 1
       (4L, "s", "alpha beta"))
       .toDF("doc_id", "source", "text")
-    val tmp = java.nio.file.Files.createTempDirectory("q319fix")
+    val tmp = tempDir("q319fix")
     try {
       fixture.write.mode("overwrite")
         .parquet(tmp.resolve("documents.parquet").toString)
@@ -121,7 +121,7 @@ class PipelinePlannersSpec extends SparkSpec {
       (4L, "b", "unique text here with no shared window at all ok"),
       (5L, "b", "another fully unique doc without any repeats here"))
       .toDF("doc_id", "source", "text")
-    val tmp = java.nio.file.Files.createTempDirectory("q320fix")
+    val tmp = tempDir("q320fix")
     try {
       fixture.write.mode("overwrite")
         .parquet(tmp.resolve("documents.parquet").toString)
@@ -286,7 +286,7 @@ class PipelinePlannersSpec extends SparkSpec {
       .map { case (i, t) => (i, "s", t) }
       .toDF("doc_id", "source", "text")
       .union(Seq((nonIds(1), "s", uniq)).toDF("doc_id", "source", "text"))
-    val tmp = java.nio.file.Files.createTempDirectory("q328fix")
+    val tmp = tempDir("q328fix")
     try {
       fixture.write.mode("overwrite")
         .parquet(tmp.resolve("documents.parquet").toString)
@@ -324,7 +324,7 @@ class PipelinePlannersSpec extends SparkSpec {
       (1L to 10L).map(i => (i, "big1", big)) ++
       (11L to 20L).map(i => (i, "big2", big)))
       .toDF("doc_id", "source", "text")
-    val tmp = java.nio.file.Files.createTempDirectory("q329fix")
+    val tmp = tempDir("q329fix")
     try {
       fixture.write.mode("overwrite")
         .parquet(tmp.resolve("documents.parquet").toString)
@@ -352,7 +352,7 @@ class PipelinePlannersSpec extends SparkSpec {
       // fails word_count AND stopword_hits (first reason: word_count)
       (3L, "qqqq wwww eeee rrrr tttt"))
       .toDF("doc_id", "text")
-    val tmp = java.nio.file.Files.createTempDirectory("q337fix")
+    val tmp = tempDir("q337fix")
     try {
       fixture.write.mode("overwrite")
         .parquet(tmp.resolve("documents.parquet").toString)
@@ -459,7 +459,7 @@ class PipelinePlannersSpec extends SparkSpec {
       (2L, "twin", "a b c d e f"),
       (3L, "other", "p q r s t u"))
       .toDF("doc_id", "source", "text")
-    val tmp = java.nio.file.Files.createTempDirectory("q330fix")
+    val tmp = tempDir("q330fix")
     try {
       fixture.write.mode("overwrite")
         .parquet(tmp.resolve("documents.parquet").toString)
@@ -523,7 +523,7 @@ class PipelinePlannersSpec extends SparkSpec {
       (3L, "a b c d e f g h x y z w"),   // band vs 1 and 2
       (4L, "totally unrelated words only here"))
       .toDF("doc_id", "text")
-    val tmp = java.nio.file.Files.createTempDirectory("q347fix")
+    val tmp = tempDir("q347fix")
     try {
       fixture.write.mode("overwrite")
         .parquet(tmp.resolve("documents.parquet").toString)

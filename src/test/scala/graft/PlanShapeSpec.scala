@@ -253,8 +253,7 @@ class PlanShapeSpec extends SparkSpec {
     // (PushDownPredicates + ConvertToLocalRelation) EVALUATES the
     // prune filter at planning time and folds it away, which would
     // make the Filter plan assertion vacuous
-    val probeDir = java.nio.file.Files
-      .createTempDirectory("bloomprobe").toString
+    val probeDir = tempDir("bloomprobe").toString
     (1 to 2000).map { i =>
       (i.toLong, if (i % 97 == 0) null
        else java.lang.Long.valueOf(rnd.nextInt(300).toLong))

@@ -34,7 +34,7 @@ class QalertPipelineSpec extends SparkSpec {
       s""""resumeDate": null, "cityId": 1}"""
 
   test("full batch + incremental second batch") {
-    val dir = Files.createTempDirectory("qalert").toFile
+    val dir = tempDir("qalert").toFile
     val batch1 = Seq(
       j(1, 0, 0, "123", "Main St", 2.0, 2.0, "John Doe dumped trash"), // parent, southside
       j(2, 0, 1, "456", "Oak Ave", 7.0, 7.0, "pothole here"),          // closed parent, northside
@@ -123,7 +123,7 @@ class QalertPipelineSpec extends SparkSpec {
   }
 
   test("integrate is idempotent: re-running the same batch leaves masters unchanged") {
-    val dir = Files.createTempDirectory("qalert3").toFile
+    val dir = tempDir("qalert3").toFile
     val lines = Seq(
       j(1, 0, 0, "123", "Main St", 2.0, 2.0, "parent one"),
       j(2, 0, 1, "456", "Oak Ave", 7.0, 7.0, "closed parent"),
@@ -150,7 +150,7 @@ class QalertPipelineSpec extends SparkSpec {
   }
 
   test("private request types filtered from export (drop_pii row filter)") {
-    val dir = Files.createTempDirectory("qalert2").toFile
+    val dir = tempDir("qalert2").toFile
     val lines = Seq(
       j(1, 0, 0, "1", "A St", 2.0, 2.0, "ok", tpe = "Pothole"),
       j(2, 0, 0, "2", "B St", 2.0, 2.0, "hidden", tpe = "Private Violation"))
@@ -168,7 +168,7 @@ class QalertPipelineSpec extends SparkSpec {
   test("NULL parent_ticket_id is a child (reference parity: Python " +
     "`parent != \"0\"` is True for None) — the row reaches the " +
     "current-status master instead of vanishing from both branches") {
-    val dir = Files.createTempDirectory("qalert3").toFile
+    val dir = tempDir("qalert3").toFile
     // id=7 has NO master key at all -> parent_ticket_id NULL
     val noMaster =
       """{"id": 7, "status": 0, "typeId": 1, "typeName": "Pothole", """ +

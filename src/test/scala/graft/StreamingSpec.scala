@@ -10,7 +10,7 @@ class StreamingSpec extends SparkSpec {
 
   test("windowedCounts: streaming tumbling-window agg over events parquet (memory sink)") {
     // file-stream sources need a directory: stage the events parquet
-    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    val dir = tempDir("events_stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(sf("sf0.001") + "/events.parquet"),
       dir.resolve("part-0.parquet"))
@@ -198,7 +198,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streamingDedup drops watermark-window duplicates") {
-    val dir = java.nio.file.Files.createTempDirectory("sdedup").toFile
+    val dir = tempDir("sdedup").toFile
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
@@ -219,7 +219,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streamStreamJoin: watermarked interval join matches batch equivalent") {
-    val dir = java.nio.file.Files.createTempDirectory("ssjoin").toFile
+    val dir = tempDir("ssjoin").toFile
     val reqSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("lts", org.apache.spark.sql.types.TimestampType)))
@@ -245,7 +245,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("foreachBatchMerge: streaming upsert into a parquet master") {
-    val dir = java.nio.file.Files.createTempDirectory("stream_merge").toFile
+    val dir = tempDir("stream_merge").toFile
     val src = new java.io.File(dir, "in"); src.mkdirs()
     val master = new java.io.File(dir, "master").getPath
     val ckpt = new java.io.File(dir, "ckpt").getPath
@@ -274,7 +274,7 @@ class StreamingSpec extends SparkSpec {
 
   test("foreachBatchMerge: a crash between the rotation renames (master " +
     "moved to .old, .next not promoted) does not lose history on retry") {
-    val dir = java.nio.file.Files.createTempDirectory("stream_merge_crash").toFile
+    val dir = tempDir("stream_merge_crash").toFile
     val src = new java.io.File(dir, "in"); src.mkdirs()
     val master = new java.io.File(dir, "master").getPath
     val ckpt = new java.io.File(dir, "ckpt").getPath
@@ -313,7 +313,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming feed ingestion: chargepoint transform chain runs " +
     "unchanged on a file stream, merged into the sessions master") {
-    val dir = java.nio.file.Files.createTempDirectory("stream_feed").toFile
+    val dir = tempDir("stream_feed").toFile
     val src = new java.io.File(dir, "in"); src.mkdirs()
     val master = new java.io.File(dir, "master").getPath
     val ckpt = new java.io.File(dir, "ckpt").getPath
@@ -344,7 +344,7 @@ class StreamingSpec extends SparkSpec {
 
   test("incrementalDedupStream: later micro-batches are deduped against " +
     "all earlier admissions via the signature state") {
-    val dir = java.nio.file.Files.createTempDirectory("stream_dedup").toFile
+    val dir = tempDir("stream_dedup").toFile
     val src = new java.io.File(dir, "in"); src.mkdirs()
     val sigP = new java.io.File(dir, "sigs").getPath
     val outP = new java.io.File(dir, "out").getPath
@@ -378,7 +378,7 @@ class StreamingSpec extends SparkSpec {
     "identically to never-admitted, for BOTH the MinHash signature " +
     "state and the int8 semantic state; surviving batch partitions " +
     "keep their _SUCCESS markers") {
-    val dir = java.nio.file.Files.createTempDirectory("compact").toFile
+    val dir = tempDir("compact").toFile
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val other = "wholly different document about relational database engines"
 
@@ -434,7 +434,7 @@ class StreamingSpec extends SparkSpec {
 
   test("dedupBatch: a retried batch id is idempotent, and a half-committed " +
     "retry does not self-reject against its own partial signatures") {
-    val dir = java.nio.file.Files.createTempDirectory("dedup_batch").toFile
+    val dir = tempDir("dedup_batch").toFile
     val sigP = new java.io.File(dir, "sigs").getPath
     val outP = new java.io.File(dir, "out").getPath
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
@@ -464,7 +464,7 @@ class StreamingSpec extends SparkSpec {
 
   test("incrementalSemanticDedupStream: later micro-batches are cosine-deduped " +
     "against all earlier admissions via the int8 state") {
-    val dir = java.nio.file.Files.createTempDirectory("stream_semdedup").toFile
+    val dir = tempDir("stream_semdedup").toFile
     val src = new java.io.File(dir, "in"); src.mkdirs()
     val stP  = new java.io.File(dir, "state").getPath
     val outP = new java.io.File(dir, "out").getPath
@@ -499,7 +499,7 @@ class StreamingSpec extends SparkSpec {
 
   test("semanticDedupBatch: a retried batch id is idempotent, and a " +
     "half-committed retry does not self-reject against its own partial state") {
-    val dir = java.nio.file.Files.createTempDirectory("sem_dedup_batch").toFile
+    val dir = tempDir("sem_dedup_batch").toFile
     val stP  = new java.io.File(dir, "state").getPath
     val outP = new java.io.File(dir, "out").getPath
 
@@ -564,7 +564,7 @@ class StreamingSpec extends SparkSpec {
   test("hllBatch/hllEstimateFromState: incremental registers match the " +
     "batch sketch exactly, and a retried batch changes nothing") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("hll_state").toString
+    val dir = tempDir("hll_state").toString
     // three overlapping batches covering val0..val899
     val batches = Seq(0 to 399, 200 to 599, 400 to 899)
       .map(r => r.map(i => ("g", s"val$i")).toDF("g", "v"))
@@ -592,7 +592,7 @@ class StreamingSpec extends SparkSpec {
     "merges two components exactly as the batch operators see it, " +
     "and a retried batch changes nothing") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graph_state").toString
+    val dir = tempDir("graph_state").toString
     // batch 0: two separate components {1,2} and {3,4}
     graft.streaming.StreamingOps.edgeBatch(
       Seq((1L, 2L, 5L), (3L, 4L, 1L)).toDF("a", "b", "w"), 0L,
@@ -625,7 +625,7 @@ class StreamingSpec extends SparkSpec {
     "edge merges whole components via the contracted graph, replay " +
     "is a no-op, and a smaller-id newcomer re-mins its component") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("cc_labels")
+    val dir = tempDir("cc_labels")
       .toString + "/labels"
     def labels() = graft.streaming.StreamingOps
       .componentsFromLabels(spark, dir)
@@ -657,7 +657,7 @@ class StreamingSpec extends SparkSpec {
     "late shortcut edge propagate through OLD topology, state ≡ batch " +
     "recompute at convergence, replay is a no-op") {
     import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("sp_state").toString
+    val root = tempDir("sp_state").toString
     val (ep, dp) = (s"$root/edges", s"$root/dists")
     val seeds = Seq(1L).toDF("node")
     def dists() = graft.streaming.StreamingOps
@@ -693,7 +693,7 @@ class StreamingSpec extends SparkSpec {
   test("spIncrementBatch: an undrained frontier at the rounds cap " +
     "throws and leaves the distance state untouched") {
     import spark.implicits._
-    val root = java.nio.file.Files.createTempDirectory("sp_throw").toString
+    val root = tempDir("sp_throw").toString
     val (ep, dp) = (s"$root/edges", s"$root/dists")
     val seeds = Seq(1L).toDF("node")
     def dists() = graft.streaming.StreamingOps
@@ -737,8 +737,7 @@ class StreamingSpec extends SparkSpec {
       (4L, "alpha beta gamma delta epsilon"), // dup of 1/3
       (5L, "another unique document body text"))
       .toDF("doc_id", "text")
-    val dir = java.nio.file.Files
-      .createTempDirectory("shdedup").toString + "/state"
+    val dir = tempDir("shdedup").toString + "/state"
     def verdicts() = graft.streaming.StreamingOps
       .noveltyFromSimhashState(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
@@ -775,8 +774,7 @@ class StreamingSpec extends SparkSpec {
       (4L, "short doc under sixteen tokens"),    // no window: novel
       (5L, block))                               // shares doc 1's window
       .toDF("doc_id", "text")
-    val dir = java.nio.file.Files
-      .createTempDirectory("spandedup").toString + "/state"
+    val dir = tempDir("spandedup").toString + "/state"
     def verdicts() = graft.streaming.StreamingOps
       .noveltyFromSpanState(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
@@ -792,8 +790,7 @@ class StreamingSpec extends SparkSpec {
     assert(verdicts() === expected)
     // batch-INTERNAL earlier doc also counts: rerun from scratch with
     // 1 and 3 in the same batch — 3 must still be a dup
-    val dir2 = java.nio.file.Files
-      .createTempDirectory("spandedup2").toString + "/state"
+    val dir2 = tempDir("spandedup2").toString + "/state"
     graft.streaming.StreamingOps.spanDedupBatch(
       docs.filter(col("doc_id").isin(1L, 3L)), 0L, "doc_id", "text",
       dir2, windowTokens = 16)
@@ -817,8 +814,7 @@ class StreamingSpec extends SparkSpec {
       (4L, "a1b2 unique layout"),   // novel shape
       (5L, "greeting planet"))      // doc 2's layout
       .toDF("doc_id", "text")
-    val dir = java.nio.file.Files
-      .createTempDirectory("tpldedup").toString + "/state"
+    val dir = tempDir("tpldedup").toString + "/state"
     def verdicts() = graft.streaming.StreamingOps
       .noveltyFromTemplateState(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
@@ -833,8 +829,7 @@ class StreamingSpec extends SparkSpec {
       4L -> true, 5L -> false)
     assert(verdicts() === expected)
     // batch-INTERNAL earlier doc also counts
-    val dir2 = java.nio.file.Files
-      .createTempDirectory("tpldedup2").toString + "/state"
+    val dir2 = tempDir("tpldedup2").toString + "/state"
     graft.streaming.StreamingOps.templateDedupBatch(
       docs.filter(col("doc_id").isin(1L, 3L)), 0L, "doc_id", "text",
       dir2)
@@ -859,8 +854,7 @@ class StreamingSpec extends SparkSpec {
       (4L, "fresh words only here"),  // novel
       (5L, "p q r s p q r s"))        // within-doc repeat: (5,1) = (5,0)
       .toDF("doc_id", "text")
-    val dir = java.nio.file.Files
-      .createTempDirectory("chunkdedup").toString + "/state"
+    val dir = tempDir("chunkdedup").toString + "/state"
     def verdicts() = graft.streaming.StreamingOps
       .noveltyFromChunkState(spark, dir)
       .collect()
@@ -925,7 +919,7 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L)).toDF("user_id", "item"),
       Seq((1L, 1L), (2L, 2L), (1L, 3L), (3L, 1L), (3L, 3L))
         .toDF("user_id", "item"))
-    val dir = java.nio.file.Files.createTempDirectory("cf_state").toString
+    val dir = tempDir("cf_state").toString
     batches.zipWithIndex.foreach { case (b, i) =>
       graft.streaming.StreamingOps.cfBatch(b, i.toLong, "user_id", "item", dir)
     }
@@ -954,7 +948,7 @@ class StreamingSpec extends SparkSpec {
     val batches = Seq(
       Seq((1L, t(1)), (2L, t(1))).toDF("user_id", "ts"),
       Seq((1L, t(1)), (1L, t(3)), (3L, t(8))).toDF("user_id", "ts"))
-    val dir = java.nio.file.Files.createTempDirectory("dau_state").toString
+    val dir = tempDir("dau_state").toString
     batches.zipWithIndex.foreach { case (b, i) =>
       graft.streaming.StreamingOps.dauBatch(b, i.toLong, "user_id", "ts", dir)
     }

@@ -22,7 +22,7 @@ class TwilioPipelineSpec extends SparkSpec {
   }
 
   test("runWindow: first run = full history, later runs resume from watermark") {
-    val dir = Files.createTempDirectory("twilio").toFile
+    val dir = tempDir("twilio").toFile
     val log = s"$dir/log.json"
     val (s1, e1) = TwilioPipeline.runWindow(log, nowUnix = 1000L)
     assert((s1, e1) === (0L, 1000L), "no log => full history")
@@ -37,7 +37,7 @@ class TwilioPipelineSpec extends SparkSpec {
   test("findBackfillDate: log lost => resume from the newest non-empty " +
     "file in the latest populated month partition, else yesterday") {
     import graft.state.Watermark
-    val root = Files.createTempDirectory("backfill").toFile.getAbsolutePath
+    val root = tempDir("backfill").toFile.getAbsolutePath
     val asOf = java.time.LocalDate.of(2024, 3, 15)
     // nothing listed anywhere => the reference's yesterday fallback
     assert(Watermark.findBackfillDate(root, asOf) === asOf.minusDays(1))
