@@ -62,8 +62,13 @@ object Bench {
     * change that adds or removes a query starts a fresh merge window),
     * the same `sf` (a sf0.001 probe sweep must never contribute its
     * tiny walls to the sf0.1 official minima), and a timestamp within
-    * 24 h of `now` (one round). Returns (minima, sweeps merged — 1
-    * means no usable history). min is the right statistic: every
+    * 24 h of `now` (one round). Caveat the name-set proxy cannot see:
+    * an implementation change that keeps every query name leaves the
+    * old code's minima in the window — a round that deliberately
+    * trades speed for semantics in an existing query should treat the
+    * affected minima as stale (or rename the query) rather than read
+    * the merged line as the new code's number. Returns (minima,
+    * sweeps merged — 1 means no usable history). min is the right statistic: every
     * per-query number is already a min-of-3 wall of a deterministic
     * computation, so all upward excursions are host noise by
     * construction (the r14 adjudication: three same-code sweeps
