@@ -3032,8 +3032,18 @@ object AnalyticsOps {
       // sliver of one pass, yet it fails loudly for any caller whose
       // duplication isn't a needle-in-a-haystack (real contract
       // breaches duplicate broadly).
-      val mm = kept.agg(min(col("__i").cast(LongType)).as("__mn"),
-        max(col("__i").cast(LongType)).as("__mx"))
+      // the LongType cast is gated on `integral`: under ANSI (the
+      // Spark 4 default) casting a STRING item id like "checkout"
+      // would THROW inside the probe action — non-integral ids must
+      // skip the range probe entirely, not fail it loudly (round-15
+      // CheckpointKnobProbe found this with event_type ids)
+      val mm =
+        if (integral)
+          kept.agg(min(col("__i").cast(LongType)).as("__mn"),
+            max(col("__i").cast(LongType)).as("__mx"))
+        else
+          kept.agg(min(lit(null).cast(LongType)).as("__mn"),
+            max(lit(null).cast(LongType)).as("__mx"))
       val probeRow = (if (assumeDistinct)
           mm.crossJoin(kept
             .filter(pmod(hash(col("__u"), col("__i")),

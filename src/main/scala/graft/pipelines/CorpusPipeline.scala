@@ -1739,6 +1739,41 @@ object CorpusPipeline {
     * PACK count fits an executor; at 100 TB that is thousands of
     * shards, the documented knob shared with q317/q341.
     */
+  /** The per-shard BFD walk as a pure function (property-tested
+    * against a naive O(n²) linear-scan reference in PropertySpec):
+    * `costs` in decreasing-cost, increasing-id walk order; returns
+    * per pack (in creation order = pack_idx) its (fill, n_docs).
+    * The fill→pack-index TreeMap makes `floorEntry(packLen − cost)`
+    * exactly the best-fit rule; the per-fill TreeSet resolves equal
+    * fills to the lowest pack index.
+    */
+  private[graft] def bestFitFold(costs: Array[Long], packLen: Long)
+      : (IndexedSeq[Long], IndexedSeq[Long]) = {
+    val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val nDocs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val byFill = new java.util.TreeMap[Long, java.util.TreeSet[Int]]()
+    def pool(fill: Long): java.util.TreeSet[Int] = {
+      var s = byFill.get(fill)
+      if (s == null) { s = new java.util.TreeSet[Int](); byFill.put(fill, s) }
+      s
+    }
+    costs.foreach { cost =>
+      val cap = packLen - cost
+      val e = if (cap >= 0) byFill.floorEntry(cap) else null
+      if (e == null) { // nothing fits (or oversize): open a pack
+        fills += cost; nDocs += 1L
+        pool(cost).add(fills.length - 1)
+      } else {
+        val idx = e.getValue.first()
+        e.getValue.remove(idx)
+        if (e.getValue.isEmpty) byFill.remove(e.getKey)
+        fills(idx) += cost; nDocs(idx) += 1L
+        pool(fills(idx)).add(idx)
+      }
+    }
+    (fills.toIndexedSeq, nDocs.toIndexedSeq)
+  }
+
   def packBestFitDecreasing(docs: DataFrame, idCol: String,
                             textCol: String, packLen: Long,
                             nShards: Int): DataFrame = {
@@ -1756,30 +1791,7 @@ object CorpusPipeline {
       .flatMapGroups { (shard: Int, it: Iterator[org.apache.spark.sql.Row]) =>
         val sorted = it.map(r => (r.getLong(0), r.getLong(1)))
           .toArray.sortBy { case (id, cost) => (-cost, id) }
-        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
-        val nDocs = scala.collection.mutable.ArrayBuffer.empty[Long]
-        // fill → open pack indices at that fill (lowest-index tie);
-        // floorEntry(packLen - cost) is exactly "largest fill ≤ cap"
-        val byFill = new java.util.TreeMap[Long, java.util.TreeSet[Int]]()
-        def pool(fill: Long): java.util.TreeSet[Int] = {
-          var s = byFill.get(fill)
-          if (s == null) { s = new java.util.TreeSet[Int](); byFill.put(fill, s) }
-          s
-        }
-        sorted.foreach { case (_, cost) =>
-          val cap = packLen - cost
-          val e = if (cap >= 0) byFill.floorEntry(cap) else null
-          if (e == null) { // nothing fits (or oversize): open a pack
-            fills += cost; nDocs += 1L
-            pool(cost).add(fills.length - 1)
-          } else {
-            val idx = e.getValue.first()
-            e.getValue.remove(idx)
-            if (e.getValue.isEmpty) byFill.remove(e.getKey)
-            fills(idx) += cost; nDocs(idx) += 1L
-            pool(fills(idx)).add(idx)
-          }
-        }
+        val (fills, nDocs) = bestFitFold(sorted.map(_._2), packLen)
         fills.indices.iterator.map { i =>
           val over = fills(i) > packLen
           (shard, i.toLong, nDocs(i), fills(i),

@@ -1459,6 +1459,37 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("itemSimilarity: STRING item ids take the generic pair path " +
+    "without the ANSI cast throwing in the packability probe, and " +
+    "match the numeric-id result under a bijective relabeling") {
+    import spark.implicits._
+    val str = Seq(
+      (1L, "apple"), (1L, "beet"), (1L, "caper"),
+      (2L, "apple"), (2L, "beet"),
+      (3L, "beet"), (3L, "caper"),
+      (4L, "apple"), (4L, "caper")).toDF("user_id", "item_id")
+    // the round-15 regression: this THREW [CAST_INVALID_INPUT] while
+    // the probe cast string ids to long under ANSI
+    val out = AnalyticsOps.itemSimilarity(str, "user_id", "item_id", k = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(2)) ->
+        (r.getInt(1), r.getDouble(3)))
+      .toMap
+    assert(out.nonEmpty)
+    // relabel items to longs 10/11/12 (order-preserving): the packed
+    // path must agree with the generic path pair for pair
+    val num = str.withColumn("item_id",
+      when(col("item_id") === "apple", 10L)
+        .when(col("item_id") === "beet", 11L).otherwise(12L))
+    val packed = AnalyticsOps.itemSimilarity(num, "user_id", "item_id", k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getInt(1), r.getDouble(3)))
+      .toMap
+    val relabel = Map("apple" -> 10L, "beet" -> 11L, "caper" -> 12L)
+    assert(out.map { case ((a, b), v) => (relabel(a), relabel(b)) -> v }
+      === packed)
+  }
+
   test("q342 per-source template drift: a source whose template mix " +
     "collapses between snapshots reads KS = 1, a stable mix reads 0") {
     import spark.implicits._

@@ -85,4 +85,43 @@ class PropertySpec extends AnyFunSuite {
       RefFunctions.accuracyToDecimals(lo) >= RefFunctions.accuracyToDecimals(hi)
     })
   }
+
+  /** Naive O(n²) best-fit reference: linear scan over every open
+    * pack — largest fill that still fits, lowest index on ties. The
+    * TreeMap walk must match this EXACTLY, pack by pack.
+    */
+  private def naiveBestFit(costs: Seq[Long],
+                           packLen: Long): (Seq[Long], Seq[Long]) = {
+    val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val nd    = scala.collection.mutable.ArrayBuffer.empty[Long]
+    costs.foreach { c =>
+      var best = -1
+      for (i <- fills.indices)
+        if (fills(i) + c <= packLen &&
+            (best < 0 || fills(i) > fills(best))) best = i
+      if (best < 0) { fills += c; nd += 1L }
+      else { fills(best) += c; nd(best) += 1L }
+    }
+    (fills.toSeq, nd.toSeq)
+  }
+
+  test("bestFitFold ≡ naive O(n²) best-fit on random walks, and the " +
+    "structural packing invariants always hold") {
+    val walk = for {
+      packLen <- Gen.chooseNum(1L, 64L)
+      n     <- Gen.chooseNum(0, 60)
+      costs <- Gen.listOfN(n, Gen.chooseNum(1L, 96L)) // incl. oversize
+    } yield (packLen, costs.sortBy(-_)) // the decreasing walk order
+    check("bfd", Prop.forAll(walk) { case (packLen, costs) =>
+      val (fills, nd) = graft.pipelines.CorpusPipeline
+        .bestFitFold(costs.toArray, packLen)
+      val (nFills, nNd) = naiveBestFit(costs, packLen)
+      val equiv = fills == nFills && nd == nNd
+      val conserved = fills.sum == costs.sum && nd.sum == costs.length
+      // a pack either respects packLen or is a lone oversize doc
+      val capped = fills.indices.forall(i =>
+        fills(i) <= packLen || nd(i) == 1L)
+      equiv && conserved && capped
+    })
+  }
 }
