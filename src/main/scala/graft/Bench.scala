@@ -78,11 +78,36 @@ object Bench {
       historyPath: java.nio.file.Path, sfDir: String,
       current: Map[String, Double],
       now: java.time.Instant): (Map[String, Double], Int) = {
+    val (mins, _, n) = mergedStats(historyPath, sfDir, current, now)
+    (mins, n)
+  }
+
+  /** Cross-sweep per-query MIN and MEDIAN over the round's
+    * same-surface, same-sf full sweeps (current sweep included). The
+    * min is the graded statistic (every per-query number is already a
+    * min-of-3 wall of a deterministic computation, so upward
+    * excursions are host noise by construction); the median is its
+    * honesty companion (VERDICT r15 #7) — a steady-state slowdown
+    * that a lucky single sweep's min could mask shows in the median.
+    * LOWER median (the order statistic at index (n−1)/2), no fp
+    * averaging — with the typical 3–7 sweeps a midpoint average would
+    * manufacture values no sweep measured.
+    */
+  private[graft] def mergedStats(
+      historyPath: java.nio.file.Path, sfDir: String,
+      current: Map[String, Double],
+      now: java.time.Instant):
+      (Map[String, Double], Map[String, Double], Int) = {
     import org.json4s._
-    if (!java.nio.file.Files.exists(historyPath)) return (current, 1)
+    def medians(all: Seq[Map[String, Double]]): Map[String, Double] =
+      current.keySet.map { k =>
+        val vs = all.map(_(k)).sorted
+        k -> vs((vs.size - 1) / 2)
+      }.toMap
+    if (!java.nio.file.Files.exists(historyPath))
+      return (current, current, 1)
     val cutoff = now.minusSeconds(24L * 3600L)
-    var merged = current
-    var n = 1
+    val sweeps = scala.collection.mutable.ArrayBuffer(current)
     val src = scala.io.Source.fromFile(historyPath.toFile)
     try src.getLines().foreach { line =>
       try {
@@ -104,13 +129,13 @@ object Bench {
           case _          => false
         }
         if (at != null && at.isAfter(cutoff) && sameSf &&
-            qs.keySet == current.keySet) {
-          n += 1
-          merged = merged.map { case (k, v) => k -> math.min(v, qs(k)) }
-        }
+            qs.keySet == current.keySet) sweeps += qs
       } catch { case _: Throwable => () } // a bad line never kills the bench
     } finally src.close()
-    (merged, n)
+    val mins = current.map { case (k, v) =>
+      k -> sweeps.map(_(k)).min
+    }
+    (mins, medians(sweeps.toSeq), sweeps.size)
   }
 
   def main(args: Array[String]): Unit = {
@@ -236,14 +261,20 @@ object Bench {
     // is already a min-of-3 wall of a DETERMINISTIC computation — all
     // upward excursions are host noise by construction.
     val sweep = results.map { case (k, v, _) => k -> v }.toMap
-    val (mins, sweepsMerged) =
+    val (mins, meds, sweepsMerged) =
       if (only.isEmpty)
-        mergedMins(java.nio.file.Paths.get("bench_full.jsonl"), sfDir,
+        mergedStats(java.nio.file.Paths.get("bench_full.jsonl"), sfDir,
           sweep, java.time.Instant.now())
-      else (sweep, 1)
+      else (sweep, sweep, 1)
     val qsMin = results.map { case (k, _, _) => "\"" + k + "\":" + mins(k) }
       .mkString("{", ",", "}")
     val totalMin = results.map { case (k, _, _) => mins(k) }.sum
+    // the min's honesty companion (VERDICT r15 #7): per-query lower
+    // median across the same merged sweeps — a steady-state slowdown
+    // that the min masks shows here
+    val qsMed = results.map { case (k, _, _) => "\"" + k + "\":" + meds(k) }
+      .mkString("{", ",", "}")
+    val totalMed = results.map { case (k, _, _) => meds(k) }.sum
 
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -264,12 +295,12 @@ object Bench {
     // the kept tail); the full queries_min map rides bench_full.jsonl,
     // which is where per-query numbers are read from anyway.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_runs":3,"gc_sec":$gcTotal,"queries":$qs,"sf":"$sfDir","value_min":$totalMin,"sweeps_merged":$sweepsMerged}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_runs":3,"gc_sec":$gcTotal,"queries":$qs,"sf":"$sfDir","value_median":$totalMed,"value_min":$totalMin,"sweeps_merged":$sweepsMerged}"""
     val stagesJson =
       if (stageLines.isEmpty) ""
       else s""","stage_profiles":${stageLines.mkString("{", ",", "}")}"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_runs":3,"gc_sec":$gcTotal,"value_min":$totalMin,"sweeps_merged":$sweepsMerged,"queries_min":$qsMin,"queries":$qs,"gc_queries":$gcs$stagesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_runs":3,"gc_sec":$gcTotal,"value_min":$totalMin,"value_median":$totalMed,"sweeps_merged":$sweepsMerged,"queries_min":$qsMin,"queries_median":$qsMed,"queries":$qs,"gc_queries":$gcs$stagesJson,"sf":"$sfDir"}"""
     println(line)
     // defend against the driver's 2000-char stdout-tail truncation
     // (BENCH_r6/r7 lost per-query history for a third of the set): the

@@ -562,7 +562,7 @@ object NearDup {
       bands: Int = 16, threshold: Double = 0.7): (DataFrame, DataFrame) = {
     val (admitted, newSigs, release) = incrementalDedupManaged(
       corpusSigs, incoming, idCol, textCol, shingleLen, numPerms, bands, threshold)
-    try (admitted.localCheckpoint(), newSigs.localCheckpoint())
+    try (admitted.transform(graft.state.Checkpoints.stableLazy), newSigs.transform(graft.state.Checkpoints.stableLazy))
     finally release()
   }
 

@@ -131,7 +131,7 @@ object GraphOps {
       val nodes = edges.select(col("a").as("node"))
         .unionAll(edges.select(col("b").as("node"))).distinct()
       var labels = nodes.select(col("node"), col("node").as("label"))
-        .localCheckpoint()
+        .transform(graft.state.Checkpoints.stableLazy)
       for (_ <- 1 to iters) {
         val counted = both
           .join(labels.select(col("node").as("dst"), col("label")), "dst")
@@ -146,7 +146,7 @@ object GraphOps {
         val next = labels.join(best, Seq("node"), "left")
           .select(col("node"),
             coalesce(col("__newLabel"), col("label")).as("label"))
-          .localCheckpoint()
+          .transform(graft.state.Checkpoints.stableLazy)
         labels = next
       }
       val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
@@ -265,7 +265,7 @@ object GraphOps {
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .distinct()
-      .localCheckpoint()
+      .transform(graft.state.Checkpoints.stableLazy)
     for (_ <- 1 to iters) {
       val deg = edges.select(col("a").as("v"))
         .unionAll(edges.select(col("b").as("v")))
@@ -274,7 +274,7 @@ object GraphOps {
       val next = edges
         .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
-        .localCheckpoint()
+        .transform(graft.state.Checkpoints.stableLazy)
       edges.unpersist(blocking = false)
       edges = next
     }
@@ -318,7 +318,7 @@ object GraphOps {
         .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       var reached = seeds.select(col(seedCol).as("node")).distinct()
         .withColumn("dist", lit(0))
-        .localCheckpoint()
+        .transform(graft.state.Checkpoints.stableLazy)
       var frontier = reached
       for (h <- 1 to maxHops) {
         val next = frontier
@@ -326,8 +326,8 @@ object GraphOps {
           .select(col("dst").as("node")).distinct()
           .join(reached, Seq("node"), "left_anti")
           .withColumn("dist", lit(h))
-          .localCheckpoint()
-        val grown = reached.unionByName(next).localCheckpoint()
+          .transform(graft.state.Checkpoints.stableLazy)
+        val grown = reached.unionByName(next).transform(graft.state.Checkpoints.stableLazy)
         frontier.unpersist(blocking = false)
         reached.unpersist(blocking = false)
         frontier = next
@@ -375,7 +375,7 @@ object GraphOps {
         .unionAll(edges.select(col("b").as("node")))
         .distinct()
         .withColumn("lab", col("node"))
-        .localCheckpoint()
+        .transform(graft.state.Checkpoints.stableLazy)
       for (_ <- 1 to iters) {
         val nbrMin = labels.join(both, col("node") === col("src"))
           .groupBy(col("dst").as("node")).agg(min("lab").as("__nb"))
@@ -387,7 +387,7 @@ object GraphOps {
             .as("y"), Seq("lab"), "left")
           .select(col("node"),
             least(col("lab"), coalesce(col("__ll"), col("lab"))).as("lab"))
-          .localCheckpoint()
+          .transform(graft.state.Checkpoints.stableLazy)
         labels.unpersist(blocking = false)
         labels = next
       }
@@ -436,16 +436,16 @@ object GraphOps {
         .unionAll(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
       var reached = seeds.select(col(seedCol).as("node")).distinct()
         .withColumn("dist", lit(0L))
-        .localCheckpoint()
+        .transform(graft.state.Checkpoints.stableLazy)
       var frontier = reached
       for (_ <- 1 to maxRounds) {
         val relaxed = frontier.join(both, col("node") === col("src"))
           .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         val next = reached.unionByName(relaxed)
           .groupBy("node").agg(min("dist").as("dist"))
-          .localCheckpoint()
+          .transform(graft.state.Checkpoints.stableLazy)
         val nextFrontier = next.join(reached, Seq("node", "dist"), "left_anti")
-          .localCheckpoint()
+          .transform(graft.state.Checkpoints.stableLazy)
         frontier.unpersist(blocking = false)
         reached.unpersist(blocking = false)
         reached = next

@@ -263,11 +263,15 @@ object AnalyticsOps {
       .withColumn("__vy",
         col("n_days") * col("__syy") - col("__sy") * col("__sy"))
       .select(col("group_a"), col("group_b"), col("lag"), col("n_days"),
-        round(when(col("__vx") > 0 && col("__vy") > 0,
+        // e6 floor lattice, not round(_, 6): a correlation numerator
+        // is a difference of near-equal exact sums — on uncorrelated
+        // series it cancels to a ±ε residue, the signed-zero round()
+        // hazard (VERDICT r15 #2)
+        graft.functions.Lattice.e6(when(col("__vx") > 0 && col("__vy") > 0,
           (col("n_days") * col("__sxy") - col("__sx") * col("__sy"))
             .cast("double")
-            / sqrt(col("__vx").cast("double") * col("__vy").cast("double"))),
-          6).as("pearson_r"))
+            / sqrt(col("__vx").cast("double") * col("__vy").cast("double"))))
+          .as("pearson_r"))
       .transform(graft.state.Checkpoints.stable)
     daily.unpersist()
     out
@@ -332,7 +336,10 @@ object AnalyticsOps {
         round((col("__b.ts2") - col("__b.cs")).cast("double") /
           (col("__b.tn") - col("__b.cn")).cast("double"), 6)
           .as("mean_after"),
-        round(col("__b.__gain"), 6).as("gain"))
+        // e6 lattice on the DISPLAYED gain only (the argmax keys on
+        // the raw struct): SSE decomposition differences cancel to a
+        // ±ε residue on a flat series (VERDICT r15 #2)
+        graft.functions.Lattice.e6(col("__b.__gain")).as("gain"))
       .transform(graft.state.Checkpoints.stable)
     daily.unpersist()
     out
@@ -439,9 +446,11 @@ object AnalyticsOps {
       .select(col(groupCol), col("n_days"),
         round(col("__sy").cast("double") / col("n_days").cast("double"), 6)
           .as("mean_daily"),
-        round(when(col("__den") =!= 0,
+        // e6 lattice: an OLS slope over a flat series is a ±ε
+        // cancellation residue (the q290 class)
+        graft.functions.Lattice.e6(when(col("__den") =!= 0,
           (col("n_days") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
-            / col("__den").cast("double")), 6).as("slope_per_day"))
+            / col("__den").cast("double"))).as("slope_per_day"))
   }
 
   /** Two-regressor OLS fit y = b0 + b1·x1 + b2·x2 per group, solved in
@@ -498,12 +507,14 @@ object AnalyticsOps {
       s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2)
     m.withColumn("__det", det)
       .select(col("__g").as(groupCol), col("n"),
-        round(when(col("__det") =!= 0,
-          det0.cast("double") / col("__det").cast("double")), 6).as("b0"),
-        round(when(col("__det") =!= 0,
-          det1.cast("double") / col("__det").cast("double")), 6).as("b1"),
-        round(when(col("__det") =!= 0,
-          det2.cast("double") / col("__det").cast("double")), 6).as("b2"))
+        // e6 lattice on all three coefficients: regression
+        // coefficients over degenerate designs are ±ε residues
+        graft.functions.Lattice.e6(when(col("__det") =!= 0,
+          det0.cast("double") / col("__det").cast("double"))).as("b0"),
+        graft.functions.Lattice.e6(when(col("__det") =!= 0,
+          det1.cast("double") / col("__det").cast("double"))).as("b1"),
+        graft.functions.Lattice.e6(when(col("__det") =!= 0,
+          det2.cast("double") / col("__det").cast("double"))).as("b2"))
   }
 
   /** Pairwise Pearson correlation of the groups' DAILY COUNT series —
@@ -549,9 +560,10 @@ object AnalyticsOps {
       .withColumn("__vx", col("n_days") * col("__sxx") - col("__sx") * col("__sx"))
       .withColumn("__vy", col("n_days") * col("__syy") - col("__sy") * col("__sy"))
       .select(col("group_a"), col("group_b"), col("n_days"),
-        round(when(col("__vx") > 0 && col("__vy") > 0,
+        // e6 lattice (signed-residue class, VERDICT r15 #2)
+        graft.functions.Lattice.e6(when(col("__vx") > 0 && col("__vy") > 0,
           (col("n_days") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
-            / sqrt(col("__vx").cast("double") * col("__vy").cast("double"))), 6)
+            / sqrt(col("__vx").cast("double") * col("__vy").cast("double"))))
           .as("pearson_r"))
       .transform(graft.state.Checkpoints.stable)
     daily.unpersist()
@@ -595,8 +607,11 @@ object AnalyticsOps {
       col("__g").as(groupCol), col("day"), col("n_events"),
       coalesce(col("n_baseline_days"), lit(0L)).as("n_baseline_days"),
       round(when(col("n_baseline_days") > 0, mean), 6).as("baseline_mean"),
-      round(when(col("n_baseline_days") > 0 && variance > 0,
-        (col("n_events").cast("double") - mean) / sqrt(variance)), 6).as("z"))
+      // z is a difference over a noisy baseline — e6 lattice, not
+      // round(): a day sitting exactly on its baseline mean closes to
+      // a ±ε residue (VERDICT r15 #2)
+      graft.functions.Lattice.e6(when(col("n_baseline_days") > 0 && variance > 0,
+        (col("n_events").cast("double") - mean) / sqrt(variance))).as("z"))
   }
 
   /** Day-of-week-adjusted anomaly scores — the seasonal sibling of
@@ -646,8 +661,9 @@ object AnalyticsOps {
       col("n_events"),
       (col("__nd") - 1).as("n_baseline_days"),
       round(when(col("__n1") >= minDays, mean), 6).as("dow_mean"),
-      round(when(col("__n1") >= minDays && variance > 0,
-        (col("n_events").cast("double") - mean) / sqrt(variance)), 6)
+      // e6 lattice: same signed-residue z as dailyAnomalyScores
+      graft.functions.Lattice.e6(when(col("__n1") >= minDays && variance > 0,
+        (col("n_events").cast("double") - mean) / sqrt(variance)))
         .as("z"))
   }
 
@@ -734,9 +750,10 @@ object AnalyticsOps {
       .withColumn("__vx", col("n_pairs") * col("__sxx") - col("__sx") * col("__sx"))
       .withColumn("__vy", col("n_pairs") * col("__syy") - col("__sy") * col("__sy"))
       .select(col(groupCol), col("lag"), col("n_pairs"),
-        round(when(col("__vx") > 0 && col("__vy") > 0,
+        // e6 lattice (signed-residue class, VERDICT r15 #2)
+        graft.functions.Lattice.e6(when(col("__vx") > 0 && col("__vy") > 0,
           (col("n_pairs") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
-            / sqrt(col("__vx").cast("double") * col("__vy").cast("double"))), 6)
+            / sqrt(col("__vx").cast("double") * col("__vy").cast("double"))))
           .as("acf"))
       .transform(graft.state.Checkpoints.stable)
     daily.unpersist()
@@ -1450,9 +1467,10 @@ object AnalyticsOps {
         max(struct(col("__t"), col("__e"), col("__v"))).as("__last"))
       .select(col("cohort"), col("n_users"), col("observed"),
         round(col("__last.__e"), 4).as("expected"),
-        round(when(col("__last.__v") > 0,
+        // e4 lattice: O − E over balanced cohorts is a ±ε fp residue
+        graft.functions.Lattice.e4(when(col("__last.__v") > 0,
           (col("observed").cast("double") - col("__last.__e")) /
-            sqrt(col("__last.__v"))), 4).as("logrank_z"))
+            sqrt(col("__last.__v")))).as("logrank_z"))
   }
 
   /** Brown's double exponential smoothing (level + trend) on each
@@ -1513,10 +1531,14 @@ object AnalyticsOps {
       .withColumn("__sp", col("__n1").cast("double") / lit((1L << w).toDouble))
       .withColumn("__spp", col("__n2").cast("double") / lit((1L << w).toDouble * (1L << w).toDouble))
       .select(col("__g").as(groupCol), col("day"), col("n_events"),
-        round(lit(2.0) * col("__sp") - col("__spp"), 6).as("level"),
-        round(col("__sp") - col("__spp"), 6).as("trend"),
-        round(lit(2.0) * col("__sp") - col("__spp") +
-          lit(horizonDays.toDouble) * (col("__sp") - col("__spp")), 6)
+        // e6 lattice on all three: level/trend/forecast are fp
+        // differences of the two smoothed series — a flat series
+        // cancels trend to a ±ε residue (VERDICT r15 #2)
+        graft.functions.Lattice.e6(lit(2.0) * col("__sp") - col("__spp"))
+          .as("level"),
+        graft.functions.Lattice.e6(col("__sp") - col("__spp")).as("trend"),
+        graft.functions.Lattice.e6(lit(2.0) * col("__sp") - col("__spp") +
+          lit(horizonDays.toDouble) * (col("__sp") - col("__spp")))
           .as("forecast"))
       .transform(graft.state.Checkpoints.stable)
     daily.unpersist()
@@ -1576,6 +1598,82 @@ object AnalyticsOps {
       .transform(graft.state.Checkpoints.stable)
     daily.unpersist()
     out
+  }
+
+  /** GROUPED population-stability index on exact ORDER-STATISTIC
+    * decile bands, integer-only closing (VERDICT r15 #5) — the
+    * per-source drift monitor production teams actually deploy
+    * beside the statistician's KS (q340/q342): one PSI row per group,
+    * reference vs current sample, with band edges the reference
+    * side's exact decile order statistics (edge_i = min{v : 10·rank ≥
+    * i·n} — pure integers, NO percentile_cont interpolation, so bin
+    * membership is version-proof), Laplace-smoothed dense 10-bin
+    * shares (the [[psiDrift]] (c+1)/(n+10) convention so empty bins
+    * stay finite), and the closing Σ(p_c − p_r)·ln(p_c/p_r) shipped
+    * on the e6 floor lattice as a BIGINT — no float column leaves the
+    * operator. Groups with no reference rows drop (no bands to stand
+    * on); PSI < 0.1 is the conventional "stable" read, > 0.25 "major
+    * shift" (each ~100k on the e6 lattice).
+    *
+    * Scale shape: per-side (group, value) histograms with map-side
+    * combine; the rank window runs over DISTINCT values per group
+    * (the q340 grouped-ECDF discipline — never raw rows); the 9-edge
+    * frame joins back against the HISTOGRAM (a ≤ 9× blowup of
+    * histogram rows, not data rows); the dense (group × side × 10)
+    * grid is model-sized.
+    */
+  def psiBandedGrouped(ref: DataFrame, cur: DataFrame, groupCol: String,
+                       valueCol: String): DataFrame = {
+    def hist(df: DataFrame) = df
+      .select(col(groupCol).as("__g"), col(valueCol).cast(LongType).as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+      .groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+    val ra = hist(ref)
+    val rb = hist(cur)
+    val totA = ra.groupBy("__g").agg(sum("__c").as("__n"))
+    val totB = rb.groupBy("__g").agg(sum("__c").as("__n"))
+    val wCum = Window.partitionBy("__g").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // exact decile edges of the REFERENCE: min v whose running count
+    // covers ceil(i·n/10) — b·cum ≥ i·n is the integer form of the
+    // ceiling comparison
+    val edges = ra.withColumn("__cum", sum("__c").over(wCum))
+      .join(totA, "__g")
+      .withColumn("__i", explode(array((1 to 9).map(i => lit(i)): _*)))
+      .filter(col("__cum") * 10 >= col("__i") * col("__n"))
+      .groupBy("__g", "__i").agg(min("__v").as("__e"))
+    def binned(h: DataFrame, side: String) = h
+      .join(edges, "__g") // inner: groups without reference bands drop
+      .groupBy("__g", "__v")
+      .agg(first("__c").as("__c"),
+        sum(when(col("__v") > col("__e"), 1).otherwise(0)).as("__bin"))
+      .groupBy("__g", "__bin").agg(sum("__c").as("__c"))
+      .withColumn("__side", lit(side))
+    val counts = binned(ra, "ref").unionByName(binned(rb, "cur"))
+    val grid = edges.select("__g").distinct()
+      .withColumn("__side", explode(array(lit("ref"), lit("cur"))))
+      .withColumn("__bin", explode(array((0 to 9).map(i => lit(i)): _*)))
+    val tot = totA.withColumn("__side", lit("ref"))
+      .unionByName(totB.withColumn("__side", lit("cur")))
+    val shares = grid.join(tot, Seq("__g", "__side"))
+      .join(counts, Seq("__g", "__side", "__bin"), "left")
+      .withColumn("__p", (coalesce(col("__c"), lit(0L)) + 1).cast("double")
+        / (col("__n") + 10).cast("double"))
+    val wide = shares.groupBy("__g", "__bin")
+      .agg(max(when(col("__side") === "ref", col("__p"))).as("__pr"),
+        max(when(col("__side") === "cur", col("__p"))).as("__pc"))
+      .filter(col("__pr").isNotNull && col("__pc").isNotNull)
+    wide.groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n_bins"),
+        floor(sum((col("__pc") - col("__pr")) *
+          log(col("__pc") / col("__pr"))) * lit(1e6d) + lit(0.5d))
+          .cast(LongType).as("psi_e6"))
+      .join(totA.select(col("__g").as(groupCol), col("__n").as("n_ref")),
+        groupCol)
+      .join(totB.select(col("__g").as(groupCol), col("__n").as("n_cur")),
+        groupCol)
+      .select(col(groupCol), col("n_ref"), col("n_cur"),
+        col("n_bins"), col("psi_e6"))
   }
 
   /** Population stability index between a reference and a current
@@ -1641,7 +1739,10 @@ object AnalyticsOps {
         max(when(col("__cur"), col("__p"))).as("__pc"))
       .filter(col("__pr").isNotNull && col("__pc").isNotNull)
     val out = wide.groupBy("__g")
-      .agg(round(sum((col("__pc") - col("__pr")) * log(col("__pc") / col("__pr"))), 6)
+      // e6 lattice: PSI over an undrifted column is a fp sum of
+      // near-zero signed products — a ±ε residue (VERDICT r15 #2)
+      .agg(graft.functions.Lattice.e6(
+        sum((col("__pc") - col("__pr")) * log(col("__pc") / col("__pr"))))
         .as("psi"),
         count(lit(1)).as("n_bins"))
       .select(col("__g").as(groupCol), col("n_bins"), col("psi"))
@@ -1989,10 +2090,19 @@ object AnalyticsOps {
       .select(col("arm"),
         col("__n").cast(LongType).as("n_users"),
         round(my, 6).as("mean_y"),
-        round(my - theta * (mxa - mxAll), 6).as("mean_y_cuped"),
+        // e6/e4 lattices on the fp-composed closings (mean_y_cuped,
+        // varCuped, the reduction pct are FLOATING-POINT differences
+        // of exact ratios — a perfectly-correlated covariate cancels
+        // varCuped to a ±ε residue, the signed-zero round() hazard;
+        // my / vy / theta are single correctly-rounded divisions of
+        // exact Decimal moments, where a mathematical zero is exactly
+        // +0.0 — VERDICT r15 #2)
+        graft.functions.Lattice.e6(my - theta * (mxa - mxAll))
+          .as("mean_y_cuped"),
         round(vy, 6).as("var_y"),
-        round(varCuped, 6).as("var_y_cuped"),
-        round(when(vy > 0, (lit(1.0) - varCuped / vy) * 100.0), 4)
+        graft.functions.Lattice.e6(varCuped).as("var_y_cuped"),
+        graft.functions.Lattice.e4(
+          when(vy > 0, (lit(1.0) - varCuped / vy) * 100.0))
           .as("var_reduction_pct"),
         round(theta, 6).as("theta"))
       .transform(graft.state.Checkpoints.stable)
@@ -2142,7 +2252,14 @@ object AnalyticsOps {
     * the check; integer `div` keeps the comparison itself exact.
     */
   private def ksOverflowGuard: Column = expr(
-    s"CASE WHEN __na = 0 OR __nb <= ${Long.MaxValue}L div __na THEN 0L " +
+    // `__na IS NULL` arm: with BOTH inputs empty (or all-NULL values)
+    // the totals aggregate runs over zero hist rows and both sums are
+    // NULL; without the arm the CASE condition is NULL and falls
+    // through to raise_error, breaking the documented both-sides-empty
+    // contract (n_a=0, n_b=0, ks_d NULL — ADVICE r15). NULL + 0L stays
+    // NULL, and the downstream coalesce(max(__na), 0L) closes to 0.
+    s"CASE WHEN __na IS NULL OR __na = 0 " +
+      s"OR __nb <= ${Long.MaxValue}L div __na THEN 0L " +
       "ELSE CAST(raise_error('graft ksTwoSample: n_a*n_b overflows " +
       "int64 - KS a sample (both sides must stay under ~3e9 rows)') " +
       "AS BIGINT) END")
@@ -2419,8 +2536,12 @@ object AnalyticsOps {
     within.join(total, "__g")
       .select(col("__g").as(groupCol),
         col("__ndays").as("n_days"),
-        round(col("__sst"), 4).as("ss_total"),
-        round(col("__ssw"), 4).as("ss_within"),
+        // e4 lattices: both sums of squares are fp differences
+        // (Σx² − (Σx)²/n) — a flat series cancels them to ±ε
+        // residues (VERDICT r15 #2); strength is already clamped
+        // non-negative by greatest(0, ·)
+        graft.functions.Lattice.e4(col("__sst")).as("ss_total"),
+        graft.functions.Lattice.e4(col("__ssw")).as("ss_within"),
         round(when(col("__sst") > 0,
           greatest(lit(0.0), lit(1.0) - col("__ssw") / col("__sst"))), 6)
           .as("seasonality_strength"))
@@ -2857,9 +2978,14 @@ object AnalyticsOps {
       round(col("post_control"), 6).as("post_control"),
       round(col("pre_treatment"), 6).as("pre_treatment"),
       round(col("post_treatment"), 6).as("post_treatment"),
-      round(col("__dt") - col("__dc"), 6).as("did"),
+      // did / t_stat are fp differences of exact per-arm ratios — a
+      // no-effect experiment closes on a ±ε residue (e6/e4 lattice,
+      // VERDICT r15 #2); se stays round(): sqrt of exact-decimal
+      // variance ratios is never a signed residue
+      graft.functions.Lattice.e6(col("__dt") - col("__dc")).as("did"),
       round(se, 6).as("se"),
-      round(when(se > 0, (col("__dt") - col("__dc")) / se), 4).as("t_stat"))
+      graft.functions.Lattice.e4(
+        when(se > 0, (col("__dt") - col("__dc")) / se)).as("t_stat"))
   }
 
   /** Pareto frontier / skyline (Börzsönyi et al. 2001): the rows not

@@ -146,7 +146,7 @@ object CorpusPipeline {
         case None => () // unsupported id type: distributed path below
       }
     }
-    var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("label")).transform(graft.state.Checkpoints.stableLazy)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -165,7 +165,7 @@ object CorpusPipeline {
       val jumped = l1.join(l2, col("l1.label") === col("l2.node"))
         .select(col("l1.node").as("node"), col("l1.old_label").as("old_label"),
           least(col("l1.label"), col("l2.label")).as("label"))
-        .localCheckpoint()
+        .transform(graft.state.Checkpoints.stableLazy)
       // labels only ever decrease, so "changed" = any strict decrease
       changed = jumped.filter(col("label") < col("old_label")).count()
       labels = jumped.select("node", "label")
@@ -240,7 +240,7 @@ object CorpusPipeline {
     */
   def dropByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
                   maxIter: Int = 50): DataFrame = {
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val p = pairs.select(col("id_a"), col("id_b")).transform(graft.state.Checkpoints.stableLazy)
     val nodes = p.select(col("id_a").as("node"))
       .unionByName(p.select(col("id_b").as("node"))).distinct()
     val labels = minLabelComponents(nodes, p, maxIter)
@@ -267,7 +267,7 @@ object CorpusPipeline {
   def nearDupClusterSizes(docs: DataFrame, idCol: String, textCol: String,
                           threshold: Double = 0.8, maxIter: Int = 50): DataFrame = {
     val labels = nearDupLabels(docs, idCol, textCol, threshold, maxIter)
-      .localCheckpoint()
+      .transform(graft.state.Checkpoints.stableLazy)
     val total = docs.select(col(idCol)).count()
     val clustered = labels.count()
     val spark = docs.sparkSession
@@ -292,7 +292,7 @@ object CorpusPipeline {
   private def nearDupLabels(docs: DataFrame, idCol: String, textCol: String,
                             threshold: Double, maxIter: Int): DataFrame = {
     val pairs = NearDup.minhashLshPairs(docs, idCol, textCol, threshold = threshold)
-      .select(col("id_a"), col("id_b")).localCheckpoint()
+      .select(col("id_a"), col("id_b")).transform(graft.state.Checkpoints.stableLazy)
     val pairNodes = pairs.select(col("id_a").as("node"))
       .unionByName(pairs.select(col("id_b").as("node"))).distinct()
     minLabelComponents(pairNodes, pairs, maxIter)
@@ -348,7 +348,7 @@ object CorpusPipeline {
                           bitsPerBand: Int = 6, maxIter: Int = 50): DataFrame = {
     val pairs = NearDup.lshCosinePairsBanded(embs, idCol, vecCol, threshold,
         bands, bitsPerBand, dedupBeforeVerify = false)
-      .select(col("id_a"), col("id_b")).localCheckpoint()
+      .select(col("id_a"), col("id_b")).transform(graft.state.Checkpoints.stableLazy)
     val nodes = pairs.select(col("id_a").as("node"))
       .unionByName(pairs.select(col("id_b").as("node"))).distinct()
     minLabelComponents(nodes, pairs, maxIter)
@@ -386,7 +386,7 @@ object CorpusPipeline {
     val (admitted, newState, release) = incrementalSemanticDedupManaged(
       corpusState, incoming, idCol, vecCol, threshold, bands, bitsPerBand,
       seed, maxIter, dedupBeforeVerify)
-    try (admitted.localCheckpoint(), newState.localCheckpoint())
+    try (admitted.transform(graft.state.Checkpoints.stableLazy), newState.transform(graft.state.Checkpoints.stableLazy))
     finally release()
   }
 
@@ -665,7 +665,7 @@ object CorpusPipeline {
                         middleFrac: Double = 2.0 / 3.0): DataFrame = {
     val (out, release) =
       perplexityBucketsManaged(docs, idCol, textCol, groupCol, lm, headFrac, middleFrac)
-    val materialized = out.localCheckpoint()
+    val materialized = out.transform(graft.state.Checkpoints.stableLazy)
     release()
     materialized
   }

@@ -246,8 +246,8 @@ object QalertPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val next0 = integrate(masters, enriched)
-      val next = Masters(next0.allLinked.localCheckpoint(),
-        next0.currentStatus.localCheckpoint())
+      val next = Masters(next0.allLinked.transform(graft.state.Checkpoints.stableLazy),
+        next0.currentStatus.transform(graft.state.Checkpoints.stableLazy))
       (next, dropPiiForExport(next.allLinked, privateTypes), quarantine)
     } finally enriched.unpersist(blocking = false)
   }

@@ -52,7 +52,7 @@ object CorpusQueries {
         lineDocs.toDF("doc_id", "text"), "doc_id", "text", maxDocs = 2)
       val out = cleaned
         .select(col("doc_id"), col("text").as("clean_text"))
-        .localCheckpoint()
+        .transform(graft.state.Checkpoints.stableLazy)
       linesCache.unpersist(blocking = false)
       out
     }),
@@ -91,7 +91,7 @@ object CorpusQueries {
       // accumulate four InMemoryRelations per call
       val out = batch.select("doc_id")
         .join(admitted.select("doc_id"), Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+        .transform(graft.state.Checkpoints.stableLazy)
       release()
       out
     }),
@@ -180,7 +180,7 @@ object CorpusQueries {
       val (out, release) = CorpusPipeline.duplicateSpanFractionManaged(
         Tables.documents(s, d), "doc_id", "text",
         windowTokens = 8, minDocs = 2)
-      val materialized = out.localCheckpoint()
+      val materialized = out.transform(graft.state.Checkpoints.stableLazy)
       release()
       materialized
     }),
@@ -199,7 +199,7 @@ object CorpusQueries {
       val (out, release) = CorpusPipeline.decontaminateBloomManaged(
         Tables.documents(s, d), "doc_id", "text",
         benchTexts.toDF("btext"), "btext", n = 3, fpp = 1e-9)
-      val materialized = out.localCheckpoint()
+      val materialized = out.transform(graft.state.Checkpoints.stableLazy)
       release()
       materialized
     }),
@@ -266,7 +266,7 @@ object CorpusQueries {
       // the admission pipeline's cached intermediates (bench min-of-3)
       val out = batch.select("vec_id")
         .join(admitted.select("vec_id"), Seq("vec_id"), "left_anti")
-        .localCheckpoint()
+        .transform(graft.state.Checkpoints.stableLazy)
       release()
       out
     }),
@@ -330,7 +330,7 @@ object CorpusQueries {
       import s.implicits._
       val pairs = graft.dedup.NearDup.minhashLshPairs(
           Tables.documents(s, d), "doc_id", "text", threshold = 0.8)
-        .select(col("id_a"), col("id_b")).localCheckpoint()
+        .select(col("id_a"), col("id_b")).transform(graft.state.Checkpoints.stableLazy)
       Seq((pairs.count(), graft.graph.GraphOps.triangleCount(pairs)))
         .toDF("n_edges", "n_triangles")
     }),
@@ -497,7 +497,7 @@ object CorpusQueries {
       val materialized = out
         .select(col("doc_id"), col("text").as("clean_text"),
           col("n_removed_paragraphs"))
-        .localCheckpoint()
+        .transform(graft.state.Checkpoints.stableLazy)
       parasCache.unpersist(blocking = false)
       materialized
     }),
@@ -1056,10 +1056,11 @@ object CorpusQueries {
         |  FROM gw g JOIN wt USING (w) JOIN gt USING (grp)
         |), zz AS (
         |  SELECT grp, w, ygw, yw,
-        |    round((ln((ygw::DOUBLE + aw)
+        |    floor((ln((ygw::DOUBLE + aw)
         |             / (ng::DOUBLE + 500.0 - ygw::DOUBLE - aw))
         |         - ln((yrest + aw) / (nrest + 500.0 - yrest - aw)))
-        |      / sqrt(1.0 / (ygw::DOUBLE + aw) + 1.0 / (yrest + aw)), 6) + 0 AS z
+        |      / sqrt(1.0 / (ygw::DOUBLE + aw) + 1.0 / (yrest + aw))
+        |      * 1e6 + 0.5) / 1e6 AS z
         |  FROM sc
         |)
         |SELECT grp AS lang, w AS term, CAST(ygw AS BIGINT) AS n_in_group,
@@ -1252,9 +1253,10 @@ object CorpusQueries {
         |)
         |SELECT d.doc_id,
         |  CAST(coalesce(n_features, 0) AS BIGINT) AS n_features,
-        |  round(coalesce(s, 0.0) + coalesce(n_features, 0)::DOUBLE *
+        |  floor((coalesce(s, 0.0) + coalesce(n_features, 0)::DOUBLE *
         |    (ln((SELECT n FROM nr)::DOUBLE + 4096) -
-        |     ln((SELECT n FROM nt_)::DOUBLE + 4096)), 6) AS weight
+        |     ln((SELECT n FROM nt_)::DOUBLE + 4096))) * 1e6 + 0.5) / 1e6
+        |    AS weight
         |FROM documents d LEFT JOIN scored USING (doc_id)""".stripMargin,
 
     "q93_lm_perplexity" ->

@@ -1014,10 +1014,15 @@ object ExtendedQueries {
       val out = cells.crossJoin(broadcast(summary))
         .select(col("__r").as("event_type"), col("__c").as("dow"),
           col("__o").as("n"), round(col("__e"), 4).as("expected"),
-          round((col("__o").cast("double") - col("__e")) /
+          // e4 lattice: O − E on an independent table is a ±ε fp
+          // residue (VERDICT r15 #2); expected/cramers_v stay
+          // round() — non-negative by construction (product of
+          // positive marginals; sqrt of a sum of squares)
+          graft.functions.Lattice.e4(
+            (col("__o").cast("double") - col("__e")) /
             sqrt(col("__e") *
               (lit(1.0) - col("__rt").cast("double") / nD) *
-              (lit(1.0) - col("__ct").cast("double") / nD)), 4)
+              (lit(1.0) - col("__ct").cast("double") / nD)))
             .as("adj_residual"),
           round(sqrt(col("__v2")), 6).as("cramers_v"))
         .transform(graft.state.Checkpoints.stable)
@@ -1319,9 +1324,16 @@ object ExtendedQueries {
         sum("__x").as("__sx"), sum("__y").as("__sy"),
         sum(col("__x") * col("__y")).as("__sxy"),
         sum(col("__x") * col("__x")).as("__sxx"))
+        // e4 floor lattice, NOT round(_, 4): on a degenerate fit (fixed
+        // vocab saturating at checkpoint 1) the slope is a ~1e-15
+        // cancellation residue, and engine-implemented round() closes
+        // it to a SIGNED zero whose sign varies across DuckDB releases
+        // (VERDICT r15 #1). floor(x·1e4 + 0.5)/1e4 maps ±ε → +0.0
+        // bit-identically in every engine.
         .select(when(col("__m") * col("__sxx") - col("__sx") * col("__sx") > 0,
-          round((col("__m") * col("__sxy") - col("__sx") * col("__sy")) /
-            (col("__m") * col("__sxx") - col("__sx") * col("__sx")), 4))
+          floor((col("__m") * col("__sxy") - col("__sx") * col("__sy")) /
+            (col("__m") * col("__sxx") - col("__sx") * col("__sx"))
+            * lit(1e4d) + lit(0.5d)) / lit(1e4d))
           .as("heaps_beta"))
       pts.select("checkpoint", "n_tokens", "vocab")
         .crossJoin(broadcast(fit))
@@ -2371,8 +2383,11 @@ object ExtendedQueries {
         sum(x * y).as("__sxy"), sum(x * x).as("__sxx"))
       top.crossJoin(broadcast(fit))
         .select(col("rank"), col("token"), col("cnt"),
-          round((col("__m") * col("__sxy") - col("__sx") * col("__sy")) /
-            (col("__m") * col("__sxx") - col("__sx") * col("__sx")), 4)
+          // e4 lattice: the q290 class — an OLS slope over ln sums is
+          // a fp cancellation residue on degenerate input
+          graft.functions.Lattice.e4(
+            (col("__m") * col("__sxy") - col("__sx") * col("__sy")) /
+            (col("__m") * col("__sxx") - col("__sx") * col("__sx")))
             .as("zipf_slope"))
     }),
 
@@ -2643,6 +2658,19 @@ object ExtendedQueries {
         k = 10, nCells = 8, budgets = Seq(1, 2, 4, 8))
     }),
 
+    // recall-vs-oversample sweep for the int8 rerank path (VERDICT
+    // r15 #4): how many true fp32 top-10 neighbors survive inside the
+    // int8 top-(10·m) shortlist for m ∈ {1,2,4} — the oversample knob
+    // the q95 rerank deployment must pick; one truth pass + one
+    // shortlist pass, m exploded over the true-neighbor frame only
+    "q349_int8_oversample_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.similarity.Ann.int8OversampleRecall(
+        emb.filter(col("vec_id") < 32), emb,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 10, oversamples = Seq(1, 2, 4))
+    }),
+
     // incremental CHUNK-provenance admission (VERDICT r14 #7): q334's
     // gate form through three id-ordered batches — a chunk is novel
     // iff no lexicographically smaller (doc, chunk) owns its digest;
@@ -2669,6 +2697,78 @@ object ExtendedQueries {
         .select(col("doc_id"), col("chunk_id"),
           when(col("is_novel"), 1).otherwise(0).cast(IntegerType)
             .as("is_novel"))
+        .transform(graft.state.Checkpoints.stable)
+      graft.TempTrees.deleteQuietly(tmpRoot) // best-effort, fd-safe
+      res
+    }),
+
+    // per-source PSI drift beside the KS family (VERDICT r15 #5):
+    // q340's even/odd length snapshots closed as the dashboard metric
+    // instead of the statistician's — order-statistic decile bands
+    // from the reference snapshot, Laplace shares, e6-lattice BIGINT
+    // closing; PSI > 0.25 (250k e6) is the conventional "major shift"
+    "q350_source_length_psi" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("source").isNotNull && col("text").isNotNull)
+        .select(col("source"), col("doc_id"),
+          graft.text.TextOps.tokenCount(col("text")).cast(LongType)
+            .as("len"))
+        // salted-md5 snapshot split (the q336 predicate): the testdata
+        // assigns source = f(doc_id mod 20), so ANY modular id split
+        // is parity-pure per source — the hash split is independent
+        .withColumn("__snap", graft.operators.SplitOps.hashBucket(
+          concat(col("doc_id").cast(StringType), lit("|psi"))) % 2)
+      graft.operators.AnalyticsOps.psiBandedGrouped(
+        docs.filter(col("__snap") === 0),
+        docs.filter(col("__snap") === 1),
+        "source", "len")
+    }),
+
+    // per-batch admission funnel (VERDICT r15 #6): the five exact
+    // any-earlier gates (digest → SimHash → span → template → chunk)
+    // run through three id-ordered batches, then ONE read-only rollup
+    // row per (family, batch) with admit/reject counts and the
+    // truncating admit ppm — the ops dashboard of the incremental
+    // family; verdict state rides unchanged (MinHash/semantic rows
+    // join through the same operator from their admitted-output
+    // states — spec-gated, their sequential admission has no
+    // closed-form SQL replay)
+    "q351_admission_funnel" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val mx = docs.filter(col("text").isNotNull)
+        .agg(max("doc_id")).head().getLong(0)
+      val tmpRoot = java.nio.file.Files.createTempDirectory("q351funnel")
+      val dirs = Seq("digest", "simhash", "span", "template", "chunk")
+        .map(f => f -> (tmpRoot.toString + "/" + f)).toMap
+      val cuts = Seq(
+        col("doc_id") <= mx / 3,
+        col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3,
+        col("doc_id") > 2 * mx / 3)
+      cuts.zipWithIndex.foreach { case (p, b) =>
+        val batch = docs.filter(p)
+        graft.streaming.StreamingOps.digestDedupBatch(
+          batch, b.toLong, "doc_id", "text", dirs("digest"))
+        graft.streaming.StreamingOps.simhashDedupBatch(
+          batch, b.toLong, "doc_id", "text", dirs("simhash"),
+          maxHamming = 3)
+        graft.streaming.StreamingOps.spanDedupBatch(
+          batch.filter(col("text").isNotNull), b.toLong, "doc_id",
+          "text", dirs("span"), windowTokens = 16)
+        graft.streaming.StreamingOps.templateDedupBatch(
+          batch, b.toLong, "doc_id", "text", dirs("template"))
+        graft.streaming.StreamingOps.chunkDedupBatch(
+          batch.filter(col("text").isNotNull), b.toLong, "doc_id",
+          "text", dirs("chunk"), chunkTokens = 16, overlap = 3)
+      }
+      val families = Seq(
+        "digest" -> s.read.parquet(dirs("digest") + "/verdicts"),
+        "simhash" -> s.read.parquet(dirs("simhash")),
+        "span" -> s.read.parquet(dirs("span") + "/verdicts"),
+        "template" -> s.read.parquet(dirs("template") + "/verdicts"),
+        "chunk" -> s.read.parquet(dirs("chunk") + "/verdicts"))
+      // q307's temp-state discipline: checkpoint severs the lineage,
+      // the state dir is removed before returning
+      val res = graft.streaming.StreamingOps.admissionFunnel(families)
         .transform(graft.state.Checkpoints.stable)
       graft.TempTrees.deleteQuietly(tmpRoot) // best-effort, fd-safe
       res
@@ -2742,6 +2842,47 @@ object ExtendedQueries {
         .withColumn("catch_ppm",
           expr("CASE WHEN n_true > 0 THEN " +
             "n_true_caught * 1000000 div n_true END"))
+    }),
+
+    // q347's production-path twin (VERDICT r15 #3, the q336 recipe):
+    // the exact prefix-filter truth pass — q347's whole cost — runs on
+    // a 1-in-2 salted-md5 doc sample, quartering the quadratic pair
+    // work while the radius curve it measures is sample-invariant in
+    // expectation; same output schema plus a `sampled` marker so
+    // dashboards can't confuse the two. This is the audit shape that
+    // survives 100×: the full-corpus q347 is the once-per-snapshot
+    // deep audit, this is the one you run per batch.
+    "q348_simhash_radius_sampled" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(graft.operators.SplitOps.hashBucket(concat(
+          col("doc_id").cast(StringType), lit("|sbs"))) % 2 === 0)
+      val pairs = graft.dedup.NearDup.prefixJaccardPairs(
+        docs, "doc_id", "text", n = 3, threshold = 0.25)
+      val sigs = graft.dedup.NearDup.md5SimhashSigs(docs, "doc_id", "text")
+      val withH = pairs
+        .join(sigs.select(col("doc_id").as("id_a"),
+          col("simhash").as("__sa")), "id_a")
+        .join(sigs.select(col("doc_id").as("id_b"),
+          col("simhash").as("__sb")), "id_b")
+        .select(
+          (lit(3L) * col("inter_size") >=
+            col("size_a") + col("size_b")).as("__true"),
+          graft.dedup.NearDup.hammingDist(col("__sa"), col("__sb"))
+            .as("__h"))
+      withH.select(col("__true"), col("__h"),
+          explode(typedlit(Seq(0, 1, 2, 3))).as("radius"))
+        .groupBy("radius")
+        .agg(
+          sum(when(col("__true"), 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("__true") && col("__h") <= col("radius"), 1L)
+            .otherwise(0L)).as("n_true_caught"),
+          sum(when(!col("__true"), 1L).otherwise(0L)).as("n_band"),
+          sum(when(!col("__true") && col("__h") <= col("radius"), 1L)
+            .otherwise(0L)).as("n_band_caught"))
+        .withColumn("catch_ppm",
+          expr("CASE WHEN n_true > 0 THEN " +
+            "n_true_caught * 1000000 div n_true END"))
+        .withColumn("sampled", lit(true))
     }),
 
     // dedup-aware token budget: what a per-source token count is
@@ -2896,9 +3037,13 @@ object ExtendedQueries {
         .select(col("event_type"), col("n_control"), col("n_treatment"),
           round(col("__mc"), 6).as("mean_control"),
           round(col("__mt"), 6).as("mean_treatment"),
-          round(col("__mt") - col("__mc"), 6).as("effect"),
+          // effect / t_stat are fp differences of per-arm means — a
+          // no-effect subgroup closes on a ±ε residue (VERDICT r15 #2)
+          graft.functions.Lattice.e6(col("__mt") - col("__mc"))
+            .as("effect"),
           round(se, 6).as("se"),
-          round(when(se > 0, (col("__mt") - col("__mc")) / se), 4)
+          graft.functions.Lattice.e4(
+            when(se > 0, (col("__mt") - col("__mc")) / se))
             .as("t_stat"))
     }),
 
@@ -3471,8 +3616,10 @@ object ExtendedQueries {
           sum(when(col("value") < col("__lo") || col("value") > col("__hi"), 1L)
             .otherwise(0L)).as("n_outliers"),
           count(lit(1)).as("n_rows"),
-          round(first(col("__lo")), 4).as("fence_lo"),
-          round(first(col("__hi")), 4).as("fence_hi"))
+          // e4 lattice: fence_lo = q1 − 1.5·IQR is a fp difference
+          // that can cancel to a ±ε residue (VERDICT r15 #2)
+          graft.functions.Lattice.e4(first(col("__lo"))).as("fence_lo"),
+          graft.functions.Lattice.e4(first(col("__hi"))).as("fence_hi"))
     }),
 
     // funnel time-to-convert: per user completing view→click with
@@ -3827,12 +3974,12 @@ object ExtendedQueries {
         |  FROM pairs GROUP BY 1, 2
         |)
         |SELECT event_type, lag, CAST(n_pairs AS BIGINT) AS n_pairs,
-        |  round(CASE WHEN n_pairs * sxx - sx * sx > 0
+        |  floor(CASE WHEN n_pairs * sxx - sx * sx > 0
         |              AND n_pairs * syy - sy * sy > 0
         |    THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
         |      / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
         |           * CAST(n_pairs * syy - sy * sy AS DOUBLE))
-        |  END, 6) + 0 AS acf
+        |  END * 1e6 + 0.5) / 1e6 AS acf
         |FROM m""".stripMargin,
 
     // same dense grid and dyadic weights: the numerator is an exact
@@ -4346,9 +4493,9 @@ object ExtendedQueries {
         |  GROUP BY 1, 2
         |)
         |SELECT a.g AS event_type, a.day, CAST(dn.n AS BIGINT) AS n_events,
-        |  round(2.0 * sp - spp, 6) + 0 AS level,
-        |  round(sp - spp, 6) + 0 AS trend,
-        |  round(2.0 * sp - spp + 7.0 * (sp - spp), 6) + 0 AS forecast
+        |  floor((2.0 * sp - spp) * 1e6 + 0.5) / 1e6 AS level,
+        |  floor((sp - spp) * 1e6 + 0.5) / 1e6 AS trend,
+        |  floor((2.0 * sp - spp + 7.0 * (sp - spp)) * 1e6 + 0.5) / 1e6 AS forecast
         |FROM agg a JOIN dense dn ON dn.g = a.g AND dn.day = a.day,
         |  LATERAL (SELECT CAST(n1 AS DOUBLE) / 4096.0 AS sp,
         |    CAST(n2 AS DOUBLE) / 16777216.0 AS spp) l""".stripMargin,
@@ -4446,7 +4593,7 @@ object ExtendedQueries {
         |  FROM shares GROUP BY 1, 2
         |)
         |SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_bins,
-        |  round(sum((pc - pr) * ln(pc / pr)), 6) AS psi
+        |  floor(sum((pc - pr) * ln(pc / pr)) * 1e6 + 0.5) / 1e6 AS psi
         |FROM wide WHERE pr IS NOT NULL AND pc IS NOT NULL
         |GROUP BY 1""".stripMargin,
 
@@ -5105,10 +5252,10 @@ object ExtendedQueries {
         |)
         |SELECT group_a, group_b, CAST(lag AS INTEGER) AS lag,
         |  CAST(nd AS BIGINT) AS n_days,
-        |  round(CASE WHEN vx > 0 AND vy > 0
+        |  floor(CASE WHEN vx > 0 AND vy > 0
         |    THEN CAST(num AS DOUBLE)
-        |      / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) END, 6)
-        |    AS pearson_r
+        |      / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)) END
+        |    * 1e6 + 0.5) / 1e6 AS pearson_r
         |FROM mom, LATERAL (SELECT nd * sxx - sx * sx AS vx,
         |  nd * syy - sy * sy AS vy, nd * sxy - sx * sy AS num) l2""".stripMargin,
 
@@ -5157,7 +5304,7 @@ object ExtendedQueries {
         |  round(CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE), 6) + 0 AS mean_before,
         |  round(CAST(ts - cs AS DOUBLE) / CAST(tn - cn AS DOUBLE), 6)
         |    + 0 AS mean_after,
-        |  round(gain, 6) + 0 AS gain
+        |  floor(gain * 1e6 + 0.5) / 1e6 AS gain
         |FROM best WHERE rn = 1""".stripMargin,
 
     // the same (user, day-bucket) adjacency as q136, first/last rows by
@@ -5526,9 +5673,9 @@ object ExtendedQueries {
         |)
         |SELECT t2.cohort, t2.n_users, o.observed,
         |  round(t2.e, 4) AS expected,
-        |  round(CASE WHEN t2.v > 0
-        |    THEN (CAST(o.observed AS DOUBLE) - t2.e) / sqrt(t2.v) END, 4)
-        |    AS logrank_z
+        |  floor(CASE WHEN t2.v > 0
+        |    THEN (CAST(o.observed AS DOUBLE) - t2.e) / sqrt(t2.v) END
+        |    * 1e4 + 0.5) / 1e4 AS logrank_z
         |FROM terms t2 JOIN lastrow l ON l.cohort = t2.cohort AND l.mt = t2.t
         |JOIN obs o ON o.cohort = t2.cohort""".stripMargin,
 
@@ -5596,9 +5743,9 @@ object ExtendedQueries {
         |  FROM m
         |)
         |SELECT lang, n,
-        |  round(CASE WHEN det <> 0 THEN CAST(det0 AS DOUBLE)/CAST(det AS DOUBLE) END, 6) + 0 AS b0,
-        |  round(CASE WHEN det <> 0 THEN CAST(det1 AS DOUBLE)/CAST(det AS DOUBLE) END, 6) + 0 AS b1,
-        |  round(CASE WHEN det <> 0 THEN CAST(det2 AS DOUBLE)/CAST(det AS DOUBLE) END, 6) + 0 AS b2
+        |  floor(CASE WHEN det <> 0 THEN CAST(det0 AS DOUBLE)/CAST(det AS DOUBLE) END * 1e6 + 0.5) / 1e6 AS b0,
+        |  floor(CASE WHEN det <> 0 THEN CAST(det1 AS DOUBLE)/CAST(det AS DOUBLE) END * 1e6 + 0.5) / 1e6 AS b1,
+        |  floor(CASE WHEN det <> 0 THEN CAST(det2 AS DOUBLE)/CAST(det AS DOUBLE) END * 1e6 + 0.5) / 1e6 AS b2
         |FROM dets""".stripMargin,
 
     "q111_kmv_distinct" ->
@@ -5808,11 +5955,12 @@ object ExtendedQueries {
         |  GROUP BY 1, 2
         |)
         |SELECT group_a, group_b, CAST(n_days AS BIGINT) AS n_days,
-        |  round(CASE WHEN n_days * sxx - sx * sx > 0
+        |  floor(CASE WHEN n_days * sxx - sx * sx > 0
         |              AND n_days * syy - sy * sy > 0 THEN
         |    (n_days * sxy - sx * sy)::DOUBLE
         |      / sqrt((n_days * sxx - sx * sx)::DOUBLE
-        |             * (n_days * syy - sy * sy)::DOUBLE) END, 6) AS pearson_r
+        |             * (n_days * syy - sy * sy)::DOUBLE) END
+        |    * 1e6 + 0.5) / 1e6 AS pearson_r
         |FROM m""".stripMargin,
 
     // same first-week/after split via the global min timestamp
@@ -5863,9 +6011,10 @@ object ExtendedQueries {
         |)
         |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
         |  round(sy::DOUBLE / n_days::DOUBLE, 6) AS mean_daily,
-        |  round(CASE WHEN n_days * sxx - sx * sx <> 0 THEN
+        |  floor(CASE WHEN n_days * sxx - sx * sx <> 0 THEN
         |    (n_days * sxy - sx * sy)::DOUBLE
-        |      / (n_days * sxx - sx * sx)::DOUBLE END, 6) + 0 AS slope_per_day
+        |      / (n_days * sxx - sx * sx)::DOUBLE END
+        |    * 1e6 + 0.5) / 1e6 AS slope_per_day
         |FROM m""".stripMargin,
 
     // the same 5 power iterations UNROLLED as chained MATERIALIZED
@@ -6154,11 +6303,11 @@ object ExtendedQueries {
         |)
         |SELECT arm, CAST(n AS BIGINT) AS n_users,
         |  round(my, 6) AS mean_y,
-        |  round(my - theta * (mxa - mxall), 6) AS mean_y_cuped,
+        |  floor((my - theta * (mxa - mxall)) * 1e6 + 0.5) / 1e6 AS mean_y_cuped,
         |  round(vy, 6) AS var_y,
-        |  round(vc, 6) AS var_y_cuped,
-        |  round(CASE WHEN vy > 0 THEN (1.0 - vc / vy) * 100.0 END, 4)
-        |    + 0 AS var_reduction_pct,
+        |  floor(vc * 1e6 + 0.5) / 1e6 AS var_y_cuped,
+        |  floor(CASE WHEN vy > 0 THEN (1.0 - vc / vy) * 100.0 END
+        |    * 1e4 + 0.5) / 1e4 AS var_reduction_pct,
         |  round(theta, 6) + 0 AS theta
         |FROM (
         |  SELECT arm, n, vy,
@@ -6200,10 +6349,10 @@ object ExtendedQueries {
         |)
         |SELECT r AS event_type, CAST(c AS INTEGER) AS dow, o AS n,
         |  round(e, 4) AS expected,
-        |  round((o::DOUBLE - e) /
+        |  floor((o::DOUBLE - e) /
         |    sqrt(e * (1.0 - rtv::DOUBLE / (SELECT n FROM tot))
-        |           * (1.0 - ctv::DOUBLE / (SELECT n FROM tot))), 4)
-        |    + 0 AS adj_residual,
+        |           * (1.0 - ctv::DOUBLE / (SELECT n FROM tot)))
+        |    * 1e4 + 0.5) / 1e4 AS adj_residual,
         |  round(sqrt((SELECT v2 FROM summ)), 6) AS cramers_v
         |FROM cells""".stripMargin,
 
@@ -6553,8 +6702,9 @@ object ExtendedQueries {
         |)
         |SELECT p.checkpoint, p.n_tokens, p.vocab,
         |  CASE WHEN f.m * f.sxx - f.sx * f.sx > 0
-        |    THEN round((f.m * f.sxy - f.sx * f.sy)
-        |      / (f.m * f.sxx - f.sx * f.sx), 4) END AS heaps_beta
+        |    THEN floor((f.m * f.sxy - f.sx * f.sy)
+        |      / (f.m * f.sxx - f.sx * f.sx) * 1e4 + 0.5) / 1e4
+        |    END AS heaps_beta
         |FROM pts p, fit f""".stripMargin,
 
     // the q231 exact quadratic Jaccard, counted at three thresholds
@@ -6898,8 +7048,8 @@ object ExtendedQueries {
         |  FROM top
         |)
         |SELECT t.rank, t.token, t.cnt,
-        |  round((f.m * f.sxy - f.sx * f.sy)
-        |    / (f.m * f.sxx - f.sx * f.sx), 4) AS zipf_slope
+        |  floor((f.m * f.sxy - f.sx * f.sy)
+        |    / (f.m * f.sxx - f.sx * f.sx) * 1e4 + 0.5) / 1e4 AS zipf_slope
         |FROM top t, fit f""".stripMargin,
 
     // q80-digest cross counts + the full md5-SimHash signature replay
@@ -8376,6 +8526,269 @@ object ExtendedQueries {
          |FROM packs""".stripMargin
     },
 
+    // fp32 truth replayed on the q29 round-4 cosine key with id
+    // ties; the int8 shortlist rank via the q306 scalar int8 replay
+    // and (distance, id)-tied row_number; oversamples from VALUES —
+    // recall closes as the truncating ppm BIGINT
+    "q349_int8_oversample_recall" ->
+      """WITH fp AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |      b.embedding::DOUBLE[]), 4) AS s
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 32 AND a.vec_id <> b.vec_id
+        |), truth AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC)
+        |      AS rn
+        |    FROM fp) WHERE rn <= 10
+        |), el AS (
+        |  SELECT vec_id, d AS dim, CAST(embedding[d] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS g(d)
+        |), sc AS (
+        |  SELECT vec_id, max(abs(x)) AS scale FROM el GROUP BY 1
+        |), qv AS (
+        |  SELECT el.vec_id, el.dim,
+        |    CASE WHEN sc.scale = 0 THEN 0
+        |         ELSE CAST(floor(x / sc.scale * 127.0 + 0.5) AS BIGINT)
+        |    END AS q
+        |  FROM el JOIN sc USING (vec_id)
+        |), pd AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    sum((q.q - c.q) * (q.q - c.q)) AS d
+        |  FROM qv q JOIN qv c ON q.dim = c.dim
+        |  WHERE q.vec_id < 32 AND q.vec_id <> c.vec_id
+        |  GROUP BY 1, 2
+        |), short AS (
+        |  SELECT query_id, neighbor_id, r8 FROM (
+        |    SELECT query_id, neighbor_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY d, neighbor_id) AS r8
+        |    FROM pd) WHERE r8 <= 40
+        |)
+        |SELECT CAST(m.m AS INTEGER) AS oversample,
+        |  CAST(m.m * 10 AS BIGINT) AS shortlist_k,
+        |  CAST(count(*) AS BIGINT) AS n_true,
+        |  CAST(sum(CASE WHEN s.r8 IS NOT NULL AND s.r8 <= m.m * 10
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+        |  CAST(sum(CASE WHEN s.r8 IS NOT NULL AND s.r8 <= m.m * 10
+        |    THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT)
+        |    AS recall_ppm
+        |FROM truth t
+        |LEFT JOIN short s USING (query_id, neighbor_id)
+        |CROSS JOIN (VALUES (1), (2), (4)) m(m)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q340's token-count snapshots, reference-decile order-statistic
+    // bands (10·cum ≥ i·n — the integer ceiling form), Laplace dense
+    // shares, e6-lattice BIGINT closing
+    "q350_source_length_psi" -> {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      s"""WITH sc AS (
+         |  SELECT source AS g, doc_id,
+         |    CAST(CASE WHEN length(trim(text, $ws)) = 0 THEN 0
+         |         ELSE len(regexp_split_to_array(trim(text, $ws),
+         |           '\\s+'))
+         |    END AS BIGINT) AS v
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND source IS NOT NULL
+         |), ha AS (
+         |  SELECT g, v, count(*) AS c FROM sc
+         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|psi'),
+         |    1, 8))::UBIGINT % 2 = 0
+         |  GROUP BY 1, 2
+         |), hb AS (
+         |  SELECT g, v, count(*) AS c FROM sc
+         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|psi'),
+         |    1, 8))::UBIGINT % 2 = 1
+         |  GROUP BY 1, 2
+         |), ta AS (SELECT g, sum(c) AS n FROM ha GROUP BY 1
+         |), tb AS (SELECT g, sum(c) AS n FROM hb GROUP BY 1
+         |), cm AS (
+         |  SELECT g, v,
+         |    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum
+         |  FROM ha
+         |), edges AS (
+         |  SELECT cm.g, i.i, min(cm.v) AS e
+         |  FROM cm JOIN ta USING (g)
+         |  CROSS JOIN (SELECT unnest(range(1, 10)) AS i) i
+         |  WHERE cm.cum * 10 >= i.i * ta.n
+         |  GROUP BY 1, 2
+         |), ba AS (
+         |  SELECT g, bin, sum(c) AS c FROM (
+         |    SELECT h.g, h.v, min(h.c) AS c,
+         |      sum(CASE WHEN h.v > e.e THEN 1 ELSE 0 END) AS bin
+         |    FROM ha h JOIN edges e USING (g) GROUP BY h.g, h.v)
+         |  GROUP BY 1, 2
+         |), bb AS (
+         |  SELECT g, bin, sum(c) AS c FROM (
+         |    SELECT h.g, h.v, min(h.c) AS c,
+         |      sum(CASE WHEN h.v > e.e THEN 1 ELSE 0 END) AS bin
+         |    FROM hb h JOIN edges e USING (g) GROUP BY h.g, h.v)
+         |  GROUP BY 1, 2
+         |), counts AS (
+         |  SELECT g, bin, c, 'ref' AS side FROM ba
+         |  UNION ALL SELECT g, bin, c, 'cur' FROM bb
+         |), tot AS (
+         |  SELECT g, n, 'ref' AS side FROM ta
+         |  UNION ALL SELECT g, n, 'cur' FROM tb
+         |), grid AS (
+         |  SELECT g, s.side, b.bin
+         |  FROM (SELECT DISTINCT g FROM edges)
+         |  CROSS JOIN (SELECT unnest(['ref', 'cur']) AS side) s
+         |  CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) b
+         |), shares AS (
+         |  SELECT gr.g, gr.side, gr.bin,
+         |    CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+         |      / CAST(t.n + 10 AS DOUBLE) AS p
+         |  FROM grid gr
+         |  JOIN tot t ON t.g = gr.g AND t.side = gr.side
+         |  LEFT JOIN counts c
+         |    ON c.g = gr.g AND c.side = gr.side AND c.bin = gr.bin
+         |), wide AS (
+         |  SELECT g, bin,
+         |    max(CASE WHEN side = 'ref' THEN p END) AS pr,
+         |    max(CASE WHEN side = 'cur' THEN p END) AS pc
+         |  FROM shares GROUP BY 1, 2
+         |)
+         |SELECT w.g AS source,
+         |  CAST(ta.n AS BIGINT) AS n_ref, CAST(tb.n AS BIGINT) AS n_cur,
+         |  CAST(count(*) AS BIGINT) AS n_bins,
+         |  CAST(floor(sum((pc - pr) * ln(pc / pr)) * 1e6 + 0.5)
+         |    AS BIGINT) AS psi_e6
+         |FROM wide w
+         |JOIN ta ON ta.g = w.g JOIN tb ON tb.g = w.g
+         |WHERE pr IS NOT NULL AND pc IS NOT NULL
+         |GROUP BY 1, 2, 3""".stripMargin
+    },
+
+    // each family's global any-earlier verdict replayed (q308's
+    // normalize digest, q307's signature machinery, q314's span
+    // strings, q339's layout shape, q345's pair-key chunker), batch
+    // assigned by the shared id cut, counts + truncating admit ppm
+    // per (family, batch)
+    "q351_admission_funnel" -> {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      val sums1 = (0 until 32)
+        .map(b => s"sum((h1 >> $b) & 1) AS b$b").mkString(", ")
+      val sums2 = (32 until 64)
+        .map(b => s"sum((h2 >> ${b - 32}) & 1) AS b$b").mkString(", ")
+      val lo = (0 until 32)
+        .map(b => s"CASE WHEN 2 * b$b > n THEN (1::BIGINT << $b) ELSE 0 END")
+        .mkString(" + ")
+      val hi = (32 until 64)
+        .map(b =>
+          s"CASE WHEN 2 * b$b > n THEN (1::BIGINT << ${b - 32}) ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH mx AS (
+         |  SELECT max(doc_id) AS m FROM documents WHERE text IS NOT NULL
+         |), bd AS (
+         |  SELECT doc_id, CASE WHEN doc_id <= (SELECT m FROM mx) // 3 THEN 0
+         |    WHEN doc_id <= 2 * (SELECT m FROM mx) // 3 THEN 1
+         |    ELSE 2 END AS batch
+         |  FROM documents
+         |), dg AS (
+         |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+         |    lower(text), '[^\\p{L}\\p{N}\\s]', '', 'g'),
+         |    '\\s+', ' ', 'g'))) AS h
+         |  FROM documents WHERE text IS NOT NULL
+         |), dg_fo AS (SELECT h, min(doc_id) AS f FROM dg GROUP BY 1
+         |), dgv AS (
+         |  SELECT s.doc_id, fo.f >= s.doc_id AS nv
+         |  FROM dg s JOIN dg_fo fo USING (h)
+         |), tpl AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(regexp_replace(regexp_replace(text,
+         |      '[0-9]', '9', 'g'), '[a-z]', 'x', 'g'),
+         |      '[A-Z]', 'X', 'g'), 'x+', 'x', 'g'), 'X+', 'X', 'g'),
+         |      '9+', '9', 'g')) AS h
+         |  FROM documents WHERE text IS NOT NULL
+         |), tpl_fo AS (SELECT h, min(doc_id) AS f FROM tpl GROUP BY 1
+         |), tplv AS (
+         |  SELECT s.doc_id, fo.f >= s.doc_id AS nv
+         |  FROM tpl s JOIN tpl_fo fo USING (h)
+         |), sh_toks AS (
+         |  SELECT doc_id, unnest(CASE WHEN length(trim(text, $ws)) = 0
+         |      THEN []::VARCHAR[]
+         |      ELSE regexp_split_to_array(trim(text, $ws), '\\s+') END)
+         |      AS w
+         |  FROM documents WHERE text IS NOT NULL
+         |), sh_h AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(w), 1, 8))::UBIGINT::BIGINT AS h1,
+         |    ('0x' || substr(md5(w), 9, 8))::UBIGINT::BIGINT AS h2
+         |  FROM sh_toks
+         |), sh_agg AS (
+         |  SELECT doc_id, count(*) AS n, $sums1, $sums2
+         |  FROM sh_h GROUP BY 1
+         |), sig AS MATERIALIZED (
+         |  SELECT doc_id, $lo AS slo, $hi AS shi FROM sh_agg
+         |), sh_dup AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |    AND bit_count(xor(a.slo, b.slo))
+         |      + bit_count(xor(a.shi, b.shi)) <= 3
+         |), shv AS (
+         |  SELECT s.doc_id, d.doc_id IS NULL AS nv
+         |  FROM sig s LEFT JOIN sh_dup d USING (doc_id)
+         |), sp_toks AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text, $ws)) = 0 THEN []::VARCHAR[]
+         |         ELSE regexp_split_to_array(lower(trim(text, $ws)),
+         |           '\\s+') END AS t
+         |  FROM documents WHERE text IS NOT NULL
+         |), sp_spans AS (
+         |  SELECT doc_id,
+         |    unnest([array_to_string(t[i:i+15], ' ')
+         |            for i in range(1, len(t)-14)]) AS span
+         |  FROM sp_toks WHERE len(t) >= 16
+         |), sp_fo AS (
+         |  SELECT span, min(doc_id) AS fo FROM sp_spans GROUP BY 1
+         |), sp_v AS (
+         |  SELECT s.doc_id, min(f.fo) AS mfo
+         |  FROM sp_spans s JOIN sp_fo f USING (span) GROUP BY 1
+         |), spv AS (
+         |  SELECT t.doc_id, v.mfo IS NULL OR v.mfo >= t.doc_id AS nv
+         |  FROM sp_toks t LEFT JOIN sp_v v USING (doc_id)
+         |), ck_toked AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text, $ws),
+         |    '\\s+') AS toks
+         |  FROM documents WHERE length(trim(text, $ws)) > 0
+         |), ck AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+         |    md5(array_to_string(toks[(i*13+1):(i*13+16)], ' ')) AS h
+         |  FROM (
+         |    SELECT doc_id, toks,
+         |      unnest(range(greatest(1,
+         |        CAST(ceil((len(toks) - 3) / 13.0) AS BIGINT)))) AS i
+         |    FROM ck_toked)
+         |), ck_fo AS (
+         |  SELECT h, min(ROW(doc_id, chunk_id)) AS f
+         |  FROM ck GROUP BY 1
+         |), ckv AS (
+         |  SELECT ck.doc_id,
+         |    ck_fo.f >= ROW(ck.doc_id, ck.chunk_id) AS nv
+         |  FROM ck JOIN ck_fo USING (h)
+         |), allv AS (
+         |  SELECT 'digest' AS family, doc_id, nv FROM dgv
+         |  UNION ALL SELECT 'simhash', doc_id, nv FROM shv
+         |  UNION ALL SELECT 'span', doc_id, nv FROM spv
+         |  UNION ALL SELECT 'template', doc_id, nv FROM tplv
+         |  UNION ALL SELECT 'chunk', doc_id, nv FROM ckv
+         |)
+         |SELECT a.family, CAST(bd.batch AS INTEGER) AS batch,
+         |  CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(sum(CASE WHEN a.nv THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_admitted,
+         |  CAST(sum(CASE WHEN a.nv THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_rejected,
+         |  CAST(sum(CASE WHEN a.nv THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS admit_ppm
+         |FROM allv a JOIN bd USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin
+    },
+
     // the q306 scalar int8 replay: md5-hex-ordered 8-cell codebook,
     // argmin (distance, cell) assignment, (distance, cell)-ranked
     // probe order, exact (distance, id)-tied top-10 truth, budgets
@@ -8600,9 +9013,89 @@ object ExtendedQueries {
          |GROUP BY 1""".stripMargin
     },
 
-    // q334's chunker + the order-free min-owner rule on the PACKED
+    // q347's replay restricted to the same salted-md5 1-in-2 doc
+    // sample (the q336 sample predicate, salt '|sbs'), constant
+    // sampled marker
+    "q348_simhash_radius_sampled" -> {
+      val ws = "' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)"
+      val sums1 = (0 until 32)
+        .map(b => s"sum((h1 >> $b) & 1) AS b$b").mkString(", ")
+      val sums2 = (32 until 64)
+        .map(b => s"sum((h2 >> ${b - 32}) & 1) AS b$b").mkString(", ")
+      val lo = (0 until 32)
+        .map(b => s"CASE WHEN 2 * b$b > n THEN (1::BIGINT << $b) ELSE 0 END")
+        .mkString(" + ")
+      val hi = (32 until 64)
+        .map(b =>
+          s"CASE WHEN 2 * b$b > n THEN (1::BIGINT << ${b - 32}) ELSE 0 END")
+        .mkString(" + ")
+      val samp = "('0x' || substr(md5(CAST(doc_id AS VARCHAR) " +
+        "|| '|sbs'), 1, 8))::UBIGINT % 2 = 0"
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct([array_to_string(toks[i:i+2], ' ')
+         |                   for i in range(1, len(toks)-1)]) s
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text, $ws),
+         |                '\\s+') toks
+         |        FROM documents WHERE $samp)
+         |  WHERE len(toks) >= 3
+         |), j AS MATERIALIZED (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    len(list_intersect(a.s, b.s)) AS isz,
+         |    len(a.s) AS na, len(b.s) AS nb
+         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.s, b.s))::DOUBLE /
+         |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+         |      >= 0.25
+         |), tk AS (
+         |  SELECT doc_id, unnest(CASE WHEN length(trim(text, $ws)) = 0
+         |      THEN []::VARCHAR[]
+         |      ELSE regexp_split_to_array(trim(text, $ws), '\\s+') END)
+         |      AS w
+         |  FROM documents WHERE text IS NOT NULL AND $samp
+         |), hb AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(w), 1, 8))::UBIGINT::BIGINT AS h1,
+         |    ('0x' || substr(md5(w), 9, 8))::UBIGINT::BIGINT AS h2
+         |  FROM tk
+         |), agg AS (
+         |  SELECT doc_id, count(*) AS n, $sums1, $sums2
+         |  FROM hb GROUP BY 1
+         |), sig AS MATERIALIZED (
+         |  SELECT doc_id, $lo AS lo, $hi AS hi FROM agg
+         |), hp AS (
+         |  SELECT (3 * j.isz >= j.na + j.nb) AS istrue,
+         |    bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+         |      AS hd
+         |  FROM j JOIN sig a ON a.doc_id = j.id_a
+         |  JOIN sig b ON b.doc_id = j.id_b
+         |)
+         |SELECT CAST(r.radius AS INTEGER) AS radius,
+         |  CAST(sum(CASE WHEN istrue THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_true,
+         |  CAST(sum(CASE WHEN istrue AND hd <= r.radius THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_true_caught,
+         |  CAST(sum(CASE WHEN NOT istrue THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_band,
+         |  CAST(sum(CASE WHEN NOT istrue AND hd <= r.radius THEN 1
+         |    ELSE 0 END) AS BIGINT) AS n_band_caught,
+         |  CAST(CASE WHEN sum(CASE WHEN istrue THEN 1 ELSE 0 END) > 0
+         |       THEN sum(CASE WHEN istrue AND hd <= r.radius
+         |           THEN 1 ELSE 0 END) * 1000000
+         |         // sum(CASE WHEN istrue THEN 1 ELSE 0 END)
+         |       END AS BIGINT) AS catch_ppm,
+         |  TRUE AS sampled
+         |FROM hp CROSS JOIN (VALUES (0), (1), (2), (3)) r(radius)
+         |GROUP BY 1""".stripMargin
+    },
+
+    // q334's chunker + the order-free min-owner rule on the
     // (doc, chunk) pair key: batching is invisible by construction,
-    // so the oracle is one global min-per-digest join
+    // so the oracle is one global min-per-digest join. The min is a
+    // tuple-valued min over ROW(doc_id, chunk_id) — lexicographic like
+    // the engine's struct min — NOT an arithmetic doc*2^20+chunk
+    // packing, which silently diverges once a doc has chunk_id ≥ 2^20
+    // (~13.6M tokens at stride 13) or doc_id ≥ 2^43 (ADVICE r15)
     "q345_incremental_chunk_novelty" ->
       """WITH toked AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)), '\s+') AS toks
@@ -8616,11 +9109,11 @@ object ExtendedQueries {
         |        CAST(ceil((len(toks) - 3) / 13.0) AS BIGINT)))) AS i
         |    FROM toked)
         |), fo AS (
-        |  SELECT h, min(doc_id * 1048576 + chunk_id) AS f
+        |  SELECT h, min(ROW(doc_id, chunk_id)) AS f
         |  FROM ch GROUP BY 1
         |)
         |SELECT ch.doc_id, ch.chunk_id,
-        |  CAST(CASE WHEN fo.f >= ch.doc_id * 1048576 + ch.chunk_id
+        |  CAST(CASE WHEN fo.f >= ROW(ch.doc_id, ch.chunk_id)
         |       THEN 1 ELSE 0 END AS INTEGER) AS is_novel
         |FROM ch JOIN fo USING (h)""".stripMargin,
 
@@ -9080,12 +9573,12 @@ object ExtendedQueries {
         |SELECT c.event_type, c.n AS n_control, t.n AS n_treatment,
         |  round(c.mu, 6) AS mean_control,
         |  round(t.mu, 6) AS mean_treatment,
-        |  round(t.mu - c.mu, 6) + 0 AS effect,
+        |  floor((t.mu - c.mu) * 1e6 + 0.5) / 1e6 AS effect,
         |  round(sqrt(t.vv / t.n::DOUBLE + c.vv / c.n::DOUBLE), 6) AS se,
-        |  round(CASE WHEN sqrt(t.vv / t.n::DOUBLE + c.vv / c.n::DOUBLE) > 0
+        |  floor(CASE WHEN sqrt(t.vv / t.n::DOUBLE + c.vv / c.n::DOUBLE) > 0
         |    THEN (t.mu - c.mu)
-        |      / sqrt(t.vv / t.n::DOUBLE + c.vv / c.n::DOUBLE) END, 4)
-        |    + 0 AS t_stat
+        |      / sqrt(t.vv / t.n::DOUBLE + c.vv / c.n::DOUBLE) END
+        |    * 1e4 + 0.5) / 1e4 AS t_stat
         |FROM (SELECT * FROM side WHERE t = 0) c
         |JOIN (SELECT * FROM side WHERE t = 1) t USING (event_type)""".stripMargin,
 
@@ -9452,9 +9945,9 @@ object ExtendedQueries {
         |  FROM daily GROUP BY 1
         |)
         |SELECT w.g AS event_type, w.ndays AS n_days,
-        |  round(t.tsxx::DOUBLE - (t.tsx * t.tsx)::DOUBLE / t.nt::DOUBLE, 4)
-        |    AS ss_total,
-        |  round(w.ssw, 4) AS ss_within,
+        |  floor((t.tsxx::DOUBLE - (t.tsx * t.tsx)::DOUBLE / t.nt::DOUBLE)
+        |    * 1e4 + 0.5) / 1e4 AS ss_total,
+        |  floor(w.ssw * 1e4 + 0.5) / 1e4 AS ss_within,
         |  round(CASE WHEN t.tsxx::DOUBLE - (t.tsx * t.tsx)::DOUBLE / t.nt::DOUBLE > 0
         |    THEN greatest(0.0, 1.0 - w.ssw
         |      / (t.tsxx::DOUBLE - (t.tsx * t.tsx)::DOUBLE / t.nt::DOUBLE))
@@ -9718,13 +10211,13 @@ object ExtendedQueries {
         |  CAST(n1 AS BIGINT) AS n_baseline_days,
         |  round(CASE WHEN n1 >= 3 THEN l1::DOUBLE / n1::DOUBLE END, 6)
         |    AS dow_mean,
-        |  round(CASE WHEN n1 >= 3
+        |  floor(CASE WHEN n1 >= 3
         |      AND (l2::DOUBLE / n1::DOUBLE)
         |        - (l1::DOUBLE / n1::DOUBLE) * (l1::DOUBLE / n1::DOUBLE) > 0
         |    THEN (n::DOUBLE - l1::DOUBLE / n1::DOUBLE)
         |      / sqrt((l2::DOUBLE / n1::DOUBLE)
         |        - (l1::DOUBLE / n1::DOUBLE) * (l1::DOUBLE / n1::DOUBLE))
-        |    END, 6) + 0 AS z
+        |    END * 1e6 + 0.5) / 1e6 AS z
         |FROM j""".stripMargin,
 
     // the full q118 retrain+rescore chain once per fold (training
@@ -9818,11 +10311,11 @@ object ExtendedQueries {
         |  JOIN tot tb ON tb.s = merged.sb
         |)
         |SELECT sa AS source_a, sb AS source_b, count(*) AS n_terms,
-        |  round(sum(
+        |  floor(sum(
         |    CASE WHEN ca0 > 0 THEN 0.5 * p * ln(p / ((p + q) / 2.0))
         |         ELSE 0.0 END
         |    + CASE WHEN cb0 > 0 THEN 0.5 * q * ln(q / ((p + q) / 2.0))
-        |           ELSE 0.0 END), 4) AS js
+        |           ELSE 0.0 END) * 1e4 + 0.5) / 1e4 AS js
         |FROM vals GROUP BY 1, 2""".stripMargin,
 
     // every Hilbert bit level unrolled (rotation reads the PRE-level
@@ -9963,12 +10456,12 @@ object ExtendedQueries {
         |SELECT c.n AS n_control, t.n AS n_treatment,
         |  round(c.mx, 6) AS pre_control, round(c.my, 6) AS post_control,
         |  round(t.mx, 6) AS pre_treatment, round(t.my, 6) AS post_treatment,
-        |  round(t.mdelta - c.mdelta, 6) + 0 AS did,
+        |  floor((t.mdelta - c.mdelta) * 1e6 + 0.5) / 1e6 AS did,
         |  round(sqrt(t.vard / t.n::DOUBLE + c.vard / c.n::DOUBLE), 6) AS se,
-        |  round(CASE WHEN sqrt(t.vard / t.n::DOUBLE + c.vard / c.n::DOUBLE) > 0
+        |  floor(CASE WHEN sqrt(t.vard / t.n::DOUBLE + c.vard / c.n::DOUBLE) > 0
         |    THEN (t.mdelta - c.mdelta)
-        |      / sqrt(t.vard / t.n::DOUBLE + c.vard / c.n::DOUBLE) END, 4)
-        |    + 0 AS t_stat
+        |      / sqrt(t.vard / t.n::DOUBLE + c.vard / c.n::DOUBLE) END
+        |    * 1e4 + 0.5) / 1e4 AS t_stat
         |FROM (SELECT * FROM side WHERE t = 0) c
         |CROSS JOIN (SELECT * FROM side WHERE t = 1) t""".stripMargin,
 
@@ -10139,7 +10632,7 @@ object ExtendedQueries {
         |c AS (SELECT w2, sum(c12) AS c1 FROM bc GROUP BY 1),
         |scored AS (
         |  SELECT b.w1, b.w2, b.c12,
-        |    round(2.0 * nn.n * (
+        |    floor(2.0 * nn.n * (
         |      ((CASE WHEN b.c12 = 0 THEN 0.0 ELSE
         |          (b.c12::DOUBLE / nn.n) * ln(b.c12::DOUBLE * nn.n
         |            / (r.r1::DOUBLE * c.c1::DOUBLE)) END
@@ -10152,8 +10645,8 @@ object ExtendedQueries {
         |        + CASE WHEN nn.ni - r.r1 - c.c1 + b.c12 = 0 THEN 0.0 ELSE
         |          ((nn.ni - r.r1 - c.c1 + b.c12)::DOUBLE / nn.n)
         |            * ln((nn.ni - r.r1 - c.c1 + b.c12)::DOUBLE * nn.n
-        |            / ((nn.ni - r.r1)::DOUBLE * (nn.ni - c.c1)::DOUBLE)) END))), 4)
-        |      AS llr
+        |            / ((nn.ni - r.r1)::DOUBLE * (nn.ni - c.c1)::DOUBLE)) END)))
+        |      * 1e4 + 0.5) / 1e4 AS llr
         |  FROM bc b
         |  JOIN r ON r.w1 = b.w1
         |  JOIN c ON c.w2 = b.w2
@@ -10288,7 +10781,8 @@ object ExtendedQueries {
         |  CAST(sum(CASE WHEN e.value < ff.lo OR e.value > ff.hi
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
         |  count(*) AS n_rows,
-        |  round(min(ff.lo), 4) AS fence_lo, round(min(ff.hi), 4) AS fence_hi
+        |  floor(min(ff.lo) * 1e4 + 0.5) / 1e4 AS fence_lo,
+        |  floor(min(ff.hi) * 1e4 + 0.5) / 1e4 AS fence_hi
         |FROM events e JOIN ff USING (event_type)
         |GROUP BY 1""".stripMargin,
 
@@ -10365,11 +10859,11 @@ object ExtendedQueries {
         |SELECT event_type, day, n_events,
         |  CAST(coalesce(nb, 0) AS BIGINT) AS n_baseline_days,
         |  round(CASE WHEN nb > 0 THEN s1::DOUBLE / nb::DOUBLE END, 6) AS baseline_mean,
-        |  round(CASE WHEN nb > 0 AND
+        |  floor(CASE WHEN nb > 0 AND
         |      s2::DOUBLE / nb::DOUBLE - (s1::DOUBLE / nb::DOUBLE) * (s1::DOUBLE / nb::DOUBLE) > 0
         |    THEN (n_events::DOUBLE - s1::DOUBLE / nb::DOUBLE)
         |      / sqrt(s2::DOUBLE / nb::DOUBLE - (s1::DOUBLE / nb::DOUBLE) * (s1::DOUBLE / nb::DOUBLE))
-        |  END, 6) + 0 AS z
+        |  END * 1e6 + 0.5) / 1e6 AS z
         |FROM st""".stripMargin,
 
     // same three grouping levels via GROUP BY ROLLUP; DuckDB's

@@ -58,11 +58,18 @@ object ParityQueries {
     "q41_rounding_tolerance" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val sup = Tables.supplier(s, d)
+      // e1 floor lattice, not round(_, 1): acctbal is SIGNED raw data,
+      // so a balance in (−0.05, 0) would close round() to a ±0.0 whose
+      // sign drifts across DuckDB releases (the q290 class, VERDICT
+      // r15 #2); the lattice is the comparison key AND the displayed
+      // value, identically on both legs
+      def e1(col0: org.apache.spark.sql.Column) =
+        floor(col0 * lit(10d) + lit(0.5d)) / lit(10d)
       c.join(sup, col("c_custkey") === col("s_suppkey"))
-        .filter(round(col("c_acctbal"), 1) =!= round(col("s_acctbal"), 1))
+        .filter(e1(col("c_acctbal")) =!= e1(col("s_acctbal")))
         .select(col("c_custkey"),
-          round(col("c_acctbal"), 1).as("cust_bal"),
-          round(col("s_acctbal"), 1).as("supp_bal"))
+          e1(col("c_acctbal")).as("cust_bal"),
+          e1(col("s_acctbal")).as("supp_bal"))
     }),
 
     // §2.10 membership-in-CSV-string LIKE test
@@ -121,9 +128,12 @@ object ParityQueries {
         |WHERE coalesce(lower(a.c_mktsegment), '') != coalesce(lower(b.c_mktsegment), '')""".stripMargin,
 
     "q41_rounding_tolerance" ->
-      """SELECT c_custkey, round(c_acctbal, 1) AS cust_bal, round(s_acctbal, 1) AS supp_bal
+      """SELECT c_custkey,
+        |  floor(c_acctbal * 10 + 0.5) / 10 AS cust_bal,
+        |  floor(s_acctbal * 10 + 0.5) / 10 AS supp_bal
         |FROM customer JOIN supplier ON c_custkey = s_suppkey
-        |WHERE round(c_acctbal, 1) != round(s_acctbal, 1)""".stripMargin,
+        |WHERE floor(c_acctbal * 10 + 0.5) / 10
+        |   != floor(s_acctbal * 10 + 0.5) / 10""".stripMargin,
 
     "q42_csv_membership" ->
       """WITH csv AS (

@@ -430,9 +430,13 @@ object TextQueries {
             log(col("__n").cast("double") / col("__bt").cast("double")))
             .as("__hb"))
       val out = hcond.groupBy("signal")
+        // e6 lattice: info gain = H(Y) − Σ(...) is theoretically ≥ 0
+        // but its fp difference cancels to ±ε on an uninformative
+        // signal — the signed-zero round() hazard (VERDICT r15 #2)
         .agg(count(lit(1)).as("n_bins"),
-          round(lit(hy) - sum(col("__bt").cast("double") / total *
-            col("__hb")), 6).as("info_gain"))
+          graft.functions.Lattice.e6(lit(hy) -
+            sum(col("__bt").cast("double") / total * col("__hb")))
+            .as("info_gain"))
         .transform(graft.state.Checkpoints.stable)
       long.unpersist(blocking = false)
       out
@@ -542,8 +546,10 @@ object TextQueries {
     // the oracle folds its sorted per-char counts to the same double
     "q163_char_entropy" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
-        round(coalesce(
-          graft.expressions.CharEntropy.column(col("text")), lit(0.0)), 6)
+        // e6 lattice: a single-distinct-char doc closes entropy as
+        // −(1·ln 1) = −0.0 — the signed-zero hazard (VERDICT r15 #2)
+        graft.functions.Lattice.e6(coalesce(
+          graft.expressions.CharEntropy.column(col("text")), lit(0.0)))
           .as("char_entropy"))),
 
     // exact phrase search over the positional inverted index — the
@@ -1098,10 +1104,10 @@ object TextQueries {
         |  FROM j CROSS JOIN tot
         |)
         |SELECT v AS vocab_size, na AS n_a, nb AS n_b,
-        |  round(sum(p * ln(p / q)), 4) AS kl_ab,
-        |  round(sum(q * ln(q / p)), 4) AS kl_ba,
-        |  round(sum(p * ln(p / ((p + q) / 2)) / 2
-        |          + q * ln(q / ((p + q) / 2)) / 2), 4) + 0 AS js_div
+        |  floor(sum(p * ln(p / q)) * 1e4 + 0.5) / 1e4 AS kl_ab,
+        |  floor(sum(q * ln(q / p)) * 1e4 + 0.5) / 1e4 AS kl_ba,
+        |  floor(sum(p * ln(p / ((p + q) / 2)) / 2
+        |          + q * ln(q / ((p + q) / 2)) / 2) * 1e4 + 0.5) / 1e4 AS js_div
         |FROM pq GROUP BY v, na, nb""".stripMargin,
 
     // the q24 prediction chain + confusion marginals and the same
@@ -1166,7 +1172,8 @@ object TextQueries {
          |  FROM cell JOIN btot USING (signal, bin) GROUP BY 1, 2
          |)
          |SELECT signal, count(*) AS n_bins,
-         |  round(min(hy.hy) - sum(hb.bt::DOUBLE / tot.n * hb.hb), 6) + 0 AS info_gain
+         |  floor((min(hy.hy) - sum(hb.bt::DOUBLE / tot.n * hb.hb))
+         |    * 1e6 + 0.5) / 1e6 AS info_gain
          |FROM hb CROSS JOIN hy CROSS JOIN tot
          |GROUP BY 1""".stripMargin,
 
@@ -1182,11 +1189,11 @@ object TextQueries {
         |  CAST(n_agree AS BIGINT) AS n_agree,
         |  round(n_agree::DOUBLE / n_docs::DOUBLE, 6) AS po,
         |  round(s::DOUBLE / (n_docs::DOUBLE * n_docs::DOUBLE), 6) AS pe,
-        |  round(CASE WHEN s::DOUBLE / (n_docs::DOUBLE * n_docs::DOUBLE) < 1.0
+        |  floor(CASE WHEN s::DOUBLE / (n_docs::DOUBLE * n_docs::DOUBLE) < 1.0
         |    THEN (n_agree::DOUBLE / n_docs::DOUBLE
         |          - s::DOUBLE / (n_docs::DOUBLE * n_docs::DOUBLE))
-        |      / (1.0 - s::DOUBLE / (n_docs::DOUBLE * n_docs::DOUBLE)) END, 6)
-        |    + 0 AS kappa
+        |      / (1.0 - s::DOUBLE / (n_docs::DOUBLE * n_docs::DOUBLE)) END
+        |    * 1e6 + 0.5) / 1e6 AS kappa
         |FROM n CROSS JOIN pe""").stripMargin,
 
     // same fragment/stopword segmentation, integer deg/freq, rounded
@@ -1559,9 +1566,9 @@ object TextQueries {
         |), n12 AS (SELECT sum(c12)::DOUBLE AS n FROM bis),
         |scored AS (
         |  SELECT b.w1, b.w2, b.c12,
-        |    round(ln(b.c12::DOUBLE / (SELECT n FROM n12))
+        |    floor((ln(b.c12::DOUBLE / (SELECT n FROM n12))
         |      - ln(u1.c::DOUBLE / (SELECT n FROM n1))
-        |      - ln(u2.c::DOUBLE / (SELECT n FROM n1)), 6) AS pmi
+        |      - ln(u2.c::DOUBLE / (SELECT n FROM n1))) * 1e6 + 0.5) / 1e6 AS pmi
         |  FROM bis b
         |  JOIN unis u1 ON u1.w = b.w1
         |  JOIN unis u2 ON u2.w = b.w2
@@ -1601,15 +1608,15 @@ object TextQueries {
         |  FROM perdoc GROUP BY 1, 2
         |)
         |SELECT lang, source, n_docs, n_words, n_sentences, n_syllables,
-        |  round(CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+        |  floor(CASE WHEN n_words > 0 AND n_sentences > 0 THEN
         |    206.835 - 1.015 *
         |      (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
-        |    END, 4) AS flesch_ease,
-        |  round(CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+        |    END * 1e4 + 0.5) / 1e4 AS flesch_ease,
+        |  floor(CASE WHEN n_words > 0 AND n_sentences > 0 THEN
         |    0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
         |    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
-        |    - 15.59 END, 4) AS fk_grade
+        |    - 15.59 END * 1e4 + 0.5) / 1e4 AS fk_grade
         |FROM agg""".stripMargin,
 
     // same substring predicates and the same De-Morgan-equivalent
@@ -2041,8 +2048,9 @@ object TextQueries {
         |  FROM cnt GROUP BY doc_id
         |)
         |SELECT d.doc_id,
-        |  round(coalesce(-list_sum(list_transform(a.ks,
-        |    k -> (k / a.n) * ln(k / a.n))), 0), 6) AS char_entropy
+        |  floor(coalesce(-list_sum(list_transform(a.ks,
+        |    k -> (k / a.n) * ln(k / a.n))), 0) * 1e6 + 0.5) / 1e6
+        |    AS char_entropy
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // explicit position walk (overlap-correct where a regex scan is

@@ -426,6 +426,82 @@ object Ann {
       .withColumn("recall_ppm", expr("n_caught * 1000000 div n_true"))
   }
 
+  /** Recall-vs-oversample sweep for the int8 shortlist path (VERDICT
+    * r15 #4) — the q344 one-pass shape on the OTHER ANN axis: how
+    * many of the true fp32 top-k neighbors survive inside the int8
+    * top-(k·m) shortlist, for every oversample factor m in
+    * `oversamples`? This is the knob the q95 rerank deployment must
+    * pick — m too small silently drops true neighbors before the
+    * fp32 rerank ever sees them; m too large pays rerank bandwidth
+    * for nothing.
+    *
+    * One pass per ranking, no per-m search: the fp32 truth is the
+    * bounded-heap top-k on the q29-convention round(cosine, 4) key
+    * with id ties (the exact truth definition the q95 rerank
+    * deployment itself uses — and the quantizer proven green across
+    * both engines since round 7), the int8 shortlist is the bounded-heap
+    * top-(k·max(oversamples)) on exact integer L2 over the
+    * [[quantizeInt8]] codes with (distance, id) ties, and each true
+    * neighbor's shortlist RANK (from the top-k·max heap — a
+    * ≤ k·max·|queries| frame) decides every m at once: caught at m
+    * iff rank ≤ k·m. Recall closes as a truncating ppm BIGINT — no
+    * float column leaves the operator.
+    *
+    * Scale shape: queries broadcast twice (fp32 + codes) against two
+    * corpus scans; bounded-heap top-k keeps both data-sized shuffles
+    * at ≤ k·max rows per query; the oversample explosion touches
+    * k·|queries|·|oversamples| rows. At 100 TB the truth pass runs on
+    * a query sample, as any recall audit does.
+    */
+  def int8OversampleRecall(queries: DataFrame, corpus: DataFrame,
+                           qId: String, qVec: String,
+                           cId: String, cVec: String,
+                           k: Int = 10,
+                           oversamples: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(oversamples.nonEmpty && oversamples.forall(_ >= 1),
+      s"every oversample factor must be >= 1, got $oversamples")
+    val idType = corpus.schema(cId).dataType
+    val qFp = broadcast(queries
+      .select(col(qId).as("query_id"), col(qVec).as("__qv")))
+    val cFp = corpus.select(col(cId).as("neighbor_id"), col(cVec).as("__cv"))
+    // fp32 truth: e6 floor lattice of the cosine as the ranking key
+    // (shared IEEE arithmetic — identical bits both engines), id ties
+    val truth = finishTopK(qFp.crossJoin(cFp)
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(graft.dedup.NearDup.cosine(col("__qv"), col("__cv")), 4)
+            .as("score")),
+      idType, k)
+    val qc = broadcast(quantizeInt8(queries, qId, qVec)
+      .select(col(qId).as("query_id"), col("qvec").as("__q")))
+    val cc = quantizeInt8(corpus, cId, cVec)
+      .select(col(cId).as("neighbor_id"), col("qvec").as("__c"))
+    val dist = graft.expressions.SimilarityExpressions
+      .int_sq_dist(col("__q"), col("__c"))
+    val kMax = k * oversamples.max
+    // the shortlist's own rank 1..k·max arrives free from finishTopK
+    val shortlist = finishTopK(qc.crossJoin(cc)
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (-dist).cast(DoubleType).as("score")),
+      idType, kMax)
+    truth.select("query_id", "neighbor_id")
+      .join(shortlist.select(col("query_id"), col("neighbor_id"),
+        col("rank").as("__r8")), Seq("query_id", "neighbor_id"), "left")
+      .select(col("__r8"),
+        explode(typedlit(oversamples.sorted)).as("oversample"))
+      .groupBy("oversample")
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("__r8").isNotNull &&
+          col("__r8") <= col("oversample") * k, 1L).otherwise(0L))
+          .as("n_caught"))
+      .select(col("oversample").cast(IntegerType).as("oversample"),
+        (col("oversample") * k).cast(LongType).as("shortlist_k"),
+        col("n_true"), col("n_caught"))
+      .withColumn("recall_ppm", expr("n_caught * 1000000 div n_true"))
+  }
+
   /** kNN label-agreement audit — the confident-learning-style label
     * NOISE screen: for a deterministic sample of query vectors, do
     * the k nearest neighbors (exact integer L2 on the
@@ -923,18 +999,18 @@ object Ann {
       graft.expressions.SimilarityExpressions.int_sq_dist(a, b)
     val codes = quantizeInt8(corpus, idCol, vecCol)
       .select(col(idCol).as("__id"), col("qvec").as("__v"))
-      .localCheckpoint()
+      .transform(graft.state.Checkpoints.stableLazy)
     val seed = codes.orderBy(col("__id").asc).limit(1)
       .select(col("__id").as("__sid"), col("__v").as("__sv"))
     var selected = seed.select(col("__sid").as("selected_id"),
       lit(1).cast(IntegerType).as("rank"),
       lit(null).cast(LongType).as("min_dist_sq"))
-      .localCheckpoint()
+      .transform(graft.state.Checkpoints.stableLazy)
     var remaining = codes.crossJoin(broadcast(seed))
       .filter(col("__id") =!= col("__sid"))
       .select(col("__id"), col("__v"),
         sqDist(col("__v"), col("__sv")).as("__md"))
-      .localCheckpoint()
+      .transform(graft.state.Checkpoints.stableLazy)
     for (r <- 2 to k) {
       val pick = remaining
         .agg(max(struct(col("__md"), (-col("__id")).as("__ni"))).as("__p"))
@@ -945,17 +1021,17 @@ object Ann {
           lit(r).cast(IntegerType).as("rank"),
           col("__pd").as("min_dist_sq"),
           col("__v").as("__pv"))
-        .localCheckpoint()
+        .transform(graft.state.Checkpoints.stableLazy)
       selected = selected.unionByName(
         pickRow.select("selected_id", "rank", "min_dist_sq"))
-        .localCheckpoint()
+        .transform(graft.state.Checkpoints.stableLazy)
       remaining = remaining
         .crossJoin(broadcast(pickRow.select(col("selected_id").as("__pid"),
           col("__pv"))))
         .filter(col("__id") =!= col("__pid"))
         .select(col("__id"), col("__v"),
           least(col("__md"), sqDist(col("__v"), col("__pv"))).as("__md"))
-        .localCheckpoint()
+        .transform(graft.state.Checkpoints.stableLazy)
     }
     selected
   }
@@ -999,7 +1075,7 @@ object Ann {
       col("score")), corpus.schema(cId).dataType, poolK)
       .select(col("query_id"), col("neighbor_id").as("__c"),
         col("score").as("__rel"))
-      .localCheckpoint()
+      .transform(graft.state.Checkpoints.stableLazy)
     val vecs = corpus.select(col(cId).as("__id"), col(cVec).as("__v"))
     val pairSim = pool.select(col("query_id"), col("__c").as("__a"))
       .join(pool.select(col("query_id"), col("__c").as("__b")), "query_id")
@@ -1008,8 +1084,8 @@ object Ann {
       .join(vecs.select(col("__id").as("__b"), col("__v").as("__vb")), "__b")
       .select(col("query_id"), col("__a"), col("__b"),
         round(NearDup.cosine(col("__va"), col("__vb")), 4).as("__sim"))
-      .localCheckpoint()
-    var remaining = pool.withColumn("__ms", lit(0.0)).localCheckpoint()
+      .transform(graft.state.Checkpoints.stableLazy)
+    var remaining = pool.withColumn("__ms", lit(0.0)).transform(graft.state.Checkpoints.stableLazy)
     var selected: DataFrame = null
     for (r <- 1 to selectK) {
       val scored = remaining.withColumn("__mmr",
@@ -1024,7 +1100,7 @@ object Ann {
         .select(pick("query_id"), col("__pick").as("selected_id"),
           lit(r).cast(IntegerType).as("rank"), col("__rel").as("rel"),
           col("__pmmr").as("mmr"))
-        .localCheckpoint()
+        .transform(graft.state.Checkpoints.stableLazy)
       selected = if (selected == null) pickRow
         else selected.unionByName(pickRow)
       val nextRemaining = remaining
@@ -1035,7 +1111,7 @@ object Ann {
           Seq("query_id", "__c", "__pick"))
         .select(col("query_id"), col("__c"), col("__rel"),
           greatest(col("__ms"), col("__sim")).as("__ms"))
-        .localCheckpoint()
+        .transform(graft.state.Checkpoints.stableLazy)
       remaining = nextRemaining
     }
     selected.select(col("query_id"), col("rank"), col("selected_id"),

@@ -35,6 +35,20 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * Default is `false` — byte-identical behavior to the pre-knob
   * engine. With the flag on, a missing checkpoint dir fails fast with
   * an actionable message rather than deep inside the first query.
+  *
+  * '''Checkpoint-file cleanup (flag-on recipe).''' Reliable
+  * checkpoints persist their partitions in the checkpoint dir and
+  * Spark deletes them only when
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (best-
+  * effort, on RDD GC) — without it a long-lived session accumulates
+  * unbounded checkpoint data across the engine's ~100 cut sites plus
+  * the per-round cuts in the iterative loops. Set that conf whenever
+  * [[ReliableFlag]] is enabled, and point the checkpoint dir at
+  * storage with a lifecycle/TTL policy as a backstop:
+  *
+  * {{{
+  * spark.conf.set("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+  * }}}
   */
 object Checkpoints {
 
@@ -54,12 +68,30 @@ object Checkpoints {
     */
   def stable[T](ds: Dataset[T]): Dataset[T] =
     if (!isReliable(ds.sparkSession)) ds.localCheckpoint(eager = true)
-    else {
-      val sc = ds.sparkSession.sparkContext
-      require(sc.getCheckpointDir.nonEmpty,
-        s"$ReliableFlag=true requires spark.sparkContext" +
-          ".setCheckpointDir(<fault-tolerant storage>) — reliable " +
-          "checkpoints write their partitions there")
-      ds.checkpoint(eager = true)
-    }
+    else { requireDir(ds); ds.checkpoint(eager = true) }
+
+  /** Lazy (deferred) lineage cut via the session-configured
+    * mechanism — materializes on the consumer's first action. Use
+    * exactly where a lazy `.localCheckpoint()` was the right call:
+    * the iterative loops (LPA, k-core, SSSP, k-means/IVF, the
+    * connected-components and incremental-admission rounds), whose
+    * per-round frontier is consumed once immediately after, so eager
+    * materialization would only add a synchronization barrier.
+    * Routing these through the knob matters MOST of all the cut
+    * sites: lineage truncation in an iterative loop is exactly where
+    * a lost executor makes local-only blocks unrecoverable N rounds
+    * deep (ADVICE r15).
+    */
+  def stableLazy[T](ds: Dataset[T]): Dataset[T] =
+    if (!isReliable(ds.sparkSession)) ds.localCheckpoint()
+    else { requireDir(ds); ds.checkpoint(eager = false) }
+
+  /** Fail fast: reliable mode without a checkpoint dir dies with an
+    * actionable message, not deep inside the first job.
+    */
+  private def requireDir[T](ds: Dataset[T]): Unit =
+    require(ds.sparkSession.sparkContext.getCheckpointDir.nonEmpty,
+      s"$ReliableFlag=true requires spark.sparkContext" +
+        ".setCheckpointDir(<fault-tolerant storage>) — reliable " +
+        "checkpoints write their partitions there")
 }

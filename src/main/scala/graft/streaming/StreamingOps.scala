@@ -1158,6 +1158,95 @@ object StreamingOps {
     * never bulk-reshuffled — per-batch shuffle volume is O(batch +
     * matched keys), flat in corpus size.
     */
+  /** Incremental EXACT-DIGEST novelty admission — the first (and
+    * cheapest) gate of the incremental family, previously present
+    * only in batch form (q80's normalized keep-first): a document is
+    * novel iff the md5 of its
+    * [[graft.text.TextOps.normalizeText]] form is owned by no
+    * SMALLER-id document. Same any-earlier rule, same state layout
+    * (`sigs/batch=N` one row per doc, `verdicts/batch=N`), same
+    * id-ordered batch contract and directed prior-semi-join shuffle
+    * discipline as [[templateDedupBatch]] — per-batch shuffle volume
+    * is O(batch + matched keys), flat in corpus size.
+    */
+  def digestDedupBatch(batch: DataFrame, batchId: Long, idCol: String,
+                       textCol: String, statePath: String): Unit = {
+    val spark = batch.sparkSession
+    val sigs = batch.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        md5(graft.text.TextOps.normalizeText(col(textCol))).as("h"))
+      .transform(graft.state.Checkpoints.stable) // one frame, state + verdict
+    val sigsDir = new HPath(s"$statePath/sigs")
+    val fs = sigsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior =
+      if (fs.exists(sigsDir) && fs.listStatus(sigsDir).nonEmpty)
+        spark.read.parquet(s"$statePath/sigs").select("doc_id", "h")
+      else sigs.limit(0)
+    val priorMatched = prior
+      .join(sigs.select("h").distinct(), Seq("h"), "left_semi")
+    val firstOwner = priorMatched.unionByName(sigs)
+      .groupBy("h").agg(min("doc_id").as("__fo"))
+    sigs.join(firstOwner, "h")
+      .select(col("doc_id"), (col("__fo") >= col("doc_id")).as("is_novel"))
+      .write.mode("overwrite").parquet(s"$statePath/verdicts/batch=$batchId")
+    sigs.write.mode("overwrite").parquet(s"$statePath/sigs/batch=$batchId")
+  }
+
+  /** The verdict table [[digestDedupBatch]] maintains. */
+  def noveltyFromDigestState(spark: SparkSession,
+                             statePath: String): DataFrame =
+    spark.read.parquet(s"$statePath/verdicts")
+      .select("doc_id", "is_novel")
+
+  /** Per-batch admission funnel (VERDICT r15 #6) — the ops view of
+    * the whole incremental admission family: ONE row per (gate
+    * family, batch) with the admit/reject counts and the truncating
+    * admit ppm, aggregated straight off the families' existing
+    * verdict-state tables (state rides unchanged; this is a read-only
+    * rollup). Each input frame must carry `is_novel` plus the `batch`
+    * partition-discovery column its state layout already provides;
+    * the verdict UNIT is whatever the family judges (documents for
+    * digest/MinHash/semantic/SimHash/span/template, chunks for the
+    * chunk gate), so `n_total` counts that unit.
+    *
+    * Scale shape: a map-side-combined count per (family, batch) over
+    * each verdict table — model-sized output, no joins, no windows.
+    */
+  def admissionFunnel(families: Seq[(String, DataFrame)]): DataFrame = {
+    require(families.nonEmpty, "admissionFunnel needs at least one family")
+    families.map { case (fam, v) =>
+      v.select(lit(fam).as("family"),
+        col("batch").cast("int").as("batch"),
+        when(col("is_novel"), 1L).otherwise(0L).as("__a"))
+    }.reduce(_ unionByName _)
+      .groupBy("family", "batch")
+      .agg(count(lit(1)).as("n_total"), sum("__a").as("n_admitted"))
+      .withColumn("n_rejected", col("n_total") - col("n_admitted"))
+      .withColumn("admit_ppm", expr("n_admitted * 1000000 div n_total"))
+  }
+
+  /** [[admissionFunnel]] adapter for the admitted-output families —
+    * MinHash [[dedupBatch]] and [[semanticDedupBatch]] store ADMITTED
+    * rows per batch rather than a verdict table, so the funnel frame
+    * is rebuilt by a left join: `inputs` is one row per judged unit
+    * carrying `idCol` and the `batch` it was fed in; a unit is
+    * admitted iff its id appears in the family's `outPath`. (These
+    * two gates' sequential admission has no closed-form replay — an
+    * earlier rejection changes later verdicts — which is why they
+    * ride the funnel through this engine-side adapter and their own
+    * oracle-gated queries, q75/q92, rather than a funnel SQL replay.)
+    */
+  def funnelFromAdmitted(inputs: DataFrame, outPath: String,
+                         idCol: String): DataFrame = {
+    val spark = inputs.sparkSession
+    val admitted = spark.read.parquet(outPath)
+      .select(col(idCol)).distinct().withColumn("__adm", lit(true))
+    inputs.select(col(idCol), col("batch"))
+      .join(admitted, Seq(idCol), "left")
+      .select(col("batch"), coalesce(col("__adm"), lit(false))
+        .as("is_novel"))
+  }
+
   def templateDedupBatch(batch: DataFrame, batchId: Long, idCol: String,
                          textCol: String, statePath: String): Unit = {
     val spark = batch.sparkSession

@@ -393,9 +393,13 @@ object Classify {
           (col("ng").cast("double") + a0 - col("ygw").cast("double") - col("__aw")))
           - log((col("__yrest") + col("__aw")) /
             (col("__nrest") + a0 - col("__yrest") - col("__aw"))))
-      .withColumn("z", round(col("__d") /
+      // e6 lattice (also the ranking key below — both engines rank on
+      // the identical quantized value): the log-odds difference
+      // cancels to a ±ε residue for a term distributed exactly at the
+      // corpus rate — the signed-zero round() hazard (VERDICT r15 #2)
+      .withColumn("z", graft.functions.Lattice.e6(col("__d") /
         sqrt(lit(1.0) / (col("ygw").cast("double") + col("__aw"))
-          + lit(1.0) / (col("__yrest") + col("__aw"))), 6))
+          + lit(1.0) / (col("__yrest") + col("__aw")))))
     val (ranked, caches) =
       if (heap) {
         // (z DESC, w ASC-by-UTF8) is TopKAgg's exact ordering, and
@@ -472,8 +476,11 @@ object Classify {
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_features"), lit(0L)).as("n_features"),
-        round(coalesce(col("__s"), lit(0.0))
-          + coalesce(col("n_features"), lit(0L)).cast("double") * perFeat, 6)
+        // e6 lattice: a DSIR weight is a fp sum of signed log ratios —
+        // identical target/raw distributions cancel it to a ±ε
+        // residue (VERDICT r15 #2)
+        graft.functions.Lattice.e6(coalesce(col("__s"), lit(0.0))
+          + coalesce(col("n_features"), lit(0L)).cast("double") * perFeat)
           .as("weight"))
       // doc-sized result: the q88 localCheckpoint barrier materializes
       // it while the feature frame is still cached, so the cache can be
@@ -544,7 +551,12 @@ object Classify {
     val out = n.crossJoin(pe)
       .select(col("n_docs"), col("n_agree"),
         round(po, 6).as("po"), round(peD, 6).as("pe"),
-        round(when(peD < 1.0, (po - peD) / (lit(1.0) - peD)), 6).as("kappa"))
+        // e6 lattice: kappa's po − pe is a fp difference that cancels
+        // to a ±ε residue at chance-level agreement — the signed-zero
+        // round() hazard (VERDICT r15 #2); po/pe stay round(): single
+        // correctly-rounded divisions of counts, never negative
+        graft.functions.Lattice.e6(
+          when(peD < 1.0, (po - peD) / (lit(1.0) - peD))).as("kappa"))
       .transform(graft.state.Checkpoints.stable)
     sc.unpersist(blocking = false)
     out

@@ -400,10 +400,13 @@ object TextOps {
       } else bis.filter(col("c12") >= minCount)
         .join(unis.select(col("w").as("w1"), col("c").as("__c1")), "w1")
         .join(unis.select(col("w").as("w2"), col("c").as("__c2")), "w2")
-        .withColumn("pmi", round(
+        // e6 lattice (also the ranking key below — both legs rank on
+        // the identical quantized value): PMI is a difference of logs
+        // that cancels to a ±ε residue at independence (VERDICT r15 #2)
+        .withColumn("pmi", graft.functions.Lattice.e6(
           log(col("c12").cast("double") / n12.toDouble)
             - log(col("__c1").cast("double") / n1.toDouble)
-            - log(col("__c2").cast("double") / n1.toDouble), 6))
+            - log(col("__c2").cast("double") / n1.toDouble)))
         .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
         .limit(k)
         .select(col("w1"), col("w2"), col("c12"), col("pmi"))
@@ -518,7 +521,7 @@ object TextOps {
         coalesce(sum(when(col("__cum") - col("c") < needed, col("c"))), lit(0L))
           .as("covered_occurrences"),
         lit(total).as("total_occurrences"))
-      .localCheckpoint()
+      .transform(graft.state.Checkpoints.stableLazy)
     tokCounts.unpersist(blocking = false)
     out
   }
@@ -853,9 +856,12 @@ object TextOps {
     joined.crossJoin(broadcast(totals))
       .groupBy("vocab_size", "n_a", "n_b")
       .agg(
-        round(sum(p * log(p / q)), 4).as("kl_ab"),
-        round(sum(q * log(q / p)), 4).as("kl_ba"),
-        round(sum(p * log(p / m) / 2.0 + q * log(q / m) / 2.0), 4).as("js_div"))
+        // e4 lattices: KL/JS of near-identical distributions are fp
+        // sums of signed log terms — ±ε residues (VERDICT r15 #2)
+        graft.functions.Lattice.e4(sum(p * log(p / q))).as("kl_ab"),
+        graft.functions.Lattice.e4(sum(q * log(q / p))).as("kl_ba"),
+        graft.functions.Lattice.e4(
+          sum(p * log(p / m) / 2.0 + q * log(q / m) / 2.0)).as("js_div"))
   }
 
   /** Flesch reading-ease / Flesch–Kincaid grade per (lang, source) —
@@ -900,11 +906,14 @@ object TextOps {
       .select((groupCols.map(col) ++ Seq(
         col("n_docs"), col("__W").as("n_words"), col("__S").as("n_sentences"),
         col("__Y").as("n_syllables"),
-        round(when(col("__W") > 0 && col("__S") > 0,
-          lit(206.835) - lit(1.015) * wps - lit(84.6) * ypw), 4)
+        // e4 lattices: both scores are signed affine fp combinations
+        // that can land on a ±ε residue near their zero crossings
+        // (VERDICT r15 #2)
+        graft.functions.Lattice.e4(when(col("__W") > 0 && col("__S") > 0,
+          lit(206.835) - lit(1.015) * wps - lit(84.6) * ypw))
           .as("flesch_ease"),
-        round(when(col("__W") > 0 && col("__S") > 0,
-          lit(0.39) * wps + lit(11.8) * ypw - lit(15.59)), 4)
+        graft.functions.Lattice.e4(when(col("__W") > 0 && col("__S") > 0,
+          lit(0.39) * wps + lit(11.8) * ypw - lit(15.59)))
           .as("fk_grade"))): _*)
   }
 
@@ -1064,12 +1073,15 @@ object TextOps {
           .withColumn("__k12", col("__r1") - col("c12"))
           .withColumn("__k21", col("__c1") - col("c12"))
           .withColumn("__k22", lit(n) - col("__r1") - col("__c1") + col("c12"))
-          .withColumn("llr", round(lit(2.0) * nD *
+          // e4 lattice (also the ranking key): LLR is theoretically
+          // ≥ 0 but its fp term sum cancels to ±ε at independence —
+          // the signed-zero round() hazard (VERDICT r15 #2)
+          .withColumn("llr", graft.functions.Lattice.e4(lit(2.0) * nD *
             ((term(col("c12"), col("__r1"), col("__c1"))
               + term(col("__k12"), col("__r1"), lit(n) - col("__c1")))
               + (term(col("__k21"), lit(n) - col("__r1"), col("__c1"))
                 + term(col("__k22"), lit(n) - col("__r1"),
-                  lit(n) - col("__c1")))), 4))
+                  lit(n) - col("__c1"))))))
           .orderBy(col("llr").desc, col("w1").asc, col("w2").asc)
           .limit(k)
           .select(col("w1"), col("w2"), col("c12"), col("llr"))
@@ -1136,7 +1148,10 @@ object TextOps {
           when(coalesce(col("__cb"), lit(0L)) > 0, lit(0.5) * q * log(q / m))
             .otherwise(lit(0.0))
       filled.groupBy(col("__sa").as("source_a"), col("__sb").as("source_b"))
-        .agg(count(lit(1)).as("n_terms"), round(sum(term), 4).as("js"))
+        // e4 lattice: JS of near-identical sources is a fp sum of
+        // signed log terms — a ±ε residue (VERDICT r15 #2)
+        .agg(count(lit(1)).as("n_terms"),
+          graft.functions.Lattice.e4(sum(term)).as("js"))
         .transform(graft.state.Checkpoints.stable)
     } finally counts.unpersist(blocking = false)
   }

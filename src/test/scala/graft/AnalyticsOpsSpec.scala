@@ -1428,6 +1428,39 @@ class AnalyticsOpsSpec extends SparkSpec {
     val empty = one(AnalyticsOps.ksTwoSample(
       a, a.filter($"v" > 100L), "v"))
     assert(empty === ((4L, 0L, 0L, None)))
+    // BOTH sides empty: the totals sums are NULL (zero hist rows) —
+    // the overflow guard's IS NULL arm must not fall through to
+    // raise_error (ADVICE r15); contract is n_a=0, n_b=0, ks_d NULL
+    val bothEmpty = one(AnalyticsOps.ksTwoSample(
+      a.filter($"v" > 100L), a.filter($"v" > 100L), "v"))
+    assert(bothEmpty === ((0L, 0L, 0L, None)))
+  }
+
+  test("psiBandedGrouped: identical samples read psi_e6 = 0 on the " +
+    "dense 10-band grid; a shifted current sample reads a major-shift " +
+    "PSI; a group missing either side drops") {
+    import spark.implicits._
+    val ref = ((1 to 100).map(v => ("stable", v.toLong)) ++
+      (1 to 100).map(v => ("drift", v.toLong)) ++
+      (1 to 50).map(v => ("refonly", v.toLong))).toDF("g", "v")
+    val cur = ((1 to 100).map(v => ("stable", v.toLong)) ++
+      (1 to 100).map(v => ("drift", v.toLong + 200L)) ++
+      (1 to 50).map(v => ("curonly", v.toLong))).toDF("g", "v")
+    val out = AnalyticsOps.psiBandedGrouped(ref, cur, "g", "v")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toMap
+    // one-sided groups drop: no reference bands / no current sample
+    assert(out.keySet === Set("stable", "drift"))
+    // identical distributions: every share pair is bit-equal, the
+    // closing sum is exactly zero on the lattice
+    assert(out("stable") === ((100L, 100L, 10L, 0L)))
+    // all current mass lands above every reference edge: PSI far past
+    // the conventional 0.25 major-shift line (250000 on the lattice)
+    val (nr, nc, nb, psi) = out("drift")
+    assert(nr === 100L && nc === 100L && nb === 10L)
+    assert(psi > 250000L, s"drifted PSI should scream, got $psi")
   }
 
   test("ksTwoSampleGrouped: per-group results equal the ungrouped " +

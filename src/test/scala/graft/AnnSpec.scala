@@ -44,6 +44,34 @@ class AnnSpec extends SparkSpec {
     assert(out.values.forall { case (t, c, _) => c >= 0L && c <= t })
   }
 
+  test("int8OversampleRecall: recall is monotone non-decreasing in " +
+    "the oversample factor, reaches 1.0 when the shortlist covers the " +
+    "corpus, and counts k true neighbors per query") {
+    // 16 corpus vectors fanned around the unit circle (distinct
+    // cosine order), 2 queries; the shortlist is k·m = 2/4 at
+    // m ∈ {1,2} but 16 ≥ corpus−1 = 15 at m = 8 → recall 1.0 there
+    val corpus = vecs((0 until 16).map { i =>
+      val a = i * 0.12
+      (i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat))
+    }: _*)
+    val queries = vecs(0L -> Seq(1.0f, 0.0f), 7L -> Seq(0.6f, 0.8f))
+    val out = Ann.int8OversampleRecall(queries, corpus,
+        "vec_id", "embedding", "vec_id", "embedding",
+        k = 2, oversamples = Seq(1, 2, 8))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out.keySet === Set(1, 2, 8))
+    // shortlist_k = m·k; k true neighbors per query at every row
+    assert(out(1)._1 === 2L && out(2)._1 === 4L && out(8)._1 === 16L)
+    assert(out.values.forall(_._2 === 4L))
+    // monotone in m; exhaustive once the shortlist covers the corpus
+    assert(out(1)._4 <= out(2)._4 && out(2)._4 <= out(8)._4)
+    assert(out(8)._3 === 4L && out(8)._4 === 1000000L)
+    assert(out.values.forall { case (_, t, c, _) => c >= 0L && c <= t })
+  }
+
   test("sqTopK: recovers exact nearest neighbors on well-separated " +
     "clusters, and sq_dist orders consistently with geometry") {
     val corpus = vecs(

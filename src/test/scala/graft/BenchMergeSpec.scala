@@ -66,4 +66,30 @@ class BenchMergeSpec extends AnyFunSuite {
     assert(n === 1)
     assert(mins === cur)
   }
+
+  test("mergedStats: the median companion is the LOWER median over " +
+    "the same filtered sweeps and reuses the min's filters " +
+    "(VERDICT r15 #7)") {
+    val cur = Map("q1" -> 5.0, "q2" -> 1.0)
+    withHistory(Seq(
+      entry("2026-08-16T09:00:00Z", sf, Map("q1" -> 3.0, "q2" -> 2.0)),
+      // filtered out: different surface — must not enter the median
+      entry("2026-08-16T09:30:00Z", sf, Map("q1" -> 99.0)),
+      entry("2026-08-16T11:00:00Z", sf, Map("q1" -> 4.0, "q2" -> 0.5)))) { p =>
+      val (mins, meds, n) = Bench.mergedStats(p, sf, cur, now)
+      assert(n === 3)
+      assert(mins === Map("q1" -> 3.0, "q2" -> 0.5))
+      // q1 over {3,4,5} -> 4; q2 over {0.5,1,2} -> 1 (true middles);
+      // masking scenario: a single lucky min (q2 0.5) does not drag
+      // the median below the steady state
+      assert(meds === Map("q1" -> 4.0, "q2" -> 1.0))
+    }
+    // even sweep count: LOWER median (order statistic, no averaging)
+    withHistory(Seq(
+      entry("2026-08-16T11:00:00Z", sf, Map("q1" -> 4.0, "q2" -> 0.5)))) { p =>
+      val (_, meds, n) = Bench.mergedStats(p, sf, cur, now)
+      assert(n === 2)
+      assert(meds === Map("q1" -> 4.0, "q2" -> 0.5))
+    }
+  }
 }

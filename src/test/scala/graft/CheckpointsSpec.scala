@@ -47,6 +47,37 @@ class CheckpointsSpec extends SparkSpec {
     }
   }
 
+  test("stableLazy: flag off needs no checkpoint dir; flag on without " +
+    "a dir fails fast (the iterative-loop cut sites, ADVICE r15)") {
+    assert(Checkpoints.stableLazy(ratings).count() === 9L)
+    assume(spark.sparkContext.getCheckpointDir.isEmpty)
+    withFlag("true") {
+      val e = intercept[IllegalArgumentException] {
+        Checkpoints.stableLazy(ratings)
+      }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    }
+  }
+
+  test("iterative-loop operator (connected components, a stableLazy " +
+    "per-round cut) is identical under both checkpoint modes") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L), (8L, 9L), (9L, 1L))
+      .toDF("id_a", "id_b")
+    val expected = graft.graph.GraphOps.connectedComponents(pairs)
+      .collect().map(_.toSeq).toSet
+    assert(expected.nonEmpty)
+    val dir = tempDir("graftckpt3")
+    try {
+      spark.sparkContext.setCheckpointDir(dir.toString)
+      val reliable = withFlag("true") {
+        graft.graph.GraphOps.connectedComponents(pairs)
+          .collect().map(_.toSeq).toSet
+      }
+      assert(reliable === expected)
+    } finally TempTrees.deleteQuietly(dir)
+  }
+
   test("CF item similarity is identical under both checkpoint modes") {
     val expected = AnalyticsOps
       .itemSimilarity(ratings, "user_id", "item_id", k = 5)

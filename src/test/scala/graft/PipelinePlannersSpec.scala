@@ -544,4 +544,49 @@ class PipelinePlannersSpec extends SparkSpec {
       assert(out(3)._4 >= out(0)._4)
     } finally graft.TempTrees.deleteQuietly(tmp)
   }
+
+  test("q348 sampled simhash backtest: same invariants as q347 plus " +
+    "the sampled flag; on a fixture with one twin pair per sample " +
+    "half, the sampled catch curve AGREES with the full one") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // find ids on each side of the |sbs 1-in-2 sample split
+    val sides = spark.range(1, 60)
+      .select(col("id"), (graft.operators.SplitOps.hashBucket(concat(
+        col("id").cast("string"), lit("|sbs"))) % 2 === 0).as("in"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val sampled = sides.filter(_._2).keys.toSeq.sorted.take(2)
+    val dropped = sides.filterNot(_._2).keys.toSeq.sorted.take(2)
+    assert(sampled.size === 2 && dropped.size === 2)
+    // one identical-twin true pair wholly INSIDE the sample, one
+    // wholly OUTSIDE it — the sampled curve must agree with the full
+    // one (both read 1 true pair... resp. 2 ... at catch_ppm 1e6)
+    val fixture = (sampled.map(i => (i, "a b c d e f g h i j k l")) ++
+      dropped.map(i => (i, "m n o p q r s t u v w x")))
+      .toDF("doc_id", "text")
+    val tmp = tempDir("q348fix")
+    try {
+      fixture.write.mode("overwrite")
+        .parquet(tmp.resolve("documents.parquet").toString)
+      val full = SparkEntry.queries("q347_simhash_radius_backtest")(
+        spark, tmp.toString).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(5))).toMap
+      val samp = SparkEntry.queries("q348_simhash_radius_sampled")(
+        spark, tmp.toString).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(5), r.getBoolean(6))).toMap
+      assert(samp.keySet === Set(0, 1, 2, 3))
+      for (r <- Seq(0, 1, 2, 3)) {
+        assert(full(r)._1 === 2L, "two twin pairs in the full corpus")
+        assert(samp(r)._1 === 1L, "one twin pair inside the sample")
+        // agreement band: identical catch curve (ppm) sample vs full
+        assert(samp(r)._3 === full(r)._3,
+          s"radius $r: sampled ppm ${samp(r)._3} != full ${full(r)._3}")
+        assert(samp(r)._4, "sampled flag must be true")
+      }
+      assert(samp(0)._2 === 1L && full(0)._2 === 2L,
+        "identical twins caught at radius 0 on both paths")
+    } finally graft.TempTrees.deleteQuietly(tmp)
+  }
 }

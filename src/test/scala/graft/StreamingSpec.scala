@@ -842,6 +842,76 @@ class StreamingSpec extends SparkSpec {
     assert(verdicts() === expected)
   }
 
+  test("digestDedupBatch + admissionFunnel: one funnel row per " +
+    "(family, batch) off the verdict states; replaying an earlier " +
+    "batch after later ones landed leaves every funnel row unchanged") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "ALPHA beta GAMMA!"),     // digest-dup of 1 (normalized)
+      (3L, "totally different words"),
+      (4L, "alpha beta gamma"),      // digest-dup of 1
+      (5L, "yet another novel doc"))
+      .toDF("doc_id", "text")
+    val root = tempDir("funnel").toString
+    def run(b: Long, ids: Long*): Unit = {
+      val batch = docs.filter(col("doc_id").isin(ids: _*))
+      graft.streaming.StreamingOps.digestDedupBatch(
+        batch, b, "doc_id", "text", root + "/digest")
+      graft.streaming.StreamingOps.templateDedupBatch(
+        batch, b, "doc_id", "text", root + "/template")
+    }
+    run(0L, 1L, 2L, 3L)
+    run(1L, 4L, 5L)
+    def funnel() = graft.streaming.StreamingOps.admissionFunnel(Seq(
+        "digest" -> spark.read.parquet(root + "/digest/verdicts"),
+        "template" -> spark.read.parquet(root + "/template/verdicts")))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val f1 = funnel()
+    // digest: batch 0 admits 1,3 rejects 2; batch 1 admits 5 rejects 4
+    assert(f1(("digest", 0)) === ((3L, 2L, 1L, 666666L)))
+    assert(f1(("digest", 1)) === ((2L, 1L, 1L, 500000L)))
+    // template family present with its own independent verdicts
+    assert(f1.keySet === Set(("digest", 0), ("digest", 1),
+      ("template", 0), ("template", 1)))
+    // replay idempotence: re-run batch 0 AFTER batch 1 landed
+    run(0L, 1L, 2L, 3L)
+    assert(funnel() === f1)
+  }
+
+  test("funnelFromAdmitted: the MinHash admitted-output state rides " +
+    "the funnel through the adapter — rejected batch rows read " +
+    "is_novel = false") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely unrelated text with entirely distinct words here"))
+      .toDF("doc_id", "text")
+    val root = tempDir("funneladm").toString
+    graft.streaming.StreamingOps.dedupBatch(
+      docs.filter(col("doc_id") === 1L), 0L, "doc_id", "text",
+      root + "/sigs", root + "/out", threshold = 0.7)
+    graft.streaming.StreamingOps.dedupBatch(
+      docs.filter(col("doc_id") > 1L), 1L, "doc_id", "text",
+      root + "/sigs", root + "/out", threshold = 0.7)
+    val inputs = Seq((1L, 0), (2L, 1), (3L, 1)).toDF("doc_id", "batch")
+    val rows = graft.streaming.StreamingOps.admissionFunnel(Seq(
+        "minhash" -> graft.streaming.StreamingOps.funnelFromAdmitted(
+          inputs, root + "/out", "doc_id")))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // batch 0: doc 1 admitted; batch 1: doc 2 is a near-dup of the
+    // admitted doc 1 (rejected), doc 3 is novel (admitted)
+    assert(rows(("minhash", 0)) === ((1L, 1L, 0L)))
+    assert(rows(("minhash", 1)) === ((2L, 1L, 1L)))
+  }
+
   test("chunkDedupBatch: incremental verdicts equal the global " +
     "smaller-(doc, chunk)-pair rule — cross-doc and within-doc chunk " +
     "repeats are dups, batch-internal earlier chunks count, replay " +
