@@ -346,6 +346,15 @@ object NearDup {
         (col("__na") + col("__nb")).cast("double") *
           lit(threshold / (1.0 + threshold)) - 1.0)
       .select("id_a", "id_b").distinct()
+      // spread the verify: the surviving pair frame is tiny in BYTES
+      // (two longs per row) so AQE coalesces it to 1-2 partitions,
+      // but the per-row cost downstream is an exact shingle-set
+      // intersect — the stage that dominates the whole family
+      // (measured 2 tasks × ~2 s on 32 idle cores at sf0.1). A
+      // round-robin repartition of the id pairs costs a KB-scale
+      // shuffle and buys full-width parallelism for the verify.
+      .repartition(df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt)
     val out = cand
       .join(base.select(col("__id").as("id_a"), col("__set").as("__sa"),
         col("__n").as("__na")), "id_a")
