@@ -10,6 +10,74 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Opt-in scan fan-out for under-parallelized CPU-heavy map work
+    * (optimization guide §2.5 "input skew: one huge unsplittable file —
+    * repartition immediately after the read").
+    *
+    * The driver testdata ships each table as ONE parquet file with ONE
+    * row group; parquet cannot be split below row-group granularity,
+    * so every scan is a single task, and every map-side computation
+    * Catalyst fuses onto the scan (tokenize/normalize regexes, n-gram
+    * explodes, md5 replicate draws, shingle hashing) runs on one of
+    * the session's cores while the rest idle — the round-16 stage
+    * profiles show exactly that (q188: ONE 5.5 s single-task stage of
+    * pure CPU; fan-out takes the query 6.2 s → 1.5 s).
+    *
+    * Deliberately OPT-IN at the operator sites whose downstream is a
+    * one-pass CPU-heavy pipeline, not a blanket rewrite in `load`: the
+    * round-16 A/B showed a blanket scan fan-out REGRESSES iterative
+    * many-stage operators on KB-scale frames (BPE merge loop, CV
+    * folds: 4.8 s → 10.7 s on q157) — their per-stage scheduling
+    * overhead multiplies by the partition count while each task does
+    * microseconds of work.
+    *
+    * Scale-adaptive, not a local[32] constant: the rewrite fires only
+    * when the frame's ACTUAL scan parallelism is below the session's
+    * `defaultParallelism` (which itself follows the core count,
+    * including the driver's lower-CPU bench runs). A production-sized
+    * table is already scanned in many splits, so this is the identity
+    * there — round-robin shuffling terabytes would be the §2.4
+    * "accidental repartition" anti-pattern. Catalyst pushes filters
+    * and prunes columns THROUGH a Repartition node, so
+    * PushedFilters/ReadSchema at the parquet scan are unchanged.
+    *
+    * `spark.graft.scanFanOut=false` disables the rewrite entirely.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.conf.get("spark.graft.scanFanOut", "true").toBoolean) return df
+    val target = spark.sparkContext.defaultParallelism
+    // getNumPartitions plans (but never runs) the frame — cheap for the
+    // scan-plus-projection frames this is applied to
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Keyed repartition PINNED at the session's shuffle width.
+    *
+    * An unpinned `df.repartition(col(k))` is an AQE-coalescible
+    * exchange: on a KB-scale frame AQE folds it to ONE post-shuffle
+    * partition (advisory-size logic), and every CPU-heavy projection
+    * planned above it — MinHash permutations, hyperplane band dot
+    * products — then runs on a single core (round-16 stage profiles:
+    * q51's 576-dot-product band map as one 1.8 s single-task stage).
+    * Pinning the partition count makes the exchange non-coalescible so
+    * the expansion keeps the session's full width (the precedent is
+    * itemSimilarityImpl's pinned incidence exchange, VERDICT r13).
+    *
+    * Width = `spark.sql.shuffle.partitions` — the session's own
+    * scale knob (the bench contract sets it to the core count; a
+    * cluster deployment sizes it to the cluster), never a literal.
+    * Row-to-partition assignment is hash-on-key either way, so results
+    * are partitioning-independent exactly as before.
+    */
+  def pinnedRepartition(df: DataFrame,
+                        cols: org.apache.spark.sql.Column*): DataFrame =
+    if (!df.sparkSession.conf
+        .get("spark.graft.pinnedWidth", "true").toBoolean)
+      df.repartition(cols: _*) // A/B escape hatch (tools.AbProbe)
+    else df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, cols: _*)
+
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

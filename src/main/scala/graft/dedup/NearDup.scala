@@ -167,10 +167,13 @@ object NearDup {
     // by all three consumers (banding + both verify branches) —
     // Spark's ReuseExchange computes the shingle projection ONCE and
     // serves the other consumers from the shuffle files.
-    val shingled = df
+    // width-pinned (guide §2.5 / Tables.pinnedRepartition doc): AQE
+    // coalesces this KB-scale exchange to ONE partition otherwise, and
+    // the minhash permutation expansion above it runs single-task
+    val shingled = graft.Tables.pinnedRepartition(df
       .filter(size(TextOps.tokens(col(textCol))) >= shingleLen)
-      .select(col(idCol), TextOps.wordShingles(col(textCol), shingleLen).as("__sh"))
-      .repartition(col(idCol))
+      .select(col(idCol), TextOps.wordShingles(col(textCol), shingleLen).as("__sh")),
+      col(idCol))
     val sigOnly = shingled
       .select(col(idCol), minhashSignature(col("__sh"), numPerms).as("__sig"))
     val cands = lshCandidatePairs(lshBands(sigOnly, idCol, "__sig", bands, numPerms), idCol)
@@ -237,9 +240,14 @@ object NearDup {
       n: Int = 3, threshold: Double = 0.8,
       maxDf: Option[Long] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
-    val sh = df
+    // fan the docs out of a single-row-group scan before the shingle
+    // explode + hash fuse onto it (guide §2.5; round-16 profile: one
+    // 2.4 s single-task stage) — `sh` has THREE consumers (sizes +
+    // both join sides), each re-running the explode
+    val sh = graft.Tables.fanOut(df
       .filter(size(TextOps.tokens(col(textCol))) >= n)
-      .select(col(idCol).as("__id"),
+      .select(col(idCol).as("__id"), col(textCol)))
+      .select(col("__id"),
         explode(TextOps.wordShingles(col(textCol), n)).as("__s"))
       .select(col("__id"), xxhash64(col("__s")).as("__h"))
     val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
@@ -892,8 +900,12 @@ object NearDup {
       dedupBeforeVerify: Boolean = true): DataFrame = {
     // materialization barrier shared by the banding and both verify
     // branches (same CollapseProject/ReuseExchange reasoning as
-    // minhashLshPairs above)
-    val tagged = df.select(col(idCol), col(vecCol)).repartition(col(idCol))
+    // minhashLshPairs above); width-pinned so the bands×bits
+    // hyperplane dot products above it don't run on the ONE partition
+    // AQE coalesces a KB-scale exchange to (round-16 profile: a 1.8 s
+    // single-task stage at 96×6)
+    val tagged = graft.Tables.pinnedRepartition(
+      df.select(col(idCol), col(vecCol)), col(idCol))
     val bandRows = tagged.select(col(idCol),
       explode(graft.expressions.SimilarityExpressions
         .hyperplane_bands(col(vecCol), bands, bitsPerBand, seed)).as("__band"))

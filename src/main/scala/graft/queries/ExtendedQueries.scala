@@ -1837,16 +1837,20 @@ object ExtendedQueries {
     // diagonal mass = docs one scorer would gate and the other keep
     "q327_scorer_agreement" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val kn = graft.text.NgramLm.scoreKneserNey(docs, "doc_id", "text",
-          graft.text.NgramLm.trainKneserNey(docs, "text"))
-        .select(col("doc_id"),
-          floor(col("avg_nll") * lit(1e6d) + lit(0.5d)).cast(LongType)
-            .as("__ka"))
-      val sbo = graft.text.NgramLm.scoreStupidBackoff(docs, "doc_id",
-          "text", graft.text.NgramLm.trainStupidBackoff(docs, "text"))
-        .select(col("doc_id"),
-          floor(col("avg_nls") * lit(1e6d) + lit(0.5d)).cast(LongType)
-            .as("__kb"))
+      // the two models' train-time actions (persist counts, eager
+      // checkpoints) are independent — build them concurrently
+      // (guide §2.6 via graft.Par); plans and results unchanged
+      val Seq(kn, sbo) = graft.Par.build(s)(
+        () => graft.text.NgramLm.scoreKneserNey(docs, "doc_id", "text",
+            graft.text.NgramLm.trainKneserNey(docs, "text"))
+          .select(col("doc_id"),
+            floor(col("avg_nll") * lit(1e6d) + lit(0.5d)).cast(LongType)
+              .as("__ka")),
+        () => graft.text.NgramLm.scoreStupidBackoff(docs, "doc_id",
+            "text", graft.text.NgramLm.trainStupidBackoff(docs, "text"))
+          .select(col("doc_id"),
+            floor(col("avg_nls") * lit(1e6d) + lit(0.5d)).cast(LongType)
+              .as("__kb")))
       val j = kn.join(sbo, "doc_id").transform(graft.state.Checkpoints.stable)
       val n = j.agg(count(lit(1)).as("__n"))
       val ra = graft.operators.DedupOps.globalSurrogateId(
@@ -2322,7 +2326,11 @@ object ExtendedQueries {
         .filter(col("source").isNotNull && col("text").isNotNull)
       val toks = graft.text.TextOps.tokens(
         graft.text.TextOps.normalizeText(col("text")))
-      val perDoc = docs
+      // scan fan-out before the md5 shingle explode fuses onto the
+      // single-row-group scan (guide §2.5; round-16 profile: 1.5 s
+      // single-task stage)
+      val perDoc = Tables.fanOut(
+        docs.select(col("source"), col("doc_id"), col("text")))
         .select(col("source"), col("doc_id"), toks.as("__t"))
         .filter(size(col("__t")) >= 8)
         .select(col("source"), col("doc_id"), explode(expr(
@@ -3484,7 +3492,10 @@ object ExtendedQueries {
         .withColumn("__fold", (graft.operators.SplitOps.hashBucket(
           concat(col("doc_id").cast(StringType), lit("|cv"))) % 3)
           .cast(IntegerType))
-      (0 until 3).map { f =>
+      // fold trains run ~5 eager actions each (persist counts +
+      // checkpoints); building the three folds concurrently overlaps
+      // them (guide §2.6 via graft.Par) — plans and results unchanged
+      graft.Par.build(s)((0 until 3).map { f => () =>
         val train = docs.filter(col("__fold") =!= f)
         val test = docs.filter(col("__fold") === f)
         val model = graft.text.Classify.trainNaiveBayes(train, "lang", "text")
@@ -3496,7 +3507,7 @@ object ExtendedQueries {
               .as("n_correct"))
           .select(lit(f).as("fold"), col("n_docs"), col("n_correct"),
             expr("n_correct * 1000000 div n_docs").as("accuracy_ppm"))
-      }.reduce(_ unionByName _)
+      }: _*).reduce(_ unionByName _)
     }),
 
     // Hilbert vs Z-order zone maps on the q222 rectangle: the curve
@@ -3580,7 +3591,10 @@ object ExtendedQueries {
     // the item's counters (overestimate ≤ εN); est/exact side by side
     "q138_countmin" -> ((s, d) => {
       import s.implicits._
-      val toks = Tables.documents(s, d)
+      // scan fan-out before the tokenize explode (guide §2.5): `toks`
+      // has two consumers (sketch build + exact counts), each fusing
+      // the explode onto the single-row-group scan otherwise
+      val toks = Tables.fanOut(Tables.documents(s, d).select(col("text")))
         .select(explode(graft.text.TextOps.tokens(col("text"))).as("w"))
       val counters = graft.operators.SketchOps.countMinBuild(toks, "w")
       val queries = Seq("table", "query", "value", "zzz_absent").toDF("w")
