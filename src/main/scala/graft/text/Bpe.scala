@@ -133,6 +133,26 @@ object Bpe {
         .select(col("word"), col("cnt"), wrapChars(col("word")).as("wrapped")))
     var prevCache: DataFrame = null
 
+    // INTERVAL lineage barriers (round-16 opt, guide §1.2 "per-task
+    // work ... and driver overhead"): a barrier per merge made every
+    // iteration pay persist bookkeeping + a fresh physical plan
+    // (p.rdd) + a cache write of the whole word frame, and the
+    // round-16 profiles show the BPE queries are DRIVER-bound (q157:
+    // 3.0 s of task run under a 4.8 s wall across ~60 tiny stages).
+    // Letting up to `barrierEvery` chained `replace` rewrites ride on
+    // top of the last cached generation keeps plans and codegen
+    // bounded (the applyMerges ckptEvery precedent) while cutting the
+    // per-iteration barrier cost 16x. Merge DECISIONS are unchanged:
+    // each argmax still sees exactly the post-replace values — the
+    // chain is value-identical to materializing every generation.
+    // `spark.graft.bpeIntervalBarrier=false` restores the
+    // barrier-per-merge behavior (tools.AbProbe escape hatch).
+    val barrierEvery =
+      if (spark.conf.get("spark.graft.bpeIntervalBarrier", "true").toBoolean)
+        16
+      else 1
+    var sinceBarrier = 0
+
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
     var exhausted = false
@@ -148,11 +168,16 @@ object Bpe {
         val (a, b, n) = top.head
         rank += 1
         merges += ((rank, a, b, n))
-        val (next, nextCache) = barrier(words.withColumn("wrapped",
+        words = words.withColumn("wrapped",
           call_function("replace", col("wrapped"),
-            lit(Sep + a + Sep + Sep + b + Sep), lit(Sep + a + b + Sep))))
-        prevCache = cache
-        words = next; cache = nextCache
+            lit(Sep + a + Sep + Sep + b + Sep), lit(Sep + a + b + Sep)))
+        sinceBarrier += 1
+        if (sinceBarrier >= barrierEvery) {
+          val (next, nextCache) = barrier(words)
+          prevCache = cache
+          words = next; cache = nextCache
+          sinceBarrier = 0
+        }
       }
     }
 
