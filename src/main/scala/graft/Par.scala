@@ -27,11 +27,38 @@ object Par {
     if (!spark.conf.get("spark.graft.parBranches", "true").toBoolean)
       return thunks.map(_())
     if (thunks.sizeIs <= 1) return thunks.map(_())
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+    // small-branch-count contract (ADVICE r16): call sites pass 2-5
+    // independent branches; cap the pool so a future large thunk list
+    // cannot spawn that many driver threads each running eager actions
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(thunks.size, 8),
+      new java.util.concurrent.ThreadFactory {
+        // daemon threads: a hung branch must not keep the JVM alive
+        // after the driver's main thread exits
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-par-${System.identityHashCode(r)}")
+          t.setDaemon(true)
+          t
+        }
+      })
+    var failed = false
     try {
       val futs = thunks.map(t => pool.submit(
         new java.util.concurrent.Callable[A] { def call(): A = t() }))
-      futs.map(_.get())
-    } finally pool.shutdown()
+      // unwrap ExecutionException so the parallel path surfaces the
+      // same exception type/message as the serial path (ADVICE r16)
+      futs.map { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            failed = true
+            throw Option(e.getCause).getOrElse(e)
+        }
+      }
+    } finally {
+      // on failure, cancel still-running sibling branches instead of
+      // letting their Spark jobs run on while the caller unwinds
+      if (failed) pool.shutdownNow() else pool.shutdown()
+    }
   }
 }

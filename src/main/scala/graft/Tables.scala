@@ -46,10 +46,34 @@ object Tables {
   def fanOut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     if (!spark.conf.get("spark.graft.scanFanOut", "true").toBoolean) return df
+    // plan-shape gate (ADVICE r16): `df.rdd` is only a cheap planning
+    // call for SHUFFLE-FREE frames — under AQE, Dataset.rdd on a frame
+    // containing an exchange materializes all upstream query stages
+    // (runs real jobs) at "planning" time, and that work repeats when
+    // the query executes. Bypass (identity) on any shape beyond
+    // scan + narrow ops, so the helper is safe to apply anywhere.
+    if (!shuffleFree(df.queryExecution.logical)) return df
     val target = spark.sparkContext.defaultParallelism
     // getNumPartitions plans (but never runs) the frame — cheap for the
-    // scan-plus-projection frames this is applied to
+    // gate-admitted scan-plus-projection frames
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Conservative allowlist of logical nodes that plan WITHOUT an
+    * exchange: relation leaves plus narrow per-row ops. Anything else
+    * (joins, aggregates, windows, sorts, repartitions, unions of
+    * mismatched widths, ...) returns false and [[fanOut]] bypasses.
+    */
+  private def shuffleFree(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    plan match {
+      case _: LeafNode => true
+      case p @ (_: Project | _: Filter | _: Generate | _: SubqueryAlias |
+                _: Sample | _: LocalLimit) =>
+        p.children.forall(shuffleFree)
+      case _ => false
+    }
   }
 
   /** Keyed repartition PINNED at the session's shuffle width.

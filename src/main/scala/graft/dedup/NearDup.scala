@@ -309,6 +309,14 @@ object NearDup {
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
     import org.apache.spark.sql.expressions.Window
+    // NOTE (round-17, measured and rejected): a sorted-merge
+    // intersect-count verify (sort_array once per doc + a codegen
+    // two-pointer walk instead of array_intersect's per-pair hash set)
+    // was the round-16 "not yet optimized" candidate here. The
+    // same-JVM A/B REGRESSED the family (q324 +0.8 s, q336 +1.1 s,
+    // q347 +0.4 s, q348 +0.8 s): adjacent sorted shingles share deep
+    // word prefixes, so every merge-step compareTo re-scans the shared
+    // prefix, while the hash set scans each string once. Reverted.
     val base = df
       .filter(size(TextOps.tokens(col(textCol))) >= n)
       .select(col(idCol).as("__id"),
@@ -361,6 +369,11 @@ object NearDup {
       // (measured 2 tasks × ~2 s on 32 idle cores at sf0.1). A
       // round-robin repartition of the id pairs costs a KB-scale
       // shuffle and buys full-width parallelism for the verify.
+      // (Round-17 probed pinning BOTH sides of the verify joins at the
+      // session width to defeat AQE's post-join coalescing: REJECTED
+      // on A/B — q324 +1.1 s, q316 +0.5 s, q348 +0.4 s — AQE already
+      // converts these joins to broadcast at runtime, so the explicit
+      // keyed exchanges were pure added shuffle.)
       .repartition(df.sparkSession.conf
         .get("spark.sql.shuffle.partitions").toInt)
     val out = cand
@@ -550,8 +563,23 @@ object NearDup {
     * agreeing permutations (unbiased estimator, stderr ≈
     * 1/sqrt(numPerms)).
     */
-  def sigJaccardEst(a: Column, b: Column): Column =
-    size(filter(zip_with(a, b, (x, y) => x === y), v => v)).cast("double") / size(a)
+  def sigJaccardEst(a: Column, b: Column): Column = {
+    // fused agreement count (round-17 opt): one codegen'd loop per
+    // pair instead of two interpreted HOF passes + a boolean-array
+    // allocation. Value-identical: SigAgreeCount mirrors the
+    // zip_with/filter null and length-mismatch semantics exactly, and
+    // the closing division is the same int→double cast divide.
+    // `spark.graft.sigAgreeExpr=false` restores the HOF composition
+    // (tools.AbProbe escape hatch).
+    val direct = org.apache.spark.sql.SparkSession.getActiveSession
+      .forall(_.conf.get("spark.graft.sigAgreeExpr", "true").toBoolean)
+    if (direct)
+      graft.expressions.SimilarityExpressions.sig_agree_count(a, b)
+        .cast("double") / size(a)
+    else
+      size(filter(zip_with(a, b, (x, y) => x === y), v => v))
+        .cast("double") / size(a)
+  }
 
   /** Incremental near-dup admission: keep the incoming rows that are
     * near-dups of NEITHER the existing corpus NOR a kept earlier row

@@ -18,12 +18,18 @@ import org.apache.spark.sql.types._
   * norms, no per-element virtual dispatch, no boxing.
   */
 
-/** Cosine similarity of two numeric arrays (float or double elements),
-  * computed in double: dot / (sqrt(na) * sqrt(nb)); 0.0 when either
-  * norm is zero; NULL if either side is NULL OR the lengths differ
-  * (a truncated prefix cosine would be confidently wrong for
-  * mixed-dimension corruption — the zip_with/aggregate composition
-  * this replaces also nulls on mismatch).
+/** Cosine similarity of two numeric arrays (float, double, or any
+  * integral element type — int8 quantization codes ride directly,
+  * without the interpreted per-element `transform(c, _.cast(double))`
+  * wrapper the round-16 q92 profile showed allocating a fresh double
+  * array per PAIR), computed in double: dot / (sqrt(na) * sqrt(nb));
+  * 0.0 when either norm is zero; NULL if either side is NULL OR the
+  * lengths differ (a truncated prefix cosine would be confidently
+  * wrong for mixed-dimension corruption — the zip_with/aggregate
+  * composition this replaces also nulls on mismatch). Integral
+  * elements convert to double EXACTLY (int8 codes are |x| ≤ 127, far
+  * inside the 2^53 mantissa), so the result is bit-identical to the
+  * cast-then-cosine composition.
   */
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -32,19 +38,24 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
-      case ArrayType(FloatType | DoubleType, _) => true
+      case ArrayType(FloatType | DoubleType | ByteType | ShortType |
+                     IntegerType | LongType, _) => true
       case _                                    => false
     }
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"cosine_sim expects array<float|double>, got ${left.dataType} / ${right.dataType}")
+        s"cosine_sim expects array<numeric>, got ${left.dataType} / ${right.dataType}")
   }
 
-  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _                       => false
+  private def getter(e: Expression): String = e.dataType match {
+    case ArrayType(FloatType, _)   => "getFloat"
+    case ArrayType(ByteType, _)    => "getByte"
+    case ArrayType(ShortType, _)   => "getShort"
+    case ArrayType(IntegerType, _) => "getInt"
+    case ArrayType(LongType, _)    => "getLong"
+    case _                         => "getDouble"
   }
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
@@ -52,12 +63,19 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
     val b = r.asInstanceOf[ArrayData]
     if (a.numElements() != b.numElements()) return null
     val n = a.numElements()
-    val lf = elemIsFloat(left); val rf = elemIsFloat(right)
+    def at(x: ArrayData, e: Expression, i: Int): Double = e.dataType match {
+      case ArrayType(FloatType, _)   => x.getFloat(i).toDouble
+      case ArrayType(ByteType, _)    => x.getByte(i).toDouble
+      case ArrayType(ShortType, _)   => x.getShort(i).toDouble
+      case ArrayType(IntegerType, _) => x.getInt(i).toDouble
+      case ArrayType(LongType, _)    => x.getLong(i).toDouble
+      case _                         => x.getDouble(i)
+    }
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
-      val x: Double = if (lf) a.getFloat(i).toDouble else a.getDouble(i)
-      val y: Double = if (rf) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = at(a, left, i)
+      val y = at(b, right, i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -65,8 +83,8 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
-    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    val lGet = getter(left)
+    val rGet = getter(right)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
@@ -224,6 +242,64 @@ case class JaccardSim(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** Positionwise agreement COUNT of two long-array MinHash signatures:
+  * the number of indices i < min(|a|, |b|) where both elements are
+  * non-null and equal — exactly the semantics of the
+  * `size(filter(zip_with(a, b, _ === _), v => v))` composition it
+  * replaces (null elements and length-mismatch tails compare to null
+  * under `===` and are dropped by the filter), but as ONE fused
+  * primitive loop instead of two interpreted lambda passes plus a
+  * boolean-array materialization per candidate PAIR (the q75/q92
+  * incremental-admission verify kernel).
+  */
+case class SigAgreeCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sig_agree_count expects array<bigint>, got $other")
+    }
+  }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var cnt = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i))
+        cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val cnt = ctx.freshName("cnt")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $cnt = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+         |      $a.getLong($i) == $b.getLong($i)) $cnt++;
+         |}
+         |${ev.value} = $cnt;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgreeCount =
+    copy(left = l, right = r)
+}
+
 /** Banded random-hyperplane signatures for cosine LSH (OR-amplified
   * blocking): `bands` bands of `bitsPerBand` sign bits each, one
   * element per band with the band index packed into the high bits —
@@ -245,17 +321,36 @@ case class HyperplaneBands(child: Expression, bands: Int, bitsPerBand: Int, seed
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(FloatType | DoubleType, _) =>
+      case ArrayType(FloatType | DoubleType | ByteType | ShortType |
+                     IntegerType | LongType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"hyperplane_bands expects array<float|double>, got $other")
+          s"hyperplane_bands expects array<numeric>, got $other")
     }
 
-  private def elemIsFloat: Boolean = child.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _                       => false
+  // integral elements (int8 quantization codes) convert to double
+  // exactly, so signatures are bit-identical to the cast-then-band
+  // composition the direct path replaces
+  private def getterName: String = child.dataType match {
+    case ArrayType(FloatType, _)   => "getFloat"
+    case ArrayType(ByteType, _)    => "getByte"
+    case ArrayType(ShortType, _)   => "getShort"
+    case ArrayType(IntegerType, _) => "getInt"
+    case ArrayType(LongType, _)    => "getLong"
+    case _                         => "getDouble"
   }
+  // hoisted accessor: one dataType match per expression instance, not
+  // one per element, on the interpreted path
+  @transient private lazy val atDouble: (ArrayData, Int) => Double =
+    child.dataType match {
+      case ArrayType(FloatType, _)   => (v, i) => v.getFloat(i).toDouble
+      case ArrayType(ByteType, _)    => (v, i) => v.getByte(i).toDouble
+      case ArrayType(ShortType, _)   => (v, i) => v.getShort(i).toDouble
+      case ArrayType(IntegerType, _) => (v, i) => v.getInt(i).toDouble
+      case ArrayType(LongType, _)    => (v, i) => v.getLong(i).toDouble
+      case _                         => (v, i) => v.getDouble(i)
+    }
 
   // deterministic per (plane, dim, seed) — materialised once per task
   // instead of one splitmix per (plane, dim) per ROW (bands × bits ×
@@ -271,7 +366,6 @@ case class HyperplaneBands(child: Expression, bands: Int, bitsPerBand: Int, seed
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val n = v.numElements()
-    val isFloat = elemIsFloat // hoisted: not one dataType match per element
     ensureTable(n)
     val out = new Array[Long](bands)
     var b = 0
@@ -283,7 +377,7 @@ case class HyperplaneBands(child: Expression, bands: Int, bitsPerBand: Int, seed
         var dot = 0.0
         var i = 0
         while (i < n) {
-          val x: Double = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+          val x = atDouble(v, i)
           dot += (if (signs(i)) x else -x)
           i += 1
         }
@@ -297,7 +391,7 @@ case class HyperplaneBands(child: Expression, bands: Int, bitsPerBand: Int, seed
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val get = getterName
     // sign table as operator state: built on first row (and regrown if
     // a longer vector appears), then the hot loop is a plain
     // multiply-accumulate over a boolean[] — no hashing per row
@@ -450,6 +544,8 @@ object SimilarityExpressions {
     ColumnBridge.toColumn(CosineSim(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
   def jaccard_sim(a: Column, b: Column): Column =
     ColumnBridge.toColumn(JaccardSim(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
+  def sig_agree_count(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(SigAgreeCount(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
   def int_sq_dist(a: Column, b: Column): Column =
     ColumnBridge.toColumn(IntSqDist(ColumnBridge.toExpression(a), ColumnBridge.toExpression(b)))
   def hyperplane_bands(vec: Column, bands: Int, bitsPerBand: Int, seed: Long): Column =

@@ -433,11 +433,19 @@ object CorpusPipeline {
       dedupBeforeVerify: Boolean = true): (DataFrame, DataFrame, () => Unit) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def eager(df: DataFrame): DataFrame = { val p = df.persist(lvl); p.count(); p }
-    // int8 codes → double for the banding/cosine expressions (both
-    // require array<float|double>); integer-valued doubles make the
-    // dot products exact, so the threshold compare is engine-portable
+    // int8 codes feed the banding/cosine expressions DIRECTLY (both
+    // accept integral arrays since round 17): each element converts to
+    // double exactly inside the fused codegen loop, so the dot products
+    // and the threshold compare are bit-identical to the earlier
+    // `transform(c, _.cast(double))` composition — which the round-16
+    // q92 profile showed as an INTERPRETED per-element lambda
+    // allocating a fresh double array per pair/row.
+    // `spark.graft.int8Direct=false` restores the cast composition
+    // (tools.AbProbe escape hatch; values identical either way).
     def qd(c: Column): Column =
-      transform(c, x => x.cast(org.apache.spark.sql.types.DoubleType))
+      if (corpusState.sparkSession.conf
+          .get("spark.graft.int8Direct", "true").toBoolean) c
+      else transform(c, x => x.cast(org.apache.spark.sql.types.DoubleType))
     def banded(state: DataFrame): DataFrame = state.select(col(idCol),
       explode(graft.expressions.SimilarityExpressions.hyperplane_bands(
         qd(col("qvec")), bands, bitsPerBand, seed)).as("__band"))
@@ -465,6 +473,10 @@ object CorpusPipeline {
       .join(banded(corpState).select(col("__band"), col(idCol).as("id_old")), "__band")
       .select("id_new", "id_old")
     val cands = if (dedupBeforeVerify) rawCands.distinct() else rawCands
+    // (Round-17 probed pinning the verify joins at session width —
+    // REJECTED on A/B, q92 +2.2 s: AQE converts these joins to
+    // broadcast at runtime, so explicit keyed exchanges on the
+    // persisted state frames were pure added shuffle.)
     val vsCorpus = cands
       .join(batchState.select(col(idCol).as("id_new"), col("qvec").as("__qn")), "id_new")
       .join(corpState.select(col(idCol).as("id_old"), col("qvec").as("__qo")), "id_old")

@@ -1947,13 +1947,21 @@ object ExtendedQueries {
     // dedup pipeline closes before trusting the planner's math
     "q324_lsh_backtest" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = graft.dedup.NearDup.prefixJaccardPairs(
-        docs, "doc_id", "text", n = 3, threshold = 0.25)
       val jac = col("inter_size").cast(DoubleType) /
         (col("size_a") + col("size_b") - col("inter_size"))
           .cast(DoubleType)
-      val truth = pairs.select(col("id_a"), col("id_b"), jac.as("__jac"))
-        .transform(graft.state.Checkpoints.stable) // threshold-bounded; feeds 2 configs
+      // the exact-pair TRUTH chain and the K-M sketch are independent
+      // eager-checkpoint branches (round-17 opt, guide §2.6 / the r16
+      // q261∥q327 precedent): built serially they back-to-back two
+      // CPU-heavy job chains on an otherwise idle scheduler; plans and
+      // values are byte-identical, only the wall overlap changes.
+      // (declared up-front so the thunks below stay readable)
+      def truthThunk(): DataFrame = {
+        val pairs = graft.dedup.NearDup.prefixJaccardPairs(
+          docs, "doc_id", "text", n = 3, threshold = 0.25)
+        pairs.select(col("id_a"), col("id_b"), jac.as("__jac"))
+          .transform(graft.state.Checkpoints.stable) // threshold-bounded; feeds 2 configs
+      }
       // Kirsch-Mitzenmacher double hashing: ONE md5 per shingle gives
       // (h1: 60 bits, h2: 52 bits); perm p's hash is h1 + p*h2 — pure
       // int64 arithmetic (max < 2^61, overflow-free in BOTH engines),
@@ -1966,13 +1974,15 @@ object ExtendedQueries {
       // realized-catch deficit vs the independent-perm S-curve and a
       // candidate load far above the ideal sketch's (sf0.1: 253/256
       // caught vs 255.94e9 predicted; 19.8k candidates vs 256 true)
-      val mins = graft.dedup.NearDup
-        .kmMinhashMins(docs, "doc_id", "text", shingleLen = 3,
-          numPerms = 128)
-        .transform(graft.state.Checkpoints.stable) // one sketch pass shared by the configs
+      val Seq(truth, mins) = graft.Par.build(s)(
+        () => truthThunk(),
+        () => graft.dedup.NearDup
+          .kmMinhashMins(docs, "doc_id", "text", shingleLen = 3,
+            numPerms = 128)
+          .transform(graft.state.Checkpoints.stable)) // one sketch pass shared by the configs
       def sq(c: Column, k: Int): Column =
         (1 to k).foldLeft(c)((a, _) => a * a)
-      Seq((8, 3, 16, 4), (16, 4, 8, 3)).map { case (r, lr, b, lb) =>
+      def config(r: Int, lr: Int, b: Int, lb: Int): DataFrame = {
         val bands = graft.dedup.NearDup.kmBandKeys(mins, "doc_id", r, b)
         val cand = bands
           .select(col("__b"), col("__k"), col("doc_id").as("id_a"))
@@ -1995,7 +2005,12 @@ object ExtendedQueries {
             lit(b).cast(IntegerType).as("bands"),
             col("n_pairs_ge50"), col("exp_caught_ge50_e9"),
             col("actual_caught_ge50"), col("n_band_candidates"))
-      }.reduce(_.unionAll(_))
+      }
+      // the two band configs are independent branches, each with one
+      // eager cand checkpoint — overlap them too (§2.6)
+      graft.Par.build(s)(
+        () => config(8, 3, 16, 4),
+        () => config(16, 4, 8, 3)).reduce(_.unionAll(_))
     }),
 
     // sketch-fed band planner (VERDICT r13 task #4): q316's planner
@@ -2202,20 +2217,23 @@ object ExtendedQueries {
       val docs = Tables.documents(s, d)
         .filter(graft.operators.SplitOps.hashBucket(concat(
           col("doc_id").cast(StringType), lit("|bts"))) % 2 === 0)
-      val pairs = graft.dedup.NearDup.prefixJaccardPairs(
-        docs, "doc_id", "text", n = 3, threshold = 0.25)
       val jac = col("inter_size").cast(DoubleType) /
         (col("size_a") + col("size_b") - col("inter_size"))
           .cast(DoubleType)
-      val truth = pairs.select(col("id_a"), col("id_b"), jac.as("__jac"))
-        .transform(graft.state.Checkpoints.stable)
-      val mins = graft.dedup.NearDup
-        .kmMinhashMins(docs, "doc_id", "text", shingleLen = 3,
-          numPerms = 128)
-        .transform(graft.state.Checkpoints.stable)
+      // truth ∥ sketch, then the two configs concurrently — the q324
+      // overlap (round-17 opt, guide §2.6); values byte-identical
+      val Seq(truth, mins) = graft.Par.build(s)(
+        () => graft.dedup.NearDup.prefixJaccardPairs(
+            docs, "doc_id", "text", n = 3, threshold = 0.25)
+          .select(col("id_a"), col("id_b"), jac.as("__jac"))
+          .transform(graft.state.Checkpoints.stable),
+        () => graft.dedup.NearDup
+          .kmMinhashMins(docs, "doc_id", "text", shingleLen = 3,
+            numPerms = 128)
+          .transform(graft.state.Checkpoints.stable))
       def sq(c: Column, k: Int): Column =
         (1 to k).foldLeft(c)((a, _) => a * a)
-      Seq((8, 3, 16, 4), (16, 4, 8, 3)).map { case (r, lr, b, lb) =>
+      def config(r: Int, lr: Int, b: Int, lb: Int): DataFrame = {
         val bands = graft.dedup.NearDup.kmBandKeys(mins, "doc_id", r, b)
         val cand = bands
           .select(col("__b"), col("__k"), col("doc_id").as("id_a"))
@@ -2238,7 +2256,10 @@ object ExtendedQueries {
             lit(b).cast(IntegerType).as("bands"),
             col("n_pairs_ge50"), col("exp_caught_ge50_e9"),
             col("actual_caught_ge50"), col("n_band_candidates"))
-      }.reduce(_.unionAll(_))
+      }
+      graft.Par.build(s)(
+        () => config(8, 3, 16, 4),
+        () => config(16, 4, 8, 3)).reduce(_.unionAll(_))
     }),
 
     // quality-filter ablation audit: per Gopher rule, how many docs

@@ -73,8 +73,10 @@ object Ann {
       k: Int, oversample: Int = 4): DataFrame = {
     val state = quantizeInt8(corpus, cId, cVec)
     val q = broadcast(queries.select(col(qId).as("query_id"), col(qVec).as("__qv")))
+    // int8 codes feed cosine_sim directly (integral-array support,
+    // round 17) — same values, no interpreted per-element cast lambda
     val codes = state.select(col(cId).as("neighbor_id"),
-      transform(col("qvec"), x => x.cast(DoubleType)).as("__cv8"))
+      col("qvec").as("__cv8"))
     val cand = q.crossJoin(codes)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", NearDup.cosine(col("__qv"), col("__cv8")))

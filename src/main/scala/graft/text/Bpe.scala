@@ -132,6 +132,13 @@ object Bpe {
         .filter(!col("word").contains(Sep))
         .select(col("word"), col("cnt"), wrapChars(col("word")).as("wrapped")))
     var prevCache: DataFrame = null
+    // NOTE (round-17, measured and rejected): coalescing the vocab
+    // loop frame to 1 partition (CoalesceExec(1) → SinglePartition
+    // satisfies the argmax groupBy, one exchange-free stage per merge)
+    // A/B'd NEUTRAL-to-NEGATIVE (q156 +0.3 s, q157 +0.0, q161 +0.0,
+    // q164 +0.3): the sizing count() plus the 1-task replace chain +
+    // 32-block coalesce read cost what the removed kilobyte exchange
+    // saved. Reverted — the loop keeps the session width.
 
     // INTERVAL lineage barriers (round-16 opt, guide §1.2 "per-task
     // work ... and driver overhead"): a barrier per merge made every

@@ -34,27 +34,47 @@ object AbProbe {
     try SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
     catch { case _: Throwable => () }
     for (name <- names) {
+      // a failed rep returns NaN — folding a fail-fast crash timing
+      // into the min would let a broken variant print as a win
+      // (ADVICE r16)
       def once(v: Boolean): Double = {
         spark.conf.set(confKey, v.toString)
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         System.gc()
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir)
-          .write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable =>
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           System.err.println(s"[ab] $name ($confKey=$v) failed: ${e.getMessage}")
+          Double.NaN
         }
-        (System.nanoTime() - t0) / 1e9
       }
       // one untimed warm-up per variant absorbs codegen/JIT
       once(true); once(false)
       val (ons, offs) = (1 to reps).map(_ => (once(true), once(false))).unzip
-      val on = ons.min; val off = offs.min
-      println(f"[ab] $name $confKey on=$on%.2f off=$off%.2f " +
-        f"delta=${on - off}%+.2f s " +
-        s"(on ${ons.map(x => f"$x%.2f").mkString("/")} | " +
-        s"off ${offs.map(x => f"$x%.2f").mkString("/")})")
+      def minOk(xs: Seq[Double]): Option[Double] = {
+        val ok = xs.filterNot(_.isNaN)
+        if (ok.isEmpty) None else Some(ok.min)
+      }
+      def fmt(x: Double): String = if (x.isNaN) "FAIL" else f"$x%.2f"
+      (minOk(ons), minOk(offs)) match {
+        case (Some(on), Some(off)) =>
+          val flag = if (ons.exists(_.isNaN) || offs.exists(_.isNaN))
+            " [SOME REPS FAILED]" else ""
+          println(f"[ab] $name $confKey on=$on%.2f off=$off%.2f " +
+            f"delta=${on - off}%+.2f s " +
+            s"(on ${ons.map(fmt).mkString("/")} | " +
+            s"off ${offs.map(fmt).mkString("/")})$flag")
+        case (onOpt, offOpt) =>
+          println(s"[ab] $name $confKey FAILED " +
+            s"(on=${onOpt.fold("FAIL")(x => f"$x%.2f")} " +
+            s"off=${offOpt.fold("FAIL")(x => f"$x%.2f")}; " +
+            s"on ${ons.map(fmt).mkString("/")} | " +
+            s"off ${offs.map(fmt).mkString("/")})")
+      }
     }
     spark.stop()
   }

@@ -46,6 +46,57 @@ class NearDupSpec extends SparkSpec {
       new graft.expressions.TopKAgg.TopK[Long](0))
   }
 
+  test("cosine_sim and hyperplane_bands over integral arrays are " +
+    "bit-identical to the cast-to-double composition") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 100).map { _ =>
+      val d = 16 + rnd.nextInt(48)
+      (Array.fill(d)(rnd.nextInt(255) - 127),
+        Array.fill(d)(rnd.nextInt(255) - 127))
+    }.toDF("qa", "qb")
+    val asD = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => x.cast("double"))
+    val cos = df.select(
+      cosine_sim(col("qa"), col("qb")).as("direct"),
+      cosine_sim(asD(col("qa")), asD(col("qb"))).as("viaCast")).collect()
+    cos.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+    // mixed types: float query vs int codes evaluates (no exception)
+    // and matches the cast form
+    val mixed = (1 to 20).map { _ =>
+      (Array.fill(8)(rnd.nextFloat()), Array.fill(8)(rnd.nextInt(255) - 127))
+    }.toDF("f", "q")
+    mixed.select(cosine_sim(col("f"), col("q")).as("direct"),
+        cosine_sim(col("f"), asD(col("q"))).as("viaCast"))
+      .collect().foreach { r =>
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+      }
+    val hb = df.select(
+      hyperplane_bands(col("qa"), 8, 6, 42L).as("direct"),
+      hyperplane_bands(asD(col("qa")), 8, 6, 42L).as("viaCast")).collect()
+    hb.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
+  test("sig_agree_count mirrors the zip_with/filter composition: " +
+    "equal, disjoint, null elements, length mismatch") {
+    val df = Seq(
+      (Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](1L, 2L, 3L)),
+      (Seq[java.lang.Long](1L, 2L, 3L), Seq[java.lang.Long](4L, 5L, 6L)),
+      (Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](1L, null, 3L)),
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](1L, 2L, 3L)),
+      (Seq[java.lang.Long](), Seq[java.lang.Long](1L))
+    ).toDF("a", "b")
+    val rows = df.select(
+      sig_agree_count(col("a"), col("b")).as("m"),
+      size(filter(zip_with(col("a"), col("b"), (x, y) => x === y),
+        v => v)).as("ref")).collect()
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    assert(rows.map(_.getInt(0)).toSeq === Seq(3, 0, 2, 2, 0))
+  }
+
   test("exactDedup keeps min id per content group with dup_count") {
     val df = Seq((1L, "same"), (5L, "same"), (3L, "same"), (2L, "unique"))
       .toDF("doc_id", "text")
