@@ -648,14 +648,17 @@ object NearDup {
     // + numPerms longs).
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     def eager(df: DataFrame): DataFrame = { val p = df.persist(lvl); p.count(); p }
-    val inSigs = eager(minhashSignatures(incoming, idCol, textCol, shingleLen, numPerms))
     // corpus state: consumed by the band join AND the verify join; in
     // production it is a parquet-backed (id, signature) frame — the
     // persist pins it so neither consumer re-reads (or, when a
     // caller builds it inline, re-shingles) the corpus. If the CALLER
     // already persisted it (a daily-increment driver reusing one
     // corpus cache across batches), it is left alone and the release
-    // handle must not clobber it — release only what this call created
+    // handle must not clobber it — release only what this call created.
+    // (round-17 probed overlapping the batch-signature build with the
+    // corpus-state materialization — NEUTRAL on A/B, q75 +0.05 s;
+    // reverted, serial kept)
+    val inSigs = eager(minhashSignatures(incoming, idCol, textCol, shingleLen, numPerms))
     val corpusAlreadyCached =
       corpusSigs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val corpSigs = if (corpusAlreadyCached) corpusSigs else eager(corpusSigs)

@@ -452,6 +452,8 @@ object CorpusPipeline {
 
     // quantize the batch once; empty/NULL vectors carry no direction
     // and are routed around the admission tree entirely
+    // (round-17 probed overlapping this with the corpus-state
+    // materialization — NEUTRAL on A/B, q92 −0.04 s; reverted)
     val batchState = eager(
       graft.similarity.Ann.quantizeInt8(incoming, idCol, vecCol)
         .filter(col("qvec").isNotNull && size(col("qvec")) > 0))

@@ -170,6 +170,8 @@ object CorpusQueries {
     // exact-substring duplication (Lee et al. 2022 signal): 8-token
     // windows shared by >= 2 documents, hash-keyed aggregation
     "q84_dup_spans" -> ((s, d) =>
+      // (round-17 probed a scan fan-out here — NEUTRAL on A/B, kept
+      // unfanned; its heavy sibling passes q91/q320/q321 DID win)
       CorpusPipeline.duplicateSpans(Tables.documents(s, d), "doc_id", "text",
         windowTokens = 8, minDocs = 2)),
 
@@ -236,7 +238,8 @@ object CorpusQueries {
     // from the text; oracle recomputes the covered-position union and
     // the rebuilt text independently
     "q91_dup_span_removal" -> ((s, d) =>
-      CorpusPipeline.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
+      CorpusPipeline.removeDuplicateSpans(
+        graft.Tables.fanOut(Tables.documents(s, d)), "doc_id", "text",
         windowTokens = 8, minDocs = 2)),
 
     // incremental SemDeDup admission: even vec_ids are the established
@@ -341,7 +344,8 @@ object CorpusQueries {
     // survive minus the quotes
     "q140_surgical_decontaminate" -> ((s, d) => {
       import s.implicits._
-      CorpusPipeline.decontaminateSpans(Tables.documents(s, d),
+      CorpusPipeline.decontaminateSpans(
+        graft.Tables.fanOut(Tables.documents(s, d)),
         "doc_id", "text", benchTexts.toDF("btext"), "btext",
         windowTokens = 4)
     }),

@@ -1635,7 +1635,8 @@ object ExtendedQueries {
     // nav-bar signal; one row per doc with the rebuilt text
     "q320_boilerplate_removal" -> ((s, d) =>
       graft.pipelines.CorpusPipeline.removeBoilerplateSpans(
-        Tables.documents(s, d).filter(col("source").isNotNull),
+        graft.Tables.fanOut(
+          Tables.documents(s, d).filter(col("source").isNotNull)),
         "doc_id", "text", "source", windowTokens = 8, dfDenom = 10)),
 
     // the audit closing the q300 -> q320 story: re-screen the CLEANED
@@ -1645,7 +1646,10 @@ object ExtendedQueries {
     // windows; thresholds are unchanged because no document is
     // dropped)
     "q321_boilerplate_residual" -> ((s, d) => {
-      val docs = Tables.documents(s, d).filter(col("source").isNotNull)
+      // scan fan-out before the three span-window passes each fuse
+      // onto the single-split scan (round-17 opt, guide §2.5)
+      val docs = graft.Tables.fanOut(
+        Tables.documents(s, d).filter(col("source").isNotNull))
       val src = docs.select(col("doc_id"), col("source"))
       // ONE rule pass: the checkpointed (source, hash) frame feeds the
       // before-count AND the removal (the countDistinct over the span
@@ -3032,7 +3036,8 @@ object ExtendedQueries {
     // (level, hash) semi-join
     "q313_memorization_screen" -> ((s, d) =>
       graft.pipelines.CorpusPipeline.memorizationScreen(
-        Tables.documents(s, d).filter(col("text").isNotNull),
+        graft.Tables.fanOut(
+          Tables.documents(s, d).filter(col("text").isNotNull)),
         "doc_id", "text", col("doc_id") % 31 === 0)),
 
     // kNN label-agreement audit over the embeddings' label column:

@@ -250,6 +250,9 @@ object Classify {
       .persist()
 
     // ---- training (the trainNb aggregation, reading the shared frame)
+    // (round-17 probed overlapping the vocab/doc counts and the two
+    // model checkpoints via Par.build — NEUTRAL on A/B at sf0.1
+    // (q131 +0.2 s, q118 +0.1 s); reverted, serial kept)
     val pair = g.groupBy(col("label"), col("w_hash"))
       .agg(count(lit(1)).as("c"))
     pair.persist()

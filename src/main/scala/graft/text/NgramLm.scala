@@ -252,17 +252,23 @@ object NgramLm {
       countDistinct(col("w2")).as("vc")).head()
     val b = bv.getLong(0); val vc = bv.getLong(1)
     require(b > 0, "reference corpus has no bigrams")
-    val heads = bic.groupBy("w1")
-      .agg(sum("c12").as("c1b"), count(lit(1)).as("n1from"))
-      .select(xxhash64(col("w1")).as("h_hash"), col("c1b"), col("n1from"))
-      .transform(graft.state.Checkpoints.stable)
-    val cont = bic.groupBy("w2").agg(count(lit(1)).as("nto"))
-      .select(xxhash64(col("w2")).as("c_hash"),
-        ((col("nto") + 1).cast("double") / (b + vc).toDouble).as("pcont"))
-      .transform(graft.state.Checkpoints.stable)
-    val bigrams = bic
-      .select(xxhash64(col("w1"), col("w2")).as("bg_hash"), col("c12"))
-      .transform(graft.state.Checkpoints.stable)
+    // the three model frames are independent aggregations of the
+    // already-materialized bic cache, each eagerly checkpointed —
+    // build them as concurrent branches (round-17 opt, guide §2.6 /
+    // the q261∥q327 precedent): plans and values byte-identical,
+    // their three back-to-back jobs overlap on the idle scheduler
+    val Seq(heads, cont, bigrams) = graft.Par.build(ref.sparkSession)(
+      () => bic.groupBy("w1")
+        .agg(sum("c12").as("c1b"), count(lit(1)).as("n1from"))
+        .select(xxhash64(col("w1")).as("h_hash"), col("c1b"), col("n1from"))
+        .transform(graft.state.Checkpoints.stable),
+      () => bic.groupBy("w2").agg(count(lit(1)).as("nto"))
+        .select(xxhash64(col("w2")).as("c_hash"),
+          ((col("nto") + 1).cast("double") / (b + vc).toDouble).as("pcont"))
+        .transform(graft.state.Checkpoints.stable),
+      () => bic
+        .select(xxhash64(col("w1"), col("w2")).as("bg_hash"), col("c12"))
+        .transform(graft.state.Checkpoints.stable))
     bic.unpersist(blocking = false)
     KneserNeyLm(bigrams, heads, cont, 1.0 / (b + vc).toDouble, discount)
   }
