@@ -1115,13 +1115,14 @@ object StreamingOps {
     val minOwner = batchHashes
       .join(firstOwner, "h")
       .groupBy("doc_id").agg(min("__fo").as("__mfo"))
-    sigs.select("doc_id").distinct()
+    val verdicts = sigs.select("doc_id").distinct()
       .join(minOwner, Seq("doc_id"), "left")
       .select(col("doc_id"),
         (col("__mfo").isNull || col("__mfo") >= col("doc_id"))
           .as("is_novel"))
-      .write.mode("overwrite").parquet(s"$statePath/verdicts/batch=$batchId")
-    sigs.write.mode("overwrite").parquet(s"$statePath/sigs/batch=$batchId")
+    writeVerdictsAndState(spark, verdicts, sigs,
+      s"$statePath/verdicts/batch=$batchId",
+      s"$statePath/sigs/batch=$batchId")
   }
 
   /** The verdict table [[spanDedupBatch]] maintains. */
@@ -1169,6 +1170,31 @@ object StreamingOps {
     * discipline as [[templateDedupBatch]] — per-batch shuffle volume
     * is O(batch + matched keys), flat in corpus size.
     */
+
+  /** Land a batch's verdict and state outputs. Default: the verdict
+    * frame is EAGERLY checkpointed (it lazily re-reads the sigs STATE,
+    * which on a replay includes this batch's own previous files — a
+    * concurrent overwrite would race the read against the delete, the
+    * StreamingSpec replay tests catch it), then the two writes overlap
+    * as independent jobs (round-17 opt, guide §2.6).
+    * `spark.graft.parStateWrites=false` restores the original lazy
+    * serial writes (tools.AbProbe escape hatch); replay is idempotent
+    * either way (both modes overwrite the batch dirs).
+    */
+  private def writeVerdictsAndState(
+      spark: SparkSession, verdicts: DataFrame, sigs: DataFrame,
+      verdictsPath: String, sigsPath: String): Unit =
+    if (spark.conf.get("spark.graft.parStateWrites", "true").toBoolean) {
+      val v = verdicts.transform(graft.state.Checkpoints.stable)
+      graft.Par.build(spark)(
+        () => v.write.mode("overwrite").parquet(verdictsPath),
+        () => sigs.write.mode("overwrite").parquet(sigsPath))
+      ()
+    } else {
+      verdicts.write.mode("overwrite").parquet(verdictsPath)
+      sigs.write.mode("overwrite").parquet(sigsPath)
+    }
+
   def digestDedupBatch(batch: DataFrame, batchId: Long, idCol: String,
                        textCol: String, statePath: String): Unit = {
     val spark = batch.sparkSession
@@ -1186,10 +1212,11 @@ object StreamingOps {
       .join(sigs.select("h").distinct(), Seq("h"), "left_semi")
     val firstOwner = priorMatched.unionByName(sigs)
       .groupBy("h").agg(min("doc_id").as("__fo"))
-    sigs.join(firstOwner, "h")
+    val verdicts = sigs.join(firstOwner, "h")
       .select(col("doc_id"), (col("__fo") >= col("doc_id")).as("is_novel"))
-      .write.mode("overwrite").parquet(s"$statePath/verdicts/batch=$batchId")
-    sigs.write.mode("overwrite").parquet(s"$statePath/sigs/batch=$batchId")
+    writeVerdictsAndState(spark, verdicts, sigs,
+      s"$statePath/verdicts/batch=$batchId",
+      s"$statePath/sigs/batch=$batchId")
   }
 
   /** The verdict table [[digestDedupBatch]] maintains. */
@@ -1264,10 +1291,11 @@ object StreamingOps {
       .join(sigs.select("h").distinct(), Seq("h"), "left_semi")
     val firstOwner = priorMatched.unionByName(sigs)
       .groupBy("h").agg(min("doc_id").as("__fo"))
-    sigs.join(firstOwner, "h")
+    val verdicts = sigs.join(firstOwner, "h")
       .select(col("doc_id"), (col("__fo") >= col("doc_id")).as("is_novel"))
-      .write.mode("overwrite").parquet(s"$statePath/verdicts/batch=$batchId")
-    sigs.write.mode("overwrite").parquet(s"$statePath/sigs/batch=$batchId")
+    writeVerdictsAndState(spark, verdicts, sigs,
+      s"$statePath/verdicts/batch=$batchId",
+      s"$statePath/sigs/batch=$batchId")
   }
 
   /** The verdict table [[templateDedupBatch]] maintains. */
@@ -1324,12 +1352,13 @@ object StreamingOps {
     val firstOwner = priorMatched.unionByName(sigs)
       .groupBy("h")
       .agg(min(struct(col("doc_id"), col("chunk_id"))).as("__fo"))
-    sigs.join(firstOwner, "h")
+    val verdicts = sigs.join(firstOwner, "h")
       .select(col("doc_id"), col("chunk_id"),
         (col("__fo") >= struct(col("doc_id"), col("chunk_id")))
           .as("is_novel"))
-      .write.mode("overwrite").parquet(s"$statePath/verdicts/batch=$batchId")
-    sigs.write.mode("overwrite").parquet(s"$statePath/sigs/batch=$batchId")
+    writeVerdictsAndState(spark, verdicts, sigs,
+      s"$statePath/verdicts/batch=$batchId",
+      s"$statePath/sigs/batch=$batchId")
   }
 
   /** The verdict table [[chunkDedupBatch]] maintains: one row per
