@@ -1186,9 +1186,17 @@ object StreamingOps {
       verdictsPath: String, sigsPath: String): Unit =
     if (spark.conf.get("spark.graft.parStateWrites", "true").toBoolean) {
       val v = verdicts.transform(graft.state.Checkpoints.stable)
-      graft.Par.build(spark)(
+      try graft.Par.build(spark)(
         () => v.write.mode("overwrite").parquet(verdictsPath),
         () => sigs.write.mode("overwrite").parquet(sigsPath))
+      finally
+        // deterministic release of the barrier's blocks (ADVICE r13
+        // discipline): a long-lived streaming driver runs many
+        // batches, and waiting on the weak-ref ContextCleaner would
+        // stack one verdict-sized block set per batch
+        v.queryExecution.analyzed.collectFirst {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }.foreach(_.unpersist(blocking = false))
       ()
     } else {
       verdicts.write.mode("overwrite").parquet(verdictsPath)
